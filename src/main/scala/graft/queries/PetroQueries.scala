@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.chem.Chem
+import graft.petro.{Convert, Minerals, Units}
+
+/** Petro-operator query track for the DuckDB oracle.
+  *
+  * The domain operators (SURVEY.md §2.3-§2.6) run over a synthetic
+  * oxide table derived deterministically from `lineitem` numerics, so the
+  * oracle can verify the *arithmetic semantics* of every cascade. The
+  * oracle SQL is generated from the same driver-side constants
+  * (molecular weights etc.) the Spark cascades embed — both sides see
+  * bit-identical literals; computed outputs are rounded to 6 decimals on
+  * both sides to absorb summation-order effects.
+  */
+object PetroQueries {
+
+  /** Synthetic oxide columns (plausible wt% ranges) from lineitem. */
+  val OXIDES: Seq[String] = Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO",
+    "MnO", "Na2O", "K2O", "TiO2", "Cr2O3", "P2O5")
+
+  def oxFrame(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    li.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+      col("l_returnflag").as("grp"),
+      col("l_quantity").as("wt"),
+      (lit(35.0) + col("l_quantity") * 0.3).as("SiO2"),
+      (lit(15.0) + col("l_discount") * 50.0).as("Al2O3"),
+      (lit(18.0) + (col("l_partkey") % 10).cast("double") * 1.1).as("FeO"),
+      (lit(2.0) + (col("l_suppkey") % 5).cast("double") * 1.3).as("MgO"),
+      (lit(1.0) + col("l_tax") * 25.0).as("CaO"),
+      (lit(0.5) + (col("l_linenumber") % 3).cast("double") * 0.7).as("MnO"),
+      (lit(0.1) + col("l_discount") * 10.0).as("Na2O"),
+      (lit(0.05) + col("l_tax") * 5.0).as("K2O"),
+      (lit(0.3) + (col("l_orderkey") % 7).cast("double") * 0.1).as("TiO2"),
+      ((col("l_partkey") % 3).cast("double") * 0.15).as("Cr2O3"),
+      (lit(0.1) + (col("l_suppkey") % 4).cast("double") * 0.05).as("P2O5"))
+  }
+
+  /** Same synthetic table in DuckDB SQL (identical literals + op order). */
+  val OX_SQL: String =
+    """SELECT l_orderkey*10 + l_linenumber AS id, l_returnflag AS grp,
+       l_quantity AS wt,
+       35.0::DOUBLE + l_quantity*0.3::DOUBLE AS "SiO2",
+       15.0::DOUBLE + l_discount*50.0::DOUBLE AS "Al2O3",
+       18.0::DOUBLE + (l_partkey % 10)*1.1::DOUBLE AS "FeO",
+       2.0::DOUBLE + (l_suppkey % 5)*1.3::DOUBLE AS "MgO",
+       1.0::DOUBLE + l_tax*25.0::DOUBLE AS "CaO",
+       0.5::DOUBLE + (l_linenumber % 3)*0.7::DOUBLE AS "MnO",
+       0.1::DOUBLE + l_discount*10.0::DOUBLE AS "Na2O",
+       0.05::DOUBLE + l_tax*5.0::DOUBLE AS "K2O",
+       0.3::DOUBLE + (l_orderkey % 7)*0.1::DOUBLE AS "TiO2",
+       (l_partkey % 3)*0.15::DOUBLE AS "Cr2O3",
+       0.1::DOUBLE + (l_suppkey % 4)*0.05::DOUBLE AS "P2O5" FROM lineitem"""
+
+  // ---- SQL generation helpers (constants interpolated from Chem) ----------
+
+  private def qi(c: String): String = "\"" + c + "\""
+  private def molesSql(c: String): String = s"(${qi(c)} / ${Chem.mw(c)})"
+  private val ionCols: Seq[String] = OXIDES.map(Chem.oxideToIonCol)
+  private val oxySumSql: String =
+    OXIDES.map(c => s"${molesSql(c)} * ${Chem.oxygensPer(c)}").mkString(" + ")
+  /** SELECT list for to_apfu(n_oxygens=12) over the ox CTE. */
+  private val apfuSelectSql: String = OXIDES.map { c =>
+    s"${molesSql(c)} * ${Chem.cationsPer(c)} * (12.0 / ($oxySumSql)) AS ${qi(Chem.oxideToIonCol(c))}"
+  }.mkString(", ")
+
+  /** Droop split exprs over the apfu CTE (garnet: nOxy=12, ideal=8). */
+  private val apfuSumSql: String = ionCols.map(qi).mkString(" + ")
+  private val droopHighSql: String = {
+    val f = s"24.0 * (1.0 - 8.0 / ($apfuSumSql))"
+    s"CASE WHEN ($apfuSumSql) = 0.0 THEN 0.0 ELSE GREATEST($f, 0.0) END"
+  }
+  private val feLowSql = s"""GREATEST("Fe{2+}" - $droopHighSql, 0.0)"""
+  private val feHighSql = s""""Fe{2+}" - $feLowSql"""
+  /** SELECT list producing the split apfu columns (order preserved). */
+  private val splitSelectSql: String = ionCols.flatMap { c =>
+    if (c == "Fe{2+}") Seq(s"""$feLowSql AS "Fe{2+}"""", s"""$feHighSql AS "Fe{3+}"""")
+    else Seq(s"${qi(c)} AS ${qi(c)}")
+  }.mkString(", ")
+
+  private def roundAll(df: DataFrame, carry: Seq[String], scale: Int = 6): DataFrame =
+    df.select(carry.map(col) ++
+      df.columns.filterNot(carry.contains).map(c => round(col(c), scale).as(c)): _*)
+
+  private def wrap(inner: String): String =
+    s"""WITH ox AS ($OX_SQL) $inner"""
+
+  // ---- queries -------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // U2: wt% -> molar proportions
+    "p01_moles" -> ((s, dir) => {
+      val m = Convert.toMoles(oxFrame(s, dir), Seq("id"))
+      roundAll(m, Seq("id")).orderBy("id")
+    }),
+
+    // U3: row-normalize to 100
+    "p02_normalize" -> ((s, dir) => {
+      val n = Convert.normalize(oxFrame(s, dir).drop("grp", "wt"), Seq("id"))
+      roundAll(n, Seq("id")).orderBy("id")
+    }),
+
+    // U5: oxides -> APFU (12 oxygens, garnet basis), ion-named output
+    "p03_apfu_garnet" -> ((s, dir) => {
+      val a = Convert.toApfu(oxFrame(s, dir).drop("grp", "wt"),
+        nOxygens = Some(12.0), carry = Seq("id"))
+      roundAll(a, Seq("id")).orderBy("id")
+    }),
+
+    // V1+V3: Droop Fe3+ split on garnet APFU
+    "p04_droop_split" -> ((s, dir) => {
+      val a = Minerals.rawApfu(Minerals.Grt, oxFrame(s, dir).drop("grp", "wt"),
+        carry = Seq("id"))
+      roundAll(a, Seq("id")).orderBy("id")
+    }),
+
+    // E1: garnet end members (flagship cascade)
+    "p05_garnet_endmembers" -> ((s, dir) => {
+      val e = Minerals.endMembers(Minerals.Grt, oxFrame(s, dir).drop("grp", "wt"),
+        carry = Seq("id"))
+      roundAll(e, Seq("id")).orderBy("id")
+    }),
+
+    // U13+U14: alumina saturation + Shand classification
+    "p06_alumina_shand" -> ((s, dir) => {
+      val ox = oxFrame(s, dir)
+      val as = Convert.aluminaSaturation(ox, Seq("id"))
+      as.select(col("id"),
+        round(col("A/NK"), 6).as("ank"),
+        round(col("A/CNK"), 6).as("acnk"),
+        Convert.shandClass(col("A/NK"), col("A/CNK")).as("shand"))
+        .orderBy("id")
+    }),
+
+    // U15: oxide ratios
+    "p07_oxide_ratios" -> ((s, dir) => {
+      val r = Convert.oxideRatios(oxFrame(s, dir).drop("grp", "wt"), Seq("id"))
+      roundAll(r, Seq("id")).orderBy("id")
+    }),
+
+    // U9: FeO -> Fe2O3 stoichiometric recompute
+    "p08_feo_to_fe2o3" -> ((s, dir) => {
+      val d = Convert.feoToFe2o3(oxFrame(s, dir))
+      d.select(col("id"), round(col("Fe2O3"), 6).as("Fe2O3")).orderBy("id")
+    }),
+
+    // U12: apatite correction
+    "p09_apatite_correction" -> ((s, dir) => {
+      val d = Convert.apatiteCorrection(oxFrame(s, dir))
+      d.select(col("id"), round(col("CaO"), 6).as("CaO"), col("P2O5"))
+        .orderBy("id")
+    }),
+
+    // G2: grouped mean of oxide columns
+    "p10_group_mean" -> ((s, dir) => {
+      val ox = oxFrame(s, dir)
+      ox.groupBy("grp")
+        .agg(round(avg("SiO2"), 6).as("SiO2"), round(avg("Al2O3"), 6).as("Al2O3"),
+          round(avg("FeO"), 6).as("FeO"), round(avg("CaO"), 6).as("CaO"))
+        .orderBy("grp")
+    }),
+
+    // G3: weighted mean (sum(w*x)/sum(w)) per group
+    "p11_weighted_mean" -> ((s, dir) => {
+      val ox = oxFrame(s, dir)
+      ox.groupBy("grp")
+        .agg(
+          round(sum(col("SiO2") * col("wt")) / sum(col("wt")), 6).as("SiO2"),
+          round(sum(col("FeO") * col("wt")) / sum(col("wt")), 6).as("FeO"),
+          round(sum(col("MgO") * col("wt")) / sum(col("wt")), 6).as("MgO"))
+        .orderBy("grp")
+    }),
+
+    // U6: charge-normalized APFU (chlorite 28-charge convention)
+    "p12_apfu_by_charge" -> ((s, dir) => {
+      val a = Convert.toApfuByCharge(oxFrame(s, dir).drop("grp", "wt"),
+        targetCharges = 28.0, carry = Seq("id"))
+      roundAll(a, Seq("id")).orderBy("id")
+    })
+  )
+
+  val oracle: Map[String, String] = {
+    val molesSel = OXIDES.map(c => s"ROUND(${molesSql(c)}, 6) AS ${qi(c)}").mkString(", ")
+    val totalSql = OXIDES.map(qi).mkString(" + ")
+    val normSel = OXIDES.map { c =>
+      s"ROUND(CASE WHEN ($totalSql) = 0.0 THEN 'NaN'::DOUBLE ELSE ${qi(c)} / ($totalSql) * 100.0 END, 6) AS ${qi(c)}"
+    }.mkString(", ")
+    val apfuRounded = ionCols.map(c => s"ROUND(${qi(c)}, 6) AS ${qi(c)}").mkString(", ")
+    val splitCols = ionCols.flatMap(c => if (c == "Fe{2+}") Seq("Fe{2+}", "Fe{3+}") else Seq(c))
+    val splitRounded = splitCols.map(c => s"ROUND(${qi(c)}, 6) AS ${qi(c)}").mkString(", ")
+
+    // garnet end-member cascade over the split apfu
+    val gEm = {
+      def g(c: String) = s"GREATEST(${qi(c)}, 0.0)"
+      val pre = s"""SELECT id, ${g("Ca{2+}")} AS ca, ${g("Mg{2+}")} AS mg,
+        ${g("Fe{2+}")} AS fe2, ${g("Fe{3+}")} AS fe3, ${g("Mn{2+}")} AS mn,
+        ${g("Cr{3+}")} AS cr FROM spl"""
+      val steps = """SELECT id, LEAST(cr / 2.0, ca / 3.0) AS uvr,
+        GREATEST(ca - LEAST(cr / 2.0, ca / 3.0) * 3.0, 0.0) AS car1,
+        mg, fe2, fe3, mn, ca, cr FROM pre"""
+      val steps2 = """SELECT id, uvr, LEAST(fe3 / 2.0, car1 / 3.0) AS adr,
+        GREATEST(car1 - LEAST(fe3 / 2.0, car1 / 3.0) * 3.0, 0.0) AS car2,
+        mg, fe2, mn FROM st1"""
+      val steps3 = """SELECT id, uvr, adr, GREATEST(car2 / 3.0, 0.0) AS grs,
+        GREATEST(mg / 3.0, 0.0) AS prp, GREATEST(fe2 / 3.0, 0.0) AS alm,
+        GREATEST(mn / 3.0, 0.0) AS sps FROM st2"""
+      def pct(x: String) =
+        s"ROUND(CASE WHEN (uvr + adr + grs + prp + alm + sps) > 0.0 THEN $x / " +
+          "(CASE WHEN (uvr + adr + grs + prp + alm + sps) = 0.0 THEN 1.0 ELSE " +
+          "(uvr + adr + grs + prp + alm + sps) END) * 100.0 ELSE 0.0 END, 6)"
+      s"""pre AS ($pre), st1 AS ($steps), st2 AS ($steps2), st3 AS ($steps3)
+        SELECT id, ${pct("prp")} AS "Prp", ${pct("alm")} AS "Alm",
+        ${pct("sps")} AS "Sps", ${pct("grs")} AS "Grs",
+        ${pct("adr")} AS "Adr", ${pct("uvr")} AS "Uvr" FROM st3 ORDER BY id"""
+    }
+
+    // alumina saturation
+    val alSat = {
+      val al = s"""("Al2O3" / ${Chem.mw("Al2O3")})"""
+      val na = s"""("Na2O" / ${Chem.mw("Na2O")})"""
+      val k = s"""("K2O" / ${Chem.mw("K2O")})"""
+      val ca = s"""("CaO" / ${Chem.mw("CaO")})"""
+      s"""SELECT id, $al AS al, ($na + $k) AS nk, ($ca + ($na + $k)) AS cnk FROM ox"""
+    }
+
+    // oxide ratios
+    val ratios = {
+      val mgMol = s"""("MgO" / ${Chem.mw("MgO")})"""
+      val feMol = s"""("FeO" / ${Chem.mw("FeO")})"""
+      s"""SELECT id, ROUND("FeO", 6) AS "FeOT",
+        ROUND($mgMol / (CASE WHEN ($mgMol + $feMol) = 0.0 THEN 1.0 ELSE ($mgMol + $feMol) END), 6) AS "Mg#",
+        ROUND("Na2O" + "K2O", 6) AS "Na2O+K2O",
+        ROUND("K2O" / (CASE WHEN "Na2O" = 0.0 THEN 1.0 ELSE "Na2O" END), 6) AS "K2O/Na2O",
+        ROUND("CaO" / (CASE WHEN "Na2O" = 0.0 THEN 1.0 ELSE "Na2O" END), 6) AS "CaO/Na2O",
+        ROUND("SiO2", 6) AS "SiO2", ROUND("TiO2", 6) AS "TiO2"
+        FROM ox ORDER BY id"""
+    }
+
+    // charge-normalized apfu (28 charges)
+    val chargeSel = {
+      val chargeSum = OXIDES.map { c =>
+        s"${molesSql(c)} * ${Chem.cationsPer(c) * Chem.chargeOf(Chem.elementOf(c))}"
+      }.mkString(" + ")
+      OXIDES.map { c =>
+        s"ROUND(${molesSql(c)} * ${Chem.cationsPer(c)} * (28.0 / ($chargeSum)), 6) AS ${qi(c)}"
+      }.mkString(", ")
+    }
+
+    Map(
+      "p01_moles" -> wrap(s"SELECT id, $molesSel FROM ox ORDER BY id"),
+      "p02_normalize" -> wrap(s"SELECT id, $normSel FROM ox ORDER BY id"),
+      "p03_apfu_garnet" -> wrap(
+        s", apfu AS (SELECT id, $apfuSelectSql FROM ox) SELECT id, $apfuRounded FROM apfu ORDER BY id"),
+      "p04_droop_split" -> wrap(
+        s""", apfu AS (SELECT id, $apfuSelectSql FROM ox),
+           spl AS (SELECT id, $splitSelectSql FROM apfu)
+           SELECT id, $splitRounded FROM spl ORDER BY id"""),
+      "p05_garnet_endmembers" -> wrap(
+        s""", apfu AS (SELECT id, $apfuSelectSql FROM ox),
+           spl AS (SELECT id, $splitSelectSql FROM apfu), $gEm"""),
+      "p06_alumina_shand" -> wrap(
+        s""", sat AS ($alSat)
+           SELECT id,
+           ROUND(al / (CASE WHEN nk = 0.0 THEN 1.0 ELSE nk END), 6) AS ank,
+           ROUND(al / (CASE WHEN cnk = 0.0 THEN 1.0 ELSE cnk END), 6) AS acnk,
+           CASE WHEN al / (CASE WHEN cnk = 0.0 THEN 1.0 ELSE cnk END) >= 1.0 THEN 'peraluminous'
+                WHEN al / (CASE WHEN nk = 0.0 THEN 1.0 ELSE nk END) < 1.0 THEN 'peralkaline'
+                ELSE 'metaluminous' END AS shand
+           FROM sat ORDER BY id"""),
+      "p07_oxide_ratios" -> wrap(ratios),
+      "p08_feo_to_fe2o3" -> wrap(
+        s"""SELECT id, ROUND(("FeO" / ${Chem.mw("FeO")}) * 0.5 * ${Chem.mw("Fe2O3")}, 6) AS "Fe2O3"
+           FROM ox ORDER BY id"""),
+      "p09_apatite_correction" -> wrap(
+        s"""SELECT id, ROUND("CaO" - (("P2O5" / ${Chem.mw("P2O5")}) * ${10.0 / 3.0}) * ${Chem.mw("CaO")}, 6) AS "CaO",
+           CAST(0.0 AS DOUBLE) AS "P2O5" FROM ox ORDER BY id"""),
+      "p10_group_mean" -> wrap(
+        """SELECT grp, ROUND(AVG("SiO2"), 6) AS "SiO2", ROUND(AVG("Al2O3"), 6) AS "Al2O3",
+           ROUND(AVG("FeO"), 6) AS "FeO", ROUND(AVG("CaO"), 6) AS "CaO"
+           FROM ox GROUP BY grp ORDER BY grp"""),
+      "p11_weighted_mean" -> wrap(
+        """SELECT grp, ROUND(SUM("SiO2" * wt) / SUM(wt), 6) AS "SiO2",
+           ROUND(SUM("FeO" * wt) / SUM(wt), 6) AS "FeO",
+           ROUND(SUM("MgO" * wt) / SUM(wt), 6) AS "MgO"
+           FROM ox GROUP BY grp ORDER BY grp"""),
+      "p12_apfu_by_charge" -> wrap(s"SELECT id, $chargeSel FROM ox ORDER BY id")
+    )
+  }
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational query track over the TPC-H-ish test tables: scans, filters,
+  * hash aggregates, broadcast/shuffle joins, semi/anti joins, windows,
+  * unions, top-k. Each query has a DuckDB-equivalent oracle.
+  *
+  * Scale notes (100 TB thinking):
+  *  - dimension joins (`nation`, `part` at fixed size) are explicitly
+  *    `broadcast()` so no shuffle of the fact table is ever needed;
+  *  - aggregations are partial+final hash aggs (map-side combine free);
+  *  - every computed float aggregate is rounded in BOTH engines so the
+  *    oracle hash-compare is stable under summation-order differences.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G2-style grouped aggregation + P5-style predicate (TPC-H Q1 shape)
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1997-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // O-track: top-k by computed aggregate, deterministic tiebreak
+    "q02_revenue_topk" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // J-track: fact-to-dim chain with broadcast dimensions
+    "q03_nation_revenue" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      orders
+        .join(cust, orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("total_revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    // broadcast hash join against `part`, grouped on dim attribute
+    "q04_brand_quantity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(avg("p_retailprice"), 6).as("avg_price"))
+        .orderBy("p_brand")
+    }),
+
+    // left_anti join (NOT EXISTS)
+    "q05_customers_no_orders" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // window function: per-customer top order
+    "q06_top_order_per_customer" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("top_price"))
+        .orderBy("o_custkey")
+    }),
+
+    // J1 union-with-discriminator (reference mineral_data concat shape)
+    "q07_entity_union" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(lit("customer").as("kind"), col("c_nationkey").as("nk"),
+          col("c_acctbal").as("acctbal"))
+      val supp = t(s, dir, "supplier")
+        .select(lit("supplier").as("kind"), col("s_nationkey").as("nk"),
+          col("s_acctbal").as("acctbal"))
+      val nation = t(s, dir, "nation")
+      cust.unionByName(supp)
+        .join(broadcast(nation), col("nk") === nation("n_nationkey"))
+        .groupBy("kind", "n_name")
+        .agg(count(lit(1)).as("n"), round(sum("acctbal"), 2).as("total_bal"))
+        .orderBy("kind", "n_name")
+    }),
+
+    // time-bucketed aggregation over the events stream table.
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads via
+    // the nanosAsLong legacy conf; integer-DIV to micros preserves
+    // precision (a double division would lose sub-ms bits at 1e18).
+    "q08_events_hourly" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(date_trunc("hour", col("tsx")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // P6 membership filter + sort (select-isin shape)
+    "q09_filter_isin" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 6).as("avg_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // P5 substring-contains filter (select(str) shape)
+    "q10_filter_contains" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_type").contains("BRASS"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(avg("p_size"), 6).as("avg_size"))
+        .orderBy("p_brand")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity),2) AS sum_qty,
+         ROUND(SUM(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+         ROUND(AVG(l_quantity),6) AS avg_qty,
+         ROUND(AVG(l_discount),6) AS avg_disc,
+         CAST(COUNT(*) AS BIGINT) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "q02_revenue_topk" ->
+      """SELECT l_orderkey,
+         ROUND(SUM(l_extendedprice*(1.0-l_discount)),2) AS revenue
+         FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q03_nation_revenue" ->
+      """SELECT n_name, ROUND(SUM(o_totalprice),2) AS total_revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "q04_brand_quantity" ->
+      """SELECT p_brand, ROUND(SUM(l_quantity),2) AS sum_qty,
+         ROUND(AVG(p_retailprice),6) AS avg_price
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""",
+    "q05_customers_no_orders" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+         FROM customer WHERE NOT EXISTS
+           (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY 1 ORDER BY 1""",
+    "q06_top_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, ROUND(o_totalprice,2) AS top_price
+         FROM (SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
+    "q07_entity_union" ->
+      """SELECT kind, n_name, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(acctbal),2) AS total_bal
+         FROM (SELECT 'customer' AS kind, c_nationkey AS nk, c_acctbal AS acctbal FROM customer
+               UNION ALL
+               SELECT 'supplier', s_nationkey, s_acctbal FROM supplier)
+         JOIN nation ON nk = n_nationkey
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "q08_events_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value),4) AS total_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "q09_filter_isin" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(AVG(o_totalprice),6) AS avg_price
+         FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "q10_filter_contains" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(AVG(p_size),6) AS avg_size
+         FROM part WHERE p_type LIKE '%BRASS%'
+         GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.text.TextOps
+
+/** LLM-data-pipeline operators over `documents` and `embeddings`:
+  * exact/near dedup, text statistics, language ID, similarity search.
+  * Hashing is md5-based so the DuckDB oracle can replicate bit-for-bit.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup groups by content hash
+    "t01_exact_dedup" -> ((s, dir) => {
+      TextOps.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")
+    }),
+
+    // token statistics per document
+    "t02_token_stats" -> ((s, dir) => {
+      TextOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("avg_token_len", round(col("avg_token_len"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID heuristic + type-token ratio quality signal
+    "t03_lang_quality" -> ((s, dir) => {
+      TextOps.langQuality(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash signatures (8 hashes over 3-word shingles)
+    "t04_minhash_signature" -> ((s, dir) => {
+      TextOps.minhashSignature(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .select("doc_id", "signature")
+        .orderBy("doc_id")
+    }),
+
+    // LSH band buckets with >1 member = near-dup candidate groups
+    "t05_lsh_candidates" -> ((s, dir) => {
+      val sigs = TextOps.minhashSignature(t(s, dir, "documents"), "doc_id", "text", k = 8)
+      TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .filter(col("n") > 1)
+        .orderBy("bucket")
+    }),
+
+    // 16-bit SimHash per document
+    "t06_simhash" -> ((s, dir) => {
+      TextOps.simhash16(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    }),
+
+    // brute-force cosine top-5 neighbors for query vectors (vec_id < 3)
+    "t07_cosine_topk" -> ((s, dir) => {
+      val d = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = d.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val pairs = d.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cand_id"),
+          round(dot(col("qv"), col("v")) /
+            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))), 4)
+            .as("score"))
+      val w = Window.partitionBy("qid").orderBy(desc("score"), col("cand_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("qid", "cand_id", "score")
+        .orderBy(col("qid"), desc("score"), col("cand_id"))
+    })
+  )
+
+  private val TOKS_SQL =
+    """SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       x -> x <> '') AS w FROM documents"""
+
+  private val SHINGLES_SQL =
+    s"""SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
+       list_extract(w, i+2) AS sh
+       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+             FROM ($TOKS_SQL))"""
+
+  private def mhAgg(i: Int): String =
+    s"MIN(substr(md5('$i:' || sh), 1, 16))"
+
+  private val MH_SQL =
+    s"""SELECT doc_id, ${(0 until 8).map(i => s"${mhAgg(i)} AS h$i").mkString(", ")}
+       FROM ($SHINGLES_SQL) GROUP BY doc_id"""
+
+  val oracle: Map[String, String] = Map(
+    "t01_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS n,
+         MIN(doc_id) AS canonical_id
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "t02_token_stats" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+         ROUND(CASE WHEN len(w) = 0 THEN NULL
+           ELSE CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+           END, 6) AS avg_token_len
+         FROM ($TOKS_SQL) ORDER BY doc_id""",
+    "t03_lang_quality" ->
+      s"""SELECT doc_id,
+         ROUND(CASE WHEN len(w) = 0 THEN NULL
+           ELSE CAST(len(list_filter(w, x -> list_contains(
+             ['the','a','of','and','to','in','is','it','you','that','for','on','with','as'], x))) AS DOUBLE) / len(w)
+           END, 6) AS stop_ratio,
+         CASE WHEN len(w) = 0 THEN 'unknown'
+              WHEN CAST(len(list_filter(w, x -> list_contains(
+             ['the','a','of','and','to','in','is','it','you','that','for','on','with','as'], x))) AS DOUBLE) / len(w) >= 0.05 THEN 'en'
+              ELSE 'other' END AS lang_pred,
+         ROUND(CASE WHEN len(w) = 0 THEN NULL
+           ELSE CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END, 6) AS ttr
+         FROM ($TOKS_SQL) ORDER BY doc_id""",
+    "t04_minhash_signature" ->
+      s"""SELECT doc_id, concat_ws('|', ${(0 until 8).map(mhAgg).mkString(", ")}) AS signature
+         FROM ($SHINGLES_SQL) GROUP BY doc_id ORDER BY doc_id""",
+    "t05_lsh_candidates" ->
+      s"""WITH mh AS ($MH_SQL),
+         buckets AS (
+           ${(0 until 4).map(b =>
+             s"SELECT doc_id, md5('b$b:' || h${2*b} || h${2*b+1}) AS bucket FROM mh")
+             .mkString(" UNION ALL ")})
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS min_doc,
+         MAX(doc_id) AS max_doc
+         FROM buckets GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""",
+    "t06_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(w) AS tok FROM ($TOKS_SQL)),
+         sums AS (SELECT doc_id, ${(0 until 16).map(b =>
+           s"SUM(CASE WHEN substr(md5(tok), ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$b")
+           .mkString(", ")} FROM tok GROUP BY doc_id)
+         SELECT doc_id, concat(${(0 until 16).map(b =>
+           s"CASE WHEN b$b > 0 THEN '1' ELSE '0' END").mkString(", ")}) AS simhash
+         FROM sums ORDER BY doc_id""",
+    "t07_cosine_topk" ->
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM d WHERE vec_id < 3),
+         p AS (SELECT qid, vec_id AS cand_id,
+                 ROUND(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS score
+               FROM d, q WHERE vec_id <> qid),
+         r AS (SELECT qid, cand_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cand_id) AS rn
+               FROM p)
+         SELECT qid, cand_id, score FROM r WHERE rn <= 5
+         ORDER BY qid, score DESC, cand_id"""
+  )
+}

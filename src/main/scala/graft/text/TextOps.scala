@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and dedup operators for large-scale document pipelines.
+  *
+  * All operators are built from codegen'd `functions._` primitives; hash
+  * functions use md5 (portable across engines, so an external SQL oracle
+  * can verify results bit-for-bit). Heavy stages (shingle explode) keep
+  * data partitioned by document — no shuffle until the per-doc aggregate,
+  * which is a partial+final hash agg.
+  */
+object TextOps {
+
+  /** Lowercased alphanumeric tokens of a text column. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), x => x =!= lit(""))
+
+  /** n-word shingles of a token-array column (empty if fewer than n). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array())
+
+  /** Portable 64-bit-ish hash as 16 hex chars: prefix-seeded md5. */
+  def seededHash(seed: String, c: Column): Column =
+    substring(md5(concat(lit(seed + ":"), c)), 1, 16)
+
+  /** MinHash signature: k independent min-hashes over n-word shingles.
+    * Returns (idCol, h0..h{k-1}, signature). Hex-string min is monotone
+    * with the numeric hash value, so MIN over strings is a valid minhash.
+    * Documents with no shingle (fewer than n tokens) are dropped. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, shingleWords: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(shingles(tokens(col(textCol)), shingleWords)).as("sh"))
+    val aggs = (0 until k).map(i => min(seededHash(i.toString, col("sh"))).as(s"h$i"))
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+      .withColumn("signature", concat_ws("|", (0 until k).map(i => col(s"h$i")): _*))
+  }
+
+  /** LSH band buckets from a minhash signature frame: k hashes in bands
+    * of `rows` hashes; docs sharing any band bucket are near-dup
+    * candidates. Returns (bucket, idCol) pairs. */
+  def lshBuckets(sigs: DataFrame, idCol: String, k: Int, rows: Int): DataFrame = {
+    val bands = (0 until k / rows).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
+      md5(concat((lit(s"b$b:") +: cols): _*))
+    }
+    sigs.select(col(idCol), explode(array(bands: _*)).as("bucket"))
+  }
+
+  /** 16-bit SimHash over unigram tokens as a bit-string column.
+    * Bit b is the sign of the sum over tokens of +-1 by the high bit of
+    * the b-th hex digit of md5(token). */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val aggs = (0 until 16).map { b =>
+      sum(when(substring(md5(col("tok")), b + 1, 1).isin(highHex: _*), 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val sums = tok.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    sums.withColumn("simhash",
+      concat((0 until 16).map(b => when(col(s"b$b") > 0, "1").otherwise("0")): _*))
+  }
+
+  /** Exact duplicate groups by content hash: (hash, n, canonical id). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("canonical_id"))
+
+  /** Exact dedup: keep one row (min id) per distinct content. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactDupGroups(df, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Per-doc token statistics: n_chars, n_tokens, n_distinct, avg token
+    * length (null for token-less docs). */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    df.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(w).cast("long").as("n_tokens"),
+      size(array_distinct(w)).cast("long").as("n_distinct"),
+      when(size(w) === 0, lit(null))
+        .otherwise(
+          aggregate(transform(w, x => length(x).cast("long")), lit(0L), (a, x) => a + x)
+            .cast("double") / size(w)).as("avg_token_len"))
+  }
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it",
+    "you", "that", "for", "on", "with", "as")
+
+  /** Stopword-ratio language-ID heuristic + quality score signals. */
+  def langQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    val stopArr = array(enStop.map(lit): _*)
+    val nStop = size(filter(w, x => array_contains(stopArr, x)))
+    val ratio = when(size(w) === 0, lit(null))
+      .otherwise(nStop.cast("double") / size(w))
+    df.select(col(idCol),
+      round(ratio, 6).as("stop_ratio"),
+      when(ratio.isNull, "unknown").when(ratio >= 0.05, "en").otherwise("other")
+        .as("lang_pred"),
+      round(when(size(w) === 0, lit(null)).otherwise(
+        size(array_distinct(w)).cast("double") / size(w)), 6).as("ttr"))
+  }
+}
