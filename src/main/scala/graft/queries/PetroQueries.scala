@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.chem.Chem
-import graft.petro.{Convert, Minerals, Units}
+import graft.petro.{Cipw, Convert, Minerals, Units}
 
 /** Petro-operator query track for the DuckDB oracle.
   *
@@ -180,8 +180,37 @@ object PetroQueries {
       val a = Convert.toApfuByCharge(oxFrame(s, dir).drop("grp", "wt"),
         targetCharges = 28.0, carry = Seq("id"))
       roundAll(a, Seq("id")).orderBy("id")
+    }),
+
+    // C1: simple CIPW norm (branch-free cascade; full oracle)
+    "p13_cipw_simple" -> ((s, dir) => {
+      val n = Cipw.cipwNormSimple(oxWithFe2O3(s, dir), carry = Seq("id"))
+      roundAll(n, Seq("id")).orderBy("id")
+    }),
+
+    // C2: GCDkit CIPW norm (Dataset.map row function; rows-only check)
+    "p14_cipw_gcdkit" -> ((s, dir) => {
+      Cipw.cipwNorm(oxWithFe2O3(s, dir), carry = Seq("id"),
+          normsum = true, completeResults = true)
+        .orderBy("id")
+    }),
+
+    // C3: CIPWhb norm (hornblende/biotite recasting; rows-only check)
+    "p15_cipw_hb" -> ((s, dir) => {
+      Cipw.cipwNormHb(oxWithFe2O3(s, dir), carry = Seq("id"),
+          normsum = true, completeResults = true)
+        .orderBy("id")
     })
   )
+
+  /** ox frame + a synthetic Fe2O3 derived from Al2O3 (so the CIPW Mt/Hm
+    * branches are exercised); both sides compute it from the same bits. */
+  def oxWithFe2O3(s: SparkSession, dir: String): DataFrame =
+    oxFrame(s, dir).drop("grp", "wt")
+      .withColumn("Fe2O3", (col("Al2O3") - lit(15.0)) * 0.4 + 0.5)
+
+  private val OX2_SQL =
+    s"""SELECT *, ("Al2O3" - 15.0::DOUBLE) * 0.4::DOUBLE + 0.5::DOUBLE AS "Fe2O3" FROM ox"""
 
   val oracle: Map[String, String] = {
     val molesSel = OXIDES.map(c => s"ROUND(${molesSql(c)}, 6) AS ${qi(c)}").mkString(", ")
@@ -287,7 +316,53 @@ object PetroQueries {
            ROUND(SUM("FeO" * wt) / SUM(wt), 6) AS "FeO",
            ROUND(SUM("MgO" * wt) / SUM(wt), 6) AS "MgO"
            FROM ox GROUP BY grp ORDER BY grp"""),
-      "p12_apfu_by_charge" -> wrap(s"SELECT id, $chargeSel FROM ox ORDER BY id")
+      "p12_apfu_by_charge" -> wrap(s"SELECT id, $chargeSel FROM ox ORDER BY id"),
+      "p13_cipw_simple" -> wrap(cipwSimpleSql)
     )
+  }
+
+  /** DuckDB mirror of Cipw.cipwNormSimple over the ox+Fe2O3 table —
+    * same staging, groupings, and MW literals as the Column cascade. */
+  private def cipwSimpleSql: String = {
+    def mw(c: String) = Chem.mw(c)
+    s""", ox2 AS ($OX2_SQL),
+      mol AS (SELECT id,
+        "SiO2" / ${mw("SiO2")} AS si, "TiO2" / ${mw("TiO2")} AS ti,
+        "Al2O3" / ${mw("Al2O3")} AS al, "Fe2O3" / ${mw("Fe2O3")} AS fe3,
+        "FeO" / ${mw("FeO")} AS feo, "MgO" / ${mw("MgO")} AS mgo,
+        "CaO" / ${mw("CaO")} AS cao, "Na2O" / ${mw("Na2O")} AS nao,
+        "K2O" / ${mw("K2O")} AS k2o, "P2O5" / ${mw("P2O5")} AS p2o5,
+        "Cr2O3" / ${mw("Cr2O3")} AS cr2o3 FROM ox2),
+      s1 AS (SELECT id, p2o5 AS ap, cao - 3.0 * p2o5 AS cao1, ti AS il,
+        fe3 AS mt, cr2o3 AS cr, feo - ti - fe3 - cr2o3 AS feo3,
+        k2o AS orm, al - k2o AS al1, si - 6.0 * k2o AS si1, nao AS ab,
+        mgo FROM mol),
+      s2 AS (SELECT *, al1 - ab AS al2, si1 - 6.0 * ab AS si2 FROM s1),
+      s3 AS (SELECT *, LEAST(GREATEST(al2, 0.0), cao1) AS an FROM s2),
+      s4 AS (SELECT *, al2 - an AS al3, si2 - 2.0 * an AS si3,
+        cao1 - an AS cao2 FROM s3),
+      s5 AS (SELECT *, GREATEST(al3, 0.0) AS c,
+        LEAST(GREATEST(cao2, 0.0), GREATEST(mgo, 0.0)) AS di FROM s4),
+      s6 AS (SELECT *, mgo - di AS mgo1, si3 - 2.0 * di AS si4 FROM s5),
+      s7 AS (SELECT *, GREATEST(mgo1, 0.0) AS hymg0, GREATEST(feo3, 0.0) AS hyfe0
+        FROM s6),
+      s8 AS (SELECT *, hymg0 + hyfe0 AS hyt0,
+        LEAST(hymg0 + hyfe0, GREATEST(si4, 0.0)) AS hyt FROM s7),
+      s9 AS (SELECT *, hyt / (CASE WHEN hyt = 0.0 THEN 1.0 ELSE hyt END) AS scale
+        FROM s8),
+      s10 AS (SELECT *, hymg0 * scale AS hymg, hyfe0 * scale AS hyfe FROM s9)
+      SELECT id,
+        ROUND(ap * ${mw("Ca3(PO4)2")}, 6) AS "Ap",
+        ROUND(il * ${mw("FeTiO3")}, 6) AS "Il",
+        ROUND(mt * ${mw("Fe3O4")}, 6) AS "Mt",
+        ROUND(cr * ${mw("FeCr2O4")}, 6) AS "Crn",
+        ROUND(orm * ${mw("K2Al2Si6O16")}, 6) AS "Or",
+        ROUND(ab * ${mw("Na2Al2Si6O16")}, 6) AS "Ab",
+        ROUND(an * ${mw("CaAl2Si2O8")}, 6) AS "An",
+        ROUND(c * ${mw("Al2O3")}, 6) AS "C",
+        ROUND(di * ${mw("CaMgSi2O6")}, 6) AS "Di",
+        ROUND(hymg * ${mw("MgSiO3")} + hyfe * ${mw("FeSiO3")}, 6) AS "Hy",
+        ROUND(GREATEST(si4 - hymg - hyfe, 0.0) * ${mw("SiO2")}, 6) AS "Q"
+      FROM s10 ORDER BY id"""
   }
 }
