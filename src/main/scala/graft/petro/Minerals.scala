@@ -215,28 +215,34 @@ object Minerals {
     * we flatten with ':' (never appears in formula names). */
   def siteCol(site: String, ion: String): String = s"$site:$ion"
 
-  /** Unrolled greedy allocation: sites in declared order, each site takes
-    * `min(pool[ion], remaining)` per priority ion, decrementing the shared
-    * pool and the site capacity (reference: _minerals.py:191-218).
-    * Entirely Column arithmetic — no loop at runtime. */
-  def allocateSites(spec: MineralSpec, apfu: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    val ions = valueCols(apfu, carry)
+  /** Unrolled greedy-allocation expressions per (site, ion) plus the
+    * per-site `_unallocated` remainder, given the available ion columns
+    * (reference: _minerals.py:191-218). Entirely Column arithmetic. */
+  def siteAllocationExprs(spec: MineralSpec, ions: Seq[String]): Seq[(String, String, Column)] = {
     val pool = scala.collection.mutable.Map[String, Column](
       ions.map(c => c -> col(c)): _*)
-    val out = scala.collection.mutable.ListBuffer.empty[Column]
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String, Column)]
     spec.sites.foreach { site =>
       var remaining: Column = lit(site.capacity)
       site.priority.foreach { ion =>
         if (pool.contains(ion)) {
           val take = least(pool(ion), remaining)
-          out += take.as(siteCol(site.name, ion))
+          out += ((site.name, ion, take))
           pool(ion) = pool(ion) - take
           remaining = remaining - take
         }
       }
-      out += remaining.as(siteCol(site.name, "_unallocated"))
+      out += ((site.name, "_unallocated", remaining))
     }
-    apfu.select(carry.map(col) ++ out: _*)
+    out.toSeq
+  }
+
+  /** Greedy sequential site allocation as a single narrow projection. */
+  def allocateSites(spec: MineralSpec, apfu: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val exprs = siteAllocationExprs(spec, valueCols(apfu, carry)).map {
+      case (site, ion, e) => e.as(siteCol(site, ion))
+    }
+    apfu.select(carry.map(col) ++ exprs: _*)
   }
 
   def siteAllocations(spec: MineralSpec, df: DataFrame, carry: Seq[String] = Nil,

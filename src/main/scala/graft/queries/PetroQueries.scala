@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.chem.Chem
-import graft.petro.{Cipw, Convert, Minerals, Units}
+import graft.petro.{Cipw, Convert, Minerals, Stoich, Units}
 
 /** Petro-operator query track for the DuckDB oracle.
   *
@@ -200,6 +200,20 @@ object PetroQueries {
       Cipw.cipwNormHb(oxWithFe2O3(s, dir), carry = Seq("id"),
           normsum = true, completeResults = true)
         .orderBy("id")
+    }),
+
+    // A5-A13: stoichiometry scoring (incl. greedy site allocation A2)
+    "p16_stoich_garnet" -> ((s, dir) => {
+      val r = Stoich.checkStoichiometry(Minerals.Grt,
+        oxFrame(s, dir).drop("grp", "wt"), carry = Seq("id"))
+      roundAll(r, Seq("id")).orderBy("id")
+    }),
+
+    // A2/A3: raw site allocations (capacity-clipped greedy cascade)
+    "p17_site_allocation" -> ((s, dir) => {
+      val sf = Minerals.siteAllocations(Minerals.Grt,
+        oxFrame(s, dir).drop("grp", "wt"), carry = Seq("id"))
+      roundAll(sf, Seq("id")).orderBy("id")
     })
   )
 
@@ -317,8 +331,86 @@ object PetroQueries {
            ROUND(SUM("MgO" * wt) / SUM(wt), 6) AS "MgO"
            FROM ox GROUP BY grp ORDER BY grp"""),
       "p12_apfu_by_charge" -> wrap(s"SELECT id, $chargeSel FROM ox ORDER BY id"),
-      "p13_cipw_simple" -> wrap(cipwSimpleSql)
+      "p13_cipw_simple" -> wrap(cipwSimpleSql),
+      "p16_stoich_garnet" -> wrap(stoichGarnetSql),
+      "p17_site_allocation" -> wrap(siteAllocQuerySql)
     )
+  }
+
+  /** SQL mirror of the greedy site-allocation cascade for garnet over the
+    * droop-split APFU: one CTE per (site, ion) step, updating the shared
+    * pool and the site remainder exactly like
+    * Minerals.siteAllocationExprs. Returns (cteChain, lastCte, takes as
+    * (site, ion, colName), unallocs as (site, colOrLiteral)). */
+  private def garnetAllocCtes(fromCte: String)
+      : (String, String, Seq[(String, String, String)], Seq[(String, String)]) = {
+    val splitColsLocal = ionCols.flatMap(c => if (c == "Fe{2+}") Seq("Fe{2+}", "Fe{3+}") else Seq(c))
+    var pool: Map[String, String] = splitColsLocal.map(i => i -> qi(i)).toMap
+    val ctes = scala.collection.mutable.ListBuffer.empty[String]
+    val takes = scala.collection.mutable.ListBuffer.empty[(String, String, String)]
+    val unallocs = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var prev = fromCte
+    var k = 0
+    Minerals.Grt.sites.foreach { site =>
+      var rem: String = site.capacity.toString
+      site.priority.foreach { ion =>
+        if (pool.contains(ion)) {
+          k += 1
+          val p = pool(ion)
+          val take = s"LEAST($p, $rem)"
+          ctes += s"c$k AS (SELECT *, $take AS t$k, $p - $take AS p$k, $rem - $take AS r$k FROM $prev)"
+          prev = s"c$k"
+          pool += ion -> s"p$k"
+          rem = s"r$k"
+          takes += ((site.name, ion, s"t$k"))
+        }
+      }
+      unallocs += ((site.name, rem))
+    }
+    (ctes.mkString(", "), prev, takes.toSeq, unallocs.toSeq)
+  }
+
+  private def splitCols: Seq[String] =
+    ionCols.flatMap(c => if (c == "Fe{2+}") Seq("Fe{2+}", "Fe{3+}") else Seq(c))
+
+  /** Oracle for p16: the 6 applicable garnet criteria. */
+  private def stoichGarnetSql: String = {
+    val oxtSql = OXIDES.map(qi).mkString(" + ")
+    val apfu2 = s"SELECT id, ($oxtSql) AS oxt, $apfuSelectSql FROM ox"
+    val spl2b = s"SELECT id, oxt, $splitSelectSql FROM apfu2"
+    val (chain, last, takes, unallocs) = garnetAllocCtes("spl2")
+    val sSum = splitCols.map(qi).mkString(" + ")
+    val charges = splitCols.map { c =>
+      s"${qi(c)} * ${Chem.parseIon(c).map(_._2.toDouble).getOrElse(0.0)}"
+    }.mkString(" + ")
+    val trap = "CASE WHEN oxt >= 99.0 AND oxt <= 101.0 THEN 1.0 " +
+      "WHEN oxt < 99.0 THEN GREATEST((oxt - 97.5) / 1.5, 0.0) " +
+      "ELSE GREATEST((102.5 - oxt) / 1.5, 0.0) END"
+    val caps = Minerals.Grt.sites.map(_.capacity)
+    val meanCap = caps.sum / caps.length
+    val meanUnalloc = s"(${unallocs.map(_._2).mkString(" + ")}) / ${unallocs.length.toDouble}"
+    val allocated = takes.map(_._3).mkString(" + ")
+    s""", apfu2 AS ($apfu2), spl2 AS ($spl2b), $chain
+      SELECT id,
+        ROUND($trap, 6) AS analytical_total,
+        ROUND(GREATEST(1.0 - ABS(($sSum) - 8.0) / 8.0, 0.0), 6) AS cation_deviation,
+        ROUND(EXP(-ABS(($charges) - 24.0) / 0.5), 6) AS charge_balance,
+        ROUND(CASE WHEN "Fe{3+}" >= 0.0 AND "Fe{2+}" >= 0.0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END, 6) AS "fe3+_validity",
+        ROUND(GREATEST(1.0 - ($meanUnalloc) / $meanCap, 0.0), 6) AS site_vacancies,
+        ROUND(GREATEST(1.0 - GREATEST((($sSum) - ($allocated)) / (CASE WHEN ($sSum) = 0.0 THEN 1.0 ELSE ($sSum) END), 0.0), 0.0), 6) AS leftover_cations
+      FROM $last ORDER BY id"""
+  }
+
+  /** Oracle for p17: raw garnet site allocations. */
+  private def siteAllocQuerySql: String = {
+    val apfu2 = s"SELECT id, $apfuSelectSql FROM ox"
+    val spl2 = s"SELECT id, $splitSelectSql FROM apfu2"
+    val (chain, last, takes, unallocs) = garnetAllocCtes("spl2")
+    val cols = (takes.map { case (s0, i, t) => s"""ROUND($t, 6) AS "$s0:$i"""" } ++
+      unallocs.map { case (s0, r) => s"""ROUND($r, 6) AS "$s0:_unallocated"""" })
+      .mkString(", ")
+    s""", apfu2 AS ($apfu2), spl2 AS ($spl2), $chain
+      SELECT id, $cols FROM $last ORDER BY id"""
   }
 
   /** DuckDB mirror of Cipw.cipwNormSimple over the ox+Fe2O3 table —
