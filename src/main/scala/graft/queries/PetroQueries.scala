@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.chem.Chem
-import graft.petro.{Cipw, Convert, Minerals, Stoich, Units}
+import graft.petro.{Cipw, Convert, Minerals, Stoich, Thermo, Units}
 
 /** Petro-operator query track for the DuckDB oracle.
   *
@@ -214,6 +214,21 @@ object PetroQueries {
       val sf = Minerals.siteAllocations(Minerals.Grt,
         oxFrame(s, dir).drop("grp", "wt"), carry = Seq("id"))
       roundAll(sf, Seq("id")).orderBy("id")
+    }),
+
+    // S10: shared thermo prep (Fe2O3 merge, apatite, H2O deficit, molar
+    // rescale to 100 - O, reframe to system component order)
+    "p18_tcbulk_prep" -> ((s, dir) => {
+      val prep = Thermo.thermoBulkPrep(oxWithFe2O3(s, dir),
+        Thermo.tcSystems("MnNCKFMASHTO"), carry = Seq("id"))
+      roundAll(prep, Seq("id")).orderBy("id")
+    }),
+
+    // S7: THERMOCALC bulk script line formatting
+    "p19_tcbulk_lines" -> ((s, dir) => {
+      val (_, lines) = Thermo.tcBulk(oxWithFe2O3(s, dir),
+        labelCol = col("id").cast("string"), carry = Seq("id"))
+      lines.select("id", "line").orderBy("id")
     })
   )
 
@@ -333,9 +348,49 @@ object PetroQueries {
       "p12_apfu_by_charge" -> wrap(s"SELECT id, $chargeSel FROM ox ORDER BY id"),
       "p13_cipw_simple" -> wrap(cipwSimpleSql),
       "p16_stoich_garnet" -> wrap(stoichGarnetSql),
-      "p17_site_allocation" -> wrap(siteAllocQuerySql)
+      "p17_site_allocation" -> wrap(siteAllocQuerySql),
+      "p18_tcbulk_prep" -> wrap(s"$tcPrepCtes SELECT id, $tcPrepSelect FROM pr3 ORDER BY id"),
+      "p19_tcbulk_lines" -> wrap(
+        s"""$tcPrepCtes SELECT id, printf('bulk${tcSysCols.map(_ => " %6.3f").mkString}  %% %s',
+           ${tcSysCols.map(c => s"pr_${san(c)}").mkString(", ")}, id::VARCHAR) AS line
+           FROM pr3 ORDER BY id""")
     )
   }
+
+  // ---- thermo prep SQL mirror (MnNCKFMASHTO over ox+Fe2O3) -----------------
+
+  private def san(c: String): String = c.toLowerCase.replaceAll("[^a-z0-9]", "")
+  private def tcSysCols = Seq("H2O", "SiO2", "Al2O3", "CaO", "MgO", "FeO",
+    "K2O", "Na2O", "TiO2", "MnO", "O")
+
+  private def tcPrepCtes: String = {
+    def mw(c: String) = Chem.mw(c)
+    // work columns after Fe2O3 merge + apatite, in ox order minus Fe2O3
+    val workCols = Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "MnO", "Na2O",
+      "K2O", "TiO2", "Cr2O3", "P2O5")
+    val totalSql = workCols.map(c => s"w_${san(c)}").mkString(" + ")
+    // system intersection in work order, then H2O appended
+    val useCols = Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "MnO", "Na2O",
+      "K2O", "TiO2", "H2O")
+    val molesSel = useCols.map(c => s"w_${san(c)} / ${mw(c)} AS m_${san(c)}").mkString(", ")
+    val total2 = useCols.map(c => s"m_${san(c)}").mkString(" + ")
+    val target = 100.0 - 0.01 * 1.0
+    val scaledSel = useCols.map(c => s"m_${san(c)} / ($total2) * $target AS pr_${san(c)}").mkString(", ")
+    s""", ox2 AS ($OX2_SQL),
+      wk AS (SELECT id,
+        "SiO2" AS w_sio2, "Al2O3" AS w_al2o3,
+        "FeO" + ("Fe2O3" / ${mw("Fe2O3")}) * 2.0 * ${mw("FeO")} AS w_feo,
+        "MgO" AS w_mgo,
+        "CaO" - (("P2O5" / ${mw("P2O5")}) * ${10.0 / 3.0}) * ${mw("CaO")} AS w_cao,
+        "MnO" AS w_mno, "Na2O" AS w_na2o, "K2O" AS w_k2o, "TiO2" AS w_tio2,
+        "Cr2O3" AS w_cr2o3, CAST(0.0 AS DOUBLE) AS w_p2o5 FROM ox2),
+      pr1 AS (SELECT *, GREATEST(100.0 - ($totalSql), 0.0) AS w_h2o FROM wk),
+      pr2 AS (SELECT id, $molesSel FROM pr1),
+      pr3 AS (SELECT id, $scaledSel, CAST(0.01 AS DOUBLE) AS pr_o FROM pr2)"""
+  }
+
+  private def tcPrepSelect: String =
+    tcSysCols.map(c => s"""ROUND(pr_${san(c)}, 6) AS ${qi(c)}""").mkString(", ")
 
   /** SQL mirror of the greedy site-allocation cascade for garnet over the
     * droop-split APFU: one CTE per (site, ion) step, updating the shared
