@@ -1,0 +1,413 @@
+package graft.petro.hpxeos
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.petro.{MineralSpec, Minerals, SiteDef, ValenceSplit}
+
+/** Metapelite (MnNCKFMASHTO) a-x phases from the published THERMOCALC
+  * axfile tc-mp51MnNCKFMASHTO.txt (White, Powell, Holland, Johnson &
+  * Green 2014 + Mn addition, White, Powell & Johnson 2014). Block
+  * strings are verbatim axfile data (reference transcription:
+  * src/petropandas/hpxeos/metapelite/). */
+object Metapelite {
+
+  /** Garnet 'g' — X3Y2Si3O12 (reference: hpxeos/metapelite/garnet.py). */
+  object TcGarnet extends Phase {
+    val abbreviation = "g"
+    val sites = Seq(
+      "X" -> Seq("Mg{2+}", "Fe{2+}", "Mn{2+}", "Ca{2+}"),
+      "Y" -> Seq("Al{3+}", "Fe{3+}"))
+    val endMemberNames = Seq("py", "alm", "spss", "gr", "kho")
+    val mineral: MineralSpec = Minerals.Grt
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 58-69.
+    val pBlock = """
+p(py)      3 1    1  4  -1  f  -1  m  -1  x  -1  z
+             2    0  1  1  m    0  1  1  x
+             2    0  1  1  x    0  1  1  z
+
+p(alm)     3 1    0  1   1  x
+             2    0  1  -1  m    0  1  1  x
+             2    0  1  -1  x    0  1  1  z
+
+p(spss)    1 1    0  1  1  m
+
+p(gr)      1 1    0  1  1  z
+
+p(kho)     1 1    0  1  1  f
+"""
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 92-106.
+    override val sfBlock = """
+xMgX       3 1    1  3  -1  m  -1  x  -1  z
+             2    0  1  1  m    0  1  1  x
+             2    0  1  1  x    0  1  1  z
+
+xFeX       3 1    0  1   1  x
+             2    0  1  -1  m    0  1  1  x
+             2    0  1  -1  x    0  1  1  z
+
+xMnX       1 1    0  1  1  m
+
+xCaX       1 1    0  1  1  z
+
+xAlY       1 1    1  1  -1  f
+
+xFe3Y      1 1    0  1  1  f
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] = Seq(
+      "xMgX" -> comp("Mg{2+}") / siteTotal("X"),
+      "xFeX" -> comp("Fe{2+}") / siteTotal("X"),
+      "xMnX" -> comp("Mn{2+}") / siteTotal("X"),
+      "xCaX" -> comp("Ca{2+}") / siteTotal("X"),
+      "xAlY" -> comp("Al{3+}") / siteTotal("Y"),
+      "xFe3Y" -> comp("Fe{3+}") / siteTotal("Y"))
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "x" -> sf("xFeX") / (sf("xFeX") + sf("xMgX")),
+      "z" -> sf("xCaX"),
+      "m" -> sf("xMnX"),
+      "f" -> sf("xFe3Y"))
+  }
+
+  /** Biotite 'bi' — M3 M12_2 T_2 with order parameter Q
+    * (reference: hpxeos/metapelite/biotite.py). */
+  object TcBiotite extends Phase {
+    val abbreviation = "bi"
+    val sites = Seq(
+      "M3" -> Seq("Mg{2+}", "Mn{2+}", "Fe{2+}", "Fe{3+}", "Ti{4+}", "Al{3+}"),
+      "M12" -> Seq("Mg{2+}", "Mn{2+}", "Fe{2+}"),
+      "T" -> Seq("Si{4+}", "Al{3+}"))
+    override val optionalColumns = Set("Fe{3+}")
+    val endMemberNames = Seq("phl", "annm", "obi", "east", "tbi", "fbi", "mmbi")
+    override val orderParameterNames = Seq("Q")
+    val mineral: MineralSpec = MineralSpec("TC_bi", 11, None, Nil,
+      Seq(
+        SiteDef("T", 4.0, Seq("Si{4+}", "Al{3+}")),
+        SiteDef("I", 1.0, Seq("K{+}", "Na{+}")),
+        SiteDef("O", 3.0, Seq("Mg{2+}", "Fe{2+}", "Al{3+}", "Ti{4+}", "Mn{2+}"))),
+      totalRange = (94.0, 97.0))
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 733-753.
+    val pBlock = """
+p(phl)     5 1    1  6  -1  f  -1  m  -1  t  -1  x  -1  y  -2/3  Q
+             2    0  1  1  f    0  1  1  x
+             2    0  1  3  m    0  1  1  x
+             2    0  1  1  t    0  1  1  x
+             2    0  1  1  x    0  1  1  y
+
+p(annm)    1 1    0  2  -1/3  Q   1  x
+
+p(obi)     5 1    0  1   1  Q
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -3  m    0  1  1  x
+             2    0  1  -1  t    0  1  1  x
+             2    0  1  -1  x    0  1  1  y
+
+p(east)    1 1    0  1  1  y
+
+p(tbi)     1 1    0  1  1  t
+
+p(fbi)     1 1    0  1  1  f
+
+p(mmbi)    1 1    0  1  1  m
+"""
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 783-813.
+    override val sfBlock = """
+xMgM3      5 1    1  6  -1  f  -1  m  -1  t  -1  x  -1  y  -2/3  Q
+             2    0  1  1  f    0  1  1  x
+             2    0  1  3  m    0  1  1  x
+             2    0  1  1  t    0  1  1  x
+             2    0  1  1  x    0  1  1  y
+
+xMnM3      1 1    0  1  1  m
+
+xFeM3      5 1    0  2   1  x  2/3  Q
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -3  m    0  1  1  x
+             2    0  1  -1  t    0  1  1  x
+             2    0  1  -1  x    0  1  1  y
+
+xFe3M3     1 1    0  1  1  f
+
+xTiM3      1 1    0  1  1  t
+
+xAlM3      1 1    0  1  1  y
+
+xMgM12     1 1    1  3  1/3  Q  -1  m  -1  x
+
+xMnM12     1 1    0  1  1  m
+
+xFeM12     1 1    0  2  -1/3  Q   1  x
+
+xSiT       1 1    1/2  2  -1/2  f  -1/2  y
+
+xAlT       1 1    1/2  2  1/2  f  1/2  y
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] = {
+      val alT = lit(4.0) - comp("Si{4+}")
+      Seq(
+        "Fe" -> comp("Fe{2+}"),
+        "Mg" -> comp("Mg{2+}"),
+        "Mn" -> comp("Mn{2+}"),
+        "Ti" -> comp("Ti{4+}"),
+        "Fe3" -> comp("Fe{3+}"),
+        "AlOct" -> (comp("Al{3+}") - alT))
+    }
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "x" -> sf("Fe") / (sf("Fe") + sf("Mg")),
+      "m" -> sf("Mn") / 3.0,
+      "y" -> sf("AlOct"),
+      "f" -> sf("Fe3"),
+      "t" -> sf("Ti"),
+      "Q" -> order("Q"))
+  }
+
+  /** Plagioclase 'pl4tr' — Holland, Green & Powell (2021) 4TR ternary
+    * feldspar, plagioclase parameterisation
+    * (reference: hpxeos/metapelite/plagioclase.py). */
+  object TcPl4tr extends Phase {
+    val abbreviation = "pl4tr"
+    val sites = Seq(
+      "A" -> Seq("Na{+}", "Ca{2+}", "K{+}"),
+      "TB" -> Seq("Al{3+}", "Si{4+}"))
+    val endMemberNames = Seq("ab", "an", "san")
+    val mineral: MineralSpec = MineralSpec("TC_pl4tr", 8, None, Nil,
+      Seq(
+        SiteDef("A", 1.0, Seq("Na{+}", "Ca{2+}", "K{+}")),
+        SiteDef("T", 4.0, Seq("Al{3+}", "Si{4+}"))),
+      totalRange = (98.5, 101.5))
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 159-161.
+    val pBlock = """
+p(ab)   1 1    1 2 -1 k -1 ca
+p(an)   1 1    0 1  1 ca
+p(san)  1 1    0 1  1 k
+"""
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 175-179.
+    override val sfBlock = """
+xNaA       1 1    1  2  -1  ca  -1  k
+xCaA       1 1    0  1  1  ca
+xKA        1 1    0  1  1  k
+xAlTB      1 1    1/4  1  1/4  ca
+xSiTB      1 1    3/4  1  -1/4  ca
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] = Seq(
+      "xNaA" -> comp("Na{+}") / siteTotal("A"),
+      "xCaA" -> comp("Ca{2+}") / siteTotal("A"),
+      "xKA" -> comp("K{+}") / siteTotal("A"))
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "ca" -> sf("xCaA"), "k" -> sf("xKA"))
+  }
+
+  /** K-feldspar 'k4tr' — same model, K-feldspar parameterisation
+    * (reference: hpxeos/metapelite/kfeldspar.py). */
+  object TcK4tr extends Phase {
+    val abbreviation = "k4tr"
+    val sites = TcPl4tr.sites
+    val endMemberNames = Seq("ab", "an", "san")
+    val mineral: MineralSpec = TcPl4tr.mineral.copy(name = "TC_k4tr")
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 221-223.
+    val pBlock = """
+p(ab)   1 1    0 1  1 na
+p(an)   1 1    0 1  1 ca
+p(san)  1 1    1 2 -1 na -1 ca
+"""
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 237-241.
+    override val sfBlock = """
+xNaA       1 1    0 1  1 na
+xCaA       1 1    0 1  1 ca
+xKA        1 1    1 2 -1 na -1 ca
+xAlTB      1 1    1/4  1  1/4  ca
+xSiTB      1 1    3/4  1  -1/4  ca
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] =
+      TcPl4tr.siteFractions(comp, siteTotal)
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "na" -> sf("xNaA"), "ca" -> sf("xCaA"))
+  }
+
+  /** Chloritoid 'ctd' (reference: hpxeos/metapelite/chloritoid.py). */
+  object TcChloritoid extends Phase {
+    val abbreviation = "ctd"
+    val sites = Seq(
+      "M1A" -> Seq("Al{3+}", "Fe{3+}"),
+      "M1B" -> Seq("Fe{2+}", "Mg{2+}", "Mn{2+}"))
+    override val optionalColumns = Set("Fe{3+}")
+    val endMemberNames = Seq("mctd", "fctd", "mnct", "ctdo")
+    val mineral: MineralSpec = MineralSpec("TC_ctd", 8, Some(2),
+      Seq(ValenceSplit("Fe", "droop")),
+      Seq(
+        SiteDef("M1A", 1.0, Seq("Al{3+}", "Fe{3+}")),
+        SiteDef("M1B", 1.0, Seq("Fe{2+}", "Mg{2+}", "Mn{2+}"))),
+      totalRange = (97.0, 101.0))
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 1619-1627.
+    val pBlock = """
+p(mctd)    2 1    1  3  -1  f  -1  m  -1  x
+             2    0  1  1  m    0  1  1  x
+
+p(fctd)    2 1    0  1   1  x
+             2    0  1  -1  m    0  1  1  x
+
+p(mnct)    1 1    0  1  1  m
+
+p(ctdo)    1 1    0  1  1  f
+"""
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 1640-1650.
+    override val sfBlock = """
+xAlM1A     1 1    1  1  -1  f
+
+xFe3M1A    1 1    0  1  1  f
+
+xFeM1B     2 1    0  1   1  x
+             2    0  1  -1  m    0  1  1  x
+
+xMgM1B     2 1    1  2  -1  m  -1  x
+             2    0  1  1  m    0  1  1  x
+
+xMnM1B     1 1    0  1  1  m
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] = {
+      val m1b = comp("Fe{2+}") + comp("Mg{2+}") + comp("Mn{2+}")
+      Seq(
+        "xFeM1B" -> comp("Fe{2+}") / m1b,
+        "xMgM1B" -> comp("Mg{2+}") / m1b,
+        "xMnM1B" -> comp("Mn{2+}") / m1b,
+        "Fe3" -> comp("Fe{3+}"))
+    }
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "x" -> sf("xFeM1B") / (sf("xFeM1B") + sf("xMgM1B")),
+      "m" -> sf("xMnM1B"),
+      "f" -> sf("Fe3") / 0.5)
+  }
+
+  /** Staurolite 'st' — Y site with genuine structural vacancy
+    * (reference: hpxeos/metapelite/staurolite.py). */
+  object TcStaurolite extends Phase {
+    val abbreviation = "st"
+    val sites = Seq(
+      "X" -> Seq("Mg{2+}", "Fe{2+}", "Mn{2+}"),
+      "Y" -> Seq("Al{3+}", "Fe{3+}", "Ti{4+}"))
+    override val optionalColumns = Set("Fe{3+}")
+    val endMemberNames = Seq("mstm", "fst", "mnstm", "msto", "mstt")
+    val mineral: MineralSpec = MineralSpec("TC_st", 48, Some(6),
+      Seq(ValenceSplit("Fe", "droop")),
+      Seq(
+        SiteDef("X", 4.0, Seq("Mg{2+}", "Fe{2+}", "Mn{2+}")),
+        SiteDef("Y", 2.0, Seq("Al{3+}", "Fe{3+}", "Ti{4+}"))),
+      totalRange = (99.0, 101.0))
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 1269-1279.
+    val pBlock = """
+p(mstm)    2 1    1  4  -1  f  -1  m  -1  x  -4/3  t
+             2    0  1  1  m    0  1  1  x
+
+p(fst)     2 1    0  1   1  x
+             2    0  1  -1  m    0  1  1  x
+
+p(mnstm)   1 1    0  1  1  m
+
+p(msto)    1 1    0  1  1  f
+
+p(mstt)    1 1    0  1  4/3  t
+"""
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 1296-1310.
+    override val sfBlock = """
+xMgX       2 1    1  2  -1  m  -1  x
+             2    0  1  1  m    0  1  1  x
+
+xFeX       2 1    0  1   1  x
+             2    0  1  -1  m    0  1  1  x
+
+xMnX       1 1    0  1  1  m
+
+xAlY       1 1    1  2  -1  f  -4/3  t
+
+xFe3Y      1 1    0  1  1  f
+
+xTiY       1 1    0  1  1  t
+
+xvY        1 1    0  1  1/3  t
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] = {
+      val xTotal = comp("Mg{2+}") + comp("Fe{2+}") + comp("Mn{2+}")
+      Seq(
+        "xFeX" -> comp("Fe{2+}") / xTotal,
+        "xMgX" -> comp("Mg{2+}") / xTotal,
+        "xMnX" -> comp("Mn{2+}") / xTotal,
+        "Fe3" -> comp("Fe{3+}"),
+        "Ti" -> comp("Ti{4+}"))
+    }
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "x" -> sf("xFeX") / (sf("xFeX") + sf("xMgX")),
+      "m" -> sf("xMnX"),
+      "f" -> sf("Fe3") / 2.0,
+      "t" -> sf("Ti") / 2.0)
+  }
+
+  /** Cordierite 'cd' — channel H2O supplied as order parameter `h`
+    * (reference: hpxeos/metapelite/cordierite.py). */
+  object TcCordierite extends Phase {
+    val abbreviation = "cd"
+    val sites = Seq("X" -> Seq("Fe{2+}", "Mg{2+}", "Mn{2+}"))
+    val endMemberNames = Seq("crd", "fcrd", "hcrd", "mncd")
+    override val orderParameterNames = Seq("h")
+    val mineral: MineralSpec = MineralSpec("TC_cd", 18, None, Nil,
+      Seq(SiteDef("X", 2.0, Seq("Fe{2+}", "Mg{2+}", "Mn{2+}"))),
+      totalRange = (97.0, 101.0))
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 1182-1190.
+    val pBlock = """
+p(crd)      2 1    1  3  -1  h  -1  m  -1  x
+              2    0  1  1  m    0  1  1  x
+
+p(fcrd)     2 1    0  1   1  x
+              2    0  1  -1  m    0  1  1  x
+
+p(hcrd)     1 1    0  1  1  h
+
+p(mncd)     1 1    0  1  1  m
+"""
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 1203-1213.
+    override val sfBlock = """
+xFeX       2 1    0  1   1  x
+             2    0  1  -1  m    0  1  1  x
+
+xMgX       2 1    1  2  -1  m  -1  x
+             2    0  1  1  m    0  1  1  x
+
+xMnX       1 1    0  1  1  m
+
+xH2OH      1 1    0  1  1  h
+
+xvH        1 1    1  1  -1  h
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] = Seq(
+      "xFeX" -> comp("Fe{2+}") / siteTotal("X"),
+      "xMgX" -> comp("Mg{2+}") / siteTotal("X"),
+      "xMnX" -> comp("Mn{2+}") / siteTotal("X"))
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "x" -> sf("xFeX") / (sf("xFeX") + sf("xMgX")),
+      "m" -> sf("xMnX"),
+      "h" -> order("h"))
+  }
+
+  val phases: Seq[Phase] =
+    Seq(TcGarnet, TcBiotite, TcPl4tr, TcK4tr, TcChloritoid, TcStaurolite, TcCordierite)
+}

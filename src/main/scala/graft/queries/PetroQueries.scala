@@ -229,6 +229,14 @@ object PetroQueries {
       val (_, lines) = Thermo.tcBulk(oxWithFe2O3(s, dir),
         labelCol = col("id").cast("string"), carry = Seq("id"))
       lines.select("id", "line").orderBy("id")
+    }),
+
+    // T1-T3: hpxeos a-x phase pipeline (polynomial DSL compiled to
+    // Columns) — metapelite garnet end members
+    "p20_tc_garnet" -> ((s, dir) => {
+      val e = graft.petro.hpxeos.Metapelite.TcGarnet.endMembers(
+        oxFrame(s, dir).drop("grp", "wt"), carry = Seq("id"))
+      roundAll(e, Seq("id")).orderBy("id")
     })
   )
 
@@ -350,6 +358,7 @@ object PetroQueries {
       "p16_stoich_garnet" -> wrap(stoichGarnetSql),
       "p17_site_allocation" -> wrap(siteAllocQuerySql),
       "p18_tcbulk_prep" -> wrap(s"$tcPrepCtes SELECT id, $tcPrepSelect FROM pr3 ORDER BY id"),
+      "p20_tc_garnet" -> wrap(tcGarnetSql),
       "p19_tcbulk_lines" -> wrap(
         s"""$tcPrepCtes SELECT id, printf('bulk${tcSysCols.map(_ => " %6.3f").mkString}  %% %s',
            ${tcSysCols.map(c => s"pr_${san(c)}").mkString(", ")}, id::VARCHAR) AS line
@@ -391,6 +400,30 @@ object PetroQueries {
 
   private def tcPrepSelect: String =
     tcSysCols.map(c => s"""ROUND(pr_${san(c)}, 6) AS ${qi(c)}""").mkString(", ")
+
+  /** Oracle for p20: hpxeos metapelite garnet — site fractions ->
+    * variables -> p(...) polynomials rendered to SQL by the same parser
+    * that compiles them to Columns. */
+  private def tcGarnetSql: String = {
+    val sf = s"""SELECT id,
+      "Mg{2+}" / ((("Mg{2+}" + "Fe{2+}") + "Mn{2+}") + "Ca{2+}") AS xmgx,
+      "Fe{2+}" / ((("Mg{2+}" + "Fe{2+}") + "Mn{2+}") + "Ca{2+}") AS xfex,
+      "Mn{2+}" / ((("Mg{2+}" + "Fe{2+}") + "Mn{2+}") + "Ca{2+}") AS xmnx,
+      "Ca{2+}" / ((("Mg{2+}" + "Fe{2+}") + "Mn{2+}") + "Ca{2+}") AS xcax,
+      "Al{3+}" / ("Al{3+}" + "Fe{3+}") AS xaly,
+      "Fe{3+}" / ("Al{3+}" + "Fe{3+}") AS xfe3y FROM spl"""
+    val vars = """SELECT id, xfex / (xfex + xmgx) AS x, xcax AS z,
+      xmnx AS m, xfe3y AS f FROM sfr"""
+    val varMap = Map("x" -> "x", "z" -> "z", "m" -> "m", "f" -> "f")
+    val polys = graft.petro.hpxeos.Poly.toSqlAll(
+      graft.petro.hpxeos.Metapelite.TcGarnet.pBlock, varMap)
+    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n"""" }
+      .mkString(", ")
+    s""", apfu AS (SELECT id, $apfuSelectSql FROM ox),
+      spl AS (SELECT id, $splitSelectSql FROM apfu),
+      sfr AS ($sf), vars AS ($vars)
+      SELECT id, $sel FROM vars ORDER BY id"""
+  }
 
   /** SQL mirror of the greedy site-allocation cascade for garnet over the
     * droop-split APFU: one CTE per (site, ion) step, updating the shared

@@ -1,0 +1,132 @@
+package graft.petro.hpxeos
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Parity with reference tests/test_tc_minerals.py (metapelite garnet +
+  * biotite) plus polynomial-DSL unit checks. */
+class HpxeosSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def frame(cols: Seq[String], rows: Seq[Seq[Double]]): DataFrame = {
+    val schema = StructType(cols.map(c => StructField(c, DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r: _*)), 1), schema)
+  }
+
+  def row0(df: DataFrame): Map[String, Double] = {
+    val r = df.collect()(0)
+    df.columns.zipWithIndex.map { case (c, i) =>
+      c -> (if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
+    }.toMap
+  }
+
+  val gCols = Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "MnO")
+  lazy val garnetDf = frame(gCols, Seq(Seq(38.5, 22.1, 28.3, 5.2, 3.8, 1.5)))
+  lazy val garnetFe = frame(gCols, Seq(Seq(38.0, 21.5, 32.0, 3.0, 4.0, 1.0)))
+  lazy val garnetMg = frame(gCols, Seq(Seq(42.0, 23.0, 10.0, 20.0, 4.0, 0.5)))
+
+  test("polynomial DSL parses fraction tokens and comments") {
+    val ps = Poly.parse("foo 1 1  1/2  2  -1/2  f  -1/2  y  % comment\nbar 1 1 0 1 1 x")
+    assert(ps.map(_._1) == Seq("foo", "bar"))
+    val foo = ps.head._2
+    assert(foo.head.head.const == 0.5)
+    assert(foo.head.head.pairs == Seq((-0.5, "f"), (-0.5, "y")))
+  }
+
+  test("TC_g columns and sum to 100 (test_tc_minerals.py:77-84)") {
+    val e = Metapelite.TcGarnet.endMembers(garnetDf, validate = true)
+    assert(e.columns.toSeq == Seq("py", "alm", "spss", "gr", "kho"))
+    val m = row0(e)
+    assert(math.abs(m.values.sum - 100.0) < 0.01, s"sum=${m.values.sum}")
+  }
+
+  test("TC_g fe-rich alm>py; mg-rich py>alm (test_tc_minerals.py:86-93)") {
+    val fe = row0(Metapelite.TcGarnet.endMembers(garnetFe))
+    assert(fe("alm") > fe("py"))
+    val mg = row0(Metapelite.TcGarnet.endMembers(garnetMg))
+    assert(mg("py") > mg("alm"))
+  }
+
+  val biCols = Seq("SiO2", "Al2O3", "FeO", "MgO", "K2O", "TiO2", "MnO")
+  lazy val biotiteDf = frame(biCols, Seq(Seq(36.5, 17.0, 18.0, 11.0, 9.8, 2.5, 0.3)))
+
+  test("TC_bi sums to 100 with default Q=0 (test_tc_minerals.py biotite)") {
+    val e = Metapelite.TcBiotite.endMembers(biotiteDf, validate = true)
+    assert(e.columns.toSeq == Seq("phl", "annm", "obi", "east", "tbi", "fbi", "mmbi"))
+    val m = row0(e)
+    assert(math.abs(m.values.sum - 100.0) < 0.01, s"sum=${m.values.sum}")
+  }
+
+  test("TC_bi accepts order parameter Q (test_tc_minerals.py:404)") {
+    val e0 = row0(Metapelite.TcBiotite.endMembers(biotiteDf))
+    val eq = row0(Metapelite.TcBiotite.endMembers(biotiteDf,
+      orderParameters = Map("Q" -> Left(0.2)), validate = true))
+    assert(math.abs(eq.values.sum - 100.0) < 0.01)
+    assert(math.abs(eq("obi") - e0("obi")) > 1e-6) // Q moves ordered biotite
+  }
+
+  test("sf-block transcription check: garnet site occupancies sum to 1 per site") {
+    import org.apache.spark.sql.functions._
+    val apfu = graft.petro.Minerals.rawApfu(Metapelite.TcGarnet.mineral, garnetDf)
+    val props = Metapelite.TcGarnet.proportions(apfu)
+    // rebuild the variables frame and evaluate the sf block
+    val varsDf = {
+      val comp = (c: String) => if (apfu.columns.contains(c)) col(c) else lit(0.0)
+      val xTot = Seq("Mg{2+}", "Fe{2+}", "Mn{2+}", "Ca{2+}").map(comp).reduce(_ + _)
+      val yTot = Seq("Al{3+}", "Fe{3+}").map(comp).reduce(_ + _)
+      apfu.select(
+        (comp("Fe{2+}") / xTot / (comp("Fe{2+}") / xTot + comp("Mg{2+}") / xTot)).as("x"),
+        (comp("Ca{2+}") / xTot).as("z"), (comp("Mn{2+}") / xTot).as("m"),
+        (comp("Fe{3+}") / yTot).as("f"))
+    }
+    val occ = row0(Metapelite.TcGarnet.siteOccupancies(varsDf))
+    val xSum = occ("xMgX") + occ("xFeX") + occ("xMnX") + occ("xCaX")
+    val ySum = occ("xAlY") + occ("xFe3Y")
+    assert(math.abs(xSum - 1.0) < 1e-9 && math.abs(ySum - 1.0) < 1e-9)
+    assert(props.count() == 1)
+  }
+
+  test("pl4tr and k4tr agree on shared compositions (test_tc_minerals.py:179)") {
+    val fsp = frame(Seq("SiO2", "Al2O3", "CaO", "Na2O", "K2O"),
+      Seq(Seq(62.0, 24.0, 5.5, 7.5, 1.0), Seq(66.0, 19.0, 0.5, 4.0, 10.0)))
+    val pl = Metapelite.TcPl4tr.endMembers(fsp, validate = true).collect()
+    val kf = Metapelite.TcK4tr.endMembers(fsp, validate = true).collect()
+    for (i <- pl.indices; j <- 0 until 3)
+      assert(math.abs(pl(i).getDouble(j) - kf(i).getDouble(j)) < 1e-9)
+  }
+
+  test("ctd, st, cd proportions sum to 100 (test_tc_minerals.py sums)") {
+    val ctd = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "MnO"),
+      Seq(Seq(24.5, 40.5, 22.0, 3.0, 0.5)))
+    val e1 = row0(Metapelite.TcChloritoid.endMembers(ctd, validate = true))
+    assert(math.abs(e1.values.sum - 100.0) < 0.01)
+    val st = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "MnO", "TiO2"),
+      Seq(Seq(27.5, 54.0, 13.0, 1.8, 0.3, 0.5)))
+    val e2 = row0(Metapelite.TcStaurolite.endMembers(st, validate = true))
+    assert(math.abs(e2.values.sum - 100.0) < 0.01)
+    val cd = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "MnO"),
+      Seq(Seq(48.5, 33.0, 8.0, 8.5, 0.3)))
+    val e3 = row0(Metapelite.TcCordierite.endMembers(cd,
+      orderParameters = Map("h" -> Left(0.5)), validate = true))
+    assert(math.abs(e3.values.sum - 100.0) < 0.01)
+    assert(math.abs(e3("hcrd") - 50.0) < 1e-6)
+  }
+
+  test("scalacheck-style invariant: random admissible variables give sum=1") {
+    // py+alm+spss+gr+kho is an algebraic identity in (x,z,m,f); check it
+    // over a deterministic grid of admissible variable values.
+    val grid = for {
+      x <- Seq(0.1, 0.5, 0.9); z <- Seq(0.0, 0.3); m <- Seq(0.0, 0.2)
+      f <- Seq(0.0, 0.4)
+    } yield Seq(x, z, m, f)
+    val vars = frame(Seq("x", "z", "m", "f"), grid)
+    val polys = Poly.compileAll(Metapelite.TcGarnet.pBlock,
+      org.apache.spark.sql.functions.col)
+    val sums = vars.select(polys.map(_._2).reduce(_ + _).as("s"))
+      .collect().map(_.getDouble(0))
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-12, s"sum=$s"))
+  }
+}
