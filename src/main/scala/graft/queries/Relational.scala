@@ -129,6 +129,15 @@ object Relational {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // gap-based sessionization (batch twin of the streaming operator)
+    "q11_sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.streaming.EventStreams.sessionizeBatch(t(s, dir, "events"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("total_value"), 4).as("total_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // P5 substring-contains filter (select(str) shape)
     "q10_filter_contains" -> ((s, dir) => {
       t(s, dir, "part")
@@ -196,6 +205,17 @@ object Relational {
       """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
          ROUND(AVG(p_size),6) AS avg_size
          FROM part WHERE p_type LIKE '%BRASS%'
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "q11_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS et, value FROM events),
+         l AS (SELECT *, LAG(et) OVER (PARTITION BY user_id ORDER BY et) AS prev FROM e),
+         n AS (SELECT *, CASE WHEN prev IS NULL
+                 OR epoch_us(et) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS ns
+               FROM l),
+         s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY et
+                 ROWS UNBOUNDED PRECEDING) AS sid FROM n)
+         SELECT user_id, MIN(et) AS session_start, MAX(et) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value),4) AS total_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
   )
 }

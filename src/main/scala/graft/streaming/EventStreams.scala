@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Batch/stream parity: each transform takes a DataFrame, so the same
+  * code runs on `spark.read` (batch backfill, oracle-checked via
+  * q08/q11-style queries) and `spark.readStream` (incremental). At scale
+  * the watermark bounds state; the windowed aggregate is a streaming
+  * partial+final hash agg keyed by (window, event_type).
+  */
+object EventStreams {
+
+  /** Events with the nanosecond epoch column converted to a timestamp
+    * (test parquet stores TIMESTAMP(NANOS); see Relational q08). */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling-window counts/sums per event type with a watermark. */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+
+  /** Sliding-window per-user activity rate. */
+  def slidingUserActivity(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen, slide), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+
+  final case class SessionEvent(user_id: Long, event_time: java.time.Instant, value: Double)
+  /** session bounds tracked in epoch MICROseconds to preserve the source
+    * timestamps' sub-millisecond precision */
+  final case class SessionState(startUs: Long, endUs: Long, n: Long, total: Double)
+  final case class UserSession(user_id: Long, session_start: java.time.Instant,
+      session_end: java.time.Instant, n_events: Long, total_value: Double)
+
+  private def micros(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000
+  private def instant(us: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+
+  /** Gap-based sessionization with custom state
+    * (flatMapGroupsWithState; event-time timeout driven by watermark).
+    * Emits a session when `gap` elapses with no new event for the user. */
+  def sessionize(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMs * 1000L
+    val typed = withEventTime(events)
+      .select(col("user_id"), col("event_time"), col("value"))
+      .withWatermark("event_time", "2 hours")
+      .as[SessionEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, events, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(uid, instant(s.startUs), instant(s.endUs), s.n, s.total))
+          } else {
+            val sorted = events.toSeq.sortBy(e => micros(e.event_time))
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = micros(e.event_time)
+              cur match {
+                case Some(s) if t - s.endUs <= gapUs =>
+                  cur = Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= UserSession(uid, instant(s.startUs), instant(s.endUs), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000L + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch-mode sessionization with identical semantics (window-function
+    * formulation) — the oracle-checkable twin of [[sessionize]]. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_time")
+    withEventTime(events)
+      .select(col("user_id"), col("event_time"), col("value"))
+      .withColumn("prev", lag("event_time", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull ||
+          unix_micros(col("event_time")) - unix_micros(col("prev")) > gapMs * 1000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(min("event_time").as("session_start"), max("event_time").as("session_end"),
+        count(lit(1)).as("n_events"), sum("value").as("total_value"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Streaming parity: the streaming windowed agg over the events parquet
+  * must equal the batch formulation; sessionization streaming vs batch. */
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  def eventsBatch = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** FileStreamSource requires a directory; stage the single parquet. */
+  lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming windowed agg equals batch windowed agg") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = eventsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStreams.windowedAgg(stream)
+      .writeStream.outputMode("append").format("memory").queryName("win_agg")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append mode only emits closed windows (watermark passed); compare
+    // those rows against the batch result restricted to the same windows.
+    val got = spark.table("win_agg")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        round(col("total_value"), 4).as("tv"))
+    val want = EventStreams.windowedAgg(eventsBatch)
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        round(col("total_value"), 4).as("tv"))
+    assert(got.count() > 0, "streaming emitted no closed windows")
+    assert(got.exceptAll(want).count() == 0,
+      "streaming rows not found in batch result")
+  }
+
+  test("streaming sessionization matches batch sessionization") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = eventsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStreams.sessionize(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sess")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess")
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        round(col("total_value"), 4).as("tv"))
+    val want = EventStreams.sessionizeBatch(eventsBatch)
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        round(col("total_value"), 4).as("tv"))
+    assert(got.count() > 0, "no sessions emitted")
+    assert(got.exceptAll(want).count() == 0,
+      "streaming sessions not found in batch result")
+  }
+}
