@@ -237,6 +237,22 @@ object PetroQueries {
       val e = graft.petro.hpxeos.Metapelite.TcGarnet.endMembers(
         oxFrame(s, dir).drop("grp", "wt"), carry = Seq("id"))
       roundAll(e, Seq("id")).orderBy("id")
+    }),
+
+    // G6/plot-track: ternary barycentric projection
+    "p21_ternary" -> ((s, dir) => {
+      val t = graft.petro.PlotData.ternary(oxFrame(s, dir), "CaO", "FeO", "MgO",
+        carry = Seq("id"))
+      roundAll(t, Seq("id")).orderBy("id")
+    }),
+
+    // X5: pandas.eval-style expression bridge (missing name -> 0)
+    "p22_expr_eval" -> ((s, dir) => {
+      val ox = oxFrame(s, dir)
+      ox.select(col("id"),
+        round(graft.petro.PlotData.evalExpr(ox, "SiO2+Al2O3"), 6).as("sum_sial"),
+        round(graft.petro.PlotData.evalExpr(ox, "CaO + XyzO"), 6).as("ca_missing"))
+        .orderBy("id")
     })
   )
 
@@ -359,6 +375,17 @@ object PetroQueries {
       "p17_site_allocation" -> wrap(siteAllocQuerySql),
       "p18_tcbulk_prep" -> wrap(s"$tcPrepCtes SELECT id, $tcPrepSelect FROM pr3 ORDER BY id"),
       "p20_tc_garnet" -> wrap(tcGarnetSql),
+      "p21_ternary" -> wrap(
+        s"""SELECT id,
+           ROUND("CaO" / (("CaO" + "FeO") + "MgO"), 6) AS f_top,
+           ROUND("FeO" / (("CaO" + "FeO") + "MgO"), 6) AS f_left,
+           ROUND("MgO" / (("CaO" + "FeO") + "MgO"), 6) AS f_right,
+           ROUND(("MgO" / (("CaO" + "FeO") + "MgO") - "FeO" / (("CaO" + "FeO") + "MgO")) * ${1.0 / math.sqrt(3.0)}, 6) AS x,
+           ROUND("CaO" / (("CaO" + "FeO") + "MgO"), 6) AS y
+           FROM ox ORDER BY id"""),
+      "p22_expr_eval" -> wrap(
+        """SELECT id, ROUND("SiO2" + "Al2O3", 6) AS sum_sial,
+           ROUND("CaO" + 0.0, 6) AS ca_missing FROM ox ORDER BY id"""),
       "p19_tcbulk_lines" -> wrap(
         s"""$tcPrepCtes SELECT id, printf('bulk${tcSysCols.map(_ => " %6.3f").mkString}  %% %s',
            ${tcSysCols.map(c => s"pr_${san(c)}").mkString(", ")}, id::VARCHAR) AS line
