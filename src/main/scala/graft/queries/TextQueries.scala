@@ -58,6 +58,29 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // SRP-LSH near-duplicate candidate buckets over embeddings
+    "t08_srp_buckets" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.sim.Similarity.srpCandidates(emb, "vec_id", "embedding", srpPlanes)
+        .orderBy("srp_sig")
+    }),
+
+    // IVF cell assignment (inverted-file ANN partitioning)
+    "t09_ivf_cells" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 4)
+      graft.sim.Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    }),
+
+    // multimodal decode plumbing (STUB codec; rows-only check)
+    "t10_media_decode" -> ((s, dir) => {
+      val media = graft.multimodal.Media.fromText(
+        t(s, dir, "documents"), "doc_id", "text", "video")
+      graft.multimodal.Media.decode(media).orderBy("media_id")
+    }),
+
     // brute-force cosine top-5 neighbors for query vectors (vec_id < 3)
     "t07_cosine_topk" -> ((s, dir) => {
       val d = t(s, dir, "embeddings")
@@ -79,6 +102,11 @@ object TextQueries {
         .orderBy(col("qid"), desc("score"), col("cand_id"))
     })
   )
+
+  /** deterministic SRP hyperplanes shared by the Spark operator and the
+    * SQL oracle (literal arrays) */
+  private lazy val srpPlanes: Array[Array[Double]] =
+    graft.sim.Similarity.randomPlanes(8, 64)
 
   private val TOKS_SQL =
     """SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -143,6 +171,28 @@ object TextQueries {
          SELECT doc_id, concat(${(0 until 16).map(b =>
            s"CASE WHEN b$b > 0 THEN '1' ELSE '0' END").mkString(", ")}) AS simhash
          FROM sums ORDER BY doc_id""",
+    "t08_srp_buckets" -> {
+      val bits = srpPlanes.map { plane =>
+        val arr = plane.mkString(", ")
+        s"CASE WHEN list_dot_product(v, [$arr]::DOUBLE[]) >= 0.0 THEN '1' ELSE '0' END"
+      }.mkString(", ")
+      s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sigs AS (SELECT vec_id, concat($bits) AS srp_sig FROM d)
+         SELECT srp_sig, CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS min_id,
+         MAX(vec_id) AS max_id
+         FROM sigs GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1"""
+    },
+    "t09_ivf_cells" ->
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 4),
+         sc AS (SELECT d.vec_id, cell,
+                 ROUND(list_dot_product(v, cv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 4) AS sim
+               FROM d, cent),
+         r AS (SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+               FROM sc)
+         SELECT vec_id, cell FROM r WHERE rn = 1 ORDER BY vec_id""",
     "t07_cosine_topk" ->
       """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS qid, v AS qv FROM d WHERE vec_id < 3),

@@ -1,0 +1,108 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Scale design:
+  *  - [[cosineTopK]] is the exact brute-force baseline (broadcast the
+  *    query set; one narrow pass over the corpus).
+  *  - [[srpSignature]] buckets vectors by signed random projections so
+  *    near-duplicate candidate generation is a hash-aggregate, not an
+  *    O(n^2) cross join.
+  *  - [[ivfAssign]]/[[ivfSearch]] partition the corpus into cells
+  *    (inverted file); queries probe only the closest cells, cutting the
+  *    scanned fraction to nProbe/k at 100 TB corpus scale.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), col("cand_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (driver-side, seeded). */
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
+
+  /** Signed-random-projection LSH signature: one bit per hyperplane
+    * (sign of the dot product). Vectors sharing a signature are
+    * near-duplicate candidates under cosine similarity. */
+  def srpSignature(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Double]]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val bits = planes.map { plane =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(v, planeCol) >= 0.0, "1").otherwise("0")
+    }
+    df.select(col(idCol), concat(bits: _*).as("srp_sig"))
+  }
+
+  /** Candidate near-duplicate groups: signatures shared by >1 vector. */
+  def srpCandidates(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Double]]): DataFrame =
+    srpSignature(df, idCol, vecCol, planes)
+      .groupBy("srp_sig")
+      .agg(count(lit(1)).as("n"), min(idCol).as("min_id"), max(idCol).as("max_id"))
+      .filter(col("n") > 1)
+
+  /** Assign each vector to its nearest centroid (IVF cell) by cosine;
+    * centroids are broadcast. Ties break on centroid id. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val cent = centroids.select(col(idCol).as("cell"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.crossJoin(broadcast(cent))
+      .select(col(idCol), col("v"), col("cell"),
+        round(cosine(col("v"), col("cv")), 4).as("sim"))
+    val w = Window.partitionBy(idCol).orderBy(desc("sim"), col("cell"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("v"), col("cell"))
+  }
+
+  /** ANN search through the IVF index: probe the nProbe closest cells
+    * per query, then brute-force only within those cells. */
+  def ivfSearch(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cent = centroids.select(col(idCol).as("cell"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val qCells = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("cell"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    val wq = Window.partitionBy("query_id").orderBy(desc("sim"), col("cell"))
+    val probed = qCells.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe).select("query_id", "qv", "cell")
+    val cands = indexed.join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        round(cosine(col("qv"), col("v")), 4).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), col("cand_id"))
+    cands.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+}

@@ -1,0 +1,45 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+  lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("brute-force cosine top-k returns k ordered neighbors per query") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val top = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+    val counts = top.groupBy("query_id").count().collect()
+    assert(counts.length == 3 && counts.forall(_.getLong(1) == 5))
+  }
+
+  test("SRP signatures bucket similar vectors; candidates form") {
+    val planes = Similarity.randomPlanes(8, 64)
+    val sigs = Similarity.srpSignature(emb, "vec_id", "embedding", planes)
+    assert(sigs.count() == emb.count())
+    assert(sigs.select("srp_sig").distinct().count() > 1)
+    val cands = Similarity.srpCandidates(emb, "vec_id", "embedding", planes)
+    // with 500 vectors in 2^8 buckets, collisions must exist
+    assert(cands.count() > 0)
+  }
+
+  test("IVF assign covers the corpus; probed search approximates exact") {
+    val centroids = emb.filter(col("vec_id") < 4)
+    val indexed = Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
+    assert(indexed.count() == emb.count())
+    assert(indexed.select("cell").distinct().count() <= 4)
+    val queries = emb.filter(col("vec_id") === 10)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("cand_id").collect().map(_.getLong(0)).toSet
+    val approx = Similarity.ivfSearch(indexed, centroids, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4) // all cells -> exact recall
+      .select("cand_id").collect().map(_.getLong(0)).toSet
+    assert(approx == exact, s"full-probe IVF must equal brute force: $approx vs $exact")
+    val approx1 = Similarity.ivfSearch(indexed, centroids, queries,
+      "vec_id", "embedding", k = 5, nProbe = 1)
+    assert(approx1.count() <= 5) // subset search still returns ranked hits
+  }
+}
