@@ -1,0 +1,147 @@
+package graft.petro
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.chem.Chem
+
+/** The engine's frame abstraction: a DataFrame plus the unit state the
+  * reference keeps in `df.attrs` (petro_units / petro_n_oxygens /
+  * petro_n_cations / petro_total — reference:
+  * src/petropandas/_accessors.py:146-147,495-511). Spark has no frame
+  * metadata that survives transformations, so the state is explicit
+  * here and the analytical total is carried as a REAL column
+  * (`__petro_total`) through the plan instead of a side-channel Series.
+  *
+  * Construction always applies the cleaning contract once (idempotent —
+  * tracked by `cleaned`), mirroring `_needs_cleanup`
+  * (_accessors.py:96-98).
+  */
+final case class PetroFrame(
+    df: DataFrame,
+    units: Units = Units.WtPct,
+    nOxygens: Option[Double] = None,
+    nCations: Option[Double] = None,
+    carry: Seq[String] = Nil) {
+
+  import PetroFrame.TotalCol
+
+  def schema: ChemSchema = ChemSchema.of(df)
+
+  private def valueCols: Seq[String] =
+    df.columns.toSeq.filterNot(c => carry.contains(c) || c == TotalCol)
+
+  // ---- projections (P1-P4) -------------------------------------------------
+
+  /** P1: wt% oxide projection (converting back from the current units). */
+  def oxides: PetroFrame = units match {
+    case Units.WtPct =>
+      copy(df = df.select((carry.map(col) ++ schema.oxideCols.map(col)): _*))
+    case Units.Moles =>
+      copy(df = Convert.toOxides(df, carry), units = Units.WtPct)
+    case Units.Apfu => convert(Units.WtPct)
+  }
+
+  /** P2: canonical-order oxide projection. */
+  def oxidesSorted: PetroFrame = {
+    val o = oxides
+    val ordered = Chem.sortOxideColumns(ChemSchema.of(o.df).oxideCols)
+    o.copy(df = o.df.select((carry.map(col) ++ ordered.map(col)): _*))
+  }
+
+  /** P3: molar proportions. */
+  def moles: PetroFrame = convert(Units.Moles)
+
+  /** P4: all formula columns (bulk projection), in wt%. */
+  def bulk: PetroFrame = {
+    val o = if (units == Units.WtPct) this else convert(Units.WtPct)
+    o.copy(df = o.df.select((carry.map(col) ++ ChemSchema.of(o.df).formulaCols.map(col)): _*))
+  }
+
+  // ---- selection (P5-P7) ---------------------------------------------------
+
+  /** P5: substring filter on a metadata column. */
+  def select(contains: String, on: String): PetroFrame =
+    copy(df = df.filter(col(on).cast("string").contains(contains)))
+
+  /** P6: membership filter. */
+  def selectIn(values: Seq[String], on: String): PetroFrame =
+    copy(df = df.filter(col(on).isin(values: _*)))
+
+  /** P7: boolean-predicate filter. */
+  def where(predicate: Column): PetroFrame = copy(df = df.filter(predicate))
+
+  // ---- conversions (U8 dispatcher; reference: _calc.py:119-194) ------------
+
+  def cations(nOxy: Option[Double] = None, nCat: Option[Double] = None): PetroFrame = {
+    if (units == Units.Apfu) return this
+    // remember the analytical total for the apfu -> wt% round trip
+    val oxCols = schema.oxideCols
+    val withTotal =
+      if (oxCols.nonEmpty && units == Units.WtPct)
+        df.withColumn(TotalCol, Convert.rowSum(oxCols))
+      else df
+    val a = Convert.toApfu(withTotal, nOxy, nCat, units,
+      carry = carry ++ (if (withTotal.columns.contains(TotalCol)) Seq(TotalCol) else Nil))
+    PetroFrame(a, Units.Apfu, nOxy, nCat, carry)
+  }
+
+  def convert(to: Units, nOxy: Option[Double] = None,
+      nCat: Option[Double] = None): PetroFrame = {
+    val rOxy = nOxy.orElse(nOxygens)
+    val rCat = nCat.orElse(nCations)
+    (units, to) match {
+      case (a, b) if a == b => this
+      case (Units.WtPct, Units.Moles) =>
+        copy(df = Convert.toMoles(df, carry), units = Units.Moles)
+      case (Units.Moles, Units.WtPct) =>
+        copy(df = Convert.toOxides(df, carry), units = Units.WtPct)
+      case (_, Units.Apfu) => cations(rOxy, rCat)
+      case (Units.Apfu, t) =>
+        val total =
+          if (df.columns.contains(TotalCol)) Some(col(TotalCol)) else None
+        val innerCarry = carry ++ (if (total.isDefined) Seq(TotalCol) else Nil)
+        val wt = Convert.fromApfu(df, rOxy, rCat, total, innerCarry)
+          .drop(TotalCol)
+        val asWt = PetroFrame(wt, Units.WtPct, rOxy, rCat, carry)
+        if (t == Units.WtPct) asWt else asWt.convert(t)
+    }
+  }
+
+  /** U3: normalize rows to 100. */
+  def normalized: PetroFrame = copy(df = Convert.normalize(df, carry))
+
+  // ---- valence round-trips (V4/V5; reference: _accessors.py:295-364) -------
+
+  /** V4: wt% -> APFU -> valence split -> back to wt% preserving the
+    * original analytical total. */
+  def splitValence(element: String, method: String, nOxy: Double,
+      idealCations: Double): PetroFrame = {
+    val apfu = cations(Some(nOxy))
+    val split = Valence.splitValence(apfu.df,
+      apfu.valueCols, element, method, nOxy, idealCations)
+    apfu.copy(df = split).convert(Units.WtPct)
+  }
+
+  /** V5: mole-space oxygen-excess oxidation round trip. */
+  def oxidize(oExcess: Double): PetroFrame = {
+    val m = convert(Units.Moles)
+    val ox = Convert.oxidizeMoles(m.df, lit(oExcess), m.valueCols)
+    m.copy(df = ox).convert(units)
+  }
+
+  /** V5: Fe2O3 -> FeO merge in mole space, back to original units. */
+  def reduced: PetroFrame = {
+    val m = convert(Units.Moles)
+    m.copy(df = Convert.reduceMoles(m.df)).convert(units)
+  }
+}
+
+object PetroFrame {
+  val TotalCol = "__petro_total"
+
+  /** Entry point: clean (trim/alias/fill/clip) exactly once. */
+  def apply(df: DataFrame, carry: Seq[String]): PetroFrame =
+    new PetroFrame(Convert.clean(df), Units.WtPct, None, None, carry)
+
+  def clean(df: DataFrame, carry: Seq[String] = Nil): PetroFrame = apply(df, carry)
+}

@@ -253,6 +253,42 @@ object PetroQueries {
         round(graft.petro.PlotData.evalExpr(ox, "SiO2+Al2O3"), 6).as("sum_sial"),
         round(graft.petro.PlotData.evalExpr(ox, "CaO + XyzO"), 6).as("ca_missing"))
         .orderBy("id")
+    }),
+
+    // E3: feldspar end members (M-site fractions)
+    "p23_fsp_endmembers" -> ((s, dir) => {
+      val e = Minerals.endMembers(Minerals.Fsp, oxFrame(s, dir).drop("grp", "wt"),
+        carry = Seq("id"))
+      roundAll(e, Seq("id")).orderBy("id")
+    }),
+
+    // E4: clinopyroxene IMA cascade (rows-only)
+    "p24_cpx_endmembers" -> ((s, dir) => {
+      val e = Minerals.endMembers(Minerals.Cpx, oxFrame(s, dir).drop("grp", "wt"),
+        carry = Seq("id"))
+      roundAll(e, Seq("id")).orderBy("id")
+    }),
+
+    // E11+V2: amphibole end members via Schumacher split (rows-only)
+    "p25_amp_endmembers" -> ((s, dir) => {
+      val e = Minerals.endMembers(Minerals.Amp, oxFrame(s, dir).drop("grp", "wt"),
+        carry = Seq("id"))
+      roundAll(e, Seq("id")).orderBy("id")
+    }),
+
+    // E16+V6: spinel end members with Fe2O3->FeO preprocess (rows-only)
+    "p26_spl_endmembers" -> ((s, dir) => {
+      val e = Minerals.endMembers(Minerals.Spl, oxWithFe2O3(s, dir),
+        carry = Seq("id"))
+      roundAll(e, Seq("id")).orderBy("id")
+    }),
+
+    // E2: GarnetFe3 least-squares end members via precomputed
+    // pseudo-inverse (rows-only)
+    "p27_grtfe3_endmembers" -> ((s, dir) => {
+      val e = Minerals.endMembers(Minerals.GrtFe3, oxFrame(s, dir).drop("grp", "wt"),
+        carry = Seq("id"))
+      roundAll(e, Seq("id")).orderBy("id")
     })
   )
 
@@ -386,6 +422,7 @@ object PetroQueries {
       "p22_expr_eval" -> wrap(
         """SELECT id, ROUND("SiO2" + "Al2O3", 6) AS sum_sial,
            ROUND("CaO" + 0.0, 6) AS ca_missing FROM ox ORDER BY id"""),
+      "p23_fsp_endmembers" -> wrap(fspEndmemberSql),
       "p19_tcbulk_lines" -> wrap(
         s"""$tcPrepCtes SELECT id, printf('bulk${tcSysCols.map(_ => " %6.3f").mkString}  %% %s',
            ${tcSysCols.map(c => s"pr_${san(c)}").mkString(", ")}, id::VARCHAR) AS line
@@ -452,21 +489,21 @@ object PetroQueries {
       SELECT id, $sel FROM vars ORDER BY id"""
   }
 
-  /** SQL mirror of the greedy site-allocation cascade for garnet over the
-    * droop-split APFU: one CTE per (site, ion) step, updating the shared
-    * pool and the site remainder exactly like
-    * Minerals.siteAllocationExprs. Returns (cteChain, lastCte, takes as
-    * (site, ion, colName), unallocs as (site, colOrLiteral)). */
-  private def garnetAllocCtes(fromCte: String)
+  /** SQL mirror of the greedy site-allocation cascade over a frame of
+    * ion columns: one CTE per (site, ion) step, updating the shared pool
+    * and the site remainder exactly like Minerals.siteAllocationExprs.
+    * Returns (cteChain, lastCte, takes as (site, ion, colName), unallocs
+    * as (site, colOrLiteral)). */
+  private def allocCtes(spec: graft.petro.MineralSpec, ions: Seq[String],
+      fromCte: String)
       : (String, String, Seq[(String, String, String)], Seq[(String, String)]) = {
-    val splitColsLocal = ionCols.flatMap(c => if (c == "Fe{2+}") Seq("Fe{2+}", "Fe{3+}") else Seq(c))
-    var pool: Map[String, String] = splitColsLocal.map(i => i -> qi(i)).toMap
+    var pool: Map[String, String] = ions.map(i => i -> qi(i)).toMap
     val ctes = scala.collection.mutable.ListBuffer.empty[String]
     val takes = scala.collection.mutable.ListBuffer.empty[(String, String, String)]
     val unallocs = scala.collection.mutable.ListBuffer.empty[(String, String)]
     var prev = fromCte
     var k = 0
-    Minerals.Grt.sites.foreach { site =>
+    spec.sites.foreach { site =>
       var rem: String = site.capacity.toString
       site.priority.foreach { ion =>
         if (pool.contains(ion)) {
@@ -493,7 +530,7 @@ object PetroQueries {
     val oxtSql = OXIDES.map(qi).mkString(" + ")
     val apfu2 = s"SELECT id, ($oxtSql) AS oxt, $apfuSelectSql FROM ox"
     val spl2b = s"SELECT id, oxt, $splitSelectSql FROM apfu2"
-    val (chain, last, takes, unallocs) = garnetAllocCtes("spl2")
+    val (chain, last, takes, unallocs) = allocCtes(Minerals.Grt, splitCols, "spl2")
     val sSum = splitCols.map(qi).mkString(" + ")
     val charges = splitCols.map { c =>
       s"${qi(c)} * ${Chem.parseIon(c).map(_._2.toDouble).getOrElse(0.0)}"
@@ -516,11 +553,29 @@ object PetroQueries {
       FROM $last ORDER BY id"""
   }
 
+  /** Oracle for p23: feldspar end members — 8-oxygen APFU (no valence
+    * split), greedy allocation over Fsp sites, M-site fractions. */
+  private def fspEndmemberSql: String = {
+    val apfu8 = OXIDES.map { c =>
+      s"${molesSql(c)} * ${Chem.cationsPer(c)} * (8.0 / ($oxySumSql)) AS ${qi(Chem.oxideToIonCol(c))}"
+    }.mkString(", ")
+    val (chain, last, takes, _) = allocCtes(Minerals.Fsp, ionCols, "apfu8")
+    val m = takes.filter(_._1 == "M") // (site, ion, takeCol) in priority order
+    val mTotal = m.map(_._3).mkString(" + ")
+    val safe = s"(CASE WHEN ($mTotal) = 0.0 THEN 'NaN'::DOUBLE ELSE ($mTotal) END)"
+    val names = Map("Ca{2+}" -> "An", "Na{+}" -> "Ab", "K{+}" -> "Or")
+    val sel = m.map { case (_, ion, t) =>
+      s"""ROUND($t / $safe * 100.0, 6) AS "${names(ion)}""""
+    }.mkString(", ")
+    s""", apfu8 AS (SELECT id, $apfu8 FROM ox), $chain
+      SELECT id, $sel FROM $last ORDER BY id"""
+  }
+
   /** Oracle for p17: raw garnet site allocations. */
   private def siteAllocQuerySql: String = {
     val apfu2 = s"SELECT id, $apfuSelectSql FROM ox"
     val spl2 = s"SELECT id, $splitSelectSql FROM apfu2"
-    val (chain, last, takes, unallocs) = garnetAllocCtes("spl2")
+    val (chain, last, takes, unallocs) = allocCtes(Minerals.Grt, splitCols, "spl2")
     val cols = (takes.map { case (s0, i, t) => s"""ROUND($t, 6) AS "$s0:$i"""" } ++
       unallocs.map { case (s0, r) => s"""ROUND($r, 6) AS "$s0:_unallocated"""" })
       .mkString(", ")
