@@ -80,20 +80,58 @@ object Cipw {
 
   // ---- C2/C3 row functions (pure Scala, run under Dataset.map) -------------
 
-  private type Y = scala.collection.mutable.LinkedHashMap[String, Double]
+  /** Array-backed named-value store: the row functions address values by
+    * mineral name (faithful to the algorithm's published form) but the
+    * per-row storage is a flat Double array — name->slot resolution is a
+    * shared immutable HashMap built once per variant, so the hot loop
+    * does no per-row map allocation. */
+  private final class Y(idx: java.util.HashMap[String, Integer]) {
+    val arr = new Array[Double](idx.size)
+    def apply(n: String): Double = arr(idx.get(n).intValue)
+    def update(n: String, v: Double): Unit = arr(idx.get(n).intValue) = v
+  }
+  private def buildIdx(names: Seq[String]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    (names ++ Seq("mgr", "fer", "femg")).zipWithIndex.foreach {
+      case (n, i) => m.put(n, i)
+    }
+    m
+  }
+  private val cipwIdx = buildIdx(CIPW_RESULT_NAMES.dropRight(1))
+  private val cipwHbIdx = buildIdx(CIPWHB_RESULT_NAMES.dropRight(1))
+  private val cipwMwArr: Array[Double] =
+    CIPW_RESULT_NAMES.dropRight(1).map(normMw).toArray
+  private val cipwHbMwArr: Array[Double] =
+    CIPWHB_RESULT_NAMES.dropRight(1).map(normMw).toArray
+
+  /** ox layout follows CIPW_INPUTS order. */
+  private val iSiO2 = CIPW_INPUTS.indexOf("SiO2")
+  private val iTiO2 = CIPW_INPUTS.indexOf("TiO2")
+  private val iAl2O3 = CIPW_INPUTS.indexOf("Al2O3")
+  private val iFe2O3 = CIPW_INPUTS.indexOf("Fe2O3")
+  private val iFeO = CIPW_INPUTS.indexOf("FeO")
+  private val iMnO = CIPW_INPUTS.indexOf("MnO")
+  private val iMgO = CIPW_INPUTS.indexOf("MgO")
+  private val iCaO = CIPW_INPUTS.indexOf("CaO")
+  private val iNa2O = CIPW_INPUTS.indexOf("Na2O")
+  private val iK2O = CIPW_INPUTS.indexOf("K2O")
+  private val iCO2 = CIPW_INPUTS.indexOf("CO2")
+  private val iP2O5 = CIPW_INPUTS.indexOf("P2O5")
+  private val iF = CIPW_INPUTS.indexOf("F")
+  private val iS = CIPW_INPUTS.indexOf("S")
 
   /** Shared allocation prefix (reference: _cipw_common_allocations,
     * _calc.py:1195-1316). Returns remaining (si,ti,al,fe3,fe2,mg,ca,na). */
-  private def commonAllocations(ox: Map[String, Double], names: Seq[String],
+  private def commonAllocations(ox: Array[Double],
+      idx: java.util.HashMap[String, Integer],
       cancrinite: Boolean): (Y, Array[Double]) = {
-    var si = ox("SiO2"); var ti = ox("TiO2"); var al = ox("Al2O3")
-    val fe3 = ox("Fe2O3"); var fe2 = ox("FeO") + ox("MnO")
-    val mg = ox("MgO"); var ca = ox("CaO"); var na = ox("Na2O")
-    var k = ox("K2O"); var co2 = ox("CO2"); var p = ox("P2O5")
-    var fl = ox("F"); var s = ox("S")
+    var si = ox(iSiO2); var ti = ox(iTiO2); var al = ox(iAl2O3)
+    val fe3 = ox(iFe2O3); var fe2 = ox(iFeO) + ox(iMnO)
+    val mg = ox(iMgO); var ca = ox(iCaO); var na = ox(iNa2O)
+    var k = ox(iK2O); var co2 = ox(iCO2); var p = ox(iP2O5)
+    var fl = ox(iF); var s = ox(iS)
 
-    val y: Y = scala.collection.mutable.LinkedHashMap(
-      (names ++ Seq("mgr", "fer", "femg")).map(_ -> 0.0): _*)
+    val y = new Y(idx)
 
     if (ca >= 10.0 / 3 * p) { y("Ap") = p; ca = ca - y("Ap") * 10 / 3 }
     else { y("Ap") = 3.0 / 10 * ca; p = p - y("Ap"); ca = 0 }
@@ -131,30 +169,46 @@ object Cipw {
     (y, Array(si, ti, al, fe3, fe2, mg, ca, na))
   }
 
+  private val cipwExcluded: Array[Boolean] = {
+    val ex = Set("MgDi", "FeDi", "En", "Fs", "Fo", "Fa", "MgSp", "FeSp")
+    CIPW_RESULT_NAMES.dropRight(1).map(ex.contains).toArray
+  }
+  private val cipwHbExcluded: Array[Boolean] = {
+    val ex = Set("Di", "Hy", "Ol", "Sp", "Bi", "Hbl", "Act", "Ed")
+    CIPWHB_RESULT_NAMES.dropRight(1).map(ex.contains).toArray
+  }
+
   /** Finalize standard CIPW (reference: _cipw_final, _calc.py:1167-1192). */
   private def cipwFinal(y: Y, normsum: Boolean): Array[Double] = {
     y("En") = y("mgr") * y("Hy"); y("Fs") = y("fer") * y("Hy")
     y("Fo") = y("mgr") * y("Ol"); y("Fa") = y("fer") * y("Ol")
     y("MgDi") = y("mgr") * y("Di"); y("FeDi") = y("fer") * y("Di")
-    val keys = CIPW_RESULT_NAMES.dropRight(1)
-    val w = scala.collection.mutable.LinkedHashMap(
-      keys.map(n => n -> y(n) * normMw(n)): _*)
-    w("Di") = w("MgDi") + w("FeDi"); w("Hy") = w("En") + w("Fs")
-    w("Ol") = w("Fo") + w("Fa"); w("Sp") = w("MgSp") + w("FeSp")
-    val excluded = Set("MgDi", "FeDi", "En", "Fs", "Fo", "Fa", "MgSp", "FeSp")
-    var total = w.collect { case (k, v) if !excluded(k) => v }.sum
+    val n = CIPW_RESULT_NAMES.length - 1
+    val w = new Array[Double](n)
+    var i = 0
+    while (i < n) { w(i) = y.arr(i) * cipwMwArr(i); i += 1 }
+    def wi(nm: String): Int = cipwIdx.get(nm).intValue
+    w(wi("Di")) = w(wi("MgDi")) + w(wi("FeDi"))
+    w(wi("Hy")) = w(wi("En")) + w(wi("Fs"))
+    w(wi("Ol")) = w(wi("Fo")) + w(wi("Fa"))
+    w(wi("Sp")) = w(wi("MgSp")) + w(wi("FeSp"))
+    var total = 0.0
+    i = 0; while (i < n) { if (!cipwExcluded(i)) total += w(i); i += 1 }
     if (normsum) {
-      keys.foreach(n => w(n) = w(n) * 100 / total)
-      total = w.collect { case (k, v) if !excluded(k) => v }.sum
+      i = 0; while (i < n) { w(i) = w(i) * 100 / total; i += 1 }
+      total = 0.0
+      i = 0; while (i < n) { if (!cipwExcluded(i)) total += w(i); i += 1 }
     }
-    (keys.map(w) :+ total).toArray
+    val out = new Array[Double](n + 1)
+    System.arraycopy(w, 0, out, 0, n); out(n) = total
+    out
   }
 
   /** One row of the standard CIPW norm
     * (reference: _cipw_norm_row, _calc.py:1319-1473). */
-  def cipwRow(ox: Map[String, Double], normsum: Boolean, cancrinite: Boolean,
+  def cipwRow(ox: Array[Double], normsum: Boolean, cancrinite: Boolean,
       spinel: Boolean): Array[Double] = {
-    val (y, r) = commonAllocations(ox, CIPW_RESULT_NAMES, cancrinite)
+    val (y, r) = commonAllocations(ox, cipwIdx, cancrinite)
     var si = r(0); var ti = r(1); var al = r(2); var fe3 = r(3)
     var fe2 = r(4); val mg = r(5); var ca = r(6); var na = r(7)
 
@@ -234,27 +288,36 @@ object Cipw {
     y("En") = y("mgr") * y("Hy"); y("Fs") = y("fer") * y("Hy")
     y("Fo") = y("mgr") * y("Ol"); y("Fa") = y("fer") * y("Ol")
     y("MgDi") = y("mgr") * y("Di"); y("FeDi") = y("fer") * y("Di")
-    val keys = CIPWHB_RESULT_NAMES.dropRight(1)
-    val w = scala.collection.mutable.LinkedHashMap(
-      keys.map(n => n -> y(n) * normMw(n)): _*)
-    w("Di") = w("MgDi") + w("FeDi"); w("Hy") = w("En") + w("Fs")
-    w("Ol") = w("Fo") + w("Fa"); w("Sp") = w("MgSp") + w("FeSp")
-    w("Bi") = w("MgBi") + w("FeBi"); w("Act") = w("MgAct") + w("FeAct")
-    w("Ed") = w("MgEd") + w("FeEd"); w("Hbl") = w("Act") + w("Ed") + w("Ri")
-    val excluded = Set("Di", "Hy", "Ol", "Sp", "Bi", "Hbl", "Act", "Ed")
-    var total = w.collect { case (k, v) if !excluded(k) => v }.sum
+    val n = CIPWHB_RESULT_NAMES.length - 1
+    val w = new Array[Double](n)
+    var i = 0
+    while (i < n) { w(i) = y.arr(i) * cipwHbMwArr(i); i += 1 }
+    def wi(nm: String): Int = cipwHbIdx.get(nm).intValue
+    w(wi("Di")) = w(wi("MgDi")) + w(wi("FeDi"))
+    w(wi("Hy")) = w(wi("En")) + w(wi("Fs"))
+    w(wi("Ol")) = w(wi("Fo")) + w(wi("Fa"))
+    w(wi("Sp")) = w(wi("MgSp")) + w(wi("FeSp"))
+    w(wi("Bi")) = w(wi("MgBi")) + w(wi("FeBi"))
+    w(wi("Act")) = w(wi("MgAct")) + w(wi("FeAct"))
+    w(wi("Ed")) = w(wi("MgEd")) + w(wi("FeEd"))
+    w(wi("Hbl")) = w(wi("Act")) + w(wi("Ed")) + w(wi("Ri"))
+    var total = 0.0
+    i = 0; while (i < n) { if (!cipwHbExcluded(i)) total += w(i); i += 1 }
     if (normsum) {
-      keys.foreach(n => w(n) = w(n) * 100 / total)
-      total = w.collect { case (k, v) if !excluded(k) => v }.sum
+      i = 0; while (i < n) { w(i) = w(i) * 100 / total; i += 1 }
+      total = 0.0
+      i = 0; while (i < n) { if (!cipwHbExcluded(i)) total += w(i); i += 1 }
     }
-    (keys.map(w) :+ total).toArray
+    val out = new Array[Double](n + 1)
+    System.arraycopy(w, 0, out, 0, n); out(n) = total
+    out
   }
 
   /** One row of the CIPWhb norm (hornblende/biotite recasting;
     * reference: _cipwhb_norm_row, _calc.py:1516-1735). */
-  def cipwHbRow(ox: Map[String, Double], normsum: Boolean, cancrinite: Boolean,
+  def cipwHbRow(ox: Array[Double], normsum: Boolean, cancrinite: Boolean,
       spinel: Boolean): Array[Double] = {
-    val (y, r) = commonAllocations(ox, CIPWHB_RESULT_NAMES, cancrinite)
+    val (y, r) = commonAllocations(ox, cipwHbIdx, cancrinite)
     var si = r(0); var al = r(2); var fe3 = r(3)
     var fe2 = r(4); val mg = r(5); var ca = r(6); var na = r(7)
 
@@ -398,7 +461,7 @@ object Cipw {
 
   private def runNorm(df: DataFrame, carry: Seq[String], names: Seq[String],
       dropCols: Seq[String],
-      rowFn: (Map[String, Double], Boolean, Boolean, Boolean) => Array[Double],
+      rowFn: (Array[Double], Boolean, Boolean, Boolean) => Array[Double],
       normsum: Boolean, cancrinite: Boolean, spinel: Boolean,
       completeResults: Boolean): DataFrame = {
     // wt% -> molar proportions; missing CIPW inputs -> 0
@@ -411,10 +474,13 @@ object Cipw {
       carry.map(c => inSchema(c)) ++ names.map(n => StructField(n, DoubleType)))
     val nCarry = carry.length
     val nIn = CIPW_INPUTS.length
-    val inputNames = CIPW_INPUTS.toArray
     val result = input.map { row =>
-      val ox = (0 until nIn).map(i =>
-        inputNames(i) -> (if (row.isNullAt(nCarry + i)) 0.0 else row.getDouble(nCarry + i))).toMap
+      val ox = new Array[Double](nIn)
+      var i = 0
+      while (i < nIn) {
+        ox(i) = if (row.isNullAt(nCarry + i)) 0.0 else row.getDouble(nCarry + i)
+        i += 1
+      }
       val out =
         try rowFn(ox, normsum, cancrinite, spinel)
         catch { case _: Exception => Array.fill(names.length)(Double.NaN) }
