@@ -408,6 +408,211 @@ xvH        1 1    1  1  -1  h
       "h" -> order("h"))
   }
 
+  /** Shared K-white-mica site model: A(K,Na,Ca) M2A(Mg,Fe,Al) M2B(Al,Fe3+)
+    * T1_2(Si,Al); x,y,f,n,c by mass balance
+    * (reference: hpxeos/dioctahedral_mica.py). */
+  trait DioctahedralMica extends Phase {
+    val sites = Seq(
+      "A" -> Seq("K{+}", "Na{+}", "Ca{2+}"),
+      "M2A" -> Seq("Mg{2+}", "Fe{2+}", "Al{3+}"),
+      "M2B" -> Seq("Al{3+}", "Fe{3+}"),
+      "T1" -> Seq("Si{4+}", "Al{3+}"))
+    override val optionalColumns = Set("Fe{3+}")
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] = Seq(
+      "Fe" -> comp("Fe{2+}"),
+      "Mg" -> comp("Mg{2+}"),
+      "Na" -> comp("Na{+}"),
+      "Ca" -> comp("Ca{2+}"),
+      "ATotal" -> (comp("K{+}") + comp("Na{+}") + comp("Ca{2+}")),
+      "AlT1" -> (lit(4.0) - comp("Si{4+}")),
+      "Fe3" -> comp("Fe{3+}"))
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "x" -> sf("Fe") / (sf("Fe") + sf("Mg")),
+      "y" -> (sf("AlT1") - sf("Ca") / sf("ATotal")),
+      "f" -> sf("Fe3"),
+      "n" -> sf("Na") / sf("ATotal"),
+      "c" -> sf("Ca") / sf("ATotal"))
+  }
+
+  private val muMineral = MineralSpec("TC_mu", 13, Some(5),
+    Seq(ValenceSplit("Fe", "droop")),
+    Seq(
+      SiteDef("A", 1.0, Seq("K{+}", "Na{+}", "Ca{2+}")),
+      SiteDef("M2A", 1.0, Seq("Mg{2+}", "Fe{2+}", "Al{3+}")),
+      SiteDef("M2B", 1.0, Seq("Al{3+}", "Fe{3+}")),
+      SiteDef("T1", 2.0, Seq("Si{4+}", "Al{3+}"))),
+    totalRange = (96.0, 101.0))
+
+  /** Muscovite 'mu' (reference: hpxeos/metapelite/muscovite.py). */
+  object TcMuscovite extends DioctahedralMica {
+    val abbreviation = "mu"
+    val endMemberNames = Seq("mu", "cel", "fcel", "pa", "mat", "fmu")
+    val mineral: MineralSpec = muMineral
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 592-604.
+    val pBlock = """
+p(mu)      1 1    0  4  -1  c  -1  f  -1  n   1  y
+
+p(cel)     2 1    1  2  -1  x  -1  y
+             2    0  1  1  x    0  1  1  y
+
+p(fcel)    2 1    0  1   1  x
+             2    0  1  -1  x    0  1  1  y
+
+p(pa)      1 1    0  1  1  n
+
+p(mat)      1 1    0  1  1  c
+
+p(fmu)     1 1    0  1  1  f
+"""
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 641-655.
+    override val sfBlock = """
+xKA        1 1    1  2  -1  c  -1  n
+
+xNaA       1 1    0  1  1  n
+
+xCaA       1 1    0  1  1  c
+
+xMgM2A     2 1    1  2  -1  x  -1  y
+             2    0  1  1  x    0  1  1  y
+
+xFeM2A     2 1    0  1   1  x
+             2    0  1  -1  x    0  1  1  y
+
+xAlM2A     1 1    0  1  1  y
+
+xAlM2B     1 1    1  1  -1  f
+
+xFe3M2B    1 1    0  1  1  f
+
+xSiT1      1 1    1  2  -1/2  c  -1/2  y
+
+xAlT1      1 1    0  2  1/2  c  1/2  y
+"""
+  }
+
+  /** Margarite 'ma' — Ca-dominant relabeling of the same mica model
+    * (reference: hpxeos/metapelite/margarite.py). */
+  object TcMargarite extends DioctahedralMica {
+    val abbreviation = "ma"
+    val endMemberNames = Seq("mut", "celt", "fcelt", "pat", "ma", "fmu")
+    val mineral: MineralSpec = muMineral.copy(name = "TC_ma")
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt (margarite block).
+    val pBlock = """
+p(mut)      1 1    0  4  -1  c  -1  f  -1  n   1  y
+p(celt)     2 1    1  2  -1  x  -1  y
+             2    0  1  1  x    0  1  1  y
+p(fcelt)    2 1    0  1   1  x
+             2    0  1  -1  x    0  1  1  y
+p(pat)      1 1    0  1  1  n
+p(ma)      1 1    0  1  1  c
+p(fmu)     1 1    0  1  1  f
+"""
+  }
+
+  /** Chlorite 'chl' — 28-charge APFU basis with QAl/Q1/Q4 order
+    * parameters (reference: hpxeos/metapelite/chlorite.py). */
+  object TcChlorite extends Phase {
+    val abbreviation = "chl"
+    val sites = Seq(
+      "M1" -> Seq("Mg{2+}", "Mn{2+}", "Fe{2+}", "Al{3+}"),
+      "M23" -> Seq("Mg{2+}", "Mn{2+}", "Fe{2+}"),
+      "M4" -> Seq("Mg{2+}", "Fe{2+}", "Fe{3+}", "Al{3+}"),
+      "T2" -> Seq("Si{4+}", "Al{3+}"))
+    override val optionalColumns = Set("Fe{3+}")
+    val endMemberNames = Seq("clin", "afchl", "ames", "daph", "ochl1",
+      "ochl4", "f3clin", "mmchl")
+    override val orderParameterNames = Seq("QAl", "Q1", "Q4")
+    val mineral: MineralSpec = MineralSpec("TC_chl", 14, None, Nil,
+      Seq(
+        SiteDef("T", 4.0, Seq("Si{4+}", "Al{3+}")),
+        SiteDef("M", 6.0, Seq("Mg{2+}", "Fe{2+}", "Al{3+}", "Mn{2+}"))),
+      totalRange = (85.0, 90.0), chargeBasis = Some(28.0))
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 1389-1446.
+    val pBlock = """
+p(clin)    11 1    0  4  -1/4  Q1  -1  m  2  QAl  -5/4  Q4
+             2    0  1  1/4  m    0  1  1  Q1
+             2    0  1  5/4  f    0  1  1  Q4
+             2    0  1  -1/4  Q1    0  1  1  QAl
+             2    0  1  5/4  Q4    0  1  1  QAl
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  1  m    0  1  1  x
+             2    0  1  -1  QAl    0  1  1  x
+             2    0  1  1/4  Q1    0  1  1  y
+             2    0  1  5/4  Q4    0  1  1  y
+             2    0  1  -1  x    0  1  1  y
+
+p(afchl)   10 1    1  6  -1  f  -1  QAl  -1  y  -2  x  5/4  Q1  9/4  Q4
+             2    0  1  -5/4  m    0  1  1  Q1
+             2    0  1  -9/4  f    0  1  1  Q4
+             2    0  1  5/4  Q1    0  1  1  QAl
+             2    0  1  -9/4  Q4    0  1  1  QAl
+             2    0  1  2  f    0  1  1  x
+             2    0  1  1  QAl    0  1  1  x
+             2    0  1  -5/4  Q1    0  1  1  y
+             2    0  1  -9/4  Q4    0  1  1  y
+             2    0  1  3  x    0  1  1  y
+
+p(ames)    1 1    0  2  -1  QAl   1  y
+
+p(daph)    11 1    0  2  1/4  Q1  5/4  Q4
+             2    0  1  -1/4  m    0  1  1  Q1
+             2    0  1  -5/4  f    0  1  1  Q4
+             2    0  1  1/4  Q1    0  1  1  QAl
+             2    0  1  -5/4  Q4    0  1  1  QAl
+             2    0  1  1  f    0  1  1  x
+             2    0  1  -1  m    0  1  1  x
+             2    0  1  1  QAl    0  1  1  x
+             2    0  1  -1/4  Q1    0  1  1  y
+             2    0  1  -5/4  Q4    0  1  1  y
+             2    0  1  1  x    0  1  1  y
+
+p(ochl1)   7 1    0  2  -1  Q4   1  x
+             2    0  1  1  f    0  1  1  Q4
+             2    0  1  1  Q4    0  1  1  QAl
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -1  QAl    0  1  1  x
+             2    0  1  1  Q4    0  1  1  y
+             2    0  1  -1  x    0  1  1  y
+
+p(ochl4)   9 1    0  3   1  x  -5/4  Q1  -5/4  Q4
+             2    0  1  5/4  m    0  1  1  Q1
+             2    0  1  5/4  f    0  1  1  Q4
+             2    0  1  -5/4  Q1    0  1  1  QAl
+             2    0  1  5/4  Q4    0  1  1  QAl
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  5/4  Q1    0  1  1  y
+             2    0  1  5/4  Q4    0  1  1  y
+             2    0  1  -2  x    0  1  1  y
+
+p(f3clin)   1 1    0  1  1  f
+
+p(mmchl)   1 1    0  1  1  m
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] = {
+      val alT2 = lit(4.0) - comp("Si{4+}")
+      Seq(
+        "Fe" -> comp("Fe{2+}"),
+        "Mg" -> comp("Mg{2+}"),
+        "Mn" -> comp("Mn{2+}"),
+        "Fe3" -> comp("Fe{3+}"),
+        "AlOct" -> (comp("Al{3+}") - alT2))
+    }
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "x" -> sf("Fe") / (sf("Fe") + sf("Mg")),
+      "y" -> sf("AlOct") / 2.0,
+      "f" -> sf("Fe3"),
+      "m" -> sf("Mn") / 5.0,
+      "QAl" -> order("QAl"), "Q1" -> order("Q1"), "Q4" -> order("Q4"))
+  }
+
   val phases: Seq[Phase] =
-    Seq(TcGarnet, TcBiotite, TcPl4tr, TcK4tr, TcChloritoid, TcStaurolite, TcCordierite)
+    Seq(TcGarnet, TcBiotite, TcPl4tr, TcK4tr, TcChloritoid, TcStaurolite,
+      TcCordierite, TcMuscovite, TcMargarite, TcChlorite)
 }

@@ -115,6 +115,30 @@ class HpxeosSpec extends AnyFunSuite {
     assert(math.abs(e3("hcrd") - 50.0) < 1e-6)
   }
 
+  test("mu and ma (shared mica model) sum to 100; agree up to relabeling") {
+    val mica = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "K2O", "Na2O", "CaO"),
+      Seq(Seq(46.0, 34.0, 1.5, 1.0, 10.0, 1.0, 0.3)))
+    val mu = row0(Metapelite.TcMuscovite.endMembers(mica, validate = true))
+    assert(math.abs(mu.values.sum - 100.0) < 0.01)
+    assert(mu("pa") < mu.values.max) // Na member subordinate in K-mica
+    val ma = row0(Metapelite.TcMargarite.endMembers(mica, validate = true))
+    // same model, relabeled end members
+    assert(math.abs(ma("mut") - mu("mu")) < 1e-9)
+    assert(math.abs(ma("ma") - mu("mat")) < 1e-9)
+  }
+
+  test("chl (28-charge basis, QAl/Q1/Q4) sums to 100 at any order state") {
+    val chl = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "MnO"),
+      Seq(Seq(26.0, 21.0, 20.0, 18.0, 0.2)))
+    val e0 = row0(Metapelite.TcChlorite.endMembers(chl, validate = true))
+    assert(math.abs(e0.values.sum - 100.0) < 0.01)
+    val eq = row0(Metapelite.TcChlorite.endMembers(chl,
+      orderParameters = Map("QAl" -> Left(0.2), "Q1" -> Left(0.1), "Q4" -> Left(-0.1)),
+      validate = true))
+    assert(math.abs(eq.values.sum - 100.0) < 0.01)
+    assert(math.abs(eq("clin") - e0("clin")) > 1e-9) // order state moves members
+  }
+
   test("scalacheck-style invariant: random admissible variables give sum=1") {
     // py+alm+spss+gr+kho is an algebraic identity in (x,z,m,f); check it
     // over a deterministic grid of admissible variable values.
