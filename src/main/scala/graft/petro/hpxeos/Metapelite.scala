@@ -612,7 +612,114 @@ p(mmchl)   1 1    0  1  1  m
       "QAl" -> order("QAl"), "Q1" -> order("Q1"), "Q4" -> order("Q4"))
   }
 
+  /** Epidote 'ep' — Holland & Powell (2011), M1/M3 Fe3+ ordering with
+    * order parameter Q (reference: hpxeos/metapelite/epidote.py). */
+  object TcEpidote extends Phase {
+    val abbreviation = "ep"
+    val sites = Seq(
+      "M1" -> Seq("Al{3+}", "Fe{3+}"),
+      "M3" -> Seq("Al{3+}", "Fe{3+}"))
+    val endMemberNames = Seq("cz", "ep", "fep")
+    override val orderParameterNames = Seq("Q")
+    val mineral: MineralSpec = MineralSpec("TC_ep", 12.5, None, Nil,
+      Seq(
+        SiteDef("M1", 1.0, Seq("Al{3+}", "Fe{3+}")),
+        SiteDef("M3", 1.0, Seq("Al{3+}", "Fe{3+}"))),
+      totalRange = (98.0, 102.0), preprocess = graft.petro.Convert.feoToFe2o3)
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 414-417.
+    val pBlock = """
+p(cz)    1  1    1  2 -1  f  -1  Q
+p(ep)    1  1    0  1  2  Q
+p(fep)   1  1    0  2  1  f  -1  Q
+"""
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 425-428.
+    override val sfBlock = """
+xFeM1   1  1    0  2  1  f  -1  Q
+xAlM1   1  1    1  2 -1  f   1  Q
+xFeM3   1  1    0  2  1  f   1  Q
+xAlM3   1  1    1  2 -1  f  -1  Q
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] =
+      Seq("Fe3" -> comp("Fe{3+}"))
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "f" -> sf("Fe3") / 2.0, "Q" -> order("Q"))
+  }
+
+  /** Orthopyroxene 'opx' — M1/M2/T with order parameter Q
+    * (reference: hpxeos/metapelite/orthopyroxene.py). */
+  object TcOrthopyroxene extends Phase {
+    val abbreviation = "opx"
+    val sites = Seq(
+      "M1" -> Seq("Mg{2+}", "Fe{2+}", "Mn{2+}", "Fe{3+}", "Al{3+}"),
+      "M2" -> Seq("Mg{2+}", "Fe{2+}", "Mn{2+}", "Ca{2+}"),
+      "T" -> Seq("Si{4+}", "Al{3+}"))
+    override val optionalColumns = Set("Fe{3+}")
+    val endMemberNames = Seq("en", "fs", "fm", "mgts", "fopx", "mnopx", "odi")
+    override val orderParameterNames = Seq("Q")
+    val mineral: MineralSpec = MineralSpec("TC_opx", 6, Some(4),
+      Seq(ValenceSplit("Fe", "droop")),
+      Seq(
+        SiteDef("T", 2.0, Seq("Si{4+}", "Al{3+}")),
+        SiteDef("M1", 1.0, Seq("Al{3+}", "Fe{3+}", "Mg{2+}", "Fe{2+}", "Mn{2+}")),
+        SiteDef("M2", 1.0, Seq("Mg{2+}", "Fe{2+}", "Mn{2+}", "Ca{2+}"))),
+      totalRange = (99.0, 101.0))
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 902-928.
+    val pBlock = """
+p(en)      5 1    1  6  -1/2  Q  -1  c  -1  f  -1  m  -1  x  -1  y
+             2    0  1  1/2  c    0  1  1  Q
+             2    0  1  1/2  m    0  1  1  Q
+             2    0  1  1  c    0  1  1  x
+             2    0  1  1  m    0  1  1  x
+
+p(fs)      6 1    0  2  -1/2  Q   1  x
+             2    0  1  1/2  c    0  1  1  Q
+             2    0  1  1/2  m    0  1  1  Q
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -1  m    0  1  1  x
+             2    0  1  -1  x    0  1  1  y
+
+p(fm)      6 1    0  1   1  Q
+             2    0  1  -1  c    0  1  1  Q
+             2    0  1  -1  m    0  1  1  Q
+             2    0  1  -1  c    0  1  1  x
+             2    0  1  1  f    0  1  1  x
+             2    0  1  1  x    0  1  1  y
+
+p(mgts)    1 1    0  1  1  y
+
+p(fopx)    1 1    0  1  1  f
+
+p(mnopx)   1 1    0  1  1  m
+
+p(odi)     1 1    0  1  1  c
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] = {
+      val alT = lit(2.0) - comp("Si{4+}")
+      Seq(
+        "Fe" -> comp("Fe{2+}"),
+        "Mg" -> comp("Mg{2+}"),
+        "Mn" -> comp("Mn{2+}"),
+        "Ca" -> comp("Ca{2+}"),
+        "Fe3" -> comp("Fe{3+}"),
+        "AlOct" -> (comp("Al{3+}") - alT))
+    }
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "x" -> sf("Fe") / (sf("Fe") + sf("Mg")),
+      "m" -> sf("Mn") / 2.0,
+      "y" -> sf("AlOct"),
+      "f" -> sf("Fe3"),
+      "c" -> sf("Ca"),
+      "Q" -> order("Q"))
+  }
+
   val phases: Seq[Phase] =
     Seq(TcGarnet, TcBiotite, TcPl4tr, TcK4tr, TcChloritoid, TcStaurolite,
-      TcCordierite, TcMuscovite, TcMargarite, TcChlorite)
+      TcCordierite, TcMuscovite, TcMargarite, TcChlorite, TcEpidote,
+      TcOrthopyroxene)
 }

@@ -139,6 +139,21 @@ class HpxeosSpec extends AnyFunSuite {
     assert(math.abs(eq("clin") - e0("clin")) > 1e-9) // order state moves members
   }
 
+  test("ep and opx sum to 100; order parameters accepted") {
+    val ep = frame(Seq("SiO2", "Al2O3", "FeO", "CaO"),
+      Seq(Seq(38.0, 27.0, 8.0, 23.5)))
+    val e = row0(Metapelite.TcEpidote.endMembers(ep, validate = true))
+    assert(math.abs(e.values.sum - 100.0) < 0.01)
+    val eq = row0(Metapelite.TcEpidote.endMembers(ep,
+      orderParameters = Map("Q" -> Left(0.1)), validate = true))
+    assert(eq("ep") > e("ep")) // ordering moves Fe3+ onto M3 -> more ep
+    val opx = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "MnO"),
+      Seq(Seq(52.0, 4.0, 18.0, 24.0, 1.2, 0.4)))
+    val o = row0(Metapelite.TcOrthopyroxene.endMembers(opx, validate = true))
+    assert(math.abs(o.values.sum - 100.0) < 0.01)
+    assert(o("en") > o("fs")) // Mg-rich opx
+  }
+
   test("scalacheck-style invariant: random admissible variables give sum=1") {
     // py+alm+spss+gr+kho is an algebraic identity in (x,z,m,f); check it
     // over a deterministic grid of admissible variable values.
