@@ -154,6 +154,22 @@ class HpxeosSpec extends AnyFunSuite {
     assert(o("en") > o("fs")) // Mg-rich opx
   }
 
+  test("TC_hb (11 members, z/a/k/Q1/Q2) sums to 100 at any order state") {
+    // tremolitic amphibole, near-ideal Ca2Mg5Si8O22(OH)2
+    val amp = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "Na2O", "K2O", "TiO2"),
+      Seq(Seq(55.0, 2.5, 4.0, 22.0, 12.5, 0.6, 0.15, 0.2)))
+    val e = row0(Metabasite.TcAmphibole.endMembers(amp, validate = true))
+    assert(e.size == 11)
+    assert(math.abs(e.values.sum - 100.0) < 0.01, s"sum=${e.values.sum}")
+    assert(e("tr") > 50.0) // tremolite-dominant
+    val eo = row0(Metabasite.TcAmphibole.endMembers(amp,
+      orderParameters = Map("z" -> Left(0.05), "a" -> Left(0.1),
+        "k" -> Left(0.3), "Q1" -> Left(0.02), "Q2" -> Left(-0.02)),
+      validate = true))
+    assert(math.abs(eo.values.sum - 100.0) < 0.01)
+    assert(eo("prgm") > 0 && eo("kprg") > 0) // A-site occupancy activates
+  }
+
   test("scalacheck-style invariant: random admissible variables give sum=1") {
     // py+alm+spss+gr+kho is an algebraic identity in (x,z,m,f); check it
     // over a deterministic grid of admissible variable values.
