@@ -718,8 +718,292 @@ p(odi)     1 1    0  1  1  c
       "Q" -> order("Q"))
   }
 
+  /** Mixed ilmenite 'ilmm' — order parameter Q (ordered ilmenite)
+    * (reference: hpxeos/metapelite/ilmenite_mixed.py). */
+  object TcIlmeniteMixed extends Phase {
+    val abbreviation = "ilmm"
+    val sites = Seq(
+      "A" -> Seq("Fe{2+}", "Ti{4+}", "Mg{2+}", "Mn{2+}", "Fe{3+}"),
+      "B" -> Seq("Fe{2+}", "Ti{4+}", "Fe{3+}"))
+    override val optionalColumns = Set("Fe{3+}")
+    val endMemberNames = Seq("oilm", "dilm", "dhem", "geik", "pnt")
+    override val orderParameterNames = Seq("Q")
+    val mineral: MineralSpec = MineralSpec("TC_ilmm", 3, Some(2), Nil,
+      Seq(
+        SiteDef("A", 1.0, Seq("Fe{2+}", "Ti{4+}", "Mg{2+}", "Mn{2+}", "Fe{3+}")),
+        SiteDef("B", 1.0, Seq("Fe{2+}", "Ti{4+}", "Fe{3+}"))),
+      totalRange = (99.0, 101.0))
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt (ilmm block).
+    val pBlock = """
+p(oilm)    1 1    0  1  1  Q
+
+p(dilm)    1 1    0  4  -1  g   1  i  -1  m  -1  Q
+
+p(dhem)    1 1    1  1  -1  i
+
+p(geik)    1 1    0  1  1  g
+
+p(pnt)     1 1    0  1  1  m
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] = Seq(
+      "Mg" -> comp("Mg{2+}"),
+      "Mn" -> comp("Mn{2+}"),
+      "Fe3" -> comp("Fe{3+}"))
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "i" -> (lit(1.0) - sf("Fe3") / 2.0),
+      "g" -> sf("Mg"),
+      "m" -> sf("Mn"),
+      "Q" -> order("Q"))
+  }
+
+  /** Spinel 'sp' (reference: hpxeos/metapelite/spinel.py). */
+  object TcSpinel extends Phase {
+    val abbreviation = "sp"
+    val sites = Seq(
+      "M1" -> Seq("Mg{2+}", "Fe{2+}"),
+      "M2" -> Seq("Al{3+}", "Fe{3+}", "Ti{4+}"))
+    override val optionalColumns = Set("Fe{3+}")
+    val endMemberNames = Seq("herc", "sp", "mt", "usp")
+    val mineral: MineralSpec = MineralSpec("TC_sp", 4, Some(3),
+      Seq(ValenceSplit("Fe", "droop")),
+      Seq(
+        SiteDef("M1", 1.0, Seq("Mg{2+}", "Fe{2+}")),
+        SiteDef("M2", 2.0, Seq("Al{3+}", "Fe{3+}", "Ti{4+}"))),
+      totalRange = (99.0, 101.0))
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt (sp block).
+    val pBlock = """
+p(herc)  2 1    0  1   1  y
+             2   -1  1   1  x    1  1   1  z
+
+p(sp)    1 2    1  1  -1  x    1  1   1  z
+
+p(mt)    1 1    1  2  -1  y -1  z
+
+p(usp)   1 1    0  1   1  z
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] = Seq(
+      "Fe" -> comp("Fe{2+}"),
+      "Mg" -> comp("Mg{2+}"),
+      "Al" -> comp("Al{3+}"),
+      "Fe3" -> comp("Fe{3+}"),
+      "Ti" -> comp("Ti{4+}"))
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = {
+      val pool2 = sf("Al") + sf("Fe3") + lit(2.0) * sf("Ti")
+      Seq(
+        "x" -> sf("Fe") / (sf("Fe") + sf("Mg")),
+        "y" -> sf("Al") / pool2,
+        "z" -> lit(2.0) * sf("Ti") / pool2)
+    }
+  }
+
+  /** Magnetite 'mt1' — composition-dependent default ordering
+    * Q = 2x/(2+x) (reference: hpxeos/metapelite/magnetite.py). */
+  object TcMagnetite extends Phase {
+    val abbreviation = "mt1"
+    val sites = Seq(
+      "T" -> Seq("Fe{2+}", "Fe{3+}"),
+      "M" -> Seq("Fe{2+}", "Fe{3+}", "Ti{4+}"))
+    val endMemberNames = Seq("imt", "dmt", "usp")
+    override val orderParameterNames = Seq("Q")
+    val mineral: MineralSpec = MineralSpec("TC_mt1", 4, Some(3),
+      Seq(ValenceSplit("Fe", "droop")),
+      Seq(
+        SiteDef("T", 1.0, Seq("Mg{2+}", "Fe{2+}", "Mn{2+}")),
+        SiteDef("M", 2.0, Seq("Al{3+}", "Fe{3+}", "Ti{4+}", "Cr{3+}"))),
+      totalRange = (93.0, 100.5))
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt (mt1 block).
+    val pBlock = """
+p(imt)  1 1    0  2 -2  x  3  Q
+
+p(dmt)  1 1    0  2  3  x -3  Q
+
+p(usp)  1 1    1  1 -1  x
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] =
+      Seq("Ti" -> comp("Ti{4+}"))
+
+    override def orderDefault(name: String, sf: String => Column): Column = {
+      val x = lit(1.0) - sf("Ti")
+      lit(2.0) * x / (lit(2.0) + x)
+    }
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "x" -> (lit(1.0) - sf("Ti")),
+      "Q" -> order("Q"))
+  }
+
+  /** Sapphirine 'sa' — order parameter Q
+    * (reference: hpxeos/metapelite/sapphirine.py). */
+  object TcSapphirine extends Phase {
+    val abbreviation = "sa"
+    val sites = Seq(
+      "M3" -> Seq("Mg{2+}", "Fe{2+}", "Fe{3+}", "Al{3+}"),
+      "M456" -> Seq("Mg{2+}", "Fe{2+}"),
+      "T" -> Seq("Si{4+}", "Al{3+}"))
+    override val optionalColumns = Set("Fe{3+}")
+    val endMemberNames = Seq("spr4", "spr5", "fspm", "spro", "ospr")
+    override val orderParameterNames = Seq("Q")
+    val mineral: MineralSpec = MineralSpec("TC_sa", 20, Some(5),
+      Seq(ValenceSplit("Fe", "droop")),
+      Seq(
+        SiteDef("M3", 1.0, Seq("Mg{2+}", "Fe{2+}", "Fe{3+}", "Al{3+}")),
+        SiteDef("M456", 3.0, Seq("Mg{2+}", "Fe{2+}")),
+        SiteDef("T", 1.0, Seq("Si{4+}", "Al{3+}"))),
+      totalRange = (99.0, 101.0))
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 1067-1082.
+    val pBlock = """
+p(spr4)    1 1    1  4  -1/4  Q  -1  f  -1  x  -1  y
+
+p(spr5)    1 1    0  1  1  y
+
+p(fspm)    3 1    0  2   1  x  -3/4  Q
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -1  x    0  1  1  y
+
+p(spro)    3 1    0  1   1  Q
+             2    0  1  1  f    0  1  1  x
+             2    0  1  1  x    0  1  1  y
+
+p(ospr)    1 1    0  1  1  f
+"""
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 1099-1117.
+    override val sfBlock = """
+xMgM3      3 1    1  4  -1  f  -1  x  -1  y  3/4  Q
+             2    0  1  1  f    0  1  1  x
+             2    0  1  1  x    0  1  1  y
+
+xFeM3      3 1    0  2   1  x  -3/4  Q
+             2    0  1  -1  f    0  1  1  x
+             2    0  1  -1  x    0  1  1  y
+
+xFe3M3     1 1    0  1  1  f
+
+xAlM3      1 1    0  1  1  y
+
+xMgM456    1 1    1  2  -1/4  Q  -1  x
+
+xFeM456    1 1    0  2  1/4  Q   1  x
+
+xSiT       1 1    1  2  -1  f  -1  y
+
+xAlT       1 1    0  2   1  f   1  y
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] = Seq(
+      "Fe" -> comp("Fe{2+}"),
+      "Mg" -> comp("Mg{2+}"),
+      "Fe3" -> comp("Fe{3+}"),
+      "AlOct" -> (comp("Al{3+}") + comp("Si{4+}") - lit(10.0)))
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "x" -> sf("Fe") / (sf("Fe") + sf("Mg")),
+      "y" -> sf("AlOct"),
+      "f" -> sf("Fe3"),
+      "Q" -> order("Q"))
+  }
+
+  /** Ilmenite 'ilm' — older FTO model (no Mg/Mn), order parameter Q
+    * (reference: hpxeos/metapelite/ilmenite.py). x defaults to 1 when
+    * Fe3+ is absent. */
+  object TcIlmenite extends Phase {
+    val abbreviation = "ilm"
+    val sites = Seq(
+      "A" -> Seq("Fe{2+}", "Ti{4+}", "Fe{3+}"),
+      "B" -> Seq("Fe{2+}", "Ti{4+}", "Fe{3+}"))
+    override val optionalColumns = Set("Fe{3+}")
+    val endMemberNames = Seq("oilm", "dilm", "dhem")
+    override val orderParameterNames = Seq("Q")
+    val mineral: MineralSpec = MineralSpec("TC_ilm", 3, Some(2),
+      Seq(ValenceSplit("Fe", "droop")),
+      Seq(
+        SiteDef("A", 1.0, Seq("Fe{2+}", "Mg{2+}", "Mn{2+}", "Fe{3+}")),
+        SiteDef("B", 1.0, Seq("Ti{4+}", "Fe{3+}", "Al{3+}", "Cr{3+}"))),
+      totalRange = (93.0, 100.5))
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 1893-1897.
+    val pBlock = """
+p(oilm)  1 1    0  1  1  Q
+
+p(dilm)  1 1    0  2  1  x -1  Q
+
+p(dhem)  1 1    1  1 -1  x
+"""
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 1910-1920.
+    override val sfBlock = """
+xFe2A  1 1    0  2  1/2  x  1/2  Q
+xTiA   1 1    0  2  1/2  x -1/2  Q
+xFe3A  1 1    1  1 -1  x
+xFe2B  1 1    0  2  1/2  x -1/2  Q
+xTiB   1 1    0  2  1/2  x  1/2  Q
+xFe3B  1 1    1  1 -1  x
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] =
+      Seq("Fe3" -> comp("Fe{3+}"))
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "x" -> (lit(1.0) - sf("Fe3") / 2.0),
+      "Q" -> order("Q"))
+  }
+
+  /** Plagioclase C-1 'plc' — older single-site ternary feldspar
+    * (reference: hpxeos/metapelite/plagioclase_cbar1.py). */
+  object TcPlagioclaseCbar1 extends Phase {
+    val abbreviation = "plc"
+    val sites = Seq("A" -> Seq("Na{+}", "Ca{2+}", "K{+}"))
+    val endMemberNames = Seq("abh", "anC", "san")
+    val mineral: MineralSpec = TcPl4tr.mineral.copy(name = "TC_plc")
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 284-286.
+    val pBlock = """
+p(abh)    1 1    1 2 -1 k -1 ca
+p(anC)    1 1    0 1  1 ca
+p(san)    1 1    0 1  1 k
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] = Seq(
+      "xNa" -> comp("Na{+}") / siteTotal("A"),
+      "xCa" -> comp("Ca{2+}") / siteTotal("A"),
+      "xK" -> comp("K{+}") / siteTotal("A"))
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "ca" -> sf("xCa"), "k" -> sf("xK"))
+  }
+
+  /** K-feldspar C-1 'ksp' — same single-site model, K-friendly
+    * parameterisation (reference: hpxeos/metapelite/kfeldspar_cbar1.py). */
+  object TcKFeldsparCbar1 extends Phase {
+    val abbreviation = "ksp"
+    val sites = Seq("A" -> Seq("Na{+}", "Ca{2+}", "K{+}"))
+    val endMemberNames = Seq("san", "abh", "anC")
+    val mineral: MineralSpec = TcPl4tr.mineral.copy(name = "TC_ksp")
+
+    // Verbatim from tc-mp51MnNCKFMASHTO.txt, lines 347-351.
+    val pBlock = """
+p(san)     1 1    1  2  -1  ca  -1  na
+p(abh)     1 1    0  1  1  na
+p(anC)     1 1    0  1  1  ca
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] =
+      TcPlagioclaseCbar1.siteFractions(comp, siteTotal)
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "na" -> sf("xNa"), "ca" -> sf("xCa"))
+  }
+
   val phases: Seq[Phase] =
     Seq(TcGarnet, TcBiotite, TcPl4tr, TcK4tr, TcChloritoid, TcStaurolite,
       TcCordierite, TcMuscovite, TcMargarite, TcChlorite, TcEpidote,
-      TcOrthopyroxene)
+      TcOrthopyroxene, TcIlmeniteMixed, TcSpinel, TcMagnetite, TcSapphirine,
+      TcIlmenite, TcPlagioclaseCbar1, TcKFeldsparCbar1)
 }

@@ -29,6 +29,11 @@ abstract class Phase {
   def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)]
   def variables(sf: String => Column, order: String => Column): Seq[(String, Column)]
 
+  /** Default for an unsupplied order parameter — 0 (fully disordered)
+    * unless a phase defines a composition-dependent default (e.g.
+    * magnetite's Q). Evaluated over the site-fraction columns. */
+  def orderDefault(name: String, sf: String => Column): Column = lit(0.0)
+
   /** Required composition columns = all site cations minus optional. */
   def requiredColumns: Set[String] =
     sites.flatMap(_._2).toSet -- optionalColumns
@@ -52,7 +57,7 @@ abstract class Phase {
     def order(name: String): Column = orderParameters.get(name) match {
       case Some(Left(v)) => lit(v)
       case Some(Right(c)) => c
-      case None => lit(0.0)
+      case None => orderDefault(name, col)
     }
     val varExprs = variables(col, order)
     val orderExtra = orderParameterNames.filterNot(n => varExprs.exists(_._1 == n))

@@ -170,6 +170,43 @@ class HpxeosSpec extends AnyFunSuite {
     assert(eo("prgm") > 0 && eo("kprg") > 0) // A-site occupancy activates
   }
 
+  test("ilmm, sp, mt1, sa sum to 100 (Fe-Ti oxides + sapphirine)") {
+    val ilm = frame(Seq("TiO2", "FeO", "MgO", "MnO"),
+      Seq(Seq(50.0, 45.0, 2.0, 1.5)))
+    val e1 = row0(Metapelite.TcIlmeniteMixed.endMembers(ilm,
+      orderParameters = Map("Q" -> Left(0.8)), validate = true))
+    assert(math.abs(e1.values.sum - 100.0) < 0.01)
+    val sp = frame(Seq("Al2O3", "FeO", "MgO", "TiO2"),
+      Seq(Seq(55.0, 25.0, 16.0, 1.0)))
+    val e2 = row0(Metapelite.TcSpinel.endMembers(sp, validate = true))
+    assert(math.abs(e2.values.sum - 100.0) < 0.01)
+    assert(e2("sp") + e2("herc") > 50.0) // aluminous spinel
+    // magnetite: composition-dependent default Q = 2x/(2+x)
+    val mt = frame(Seq("FeO", "TiO2"), Seq(Seq(85.0, 8.0)))
+    val e3 = row0(Metapelite.TcMagnetite.endMembers(mt, validate = true))
+    assert(math.abs(e3.values.sum - 100.0) < 0.01)
+    assert(e3("usp") > 0)
+    val sa = frame(Seq("SiO2", "Al2O3", "FeO", "MgO"),
+      Seq(Seq(13.0, 62.0, 8.0, 16.0)))
+    val e4 = row0(Metapelite.TcSapphirine.endMembers(sa, validate = true))
+    assert(math.abs(e4.values.sum - 100.0) < 0.01)
+  }
+
+  test("ilm + C-1 feldspars complete the metapelite set (19 phases)") {
+    assert(Metapelite.phases.length == 19)
+    val ilm = frame(Seq("TiO2", "FeO"), Seq(Seq(51.0, 46.0)))
+    val e = row0(Metapelite.TcIlmenite.endMembers(ilm,
+      orderParameters = Map("Q" -> Left(0.5)), validate = true))
+    assert(math.abs(e.values.sum - 100.0) < 0.01)
+    val fsp = frame(Seq("SiO2", "Al2O3", "CaO", "Na2O", "K2O"),
+      Seq(Seq(62.0, 24.0, 5.5, 7.5, 1.0)))
+    val plc = row0(Metapelite.TcPlagioclaseCbar1.endMembers(fsp, validate = true))
+    val ksp = row0(Metapelite.TcKFeldsparCbar1.endMembers(fsp, validate = true))
+    // same single-site model, different parameterisation: must agree
+    Seq("abh", "anC", "san").foreach(n =>
+      assert(math.abs(plc(n) - ksp(n)) < 1e-9, n))
+  }
+
   test("scalacheck-style invariant: random admissible variables give sum=1") {
     // py+alm+spss+gr+kho is an algebraic identity in (x,z,m,f); check it
     // over a deterministic grid of admissible variable values.
