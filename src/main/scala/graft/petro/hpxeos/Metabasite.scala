@@ -162,5 +162,91 @@ xOV        1 1    0  1  1  t
       "Q1" -> order("Q1"), "Q2" -> order("Q2"))
   }
 
-  val phases: Seq[Phase] = Seq(TcAmphibole)
+  /** Olivine 'ol' — single M site, no order parameter
+    * (reference: hpxeos/metabasite/olivine.py). */
+  object TcOlivine extends Phase {
+    val abbreviation = "ol"
+    val sites = Seq("M" -> Seq("Mg{2+}", "Fe{2+}"))
+    val endMemberNames = Seq("fo", "fa")
+    val mineral: MineralSpec = MineralSpec("TC_ol", 4, Some(3), Nil,
+      Seq(
+        SiteDef("T", 1.0, Seq("Si{4+}")),
+        SiteDef("M", 2.0, Seq("Mg{2+}", "Fe{2+}", "Mn{2+}", "Ca{2+}"))),
+      totalRange = (98.0, 101.0))
+
+    // Verbatim from tc-mb51NCKFMASHTO.txt, lines 934-936.
+    val pBlock = """
+p(fo)      1  1    1  1 -1  x
+p(fa)      1  1    0  1  1  x
+"""
+    // Verbatim from tc-mb51NCKFMASHTO.txt, lines 944-946.
+    override val sfBlock = """
+xMgM    1 1      1  1 -1  x
+xFeM    1 1      0  1  1  x
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] = Seq(
+      "xMgM" -> comp("Mg{2+}") / siteTotal("M"),
+      "xFeM" -> comp("Fe{2+}") / siteTotal("M"))
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] =
+      Seq("x" -> sf("xFeM"))
+  }
+
+  /** Peristerite 'abc' — charge-coupled NaSi/CaAl pseudo-site
+    * (reference: hpxeos/metabasite/peristerite.py). */
+  object TcPeristerite extends Phase {
+    val abbreviation = "abc"
+    val sites = Seq("A" -> Seq("Na{+}", "Ca{2+}"))
+    val endMemberNames = Seq("abm", "anm")
+    val mineral: MineralSpec = MineralSpec("TC_abc", 8, None, Nil,
+      Seq(
+        SiteDef("A", 1.0, Seq("Na{+}", "Ca{2+}")),
+        SiteDef("T", 4.0, Seq("Al{3+}", "Si{4+}"))),
+      totalRange = (98.5, 101.5))
+
+    // Verbatim from tc-mb51NCKFMASHTO.txt, lines 1050-1051.
+    val pBlock = """
+p(abm)   1 1    1 1 -1 ca
+p(anm)   1 1    0 1  1 ca
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] = Seq(
+      "xNaA" -> comp("Na{+}") / siteTotal("A"),
+      "xCaA" -> comp("Ca{2+}") / siteTotal("A"))
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] =
+      Seq("ca" -> sf("xCaA"))
+  }
+
+  /** Plagioclase I-1 'pli' — older single-site ternary feldspar
+    * (reference: hpxeos/metabasite/plagioclase_ibar1.py). */
+  object TcPlagioclaseIbar1 extends Phase {
+    val abbreviation = "pli"
+    val sites = Seq("A" -> Seq("Na{+}", "Ca{2+}", "K{+}"))
+    val endMemberNames = Seq("abhI", "an", "san")
+    val mineral: MineralSpec = MineralSpec("TC_pli", 8, None, Nil,
+      Seq(
+        SiteDef("A", 1.0, Seq("Na{+}", "Ca{2+}", "K{+}")),
+        SiteDef("T", 4.0, Seq("Al{3+}", "Si{4+}"))),
+      totalRange = (98.5, 101.5))
+
+    // Verbatim from tc-mb51NCKFMASHTO.txt, lines 1302-1304.
+    val pBlock = """
+p(abhI)  1 1    1 2 -1 k -1 ca
+p(an)    1 1    0 1  1 ca
+p(san)   1 1    0 1  1 k
+"""
+
+    def siteFractions(comp: String => Column, siteTotal: String => Column): Seq[(String, Column)] = Seq(
+      "xNa" -> comp("Na{+}") / siteTotal("A"),
+      "xCa" -> comp("Ca{2+}") / siteTotal("A"),
+      "xK" -> comp("K{+}") / siteTotal("A"))
+
+    def variables(sf: String => Column, order: String => Column): Seq[(String, Column)] = Seq(
+      "ca" -> sf("xCa"), "k" -> sf("xK"))
+  }
+
+  val phases: Seq[Phase] =
+    Seq(TcAmphibole, TcOlivine, TcPeristerite, TcPlagioclaseIbar1)
 }

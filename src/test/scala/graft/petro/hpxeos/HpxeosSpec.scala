@@ -207,6 +207,22 @@ class HpxeosSpec extends AnyFunSuite {
       assert(math.abs(plc(n) - ksp(n)) < 1e-9, n))
   }
 
+  test("metabasite ol, abc, pli sum to 100") {
+    val ol = frame(Seq("SiO2", "FeO", "MgO"), Seq(Seq(40.0, 12.0, 48.0)))
+    val e1 = row0(Metabasite.TcOlivine.endMembers(ol, validate = true))
+    assert(math.abs(e1.values.sum - 100.0) < 0.01)
+    assert(e1("fo") > e1("fa")) // forsteritic
+    val ab = frame(Seq("SiO2", "Al2O3", "CaO", "Na2O"),
+      Seq(Seq(66.0, 21.0, 2.5, 10.0)))
+    val e2 = row0(Metabasite.TcPeristerite.endMembers(ab, validate = true))
+    assert(math.abs(e2.values.sum - 100.0) < 0.01)
+    assert(e2("abm") > 80.0) // albitic
+    val fsp = frame(Seq("SiO2", "Al2O3", "CaO", "Na2O", "K2O"),
+      Seq(Seq(62.0, 24.0, 5.5, 7.5, 1.0)))
+    val e3 = row0(Metabasite.TcPlagioclaseIbar1.endMembers(fsp, validate = true))
+    assert(math.abs(e3.values.sum - 100.0) < 0.01)
+  }
+
   test("scalacheck-style invariant: random admissible variables give sum=1") {
     // py+alm+spss+gr+kho is an algebraic identity in (x,z,m,f); check it
     // over a deterministic grid of admissible variable values.
