@@ -436,7 +436,7 @@ xvH        1 1    1  1  -1  h
       "c" -> sf("Ca") / sf("ATotal"))
   }
 
-  private val muMineral = MineralSpec("TC_mu", 13, Some(5),
+  private[hpxeos] val muMineral = MineralSpec("TC_mu", 13, Some(5),
     Seq(ValenceSplit("Fe", "droop")),
     Seq(
       SiteDef("A", 1.0, Seq("K{+}", "Na{+}", "Ca{2+}")),

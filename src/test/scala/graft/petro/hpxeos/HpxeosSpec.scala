@@ -223,6 +223,154 @@ class HpxeosSpec extends AnyFunSuite {
     assert(math.abs(e3.values.sum - 100.0) < 0.01)
   }
 
+  // ---- metabasite aug/dio + Mn-free phases (test_tc_minerals.py) ----------
+
+  // CPX_DF fixture (test_tc_minerals.py:417-428)
+  lazy val cpxDf = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "Na2O", "TiO2"),
+    Seq(Seq(50.0, 5.0, 8.0, 12.0, 20.0, 3.0, 0.5)))
+
+  test("metabasite aug (Qfm,Qal) sums to 100 at any order state") {
+    val e = row0(Metabasite.TcAugite.endMembers(cpxDf, validate = true))
+    assert(e.size == 8)
+    assert(math.abs(e.values.sum - 100.0) < 0.01, s"sum=${e.values.sum}")
+    val eo = row0(Metabasite.TcAugite.endMembers(cpxDf,
+      orderParameters = Map("Qfm" -> Left(0.1), "Qal" -> Left(0.05)),
+      validate = true))
+    assert(math.abs(eo.values.sum - 100.0) < 0.01)
+    assert(math.abs(eo("ocats") - 5.0) < 1e-6) // ocats = Qal directly
+    assert(math.abs(eo("fmc") - e("fmc")) > 1e-9)
+  }
+
+  test("metabasite dio (Q,Qaf,Qfm) sums to 100; di-dominant for calcic cpx") {
+    val e = row0(Metabasite.TcOmphacite.endMembers(cpxDf, validate = true))
+    assert(e.size == 7)
+    assert(math.abs(e.values.sum - 100.0) < 0.01, s"sum=${e.values.sum}")
+    assert(e("di") > e("jd")) // Ca >> Na here
+    val eo = row0(Metabasite.TcOmphacite.endMembers(cpxDf,
+      orderParameters = Map("Q" -> Left(0.1), "Qaf" -> Left(0.02), "Qfm" -> Left(-0.05)),
+      validate = true))
+    assert(math.abs(eo.values.sum - 100.0) < 0.01)
+    assert(math.abs(eo("om") - 20.0) < 1e-6) // om = 2Q
+  }
+
+  test("metabasite Mn-free g/bi/mu agree with shapes of metapelite models") {
+    val g = row0(Metabasite.TcGarnet.endMembers(garnetDf, validate = true))
+    assert(g.keySet == Set("py", "alm", "gr", "kho"))
+    assert(math.abs(g.values.sum - 100.0) < 0.01)
+    assert(g("alm") > g("py")) // Fe-rich fixture
+    val bi = row0(Metabasite.TcBiotite.endMembers(biotiteDf, validate = true))
+    assert(math.abs(bi.values.sum - 100.0) < 0.01)
+    val mica = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "K2O", "Na2O", "CaO"),
+      Seq(Seq(46.0, 34.0, 1.5, 1.0, 10.0, 1.0, 0.3)))
+    val mu = row0(Metabasite.TcMuscovite.endMembers(mica, validate = true))
+    val muP = row0(Metapelite.TcMuscovite.endMembers(mica))
+    assert(math.abs(mu.values.sum - 100.0) < 0.01)
+    // identical model, Ca member relabeled mam (muscovite.py:1-8)
+    assert(math.abs(mu("mam") - muP("mat")) < 1e-9)
+    assert(math.abs(mu("mu") - muP("mu")) < 1e-9)
+  }
+
+  test("metabasite Mn-free chl/opx/ilmm sum to 100 at any order state") {
+    val chl = frame(Seq("SiO2", "Al2O3", "FeO", "MgO"),
+      Seq(Seq(26.0, 21.0, 20.0, 18.0)))
+    val e0 = row0(Metabasite.TcChlorite.endMembers(chl, validate = true))
+    assert(math.abs(e0.values.sum - 100.0) < 0.01)
+    val eq = row0(Metabasite.TcChlorite.endMembers(chl,
+      orderParameters = Map("QAl" -> Left(0.2), "Q1" -> Left(0.1), "Q4" -> Left(-0.1)),
+      validate = true))
+    assert(math.abs(eq.values.sum - 100.0) < 0.01)
+    val opx = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO"),
+      Seq(Seq(52.0, 4.0, 18.0, 24.0, 1.2)))
+    val o = row0(Metabasite.TcOrthopyroxene.endMembers(opx, validate = true))
+    assert(math.abs(o.values.sum - 100.0) < 0.01)
+    assert(o("en") > o("fs"))
+    val ilm = frame(Seq("TiO2", "FeO", "MgO"), Seq(Seq(50.0, 45.0, 2.0)))
+    val i = row0(Metabasite.TcIlmeniteMixed.endMembers(ilm,
+      orderParameters = Map("Q" -> Left(0.8)), validate = true))
+    assert(math.abs(i.values.sum - 100.0) < 0.01)
+    assert(Metabasite.phases.length == 12)
+  }
+
+  // ---- igneous axfile set (test_tc_minerals.py igneous + new coverage) ----
+
+  test("igneous g_W24 (Cr/Ti end-members) sums to 100 (GARNET_IG_DF)") {
+    val g = frame(Seq("SiO2", "Al2O3", "Cr2O3", "TiO2", "FeO", "MgO", "CaO"),
+      Seq(Seq(38.5, 22.1, 0.0, 0.0, 28.3, 5.2, 3.8),
+        Seq(40.0, 20.0, 2.5, 1.0, 18.0, 12.0, 5.5)))
+    val e = Igneous.TcGarnetW24.endMembers(g, validate = true)
+    assert(e.columns.toSeq == Seq("py", "alm", "gr", "andr", "knor", "tig"))
+    e.collect().foreach { r =>
+      val s = (0 until 6).map(r.getDouble).sum
+      assert(math.abs(s - 100.0) < 0.01, s"sum=$s")
+    }
+    val cr = row0(e.where(org.apache.spark.sql.functions.col("knor") > 0))
+    assert(cr("knor") > 0 && cr("tig") > 0) // Cr/Ti row activates new members
+  }
+
+  test("igneous cpx_W24 and opx_W24 sum to 100 at any order state") {
+    val cpx = frame(
+      Seq("SiO2", "Al2O3", "Cr2O3", "TiO2", "FeO", "MgO", "CaO", "Na2O", "K2O"),
+      Seq(Seq(50.0, 5.0, 0.3, 0.5, 8.0, 12.0, 20.0, 3.0, 0.1)))
+    val e = row0(Igneous.TcClinopyroxeneW24.endMembers(cpx, validate = true))
+    assert(e.size == 10)
+    assert(math.abs(e.values.sum - 100.0) < 0.01, s"sum=${e.values.sum}")
+    val eo = row0(Igneous.TcClinopyroxeneW24.endMembers(cpx,
+      orderParameters = Map("Q" -> Left(0.1)), validate = true))
+    assert(math.abs(eo.values.sum - 100.0) < 0.01)
+    assert(math.abs(eo("cen") - e("cen")) > 1e-9)
+    val opx = frame(
+      Seq("SiO2", "Al2O3", "Cr2O3", "TiO2", "FeO", "MgO", "CaO", "Na2O"),
+      Seq(Seq(52.0, 4.0, 0.3, 0.3, 18.0, 24.0, 1.2, 0.2)))
+    val o = row0(Igneous.TcOrthopyroxeneW24.endMembers(opx, validate = true))
+    assert(o.size == 9)
+    assert(math.abs(o.values.sum - 100.0) < 0.01, s"sum=${o.values.sum}")
+    assert(o("en") > o("fs"))
+  }
+
+  test("igneous spl_T21 (Q1,Q2,Q3) and ol_H18 (Q) sum to 100") {
+    val sp = frame(Seq("Al2O3", "Cr2O3", "TiO2", "FeO", "MgO"),
+      Seq(Seq(50.0, 8.0, 1.0, 22.0, 16.0)))
+    val e = row0(Igneous.TcSpinelT21.endMembers(sp, validate = true))
+    assert(e.size == 8)
+    assert(math.abs(e.values.sum - 100.0) < 0.01, s"sum=${e.values.sum}")
+    val eo = row0(Igneous.TcSpinelT21.endMembers(sp,
+      orderParameters = Map("Q1" -> Left(0.5), "Q2" -> Left(0.2), "Q3" -> Left(-0.1)),
+      validate = true))
+    assert(math.abs(eo.values.sum - 100.0) < 0.01)
+    assert(math.abs(eo("nsp") - e("nsp")) > 1e-9)
+    val ol = frame(Seq("SiO2", "FeO", "MgO", "CaO"),
+      Seq(Seq(40.0, 12.0, 47.0, 1.0)))
+    val o = row0(Igneous.TcOlivineH18.endMembers(ol, validate = true))
+    assert(math.abs(o.values.sum - 100.0) < 0.01)
+    assert(o("fo") > o("fa"))
+    // pure-cfm override state still sums to 1 (olivine.py:17-24)
+    val oq = row0(Igneous.TcOlivineH18.endMembers(ol,
+      orderParameters = Map("Q" -> Left(0.1)), validate = true))
+    assert(math.abs(oq("cfm") - 20.0) < 1.0) // cfm ~ 2Q - c*x
+  }
+
+  test("igneous bi_G25/cd_G25/ilm_W24 complete the set (8 phases)") {
+    assert(Igneous.phases.length == 8)
+    val bi = row0(Igneous.TcBiotiteG25.endMembers(biotiteDf, validate = true))
+    assert(bi.contains("est")) // axfile's own relabel of east
+    assert(math.abs(bi.values.sum - 100.0) < 0.01)
+    val biP = row0(Metapelite.TcBiotite.endMembers(biotiteDf))
+    // Mn-free core: phl differs from metapelite's only through the m terms
+    assert(bi("phl") != biP("phl"))
+    val cd = frame(Seq("SiO2", "Al2O3", "FeO", "MgO"),
+      Seq(Seq(48.5, 33.0, 8.0, 8.5)))
+    val e3 = row0(Igneous.TcCordieriteG25.endMembers(cd,
+      orderParameters = Map("h" -> Left(0.5)), validate = true))
+    assert(math.abs(e3.values.sum - 100.0) < 0.01)
+    assert(math.abs(e3("hcrd") - 50.0) < 1e-6)
+    val ilm = frame(Seq("TiO2", "FeO", "MgO"), Seq(Seq(50.0, 45.0, 2.0)))
+    val i0 = row0(Igneous.TcIlmeniteW24.endMembers(ilm,
+      orderParameters = Map("Q" -> Left(0.6), "Qt" -> Left(0.6)),
+      validate = true))
+    assert(math.abs(i0.values.sum - 100.0) < 0.01)
+    assert(i0("ogk") >= 0 || i0("dgk") >= 0)
+  }
+
   test("scalacheck-style invariant: random admissible variables give sum=1") {
     // py+alm+spss+gr+kho is an algebraic identity in (x,z,m,f); check it
     // over a deterministic grid of admissible variable values.
