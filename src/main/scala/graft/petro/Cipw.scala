@@ -80,25 +80,41 @@ object Cipw {
 
   // ---- C2/C3 row functions (pure Scala, run under Dataset.map) -------------
 
-  /** Array-backed named-value store: the row functions address values by
-    * mineral name (faithful to the algorithm's published form) but the
-    * per-row storage is a flat Double array — name->slot resolution is a
-    * shared immutable HashMap built once per variant, so the hot loop
-    * does no per-row map allocation. */
-  private final class Y(idx: java.util.HashMap[String, Integer]) {
-    val arr = new Array[Double](idx.size)
-    def apply(n: String): Double = arr(idx.get(n).intValue)
-    def update(n: String, v: Double): Unit = arr(idx.get(n).intValue) = v
+  /** Static slot layout for the row functions' working store. The 36
+    * standard-CIPW names are an exact prefix of the CIPWhb list, so one
+    * layout serves both variants: [0,36) shared minerals, [36,47) hb
+    * extras, then mgr/fer/femg scratch. Names resolve to `final val` int
+    * slots at class-init time — the hot loop does plain array indexing,
+    * no per-row hashing (the reference's dict-keyed row state,
+    * _calc.py:1319-1473, resolved ahead of time). */
+  private object S {
+    private val layout: Map[String, Int] =
+      (CIPWHB_RESULT_NAMES.dropRight(1) ++ Seq("mgr", "fer", "femg"))
+        .zipWithIndex.toMap
+    val size: Int = layout.size
+    val Q = layout("Q"); val C = layout("C"); val Or = layout("Or")
+    val Ab = layout("Ab"); val An = layout("An"); val Lc = layout("Lc")
+    val Ne = layout("Ne"); val Kp = layout("Kp"); val Nc = layout("Nc")
+    val Ac = layout("Ac"); val Ns = layout("Ns"); val Ks = layout("Ks")
+    val Di = layout("Di"); val MgDi = layout("MgDi"); val FeDi = layout("FeDi")
+    val Wo = layout("Wo"); val Hy = layout("Hy"); val En = layout("En")
+    val Fs = layout("Fs"); val Ol = layout("Ol"); val Fo = layout("Fo")
+    val Fa = layout("Fa"); val Dcs = layout("Dcs"); val Mt = layout("Mt")
+    val Il = layout("Il"); val Hm = layout("Hm"); val Tn = layout("Tn")
+    val Pf = layout("Pf"); val Ru = layout("Ru"); val Ap = layout("Ap")
+    val Fr = layout("Fr"); val Py = layout("Py"); val Cc = layout("Cc")
+    val Sp = layout("Sp"); val MgSp = layout("MgSp"); val FeSp = layout("FeSp")
+    val Bi = layout("Bi"); val MgBi = layout("MgBi"); val FeBi = layout("FeBi")
+    val Hbl = layout("Hbl"); val Act = layout("Act"); val MgAct = layout("MgAct")
+    val FeAct = layout("FeAct"); val Ed = layout("Ed"); val MgEd = layout("MgEd")
+    val FeEd = layout("FeEd"); val Ri = layout("Ri")
+    val mgr = layout("mgr"); val fer = layout("fer"); val femg = layout("femg")
   }
-  private def buildIdx(names: Seq[String]): java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer]()
-    (names ++ Seq("mgr", "fer", "femg")).zipWithIndex.foreach {
-      case (n, i) => m.put(n, i)
-    }
-    m
+  private final class Y {
+    val arr = new Array[Double](S.size)
+    def apply(i: Int): Double = arr(i)
+    def update(i: Int, v: Double): Unit = arr(i) = v
   }
-  private val cipwIdx = buildIdx(CIPW_RESULT_NAMES.dropRight(1))
-  private val cipwHbIdx = buildIdx(CIPWHB_RESULT_NAMES.dropRight(1))
   private val cipwMwArr: Array[Double] =
     CIPW_RESULT_NAMES.dropRight(1).map(normMw).toArray
   private val cipwHbMwArr: Array[Double] =
@@ -123,7 +139,6 @@ object Cipw {
   /** Shared allocation prefix (reference: _cipw_common_allocations,
     * _calc.py:1195-1316). Returns remaining (si,ti,al,fe3,fe2,mg,ca,na). */
   private def commonAllocations(ox: Array[Double],
-      idx: java.util.HashMap[String, Integer],
       cancrinite: Boolean): (Y, Array[Double]) = {
     var si = ox(iSiO2); var ti = ox(iTiO2); var al = ox(iAl2O3)
     val fe3 = ox(iFe2O3); var fe2 = ox(iFeO) + ox(iMnO)
@@ -131,40 +146,40 @@ object Cipw {
     var k = ox(iK2O); var co2 = ox(iCO2); var p = ox(iP2O5)
     var fl = ox(iF); var s = ox(iS)
 
-    val y = new Y(idx)
+    val y = new Y
 
-    if (ca >= 10.0 / 3 * p) { y("Ap") = p; ca = ca - y("Ap") * 10 / 3 }
-    else { y("Ap") = 3.0 / 10 * ca; p = p - y("Ap"); ca = 0 }
+    if (ca >= 10.0 / 3 * p) { y(S.Ap) = p; ca = ca - y(S.Ap) * 10 / 3 }
+    else { y(S.Ap) = 3.0 / 10 * ca; p = p - y(S.Ap); ca = 0 }
 
-    if (fl >= 2.0 / 3 * y("Ap") && !fl.isNaN) fl = fl - 2.0 / 3 * y("Ap")
+    if (fl >= 2.0 / 3 * y(S.Ap) && !fl.isNaN) fl = fl - 2.0 / 3 * y(S.Ap)
     else fl = 0
 
-    if (ca >= 0.5 * fl) { y("Fr") = 0.5 * fl; ca = ca - y("Fr") }
-    else { y("Fr") = ca; fl = fl - 2 * y("Fr"); ca = 0 }
+    if (ca >= 0.5 * fl) { y(S.Fr) = 0.5 * fl; ca = ca - y(S.Fr) }
+    else { y(S.Fr) = ca; fl = fl - 2 * y(S.Fr); ca = 0 }
 
     if (!s.isNaN) {
-      if (fe2 >= 0.5 * s) { y("Py") = 0.5 * s; fe2 = fe2 - y("Py") }
-      else { y("Py") = fe2; s = s - 2 * y("Py"); fe2 = 0 }
+      if (fe2 >= 0.5 * s) { y(S.Py) = 0.5 * s; fe2 = fe2 - y(S.Py) }
+      else { y(S.Py) = fe2; s = s - 2 * y(S.Py); fe2 = 0 }
     }
 
-    if (cancrinite) { y("Nc") = co2; na = na - y("Nc") }
+    if (cancrinite) { y(S.Nc) = co2; na = na - y(S.Nc) }
 
     if (!co2.isNaN) {
-      if (ca >= co2) { y("Cc") = co2; ca = ca - y("Cc"); co2 = 0 }
-      else { y("Cc") = ca; co2 = co2 - y("Cc"); ca = 0 }
+      if (ca >= co2) { y(S.Cc) = co2; ca = ca - y(S.Cc); co2 = 0 }
+      else { y(S.Cc) = ca; co2 = co2 - y(S.Cc); ca = 0 }
     }
 
-    if (fe2 >= ti) { y("Il") = ti; fe2 = fe2 - y("Il"); ti = 0 }
-    else { y("Il") = fe2; ti = ti - y("Il"); fe2 = 0 }
+    if (fe2 >= ti) { y(S.Il) = ti; fe2 = fe2 - y(S.Il); ti = 0 }
+    else { y(S.Il) = fe2; ti = ti - y(S.Il); fe2 = 0 }
 
-    if (al >= k) { y("Or") = k; al = al - y("Or"); si = si - 6 * y("Or"); k = 0 }
+    if (al >= k) { y(S.Or) = k; al = al - y(S.Or); si = si - 6 * y(S.Or); k = 0 }
     else {
-      y("Or") = al; k = k - y("Or"); si = si - 6 * y("Or"); al = 0
-      y("Ks") = k; si = si - y("Ks"); k = 0
+      y(S.Or) = al; k = k - y(S.Or); si = si - 6 * y(S.Or); al = 0
+      y(S.Ks) = k; si = si - y(S.Ks); k = 0
     }
 
-    if (al >= na) { y("Ab") = na; al = al - y("Ab"); si = si - 6 * y("Ab"); na = 0 }
-    else { y("Ab") = al; na = na - y("Ab"); si = si - 6 * y("Ab"); al = 0 }
+    if (al >= na) { y(S.Ab) = na; al = al - y(S.Ab); si = si - 6 * y(S.Ab); na = 0 }
+    else { y(S.Ab) = al; na = na - y(S.Ab); si = si - 6 * y(S.Ab); al = 0 }
 
     (y, Array(si, ti, al, fe3, fe2, mg, ca, na))
   }
@@ -180,18 +195,17 @@ object Cipw {
 
   /** Finalize standard CIPW (reference: _cipw_final, _calc.py:1167-1192). */
   private def cipwFinal(y: Y, normsum: Boolean): Array[Double] = {
-    y("En") = y("mgr") * y("Hy"); y("Fs") = y("fer") * y("Hy")
-    y("Fo") = y("mgr") * y("Ol"); y("Fa") = y("fer") * y("Ol")
-    y("MgDi") = y("mgr") * y("Di"); y("FeDi") = y("fer") * y("Di")
+    y(S.En) = y(S.mgr) * y(S.Hy); y(S.Fs) = y(S.fer) * y(S.Hy)
+    y(S.Fo) = y(S.mgr) * y(S.Ol); y(S.Fa) = y(S.fer) * y(S.Ol)
+    y(S.MgDi) = y(S.mgr) * y(S.Di); y(S.FeDi) = y(S.fer) * y(S.Di)
     val n = CIPW_RESULT_NAMES.length - 1
     val w = new Array[Double](n)
     var i = 0
     while (i < n) { w(i) = y.arr(i) * cipwMwArr(i); i += 1 }
-    def wi(nm: String): Int = cipwIdx.get(nm).intValue
-    w(wi("Di")) = w(wi("MgDi")) + w(wi("FeDi"))
-    w(wi("Hy")) = w(wi("En")) + w(wi("Fs"))
-    w(wi("Ol")) = w(wi("Fo")) + w(wi("Fa"))
-    w(wi("Sp")) = w(wi("MgSp")) + w(wi("FeSp"))
+    w(S.Di) = w(S.MgDi) + w(S.FeDi)
+    w(S.Hy) = w(S.En) + w(S.Fs)
+    w(S.Ol) = w(S.Fo) + w(S.Fa)
+    w(S.Sp) = w(S.MgSp) + w(S.FeSp)
     var total = 0.0
     i = 0; while (i < n) { if (!cipwExcluded(i)) total += w(i); i += 1 }
     if (normsum) {
@@ -208,99 +222,98 @@ object Cipw {
     * (reference: _cipw_norm_row, _calc.py:1319-1473). */
   def cipwRow(ox: Array[Double], normsum: Boolean, cancrinite: Boolean,
       spinel: Boolean): Array[Double] = {
-    val (y, r) = commonAllocations(ox, cipwIdx, cancrinite)
+    val (y, r) = commonAllocations(ox, cancrinite)
     var si = r(0); var ti = r(1); var al = r(2); var fe3 = r(3)
     var fe2 = r(4); val mg = r(5); var ca = r(6); var na = r(7)
 
     if (na >= fe3) {
-      y("Ac") = fe3; na = na - y("Ac"); fe3 = 0
-      y("Ns") = na; si = si - 4 * y("Ac") - y("Ns")
-    } else { y("Ac") = na; fe3 = fe3 - y("Ac"); na = 0; si = si - 4 * y("Ac") }
+      y(S.Ac) = fe3; na = na - y(S.Ac); fe3 = 0
+      y(S.Ns) = na; si = si - 4 * y(S.Ac) - y(S.Ns)
+    } else { y(S.Ac) = na; fe3 = fe3 - y(S.Ac); na = 0; si = si - 4 * y(S.Ac) }
 
     if (al >= ca) {
-      y("An") = ca; al = al - y("An"); ca = 0; si = si - 2 * y("An")
-      y("C") = al; al = 0
-    } else { y("An") = al; ca = ca - y("An"); si = si - 2 * y("An"); al = 0 }
+      y(S.An) = ca; al = al - y(S.An); ca = 0; si = si - 2 * y(S.An)
+      y(S.C) = al; al = 0
+    } else { y(S.An) = al; ca = ca - y(S.An); si = si - 2 * y(S.An); al = 0 }
 
-    if (ca >= ti) { y("Tn") = ti; ca = ca - y("Tn"); si = si - y("Tn"); ti = 0 }
+    if (ca >= ti) { y(S.Tn) = ti; ca = ca - y(S.Tn); si = si - y(S.Tn); ti = 0 }
     else {
-      y("Tn") = ca; ti = ti - y("Tn"); ca = 0
-      y("Ru") = ti; si = si - y("Tn"); ti = 0
+      y(S.Tn) = ca; ti = ti - y(S.Tn); ca = 0
+      y(S.Ru) = ti; si = si - y(S.Tn); ti = 0
     }
 
-    if (fe3 >= fe2) { y("Mt") = fe2; fe3 = fe3 - y("Mt"); fe2 = 0; y("Hm") = fe3; fe3 = 0 }
-    else { y("Mt") = fe3; fe2 = fe2 - y("Mt"); fe3 = 0 }
+    if (fe3 >= fe2) { y(S.Mt) = fe2; fe3 = fe3 - y(S.Mt); fe2 = 0; y(S.Hm) = fe3; fe3 = 0 }
+    else { y(S.Mt) = fe3; fe2 = fe2 - y(S.Mt); fe3 = 0 }
 
     if (fe2 + mg == 0.0)
       throw new ArithmeticException("fe2+mg == 0") // reference ZeroDivisionError -> NaN row
-    y("fer") = fe2 / (fe2 + mg); y("mgr") = mg / (fe2 + mg); y("femg") = fe2 + mg
+    y(S.fer) = fe2 / (fe2 + mg); y(S.mgr) = mg / (fe2 + mg); y(S.femg) = fe2 + mg
 
     if (spinel && si < 45) {
-      if (y("femg") <= y("C")) {
-        y("MgSp") = y("mgr") * y("femg"); y("FeSp") = y("fer") * y("femg")
-        y("C") = y("C") - y("MgSp") - y("FeSp")
-        y("MgSp") = y("mgr") * y("C"); y("FeSp") = y("fer") * y("C")
-        y("C") = 0; y("femg") = y("femg") - y("MgSp") - y("FeSp")
+      if (y(S.femg) <= y(S.C)) {
+        y(S.MgSp) = y(S.mgr) * y(S.femg); y(S.FeSp) = y(S.fer) * y(S.femg)
+        y(S.C) = y(S.C) - y(S.MgSp) - y(S.FeSp)
+        y(S.MgSp) = y(S.mgr) * y(S.C); y(S.FeSp) = y(S.fer) * y(S.C)
+        y(S.C) = 0; y(S.femg) = y(S.femg) - y(S.MgSp) - y(S.FeSp)
       }
     }
 
-    if (ca >= y("femg")) {
-      y("Di") = y("femg"); ca = ca - y("femg"); y("Wo") = ca
-      si = si - 2 * y("Di") - y("Wo"); ca = 0
+    if (ca >= y(S.femg)) {
+      y(S.Di) = y(S.femg); ca = ca - y(S.femg); y(S.Wo) = ca
+      si = si - 2 * y(S.Di) - y(S.Wo); ca = 0
     } else {
-      y("Di") = ca; y("femg") = y("femg") - ca; y("Hy") = y("femg")
-      si = si - 2 * y("Di") - y("Hy")
+      y(S.Di) = ca; y(S.femg) = y(S.femg) - ca; y(S.Hy) = y(S.femg)
+      si = si - 2 * y(S.Di) - y(S.Hy)
     }
 
-    if (si >= 0) { y("Q") = si; return cipwFinal(y, normsum) }
-    y("Q") = 0
+    if (si >= 0) { y(S.Q) = si; return cipwFinal(y, normsum) }
+    y(S.Q) = 0
     var d = math.abs(si)
 
-    if (d <= y("Hy") / 2) { y("Ol") = d; y("Hy") = y("Hy") - 2 * d; return cipwFinal(y, normsum) }
-    y("Ol") = y("Hy") / 2; d = d - y("Hy") / 2; y("Hy") = 0
+    if (d <= y(S.Hy) / 2) { y(S.Ol) = d; y(S.Hy) = y(S.Hy) - 2 * d; return cipwFinal(y, normsum) }
+    y(S.Ol) = y(S.Hy) / 2; d = d - y(S.Hy) / 2; y(S.Hy) = 0
 
-    if (d <= y("Tn")) { y("Tn") = y("Tn") - d; y("Pf") = d; return cipwFinal(y, normsum) }
-    y("Pf") = y("Tn"); d = d - y("Tn"); y("Tn") = 0
+    if (d <= y(S.Tn)) { y(S.Tn) = y(S.Tn) - d; y(S.Pf) = d; return cipwFinal(y, normsum) }
+    y(S.Pf) = y(S.Tn); d = d - y(S.Tn); y(S.Tn) = 0
 
-    if (d <= 4 * y("Ab")) { y("Ne") = d / 4; y("Ab") = y("Ab") - d / 4; return cipwFinal(y, normsum) }
-    y("Ne") = y("Ab"); d = d - 4 * y("Ab"); y("Ab") = 0
+    if (d <= 4 * y(S.Ab)) { y(S.Ne) = d / 4; y(S.Ab) = y(S.Ab) - d / 4; return cipwFinal(y, normsum) }
+    y(S.Ne) = y(S.Ab); d = d - 4 * y(S.Ab); y(S.Ab) = 0
 
-    if (d <= 2 * y("Or")) { y("Lc") = d / 2; y("Or") = y("Or") - d / 2; return cipwFinal(y, normsum) }
-    y("Lc") = y("Or"); d = d - 2 * y("Or"); y("Or") = 0
+    if (d <= 2 * y(S.Or)) { y(S.Lc) = d / 2; y(S.Or) = y(S.Or) - d / 2; return cipwFinal(y, normsum) }
+    y(S.Lc) = y(S.Or); d = d - 2 * y(S.Or); y(S.Or) = 0
 
-    if (d < y("Wo") / 2) { y("Dcs") = d; y("Wo") = y("Wo") - 2 * d; return cipwFinal(y, normsum) }
-    y("Dcs") = y("Wo") / 2; d = d - y("Wo") / 2; y("Wo") = 0
+    if (d < y(S.Wo) / 2) { y(S.Dcs) = d; y(S.Wo) = y(S.Wo) - 2 * d; return cipwFinal(y, normsum) }
+    y(S.Dcs) = y(S.Wo) / 2; d = d - y(S.Wo) / 2; y(S.Wo) = 0
 
-    if (d <= y("Di")) {
-      y("Dcs") = y("Dcs") + d / 2; y("Ol") = y("Ol") + d / 2
-      y("Di") = y("Di") - d; y("Kp") = 0
+    if (d <= y(S.Di)) {
+      y(S.Dcs) = y(S.Dcs) + d / 2; y(S.Ol) = y(S.Ol) + d / 2
+      y(S.Di) = y(S.Di) - d; y(S.Kp) = 0
       return cipwFinal(y, normsum)
     }
-    y("Dcs") = y("Dcs") + y("Di") / 2; y("Ol") = y("Ol") + y("Di") / 2
-    d = d - y("Di"); y("Di") = 0
+    y(S.Dcs) = y(S.Dcs) + y(S.Di) / 2; y(S.Ol) = y(S.Ol) + y(S.Di) / 2
+    d = d - y(S.Di); y(S.Di) = 0
 
-    y("Kp") = d / 2; y("Lc") = y("Lc") - d / 2
+    y(S.Kp) = d / 2; y(S.Lc) = y(S.Lc) - d / 2
     cipwFinal(y, normsum)
   }
 
   /** Finalize CIPWhb (reference: _cipwhb_final, _calc.py:1479-1513). */
   private def cipwHbFinal(y: Y, normsum: Boolean): Array[Double] = {
-    y("En") = y("mgr") * y("Hy"); y("Fs") = y("fer") * y("Hy")
-    y("Fo") = y("mgr") * y("Ol"); y("Fa") = y("fer") * y("Ol")
-    y("MgDi") = y("mgr") * y("Di"); y("FeDi") = y("fer") * y("Di")
+    y(S.En) = y(S.mgr) * y(S.Hy); y(S.Fs) = y(S.fer) * y(S.Hy)
+    y(S.Fo) = y(S.mgr) * y(S.Ol); y(S.Fa) = y(S.fer) * y(S.Ol)
+    y(S.MgDi) = y(S.mgr) * y(S.Di); y(S.FeDi) = y(S.fer) * y(S.Di)
     val n = CIPWHB_RESULT_NAMES.length - 1
     val w = new Array[Double](n)
     var i = 0
     while (i < n) { w(i) = y.arr(i) * cipwHbMwArr(i); i += 1 }
-    def wi(nm: String): Int = cipwHbIdx.get(nm).intValue
-    w(wi("Di")) = w(wi("MgDi")) + w(wi("FeDi"))
-    w(wi("Hy")) = w(wi("En")) + w(wi("Fs"))
-    w(wi("Ol")) = w(wi("Fo")) + w(wi("Fa"))
-    w(wi("Sp")) = w(wi("MgSp")) + w(wi("FeSp"))
-    w(wi("Bi")) = w(wi("MgBi")) + w(wi("FeBi"))
-    w(wi("Act")) = w(wi("MgAct")) + w(wi("FeAct"))
-    w(wi("Ed")) = w(wi("MgEd")) + w(wi("FeEd"))
-    w(wi("Hbl")) = w(wi("Act")) + w(wi("Ed")) + w(wi("Ri"))
+    w(S.Di) = w(S.MgDi) + w(S.FeDi)
+    w(S.Hy) = w(S.En) + w(S.Fs)
+    w(S.Ol) = w(S.Fo) + w(S.Fa)
+    w(S.Sp) = w(S.MgSp) + w(S.FeSp)
+    w(S.Bi) = w(S.MgBi) + w(S.FeBi)
+    w(S.Act) = w(S.MgAct) + w(S.FeAct)
+    w(S.Ed) = w(S.MgEd) + w(S.FeEd)
+    w(S.Hbl) = w(S.Act) + w(S.Ed) + w(S.Ri)
     var total = 0.0
     i = 0; while (i < n) { if (!cipwHbExcluded(i)) total += w(i); i += 1 }
     if (normsum) {
@@ -317,139 +330,139 @@ object Cipw {
     * reference: _cipwhb_norm_row, _calc.py:1516-1735). */
   def cipwHbRow(ox: Array[Double], normsum: Boolean, cancrinite: Boolean,
       spinel: Boolean): Array[Double] = {
-    val (y, r) = commonAllocations(ox, cipwHbIdx, cancrinite)
+    val (y, r) = commonAllocations(ox, cancrinite)
     var si = r(0); var al = r(2); var fe3 = r(3)
     var fe2 = r(4); val mg = r(5); var ca = r(6); var na = r(7)
 
     // Riebeckite
     if (fe3 <= fe2 / 3) {
       if (na <= fe3) {
-        y("Ri") = na; fe3 = fe3 - y("Ri"); fe2 = fe2 - 3 * y("Ri")
-        si = si - 8 * y("Ri"); na = 0
+        y(S.Ri) = na; fe3 = fe3 - y(S.Ri); fe2 = fe2 - 3 * y(S.Ri)
+        si = si - 8 * y(S.Ri); na = 0
       } else {
-        y("Ri") = fe3; na = na - y("Ri"); fe2 = fe2 - 3 * y("Ri")
-        si = si - 8 * y("Ri"); fe3 = 0
+        y(S.Ri) = fe3; na = na - y(S.Ri); fe2 = fe2 - 3 * y(S.Ri)
+        si = si - 8 * y(S.Ri); fe3 = 0
       }
     } else {
       if (na <= fe2 / 3) {
-        y("Ri") = na; fe3 = fe3 - y("Ri"); fe2 = fe2 - 3 * y("Ri")
-        si = si - 8 * y("Ri"); na = 0
+        y(S.Ri) = na; fe3 = fe3 - y(S.Ri); fe2 = fe2 - 3 * y(S.Ri)
+        si = si - 8 * y(S.Ri); na = 0
       } else {
-        y("Ri") = fe2 / 3; na = na - y("Ri"); fe3 = fe3 - y("Ri")
-        si = si - 8 * y("Ri"); fe2 = 0
+        y(S.Ri) = fe2 / 3; na = na - y(S.Ri); fe3 = fe3 - y(S.Ri)
+        si = si - 8 * y(S.Ri); fe2 = 0
       }
     }
 
-    y("Ns") = na; si = si - y("Ns")
+    y(S.Ns) = na; si = si - y(S.Ns)
 
-    if (fe3 >= fe2) { y("Mt") = fe2; fe3 = fe3 - y("Mt"); fe2 = 0; y("Hm") = fe3; fe3 = 0 }
-    else { y("Mt") = fe3; fe2 = fe2 - y("Mt"); fe3 = 0 }
+    if (fe3 >= fe2) { y(S.Mt) = fe2; fe3 = fe3 - y(S.Mt); fe2 = 0; y(S.Hm) = fe3; fe3 = 0 }
+    else { y(S.Mt) = fe3; fe2 = fe2 - y(S.Mt); fe3 = 0 }
 
     if (fe2 + mg == 0.0) throw new ArithmeticException("fe2+mg == 0")
-    y("fer") = fe2 / (fe2 + mg); y("mgr") = mg / (fe2 + mg); y("femg") = fe2 + mg
+    y(S.fer) = fe2 / (fe2 + mg); y(S.mgr) = mg / (fe2 + mg); y(S.femg) = fe2 + mg
 
     if (spinel && si < 45) {
-      if (y("femg") <= y("C")) {
-        y("MgSp") = y("mgr") * y("femg"); y("FeSp") = y("fer") * y("femg")
-        y("C") = y("C") - y("MgSp") - y("FeSp")
-        y("MgSp") = y("mgr") * y("C"); y("FeSp") = y("fer") * y("C")
-        y("C") = 0; y("femg") = y("femg") - y("MgSp") - y("FeSp")
+      if (y(S.femg) <= y(S.C)) {
+        y(S.MgSp) = y(S.mgr) * y(S.femg); y(S.FeSp) = y(S.fer) * y(S.femg)
+        y(S.C) = y(S.C) - y(S.MgSp) - y(S.FeSp)
+        y(S.MgSp) = y(S.mgr) * y(S.C); y(S.FeSp) = y(S.fer) * y(S.C)
+        y(S.C) = 0; y(S.femg) = y(S.femg) - y(S.MgSp) - y(S.FeSp)
       }
     }
 
     if (al >= ca) {
-      y("An") = ca; al = al - y("An"); ca = 0; si = si - 2 * y("An")
-      y("C") = al; al = 0
-    } else { y("An") = al; ca = ca - y("An"); si = si - 2 * y("An"); al = 0 }
+      y(S.An) = ca; al = al - y(S.An); ca = 0; si = si - 2 * y(S.An)
+      y(S.C) = al; al = 0
+    } else { y(S.An) = al; ca = ca - y(S.An); si = si - 2 * y(S.An); al = 0 }
 
     // Biotite
-    if (y("femg") <= 6 * y("Or")) {
-      y("MgBi") = 1.0 / 6 * y("mgr") * y("femg")
-      y("FeBi") = 1.0 / 6 * y("fer") * y("femg")
-      y("Or") = y("Or") - y("MgBi") - y("FeBi"); y("femg") = 0
+    if (y(S.femg) <= 6 * y(S.Or)) {
+      y(S.MgBi) = 1.0 / 6 * y(S.mgr) * y(S.femg)
+      y(S.FeBi) = 1.0 / 6 * y(S.fer) * y(S.femg)
+      y(S.Or) = y(S.Or) - y(S.MgBi) - y(S.FeBi); y(S.femg) = 0
     } else {
-      y("MgBi") = y("mgr") * y("Or"); y("FeBi") = y("fer") * y("Or")
-      y("femg") = y("femg") - 6 * (y("FeBi") + y("MgBi")); y("Or") = 0
+      y(S.MgBi) = y(S.mgr) * y(S.Or); y(S.FeBi) = y(S.fer) * y(S.Or)
+      y(S.femg) = y(S.femg) - 6 * (y(S.FeBi) + y(S.MgBi)); y(S.Or) = 0
     }
 
     // Actinolite
-    if (y("femg") <= 5.0 / 2 * ca) {
-      y("MgAct") = 1.0 / 5 * y("mgr") * y("femg")
-      y("FeAct") = 1.0 / 5 * y("fer") * y("femg")
-      ca = ca - 2 * (y("MgAct") + y("FeAct")); y("femg") = 0
-      y("Wo") = ca; si = si - 8 * (y("FeAct") + y("MgAct")) - y("Wo"); ca = 0
+    if (y(S.femg) <= 5.0 / 2 * ca) {
+      y(S.MgAct) = 1.0 / 5 * y(S.mgr) * y(S.femg)
+      y(S.FeAct) = 1.0 / 5 * y(S.fer) * y(S.femg)
+      ca = ca - 2 * (y(S.MgAct) + y(S.FeAct)); y(S.femg) = 0
+      y(S.Wo) = ca; si = si - 8 * (y(S.FeAct) + y(S.MgAct)) - y(S.Wo); ca = 0
     } else {
-      y("MgAct") = 0.5 * y("mgr") * ca; y("FeAct") = 0.5 * y("fer") * ca
-      y("femg") = y("femg") - 5 * (y("FeAct") + y("MgAct")); ca = 0
-      y("En") = y("mgr") * y("femg"); y("Fs") = y("fer") * y("femg")
-      si = si - 8 * (y("MgAct") + y("FeAct")) - y("En") - y("Fs")
+      y(S.MgAct) = 0.5 * y(S.mgr) * ca; y(S.FeAct) = 0.5 * y(S.fer) * ca
+      y(S.femg) = y(S.femg) - 5 * (y(S.FeAct) + y(S.MgAct)); ca = 0
+      y(S.En) = y(S.mgr) * y(S.femg); y(S.Fs) = y(S.fer) * y(S.femg)
+      si = si - 8 * (y(S.MgAct) + y(S.FeAct)) - y(S.En) - y(S.Fs)
     }
 
-    if (si >= 0) { y("Q") = si; return cipwHbFinal(y, normsum) }
-    y("Q") = 0
+    if (si >= 0) { y(S.Q) = si; return cipwHbFinal(y, normsum) }
+    y(S.Q) = 0
     var d = math.abs(si)
 
     // Edenite from actinolite + albite
-    if (y("MgAct") + y("FeAct") >= 2 * y("Ab")) {
-      if (y("Ab") >= d / 8) {
-        y("MgEd") = y("mgr") * d / 8; y("FeEd") = y("fer") * d / 8
-        y("MgAct") = y("MgAct") - 2 * y("MgEd"); y("FeAct") = y("FeAct") - 2 * y("FeEd")
-        y("Ab") = y("Ab") - (y("MgEd") + y("FeEd"))
+    if (y(S.MgAct) + y(S.FeAct) >= 2 * y(S.Ab)) {
+      if (y(S.Ab) >= d / 8) {
+        y(S.MgEd) = y(S.mgr) * d / 8; y(S.FeEd) = y(S.fer) * d / 8
+        y(S.MgAct) = y(S.MgAct) - 2 * y(S.MgEd); y(S.FeAct) = y(S.FeAct) - 2 * y(S.FeEd)
+        y(S.Ab) = y(S.Ab) - (y(S.MgEd) + y(S.FeEd))
         return cipwHbFinal(y, normsum)
       } else {
-        y("MgEd") = y("mgr") * y("Ab"); y("FeEd") = y("fer") * y("Ab")
-        y("MgAct") = y("MgAct") - 2 * y("MgEd"); y("FeAct") = y("FeAct") - 2 * y("FeEd")
-        d = d - 8 * (y("MgEd") + y("FeEd")); y("Ab") = 0
+        y(S.MgEd) = y(S.mgr) * y(S.Ab); y(S.FeEd) = y(S.fer) * y(S.Ab)
+        y(S.MgAct) = y(S.MgAct) - 2 * y(S.MgEd); y(S.FeAct) = y(S.FeAct) - 2 * y(S.FeEd)
+        d = d - 8 * (y(S.MgEd) + y(S.FeEd)); y(S.Ab) = 0
       }
     } else {
-      if (y("MgAct") + y("FeAct") >= d / 4) {
-        y("MgEd") = y("mgr") * d / 8; y("FeEd") = y("fer") * d / 8
-        y("MgAct") = y("MgAct") - 2 * y("MgEd"); y("FeAct") = y("FeAct") - 2 * y("FeEd")
-        y("Ab") = y("Ab") - (y("MgEd") + y("FeEd"))
+      if (y(S.MgAct) + y(S.FeAct) >= d / 4) {
+        y(S.MgEd) = y(S.mgr) * d / 8; y(S.FeEd) = y(S.fer) * d / 8
+        y(S.MgAct) = y(S.MgAct) - 2 * y(S.MgEd); y(S.FeAct) = y(S.FeAct) - 2 * y(S.FeEd)
+        y(S.Ab) = y(S.Ab) - (y(S.MgEd) + y(S.FeEd))
         return cipwHbFinal(y, normsum)
       } else {
-        y("MgEd") = 0.5 * y("MgAct"); y("FeEd") = 0.5 * y("FeAct")
-        y("Ab") = y("Ab") - (y("MgEd") + y("FeEd"))
-        d = d - 8 * (y("MgEd") + y("FeEd"))
-        y("MgAct") = 0; y("FeAct") = 0
+        y(S.MgEd) = 0.5 * y(S.MgAct); y(S.FeEd) = 0.5 * y(S.FeAct)
+        y(S.Ab) = y(S.Ab) - (y(S.MgEd) + y(S.FeEd))
+        d = d - 8 * (y(S.MgEd) + y(S.FeEd))
+        y(S.MgAct) = 0; y(S.FeAct) = 0
       }
     }
 
-    if (d <= 0.5 * (y("En") + y("Fs"))) {
-      y("Fo") = y("mgr") * d; y("Fa") = y("fer") * d
-      y("En") = y("En") - 2 * y("Fo"); y("Fs") = y("Fs") - 2 * y("Fa")
+    if (d <= 0.5 * (y(S.En) + y(S.Fs))) {
+      y(S.Fo) = y(S.mgr) * d; y(S.Fa) = y(S.fer) * d
+      y(S.En) = y(S.En) - 2 * y(S.Fo); y(S.Fs) = y(S.Fs) - 2 * y(S.Fa)
       return cipwHbFinal(y, normsum)
     }
-    y("Fo") = 0.5 * y("En"); y("Fa") = 0.5 * y("Fs")
-    d = d - 0.5 * (y("En") + y("Fs")); y("En") = 0; y("Fs") = 0
+    y(S.Fo) = 0.5 * y(S.En); y(S.Fa) = 0.5 * y(S.Fs)
+    d = d - 0.5 * (y(S.En) + y(S.Fs)); y(S.En) = 0; y(S.Fs) = 0
 
-    if (y("Fo") + y("Fa") <= 0.5 * y("C")) {
-      if (y("Fo") + y("Fa") >= d) {
-        y("MgSp") = y("MgSp") + 2 * y("mgr") * d; y("FeSp") = y("FeSp") + 2 * y("fer") * d
-        y("C") = y("C") - 2 * d
-        y("Fo") = y("Fo") - y("mgr") * d; y("Fa") = y("Fa") - y("fer") * d
+    if (y(S.Fo) + y(S.Fa) <= 0.5 * y(S.C)) {
+      if (y(S.Fo) + y(S.Fa) >= d) {
+        y(S.MgSp) = y(S.MgSp) + 2 * y(S.mgr) * d; y(S.FeSp) = y(S.FeSp) + 2 * y(S.fer) * d
+        y(S.C) = y(S.C) - 2 * d
+        y(S.Fo) = y(S.Fo) - y(S.mgr) * d; y(S.Fa) = y(S.Fa) - y(S.fer) * d
         return cipwHbFinal(y, normsum)
       } else {
-        y("MgSp") = y("MgSp") + 2 * y("Fo"); y("FeSp") = y("FeSp") + 2 * y("Fa")
-        y("C") = y("C") - 2 * (y("Fo") + y("Fa"))
-        d = d - (y("Fo") + y("Fa")); y("Fo") = 0; y("Fa") = 0
+        y(S.MgSp) = y(S.MgSp) + 2 * y(S.Fo); y(S.FeSp) = y(S.FeSp) + 2 * y(S.Fa)
+        y(S.C) = y(S.C) - 2 * (y(S.Fo) + y(S.Fa))
+        d = d - (y(S.Fo) + y(S.Fa)); y(S.Fo) = 0; y(S.Fa) = 0
       }
     } else {
-      if (y("C") >= 2 * d) {
-        y("MgSp") = y("MgSp") + 2 * y("mgr") * d; y("FeSp") = y("FeSp") + 2 * y("fer") * d
-        y("C") = y("C") - 2 * d
-        y("Fo") = y("Fo") - y("mgr") * d; y("Fa") = y("Fa") - y("fer") * d
+      if (y(S.C) >= 2 * d) {
+        y(S.MgSp) = y(S.MgSp) + 2 * y(S.mgr) * d; y(S.FeSp) = y(S.FeSp) + 2 * y(S.fer) * d
+        y(S.C) = y(S.C) - 2 * d
+        y(S.Fo) = y(S.Fo) - y(S.mgr) * d; y(S.Fa) = y(S.Fa) - y(S.fer) * d
         return cipwHbFinal(y, normsum)
       } else {
-        y("MgSp") = y("MgSp") + 2 * y("mgr") * y("C"); y("FeSp") = y("FeSp") + 2 * y("fer") * y("C")
-        d = d - 0.5 * y("C")
-        y("Fo") = y("Fo") - 0.5 * y("mgr") * y("C"); y("Fa") = y("Fa") - 0.5 * y("fer") * y("C")
-        y("C") = 0
+        y(S.MgSp) = y(S.MgSp) + 2 * y(S.mgr) * y(S.C); y(S.FeSp) = y(S.FeSp) + 2 * y(S.fer) * y(S.C)
+        d = d - 0.5 * y(S.C)
+        y(S.Fo) = y(S.Fo) - 0.5 * y(S.mgr) * y(S.C); y(S.Fa) = y(S.Fa) - 0.5 * y(S.fer) * y(S.C)
+        y(S.C) = 0
       }
     }
 
-    if (d <= 4 * y("Ab")) { y("Ne") = d / 4; y("Ab") = y("Ab") - d / 4; return cipwHbFinal(y, normsum) }
-    y("Ne") = y("Ab"); d = d - 4 * y("Ab"); y("Ab") = 0
+    if (d <= 4 * y(S.Ab)) { y(S.Ne) = d / 4; y(S.Ab) = y(S.Ab) - d / 4; return cipwHbFinal(y, normsum) }
+    y(S.Ne) = y(S.Ab); d = d - 4 * y(S.Ab); y(S.Ab) = 0
     cipwHbFinal(y, normsum)
   }
 
@@ -488,8 +501,14 @@ object Cipw {
     }(Encoders.row(outSchema))
     if (completeResults) result
     else {
+      // G5 zero-column pruning needs one pass to decide the projection and
+      // a second to emit rows. Persist the expensive Dataset.map output so
+      // the second pass reads the cache instead of recomputing the norm
+      // (MEMORY_AND_DISK: spills rather than recomputes at scale). For
+      // fully streaming one-pass behavior at scale, callers should prefer
+      // completeResults=true (deterministic schema, no pruning pass).
       val kept = result.drop(dropCols: _*)
-      // G5 zero-column pruning: one aggregate pass decides the projection
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val valCols = kept.columns.filterNot(carry.contains)
       val nonZero = kept.agg(
         max(abs(col(valCols.head))).as(valCols.head),

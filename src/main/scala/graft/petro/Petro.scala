@@ -252,12 +252,15 @@ object Convert {
     * Spark side decide idempotence from schema + a flag instead. */
   def oxidizeMoles(df: DataFrame, oExcess: Column, valueCols: Seq[String]): DataFrame = {
     if (!df.columns.contains("FeO")) return df
+    // schema-level idempotence: an analysis that already reports Fe2O3
+    // alongside FeO is left unchanged (reference returns unchanged when
+    // Fe2O3 > 0 exists; here the decision is schema-driven, no action)
+    if (df.columns.contains("Fe2O3")) return df
     val total = rowSum(valueCols)
     val oMol = oExcess / 100.0 * total
     val fe3 = least(greatest(lit(2.0) * oMol, lit(0.0)), col("FeO"))
-    df.withColumn("Fe2O3_new", fe3 / 2.0)
+    df.withColumn("Fe2O3", fe3 / 2.0)
       .withColumn("FeO", col("FeO") - fe3)
-      .withColumnRenamed("Fe2O3_new", "Fe2O3")
   }
 
   /** Apatite correction: CaO -= (10/3)*mol(P2O5)*MW(CaO); P2O5 := 0
