@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Text-analysis and dedup operators for large-scale document pipelines.
   *
@@ -22,22 +23,29 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Lowercased alphanumeric tokens of a text column. */
-  def tokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), x => x =!= lit(""))
+  /** Lowercased alphanumeric tokens of a text column — a codegen'd
+    * [[Tokens]] kernel (one compiled pass; identical semantics to
+    * `filter(split(lower(c), "[^a-z0-9]+"), _ != "")`). */
+  def tokens(c: Column): Column = Bridge.column(Tokens(Bridge.expression(c)))
 
-  /** n-word shingles of a *materialized* token-array column. */
+  /** n-word shingles straight from the text column — a codegen'd
+    * [[Shingles]] kernel (tokenize + window-join in one compiled pass). */
+  def shinglesOf(text: Column, n: Int): Column =
+    Bridge.column(Shingles(Bridge.expression(text), n))
+
+  /** n-word shingles of a materialized token-array column (HOF reference
+    * form kept for composability with pre-tokenized frames; the hot path
+    * uses [[shinglesOf]]). */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n), i =>
         concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
       .otherwise(array())
 
-  /** (id, sh) exploded shingle pairs with tokens materialized first. */
+  /** (id, sh) exploded shingle pairs via the compiled shingle kernel. */
   private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("__w"))
-      .select(col(idCol), explode(shingles(col("__w"), shingleWords)).as("sh"))
+    df.select(col(idCol), explode(shinglesOf(col(textCol), shingleWords)).as("sh"))
 
   /** MinHash signature: k min-hashes over n-word shingles. Returns
     * (idCol, h0..h{k-1}, signature). Hex-string MIN is monotone with the

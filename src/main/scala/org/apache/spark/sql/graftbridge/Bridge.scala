@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> catalyst Expression bridge for custom expressions.
+  * `ExpressionUtils` is `private[sql]` in Spark 4's classic API, so the
+  * two one-line forwarders live in an `org.apache.spark.sql` subpackage
+  * (the documented pattern for libraries registering native expressions
+  * without a SparkSessionExtensions FunctionRegistry entry). */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
