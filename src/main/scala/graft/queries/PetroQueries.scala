@@ -188,18 +188,19 @@ object PetroQueries {
       roundAll(n, Seq("id")).orderBy("id")
     }),
 
-    // C2: GCDkit CIPW norm (Dataset.map row function; rows-only check)
+    // C2: GCDkit CIPW norm (Dataset.map row function; full oracle via a
+    // branch-mirroring CASE-cascade SQL)
     "p14_cipw_gcdkit" -> ((s, dir) => {
-      Cipw.cipwNorm(oxWithFe2O3(s, dir), carry = Seq("id"),
-          normsum = true, completeResults = true)
-        .orderBy("id")
+      val n = Cipw.cipwNorm(oxWithFe2O3(s, dir), carry = Seq("id"),
+        normsum = true, completeResults = true)
+      roundAll(n, Seq("id")).orderBy("id")
     }),
 
-    // C3: CIPWhb norm (hornblende/biotite recasting; rows-only check)
+    // C3: CIPWhb norm (hornblende/biotite recasting; full oracle)
     "p15_cipw_hb" -> ((s, dir) => {
-      Cipw.cipwNormHb(oxWithFe2O3(s, dir), carry = Seq("id"),
-          normsum = true, completeResults = true)
-        .orderBy("id")
+      val n = Cipw.cipwNormHb(oxWithFe2O3(s, dir), carry = Seq("id"),
+        normsum = true, completeResults = true)
+      roundAll(n, Seq("id")).orderBy("id")
     }),
 
     // A5-A13: stoichiometry scoring (incl. greedy site allocation A2)
@@ -407,6 +408,8 @@ object PetroQueries {
            FROM ox GROUP BY grp ORDER BY grp"""),
       "p12_apfu_by_charge" -> wrap(s"SELECT id, $chargeSel FROM ox ORDER BY id"),
       "p13_cipw_simple" -> wrap(cipwSimpleSql),
+      "p14_cipw_gcdkit" -> wrap(cipwGcdkitSql),
+      "p15_cipw_hb" -> wrap(cipwHbSql),
       "p16_stoich_garnet" -> wrap(stoichGarnetSql),
       "p17_site_allocation" -> wrap(siteAllocQuerySql),
       "p18_tcbulk_prep" -> wrap(s"$tcPrepCtes SELECT id, $tcPrepSelect FROM pr3 ORDER BY id"),
@@ -626,5 +629,352 @@ object PetroQueries {
         ROUND(hymg * ${mw("MgSiO3")} + hyfe * ${mw("FeSiO3")}, 6) AS "Hy",
         ROUND(GREATEST(si4 - hymg - hyfe, 0.0) * ${mw("SiO2")}, 6) AS "Q"
       FROM s10 ORDER BY id"""
+  }
+
+  // ---- GCDkit CIPW / CIPWhb oracle SQL (mirrors Cipw.cipwRow/cipwHbRow) ----
+  //
+  // Each imperative if/else of the row functions becomes one CTE stage of
+  // CASE expressions carrying the exact same arithmetic per branch (same
+  // operand order and grouping, so the doubles are bit-identical before
+  // ROUND). The early-exit silica-deficit cascade threads a `dn*` done
+  // flag: once a stage's return-branch fires, every later stage is an
+  // identity. Flags in this run: normsum=true, cancrinite=false,
+  // spinel=false (matching the p14/p15 query invocations).
+
+  /** Shared _cipw_common_allocations mirror (Cipw.commonAllocations;
+    * reference _calc.py:1195-1316). Ends at CTE k10 with columns:
+    * ap, fr, py, cc, il, orr, ks, ab0, ca3, ti1, fe2c, al2, na1, si2,
+    * plus untouched mol columns (fe3, mg). H2O/CO2/F/S are absent from
+    * the ox table so their moles are literal 0. */
+  private def cipwCommonCtes: String = {
+    def mw(c: String) = Chem.mw(c)
+    s""", ox2 AS ($OX2_SQL),
+      mol AS (SELECT id,
+        "SiO2" / ${mw("SiO2")} AS si, "TiO2" / ${mw("TiO2")} AS ti,
+        "Al2O3" / ${mw("Al2O3")} AS al, "Fe2O3" / ${mw("Fe2O3")} AS fe3,
+        "FeO" / ${mw("FeO")} + "MnO" / ${mw("MnO")} AS fe2,
+        "MgO" / ${mw("MgO")} AS mg, "CaO" / ${mw("CaO")} AS ca,
+        "Na2O" / ${mw("Na2O")} AS na, "K2O" / ${mw("K2O")} AS k,
+        0.0::DOUBLE AS co2, "P2O5" / ${mw("P2O5")} AS p,
+        0.0::DOUBLE AS fl, 0.0::DOUBLE AS s FROM ox2),
+      k01 AS (SELECT *, CASE WHEN ca >= 10.0/3*p THEN p ELSE 3.0/10*ca END AS ap FROM mol),
+      k02 AS (SELECT *,
+        CASE WHEN ca >= 10.0/3*p THEN ca - ap*10/3 ELSE 0.0 END AS ca1,
+        CASE WHEN fl >= 2.0/3*ap THEN fl - 2.0/3*ap ELSE 0.0 END AS fl1 FROM k01),
+      k03 AS (SELECT *,
+        CASE WHEN ca1 >= 0.5*fl1 THEN 0.5*fl1 ELSE ca1 END AS fr,
+        CASE WHEN fe2 >= 0.5*s THEN 0.5*s ELSE fe2 END AS py FROM k02),
+      k04 AS (SELECT *,
+        CASE WHEN ca1 >= 0.5*fl1 THEN ca1 - fr ELSE 0.0 END AS ca2,
+        CASE WHEN fe2 >= 0.5*s THEN fe2 - py ELSE 0.0 END AS fe2b FROM k03),
+      k05 AS (SELECT *, CASE WHEN ca2 >= co2 THEN co2 ELSE ca2 END AS cc FROM k04),
+      k06 AS (SELECT *,
+        CASE WHEN ca2 >= co2 THEN ca2 - cc ELSE 0.0 END AS ca3,
+        CASE WHEN fe2b >= ti THEN ti ELSE fe2b END AS il FROM k05),
+      k07 AS (SELECT *,
+        CASE WHEN fe2b >= ti THEN fe2b - il ELSE 0.0 END AS fe2c,
+        CASE WHEN fe2b >= ti THEN 0.0 ELSE ti - il END AS ti1,
+        CASE WHEN al >= k THEN k ELSE al END AS orr FROM k06),
+      k08 AS (SELECT *,
+        CASE WHEN al >= k THEN al - orr ELSE 0.0 END AS al1,
+        CASE WHEN al >= k THEN 0.0 ELSE k - orr END AS ks FROM k07),
+      k09 AS (SELECT *, si - 6*orr - ks AS si1,
+        CASE WHEN al1 >= na THEN na ELSE al1 END AS ab0 FROM k08),
+      k10 AS (SELECT *,
+        CASE WHEN al1 >= na THEN al1 - ab0 ELSE 0.0 END AS al2,
+        CASE WHEN al1 >= na THEN 0.0 ELSE na - ab0 END AS na1,
+        si1 - 6*ab0 AS si2 FROM k09)"""
+  }
+
+  /** p14 oracle: Cipw.cipwRow with normsum=true (reference
+    * _cipw_norm_row, _calc.py:1319-1473 + _cipw_final:1167-1192). */
+  private def cipwGcdkitSql: String = {
+    def nm(c: String) = Cipw.normMw(c)
+    // total over CIPW_RESULT_NAMES order minus the excluded sub-splits
+    def tot(p: String) = Seq("q", "c", "or", "ab", "an", "lc", "ne", "kp",
+      "nc", "ac", "ns", "ks", "di", "wo", "hy", "ol", "dcs", "mt", "il",
+      "hm", "tn", "pf", "ru", "ap", "fr", "py", "cc", "sp")
+      .map(p + _).mkString(" + ")
+    val outNames = Seq(
+      "Q" -> "n_q", "C" -> "n_c", "Or" -> "n_or", "Ab" -> "n_ab",
+      "An" -> "n_an", "Lc" -> "n_lc", "Ne" -> "n_ne", "Kp" -> "n_kp",
+      "Nc" -> "n_nc", "Ac" -> "n_ac", "Ns" -> "n_ns", "Ks" -> "n_ks",
+      "Di" -> "n_di", "MgDi" -> "n_mgdi", "FeDi" -> "n_fedi",
+      "Wo" -> "n_wo", "Hy" -> "n_hy", "En" -> "n_en", "Fs" -> "n_fs",
+      "Ol" -> "n_ol", "Fo" -> "n_fo", "Fa" -> "n_fa", "Dcs" -> "n_dcs",
+      "Mt" -> "n_mt", "Il" -> "n_il", "Hm" -> "n_hm", "Tn" -> "n_tn",
+      "Pf" -> "n_pf", "Ru" -> "n_ru", "Ap" -> "n_ap", "Fr" -> "n_fr",
+      "Py" -> "n_py", "Cc" -> "n_cc", "Sp" -> "n_sp", "MgSp" -> "n_mgsp",
+      "FeSp" -> "n_fesp")
+    val sel = outNames.map { case (n0, v) => s"""ROUND($v, 6) AS "$n0"""" }
+      .mkString(", ")
+    s"""$cipwCommonCtes,
+      r11 AS (SELECT *, CASE WHEN na1 >= fe3 THEN fe3 ELSE na1 END AS ac FROM k10),
+      r12 AS (SELECT *,
+        CASE WHEN na1 >= fe3 THEN na1 - ac ELSE 0.0 END AS na2,
+        CASE WHEN na1 >= fe3 THEN 0.0 ELSE fe3 - ac END AS fe3a FROM r11),
+      r13 AS (SELECT *, na2 AS nsv, si2 - 4*ac - na2 AS si3 FROM r12),
+      r14 AS (SELECT *, CASE WHEN al2 >= ca3 THEN ca3 ELSE al2 END AS an FROM r13),
+      r15 AS (SELECT *,
+        CASE WHEN al2 >= ca3 THEN al2 - an ELSE 0.0 END AS cv,
+        CASE WHEN al2 >= ca3 THEN 0.0 ELSE ca3 - an END AS ca4,
+        si3 - 2*an AS si4 FROM r14),
+      r16 AS (SELECT *, CASE WHEN ca4 >= ti1 THEN ti1 ELSE ca4 END AS tn FROM r15),
+      r17 AS (SELECT *,
+        CASE WHEN ca4 >= ti1 THEN ca4 - tn ELSE 0.0 END AS ca5,
+        CASE WHEN ca4 >= ti1 THEN 0.0 ELSE ti1 - tn END AS ru,
+        si4 - tn AS si5 FROM r16),
+      r18 AS (SELECT *, CASE WHEN fe3a >= fe2c THEN fe2c ELSE fe3a END AS mt FROM r17),
+      r19 AS (SELECT *,
+        CASE WHEN fe3a >= fe2c THEN fe3a - mt ELSE 0.0 END AS hm,
+        CASE WHEN fe3a >= fe2c THEN 0.0 ELSE fe2c - mt END AS fe2d FROM r18),
+      r20 AS (SELECT *, fe2d / (fe2d + mg) AS fer, mg / (fe2d + mg) AS mgr,
+        fe2d + mg AS femg FROM r19),
+      r21 AS (SELECT *, CASE WHEN ca5 >= femg THEN femg ELSE ca5 END AS di FROM r20),
+      r22 AS (SELECT *,
+        CASE WHEN ca5 >= femg THEN ca5 - femg ELSE 0.0 END AS wo,
+        CASE WHEN ca5 >= femg THEN 0.0 ELSE femg - ca5 END AS hy FROM r21),
+      r23 AS (SELECT *, CASE WHEN ca5 >= femg THEN si5 - 2*di - wo
+        ELSE si5 - 2*di - hy END AS si6 FROM r22),
+      r24 AS (SELECT *, CASE WHEN si6 >= 0 THEN si6 ELSE 0.0 END AS q,
+        si6 >= 0 AS dn0, ABS(si6) AS d0 FROM r23),
+      r25 AS (SELECT *,
+        CASE WHEN dn0 THEN 0.0 WHEN d0 <= hy/2 THEN d0 ELSE hy/2 END AS ol1,
+        CASE WHEN dn0 THEN hy WHEN d0 <= hy/2 THEN hy - 2*d0 ELSE 0.0 END AS hy1,
+        d0 - hy/2 AS d1, dn0 OR d0 <= hy/2 AS dn1 FROM r24),
+      r26 AS (SELECT *,
+        CASE WHEN dn1 THEN 0.0 WHEN d1 <= tn THEN d1 ELSE tn END AS pf,
+        CASE WHEN dn1 THEN tn WHEN d1 <= tn THEN tn - d1 ELSE 0.0 END AS tn1,
+        d1 - tn AS d2, dn1 OR d1 <= tn AS dn2 FROM r25),
+      r27 AS (SELECT *,
+        CASE WHEN dn2 THEN 0.0 WHEN d2 <= 4*ab0 THEN d2/4 ELSE ab0 END AS ne,
+        CASE WHEN dn2 THEN ab0 WHEN d2 <= 4*ab0 THEN ab0 - d2/4 ELSE 0.0 END AS ab1,
+        d2 - 4*ab0 AS d3, dn2 OR d2 <= 4*ab0 AS dn3 FROM r26),
+      r28 AS (SELECT *,
+        CASE WHEN dn3 THEN 0.0 WHEN d3 <= 2*orr THEN d3/2 ELSE orr END AS lc,
+        CASE WHEN dn3 THEN orr WHEN d3 <= 2*orr THEN orr - d3/2 ELSE 0.0 END AS or1,
+        d3 - 2*orr AS d4, dn3 OR d3 <= 2*orr AS dn4 FROM r27),
+      r29 AS (SELECT *,
+        CASE WHEN dn4 THEN 0.0 WHEN d4 < wo/2 THEN d4 ELSE wo/2 END AS dcs1,
+        CASE WHEN dn4 THEN wo WHEN d4 < wo/2 THEN wo - 2*d4 ELSE 0.0 END AS wo1,
+        d4 - wo/2 AS d5, dn4 OR d4 < wo/2 AS dn5 FROM r28),
+      r30 AS (SELECT *,
+        CASE WHEN dn5 THEN dcs1 WHEN d5 <= di THEN dcs1 + d5/2 ELSE dcs1 + di/2 END AS dcs2,
+        CASE WHEN dn5 THEN ol1 WHEN d5 <= di THEN ol1 + d5/2 ELSE ol1 + di/2 END AS ol2,
+        CASE WHEN dn5 THEN di WHEN d5 <= di THEN di - d5 ELSE 0.0 END AS di1,
+        d5 - di AS d6, dn5 OR d5 <= di AS dn6 FROM r29),
+      r31 AS (SELECT *,
+        CASE WHEN dn6 THEN 0.0 ELSE d6/2 END AS kp,
+        CASE WHEN dn6 THEN lc ELSE lc - d6/2 END AS lc1 FROM r30),
+      r32 AS (SELECT *, mgr*hy1 AS en, fer*hy1 AS fs, mgr*ol2 AS fo,
+        fer*ol2 AS fa, mgr*di1 AS mgdi, fer*di1 AS fedi FROM r31),
+      r33 AS (SELECT *,
+        q * ${nm("Q")} AS w_q, cv * ${nm("C")} AS w_c,
+        or1 * ${nm("Or")} AS w_or, ab1 * ${nm("Ab")} AS w_ab,
+        an * ${nm("An")} AS w_an, lc1 * ${nm("Lc")} AS w_lc,
+        ne * ${nm("Ne")} AS w_ne, kp * ${nm("Kp")} AS w_kp,
+        0.0::DOUBLE AS w_nc, ac * ${nm("Ac")} AS w_ac,
+        nsv * ${nm("Ns")} AS w_ns, ks * ${nm("Ks")} AS w_ks,
+        mgdi * ${nm("MgDi")} AS w_mgdi, fedi * ${nm("FeDi")} AS w_fedi,
+        wo1 * ${nm("Wo")} AS w_wo, en * ${nm("En")} AS w_en,
+        fs * ${nm("Fs")} AS w_fs, fo * ${nm("Fo")} AS w_fo,
+        fa * ${nm("Fa")} AS w_fa, dcs2 * ${nm("Dcs")} AS w_dcs,
+        mt * ${nm("Mt")} AS w_mt, il * ${nm("Il")} AS w_il,
+        hm * ${nm("Hm")} AS w_hm, tn1 * ${nm("Tn")} AS w_tn,
+        pf * ${nm("Pf")} AS w_pf, ru * ${nm("Ru")} AS w_ru,
+        ap * ${nm("Ap")} AS w_ap, fr * ${nm("Fr")} AS w_fr,
+        py * ${nm("Py")} AS w_py, cc * ${nm("Cc")} AS w_cc,
+        0.0::DOUBLE AS w_mgsp, 0.0::DOUBLE AS w_fesp FROM r32),
+      r34 AS (SELECT *, w_mgdi + w_fedi AS w_di, w_en + w_fs AS w_hy,
+        w_fo + w_fa AS w_ol, w_mgsp + w_fesp AS w_sp FROM r33),
+      r35 AS (SELECT *, ${tot("w_")} AS total FROM r34),
+      r36 AS (SELECT *,
+        w_q*100/total AS n_q, w_c*100/total AS n_c, w_or*100/total AS n_or,
+        w_ab*100/total AS n_ab, w_an*100/total AS n_an, w_lc*100/total AS n_lc,
+        w_ne*100/total AS n_ne, w_kp*100/total AS n_kp, w_nc*100/total AS n_nc,
+        w_ac*100/total AS n_ac, w_ns*100/total AS n_ns, w_ks*100/total AS n_ks,
+        w_di*100/total AS n_di, w_mgdi*100/total AS n_mgdi,
+        w_fedi*100/total AS n_fedi, w_wo*100/total AS n_wo,
+        w_hy*100/total AS n_hy, w_en*100/total AS n_en, w_fs*100/total AS n_fs,
+        w_ol*100/total AS n_ol, w_fo*100/total AS n_fo, w_fa*100/total AS n_fa,
+        w_dcs*100/total AS n_dcs, w_mt*100/total AS n_mt, w_il*100/total AS n_il,
+        w_hm*100/total AS n_hm, w_tn*100/total AS n_tn, w_pf*100/total AS n_pf,
+        w_ru*100/total AS n_ru, w_ap*100/total AS n_ap, w_fr*100/total AS n_fr,
+        w_py*100/total AS n_py, w_cc*100/total AS n_cc, w_sp*100/total AS n_sp,
+        w_mgsp*100/total AS n_mgsp, w_fesp*100/total AS n_fesp FROM r35)
+      SELECT id, $sel, ROUND(${tot("n_")}, 6) AS "Total"
+      FROM r36 ORDER BY id"""
+  }
+
+  /** p15 oracle: Cipw.cipwHbRow with normsum=true (reference
+    * _cipwhb_norm_row, _calc.py:1516-1735 + _cipwhb_final:1479-1513).
+    * The final recomputes En/Fs/Fo/Fa/MgDi/FeDi from Hy/Ol/Di — all 0 in
+    * CIPWhb — so those and their composites are literal zeros here
+    * ("structural fidelity to GCDkit's CIPWhb.r", _calc.py:1482-1485). */
+  private def cipwHbSql: String = {
+    def nm(c: String) = Cipw.normMw(c)
+    // CIPWHB_RESULT_NAMES order minus excluded composites
+    def tot(p: String) = Seq("q", "c", "or", "ab", "an", "lc", "ne", "kp",
+      "nc", "ac", "ns", "ks", "mgdi", "fedi", "wo", "en", "fs", "fo", "fa",
+      "dcs", "mt", "il", "hm", "tn", "pf", "ru", "ap", "fr", "py", "cc",
+      "mgsp", "fesp", "mgbi", "febi", "mgact", "feact", "mged", "feed", "ri")
+      .map(p + _).mkString(" + ")
+    val outNames = Seq(
+      "Q" -> "n_q", "C" -> "n_c", "Or" -> "n_or", "Ab" -> "n_ab",
+      "An" -> "n_an", "Lc" -> "n_lc", "Ne" -> "n_ne", "Kp" -> "n_kp",
+      "Nc" -> "n_nc", "Ac" -> "n_ac", "Ns" -> "n_ns", "Ks" -> "n_ks",
+      "Di" -> "n_di", "MgDi" -> "n_mgdi", "FeDi" -> "n_fedi",
+      "Wo" -> "n_wo", "Hy" -> "n_hy", "En" -> "n_en", "Fs" -> "n_fs",
+      "Ol" -> "n_ol", "Fo" -> "n_fo", "Fa" -> "n_fa", "Dcs" -> "n_dcs",
+      "Mt" -> "n_mt", "Il" -> "n_il", "Hm" -> "n_hm", "Tn" -> "n_tn",
+      "Pf" -> "n_pf", "Ru" -> "n_ru", "Ap" -> "n_ap", "Fr" -> "n_fr",
+      "Py" -> "n_py", "Cc" -> "n_cc", "Sp" -> "n_sp", "MgSp" -> "n_mgsp",
+      "FeSp" -> "n_fesp", "Bi" -> "n_bi", "MgBi" -> "n_mgbi",
+      "FeBi" -> "n_febi", "Hbl" -> "n_hbl", "Act" -> "n_act",
+      "MgAct" -> "n_mgact", "FeAct" -> "n_feact", "Ed" -> "n_ed",
+      "MgEd" -> "n_mged", "FeEd" -> "n_feed", "Ri" -> "n_ri")
+    val sel = outNames.map { case (n0, v) => s"""ROUND($v, 6) AS "$n0"""" }
+      .mkString(", ")
+    s"""$cipwCommonCtes,
+      h11 AS (SELECT *, CASE WHEN fe3 <= fe2c/3
+          THEN (CASE WHEN na1 <= fe3 THEN na1 ELSE fe3 END)
+          ELSE (CASE WHEN na1 <= fe2c/3 THEN na1 ELSE fe2c/3 END) END AS ri
+        FROM k10),
+      h12 AS (SELECT *,
+        CASE WHEN (fe3 <= fe2c/3 AND na1 <= fe3)
+          OR (fe3 > fe2c/3 AND na1 <= fe2c/3) THEN 0.0 ELSE na1 - ri END AS na2,
+        CASE WHEN fe3 <= fe2c/3 AND na1 > fe3 THEN 0.0 ELSE fe3 - ri END AS fe3r,
+        CASE WHEN fe3 > fe2c/3 AND na1 > fe2c/3 THEN 0.0 ELSE fe2c - 3*ri END AS fe2r,
+        si2 - 8*ri AS si3 FROM h11),
+      h13 AS (SELECT *, na2 AS nsv, si3 - na2 AS si4 FROM h12),
+      h14 AS (SELECT *, CASE WHEN fe3r >= fe2r THEN fe2r ELSE fe3r END AS mt FROM h13),
+      h15 AS (SELECT *,
+        CASE WHEN fe3r >= fe2r THEN fe3r - mt ELSE 0.0 END AS hm,
+        CASE WHEN fe3r >= fe2r THEN 0.0 ELSE fe2r - mt END AS fe2s FROM h14),
+      h16 AS (SELECT *, fe2s / (fe2s + mg) AS fer, mg / (fe2s + mg) AS mgr,
+        fe2s + mg AS femg0 FROM h15),
+      h17 AS (SELECT *, CASE WHEN al2 >= ca3 THEN ca3 ELSE al2 END AS an FROM h16),
+      h18 AS (SELECT *,
+        CASE WHEN al2 >= ca3 THEN al2 - an ELSE 0.0 END AS cv,
+        CASE WHEN al2 >= ca3 THEN 0.0 ELSE ca3 - an END AS ca4,
+        si4 - 2*an AS si5 FROM h17),
+      h19 AS (SELECT *,
+        CASE WHEN femg0 <= 6*orr THEN 1.0/6*mgr*femg0 ELSE mgr*orr END AS mgbi,
+        CASE WHEN femg0 <= 6*orr THEN 1.0/6*fer*femg0 ELSE fer*orr END AS febi
+        FROM h18),
+      h20 AS (SELECT *,
+        CASE WHEN femg0 <= 6*orr THEN orr - mgbi - febi ELSE 0.0 END AS or1,
+        CASE WHEN femg0 <= 6*orr THEN 0.0 ELSE femg0 - 6*(febi + mgbi) END AS femg1
+        FROM h19),
+      h21 AS (SELECT *,
+        CASE WHEN femg1 <= 5.0/2*ca4 THEN 1.0/5*mgr*femg1 ELSE 0.5*mgr*ca4 END AS mgact,
+        CASE WHEN femg1 <= 5.0/2*ca4 THEN 1.0/5*fer*femg1 ELSE 0.5*fer*ca4 END AS feact
+        FROM h20),
+      h22 AS (SELECT *,
+        CASE WHEN femg1 <= 5.0/2*ca4 THEN ca4 - 2*(mgact + feact) ELSE 0.0 END AS ca5,
+        CASE WHEN femg1 <= 5.0/2*ca4 THEN 0.0 ELSE femg1 - 5*(feact + mgact) END AS femg2
+        FROM h21),
+      h23 AS (SELECT *,
+        CASE WHEN femg1 <= 5.0/2*ca4 THEN ca5 ELSE 0.0 END AS wo,
+        CASE WHEN femg1 <= 5.0/2*ca4 THEN 0.0 ELSE mgr*femg2 END AS en0,
+        CASE WHEN femg1 <= 5.0/2*ca4 THEN 0.0 ELSE fer*femg2 END AS fs0 FROM h22),
+      h24 AS (SELECT *, CASE WHEN femg1 <= 5.0/2*ca4
+          THEN si5 - 8*(feact + mgact) - wo
+          ELSE si5 - 8*(mgact + feact) - en0 - fs0 END AS si6 FROM h23),
+      h25 AS (SELECT *, CASE WHEN si6 >= 0 THEN si6 ELSE 0.0 END AS q,
+        si6 >= 0 AS dn0, ABS(si6) AS d0 FROM h24),
+      h26 AS (SELECT *,
+        (mgact + feact) >= 2*ab0 AS conde,
+        (mgact + feact) >= 2*ab0 AND ab0 >= d0/8 AS eb1,
+        NOT ((mgact + feact) >= 2*ab0) AND (mgact + feact) >= d0/4 AS eb3
+        FROM h25),
+      h27 AS (SELECT *,
+        CASE WHEN dn0 THEN 0.0 WHEN eb1 OR eb3 THEN mgr*d0/8
+          WHEN conde THEN mgr*ab0 ELSE 0.5*mgact END AS mged,
+        CASE WHEN dn0 THEN 0.0 WHEN eb1 OR eb3 THEN fer*d0/8
+          WHEN conde THEN fer*ab0 ELSE 0.5*feact END AS feed FROM h26),
+      h28 AS (SELECT *,
+        CASE WHEN dn0 THEN mgact WHEN NOT conde AND NOT eb3 THEN 0.0
+          ELSE mgact - 2*mged END AS mgact1,
+        CASE WHEN dn0 THEN feact WHEN NOT conde AND NOT eb3 THEN 0.0
+          ELSE feact - 2*feed END AS feact1,
+        CASE WHEN dn0 THEN ab0 WHEN conde AND NOT eb1 THEN 0.0
+          ELSE ab0 - (mged + feed) END AS ab1,
+        d0 - 8*(mged + feed) AS d1, dn0 OR eb1 OR eb3 AS dn1 FROM h27),
+      h29 AS (SELECT *,
+        CASE WHEN dn1 THEN 0.0 WHEN d1 <= 0.5*(en0 + fs0) THEN mgr*d1
+          ELSE 0.5*en0 END AS fo,
+        CASE WHEN dn1 THEN 0.0 WHEN d1 <= 0.5*(en0 + fs0) THEN fer*d1
+          ELSE 0.5*fs0 END AS fa,
+        d1 - 0.5*(en0 + fs0) AS d2,
+        dn1 OR d1 <= 0.5*(en0 + fs0) AS dn2 FROM h28),
+      h30 AS (SELECT *,
+        (fo + fa) <= 0.5*cv AS conds,
+        (fo + fa) <= 0.5*cv AND (fo + fa) >= d2 AS sb1,
+        NOT ((fo + fa) <= 0.5*cv) AND cv >= 2*d2 AS sb3 FROM h29),
+      h31 AS (SELECT *,
+        CASE WHEN dn2 THEN 0.0 WHEN sb1 OR sb3 THEN 2*mgr*d2
+          WHEN conds THEN 2*fo ELSE 2*mgr*cv END AS mgsp,
+        CASE WHEN dn2 THEN 0.0 WHEN sb1 OR sb3 THEN 2*fer*d2
+          WHEN conds THEN 2*fa ELSE 2*fer*cv END AS fesp FROM h30),
+      h32 AS (SELECT *,
+        CASE WHEN dn2 THEN cv WHEN sb1 OR sb3 THEN cv - 2*d2
+          WHEN conds THEN cv - 2*(fo + fa) ELSE 0.0 END AS c1,
+        CASE WHEN conds THEN d2 - (fo + fa) ELSE d2 - 0.5*cv END AS d3,
+        dn2 OR sb1 OR sb3 AS dn3 FROM h31),
+      h33 AS (SELECT *,
+        CASE WHEN dn3 THEN 0.0 WHEN d3 <= 4*ab1 THEN d3/4 ELSE ab1 END AS ne,
+        CASE WHEN dn3 THEN ab1 WHEN d3 <= 4*ab1 THEN ab1 - d3/4 ELSE 0.0 END AS ab2
+        FROM h32),
+      h34 AS (SELECT *,
+        q * ${nm("Q")} AS w_q, c1 * ${nm("C")} AS w_c,
+        or1 * ${nm("Or")} AS w_or, ab2 * ${nm("Ab")} AS w_ab,
+        an * ${nm("An")} AS w_an, 0.0::DOUBLE AS w_lc,
+        ne * ${nm("Ne")} AS w_ne, 0.0::DOUBLE AS w_kp,
+        0.0::DOUBLE AS w_nc, 0.0::DOUBLE AS w_ac,
+        nsv * ${nm("Ns")} AS w_ns, ks * ${nm("Ks")} AS w_ks,
+        0.0::DOUBLE AS w_mgdi, 0.0::DOUBLE AS w_fedi,
+        wo * ${nm("Wo")} AS w_wo,
+        0.0::DOUBLE AS w_en, 0.0::DOUBLE AS w_fs,
+        0.0::DOUBLE AS w_fo, 0.0::DOUBLE AS w_fa,
+        0.0::DOUBLE AS w_dcs,
+        mt * ${nm("Mt")} AS w_mt, il * ${nm("Il")} AS w_il,
+        hm * ${nm("Hm")} AS w_hm, 0.0::DOUBLE AS w_tn,
+        0.0::DOUBLE AS w_pf, 0.0::DOUBLE AS w_ru,
+        ap * ${nm("Ap")} AS w_ap, fr * ${nm("Fr")} AS w_fr,
+        py * ${nm("Py")} AS w_py, cc * ${nm("Cc")} AS w_cc,
+        mgsp * ${nm("MgSp")} AS w_mgsp, fesp * ${nm("FeSp")} AS w_fesp,
+        mgbi * ${nm("MgBi")} AS w_mgbi, febi * ${nm("FeBi")} AS w_febi,
+        mgact1 * ${nm("MgAct")} AS w_mgact, feact1 * ${nm("FeAct")} AS w_feact,
+        mged * ${nm("MgEd")} AS w_mged, feed * ${nm("FeEd")} AS w_feed,
+        ri * ${nm("Ri")} AS w_ri FROM h33),
+      h35 AS (SELECT *, 0.0::DOUBLE AS w_di, 0.0::DOUBLE AS w_hy,
+        0.0::DOUBLE AS w_ol, w_mgsp + w_fesp AS w_sp,
+        w_mgbi + w_febi AS w_bi, w_mgact + w_feact AS w_act,
+        w_mged + w_feed AS w_ed FROM h34),
+      h36 AS (SELECT *, w_act + w_ed + w_ri AS w_hbl FROM h35),
+      h37 AS (SELECT *, ${tot("w_")} AS total FROM h36),
+      h38 AS (SELECT *,
+        w_q*100/total AS n_q, w_c*100/total AS n_c, w_or*100/total AS n_or,
+        w_ab*100/total AS n_ab, w_an*100/total AS n_an, w_lc*100/total AS n_lc,
+        w_ne*100/total AS n_ne, w_kp*100/total AS n_kp, w_nc*100/total AS n_nc,
+        w_ac*100/total AS n_ac, w_ns*100/total AS n_ns, w_ks*100/total AS n_ks,
+        w_di*100/total AS n_di, w_mgdi*100/total AS n_mgdi,
+        w_fedi*100/total AS n_fedi, w_wo*100/total AS n_wo,
+        w_hy*100/total AS n_hy, w_en*100/total AS n_en, w_fs*100/total AS n_fs,
+        w_ol*100/total AS n_ol, w_fo*100/total AS n_fo, w_fa*100/total AS n_fa,
+        w_dcs*100/total AS n_dcs, w_mt*100/total AS n_mt, w_il*100/total AS n_il,
+        w_hm*100/total AS n_hm, w_tn*100/total AS n_tn, w_pf*100/total AS n_pf,
+        w_ru*100/total AS n_ru, w_ap*100/total AS n_ap, w_fr*100/total AS n_fr,
+        w_py*100/total AS n_py, w_cc*100/total AS n_cc, w_sp*100/total AS n_sp,
+        w_mgsp*100/total AS n_mgsp, w_fesp*100/total AS n_fesp,
+        w_bi*100/total AS n_bi, w_mgbi*100/total AS n_mgbi,
+        w_febi*100/total AS n_febi, w_hbl*100/total AS n_hbl,
+        w_act*100/total AS n_act, w_mgact*100/total AS n_mgact,
+        w_feact*100/total AS n_feact, w_ed*100/total AS n_ed,
+        w_mged*100/total AS n_mged, w_feed*100/total AS n_feed,
+        w_ri*100/total AS n_ri FROM h37)
+      SELECT id, $sel, ROUND(${tot("n_")}, 6) AS "Total"
+      FROM h38 ORDER BY id"""
   }
 }
