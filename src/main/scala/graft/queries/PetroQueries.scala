@@ -410,6 +410,10 @@ object PetroQueries {
       "p13_cipw_simple" -> wrap(cipwSimpleSql),
       "p14_cipw_gcdkit" -> wrap(cipwGcdkitSql),
       "p15_cipw_hb" -> wrap(cipwHbSql),
+      "p24_cpx_endmembers" -> wrap(cpxEndmemberSql),
+      "p25_amp_endmembers" -> wrap(ampEndmemberSql),
+      "p26_spl_endmembers" -> wrap(splEndmemberSql),
+      "p27_grtfe3_endmembers" -> wrap(grtFe3EndmemberSql),
       "p16_stoich_garnet" -> wrap(stoichGarnetSql),
       "p17_site_allocation" -> wrap(siteAllocQuerySql),
       "p18_tcbulk_prep" -> wrap(s"$tcPrepCtes SELECT id, $tcPrepSelect FROM pr3 ORDER BY id"),
@@ -804,6 +808,185 @@ object PetroQueries {
         w_mgsp*100/total AS n_mgsp, w_fesp*100/total AS n_fesp FROM r35)
       SELECT id, $sel, ROUND(${tot("n_")}, 6) AS "Total"
       FROM r36 ORDER BY id"""
+  }
+
+  // ---- end-member oracle SQL (p24-p27) -------------------------------------
+
+  /** APFU SELECT list at an arbitrary oxygen basis over a CTE of the
+    * standard oxide columns. */
+  private def apfuSelAt(nOxy: Double): String = OXIDES.map { c =>
+    s"${molesSql(c)} * ${Chem.cationsPer(c)} * ($nOxy / ($oxySumSql)) AS ${qi(Chem.oxideToIonCol(c))}"
+  }.mkString(", ")
+
+  /** Droop Fe split SELECT list at arbitrary (nOxygens, idealCations)
+    * over a CTE of ion columns (mirrors Valence.droopHigh + splitValence). */
+  private def droopSplitSel(nOxy: Double, ideal: Double): String = {
+    val f = s"${2.0 * nOxy} * (1.0 - $ideal / ($apfuSumSql))"
+    val high = s"CASE WHEN ($apfuSumSql) = 0.0 THEN 0.0 ELSE GREATEST($f, 0.0) END"
+    val low = s"""GREATEST("Fe{2+}" - $high, 0.0)"""
+    ionCols.flatMap { c =>
+      if (c == "Fe{2+}") Seq(s"""$low AS "Fe{2+}"""", s""""Fe{2+}" - $low AS "Fe{3+}"""")
+      else Seq(s"${qi(c)} AS ${qi(c)}")
+    }.mkString(", ")
+  }
+
+  private def pctSql(x: String, total: String): String =
+    s"CASE WHEN $total > 0.0 THEN $x / (CASE WHEN $total = 0.0 THEN 1.0 ELSE $total END) * 100.0 ELSE 0.0 END"
+  private def fracSql(x: String, total: String): String =
+    s"CASE WHEN $total > 0.0 THEN $x / (CASE WHEN $total = 0.0 THEN 1.0 ELSE $total END) ELSE 0.0 END"
+
+  /** p24 oracle: Minerals.cpxEndMembers (IMA/Morimoto cascade) over the
+    * 6-oxygen droop-split APFU. */
+  private def cpxEndmemberSql: String = {
+    val sel = Seq("jd" -> "Jd", "ae" -> "Ae", "di" -> "Di", "hd" -> "Hd",
+      "krs" -> "Kosmochlor", "cats" -> "CaTs", "wo" -> "Wo", "en" -> "En",
+      "fs" -> "Fs")
+      .map { case (v, n) => s"""ROUND(${pctSql(v, "rawt")}, 6) AS "$n"""" }
+      .mkString(", ")
+    s""", apfu6 AS (SELECT id, ${apfuSelAt(6.0)} FROM ox),
+      spl6 AS (SELECT id, ${droopSplitSel(6.0, 4.0)} FROM apfu6),
+      x1 AS (SELECT *, LEAST(GREATEST(2.0 - "Si{4+}", 0.0), "Al{3+}") AS aliv FROM spl6),
+      x2 AS (SELECT *, GREATEST("Al{3+}" - aliv, 0.0) AS alvi,
+        LEAST("Na{+}", "Cr{3+}") AS krs FROM x1),
+      x3 AS (SELECT *, LEAST(GREATEST("Na{+}" - krs, 0.0), "Fe{3+}") AS ae FROM x2),
+      x4 AS (SELECT *, LEAST(GREATEST("Na{+}" - krs - ae, 0.0), alvi) AS jd FROM x3),
+      x5 AS (SELECT *, GREATEST(alvi - jd, 0.0) AS alvirem FROM x4),
+      x6 AS (SELECT *, LEAST(alvirem / 2.0, "Ca{2+}") AS cats FROM x5),
+      x7 AS (SELECT *, GREATEST("Ca{2+}" - cats, 0.0) AS carem,
+        "Mg{2+}" + "Fe{2+}" AS mgfe FROM x6),
+      x8 AS (SELECT *, CASE WHEN mgfe = 0.0 THEN 1.0 ELSE mgfe END AS mgfesafe FROM x7),
+      x9 AS (SELECT *, LEAST(carem * "Mg{2+}" / mgfesafe, "Mg{2+}") AS di,
+        LEAST(carem * "Fe{2+}" / mgfesafe, "Fe{2+}") AS hd FROM x8),
+      x10 AS (SELECT *, GREATEST(carem - di - hd, 0.0) AS wo,
+        GREATEST("Mg{2+}" - di, 0.0) / 2.0 AS en,
+        GREATEST("Fe{2+}" - hd, 0.0) / 2.0 AS fs FROM x9),
+      x11 AS (SELECT *, krs + ae + jd + cats + wo + di + hd + en + fs AS rawt FROM x10)
+      SELECT id, $sel FROM x11 ORDER BY id"""
+  }
+
+  /** p25 oracle: Minerals.amphiboleEndMembers — Schumacher Fe split over
+    * the 23-oxygen APFU, greedy A/B/C/T allocation, then the group
+    * classification x binary mixing factors. */
+  private def ampEndmemberSql: String = {
+    // Schumacher (1991) mirror: oxygens carried per cation = charge/2
+    val oxyFromCations = ionCols.map { c =>
+      val w = Chem.parseIon(c).map(_._2 / 2.0).get
+      s"${qi(c)} * nrm * $w"
+    }.mkString(" + ")
+    val (chain, last, takes, _) = allocCtes(Minerals.Amp, splitCols, "a6")
+    def t(site: String, ion: String): String =
+      takes.find(x => x._1 == site && x._2 == ion).get._3
+    val splitSel = ionCols.flatMap { c =>
+      if (c == "Fe{2+}")
+        Seq(s"""GREATEST("Fe{2+}" - hs, 0.0) AS "Fe{2+}"""",
+          s""""Fe{2+}" - GREATEST("Fe{2+}" - hs, 0.0) AS "Fe{3+}"""")
+      else Seq(s"${qi(c)} AS ${qi(c)}")
+    }.mkString(", ")
+    val out = Seq(
+      "Tremolite" -> "iscal * xmg * (1.0 - xed) * (1.0 - xts)",
+      "Actinolite" -> "iscal * xfe * (1.0 - xed) * (1.0 - xts)",
+      "Edenite" -> "iscal * xmg * xed * (1.0 - xts)",
+      "Ferro-Edenite" -> "iscal * xfe * xed * (1.0 - xts)",
+      "Pargasite" -> "iscal * xmg * xed * xts",
+      "Ferro-Pargasite" -> "iscal * xfe * xed * xts",
+      "Tschermakite" -> "iscal * (1.0 - xed) * xts",
+      "Richterite" -> "issc * xmg * (1.0 - xts)",
+      "Winchite" -> "issc * xfe * (1.0 - xts)",
+      "Glaucophane" -> "issod * xmg * xts",
+      "Ferro-Glaucophane" -> "issod * xfe * xts",
+      "Riebeckite" -> "issod * xfe * (1.0 - xts)",
+      "Magnesio-Riebeckite" -> "issod * xmg * (1.0 - xts)")
+      .map { case (n, e) => s"""ROUND(($e) * 100.0, 6) AS "$n"""" }
+      .mkString(", ")
+    s""", apfu23 AS (SELECT id, ${apfuSelAt(23.0)} FROM ox),
+      a1 AS (SELECT *, $apfuSumSql AS ssum FROM apfu23),
+      a2 AS (SELECT *, 15.0 / (CASE WHEN ssum = 0.0 THEN 1.0 ELSE ssum END) AS nrm FROM a1),
+      a3 AS (SELECT *, $oxyFromCations AS oxyc FROM a2),
+      a4 AS (SELECT *, GREATEST(2.0 * (23.0 - oxyc), 0.0) / nrm AS hsc FROM a3),
+      a5 AS (SELECT *, "Fe{2+}" - GREATEST("Fe{2+}" - GREATEST(hsc, 0.0), 0.0) AS hs FROM a4),
+      a6 AS (SELECT id, $splitSel FROM a5),
+      $chain,
+      z1 AS (SELECT *, ${t("A", "K{+}")} + ${t("A", "Na{+}")} AS atot,
+        ${t("B", "Na{+}")} AS nab, ${t("B", "Ca{2+}")} AS cab,
+        ${t("C", "Mg{2+}")} AS mgc, ${t("C", "Fe{2+}")} AS fe2c,
+        ${t("T", "Al{3+}")} AS alt FROM $last),
+      z2 AS (SELECT *,
+        CASE WHEN cab >= nab THEN 1.0 ELSE 0.0 END AS iscal,
+        CASE WHEN nab > cab AND cab > 0.0 THEN 1.0 ELSE 0.0 END AS issc,
+        CASE WHEN nab > 0.0 AND cab = 0.0 THEN 1.0 ELSE 0.0 END AS issod,
+        mgc + fe2c AS mgfec FROM z1),
+      z3 AS (SELECT *,
+        mgc / (CASE WHEN mgfec = 0.0 THEN 1.0 ELSE mgfec END) AS xmg,
+        fe2c / (CASE WHEN mgfec = 0.0 THEN 1.0 ELSE mgfec END) AS xfe,
+        LEAST(alt / 8.0, 1.0) AS xts, LEAST(atot, 1.0) AS xed FROM z2)
+      SELECT id, $out FROM z3 ORDER BY id"""
+  }
+
+  /** p26 oracle: Minerals.spinelEndMembers — Fe2O3->FeO preprocess,
+    * 4-oxygen droop-split APFU, inverse-spinel T x M^2 products. */
+  private def splEndmemberSql: String = {
+    def mw(c: String) = Chem.mw(c)
+    val oxmSel = OXIDES.map { c =>
+      if (c == "FeO")
+        s""""FeO" + "Fe2O3" / ${mw("Fe2O3")} * 2.0 * ${mw("FeO")} AS "FeO""""
+      else s"${qi(c)} AS ${qi(c)}"
+    }.mkString(", ")
+    def i(c: String) = qi(c)
+    val out = Seq("spl" -> "Spl", "herc" -> "Herc", "chrm" -> "Chrm",
+      "mtc" -> "Mtc", "gahn" -> "Gahn", "frank" -> "Frank", "jac" -> "Jac",
+      "ulv" -> "Ulv", "spss" -> "Spss")
+      .map { case (v, n) => s"""ROUND(${pctSql(v, "total")}, 6) AS "$n"""" }
+      .mkString(", ")
+    s""", ox2 AS ($OX2_SQL),
+      oxm AS (SELECT id, $oxmSel FROM ox2),
+      apfu4 AS (SELECT id, ${apfuSelAt(4.0)} FROM oxm),
+      spl4 AS (SELECT id, ${droopSplitSel(4.0, 3.0)} FROM apfu4),
+      y1 AS (SELECT *,
+        ${i("Mg{2+}")} + ${i("Fe{2+}")} + 0.0 + ${i("Mn{2+}")} + ${i("Fe{3+}")} + ${i("Al{3+}")} + ${i("Cr{3+}")} + ${i("Ti{4+}")} AS ttot,
+        ${i("Al{3+}")} + ${i("Cr{3+}")} + ${i("Fe{3+}")} + ${i("Ti{4+}")} + ${i("Mg{2+}")} + ${i("Fe{2+}")} + ${i("Mn{2+}")} AS mtot FROM spl4),
+      y2 AS (SELECT *,
+        ${fracSql(i("Mg{2+}"), "ttot")} AS xmgt, ${fracSql(i("Fe{2+}"), "ttot")} AS xfe2t,
+        0.0::DOUBLE AS xznt, ${fracSql(i("Mn{2+}"), "ttot")} AS xmnt,
+        ${fracSql(i("Mg{2+}"), "mtot")} AS xmgm, ${fracSql(i("Al{3+}"), "mtot")} AS xalm,
+        ${fracSql(i("Cr{3+}"), "mtot")} AS xcrm, ${fracSql(i("Fe{3+}"), "mtot")} AS xfe3m,
+        ${fracSql(i("Ti{4+}"), "mtot")} AS xtim, ${fracSql(i("Fe{2+}"), "mtot")} AS xfe2m,
+        ${fracSql(i("Mn{2+}"), "mtot")} AS xmnm FROM y1),
+      y3 AS (SELECT *, xmgt * xalm * xalm AS spl, xfe2t * xalm * xalm AS herc,
+        xfe2t * xcrm * xcrm AS chrm, xfe2t * xfe3m * xfe3m AS mtc,
+        xznt * xalm * xalm AS gahn, xfe2t * xtim * xfe2m AS frank,
+        xmnt * xalm * xalm AS jac, xmgt * xtim * xmgm AS ulv,
+        xmnt * xmnm * xmnm AS spss FROM y2),
+      y4 AS (SELECT *, spl + herc + chrm + mtc + gahn + frank + jac + ulv + spss AS total FROM y3)
+      SELECT id, $out FROM y4 ORDER BY id"""
+  }
+
+  /** p27 oracle: Minerals.garnetFe3EndMembers — the constant pinv(A)
+    * linear map over the 12-oxygen APFU (same pseudo-inverse doubles as
+    * the Column cascade, computed by the same LinAlg code). */
+  private def grtFe3EndmemberSql: String = {
+    // [Ca Mg Fe Cr Mn Al Si] rows per end member (Minerals.garnetFe3EndMembers)
+    val aM: Array[Array[Double]] = Array(
+      Array(0, 3, 0, 0, 0, 2, 3), Array(0, 0, 3, 0, 0, 2, 3),
+      Array(0, 0, 0, 0, 3, 2, 3), Array(3, 0, 0, 0, 0, 2, 3),
+      Array(3, 0, 2, 0, 0, 0, 3), Array(3, 0, 0, 2, 0, 0, 3)
+    ).map(_.map(_.toDouble))
+    val pinv = graft.petro.LinAlg.pseudoInverseOfTranspose(aM)
+    val bCols = Seq("Ca{2+}", "Mg{2+}", "Fe{2+}", "Cr{3+}", "Mn{2+}",
+      "Al{3+}", "Si{4+}")
+    val names = Seq("Prp", "Alm", "Sps", "Grs", "Adr", "Uvr")
+    val rawSel = names.indices.map { i =>
+      val sum = bCols.indices.map(j => s"${qi(bCols(j))} * ${pinv(i)(j)}")
+        .mkString(" + ")
+      s"GREATEST($sum, 0.0) AS raw$i"
+    }.mkString(", ")
+    val totalSum = names.indices.map(i => s"raw$i").mkString(" + ")
+    val out = names.zipWithIndex.map { case (n, i) =>
+      s"""ROUND(raw$i / (CASE WHEN total = 0.0 THEN 1.0 ELSE total END) * 100.0, 6) AS "$n""""
+    }.mkString(", ")
+    s""", apfu12g AS (SELECT id, $apfuSelectSql FROM ox),
+      g1 AS (SELECT *, $rawSel FROM apfu12g),
+      g2 AS (SELECT *, $totalSum AS total FROM g1)
+      SELECT id, $out FROM g2 ORDER BY id"""
   }
 
   /** p15 oracle: Cipw.cipwHbRow with normsum=true (reference
