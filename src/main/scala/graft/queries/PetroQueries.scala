@@ -290,6 +290,26 @@ object PetroQueries {
       val e = Minerals.endMembers(Minerals.GrtFe3, oxFrame(s, dir).drop("grp", "wt"),
         carry = Seq("id"))
       roundAll(e, Seq("id")).orderBy("id")
+    }),
+
+    // T7 hb: the largest a-x model (11 members, 5 order parameters) —
+    // exercises the Schumacher split + explicit order state under the
+    // hash gate
+    "p28_tc_amphibole" -> ((s, dir) => {
+      val e = graft.petro.hpxeos.Metabasite.TcAmphibole.endMembers(
+        oxFrame(s, dir).drop("grp", "wt"), carry = Seq("id"),
+        orderParameters = Map("z" -> Left(0.05), "a" -> Left(0.1),
+          "k" -> Left(0.3), "Q1" -> Left(0.02), "Q2" -> Left(-0.02)))
+      roundAll(e, Seq("id")).orderBy("id")
+    }),
+
+    // T7 chl: 28-charge APFU basis + QAl/Q1/Q4 order parameters
+    "p29_tc_chlorite" -> ((s, dir) => {
+      val e = graft.petro.hpxeos.Metapelite.TcChlorite.endMembers(
+        oxFrame(s, dir).drop("grp", "wt"), carry = Seq("id"),
+        orderParameters = Map("QAl" -> Left(0.2), "Q1" -> Left(0.1),
+          "Q4" -> Left(-0.1)))
+      roundAll(e, Seq("id")).orderBy("id")
     })
   )
 
@@ -414,6 +434,8 @@ object PetroQueries {
       "p25_amp_endmembers" -> wrap(ampEndmemberSql),
       "p26_spl_endmembers" -> wrap(splEndmemberSql),
       "p27_grtfe3_endmembers" -> wrap(grtFe3EndmemberSql),
+      "p28_tc_amphibole" -> wrap(tcAmphiboleSql),
+      "p29_tc_chlorite" -> wrap(tcChloriteSql),
       "p16_stoich_garnet" -> wrap(stoichGarnetSql),
       "p17_site_allocation" -> wrap(siteAllocQuerySql),
       "p18_tcbulk_prep" -> wrap(s"$tcPrepCtes SELECT id, $tcPrepSelect FROM pr3 ORDER BY id"),
@@ -864,24 +886,35 @@ object PetroQueries {
       SELECT id, $sel FROM x11 ORDER BY id"""
   }
 
-  /** p25 oracle: Minerals.amphiboleEndMembers — Schumacher Fe split over
-    * the 23-oxygen APFU, greedy A/B/C/T allocation, then the group
-    * classification x binary mixing factors. */
-  private def ampEndmemberSql: String = {
-    // Schumacher (1991) mirror: oxygens carried per cation = charge/2
+  /** 23-oxygen APFU + Schumacher (1991) Fe split CTE chain (ends at a6
+    * with id + split ion columns); oxygens carried per cation = charge/2. */
+  private def ampSplitCtes: String = {
     val oxyFromCations = ionCols.map { c =>
       val w = Chem.parseIon(c).map(_._2 / 2.0).get
       s"${qi(c)} * nrm * $w"
     }.mkString(" + ")
-    val (chain, last, takes, _) = allocCtes(Minerals.Amp, splitCols, "a6")
-    def t(site: String, ion: String): String =
-      takes.find(x => x._1 == site && x._2 == ion).get._3
     val splitSel = ionCols.flatMap { c =>
       if (c == "Fe{2+}")
         Seq(s"""GREATEST("Fe{2+}" - hs, 0.0) AS "Fe{2+}"""",
           s""""Fe{2+}" - GREATEST("Fe{2+}" - hs, 0.0) AS "Fe{3+}"""")
       else Seq(s"${qi(c)} AS ${qi(c)}")
     }.mkString(", ")
+    s"""apfu23 AS (SELECT id, ${apfuSelAt(23.0)} FROM ox),
+      a1 AS (SELECT *, $apfuSumSql AS ssum FROM apfu23),
+      a2 AS (SELECT *, 15.0 / (CASE WHEN ssum = 0.0 THEN 1.0 ELSE ssum END) AS nrm FROM a1),
+      a3 AS (SELECT *, $oxyFromCations AS oxyc FROM a2),
+      a4 AS (SELECT *, GREATEST(2.0 * (23.0 - oxyc), 0.0) / nrm AS hsc FROM a3),
+      a5 AS (SELECT *, "Fe{2+}" - GREATEST("Fe{2+}" - GREATEST(hsc, 0.0), 0.0) AS hs FROM a4),
+      a6 AS (SELECT id, $splitSel FROM a5)"""
+  }
+
+  /** p25 oracle: Minerals.amphiboleEndMembers — Schumacher Fe split over
+    * the 23-oxygen APFU, greedy A/B/C/T allocation, then the group
+    * classification x binary mixing factors. */
+  private def ampEndmemberSql: String = {
+    val (chain, last, takes, _) = allocCtes(Minerals.Amp, splitCols, "a6")
+    def t(site: String, ion: String): String =
+      takes.find(x => x._1 == site && x._2 == ion).get._3
     val out = Seq(
       "Tremolite" -> "iscal * xmg * (1.0 - xed) * (1.0 - xts)",
       "Actinolite" -> "iscal * xfe * (1.0 - xed) * (1.0 - xts)",
@@ -898,13 +931,7 @@ object PetroQueries {
       "Magnesio-Riebeckite" -> "issod * xmg * (1.0 - xts)")
       .map { case (n, e) => s"""ROUND(($e) * 100.0, 6) AS "$n"""" }
       .mkString(", ")
-    s""", apfu23 AS (SELECT id, ${apfuSelAt(23.0)} FROM ox),
-      a1 AS (SELECT *, $apfuSumSql AS ssum FROM apfu23),
-      a2 AS (SELECT *, 15.0 / (CASE WHEN ssum = 0.0 THEN 1.0 ELSE ssum END) AS nrm FROM a1),
-      a3 AS (SELECT *, $oxyFromCations AS oxyc FROM a2),
-      a4 AS (SELECT *, GREATEST(2.0 * (23.0 - oxyc), 0.0) / nrm AS hsc FROM a3),
-      a5 AS (SELECT *, "Fe{2+}" - GREATEST("Fe{2+}" - GREATEST(hsc, 0.0), 0.0) AS hs FROM a4),
-      a6 AS (SELECT id, $splitSel FROM a5),
+    s""", $ampSplitCtes,
       $chain,
       z1 AS (SELECT *, ${t("A", "K{+}")} + ${t("A", "Na{+}")} AS atot,
         ${t("B", "Na{+}")} AS nab, ${t("B", "Ca{2+}")} AS cab,
@@ -958,6 +985,51 @@ object PetroQueries {
         xmnt * xmnm * xmnm AS spss FROM y2),
       y4 AS (SELECT *, spl + herc + chrm + mtc + gahn + frank + jac + ulv + spss AS total FROM y3)
       SELECT id, $out FROM y4 ORDER BY id"""
+  }
+
+  /** p28 oracle: Metabasite.TcAmphibole.endMembers at the explicit order
+    * state (z=0.05, a=0.1, k=0.3, Q1=0.02, Q2=-0.02) — Schumacher-split
+    * 23-oxygen APFU -> mass-balance variables -> the 11 p(...) axfile
+    * polynomials rendered by Poly.toSqlAll. */
+  private def tcAmphiboleSql: String = {
+    val phase = graft.petro.hpxeos.Metabasite.TcAmphibole
+    val varMap = Map("x" -> "x", "y" -> "y", "f" -> "f", "t" -> "t",
+      "c" -> "c", "z" -> "0.05::DOUBLE", "a" -> "0.1::DOUBLE",
+      "k" -> "0.3::DOUBLE", "Q1" -> "0.02::DOUBLE", "Q2" -> "(-0.02)::DOUBLE")
+    val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
+    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n"""" }
+      .mkString(", ")
+    s""", $ampSplitCtes,
+      sfr AS (SELECT id, "Fe{2+}" AS sfe, "Mg{2+}" AS smg,
+        "Fe{3+}" AS sfe3, "Ti{4+}" AS sti, "Ca{2+}" AS sca,
+        "Al{3+}" - (8.0 - "Si{4+}") AS salm2 FROM a6),
+      vars AS (SELECT id, sfe / (sfe + smg) AS x, salm2 / 2.0 AS y,
+        sfe3 / 2.0 AS f, sti / 2.0 AS t, sca / 2.0 AS c FROM sfr)
+      SELECT id, $sel FROM vars ORDER BY id"""
+  }
+
+  /** p29 oracle: Metapelite.TcChlorite.endMembers at QAl=0.2, Q1=0.1,
+    * Q4=-0.1 — 28-positive-charge APFU basis (no Fe2O3 in the table so
+    * f=0), octahedral-Al mass balance, 8 p(...) polynomials. */
+  private def tcChloriteSql: String = {
+    val phase = graft.petro.hpxeos.Metapelite.TcChlorite
+    val chargeSum = OXIDES.map { c =>
+      s"${molesSql(c)} * ${Chem.cationsPer(c) * Chem.chargeOf(Chem.elementOf(c))}"
+    }.mkString(" + ")
+    val chargeApfuSel = OXIDES.map { c =>
+      s"${molesSql(c)} * ${Chem.cationsPer(c)} * (28.0 / ($chargeSum)) AS ${qi(Chem.oxideToIonCol(c))}"
+    }.mkString(", ")
+    val varMap = Map("x" -> "x", "y" -> "y", "f" -> "0.0::DOUBLE", "m" -> "m",
+      "QAl" -> "0.2::DOUBLE", "Q1" -> "0.1::DOUBLE", "Q4" -> "(-0.1)::DOUBLE")
+    val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
+    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n"""" }
+      .mkString(", ")
+    s""", chapfu AS (SELECT id, $chargeApfuSel FROM ox),
+      sfr AS (SELECT id, "Fe{2+}" AS sfe, "Mg{2+}" AS smg, "Mn{2+}" AS smn,
+        "Al{3+}" - (4.0 - "Si{4+}") AS saloct FROM chapfu),
+      vars AS (SELECT id, sfe / (sfe + smg) AS x, saloct / 2.0 AS y,
+        smn / 5.0 AS m FROM sfr)
+      SELECT id, $sel FROM vars ORDER BY id"""
   }
 
   /** p27 oracle: Minerals.garnetFe3EndMembers — the constant pinv(A)

@@ -138,6 +138,16 @@ object Relational {
         .orderBy("user_id", "session_start")
     }),
 
+    // sliding-window per-user activity (batch twin of
+    // EventStreams.slidingUserActivity; 1h window, 15min slide)
+    "q12_sliding_activity" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.streaming.EventStreams.slidingUserActivity(t(s, dir, "events"))
+        .select(col("window.start").as("win_start"), col("user_id"),
+          col("n_events"), round(col("total_value"), 4).as("total_value"))
+        .orderBy("win_start", "user_id")
+    }),
+
     // P5 substring-contains filter (select(str) shape)
     "q10_filter_contains" -> ((s, dir) => {
       t(s, dir, "part")
@@ -206,6 +216,17 @@ object Relational {
          ROUND(AVG(p_size),6) AS avg_size
          FROM part WHERE p_type LIKE '%BRASS%'
          GROUP BY 1 ORDER BY 1""",
+    "q12_sliding_activity" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS et, value FROM events),
+         k AS (SELECT unnest([0,1,2,3]) AS k),
+         w AS (SELECT user_id, value, et,
+                 make_timestamp(CAST(floor(epoch_us(et) / 900000000) AS BIGINT) * 900000000
+                   - k::BIGINT * 900000000) AS win_start
+               FROM e, k)
+         SELECT win_start, user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value),4) AS total_value
+         FROM w WHERE et >= win_start AND et < win_start + INTERVAL 1 HOUR
+         GROUP BY 1,2 ORDER BY 1,2""",
     "q11_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS et, value FROM events),
          l AS (SELECT *, LAG(et) OVER (PARTITION BY user_id ORDER BY et) AS prev FROM e),

@@ -74,6 +74,18 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // end-to-end IVF ANN search: assign cells, probe the 2 closest cells
+    // per query, brute-force only inside them
+    "t11_ivf_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 4)
+      val qs = emb.filter(col("vec_id") >= 4 && col("vec_id") < 7)
+      val indexed = graft.sim.Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
+      graft.sim.Similarity.ivfSearch(indexed, centroids, qs,
+          "vec_id", "embedding", k = 5, nProbe = 2)
+        .orderBy("query_id", "cand_id")
+    }),
+
     // multimodal decode plumbing (STUB codec; rows-only check)
     "t10_media_decode" -> ((s, dir) => {
       val media = graft.multimodal.Media.fromText(
@@ -193,6 +205,37 @@ object TextQueries {
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
                FROM sc)
          SELECT vec_id, cell FROM r WHERE rn = 1 ORDER BY vec_id""",
+    "t11_ivf_search" ->
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 4),
+         sc AS (SELECT d.vec_id, d.v, cell,
+                 ROUND(list_dot_product(v, cv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 4) AS sim
+               FROM d, cent),
+         idx AS (SELECT vec_id, v, cell FROM (
+                 SELECT vec_id, v, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+                 FROM sc) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM d
+               WHERE vec_id >= 4 AND vec_id < 7),
+         qc AS (SELECT query_id, qv, cell,
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+               FROM q, cent),
+         probed AS (SELECT query_id, qv, cell FROM (
+                 SELECT query_id, qv, cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cell) AS rn
+                 FROM qc) WHERE rn <= 2),
+         cands AS (SELECT p.query_id, i.vec_id AS cand_id,
+                 ROUND(list_dot_product(p.qv, i.v) /
+                   (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(i.v, i.v))), 4) AS score
+               FROM idx i JOIN probed p USING (cell)
+               WHERE i.vec_id <> p.query_id),
+         r AS (SELECT query_id, cand_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rn
+               FROM cands)
+         SELECT query_id, cand_id, score FROM r WHERE rn <= 5
+         ORDER BY query_id, cand_id""",
     "t07_cosine_topk" ->
       """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS qid, v AS qv FROM d WHERE vec_id < 3),

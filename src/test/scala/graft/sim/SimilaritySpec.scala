@@ -42,4 +42,22 @@ class SimilaritySpec extends AnyFunSuite {
       "vec_id", "embedding", k = 5, nProbe = 1)
     assert(approx1.count() <= 5) // subset search still returns ranked hits
   }
+
+  test("IVF nProbe=2 recall vs brute force is >= 0.5 over a query batch") {
+    val centroids = emb.filter(col("vec_id") < 4)
+    val indexed = Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") >= 4 && col("vec_id") < 14)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Similarity.ivfSearch(indexed, centroids, queries,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+      .select("query_id", "cand_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@5 with nProbe=2/4 cells = $mean")
+  }
 }
