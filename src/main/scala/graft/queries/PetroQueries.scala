@@ -310,6 +310,32 @@ object PetroQueries {
         orderParameters = Map("QAl" -> Left(0.2), "Q1" -> Left(0.1),
           "Q4" -> Left(-0.1)))
       roundAll(e, Seq("id")).orderBy("id")
+    }),
+
+    // T7 g_W24: igneous garnet — the coupled Mg-Ti substitution case
+    "p30_tc_garnet_w24" -> ((s, dir) => {
+      val e = graft.petro.hpxeos.Igneous.TcGarnetW24.endMembers(
+        oxFrame(s, dir).drop("grp", "wt"), carry = Seq("id"))
+      roundAll(e, Seq("id")).orderBy("id")
+    }),
+
+    // T7 dio: omphacite — trivalent-pool f ratio + Q/Qaf/Qfm order state
+    "p31_tc_omphacite" -> ((s, dir) => {
+      val e = graft.petro.hpxeos.Metabasite.TcOmphacite.endMembers(
+        oxFrame(s, dir).drop("grp", "wt"), carry = Seq("id"),
+        orderParameters = Map("Q" -> Left(0.05), "Qaf" -> Left(0.02),
+          "Qfm" -> Left(-0.03)))
+      roundAll(e, Seq("id")).orderBy("id")
+    }),
+
+    // T7 spl_T21: three simultaneous normal/inverse order parameters +
+    // the Fe2O3->FeO preprocess
+    "p32_tc_spinel_t21" -> ((s, dir) => {
+      val e = graft.petro.hpxeos.Igneous.TcSpinelT21.endMembers(
+        oxWithFe2O3(s, dir), carry = Seq("id"),
+        orderParameters = Map("Q1" -> Left(0.5), "Q2" -> Left(0.2),
+          "Q3" -> Left(-0.1)))
+      roundAll(e, Seq("id")).orderBy("id")
     })
   )
 
@@ -436,6 +462,9 @@ object PetroQueries {
       "p27_grtfe3_endmembers" -> wrap(grtFe3EndmemberSql),
       "p28_tc_amphibole" -> wrap(tcAmphiboleSql),
       "p29_tc_chlorite" -> wrap(tcChloriteSql),
+      "p30_tc_garnet_w24" -> wrap(tcGarnetW24Sql),
+      "p31_tc_omphacite" -> wrap(tcOmphaciteSql),
+      "p32_tc_spinel_t21" -> wrap(tcSpinelT21Sql),
       "p16_stoich_garnet" -> wrap(stoichGarnetSql),
       "p17_site_allocation" -> wrap(siteAllocQuerySql),
       "p18_tcbulk_prep" -> wrap(s"$tcPrepCtes SELECT id, $tcPrepSelect FROM pr3 ORDER BY id"),
@@ -1029,6 +1058,67 @@ object PetroQueries {
         "Al{3+}" - (4.0 - "Si{4+}") AS saloct FROM chapfu),
       vars AS (SELECT id, sfe / (sfe + smg) AS x, saloct / 2.0 AS y,
         smn / 5.0 AS m FROM sfr)
+      SELECT id, $sel FROM vars ORDER BY id"""
+  }
+
+  /** p30 oracle: Igneous.TcGarnetW24.endMembers — default (no order
+    * parameters); the M1 Mg pool subtracts the Ti-coupled M2 Mg. */
+  private def tcGarnetW24Sql: String = {
+    val phase = graft.petro.hpxeos.Igneous.TcGarnetW24
+    val varMap = Map("x" -> "x", "c" -> "c", "f" -> "f", "cr" -> "cr", "t" -> "t")
+    val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
+    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n"""" }
+      .mkString(", ")
+    s""", apfu AS (SELECT id, $apfuSelectSql FROM ox),
+      spl AS (SELECT id, $splitSelectSql FROM apfu),
+      vars AS (SELECT id,
+        "Fe{2+}" / ("Fe{2+}" + ("Mg{2+}" - "Ti{4+}")) AS x,
+        "Ca{2+}" / 3.0 AS c, "Fe{3+}" / 2.0 AS f,
+        "Cr{3+}" / 2.0 AS cr, "Ti{4+}" / 2.0 AS t FROM spl)
+      SELECT id, $sel FROM vars ORDER BY id"""
+  }
+
+  /** p31 oracle: Metabasite.TcOmphacite.endMembers at Q=0.05, Qaf=0.02,
+    * Qfm=-0.03 — f is a ratio over the M1 trivalent sub-pool. */
+  private def tcOmphaciteSql: String = {
+    val phase = graft.petro.hpxeos.Metabasite.TcOmphacite
+    val varMap = Map("x" -> "x", "f" -> "f", "j" -> "j",
+      "Q" -> "0.05::DOUBLE", "Qaf" -> "0.02::DOUBLE", "Qfm" -> "(-0.03)::DOUBLE")
+    val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
+    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n"""" }
+      .mkString(", ")
+    s""", apfu6d AS (SELECT id, ${apfuSelAt(6.0)} FROM ox),
+      spl6d AS (SELECT id, ${droopSplitSel(6.0, 4.0)} FROM apfu6d),
+      vars AS (SELECT id,
+        "Fe{2+}" / ("Fe{2+}" + "Mg{2+}") AS x,
+        "Fe{3+}" / ("Al{3+}" + "Fe{3+}") AS f,
+        "Na{+}" AS j FROM spl6d)
+      SELECT id, $sel FROM vars ORDER BY id"""
+  }
+
+  /** p32 oracle: Igneous.TcSpinelT21.endMembers at Q1=0.5, Q2=0.2,
+    * Q3=-0.1 — Fe2O3 merged into FeO, then 4-oxygen droop-split APFU. */
+  private def tcSpinelT21Sql: String = {
+    def mw(c: String) = Chem.mw(c)
+    val phase = graft.petro.hpxeos.Igneous.TcSpinelT21
+    val varMap = Map("x" -> "x", "y" -> "y", "c" -> "c", "t" -> "t",
+      "Q1" -> "0.5::DOUBLE", "Q2" -> "0.2::DOUBLE", "Q3" -> "(-0.1)::DOUBLE")
+    val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
+    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n"""" }
+      .mkString(", ")
+    val oxmSel = OXIDES.map { c =>
+      if (c == "FeO")
+        s""""FeO" + "Fe2O3" / ${mw("Fe2O3")} * 2.0 * ${mw("FeO")} AS "FeO""""
+      else s"${qi(c)} AS ${qi(c)}"
+    }.mkString(", ")
+    s""", ox2 AS ($OX2_SQL),
+      oxms AS (SELECT id, $oxmSel FROM ox2),
+      apfu4s AS (SELECT id, ${apfuSelAt(4.0)} FROM oxms),
+      spl4s AS (SELECT id, ${droopSplitSel(4.0, 3.0)} FROM apfu4s),
+      vars AS (SELECT id,
+        "Fe{2+}" / ("Fe{2+}" + "Mg{2+}") AS x,
+        "Fe{3+}" / ("Al{3+}" + "Fe{3+}") AS y,
+        "Cr{3+}" / 2.0 AS c, "Ti{4+}" AS t FROM spl4s)
       SELECT id, $sel FROM vars ORDER BY id"""
   }
 
