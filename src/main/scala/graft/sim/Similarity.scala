@@ -25,9 +25,19 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Exact top-k cosine neighbors for each query vector. */
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * This is the brute-force baseline: cost is O(|corpus| * |queries|)
+    * and the query set is broadcast, so it is only safe for small query
+    * batches — `maxQueries` enforces that contract up front (one cheap
+    * limit+count on the query side) instead of melting on the cross
+    * join. For large query sets use [[srpCandidates]] or [[ivfSearch]]. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int, maxQueries: Int = 10000): DataFrame = {
+    val nQ = queries.limit(maxQueries + 1).count()
+    require(nQ <= maxQueries,
+      s"cosineTopK is the exact brute-force baseline; query set exceeds " +
+        s"maxQueries=$maxQueries — use srpCandidates/ivfSearch for large batches")
     val c = corpus.select(col(idCol).as("cand_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"),

@@ -46,6 +46,25 @@ class EventStreamsSpec extends AnyFunSuite {
       "streaming rows not found in batch result")
   }
 
+  test("streaming sliding-window activity equals batch (q12 twin)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = eventsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStreams.slidingUserActivity(stream)
+      .writeStream.outputMode("append").format("memory").queryName("slide")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("slide")
+      .select(col("window.start").as("ws"), col("user_id"), col("n_events"),
+        round(col("total_value"), 4).as("tv"))
+    val want = EventStreams.slidingUserActivity(eventsBatch)
+      .select(col("window.start").as("ws"), col("user_id"), col("n_events"),
+        round(col("total_value"), 4).as("tv"))
+    assert(got.count() > 0, "streaming emitted no closed sliding windows")
+    assert(got.exceptAll(want).count() == 0,
+      "streaming sliding windows not found in batch result")
+  }
+
   test("streaming sessionization matches batch sessionization") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = eventsBatch.schema
