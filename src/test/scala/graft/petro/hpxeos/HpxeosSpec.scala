@@ -371,6 +371,16 @@ class HpxeosSpec extends AnyFunSuite {
     assert(i0("ogk") >= 0 || i0("dgk") >= 0)
   }
 
+  test("Hpxeos registry: all 39 phase objects, unique per set, igneous reuse") {
+    assert(Hpxeos.all.length == 39) // 19 metapelite + 12 metabasite + 8 igneous
+    assert(Hpxeos.bySet.size == 39) // no (set, abbreviation) collisions
+    assert(Hpxeos.igneousFull.length == 12) // 8 own + ep/mu/pl4tr/hb reused
+    assert(Hpxeos("metapelite", "g") eq Metapelite.TcGarnet)
+    assert(Hpxeos("metabasite", "g") eq Metabasite.TcGarnet)
+    assert(Hpxeos("igneous", "g_W24") eq Igneous.TcGarnetW24)
+    intercept[NoSuchElementException](Hpxeos("igneous", "nope"))
+  }
+
   test("scalacheck-style invariant: random admissible variables give sum=1") {
     // py+alm+spss+gr+kho is an algebraic identity in (x,z,m,f); check it
     // over a deterministic grid of admissible variable values.
