@@ -130,8 +130,10 @@ object TextQueries {
        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
              FROM ($TOKS_SQL))"""
 
+  /** 60-bit numeric minhash half (mirrors TextOps.minhashSignature's
+    * conv(hex,16,10) longs — '0x'-cast is DuckDB's hex parse). */
   private def mhAgg(i: Int): String =
-    s"MIN(substr(md5('${i / 2}:' || sh), ${if (i % 2 == 0) 1 else 17}, 16))"
+    s"MIN(('0x' || substr(md5('${i / 2}:' || sh), ${if (i % 2 == 0) 1 else 17}, 15))::BIGINT)"
 
   private val MH_SQL =
     s"""SELECT doc_id, ${(0 until 8).map(i => s"${mhAgg(i)} AS h$i").mkString(", ")}

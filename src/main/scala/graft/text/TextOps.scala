@@ -42,36 +42,54 @@ object TextOps {
         concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
       .otherwise(array())
 
+  /** Fan-out guard: a small compressed scan (one file -> one task) feeds
+    * a ~50x explode plus per-shingle/token hashing downstream, so a
+    * single-partition input would run the whole expensive derivation on
+    * one core. Repartition the (cheap, pre-explode) rows up to the
+    * default parallelism first; no-op when the scan is already parallel.
+    * At 100 TB the scan itself is thousands of splits and this never
+    * fires — it defends the small-file/few-files regime. */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
+
   /** (id, sh) exploded shingle pairs via the compiled shingle kernel. */
   private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int): DataFrame =
-    df.select(col(idCol), explode(shinglesOf(col(textCol), shingleWords)).as("sh"))
+    fanOut(df).select(col(idCol), explode(shinglesOf(col(textCol), shingleWords)).as("sh"))
 
   /** MinHash signature: k min-hashes over n-word shingles. Returns
-    * (idCol, h0..h{k-1}, signature). Hex-string MIN is monotone with the
-    * numeric hash value, so MIN over strings is a valid minhash.
+    * (idCol, h0..h{k-1}, signature). Each md5 yields two disjoint 15-hex
+    * (60-bit) halves parsed to BIGINT — numeric mins keep the aggregate
+    * in whole-stage HashAggregate (a string MIN degrades to a
+    * SortAggregate that sorts every exploded shingle row by id, the
+    * single most expensive stage of the dedup track at scale).
     * Documents with fewer than n tokens are dropped. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, shingleWords: Int = 3): DataFrame = {
-    require(k % 2 == 0, "k must be even (two 64-bit halves per md5)")
+    require(k % 2 == 0, "k must be even (two 60-bit halves per md5)")
     val sh = explodedShingles(df, idCol, textCol, shingleWords)
     // one md5 per seed pair, materialized pre-aggregation
     val withMd5 = sh.select(col(idCol) +:
       (0 until k / 2).map(j => md5(concat(lit(s"$j:"), col("sh"))).as(s"m$j")): _*)
     val aggs = (0 until k).map { i =>
-      val half = if (i % 2 == 0) substring(col(s"m${i / 2}"), 1, 16)
-      else substring(col(s"m${i / 2}"), 17, 16)
+      val start = if (i % 2 == 0) 1 else 17
+      val half = conv(substring(col(s"m${i / 2}"), start, 15), 16, 10).cast("long")
       min(half).as(s"h$i")
     }
     withMd5.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
-      .withColumn("signature", concat_ws("|", (0 until k).map(i => col(s"h$i")): _*))
+      .withColumn("signature",
+        concat_ws("|", (0 until k).map(i => col(s"h$i").cast("string")): _*))
   }
 
   /** LSH band buckets from a minhash signature frame: k hashes in bands
     * of `rows`; docs sharing any band bucket are near-dup candidates. */
   def lshBuckets(sigs: DataFrame, idCol: String, k: Int, rows: Int): DataFrame = {
     val bands = (0 until k / rows).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
+      val cols = (b * rows until (b + 1) * rows)
+        .map(i => col(s"h$i").cast("string"))
       md5(concat((lit(s"b$b:") +: cols): _*))
     }
     sigs.select(col(idCol), explode(array(bands: _*)).as("bucket"))
@@ -81,7 +99,7 @@ object TextOps {
     * Bit b is the sign of the sum over tokens of +-1 by the high bit of
     * the b-th hex digit of md5(token). */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), tokens(col(textCol)).as("__w"))
+    val tok = fanOut(df).select(col(idCol), tokens(col(textCol)).as("__w"))
       .select(col(idCol), explode(col("__w")).as("tok"))
       .select(col(idCol), md5(col("tok")).as("m")) // md5 once per token
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
