@@ -42,18 +42,7 @@ object TextOps {
         concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
       .otherwise(array())
 
-  /** Fan-out guard: a small compressed scan (one file -> one task) feeds
-    * a ~50x explode plus per-shingle/token hashing downstream, so a
-    * single-partition input would run the whole expensive derivation on
-    * one core. Repartition the (cheap, pre-explode) rows up to the
-    * default parallelism first; no-op when the scan is already parallel.
-    * At 100 TB the scan itself is thousands of splits and this never
-    * fires — it defends the small-file/few-files regime. */
-  private def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
-    else df
-  }
+  private def fanOut(df: DataFrame): DataFrame = graft.util.FanOut(df)
 
   /** (id, sh) exploded shingle pairs via the compiled shingle kernel. */
   private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
