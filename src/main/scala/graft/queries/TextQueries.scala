@@ -51,6 +51,21 @@ object TextQueries {
         .orderBy("bucket")
     }),
 
+    // exact Jaccard verification of the LSH candidate pairs — the
+    // bucket -> candidates -> verify dedup loop end-to-end
+    "t12_jaccard_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
+      val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2)
+      val pairs = bux.as("x").join(bux.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      TextOps.jaccardPairs(docs, "doc_id", "text", pairs)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // 16-bit SimHash per document
     "t06_simhash" -> ((s, dir) => {
       TextOps.simhash16(t(s, dir, "documents"), "doc_id", "text")
@@ -207,6 +222,30 @@ object TextQueries {
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
                FROM sc)
          SELECT vec_id, cell FROM r WHERE rn = 1 ORDER BY vec_id""",
+    "t12_jaccard_verify" ->
+      s"""WITH mh AS ($MH_SQL),
+         buckets AS (
+           ${(0 until 4).map(b =>
+             s"SELECT doc_id, md5('b$b:' || h${2*b} || h${2*b+1}) AS bucket FROM mh")
+             .mkString(" UNION ALL ")}),
+         pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM buckets x JOIN buckets y
+           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         sh AS (SELECT DISTINCT doc_id, sh FROM ($SHINGLES_SQL)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n_inter
+           FROM pairs p
+           JOIN sh sa ON sa.doc_id = p.a_id
+           JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+           GROUP BY 1, 2)
+         SELECT p.a_id, p.b_id,
+           ROUND(COALESCE(i.n_inter, 0)::DOUBLE /
+             (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0)), 6) AS jaccard
+         FROM pairs p
+         JOIN sizes na ON na.doc_id = p.a_id
+         JOIN sizes nb ON nb.doc_id = p.b_id
+         LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+         ORDER BY p.a_id, p.b_id""",
     "t11_ivf_search" ->
       """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          cent AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 4),

@@ -84,6 +84,29 @@ object TextOps {
     sigs.select(col(idCol), explode(array(bands: _*)).as("bucket"))
   }
 
+  /** Exact n-gram Jaccard similarity for an explicit candidate-pair
+    * frame (columns a_id, b_id) — the verification stage after LSH
+    * bucketing: J(a,b) = |Sa ∩ Sb| / |Sa ∪ Sb| over distinct n-word
+    * shingle sets. Scale shape: the only joins fan out by the candidate
+    * count (LSH keeps that far below corpus^2), never all-pairs; shingle
+    * sets stream through hash joins/aggs with no driver collection. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, shingleWords: Int = 3): DataFrame = {
+    val sh = explodedShingles(df, idCol, textCol, shingleWords).distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val sa = sh.select(col(idCol).as("a_id"), col("sh"))
+    val sb = sh.select(col(idCol).as("b_id"), col("sh"))
+    val inter = pairs.join(sa, "a_id").join(sb, Seq("b_id", "sh"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+    val ni = coalesce(col("n_inter"), lit(0L))
+    pairs
+      .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"),
+        (ni.cast("double") / (col("n_a") + col("n_b") - ni)).as("jaccard"))
+  }
+
   /** 16-bit SimHash over unigram tokens as a bit-string column.
     * Bit b is the sign of the sum over tokens of +-1 by the high bit of
     * the b-th hex digit of md5(token). */
