@@ -336,6 +336,24 @@ object PetroQueries {
         orderParameters = Map("Q1" -> Left(0.5), "Q2" -> Left(0.2),
           "Q3" -> Left(-0.1)))
       roundAll(e, Seq("id")).orderBy("id")
+    }),
+
+    // T7 cpx_W24: the largest pyroxene model (10 members, 8 mass-balance
+    // variables + Q)
+    "p33_tc_cpx_w24" -> ((s, dir) => {
+      val e = graft.petro.hpxeos.Igneous.TcClinopyroxeneW24.endMembers(
+        oxFrame(s, dir).drop("grp", "wt"), carry = Seq("id"),
+        orderParameters = Map("Q" -> Left(0.05)))
+      roundAll(e, Seq("id")).orderBy("id")
+    }),
+
+    // T7 ilm_W24: two independent order parameters (Q for Fe, Qt for Ti)
+    // with measured Fe3+ via the Fe2O3 column
+    "p34_tc_ilm_w24" -> ((s, dir) => {
+      val e = graft.petro.hpxeos.Igneous.TcIlmeniteW24.endMembers(
+        oxWithFe2O3(s, dir), carry = Seq("id"),
+        orderParameters = Map("Q" -> Left(0.1), "Qt" -> Left(0.05)))
+      roundAll(e, Seq("id")).orderBy("id")
     })
   )
 
@@ -465,6 +483,8 @@ object PetroQueries {
       "p30_tc_garnet_w24" -> wrap(tcGarnetW24Sql),
       "p31_tc_omphacite" -> wrap(tcOmphaciteSql),
       "p32_tc_spinel_t21" -> wrap(tcSpinelT21Sql),
+      "p33_tc_cpx_w24" -> wrap(tcCpxW24Sql),
+      "p34_tc_ilm_w24" -> wrap(tcIlmW24Sql),
       "p16_stoich_garnet" -> wrap(stoichGarnetSql),
       "p17_site_allocation" -> wrap(siteAllocQuerySql),
       "p18_tcbulk_prep" -> wrap(s"$tcPrepCtes SELECT id, $tcPrepSelect FROM pr3 ORDER BY id"),
@@ -863,11 +883,15 @@ object PetroQueries {
 
   // ---- end-member oracle SQL (p24-p27) -------------------------------------
 
-  /** APFU SELECT list at an arbitrary oxygen basis over a CTE of the
-    * standard oxide columns. */
-  private def apfuSelAt(nOxy: Double): String = OXIDES.map { c =>
-    s"${molesSql(c)} * ${Chem.cationsPer(c)} * ($nOxy / ($oxySumSql)) AS ${qi(Chem.oxideToIonCol(c))}"
-  }.mkString(", ")
+  /** APFU SELECT list at an arbitrary oxygen basis over a CTE of oxide
+    * columns (defaults to the standard set; pass `cols` in the frame's
+    * column order so the oxygen-sum matches the Spark plan op order). */
+  private def apfuSelAt(nOxy: Double, cols: Seq[String] = OXIDES): String = {
+    val oxySum = cols.map(c => s"${molesSql(c)} * ${Chem.oxygensPer(c)}").mkString(" + ")
+    cols.map { c =>
+      s"${molesSql(c)} * ${Chem.cationsPer(c)} * ($nOxy / ($oxySum)) AS ${qi(Chem.oxideToIonCol(c))}"
+    }.mkString(", ")
+  }
 
   /** Droop Fe split SELECT list at arbitrary (nOxygens, idealCations)
     * over a CTE of ion columns (mirrors Valence.droopHigh + splitValence). */
@@ -1119,6 +1143,44 @@ object PetroQueries {
         "Fe{2+}" / ("Fe{2+}" + "Mg{2+}") AS x,
         "Fe{3+}" / ("Al{3+}" + "Fe{3+}") AS y,
         "Cr{3+}" / 2.0 AS c, "Ti{4+}" AS t FROM spl4s)
+      SELECT id, $sel FROM vars ORDER BY id"""
+  }
+
+  /** p33 oracle: Igneous.TcClinopyroxeneW24.endMembers at Q=0.05 —
+    * eight mass-balance variables over the 6-oxygen droop-split APFU. */
+  private def tcCpxW24Sql: String = {
+    val phase = graft.petro.hpxeos.Igneous.TcClinopyroxeneW24
+    val varMap = Map("x" -> "x", "y" -> "y", "o" -> "o", "n" -> "n",
+      "f" -> "f", "t" -> "t", "cr" -> "cr", "k" -> "k", "Q" -> "0.05::DOUBLE")
+    val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
+    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n0"""" }
+      .mkString(", ")
+    s""", apfu6c AS (SELECT id, ${apfuSelAt(6.0)} FROM ox),
+      spl6c AS (SELECT id, ${droopSplitSel(6.0, 4.0)} FROM apfu6c),
+      vars AS (SELECT id,
+        "Fe{2+}" / ("Fe{2+}" + "Mg{2+}") AS x,
+        2.0 - "Si{4+}" AS y,
+        1.0 - "Ca{2+}" - "Na{+}" - "K{+}" AS o,
+        "Na{+}" AS n, "Fe{3+}" AS f, "Ti{4+}" AS t,
+        "Cr{3+}" AS cr, "K{+}" AS k FROM spl6c)
+      SELECT id, $sel FROM vars ORDER BY id"""
+  }
+
+  /** p34 oracle: Igneous.TcIlmeniteW24.endMembers at Q=0.1, Qt=0.05 —
+    * 3-oxygen APFU over the ox+Fe2O3 table (no valence split; Fe3+ comes
+    * from the measured Fe2O3 column). */
+  private def tcIlmW24Sql: String = {
+    val phase = graft.petro.hpxeos.Igneous.TcIlmeniteW24
+    val varMap = Map("i" -> "i", "m" -> "m",
+      "Q" -> "0.1::DOUBLE", "Qt" -> "0.05::DOUBLE")
+    val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
+    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n0"""" }
+      .mkString(", ")
+    s""", ox2 AS ($OX2_SQL),
+      apfu3i AS (SELECT id, ${apfuSelAt(3.0, OXIDES :+ "Fe2O3")} FROM ox2),
+      vars AS (SELECT id,
+        1.0 - "Fe{3+}" / 2.0 AS i,
+        "Mg{2+}" / ("Fe{2+}" + "Mg{2+}") AS m FROM apfu3i)
       SELECT id, $sel FROM vars ORDER BY id"""
   }
 
