@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench compiles dozens of large codegen'd stages before the CIPW
+  // row functions run; if the JIT code cache fills, HotSpot silently
+  // disables compilation and the interpreted row loop is ~50x slower.
+  "-XX:ReservedCodeCacheSize=512m",
 )

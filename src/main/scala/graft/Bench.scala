@@ -21,12 +21,20 @@ object Bench {
         .groupBy("c").count().collect()
       // Dataset.map / Encoders.row path (CIPW row functions) has its own
       // deserializer + codegen warm-up separate from the SQL-only paths.
-      val ox = spark.range(1000).selectExpr(
+      // Shape matches p14/p15 exactly (id carry + the 12 present inputs +
+      // normsum) so the SAME generated (de)serializers are compiled, and
+      // 30k rows push the row functions past HotSpot's C2 compile
+      // threshold (10k invocations) before anything is timed.
+      val ox = spark.range(30000).selectExpr(
+        "id",
         "55.0 + id % 10 as SiO2", "1.0 as TiO2", "16.0 as Al2O3",
         "2.0 as Fe2O3", "6.0 as FeO", "0.1 as MnO", "4.0 as MgO",
-        "7.0 as CaO", "3.5 as Na2O", "2.0 as K2O", "0.3 as P2O5")
-      graft.petro.Cipw.cipwNorm(ox, completeResults = true).count()
-      graft.petro.Cipw.cipwNormHb(ox, completeResults = true).count()
+        "7.0 as CaO", "3.5 as Na2O", "2.0 as K2O", "0.3 as P2O5",
+        "0.1 + id % 3 as Cr2O3")
+      graft.petro.Cipw.cipwNorm(ox, carry = Seq("id"),
+        normsum = true, completeResults = true).count()
+      graft.petro.Cipw.cipwNormHb(ox, carry = Seq("id"),
+        normsum = true, completeResults = true).count()
     }
     // A query that throws is recorded with time -1 and listed under
     // "failed" so a broken query can never masquerade as a fast one.

@@ -481,7 +481,15 @@ object Cipw {
     val moleExprs = CIPW_INPUTS.map { c =>
       if (df.columns.contains(c)) (col(c) / lit(Chem.mw(c))).as(c) else lit(0.0).as(c)
     }
-    val input = df.select(carry.map(col) ++ moleExprs: _*)
+    // Fan out the narrow projected input before the compute-heavy row
+    // function: a single small parquet file arrives as one task, and the
+    // several-hundred-op norm over 600k+ rows must not run on one core.
+    // (Driver benches showed ~19s single-task walls that vanish with
+    // 32-way parallelism; the one narrow-row shuffle is ~0.2s.)
+    // -Dgraft.cipw.fanout=false restores the single-task plan for A/Bs.
+    val fanOut = sys.props.get("graft.cipw.fanout").forall(_.toBoolean)
+    val projected = df.select(carry.map(col) ++ moleExprs: _*)
+    val input = if (fanOut) graft.util.FanOut(projected) else projected
     val inSchema = input.schema
     val outSchema = StructType(
       carry.map(c => inSchema(c)) ++ names.map(n => StructField(n, DoubleType)))
