@@ -173,6 +173,16 @@ object Minerals {
   private def frac(x: Column, total: Column): Column =
     when(total > 0.0, x / when(total === 0.0, 1.0).otherwise(total)).otherwise(0.0)
 
+  /** Sequential let-bindings: each (name, expr) becomes a real column in
+    * its own Project layer, so later bindings and the final select
+    * reference it by NAME instead of re-inlining its whole subtree.
+    * Composing Columns in Scala duplicates shared subtrees textually —
+    * the cpx/spinel cascades reached 17k/40k expression nodes that way,
+    * and plan/codegen cost (not data) dominated their runtime. Identical
+    * arithmetic in identical operand order, so results are bit-identical. */
+  private def bind(df: DataFrame, binds: (String, Column)*): DataFrame =
+    binds.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }
+
   def valueCols(df: DataFrame, carry: Seq[String]): Seq[String] =
     df.columns.toSeq.filterNot(carry.contains)
 
@@ -237,12 +247,33 @@ object Minerals {
     out.toSeq
   }
 
-  /** Greedy sequential site allocation as a single narrow projection. */
+  /** Greedy sequential site allocation, one Project layer per take.
+    * The single-select form re-inlined the remaining/pool chains into
+    * every later take (the chain doubles per ion — site C of amphibole
+    * alone is 2^8 copies); naming each take keeps the chains as plain
+    * column references, O(k^2) small nodes instead of O(2^k). */
   def allocateSites(spec: MineralSpec, apfu: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    val exprs = siteAllocationExprs(spec, valueCols(apfu, carry)).map {
-      case (site, ion, e) => e.as(siteCol(site, ion))
+    val ions = valueCols(apfu, carry)
+    val pool = scala.collection.mutable.Map[String, Column](
+      ions.map(c => c -> col(c)): _*)
+    var d = apfu
+    val ordered = scala.collection.mutable.ListBuffer.empty[String]
+    spec.sites.foreach { site =>
+      var remaining: Column = lit(site.capacity)
+      site.priority.foreach { ion =>
+        if (pool.contains(ion)) {
+          val tc = siteCol(site.name, ion)
+          d = d.withColumn(tc, least(pool(ion), remaining))
+          ordered += tc
+          pool(ion) = pool(ion) - col(tc)
+          remaining = remaining - col(tc)
+        }
+      }
+      val uc = siteCol(site.name, "_unallocated")
+      d = d.withColumn(uc, remaining)
+      ordered += uc
     }
-    apfu.select(carry.map(col) ++ exprs: _*)
+    d.select(carry.map(col) ++ ordered.map(col): _*)
   }
 
   def siteAllocations(spec: MineralSpec, df: DataFrame, carry: Seq[String] = Nil,
@@ -300,17 +331,21 @@ object Minerals {
     val ca = clip0(z("Ca{2+}")); val mg = clip0(z("Mg{2+}"))
     val fe2 = clip0(z("Fe{2+}")); val fe3 = clip0(z("Fe{3+}"))
     val mn = clip0(z("Mn{2+}")); val cr = clip0(z("Cr{3+}"))
-    val uvr = least(cr / 2.0, ca / 3.0)
-    val caR1 = clip0(ca - uvr * 3.0)
-    val adr = least(fe3 / 2.0, caR1 / 3.0)
-    val caR2 = clip0(caR1 - adr * 3.0)
-    val grs = clip0(caR2 / 3.0)
-    val prp = clip0(mg / 3.0); val alm = clip0(fe2 / 3.0); val sps = clip0(mn / 3.0)
-    val total = uvr + adr + grs + prp + alm + sps
-    a.select(carry.map(col) ++ Seq(
-      pct(prp, total).as("Prp"), pct(alm, total).as("Alm"),
-      pct(sps, total).as("Sps"), pct(grs, total).as("Grs"),
-      pct(adr, total).as("Adr"), pct(uvr, total).as("Uvr")): _*)
+    val b = bind(a,
+      "_uvr" -> least(cr / 2.0, ca / 3.0),
+      "_caR1" -> clip0(ca - col("_uvr") * 3.0),
+      "_adr" -> least(fe3 / 2.0, col("_caR1") / 3.0),
+      "_caR2" -> clip0(col("_caR1") - col("_adr") * 3.0),
+      "_grs" -> clip0(col("_caR2") / 3.0),
+      "_prp" -> clip0(mg / 3.0), "_alm" -> clip0(fe2 / 3.0),
+      "_sps" -> clip0(mn / 3.0),
+      "_total" -> (col("_uvr") + col("_adr") + col("_grs") + col("_prp") +
+        col("_alm") + col("_sps")))
+    val total = col("_total")
+    b.select(carry.map(col) ++ Seq(
+      pct(col("_prp"), total).as("Prp"), pct(col("_alm"), total).as("Alm"),
+      pct(col("_sps"), total).as("Sps"), pct(col("_grs"), total).as("Grs"),
+      pct(col("_adr"), total).as("Adr"), pct(col("_uvr"), total).as("Uvr")): _*)
   }
 
   /** E2 GarnetFe3 — least-squares end members (reference:
@@ -374,27 +409,30 @@ object Minerals {
     val si = z("Si{4+}"); val al = z("Al{3+}"); val cr = z("Cr{3+}")
     val fe3 = z("Fe{3+}"); val fe2 = z("Fe{2+}"); val mg = z("Mg{2+}")
     val ca = z("Ca{2+}"); val na = z("Na{+}")
-    val alIv = least(clip0(lit(2.0) - si), al)
-    val alVi = clip0(al - alIv)
-    val krs = least(na, cr)
-    val ae = least(clip0(na - krs), fe3)
-    val jd = least(clip0(na - krs - ae), alVi)
-    val alViRem = clip0(alVi - jd)
-    val cats = least(alViRem / 2.0, ca)
-    val caRem = clip0(ca - cats)
     val mgFe = mg + fe2
     val mgFeSafe = when(mgFe === 0.0, 1.0).otherwise(mgFe)
-    val di = least(caRem * mg / mgFeSafe, mg)
-    val hd = least(caRem * fe2 / mgFeSafe, fe2)
-    val wo = clip0(caRem - di - hd)
-    val en = clip0(mg - di) / 2.0
-    val fs = clip0(fe2 - hd) / 2.0
-    val raw = krs + ae + jd + cats + wo + di + hd + en + fs
-    a.select(carry.map(col) ++ Seq(
-      pct(jd, raw).as("Jd"), pct(ae, raw).as("Ae"), pct(di, raw).as("Di"),
-      pct(hd, raw).as("Hd"), pct(krs, raw).as("Kosmochlor"),
-      pct(cats, raw).as("CaTs"), pct(wo, raw).as("Wo"),
-      pct(en, raw).as("En"), pct(fs, raw).as("Fs")): _*)
+    val b = bind(a,
+      "_alIv" -> least(clip0(lit(2.0) - si), al),
+      "_alVi" -> clip0(al - col("_alIv")),
+      "_krs" -> least(na, cr),
+      "_ae" -> least(clip0(na - col("_krs")), fe3),
+      "_jd" -> least(clip0(na - col("_krs") - col("_ae")), col("_alVi")),
+      "_cats" -> least(clip0(col("_alVi") - col("_jd")) / 2.0, ca),
+      "_caRem" -> clip0(ca - col("_cats")),
+      "_di" -> least(col("_caRem") * mg / mgFeSafe, mg),
+      "_hd" -> least(col("_caRem") * fe2 / mgFeSafe, fe2),
+      "_wo" -> clip0(col("_caRem") - col("_di") - col("_hd")),
+      "_en" -> (clip0(mg - col("_di")) / 2.0),
+      "_fs" -> (clip0(fe2 - col("_hd")) / 2.0),
+      "_raw" -> (col("_krs") + col("_ae") + col("_jd") + col("_cats") +
+        col("_wo") + col("_di") + col("_hd") + col("_en") + col("_fs")))
+    val raw = col("_raw")
+    b.select(carry.map(col) ++ Seq(
+      pct(col("_jd"), raw).as("Jd"), pct(col("_ae"), raw).as("Ae"),
+      pct(col("_di"), raw).as("Di"), pct(col("_hd"), raw).as("Hd"),
+      pct(col("_krs"), raw).as("Kosmochlor"),
+      pct(col("_cats"), raw).as("CaTs"), pct(col("_wo"), raw).as("Wo"),
+      pct(col("_en"), raw).as("En"), pct(col("_fs"), raw).as("Fs")): _*)
   }
 
   /** E5 Orthopyroxene — sequential allocation, NOT normalized to 100
@@ -561,26 +599,32 @@ object Minerals {
     val isSodic = b2d((naB > 0.0) && (caB === 0.0))
     val mgFeC = mgC + fe2C
     val mgFeSafe = when(mgFeC === 0.0, 1.0).otherwise(mgFeC)
-    val xMg = mgC / mgFeSafe
-    val xFe = fe2C / mgFeSafe
-    val xTschermak = least(alT / 8.0, lit(1.0))
-    val xEdenite = least(aTotal, lit(1.0))
+    val b = bind(sf,
+      "_isCalcic" -> isCalcic, "_isSodicCalcic" -> isSodicCalcic,
+      "_isSodic" -> isSodic,
+      "_xMg" -> (mgC / mgFeSafe), "_xFe" -> (fe2C / mgFeSafe),
+      "_xTsch" -> least(alT / 8.0, lit(1.0)),
+      "_xEd" -> least(aTotal, lit(1.0)))
+    val cal = col("_isCalcic"); val sodCal = col("_isSodicCalcic")
+    val sod = col("_isSodic")
+    val xMg = col("_xMg"); val xFe = col("_xFe")
+    val xTschermak = col("_xTsch"); val xEdenite = col("_xEd")
     val one = lit(1.0)
     val out = Seq(
-      ("Tremolite", isCalcic * xMg * (one - xEdenite) * (one - xTschermak)),
-      ("Actinolite", isCalcic * xFe * (one - xEdenite) * (one - xTschermak)),
-      ("Edenite", isCalcic * xMg * xEdenite * (one - xTschermak)),
-      ("Ferro-Edenite", isCalcic * xFe * xEdenite * (one - xTschermak)),
-      ("Pargasite", isCalcic * xMg * xEdenite * xTschermak),
-      ("Ferro-Pargasite", isCalcic * xFe * xEdenite * xTschermak),
-      ("Tschermakite", isCalcic * (one - xEdenite) * xTschermak),
-      ("Richterite", isSodicCalcic * xMg * (one - xTschermak)),
-      ("Winchite", isSodicCalcic * xFe * (one - xTschermak)),
-      ("Glaucophane", isSodic * xMg * xTschermak),
-      ("Ferro-Glaucophane", isSodic * xFe * xTschermak),
-      ("Riebeckite", isSodic * xFe * (one - xTschermak)),
-      ("Magnesio-Riebeckite", isSodic * xMg * (one - xTschermak)))
-    sf.select(carry.map(col) ++ out.map { case (n, x) => (x * 100.0).as(n) }: _*)
+      ("Tremolite", cal * xMg * (one - xEdenite) * (one - xTschermak)),
+      ("Actinolite", cal * xFe * (one - xEdenite) * (one - xTschermak)),
+      ("Edenite", cal * xMg * xEdenite * (one - xTschermak)),
+      ("Ferro-Edenite", cal * xFe * xEdenite * (one - xTschermak)),
+      ("Pargasite", cal * xMg * xEdenite * xTschermak),
+      ("Ferro-Pargasite", cal * xFe * xEdenite * xTschermak),
+      ("Tschermakite", cal * (one - xEdenite) * xTschermak),
+      ("Richterite", sodCal * xMg * (one - xTschermak)),
+      ("Winchite", sodCal * xFe * (one - xTschermak)),
+      ("Glaucophane", sod * xMg * xTschermak),
+      ("Ferro-Glaucophane", sod * xFe * xTschermak),
+      ("Riebeckite", sod * xFe * (one - xTschermak)),
+      ("Magnesio-Riebeckite", sod * xMg * (one - xTschermak)))
+    b.select(carry.map(col) ++ out.map { case (n, x) => (x * 100.0).as(n) }: _*)
   }
 
   /** E12 Titanite — B-site fractions (reference: _minerals.py:1200-1225). */
@@ -635,19 +679,28 @@ object Minerals {
       if (sf.columns.contains(siteCol(site, ion))) col(siteCol(site, ion)) else lit(0.0)
     val fe2A = s("A", "Fe{2+}"); val fe3A = s("A", "Fe{3+}")
     val mgA = s("A", "Mg{2+}"); val mnA = s("A", "Mn{2+}")
-    val aTot = fe2A + fe3A + mgA + mnA
-    val xFe2A = frac(fe2A, aTot); val xMgA = frac(mgA, aTot)
-    val xMnA = frac(mnA, aTot); val xFe3A = frac(fe3A, aTot)
     val tiB = s("B", "Ti{4+}"); val fe3B = s("B", "Fe{3+}")
     val alB = s("B", "Al{3+}"); val crB = s("B", "Cr{3+}")
-    val bTot = tiB + fe3B + alB + crB
-    val xTiB = frac(tiB, bTot); val xFe3B = frac(fe3B, bTot); val xCrB = frac(crB, bTot)
-    val ilm = xFe2A * xTiB; val gk = xMgA * xTiB; val pph = xMnA * xTiB
-    val hem = xFe3A * xFe3B; val chr = xFe3A * xCrB
-    val total = ilm + gk + pph + hem + chr
-    sf.select(carry.map(col) ++ Seq(
-      pct(ilm, total).as("Ilm"), pct(gk, total).as("Gk"), pct(pph, total).as("Pph"),
-      pct(hem, total).as("Hem"), pct(chr, total).as("Chr")): _*)
+    val b1 = bind(sf,
+      "_aTot" -> (fe2A + fe3A + mgA + mnA),
+      "_bTot" -> (tiB + fe3B + alB + crB))
+    val b2 = bind(b1,
+      "_xFe2A" -> frac(fe2A, col("_aTot")), "_xMgA" -> frac(mgA, col("_aTot")),
+      "_xMnA" -> frac(mnA, col("_aTot")), "_xFe3A" -> frac(fe3A, col("_aTot")),
+      "_xTiB" -> frac(tiB, col("_bTot")), "_xFe3B" -> frac(fe3B, col("_bTot")),
+      "_xCrB" -> frac(crB, col("_bTot")))
+    val b3 = bind(b2,
+      "_ilm" -> (col("_xFe2A") * col("_xTiB")),
+      "_gk" -> (col("_xMgA") * col("_xTiB")),
+      "_pph" -> (col("_xMnA") * col("_xTiB")),
+      "_hem" -> (col("_xFe3A") * col("_xFe3B")),
+      "_chr" -> (col("_xFe3A") * col("_xCrB")),
+      "_total" -> (col("_ilm") + col("_gk") + col("_pph") + col("_hem") + col("_chr")))
+    val total = col("_total")
+    b3.select(carry.map(col) ++ Seq(
+      pct(col("_ilm"), total).as("Ilm"), pct(col("_gk"), total).as("Gk"),
+      pct(col("_pph"), total).as("Pph"), pct(col("_hem"), total).as("Hem"),
+      pct(col("_chr"), total).as("Chr")): _*)
   }
 
   /** E16 Spinel — inverse-spinel T x M^2 fraction products
@@ -659,29 +712,35 @@ object Minerals {
     val mg = z("Mg{2+}"); val fe2 = z("Fe{2+}"); val zn = z("Zn{2+}")
     val mn = z("Mn{2+}"); val fe3 = z("Fe{3+}"); val al = z("Al{3+}")
     val cr = z("Cr{3+}"); val ti = z("Ti{4+}")
-    val tTot = mg + fe2 + zn + mn + fe3 + al + cr + ti
-    val xMgT = frac(mg, tTot); val xFe2T = frac(fe2, tTot)
-    val xZnT = frac(zn, tTot); val xMnT = frac(mn, tTot)
-    val mTot = al + cr + fe3 + ti + mg + fe2 + mn
-    val xMgM = frac(mg, mTot); val xAlM = frac(al, mTot); val xCrM = frac(cr, mTot)
-    val xFe3M = frac(fe3, mTot); val xTiM = frac(ti, mTot)
-    val xFe2M = frac(fe2, mTot); val xMnM = frac(mn, mTot)
-    val spl = xMgT * xAlM * xAlM
-    val herc = xFe2T * xAlM * xAlM
-    val chrm = xFe2T * xCrM * xCrM
-    val mtc = xFe2T * xFe3M * xFe3M
-    val gahn = xZnT * xAlM * xAlM
-    val frank = xFe2T * xTiM * xFe2M
-    val jac = xMnT * xAlM * xAlM
-    val ulv = xMgT * xTiM * xMgM
-    val spss = xMnT * xMnM * xMnM
-    val total = spl + herc + chrm + mtc + gahn + frank + jac + ulv + spss
-    a.select(carry.map(col) ++ Seq(
-      pct(spl, total).as("Spl"), pct(herc, total).as("Herc"),
-      pct(chrm, total).as("Chrm"), pct(mtc, total).as("Mtc"),
-      pct(gahn, total).as("Gahn"), pct(frank, total).as("Frank"),
-      pct(jac, total).as("Jac"), pct(ulv, total).as("Ulv"),
-      pct(spss, total).as("Spss")): _*)
+    val b1 = bind(a,
+      "_tTot" -> (mg + fe2 + zn + mn + fe3 + al + cr + ti),
+      "_mTot" -> (al + cr + fe3 + ti + mg + fe2 + mn))
+    val b2 = bind(b1,
+      "_xMgT" -> frac(mg, col("_tTot")), "_xFe2T" -> frac(fe2, col("_tTot")),
+      "_xZnT" -> frac(zn, col("_tTot")), "_xMnT" -> frac(mn, col("_tTot")),
+      "_xMgM" -> frac(mg, col("_mTot")), "_xAlM" -> frac(al, col("_mTot")),
+      "_xCrM" -> frac(cr, col("_mTot")), "_xFe3M" -> frac(fe3, col("_mTot")),
+      "_xTiM" -> frac(ti, col("_mTot")), "_xFe2M" -> frac(fe2, col("_mTot")),
+      "_xMnM" -> frac(mn, col("_mTot")))
+    val b3 = bind(b2,
+      "_spl" -> (col("_xMgT") * col("_xAlM") * col("_xAlM")),
+      "_herc" -> (col("_xFe2T") * col("_xAlM") * col("_xAlM")),
+      "_chrm" -> (col("_xFe2T") * col("_xCrM") * col("_xCrM")),
+      "_mtc" -> (col("_xFe2T") * col("_xFe3M") * col("_xFe3M")),
+      "_gahn" -> (col("_xZnT") * col("_xAlM") * col("_xAlM")),
+      "_frank" -> (col("_xFe2T") * col("_xTiM") * col("_xFe2M")),
+      "_jac" -> (col("_xMnT") * col("_xAlM") * col("_xAlM")),
+      "_ulv" -> (col("_xMgT") * col("_xTiM") * col("_xMgM")),
+      "_spss" -> (col("_xMnT") * col("_xMnM") * col("_xMnM")),
+      "_total" -> (col("_spl") + col("_herc") + col("_chrm") + col("_mtc") +
+        col("_gahn") + col("_frank") + col("_jac") + col("_ulv") + col("_spss")))
+    val total = col("_total")
+    b3.select(carry.map(col) ++ Seq(
+      pct(col("_spl"), total).as("Spl"), pct(col("_herc"), total).as("Herc"),
+      pct(col("_chrm"), total).as("Chrm"), pct(col("_mtc"), total).as("Mtc"),
+      pct(col("_gahn"), total).as("Gahn"), pct(col("_frank"), total).as("Frank"),
+      pct(col("_jac"), total).as("Jac"), pct(col("_ulv"), total).as("Ulv"),
+      pct(col("_spss"), total).as("Spss")): _*)
   }
 }
 
