@@ -57,10 +57,14 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
       val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2)
+      // materialize the small candidate set once — jaccardPairs references
+      // it three times, and each reference would otherwise recompute the
+      // whole minhash+LSH lineage over the corpus
       val pairs = bux.as("x").join(bux.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
+        .localCheckpoint()
       TextOps.jaccardPairs(docs, "doc_id", "text", pairs)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
@@ -108,24 +112,13 @@ object TextQueries {
       graft.multimodal.Media.decode(media).orderBy("media_id")
     }),
 
-    // brute-force cosine top-5 neighbors for query vectors (vec_id < 3)
+    // brute-force cosine top-5 neighbors for query vectors (vec_id < 3) —
+    // the library operator (guarded broadcast + codegen'd Dot kernel)
     "t07_cosine_topk" -> ((s, dir) => {
       val d = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val q = d.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-      val pairs = d.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cand_id"),
-          round(dot(col("qv"), col("v")) /
-            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))), 4)
-            .as("score"))
-      val w = Window.partitionBy("qid").orderBy(desc("score"), col("cand_id"))
-      pairs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select("qid", "cand_id", "score")
+      graft.sim.Similarity.cosineTopK(d, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id").as("qid"), col("cand_id"), col("score"))
         .orderBy(col("qid"), desc("score"), col("cand_id"))
     })
   )
@@ -187,7 +180,7 @@ object TextQueries {
       s"""WITH mh AS ($MH_SQL),
          buckets AS (
            ${(0 until 4).map(b =>
-             s"SELECT doc_id, md5('b$b:' || h${2*b} || h${2*b+1}) AS bucket FROM mh")
+             s"SELECT doc_id, md5('b$b:' || h${2*b} || ':' || h${2*b+1}) AS bucket FROM mh")
              .mkString(" UNION ALL ")})
          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS min_doc,
          MAX(doc_id) AS max_doc
@@ -226,7 +219,7 @@ object TextQueries {
       s"""WITH mh AS ($MH_SQL),
          buckets AS (
            ${(0 until 4).map(b =>
-             s"SELECT doc_id, md5('b$b:' || h${2*b} || h${2*b+1}) AS bucket FROM mh")
+             s"SELECT doc_id, md5('b$b:' || h${2*b} || ':' || h${2*b+1}) AS bucket FROM mh")
              .mkString(" UNION ALL ")}),
          pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
            FROM buckets x JOIN buckets y

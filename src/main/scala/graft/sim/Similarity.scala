@@ -3,6 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Similarity search over embedding columns (Array[Float]).
   *
@@ -18,9 +19,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Dot product of two array<double> columns — a codegen'd [[Dot]]
+    * kernel (one compiled multiply-accumulate loop; the HOF form
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` is interpreted and was
+    * the similarity track's hot spot: one tree-walking fold per
+    * hyperplane/candidate per row). Same summation order -> same bits. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    Bridge.column(Dot(Bridge.expression(a), Bridge.expression(b)))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -94,9 +99,23 @@ object Similarity {
   }
 
   /** ANN search through the IVF index: probe the nProbe closest cells
-    * per query, then brute-force only within those cells. */
+    * per query, then brute-force only within those cells.
+    *
+    * The probed (query x cell) set — full query vectors included — is
+    * broadcast to every corpus partition, so like [[cosineTopK]] this
+    * carries an explicit size contract: `maxProbedRows` bounds
+    * |queries| * nProbe up front (one cheap limit+count on the query
+    * side) instead of OOMing the driver on the broadcast. Larger query
+    * batches should be split, or joined without the broadcast hint. */
   def ivfSearch(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      maxProbedRows: Int = 100000): DataFrame = {
+    val maxQ = math.max(1, maxProbedRows / math.max(1, nProbe))
+    val nQ = queries.limit(maxQ + 1).count()
+    require(nQ <= maxQ,
+      s"ivfSearch broadcasts |queries| x nProbe probe rows; query count " +
+        s"exceeds ${maxQ} (maxProbedRows=$maxProbedRows / nProbe=$nProbe) — " +
+        "split the query batch or raise maxProbedRows")
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val cent = centroids.select(col(idCol).as("cell"),

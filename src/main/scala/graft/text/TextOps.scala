@@ -74,12 +74,16 @@ object TextOps {
   }
 
   /** LSH band buckets from a minhash signature frame: k hashes in bands
-    * of `rows`; docs sharing any band bucket are near-dup candidates. */
+    * of `rows`; docs sharing any band bucket are near-dup candidates.
+    * Band members are ':'-separated before hashing — variable-length
+    * decimal strings concatenated bare are not injective ("1"+"234"
+    * collides with "12"+"34"), which would create spurious candidate
+    * buckets. */
   def lshBuckets(sigs: DataFrame, idCol: String, k: Int, rows: Int): DataFrame = {
     val bands = (0 until k / rows).map { b =>
       val cols = (b * rows until (b + 1) * rows)
         .map(i => col(s"h$i").cast("string"))
-      md5(concat((lit(s"b$b:") +: cols): _*))
+      md5(concat_ws(":", (lit(s"b$b") +: cols): _*))
     }
     sigs.select(col(idCol), explode(array(bands: _*)).as("bucket"))
   }
@@ -89,22 +93,40 @@ object TextOps {
     * bucketing: J(a,b) = |Sa ∩ Sb| / |Sa ∪ Sb| over distinct n-word
     * shingle sets. Scale shape: the only joins fan out by the candidate
     * count (LSH keeps that far below corpus^2), never all-pairs; shingle
-    * sets stream through hash joins/aggs with no driver collection. */
+    * sets stream through hash joins/aggs with no driver collection.
+    * `pairs` is referenced three times (id semi-join, sizes, overlap) —
+    * callers whose pair frame has an expensive lineage (e.g. straight
+    * out of the LSH pipeline) should persist/localCheckpoint it first. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, shingleWords: Int = 3): DataFrame = {
-    val sh = explodedShingles(df, idCol, textCol, shingleWords).distinct()
+    // Only candidate documents are shingled: semi-join the corpus to the
+    // pair ids first. At scale the candidate set is orders of magnitude
+    // smaller than the corpus, and tokenize+shingle+distinct over
+    // non-candidates is pure waste (it was the most expensive kernel of
+    // the verification stage).
+    val ids = pairs.select(col("a_id").as(idCol))
+      .union(pairs.select(col("b_id").as(idCol))).distinct()
+    val docs = df.join(ids, Seq(idCol), "left_semi")
+    val sh = explodedShingles(docs, idCol, textCol, shingleWords).distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val sa = sh.select(col(idCol).as("a_id"), col("sh"))
     val sb = sh.select(col(idCol).as("b_id"), col("sh"))
     val inter = pairs.join(sa, "a_id").join(sb, Seq("b_id", "sh"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
     val ni = coalesce(col("n_inter"), lit(0L))
+    // Sizes join LEFT: a pair whose document has fewer than shingleWords
+    // tokens (no shingle set) is reported with jaccard 0.0, not dropped —
+    // matters for externally supplied pair frames (LSH-derived pairs
+    // always have signatures, hence shingles).
+    val na = coalesce(col("n_a"), lit(0L))
+    val nb = coalesce(col("n_b"), lit(0L))
+    val union = na + nb - ni
     pairs
-      .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("n_a")), "a_id")
-      .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("n_a")), Seq("a_id"), "left")
+      .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("n_b")), Seq("b_id"), "left")
       .join(inter, Seq("a_id", "b_id"), "left")
       .select(col("a_id"), col("b_id"),
-        (ni.cast("double") / (col("n_a") + col("n_b") - ni)).as("jaccard"))
+        when(union > 0, ni.cast("double") / union).otherwise(0.0).as("jaccard"))
   }
 
   /** 16-bit SimHash over unigram tokens as a bit-string column.
