@@ -510,13 +510,16 @@ object Cipw {
     if (completeResults) result
     else {
       // G5 zero-column pruning needs one pass to decide the projection and
-      // a second to emit rows. Persist the expensive Dataset.map output so
-      // the second pass reads the cache instead of recomputing the norm
-      // (MEMORY_AND_DISK: spills rather than recomputes at scale). For
-      // fully streaming one-pass behavior at scale, callers should prefer
-      // completeResults=true (deterministic schema, no pruning pass).
-      val kept = result.drop(dropCols: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // a second to emit rows. localCheckpoint materializes the expensive
+      // Dataset.map output once (MEMORY_AND_DISK blocks, lineage
+      // truncated); unlike Dataset.persist — which lives in the
+      // CacheManager until an explicit unpersist and leaked across
+      // repeated pruning calls — the checkpoint blocks are reclaimed by
+      // the ContextCleaner as soon as the returned frame is unreferenced.
+      // For fully streaming one-pass behavior at scale, callers should
+      // prefer completeResults=true (deterministic schema, no pruning
+      // pass, no executor-loss sensitivity).
+      val kept = result.drop(dropCols: _*).localCheckpoint()
       val valCols = kept.columns.filterNot(carry.contains)
       val nonZero = kept.agg(
         max(abs(col(valCols.head))).as(valCols.head),

@@ -247,15 +247,19 @@ object Convert {
 
   /** THERMOCALC oxygen-excess FeO split in mole space
     * (reference: _calc.py:845-885). `oExcess` is mol%; Fe3+ = 2*o_moles
-    * clipped to [0, FeO]. NOTE: the reference's idempotence check
-    * (`Fe2O3 > 0 .any()`) is a data-dependent action; callers on the
-    * Spark side decide idempotence from schema + a flag instead. */
+    * clipped to [0, FeO]. */
   def oxidizeMoles(df: DataFrame, oExcess: Column, valueCols: Seq[String]): DataFrame = {
     if (!df.columns.contains("FeO")) return df
-    // schema-level idempotence: an analysis that already reports Fe2O3
-    // alongside FeO is left unchanged (reference returns unchanged when
-    // Fe2O3 > 0 exists; here the decision is schema-driven, no action)
-    if (df.columns.contains("Fe2O3")) return df
+    // Idempotence is value-aware, matching the reference (_calc.py:870):
+    // skip only when an Fe2O3 column exists AND carries a positive value
+    // somewhere; an all-zero Fe2O3 column (analyses reporting
+    // Fe2O3 = 0.0) is re-oxidized, overwriting it. The single-row
+    // max aggregate is a driver-side constant decision — the same class
+    // as the hpxeos Σ=1 validation.
+    if (df.columns.contains("Fe2O3")) {
+      val m = df.agg(max(nanvl(col("Fe2O3"), lit(0.0)))).collect()(0)
+      if (!m.isNullAt(0) && m.getDouble(0) > 0.0) return df
+    }
     val total = rowSum(valueCols)
     val oMol = oExcess / 100.0 * total
     val fe3 = least(greatest(lit(2.0) * oMol, lit(0.0)), col("FeO"))

@@ -83,4 +83,20 @@ class PetroFrameSpec extends AnyFunSuite {
     val red = ox.reduced
     assert(!red.df.columns.contains("Fe2O3"))
   }
+
+  test("oxidizeMoles idempotence is value-aware (_calc.py:870)") {
+    import org.apache.spark.sql.functions.lit
+    val moles = frame(Seq("SiO2", "FeO", "Fe2O3"),
+      Seq(Seq[Any](0.6, 0.3, 0.0), Seq[Any](0.5, 0.4, 0.0)))
+    // an all-zero Fe2O3 column must be re-oxidized (overwritten)...
+    val vcols = Seq("SiO2", "FeO", "Fe2O3")
+    val ox = Convert.oxidizeMoles(moles, lit(1.0), vcols)
+    val m = row0(ox)
+    assert(m("Fe2O3") > 0.0, s"all-zero Fe2O3 not re-oxidized: $m")
+    // ...while any positive Fe2O3 short-circuits to the input unchanged
+    val already = frame(Seq("SiO2", "FeO", "Fe2O3"),
+      Seq(Seq[Any](0.6, 0.3, 0.05)))
+    val ox2 = Convert.oxidizeMoles(already, lit(1.0), vcols)
+    assert(row0(ox2) == row0(already))
+  }
 }
