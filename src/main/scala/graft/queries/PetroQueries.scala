@@ -354,8 +354,41 @@ object PetroQueries {
         oxWithFe2O3(s, dir), carry = Seq("id"),
         orderParameters = Map("Q" -> Left(0.1), "Qt" -> Left(0.05)))
       roundAll(e, Seq("id")).orderBy("id")
-    })
+    }),
+
+    // E5: orthopyroxene pool cascade (Wo/En/Fs + Mg-Tschermak, NOT
+    // normalized to 100)
+    "p35_opx_endmembers" -> em(Minerals.Opx),
+    // E6: muscovite MinPlot dioctahedral mica cascade
+    "p36_ms_endmembers" -> em(Minerals.Ms),
+    // E7: biotite MinPlot trioctahedral mica cascade
+    "p37_bt_endmembers" -> em(Minerals.Bt),
+    // E8: staurolite R2+ fractions at the 48-oxygen basis
+    "p38_st_endmembers" -> em(Minerals.St),
+    // E9: chlorite MinPlot with the 28-charge APFU basis (U6 under E9)
+    "p39_chl_endmembers" -> em(Minerals.Chl),
+    // E10: epidote M-site trivalent fractions (12.5 oxygens, FeO->Fe2O3
+    // preprocess)
+    "p40_ep_endmembers" -> em(Minerals.Ep),
+    // E12: titanite B-site fractions (FeO->Fe2O3 preprocess)
+    "p41_ttn_endmembers" -> em(Minerals.Ttn),
+    // E13: chloritoid M1 R2+ fractions over the droop-split APFU
+    "p42_cld_endmembers" -> em(Minerals.Cld),
+    // E14: cordierite channel filling + B-site R2+ fractions
+    "p43_crd_endmembers" -> em(Minerals.Crd),
+    // E15: ilmenite A x B site-fraction products over capacity-clipped
+    // allocations
+    "p44_ilm_endmembers" -> em(Minerals.Ilm)
   )
+
+  /** Shared shape of the end-member queries: the synthetic oxide frame
+    * through Minerals.endMembers for one spec, rounded + ordered. */
+  private def em(spec: graft.petro.MineralSpec): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = Minerals.endMembers(spec, oxFrame(s, dir).drop("grp", "wt"),
+        carry = Seq("id"))
+      roundAll(e, Seq("id")).orderBy("id")
+    }
 
   /** ox frame + a synthetic Fe2O3 derived from Al2O3 (so the CIPW Mt/Hm
     * branches are exercised); both sides compute it from the same bits. */
@@ -478,6 +511,16 @@ object PetroQueries {
       "p25_amp_endmembers" -> wrap(ampEndmemberSql),
       "p26_spl_endmembers" -> wrap(splEndmemberSql),
       "p27_grtfe3_endmembers" -> wrap(grtFe3EndmemberSql),
+      "p35_opx_endmembers" -> wrap(opxEndmemberSql),
+      "p36_ms_endmembers" -> wrap(msEndmemberSql),
+      "p37_bt_endmembers" -> wrap(btEndmemberSql),
+      "p38_st_endmembers" -> wrap(stEndmemberSql),
+      "p39_chl_endmembers" -> wrap(chlEndmemberSql),
+      "p40_ep_endmembers" -> wrap(epEndmemberSql),
+      "p41_ttn_endmembers" -> wrap(ttnEndmemberSql),
+      "p42_cld_endmembers" -> wrap(cldEndmemberSql),
+      "p43_crd_endmembers" -> wrap(crdEndmemberSql),
+      "p44_ilm_endmembers" -> wrap(ilmEndmemberSql),
       "p28_tc_amphibole" -> wrap(tcAmphiboleSql),
       "p29_tc_chlorite" -> wrap(tcChloriteSql),
       "p30_tc_garnet_w24" -> wrap(tcGarnetW24Sql),
@@ -1038,6 +1081,234 @@ object PetroQueries {
         xmnt * xmnm * xmnm AS spss FROM y2),
       y4 AS (SELECT *, spl + herc + chrm + mtc + gahn + frank + jac + ulv + spss AS total FROM y3)
       SELECT id, $out FROM y4 ORDER BY id"""
+  }
+
+  // ---- end-member oracle SQL (p35-p44) -------------------------------------
+
+  /** p35 oracle: Minerals.opxEndMembers — 6-oxygen droop-split APFU,
+    * T-site Si/Al fill with the Mg-Tschermak correction, M1 pool
+    * cascade, then Wo/En/Fs from the leftover pool (not normalized). */
+  private def opxEndmemberSql: String = {
+    // M1 cascade over (Al, Ti, Cr, Fe3, Mg, Fe2) in spec order; pool for
+    // Al starts after the T-site take, others at the raw ion column.
+    val m1 = Seq("Al{3+}" -> "pal0", "Ti{4+}" -> null, "Cr{3+}" -> null,
+      "Fe{3+}" -> null, "Mg{2+}" -> null, "Fe{2+}" -> null)
+    val ctes = scala.collection.mutable.ListBuffer.empty[String]
+    var prev = "o4"
+    var rem = "rem0"
+    var k = 0
+    val poolOut = scala.collection.mutable.Map.empty[String, String]
+    m1.foreach { case (ion, pre) =>
+      k += 1
+      val p = if (pre != null) pre else qi(ion)
+      val take = s"LEAST($p, $rem)"
+      ctes += s"om$k AS (SELECT *, $take AS tk$k, $p - $take AS pl$k, $rem - $take AS rm$k FROM $prev)"
+      prev = s"om$k"
+      rem = s"rm$k"
+      poolOut(ion) = s"pl$k"
+    }
+    s""", apfu6o AS (SELECT id, ${apfuSelAt(6.0)} FROM ox),
+      spl6o AS (SELECT id, ${droopSplitSel(6.0, 4.0)} FROM apfu6o),
+      o1 AS (SELECT *, GREATEST("Si{4+}", 0.0) AS si0,
+        GREATEST("Al{3+}", 0.0) AS al0 FROM spl6o),
+      o2 AS (SELECT *, GREATEST(al0 - (2.0 - si0), 0.0) AS mgts,
+        LEAST(si0, 2.0) AS tsi FROM o1),
+      o3 AS (SELECT *, LEAST(al0 - mgts, 2.0 - tsi) AS tal FROM o2),
+      o4 AS (SELECT *, "Al{3+}" - tal AS pal0, 1.0::DOUBLE AS rem0 FROM o3),
+      ${ctes.mkString(", ")},
+      o5 AS (SELECT *, GREATEST("Ca{2+}", 0.0) AS ca, GREATEST("Mn{2+}", 0.0) AS mn,
+        GREATEST(${poolOut("Fe{2+}")}, 0.0) AS fe2p,
+        GREATEST(${poolOut("Mg{2+}")}, 0.0) AS mgp FROM $prev),
+      o6 AS (SELECT *, ca AS wo, GREATEST(1.0 - ca - mn, 0.0) AS enfscap,
+        mgp + fe2p AS mgfe FROM o5),
+      o7 AS (SELECT *, enfscap * (mgp / (CASE WHEN mgfe = 0.0 THEN 1.0 ELSE mgfe END)) AS en,
+        enfscap * (fe2p / (CASE WHEN mgfe = 0.0 THEN 1.0 ELSE mgfe END)) AS fs FROM o6)
+      SELECT id, ROUND(mgts * 100.0, 6) AS "MgTs", ROUND(wo * 100.0, 6) AS "Wo",
+        ROUND(en * 100.0, 6) AS "En", ROUND(fs * 100.0, 6) AS "Fs"
+      FROM o7 ORDER BY id"""
+  }
+
+  /** Shared mica head: 11-oxygen APFU -> Al(IV)/Al(VI), octahedral sum,
+    * tri/dioctahedral fractions, Mg#. */
+  private def micaCtes(tag: String): String =
+    s"""apfu11$tag AS (SELECT id, ${apfuSelAt(11.0)} FROM ox),
+      ${tag}1 AS (SELECT *, LEAST(GREATEST(4.0 - "Si{4+}", 0.0), "Al{3+}") AS aliv FROM apfu11$tag),
+      ${tag}2 AS (SELECT *, "Al{3+}" - aliv AS alvi FROM ${tag}1),
+      ${tag}3 AS (SELECT *, alvi + "Ti{4+}" + "Cr{3+}" + "Fe{2+}" + "Mn{2+}" + "Mg{2+}" AS msum,
+        "Mg{2+}" + "Fe{2+}" AS mgfe FROM ${tag}2),
+      ${tag}4 AS (SELECT *, LEAST(GREATEST(msum - 2.0, 0.0), 1.0) AS xtri,
+        CASE WHEN mgfe > 0.0 THEN "Mg{2+}" / (CASE WHEN mgfe = 0.0 THEN 1.0 ELSE mgfe END) ELSE 0.0 END AS xmg
+        FROM ${tag}3),
+      ${tag}5 AS (SELECT *, 1.0 - xtri AS xdi FROM ${tag}4)"""
+
+  /** p36 oracle: Minerals.muscoviteEndMembers (MinPlot dioctahedral). */
+  private def msEndmemberSql: String =
+    s""", ${micaCtes("mu")},
+      mu6 AS (SELECT *, LEAST(GREATEST(alvi - 1.0, 0.0), 1.0) AS xm,
+        "K{+}" + "Na{+}" + "Ca{2+}" AS alkali FROM mu5),
+      mu7 AS (SELECT *, 1.0 - xm AS xcel, alkali * xm AS xmpm,
+        CASE WHEN alkali = 0.0 THEN 1.0 ELSE alkali END AS alksafe FROM mu6),
+      mu8 AS (SELECT *, xmg * xcel AS xmgcel, xm - xmpm AS xprl,
+        CASE WHEN alkali > 0.0 THEN "K{+}" / alksafe * xmpm ELSE 0.0 END AS xms,
+        CASE WHEN alkali > 0.0 THEN "Na{+}" / alksafe * xmpm ELSE 0.0 END AS xpg,
+        CASE WHEN alkali > 0.0 THEN "Ca{2+}" / alksafe * xmpm ELSE 0.0 END AS xmrg
+        FROM mu7),
+      mu9 AS (SELECT *, xcel - xmgcel AS xfecel FROM mu8)
+      SELECT id,
+        ROUND(xmgcel * xdi * 100.0, 6) AS "Al-Celadonite",
+        ROUND(xfecel * xdi * 100.0, 6) AS "Fe-Al-Celadonite",
+        ROUND(xprl * xdi * 100.0, 6) AS "Pyrophyllite",
+        ROUND(xmrg * xdi * 100.0, 6) AS "Margarite",
+        ROUND(xpg * xdi * 100.0, 6) AS "Paragonite",
+        ROUND(xms * xdi * 100.0, 6) AS "Muscovite",
+        ROUND(xtri * 100.0, 6) AS "Trioctahedral"
+      FROM mu9 ORDER BY id"""
+
+  /** p37 oracle: Minerals.biotiteEndMembers (MinPlot trioctahedral). */
+  private def btEndmemberSql: String =
+    s""", ${micaCtes("bi")},
+      bi6 AS (SELECT *, LEAST(GREATEST("Si{4+}" - 2.0, 0.0), 1.0) AS xphlann FROM bi5),
+      bi7 AS (SELECT *, 1.0 - xphlann AS xsideas FROM bi6)
+      SELECT id,
+        ROUND(xphlann * xmg * xtri * 100.0, 6) AS "Phlogopite",
+        ROUND((xphlann - xphlann * xmg) * xtri * 100.0, 6) AS "Annite",
+        ROUND(xsideas * xmg * xtri * 100.0, 6) AS "Eastonite",
+        ROUND((xsideas - xsideas * xmg) * xtri * 100.0, 6) AS "Siderophyllite",
+        ROUND(xdi * 100.0, 6) AS "Dioctahedral"
+      FROM bi7 ORDER BY id"""
+
+  /** p38 oracle: Minerals.stauroliteEndMembers — R2+ fractions at the
+    * 48-oxygen basis (ZnO absent from the table -> literal 0). */
+  private def stEndmemberSql: String = {
+    val r2 = s""""Fe{2+}" + "Mg{2+}" + 0.0 + "Mn{2+}""""
+    s""", apfu48 AS (SELECT id, ${apfuSelAt(48.0)} FROM ox),
+      st1 AS (SELECT *, $r2 AS r2 FROM apfu48)
+      SELECT id,
+        ROUND(${pctSql(qi("Fe{2+}"), "r2")}, 6) AS "Fe-Staurolite",
+        ROUND(${pctSql(qi("Mg{2+}"), "r2")}, 6) AS "Mg-Staurolite",
+        ROUND(${pctSql("0.0", "r2")}, 6) AS "Zn-Staurolite",
+        ROUND(${pctSql(qi("Mn{2+}"), "r2")}, 6) AS "Mn-Staurolite"
+      FROM st1 ORDER BY id"""
+  }
+
+  /** p39 oracle: Minerals.chloriteEndMembers — 28-charge APFU basis
+    * (toApfuByCharge + ion rename), MinPlot normal/Tschermak split. */
+  private def chlEndmemberSql: String = {
+    val chargeSum = OXIDES.map { c =>
+      s"${molesSql(c)} * ${Chem.cationsPer(c) * Chem.chargeOf(Chem.elementOf(c))}"
+    }.mkString(" + ")
+    val ionSel = OXIDES.map { c =>
+      s"${molesSql(c)} * ${Chem.cationsPer(c)} * (28.0 / ($chargeSum)) AS ${qi(Chem.oxideToIonCol(c))}"
+    }.mkString(", ")
+    s""", capfu AS (SELECT id, $ionSel FROM ox),
+      ch1 AS (SELECT *, "Mg{2+}" + "Fe{2+}" AS r2 FROM capfu),
+      ch2 AS (SELECT *,
+        CASE WHEN r2 > 0.0 THEN "Mg{2+}" / (CASE WHEN r2 = 0.0 THEN 1.0 ELSE r2 END) ELSE 0.0 END AS xmg,
+        LEAST(GREATEST("Si{4+}" - 2.0, 0.0), 1.0) AS xnormal FROM ch1),
+      ch3 AS (SELECT *, 1.0 - xnormal AS xtsch FROM ch2)
+      SELECT id,
+        ROUND(xnormal * xmg * 100.0, 6) AS "Clinochlore",
+        ROUND(xnormal * (1.0 - xmg) * 100.0, 6) AS "Chamosite",
+        ROUND(xtsch * xmg * 100.0, 6) AS "Mg-Sudoite",
+        ROUND(xtsch * (1.0 - xmg) * 100.0, 6) AS "Fe-Sudoite"
+      FROM ch3 ORDER BY id"""
+  }
+
+  /** Preprocessed-oxide CTE for the FeO->Fe2O3 minerals (Ep, Ttn):
+    * additive merge into Fe2O3, FeO dropped, Fe2O3 appended last —
+    * matching Convert.feoToFe2o3's column order. */
+  private def feCols: Seq[String] = OXIDES.filterNot(_ == "FeO") :+ "Fe2O3"
+  private def feOxCte(name: String): String = {
+    val sel = OXIDES.filterNot(_ == "FeO").map(c => s"${qi(c)} AS ${qi(c)}") :+
+      s""""FeO" / ${Chem.mw("FeO")} * 0.5 * ${Chem.mw("Fe2O3")} AS "Fe2O3""""
+    s"""$name AS (SELECT id, ${sel.mkString(", ")} FROM ox)"""
+  }
+
+  /** p40 oracle: Minerals.epidoteEndMembers — M-site trivalent fractions
+    * at 12.5 oxygens (Mn{3+}/V{3+} absent -> literal 0). */
+  private def epEndmemberSql: String = {
+    val m = s""""Al{3+}" + "Fe{3+}" + 0.0 + 0.0 + "Cr{3+}""""
+    s""", ${feOxCte("oxep")},
+      apfuep AS (SELECT id, ${apfuSelAt(12.5, feCols)} FROM oxep),
+      ep1 AS (SELECT *, $m AS m FROM apfuep)
+      SELECT id,
+        ROUND(${pctSql(qi("Al{3+}"), "m")}, 6) AS "Clinozoisite",
+        ROUND(${pctSql(qi("Fe{3+}"), "m")}, 6) AS "Epidote",
+        ROUND(${pctSql("0.0", "m")}, 6) AS "Piemontite",
+        ROUND(${pctSql("0.0", "m")}, 6) AS "Mukhinite",
+        ROUND(${pctSql(qi("Cr{3+}"), "m")}, 6) AS "Tawmawite"
+      FROM ep1 ORDER BY id"""
+  }
+
+  /** p41 oracle: Minerals.titaniteEndMembers — B-site fractions at 5
+    * oxygens (Sn/Nb/Zr/V absent -> literal 0). */
+  private def ttnEndmemberSql: String = {
+    val b = s""""Ti{4+}" + "Al{3+}" + "Fe{3+}" + 0.0 + 0.0 + 0.0 + "Cr{3+}" + 0.0 + "Mg{2+}""""
+    val other = s"""0.0 + 0.0 + "Cr{3+}" + 0.0 + "Mg{2+}""""
+    s""", ${feOxCte("oxtt")},
+      apfutt AS (SELECT id, ${apfuSelAt(5.0, feCols)} FROM oxtt),
+      tt1 AS (SELECT *, $b AS b, $other AS oth FROM apfutt)
+      SELECT id,
+        ROUND(${pctSql(qi("Ti{4+}"), "b")}, 6) AS "Ttn",
+        ROUND(${pctSql(qi("Al{3+}"), "b")}, 6) AS "Al-Ttn",
+        ROUND(${pctSql(qi("Fe{3+}"), "b")}, 6) AS "Fe-Ttn",
+        ROUND(${pctSql("0.0", "b")}, 6) AS "Mal",
+        ROUND(${pctSql("oth", "b")}, 6) AS "Other"
+      FROM tt1 ORDER BY id"""
+  }
+
+  /** p42 oracle: Minerals.chloritoidEndMembers — M1 R2+ fractions over
+    * the 12-oxygen droop-split APFU (ideal 8 cations). */
+  private def cldEndmemberSql: String =
+    s""", apfu12c AS (SELECT id, ${apfuSelAt(12.0)} FROM ox),
+      spl12c AS (SELECT id, ${droopSplitSel(12.0, 8.0)} FROM apfu12c),
+      cd1 AS (SELECT *, "Fe{2+}" + "Mg{2+}" + "Mn{2+}" AS r2 FROM spl12c)
+      SELECT id,
+        ROUND(${pctSql(qi("Fe{2+}"), "r2")}, 6) AS "Cld",
+        ROUND(${pctSql(qi("Mg{2+}"), "r2")}, 6) AS "Mgcld",
+        ROUND(${pctSql(qi("Mn{2+}"), "r2")}, 6) AS "Mncld"
+      FROM cd1 ORDER BY id"""
+
+  /** p43 oracle: Minerals.cordieriteEndMembers — A-site channel filling
+    * + B-site R2+ fractions at 18 oxygens. */
+  private def crdEndmemberSql: String =
+    s""", apfu18 AS (SELECT id, ${apfuSelAt(18.0)} FROM ox),
+      cr1 AS (SELECT *, "Fe{2+}" + "Mg{2+}" + "Mn{2+}" AS r2,
+        LEAST("Na{+}" + "K{+}" + "Ca{2+}", 1.0) AS atot FROM apfu18),
+      cr2 AS (SELECT *, 1.0 - atot AS bfrac FROM cr1)
+      SELECT id,
+        ROUND(atot * 100.0, 6) AS "H₂O-Crd",
+        ROUND(${fracSql(qi("Mg{2+}"), "r2")} * bfrac * 100.0, 6) AS "Mg-Crd",
+        ROUND(${fracSql(qi("Fe{2+}"), "r2")} * bfrac * 100.0, 6) AS "Fe-Crd",
+        ROUND(${fracSql(qi("Mn{2+}"), "r2")} * bfrac * 100.0, 6) AS "Mn-Crd"
+      FROM cr2 ORDER BY id"""
+
+  /** p44 oracle: Minerals.ilmeniteEndMembers — greedy A/B allocation over
+    * the 3-oxygen droop-split APFU (ideal 2), A x B fraction products. */
+  private def ilmEndmemberSql: String = {
+    val (chain, last, takes, _) = allocCtes(Minerals.Ilm, splitCols, "spl3i")
+    def t(site: String, ion: String): String =
+      takes.find(x => x._1 == site && x._2 == ion).get._3
+    val out = Seq("ilm" -> "Ilm", "gk" -> "Gk", "pph" -> "Pph",
+      "hem" -> "Hem", "chr" -> "Chr")
+      .map { case (v, n) => s"""ROUND(${pctSql(v, "total")}, 6) AS "$n"""" }
+      .mkString(", ")
+    s""", apfu3i AS (SELECT id, ${apfuSelAt(3.0)} FROM ox),
+      spl3i AS (SELECT id, ${droopSplitSel(3.0, 2.0)} FROM apfu3i),
+      $chain,
+      il1 AS (SELECT *,
+        ${t("A", "Fe{2+}")} + ${t("A", "Fe{3+}")} + ${t("A", "Mg{2+}")} + ${t("A", "Mn{2+}")} AS atot,
+        ${t("B", "Ti{4+}")} + ${t("B", "Fe{3+}")} + ${t("B", "Al{3+}")} + ${t("B", "Cr{3+}")} AS btot
+        FROM $last),
+      il2 AS (SELECT *,
+        ${fracSql(t("A", "Fe{2+}"), "atot")} AS xfe2a, ${fracSql(t("A", "Mg{2+}"), "atot")} AS xmga,
+        ${fracSql(t("A", "Mn{2+}"), "atot")} AS xmna, ${fracSql(t("A", "Fe{3+}"), "atot")} AS xfe3a,
+        ${fracSql(t("B", "Ti{4+}"), "btot")} AS xtib, ${fracSql(t("B", "Fe{3+}"), "btot")} AS xfe3b,
+        ${fracSql(t("B", "Cr{3+}"), "btot")} AS xcrb FROM il1),
+      il3 AS (SELECT *, xfe2a * xtib AS ilm, xmga * xtib AS gk, xmna * xtib AS pph,
+        xfe3a * xfe3b AS hem, xfe3a * xcrb AS chr FROM il2),
+      il4 AS (SELECT *, ilm + gk + pph + hem + chr AS total FROM il3)
+      SELECT id, $out FROM il4 ORDER BY id"""
   }
 
   /** p28 oracle: Metabasite.TcAmphibole.endMembers at the explicit order
