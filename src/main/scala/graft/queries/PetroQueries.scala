@@ -378,8 +378,39 @@ object PetroQueries {
     "p43_crd_endmembers" -> em(Minerals.Crd),
     // E15: ilmenite A x B site-fraction products over capacity-clipped
     // allocations
-    "p44_ilm_endmembers" -> em(Minerals.Ilm)
+    "p44_ilm_endmembers" -> em(Minerals.Ilm),
+
+    // T7 ksp/plc: the two C-1 single-site ternary feldspar models
+    // (metapelite kfeldspar_cbar1 / plagioclase_cbar1)
+    "p45_tc_ksp" -> tc(graft.petro.hpxeos.Metapelite.TcKFeldsparCbar1),
+    "p46_tc_plc" -> tc(graft.petro.hpxeos.Metapelite.TcPlagioclaseCbar1),
+    // T7 sa: sapphirine — explicit order state Q
+    "p47_tc_sapphirine" -> tc(graft.petro.hpxeos.Metapelite.TcSapphirine,
+      Map("Q" -> Left(0.04))),
+    // T7 mt1: magnetite — pins the composition-dependent Q default
+    // (orderDefault = 2x/(2+x), the only non-zero default in the set)
+    "p48_tc_magnetite" -> tc(graft.petro.hpxeos.Metapelite.TcMagnetite),
+    // T7 ol: metabasite olivine — the smallest model (1 variable)
+    "p49_tc_olivine" -> tc(graft.petro.hpxeos.Metabasite.TcOlivine),
+    // T7 abc: peristerite — charge-coupled two-member binary
+    "p50_tc_peristerite" -> tc(graft.petro.hpxeos.Metabasite.TcPeristerite),
+    // T7 pli: plagioclase I-1 ternary
+    "p51_tc_pli" -> tc(graft.petro.hpxeos.Metabasite.TcPlagioclaseIbar1),
+    // T7 opx_W24: igneous orthopyroxene (9 members, 8 variables)
+    "p52_tc_opx_w24" -> tc(graft.petro.hpxeos.Igneous.TcOrthopyroxeneW24,
+      Map("Q" -> Left(0.05)))
   )
+
+  /** Shared shape of the hpxeos phase queries: synthetic oxides through
+    * Phase.endMembers at an explicit (or default) order state. */
+  private def tc(phase: graft.petro.hpxeos.Phase,
+      ops: Map[String, Either[Double, org.apache.spark.sql.Column]] = Map.empty)
+      : (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val e = phase.endMembers(oxFrame(s, dir).drop("grp", "wt"),
+        carry = Seq("id"), orderParameters = ops)
+      roundAll(e, Seq("id")).orderBy("id")
+    }
 
   /** Shared shape of the end-member queries: the synthetic oxide frame
     * through Minerals.endMembers for one spec, rounded + ordered. */
@@ -521,6 +552,14 @@ object PetroQueries {
       "p42_cld_endmembers" -> wrap(cldEndmemberSql),
       "p43_crd_endmembers" -> wrap(crdEndmemberSql),
       "p44_ilm_endmembers" -> wrap(ilmEndmemberSql),
+      "p45_tc_ksp" -> wrap(tcKspSql),
+      "p46_tc_plc" -> wrap(tcPlcSql),
+      "p47_tc_sapphirine" -> wrap(tcSapphirineSql),
+      "p48_tc_magnetite" -> wrap(tcMagnetiteSql),
+      "p49_tc_olivine" -> wrap(tcOlivineSql),
+      "p50_tc_peristerite" -> wrap(tcPeristeriteSql),
+      "p51_tc_pli" -> wrap(tcPliSql),
+      "p52_tc_opx_w24" -> wrap(tcOpxW24Sql),
       "p28_tc_amphibole" -> wrap(tcAmphiboleSql),
       "p29_tc_chlorite" -> wrap(tcChloriteSql),
       "p30_tc_garnet_w24" -> wrap(tcGarnetW24Sql),
@@ -1081,6 +1120,110 @@ object PetroQueries {
         xmnt * xmnm * xmnm AS spss FROM y2),
       y4 AS (SELECT *, spl + herc + chrm + mtc + gahn + frank + jac + ulv + spss AS total FROM y3)
       SELECT id, $out FROM y4 ORDER BY id"""
+  }
+
+  // ---- hpxeos phase oracle SQL (p45-p52) -----------------------------------
+
+  /** Ternary feldspar A-site fraction SQL (site order Na, Ca, K). */
+  private def fspASite(frac: String): String = {
+    val tot = s"""(("Na{+}" + "Ca{2+}") + "K{+}")"""
+    s"""${qi(frac)} / $tot"""
+  }
+
+  /** p45/p46/p51 oracles: single-site ternary feldspars — 8-oxygen APFU
+    * (no split), A-site fractions, 2-variable polynomials. */
+  private def ternaryFspSql(phase: graft.petro.hpxeos.Phase,
+      vars: Seq[(String, String)], tag: String): String = {
+    val varSel = vars.map { case (v, ion) => s"${fspASite(ion)} AS $v" }.mkString(", ")
+    val varMap = vars.map { case (v, _) => v -> v }.toMap
+    val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
+    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n0"""" }
+      .mkString(", ")
+    s""", apfu8$tag AS (SELECT id, ${apfuSelAt(8.0)} FROM ox),
+      vars$tag AS (SELECT id, $varSel FROM apfu8$tag)
+      SELECT id, $sel FROM vars$tag ORDER BY id"""
+  }
+
+  private def tcKspSql: String = ternaryFspSql(
+    graft.petro.hpxeos.Metapelite.TcKFeldsparCbar1,
+    Seq("na" -> "Na{+}", "ca" -> "Ca{2+}"), "ks")
+
+  private def tcPlcSql: String = ternaryFspSql(
+    graft.petro.hpxeos.Metapelite.TcPlagioclaseCbar1,
+    Seq("ca" -> "Ca{2+}", "k" -> "K{+}"), "pc")
+
+  private def tcPliSql: String = ternaryFspSql(
+    graft.petro.hpxeos.Metabasite.TcPlagioclaseIbar1,
+    Seq("ca" -> "Ca{2+}", "k" -> "K{+}"), "pi")
+
+  /** p47 oracle: sapphirine at Q=0.04 — 20-oxygen droop-split APFU
+    * (ideal 5 cations), x/y/f variables. */
+  private def tcSapphirineSql: String = {
+    val phase = graft.petro.hpxeos.Metapelite.TcSapphirine
+    val varMap = Map("x" -> "x", "y" -> "y", "f" -> "f", "Q" -> "0.04::DOUBLE")
+    val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
+    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n0"""" }
+      .mkString(", ")
+    s""", apfu20 AS (SELECT id, ${apfuSelAt(20.0)} FROM ox),
+      spl20 AS (SELECT id, ${droopSplitSel(20.0, 5.0)} FROM apfu20),
+      varsa AS (SELECT id, "Fe{2+}" / ("Fe{2+}" + "Mg{2+}") AS x,
+        "Al{3+}" + "Si{4+}" - 10.0 AS y, "Fe{3+}" AS f FROM spl20)
+      SELECT id, $sel FROM varsa ORDER BY id"""
+  }
+
+  /** p48 oracle: magnetite with the composition-dependent default order
+    * state Q = 2x/(2+x) — 4-oxygen droop-split APFU (ideal 3). */
+  private def tcMagnetiteSql: String = {
+    val phase = graft.petro.hpxeos.Metapelite.TcMagnetite
+    val varMap = Map("x" -> "x", "Q" -> "qq")
+    val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
+    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n0"""" }
+      .mkString(", ")
+    s""", apfu4m AS (SELECT id, ${apfuSelAt(4.0)} FROM ox),
+      spl4m AS (SELECT id, ${droopSplitSel(4.0, 3.0)} FROM apfu4m),
+      varmt AS (SELECT id, 1.0 - "Ti{4+}" AS x,
+        2.0 * (1.0 - "Ti{4+}") / (2.0 + (1.0 - "Ti{4+}")) AS qq FROM spl4m)
+      SELECT id, $sel FROM varmt ORDER BY id"""
+  }
+
+  /** p49 oracle: metabasite olivine — 4-oxygen APFU (no split), the
+    * one-variable fo/fa binary. */
+  private def tcOlivineSql: String = {
+    val phase = graft.petro.hpxeos.Metabasite.TcOlivine
+    val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, Map("x" -> "x"))
+    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n0"""" }
+      .mkString(", ")
+    s""", apfu4l AS (SELECT id, ${apfuSelAt(4.0)} FROM ox),
+      varol AS (SELECT id, "Fe{2+}" / ("Mg{2+}" + "Fe{2+}") AS x FROM apfu4l)
+      SELECT id, $sel FROM varol ORDER BY id"""
+  }
+
+  /** p50 oracle: peristerite — 8-oxygen APFU, Na/Ca binary A site. */
+  private def tcPeristeriteSql: String = {
+    val phase = graft.petro.hpxeos.Metabasite.TcPeristerite
+    val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, Map("ca" -> "ca"))
+    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n0"""" }
+      .mkString(", ")
+    s""", apfu8ab AS (SELECT id, ${apfuSelAt(8.0)} FROM ox),
+      varab AS (SELECT id, "Ca{2+}" / ("Na{+}" + "Ca{2+}") AS ca FROM apfu8ab)
+      SELECT id, $sel FROM varab ORDER BY id"""
+  }
+
+  /** p52 oracle: igneous orthopyroxene W24 at Q=0.05 — 6-oxygen
+    * droop-split APFU (ideal 4), 8 mass-balance variables. */
+  private def tcOpxW24Sql: String = {
+    val phase = graft.petro.hpxeos.Igneous.TcOrthopyroxeneW24
+    val varMap = Map("x" -> "x", "y" -> "y", "c" -> "c", "j" -> "j",
+      "f" -> "f", "t" -> "t", "cr" -> "cr", "Q" -> "0.05::DOUBLE")
+    val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
+    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n0"""" }
+      .mkString(", ")
+    s""", apfu6w AS (SELECT id, ${apfuSelAt(6.0)} FROM ox),
+      spl6w AS (SELECT id, ${droopSplitSel(6.0, 4.0)} FROM apfu6w),
+      varow AS (SELECT id, "Fe{2+}" / ("Fe{2+}" + "Mg{2+}") AS x,
+        2.0 - "Si{4+}" AS y, "Ca{2+}" AS c, "Na{+}" AS j, "Fe{3+}" AS f,
+        "Ti{4+}" AS t, "Cr{3+}" AS cr FROM spl6w)
+      SELECT id, $sel FROM varow ORDER BY id"""
   }
 
   // ---- end-member oracle SQL (p35-p44) -------------------------------------
