@@ -41,7 +41,16 @@ class PetroDbSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
     server.createContext("/spots/", handler { ex =>
       if (!authed(ex)) (401, "{}")
-      else {
+      else if (ex.getRequestMethod == "POST") {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        postedSpots.add(body)
+        // echo each posted object back with a server-assigned id
+        val objs = """\{[^{}]*(?:\{[^{}]*\}[^{}]*)*\}""".r.findAllIn(body).toSeq
+        val created = objs.zipWithIndex.map { case (o, i) =>
+          o.replaceFirst("\\{", s"""{"id": ${900 + i}, """)
+        }
+        (200, created.mkString("[", ",", "]"))
+      } else {
         val sid = ex.getRequestURI.getPath.split("/").last.toInt
         val base = sid * 100
         (200,
@@ -51,9 +60,34 @@ class PetroDbSpec extends AnyFunSuite with BeforeAndAfterAll {
               "values": {"SiO2": 36.0, "K2O": 9.5}}]""".replaceAll("\n\\s+", " "))
       }
     })
+    server.createContext("/areas/", handler { ex =>
+      if (!authed(ex)) (401, "{}")
+      else {
+        val sid = ex.getRequestURI.getPath.split("/").last.toInt
+        (200, s"""[{"id": ${sid * 10 + 1}, "label": "area$sid", "values": {"SiO2": 55.0, "MgO": 3.0}}]""")
+      }
+    })
+    server.createContext("/profiles/", handler { ex =>
+      if (!authed(ex)) (401, "{}")
+      else (200,
+        """[{"id": 31, "label": "trav1", "mineral": "Garnet"},
+           {"id": 32, "label": "trav2", "mineral": "Biotite"}]""".replaceAll("\n\\s+", " "))
+    })
+    server.createContext("/profilespots/", handler { ex =>
+      if (!authed(ex)) (401, "{}")
+      else {
+        val fid = ex.getRequestURI.getPath.split("/").last.toInt
+        // out-of-index-order on purpose: the frame must sort by index
+        (200,
+          s"""[{"id": ${fid * 100 + 2}, "index": 2, "values": {"SiO2": 38.0}},
+             {"id": ${fid * 100 + 1}, "index": 1, "values": {"SiO2": 37.0}}]""".replaceAll("\n\\s+", " "))
+      }
+    })
     server.start()
     port = server.getAddress.getPort
   }
+
+  val postedSpots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   override def afterAll(): Unit = if (server != null) server.stop(0)
 
@@ -91,6 +125,49 @@ class PetroDbSpec extends AnyFunSuite with BeforeAndAfterAll {
     val a2 = new PetroApi(s"http://127.0.0.1:$port", "u", "p")
     a2.get("/samples/7")
     assert(tokenIssued > before)
+  }
+
+  test("area navigation -> pivoted area table (no mineral column)") {
+    val a = api
+    val json = PetroDb.areasJson(spark, a, 7, Seq(1L, 2L))
+    val df = PetroDb.areasDf(json, Seq("SiO2", "MgO"))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(11L, 21L))
+    assert(rows.head.getString(1) == "area1")
+    assert(rows.head.getDouble(2) == 55.0)
+  }
+
+  test("profile navigation with mineral filter; spots ordered by index and carry label/mineral") {
+    val a = api
+    val all = PetroDb.profiles(a, 7, 1)
+    assert(all.map(_.label) == Seq("trav1", "trav2"))
+    val grt = PetroDb.profiles(a, 7, 1, mineral = Some("Garnet"))
+    assert(grt == Seq(PetroDb.ProfileRef(31, "trav1", Some("Garnet"))))
+    val json = PetroDb.profileSpotsJson(spark, a, 7, 1, grt)
+    val df = PetroDb.profileSpotsDf(json, Seq("SiO2"))
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // sorted by index
+    assert(rows.map(_.getString(2)).distinct.toSeq == Seq("trav1"))
+    assert(rows.map(_.getString(3)).distinct.toSeq == Seq("Garnet"))
+    assert(rows.head.getDouble(4) == 37.0)
+  }
+
+  test("createSpots posts partition batches and returns created records; read-only refused") {
+    import org.apache.spark.sql.functions._
+    val ro = api
+    val rw = new PetroApi(s"http://127.0.0.1:$port", "u", "p", readOnly = false)
+    val spots = PetroDb.spotsDf(PetroDb.spotsJson(spark, ro, 7, Seq(1L)), Seq("SiO2", "FeO"))
+    val payloads = PetroDb.toPayloads(spots, "label", "mineral", Seq("SiO2", "FeO"))
+    intercept[IllegalArgumentException] {
+      PetroDb.createSpots(spark, ro, 7, 1, payloads)
+    }
+    postedSpots.clear()
+    val created = PetroDb.createSpots(spark, rw, 7, 1, payloads)
+    val back = PetroDb.spotsDf(created, Seq("SiO2", "FeO"))
+    assert(back.count() == 2)
+    assert(back.filter(col("id") >= 900).count() == 2) // server-assigned ids
+    assert(!postedSpots.isEmpty) // batches actually reached the endpoint
   }
 
   test("mineral_data union with discriminator; payload export drops <=0") {
