@@ -383,9 +383,14 @@ object Valence {
     }
     val low = greatest(col(totalCol) - high0, lit(0.0))
     val high = col(totalCol) - low
-    // Rebuild the projection with totalCol -> lowIon and highIon inserted.
+    // Reference fidelity (_calc.py:835-842): the result RENAMES the total
+    // column to the low ion and inserts the high ion after it — the low
+    // column keeps the TOTAL element APFU, it is never reduced by the
+    // high estimate. The reference's own goldens depend on this (e.g.
+    // amphibole T-site sums, chloritoid Cld dominance), so we reproduce
+    // it even though it double-counts the split element.
     val exprs = df.columns.toSeq.flatMap { c =>
-      if (c == totalCol) Seq(low.as(lowIon), high.as(highIon))
+      if (c == totalCol) Seq(col(totalCol).as(lowIon), high.as(highIon))
       else Seq(col(c))
     }
     df.select(exprs: _*)

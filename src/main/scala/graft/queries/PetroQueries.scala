@@ -76,9 +76,12 @@ object PetroQueries {
   }
   private val feLowSql = s"""GREATEST("Fe{2+}" - $droopHighSql, 0.0)"""
   private val feHighSql = s""""Fe{2+}" - $feLowSql"""
-  /** SELECT list producing the split apfu columns (order preserved). */
+  /** SELECT list producing the split apfu columns (order preserved).
+    * Reference fidelity (_calc.py:835-842): the low column keeps the
+    * TOTAL element APFU (rename only); only the high column is the
+    * split estimate. */
   private val splitSelectSql: String = ionCols.flatMap { c =>
-    if (c == "Fe{2+}") Seq(s"""$feLowSql AS "Fe{2+}"""", s"""$feHighSql AS "Fe{3+}"""")
+    if (c == "Fe{2+}") Seq(s""""Fe{2+}" AS "Fe{2+}"""", s"""$feHighSql AS "Fe{3+}"""")
     else Seq(s"${qi(c)} AS ${qi(c)}")
   }.mkString(", ")
 
@@ -976,13 +979,14 @@ object PetroQueries {
   }
 
   /** Droop Fe split SELECT list at arbitrary (nOxygens, idealCations)
-    * over a CTE of ion columns (mirrors Valence.droopHigh + splitValence). */
+    * over a CTE of ion columns (mirrors Valence.droopHigh + splitValence:
+    * low column keeps the TOTAL, _calc.py:835-842). */
   private def droopSplitSel(nOxy: Double, ideal: Double): String = {
     val f = s"${2.0 * nOxy} * (1.0 - $ideal / ($apfuSumSql))"
     val high = s"CASE WHEN ($apfuSumSql) = 0.0 THEN 0.0 ELSE GREATEST($f, 0.0) END"
     val low = s"""GREATEST("Fe{2+}" - $high, 0.0)"""
     ionCols.flatMap { c =>
-      if (c == "Fe{2+}") Seq(s"""$low AS "Fe{2+}"""", s""""Fe{2+}" - $low AS "Fe{3+}"""")
+      if (c == "Fe{2+}") Seq(s""""Fe{2+}" AS "Fe{2+}"""", s""""Fe{2+}" - $low AS "Fe{3+}"""")
       else Seq(s"${qi(c)} AS ${qi(c)}")
     }.mkString(", ")
   }
@@ -1028,9 +1032,10 @@ object PetroQueries {
       val w = Chem.parseIon(c).map(_._2 / 2.0).get
       s"${qi(c)} * nrm * $w"
     }.mkString(" + ")
+    // low column keeps the TOTAL (reference _calc.py:835-842)
     val splitSel = ionCols.flatMap { c =>
       if (c == "Fe{2+}")
-        Seq(s"""GREATEST("Fe{2+}" - hs, 0.0) AS "Fe{2+}"""",
+        Seq(s""""Fe{2+}" AS "Fe{2+}"""",
           s""""Fe{2+}" - GREATEST("Fe{2+}" - hs, 0.0) AS "Fe{3+}"""")
       else Seq(s"${qi(c)} AS ${qi(c)}")
     }.mkString(", ")
