@@ -1,0 +1,124 @@
+package graft.petro
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Goldens produced by RUNNING the reference library on fixed inputs
+  * (PYTHONPATH=shim, see memory petropandas-split-quirk): the printed
+  * values below are the reference's outputs rounded as noted, so these
+  * tests pin cross-implementation numeric parity, not just invariants.
+  * Shared atomic masses (the shim uses this engine's tables), so any
+  * disagreement is algorithmic. */
+class ReferenceGoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def frame(cols: Seq[String], rows: Seq[Seq[Double]]): DataFrame = {
+    val schema = StructType(cols.map(c => StructField(c, DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r: _*)), 1), schema)
+  }
+
+  def row0(df: DataFrame): Map[String, Double] = {
+    val r = df.collect()(0)
+    df.columns.zipWithIndex.map { case (c, i) =>
+      c -> (if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
+    }.toMap
+  }
+
+  def approx(m: Map[String, Double], expect: Map[String, Double], tol: Double): Unit =
+    expect.foreach { case (k, v) =>
+      assert(math.abs(m(k) - v) < tol, s"$k: ${m(k)} vs reference $v")
+    }
+
+  lazy val graniteBulk = frame(
+    Seq("SiO2", "TiO2", "Al2O3", "Fe2O3", "FeO", "MnO", "MgO", "CaO", "Na2O", "K2O", "P2O5"),
+    Seq(Seq(72.0, 0.3, 14.0, 1.2, 1.8, 0.05, 0.7, 1.8, 3.2, 4.5, 0.12)))
+  lazy val basaltBulk = frame(
+    Seq("SiO2", "TiO2", "Al2O3", "Fe2O3", "FeO", "MnO", "MgO", "CaO", "Na2O", "K2O", "P2O5"),
+    Seq(Seq(49.5, 2.0, 14.5, 3.5, 9.0, 0.18, 7.5, 10.5, 2.5, 0.4, 0.25)))
+
+  test("granite CIPW norm matches reference values (_calc.cipw_norm)") {
+    val n = row0(Cipw.cipwNorm(graniteBulk, completeResults = true))
+    approx(n, Map(
+      "Q" -> 30.7326, "C" -> 0.8793, "Or" -> 26.593, "Ab" -> 27.0771,
+      "An" -> 8.146, "Hy" -> 3.6549, "Mt" -> 1.7399, "Il" -> 0.5699,
+      "Ap" -> 0.2842, "Total" -> 99.6768), 5e-4)
+  }
+
+  test("basalt CIPW norm matches reference values (_calc.cipw_norm)") {
+    val n = row0(Cipw.cipwNorm(basaltBulk, completeResults = true))
+    approx(n, Map(
+      "Q" -> 0.6265, "Or" -> 2.3638, "Ab" -> 21.154, "An" -> 27.1608,
+      "Di" -> 18.9341, "Hy" -> 20.1401, "Mt" -> 5.0747, "Il" -> 3.7991,
+      "Ap" -> 0.5921, "Total" -> 99.8452), 5e-4)
+  }
+
+  test("granite CIPWhb biotite recast matches reference (_calc.cipw_norm_hb)") {
+    val n = row0(Cipw.cipwNormHb(graniteBulk, completeResults = true))
+    approx(n, Map(
+      "Q" -> 32.6466, "C" -> 0.8793, "Or" -> 23.6375, "Ab" -> 27.0771,
+      "An" -> 8.146, "Bi" -> 4.6964, "Mt" -> 1.7399, "Il" -> 0.5699,
+      "Ap" -> 0.2842, "Total" -> 99.6768), 5e-4)
+  }
+
+  test("mn_garnet stoichiometry scores match reference (check_stoichiometry)") {
+    val mn = frame(Seq("SiO2", "Al2O3", "FeO", "MnO", "MgO", "CaO"),
+      Seq(Seq(36.50, 20.50, 25.00, 15.00, 1.50, 1.00)))
+    val s = row0(Stoich.checkStoichiometry(Minerals.Grt, mn))
+    approx(s, Map(
+      "analytical_total" -> 1.0, "cation_deviation" -> 0.994261,
+      "charge_balance" -> 0.8134, "fe3+_validity" -> 1.0,
+      "site_vacancies" -> 1.0, "leftover_cations" -> 0.994294), 5e-5)
+  }
+
+  test("metapelite TC garnet end members match reference (test_tc_minerals GARNET_DF)") {
+    val g = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "MnO"),
+      Seq(Seq(38.5, 22.1, 28.3, 5.2, 3.8, 1.5)))
+    val e = row0(graft.petro.hpxeos.Metapelite.TcGarnet.endMembers(g))
+    approx(e, Map("py" -> 21.0872, "alm" -> 64.3813, "spss" -> 3.4561,
+      "gr" -> 11.0755, "kho" -> 0.0), 5e-4)
+  }
+
+  test("pl4tr and k4tr agree and match reference (test_tc_minerals.py:179)") {
+    val fsp = frame(Seq("SiO2", "Al2O3", "CaO", "Na2O", "K2O"),
+      Seq(Seq(60.0, 25.0, 7.0, 6.5, 0.8)))
+    val p = row0(graft.petro.hpxeos.Metapelite.TcPl4tr.endMembers(fsp))
+    val k = row0(graft.petro.hpxeos.Metapelite.TcK4tr.endMembers(fsp))
+    approx(p, Map("ab" -> 59.6619, "an" -> 35.5066, "san" -> 4.8315), 5e-4)
+    Seq("ab", "an", "san").foreach { c =>
+      assert(math.abs(p(c) - k(c)) < 1e-9, s"pl4tr/k4tr disagree on $c")
+    }
+  }
+
+  test("muscovite end members match reference values (Ms.end_members)") {
+    val ms = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "TiO2", "Na2O", "K2O", "BaO"),
+      Seq(Seq(45.00, 35.00, 3.00, 1.00, 0.50, 0.50, 10.00, 0.10)))
+    val e = row0(Minerals.endMembers(Minerals.Ms, ms))
+    approx(e, Map("Al-Celadonite" -> 6.681, "Fe-Al-Celadonite" -> 11.244,
+      "Pyrophyllite" -> 5.5561, "Margarite" -> 0.0, "Paragonite" -> 4.7257,
+      "Muscovite" -> 62.1883, "Trioctahedral" -> 9.6048), 5e-4)
+  }
+
+  test("orthopyroxene end members match reference values (Opx.end_members)") {
+    val opx = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "TiO2"),
+      Seq(Seq(50.00, 3.00, 15.00, 30.00, 1.50, 0.50)))
+    val e = row0(Minerals.endMembers(Minerals.Opx, opx))
+    approx(e, Map("MgTs" -> 0.0, "Wo" -> 5.8467, "En" -> 63.4267,
+      "Fs" -> 30.7266), 5e-4)
+  }
+
+  test("TCbulk prep matches reference values (BulkAccessor.TCbulk, avgpelite-like)") {
+    val avg = frame(
+      Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "Na2O", "K2O", "TiO2", "MnO"),
+      Seq(Seq(59.8, 16.57, 5.81, 2.62, 2.17, 1.73, 3.53, 0.75, 0.1)))
+    val (_, lined) = Thermo.tcBulk(avg, labelCol = lit("0"))
+    val m = row0(lined.drop("line"))
+    approx(m, Map(
+      "H2O" -> 21.306, "SiO2" -> 55.206, "Al2O3" -> 9.014, "CaO" -> 2.146,
+      "MgO" -> 3.606, "FeO" -> 4.486, "K2O" -> 2.079, "Na2O" -> 1.548,
+      "TiO2" -> 0.521, "MnO" -> 0.078, "O" -> 0.010), 5e-4)
+  }
+}
