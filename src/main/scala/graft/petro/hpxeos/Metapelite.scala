@@ -767,12 +767,15 @@ p(pnt)     1 1    0  1  1  m
       "M2" -> Seq("Al{3+}", "Fe{3+}", "Ti{4+}"))
     override val optionalColumns = Set("Fe{3+}")
     val endMemberNames = Seq("herc", "sp", "mt", "usp")
+    // Fe2O3 is merged into FeO before APFU + Droop (reference
+    // metapelite/spinel.py:_preprocess_oxides -> _calc.fe2o3_to_feo).
     val mineral: MineralSpec = MineralSpec("TC_sp", 4, Some(3),
       Seq(ValenceSplit("Fe", "droop")),
       Seq(
         SiteDef("M1", 1.0, Seq("Mg{2+}", "Fe{2+}")),
         SiteDef("M2", 2.0, Seq("Al{3+}", "Fe{3+}", "Ti{4+}"))),
-      totalRange = (99.0, 101.0))
+      totalRange = (99.0, 101.0),
+      preprocess = graft.petro.Convert.fe2o3ToFeo)
 
     // Verbatim from tc-mp51MnNCKFMASHTO.txt (sp block).
     val pBlock = """
