@@ -199,6 +199,14 @@ object PetroQueries {
       roundAll(n, Seq("id")).orderBy("id")
     }),
 
+    // C2+G5: the zero-column-pruning path of the GCDkit norm — drops
+    // all-zero minerals after a driver-side max-abs aggregate
+    "p53_cipw_pruned" -> ((s, dir) => {
+      val n = Cipw.cipwNorm(oxWithFe2O3(s, dir), carry = Seq("id"),
+        normsum = true, completeResults = false)
+      roundAll(n, Seq("id")).orderBy("id")
+    }),
+
     // C3: CIPWhb norm (hornblende/biotite recasting; full oracle)
     "p15_cipw_hb" -> ((s, dir) => {
       val n = Cipw.cipwNormHb(oxWithFe2O3(s, dir), carry = Seq("id"),
@@ -540,6 +548,8 @@ object PetroQueries {
       "p12_apfu_by_charge" -> wrap(s"SELECT id, $chargeSel FROM ox ORDER BY id"),
       "p13_cipw_simple" -> wrap(cipwSimpleSql),
       "p14_cipw_gcdkit" -> wrap(cipwGcdkitSql),
+      "p53_cipw_pruned" -> wrap(cipwGcdkitSqlKeep(Some(Seq(
+        "Q", "C", "Or", "Ab", "An", "Hy", "Ol", "Mt", "Il", "Ap")))),
       "p15_cipw_hb" -> wrap(cipwHbSql),
       "p24_cpx_endmembers" -> wrap(cpxEndmemberSql),
       "p25_amp_endmembers" -> wrap(ampEndmemberSql),
@@ -848,7 +858,14 @@ object PetroQueries {
 
   /** p14 oracle: Cipw.cipwRow with normsum=true (reference
     * _cipw_norm_row, _calc.py:1319-1473 + _cipw_final:1167-1192). */
-  private def cipwGcdkitSql: String = {
+  private def cipwGcdkitSql: String = cipwGcdkitSqlKeep(None)
+
+  /** p14 oracle, optionally restricted to a kept-column subset — the
+    * oracle twin of the G5 zero-column pruning path (p53). The pruning
+    * decision is data-dependent but deterministic for the synthetic
+    * table (verified identical at sf0.001/sf0.01), so the oracle can
+    * name the kept set statically. */
+  private def cipwGcdkitSqlKeep(keep: Option[Seq[String]]): String = {
     def nm(c: String) = Cipw.normMw(c)
     // total over CIPW_RESULT_NAMES order minus the excluded sub-splits
     def tot(p: String) = Seq("q", "c", "or", "ab", "an", "lc", "ne", "kp",
@@ -866,7 +883,9 @@ object PetroQueries {
       "Pf" -> "n_pf", "Ru" -> "n_ru", "Ap" -> "n_ap", "Fr" -> "n_fr",
       "Py" -> "n_py", "Cc" -> "n_cc", "Sp" -> "n_sp", "MgSp" -> "n_mgsp",
       "FeSp" -> "n_fesp")
-    val sel = outNames.map { case (n0, v) => s"""ROUND($v, 6) AS "$n0"""" }
+    val sel = outNames
+      .filter { case (n0, _) => keep.forall(_.contains(n0)) }
+      .map { case (n0, v) => s"""ROUND($v, 6) AS "$n0"""" }
       .mkString(", ")
     s"""$cipwCommonCtes,
       r11 AS (SELECT *, CASE WHEN na1 >= fe3 THEN fe3 ELSE na1 END AS ac FROM k10),

@@ -105,6 +105,19 @@ object TextQueries {
         .orderBy("query_id", "cand_id")
     }),
 
+    // IVF centroid training: 2 Lloyd iterations from a deterministic
+    // seed, then assign the corpus to the trained cells
+    "t13_kmeans_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val trained = graft.sim.Similarity.kmeansCentroids(
+        emb, "vec_id", "embedding", initIds = Seq(0L, 1L, 2L, 3L), iterations = 2)
+      graft.sim.Similarity.ivfAssign(emb,
+          trained.select(col("cell").as("vec_id"), col("centroid").as("embedding")),
+          "vec_id", "embedding")
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    }),
+
     // multimodal decode plumbing (STUB codec; rows-only check)
     "t10_media_decode" -> ((s, dir) => {
       val media = graft.multimodal.Media.fromText(
@@ -239,6 +252,31 @@ object TextQueries {
          JOIN sizes nb ON nb.doc_id = p.b_id
          LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
          ORDER BY p.a_id, p.b_id""",
+    "t13_kmeans_ivf" -> {
+      val meanList = (1 to 64).map(i => s"AVG(v[$i])").mkString("[", ", ", "]")
+      def cos(a: String, b: String) =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      def assign(cent: String, name: String, rounded: Boolean) = {
+        val sim = if (rounded) s"ROUND(${cos("v", "cv")}, 4)" else cos("v", "cv")
+        s"""${name}s AS (SELECT d.vec_id, d.v, cell, $sim AS sim FROM d, $cent),
+         $name AS (SELECT vec_id, v, cell FROM (
+           SELECT vec_id, v, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+           FROM ${name}s) WHERE rn = 1)"""
+      }
+      def lloyd(prev: String, assigned: String, next: String) =
+        s"""${next}m AS (SELECT cell, $meanList AS cv FROM $assigned GROUP BY cell),
+         $next AS (SELECT p.cell, COALESCE(m.cv, p.cv) AS cv
+           FROM $prev p LEFT JOIN ${next}m m USING (cell))"""
+      s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 4),
+         ${assign("c0", "a0", rounded = false)},
+         ${lloyd("c0", "a0", "c1")},
+         ${assign("c1", "a1", rounded = false)},
+         ${lloyd("c1", "a1", "c2")},
+         ${assign("c2", "af", rounded = true)}
+         SELECT vec_id, cell FROM af ORDER BY vec_id"""
+    },
     "t11_ivf_search" ->
       """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          cent AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 4),

@@ -83,6 +83,55 @@ object Similarity {
       .agg(count(lit(1)).as("n"), min(idCol).as("min_id"), max(idCol).as("max_id"))
       .filter(col("n") > 1)
 
+  /** IVF centroid training: k-means (Lloyd) with deterministic
+    * initialization — the `initIds` rows seed the centroids, then each
+    * iteration is one broadcast-assign + one hash-aggregate mean per
+    * cell (no driver-side loops over vectors; only the k centroid rows
+    * are collected between iterations, mirroring how any distributed
+    * k-means keeps model state driver-side while data stays put).
+    * Cosine assignment with centroid-id tie-break, like [[ivfAssign]].
+    * Returns (cell, centroid array) with cells 0..k-1 ordered by the
+    * rank of their seed id. At 100 TB: per-iteration cost is one scan +
+    * one shuffle of k partial sums per partition; k and dim are small,
+    * so the collected model is a few KB. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      initIds: Seq[Long], iterations: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    var centroids = c
+      .filter(col(idCol).isInCollection(initIds))
+      .select(col(idCol), col("v"))
+      .collect()
+      .sortBy(r => initIds.indexOf(r.getLong(0)))
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+      .toSeq
+    (0 until iterations).foreach { _ =>
+      val centDf = centroids.toDF("cell", "cv")
+      val scored = c.crossJoin(broadcast(centDf))
+        .select(col(idCol), col("v"), col("cell"),
+          cosine(col("v"), col("cv")).as("sim"))
+      val w = Window.partitionBy(idCol).orderBy(desc("sim"), col("cell"))
+      val assigned = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      // per-cell mean, element-wise: explode + (cell, pos) average keeps
+      // the aggregation a plain hash agg at any dimension
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), expr("transform(pm, e -> e.m)").as("cv"))
+        .as[(Long, Seq[Double])].collect().toMap
+      // cells that lost every member keep their previous centroid
+      centroids = centroids.map { case (cell, cv) =>
+        (cell, means.getOrElse(cell, cv))
+      }
+    }
+    centroids.toDF("cell", "centroid")
+  }
+
   /** Assign each vector to its nearest centroid (IVF cell) by cosine;
     * centroids are broadcast. Ties break on centroid id. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
