@@ -56,15 +56,16 @@ object TextQueries {
     "t12_jaccard_verify" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
+      // materialize the small (doc, bucket) frame once: the self-join
+      // below references it twice and jaccardPairs references the
+      // derived pairs three more times — without the checkpoint each
+      // reference recomputes the whole minhash lineage over the corpus
       val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2)
-      // materialize the small candidate set once — jaccardPairs references
-      // it three times, and each reference would otherwise recompute the
-      // whole minhash+LSH lineage over the corpus
+        .localCheckpoint()
       val pairs = bux.as("x").join(bux.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-        .localCheckpoint()
       TextOps.jaccardPairs(docs, "doc_id", "text", pairs)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
