@@ -119,10 +119,12 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
-    // multimodal decode plumbing (STUB codec; rows-only check)
+    // multimodal decode: structurally valid BMP/WAV payloads built then
+    // genuinely header-parsed back — the oracle recomputes the expected
+    // metadata from the construction rule, so a parser bug hash-fails
     "t10_media_decode" -> ((s, dir) => {
-      val media = graft.multimodal.Media.fromText(
-        t(s, dir, "documents"), "doc_id", "text", "video")
+      val media = graft.multimodal.Media.syntheticMedia(
+        t(s, dir, "documents"), "doc_id", "text")
       graft.multimodal.Media.decode(media).orderBy("media_id")
     }),
 
@@ -162,6 +164,21 @@ object TextQueries {
        FROM ($SHINGLES_SQL) GROUP BY doc_id"""
 
   val oracle: Map[String, String] = Map(
+    // mirrors Media.syntheticMedia's construction rule (BMP 54-byte
+    // header + 4-padded 24bpp rows; WAV 44-byte header + 16-bit mono),
+    // while the Spark side PARSES the binary headers — a round trip
+    "t10_media_decode" ->
+      """SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         CAST(CASE WHEN doc_id % 2 = 0
+           THEN 54 + ((((16 + length(text) % 97) * 3 + 3) // 4) * 4) * (16 + doc_id % 61)
+           ELSE 44 + (800 + length(text) % 8000) * 2 END AS BIGINT) AS n_bytes,
+         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + length(text) % 97 ELSE 0 END AS INTEGER) AS width,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 61 ELSE 0 END AS INTEGER) AS height,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+           ELSE ((800 + length(text) % 8000) * 1000) // 8000 END AS BIGINT) AS duration_ms
+         FROM documents ORDER BY media_id""",
     "t01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS n,
          MIN(doc_id) AS canonical_id

@@ -44,4 +44,27 @@ class MediaSpec extends AnyFunSuite {
     assert(e.select(size(col("embedding"))).distinct().collect()
       .map(_.getInt(0)).toSeq == Seq(16))
   }
+
+  test("BMP build -> parse round trip reads header fields, not build params") {
+    val b = Media.buildBmp(33, 21)
+    // 33*3=99 -> padded row 100
+    assert(b.length == 54 + 100 * 21)
+    assert(Media.parseContainer(b).contains(("bmp", 33, 21, 0L)))
+  }
+
+  test("WAV build -> parse round trip derives duration from the data chunk") {
+    val w = Media.buildWav(8000, 4000) // 0.5 s
+    assert(w.length == 44 + 8000)
+    assert(Media.parseContainer(w).contains(("wav", 0, 0, 500L)))
+    assert(Media.parseContainer("not a container".getBytes).isEmpty)
+  }
+
+  test("syntheticMedia payloads decode via the real header parsers") {
+    val syn = Media.syntheticMedia(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val d = Media.decode(syn)
+    assert(d.filter(col("format").isin("bmp", "wav")).count() == d.count())
+    assert(d.filter(col("kind") === "image" && col("format") =!= "bmp").count() == 0)
+    assert(d.filter(col("kind") === "audio" && col("duration_ms") <= 0).count() == 0)
+  }
 }
