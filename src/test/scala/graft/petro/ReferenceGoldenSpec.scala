@@ -110,6 +110,38 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       "Fs" -> 30.7266), 5e-4)
   }
 
+  test("PerpleX component list matches reference lines (BulkAccessor.Perplexbulk)") {
+    val avg = frame(
+      Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "Na2O", "K2O", "TiO2", "MnO"),
+      Seq(Seq(59.8, 16.57, 5.81, 2.62, 2.17, 1.73, 3.53, 0.75, 0.1)))
+    val block = Thermo.perplexBulk(avg).select("block").collect()(0).getString(0)
+    val expect = Seq(
+      "H2O   1 21.30414      0.00000      0.00000     molar amount",
+      "SiO2  1 55.20033      0.00000      0.00000     molar amount",
+      "Al2O3 1  9.01331      0.00000      0.00000     molar amount",
+      "CaO   1  2.14618      0.00000      0.00000     molar amount",
+      "MgO   1  3.60533      0.00000      0.00000     molar amount",
+      "FeO   1  4.48516      0.00000      0.00000     molar amount",
+      "K2O   1  2.07843      0.00000      0.00000     molar amount",
+      "Na2O  1  1.54809      0.00000      0.00000     molar amount",
+      "TiO2  1  0.52083      0.00000      0.00000     molar amount",
+      "MnO   1  0.07818      0.00000      0.00000     molar amount",
+      "O2    1  0.02000      0.00000      0.00000     molar amount")
+    assert(block.linesIterator.toSeq == expect)
+  }
+
+  test("MAGEMin bulk line matches reference (BulkAccessor.MAGEMin, db=mp)") {
+    import org.apache.spark.sql.functions.lit
+    val avg = frame(
+      Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "Na2O", "K2O", "TiO2", "MnO"),
+      Seq(Seq(59.8, 16.57, 5.81, 2.62, 2.17, 1.73, 3.53, 0.75, 0.1)))
+    val line = Thermo.magemim(avg, labelCol = lit("0"), db = "mp")
+      .select("line").collect()(0).getString(0)
+    assert(line ==
+      "0;petropandas;mp;mol;[SiO2, Al2O3, CaO, MgO, FeO, K2O, Na2O, TiO2, O, MnO, H2O];" +
+      "[55.2059, 9.0142, 2.1464, 3.6057, 4.4856, 2.0786, 1.5482, 0.5209, 0.0100, 0.0782, 21.3063];")
+  }
+
   test("TCbulk prep matches reference values (BulkAccessor.TCbulk, avgpelite-like)") {
     val avg = frame(
       Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "Na2O", "K2O", "TiO2", "MnO"),
