@@ -120,7 +120,11 @@ object Thermo {
       format_string(s"%-6s1 %8.5f      0.00000      0.00000     molar amount",
         lit(c), col(c))
     }
-    prep.withColumn("block", concat_ws("\n", lines: _*))
+    // begin/end wrapper lines are part of the reference's emitted text
+    // (_accessors.py:882-886)
+    prep.withColumn("block", concat_ws("\n",
+      lit("begin thermodynamic component list") +: lines :+
+        lit("end thermodynamic component list"): _*))
   }
 
   /** S9: MAGEMin bulk input lines (reference: _accessors.py:890-949). */

@@ -116,6 +116,7 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       Seq(Seq(59.8, 16.57, 5.81, 2.62, 2.17, 1.73, 3.53, 0.75, 0.1)))
     val block = Thermo.perplexBulk(avg).select("block").collect()(0).getString(0)
     val expect = Seq(
+      "begin thermodynamic component list",
       "H2O   1 21.30414      0.00000      0.00000     molar amount",
       "SiO2  1 55.20033      0.00000      0.00000     molar amount",
       "Al2O3 1  9.01331      0.00000      0.00000     molar amount",
@@ -126,7 +127,8 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       "Na2O  1  1.54809      0.00000      0.00000     molar amount",
       "TiO2  1  0.52083      0.00000      0.00000     molar amount",
       "MnO   1  0.07818      0.00000      0.00000     molar amount",
-      "O2    1  0.02000      0.00000      0.00000     molar amount")
+      "O2    1  0.02000      0.00000      0.00000     molar amount",
+      "end thermodynamic component list")
     assert(block.linesIterator.toSeq == expect)
   }
 
