@@ -68,6 +68,29 @@ class PlotDataSpec extends AnyFunSuite {
     assert(secondary == Set("ZnO", "Na2O"))
   }
 
+  test("auto-split matches reference on a single-outlier fixture (reference-run golden)") {
+    // running the reference _auto_split on this exact fixture returns
+    // {FeO}: the high outlier goes secondary because the first-seen
+    // column (CaO) keeps the primary axis
+    val p1 = frame(Seq("CaO", "FeO", "MgO", "MnO"),
+      Seq(Seq(5.0, 20.0, 4.0, 1.0), Seq(5.5, 21.0, 4.2, 1.1), Seq(6.0, 22.0, 4.4, 0.9)))
+    val p2 = frame(Seq("ZnO", "Na2O"),
+      Seq(Seq(0.2, 0.5), Seq(0.3, 0.6), Seq(0.25, 0.55)))
+    val secondary = PlotData.autoSplit(Seq(p1, p2),
+      candidates = Some(Seq("CaO", "FeO", "MgO", "MnO", "ZnO", "Na2O")))
+    assert(secondary == Set("FeO"), s"got $secondary")
+  }
+
+  test("expression language resolves backtick-quoted ion names (test_plotting.py:68-77)") {
+    val df = frame(Seq("Al{3+}", "Si{4+}"), Seq(Seq(2.0, 3.0)))
+    val got = df.select(PlotData.evalExpr(df, "`Al{3+}` + `Si{4+}`").as("v"))
+      .collect()(0).getDouble(0)
+    assert(got == 5.0)
+    // bare ion name also resolves as a direct column reference
+    val one = df.select(PlotData.evalExpr(df, "Al{3+}").as("v")).collect()(0).getDouble(0)
+    assert(one == 2.0)
+  }
+
   test("variance helper matches population variance") {
     assert(PlotData.variance(Seq(1.0, 3.0)) == 1.0)
     assert(PlotData.variance(Seq(2.0)) == 0.0)
