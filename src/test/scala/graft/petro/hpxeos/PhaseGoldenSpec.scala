@@ -114,4 +114,91 @@ class PhaseGoldenSpec extends AnyFunSuite {
         "jdm" -> -3.3079, "acmm" -> 25.3251, "ocats" -> 0.0,
         "dcats" -> 10.7349, "fmc" -> -19.157))
   }
+
+  // ---- Mn-free metabasite variants + remaining metapelite/igneous ----------
+
+  lazy val garnetNoMn = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO"),
+    Seq(38.5, 22.1, 28.3, 5.2, 3.8))
+  lazy val biNoMn = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "TiO2", "K2O", "Na2O"),
+    Seq(35.0, 18.0, 22.0, 10.0, 3.0, 9.0, 0.3))
+  lazy val ilmMixed = frame(Seq("TiO2", "FeO", "Fe2O3", "MgO", "MnO"),
+    Seq(50.0, 40.0, 4.0, 2.0, 2.0))
+
+  test("metabasite g (Mn-free) matches reference") {
+    check(Metabasite.TcGarnet, garnetNoMn,
+      Map("py" -> 21.8421, "alm" -> 66.686, "gr" -> 11.472, "kho" -> 0.0))
+  }
+
+  test("metabasite bi (Mn-free) matches reference") {
+    check(Metabasite.TcBiotite, biNoMn,
+      Map("phl" -> 26.1727, "annm" -> 55.241, "obi" -> -22.939,
+        "east" -> 24.4829, "tbi" -> 17.0424, "fbi" -> 0.0))
+  }
+
+  test("metabasite mu matches reference (mam member name)") {
+    check(Metabasite.TcMuscovite,
+      frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "Na2O", "K2O"),
+        Seq(45.0, 35.0, 3.0, 1.0, 0.2, 1.0, 10.0)),
+      Map("mu" -> 6.2283, "cel" -> 22.1302, "fcel" -> 37.2447,
+        "pa" -> 13.0034, "mam" -> 1.4372, "fmu" -> 19.9562))
+  }
+
+  test("metabasite chl (Mn-free) matches reference") {
+    check(Metabasite.TcChlorite,
+      frame(Seq("SiO2", "Al2O3", "FeO", "MgO"), Seq(25.0, 22.0, 18.0, 18.0)),
+      Map("clin" -> -26.0895, "afchl" -> 33.7966, "ames" -> 72.5954,
+        "daph" -> 26.0895, "ochl1" -> 9.8487, "ochl4" -> -16.2407,
+        "f3clin" -> 0.0))
+  }
+
+  test("metabasite opx (Mn-free) matches reference") {
+    check(Metabasite.TcOrthopyroxene,
+      frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "TiO2"),
+        Seq(50.0, 3.0, 20.0, 24.0, 1.0, 0.2)),
+      Map("en" -> 50.8261, "fs" -> 27.2167, "fm" -> 3.3534,
+        "mgts" -> 1.7933, "fopx" -> 12.7719, "odi" -> 4.0386))
+  }
+
+  test("metabasite ilmm matches reference (geik, no pnt)") {
+    check(Metabasite.TcIlmeniteMixed, ilmMixed,
+      Map("oilm" -> 0.0, "dilm" -> 88.5813, "dhem" -> 3.8304, "geik" -> 7.5882))
+  }
+
+  test("metapelite ilm matches reference (measured Fe3+)") {
+    check(Metapelite.TcIlmenite,
+      frame(Seq("TiO2", "FeO", "Fe2O3"), Seq(52.0, 44.0, 4.0)),
+      Map("oilm" -> 0.0, "dilm" -> 96.2234, "dhem" -> 3.7766))
+  }
+
+  test("metapelite ilmm matches reference (geik + pnt)") {
+    check(Metapelite.TcIlmeniteMixed, ilmMixed,
+      Map("oilm" -> 0.0, "dilm" -> 84.27, "dhem" -> 3.8304,
+        "geik" -> 7.5882, "pnt" -> 4.3114))
+  }
+
+  test("metapelite sa matches reference at default Q") {
+    check(Metapelite.TcSapphirine,
+      frame(Seq("SiO2", "Al2O3", "FeO", "MgO"), Seq(13.0, 62.0, 8.0, 17.0)),
+      Map("spr4" -> -27.5618, "spr5" -> 26.857, "fspm" -> -1.3943,
+        "spro" -> 22.2802, "ospr" -> 79.8189))
+  }
+
+  test("igneous ol_H18 matches reference") {
+    check(Igneous.TcOlivineH18,
+      frame(Seq("SiO2", "FeO", "MgO", "CaO", "MnO"),
+        Seq(39.0, 18.0, 42.0, 0.3, 0.2)),
+      Map("mont" -> 0.8234, "fa" -> 19.3825, "fo" -> 79.9537, "cfm" -> -0.1596))
+  }
+
+  test("igneous bi_G25 matches reference (est member name)") {
+    check(Igneous.TcBiotiteG25, biNoMn,
+      Map("phl" -> 26.1727, "annm" -> 55.241, "obi" -> -22.939,
+        "est" -> 24.4829, "tbi" -> 17.0424, "fbi" -> 0.0))
+  }
+
+  test("igneous cd_G25 matches reference") {
+    check(Igneous.TcCordieriteG25,
+      frame(Seq("SiO2", "Al2O3", "FeO", "MgO"), Seq(48.0, 34.0, 10.0, 8.0)),
+      Map("crd" -> 58.7806, "fcrd" -> 41.2194, "hcrd" -> 0.0))
+  }
 }
