@@ -144,6 +144,35 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       "[55.2059, 9.0142, 2.1464, 3.6057, 4.4856, 2.0786, 1.5482, 0.5209, 0.0100, 0.0782, 21.3063];")
   }
 
+  test("split_valence goldens for Fe/Mn/Ti, both methods (test_calc.py:114-168)") {
+    import graft.petro.{Convert, Valence, Units}
+    val fePyroxene = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "Na2O", "TiO2"),
+      Seq(Seq(52.00, 4.50, 8.50, 15.00, 18.00, 1.50, 0.50)))
+    val mnGarnet = frame(Seq("SiO2", "Al2O3", "FeO", "MnO", "MgO", "CaO"),
+      Seq(Seq(36.50, 20.50, 25.00, 15.00, 1.50, 1.00)))
+    val tiRutile = frame(Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "TiO2", "Na2O"),
+      Seq(Seq(40.00, 12.00, 10.00, 8.00, 10.00, 18.00, 2.00)))
+    def run(df: DataFrame, el: String, method: String, nOxy: Double, ic: Double,
+        expect: Map[String, Double]): Unit = {
+      val apfu = Convert.toApfu(df, nOxygens = Some(nOxy), units = Units.WtPct)
+      val out = Valence.splitValence(apfu, apfu.columns.toSeq, el, method, nOxy, ic)
+      approx(row0(out).filter(_._1.contains(el)), expect, 5e-7)
+    }
+    // low column keeps the TOTAL; high is the method estimate (reference run)
+    run(fePyroxene, "Fe", "droop", 6, 4,
+      Map("Fe{2+}" -> 0.261797, "Fe{3+}" -> 0.080332))
+    run(fePyroxene, "Fe", "schumacher", 6, 4,
+      Map("Fe{2+}" -> 0.261797, "Fe{3+}" -> 0.080873))
+    run(mnGarnet, "Mn", "droop", 12, 8,
+      Map("Mn{2+}" -> 1.043088, "Mn{3+}" -> 0.034422))
+    run(mnGarnet, "Mn", "schumacher", 12, 8,
+      Map("Mn{2+}" -> 1.043088, "Mn{3+}" -> 0.034472))
+    run(tiRutile, "Ti", "droop", 6, 4,
+      Map("Ti{4+}" -> 0.503904, "Ti{3+}" -> 0.0))
+    run(tiRutile, "Ti", "schumacher", 6, 4,
+      Map("Ti{4+}" -> 0.503904, "Ti{3+}" -> 0.0))
+  }
+
   test("TCbulk prep matches reference values (BulkAccessor.TCbulk, avgpelite-like)") {
     val avg = frame(
       Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "Na2O", "K2O", "TiO2", "MnO"),
