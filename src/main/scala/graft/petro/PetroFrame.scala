@@ -134,6 +134,93 @@ final case class PetroFrame(
     val m = convert(Units.Moles)
     m.copy(df = Convert.reduceMoles(m.df)).convert(units)
   }
+
+  // ---- accessor-surface parity: the remaining user-facing verbs of the
+  // reference's oxides/bulk/mineral accessors, delegating to the
+  // operator objects (reference: _accessors.py method list) -----------------
+
+  /** U12: apatite-bound Ca removed, P2O5 zeroed (oxides.apatite_correction). */
+  def apatiteCorrection: PetroFrame = {
+    val wt = if (units == Units.WtPct) this else convert(Units.WtPct)
+    wt.copy(df = Convert.apatiteCorrection(wt.df))
+  }
+
+  /** G1/G2: column means, overall or grouped (oxides.mean(groupby=...)). */
+  def mean(groupBy: Option[String] = None): DataFrame = {
+    val aggs = valueCols.map(c => avg(col(c)).as(c))
+    groupBy match {
+      case Some(g) => df.groupBy(col(g)).agg(aggs.head, aggs.tail: _*)
+      case None => df.agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** U13/U14: A/NK + A/CNK, optionally with the Shand class column
+    * (bulk.alumina_saturation). */
+  def aluminaSaturation(classify: Boolean = false): DataFrame = {
+    val as = Convert.aluminaSaturation(requireWt.df, carry)
+    if (!classify) as
+    else as.withColumn("shand", Convert.shandClass(col("A/NK"), col("A/CNK")))
+  }
+
+  /** U15 (bulk.oxide_ratios). */
+  def oxideRatios: DataFrame = Convert.oxideRatios(requireWt.df, carry)
+
+  /** C1 (bulk.cipw_simple). */
+  def cipwSimple: DataFrame = Cipw.cipwNormSimple(requireWt.df, carry)
+
+  /** C2 (bulk.cipw). */
+  def cipw(normsum: Boolean = false, cancrinite: Boolean = false,
+      spinel: Boolean = false): DataFrame =
+    Cipw.cipwNorm(requireWt.df, carry, normsum, cancrinite, spinel)
+
+  /** C3 (bulk.cipwhb). */
+  def cipwHb(normsum: Boolean = false, cancrinite: Boolean = false,
+      spinel: Boolean = false): DataFrame =
+    Cipw.cipwNormHb(requireWt.df, carry, normsum, cancrinite, spinel)
+
+  /** P8 (bulk.reframe): keep the listed formula columns, re-deriving the
+    * schema classification. */
+  def reframe(columns: Seq[String]): PetroFrame =
+    copy(df = Thermo.reframe(df, columns, carry))
+
+  /** A4 (mineral.apfu). */
+  def apfu(spec: MineralSpec): DataFrame =
+    Minerals.apfu(spec, requireWt.df, carry)
+
+  /** A3 (mineral.site_allocations). */
+  def siteAllocations(spec: MineralSpec): DataFrame =
+    Minerals.siteAllocations(spec, requireWt.df, carry)
+
+  /** E1-E16 (mineral.end_members). */
+  def endMembers(spec: MineralSpec): DataFrame =
+    Minerals.endMembers(spec, requireWt.df, carry)
+
+  /** A5 (mineral.check_stoichiometry). */
+  def checkStoichiometry(spec: MineralSpec): DataFrame =
+    Stoich.checkStoichiometry(spec, requireWt.df, carry)
+
+  /** S7 (bulk.TCbulk): header + per-row formatted bulk lines. */
+  def tcBulk(labelCol: Column,
+      system: String = PPConfig.defaultSystem,
+      oxygen: Double = PPConfig.defaultOxygen,
+      h2o: Double = PPConfig.defaultH2O): (String, DataFrame) =
+    Thermo.tcBulk(requireWt.df, labelCol, system, oxygen, h2o, carry)
+
+  /** S8 (bulk.Perplexbulk): component-list block per row. */
+  def perplexBulk(system: String = PPConfig.defaultSystem,
+      oxygen: Double = PPConfig.defaultOxygen,
+      h2o: Double = PPConfig.defaultH2O): DataFrame =
+    Thermo.perplexBulk(requireWt.df, system, oxygen, h2o, carry)
+
+  /** S9 (bulk.MAGEMin): bulk line per row. */
+  def magemin(labelCol: Column, db: String = PPConfig.defaultDb,
+      sysIn: String = PPConfig.defaultSysIn,
+      oxygen: Double = PPConfig.defaultOxygen,
+      h2o: Double = PPConfig.defaultH2O): DataFrame =
+    Thermo.magemim(requireWt.df, labelCol, db, sysIn, oxygen, h2o, carry = carry)
+
+  private def requireWt: PetroFrame =
+    if (units == Units.WtPct) this else convert(Units.WtPct)
 }
 
 object PetroFrame {

@@ -84,6 +84,35 @@ class PetroFrameSpec extends AnyFunSuite {
     assert(!red.df.columns.contains("Fe2O3"))
   }
 
+  test("accessor surface parity: every reference verb reachable from the frame") {
+    import org.apache.spark.sql.functions.lit
+    val pf = PetroFrame.clean(garnetTable, carry = Seq("Mineral"))
+    // oxides accessor verbs
+    assert(pf.apatiteCorrection.df.count() == 2)
+    assert(pf.mean(None).count() == 1)
+    assert(pf.mean(Some("Mineral")).count() == 2)
+    // bulk accessor verbs
+    val as = pf.aluminaSaturation(classify = true)
+    assert(as.columns.toSeq.containsSlice(Seq("A/NK", "A/CNK", "shand")))
+    assert(pf.oxideRatios.columns.contains("Mg#"))
+    assert(pf.cipwSimple.columns.contains("Q"))
+    assert(pf.cipw(normsum = true).columns.contains("Total"))
+    assert(pf.cipwHb().columns.nonEmpty)
+    assert(pf.reframe(Seq("SiO2", "Al2O3")).df.columns.toSet ==
+      Set("Mineral", "SiO2", "Al2O3"))
+    // mineral accessor verbs
+    val grt = pf.select("Garnet", on = "Mineral")
+    assert(grt.apfu(Minerals.Grt).columns.contains("Si{4+}"))
+    assert(grt.siteAllocations(Minerals.Grt).columns.exists(_.startsWith("X:")))
+    assert(grt.endMembers(Minerals.Grt).columns.contains("Alm"))
+    assert(grt.checkStoichiometry(Minerals.Grt).columns.contains("cation_deviation"))
+    // thermo sinks
+    val (header, lines) = pf.tcBulk(labelCol = lit("x"))
+    assert(header.startsWith("bulk") && lines.columns.contains("line"))
+    assert(pf.perplexBulk().columns.contains("block"))
+    assert(pf.magemin(labelCol = lit("x")).columns.contains("line"))
+  }
+
   test("oxidizeMoles idempotence is value-aware (_calc.py:870)") {
     import org.apache.spark.sql.functions.lit
     val moles = frame(Seq("SiO2", "FeO", "Fe2O3"),
