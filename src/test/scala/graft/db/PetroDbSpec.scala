@@ -60,6 +60,16 @@ class PetroDbSpec extends AnyFunSuite with BeforeAndAfterAll {
               "values": {"SiO2": 36.0, "K2O": 9.5}}]""".replaceAll("\n\\s+", " "))
       }
     })
+    server.createContext("/spot/", handler { ex =>
+      if (!authed(ex)) (401, "{}")
+      else ex.getRequestMethod match {
+        case "PUT" =>
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          (200, s"""{"updated": true, "echo": $body}""")
+        case "DELETE" => (200, """{"deleted": true}""")
+        case _ => (200, """{"id": 101, "label": "a"}""")
+      }
+    })
     server.createContext("/areas/", handler { ex =>
       if (!authed(ex)) (401, "{}")
       else {
@@ -168,6 +178,15 @@ class PetroDbSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() == 2)
     assert(back.filter(col("id") >= 900).count() == 2) // server-assigned ids
     assert(!postedSpots.isEmpty) // batches actually reached the endpoint
+  }
+
+  test("entity update/delete verbs round-trip; read-only blocks both") {
+    val ro = api
+    intercept[IllegalStateException] { ro.put("/spot/7/1/101", """{"label":"b"}""") }
+    intercept[IllegalStateException] { ro.delete("/spot/7/1/101") }
+    val rw = new PetroApi(s"http://127.0.0.1:$port", "u", "p", readOnly = false)
+    assert(rw.put("/spot/7/1/101", """{"label":"b"}""").contains("updated"))
+    assert(rw.delete("/spot/7/1/101").contains("deleted"))
   }
 
   test("mineral_data union with discriminator; payload export drops <=0") {
