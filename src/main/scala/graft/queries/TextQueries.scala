@@ -106,6 +106,22 @@ object TextQueries {
         .orderBy("query_id", "cand_id")
     }),
 
+    // near-dup cluster resolution: LSH candidates -> connected
+    // components -> (doc, canonical) pairs for the non-canonical members
+    "t14_near_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
+      val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2)
+        .localCheckpoint()
+      val pairs = bux.as("x").join(bux.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      TextOps.nearDupClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // IVF centroid training: 2 Lloyd iterations from a deterministic
     // seed, then assign the corpus to the trained cells
     "t13_kmeans_ivf" -> ((s, dir) => {
@@ -270,6 +286,25 @@ object TextQueries {
          JOIN sizes nb ON nb.doc_id = p.b_id
          LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
          ORDER BY p.a_id, p.b_id""",
+    "t14_near_dedup" ->
+      s"""WITH RECURSIVE mh AS ($MH_SQL),
+         buckets AS (
+           ${(0 until 4).map(b =>
+             s"SELECT doc_id, md5('b$b:' || h${2*b} || ':' || h${2*b+1}) AS bucket FROM mh")
+             .mkString(" UNION ALL ")}),
+         pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM buckets x JOIN buckets y
+           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         edges AS (SELECT a_id, b_id FROM pairs
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.a_id AS id, reach.r FROM edges e
+           JOIN reach ON reach.id = e.b_id)
+         SELECT id AS doc_id, MIN(r) AS cluster FROM reach
+         GROUP BY id ORDER BY doc_id""",
     "t13_kmeans_ivf" -> {
       val meanList = (1 to 64).map(i => s"AVG(v[$i])").mkString("[", ", ", "]")
       def cos(a: String, b: String) =

@@ -129,6 +129,55 @@ object TextOps {
         when(union > 0, ni.cast("double") / union).otherwise(0.0).as("jaccard"))
   }
 
+  /** Near-duplicate cluster resolution: connected components over an
+    * undirected candidate-pair frame (a_id, b_id) by iterative
+    * minimum-label propagation WITH pointer jumping — each round takes
+    * the min over (own label, neighbors' labels, label-of-own-label),
+    * so convergence is O(log diameter) rounds (the standard
+    * large-star/small-star shape), each round one shuffle join + one
+    * hash aggregate. Lineage is truncated per round (localCheckpoint)
+    * so the plan stays flat at any scale; the fixpoint test is a cheap
+    * limit-1 existence check. Returns (id, cluster) with cluster = the
+    * component's minimum id — the canonical survivor convention of the
+    * dedup loop. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .localCheckpoint()
+    var labels = edges.select(col("a_id").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbor = edges.join(labels, edges("b_id") === labels("id"))
+        .select(edges("a_id").as("id"), col("cluster"))
+      val viaLabel = labels.as("l1")
+        .join(labels.as("l2"), col("l1.cluster") === col("l2.id"))
+        .select(col("l1.id").as("id"), col("l2.cluster").as("cluster"))
+      val next = labels.select(col("id"), col("cluster"))
+        .union(viaNeighbor).union(viaLabel)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup dedup completion: drop every clustered document except its
+    * cluster's minimum-id canonical; documents in no pair survive. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = nearDupClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 16-bit SimHash over unigram tokens as a bit-string column.
     * Bit b is the sign of the sum over tokens of +-1 by the high bit of
     * the b-th hex digit of md5(token). */
