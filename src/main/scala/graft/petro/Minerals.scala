@@ -251,8 +251,12 @@ object Minerals {
     * The single-select form re-inlined the remaining/pool chains into
     * every later take (the chain doubles per ion — site C of amphibole
     * alone is 2^8 copies); naming each take keeps the chains as plain
-    * column references, O(k^2) small nodes instead of O(2^k). */
-  def allocateSites(spec: MineralSpec, apfu: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    * column references, O(k^2) small nodes instead of O(2^k).
+    * Returns the frame with the apfu columns STILL PRESENT plus the
+    * "site:ion"/"site:_unallocated" take columns (in allocation order)
+    * — callers project what they need. */
+  def allocateSitesKeepAll(spec: MineralSpec, apfu: DataFrame,
+      carry: Seq[String] = Nil): (DataFrame, Seq[String]) = {
     val ions = valueCols(apfu, carry)
     val pool = scala.collection.mutable.Map[String, Column](
       ions.map(c => c -> col(c)): _*)
@@ -273,6 +277,11 @@ object Minerals {
       d = d.withColumn(uc, remaining)
       ordered += uc
     }
+    (d, ordered.toSeq)
+  }
+
+  def allocateSites(spec: MineralSpec, apfu: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val (d, ordered) = allocateSitesKeepAll(spec, apfu, carry)
     d.select(carry.map(col) ++ ordered.map(col): _*)
   }
 

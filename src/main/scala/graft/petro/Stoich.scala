@@ -38,17 +38,25 @@ object Stoich {
     exp(-abs(totalCharge - lit(2.0 * nOxygens)) / 0.5)
   }
 
-  /** A5: the full 7-criterion score frame for one mineral. */
+  /** A5: the full 7-criterion score frame for one mineral. Criteria are
+    * computed over the STAGED allocation frame (take columns named per
+    * Project layer) so the per-site remaining chains stay O(k^2) nodes
+    * — the single-select expression form doubles per ion and blows up
+    * for wide-site minerals like amphibole. */
   def checkStoichiometry(spec: MineralSpec, df: DataFrame,
       carry: Seq[String] = Nil, units: Units = Units.WtPct): DataFrame = {
     val schema = ChemSchema.of(df)
     val oxTotal = Convert.rowSum(schema.oxideCols)
     val df2 = df.withColumn("__oxt", oxTotal)
     val innerCarry = carry :+ "__oxt"
-    val apfu = Minerals.rawApfu(spec, df2, innerCarry, units)
-    val ionCols = Minerals.valueCols(apfu, innerCarry)
+    val rawApfu = Minerals.rawApfu(spec, df2, innerCarry, units)
+    val ionCols = Minerals.valueCols(rawApfu, innerCarry)
     val apfuSum = Convert.rowSum(ionCols)
-    val alloc = Minerals.siteAllocationExprs(spec, ionCols)
+    val (apfu, takeCols) = Minerals.allocateSitesKeepAll(spec, rawApfu, innerCarry)
+    val alloc: Seq[(String, String, Column)] = takeCols.map { c =>
+      val Array(site, ion) = c.split(":", 2)
+      (site, ion, col(c))
+    }
     val siteParts = alloc.filter(_._2 != "_unallocated")
     val unallocParts = alloc.filter(_._2 == "_unallocated")
 

@@ -360,6 +360,16 @@ class MineralsParitySpec extends AnyFunSuite {
     assert(r(1)("Tremolite") > 50.0, s"Tremolite = ${r(1)("Tremolite")}")
   }
 
+  test("amphibole stoichiometry scoring runs with small staged plans") {
+    val s = Stoich.checkStoichiometry(Minerals.Amp, amphiboleMulti)
+    assert(s.count() == 3)
+    val exprNodes = s.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(e => e.collect { case x => x }.size).sum
+    }.sum
+    assert(exprNodes < 5000, s"stoich plan blew up: $exprNodes expression nodes")
+    rows(s).foreach(_.values.foreach(v => assert(v >= 0.0 && v <= 1.0 + 1e-9)))
+  }
+
   // ---- titanite (test_minerals.py:603-676) ---------------------------------
 
   test("titanite reports Fe3+ only; T-site ~1 (test_minerals.py:619-644)") {
