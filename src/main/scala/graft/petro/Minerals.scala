@@ -225,28 +225,6 @@ object Minerals {
     * we flatten with ':' (never appears in formula names). */
   def siteCol(site: String, ion: String): String = s"$site:$ion"
 
-  /** Unrolled greedy-allocation expressions per (site, ion) plus the
-    * per-site `_unallocated` remainder, given the available ion columns
-    * (reference: _minerals.py:191-218). Entirely Column arithmetic. */
-  def siteAllocationExprs(spec: MineralSpec, ions: Seq[String]): Seq[(String, String, Column)] = {
-    val pool = scala.collection.mutable.Map[String, Column](
-      ions.map(c => c -> col(c)): _*)
-    val out = scala.collection.mutable.ListBuffer.empty[(String, String, Column)]
-    spec.sites.foreach { site =>
-      var remaining: Column = lit(site.capacity)
-      site.priority.foreach { ion =>
-        if (pool.contains(ion)) {
-          val take = least(pool(ion), remaining)
-          out += ((site.name, ion, take))
-          pool(ion) = pool(ion) - take
-          remaining = remaining - take
-        }
-      }
-      out += ((site.name, "_unallocated", remaining))
-    }
-    out.toSeq
-  }
-
   /** Greedy sequential site allocation, one Project layer per take.
     * The single-select form re-inlined the remaining/pool chains into
     * every later take (the chain doubles per ion — site C of amphibole

@@ -664,7 +664,7 @@ object PetroQueries {
 
   /** SQL mirror of the greedy site-allocation cascade over a frame of
     * ion columns: one CTE per (site, ion) step, updating the shared pool
-    * and the site remainder exactly like Minerals.siteAllocationExprs.
+    * and the site remainder exactly like Minerals.allocateSitesKeepAll.
     * Returns (cteChain, lastCte, takes as (site, ion, colName), unallocs
     * as (site, colOrLiteral)). */
   private def allocCtes(spec: graft.petro.MineralSpec, ions: Seq[String],
