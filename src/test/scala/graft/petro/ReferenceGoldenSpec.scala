@@ -64,6 +64,33 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       "Ap" -> 0.2842, "Total" -> 99.6768), 5e-4)
   }
 
+  test("CIPW cancrinite branch matches reference (CO2-bearing nephelinite)") {
+    val neph = frame(
+      Seq("SiO2", "TiO2", "Al2O3", "Fe2O3", "FeO", "MnO", "MgO", "CaO", "Na2O", "K2O", "P2O5", "CO2"),
+      Seq(Seq(40.0, 2.5, 15.0, 5.0, 6.0, 0.2, 6.0, 12.0, 6.0, 3.0, 1.0, 2.0)))
+    val n = row0(Cipw.cipwNorm(neph, normsum = true, cancrinite = true,
+      completeResults = true))
+    approx(n, Map("Or" -> 16.7501, "Ab" -> 4.4704, "An" -> 16.7973,
+      "Ne" -> 16.1722, "Nc" -> 4.5508, "Di" -> 16.9367, "Ol" -> 6.4512,
+      "Mt" -> 6.8494, "Il" -> 4.4868, "Ap" -> 2.2378, "Cc" -> 4.2974,
+      "Total" -> 100.0), 5e-4)
+  }
+
+  test("CIPW spinel branch matches reference (peraluminous silica-poor)") {
+    val per = frame(
+      Seq("SiO2", "TiO2", "Al2O3", "Fe2O3", "FeO", "MnO", "MgO", "CaO", "Na2O", "K2O", "P2O5"),
+      Seq(Seq(30.0, 0.5, 45.0, 2.0, 4.0, 0.1, 5.0, 1.0, 0.5, 0.3, 0.1)))
+    val n = row0(Cipw.cipwNorm(per, normsum = true, spinel = true,
+      completeResults = true))
+    // the reference's own Di goes negative on this composition — pinned as-is
+    approx(n, Map("Q" -> 40.9774, "Or" -> 2.4639, "Ab" -> 5.88,
+      "An" -> 5.987, "Di" -> -27.9848, "Wo" -> 14.5129, "Mt" -> 4.0302,
+      "Sp" -> 52.4842, "MgSp" -> 38.1099, "FeSp" -> 14.3744,
+      "Total" -> 100.0), 5e-4)
+    val off = row0(Cipw.cipwNorm(per, normsum = true, completeResults = true))
+    approx(off, Map("Q" -> 16.1886, "C" -> 47.7637, "Hy" -> 19.7801), 5e-4)
+  }
+
   test("mn_garnet stoichiometry scores match reference (check_stoichiometry)") {
     val mn = frame(Seq("SiO2", "Al2O3", "FeO", "MnO", "MgO", "CaO"),
       Seq(Seq(36.50, 20.50, 25.00, 15.00, 1.50, 1.00)))
