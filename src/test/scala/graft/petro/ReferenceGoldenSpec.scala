@@ -91,6 +91,13 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     approx(off, Map("Q" -> 16.1886, "C" -> 47.7637, "Hy" -> 19.7801), 5e-4)
   }
 
+  test("CIPWhb hornblende recast on basalt matches reference") {
+    val n = row0(Cipw.cipwNormHb(basaltBulk, normsum = true, completeResults = true))
+    approx(n, Map("Ab" -> 21.557, "An" -> 28.1997, "Mt" -> 5.2688,
+      "Il" -> 3.9444, "Ap" -> 0.6148, "Bi" -> 3.7731, "Hbl" -> 36.6422,
+      "Total" -> 100.0), 5e-4)
+  }
+
   test("mn_garnet stoichiometry scores match reference (check_stoichiometry)") {
     val mn = frame(Seq("SiO2", "Al2O3", "FeO", "MnO", "MgO", "CaO"),
       Seq(Seq(36.50, 20.50, 25.00, 15.00, 1.50, 1.00)))
