@@ -207,6 +207,26 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       Map("Ti{4+}" -> 0.503904, "Ti{3+}" -> 0.0))
   }
 
+  test("cation-basis APFU matches reference and round-trips (to_apfu(n_cations=8))") {
+    import graft.petro.{Convert, Units}
+    import org.apache.spark.sql.functions.col
+    val mn = frame(Seq("SiO2", "Al2O3", "FeO", "MnO", "MgO", "CaO"),
+      Seq(Seq(36.50, 20.50, 25.00, 15.00, 1.50, 1.00)))
+    val a = Convert.toApfu(mn, nCations = Some(8.0), units = Units.WtPct)
+    approx(row0(a), Map(
+      "Si{4+}" -> 2.992406, "Al{3+}" -> 1.980765, "Fe{2+}" -> 1.714071,
+      "Mn{2+}" -> 1.041592, "Mg{2+}" -> 0.183325, "Ca{2+}" -> 0.08784), 5e-7)
+    val total = mn.columns.map(col).reduce(_ + _)
+    val withTotal = mn.withColumn("__t", total)
+    val a2 = Convert.toApfu(withTotal, nCations = Some(8.0), carry = Seq("__t"))
+    val back = Convert.fromApfu(a2, nCations = Some(8.0),
+      total = Some(col("__t")), carry = Seq("__t")).drop("__t")
+    val orig = row0(mn)
+    row0(back).foreach { case (k, v) =>
+      assert(math.abs(v - orig(k)) < 1e-6, s"$k: $v vs ${orig(k)}")
+    }
+  }
+
   test("TCbulk prep matches reference values (BulkAccessor.TCbulk, avgpelite-like)") {
     val avg = frame(
       Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "Na2O", "K2O", "TiO2", "MnO"),
