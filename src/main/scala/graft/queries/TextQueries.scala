@@ -28,6 +28,12 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE-style pretokenizer token budgeting per document
+    "t15_bpe_tokens" -> ((s, dir) => {
+      TextOps.bpeTokenStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // language-ID heuristic + type-token ratio quality signal
     "t03_lang_quality" -> ((s, dir) => {
       TextOps.langQuality(t(s, dir, "documents"), "doc_id", "text")
@@ -286,6 +292,15 @@ object TextQueries {
          JOIN sizes nb ON nb.doc_id = p.b_id
          LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
          ORDER BY p.a_id, p.b_id""",
+    "t15_bpe_tokens" -> {
+      val pat = TextOps.BpePattern.replace("'", "''")
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bpe_tokens,
+         ROUND(CASE WHEN len(regexp_extract_all(text, '$pat')) = 0 THEN NULL
+           ELSE CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '$pat'))
+           END, 6) AS chars_per_token
+         FROM documents ORDER BY doc_id"""
+    },
     "t14_near_dedup" ->
       s"""WITH RECURSIVE mh AS ($MH_SQL),
          buckets AS (

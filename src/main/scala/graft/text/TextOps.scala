@@ -221,6 +221,26 @@ object TextOps {
               lit(0L), (a, x) => a + x)
               .cast("double") / size(col("__w"))).as("avg_token_len"))
 
+  /** GPT-2-style pretokenizer pattern: contractions, optionally
+    * space-prefixed letter runs / digit runs / punctuation runs, space
+    * runs. Restricted to constructs with identical semantics in Java
+    * regex and RE2 so an external SQL oracle mirrors it exactly. */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+  /** BPE-ish token budgeting per document: pretokenizer match count and
+    * chars-per-token — the cost signal a training-data pipeline tracks
+    * per document (whitespace-token stats live in [[tokenStats]]).
+    * Narrow one-pass projection; codegen'd regexp. */
+  def bpeTokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        size(regexp_extract_all(col(textCol), lit(BpePattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        round(when(col("n_bpe_tokens") === 0, lit(null))
+          .otherwise(col("n_chars").cast("double") / col("n_bpe_tokens")), 6))
+
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it",
     "you", "that", "for", "on", "with", "as")
 
