@@ -91,6 +91,14 @@ object TextQueries {
         .orderBy("srp_sig")
     }),
 
+    // embedding-cosine near-dup: SRP candidates -> exact cosine verify
+    "t16_cosine_near_dup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.sim.Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+          srpPlanes, minCosine = 0.2)
+        .orderBy("a_id", "b_id")
+    }),
+
     // IVF cell assignment (inverted-file ANN partitioning)
     "t09_ivf_cells" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -256,6 +264,23 @@ object TextQueries {
          SELECT srp_sig, CAST(COUNT(*) AS BIGINT) AS n, MIN(vec_id) AS min_id,
          MAX(vec_id) AS max_id
          FROM sigs GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1"""
+    },
+    "t16_cosine_near_dup" -> {
+      val bits = srpPlanes.map { plane =>
+        val arr = plane.mkString(", ")
+        s"CASE WHEN list_dot_product(v, [$arr]::DOUBLE[]) >= 0.0 THEN '1' ELSE '0' END"
+      }.mkString(", ")
+      s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sigs AS (SELECT vec_id, v, concat($bits) AS srp_sig FROM d),
+         pairs AS (SELECT x.vec_id AS a_id, x.v AS av, y.vec_id AS b_id, y.v AS bv
+           FROM sigs x JOIN sigs y
+           ON x.srp_sig = y.srp_sig AND x.vec_id < y.vec_id),
+         scored AS (SELECT a_id, b_id,
+           ROUND(list_dot_product(av, bv) /
+             (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv))), 4) AS cos
+           FROM pairs)
+         SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.2
+         ORDER BY a_id, b_id"""
     },
     "t09_ivf_cells" ->
       """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

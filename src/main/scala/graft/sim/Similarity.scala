@@ -83,6 +83,29 @@ object Similarity {
       .agg(count(lit(1)).as("n"), min(idCol).as("min_id"), max(idCol).as("max_id"))
       .filter(col("n") > 1)
 
+  /** Embedding-cosine near-duplicate pairs: SRP-bucketed candidate
+    * generation (never all-pairs — the join fans out only within shared
+    * signatures) followed by exact cosine verification at `minCosine`.
+    * The embedding analogue of the minhash -> jaccard text loop:
+    * returns (a_id, b_id, cos) for verified pairs. Scale shape: two
+    * shuffle joins keyed by signature/id, codegen'd [[Dot]] in the
+    * verify projection, no broadcast of anything unbounded. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Double]], minCosine: Double): DataFrame = {
+    val sig = srpSignature(df, idCol, vecCol, planes)
+    val pairs = sig.as("x").join(sig.as("y"),
+        col("x.srp_sig") === col("y.srp_sig") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+    val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    pairs
+      .join(v.select(col(idCol).as("a_id"), col("v").as("av")), "a_id")
+      .join(v.select(col(idCol).as("b_id"), col("v").as("bv")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("av"), col("bv")), 4).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
   /** IVF centroid training: k-means (Lloyd) with deterministic
     * initialization — the `initIds` rows seed the centroids, then each
     * iteration is one broadcast-assign + one hash-aggregate mean per
