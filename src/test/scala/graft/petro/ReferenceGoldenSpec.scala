@@ -144,6 +144,22 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       "Fs" -> 30.7266), 5e-4)
   }
 
+  test("TCbulk system variants match reference (KFMASH, NCKFMASHTOCr)") {
+    import org.apache.spark.sql.functions.lit
+    val avg = frame(
+      Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "Na2O", "K2O", "TiO2", "MnO"),
+      Seq(Seq(59.8, 16.57, 5.81, 2.62, 2.17, 1.73, 3.53, 0.75, 0.1)))
+    val (_, kf) = Thermo.tcBulk(avg, labelCol = lit("0"), system = "KFMASH")
+    approx(row0(kf.drop("line")), Map(
+      "H2O" -> 22.262, "SiO2" -> 57.683, "Al2O3" -> 9.419, "MgO" -> 3.767,
+      "FeO" -> 4.687, "K2O" -> 2.172), 5e-4)
+    val (_, cr) = Thermo.tcBulk(avg, labelCol = lit("0"), system = "NCKFMASHTOCr")
+    approx(row0(cr.drop("line")), Map(
+      "H2O" -> 21.791, "SiO2" -> 56.462, "Al2O3" -> 9.219, "MgO" -> 3.688,
+      "FeO" -> 4.588, "K2O" -> 2.126, "Na2O" -> 1.583, "TiO2" -> 0.533,
+      "O" -> 0.010, "Cr2O3" -> 0.0), 5e-4)
+  }
+
   test("PerpleX component list matches reference lines (BulkAccessor.Perplexbulk)") {
     val avg = frame(
       Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "Na2O", "K2O", "TiO2", "MnO"),
