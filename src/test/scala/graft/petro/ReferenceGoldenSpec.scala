@@ -243,6 +243,25 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("MAGEMin db variants match reference (ig, um, mtl)") {
+    import org.apache.spark.sql.functions.lit
+    val avg = frame(
+      Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "Na2O", "K2O", "TiO2", "MnO"),
+      Seq(Seq(59.8, 16.57, 5.81, 2.62, 2.17, 1.73, 3.53, 0.75, 0.1)))
+    def line(db: String): String =
+      Thermo.magemim(avg, labelCol = lit("0"), db = db)
+        .select("line").collect()(0).getString(0)
+    assert(line("ig") ==
+      "0;petropandas;ig;mol;[SiO2, Al2O3, CaO, MgO, FeO, K2O, Na2O, TiO2, O, Cr2O3, H2O];" +
+      "[55.2491, 9.0213, 2.1481, 3.6085, 4.4891, 2.0803, 1.5495, 0.5213, 0.0100, 0.0000, 21.3229];")
+    assert(line("um") ==
+      "0;petropandas;um;mol;[SiO2, Al2O3, MgO, FeO, O, H2O, S];" +
+      "[58.9636, 9.6278, 3.8511, 4.7909, 0.0100, 22.7565, 0.0000];")
+    assert(line("mtl") ==
+      "0;petropandas;mtl;mol;[SiO2, Al2O3, CaO, MgO, FeO, Na2O];" +
+      "[72.6263, 11.8587, 2.8237, 4.7435, 5.9011, 2.0368];")
+  }
+
   test("TCbulk prep matches reference values (BulkAccessor.TCbulk, avgpelite-like)") {
     val avg = frame(
       Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "Na2O", "K2O", "TiO2", "MnO"),
