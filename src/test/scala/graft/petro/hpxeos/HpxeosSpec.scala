@@ -28,6 +28,28 @@ class HpxeosSpec extends AnyFunSuite {
   lazy val garnetFe = frame(gCols, Seq(Seq(38.0, 21.5, 32.0, 3.0, 4.0, 1.0)))
   lazy val garnetMg = frame(gCols, Seq(Seq(42.0, 23.0, 10.0, 20.0, 4.0, 0.5)))
 
+  test("partition of unity: all 39 phases sum to 100 at default AND random order states") {
+    // the axfile p(...) polynomials partition unity algebraically, so the
+    // sum must hold for ANY composition/order state that yields finite
+    // site fractions — one broad EMPA-ish composition covers every set
+    val oxCols = Seq("SiO2", "TiO2", "Al2O3", "Fe2O3", "FeO", "MnO",
+      "MgO", "CaO", "Na2O", "K2O", "Cr2O3")
+    val comp = frame(oxCols,
+      Seq(Seq(42.0, 1.5, 14.0, 2.0, 11.0, 0.4, 12.0, 9.5, 2.2, 1.2, 0.4),
+        Seq(50.0, 0.8, 9.0, 1.0, 8.0, 0.2, 16.0, 10.0, 1.5, 0.6, 0.2)))
+    val rng = new scala.util.Random(7)
+    Hpxeos.all.foreach { phase =>
+      val randomOps = phase.orderParameterNames
+        .map(n => n -> Left(rng.nextDouble() * 0.2 - 0.1)).toMap
+      Seq(Map.empty[String, Either[Double, org.apache.spark.sql.Column]],
+        randomOps).foreach { ops =>
+        // validate=true is the built-in sum-to-1 gate at 1e-8
+        val e = phase.endMembers(comp, orderParameters = ops, validate = true)
+        assert(e.count() == 2, s"${phase.abbreviation} at ops=$ops")
+      }
+    }
+  }
+
   test("polynomial DSL parses fraction tokens and comments") {
     val ps = Poly.parse("foo 1 1  1/2  2  -1/2  f  -1/2  y  % comment\nbar 1 1 0 1 1 x")
     assert(ps.map(_._1) == Seq("foo", "bar"))
