@@ -155,10 +155,30 @@ object Relational {
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"), round(avg("p_size"), 6).as("avg_size"))
         .orderBy("p_brand")
+    }),
+
+    // G-track: multi-level totals via ROLLUP (partial-agg friendly —
+    // one shuffle produces the detail, subtotal, and grand-total rows)
+    "q13_rollup_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("revenue"), col("n"))
+        .orderBy("returnflag", "linestatus")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q13_rollup_revenue" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         COALESCE(l_linestatus, 'ALL') AS linestatus,
+         ROUND(SUM(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY 1, 2""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          ROUND(SUM(l_quantity),2) AS sum_qty,
