@@ -31,6 +31,16 @@ class TextOpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L, 4L, 6L))
   }
 
+  test("approximate vocabulary size tracks the exact distinct count (SURVEY §7 sketch op)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val exact = toks.select(countDistinct("tok")).collect()(0).getLong(0)
+    val approx = toks.select(approx_count_distinct("tok", 0.02)).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("nearDupClusters converges on a long chain within the iteration cap") {
     val chain = (1L until 40L).map(i => (i, i + 1))
     val c = TextOps.nearDupClusters(pairs(chain: _*), maxIters = 20)
