@@ -7,10 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /** Goldens produced by RUNNING the reference library on fixed inputs
-  * (PYTHONPATH=shim, see memory petropandas-split-quirk): the printed
-  * values below are the reference's outputs rounded as noted, so these
-  * tests pin cross-implementation numeric parity, not just invariants.
-  * Shared atomic masses (the shim uses this engine's tables), so any
+  * (`PYTHONPATH=tools/refshim:/root/reference/src python3` — see
+  * tools/refshim + tools/ref_bench.py): the values below are the
+  * reference's outputs rounded as noted, so these tests pin
+  * cross-implementation numeric parity, not just invariants. Shared
+  * atomic masses (the shim uses this engine's tables), so any
   * disagreement is algorithmic. */
 class ReferenceGoldenSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
