@@ -158,6 +158,17 @@ object TextQueries {
       graft.multimodal.Media.decode(media).orderBy("media_id")
     }),
 
+    // real-codec round trip: PNG/JPEG payloads produced by the JVM's
+    // actual encoders, probed back via ImageIO; the oracle predicts
+    // format and dimensions from the construction rule alone
+    "t18_media_image" -> ((s, dir) => {
+      val media = graft.multimodal.Media.syntheticImages(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.multimodal.Media.decode(media)
+        .select("media_id", "format", "width", "height")
+        .orderBy("media_id")
+    }),
+
     // brute-force cosine top-5 neighbors for query vectors (vec_id < 3) —
     // the library operator (guarded broadcast + codegen'd Dot kernel)
     "t07_cosine_topk" -> ((s, dir) => {
@@ -208,6 +219,14 @@ object TextQueries {
          CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 61 ELSE 0 END AS INTEGER) AS height,
          CAST(CASE WHEN doc_id % 2 = 0 THEN 0
            ELSE ((800 + length(text) % 8000) * 1000) // 8000 END AS BIGINT) AS duration_ms
+         FROM documents ORDER BY media_id""",
+    // mirrors Media.syntheticImages' construction rule; the Spark side
+    // decodes the actual PNG/JPEG binaries it built
+    "t18_media_image" ->
+      """SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+         CAST(16 + length(text) % 41 AS INTEGER) AS width,
+         CAST(12 + doc_id % 29 AS INTEGER) AS height
          FROM documents ORDER BY media_id""",
     "t01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS n,

@@ -67,4 +67,83 @@ class MediaSpec extends AnyFunSuite {
     assert(d.filter(col("kind") === "image" && col("format") =!= "bmp").count() == 0)
     assert(d.filter(col("kind") === "audio" && col("duration_ms") <= 0).count() == 0)
   }
+
+  test("PNG and JPEG round-trip through the JVM's real codecs") {
+    val png = Media.buildImage(37, 21, "png")
+    // PNG magic bytes prove a real encoder ran, not a header fabricator
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    assert(Media.probeImage(png).contains(("png", 37, 21)))
+    val jpg = Media.buildImage(37, 21, "jpg")
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+    assert(Media.probeImage(jpg).contains(("jpeg", 37, 21)))
+    assert(Media.probeImage("not an image".getBytes).isEmpty)
+    // PNG is lossless: decoded pixels must equal the build rule exactly
+    val img = Media.decodeImage(png).get
+    assert((img.getRGB(5, 3) & 0xffffff) == ((5 * 31 + 3 * 17 + 37 * 7 + 21) & 0xffffff))
+  }
+
+  test("decode ladder routes png/jpeg payloads through ImageIO") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val d = Media.decode(Media.syntheticImages(docs, "doc_id", "text"))
+    assert(d.filter(col("media_id") % 2 === 0 && col("format") =!= "png").count() == 0)
+    assert(d.filter(col("media_id") % 2 === 1 && col("format") =!= "jpeg").count() == 0)
+    assert(d.filter(col("width") < 16 || col("height") < 12).count() == 0)
+  }
+
+  test("audio probe reads WAV duration through javax.sound.sampled") {
+    val w = Media.buildWav(8000, 4000)
+    assert(Media.probeAudio(w).contains(("wav", 500L)))
+    val s = Media.pcmSamples(w).get
+    assert(s.length == 4000)
+    // sample i = little-endian int16 of the deterministic build bytes
+    val off = 44 + 10 * 2
+    val want = ((w(off) & 0xff) | (w(off + 1) << 8)).toShort
+    assert(s(10) == want)
+  }
+
+  test("resize re-encodes a real PNG at the target dimensions") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(20)
+    val rs = Media.resizeImages(Media.syntheticImages(docs, "doc_id", "text"), 8, 6)
+    val pays = rs.collect()
+    assert(pays.forall(r => !r.isNullAt(1)))
+    pays.foreach { r =>
+      assert(Media.probeImage(r.getAs[Array[Byte]](1)).contains(("png", 8, 6)))
+    }
+    // non-image payloads pass through as null instead of failing the task
+    val txt = Media.fromText(docs, "doc_id", "text", "video")
+    assert(Media.resizeImages(txt, 8, 6).filter(col("resized").isNotNull).count() == 0)
+  }
+
+  test("image embeddings are decoded-pixel means, identical across lossless codecs") {
+    // the same pixel matrix encoded as PNG and BMP must embed identically
+    val img = Media.decodeImage(Media.buildImage(40, 30, "png")).get
+    val bmpBytes = { // re-encode via ImageIO's bmp writer
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos); bos.toByteArray
+    }
+    val one = spark.range(1)
+    import spark.implicits._
+    val both = Seq((0L, Media.buildImage(40, 30, "png")), (1L, bmpBytes))
+      .toDF("media_id", "payload")
+    val e = Media.embed(both, dim = 16).collect().sortBy(_.getLong(0))
+    assert(e(0).getSeq[Float](1) == e(1).getSeq[Float](1))
+    assert(e(0).getSeq[Float](1).forall(v => v >= 0f && v <= 1f))
+    assert(one.count() == 1)
+  }
+
+  test("aHash fingerprints match across lossless codecs, near-match after JPEG") {
+    import spark.implicits._
+    val img = Media.decodeImage(Media.buildImage(64, 64, "png")).get
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    val df = Seq((0L, enc("png")), (1L, enc("bmp")), (2L, enc("jpg")),
+      (3L, "junk".getBytes)).toDF("media_id", "payload")
+    val h = Media.imageHash(df).collect().sortBy(_.getLong(0))
+    assert(h(0).getLong(1) == h(1).getLong(1))
+    val ham = java.lang.Long.bitCount(h(0).getLong(1) ^ h(2).getLong(1))
+    assert(ham <= 8, s"jpeg aHash drifted $ham bits from lossless")
+    assert(h(3).isNullAt(1))
+  }
 }
