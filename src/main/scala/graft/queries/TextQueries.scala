@@ -158,6 +158,14 @@ object TextQueries {
       graft.multimodal.Media.decode(media).orderBy("media_id")
     }),
 
+    // winnowing fingerprints (MOSS): per-document distinct window-min
+    // gram hashes — the local-similarity sketch for provenance detection
+    "t17_winnow_fingerprint" -> ((s, dir) => {
+      graft.text.TextOps.winnowFingerprints(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "fp")
+    }),
+
     // real-codec round trip: PNG/JPEG payloads produced by the JVM's
     // actual encoders, probed back via ImageIO; the oracle predicts
     // format and dimensions from the construction rule alone
@@ -228,6 +236,30 @@ object TextQueries {
          CAST(16 + length(text) % 41 AS INTEGER) AS width,
          CAST(12 + doc_id % 29 AS INTEGER) AS height
          FROM documents ORDER BY media_id""",
+    // winnowing mirror: same 60-bit md5-prefix gram hashes, same
+    // forward window-min + full-window rule (short docs: one
+    // degenerate window at the first gram)
+    "t17_winnow_fingerprint" ->
+      s"""WITH grams AS (
+           SELECT doc_id, i AS pos,
+                  list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
+                  list_extract(w, i+2) AS sh
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+                 FROM ($TOKS_SQL))),
+         hashed AS (
+           SELECT doc_id, pos, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+           FROM grams),
+         win AS (
+           SELECT doc_id, pos,
+                  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                  COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn,
+                  COUNT(*) OVER (PARTITION BY doc_id) AS n
+           FROM hashed)
+         SELECT DISTINCT doc_id, wmin AS fp FROM win
+         WHERE wn = 4 OR (n < 4 AND pos = 1)
+         ORDER BY doc_id, fp""",
     "t01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS n,
          MIN(doc_id) AS canonical_id

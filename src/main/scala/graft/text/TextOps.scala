@@ -178,6 +178,42 @@ object TextOps {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-word gram, slide a
+    * window of `window` consecutive gram hashes, keep each window's
+    * minimum; the distinct kept hashes are the fingerprint. Guarantee:
+    * any shared run of at least window+k-1 tokens between two documents
+    * yields at least one shared fingerprint, while storage is ~2/(w+1)
+    * of the gram count — the standard local-similarity sketch for
+    * plagiarism/provenance detection at corpus scale.
+    *
+    * Documents with fewer than `window` grams contribute the minimum
+    * over all their grams (one degenerate window) instead of nothing.
+    *
+    * Scale shape: one shuffle (window partitioned by document), then a
+    * partial-aggregated distinct; no driver collection, no all-pairs.
+    * Gram hashes are 60-bit md5 prefixes parsed to BIGINT — numeric,
+    * portable (an external SQL engine reproduces them exactly), and
+    * cheap to compare downstream. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      gramWords: Int = 3, window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = fanOut(df).select(col(idCol),
+      posexplode(shinglesOf(col(textCol), gramWords)).as(Seq("pos", "sh")))
+    val hashed = sh.select(col(idCol), col("pos"),
+      conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+    val fwd = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.currentRow, window - 1)
+    val whole = Window.partitionBy(idCol)
+    hashed
+      .withColumn("wmin", min("h").over(fwd))
+      .withColumn("wn", count(lit(1)).over(fwd))
+      .withColumn("n", count(lit(1)).over(whole))
+      .filter(col("wn") === window || (col("n") < window && col("pos") === 0))
+      .select(col(idCol), col("wmin").as("fp"))
+      .distinct()
+  }
+
   /** 16-bit SimHash over unigram tokens as a bit-string column.
     * Bit b is the sign of the sum over tokens of +-1 by the high bit of
     * the b-th hex digit of md5(token). */

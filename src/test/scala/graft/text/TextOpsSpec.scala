@@ -46,4 +46,35 @@ class TextOpsSpec extends AnyFunSuite {
     val c = TextOps.nearDupClusters(pairs(chain: _*), maxIters = 20)
     assert(c.filter(org.apache.spark.sql.functions.col("cluster") =!= 1L).count() == 0)
   }
+
+  test("winnowing guarantee: a shared window+k-1 token run yields a shared fingerprint") {
+    import spark.implicits._
+    // k=3, w=4 -> any shared run of >= 6 tokens must share a fingerprint
+    val shared = "quick brown foxes jump over lazy"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon"),
+      (2L, s"one two three $shared four five"),
+      (3L, "completely different words without any overlap here at all")
+    ).toDF("doc_id", "text")
+    val fp = TextOps.winnowFingerprints(docs, "doc_id", "text")
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run produced no shared fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+  }
+
+  test("winnowing density is ~2/(w+1) and short docs get one degenerate window") {
+    import spark.implicits._
+    val long = (1 to 300).map(i => s"tok${i % 91}").mkString(" ") // 298 grams
+    val docs = Seq((1L, long), (2L, "just four tokens here"), (3L, "ab")).toDF("doc_id", "text")
+    val fp = TextOps.winnowFingerprints(docs, "doc_id", "text")
+    val n1 = fp.filter($"doc_id" === 1L).count()
+    // expected ~ 2/(4+1) * 295 full windows ~ 118; distinct-ness over 91
+    // repeating tokens lowers it; bound loosely both ways
+    assert(n1 > 20 && n1 < 200, s"fingerprint density off: $n1")
+    // doc 2: 4 tokens -> 2 grams < window -> exactly the min of both
+    assert(fp.filter($"doc_id" === 2L).count() == 1)
+    // doc 3: fewer than k tokens -> no grams -> no fingerprints
+    assert(fp.filter($"doc_id" === 3L).count() == 0)
+  }
 }
