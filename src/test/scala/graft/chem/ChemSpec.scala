@@ -93,7 +93,13 @@ class ChemSpec extends AnyFunSuite {
 
   test("aliases") {
     assert(aliases("FeOT") == "FeO"); assert(aliases("H2O+") == "H2O")
-    assert(aliases("Fe2O3(T)") == "Fe2O3")
+    assert(aliases("Fe2O3(T)") == "Fe2O3"); assert(aliases("FeO*") == "FeO")
+  }
+
+  test("detect_cols returns every matching spelling in column order") {
+    assert(detectCols(Seq("Fe{2+}", "Fe{3+}", "Si{4+}"), "Fe") ==
+      Seq("Fe{2+}", "Fe{3+}"))
+    assert(detectCols(Seq("FeO", "SiO2"), "Fe") == Seq("FeO"))
   }
 
   test("canonical oxide column ordering") {

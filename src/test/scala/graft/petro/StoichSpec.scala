@@ -85,4 +85,72 @@ class StoichSpec extends AnyFunSuite {
       }
     }
   }
+
+  // conftest fixture compositions for the per-mineral sweep
+  lazy val amphibole = frame(
+    Seq("SiO2", "TiO2", "Al2O3", "FeO", "MgO", "CaO", "Na2O", "K2O", "MnO", "Cr2O3"),
+    Seq(Seq(43.0, 1.5, 11.0, 12.0, 13.0, 11.5, 1.5, 0.8, 0.2, 0.1)))
+  lazy val biotite = frame(
+    Seq("SiO2", "Al2O3", "FeO", "MgO", "K2O", "TiO2", "MnO", "Na2O", "BaO"),
+    Seq(Seq(42.70, 11.70, 0.50, 29.10, 10.70, 0.20, 0.05, 0.10, 0.00)))
+  lazy val chlorite = frame(
+    Seq("SiO2", "Al2O3", "FeO", "MgO", "Cr2O3", "TiO2"),
+    Seq(Seq(26.0, 21.0, 20.0, 18.0, 0.1, 0.1)))
+  lazy val chloritoid = frame(
+    Seq("SiO2", "Al2O3", "FeO", "MgO", "MnO", "TiO2"),
+    Seq(Seq(24.5, 39.5, 22.0, 5.0, 3.0, 0.3)))
+  lazy val cordierite = frame(
+    Seq("SiO2", "Al2O3", "FeO", "MgO", "MnO", "Na2O", "K2O", "CaO"),
+    Seq(Seq(48.0, 32.5, 5.0, 10.5, 0.3, 0.5, 0.1, 0.1)))
+  lazy val epidote = frame(
+    Seq("SiO2", "Al2O3", "FeO", "CaO", "MnO", "TiO2"),
+    Seq(Seq(37.5, 23.0, 12.5, 22.5, 0.2, 0.1)))
+  lazy val ilmenite = frame(
+    Seq("SiO2", "TiO2", "Al2O3", "FeO", "MgO", "MnO", "Cr2O3"),
+    Seq(Seq(0.00, 52.66, 0.00, 47.34, 0.00, 0.00, 0.00)))
+  lazy val spinelFix = frame(
+    Seq("SiO2", "TiO2", "Al2O3", "FeO", "Fe2O3", "Cr2O3", "MgO", "MnO", "ZnO"),
+    Seq(Seq(0.00, 0.20, 55.00, 10.00, 3.00, 5.00, 25.00, 0.30, 0.50)))
+  lazy val titanite = frame(
+    Seq("SiO2", "TiO2", "Al2O3", "FeO", "CaO", "MnO", "MgO"),
+    Seq(Seq(30.48, 40.83, 0.00, 0.00, 28.69, 0.00, 0.00)))
+
+  test("per-mineral column shapes (test_stoichiometry.py:129-241)") {
+    def cols(spec: graft.petro.MineralSpec, df: DataFrame): Set[String] =
+      Stoich.checkStoichiometry(spec, df).columns.toSet
+    val amp = cols(Minerals.Amp, amphibole)
+    assert(amp("analytical_total") && amp("cation_deviation"))
+    val bt = cols(Minerals.Bt, biotite)
+    assert(bt("analytical_total"))
+    val chl = cols(Minerals.Chl, chlorite)
+    assert(chl("analytical_total") && !chl("cation_deviation"))
+    assert(cols(Minerals.Cld, chloritoid)("fe3+_validity"))
+    assert(cols(Minerals.Crd, cordierite)("tetrahedral_fill"))
+    // FeO -> Fe2O3 preprocess gives epidote and ilmenite an Fe{3+} column
+    assert(cols(Minerals.Ep, epidote)("fe3+_validity"))
+    assert(cols(Minerals.Ilm, ilmenite)("fe3+_validity"))
+    assert(cols(Minerals.Ms, frame(Seq("SiO2", "Al2O3", "K2O", "FeO", "MgO", "Na2O"),
+      Seq(Seq(46.0, 36.0, 10.5, 1.5, 0.8, 1.2))))("analytical_total"))
+    assert(cols(Minerals.Spl, spinelFix)("analytical_total"))
+    assert(cols(Minerals.Ttn, titanite)("analytical_total"))
+    // every emitted score stays in [0, 1] across the sweep
+    Seq(Minerals.Amp -> amphibole, Minerals.Bt -> biotite, Minerals.Chl -> chlorite,
+      Minerals.Cld -> chloritoid, Minerals.Crd -> cordierite, Minerals.Ep -> epidote,
+      Minerals.Ilm -> ilmenite, Minerals.Spl -> spinelFix, Minerals.Ttn -> titanite)
+      .foreach { case (spec, df) =>
+        collectMaps(Stoich.checkStoichiometry(spec, df)).foreach(_.foreach {
+          case (c, v) => assert(v >= -1e-9 && v <= 1 + 1e-9, s"${spec.name}.$c = $v")
+        })
+      }
+  }
+
+  test("analytical total ranges per mineral (test_stoichiometry.py:243-263)") {
+    assert(Minerals.Grt.totalRange == ((99.0, 101.0)))
+    assert(Minerals.Chl.totalRange == ((85.0, 90.0)))
+    assert(Minerals.Amp.totalRange == ((96.0, 99.0)))
+    assert(Minerals.Spl.totalRange == ((93.0, 100.5)))
+    assert(Minerals.Crd.totalRange == ((97.0, 99.0)))
+    assert(Minerals.Ms.totalRange == ((94.0, 97.0)))
+    assert(Minerals.Bt.totalRange == ((94.0, 97.0)))
+  }
 }
