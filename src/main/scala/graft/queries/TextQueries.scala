@@ -158,6 +158,14 @@ object TextQueries {
       graft.multimodal.Media.decode(media).orderBy("media_id")
     }),
 
+    // Gopher/MassiveText repetition quality signals: top-word and
+    // duplicate-bigram fractions per document
+    "t19_repetition_stats" -> ((s, dir) => {
+      graft.text.TextOps.repetitionStats(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // winnowing fingerprints (MOSS): per-document distinct window-min
     // gram hashes — the local-similarity sketch for provenance detection
     "t17_winnow_fingerprint" -> ((s, dir) => {
@@ -236,6 +244,31 @@ object TextQueries {
          CAST(16 + length(text) % 41 AS INTEGER) AS width,
          CAST(12 + doc_id % 29 AS INTEGER) AS height
          FROM documents ORDER BY media_id""",
+    // repetition mirror: same (doc, term) -> doc two-level aggregation
+    "t19_repetition_stats" ->
+      s"""WITH words AS (SELECT doc_id, unnest(w) AS t FROM ($TOKS_SQL)),
+         grams AS (
+           SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) AS t
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+                 FROM ($TOKS_SQL))),
+         wf AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS mx, COUNT(*) AS nd
+                FROM (SELECT doc_id, t, COUNT(*) AS c FROM words GROUP BY 1, 2)
+                GROUP BY 1),
+         bf AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS mx, COUNT(*) AS nd
+                FROM (SELECT doc_id, t, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+                GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(COALESCE(wf.n, 0) AS BIGINT) AS n_word,
+           ROUND(CAST(wf.mx AS DOUBLE) / wf.n, 6) AS top_word_frac,
+           ROUND(CAST(wf.n - wf.nd AS DOUBLE) / wf.n, 6) AS dup_word_frac,
+           CAST(COALESCE(bf.n, 0) AS BIGINT) AS n_bigram,
+           ROUND(CAST(bf.mx AS DOUBLE) / bf.n, 6) AS top_bigram_frac,
+           ROUND(CAST(bf.n - bf.nd AS DOUBLE) / bf.n, 6) AS dup_bigram_frac
+         FROM documents d
+         LEFT JOIN wf ON wf.doc_id = d.doc_id
+         LEFT JOIN bf ON bf.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+
     // winnowing mirror: same 60-bit md5-prefix gram hashes, same
     // forward window-min + full-window rule (short docs: one
     // degenerate window at the first gram)

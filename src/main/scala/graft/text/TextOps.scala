@@ -257,6 +257,44 @@ object TextOps {
               lit(0L), (a, x) => a + x)
               .cast("double") / size(col("__w"))).as("avg_token_len"))
 
+  /** Repetition quality signals (the MassiveText/Gopher duplicate-text
+    * rules, Rae et al. 2021): fraction of tokens that are the single
+    * most frequent word, and duplicate/top fractions over 2-word grams.
+    * High values mark boilerplate and degenerate generations — the
+    * standard pre-training quality filter alongside [[tokenStats]] /
+    * [[langQuality]].
+    *
+    * Scale shape: explode -> two hash aggregates keyed by (doc, term)
+    * then (doc) — partial map-side combine applies, one shuffle per
+    * aggregate level, no driver collection. Documents with no tokens
+    * (or no bigram) report null for the affected fractions. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fanned = fanOut(df)
+    def termFracs(term: DataFrame, prefix: String): DataFrame =
+      term.groupBy(col(idCol), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(idCol)
+        .agg(sum("c").as("n"), max("c").as("mx"),
+          count(lit(1)).as("nd"))
+        .select(col(idCol),
+          col("n").as(s"n_$prefix"),
+          round(col("mx").cast("double") / col("n"), 6).as(s"top_${prefix}_frac"),
+          round((col("n") - col("nd")).cast("double") / col("n"), 6)
+            .as(s"dup_${prefix}_frac"))
+    val words = fanned.select(col(idCol),
+      explode(tokens(col(textCol))).as("t"))
+    val bigrams = fanned.select(col(idCol),
+      explode(shinglesOf(col(textCol), 2)).as("t"))
+    df.select(col(idCol))
+      .join(termFracs(words, "word"), Seq(idCol), "left")
+      .join(termFracs(bigrams, "bigram"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_word"), lit(0L)).as("n_word"),
+        col("top_word_frac"), col("dup_word_frac"),
+        coalesce(col("n_bigram"), lit(0L)).as("n_bigram"),
+        col("top_bigram_frac"), col("dup_bigram_frac"))
+  }
+
   /** GPT-2-style pretokenizer pattern: contractions, optionally
     * space-prefixed letter runs / digit runs / punctuation runs, space
     * runs. Restricted to constructs with identical semantics in Java

@@ -63,6 +63,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert((byDoc(1L) & byDoc(3L)).isEmpty)
   }
 
+  test("repetition stats match hand-computed fractions (Gopher rules)") {
+    import spark.implicits._
+    val docs = Seq(
+      // words: the(3) cat(2) sat(1) -> n=6, top=3/6, dup=(6-3)/6
+      // bigrams: "the cat"(2) "cat the"(2) "the sat"(1) -> n=5, top=2/5, dup=(5-3)/5
+      (1L, "the cat the cat the sat"),
+      (2L, "all distinct words here"),
+      (3L, "solo"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val m = TextOps.repetitionStats(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 6L)
+    assert(math.abs(m(1L).getDouble(2) - 0.5) < 1e-9)
+    assert(math.abs(m(1L).getDouble(3) - 0.5) < 1e-9)
+    assert(m(1L).getLong(4) == 5L)
+    assert(math.abs(m(1L).getDouble(5) - 0.4) < 1e-9)
+    assert(math.abs(m(1L).getDouble(6) - 0.4) < 1e-9)
+    // fully distinct doc: top = 1/n, dup = 0
+    assert(math.abs(m(2L).getDouble(3) - 0.0) < 1e-9)
+    // one token: word stats exist, bigram stats null
+    assert(m(3L).getLong(1) == 1L && m(3L).isNullAt(5))
+    // empty doc: zero counts, null fractions
+    assert(m(4L).getLong(1) == 0L && m(4L).isNullAt(2))
+  }
+
   test("winnowing density is ~2/(w+1) and short docs get one degenerate window") {
     import spark.implicits._
     val long = (1 to 300).map(i => s"tok${i % 91}").mkString(" ") // 298 grams
