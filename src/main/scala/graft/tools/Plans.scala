@@ -11,8 +11,11 @@ object Plans {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (name <- Seq("q01_pricing_summary", "q04_brand_quantity",
-        "p05_garnet_endmembers", "t04_minhash_signature")) {
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q01_pricing_summary", "q04_brand_quantity",
+        "p05_garnet_endmembers", "t04_minhash_signature")
+    for (name <- names) {
       println(s"\n========== $name ==========")
       graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
