@@ -158,6 +158,12 @@ object TextQueries {
       graft.multimodal.Media.decode(media).orderBy("media_id")
     }),
 
+    // multi-language ID: function-word profile ratios + argmax
+    "t20_lang_id" -> ((s, dir) => {
+      graft.text.TextOps.langId(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Gopher/MassiveText repetition quality signals: top-word and
     // duplicate-bigram fractions per document
     "t19_repetition_stats" -> ((s, dir) => {
@@ -244,6 +250,25 @@ object TextQueries {
          CAST(16 + length(text) % 41 AS INTEGER) AS width,
          CAST(12 + doc_id % 29 AS INTEGER) AS height
          FROM documents ORDER BY media_id""",
+    // lang-ID mirror: ratios + argmax generated from the SAME profile
+    // map as the Spark operator, so the two cannot drift
+    "t20_lang_id" -> {
+      val langs = graft.text.TextOps.langProfiles.keys.toSeq.sorted
+      def lst(l: String) = graft.text.TextOps.langProfiles(l)
+        .map(wd => s"'$wd'").mkString("[", ",", "]")
+      def ratio(l: String) =
+        s"""ROUND(CASE WHEN len(w) = 0 THEN NULL
+           ELSE CAST(len(list_filter(w, x -> list_contains(${lst(l)}, x))) AS DOUBLE) / len(w)
+           END, 6)"""
+      val rs = langs.map(l => s"${ratio(l)} AS r_$l").mkString(", ")
+      val best = s"GREATEST(${langs.map(l => s"COALESCE(r_$l, -1)").mkString(", ")})"
+      val pred = langs.map(l =>
+          s"WHEN r_$l IS NOT NULL AND r_$l >= 0.05 AND r_$l = $best THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'unknown' END")
+      s"""SELECT doc_id, ${langs.map(l => s"r_$l").mkString(", ")}, $pred AS lang_pred
+         FROM (SELECT doc_id, $rs FROM ($TOKS_SQL)) ORDER BY doc_id"""
+    },
+
     // repetition mirror: same (doc, term) -> doc two-level aggregation
     "t19_repetition_stats" ->
       s"""WITH words AS (SELECT doc_id, unnest(w) AS t FROM ($TOKS_SQL)),

@@ -315,6 +315,52 @@ object TextOps {
         round(when(col("n_bpe_tokens") === 0, lit(null))
           .otherwise(col("n_chars").cast("double") / col("n_bpe_tokens")), 6))
 
+  /** Function-word profiles for the argmax language classifier
+    * ([[langId]]). Small closed-class word lists (the standard
+    * stopword-profile approach to language ID — function words are the
+    * highest-frequency, most language-specific tokens); extend the map
+    * to add languages. Tokens are already lowercased by [[tokens]];
+    * accented forms appear as their own tokens. */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "you",
+      "that", "for", "on", "with", "as", "are", "this", "was", "be"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+      "eine", "zu", "den", "von", "auf", "im", "sich", "des", "auch"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "un", "des", "du",
+      "dans", "que", "qui", "pour", "pas", "sur", "au", "ce", "ne"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "una", "un", "en",
+      "que", "de", "por", "con", "para", "no", "se", "su", "al"))
+
+  /** Multi-language ID by function-word profile argmax: one pass
+    * computes, per document, the fraction of tokens found in each
+    * language's profile; the prediction is the highest-fraction
+    * language, or "unknown" when no profile reaches `minRatio` (or the
+    * document is empty). Ties break by profile-name order
+    * (deterministic, oracle-mirrorable). Narrow projection — no
+    * shuffle, no UDF; each ratio is one interpreted `filter` HOF over
+    * an already-materialized token array (bounded by tokens-per-doc). */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+      minRatio: Double = 0.05): DataFrame = {
+    val langs = langProfiles.keys.toSeq.sorted
+    val w = col("__w")
+    val ratios = langs.map { l =>
+      val arr = array(langProfiles(l).map(lit): _*)
+      round(when(size(w) === 0, lit(null)).otherwise(
+        size(filter(w, x => array_contains(arr, x))).cast("double") / size(w)),
+        6).as(s"r_$l")
+    }
+    val withRatios = df
+      .select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol) +: ratios: _*)
+    val best = langs.map(l => col(s"r_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("unknown")) { (l, rest) =>
+      when(col(s"r_$l").isNotNull && col(s"r_$l") >= minRatio &&
+        col(s"r_$l") === best, l).otherwise(rest)
+    }
+    withRatios.select(col(idCol) +: langs.map(l => col(s"r_$l")) :+
+      pred.as("lang_pred"): _*)
+  }
+
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it",
     "you", "that", "for", "on", "with", "as")
 

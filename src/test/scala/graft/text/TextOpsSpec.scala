@@ -63,6 +63,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert((byDoc(1L) & byDoc(3L)).isEmpty)
   }
 
+  test("langId classifies function-word-bearing snippets; unknown below threshold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "der hund ist nicht mit der katze im haus"),
+      (3L, "le chat est dans la maison et il est content"),
+      (4L, "el perro es un animal y no es el gato"),
+      (5L, "zxcvb qwerty asdfgh lkjhg poiuy"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.langId(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    assert(out(1L) == "en"); assert(out(2L) == "de")
+    assert(out(3L) == "fr"); assert(out(4L) == "es")
+    assert(out(5L) == "unknown"); assert(out(6L) == "unknown")
+  }
+
   test("repetition stats match hand-computed fractions (Gopher rules)") {
     import spark.implicits._
     val docs = Seq(
