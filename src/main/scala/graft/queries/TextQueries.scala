@@ -158,6 +158,12 @@ object TextQueries {
       graft.multimodal.Media.decode(media).orderBy("media_id")
     }),
 
+    // SimHash near-dup: band-bucketed candidates + exact Hamming verify
+    "t21_simhash_pairs" -> ((s, dir) => {
+      TextOps.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("a_id", "b_id")
+    }),
+
     // multi-language ID: function-word profile ratios + argmax
     "t20_lang_id" -> ((s, dir) => {
       graft.text.TextOps.langId(t(s, dir, "documents"), "doc_id", "text")
@@ -250,6 +256,34 @@ object TextQueries {
          CAST(16 + length(text) % 41 AS INTEGER) AS width,
          CAST(12 + doc_id % 29 AS INTEGER) AS height
          FROM documents ORDER BY media_id""",
+    // simhash near-dup mirror: 64-bit signature from the same hexBit
+    // lists as the operator, 16-bit band join, 64-term Hamming sum
+    "t21_simhash_pairs" -> {
+      import graft.text.TextOps.hexBit
+      val ham = (1 to 64).map(i =>
+        s"CASE WHEN substr(sa.simhash, $i, 1) = substr(sb.simhash, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      def inList(k: Int) = hexBit(k).map(h => s"'$h'").mkString("(", ",", ")")
+      s"""WITH tok AS (SELECT doc_id, unnest(w) AS tok FROM ($TOKS_SQL)),
+         sums AS (SELECT doc_id, ${(0 until 64).map(b =>
+        s"SUM(CASE WHEN substr(md5(tok), ${b / 4 + 1}, 1) IN ${inList(3 - b % 4)} THEN 1 ELSE -1 END) AS b$b")
+        .mkString(", ")} FROM tok GROUP BY doc_id),
+         sigs AS (SELECT doc_id, concat(${(0 until 64).map(b =>
+        s"CASE WHEN b$b > 0 THEN '1' ELSE '0' END").mkString(", ")}) AS simhash
+           FROM sums),
+         bands AS (SELECT doc_id, b, substr(simhash, 1 + 16 * b, 16) AS v
+           FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM bands x JOIN bands y
+           ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
+         SELECT a_id, b_id, CAST($ham AS INTEGER) AS hamming
+         FROM cand
+         JOIN sigs sa ON sa.doc_id = a_id
+         JOIN sigs sb ON sb.doc_id = b_id
+         WHERE $ham <= 3
+         ORDER BY a_id, b_id"""
+    },
+
     // lang-ID mirror: ratios + argmax generated from the SAME profile
     // map as the Spark operator, so the two cannot drift
     "t20_lang_id" -> {

@@ -231,6 +231,63 @@ object TextOps {
       concat((0 until 16).map(b => when(col(s"b$b") > 0, "1").otherwise("0")): _*))
   }
 
+  /** Hex-digit bit membership lists: bit k (3 = high) of a lowercase
+    * hex digit is set iff the digit is in `hexBit(k)`. Shared by the
+    * 64-bit simhash and its SQL mirror. */
+  val hexBit: Array[Seq[String]] = Array(
+    Seq("1", "3", "5", "7", "9", "b", "d", "f"),
+    Seq("2", "3", "6", "7", "a", "b", "e", "f"),
+    Seq("4", "5", "6", "7", "c", "d", "e", "f"),
+    Seq("8", "9", "a", "b", "c", "d", "e", "f"))
+
+  /** 64-bit SimHash over unigram tokens as a bit-string column: bit b
+    * is the sign of the per-token +-1 sum keyed by bit (3 - b%4) of
+    * hex digit (b/4 + 1) of md5(token). 64 bits is the standard width
+    * for web-scale near-dup (16 bits collides constantly on a bounded
+    * vocabulary; see [[simhash16]] which is kept for the compact
+    * signature use case). */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = fanOut(df).select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), md5(col("tok")).as("m"))
+    val aggs = (0 until 64).map { b =>
+      sum(when(substring(col("m"), b / 4 + 1, 1).isin(hexBit(3 - b % 4): _*), 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val sums = tok.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    sums.select(col(idCol),
+      concat((0 until 64).map(b => when(col(s"b$b") > 0, "1").otherwise("0")): _*)
+        .as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: band-bucketed candidate generation
+    * over the 64-bit [[simhash64]] signature (4 bands of 16 bits — by
+    * pigeonhole, every pair within Hamming distance 3 shares a band),
+    * then an exact Hamming verify unrolled into 64 codegen'd character
+    * comparisons. Returns (a_id, b_id, hamming) for pairs with
+    * hamming <= maxHamming. Same scale shape as the MinHash loop:
+    * bucket join fan-out, never all-pairs. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash64(df, idCol, textCol).select(col(idCol), col("simhash"))
+    val bands = sigs.select(col(idCol), explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"), substring(col("simhash"), 1 + 16 * b, 16).as("v"))
+    }: _*)).as("bk")).select(col(idCol), col("bk.band"), col("bk.v"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+    val sa = sigs.select(col(idCol).as("a_id"), col("simhash").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("b_id"), col("simhash").as("sig_b"))
+    val hamming = (1 to 64).map { i =>
+      when(substring(col("sig_a"), i, 1) === substring(col("sig_b"), i, 1), 0)
+        .otherwise(1)
+    }.reduce(_ + _)
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"), hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact duplicate groups by content hash: (hash, n, canonical id). */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))

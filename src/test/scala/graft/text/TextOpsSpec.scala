@@ -63,6 +63,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert((byDoc(1L) & byDoc(3L)).isEmpty)
   }
 
+  test("simhash near-dup pairs: identical docs at hamming 0, disjoint docs absent") {
+    import spark.implicits._
+    // long enough that a one-word edit flips only a few of 64 bits
+    // (short docs leave many bit-sums at zero, where any edit flips them)
+    val base = "spark shuffles data between stages when keys move across " +
+      "partitions and executors exchange blocks through the network while " +
+      "the scheduler tracks tasks and stages retry on failure with lineage " +
+      "recomputation keeping results correct even when workers vanish mid job"
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // identical -> hamming 0
+      (3L, base + " mostly"), // near-identical -> small hamming
+      (4L, "entirely unrelated content about garnet chemistry and thermobarometry xyz")
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.simhashNearDupPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.get((1L, 3L)).exists(_ <= 3))
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("langId classifies function-word-bearing snippets; unknown below threshold") {
     import spark.implicits._
     val docs = Seq(
