@@ -158,6 +158,14 @@ object TextQueries {
       graft.multimodal.Media.decode(media).orderBy("media_id")
     }),
 
+    // end-to-end corpus curation: exact dedup -> LSH+Jaccard near-dup
+    // removal -> lang/length/repetition quality gate, one composed plan
+    "t22_curate_corpus" -> ((s, dir) => {
+      TextOps.curateCorpus(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup: band-bucketed candidates + exact Hamming verify
     "t21_simhash_pairs" -> ((s, dir) => {
       TextOps.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text")
@@ -256,6 +264,80 @@ object TextQueries {
          CAST(16 + length(text) % 41 AS INTEGER) AS width,
          CAST(12 + doc_id % 29 AS INTEGER) AS height
          FROM documents ORDER BY media_id""",
+    // curation mirror: every stage is the same SQL as the single-op
+    // oracles (t01/t04/t05/t12/t14/t19/t20), re-rooted at the
+    // exact-dedup survivor set
+    "t22_curate_corpus" -> {
+      val toksD = TOKS_SQL.replace("FROM documents", "FROM docs")
+      val mhD = MH_SQL.replace("FROM documents", "FROM docs")
+      val langs = graft.text.TextOps.langProfiles.keys.toSeq.sorted
+      def lst(l: String) = graft.text.TextOps.langProfiles(l)
+        .map(wd => s"'$wd'").mkString("[", ",", "]")
+      def ratio(l: String) =
+        s"""ROUND(CASE WHEN len(w) = 0 THEN NULL
+           ELSE CAST(len(list_filter(w, x -> list_contains(${lst(l)}, x))) AS DOUBLE) / len(w)
+           END, 6)"""
+      val rs = langs.map(l => s"${ratio(l)} AS r_$l").mkString(", ")
+      val best = s"GREATEST(${langs.map(l => s"COALESCE(r_$l, -1)").mkString(", ")})"
+      val pred = langs.map(l =>
+          s"WHEN r_$l IS NOT NULL AND r_$l >= 0.05 AND r_$l = $best THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'unknown' END")
+      s"""WITH RECURSIVE docs AS (
+           SELECT d.doc_id, d.text FROM documents d
+           WHERE d.doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))),
+         mh AS ($mhD),
+         buckets AS (
+           ${(0 until 4).map(b =>
+             s"SELECT doc_id, md5('b$b:' || h${2 * b} || ':' || h${2 * b + 1}) AS bucket FROM mh")
+             .mkString(" UNION ALL ")}),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM buckets x JOIN buckets y
+           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         sh AS (SELECT DISTINCT doc_id, sh FROM (
+           SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
+                  list_extract(w, i+2) AS sh
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+                 FROM ($toksD)))),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n_inter
+           FROM cand p
+           JOIN sh sa ON sa.doc_id = p.a_id
+           JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+           GROUP BY 1, 2),
+         verified AS (SELECT p.a_id, p.b_id FROM cand p
+           JOIN sizes na ON na.doc_id = p.a_id
+           JOIN sizes nb ON nb.doc_id = p.b_id
+           LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+           WHERE CASE WHEN na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0) > 0
+             THEN COALESCE(i.n_inter, 0)::DOUBLE /
+               (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0))
+             ELSE 0.0 END >= 0.5),
+         edges AS (SELECT a_id, b_id FROM verified
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM verified),
+         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.a_id AS id, reach.r FROM edges e
+           JOIN reach ON reach.id = e.b_id),
+         cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         tq AS ($toksD),
+         wf AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS mx
+           FROM (SELECT doc_id, t, COUNT(*) AS c
+                 FROM (SELECT doc_id, unnest(w) AS t FROM tq) GROUP BY 1, 2)
+           GROUP BY 1),
+         lang AS (SELECT doc_id, $pred AS lang_pred
+           FROM (SELECT doc_id, $rs FROM tq))
+         SELECT d.doc_id, d.text FROM docs d
+         JOIN wf ON wf.doc_id = d.doc_id
+         JOIN lang ON lang.doc_id = d.doc_id
+         WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE cluster <> id)
+           AND lang.lang_pred = 'en'
+           AND wf.n BETWEEN 20 AND 80
+           AND ROUND(CAST(wf.mx AS DOUBLE) / wf.n, 6) <= 0.12
+         ORDER BY d.doc_id"""
+    },
+
     // simhash near-dup mirror: 64-bit signature from the same hexBit
     // lists as the operator, 16-bit band join, 64-term Hamming sum
     "t21_simhash_pairs" -> {

@@ -288,6 +288,48 @@ object TextOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** End-to-end training-corpus curation — the canonical pre-training
+    * data pipeline as ONE composed plan:
+    *
+    *  1. exact dedup (content-hash groups, keep min id);
+    *  2. near-dup removal over the survivors: MinHash signatures ->
+    *     LSH band buckets -> candidate pairs -> exact Jaccard verify at
+    *     `minJaccard` -> connected-component clusters -> keep each
+    *     cluster's canonical;
+    *  3. quality gate: [[langId]] prediction in `keepLangs`, whitespace
+    *     token count within [minTokens, maxTokens], [[repetitionStats]]
+    *     top-word fraction at most `maxTopWordFrac`.
+    *
+    * Returns the surviving rows of `df` (all original columns). Every
+    * stage is the already-bucketed/aggregated library operator — the
+    * composition adds joins keyed on the id, no new fan-out. */
+  def curateCorpus(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
+      maxTopWordFrac: Double = 0.12,
+      keepLangs: Seq[String] = Seq("en")): DataFrame = {
+    val exact = dropExactDuplicates(df, idCol, textCol)
+    val sigs = minhashSignature(exact, idCol, textCol, k = 8)
+    val bux = lshBuckets(sigs, idCol, k = 8, rows = 2).localCheckpoint()
+    val cand = bux.as("x").join(bux.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+    val verified = jaccardPairs(exact, idCol, textCol, cand)
+      .filter(col("jaccard") >= minJaccard)
+      .select("a_id", "b_id")
+      .localCheckpoint() // referenced by clusters across CC iterations
+    val deduped = dropNearDuplicates(exact, idCol, verified)
+    val quality = repetitionStats(deduped, idCol, textCol)
+      .join(langId(deduped, idCol, textCol).select(col(idCol), col("lang_pred")),
+        Seq(idCol))
+      .filter(col("lang_pred").isin(keepLangs: _*) &&
+        col("n_word").between(minTokens, maxTokens) &&
+        col("top_word_frac") <= maxTopWordFrac)
+      .select(col(idCol))
+    deduped.join(quality, Seq(idCol), "left_semi")
+  }
+
   /** Exact duplicate groups by content hash: (hash, n, canonical id). */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))

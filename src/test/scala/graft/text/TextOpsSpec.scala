@@ -63,6 +63,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert((byDoc(1L) & byDoc(3L)).isEmpty)
   }
 
+  test("curateCorpus drops exact dups, near dups, and low-quality docs") {
+    import spark.implicits._
+    // "the" x3 of ~40 tokens: stop ratio above 0.05, top-word frac below 0.12
+    val good = "the quick brown fox jumps over a lazy dog and then that " +
+      "fox runs back across this wide field to find more food for its den " +
+      "while the dog sleeps on in some warm afternoon sun near the barn"
+    val docs = Seq(
+      (1L, good),
+      (2L, good), // exact duplicate -> dropped
+      (3L, good + " extra trailing words here"), // near-dup of 1 -> dropped
+      (4L, "the " * 30 + "dog"), // repetition filter: top_word_frac ~ 0.97
+      (5L, "short text only"), // length filter: < 20 tokens
+      (6L, "palabra sin sentido xyzzy qwerty asdf zxcv poiu lkjh mnbv " * 3)
+    ).toDF("doc_id", "text")
+    val kept = TextOps.curateCorpus(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("simhash near-dup pairs: identical docs at hamming 0, disjoint docs absent") {
     import spark.implicits._
     // long enough that a one-word edit flips only a few of 64 bits
