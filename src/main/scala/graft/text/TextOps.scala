@@ -242,16 +242,27 @@ object TextOps {
 
   /** 64-bit SimHash over unigram tokens as a bit-string column: bit b
     * is the sign of the per-token +-1 sum keyed by bit (3 - b%4) of
-    * hex digit (b/4 + 1) of md5(token). 64 bits is the standard width
-    * for web-scale near-dup (16 bits collides constantly on a bounded
-    * vocabulary; see [[simhash16]] which is kept for the compact
-    * signature use case). */
+    * hex digit (b/4 + 1) of md5(token) — i.e. MSB-first bits of the
+    * first 16 hex digits. 64 bits is the standard width for web-scale
+    * near-dup (16 bits collides constantly on a bounded vocabulary;
+    * see [[simhash16]] which is kept for the compact signature case).
+    *
+    * The hot path parses the 16 digits into two longs ONCE per token
+    * and keys each of the 64 sums on a shift/mask — all long
+    * arithmetic inside whole-stage codegen. (The first cut evaluated
+    * substring+IN-list per bit per token: 4.7x slower at sf0.1.) The
+    * SQL mirror keeps the equivalent per-digit [[hexBit]] membership
+    * form. */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = fanOut(df).select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .select(col(idCol), md5(col("tok")).as("m"))
+      .select(col(idCol),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("x0"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("x1"))
     val aggs = (0 until 64).map { b =>
-      sum(when(substring(col("m"), b / 4 + 1, 1).isin(hexBit(3 - b % 4): _*), 1)
-        .otherwise(-1)).as(s"b$b")
+      val x = if (b < 32) col("x0") else col("x1")
+      val k = 31 - (b % 32) // bit b = MSB-first bit of the hex word
+      sum(shiftright(x, k).bitwiseAND(1) * 2 - 1).as(s"b$b")
     }
     val sums = tok.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
     sums.select(col(idCol),
@@ -268,7 +279,11 @@ object TextOps {
     * bucket join fan-out, never all-pairs. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // One signature row per document (tiny), but referenced four times
+    // below (band self-join x2, verify joins x2) — materialize once or
+    // the full tokenize+aggregate pipeline re-runs per reference.
     val sigs = simhash64(df, idCol, textCol).select(col(idCol), col("simhash"))
+      .localCheckpoint()
     val bands = sigs.select(col(idCol), explode(array((0 until 4).map { b =>
       struct(lit(b).as("band"), substring(col("simhash"), 1 + 16 * b, 16).as("v"))
     }: _*)).as("bk")).select(col(idCol), col("bk.band"), col("bk.v"))
@@ -277,12 +292,17 @@ object TextOps {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
-    val sa = sigs.select(col(idCol).as("a_id"), col("simhash").as("sig_a"))
-    val sb = sigs.select(col(idCol).as("b_id"), col("simhash").as("sig_b"))
-    val hamming = (1 to 64).map { i =>
-      when(substring(col("sig_a"), i, 1) === substring(col("sig_b"), i, 1), 0)
-        .otherwise(1)
-    }.reduce(_ + _)
+    // Hamming via packed longs + bit_count(xor): two base-2 parses per
+    // DOCUMENT, two long xors per PAIR. (A 64-term per-pair character
+    // comparison cascade was 12x slower — too large for codegen, it
+    // fell back to interpreted evaluation on every candidate.)
+    val sa = sigs.select(col(idCol).as("a_id"),
+      conv(substring(col("simhash"), 1, 32), 2, 10).cast("long").as("__a0"),
+      conv(substring(col("simhash"), 33, 32), 2, 10).cast("long").as("__a1"))
+    val sb = sigs.select(col(idCol).as("b_id"),
+      conv(substring(col("simhash"), 1, 32), 2, 10).cast("long").as("__b0"),
+      conv(substring(col("simhash"), 33, 32), 2, 10).cast("long").as("__b1"))
+    val hamming = expr("bit_count(__a0 ^ __b0) + bit_count(__a1 ^ __b1)")
     cand.join(sa, "a_id").join(sb, "b_id")
       .select(col("a_id"), col("b_id"), hamming.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -307,7 +327,20 @@ object TextOps {
       minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
       maxTopWordFrac: Double = 0.12,
       keepLangs: Seq[String] = Seq("en")): DataFrame = {
-    val exact = dropExactDuplicates(df, idCol, textCol)
+    // `exact` is referenced by five downstream stages; materializing the
+    // corpus itself would be prohibitive at scale, but the exact-dup
+    // LOSER ids (duplicates only) are small — checkpoint those and make
+    // every re-reference a cheap anti join instead of re-running the
+    // full content-hash aggregation per reference.
+    val groups = df.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as("__canon"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+    val exactLosers = df.select(col(idCol), md5(col(textCol)).as("__h"))
+      .join(groups, "__h")
+      .filter(col(idCol) =!= col("__canon"))
+      .select(col(idCol))
+      .localCheckpoint()
+    val exact = df.join(exactLosers, Seq(idCol), "left_anti")
     val sigs = minhashSignature(exact, idCol, textCol, k = 8)
     val bux = lshBuckets(sigs, idCol, k = 8, rows = 2).localCheckpoint()
     val cand = bux.as("x").join(bux.as("y"),
