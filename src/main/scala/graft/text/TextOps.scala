@@ -45,7 +45,7 @@ object TextOps {
   private def fanOut(df: DataFrame): DataFrame = graft.util.FanOut(df)
 
   /** (id, sh) exploded shingle pairs via the compiled shingle kernel. */
-  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def explodedShingles(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int): DataFrame =
     fanOut(df).select(col(idCol), explode(shinglesOf(col(textCol), shingleWords)).as("sh"))
 
@@ -57,9 +57,16 @@ object TextOps {
     * single most expensive stage of the dedup track at scale).
     * Documents with fewer than n tokens are dropped. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, shingleWords: Int = 3): DataFrame = {
+      k: Int = 8, shingleWords: Int = 3): DataFrame =
+    minhashFromShingles(explodedShingles(df, idCol, textCol, shingleWords), idCol, k)
+
+  /** MinHash aggregation over an exploded (id, sh) shingle frame. min of
+    * a hash over a multiset equals min over its distinct set, so callers
+    * may pass either raw or distinct'd shingles — [[curateCorpus]]
+    * exploits this to share ONE materialized distinct shingle frame
+    * between the signature and the Jaccard verify. */
+  def minhashFromShingles(sh: DataFrame, idCol: String, k: Int = 8): DataFrame = {
     require(k % 2 == 0, "k must be even (two 60-bit halves per md5)")
-    val sh = explodedShingles(df, idCol, textCol, shingleWords)
     // one md5 per seed pair, materialized pre-aggregation
     val withMd5 = sh.select(col(idCol) +:
       (0 until k / 2).map(j => md5(concat(lit(s"$j:"), col("sh"))).as(s"m$j")): _*)
@@ -103,11 +110,23 @@ object TextOps {
     // pair ids first. At scale the candidate set is orders of magnitude
     // smaller than the corpus, and tokenize+shingle+distinct over
     // non-candidates is pure waste (it was the most expensive kernel of
-    // the verification stage).
+    // the verification stage). The shingle frame is referenced three
+    // times below (sizes, a-side, b-side); the recomputes pipeline in
+    // parallel and beat a materialization barrier (A/B'd at sf0.1) —
+    // callers that already hold a materialized shingle frame (e.g.
+    // [[curateCorpus]]) use [[jaccardFromShingles]] directly.
     val ids = pairs.select(col("a_id").as(idCol))
       .union(pairs.select(col("b_id").as(idCol))).distinct()
     val docs = df.join(ids, Seq(idCol), "left_semi")
     val sh = explodedShingles(docs, idCol, textCol, shingleWords).distinct()
+    jaccardFromShingles(sh, idCol, pairs)
+  }
+
+  /** Jaccard verify over an already-materialized distinct (id, sh)
+    * shingle frame. `sh` is read three times — pass a checkpointed or
+    * persisted frame (as [[jaccardPairs]] / [[curateCorpus]] do). */
+  def jaccardFromShingles(sh: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val sa = sh.select(col(idCol).as("a_id"), col("sh"))
     val sb = sh.select(col(idCol).as("b_id"), col("sh"))
@@ -150,19 +169,27 @@ object TextOps {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // The previous label rides through the min-aggregate as `old`
+      // (non-own sources contribute null, which min ignores), so the
+      // fixpoint test is a scan of the just-checkpointed frame — no
+      // extra join job per round.
+      val idType = labels.schema("cluster").dataType
       val viaNeighbor = edges.join(labels, edges("b_id") === labels("id"))
-        .select(edges("a_id").as("id"), col("cluster"))
+        .select(edges("a_id").as("id"), col("cluster"),
+          lit(null).cast(idType).as("old"))
       val viaLabel = labels.as("l1")
         .join(labels.as("l2"), col("l1.cluster") === col("l2.id"))
-        .select(col("l1.id").as("id"), col("l2.cluster").as("cluster"))
-      val next = labels.select(col("id"), col("cluster"))
+        .select(col("l1.id").as("id"), col("l2.cluster").as("cluster"),
+          lit(null).cast(idType).as("old"))
+      val next = labels.select(col("id"), col("cluster"),
+          col("cluster").as("old"))
         .union(viaNeighbor).union(viaLabel)
-        .groupBy("id").agg(min("cluster").as("cluster"))
+        .groupBy("id").agg(min("cluster").as("cluster"), min("old").as("old"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.cluster") =!= col("o.cluster"))
+      val changed = next
+        .filter(col("cluster") =!= col("old"))
         .limit(1).count()
-      labels = next
+      labels = next.select(col("id"), col("cluster"))
       converged = changed == 0
       i += 1
     }
@@ -341,14 +368,30 @@ object TextOps {
       .select(col(idCol))
       .localCheckpoint()
     val exact = df.join(exactLosers, Seq(idCol), "left_anti")
-    val sigs = minhashSignature(exact, idCol, textCol, k = 8)
+    // One tokenize+shingle pass feeds BOTH the minhash signatures and
+    // the Jaccard verify (min over the distinct set == min over the
+    // multiset, and Jaccard is defined on the distinct set). The
+    // materialized frame is token-scale — the same order as the shuffle
+    // any one of those stages already pays — and saves a full corpus
+    // re-tokenization.
+    // The checkpointed frame is byte-small, so AQE coalesces it to a
+    // handful of partitions — but the minhash stage multiplies work per
+    // row (k/2 md5s + k base-16 parses), so fan it back out to the full
+    // core count before the aggregation.
+    val allSh = explodedShingles(exact, idCol, textCol, 3).distinct()
+      .localCheckpoint()
+    val sigs = minhashFromShingles(fanOut(allSh), idCol, k = 8)
     val bux = lshBuckets(sigs, idCol, k = 8, rows = 2).localCheckpoint()
     val cand = bux.as("x").join(bux.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
-    val verified = jaccardPairs(exact, idCol, textCol, cand)
+      .localCheckpoint() // read 3x by the id semi-join + overlap joins
+    val candIds = cand.select(col("a_id").as(idCol))
+      .union(cand.select(col("b_id").as(idCol))).distinct()
+    val verified = jaccardFromShingles(
+        allSh.join(candIds, Seq(idCol), "left_semi"), idCol, cand)
       .filter(col("jaccard") >= minJaccard)
       .select("a_id", "b_id")
       .localCheckpoint() // referenced by clusters across CC iterations
@@ -481,7 +524,7 @@ object TextOps {
         size(filter(w, x => array_contains(arr, x))).cast("double") / size(w)),
         6).as(s"r_$l")
     }
-    val withRatios = df
+    val withRatios = fanOut(df)
       .select(col(idCol), tokens(col(textCol)).as("__w"))
       .select(col(idCol) +: ratios: _*)
     val best = langs.map(l => col(s"r_$l")).reduce((a, b) => greatest(a, b))

@@ -33,7 +33,8 @@ object CipwProfile {
       graft.petro.Cipw.cipwNorm(ox, completeResults = true).count()
       graft.petro.Cipw.cipwNormHb(ox, completeResults = true).count()
     }
-    val names = Seq("p13_cipw_simple", "p14_cipw_gcdkit", "p15_cipw_hb")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("p13_cipw_simple", "p14_cipw_gcdkit", "p15_cipw_hb")
     val out = names.map { n =>
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
