@@ -35,6 +35,36 @@ object Bench {
         normsum = true, completeResults = true).count()
       graft.petro.Cipw.cipwNormHb(ox, carry = Seq("id"),
         normsum = true, completeResults = true).count()
+      // Text + similarity tracks: a miniature corpus through the full
+      // curate pipeline (shingle/minhash/LSH/jaccard/CC/quality gate)
+      // plus SimHash banding and the vector kernels, so the first timed
+      // t* query isn't charged the whole track's codegen/JIT (r3 driver
+      // bench: t12 6.9s cold vs 1.2s warm with no text warm-up).
+      // Groups of 5 near-identical docs (one unique suffix word) force
+      // real LSH collisions, Jaccard survivors, and CC iterations.
+      val docs = spark.range(1500).selectExpr(
+        "id as doc_id",
+        "concat(concat_ws(' ', transform(sequence(1, 40), " +
+          "i -> concat('w', cast((id div 5) * 7 + i % 23 as string)))), " +
+          "' v', cast(id as string)) as text")
+      graft.text.TextOps.curateCorpus(docs, "doc_id", "text").count()
+      graft.text.TextOps.simhashNearDupPairs(docs, "doc_id", "text").count()
+      graft.text.TextOps.winnowFingerprints(docs, "doc_id", "text").count()
+      graft.text.TextOps.bpeTokenStats(docs, "doc_id", "text").count()
+      val vecs = spark.range(600).selectExpr("id",
+        "transform(sequence(0, 7), " +
+          "j -> cast((id * 31 + j * 17) % 97 as double) / 97.0) as embedding")
+      val planes = graft.sim.Similarity.randomPlanes(8, 8)
+      graft.sim.Similarity.cosineNearDupPairs(
+        vecs, "id", "embedding", planes, 0.9).count()
+      val cent = graft.sim.Similarity
+        .kmeansCentroids(vecs, "id", "embedding", 0L until 8L, 1)
+        .select(col("cell").as("id"), col("centroid").as("embedding"))
+      val indexed = graft.sim.Similarity.ivfAssign(vecs, cent, "id", "embedding")
+      graft.sim.Similarity.ivfSearch(
+        indexed, cent, vecs.limit(20), "id", "embedding", k = 5, nProbe = 2).count()
+      graft.sim.Similarity.cosineTopK(
+        vecs, vecs.limit(10), "id", "embedding", k = 5).count()
     }
     // A query that throws is recorded with time -1 and listed under
     // "failed" so a broken query can never masquerade as a fast one.
