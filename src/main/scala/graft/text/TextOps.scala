@@ -158,8 +158,34 @@ object TextOps {
     * so the plan stays flat at any scale; the fixpoint test is a cheap
     * limit-1 existence check. Returns (id, cluster) with cluster = the
     * component's minimum id — the canonical survivor convention of the
-    * dedup loop. */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    * dedup loop.
+    *
+    * Scale-adaptive fast path: verified near-dup pairs are sparse
+    * relative to the corpus (LSH + Jaccard filtering), so the edge set
+    * is usually tiny even when the corpus is not. Below `maxLocalEdges`
+    * the components are resolved by a driver-side union-find in ONE
+    * Spark job (the bounded collect — same contract class as a
+    * broadcast-join threshold) instead of 2 jobs per propagation
+    * round; above the bound, or for exotic id types, the distributed
+    * loop runs unchanged. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
+      maxLocalEdges: Int = 1 << 20): DataFrame = {
+    val idType = pairs.schema("a_id").dataType
+    val localOrd: Option[Ordering[Any]] = idType match {
+      case org.apache.spark.sql.types.LongType =>
+        Some(Ordering.by(_.asInstanceOf[Long]))
+      case org.apache.spark.sql.types.IntegerType =>
+        Some(Ordering.by(_.asInstanceOf[Int]))
+      case org.apache.spark.sql.types.StringType =>
+        Some(Ordering.by(_.asInstanceOf[String]))
+      case _ => None
+    }
+    if (localOrd.isDefined) {
+      val probe = pairs.select(col("a_id"), col("b_id"))
+        .limit(maxLocalEdges + 1).collect()
+      if (probe.length <= maxLocalEdges)
+        return localComponents(pairs.sparkSession, probe, idType, localOrd.get)
+    }
     val edges = pairs.select(col("a_id"), col("b_id"))
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .localCheckpoint()
@@ -194,6 +220,49 @@ object TextOps {
       i += 1
     }
     labels
+  }
+
+  /** Driver-side union-find over a bounded edge list (the
+    * [[nearDupClusters]] fast path). Path-halving find; components are
+    * canonicalized to their minimum member under `ord`. The result is a
+    * single small partition — downstream anti-joins broadcast it. */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType,
+      ord: Ordering[Any]): DataFrame = {
+    val index = scala.collection.mutable.HashMap.empty[Any, Int]
+    def idx(v: Any): Int = index.getOrElseUpdate(v, index.size)
+    val es = edges.map(r => (idx(r.get(0)), idx(r.get(1))))
+    val parent = Array.tabulate(index.size)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x))
+        x = parent(x)
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    val ids = new Array[Any](index.size)
+    index.foreach { case (v, i) => ids(i) = v }
+    val minOf = scala.collection.mutable.HashMap.empty[Int, Any]
+    ids.zipWithIndex.foreach { case (v, i) =>
+      val r = find(i)
+      minOf.get(r) match {
+        case Some(m) if ord.lteq(m, v) => ()
+        case _ => minOf(r) = v
+      }
+    }
+    val rows = ids.zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.Row(v, minOf(find(i)))
+    }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("cluster", idType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Near-dup dedup completion: drop every clustered document except its

@@ -42,9 +42,34 @@ class TextOpsSpec extends AnyFunSuite {
   }
 
   test("nearDupClusters converges on a long chain within the iteration cap") {
+    // maxLocalEdges = 0 forces the distributed pointer-jumping path
     val chain = (1L until 40L).map(i => (i, i + 1))
-    val c = TextOps.nearDupClusters(pairs(chain: _*), maxIters = 20)
+    val c = TextOps.nearDupClusters(pairs(chain: _*), maxIters = 20, maxLocalEdges = 0)
     assert(c.filter(org.apache.spark.sql.functions.col("cluster") =!= 1L).count() == 0)
+  }
+
+  test("nearDupClusters local union-find agrees with the distributed path") {
+    val rng = new scala.util.Random(7)
+    val es = Seq.fill(200)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter(p => p._1 != p._2)
+    val df = pairs(es: _*)
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = toMap(TextOps.nearDupClusters(df))
+    val dist = toMap(TextOps.nearDupClusters(df, maxLocalEdges = 0))
+    assert(local == dist)
+  }
+
+  test("nearDupClusters local path handles string ids") {
+    val schema = StructType(Seq(
+      StructField("a_id", StringType), StructField("b_id", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row("d2", "d3"), Row("d3", "d9"), Row("x1", "x2")), 2), schema)
+    val c = TextOps.nearDupClusters(df)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(c == Map("d2" -> "d2", "d3" -> "d2", "d9" -> "d2",
+      "x1" -> "x1", "x2" -> "x1"))
   }
 
   test("winnowing guarantee: a shared window+k-1 token run yields a shared fingerprint") {
