@@ -409,7 +409,35 @@ object PetroQueries {
     "p51_tc_pli" -> tc(graft.petro.hpxeos.Metabasite.TcPlagioclaseIbar1),
     // T7 opx_W24: igneous orthopyroxene (9 members, 8 variables)
     "p52_tc_opx_w24" -> tc(graft.petro.hpxeos.Igneous.TcOrthopyroxeneW24,
-      Map("Q" -> Left(0.05)))
+      Map("Q" -> Left(0.05))),
+
+    // T7 p54-p76: the remaining 23 a-x phases at default (disordered)
+    // order states; each oracle is auto-derived from the phase's own
+    // Column trees by [[tcAutoSql]]/[[SqlMirror]], closing the full
+    // 39-phase registry under the hash gate.
+    "p54_tc_biotite_mp" -> tc(graft.petro.hpxeos.Metapelite.TcBiotite),
+    "p55_tc_pl4tr" -> tc(graft.petro.hpxeos.Metapelite.TcPl4tr),
+    "p56_tc_k4tr" -> tc(graft.petro.hpxeos.Metapelite.TcK4tr),
+    "p57_tc_chloritoid" -> tc(graft.petro.hpxeos.Metapelite.TcChloritoid),
+    "p58_tc_staurolite" -> tc(graft.petro.hpxeos.Metapelite.TcStaurolite),
+    "p59_tc_cordierite" -> tc(graft.petro.hpxeos.Metapelite.TcCordierite),
+    "p60_tc_muscovite" -> tc(graft.petro.hpxeos.Metapelite.TcMuscovite),
+    "p61_tc_margarite" -> tc(graft.petro.hpxeos.Metapelite.TcMargarite),
+    "p62_tc_epidote" -> tc(graft.petro.hpxeos.Metapelite.TcEpidote),
+    "p63_tc_opx_mp" -> tc(graft.petro.hpxeos.Metapelite.TcOrthopyroxene),
+    "p64_tc_ilmm_mp" -> tc(graft.petro.hpxeos.Metapelite.TcIlmeniteMixed),
+    "p65_tc_spinel_mp" -> tc(graft.petro.hpxeos.Metapelite.TcSpinel),
+    "p66_tc_ilmenite_mp" -> tc(graft.petro.hpxeos.Metapelite.TcIlmenite),
+    "p67_tc_augite" -> tc(graft.petro.hpxeos.Metabasite.TcAugite),
+    "p68_tc_garnet_mb" -> tc(graft.petro.hpxeos.Metabasite.TcGarnet),
+    "p69_tc_biotite_mb" -> tc(graft.petro.hpxeos.Metabasite.TcBiotite),
+    "p70_tc_muscovite_mb" -> tc(graft.petro.hpxeos.Metabasite.TcMuscovite),
+    "p71_tc_chlorite_mb" -> tc(graft.petro.hpxeos.Metabasite.TcChlorite),
+    "p72_tc_opx_mb" -> tc(graft.petro.hpxeos.Metabasite.TcOrthopyroxene),
+    "p73_tc_ilmm_mb" -> tc(graft.petro.hpxeos.Metabasite.TcIlmeniteMixed),
+    "p74_tc_olivine_h18" -> tc(graft.petro.hpxeos.Igneous.TcOlivineH18),
+    "p75_tc_biotite_g25" -> tc(graft.petro.hpxeos.Igneous.TcBiotiteG25),
+    "p76_tc_cordierite_g25" -> tc(graft.petro.hpxeos.Igneous.TcCordieriteG25)
   )
 
   /** Shared shape of the hpxeos phase queries: synthetic oxides through
@@ -573,6 +601,30 @@ object PetroQueries {
       "p50_tc_peristerite" -> wrap(tcPeristeriteSql),
       "p51_tc_pli" -> wrap(tcPliSql),
       "p52_tc_opx_w24" -> wrap(tcOpxW24Sql),
+      "p54_tc_biotite_mp" -> wrap(tcAutoSql(graft.petro.hpxeos.Metapelite.TcBiotite)),
+      "p55_tc_pl4tr" -> wrap(tcAutoSql(graft.petro.hpxeos.Metapelite.TcPl4tr)),
+      "p56_tc_k4tr" -> wrap(tcAutoSql(graft.petro.hpxeos.Metapelite.TcK4tr)),
+      "p57_tc_chloritoid" -> wrap(tcAutoSql(graft.petro.hpxeos.Metapelite.TcChloritoid)),
+      "p58_tc_staurolite" -> wrap(tcAutoSql(graft.petro.hpxeos.Metapelite.TcStaurolite)),
+      "p59_tc_cordierite" -> wrap(tcAutoSql(graft.petro.hpxeos.Metapelite.TcCordierite)),
+      "p60_tc_muscovite" -> wrap(tcAutoSql(graft.petro.hpxeos.Metapelite.TcMuscovite)),
+      "p61_tc_margarite" -> wrap(tcAutoSql(graft.petro.hpxeos.Metapelite.TcMargarite)),
+      "p62_tc_epidote" -> wrap(tcAutoSql(graft.petro.hpxeos.Metapelite.TcEpidote,
+        preprocessFeoToFe2o3 = true)),
+      "p63_tc_opx_mp" -> wrap(tcAutoSql(graft.petro.hpxeos.Metapelite.TcOrthopyroxene)),
+      "p64_tc_ilmm_mp" -> wrap(tcAutoSql(graft.petro.hpxeos.Metapelite.TcIlmeniteMixed)),
+      "p65_tc_spinel_mp" -> wrap(tcAutoSql(graft.petro.hpxeos.Metapelite.TcSpinel)),
+      "p66_tc_ilmenite_mp" -> wrap(tcAutoSql(graft.petro.hpxeos.Metapelite.TcIlmenite)),
+      "p67_tc_augite" -> wrap(tcAutoSql(graft.petro.hpxeos.Metabasite.TcAugite)),
+      "p68_tc_garnet_mb" -> wrap(tcAutoSql(graft.petro.hpxeos.Metabasite.TcGarnet)),
+      "p69_tc_biotite_mb" -> wrap(tcAutoSql(graft.petro.hpxeos.Metabasite.TcBiotite)),
+      "p70_tc_muscovite_mb" -> wrap(tcAutoSql(graft.petro.hpxeos.Metabasite.TcMuscovite)),
+      "p71_tc_chlorite_mb" -> wrap(tcAutoSql(graft.petro.hpxeos.Metabasite.TcChlorite)),
+      "p72_tc_opx_mb" -> wrap(tcAutoSql(graft.petro.hpxeos.Metabasite.TcOrthopyroxene)),
+      "p73_tc_ilmm_mb" -> wrap(tcAutoSql(graft.petro.hpxeos.Metabasite.TcIlmeniteMixed)),
+      "p74_tc_olivine_h18" -> wrap(tcAutoSql(graft.petro.hpxeos.Igneous.TcOlivineH18)),
+      "p75_tc_biotite_g25" -> wrap(tcAutoSql(graft.petro.hpxeos.Igneous.TcBiotiteG25)),
+      "p76_tc_cordierite_g25" -> wrap(tcAutoSql(graft.petro.hpxeos.Igneous.TcCordieriteG25)),
       "p28_tc_amphibole" -> wrap(tcAmphiboleSql),
       "p29_tc_chlorite" -> wrap(tcChloriteSql),
       "p30_tc_garnet_w24" -> wrap(tcGarnetW24Sql),
@@ -1248,6 +1300,88 @@ object PetroQueries {
         2.0 - "Si{4+}" AS y, "Ca{2+}" AS c, "Na{+}" AS j, "Fe{3+}" AS f,
         "Ti{4+}" AS t, "Cr{3+}" AS cr FROM spl6w)
       SELECT id, $sel FROM varow ORDER BY id"""
+  }
+
+  // ---- generic hpxeos phase oracle SQL (p54-p76) ---------------------------
+
+  /** Charge-basis APFU SELECT list (to_apfu_by_charge; mirrors p12/p29). */
+  private def chargeApfuSel(tcCharge: Double, cols: Seq[String] = OXIDES): String = {
+    val chargeSum = cols.map { c =>
+      s"${molesSql(c)} * ${Chem.cationsPer(c) * Chem.chargeOf(Chem.elementOf(c))}"
+    }.mkString(" + ")
+    cols.map { c =>
+      s"${molesSql(c)} * ${Chem.cationsPer(c)} * ($tcCharge / ($chargeSum)) AS ${qi(Chem.oxideToIonCol(c))}"
+    }.mkString(", ")
+  }
+
+  /** Generic a-x phase oracle: mirrors [[graft.petro.hpxeos.Phase.proportions]]
+    * by composing the phase's own siteFractions/variables Column trees into
+    * single expressions over the APFU CTE columns and rendering them to
+    * DuckDB SQL with [[SqlMirror]] — the oracle is derived from the very
+    * Column trees the Spark plan executes, so the mirror cannot drift from
+    * the implementation (only the shared APFU/droop prelude is restated).
+    * The APFU CTE shape comes from the MineralSpec: oxygen or charge
+    * basis, optional droop Fe split; `preprocessFeoToFe2o3` mirrors the
+    * one non-identity preprocess hook reachable from oxFrame (epidote —
+    * fe2o3ToFeo hooks are no-ops because ox has no Fe2O3 column). */
+  private def tcAutoSql(phase: graft.petro.hpxeos.Phase,
+      ops: Map[String, Double] = Map.empty,
+      preprocessFeoToFe2o3: Boolean = false): String = {
+    val spec = phase.mineral
+    val oxides: Seq[String] =
+      if (preprocessFeoToFe2o3) OXIDES.filterNot(_ == "FeO") :+ "Fe2O3" else OXIDES
+    val oxCte =
+      if (preprocessFeoToFe2o3) {
+        val others = OXIDES.filterNot(_ == "FeO").map(qi).mkString(", ")
+        val conv = s"""("FeO" / ${Chem.mw("FeO")}) * 0.5 * ${Chem.mw("Fe2O3")}"""
+        Seq(s"""oxp AS (SELECT id, $others, $conv AS "Fe2O3" FROM ox)""")
+      } else Nil
+    val oxSrc = if (preprocessFeoToFe2o3) "oxp" else "ox"
+    val split = spec.valenceSplits.nonEmpty
+    val apfuSel = spec.chargeBasis match {
+      case Some(tcCharge) => chargeApfuSel(tcCharge, oxides)
+      case None => apfuSelAt(spec.nOxygens, oxides)
+    }
+    val aCte = s"a1 AS (SELECT id, $apfuSel FROM $oxSrc)"
+    val sCte = if (split) {
+      val vs = spec.valenceSplits.head
+      val nOxy = vs.nOxygens.getOrElse(spec.nOxygens)
+      val ideal = vs.idealCations.orElse(spec.idealCations).getOrElse(
+        sys.error(s"${spec.name}: droop split without ideal cations"))
+      Seq(s"s1 AS (SELECT id, ${droopSplitSel(nOxy, ideal)} FROM a1)")
+    } else Nil
+    val apfuSrc = if (split) "s1" else "a1"
+    // present ions mirror rawApfu's output columns for this spec
+    val present: Set[String] = oxides.map(Chem.oxideToIonCol).toSet ++
+      (if (split) Set("Fe{3+}") else Set.empty)
+    def comp(c: String): org.apache.spark.sql.Column =
+      if (present(c)) col(c) else lit(0.0)
+    val totals: Map[String, org.apache.spark.sql.Column] =
+      phase.sites.map { case (st, cats) =>
+        st -> cats.map(comp).reduceLeft(_ + _)
+      }.toMap
+    val sfMap = phase.siteFractions(comp, totals).toMap
+    def order(name: String): org.apache.spark.sql.Column = ops.get(name) match {
+      case Some(v) => lit(v)
+      case None => phase.orderDefault(name, n => sfMap(n))
+    }
+    val varExprs = phase.variables(n => sfMap(n), order)
+    val orderExtra = phase.orderParameterNames
+      .filterNot(n => varExprs.exists(_._1 == n)).map(n => n -> order(n))
+    val allVars = varExprs ++ orderExtra
+    val varSel = allVars
+      .map { case (n, c) => s"${org.apache.spark.sql.graftbridge.SqlMirror.render(c)} AS ${qi(n)}" }
+      .mkString(", ")
+    val varNames = allVars.map(_._1).toSet
+    val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, n => {
+      require(varNames(n), s"${spec.name}: pBlock references unknown var $n")
+      qi(n)
+    })
+    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n"""" }
+      .mkString(", ")
+    val ctes = oxCte ++ Seq(aCte) ++ sCte :+ s"v1 AS (SELECT id, $varSel FROM $apfuSrc)"
+    s""", ${ctes.mkString(",\n      ")}
+      SELECT id, $sel FROM v1 ORDER BY id"""
   }
 
   // ---- end-member oracle SQL (p35-p44) -------------------------------------
