@@ -166,6 +166,32 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic weighted mixture sampling across corpus sources
+    "t23_mixture_sample" -> ((s, dir) => {
+      TextOps.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // contiguous-fill sequence packing into 512-token bins per source
+    "t24_pack_sequences" -> ((s, dir) => {
+      TextOps.packSequences(t(s, dir, "documents"), "doc_id", "text",
+          "source", budget = 512)
+        .orderBy("doc_id")
+    }),
+
+    // PII scrubbing: typed masks + per-class match counts
+    "t25_pii_scrub" -> ((s, dir) => {
+      TextOps.piiScrub(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // corpus-level top-100 bigrams with deterministic tie-break
+    "t26_top_ngrams" -> ((s, dir) => {
+      TextOps.topNgrams(t(s, dir, "documents"), "text", n = 2, k = 100)
+    }),
+
     // SimHash near-dup: band-bucketed candidates + exact Hamming verify
     "t21_simhash_pairs" -> ((s, dir) => {
       TextOps.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text")
@@ -337,6 +363,57 @@ object TextQueries {
            AND ROUND(CAST(wf.mx AS DOUBLE) / wf.n, 6) <= 0.12
          ORDER BY d.doc_id"""
     },
+
+    // uniform-hash mixture sampling mirror: same md5-derived u and the
+    // same per-source rate CASE as the operator's when-cascade
+    "t23_mixture_sample" -> {
+      val denom = math.pow(16.0, 15)
+      s"""SELECT doc_id, source FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+               / ($denom::DOUBLE)
+             < (CASE WHEN source = 'src2' THEN 0.25::DOUBLE
+                     WHEN source = 'src1' THEN 0.5::DOUBLE
+                     WHEN source = 'src0' THEN 0.9::DOUBLE
+                     ELSE 0.1::DOUBLE END)
+         ORDER BY doc_id"""
+    },
+
+    // contiguous-fill packing mirror: per-source window token cumsum
+    "t24_pack_sequences" ->
+      s"""SELECT source, doc_id, n_tok,
+           CAST(FLOOR((cum - n_tok) / 512.0::DOUBLE) AS BIGINT) AS bin
+         FROM (
+           SELECT source, doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+             SUM(CAST(len(w) AS BIGINT))
+               OVER (PARTITION BY source ORDER BY doc_id) AS cum
+           FROM (SELECT source, doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> x <> '') AS w
+             FROM documents))
+         ORDER BY doc_id""",
+
+    // PII scrub mirror: identical RE2 patterns, 'g' for global replace
+    "t25_pii_scrub" -> {
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ip = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+      val digits = """\b[0-9]{9,}\b"""
+      s"""SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text, '$digits')) AS BIGINT) AS n_num,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+             '$digits', '<NUM>', 'g') AS clean_text
+         FROM documents ORDER BY doc_id"""
+    },
+
+    // top-bigram mirror: 2-gram explode + count + deterministic order
+    "t26_top_ngrams" ->
+      s"""SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+           SELECT list_extract(w, i) || ' ' || list_extract(w, i+1) AS gram
+           FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i
+                 FROM ($TOKS_SQL)))
+         GROUP BY gram ORDER BY cnt DESC, gram LIMIT 100""",
 
     // simhash near-dup mirror: 64-bit signature from the same hexBit
     // lists as the operator, 16-bit band join, 64-term Hamming sum

@@ -623,4 +623,65 @@ object TextOps {
         round(when(size(w) === 0, lit(null)).otherwise(
           size(array_distinct(w)).cast("double") / size(w)), 6).as("ttr"))
   }
+
+  // ---- dataset mixing / packing / scrubbing / corpus stats -----------------
+
+  /** Deterministic weighted mixture sampling for dataset mixing: keep a
+    * document iff a uniform-[0,1) hash of its id falls below its
+    * source's sampling rate. The hash is content-independent md5 (the
+    * same document keeps/drops identically across runs and engines), so
+    * mixtures are reproducible with no RNG state, and the whole op is
+    * one narrow filter — no shuffle, no sort, survives any scale. */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") / math.pow(16.0, 15)
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(u < rate)
+  }
+
+  /** Contiguous-fill sequence packing: assign each document to a fixed
+    * token-budget bin by the running token total in (source, id) order —
+    * bin k starts where the cumulative count crosses k*budget. This is
+    * the deterministic streaming-order packing used when shuffling is
+    * deferred to training time; bins are computed with one window sum
+    * PER SOURCE SHARD (no global sort — each shard sorts independently,
+    * which is the partitioning a 100 TB corpus already has). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budget: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(idCol)
+    df.select(col(sourceCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("bin",
+        floor((sum("n_tok").over(w) - col("n_tok")) / lit(budget.toDouble))
+          .cast("long"))
+  }
+
+  /** PII scrubbing: mask emails, IPv4 addresses, and long digit runs
+    * (account/phone-number shaped) with typed placeholders, and count
+    * each match class. Patterns are RE2-compatible so an external SQL
+    * engine applies them identically; one narrow projection per row. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val digits = "\\b[0-9]{9,}\\b"
+    val masked = regexp_replace(regexp_replace(regexp_replace(col(textCol),
+      email, "<EMAIL>"), ip, "<IP>"), digits, "<NUM>")
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(email), lit(0))).cast("long").as("n_email"),
+      size(regexp_extract_all(col(textCol), lit(ip), lit(0))).cast("long").as("n_ip"),
+      size(regexp_extract_all(col(textCol), lit(digits), lit(0))).cast("long").as("n_num"),
+      masked.as("clean_text"))
+  }
+
+  /** Corpus-level top-k n-grams by frequency (deterministic tie-break on
+    * the gram text). Shape at scale: explode -> partial-aggregated
+    * hash count -> TakeOrderedAndProject; k rows cross the wire. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int = 2, k: Int = 100): DataFrame =
+    fanOut(df).select(explode(shinglesOf(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("gram")).limit(k)
 }

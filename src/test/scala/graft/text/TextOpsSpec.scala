@@ -72,6 +72,52 @@ class TextOpsSpec extends AnyFunSuite {
       "x1" -> "x1", "x2" -> "x1"))
   }
 
+  test("packSequences fills bins contiguously per source") {
+    import spark.implicits._
+    // source A: 300+300+200+512 tokens -> cum 300,600,800,1312
+    // bins (budget 512): floor(0/512)=0, floor(300/512)=0, 600->1, 800->1
+    val docs = Seq(
+      (1L, "A", Seq.fill(300)("w").mkString(" ")),
+      (2L, "A", Seq.fill(300)("w").mkString(" ")),
+      (3L, "A", Seq.fill(200)("w").mkString(" ")),
+      (4L, "A", Seq.fill(512)("w").mkString(" ")),
+      (5L, "B", Seq.fill(600)("w").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val bins = TextOps.packSequences(docs, "doc_id", "text", "source", 512)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("piiScrub masks emails, IPs, and digit runs with typed placeholders") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail bob.smith+x@example.co.uk from 10.0.0.1 acct 123456789 end"),
+      (2L, "no pii here")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.piiScrub(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(rows(1L) == ((1L, 1L, 1L, "mail <EMAIL> from <IP> acct <NUM> end")))
+    assert(rows(2L) == ((0L, 0L, 0L, "no pii here")))
+  }
+
+  test("mixtureSample is deterministic and respects per-source rates") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, s"src${i % 2}", "t"))
+      .toDF("doc_id", "source", "text")
+    val kept = TextOps.mixtureSample(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.25))
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 1000L)
+    assert(bySrc("src1") > 150L && bySrc("src1") < 350L)
+    // determinism: same input -> identical kept set
+    val again = TextOps.mixtureSample(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.25))
+    assert(kept.collect().map(_.getLong(0)).sorted.toSeq ==
+      again.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("winnowing guarantee: a shared window+k-1 token run yields a shared fingerprint") {
     import spark.implicits._
     // k=3, w=4 -> any shared run of >= 6 tokens must share a fingerprint
