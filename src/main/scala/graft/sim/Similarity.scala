@@ -182,12 +182,14 @@ object Similarity {
   def ivfSearch(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int,
       maxProbedRows: Int = 100000): DataFrame = {
+    // The probe set (query vectors x nProbe cells) is broadcast when it
+    // fits the size contract — one hash join, no shuffle of the corpus.
+    // A larger batch falls back to a shuffle join keyed on the cell id:
+    // both sides repartition by cell, the corpus side once, and no
+    // driver-size limit applies. Same results either way; the switch is
+    // the same class of decision AQE makes for join strategies.
     val maxQ = math.max(1, maxProbedRows / math.max(1, nProbe))
-    val nQ = queries.limit(maxQ + 1).count()
-    require(nQ <= maxQ,
-      s"ivfSearch broadcasts |queries| x nProbe probe rows; query count " +
-        s"exceeds ${maxQ} (maxProbedRows=$maxProbedRows / nProbe=$nProbe) — " +
-        "split the query batch or raise maxProbedRows")
+    val smallBatch = queries.limit(maxQ + 1).count() <= maxQ
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val cent = centroids.select(col(idCol).as("cell"),
@@ -198,7 +200,8 @@ object Similarity {
     val wq = Window.partitionBy("query_id").orderBy(desc("sim"), col("cell"))
     val probed = qCells.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe).select("query_id", "qv", "cell")
-    val cands = indexed.join(broadcast(probed), Seq("cell"))
+    val probeSide = if (smallBatch) broadcast(probed) else probed
+    val cands = indexed.join(probeSide, Seq("cell"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("cand_id"),
         round(cosine(col("qv"), col("v")), 4).as("score"))

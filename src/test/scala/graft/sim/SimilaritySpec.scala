@@ -43,6 +43,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx1.count() <= 5) // subset search still returns ranked hits
   }
 
+  test("ivfSearch shuffle-join fallback returns the same hits as the broadcast path") {
+    val centroids = emb.filter(col("vec_id") < 4)
+    val indexed = Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") >= 4 && col("vec_id") < 14)
+    def hits(maxProbedRows: Int) =
+      Similarity.ivfSearch(indexed, centroids, queries,
+          "vec_id", "embedding", k = 5, nProbe = 2, maxProbedRows = maxProbedRows)
+        .select("query_id", "cand_id", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // maxProbedRows=1 forces every batch over the broadcast contract
+    assert(hits(1) == hits(100000))
+  }
+
   test("IVF nProbe=2 recall vs brute force is >= 0.5 over a query batch") {
     val centroids = emb.filter(col("vec_id") < 4)
     val indexed = Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
