@@ -36,6 +36,19 @@ object EventStreams {
       .groupBy(window(col("event_time"), windowLen, slide), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
 
+  /** Streaming exact deduplication: drop rows whose key was already
+    * seen within the watermark horizon (dropDuplicatesWithinWatermark)
+    * — the streaming twin of the batch content-hash dedup (t01). State
+    * is bounded by the watermark: keys older than the horizon are
+    * evicted, so the operator runs indefinitely on an unbounded stream
+    * with memory proportional to the horizon's key cardinality, not the
+    * stream's. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class SessionEvent(user_id: Long, event_time: java.time.Instant, value: Double)
   /** session bounds tracked in epoch MICROseconds to preserve the source
     * timestamps' sub-millisecond precision */

@@ -46,6 +46,21 @@ class EventStreamsSpec extends AnyFunSuite {
       "streaming rows not found in batch result")
   }
 
+  test("streaming dedup within watermark emits exactly the batch-distinct keys") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = eventsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStreams.dedupWithinWatermark(stream, Seq("user_id", "event_type"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup").select("user_id", "event_type")
+    val want = eventsBatch.select("user_id", "event_type").distinct()
+    assert(got.count() == want.count(), "one row per distinct key")
+    assert(got.distinct().count() == got.count(), "no duplicate keys emitted")
+    assert(got.exceptAll(want).count() == 0, "emitted keys are batch keys")
+  }
+
   test("streaming sliding-window activity equals batch (q12 twin)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = eventsBatch.schema
