@@ -437,7 +437,34 @@ object PetroQueries {
     "p73_tc_ilmm_mb" -> tc(graft.petro.hpxeos.Metabasite.TcIlmeniteMixed),
     "p74_tc_olivine_h18" -> tc(graft.petro.hpxeos.Igneous.TcOlivineH18),
     "p75_tc_biotite_g25" -> tc(graft.petro.hpxeos.Igneous.TcBiotiteG25),
-    "p76_tc_cordierite_g25" -> tc(graft.petro.hpxeos.Igneous.TcCordieriteG25)
+    "p76_tc_cordierite_g25" -> tc(graft.petro.hpxeos.Igneous.TcCordieriteG25),
+
+    // G1: overall per-oxide mean (1-row frame)
+    "p77_overall_mean" -> ((s, dir) => {
+      val means = OXIDES.map(c => round(avg(c), 6).as(c))
+      oxFrame(s, dir).agg(means.head, means.tail: _*)
+    }),
+
+    // U7: APFU(12 ox) -> oxide wt% inverse (from_apfu round trip)
+    "p78_from_apfu" -> ((s, dir) => {
+      val apfu = Convert.toApfu(oxFrame(s, dir).drop("grp", "wt"),
+        nOxygens = Some(12.0), carry = Seq("id"))
+      val back = Convert.fromApfu(apfu, nOxygens = Some(12.0), carry = Seq("id"))
+      roundAll(back, Seq("id")).orderBy("id")
+    }),
+
+    // U10: molar Fe2O3 -> FeO merge (reduce_moles)
+    "p79_reduce_moles" -> ((s, dir) => {
+      val m = Convert.toMoles(oxWithFe2O3(s, dir), Seq("id"))
+      roundAll(Convert.reduceMoles(m), Seq("id")).orderBy("id")
+    }),
+
+    // U11: THERMOCALC oxygen-excess FeO split in mole space (oxidize_moles)
+    "p80_oxidize_moles" -> ((s, dir) => {
+      val m = Convert.toMoles(oxFrame(s, dir), Seq("id"))
+      val vals = m.columns.filterNot(_ == "id").toSeq
+      roundAll(Convert.oxidizeMoles(m, lit(1.5), vals), Seq("id")).orderBy("id")
+    })
   )
 
   /** Shared shape of the hpxeos phase queries: synthetic oxides through
@@ -625,6 +652,38 @@ object PetroQueries {
       "p74_tc_olivine_h18" -> wrap(tcAutoSql(graft.petro.hpxeos.Igneous.TcOlivineH18)),
       "p75_tc_biotite_g25" -> wrap(tcAutoSql(graft.petro.hpxeos.Igneous.TcBiotiteG25)),
       "p76_tc_cordierite_g25" -> wrap(tcAutoSql(graft.petro.hpxeos.Igneous.TcCordieriteG25)),
+      "p77_overall_mean" -> wrap(
+        s"SELECT ${OXIDES.map(c => s"ROUND(AVG(${qi(c)}), 6) AS ${qi(c)}").mkString(", ")} FROM ox"),
+      "p78_from_apfu" -> {
+        // mirror fromApfu: moles = ion/catPer; factor = 12/Σ(moles*oxyPer)
+        // with the =0 -> 1 divide guard; wt = moles * factor * MW(oxide)
+        val totalRef = OXIDES.map { c =>
+          s"(${qi(Chem.oxideToIonCol(c))} / ${Chem.cationsPer(c)}) * ${Chem.oxygensPer(c)}"
+        }.mkString(" + ")
+        val denom = s"(CASE WHEN ($totalRef) = 0.0 THEN 1.0 ELSE ($totalRef) END)"
+        val sel = OXIDES.map { c =>
+          s"ROUND((${qi(Chem.oxideToIonCol(c))} / ${Chem.cationsPer(c)}) * (12.0 / $denom) * ${Chem.mw(c)}, 6) AS ${qi(c)}"
+        }.mkString(", ")
+        wrap(s", apfu AS (SELECT id, $apfuSelectSql FROM ox) SELECT id, $sel FROM apfu ORDER BY id")
+      },
+      "p79_reduce_moles" -> {
+        val others = OXIDES.filterNot(_ == "FeO")
+          .map(c => s"ROUND(${molesSql(c)}, 6) AS ${qi(c)}").mkString(", ")
+        wrap(s""", ox2 AS ($OX2_SQL)
+          SELECT id, $others,
+            ROUND(${molesSql("FeO")} + ${molesSql("Fe2O3")} * 2.0, 6) AS "FeO"
+          FROM ox2 ORDER BY id""")
+      },
+      "p80_oxidize_moles" -> {
+        val tot = OXIDES.map(molesSql).mkString(" + ")
+        val fe3 = s"LEAST(GREATEST(2.0 * (1.5::DOUBLE / 100.0 * ($tot)), 0.0), ${molesSql("FeO")})"
+        val others = OXIDES.filterNot(_ == "FeO")
+          .map(c => s"ROUND(${molesSql(c)}, 6) AS ${qi(c)}").mkString(", ")
+        wrap(s"""SELECT id, $others,
+            ROUND(${molesSql("FeO")} - $fe3, 6) AS "FeO",
+            ROUND($fe3 / 2.0, 6) AS "Fe2O3"
+          FROM ox ORDER BY id""")
+      },
       "p28_tc_amphibole" -> wrap(tcAmphiboleSql),
       "p29_tc_chlorite" -> wrap(tcChloriteSql),
       "p30_tc_garnet_w24" -> wrap(tcGarnetW24Sql),
