@@ -465,7 +465,13 @@ object TextOps {
       .select("a_id", "b_id")
       .localCheckpoint() // referenced by clusters across CC iterations
     val deduped = dropNearDuplicates(exact, idCol, verified)
-    val quality = repetitionStats(deduped, idCol, textCol)
+    // The gate reads only the word-level fractions, so it uses
+    // [[wordFracs]] directly: riding through repetitionStats would also
+    // pay the bigram explode + two aggregate levels + join for columns
+    // the filter never touches (Catalyst cannot prune them through the
+    // inner join). Docs with no tokens have no wordFracs row and are
+    // dropped, exactly as n_word = 0 fails the between() gate.
+    val quality = wordFracs(deduped, idCol, textCol)
       .join(langId(deduped, idCol, textCol).select(col(idCol), col("lang_pred")),
         Seq(idCol))
       .filter(col("lang_pred").isin(keepLangs: _*) &&
@@ -514,30 +520,41 @@ object TextOps {
     * (or no bigram) report null for the affected fractions. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fanned = fanOut(df)
-    def termFracs(term: DataFrame, prefix: String): DataFrame =
-      term.groupBy(col(idCol), col("t"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(idCol)
-        .agg(sum("c").as("n"), max("c").as("mx"),
-          count(lit(1)).as("nd"))
-        .select(col(idCol),
-          col("n").as(s"n_$prefix"),
-          round(col("mx").cast("double") / col("n"), 6).as(s"top_${prefix}_frac"),
-          round((col("n") - col("nd")).cast("double") / col("n"), 6)
-            .as(s"dup_${prefix}_frac"))
-    val words = fanned.select(col(idCol),
-      explode(tokens(col(textCol))).as("t"))
     val bigrams = fanned.select(col(idCol),
       explode(shinglesOf(col(textCol), 2)).as("t"))
     df.select(col(idCol))
-      .join(termFracs(words, "word"), Seq(idCol), "left")
-      .join(termFracs(bigrams, "bigram"), Seq(idCol), "left")
+      .join(wordFracs(df, idCol, textCol), Seq(idCol), "left")
+      .join(termFracs(bigrams, idCol, "bigram"), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_word"), lit(0L)).as("n_word"),
         col("top_word_frac"), col("dup_word_frac"),
         coalesce(col("n_bigram"), lit(0L)).as("n_bigram"),
         col("top_bigram_frac"), col("dup_bigram_frac"))
   }
+
+  /** (id, n_PREFIX, top_PREFIX_frac, dup_PREFIX_frac) over an exploded
+    * (id, t) term frame — the two-level hash-agg core of
+    * [[repetitionStats]]. */
+  private def termFracs(term: DataFrame, idCol: String, prefix: String): DataFrame =
+    term.groupBy(col(idCol), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n"), max("c").as("mx"),
+        count(lit(1)).as("nd"))
+      .select(col(idCol),
+        col("n").as(s"n_$prefix"),
+        round(col("mx").cast("double") / col("n"), 6).as(s"top_${prefix}_frac"),
+        round((col("n") - col("nd")).cast("double") / col("n"), 6)
+          .as(s"dup_${prefix}_frac"))
+
+  /** Word-level fractions only — what the [[curateCorpus]] quality gate
+    * needs. The gate previously rode through [[repetitionStats]], whose
+    * bigram explode + two aggregate levels + join cannot be pruned by
+    * Catalyst (the inner join affects multiplicity), so a full
+    * token-scale shuffle was paid for columns the gate never read. */
+  private def wordFracs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    termFracs(fanOut(df).select(col(idCol),
+      explode(tokens(col(textCol))).as("t")), idCol, "word")
 
   /** GPT-2-style pretokenizer pattern: contractions, optionally
     * space-prefixed letter runs / digit runs / punctuation runs, space
