@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively.
+  *
+  * The headline is [[asofJoin]]: for every left row, attach the most
+  * recent right row (by time, inclusive) with the same keys — the
+  * point-in-time lookup used by market-data enrichment, slowly-changing
+  * dimensions, and feature back-fill in training pipelines.
+  *
+  * Scale design: the naive formulation is an inequality join
+  * (`l.key = r.key AND r.t <= l.t` + argmax), which explodes to
+  * |L|x|R| candidate pairs per key before the argmax prunes them — a
+  * non-starter at 100 TB. This implementation instead unions the two
+  * sides with a tag, shuffles ONCE by the keys, and carries the latest
+  * right-side values forward with a running `last(ignoreNulls)` window.
+  * Work and shuffle volume are linear in |L|+|R|, skew degrades into a
+  * sort rather than a product, and the plan contains no join at all.
+  */
+object Temporal {
+
+  /** As-of (backward, inclusive) join.
+    *
+    * @param left      rows to enrich; all its columns are preserved
+    * @param right     lookup rows; only `rightVals` columns are attached
+    * @param on        equality keys present on both sides
+    * @param leftTime  event-time column on `left`
+    * @param rightTime event-time column on `right`
+    * @param rightVals right columns to carry onto each left row (may
+    *                  include `rightTime` itself); names must not clash
+    *                  with left columns — rename on the way in
+    * @param tieBreak  right columns ordering simultaneous right rows
+    *                  (same keys + time); the LAST row in this order
+    *                  wins. Empty = arbitrary-but-stable only when
+    *                  (keys, time) are unique on the right.
+    *
+    * A right row at exactly `leftTime` IS visible to that left row
+    * (`r.t <= l.t`, matching DuckDB's `ASOF JOIN ... ON l.t >= r.t`).
+    * Left rows with no prior right row keep NULL `rightVals` (left
+    * outer semantics).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String, rightVals: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val leftPayload =
+      left.columns.toSeq.filterNot(c => on.contains(c) || c == leftTime)
+    // tieBreak columns ride along in the union even when not carried out.
+    val rightCarry = rightVals ++ tieBreak.filterNot(rightVals.contains)
+    require(leftPayload.intersect(rightCarry).isEmpty && !rightCarry.contains(leftTime),
+      s"rename right columns ${leftPayload.intersect(rightCarry)} before the join")
+    val l = left.select(
+      on.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(true).as("__is_l")) ++
+        leftPayload.map(col) ++
+        rightCarry.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      on.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(false).as("__is_l")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCarry.map(col): _*)
+    // Right rows sort BEFORE left rows at equal time (false < true), so
+    // an equal-time right row is inside the running frame — inclusive
+    // as-of. tieBreak columns are NULL on left rows (constant within the
+    // left group), so they only order simultaneous right rows.
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t") +: col("__is_l") +: tieBreak.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(when(!col("__is_l"), col(c)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__is_l"))
+      .withColumn(leftTime, col("__t"))
+      .select((on ++ Seq(leftTime) ++ leftPayload ++ rightVals).map(col): _*)
+  }
+}

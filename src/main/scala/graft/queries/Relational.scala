@@ -159,6 +159,72 @@ object Relational {
 
     // G-track: multi-level totals via ROLLUP (partial-agg friendly —
     // one shuffle produces the detail, subtotal, and grand-total rows)
+    // As-of join (time-series point-in-time lookup — the classic operator
+    // Spark lacks natively). Implemented the scale-correct way: instead of
+    // an inequality join (which explodes to |purchases|x|clicks| per user
+    // before picking the max), union both event streams tagged, shuffle
+    // ONCE by user_id, and carry the most recent click forward with a
+    // running last(ignoreNulls) window. One shuffle, linear work, no
+    // fanout — survives arbitrarily many events per user. Ties at equal
+    // ts order clicks (is_p=false) before purchases, then by event_id,
+    // so the result is deterministic in both engines.
+    "q14_asof_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+        .withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tsx").as("et"),
+          col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsx").as("ct"),
+          col("tsx").as("click_ts"),
+          col("value").as("click_value"), col("event_id").as("click_id"))
+      graft.ops.Temporal.asofJoin(purchases, clicks,
+          on = Seq("user_id"), leftTime = "et", rightTime = "ct",
+          rightVals = Seq("click_ts", "click_value"),
+          tieBreak = Seq("click_id"))
+        .select(col("event_id"), col("user_id"),
+          col("et").as("purchase_ts"),
+          round(col("value"), 4).as("purchase_value"),
+          col("click_ts"), round(col("click_value"), 4).as("click_value"))
+        .orderBy("event_id")
+    }),
+
+    // Range (banding) join: fact rows matched to a value-interval
+    // dimension. The band table is tiny and explicitly broadcast, so the
+    // non-equi condition runs as a broadcast nested-loop with zero fact
+    // shuffle — the 100 TB-safe plan for interval lookup. (Were the band
+    // table large, the alternative is interval bucketing + equi-join.)
+    "q15_range_band_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("A_low", 0.0, 50000.0), ("B_mid", 50000.0, 150000.0),
+        ("C_high", 150000.0, 300000.0), ("D_top", 300000.0, 1.0e9))
+        .toDF("band", "lo", "hi")
+      t(s, dir, "orders")
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"),
+          round(avg("o_totalprice"), 4).as("avg_price"))
+        .orderBy("band")
+    }),
+
+    // Pivot: long->wide reshape of per-user event activity. Spark's
+    // groupBy().pivot() with explicit values is a single partial+final
+    // hash aggregate (no extra shuffle vs the plain groupBy); absent
+    // (user, type) combinations stay NULL in both engines.
+    "q16_event_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(sum("value"))
+      wide.select(col("user_id") +: types.map(c => round(col(c), 4).as(c)): _*)
+        .orderBy("user_id")
+    }),
+
     "q13_rollup_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -172,6 +238,39 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q14_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS et, value,
+                (event_type = 'purchase') AS is_p
+         FROM events WHERE event_type IN ('purchase','click')),
+         w AS (SELECT *,
+                 LAST_VALUE(CASE WHEN NOT is_p THEN et END IGNORE NULLS)
+                   OVER win AS click_ts,
+                 LAST_VALUE(CASE WHEN NOT is_p THEN value END IGNORE NULLS)
+                   OVER win AS click_value
+               FROM e WINDOW win AS (PARTITION BY user_id
+                 ORDER BY et, is_p, event_id ROWS UNBOUNDED PRECEDING))
+         SELECT event_id, user_id, et AS purchase_ts,
+           ROUND(value,4) AS purchase_value, click_ts,
+           ROUND(click_value,4) AS click_value
+         FROM w WHERE is_p ORDER BY event_id""",
+    "q15_range_band_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+           ('A_low', 0.0, 50000.0), ('B_mid', 50000.0, 150000.0),
+           ('C_high', 150000.0, 300000.0), ('D_top', 300000.0, 1.0e9))
+         SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice),2) AS total,
+           ROUND(AVG(o_totalprice),4) AS avg_price
+         FROM orders JOIN bands
+           ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY 1 ORDER BY 1""",
+    "q16_event_pivot" ->
+      """SELECT user_id,
+           ROUND(SUM(value) FILTER (WHERE event_type='click'),4) AS click,
+           ROUND(SUM(value) FILTER (WHERE event_type='error'),4) AS error,
+           ROUND(SUM(value) FILTER (WHERE event_type='purchase'),4) AS purchase,
+           ROUND(SUM(value) FILTER (WHERE event_type='signup'),4) AS signup,
+           ROUND(SUM(value) FILTER (WHERE event_type='view'),4) AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q13_rollup_revenue" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
          COALESCE(l_linestatus, 'ALL') AS linestatus,

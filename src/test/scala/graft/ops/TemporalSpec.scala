@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract tests for Temporal.asofJoin (backward, inclusive). */
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def quotes = Seq(
+    // key, time, quote_px, quote_id
+    ("A", 1L, 10.0, 1L),
+    ("A", 5L, 11.0, 2L),
+    ("A", 5L, 12.0, 3L), // simultaneous: higher quote_id must win
+    ("B", 4L, 20.0, 4L))
+    .toDF("sym", "qt", "px", "qid")
+
+  private def trades = Seq(
+    ("A", 0L, 100), // before any quote -> null px
+    ("A", 1L, 101), // equal time -> inclusive, sees px=10
+    ("A", 7L, 102), // after the simultaneous pair -> px=12 (qid 3 wins)
+    ("B", 9L, 103),
+    ("C", 2L, 104)) // key with no quotes at all -> null px
+    .toDF("sym", "tt", "tid")
+
+  private def run() = Temporal.asofJoin(
+    trades, quotes, on = Seq("sym"), leftTime = "tt", rightTime = "qt",
+    rightVals = Seq("px"), tieBreak = Seq("qid"))
+    .orderBy("tid")
+    .select("sym", "tt", "tid", "px")
+    .collect()
+    .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+      Option(r.get(3)).map(_.asInstanceOf[Double])))
+
+  test("backward inclusive semantics, per key") {
+    val got = run()
+    assert(got(0) == ("A", 0L, 100, None), "no prior quote -> null")
+    assert(got(1) == ("A", 1L, 101, Some(10.0)), "equal time is inclusive")
+    assert(got(3) == ("B", 9L, 103, Some(20.0)))
+    assert(got(4) == ("C", 2L, 104, None), "unseen key -> null")
+  }
+
+  test("simultaneous right rows: last by tieBreak wins") {
+    assert(run()(2) == ("A", 7L, 102, Some(12.0)))
+  }
+
+  test("all left rows and columns survive (left-outer shape)") {
+    val out = Temporal.asofJoin(trades, quotes, Seq("sym"), "tt", "qt", Seq("px"))
+    assert(out.count() == 5)
+    assert(out.columns.toSeq == Seq("sym", "tt", "tid", "px"))
+  }
+
+  test("plan contains no join operator — single shuffle by key") {
+    val out = Temporal.asofJoin(trades, quotes, Seq("sym"), "tt", "qt", Seq("px"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"unexpected join in:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
+  }
+
+  test("rightTime itself can be carried as a value column") {
+    val q = quotes.withColumn("qt_out", col("qt"))
+    val out = Temporal.asofJoin(trades, q, Seq("sym"), "tt", "qt",
+      rightVals = Seq("px", "qt_out"), tieBreak = Seq("qid"))
+      .filter(col("tid") === 102).collect()
+    assert(out.head.getAs[Long]("qt_out") == 5L)
+  }
+
+  test("name clash with a left column is rejected") {
+    val bad = quotes.withColumnRenamed("px", "tid")
+    assertThrows[IllegalArgumentException] {
+      Temporal.asofJoin(trades, bad, Seq("sym"), "tt", "qt", Seq("tid"))
+    }
+  }
+}
