@@ -107,6 +107,78 @@ object EventStreams {
       }
   }
 
+  final case class AsofIn(user_id: Long, event_time: java.time.Instant,
+      is_left: Boolean, event_id: Long, value: Double)
+  final case class AsofRow(tsUs: Long, id: Long, value: Double)
+  final case class AsofState(pending: Seq[AsofRow], rights: Seq[AsofRow])
+  final case class AsofEnriched(user_id: Long, event_id: Long,
+      left_ts: java.time.Instant, left_value: Double,
+      right_ts: Option[java.time.Instant], right_value: Option[Double])
+
+  /** Streaming twin of `ops.Temporal.asofJoin`: enrich each `leftType`
+    * event with the most recent `rightType` event (inclusive, per user)
+    * — point-in-time feature lookup over an unbounded, out-of-order
+    * stream.
+    *
+    * Correctness under reordering: a left row is held in state until
+    * the watermark passes its event time; by the watermark guarantee
+    * every right row at or before that instant has arrived, so the
+    * match emitted is the one the batch operator computes. Ties
+    * (simultaneous rights) resolve to the highest event_id, same as
+    * the batch tie-break.
+    *
+    * State is bounded by the watermark horizon on both sides: pending
+    * lefts drain as the watermark advances (event-time timeouts fire
+    * even when the user goes quiet), and of the rights at or below the
+    * watermark only the single latest is retained — exactly the one a
+    * future left may still need. */
+  def asofEnrichStream(events: DataFrame, leftType: String = "purchase",
+      rightType: String = "click",
+      watermark: String = "2 hours"): Dataset[AsofEnriched] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = withEventTime(events)
+      .filter(col("event_type").isin(leftType, rightType))
+      .select(col("user_id"), col("event_time"),
+        (col("event_type") === lit(leftType)).as("is_left"),
+        col("event_id"), col("value"))
+      .withWatermark("event_time", watermark)
+      .as[AsofIn]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofEnriched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, incoming, state: GroupState[AsofState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
+          val in = incoming.toSeq
+          def row(e: AsofIn) = AsofRow(micros(e.event_time), e.event_id, e.value)
+          val rights = (prev.rights ++ in.filterNot(_.is_left).map(row))
+            .sortBy(r => (r.tsUs, r.id))
+          val (emit, pending) =
+            (prev.pending ++ in.filter(_.is_left).map(row))
+              .partition(_.tsUs <= wmUs)
+          def enrich(l: AsofRow): AsofEnriched = {
+            val m = rights.takeWhile(_.tsUs <= l.tsUs).lastOption
+            AsofEnriched(uid, l.id, instant(l.tsUs), l.value,
+              m.map(r => instant(r.tsUs)), m.map(_.value))
+          }
+          val out = emit.sortBy(l => (l.tsUs, l.id)).map(enrich)
+          // Rights at or below the watermark can never be out-matched
+          // by a late arrival; only the latest of them stays.
+          val (sealed_, live) = rights.partition(_.tsUs <= wmUs)
+          val kept = sealed_.lastOption.toSeq ++ live
+          if (pending.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsofState(pending, kept))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(pending.map(_.tsUs).min / 1000L + 1, wmMs + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Batch-mode sessionization with identical semantics (window-function
     * formulation) — the oracle-checkable twin of [[sessionize]]. */
   def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {

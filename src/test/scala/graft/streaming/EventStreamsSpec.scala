@@ -80,6 +80,39 @@ class EventStreamsSpec extends AnyFunSuite {
       "streaming sliding windows not found in batch result")
   }
 
+  test("streaming as-of enrichment matches the batch as-of join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = eventsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStreams.asofEnrichStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("asof")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("asof")
+      .select(col("user_id"), col("event_id"), col("left_ts"),
+        round(col("left_value"), 4).as("lv"), col("right_ts"),
+        round(col("right_value"), 4).as("rv"))
+    // batch twin over the same parquet, through the generic operator
+    val ev = EventStreams.withEventTime(eventsBatch)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("event_time").as("left_ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_time").as("ct"),
+        col("event_time").as("right_ts"), col("value").as("right_value"),
+        col("event_id").as("click_id"))
+    val want = graft.ops.Temporal.asofJoin(purchases, clicks,
+        on = Seq("user_id"), leftTime = "left_ts", rightTime = "ct",
+        rightVals = Seq("right_ts", "right_value"),
+        tieBreak = Seq("click_id"))
+      .select(col("user_id"), col("event_id"), col("left_ts"),
+        round(col("value"), 4).as("lv"), col("right_ts"),
+        round(col("right_value"), 4).as("rv"))
+    assert(got.count() > 0, "no enriched rows emitted")
+    assert(got.exceptAll(want).count() == 0,
+      "streaming enrichment disagrees with the batch as-of join")
+  }
+
   test("streaming sessionization matches batch sessionization") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = eventsBatch.schema
