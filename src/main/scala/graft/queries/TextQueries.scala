@@ -239,6 +239,16 @@ object TextQueries {
       graft.sim.Similarity.cosineTopK(d, q, "vec_id", "embedding", k = 5)
         .select(col("query_id").as("qid"), col("cand_id"), col("score"))
         .orderBy(col("qid"), desc("score"), col("cand_id"))
+    }),
+
+    // k-NN majority-vote label propagation over the labeled embedding
+    // corpus (weak supervision): 20 query vectors, 5 cosine neighbors
+    "t27_knn_classify" -> ((s, dir) => {
+      val d = t(s, dir, "embeddings")
+      val q = d.filter(col("vec_id") < 20)
+      graft.sim.Similarity.knnClassify(d, q, "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id").as("qid"), col("pred_label"), col("votes"))
+        .orderBy("qid")
     })
   )
 
@@ -714,6 +724,23 @@ object TextQueries {
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cand_id) AS rn
                FROM p)
          SELECT qid, cand_id, score FROM r WHERE rn <= 5
-         ORDER BY qid, score DESC, cand_id"""
+         ORDER BY qid, score DESC, cand_id""",
+    "t27_knn_classify" ->
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM d WHERE vec_id < 20),
+         p AS (SELECT qid, vec_id AS cand_id, label,
+                 ROUND(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS score
+               FROM d, q WHERE vec_id <> qid),
+         r AS (SELECT qid, label, score, cand_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cand_id) AS rn
+               FROM p),
+         v AS (SELECT qid, label, CAST(COUNT(*) AS BIGINT) AS votes
+               FROM r WHERE rn <= 5 GROUP BY 1, 2),
+         w AS (SELECT qid, label, votes,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS wrn
+               FROM v)
+         SELECT qid, label AS pred_label, votes FROM w WHERE wrn = 1
+         ORDER BY qid"""
   )
 }

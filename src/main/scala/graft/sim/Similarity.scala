@@ -56,6 +56,31 @@ object Similarity {
       .drop("rn")
   }
 
+  /** k-NN majority-vote label prediction over an embedding column —
+    * label propagation / weak supervision for training-data pipelines:
+    * each query vector takes the most frequent label among its k
+    * nearest (cosine) corpus neighbors, ties broken toward the
+    * smallest label for determinism.
+    *
+    * Scale shape: the neighbor table is |queries| x k rows — tiny next
+    * to the corpus — so the label lookup joins that small side against
+    * the corpus projection on the corpus' own id (AQE broadcasts the
+    * neighbor side); the vote is a partial+final hash agg on at most
+    * |queries| x k rows. The expensive part is the neighbor search
+    * itself, which is [[cosineTopK]] (or swap in [[ivfSearch]] results
+    * via the same column contract for large query batches). */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = cosineTopK(corpus, queries, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).as("cand_id"), col(labelCol).as("__lbl"))
+    val votes = nn.join(labels, "cand_id")
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id").orderBy(desc("votes"), col("__lbl"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("__lbl").as(s"pred_$labelCol"), col("votes"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (driver-side, seeded). */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)

@@ -16,6 +16,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(counts.length == 3 && counts.forall(_.getLong(1) == 5))
   }
 
+  test("knn classify votes the dominant cluster label; ties go to the smaller label") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes; labels follow the cluster
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.00f), 7), (11L, Array(1.0f, 0.01f), 7),
+      (12L, Array(1.0f, 0.02f), 7), (13L, Array(1.0f, 0.03f), 2),
+      (20L, Array(0.00f, 1.0f), 3), (21L, Array(0.01f, 1.0f), 3),
+      (22L, Array(0.02f, 1.0f), 3), (23L, Array(0.03f, 1.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (1L, Array(1.0f, 0.015f), -1), (2L, Array(0.015f, 1.0f), -1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .knnClassify(corpus, queries, "vec_id", "embedding", "label", k = 3)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 7, 3L), (2L, 3, 3L)))
+    // a diagonal query's 2 nearest neighbors are one per cluster (labels
+    // 2 and 3, one vote each) — the tie must resolve to the smaller label
+    val tied = Seq((3L, Array(1.0f, 1.0f), -1)).toDF("vec_id", "embedding", "label")
+    val t = Similarity
+      .knnClassify(corpus, tied, "vec_id", "embedding", "label", k = 2)
+      .collect().head
+    assert(t.getInt(1) == 2 && t.getLong(2) == 1L)
+  }
+
   test("SRP signatures bucket similar vectors; candidates form") {
     val planes = Similarity.randomPlanes(8, 64)
     val sigs = Similarity.srpSignature(emb, "vec_id", "embedding", planes)
