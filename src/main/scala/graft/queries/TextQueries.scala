@@ -241,6 +241,16 @@ object TextQueries {
         .orderBy(col("qid"), desc("score"), col("cand_id"))
     }),
 
+    // test-set decontamination: corpus docs (id >= 50) sharing 3-word
+    // shingles with the "benchmark" docs (id < 50), with overlap counts
+    "t28_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.decontaminate(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", shingleWords = 3)
+        .orderBy("doc_id")
+    }),
+
     // k-NN majority-vote label propagation over the labeled embedding
     // corpus (weak supervision): 20 query vectors, 5 cosine neighbors
     "t27_knn_classify" -> ((s, dir) => {
@@ -725,6 +735,13 @@ object TextQueries {
                FROM p)
          SELECT qid, cand_id, score FROM r WHERE rn <= 5
          ORDER BY qid, score DESC, cand_id""",
+    "t28_decontaminate" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, sh FROM ($SHINGLES_SQL)),
+         b AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50)
+         SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+         FROM sh c JOIN b ON c.sh = b.sh
+         WHERE c.doc_id >= 50
+         GROUP BY 1 HAVING COUNT(*) >= 1 ORDER BY 1""",
     "t27_knn_classify" ->
       """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
          q AS (SELECT vec_id AS qid, v AS qv FROM d WHERE vec_id < 20),

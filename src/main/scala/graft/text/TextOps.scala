@@ -701,4 +701,25 @@ object TextOps {
     fanOut(df).select(explode(shinglesOf(col(textCol), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("gram")).limit(k)
+
+  /** Test-set decontamination: documents sharing at least `minOverlap`
+    * distinct n-word shingles with a benchmark set, with the overlap
+    * count — the standard eval-leakage scrub before training. Returns
+    * (idCol, n_overlap); drop the flagged ids with a left_anti join.
+    *
+    * Scale shape: the benchmark shingle set is tiny next to the corpus
+    * (eval suites are fixed-size), so the overlap join broadcasts it
+    * under AQE and the corpus side streams through one explode +
+    * partial-agg distinct + hash agg — no corpus-vs-corpus shuffle.
+    * 13-word shingles are the conventional decontamination gram; the
+    * default follows that, callers pick the policy. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, shingleWords: Int = 13, minOverlap: Long = 1): DataFrame = {
+    val bs = explodedShingles(bench, idCol, textCol, shingleWords)
+      .select(col("sh")).distinct()
+    explodedShingles(corpus, idCol, textCol, shingleWords).distinct()
+      .join(bs, "sh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
 }

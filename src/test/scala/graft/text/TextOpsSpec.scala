@@ -231,4 +231,27 @@ class TextOpsSpec extends AnyFunSuite {
     // doc 3: fewer than k tokens -> no grams -> no fingerprints
     assert(fp.filter($"doc_id" === 3L).count() == 0)
   }
+
+  test("decontaminate flags benchmark-overlapping docs with distinct-shingle counts") {
+    import spark.implicits._
+    val bench = Seq(
+      (1L, "the quick brown fox jumps"),       // shingles: 3 distinct
+      (2L, "pack my box with liquor jugs"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains "the quick brown" + "quick brown fox" -> overlap 2
+      (10L, "so the quick brown fox ran away"),
+      // repeats one benchmark shingle twice -> still counts ONCE (distinct)
+      (11L, "pack my box again pack my box"),
+      (12L, "nothing shared with any benchmark")) // clean
+      .toDF("doc_id", "text")
+    val got = TextOps.decontaminate(corpus, bench, "doc_id", "text",
+        shingleWords = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((10L, 2L), (11L, 1L)))
+    // minOverlap raises the bar
+    val strict = TextOps.decontaminate(corpus, bench, "doc_id", "text",
+      shingleWords = 3, minOverlap = 2)
+    assert(strict.collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
 }
