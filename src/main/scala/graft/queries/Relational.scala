@@ -225,6 +225,24 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Exact interpolated quantiles per group. Spark's percentile() and
+    // DuckDB's quantile_cont() share the (n-1)*p linear-interpolation
+    // contract — verified bit-exact on this data, so the oracle compares
+    // raw doubles. Scale note: exact percentile buffers each group's
+    // values (fine for bounded per-group cardinality); the 100 TB path
+    // for high-cardinality groups is approx_percentile (t-digest,
+    // partial-agg mergeable) at a stated error bound.
+    "q17_price_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q1"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("q3"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"))
+        .orderBy("l_returnflag")
+    }),
+
     "q13_rollup_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -263,6 +281,13 @@ object Relational {
          FROM orders JOIN bands
            ON o_totalprice >= lo AND o_totalprice < hi
          GROUP BY 1 ORDER BY 1""",
+    "q17_price_quantiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q1,
+           quantile_cont(l_quantity, 0.5) AS median,
+           quantile_cont(l_quantity, 0.75) AS q3,
+           quantile_cont(l_extendedprice, 0.9) AS p90
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q16_event_pivot" ->
       """SELECT user_id,
            ROUND(SUM(value) FILTER (WHERE event_type='click'),4) AS click,
