@@ -225,6 +225,20 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // CUBE: all 2^2 grouping combinations in ONE pass (Expand + single
+    // partial+final hash agg — no union of four scans); q13 covers the
+    // hierarchical ROLLUP subset.
+    "q18_cube_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("revenue"), col("n"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
     // Exact interpolated quantiles per group. Spark's percentile() and
     // DuckDB's quantile_cont() share the (n-1)*p linear-interpolation
     // contract — verified bit-exact on this data, so the oracle compares
@@ -281,6 +295,13 @@ object Relational {
          FROM orders JOIN bands
            ON o_totalprice >= lo AND o_totalprice < hi
          GROUP BY 1 ORDER BY 1""",
+    "q18_cube_revenue" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         COALESCE(l_linestatus, 'ALL') AS linestatus,
+         ROUND(SUM(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY 1, 2""",
     "q17_price_quantiles" ->
       """SELECT l_returnflag,
            quantile_cont(l_quantity, 0.25) AS q1,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -71,17 +71,32 @@ private[sources] final class PetroDbTable extends Table with SupportsRead {
 }
 
 private[sources] final class PetroDbScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = PetroDbSource.fullSchema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  /** String-equality predicates on the metadata columns are evaluated
+    * in the reader BEFORE any row is built (a regex probe on the raw
+    * record), so filtered-out spots never pay JSON->InternalRow
+    * conversion; everything else stays with Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition {
+      case EqualTo(a, _: String) => Set("sample", "label", "mineral")(a)
+      case _ => false
+    }
+    pushed = sup
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan = new PetroDbScan(
     options.get("url"),
     options.getOrDefault("user", ""),
     options.getOrDefault("password", ""),
     options.get("project"),
     options.getInt("timeoutsec", 10),
-    required)
+    required, pushed)
 }
 
 private[sources] final case class SamplePartition(pid: Long, sid: Long)
@@ -89,11 +104,13 @@ private[sources] final case class SamplePartition(pid: Long, sid: Long)
 
 private[sources] final class PetroDbScan(url: String, user: String,
     password: String, project: String, timeoutSec: Int,
-    required: StructType) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
   require(url != null, "petrodb: option 'url' is required")
   require(project != null, "petrodb: option 'project' is required")
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"petrodb project=$project PushedFilters: ${pushed.mkString("[", ", ", "]")}"
   override def planInputPartitions(): Array[InputPartition] = {
     val api = new PetroApi(url, user, password, timeoutSec)
     val pid = PetroDb.projectId(api, project)
@@ -101,15 +118,17 @@ private[sources] final class PetroDbScan(url: String, user: String,
       .map(sid => SamplePartition(pid, sid): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new PetroDbReaderFactory(url, user, password, timeoutSec, required)
+    new PetroDbReaderFactory(url, user, password, timeoutSec, required,
+      pushed.collect { case EqualTo(a, v: String) => (a, v) })
 }
 
 private[sources] final class PetroDbReaderFactory(url: String, user: String,
-    password: String, timeoutSec: Int, required: StructType)
-    extends PartitionReaderFactory {
+    password: String, timeoutSec: Int, required: StructType,
+    eqFilters: Array[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SamplePartition]
-    new PetroDbPartitionReader(url, user, password, timeoutSec, required, p)
+    new PetroDbPartitionReader(url, user, password, timeoutSec, required,
+      eqFilters, p)
   }
 }
 
@@ -117,7 +136,8 @@ private[sources] final class PetroDbReaderFactory(url: String, user: String,
   * the same regex contract as [[graft.db.PetroDb]]; only the columns in
   * `required` are parsed. */
 private[sources] final class PetroDbPartitionReader(url: String, user: String,
-    password: String, timeoutSec: Int, required: StructType, p: SamplePartition)
+    password: String, timeoutSec: Int, required: StructType,
+    eqFilters: Array[(String, String)], p: SamplePartition)
     extends PartitionReader[InternalRow] {
 
   private lazy val objects: Iterator[String] = {
@@ -125,6 +145,9 @@ private[sources] final class PetroDbPartitionReader(url: String, user: String,
     try {
       val body = api.get(s"/spots/${p.pid}/${p.sid}")
       """\{[^{}]*(?:\{[^{}]*\}[^{}]*)*\}""".r.findAllIn(body)
+        .filter(obj => eqFilters.forall { case (a, v) =>
+          strField(obj, a) == UTF8String.fromString(v)
+        })
     } catch { case _: ApiError => Iterator.empty }
   }
   private var current: InternalRow = _

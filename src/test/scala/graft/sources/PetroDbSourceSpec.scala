@@ -90,6 +90,23 @@ class PetroDbSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("Garnet", "Biotite", "Garnet", "Biotite"))
   }
 
+  test("string-equality filters push into the reader and are not re-applied by Spark") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val garnets = load().filter(col("mineral") === "Garnet")
+    val plan = garnets.queryExecution.executedPlan
+    val scan = plan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.scan.description().contains("EqualTo(mineral,Garnet)"),
+      s"filter not pushed: ${scan.scan.description()}")
+    // the equality is fully handled by the source — Spark keeps only
+    // its synthesized isnotnull residual, not the comparison itself
+    assert(!plan.toString.contains("= Garnet"),
+      s"residual mineral equality left in plan:\n$plan")
+    val rows = garnets.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(101L, 201L))
+    assert(rows.forall(_.getString(3) == "Garnet"))
+  }
+
   test("source rows pivot to the same analysis table as the mapPartitions path") {
     import graft.db.{PetroApi, PetroDb}
     val api = new PetroApi(s"http://127.0.0.1:$port", "u", "p")
