@@ -16,6 +16,11 @@ object Bench {
       import org.apache.spark.sql.functions._
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       li.groupBy("l_returnflag").agg(sum("l_quantity")).collect()
+      // events stores TIMESTAMP(NANOS): warm the legacy-nanos reader path
+      // (footer + schema conversion) the q08-q14 family depends on.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .select(timestamp_micros(expr("ts DIV 1000")).as("t")).agg(max("t")).collect()
       spark.range(1000)
         .select(explode(split(md5(col("id").cast("string")), "")).as("c"))
         .groupBy("c").count().collect()
