@@ -225,6 +225,24 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Event-time RANGE window frame: per-row trailing-1h rolling
+    // feature (sum + count) — unlike q12's bucketed sliding windows,
+    // the frame is anchored at EVERY row. One shuffle by user, one
+    // sort, one running frame scan; the range bound is numeric epoch
+    // micros so both engines share the frame arithmetic exactly.
+    "q19_rolling_1h" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = t(s, dir, "events")
+        .withColumn("et", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("us", unix_micros(col("et")))
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600000000L, 0L)
+      e.select(col("event_id"), col("user_id"), col("et"),
+          round(sum("value").over(w), 4).as("rolling_value_1h"),
+          count(lit(1)).over(w).as("n_events_1h"))
+        .orderBy("event_id")
+    }),
+
     // CUBE: all 2^2 grouping combinations in ONE pass (Expand + single
     // partial+final hash agg — no union of four scans); q13 covers the
     // hierarchical ROLLUP subset.
@@ -295,6 +313,15 @@ object Relational {
          FROM orders JOIN bands
            ON o_totalprice >= lo AND o_totalprice < hi
          GROUP BY 1 ORDER BY 1""",
+    "q19_rolling_1h" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS et,
+                value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+         SELECT event_id, user_id, et,
+           ROUND(SUM(value) OVER w, 4) AS rolling_value_1h,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_events_1h
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "q18_cube_revenue" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
          COALESCE(l_linestatus, 'ALL') AS linestatus,
