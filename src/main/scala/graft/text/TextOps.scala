@@ -327,6 +327,28 @@ object TextOps {
       concat((0 until 16).map(b => when(col(s"b$b") > 0, "1").otherwise("0")): _*))
   }
 
+  /** Scalar (per-row) 16-bit SimHash — the streaming-safe form of
+    * [[simhash16]]: no aggregation state, so it drops into a streaming
+    * select/dropDuplicatesWithinWatermark. One md5 per token
+    * (`transform` materializes the digests once), then 16 HOF folds
+    * over the digest array. Bit-for-bit equal to the batch aggregate
+    * (same ±1 vote per token occurrence, same >0 threshold; asserted
+    * in spec). One divergence: a document with NO tokens gets the
+    * all-zero signature here, while the batch aggregate drops it (no
+    * exploded rows to group). Prefer [[simhash16]] for batch corpora —
+    * the exploded hash-agg spreads one huge document across tasks,
+    * this keeps each document on one row. */
+  def simhash16Col(text: Column): Column = {
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val ms = transform(tokens(text), t => md5(t))
+    val bits = (0 until 16).map { b =>
+      val vote = aggregate(ms, lit(0L), (acc, m) =>
+        acc + when(substring(m, b + 1, 1).isin(highHex: _*), 1L).otherwise(-1L))
+      when(vote > 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
   /** Hex-digit bit membership lists: bit k (3 = high) of a lowercase
     * hex digit is set iff the digit is in `hexBit(k)`. Shared by the
     * 64-bit simhash and its SQL mirror. */
