@@ -450,6 +450,11 @@ object TextOps {
     // LOSER ids (duplicates only) are small — checkpoint those and make
     // every re-reference a cheap anti join instead of re-running the
     // full content-hash aggregation per reference.
+    // (A/B, round 4 at sf0.1: replacing ALL the pipeline's
+    // localCheckpoints with plain lazy frames slowed t22 1.8x — 5.0s ->
+    // 9.1s warm — because cand/verified re-derive the whole LSH lineage
+    // per consumer. The barriers are load-bearing even at 5k docs; do
+    // not make them size-conditional.)
     val groups = df.groupBy(md5(col(textCol)).as("__h"))
       .agg(min(col(idCol)).as("__canon"), count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
