@@ -244,11 +244,17 @@ object Media {
     * batch shape (per-partition iteration, Array[Float] column) is what
     * a 100 TB pipeline actually exercises. */
   def embed(media: DataFrame, dim: Int = 16): DataFrame = {
+    // The image descriptor is a sqrt(dim) x sqrt(dim) gray patch, so dim
+    // must be a perfect square — for any other dim the flat index would
+    // silently wrap and duplicate row-0 pixels in the tail slots.
+    val side = math.max(1, math.sqrt(dim.toDouble).toInt)
+    require(side * side == dim,
+      s"embed dim must be a perfect square (got $dim); the image path " +
+        s"samples a sqrt(dim) x sqrt(dim) gray patch")
     val schema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
     val enc = Encoders.row(schema)
-    val side = math.max(1, math.sqrt(dim.toDouble).toInt)
     media.select("media_id", "payload").mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)

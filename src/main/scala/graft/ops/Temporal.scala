@@ -68,11 +68,18 @@ object Temporal {
     val w = Window.partitionBy(on.map(col): _*)
       .orderBy(col("__t") +: col("__is_l") +: tieBreak.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(when(!col("__is_l"), col(c)), ignoreNulls = true).over(w))
-    }
+    // The right values ride in ONE struct: a struct built from a right
+    // row is never NULL even when its fields are, so the running last()
+    // always carries the fields of the single most recent right row.
+    // (Carrying each column with its own last(ignoreNulls) would let a
+    // NULL in the newest right row expose a stale value from an older
+    // one — a torn row mixing two right rows.)
+    val carried = l.unionByName(r).withColumn("__r",
+      last(when(!col("__is_l"), struct(rightVals.map(col): _*)),
+        ignoreNulls = true).over(w))
     carried.filter(col("__is_l"))
       .withColumn(leftTime, col("__t"))
-      .select((on ++ Seq(leftTime) ++ leftPayload ++ rightVals).map(col): _*)
+      .select((on ++ Seq(leftTime) ++ leftPayload).map(col) ++
+        rightVals.map(c => col("__r").getField(c).as(c)): _*)
   }
 }

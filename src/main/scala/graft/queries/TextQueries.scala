@@ -282,6 +282,26 @@ object TextQueries {
   private def mhAgg(i: Int): String =
     s"MIN(('0x' || substr(md5('${i / 2}:' || sh), ${if (i % 2 == 0) 1 else 17}, 15))::BIGINT)"
 
+  /** Lang-ID SQL pieces (per-language ratio columns, the argmax CASE),
+    * generated from the SAME profile map as the Spark operator — shared
+    * by the standalone t20 oracle and the t22 curation gate so the two
+    * can never drift. Returns (ratioSelectList, predExpr). */
+  private def langIdSqlParts: (String, String) = {
+    val langs = graft.text.TextOps.langProfiles.keys.toSeq.sorted
+    def lst(l: String) = graft.text.TextOps.langProfiles(l)
+      .map(wd => s"'$wd'").mkString("[", ",", "]")
+    def ratio(l: String) =
+      s"""ROUND(CASE WHEN len(w) = 0 THEN NULL
+         ELSE CAST(len(list_filter(w, x -> list_contains(${lst(l)}, x))) AS DOUBLE) / len(w)
+         END, 6)"""
+    val rs = langs.map(l => s"${ratio(l)} AS r_$l").mkString(", ")
+    val best = s"GREATEST(${langs.map(l => s"COALESCE(r_$l, -1)").mkString(", ")})"
+    val pred = langs.map(l =>
+        s"WHEN r_$l IS NOT NULL AND r_$l >= 0.05 AND r_$l = $best THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'unknown' END")
+    (rs, pred)
+  }
+
   private val MH_SQL =
     s"""SELECT doc_id, ${(0 until 8).map(i => s"${mhAgg(i)} AS h$i").mkString(", ")}
        FROM ($SHINGLES_SQL) GROUP BY doc_id"""
@@ -316,18 +336,7 @@ object TextQueries {
     "t22_curate_corpus" -> {
       val toksD = TOKS_SQL.replace("FROM documents", "FROM docs")
       val mhD = MH_SQL.replace("FROM documents", "FROM docs")
-      val langs = graft.text.TextOps.langProfiles.keys.toSeq.sorted
-      def lst(l: String) = graft.text.TextOps.langProfiles(l)
-        .map(wd => s"'$wd'").mkString("[", ",", "]")
-      def ratio(l: String) =
-        s"""ROUND(CASE WHEN len(w) = 0 THEN NULL
-           ELSE CAST(len(list_filter(w, x -> list_contains(${lst(l)}, x))) AS DOUBLE) / len(w)
-           END, 6)"""
-      val rs = langs.map(l => s"${ratio(l)} AS r_$l").mkString(", ")
-      val best = s"GREATEST(${langs.map(l => s"COALESCE(r_$l, -1)").mkString(", ")})"
-      val pred = langs.map(l =>
-          s"WHEN r_$l IS NOT NULL AND r_$l >= 0.05 AND r_$l = $best THEN '$l'")
-        .mkString("CASE ", " ", " ELSE 'unknown' END")
+      val (rs, pred) = langIdSqlParts
       s"""WITH RECURSIVE docs AS (
            SELECT d.doc_id, d.text FROM documents d
            WHERE d.doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))),
@@ -466,18 +475,8 @@ object TextQueries {
     // lang-ID mirror: ratios + argmax generated from the SAME profile
     // map as the Spark operator, so the two cannot drift
     "t20_lang_id" -> {
+      val (rs, pred) = langIdSqlParts
       val langs = graft.text.TextOps.langProfiles.keys.toSeq.sorted
-      def lst(l: String) = graft.text.TextOps.langProfiles(l)
-        .map(wd => s"'$wd'").mkString("[", ",", "]")
-      def ratio(l: String) =
-        s"""ROUND(CASE WHEN len(w) = 0 THEN NULL
-           ELSE CAST(len(list_filter(w, x -> list_contains(${lst(l)}, x))) AS DOUBLE) / len(w)
-           END, 6)"""
-      val rs = langs.map(l => s"${ratio(l)} AS r_$l").mkString(", ")
-      val best = s"GREATEST(${langs.map(l => s"COALESCE(r_$l, -1)").mkString(", ")})"
-      val pred = langs.map(l =>
-          s"WHEN r_$l IS NOT NULL AND r_$l >= 0.05 AND r_$l = $best THEN '$l'")
-        .mkString("CASE ", " ", " ELSE 'unknown' END")
       s"""SELECT doc_id, ${langs.map(l => s"r_$l").mkString(", ")}, $pred AS lang_pred
          FROM (SELECT doc_id, $rs FROM ($TOKS_SQL)) ORDER BY doc_id"""
     },

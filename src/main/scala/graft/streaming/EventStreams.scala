@@ -155,9 +155,13 @@ object EventStreams {
           def row(e: AsofIn) = AsofRow(micros(e.event_time), e.event_id, e.value)
           val rights = (prev.rights ++ in.filterNot(_.is_left).map(row))
             .sortBy(r => (r.tsUs, r.id))
+          // STRICTLY below the watermark: Spark only guarantees no more
+          // arrivals with event time < watermark, so a right event AT
+          // the watermark may still show up — a left emitted at equality
+          // could miss its inclusive-match right.
           val (emit, pending) =
             (prev.pending ++ in.filter(_.is_left).map(row))
-              .partition(_.tsUs <= wmUs)
+              .partition(_.tsUs < wmUs)
           def enrich(l: AsofRow): AsofEnriched = {
             val m = rights.takeWhile(_.tsUs <= l.tsUs).lastOption
             AsofEnriched(uid, l.id, instant(l.tsUs), l.value,

@@ -167,7 +167,12 @@ object TextOps {
     * Spark job (the bounded collect — same contract class as a
     * broadcast-join threshold) instead of 2 jobs per propagation
     * round; above the bound, or for exotic id types, the distributed
-    * loop runs unchanged. */
+    * loop runs unchanged.
+    *
+    * Pass a persisted/localCheckpointed `pairs` frame when its lineage
+    * is expensive (as [[curateCorpus]] does): the fast-path probe
+    * executes the lineage once for the bounded collect, and when the
+    * bound is exceeded the distributed path executes it again. */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 20,
       maxLocalEdges: Int = 1 << 20): DataFrame = {
     val idType = pairs.schema("a_id").dataType

@@ -68,6 +68,21 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("qt_out") == 5L)
   }
 
+  test("a NULL field in the newest right row does NOT expose a stale older value") {
+    // the match must be the fields of ONE right row (the latest), not a
+    // per-column blend of the last non-null values across right rows
+    val q = Seq(
+      ("A", 1L, Some(10.0), 5L),
+      ("A", 2L, None, 7L)) // latest row: px is NULL, sz=7
+      .toDF("sym", "qt", "px", "qsz")
+    val trade = Seq(("A", 3L, 200)).toDF("sym", "tt", "tid")
+    val out = Temporal.asofJoin(trade, q, Seq("sym"), "tt", "qt",
+      rightVals = Seq("px", "qsz")).collect().head
+    assert(out.isNullAt(out.fieldIndex("px")),
+      "stale px leaked from an older right row")
+    assert(out.getAs[Long]("qsz") == 7L)
+  }
+
   test("name clash with a left column is rejected") {
     val bad = quotes.withColumnRenamed("px", "tid")
     assertThrows[IllegalArgumentException] {
