@@ -225,6 +225,18 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Exact COUNT(DISTINCT) + plain aggregates in one pass — Spark
+    // plans the mixed aggregate with Expand + two-phase partial/final
+    // hash aggs, still map-side combined; no second scan of events.
+    "q20_distinct_users" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("total_value"))
+        .orderBy("event_type")
+    }),
+
     // Event-time RANGE window frame: per-row trailing-1h rolling
     // feature (sum + count) — unlike q12's bucketed sliding windows,
     // the frame is anchored at EVERY row. One shuffle by user, one
@@ -313,6 +325,12 @@ object Relational {
          FROM orders JOIN bands
            ON o_totalprice >= lo AND o_totalprice < hi
          GROUP BY 1 ORDER BY 1""",
+    "q20_distinct_users" ->
+      """SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value),4) AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q19_rolling_1h" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS et,
                 value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)

@@ -83,6 +83,20 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.getAs[Long]("qsz") == 7L)
   }
 
+  test("composite keys: matches only within the full key tuple") {
+    val q = Seq(
+      ("A", "x", 1L, 10.0), ("A", "y", 2L, 20.0), ("B", "x", 1L, 30.0))
+      .toDF("sym", "venue", "qt", "px")
+    val tr = Seq(("A", "x", 5L, 1), ("A", "y", 5L, 2), ("B", "y", 5L, 3))
+      .toDF("sym", "venue", "tt", "tid")
+    val got = Temporal.asofJoin(tr, q, Seq("sym", "venue"), "tt", "qt", Seq("px"))
+      .orderBy("tid").collect()
+      .map(r => (r.getInt(r.fieldIndex("tid")),
+        Option(r.get(r.fieldIndex("px"))).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq((1, Some(10.0)), (2, Some(20.0)), (3, None)),
+      "as-of matched across key-tuple boundaries")
+  }
+
   test("name clash with a left column is rejected") {
     val bad = quotes.withColumnRenamed("px", "tid")
     assertThrows[IllegalArgumentException] {
