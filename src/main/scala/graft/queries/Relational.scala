@@ -225,6 +225,20 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Semi-structured extraction: pull a typed field out of the JSON
+    // props column and aggregate on it. get_json_object is a codegen'd
+    // path expression — no UDF, no schema inference pass; at scale the
+    // extraction runs inside the scan's project before the shuffle.
+    "q21_props_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(round(avg("k"), 6).as("avg_k"), min("k").as("min_k"),
+          max("k").as("max_k"),
+          countDistinct("k").as("n_distinct_k"))
+        .orderBy("event_type")
+    }),
+
     // Exact COUNT(DISTINCT) + plain aggregates in one pass — Spark
     // plans the mixed aggregate with Expand + two-phase partial/final
     // hash aggs, still map-side combined; no second scan of events.
@@ -324,6 +338,15 @@ object Relational {
            ROUND(AVG(o_totalprice),4) AS avg_price
          FROM orders JOIN bands
            ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY 1 ORDER BY 1""",
+    "q21_props_extract" ->
+      """SELECT event_type,
+           ROUND(AVG(k),6) AS avg_k,
+           MIN(k) AS min_k, MAX(k) AS max_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
          GROUP BY 1 ORDER BY 1""",
     "q20_distinct_users" ->
       """SELECT event_type,
