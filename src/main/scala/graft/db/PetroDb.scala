@@ -133,8 +133,14 @@ object PetroDb {
 
   /** Driver-side: resolve a project by name -> its sample ids
     * (reference: Project.samples, _database.py:539-557). */
-  def sampleIds(api: PetroApi, project: String): Seq[Long] = {
-    val sj = api.get(s"/samples/${projectId(api, project)}")
+  def sampleIds(api: PetroApi, project: String): Seq[Long] =
+    sampleIdsOf(api, projectId(api, project))
+
+  /** [[sampleIds]] for an already-resolved project id (saves the extra
+    * catalog round trip when the caller has resolved it, e.g. the DSV2
+    * scan's planInputPartitions). */
+  def sampleIdsOf(api: PetroApi, pid: Long): Seq[Long] = {
+    val sj = api.get(s"/samples/$pid")
     """"id"\s*:\s*(\d+)""".r.findAllMatchIn(sj).map(_.group(1).toLong).toSeq
   }
 

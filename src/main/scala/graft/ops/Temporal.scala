@@ -49,8 +49,22 @@ object Temporal {
       left.columns.toSeq.filterNot(c => on.contains(c) || c == leftTime)
     // tieBreak columns ride along in the union even when not carried out.
     val rightCarry = rightVals ++ tieBreak.filterNot(rightVals.contains)
-    require(leftPayload.intersect(rightCarry).isEmpty && !rightCarry.contains(leftTime),
-      s"rename right columns ${leftPayload.intersect(rightCarry)} before the join")
+    // Fail fast with the exact offending columns — each of these would
+    // otherwise surface later as a confusing analysis error (duplicate
+    // column in a select) or as silently-wrong running-window input.
+    val reserved = Seq("__t", "__is_l", "__r")
+    val clashPayload = leftPayload.intersect(rightCarry)
+    require(clashPayload.isEmpty,
+      s"rename right columns ${clashPayload.mkString(", ")} — they clash with left payload columns")
+    val clashOn = rightCarry.filter(on.contains)
+    require(clashOn.isEmpty,
+      s"right columns ${clashOn.mkString(", ")} clash with the `on` keys; rename them before the join")
+    require(!rightCarry.contains(leftTime),
+      s"right column `$leftTime` clashes with the left time column; rename it before the join")
+    val clashReserved =
+      (left.columns ++ right.columns).distinct.filter(reserved.contains)
+    require(clashReserved.isEmpty,
+      s"columns ${clashReserved.mkString(", ")} collide with asofJoin's reserved internal names (__t, __is_l, __r)")
     val l = left.select(
       on.map(col) ++
         Seq(col(leftTime).as("__t"), lit(true).as("__is_l")) ++

@@ -59,8 +59,17 @@ final case class PetroFrame(
 
   // ---- selection (P5-P7) ---------------------------------------------------
 
-  /** P5: substring filter on a metadata column. */
-  def select(contains: String, on: String): PetroFrame =
+  /** P5: pattern filter on a metadata column. The reference's
+    * `select(str)` delegates to pandas `.str.contains(arg)`, which is
+    * REGEX by default (_accessors.py:421) — so `"Grt|Amp"` is an
+    * alternation, not a literal. `rlike` has the same unanchored
+    * find-anywhere semantics as `re.search`. */
+  def select(pattern: String, on: String): PetroFrame =
+    copy(df = df.filter(col(on).cast("string").rlike(pattern)))
+
+  /** P5 (literal variant): plain substring match, for callers that do
+    * not want regex interpretation (pandas `str.contains(..., regex=False)`). */
+  def selectLiteral(contains: String, on: String): PetroFrame =
     copy(df = df.filter(col(on).cast("string").contains(contains)))
 
   /** P6: membership filter. */

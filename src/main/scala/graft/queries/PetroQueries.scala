@@ -765,7 +765,7 @@ object PetroQueries {
     val varMap = Map("x" -> "x", "z" -> "z", "m" -> "m", "f" -> "f")
     val polys = graft.petro.hpxeos.Poly.toSqlAll(
       graft.petro.hpxeos.Metapelite.TcGarnet.pBlock, varMap)
-    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n"""" }
+    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) + 0.0 AS "$n"""" }
       .mkString(", ")
     s""", apfu AS (SELECT id, $apfuSelectSql FROM ox),
       spl AS (SELECT id, $splitSelectSql FROM apfu),
@@ -1436,7 +1436,13 @@ object PetroQueries {
       require(varNames(n), s"${spec.name}: pBlock references unknown var $n")
       qi(n)
     })
-    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n"""" }
+    // `+ 0.0` canonicalizes IEEE -0.0 to +0.0 on the DuckDB side: DuckDB's
+    // ROUND preserves the sign of a tiny negative rounded to zero, while
+    // Spark's round (BigDecimal HALF_UP) never emits -0.0. Without it the
+    // driver's raw hash diverges on rows where a proportion lands exactly on
+    // zero (r4: p65_tc_spinel_mp, 31,810/60,000 rows differed only in the
+    // zero sign bit). Applied to every percent-emitting generator below.
+    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) + 0.0 AS "$n"""" }
       .mkString(", ")
     val ctes = oxCte ++ Seq(aCte) ++ sCte :+ s"v1 AS (SELECT id, $varSel FROM $apfuSrc)"
     s""", ${ctes.mkString(",\n      ")}
@@ -1681,7 +1687,7 @@ object PetroQueries {
       "c" -> "c", "z" -> "0.05::DOUBLE", "a" -> "0.1::DOUBLE",
       "k" -> "0.3::DOUBLE", "Q1" -> "0.02::DOUBLE", "Q2" -> "(-0.02)::DOUBLE")
     val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
-    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n"""" }
+    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) + 0.0 AS "$n"""" }
       .mkString(", ")
     s""", $ampSplitCtes,
       sfr AS (SELECT id, "Fe{2+}" AS sfe, "Mg{2+}" AS smg,
@@ -1706,7 +1712,7 @@ object PetroQueries {
     val varMap = Map("x" -> "x", "y" -> "y", "f" -> "0.0::DOUBLE", "m" -> "m",
       "QAl" -> "0.2::DOUBLE", "Q1" -> "0.1::DOUBLE", "Q4" -> "(-0.1)::DOUBLE")
     val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
-    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n"""" }
+    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) + 0.0 AS "$n"""" }
       .mkString(", ")
     s""", chapfu AS (SELECT id, $chargeApfuSel FROM ox),
       sfr AS (SELECT id, "Fe{2+}" AS sfe, "Mg{2+}" AS smg, "Mn{2+}" AS smn,
@@ -1722,7 +1728,7 @@ object PetroQueries {
     val phase = graft.petro.hpxeos.Igneous.TcGarnetW24
     val varMap = Map("x" -> "x", "c" -> "c", "f" -> "f", "cr" -> "cr", "t" -> "t")
     val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
-    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n"""" }
+    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) + 0.0 AS "$n"""" }
       .mkString(", ")
     s""", apfu AS (SELECT id, $apfuSelectSql FROM ox),
       spl AS (SELECT id, $splitSelectSql FROM apfu),
@@ -1740,7 +1746,7 @@ object PetroQueries {
     val varMap = Map("x" -> "x", "f" -> "f", "j" -> "j",
       "Q" -> "0.05::DOUBLE", "Qaf" -> "0.02::DOUBLE", "Qfm" -> "(-0.03)::DOUBLE")
     val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
-    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n"""" }
+    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) + 0.0 AS "$n"""" }
       .mkString(", ")
     s""", apfu6d AS (SELECT id, ${apfuSelAt(6.0)} FROM ox),
       spl6d AS (SELECT id, ${droopSplitSel(6.0, 4.0)} FROM apfu6d),
@@ -1759,7 +1765,7 @@ object PetroQueries {
     val varMap = Map("x" -> "x", "y" -> "y", "c" -> "c", "t" -> "t",
       "Q1" -> "0.5::DOUBLE", "Q2" -> "0.2::DOUBLE", "Q3" -> "(-0.1)::DOUBLE")
     val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
-    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n"""" }
+    val sel = polys.map { case (n, sql) => s"""ROUND(($sql) * 100.0, 6) + 0.0 AS "$n"""" }
       .mkString(", ")
     val oxmSel = OXIDES.map { c =>
       if (c == "FeO")

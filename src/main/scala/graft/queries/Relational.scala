@@ -148,12 +148,26 @@ object Relational {
         .orderBy("win_start", "user_id")
     }),
 
-    // P5 substring-contains filter (select(str) shape)
+    // P5 substring-contains filter (select(str) shape, literal-compatible
+    // pattern: no regex metacharacters, so contains == rlike here)
     "q10_filter_contains" -> ((s, dir) => {
       t(s, dir, "part")
         .filter(col("p_type").contains("BRASS"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"), round(avg("p_size"), 6).as("avg_size"))
+        .orderBy("p_brand")
+    }),
+
+    // P5 regex filter: the reference's select(str) is pandas
+    // .str.contains, which is REGEX by default — alternation + anchors
+    // must work. Same rlike the PetroFrame.select operator compiles to;
+    // the predicate is codegen'd and pushed into the scan's filter.
+    "q22_filter_regex" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_type").rlike("^ECONOMY.*(BRASS|COPPER)$"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          round(avg("p_retailprice"), 6).as("avg_price"))
         .orderBy("p_brand")
     }),
 
@@ -448,6 +462,11 @@ object Relational {
       """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
          ROUND(AVG(p_size),6) AS avg_size
          FROM part WHERE p_type LIKE '%BRASS%'
+         GROUP BY 1 ORDER BY 1""",
+    "q22_filter_regex" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(AVG(p_retailprice),6) AS avg_price
+         FROM part WHERE regexp_matches(p_type, '^ECONOMY.*(BRASS|COPPER)$')
          GROUP BY 1 ORDER BY 1""",
     "q12_sliding_activity" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS et, value FROM events),

@@ -36,9 +36,18 @@ object Similarity {
     * and the query set is broadcast, so it is only safe for small query
     * batches — `maxQueries` enforces that contract up front (one cheap
     * limit+count on the query side) instead of melting on the cross
-    * join. For large query sets use [[srpCandidates]] or [[ivfSearch]]. */
+    * join. For large query sets use [[srpCandidates]] or [[ivfSearch]].
+    *
+    * Identity contract: `idCol` values are compared ACROSS the two
+    * frames — with `excludeSelf=true` (default) a candidate whose id
+    * equals the query's id is dropped, the right behavior when queries
+    * are drawn from the corpus itself (self is always the top-1 hit).
+    * For genuinely external query vectors whose ids merely coincide
+    * with corpus ids, pass `excludeSelf=false` (or namespace the query
+    * ids), otherwise a valid nearest neighbor is silently excluded. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, maxQueries: Int = 10000): DataFrame = {
+      vecCol: String, k: Int, maxQueries: Int = 10000,
+      excludeSelf: Boolean = true): DataFrame = {
     val nQ = queries.limit(maxQueries + 1).count()
     require(nQ <= maxQueries,
       s"cosineTopK is the exact brute-force baseline; query set exceeds " +
@@ -48,7 +57,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val pairs = c.crossJoin(broadcast(q))
-      .filter(col("cand_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("cand_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("cand_id"),
         round(cosine(col("qv"), col("cv")), 4).as("score"))
     val w = Window.partitionBy("query_id").orderBy(desc("score"), col("cand_id"))
@@ -68,10 +77,17 @@ object Similarity {
     * neighbor side); the vote is a partial+final hash agg on at most
     * |queries| x k rows. The expensive part is the neighbor search
     * itself, which is [[cosineTopK]] (or swap in [[ivfSearch]] results
-    * via the same column contract for large query batches). */
+    * via the same column contract for large query batches).
+    *
+    * Inherits [[cosineTopK]]'s identity contract: with the default
+    * `excludeSelf=true`, a corpus row sharing the query's id never
+    * votes (right when queries come from the labeled corpus itself —
+    * self-voting would leak the label); set it false for external
+    * query vectors whose ids may coincide with corpus ids. */
   def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, labelCol: String, k: Int): DataFrame = {
-    val nn = cosineTopK(corpus, queries, idCol, vecCol, k)
+      vecCol: String, labelCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val nn = cosineTopK(corpus, queries, idCol, vecCol, k, excludeSelf = excludeSelf)
     val labels = corpus.select(col(idCol).as("cand_id"), col(labelCol).as("__lbl"))
     val votes = nn.join(labels, "cand_id")
       .groupBy(col("query_id"), col("__lbl"))

@@ -46,8 +46,18 @@ final class PetroDbSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PetroDbSource.fullSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // TableProvider hands back whatever schema the user passed via
+    // spark.read.schema(...). This source's schema is fixed by the REST
+    // payload — honoring an arbitrary user schema is impossible, and
+    // silently ignoring it would return fullSchema rows under the
+    // user's declared types. Reject anything that isn't exactly ours.
+    require(schema == PetroDbSource.fullSchema,
+      s"petrodb does not support user-specified schemas: got $schema, " +
+        s"the source schema is fixed to ${PetroDbSource.fullSchema} " +
+        "(use select() to prune columns — pruning is pushed into the reader)")
     new PetroDbTable()
+  }
 }
 
 object PetroDbSource {
@@ -114,7 +124,7 @@ private[sources] final class PetroDbScan(url: String, user: String,
   override def planInputPartitions(): Array[InputPartition] = {
     val api = new PetroApi(url, user, password, timeoutSec)
     val pid = PetroDb.projectId(api, project)
-    PetroDb.sampleIds(api, project)
+    PetroDb.sampleIdsOf(api, pid)
       .map(sid => SamplePartition(pid, sid): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -13,25 +13,32 @@ import graft.text.TextOps
   */
 object DocStreams {
 
-  /** Online near-duplicate drop: a document whose 16-bit SimHash equals
+  /** Online near-duplicate drop: a document whose 64-bit SimHash equals
     * one already seen inside the watermark horizon is discarded — the
     * streaming twin of the batch signature-identity stage of
     * [[graft.text.TextOps.simhashNearDupPairs]] (exact-signature match;
     * for Hamming-tolerant matching run the batch verifier over the
     * survivors periodically).
     *
+    * The signature width matters for the FALSE-POSITIVE direction: with
+    * 16 bits, unrelated documents collide by the birthday bound at a few
+    * hundred docs per horizon and get silently dropped; at 64 bits an
+    * accidental same-signature pair needs ~2^32 docs in the horizon, and
+    * near-identical token multisets that genuinely share all 64 sign
+    * bits are exactly the near-duplicates this stage exists to drop.
+    *
     * Scale shape: the signature is computed per row with the scalar
-    * [[graft.text.TextOps.simhash16Col]] (no aggregation state), and
+    * [[graft.text.TextOps.simhash64Col]] (no aggregation state), and
     * dropDuplicatesWithinWatermark keeps one state row per distinct
     * signature inside the horizon — memory tracks the horizon's
     * signature cardinality, not the stream's length. */
   def dedupBySimhash(docs: DataFrame, textCol: String,
       eventTimeCol: String, watermark: String = "2 hours"): DataFrame =
     docs
-      .withColumn("__sh16", TextOps.simhash16Col(col(textCol)))
+      .withColumn("__sh64", TextOps.simhash64Col(col(textCol)))
       .withWatermark(eventTimeCol, watermark)
-      .dropDuplicatesWithinWatermark(Seq("__sh16"))
-      .drop("__sh16")
+      .dropDuplicatesWithinWatermark(Seq("__sh64"))
+      .drop("__sh64")
 
   /** Streaming test-set decontamination: drop any incoming document
     * sharing at least one n-word shingle with the static benchmark

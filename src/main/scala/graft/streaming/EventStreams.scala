@@ -127,14 +127,22 @@ object EventStreams {
     * (simultaneous rights) resolve to the highest event_id, same as
     * the batch tie-break.
     *
-    * State is bounded by the watermark horizon on both sides: pending
-    * lefts drain as the watermark advances (event-time timeouts fire
-    * even when the user goes quiet), and of the rights at or below the
-    * watermark only the single latest is retained — exactly the one a
-    * future left may still need. */
+    * State shape: pending lefts drain as the watermark advances
+    * (event-time timeouts fire even when the user goes quiet), and of
+    * the rights at or below the watermark only the single latest is
+    * retained — exactly the one a future left may still need. That
+    * sealed right is NOT horizon-bounded by default: it persists for as
+    * long as the user might send another left, so total state grows
+    * with distinct-user cardinality (one tiny row per user ever seen).
+    * For long-running high-cardinality streams set `idleStateTtlMs` >
+    * 0: a user with no activity for that long has their sealed right
+    * dropped (a left arriving later than the TTL after the user's last
+    * event then enriches as NULL instead of the stale right — the
+    * standard state-TTL correctness trade). */
   def asofEnrichStream(events: DataFrame, leftType: String = "purchase",
       rightType: String = "click",
-      watermark: String = "2 hours"): Dataset[AsofEnriched] = {
+      watermark: String = "2 hours",
+      idleStateTtlMs: Long = 0L): Dataset[AsofEnriched] = {
     val spark = events.sparkSession
     import spark.implicits._
     val typed = withEventTime(events)
@@ -152,34 +160,47 @@ object EventStreams {
           val wmUs = wmMs * 1000L
           val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
           val in = incoming.toSeq
-          def row(e: AsofIn) = AsofRow(micros(e.event_time), e.event_id, e.value)
-          val rights = (prev.rights ++ in.filterNot(_.is_left).map(row))
-            .sortBy(r => (r.tsUs, r.id))
-          // STRICTLY below the watermark: Spark only guarantees no more
-          // arrivals with event time < watermark, so a right event AT
-          // the watermark may still show up — a left emitted at equality
-          // could miss its inclusive-match right.
-          val (emit, pending) =
-            (prev.pending ++ in.filter(_.is_left).map(row))
-              .partition(_.tsUs < wmUs)
-          def enrich(l: AsofRow): AsofEnriched = {
-            val m = rights.takeWhile(_.tsUs <= l.tsUs).lastOption
-            AsofEnriched(uid, l.id, instant(l.tsUs), l.value,
-              m.map(r => instant(r.tsUs)), m.map(_.value))
+          // Idle-TTL expiry: the only way a timeout fires with nothing
+          // pending is the idle timer set below — the user has been
+          // quiet for idleStateTtlMs past the watermark, drop their
+          // sealed right.
+          if (state.hasTimedOut && in.isEmpty && prev.pending.isEmpty) {
+            state.remove()
+            Iterator.empty
+          } else {
+            def row(e: AsofIn) = AsofRow(micros(e.event_time), e.event_id, e.value)
+            val rights = (prev.rights ++ in.filterNot(_.is_left).map(row))
+              .sortBy(r => (r.tsUs, r.id))
+            // STRICTLY below the watermark: Spark only guarantees no more
+            // arrivals with event time < watermark, so a right event AT
+            // the watermark may still show up — a left emitted at equality
+            // could miss its inclusive-match right.
+            val (emit, pending) =
+              (prev.pending ++ in.filter(_.is_left).map(row))
+                .partition(_.tsUs < wmUs)
+            def enrich(l: AsofRow): AsofEnriched = {
+              val m = rights.takeWhile(_.tsUs <= l.tsUs).lastOption
+              AsofEnriched(uid, l.id, instant(l.tsUs), l.value,
+                m.map(r => instant(r.tsUs)), m.map(_.value))
+            }
+            val out = emit.sortBy(l => (l.tsUs, l.id)).map(enrich)
+            // Rights at or below the watermark can never be out-matched
+            // by a late arrival; only the latest of them stays.
+            val (sealed_, live) = rights.partition(_.tsUs <= wmUs)
+            val kept = sealed_.lastOption.toSeq ++ live
+            if (pending.isEmpty && kept.isEmpty) state.remove()
+            else {
+              state.update(AsofState(pending, kept))
+              if (pending.nonEmpty)
+                state.setTimeoutTimestamp(
+                  math.max(pending.map(_.tsUs).min / 1000L + 1, wmMs + 1))
+              else if (idleStateTtlMs > 0)
+                // nothing pending: arm the idle timer so a quiet user's
+                // sealed right is eventually reclaimed (see Scaladoc).
+                state.setTimeoutTimestamp(wmMs + idleStateTtlMs)
+            }
+            out.iterator
           }
-          val out = emit.sortBy(l => (l.tsUs, l.id)).map(enrich)
-          // Rights at or below the watermark can never be out-matched
-          // by a late arrival; only the latest of them stays.
-          val (sealed_, live) = rights.partition(_.tsUs <= wmUs)
-          val kept = sealed_.lastOption.toSeq ++ live
-          if (pending.isEmpty && kept.isEmpty) state.remove()
-          else {
-            state.update(AsofState(pending, kept))
-            if (pending.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(pending.map(_.tsUs).min / 1000L + 1, wmMs + 1))
-          }
-          out.iterator
       }
   }
 

@@ -354,6 +354,32 @@ object TextOps {
     concat(bits: _*)
   }
 
+  /** Scalar (per-row) 64-bit SimHash — the streaming-safe twin of
+    * [[simhash64]], bit-for-bit equal to the batch aggregate (same
+    * packed-long ±1 vote per token occurrence, same >0 threshold;
+    * asserted in spec). Each digest's first 16 hex digits are parsed
+    * into two longs ONCE per token; the 64 folds then cost only a
+    * shift/mask each. Used by streaming dedup, where a 16-bit
+    * signature would collide constantly (50% by ~300 docs) and drop
+    * unrelated documents. */
+  def simhash64Col(text: Column): Column = {
+    val xs = transform(tokens(text), t => {
+      val m = md5(t)
+      struct(
+        conv(substring(m, 1, 8), 16, 10).cast("long").as("x0"),
+        conv(substring(m, 9, 8), 16, 10).cast("long").as("x1"))
+    })
+    val bits = (0 until 64).map { b =>
+      val k = 31 - (b % 32)
+      val vote = aggregate(xs, lit(0L), (acc, x) => {
+        val xw = if (b < 32) x.getField("x0") else x.getField("x1")
+        acc + (shiftright(xw, k).bitwiseAND(1L) * 2L - 1L)
+      })
+      when(vote > 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
   /** Hex-digit bit membership lists: bit k (3 = high) of a lowercase
     * hex digit is set iff the digit is in `hexBit(k)`. Shared by the
     * 64-bit simhash and its SQL mirror. */

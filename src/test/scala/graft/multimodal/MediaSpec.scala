@@ -59,6 +59,36 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.parseContainer("not a container".getBytes).isEmpty)
   }
 
+  test("MP4 build -> parse round trip walks the real box tree (ISO-BMFF)") {
+    val v = Media.buildMp4(640, 360, 12345L)
+    // structural markers prove a real container, not a tagged blob
+    assert(new String(v, 4, 4, "US-ASCII") == "ftyp")
+    assert(Media.parseMp4(v).contains(("mp4", 640, 360, 12345L)))
+    assert(Media.parseContainer(v).contains(("mp4", 640, 360, 12345L)))
+    // dimensions/duration come from the BYTES: corrupt tkhd width field
+    val bad = v.clone()
+    bad(20 + 216 - 8) = 0x01 // clobber inside width's 16.16 high bytes
+    val parsed = Media.parseMp4(bad)
+    assert(parsed.isDefined && parsed.get._2 != 640,
+      "parser must read width from tkhd bytes, not the build params")
+    // non-MP4 payloads are rejected, not misparsed
+    assert(Media.parseMp4("RIFFxxxxWAVE and then some".getBytes).isEmpty)
+    assert(Media.parseMp4(Media.buildBmp(8, 8)).isEmpty)
+  }
+
+  test("syntheticVideos decode end-to-end with zero stub involvement") {
+    val syn = Media.syntheticVideos(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val d = Media.decode(syn)
+    // every payload parses as mp4 with the construction-rule metadata
+    assert(d.filter(col("format") =!= "mp4").count() == 0)
+    assert(d.filter(col("width") < 16 || col("height") < 16).count() == 0)
+    assert(d.filter(col("duration_ms") < 500).count() == 0)
+    // frame-sample planning runs over REAL parsed durations now
+    val frames = Media.sampleFrames(d, everyMs = 10000L)
+    assert(frames.count() >= d.count(), "at least frame 0 per video")
+  }
+
   test("syntheticMedia payloads decode via the real header parsers") {
     val syn = Media.syntheticMedia(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")

@@ -103,4 +103,32 @@ class TemporalSpec extends AnyFunSuite {
       Temporal.asofJoin(trades, bad, Seq("sym"), "tt", "qt", Seq("tid"))
     }
   }
+
+  test("right value clashing with an `on` key is rejected with the offender named") {
+    // carrying a right column literally named like the join key
+    val ex = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(trades, quotes, Seq("sym"), "tt", "qt",
+        rightVals = Seq("sym"))
+    }
+    assert(ex.getMessage.contains("sym"))
+  }
+
+  test("right value clashing with the left time column is rejected") {
+    val bad = quotes.withColumn("tt", col("qt"))
+    val ex = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(trades, bad, Seq("sym"), "tt", "qt", rightVals = Seq("tt"))
+    }
+    assert(ex.getMessage.contains("tt"))
+  }
+
+  test("reserved internal names (__t/__is_l/__r) are rejected on either side") {
+    val badLeft = trades.withColumn("__t", col("tt"))
+    assertThrows[IllegalArgumentException] {
+      Temporal.asofJoin(badLeft, quotes, Seq("sym"), "tt", "qt", Seq("px"))
+    }
+    val badRight = quotes.withColumn("__r", col("px"))
+    assertThrows[IllegalArgumentException] {
+      Temporal.asofJoin(trades, badRight, Seq("sym"), "tt", "qt", Seq("px"))
+    }
+  }
 }

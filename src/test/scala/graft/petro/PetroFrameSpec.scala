@@ -47,6 +47,18 @@ class PetroFrameSpec extends AnyFunSuite {
     orig.foreach { case (k, v) => assert(math.abs(rt(k) - v) < 1e-6, s"$k: ${rt(k)} vs $v") }
   }
 
+  test("select(str) is regex like pandas .str.contains (_accessors.py:421)") {
+    val pf = PetroFrame.clean(garnetTable, carry = Seq("Mineral"))
+    // alternation matches both rows; a literal read of the pattern matches none
+    assert(pf.select("Garnet|Augite", on = "Mineral").df.count() == 2)
+    assert(pf.selectLiteral("Garnet|Augite", on = "Mineral").df.count() == 0)
+    // unanchored search-anywhere semantics (re.search, not fullmatch)
+    assert(pf.select("arne", on = "Mineral").df.count() == 1)
+    // anchors honored
+    assert(pf.select("^Aug", on = "Mineral").df.count() == 1)
+    assert(pf.select("^ug", on = "Mineral").df.count() == 0)
+  }
+
   test("moles -> wt% round trip is identity (test_petro.py oxides round trip)") {
     val pf = PetroFrame.clean(garnetTable, carry = Seq("Mineral"))
     val rt = pf.moles.oxides

@@ -46,6 +46,29 @@ class PlotDataSpec extends AnyFunSuite {
     assert(v2 == 2.0)
   }
 
+  test("expression: eval-reserved function names are never zero-filled (test_plotting.py funcs)") {
+    val v = garnet.select(PlotData.evalExpr(garnet, "sqrt(Alm)").as("v"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(v.zip(Seq(60.0, 70.0)).forall { case (got, x) =>
+      math.abs(got - math.sqrt(x)) < 1e-12
+    })
+    // mixed: function + missing name + literal arithmetic
+    val mixed = garnet.select(PlotData.evalExpr(garnet, "sqrt(Alm) + Uvr * 2").as("v"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(mixed.zip(Seq(60.0, 70.0)).forall { case (got, x) =>
+      math.abs(got - math.sqrt(x)) < 1e-12
+    })
+  }
+
+  test("expression: single missing backticked name raises (test_plotting.py:126-133)") {
+    val ions = frame(Seq("Al{3+}", "Si{4+}"), Seq(Seq(2.0, 3.0)))
+    intercept[IllegalArgumentException] { PlotData.evalExpr(ions, "`Fe{3+}`") }
+    // and a present backticked single name resolves directly
+    val v = ions.select(PlotData.evalExpr(ions, "`Si{4+}`").as("v"))
+      .collect()(0).getDouble(0)
+    assert(v == 3.0)
+  }
+
   test("ternary projection: vertices land on triangle corners") {
     val tern = frame(Seq("t", "l", "r"),
       Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0),

@@ -45,11 +45,19 @@ class DatasetsSpec extends AnyFunSuite {
   test("profile end members over the real traverse: garnet rim-core zoning runs") {
     val p = Datasets.grtProfile(spark)
     val pf = PetroFrame.clean(p, carry = Seq("Label", "position"))
+    // The end-member cascade is fine to WRITE (Verify streams it to
+    // parquet), but fusing all six deep trees into one no-key
+    // HashAggregate blows janino's 64KB method limit — Spark logs
+    // `ERROR CodeGenerator` and silently drops to interpreted eval.
+    // Materialize once, then aggregate over the shallow result; same
+    // barrier-before-repeated-consumption shape as curateCorpus.
     val e = Minerals.endMembers(Minerals.Grt, pf.df,
-      carry = Seq("Label", "position"))
+      carry = Seq("Label", "position")).localCheckpoint()
     assert(e.count() == 99)
     val sums = e.select(
       (col("Prp") + col("Alm") + col("Sps") + col("Grs") + col("Adr") + col("Uvr")).as("s"))
     assert(sums.filter(abs(col("s") - 100.0) > 1e-6).count() == 0)
+    assert(graft.CodegenWatch.errors.get() == 0,
+      "whole-stage codegen fell back to interpreted evaluation during this suite")
   }
 }

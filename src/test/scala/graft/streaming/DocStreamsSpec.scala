@@ -32,7 +32,16 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(viaAgg.exceptAll(viaCol).count() == 0)
   }
 
-  test("streaming simhash dedup emits one doc per distinct signature") {
+  test("scalar simhash64Col is bit-for-bit the batch simhash64 aggregate") {
+    val viaCol = docsBatch
+      .select(col("doc_id"), TextOps.simhash64Col(col("text")).as("simhash"))
+    val viaAgg = TextOps.simhash64(docsBatch, "doc_id", "text")
+      .select("doc_id", "simhash")
+    assert(viaCol.exceptAll(viaAgg).count() == 0)
+    assert(viaAgg.exceptAll(viaCol).count() == 0)
+  }
+
+  test("streaming simhash dedup emits one doc per distinct 64-bit signature") {
     val schema = docsBatch.schema
     val stream = spark.readStream.schema(schema).parquet(streamDir)
       .withColumn("ingest_time",
@@ -43,10 +52,15 @@ class DocStreamsSpec extends AnyFunSuite {
     q.awaitTermination(120000)
     val got = spark.table("doc_dedup")
     val wantSigs = docsBatch
-      .select(TextOps.simhash16Col(col("text")).as("s")).distinct().count()
+      .select(TextOps.simhash64Col(col("text")).as("s")).distinct().count()
     assert(got.count() == wantSigs, "one survivor per distinct signature")
-    val gotSigs = got.select(TextOps.simhash16Col(col("text")).as("s"))
+    val gotSigs = got.select(TextOps.simhash64Col(col("text")).as("s"))
     assert(gotSigs.distinct().count() == got.count(), "no duplicate signatures")
+    // 64 bits must separate docs a 16-bit signature would conflate —
+    // the r4 advisory failure mode (unrelated docs colliding in-horizon)
+    val sigs16 = docsBatch
+      .select(TextOps.simhash16Col(col("text")).as("s")).distinct().count()
+    assert(wantSigs >= sigs16, "64-bit signatures are at least as fine-grained")
   }
 
   test("streaming decontamination drops exactly the batch-flagged docs") {

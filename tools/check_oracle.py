@@ -22,8 +22,9 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0.0:
-            v = 0.0  # -0.0 -> 0.0
+        # NOTE: deliberately NO -0.0 normalization — the driver's hash
+        # distinguishes -0.0 from 0.0, so the local gate must too (the r4
+        # p65 failure hid behind a softened compare here).
         return repr(v)
     if hasattr(v, "isoformat"):  # datetime / pandas Timestamp
         return v.isoformat()
