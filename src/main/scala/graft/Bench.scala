@@ -90,7 +90,7 @@ object Bench {
     // runs and survives; a one-off scheduling spike does not. Sub-second
     // timings are kept as-is, and both raw passes are printed on the
     // diagnostic line below.
-    val rerun = cold.filter { case (_, t) => t > 1.0 }.map { case (name, t) =>
+    val rerunRaw = cold.filter { case (_, t) => t > 1.0 }.map { case (name, t) =>
       // own try/catch, NOT timeOne: the cold run already passed, so a
       // transient rerun error must neither mark the query failed nor
       // discard the valid cold measurement.
@@ -100,7 +100,10 @@ object Bench {
           SparkEntry.queries(name)(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
-      name -> (if (t2 >= 0) math.min(t, t2) else t)
+      name -> t2
+    }
+    val rerun = rerunRaw.map { case (name, t2) =>
+      name -> (if (t2 >= 0) math.min(cold(name), t2) else cold(name))
     }
     val results = cold ++ rerun
     // The harness that collects this output keeps only the TAIL of stdout
@@ -129,10 +132,31 @@ object Bench {
       .map(k => s"\"$k\":${fmt(cold(k))}").mkString("{", ",", "}")
     // Full-name timings + raw first pass, for humans reading the whole log.
     println(s"""{"diag":"full_names","queries":$qsFull,"first_pass":$cs}""")
+    // The harness tail also keeps sbt's trailing "[success] Total time"
+    // footer (~70 chars), so the WHOLE final line must fit in ~1900
+    // chars or its head is cut and the driver records parsed:null —
+    // exactly what happened to the r4 line at 3 decimals with 129
+    // queries. 2 decimals (10ms resolution, far inside this VM's noise
+    // band) keeps ~131 queries + the warm map at ~1800 chars, and a
+    // length guard drops the warm map rather than ever risking the
+    // queries map again.
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"${short(k)}\":${fmt(v)}" }
+      .map { case (k, v) => s"\"${short(k)}\":${fmt2(v)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    // Warm (second-pass) timings for the re-measured >1s subset, in the
+    // FINAL json so round-over-round comparisons of the slow queries
+    // don't depend on what the stdout tail happened to preserve.
+    val warm = rerunRaw.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"${short(k)}\":${fmt2(v)}" }
+      .mkString("{", ",", "}")
+    val withWarm =
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"queries_warm":$warm,"failed":$fs,"sf":"$sfDir"}"""
+    val line =
+      if (withWarm.length <= 1900) withWarm
+      else s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }

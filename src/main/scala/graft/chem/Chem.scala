@@ -223,19 +223,20 @@ object Chem {
       throw new NoSuchElementException(s"No column found for element $element"))
 
   /** Canonical petrological display order for oxide columns
-    * (reference: src/petropandas/_accessors.py:22-40,76-88): 11 majors,
-    * then other oxides alphabetical, then volatiles, then non-oxides.
-    */
+    * (reference: src/petropandas/_accessors.py:22-41,77-89): the 11
+    * MAJOR_OXIDES in fixed order, then other oxides alphabetical, then
+    * VOLATILES in fixed order, then non-oxides alphabetical — the exact
+    * lists and ordering of `_sort_oxide_columns`. */
   val majorOxides: List[String] = List(
-    "SiO2", "TiO2", "Al2O3", "Cr2O3", "Fe2O3", "FeO", "MnO", "MgO",
-    "CaO", "Na2O", "K2O")
-  val volatiles: List[String] = List("H2O", "CO2", "F", "Cl", "S")
+    "SiO2", "TiO2", "Al2O3", "FeO", "Fe2O3", "MnO", "MgO",
+    "CaO", "Na2O", "K2O", "P2O5")
+  val volatiles: List[String] = List("H2O", "CO2", "SO3")
 
   def sortOxideColumns(cols: Seq[String]): Seq[String] = {
     val majors = majorOxides.filter(cols.contains)
     val vols = volatiles.filter(cols.contains)
     val others = cols.filterNot(c => majors.contains(c) || vols.contains(c))
     val (otherOxides, nonOxides) = others.partition(isOxide)
-    majors ++ otherOxides.sorted ++ vols ++ nonOxides
+    majors ++ otherOxides.sorted ++ vols ++ nonOxides.sorted
   }
 }

@@ -20,9 +20,15 @@ import org.apache.spark.sql.types._
   *  - BMP/WAV additionally have pure-JVM header parsers whose output an
   *    external oracle can recompute, so [[syntheticMedia]] + [[decode]]
   *    is a genuine build->parse round trip under the hash gate;
-  *  - video (mp4/...) has NO JDK codec: that single path stays a
-  *    clearly-marked deterministic STUB ([[fakeDecode]]); frame-sample
-  *    PLANNING ([[sampleFrames]]) is real plumbing around it.
+  *  - video: the JDK ships no demuxer, but MP4 METADATA needs none —
+  *    [[parseMp4]] walks the ISO-BMFF box tree (`moov/mvhd` for
+  *    timescale+duration, `trak/tkhd` for track dimensions), the same
+  *    pure-JVM approach as the BMP/WAV header parsers, and
+  *    [[buildMp4]] emits a structurally valid container so the pair is
+  *    an oracle-checkable round trip. Frame PIXEL extraction (which
+  *    does need a codec) stays a clearly-marked deterministic STUB
+  *    ([[fakeDecode]], non-MP4 video only); frame-sample PLANNING
+  *    ([[sampleFrames]]) is real plumbing around it.
   *
   * Per-partition `mapPartitions` is the Scala analogue of a
   * `mapInPandas` batch UDF: no shuffle, codec state per task, scales by
@@ -119,8 +125,9 @@ object Media {
     bos.toByteArray
   }
 
-  /** Real header parse: (format, width, height, duration_ms) for BMP and
-    * WAV magic; None for anything else (goes to the STUB path). */
+  /** Real header parse: (format, width, height, duration_ms) for BMP,
+    * WAV and MP4 magic; None for anything else (goes to the JDK-codec
+    * ladder, then the STUB path). */
   def parseContainer(payload: Array[Byte]): Option[(String, Int, Int, Long)] = {
     if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M')
       Some(("bmp", rdLe32(payload, 18), rdLe32(payload, 22), 0L))
@@ -132,7 +139,139 @@ object Media {
       val dataSize = rdLe32(payload, 40)
       val nSamples = if (bytesPerSample == 0) 0 else dataSize / bytesPerSample
       Some(("wav", 0, 0, nSamples.toLong * 1000L / sampleRate))
-    } else None
+    } else parseMp4(payload)
+  }
+
+  // ISO-BMFF fields are big-endian, unlike BMP/WAV above.
+  private def rdBe32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def rdBe64(b: Array[Byte], off: Int): Long =
+    (rdBe32(b, off) << 32) | rdBe32(b, off + 4)
+  private def wrBe32(b: Array[Byte], off: Int, v: Long): Unit = {
+    b(off) = ((v >>> 24) & 0xff).toByte; b(off + 1) = ((v >>> 16) & 0xff).toByte
+    b(off + 2) = ((v >>> 8) & 0xff).toByte; b(off + 3) = (v & 0xff).toByte
+  }
+  private def boxType(b: Array[Byte], off: Int): String =
+    new String(b, off + 4, 4, "US-ASCII")
+
+  /** Iterate the sibling boxes of [start, end), calling f(type, bodyStart,
+    * bodyEnd). Stops on a malformed size. 64-bit largesize (size==1) and
+    * to-end (size==0) boxes are handled per ISO/IEC 14496-12 §4.2. */
+  private def walkBoxes(b: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var off = start
+    while (off + 8 <= end) {
+      val size32 = rdBe32(b, off)
+      val (size, hdr) =
+        if (size32 == 1L && off + 16 <= end) (rdBe64(b, off + 8), 16)
+        else if (size32 == 0L) ((end - off).toLong, 8)
+        else (size32, 8)
+      if (size < hdr || off + size > end) return
+      f(boxType(b, off), off + hdr, off + size.toInt)
+      off += size.toInt
+    }
+  }
+
+  /** Real MP4 metadata parse — a pure-JVM ISO-BMFF box walk, no codec:
+    * `moov/mvhd` yields timescale + movie duration, the first
+    * `moov/trak/tkhd` yields the track's 16.16-fixed-point display
+    * dimensions. Handles version-0 and version-1 (64-bit time) headers.
+    * Returns None when no `ftyp`/`moov` structure is present. */
+  def parseMp4(payload: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    if (payload.length < 16) return None
+    if (boxType(payload, 0) != "ftyp" && boxType(payload, 0) != "moov") return None
+    var timescale = 0L; var duration = -1L
+    var w = 0; var h = 0
+    var sawMoov = false
+    walkBoxes(payload, 0, payload.length) { (t, bs, be) =>
+      if (t == "moov") {
+        sawMoov = true
+        walkBoxes(payload, bs, be) { (t2, bs2, be2) =>
+          if (t2 == "mvhd" && be2 - bs2 >= 20) {
+            val v = payload(bs2) & 0xff
+            if (v == 1 && be2 - bs2 >= 32) {
+              timescale = rdBe32(payload, bs2 + 20)
+              duration = rdBe64(payload, bs2 + 24)
+            } else {
+              timescale = rdBe32(payload, bs2 + 12)
+              duration = rdBe32(payload, bs2 + 16)
+            }
+          } else if (t2 == "trak") {
+            walkBoxes(payload, bs2, be2) { (t3, bs3, be3) =>
+              if (t3 == "tkhd" && w == 0) {
+                // width/height are the LAST 8 bytes of the tkhd body in
+                // both versions (16.16 fixed point)
+                if (be3 - bs3 >= 8) {
+                  w = (rdBe32(payload, be3 - 8) >>> 16).toInt
+                  h = (rdBe32(payload, be3 - 4) >>> 16).toInt
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    if (!sawMoov || timescale <= 0L || duration < 0L) None
+    else Some(("mp4", w, h, duration * 1000L / timescale))
+  }
+
+  /** A structurally valid minimal MP4: `ftyp` + `moov(mvhd, trak(tkhd))`
+    * + a deterministic `mdat` stub. Timescale is 1000 so duration_ms
+    * round-trips exactly through [[parseMp4]]. */
+  def buildMp4(width: Int, height: Int, durationMs: Long,
+      mdatBytes: Int = 64): Array[Byte] = {
+    val ftypSize = 20
+    val mvhdSize = 108 // 8 hdr + v/flags 4 + times 8 + ts 4 + dur 4 + rate 4 +
+                       // vol 2 + rsvd 10 + matrix 36 + predef 24 + next 4
+    val tkhdSize = 92  // 8 hdr + v/flags 4 + times 8 + id 4 + rsvd 4 + dur 4 +
+                       // rsvd 8 + layer/alt/vol/rsvd 8 + matrix 36 + w/h 8
+    val trakSize = 8 + tkhdSize
+    val moovSize = 8 + mvhdSize + trakSize
+    val mdatSize = 8 + mdatBytes
+    val b = new Array[Byte](ftypSize + moovSize + mdatSize)
+    def tag(off: Int, s: String): Unit =
+      s.zipWithIndex.foreach { case (c, i) => b(off + i) = c.toByte }
+    // ftyp
+    wrBe32(b, 0, ftypSize); tag(4, "ftyp"); tag(8, "isom")
+    wrBe32(b, 12, 0); tag(16, "isom")
+    // moov
+    val moov = ftypSize
+    wrBe32(b, moov, moovSize); tag(moov + 4, "moov")
+    // mvhd (version 0)
+    val mvhd = moov + 8
+    wrBe32(b, mvhd, mvhdSize); tag(mvhd + 4, "mvhd")
+    wrBe32(b, mvhd + 20, 1000L)       // timescale: ms
+    wrBe32(b, mvhd + 24, durationMs)  // duration in timescale units
+    wrBe32(b, mvhd + 28, 0x00010000L) // rate 1.0
+    b(mvhd + 32) = 0x01; b(mvhd + 33) = 0x00 // volume 1.0
+    // unity matrix
+    wrBe32(b, mvhd + 44, 0x00010000L); wrBe32(b, mvhd + 60, 0x00010000L)
+    wrBe32(b, mvhd + 76, 0x40000000L)
+    wrBe32(b, mvhd + 104, 2L) // next_track_ID
+    // trak/tkhd (version 0, flags enabled|in-movie)
+    val trak = mvhd + mvhdSize
+    wrBe32(b, trak, trakSize); tag(trak + 4, "trak")
+    val tkhd = trak + 8
+    wrBe32(b, tkhd, tkhdSize); tag(tkhd + 4, "tkhd")
+    wrBe32(b, tkhd + 8, 0x00000007L)  // v0 + flags
+    wrBe32(b, tkhd + 20, 1L)          // track_ID
+    wrBe32(b, tkhd + 28, durationMs)  // track duration
+    // matrix at body offset 40, then 16.16 width/height in the final 8
+    // body bytes
+    wrBe32(b, tkhd + 48, 0x00010000L); wrBe32(b, tkhd + 64, 0x00010000L)
+    wrBe32(b, tkhd + 80, 0x40000000L)
+    wrBe32(b, tkhd + 84, width.toLong << 16)
+    wrBe32(b, tkhd + 88, height.toLong << 16)
+    // mdat: deterministic filler derived from the construction params
+    val mdat = moov + moovSize
+    wrBe32(b, mdat, mdatSize); tag(mdat + 4, "mdat")
+    var i = mdat + 8
+    while (i < b.length) {
+      b(i) = ((i * 13 + width * 7 + height * 3 + durationMs) & 0xff).toByte
+      i += 1
+    }
+    b
   }
 
   // ---- real JDK codecs (javax.imageio / javax.sound.sampled) --------------
@@ -173,9 +312,10 @@ object Media {
       Some((aff.getType.getExtension.toLowerCase, dur))
     } catch { case _: Exception => None }
 
-  /** STUB codec — video only. The JDK ships image and audio codecs
-    * (used above) but no video demuxer; mp4/webm metadata is a
-    * deterministic fake until a real demuxer is swapped in here. */
+  /** STUB codec — last-resort fallback only. MP4 metadata is parsed
+    * for real by [[parseMp4]]; what remains here is video in containers
+    * with no pure-JVM parser yet (webm/mkv) and payloads no probe
+    * recognizes. Deterministic fake until a parser is added. */
   private def fakeDecode(kind: String, payload: Array[Byte]): (String, Int, Int, Long) = {
     val h = java.util.Arrays.hashCode(payload)
     val fmt = kind match {
@@ -392,6 +532,26 @@ object Media {
           val fmt = if (id % 2 == 0) "png" else "jpg"
           val payload = buildImage(16 + n % 41, 12 + (id % 29).toInt, fmt)
           Row(id, "image", payload, Row("synthetic", fmt))
+        }
+      }(enc)
+  }
+
+  /** Real MP4 containers with metadata derived only from (id, text
+    * length) — the video analogue of [[syntheticMedia]]: [[decode]]
+    * box-walks the payloads back, and an external oracle predicts
+    * (width, height, duration, size) from the construction rule. */
+  def syntheticVideos(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"),
+        length(col(textCol)).cast("int").as("n"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val n = r.getInt(1)
+          val payload = buildMp4(
+            width = 16 + n % 113,
+            height = 16 + (id % 73).toInt,
+            durationMs = 500L + (n.toLong * 7L + id * 13L) % 60000L)
+          Row(id, "video", payload, Row("synthetic", "mp4"))
         }
       }(enc)
   }

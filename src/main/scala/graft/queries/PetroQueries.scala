@@ -243,6 +243,27 @@ object PetroQueries {
       lines.select("id", "line").orderBy("id")
     }),
 
+    // S8: PerpleX thermodynamic component block (begin/end-wrapped
+    // per-component lines; same shared prep as p18/p19 but with the
+    // oxygen budget doubled for O2)
+    "p81_perplex_block" -> ((s, dir) => {
+      Thermo.perplexBulk(oxWithFe2O3(s, dir), carry = Seq("id"))
+        .select("id", "block").orderBy("id")
+    }),
+
+    // G6: profile auto-split — optimal contiguous 2-way partition of
+    // column means (1-D Jenks) across per-grp groups; output is the
+    // per-column axis assignment, anchored so OXIDES.head is 'primary'
+    "p82_auto_split" -> ((s, dir) => {
+      val ox = oxFrame(s, dir)
+      val groups = Seq("A", "N", "R").map(g =>
+        ox.filter(col("grp") === g).drop("grp", "id", "wt"))
+      val sec = graft.petro.PlotData.autoSplit(groups, Some(OXIDES))
+      import s.implicits._
+      OXIDES.map(c => (c, if (sec.contains(c)) "secondary" else "primary"))
+        .toDF("col_name", "axis").orderBy("col_name")
+    }),
+
     // T1-T3: hpxeos a-x phase pipeline (polynomial DSL compiled to
     // Columns) — metapelite garnet end members
     "p20_tc_garnet" -> ((s, dir) => {
@@ -710,7 +731,44 @@ object PetroQueries {
       "p19_tcbulk_lines" -> wrap(
         s"""$tcPrepCtes SELECT id, printf('bulk${tcSysCols.map(_ => " %6.3f").mkString}  %% %s',
            ${tcSysCols.map(c => s"pr_${san(c)}").mkString(", ")}, id::VARCHAR) AS line
-           FROM pr3 ORDER BY id""")
+           FROM pr3 ORDER BY id"""),
+      "p81_perplex_block" -> {
+        // PerpleX component order = tc order with O -> O2; oxygen budget
+        // doubled (oxygenMult = 2). Lines joined with newlines inside a
+        // begin/end wrapper, matching Thermo.perplexBulk's emitted text.
+        val cols = tcSysCols.map(c => if (c == "O") "O2" else c)
+        val lineFor = cols.map { c =>
+          s"printf('%-6s1 %8.5f      0.00000      0.00000     molar amount', '$c', pr_${san(if (c == "O2") "O" else c)})"
+        }.mkString(" || chr(10) || ")
+        wrap(s"""${tcPrepCtesAt(oxygen = 0.01, oxygenMult = 2.0)}
+          SELECT id, 'begin thermodynamic component list' || chr(10) ||
+            $lineFor || chr(10) || 'end thermodynamic component list' AS block
+          FROM pr3 ORDER BY id""")
+      },
+      "p82_auto_split" -> {
+        // 1-D Jenks mirror: per-column global means (the union of the
+        // per-grp groups), contiguous split over sorted means minimizing
+        // summed population variance, first minimal k on ties, secondary
+        // side = the one NOT containing OXIDES.head.
+        val meansSql = OXIDES.map(c =>
+          s"""SELECT '$c' AS col_name, AVG(${qi(c)}) AS m FROM ox""")
+          .mkString(" UNION ALL ")
+        wrap(s""", means AS ($meansSql),
+          sorted AS (SELECT col_name, m,
+            ROW_NUMBER() OVER (ORDER BY m, col_name) AS rn FROM means),
+          ks AS (SELECT unnest(generate_series(1, ${OXIDES.length - 1})) AS k),
+          splits AS (SELECT k,
+              (SELECT COALESCE(var_pop(m), 0.0) FROM sorted WHERE rn <= k) +
+              (SELECT COALESCE(var_pop(m), 0.0) FROM sorted WHERE rn > k) AS v
+            FROM ks),
+          best AS (SELECT k FROM splits ORDER BY v, k LIMIT 1),
+          anchor AS (SELECT rn AS a_rn FROM sorted WHERE col_name = '${OXIDES.head}')
+          SELECT s.col_name,
+            CASE WHEN (s.rn <= b.k) = (a.a_rn <= b.k)
+              THEN 'primary' ELSE 'secondary' END AS axis
+          FROM sorted s, best b, anchor a
+          ORDER BY col_name""")
+      }
     )
   }
 
@@ -720,7 +778,13 @@ object PetroQueries {
   private def tcSysCols = Seq("H2O", "SiO2", "Al2O3", "CaO", "MgO", "FeO",
     "K2O", "Na2O", "TiO2", "MnO", "O")
 
-  private def tcPrepCtes: String = {
+  private def tcPrepCtes: String = tcPrepCtesAt(oxygen = 0.01, oxygenMult = 1.0)
+
+  /** Shared thermo-prep SQL mirror, parameterized by the oxygen budget:
+    * THERMOCALC reserves `oxygen * 1.0` wt for the O component; PerpleX
+    * reserves `oxygen * 2.0` for O2 (Thermo.thermoBulkPrep oxygenMult).
+    * The scaled components land in pr3 as pr_<oxide> + pr_o. */
+  private def tcPrepCtesAt(oxygen: Double, oxygenMult: Double): String = {
     def mw(c: String) = Chem.mw(c)
     // work columns after Fe2O3 merge + apatite, in ox order minus Fe2O3
     val workCols = Seq("SiO2", "Al2O3", "FeO", "MgO", "CaO", "MnO", "Na2O",
@@ -731,7 +795,7 @@ object PetroQueries {
       "K2O", "TiO2", "H2O")
     val molesSel = useCols.map(c => s"w_${san(c)} / ${mw(c)} AS m_${san(c)}").mkString(", ")
     val total2 = useCols.map(c => s"m_${san(c)}").mkString(" + ")
-    val target = 100.0 - 0.01 * 1.0
+    val target = 100.0 - oxygen * oxygenMult
     val scaledSel = useCols.map(c => s"m_${san(c)} / ($total2) * $target AS pr_${san(c)}").mkString(", ")
     s""", ox2 AS ($OX2_SQL),
       wk AS (SELECT id,
@@ -743,7 +807,7 @@ object PetroQueries {
         "Cr2O3" AS w_cr2o3, CAST(0.0 AS DOUBLE) AS w_p2o5 FROM ox2),
       pr1 AS (SELECT *, GREATEST(100.0 - ($totalSql), 0.0) AS w_h2o FROM wk),
       pr2 AS (SELECT id, $molesSel FROM pr1),
-      pr3 AS (SELECT id, $scaledSel, CAST(0.01 AS DOUBLE) AS pr_o FROM pr2)"""
+      pr3 AS (SELECT id, $scaledSel, CAST(${oxygen * oxygenMult} AS DOUBLE) AS pr_o FROM pr2)"""
   }
 
   private def tcPrepSelect: String =

@@ -158,6 +158,16 @@ object TextQueries {
       graft.multimodal.Media.decode(media).orderBy("media_id")
     }),
 
+    // multimodal video metadata: real MP4 containers built, then the
+    // ISO-BMFF box tree (moov/mvhd + trak/tkhd) is genuinely walked
+    // back — no stub in this path; the oracle recomputes the expected
+    // metadata from the construction rule
+    "t29_media_video" -> ((s, dir) => {
+      val media = graft.multimodal.Media.syntheticVideos(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.multimodal.Media.decode(media).orderBy("media_id")
+    }),
+
     // end-to-end corpus curation: exact dedup -> LSH+Jaccard near-dup
     // removal -> lang/length/repetition quality gate, one composed plan
     "t22_curate_corpus" -> ((s, dir) => {
@@ -321,6 +331,17 @@ object TextQueries {
          CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 61 ELSE 0 END AS INTEGER) AS height,
          CAST(CASE WHEN doc_id % 2 = 0 THEN 0
            ELSE ((800 + length(text) % 8000) * 1000) // 8000 END AS BIGINT) AS duration_ms
+         FROM documents ORDER BY media_id""",
+    // mirrors Media.syntheticVideos' construction rule (ftyp 20 +
+    // moov(mvhd+trak/tkhd) 216 + mdat 72 = 308 bytes; timescale 1000 so
+    // duration round-trips exactly) while the Spark side box-walks the
+    // binary it built
+    "t29_media_video" ->
+      """SELECT doc_id AS media_id, 'video' AS kind,
+         CAST(308 AS BIGINT) AS n_bytes, 'mp4' AS format,
+         CAST(16 + length(text) % 113 AS INTEGER) AS width,
+         CAST(16 + doc_id % 73 AS INTEGER) AS height,
+         CAST(500 + (length(text) * 7 + doc_id * 13) % 60000 AS BIGINT) AS duration_ms
          FROM documents ORDER BY media_id""",
     // mirrors Media.syntheticImages' construction rule; the Spark side
     // decodes the actual PNG/JPEG binaries it built
