@@ -92,18 +92,26 @@ object PlotData {
       seen.toSeq
     }
     val order = candidates.getOrElse(allCols)
+    // ONE aggregate job over the tagged union of all groups, not one job
+    // per group: a column missing from a group unions in as NULL, which
+    // sum/count skip — identical accumulation to per-group aggregates,
+    // at 1/N the job-scheduling cost (matters when profiles have many
+    // mineral groups, and at scale each job is a full stage).
     val sums = scala.collection.mutable.Map.empty[String, (Double, Long)]
-    groups.foreach { g =>
+    val relevant = groups.map { g =>
       val cols = g.columns.filter(order.contains).toSeq
-      if (cols.nonEmpty) {
-        val aggs = cols.flatMap(c => Seq(sum(col(c)).as(s"s_$c"), count(col(c)).as(s"c_$c")))
-        val row = g.agg(aggs.head, aggs.tail: _*).collect()(0)
-        cols.zipWithIndex.foreach { case (c, i) =>
-          val s = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
-          val n = row.getLong(2 * i + 1)
-          val (ps, pn) = sums.getOrElse(c, (0.0, 0L))
-          sums(c) = (ps + s, pn + n)
-        }
+      g -> cols
+    }.filter(_._2.nonEmpty)
+    if (relevant.nonEmpty) {
+      val unioned = relevant.map { case (g, cols) => g.select(cols.map(col): _*) }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      val cols = unioned.columns.toSeq
+      val aggs = cols.flatMap(c => Seq(sum(col(c)).as(s"s_$c"), count(col(c)).as(s"c_$c")))
+      val row = unioned.agg(aggs.head, aggs.tail: _*).collect()(0)
+      cols.zipWithIndex.foreach { case (c, i) =>
+        val s = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+        val n = row.getLong(2 * i + 1)
+        sums(c) = (s, n)
       }
     }
     val means = order.flatMap { c =>

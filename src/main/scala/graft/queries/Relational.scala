@@ -70,9 +70,14 @@ object Relational {
     }),
 
     // left_anti join (NOT EXISTS)
+    // Anti-join: customers with no HIGH-priority urgent orders. The
+    // restricted right side makes the result non-empty at every sf (the
+    // unrestricted "no orders at all" set is empty in this synthetic
+    // data, which made the oracle row trivially green).
     "q05_customers_no_orders" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val orders = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
       cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_customers"))
@@ -149,22 +154,25 @@ object Relational {
     }),
 
     // P5 substring-contains filter (select(str) shape, literal-compatible
-    // pattern: no regex metacharacters, so contains == rlike here)
+    // pattern: no regex metacharacters, so contains == rlike here).
+    // "AR" matches STANDARD and LARGE in the synthetic p_type domain —
+    // a non-trivial partition of the 6 type values.
     "q10_filter_contains" -> ((s, dir) => {
       t(s, dir, "part")
-        .filter(col("p_type").contains("BRASS"))
+        .filter(col("p_type").contains("AR"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"), round(avg("p_size"), 6).as("avg_size"))
         .orderBy("p_brand")
     }),
 
     // P5 regex filter: the reference's select(str) is pandas
-    // .str.contains, which is REGEX by default — alternation + anchors
-    // must work. Same rlike the PetroFrame.select operator compiles to;
-    // the predicate is codegen'd and pushed into the scan's filter.
+    // .str.contains, which is REGEX by default — alternation + anchors +
+    // wildcards must work. Same rlike the PetroFrame.select operator
+    // compiles to; the predicate is codegen'd and pushed into the scan's
+    // filter. Matches ECONOMY and SMALL, disjoint from q10's matches.
     "q22_filter_regex" -> ((s, dir) => {
       t(s, dir, "part")
-        .filter(col("p_type").rlike("^ECONOMY.*(BRASS|COPPER)$"))
+        .filter(col("p_type").rlike("^(ECONOMY|SM.*L)$"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"),
           round(avg("p_retailprice"), 6).as("avg_price"))
@@ -433,7 +441,8 @@ object Relational {
     "q05_customers_no_orders" ->
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
          FROM customer WHERE NOT EXISTS
-           (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           (SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          GROUP BY 1 ORDER BY 1""",
     "q06_top_order_per_customer" ->
       """SELECT o_custkey, o_orderkey, ROUND(o_totalprice,2) AS top_price
@@ -461,12 +470,12 @@ object Relational {
     "q10_filter_contains" ->
       """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
          ROUND(AVG(p_size),6) AS avg_size
-         FROM part WHERE p_type LIKE '%BRASS%'
+         FROM part WHERE p_type LIKE '%AR%'
          GROUP BY 1 ORDER BY 1""",
     "q22_filter_regex" ->
       """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
          ROUND(AVG(p_retailprice),6) AS avg_price
-         FROM part WHERE regexp_matches(p_type, '^ECONOMY.*(BRASS|COPPER)$')
+         FROM part WHERE regexp_matches(p_type, '^(ECONOMY|SM.*L)$')
          GROUP BY 1 ORDER BY 1""",
     "q12_sliding_activity" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS et, value FROM events),

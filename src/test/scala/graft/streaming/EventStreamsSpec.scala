@@ -131,4 +131,54 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0,
       "streaming sessions not found in batch result")
   }
+
+  test("asofEnrichStream idle TTL reclaims the sealed right; default keeps it forever") {
+    import spark.implicits._
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def h(n: Long): Long = n * 3600L * 1000000000L // hours -> ns (raw ts unit)
+
+    // Drives the same 7-batch scenario against both configs: user 1
+    // clicks at 1h and purchases at 2h (enriched normally), then goes
+    // quiet while user 2 keep-alives advance the watermark far past the
+    // 1h idle TTL, then user 1 purchases again at 30h. With the TTL the
+    // sealed click was reclaimed -> NULL enrichment; without it the
+    // click persists and still matches.
+    def run(ttlMs: Long, name: String): Map[Long, Option[Double]] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[(Long, Long, String, Double, Long)]
+      val events = in.toDF.toDF("event_id", "user_id", "event_type", "value", "ts")
+      val q = EventStreams.asofEnrichStream(events, idleStateTtlMs = ttlMs)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      def step(rows: (Long, Long, String, Double, Long)*): Unit = {
+        in.addData(rows: _*); q.processAllAvailable()
+      }
+      step((10L, 1L, "click", 5.0, h(1)), (11L, 1L, "purchase", 1.0, h(2)))
+      step((20L, 2L, "click", 9.0, h(10))) // after: wm 8h
+      // during this batch wm=8h: user 1's pending purchase emits (click
+      // matched) and, with TTL, the idle timer arms at wm + 1h = 9h
+      step((21L, 2L, "click", 9.0, h(30))) // after: wm 28h
+      // during this batch wm=28h > 9h: user 1 times out with no data ->
+      // TTL path removes the sealed click (no-TTL run: no timer, no-op)
+      step((22L, 2L, "click", 9.0, h(31)))
+      step((12L, 1L, "purchase", 2.0, h(30))) // late purchase, >= wm 29h
+      step((23L, 2L, "click", 9.0, h(40)))
+      step((24L, 2L, "click", 9.0, h(50))) // wm 38h -> 30h purchase emits
+      q.stop()
+      spark.table(name).collect().map { r =>
+        r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Double]("right_value")).map(_.doubleValue())
+      }.toMap
+    }
+
+    val kept = run(0L, "asof_ttl_off")
+    assert(kept(11L).contains(5.0), "normal enrichment broken (no-TTL run)")
+    assert(kept(12L).contains(5.0),
+      "without a TTL the sealed right must persist indefinitely")
+    val ttl = run(3600000L, "asof_ttl_on")
+    assert(ttl(11L).contains(5.0), "normal enrichment broken (TTL run)")
+    assert(ttl(12L).isEmpty,
+      "after idleStateTtlMs of inactivity the sealed right must be dropped")
+  }
 }
