@@ -147,8 +147,10 @@ object Bench {
       .mkString("{", ",", "}")
     // Warm (second-pass) timings for the re-measured >1s subset, in the
     // FINAL json so round-over-round comparisons of the slow queries
-    // don't depend on what the stdout tail happened to preserve.
-    val warm = rerunRaw.toSeq.sortBy(_._1)
+    // don't depend on what the stdout tail happened to preserve. A
+    // transiently-failed rerun (t2 = -1) is omitted rather than emitted
+    // as a negative duration.
+    val warm = rerunRaw.toSeq.filter(_._2 >= 0).sortBy(_._1)
       .map { case (k, v) => s"\"${short(k)}\":${fmt2(v)}" }
       .mkString("{", ",", "}")
     val withWarm =

@@ -119,7 +119,9 @@ object PlotData {
     }.toMap
     val columns = order.filter(means.contains)
     if (columns.length < 2) return Set.empty
-    val sortedCols = columns.sortBy(means)
+    // secondary sort by name so exact mean ties order identically to the
+    // SQL mirror's ORDER BY m, col_name (p82 oracle)
+    val sortedCols = columns.sortBy(c => (means(c), c))
     var best: Option[Double] = None
     var bestB = Set.empty[String]
     for (k <- 1 until sortedCols.length) {

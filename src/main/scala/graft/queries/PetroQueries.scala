@@ -521,7 +521,7 @@ object PetroQueries {
     val molesSel = OXIDES.map(c => s"ROUND(${molesSql(c)}, 6) AS ${qi(c)}").mkString(", ")
     val totalSql = OXIDES.map(qi).mkString(" + ")
     val normSel = OXIDES.map { c =>
-      s"ROUND(CASE WHEN ($totalSql) = 0.0 THEN 'NaN'::DOUBLE ELSE ${qi(c)} / ($totalSql) * 100.0 END, 6) AS ${qi(c)}"
+      s"ROUND(CASE WHEN ($totalSql) = 0.0 THEN 'NaN'::DOUBLE ELSE ${qi(c)} / ($totalSql) * 100.0 END, 6) + 0.0 AS ${qi(c)}"
     }.mkString(", ")
     val apfuRounded = ionCols.map(c => s"ROUND(${qi(c)}, 6) AS ${qi(c)}").mkString(", ")
     val splitCols = ionCols.flatMap(c => if (c == "Fe{2+}") Seq("Fe{2+}", "Fe{3+}") else Seq(c))
@@ -913,7 +913,7 @@ object PetroQueries {
     val safe = s"(CASE WHEN ($mTotal) = 0.0 THEN 'NaN'::DOUBLE ELSE ($mTotal) END)"
     val names = Map("Ca{2+}" -> "An", "Na{+}" -> "Ab", "K{+}" -> "Or")
     val sel = m.map { case (_, ion, t) =>
-      s"""ROUND($t / $safe * 100.0, 6) AS "${names(ion)}""""
+      s"""ROUND($t / $safe * 100.0, 6) + 0.0 AS "${names(ion)}""""
     }.mkString(", ")
     s""", apfu8 AS (SELECT id, $apfu8 FROM ox), $chain
       SELECT id, $sel FROM $last ORDER BY id"""
@@ -1263,7 +1263,7 @@ object PetroQueries {
       "Ferro-Glaucophane" -> "issod * xfe * xts",
       "Riebeckite" -> "issod * xfe * (1.0 - xts)",
       "Magnesio-Riebeckite" -> "issod * xmg * (1.0 - xts)")
-      .map { case (n, e) => s"""ROUND(($e) * 100.0, 6) AS "$n"""" }
+      .map { case (n, e) => s"""ROUND(($e) * 100.0, 6) + 0.0 AS "$n"""" }
       .mkString(", ")
     s""", $ampSplitCtes,
       $chain,
@@ -1336,7 +1336,7 @@ object PetroQueries {
     val varSel = vars.map { case (v, ion) => s"${fspASite(ion)} AS $v" }.mkString(", ")
     val varMap = vars.map { case (v, _) => v -> v }.toMap
     val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
-    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n0"""" }
+    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) + 0.0 AS "$n0"""" }
       .mkString(", ")
     s""", apfu8$tag AS (SELECT id, ${apfuSelAt(8.0)} FROM ox),
       vars$tag AS (SELECT id, $varSel FROM apfu8$tag)
@@ -1361,7 +1361,7 @@ object PetroQueries {
     val phase = graft.petro.hpxeos.Metapelite.TcSapphirine
     val varMap = Map("x" -> "x", "y" -> "y", "f" -> "f", "Q" -> "0.04::DOUBLE")
     val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
-    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n0"""" }
+    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) + 0.0 AS "$n0"""" }
       .mkString(", ")
     s""", apfu20 AS (SELECT id, ${apfuSelAt(20.0)} FROM ox),
       spl20 AS (SELECT id, ${droopSplitSel(20.0, 5.0)} FROM apfu20),
@@ -1376,7 +1376,7 @@ object PetroQueries {
     val phase = graft.petro.hpxeos.Metapelite.TcMagnetite
     val varMap = Map("x" -> "x", "Q" -> "qq")
     val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
-    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n0"""" }
+    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) + 0.0 AS "$n0"""" }
       .mkString(", ")
     s""", apfu4m AS (SELECT id, ${apfuSelAt(4.0)} FROM ox),
       spl4m AS (SELECT id, ${droopSplitSel(4.0, 3.0)} FROM apfu4m),
@@ -1390,7 +1390,7 @@ object PetroQueries {
   private def tcOlivineSql: String = {
     val phase = graft.petro.hpxeos.Metabasite.TcOlivine
     val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, Map("x" -> "x"))
-    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n0"""" }
+    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) + 0.0 AS "$n0"""" }
       .mkString(", ")
     s""", apfu4l AS (SELECT id, ${apfuSelAt(4.0)} FROM ox),
       varol AS (SELECT id, "Fe{2+}" / ("Mg{2+}" + "Fe{2+}") AS x FROM apfu4l)
@@ -1401,7 +1401,7 @@ object PetroQueries {
   private def tcPeristeriteSql: String = {
     val phase = graft.petro.hpxeos.Metabasite.TcPeristerite
     val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, Map("ca" -> "ca"))
-    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n0"""" }
+    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) + 0.0 AS "$n0"""" }
       .mkString(", ")
     s""", apfu8ab AS (SELECT id, ${apfuSelAt(8.0)} FROM ox),
       varab AS (SELECT id, "Ca{2+}" / ("Na{+}" + "Ca{2+}") AS ca FROM apfu8ab)
@@ -1415,7 +1415,7 @@ object PetroQueries {
     val varMap = Map("x" -> "x", "y" -> "y", "c" -> "c", "j" -> "j",
       "f" -> "f", "t" -> "t", "cr" -> "cr", "Q" -> "0.05::DOUBLE")
     val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
-    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n0"""" }
+    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) + 0.0 AS "$n0"""" }
       .mkString(", ")
     s""", apfu6w AS (SELECT id, ${apfuSelAt(6.0)} FROM ox),
       spl6w AS (SELECT id, ${droopSplitSel(6.0, 4.0)} FROM apfu6w),
@@ -1553,8 +1553,8 @@ object PetroQueries {
         mgp + fe2p AS mgfe FROM o5),
       o7 AS (SELECT *, enfscap * (mgp / (CASE WHEN mgfe = 0.0 THEN 1.0 ELSE mgfe END)) AS en,
         enfscap * (fe2p / (CASE WHEN mgfe = 0.0 THEN 1.0 ELSE mgfe END)) AS fs FROM o6)
-      SELECT id, ROUND(mgts * 100.0, 6) AS "MgTs", ROUND(wo * 100.0, 6) AS "Wo",
-        ROUND(en * 100.0, 6) AS "En", ROUND(fs * 100.0, 6) AS "Fs"
+      SELECT id, ROUND(mgts * 100.0, 6) + 0.0 AS "MgTs", ROUND(wo * 100.0, 6) + 0.0 AS "Wo",
+        ROUND(en * 100.0, 6) + 0.0 AS "En", ROUND(fs * 100.0, 6) + 0.0 AS "Fs"
       FROM o7 ORDER BY id"""
   }
 
@@ -1585,13 +1585,13 @@ object PetroQueries {
         FROM mu7),
       mu9 AS (SELECT *, xcel - xmgcel AS xfecel FROM mu8)
       SELECT id,
-        ROUND(xmgcel * xdi * 100.0, 6) AS "Al-Celadonite",
-        ROUND(xfecel * xdi * 100.0, 6) AS "Fe-Al-Celadonite",
-        ROUND(xprl * xdi * 100.0, 6) AS "Pyrophyllite",
-        ROUND(xmrg * xdi * 100.0, 6) AS "Margarite",
-        ROUND(xpg * xdi * 100.0, 6) AS "Paragonite",
-        ROUND(xms * xdi * 100.0, 6) AS "Muscovite",
-        ROUND(xtri * 100.0, 6) AS "Trioctahedral"
+        ROUND(xmgcel * xdi * 100.0, 6) + 0.0 AS "Al-Celadonite",
+        ROUND(xfecel * xdi * 100.0, 6) + 0.0 AS "Fe-Al-Celadonite",
+        ROUND(xprl * xdi * 100.0, 6) + 0.0 AS "Pyrophyllite",
+        ROUND(xmrg * xdi * 100.0, 6) + 0.0 AS "Margarite",
+        ROUND(xpg * xdi * 100.0, 6) + 0.0 AS "Paragonite",
+        ROUND(xms * xdi * 100.0, 6) + 0.0 AS "Muscovite",
+        ROUND(xtri * 100.0, 6) + 0.0 AS "Trioctahedral"
       FROM mu9 ORDER BY id"""
 
   /** p37 oracle: Minerals.biotiteEndMembers (MinPlot trioctahedral). */
@@ -1600,11 +1600,11 @@ object PetroQueries {
       bi6 AS (SELECT *, LEAST(GREATEST("Si{4+}" - 2.0, 0.0), 1.0) AS xphlann FROM bi5),
       bi7 AS (SELECT *, 1.0 - xphlann AS xsideas FROM bi6)
       SELECT id,
-        ROUND(xphlann * xmg * xtri * 100.0, 6) AS "Phlogopite",
-        ROUND((xphlann - xphlann * xmg) * xtri * 100.0, 6) AS "Annite",
-        ROUND(xsideas * xmg * xtri * 100.0, 6) AS "Eastonite",
-        ROUND((xsideas - xsideas * xmg) * xtri * 100.0, 6) AS "Siderophyllite",
-        ROUND(xdi * 100.0, 6) AS "Dioctahedral"
+        ROUND(xphlann * xmg * xtri * 100.0, 6) + 0.0 AS "Phlogopite",
+        ROUND((xphlann - xphlann * xmg) * xtri * 100.0, 6) + 0.0 AS "Annite",
+        ROUND(xsideas * xmg * xtri * 100.0, 6) + 0.0 AS "Eastonite",
+        ROUND((xsideas - xsideas * xmg) * xtri * 100.0, 6) + 0.0 AS "Siderophyllite",
+        ROUND(xdi * 100.0, 6) + 0.0 AS "Dioctahedral"
       FROM bi7 ORDER BY id"""
 
   /** p38 oracle: Minerals.stauroliteEndMembers — R2+ fractions at the
@@ -1637,10 +1637,10 @@ object PetroQueries {
         LEAST(GREATEST("Si{4+}" - 2.0, 0.0), 1.0) AS xnormal FROM ch1),
       ch3 AS (SELECT *, 1.0 - xnormal AS xtsch FROM ch2)
       SELECT id,
-        ROUND(xnormal * xmg * 100.0, 6) AS "Clinochlore",
-        ROUND(xnormal * (1.0 - xmg) * 100.0, 6) AS "Chamosite",
-        ROUND(xtsch * xmg * 100.0, 6) AS "Mg-Sudoite",
-        ROUND(xtsch * (1.0 - xmg) * 100.0, 6) AS "Fe-Sudoite"
+        ROUND(xnormal * xmg * 100.0, 6) + 0.0 AS "Clinochlore",
+        ROUND(xnormal * (1.0 - xmg) * 100.0, 6) + 0.0 AS "Chamosite",
+        ROUND(xtsch * xmg * 100.0, 6) + 0.0 AS "Mg-Sudoite",
+        ROUND(xtsch * (1.0 - xmg) * 100.0, 6) + 0.0 AS "Fe-Sudoite"
       FROM ch3 ORDER BY id"""
   }
 
@@ -1707,10 +1707,10 @@ object PetroQueries {
         LEAST("Na{+}" + "K{+}" + "Ca{2+}", 1.0) AS atot FROM apfu18),
       cr2 AS (SELECT *, 1.0 - atot AS bfrac FROM cr1)
       SELECT id,
-        ROUND(atot * 100.0, 6) AS "H₂O-Crd",
-        ROUND(${fracSql(qi("Mg{2+}"), "r2")} * bfrac * 100.0, 6) AS "Mg-Crd",
-        ROUND(${fracSql(qi("Fe{2+}"), "r2")} * bfrac * 100.0, 6) AS "Fe-Crd",
-        ROUND(${fracSql(qi("Mn{2+}"), "r2")} * bfrac * 100.0, 6) AS "Mn-Crd"
+        ROUND(atot * 100.0, 6) + 0.0 AS "H₂O-Crd",
+        ROUND(${fracSql(qi("Mg{2+}"), "r2")} * bfrac * 100.0, 6) + 0.0 AS "Mg-Crd",
+        ROUND(${fracSql(qi("Fe{2+}"), "r2")} * bfrac * 100.0, 6) + 0.0 AS "Fe-Crd",
+        ROUND(${fracSql(qi("Mn{2+}"), "r2")} * bfrac * 100.0, 6) + 0.0 AS "Mn-Crd"
       FROM cr2 ORDER BY id"""
 
   /** p44 oracle: Minerals.ilmeniteEndMembers — greedy A/B allocation over
@@ -1854,7 +1854,7 @@ object PetroQueries {
     val varMap = Map("x" -> "x", "y" -> "y", "o" -> "o", "n" -> "n",
       "f" -> "f", "t" -> "t", "cr" -> "cr", "k" -> "k", "Q" -> "0.05::DOUBLE")
     val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
-    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n0"""" }
+    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) + 0.0 AS "$n0"""" }
       .mkString(", ")
     s""", apfu6c AS (SELECT id, ${apfuSelAt(6.0)} FROM ox),
       spl6c AS (SELECT id, ${droopSplitSel(6.0, 4.0)} FROM apfu6c),
@@ -1875,7 +1875,7 @@ object PetroQueries {
     val varMap = Map("i" -> "i", "m" -> "m",
       "Q" -> "0.1::DOUBLE", "Qt" -> "0.05::DOUBLE")
     val polys = graft.petro.hpxeos.Poly.toSqlAll(phase.pBlock, varMap)
-    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) AS "$n0"""" }
+    val sel = polys.map { case (n0, sql) => s"""ROUND(($sql) * 100.0, 6) + 0.0 AS "$n0"""" }
       .mkString(", ")
     s""", ox2 AS ($OX2_SQL),
       apfu3i AS (SELECT id, ${apfuSelAt(3.0, OXIDES :+ "Fe2O3")} FROM ox2),
@@ -1906,7 +1906,7 @@ object PetroQueries {
     }.mkString(", ")
     val totalSum = names.indices.map(i => s"raw$i").mkString(" + ")
     val out = names.zipWithIndex.map { case (n, i) =>
-      s"""ROUND(raw$i / (CASE WHEN total = 0.0 THEN 1.0 ELSE total END) * 100.0, 6) AS "$n""""
+      s"""ROUND(raw$i / (CASE WHEN total = 0.0 THEN 1.0 ELSE total END) * 100.0, 6) + 0.0 AS "$n""""
     }.mkString(", ")
     s""", apfu12g AS (SELECT id, $apfuSelectSql FROM ox),
       g1 AS (SELECT *, $rawSel FROM apfu12g),

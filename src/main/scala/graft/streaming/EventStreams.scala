@@ -162,10 +162,17 @@ object EventStreams {
           val in = incoming.toSeq
           // Idle-TTL expiry: the only way a timeout fires with nothing
           // pending is the idle timer set below — the user has been
-          // quiet for idleStateTtlMs past the watermark, drop their
-          // sealed right.
+          // quiet for idleStateTtlMs past the watermark. Reclaim only
+          // SEALED rights (at or below the watermark): a live right that
+          // arrived with event time ahead of the watermark has not had
+          // its chance to match yet, so it stays and the timer re-arms.
           if (state.hasTimedOut && in.isEmpty && prev.pending.isEmpty) {
-            state.remove()
+            val live = prev.rights.filter(_.tsUs > wmUs)
+            if (live.isEmpty) state.remove()
+            else {
+              state.update(AsofState(Nil, live))
+              state.setTimeoutTimestamp(wmMs + idleStateTtlMs)
+            }
             Iterator.empty
           } else {
             def row(e: AsofIn) = AsofRow(micros(e.event_time), e.event_id, e.value)

@@ -61,10 +61,15 @@ object CurateScale {
     copies.foreach { k =>
       val docs = scaled(k).localCheckpoint() // input materialized: timing
       val n = docs.count()                   // excludes synthesis cost
+      // Listener events are delivered asynchronously: drain the bus so
+      // the synthesis job's stages land before the reset, and again so
+      // the measured job's stages land before the read.
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
       metrics.reset()
       val t0 = System.nanoTime()
       val out = TextOps.curateCorpus(docs, "doc_id", "text").count()
       val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
       println(f"CURATE_SCALE docs=$n%7d survivors=$out%7d wall=$sec%8.2f s " +
         f"shuffle_write=${metrics.shuffleWrite / 1e6}%9.1f MB " +
         f"shuffle_read=${metrics.shuffleRead / 1e6}%9.1f MB")

@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Block until the listener bus has delivered all queued events.
+    * `listenerBus` is `private[spark]`; measurement tools (CurateScale)
+    * need a drain barrier so SparkListener counters attribute stage
+    * metrics to the step that produced them instead of racing across
+    * reset/read boundaries. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty(30000L)
 }
