@@ -179,6 +179,26 @@ object Relational {
         .orderBy("p_brand")
     }),
 
+    // Skew-mitigated shuffle join: lineitem (big, salted on its own
+    // line identity) joined to orders (replicated x8) on orderkey via
+    // ops.Skew.saltedJoin — the explicit hot-key fix when AQE's runtime
+    // split can't see the skew. The oracle is the PLAIN join SQL: the
+    // salt is pure execution strategy and must not change one row.
+    "q23_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("okey", col("l_orderkey"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.ops.Skew.saltedJoin(li, ord, Seq("okey"),
+          saltBy = col("l_orderkey") * lit(10) + col("l_linenumber"),
+          nSalts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // G-track: multi-level totals via ROLLUP (partial-agg friendly —
     // one shuffle produces the detail, subtotal, and grand-total rows)
     // As-of join (time-series point-in-time lookup — the classic operator
@@ -476,6 +496,11 @@ object Relational {
       """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
          ROUND(AVG(p_retailprice),6) AS avg_price
          FROM part WHERE regexp_matches(p_type, '^(ECONOMY|SM.*L)$')
+         GROUP BY 1 ORDER BY 1""",
+    "q23_salted_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",
     "q12_sliding_activity" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS et, value FROM events),
