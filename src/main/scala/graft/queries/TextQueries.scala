@@ -269,6 +269,55 @@ object TextQueries {
       graft.sim.Similarity.knnClassify(d, q, "vec_id", "embedding", "label", k = 5)
         .select(col("query_id").as("qid"), col("pred_label"), col("votes"))
         .orderBy("qid")
+    }),
+
+    // CCNet-style segment-level exact dedup: the corpus-wide first
+    // occurrence of each distinct segment survives (synthetic docs have
+    // no newlines, so the query segments on the literal word " the ")
+    "t30_segment_dedup" -> ((s, dir) => {
+      TextOps.segmentDedup(t(s, dir, "documents"), "doc_id", "text",
+          sep = " the ")
+        .orderBy("doc_id")
+    }),
+
+    // C4-style line filtering: >= 4 words per segment, no banned term,
+    // docs must keep >= 2 segments
+    "t31_line_filter" -> ((s, dir) => {
+      TextOps.lineFilter(t(s, dir, "documents"), "doc_id", "text",
+          sep = " the ", minWords = 4, banned = Seq("slow"),
+          requireTerminal = false, minKeptLines = 2)
+        .orderBy("doc_id")
+    }),
+
+    // per-document top-3 tf-idf keywords
+    "t32_tfidf_terms" -> ((s, dir) => {
+      TextOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // PQ encode of the whole embedding corpus: 4 subspaces x 16 dims,
+    // codebook = subvectors of the first 16 vectors
+    "t33_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.sim.Similarity.pqCodebook(
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding", m = 4, subDim = 16)
+      graft.sim.Similarity.pqEncode(emb, cb, "vec_id", "embedding",
+          m = 4, subDim = 16)
+        .orderBy("vec_id")
+    }),
+
+    // ADC search over the PQ codes: queries 16..18, top-5 by approximate
+    // squared L2 — the compressed-domain ANN scan
+    "t34_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.sim.Similarity.pqCodebook(
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding", m = 4, subDim = 16)
+      val codes = graft.sim.Similarity.pqEncode(emb, cb, "vec_id", "embedding",
+        m = 4, subDim = 16)
+      val qs = emb.filter(col("vec_id") >= 16 && col("vec_id") < 19)
+      graft.sim.Similarity.pqAdcSearch(codes, cb, qs, "vec_id", "embedding",
+          m = 4, subDim = 16, k = 5)
+        .orderBy("query_id", "cand_id")
     })
   )
 
@@ -286,6 +335,31 @@ object TextQueries {
        list_extract(w, i+2) AS sh
        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
              FROM ($TOKS_SQL))"""
+
+  /** PQ pipeline mirror (t33/t34): codebook from the first 16 vectors'
+    * subvectors, squared-L2 via the dot identity on DOUBLE[] slices —
+    * element order preserved by slicing, so list_dot_product bit-matches
+    * the Spark Dot kernel exactly as in t07. */
+  private val PQ_SQL =
+    """d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       ss AS (SELECT unnest([0,1,2,3]) AS sub_idx),
+       cb AS (SELECT d.vec_id AS code_id, sub_idx,
+               list_slice(v, sub_idx*16+1, sub_idx*16+16) AS cv
+              FROM d, ss WHERE d.vec_id < 16),
+       sub AS (SELECT vec_id, sub_idx,
+                list_slice(v, sub_idx*16+1, sub_idx*16+16) AS sv
+               FROM d, ss),
+       sc AS (SELECT vec_id, sub_idx, code_id,
+               ROUND(list_dot_product(sv, sv) - 2.0*list_dot_product(sv, cv)
+                 + list_dot_product(cv, cv), 6) AS d2
+              FROM sub JOIN cb USING (sub_idx)),
+       best AS (SELECT vec_id, sub_idx, code_id, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub_idx
+                   ORDER BY d2, code_id) AS brn
+                FROM sc),
+       enc AS (SELECT vec_id, list(code_id ORDER BY sub_idx) AS codes,
+                ROUND(SUM(d2), 6) AS err
+               FROM best WHERE brn = 1 GROUP BY vec_id)"""
 
   /** 60-bit numeric minhash half (mirrors TextOps.minhashSignature's
     * conv(hex,16,10) longs — '0x'-cast is DuckDB's hex parse). */
@@ -778,6 +852,72 @@ object TextQueries {
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS wrn
                FROM v)
          SELECT qid, label AS pred_label, votes FROM w WHERE wrn = 1
-         ORDER BY qid"""
+         ORDER BY qid""",
+    "t30_segment_dedup" ->
+      """WITH segs AS (
+           SELECT doc_id, pos, seg FROM (
+             SELECT doc_id, unnest(string_split(text, ' the ')) AS seg,
+                    unnest(range(len(string_split(text, ' the ')))) AS pos
+             FROM documents)
+           WHERE trim(seg) <> ''),
+         sel AS (SELECT doc_id, pos, seg,
+                  ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+                 FROM segs),
+         agg AS (SELECT doc_id, string_agg(seg, ' the ' ORDER BY pos) AS clean_text,
+                  CAST(COUNT(*) AS BIGINT) AS n_kept
+                 FROM sel WHERE rn = 1 GROUP BY doc_id),
+         tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_seg
+                 FROM segs GROUP BY doc_id)
+         SELECT a.doc_id, clean_text, n_seg, n_kept
+         FROM agg a JOIN tot USING (doc_id) ORDER BY doc_id""",
+    "t31_line_filter" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' the ') AS lines FROM documents),
+         f AS (SELECT doc_id, lines,
+                list_filter(lines, l ->
+                  len(string_split_regex(trim(l), '\s+')) >= 4
+                  AND NOT contains(lower(l), 'slow')) AS kept
+               FROM base)
+         SELECT doc_id, array_to_string(kept, ' the ') AS clean_text,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept
+         FROM f WHERE len(kept) >= 2 ORDER BY doc_id""",
+    "t32_tfidf_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(w) AS term FROM ($TOKS_SQL)),
+         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM tok GROUP BY 1, 2),
+         dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+         s AS (SELECT doc_id, tf.term AS term, tf.tf AS tf,
+                ROUND(tf.tf * ROUND(ln(nd / df), 6), 6) AS tfidf
+               FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, tf, tfidf,
+                CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term) AS INT) AS rnk
+               FROM s)
+         SELECT doc_id, term, tf, tfidf, rnk FROM r WHERE rnk <= 3
+         ORDER BY doc_id, rnk""",
+    "t33_pq_encode" ->
+      s"""WITH $PQ_SQL
+         SELECT vec_id, codes, err FROM enc ORDER BY vec_id""",
+    "t34_pq_adc" ->
+      s"""WITH $PQ_SQL,
+         q AS (SELECT vec_id AS query_id, sub_idx, sv AS qsv FROM sub
+               WHERE vec_id BETWEEN 16 AND 18),
+         lut AS (SELECT query_id, sub_idx, code_id,
+                  ROUND(list_dot_product(qsv, qsv) - 2.0*list_dot_product(qsv, cv)
+                    + list_dot_product(cv, cv), 6) AS d2
+                 FROM q JOIN cb USING (sub_idx)),
+         ex AS (SELECT vec_id AS cand_id, unnest(codes) AS code_id,
+                 unnest(range(4)) AS sub_idx FROM enc),
+         ad AS (SELECT query_id, cand_id, ROUND(SUM(d2), 6) AS adist
+                FROM ex JOIN lut USING (sub_idx, code_id)
+                WHERE cand_id <> query_id GROUP BY 1, 2),
+         r AS (SELECT query_id, cand_id, adist,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY adist, cand_id) AS rn
+               FROM ad)
+         SELECT query_id, cand_id, adist FROM r WHERE rn <= 5
+         ORDER BY query_id, cand_id"""
   )
 }

@@ -250,4 +250,90 @@ object Similarity {
     cands.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .drop("rn")
   }
+
+  // ---- product quantization (PQ) -------------------------------------------
+
+  /** PQ codebook from a small source frame (Jégou et al. 2011): each
+    * source vector contributes one centroid per subspace — returns
+    * (code_id, sub_idx, subvec) with m rows per source vector, where
+    * subspace s covers dimensions [s*subDim, (s+1)*subDim). Callers pick
+    * the source: a deterministic id-prefix sample (this library's oracle
+    * path), or a per-subspace [[kmeansCentroids]] run reshaped to the
+    * same three columns — encode/search only contract on the shape. */
+  def pqCodebook(source: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub_idx"), slice(v, s * subDim + 1, subDim).as("subvec")))
+    source.select(col(idCol).as("code_id"), explode(array(subs: _*)).as("e"))
+      .select(col("code_id"), col("e.sub_idx").as("sub_idx"),
+        col("e.subvec").as("subvec"))
+  }
+
+  /** PQ encode: nearest codebook entry per subspace by squared L2 —
+    * computed as dot(a,a) - 2 dot(a,b) + dot(b,b) on the codegen'd
+    * [[Dot]] kernel and rounded to 6 decimals BEFORE the argmin so
+    * engines agree on ties, which then break toward the smaller code
+    * id. Returns (idCol, codes array ordered by subspace, err = rounded
+    * total squared quantization error).
+    *
+    * Scale shape: the codebook (m * nCodes rows, KBs) is broadcast; the
+    * corpus side is one narrow projection + m-way explode + two hash
+    * aggregates (min(struct) per (id, sub), then the per-id code
+    * array). The output is the point of PQ at 100 TB: m small code ids
+    * per vector instead of the full float array, so the ADC scan in
+    * [[pqAdcSearch]] never touches original vectors. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, m: Int, subDim: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub_idx"), slice(v, s * subDim + 1, subDim).as("sv")))
+    val exploded = corpus.select(col(idCol), explode(array(subs: _*)).as("e"))
+      .select(col(idCol), col("e.sub_idx").as("sub_idx"), col("e.sv").as("sv"))
+    val scored = exploded.join(broadcast(codebook), Seq("sub_idx"))
+      .select(col(idCol), col("sub_idx"), col("code_id"),
+        round(dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("subvec"))
+          + dot(col("subvec"), col("subvec")), 6).as("d2"))
+    val best = scored.groupBy(col(idCol), col("sub_idx"))
+      .agg(min(struct(col("d2"), col("code_id"))).as("b"))
+      .select(col(idCol), col("sub_idx"),
+        col("b.code_id").as("code"), col("b.d2").as("d2"))
+    best.groupBy(idCol)
+      .agg(
+        expr("transform(array_sort(collect_list(struct(sub_idx, code))), e -> e.code)")
+          .as("codes"),
+        round(sum("d2"), 6).as("err"))
+  }
+
+  /** Asymmetric-distance (ADC) PQ search: the exact query-subvector to
+    * centroid squared distances form a lookup table of
+    * |queries| * m * nCodes rows — broadcast, it is KBs — and each
+    * encoded corpus vector's approximate distance is the sum of its m
+    * codes' table entries (rounded like [[pqEncode]]). Top-k per query
+    * by (distance asc, cand id). The corpus pass reads ONLY the code
+    * ids, never the original vectors — the PQ memory shape that makes
+    * exhaustive ANN scans feasible at 100 TB. */
+  def pqAdcSearch(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int, k: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub_idx"), slice(v, s * subDim + 1, subDim).as("qsv")))
+    val qsubs = queries
+      .select(col(idCol).as("query_id"), explode(array(subs: _*)).as("e"))
+      .select(col("query_id"), col("e.sub_idx").as("sub_idx"),
+        col("e.qsv").as("qsv"))
+    val lut = qsubs.join(codebook, Seq("sub_idx"))
+      .select(col("query_id"), col("sub_idx"), col("code_id"),
+        round(dot(col("qsv"), col("qsv")) - lit(2.0) * dot(col("qsv"), col("subvec"))
+          + dot(col("subvec"), col("subvec")), 6).as("d2"))
+    val expanded = codes.select(col(idCol).as("cand_id"),
+      posexplode(col("codes")).as(Seq("sub_idx", "code_id")))
+    val dists = expanded.join(broadcast(lut), Seq("sub_idx", "code_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(round(sum("d2"), 6).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("cand_id"))
+    dists.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
 }

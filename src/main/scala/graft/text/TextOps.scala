@@ -760,6 +760,115 @@ object TextOps {
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("gram")).limit(k)
 
+  // ---- segment-level structure ops (paragraph / line granularity) ----------
+
+  /** Segment-level exact dedup — the CCNet/RefinedWeb paragraph rule:
+    * split each document on the literal separator `sep`, keep only the
+    * corpus-wide FIRST occurrence (smallest (id, position)) of every
+    * distinct non-blank segment, and reassemble each document's
+    * survivors in original order. Boilerplate paragraphs (headers, nav
+    * bars, license blocks) repeated across a crawl survive only in the
+    * first document that carries them; documents left with no segments
+    * drop out entirely. Returns (idCol, clean_text, n_seg, n_kept).
+    *
+    * Scale shape: posexplode -> hash aggregate keyed by segment content
+    * taking min(struct(id, pos)) — map-side partial combine means a
+    * segment repeated 10^8 times ships ONE candidate per task, which is
+    * why this beats the equivalent single-shuffle window (row_number
+    * over a hot boilerplate segment moves every copy to one reducer) —
+    * then a semi-join back on (segment, id, pos), whose key is unique
+    * and therefore skew-free, and per-doc reassembly via
+    * array_sort(collect_list(struct)). */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val segs = fanOut(df)
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "seg")))
+      .filter(trim(col("seg")) =!= "")
+    val firsts = segs
+      .groupBy("seg")
+      .agg(min(struct(col(idCol).as("i"), col("pos").as("p"))).as("f"))
+      .select(col("seg"), col("f.i").as(idCol), col("f.p").as("pos"))
+    val kept = segs.join(firsts, Seq("seg", idCol, "pos"), "left_semi")
+    val totals = segs.groupBy(idCol).agg(count(lit(1)).as("n_seg"))
+    kept.groupBy(idCol)
+      .agg(
+        concat_ws(sep,
+          expr("transform(array_sort(collect_list(struct(pos, seg))), e -> e.seg)"))
+          .as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(totals, Seq(idCol))
+      .select(col(idCol), col("clean_text"), col("n_seg"), col("n_kept"))
+  }
+
+  /** C4-style line filtering (Raffel et al. 2020, section 2.2): drop
+    * individual lines that are too short (fewer than `minWords`
+    * whitespace-separated words), carry a banned substring
+    * (case-insensitive), or — when `requireTerminal` — do not end in
+    * terminal punctuation; then drop documents with fewer than
+    * `minKeptLines` surviving lines. Survivors are re-joined by `sep`
+    * in original order. Returns (idCol, clean_text, n_lines, n_kept).
+    *
+    * Scale shape: entirely array-lambda projections — no explode, no
+    * shuffle, no UDF; a pure narrow map over the corpus, the cheapest
+    * plan any per-line rule can have. The line array is materialized
+    * into a column before the lambda reads it (see the header note on
+    * HOF re-evaluation). */
+  def lineFilter(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minWords: Int = 5,
+      banned: Seq[String] = Seq("javascript", "lorem ipsum", "{"),
+      requireTerminal: Boolean = false, minKeptLines: Int = 1): DataFrame = {
+    def keep(l: Column): Column = {
+      val enough = size(split(trim(l), "\\s+")) >= minWords
+      val clean = banned
+        .map(b => !contains(lower(l), lit(b.toLowerCase)))
+        .foldLeft(lit(true))(_ && _)
+      val terminal =
+        if (requireTerminal) rtrim(l).rlike("[.!?\"']$") else lit(true)
+      enough && clean && terminal
+    }
+    df.select(col(idCol),
+        split(col(textCol), java.util.regex.Pattern.quote(sep)).as("__lines"))
+      .withColumn("__kept", filter(col("__lines"), keep _))
+      .filter(size(col("__kept")) >= minKeptLines)
+      .select(col(idCol),
+        concat_ws(sep, col("__kept")).as("clean_text"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"))
+  }
+
+  /** Per-document top-k terms by tf-idf — the standard corpus keyword /
+    * topic signal over [[tokens]]. idf = ln(N/df) is rounded to 6
+    * decimals BEFORE the tf multiply (and the product rounded again) so
+    * an external oracle whose libm differs from the JVM's in the last
+    * ulp still agrees bit-for-bit after the round. Ties break on the
+    * term text. Documents with no tokens produce no rows.
+    *
+    * Scale shape: one explode + (doc, term) hash agg for tf; a
+    * vocabulary-sized (term) agg for df joined term-keyed (AQE
+    * broadcasts real vocabularies); the corpus size N arrives via a
+    * broadcast one-row cross join, NOT a driver action, so the whole
+    * operator stays one lazy plan; the final per-doc top-k is a bounded
+    * window over at most |vocab| rows per document. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tf = fanOut(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).cast("double").as("__n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"),
+        round(col("tf") * round(log(col("__n") / col("df")), 6), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(desc("tfidf"), col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Test-set decontamination: documents sharing at least `minOverlap`
     * distinct n-word shingles with a benchmark set, with the overlap
     * count — the standard eval-leakage scrub before training. Returns

@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Segment-granularity ops: CCNet-style paragraph dedup, C4-style line
+  * filtering, tf-idf keywords. */
+class SegmentOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("segmentDedup keeps the corpus-wide first occurrence of each segment") {
+    val docs = Seq(
+      (1L, "alpha\n\nbeta"),
+      (2L, "beta\n\ngamma"),     // beta already seen in doc 1
+      (3L, "   \n\nalpha")       // blank + dup -> doc vanishes
+    ).toDF("doc_id", "text")
+    val out = TextOps.segmentDedup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "alpha\n\nbeta", 2L, 2L),
+      (2L, "gamma", 2L, 1L)))
+  }
+
+  test("segmentDedup dedups within a single document by position") {
+    val docs = Seq((7L, "x\n\nx\n\ny")).toDF("doc_id", "text")
+    val out = TextOps.segmentDedup(docs, "doc_id", "text").collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1) == "x\n\ny")
+    assert(out(0).getLong(2) == 3L && out(0).getLong(3) == 2L)
+  }
+
+  test("lineFilter applies word-count, banned-substring, and terminal rules") {
+    val docs = Seq(
+      (1L, "This is a good line.\nshort one\nwith some JAVASCRIPT code here.\nAnother fine line here!"),
+      (2L, "only one decent line survives here.\ntiny")
+    ).toDF("doc_id", "text")
+    val out = TextOps.lineFilter(docs, "doc_id", "text", sep = "\n",
+        minWords = 4, banned = Seq("javascript"), requireTerminal = true,
+        minKeptLines = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // doc 1: line 2 too short, line 3 banned (case-insensitive) -> 2 kept
+    // doc 2: 1 kept < minKeptLines -> dropped
+    assert(out.toSeq == Seq(
+      (1L, "This is a good line.\nAnother fine line here!", 4L, 2L)))
+  }
+
+  test("lineFilter without requireTerminal keeps unpunctuated lines") {
+    val docs = Seq((1L, "four words right here\nthree words only")).toDF("doc_id", "text")
+    val out = TextOps.lineFilter(docs, "doc_id", "text", sep = "\n",
+      minWords = 4, banned = Nil, requireTerminal = false, minKeptLines = 1)
+    assert(out.collect()(0).getString(1) == "four words right here")
+  }
+
+  test("tfidf ranks document-specific terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common rare rare"),
+      (2L, "common other"),
+      (3L, "common other")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(4)))
+    // 'common' appears in every doc -> idf = ln(1) = 0 -> ranked below
+    // any positive-idf term; ties by term text
+    assert(out.take(2).toSeq == Seq((1L, "rare", 1), (1L, "common", 2)))
+    assert(out.filter(_._1 == 2L).head._2 == "other")
+  }
+
+  test("tfidf tie-break is on term text at equal score") {
+    val docs = Seq((1L, "bb aa"), (2L, "cc dd")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rnk")
+      .collect().map(_.getString(1))
+    assert(out.toSeq == Seq("aa", "bb"))
+  }
+}
