@@ -306,6 +306,14 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // deterministic shard assignment + within-shard shuffle order — the
+    // reproducible global shuffle before a partitioned training write
+    "t35_shard_assign" -> ((s, dir) => {
+      TextOps.shardAssign(t(s, dir, "documents"), "doc_id", nShards = 8)
+        .select("doc_id", "shard", "seq")
+        .orderBy("doc_id")
+    }),
+
     // ADC search over the PQ codes: queries 16..18, top-5 by approximate
     // squared L2 — the compressed-domain ANN scan
     "t34_pq_adc" -> ((s, dir) => {
@@ -897,6 +905,14 @@ object TextQueries {
                FROM s)
          SELECT doc_id, term, tf, tfidf, rnk FROM r WHERE rnk <= 3
          ORDER BY doc_id, rnk""",
+    "t35_shard_assign" ->
+      """WITH h AS (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
+           FROM documents)
+         SELECT doc_id, CAST(u % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY u % 8 ORDER BY u, doc_id)
+             AS BIGINT) AS seq
+         FROM h ORDER BY doc_id""",
     "t33_pq_encode" ->
       s"""WITH $PQ_SQL
          SELECT vec_id, codes, err FROM enc ORDER BY vec_id""",

@@ -735,6 +735,31 @@ object TextOps {
           .cast("long"))
   }
 
+  /** Deterministic training-shard assignment — the reproducible "global
+    * shuffle" a training-data writer needs: shard = md5-uniform hash of
+    * the id modulo `nShards` (content-independent, stable across runs
+    * and engines, like [[mixtureSample]]'s keep-hash), and a
+    * within-shard sequence number ordered by (hash, id) so the read
+    * order inside each shard is itself a reproducible shuffle. Returns
+    * the input columns plus (shard, seq).
+    *
+    * Scale shape: the shard id is a narrow projection; the sequence is
+    * a row_number windowed BY SHARD — one shuffle keyed exactly like
+    * the partitioned write that follows (repartition(nShards, shard) ->
+    * sortWithinPartitions(seq) -> write), so the window's exchange IS
+    * the write's exchange. No global sort ever happens. */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__u"), col(idCol))
+    df.withColumn("__u", u)
+      .withColumn("shard", pmod(col("__u"), lit(nShards.toLong)).cast("int"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .drop("__u")
+  }
+
   /** PII scrubbing: mask emails, IPv4 addresses, and long digit runs
     * (account/phone-number shaped) with typed placeholders, and count
     * each match class. Patterns are RE2-compatible so an external SQL

@@ -76,4 +76,19 @@ class SegmentOpsSpec extends AnyFunSuite {
       .collect().map(_.getString(1))
     assert(out.toSeq == Seq("aa", "bb"))
   }
+
+  test("shardAssign is deterministic with contiguous per-shard sequences") {
+    val docs = (0L until 64L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def run() = TextOps.shardAssign(docs, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "seq")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val a = run()
+    assert(run() == a, "content-independent hash -> identical across runs")
+    assert(a.map(_._2).subsetOf((0 until 4).toSet))
+    // each shard's seq is exactly 1..|shard|
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3) == (1L to rows.size).toSet)
+    }
+    assert(a.size == 64)
+  }
 }
