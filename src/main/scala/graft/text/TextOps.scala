@@ -806,24 +806,28 @@ object TextOps {
     * array_sort(collect_list(struct)). */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n"): DataFrame = {
+    // The per-doc segment total rides through the explode as a narrow
+    // array expression instead of a third corpus scan + aggregate + join
+    // (the plan audit showed exactly that extra pass in the first cut).
     val segs = fanOut(df)
       .select(col(idCol),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-          .as(Seq("pos", "seg")))
+        split(col(textCol), java.util.regex.Pattern.quote(sep)).as("__arr"))
+      .select(col(idCol),
+        size(filter(col("__arr"), s => trim(s) =!= "")).cast("long").as("n_seg"),
+        posexplode(col("__arr")).as(Seq("pos", "seg")))
       .filter(trim(col("seg")) =!= "")
     val firsts = segs
       .groupBy("seg")
       .agg(min(struct(col(idCol).as("i"), col("pos").as("p"))).as("f"))
       .select(col("seg"), col("f.i").as(idCol), col("f.p").as("pos"))
     val kept = segs.join(firsts, Seq("seg", idCol, "pos"), "left_semi")
-    val totals = segs.groupBy(idCol).agg(count(lit(1)).as("n_seg"))
     kept.groupBy(idCol)
       .agg(
         concat_ws(sep,
           expr("transform(array_sort(collect_list(struct(pos, seg))), e -> e.seg)"))
           .as("clean_text"),
+        max(col("n_seg")).as("n_seg"),
         count(lit(1)).as("n_kept"))
-      .join(totals, Seq(idCol))
       .select(col(idCol), col("clean_text"), col("n_seg"), col("n_kept"))
   }
 
