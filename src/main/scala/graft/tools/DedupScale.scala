@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** Scale-step evidence for the round-5 operators: runs
+  * [[TextOps.segmentDedup]] over replicated document corpora and the
+  * PQ encode + ADC search pair over replicated embedding corpora at
+  * multiples of the sf0.1 row counts, reporting wall time and total
+  * shuffle bytes per step (same listener-drain discipline as
+  * [[CurateScale]]).
+  *
+  * Document copies share 10% of segments verbatim (the boilerplate the
+  * dedup must catch at every scale); embedding copies perturb one
+  * dimension per copy so the PQ codebook sees distinct but clustered
+  * vectors.
+  *
+  * Usage: runMain graft.tools.DedupScale [sfDir] [copies...]
+  */
+object DedupScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    object metrics extends SparkListener {
+      @volatile var shuffleWrite = 0L
+      @volatile var shuffleRead = 0L
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        shuffleWrite += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        shuffleRead += sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
+      }
+      def reset(): Unit = { shuffleWrite = 0L; shuffleRead = 0L }
+    }
+    spark.sparkContext.addSparkListener(metrics)
+
+    def drain(): Unit =
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
+
+    def measure(label: String, n: Long)(job: => Long): Unit = {
+      drain(); metrics.reset()
+      val t0 = System.nanoTime()
+      val out = job
+      val sec = (System.nanoTime() - t0) / 1e9
+      drain()
+      println(f"DEDUP_SCALE op=$label%-12s rows=$n%8d out=$out%8d wall=$sec%8.2f s " +
+        f"shuffle_write=${metrics.shuffleWrite / 1e6}%9.1f MB " +
+        f"shuffle_read=${metrics.shuffleRead / 1e6}%9.1f MB")
+    }
+
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").localCheckpoint()
+
+    def scaledDocs(k: Int): DataFrame =
+      (0 until k).map { c =>
+        if (c == 0) docs0
+        else docs0.select(
+          (col("doc_id") + lit(c.toLong * 1000000L)).as("doc_id"),
+          when(col("doc_id") % 10 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(s" segvariant$c"))).as("text"))
+      }.reduce(_ unionByName _)
+
+    def scaledEmb(k: Int): DataFrame =
+      (0 until k).map { c =>
+        if (c == 0) emb0
+        else emb0.select(
+          (col("vec_id") + lit(c.toLong * 1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(c * 0.01f)).otherwise(x))
+            .as("embedding"))
+      }.reduce(_ unionByName _)
+
+    // warm pass: JIT/codegen for both tracks before anything is timed
+    TextOps.segmentDedup(docs0, "doc_id", "text", sep = " the ").count()
+    locally {
+      val cb = Similarity.pqCodebook(emb0.filter(col("vec_id") < 16),
+        "vec_id", "embedding", m = 4, subDim = 16)
+      val codes = Similarity.pqEncode(emb0, cb, "vec_id", "embedding", 4, 16)
+      Similarity.pqAdcSearch(codes, cb,
+        emb0.filter(col("vec_id") >= 16 && col("vec_id") < 19),
+        "vec_id", "embedding", 4, 16, k = 5).count()
+    }
+
+    copies.foreach { k =>
+      val docs = scaledDocs(k).localCheckpoint()
+      val nD = docs.count()
+      measure("segdedup", nD) {
+        TextOps.segmentDedup(docs, "doc_id", "text", sep = " the ").count()
+      }
+      val emb = scaledEmb(k).localCheckpoint()
+      val nE = emb.count()
+      val cb = Similarity.pqCodebook(emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", m = 4, subDim = 16)
+      measure("pq_encode", nE) {
+        Similarity.pqEncode(emb, cb, "vec_id", "embedding", 4, 16).count()
+      }
+      // ADC over freshly-encoded codes: the measured cost includes the
+      // encode lineage once (no checkpoint), mirroring a cold scan
+      val codes = Similarity.pqEncode(emb, cb, "vec_id", "embedding", 4, 16)
+        .localCheckpoint()
+      measure("pq_adc", nE) {
+        Similarity.pqAdcSearch(codes, cb,
+          emb.filter(col("vec_id") >= 16 && col("vec_id") < 19),
+          "vec_id", "embedding", 4, 16, k = 5).count()
+      }
+    }
+    spark.stop()
+  }
+}
