@@ -41,6 +41,30 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(viaAgg.exceptAll(viaCol).count() == 0)
   }
 
+  test("lineFilter and mixtureSample compose with a stream, matching batch") {
+    // Both ops are narrow projections/filters, so the SAME library call
+    // works unchanged on a streaming frame in append mode — the
+    // composability contract for corpus hygiene at ingest time.
+    val schema = docsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 1.0)
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      TextOps.lineFilter(
+        TextOps.mixtureSample(df, "doc_id", "source", rates),
+        "doc_id", "text", sep = " the ", minWords = 4,
+        banned = Seq("slow"), requireTerminal = false, minKeptLines = 2)
+    val q = pipeline(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hygiene_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("hygiene_stream")
+    val batch = pipeline(docsBatch)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming simhash dedup emits one doc per distinct 64-bit signature") {
     val schema = docsBatch.schema
     val stream = spark.readStream.schema(schema).parquet(streamDir)
