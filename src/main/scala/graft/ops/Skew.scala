@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The deterministic salt in [0, nSalts) — shared by [[saltedJoin]]
+    * and its distribution spec so the test observes the operator's REAL
+    * salt construction, not a re-implementation. */
+  private[graft] def saltCol(saltBy: Column, nSalts: Int): Column =
+    pmod(hash(saltBy), lit(nSalts))
+
   /** Salted shuffle equi-join on shared key columns.
     *
     * @param big    the large, possibly skewed side — salted, never
@@ -52,7 +58,7 @@ object Skew {
       .contains(joinType),
       s"$joinType does not survive key refinement: a right/full join " +
         "would emit one unmatched-small row PER SALT COPY")
-    val salted = big.withColumn(reserved, pmod(hash(saltBy), lit(nSalts)))
+    val salted = big.withColumn(reserved, saltCol(saltBy, nSalts))
     val replicated = small.withColumn(reserved,
       explode(array((0 until nSalts).map(lit): _*)))
     salted.join(replicated, on :+ reserved, joinType).drop(reserved)

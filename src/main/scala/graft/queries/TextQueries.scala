@@ -359,14 +359,14 @@ object TextQueries {
                FROM d, ss),
        sc AS (SELECT vec_id, sub_idx, code_id,
                ROUND(list_dot_product(sv, sv) - 2.0*list_dot_product(sv, cv)
-                 + list_dot_product(cv, cv), 6) AS d2
+                 + list_dot_product(cv, cv), 6) + 0.0 AS d2
               FROM sub JOIN cb USING (sub_idx)),
        best AS (SELECT vec_id, sub_idx, code_id, d2,
                  ROW_NUMBER() OVER (PARTITION BY vec_id, sub_idx
                    ORDER BY d2, code_id) AS brn
                 FROM sc),
        enc AS (SELECT vec_id, list(code_id ORDER BY sub_idx) AS codes,
-                ROUND(SUM(d2), 6) AS err
+                ROUND(SUM(d2), 6) + 0.0 AS err
                FROM best WHERE brn = 1 GROUP BY vec_id)"""
 
   /** 60-bit numeric minhash half (mirrors TextOps.minhashSignature's
@@ -922,11 +922,11 @@ object TextQueries {
                WHERE vec_id BETWEEN 16 AND 18),
          lut AS (SELECT query_id, sub_idx, code_id,
                   ROUND(list_dot_product(qsv, qsv) - 2.0*list_dot_product(qsv, cv)
-                    + list_dot_product(cv, cv), 6) AS d2
+                    + list_dot_product(cv, cv), 6) + 0.0 AS d2
                  FROM q JOIN cb USING (sub_idx)),
          ex AS (SELECT vec_id AS cand_id, unnest(codes) AS code_id,
                  unnest(range(4)) AS sub_idx FROM enc),
-         ad AS (SELECT query_id, cand_id, ROUND(SUM(d2), 6) AS adist
+         ad AS (SELECT query_id, cand_id, ROUND(SUM(d2), 6) + 0.0 AS adist
                 FROM ex JOIN lut USING (sub_idx, code_id)
                 WHERE cand_id <> query_id GROUP BY 1, 2),
          r AS (SELECT query_id, cand_id, adist,

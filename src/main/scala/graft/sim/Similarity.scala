@@ -253,6 +253,28 @@ object Similarity {
 
   // ---- product quantization (PQ) -------------------------------------------
 
+  /** Per-subspace slices of a vector column: (sub_idx, slice) structs,
+    * exploded. ONE definition shared by codebook, encode, and search so
+    * the three stages can never disagree on subspace boundaries. */
+  private def subvectors(df: DataFrame, idAs: String, idCol: String,
+      vecCol: String, m: Int, subDim: Int, sliceAs: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub_idx"), slice(v, s * subDim + 1, subDim).as(sliceAs)))
+    df.select(col(idCol).as(idAs), explode(array(subs: _*)).as("e"))
+      .select(col(idAs), col("e.sub_idx").as("sub_idx"),
+        col(s"e.$sliceAs").as(sliceAs))
+  }
+
+  /** Squared L2 distance rounded to 6 decimals — the dot identity
+    * dot(a,a) - 2 dot(a,b) + dot(b,b) on the codegen'd [[Dot]] kernel.
+    * ONE definition shared by [[pqEncode]] (assignment argmin) and
+    * [[pqAdcSearch]] (lookup table) so encode and search can never
+    * drift to different distance semantics; mirrored term-for-term by
+    * the oracle's PQ_SQL. */
+  private def sqDist6(a: Column, b: Column): Column =
+    round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
+
   /** PQ codebook from a small source frame (Jégou et al. 2011): each
     * source vector contributes one centroid per subspace — returns
     * (code_id, sub_idx, subvec) with m rows per source vector, where
@@ -261,14 +283,8 @@ object Similarity {
     * path), or a per-subspace [[kmeansCentroids]] run reshaped to the
     * same three columns — encode/search only contract on the shape. */
   def pqCodebook(source: DataFrame, idCol: String, vecCol: String,
-      m: Int, subDim: Int): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val subs = (0 until m).map(s =>
-      struct(lit(s).as("sub_idx"), slice(v, s * subDim + 1, subDim).as("subvec")))
-    source.select(col(idCol).as("code_id"), explode(array(subs: _*)).as("e"))
-      .select(col("code_id"), col("e.sub_idx").as("sub_idx"),
-        col("e.subvec").as("subvec"))
-  }
+      m: Int, subDim: Int): DataFrame =
+    subvectors(source, "code_id", idCol, vecCol, m, subDim, "subvec")
 
   /** PQ encode: nearest codebook entry per subspace by squared L2 —
     * computed as dot(a,a) - 2 dot(a,b) + dot(b,b) on the codegen'd
@@ -285,15 +301,10 @@ object Similarity {
     * [[pqAdcSearch]] never touches original vectors. */
   def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
       vecCol: String, m: Int, subDim: Int): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val subs = (0 until m).map(s =>
-      struct(lit(s).as("sub_idx"), slice(v, s * subDim + 1, subDim).as("sv")))
-    val exploded = corpus.select(col(idCol), explode(array(subs: _*)).as("e"))
-      .select(col(idCol), col("e.sub_idx").as("sub_idx"), col("e.sv").as("sv"))
+    val exploded = subvectors(corpus, idCol, idCol, vecCol, m, subDim, "sv")
     val scored = exploded.join(broadcast(codebook), Seq("sub_idx"))
       .select(col(idCol), col("sub_idx"), col("code_id"),
-        round(dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("subvec"))
-          + dot(col("subvec"), col("subvec")), 6).as("d2"))
+        sqDist6(col("sv"), col("subvec")).as("d2"))
     val best = scored.groupBy(col(idCol), col("sub_idx"))
       .agg(min(struct(col("d2"), col("code_id"))).as("b"))
       .select(col(idCol), col("sub_idx"),
@@ -315,17 +326,10 @@ object Similarity {
     * exhaustive ANN scans feasible at 100 TB. */
   def pqAdcSearch(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, m: Int, subDim: Int, k: Int): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val subs = (0 until m).map(s =>
-      struct(lit(s).as("sub_idx"), slice(v, s * subDim + 1, subDim).as("qsv")))
-    val qsubs = queries
-      .select(col(idCol).as("query_id"), explode(array(subs: _*)).as("e"))
-      .select(col("query_id"), col("e.sub_idx").as("sub_idx"),
-        col("e.qsv").as("qsv"))
+    val qsubs = subvectors(queries, "query_id", idCol, vecCol, m, subDim, "qsv")
     val lut = qsubs.join(codebook, Seq("sub_idx"))
       .select(col("query_id"), col("sub_idx"), col("code_id"),
-        round(dot(col("qsv"), col("qsv")) - lit(2.0) * dot(col("qsv"), col("subvec"))
-          + dot(col("subvec"), col("subvec")), 6).as("d2"))
+        sqDist6(col("qsv"), col("subvec")).as("d2"))
     val expanded = codes.select(col(idCol).as("cand_id"),
       posexplode(col("codes")).as(Seq("sub_idx", "code_id")))
     val dists = expanded.join(broadcast(lut), Seq("sub_idx", "code_id"))

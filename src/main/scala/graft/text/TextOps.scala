@@ -44,6 +44,14 @@ object TextOps {
 
   private def fanOut(df: DataFrame): DataFrame = graft.util.FanOut(df)
 
+  /** 60-bit uniform hash of a column: the first 15 hex chars of its md5,
+    * parsed as a BIGINT. ONE definition shared by [[winnowFingerprints]],
+    * [[mixtureSample]] and [[shardAssign]] — every DuckDB oracle mirrors
+    * this exact expression (`('0x' || substr(md5(x), 1, 15))::BIGINT`),
+    * so the three call sites must never drift apart. */
+  private[graft] def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** (id, sh) exploded shingle pairs via the compiled shingle kernel. */
   private[graft] def explodedShingles(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int): DataFrame =
@@ -302,7 +310,7 @@ object TextOps {
     val sh = fanOut(df).select(col(idCol),
       posexplode(shinglesOf(col(textCol), gramWords)).as(Seq("pos", "sh")))
     val hashed = sh.select(col(idCol), col("pos"),
-      conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      md5Hash60(col("sh")).as("h"))
     val fwd = Window.partitionBy(idCol).orderBy("pos")
       .rowsBetween(Window.currentRow, window - 1)
     val whole = Window.partitionBy(idCol)
@@ -709,7 +717,7 @@ object TextOps {
     * one narrow filter — no shuffle, no sort, survives any scale. */
   def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+    val u = md5Hash60(col(idCol).cast("string"))
       .cast("double") / math.pow(16.0, 15)
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
@@ -750,8 +758,7 @@ object TextOps {
     * the write's exchange. No global sort ever happens. */
   def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val u = md5Hash60(col(idCol).cast("string"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("__u"), col(idCol))
     df.withColumn("__u", u)

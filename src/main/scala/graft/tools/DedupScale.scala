@@ -14,10 +14,14 @@ import graft.text.TextOps
   * shuffle bytes per step (same listener-drain discipline as
   * [[CurateScale]]).
   *
-  * Document copies share 10% of segments verbatim (the boilerplate the
-  * dedup must catch at every scale); embedding copies perturb one
-  * dimension per copy so the PQ codebook sees distinct but clustered
-  * vectors.
+  * Document copies are duplicate-heavy by construction: the per-copy
+  * suffix touches only the LAST segment (it contains no separator), so
+  * a variant copy still shares all but one segment verbatim with its
+  * base doc, and 10% of copies are byte-identical — near-worst-case
+  * input for segment dedup, since almost every exploded segment is a
+  * repeat the min-struct aggregate must collapse. Embedding copies
+  * perturb one dimension per copy so the PQ codebook sees distinct but
+  * clustered vectors.
   *
   * Usage: runMain graft.tools.DedupScale [sfDir] [copies...]
   */
@@ -104,8 +108,11 @@ object DedupScale {
       measure("pq_encode", nE) {
         Similarity.pqEncode(emb, cb, "vec_id", "embedding", 4, 16).count()
       }
-      // ADC over freshly-encoded codes: the measured cost includes the
-      // encode lineage once (no checkpoint), mirroring a cold scan
+      // localCheckpoint is EAGER: the encode runs here, outside the
+      // timed region, so the pq_adc row measures the ADC scan alone
+      // over pre-materialized codes (the deployment shape — codes are
+      // written once, scanned per query batch). Encode cost is its own
+      // row above.
       val codes = Similarity.pqEncode(emb, cb, "vec_id", "embedding", 4, 16)
         .localCheckpoint()
       measure("pq_adc", nE) {

@@ -31,11 +31,17 @@ class SkewSpec extends AnyFunSuite {
   }
 
   test("hot key actually spreads across salt buckets") {
-    val salted = facts.withColumn("__salt",
-      pmod(hash(col("row_id")), lit(8)))
-    val buckets = salted.filter(col("k") === 1)
-      .select("__salt").distinct().count()
-    assert(buckets == 8, s"hot key only reached $buckets of 8 salt buckets")
+    // Skew.saltCol is the SAME expression saltedJoin applies to the big
+    // side, so a regression in the operator's salt construction (constant
+    // salt, missing pmod, wrong column) fails this distribution check.
+    val salted = facts.withColumn("__salt", Skew.saltCol(col("row_id"), 8))
+    val perBucket = salted.filter(col("k") === 1)
+      .groupBy("__salt").count().collect()
+    assert(perBucket.length == 8,
+      s"hot key only reached ${perBucket.length} of 8 salt buckets")
+    assert(perBucket.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
+    // roughly uniform: no bucket holds more than 2x its fair share
+    assert(perBucket.forall(_.getLong(1) < 2 * 10000 / 8))
   }
 
   test("left and left_anti joins survive key refinement") {
