@@ -306,6 +306,16 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // Bloom-filter decontamination: same bench/corpus split as t28 but
+    // through a 65536-bit / 4-hash filter — the compact-filter scale path
+    "t36_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.bloomDecontaminate(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", shingleWords = 3, mBits = 65536L, kHashes = 4)
+        .orderBy("doc_id")
+    }),
+
     // deterministic shard assignment + within-shard shuffle order — the
     // reproducible global shuffle before a partitioned training write
     "t35_shard_assign" -> ((s, dir) => {
@@ -905,6 +915,21 @@ object TextQueries {
                FROM s)
          SELECT doc_id, term, tf, tfidf, rnk FROM r WHERE rnk <= 3
          ORDER BY doc_id, rnk""",
+    "t36_bloom_decontaminate" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, sh FROM ($SHINGLES_SQL)),
+         js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         bpos AS (SELECT DISTINCT
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || sh), 1, 15))::BIGINT
+               % 65536 AS pos
+           FROM (SELECT DISTINCT sh FROM sh WHERE doc_id < 50), js),
+         probes AS (SELECT doc_id, sh, j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || sh), 1, 15))::BIGINT
+               % 65536 AS pos
+           FROM sh, js WHERE doc_id >= 50),
+         hits AS (SELECT doc_id, sh FROM probes JOIN bpos USING (pos)
+                  GROUP BY doc_id, sh HAVING COUNT(*) = 4)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         FROM hits GROUP BY 1 HAVING COUNT(*) >= 1 ORDER BY 1""",
     "t35_shard_assign" ->
       """WITH h AS (SELECT doc_id,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u

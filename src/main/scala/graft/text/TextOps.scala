@@ -925,4 +925,42 @@ object TextOps {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
   }
+
+  /** Bloom-filter decontamination — the compact-filter variant of
+    * [[decontaminate]]: each distinct benchmark shingle sets `kHashes`
+    * md5-derived positions in an `mBits`-wide filter, and a corpus
+    * shingle is flagged iff ALL its k probe positions are set. Standard
+    * Bloom semantics: no false negatives (every exact overlap is
+    * flagged — the safe direction for an eval-leakage scrub), false
+    * positives at the usual (1-e^{-kn/m})^k rate. Returns flagged
+    * (idCol, n_hit) where n_hit counts the doc's hitting shingles.
+    *
+    * Why this exists next to the exact join: the exact filter side
+    * grows with the benchmark's distinct-shingle count, while the
+    * position set SATURATES AT `mBits` rows no matter how large the
+    * benchmark gets — decontaminating against "everything we already
+    * trained on" (billions of shingles) ships a fixed-size filter. The
+    * position derivation is pure md5 arithmetic ([[md5Hash60]] mod
+    * mBits), so an external SQL engine reproduces the filter — false
+    * positives included — bit-for-bit. */
+  def bloomDecontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, shingleWords: Int = 13, mBits: Long = 1L << 20,
+      kHashes: Int = 4, minOverlap: Long = 1): DataFrame = {
+    require(kHashes > 0 && mBits > 0, "kHashes and mBits must be positive")
+    def positions = (0 until kHashes).map(j =>
+      struct(lit(j).as("j"),
+        pmod(md5Hash60(concat(lit(s"$j:"), col("sh"))), lit(mBits)).as("pos")))
+    val bpos = explodedShingles(bench, idCol, textCol, shingleWords)
+      .select(col("sh")).distinct()
+      .select(explode(array(positions: _*)).as("e"))
+      .select(col("e.pos").as("pos")).distinct()
+    val probes = explodedShingles(corpus, idCol, textCol, shingleWords).distinct()
+      .select(col(idCol), col("sh"), explode(array(positions: _*)).as("e"))
+      .select(col(idCol), col("sh"), col("e.pos").as("pos"))
+    probes.join(bpos, "pos")
+      .groupBy(col(idCol), col("sh")).agg(count(lit(1)).as("__np"))
+      .filter(col("__np") === kHashes)
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") >= minOverlap)
+  }
 }

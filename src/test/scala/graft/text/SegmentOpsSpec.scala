@@ -77,6 +77,32 @@ class SegmentOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("aa", "bb"))
   }
 
+  test("bloomDecontaminate flags every exact overlap (no false negatives)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") >= 25)
+    val bench = docs.filter(col("doc_id") < 25)
+    val exact = TextOps.decontaminate(corpus, bench, "doc_id", "text",
+      shingleWords = 3)
+    val bloom = TextOps.bloomDecontaminate(corpus, bench, "doc_id", "text",
+      shingleWords = 3, mBits = 65536L, kHashes = 4)
+    assert(exact.count() > 0, "fixture must produce exact overlaps")
+    // Bloom superset property: every exactly-overlapping doc is flagged,
+    // and its hit count is at least the exact overlap count
+    val joined = exact.select(col("doc_id"), col("n_overlap"))
+      .join(bloom.select(col("doc_id"), col("n_hit")), Seq("doc_id"), "left")
+    assert(joined.filter(col("n_hit").isNull).count() == 0)
+    assert(joined.filter(col("n_hit") < col("n_overlap")).count() == 0)
+  }
+
+  test("bloomDecontaminate with a tiny filter flags everything (saturation)") {
+    val docs = Seq((1L, "aa bb cc dd"), (2L, "zz yy xx ww")).toDF("doc_id", "text")
+    val bench = Seq((9L, "qq rr ss tt")).toDF("doc_id", "text")
+    // mBits=1: every position is 0, the one set bit matches every probe
+    val out = TextOps.bloomDecontaminate(docs, bench, "doc_id", "text",
+      shingleWords = 3, mBits = 1L, kHashes = 2)
+    assert(out.count() == 2, "fully-saturated filter flags all docs")
+  }
+
   test("shardAssign is deterministic with contiguous per-shard sequences") {
     val docs = (0L until 64L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     def run() = TextOps.shardAssign(docs, "doc_id", nShards = 4)
