@@ -184,6 +184,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // epoch-style mixture upsampling: src0 weighted 2.3x (every doc
+    // twice, a deterministic ~30% three times), src1 1x, src2 0.5x
+    "t37_mixture_upsample" -> ((s, dir) => {
+      TextOps.mixtureUpsample(t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 2.3, "src1" -> 1.0, "src2" -> 0.5))
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")
+    }),
+
     // contiguous-fill sequence packing into 512-token bins per source
     "t24_pack_sequences" -> ((s, dir) => {
       TextOps.packSequences(t(s, dir, "documents"), "doc_id", "text",
@@ -518,6 +527,25 @@ object TextQueries {
                      WHEN source = 'src0' THEN 0.9::DOUBLE
                      ELSE 0.1::DOUBLE END)
          ORDER BY doc_id"""
+    },
+
+    // upsampling mirror: same u-hash and rate CASE, floor+frac copies
+    "t37_mixture_upsample" -> {
+      val denom = math.pow(16.0, 15)
+      s"""WITH r AS (SELECT doc_id, source,
+             (CASE WHEN source = 'src2' THEN 0.5::DOUBLE
+                   WHEN source = 'src1' THEN 1.0::DOUBLE
+                   WHEN source = 'src0' THEN 2.3::DOUBLE
+                   ELSE 0.0::DOUBLE END) AS rate,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+               / ($denom::DOUBLE) AS u
+           FROM documents),
+         n AS (SELECT doc_id, source,
+             CAST(FLOOR(rate) +
+               (CASE WHEN u < rate - FLOOR(rate) THEN 1 ELSE 0 END) AS INT) AS n
+           FROM r)
+         SELECT doc_id, source, CAST(unnest(range(n)) AS INT) AS copy
+         FROM n WHERE n > 0 ORDER BY doc_id, copy"""
     },
 
     // contiguous-fill packing mirror: per-source window token cumsum

@@ -725,6 +725,31 @@ object TextOps {
     df.filter(u < rate)
   }
 
+  /** [[mixtureSample]] generalized to epoch-style weights that may
+    * EXCEED 1 — the standard training-mixture shape (Pile/LLaMA-style
+    * source weights): a document with rate r appears floor(r) times,
+    * plus once more iff its uniform id-hash falls below frac(r), so a
+    * source weighted 2.3 contributes every doc twice and a
+    * deterministic ~30% of docs a third time. Returns the input columns
+    * plus a 0-based `copy` index so downstream packing/sharding treats
+    * repeats as distinct rows. Scale shape: one narrow projection plus
+    * a bounded explode (at most ceil(max rate) per row) — no shuffle,
+    * no RNG state. */
+  def mixtureUpsample(df: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val u = md5Hash60(col(idCol).cast("string"))
+      .cast("double") / math.pow(16.0, 15)
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    val n = (floor(rate) +
+      when(u < rate - floor(rate), 1.0).otherwise(0.0)).cast("int")
+    df.withColumn("__n", n)
+      .filter(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Contiguous-fill sequence packing: assign each document to a fixed
     * token-budget bin by the running token total in (source, id) order —
     * bin k starts where the cumulative count crosses k*budget. This is

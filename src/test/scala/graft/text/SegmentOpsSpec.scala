@@ -77,6 +77,23 @@ class SegmentOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("aa", "bb"))
   }
 
+  test("mixtureUpsample: integer weights copy exactly, fractions match mixtureSample") {
+    val docs = (0L until 100L).map(i => (i, if (i < 50) "a" else "b"))
+      .toDF("doc_id", "source")
+    val out = TextOps.mixtureUpsample(docs, "doc_id", "source",
+        Map("a" -> 2.0, "b" -> 0.4))
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    // source a (rate 2.0): every doc exactly copies 0 and 1
+    val aCopies = out.filter(_._1 < 50).groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    assert(aCopies.size == 50 && aCopies.values.forall(_ == Seq(0, 1)))
+    // source b (rate 0.4 < 1): kept set == mixtureSample's kept set, one copy
+    val sampled = TextOps.mixtureSample(docs, "doc_id", "source", Map("b" -> 0.4))
+      .collect().map(_.getLong(0)).toSet
+    val bRows = out.filter(_._1 >= 50)
+    assert(bRows.map(_._1).toSet == sampled)
+    assert(bRows.forall(_._2 == 0))
+  }
+
   test("bloomDecontaminate flags every exact overlap (no false negatives)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.filter(col("doc_id") >= 25)
