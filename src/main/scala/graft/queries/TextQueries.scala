@@ -537,7 +537,7 @@ object TextQueries {
                    WHEN source = 'src1' THEN 1.0::DOUBLE
                    WHEN source = 'src0' THEN 2.3::DOUBLE
                    ELSE 0.0::DOUBLE END) AS rate,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+             ('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
                / ($denom::DOUBLE) AS u
            FROM documents),
          n AS (SELECT doc_id, source,

@@ -46,11 +46,23 @@ object TextOps {
 
   /** 60-bit uniform hash of a column: the first 15 hex chars of its md5,
     * parsed as a BIGINT. ONE definition shared by [[winnowFingerprints]],
-    * [[mixtureSample]] and [[shardAssign]] — every DuckDB oracle mirrors
-    * this exact expression (`('0x' || substr(md5(x), 1, 15))::BIGINT`),
-    * so the three call sites must never drift apart. */
+    * [[mixtureSample]], [[mixtureUpsample]], [[shardAssign]] and
+    * [[bloomDecontaminate]] — every DuckDB oracle mirrors this exact
+    * expression (`('0x' || substr(md5(x), 1, 15))::BIGINT`), so the
+    * call sites must never drift apart. Ops whose hash decisions must
+    * be INDEPENDENT of each other salt the input with an op-specific
+    * prefix (see [[mixtureUpsample]]). */
   private[graft] def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Per-source rate lookup as a when-cascade over sorted keys — shared
+    * by [[mixtureSample]] and [[mixtureUpsample]] so their DuckDB CASE
+    * mirrors stay aligned with one definition. */
+  private def rateCase(sourceCol: String, rates: Map[String, Double],
+      defaultRate: Double): Column =
+    rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
 
   /** (id, sh) exploded shingle pairs via the compiled shingle kernel. */
   private[graft] def explodedShingles(df: DataFrame, idCol: String, textCol: String,
@@ -719,10 +731,7 @@ object TextOps {
       rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
     val u = md5Hash60(col(idCol).cast("string"))
       .cast("double") / math.pow(16.0, 15)
-    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
-      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
-    }
-    df.filter(u < rate)
+    df.filter(u < rateCase(sourceCol, rates, defaultRate))
   }
 
   /** [[mixtureSample]] generalized to epoch-style weights that may
@@ -737,11 +746,15 @@ object TextOps {
     * no RNG state. */
   def mixtureUpsample(df: DataFrame, idCol: String, sourceCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
-    val u = md5Hash60(col(idCol).cast("string"))
+    Seq("__n", "copy").foreach(c => require(!df.columns.contains(c),
+      s"column $c collides with mixtureUpsample's output/internal columns"))
+    // "up:"-salted hash: the extra-copy decision must be INDEPENDENT of
+    // mixtureSample's unsalted keep-hash — with the same u, a corpus
+    // pre-filtered at rate s would get the extra copy for 100% (s <=
+    // frac) or a biased low-u slice of docs, never the frac(r) sample.
+    val u = md5Hash60(concat(lit("up:"), col(idCol).cast("string")))
       .cast("double") / math.pow(16.0, 15)
-    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
-      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
-    }
+    val rate = rateCase(sourceCol, rates, defaultRate)
     val n = (floor(rate) +
       when(u < rate - floor(rate), 1.0).otherwise(0.0)).cast("int")
     df.withColumn("__n", n)
@@ -972,16 +985,16 @@ object TextOps {
       textCol: String, shingleWords: Int = 13, mBits: Long = 1L << 20,
       kHashes: Int = 4, minOverlap: Long = 1): DataFrame = {
     require(kHashes > 0 && mBits > 0, "kHashes and mBits must be positive")
-    def positions = (0 until kHashes).map(j =>
-      struct(lit(j).as("j"),
-        pmod(md5Hash60(concat(lit(s"$j:"), col("sh"))), lit(mBits)).as("pos")))
+    // plain array explode: duplicate positions within a shingle stay
+    // distinct rows (one per probe), exactly like the SQL mirror's
+    // (j, sh) cross join
+    def positions = array((0 until kHashes).map(j =>
+      pmod(md5Hash60(concat(lit(s"$j:"), col("sh"))), lit(mBits))): _*)
     val bpos = explodedShingles(bench, idCol, textCol, shingleWords)
       .select(col("sh")).distinct()
-      .select(explode(array(positions: _*)).as("e"))
-      .select(col("e.pos").as("pos")).distinct()
+      .select(explode(positions).as("pos")).distinct()
     val probes = explodedShingles(corpus, idCol, textCol, shingleWords).distinct()
-      .select(col(idCol), col("sh"), explode(array(positions: _*)).as("e"))
-      .select(col(idCol), col("sh"), col("e.pos").as("pos"))
+      .select(col(idCol), col("sh"), explode(positions).as("pos"))
     probes.join(bpos, "pos")
       .groupBy(col(idCol), col("sh")).agg(count(lit(1)).as("__np"))
       .filter(col("__np") === kHashes)

@@ -77,7 +77,7 @@ class SegmentOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("aa", "bb"))
   }
 
-  test("mixtureUpsample: integer weights copy exactly, fractions match mixtureSample") {
+  test("mixtureUpsample: integer weights copy exactly, fractions sample deterministically") {
     val docs = (0L until 100L).map(i => (i, if (i < 50) "a" else "b"))
       .toDF("doc_id", "source")
     val out = TextOps.mixtureUpsample(docs, "doc_id", "source",
@@ -86,12 +86,28 @@ class SegmentOpsSpec extends AnyFunSuite {
     // source a (rate 2.0): every doc exactly copies 0 and 1
     val aCopies = out.filter(_._1 < 50).groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
     assert(aCopies.size == 50 && aCopies.values.forall(_ == Seq(0, 1)))
-    // source b (rate 0.4 < 1): kept set == mixtureSample's kept set, one copy
-    val sampled = TextOps.mixtureSample(docs, "doc_id", "source", Map("b" -> 0.4))
-      .collect().map(_.getLong(0)).toSet
+    // source b (rate 0.4 < 1): a deterministic ~40% subset, one copy each
     val bRows = out.filter(_._1 >= 50)
-    assert(bRows.map(_._1).toSet == sampled)
     assert(bRows.forall(_._2 == 0))
+    assert(bRows.length > 10 && bRows.length < 30, s"got ${bRows.length} of 50")
+    val again = TextOps.mixtureUpsample(docs, "doc_id", "source",
+        Map("a" -> 2.0, "b" -> 0.4))
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(again.toSet == out.toSet, "deterministic across runs")
+  }
+
+  test("mixtureUpsample extra-copy hash is independent of mixtureSample's keep-hash") {
+    // pre-filter at rate 0.5, then upsample 2.5x: with a SHARED hash every
+    // survivor (u < 0.5) would get the extra copy (frac = 0.5); the salted
+    // hash keeps the extra-copy fraction near frac(r) among survivors
+    val docs = (0L until 400L).map(i => (i, "a")).toDF("doc_id", "source")
+    val kept = TextOps.mixtureSample(docs, "doc_id", "source", Map("a" -> 0.5))
+    val nKept = kept.count()
+    val extra = TextOps.mixtureUpsample(kept, "doc_id", "source", Map("a" -> 2.5))
+      .filter(col("copy") === 2).count()
+    val frac = extra.toDouble / nKept
+    assert(frac > 0.3 && frac < 0.7,
+      s"extra-copy fraction $frac should be near 0.5, not 1.0 (shared-hash bias)")
   }
 
   test("bloomDecontaminate flags every exact overlap (no false negatives)") {
