@@ -345,6 +345,32 @@ object TextQueries {
       graft.sim.Similarity.pqAdcSearch(codes, cb, qs, "vec_id", "embedding",
           m = 4, subDim = 16, k = 5)
         .orderBy("query_id", "cand_id")
+    }),
+
+    // token-window chunking (RAG prep): 16-token windows, 4-token overlap
+    "t38_chunk_documents" -> ((s, dir) => {
+      TextOps.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 16, overlap = 4)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // deterministic exact-k stratified sample: 5 docs per source;
+    // oversample=2 makes the skew-guard prefilter non-trivial at this SF
+    // (p = 10/25 = 0.4 of each stratum reaches the rank)
+    "t39_stratified_sample" -> ((s, dir) => {
+      TextOps.stratifiedSample(t(s, dir, "documents"), "doc_id", "source",
+          k = 5, oversample = 2.0)
+        .select("source", "doc_id", "rank")
+        .orderBy("source", "rank")
+    }),
+
+    // bigram-LM cross-entropy: train on docs < 250, score docs >= 250
+    // (the CCNet quality-filter setup; exercises unseen-bigram smoothing)
+    "t40_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.lmScore(docs.filter(col("doc_id") < 250),
+          docs.filter(col("doc_id") >= 250), "doc_id", "text", alpha = 0.1)
+        .orderBy("doc_id")
     })
   )
 
@@ -361,6 +387,13 @@ object TextQueries {
     s"""SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
        list_extract(w, i+2) AS sh
        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+             FROM ($TOKS_SQL))"""
+
+  /** 2-word shingles with the head word alongside (t40's LM bigrams). */
+  private val BIGRAMS_SQL =
+    s"""SELECT doc_id, list_extract(w, i) AS w1,
+       list_extract(w, i) || ' ' || list_extract(w, i+1) AS sh
+       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
              FROM ($TOKS_SQL))"""
 
   /** PQ pipeline mirror (t33/t34): codebook from the first 16 vectors'
@@ -988,5 +1021,57 @@ object TextQueries {
                FROM ad)
          SELECT query_id, cand_id, adist FROM r WHERE rn <= 5
          ORDER BY query_id, cand_id"""
+  ) ++ Map(
+    // chunking mirror: same token list, stride-12 starts, 16-token slices
+    "t38_chunk_documents" ->
+      s"""WITH tk AS (SELECT doc_id, w, len(w) AS nt
+             FROM ($TOKS_SQL) WHERE len(w) > 0),
+         ch AS (SELECT doc_id, w,
+             CAST(unnest(range((nt - 1) // 12 + 1)) AS BIGINT) AS chunk_id
+           FROM tk)
+         SELECT doc_id, chunk_id,
+           CAST(len(list_slice(w, chunk_id*12 + 1, chunk_id*12 + 16)) AS BIGINT)
+             AS n_tok,
+           array_to_string(list_slice(w, chunk_id*12 + 1, chunk_id*12 + 16), ' ')
+             AS chunk_text
+         FROM ch ORDER BY doc_id, chunk_id""",
+
+    // stratified-sample mirror: same salted 60-bit hash, count-derived
+    // keep threshold (oversample*k/cnt), rank among survivors
+    "t39_stratified_sample" -> {
+      val denom = math.pow(2.0, 60)
+      s"""WITH h AS (SELECT source, doc_id,
+             ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
+           FROM documents),
+         c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1),
+         f AS (SELECT h.source, doc_id, u FROM h JOIN c USING (source)
+           WHERE u::DOUBLE / ($denom::DOUBLE)
+             < LEAST(1.0::DOUBLE, 10.0::DOUBLE / cnt)),
+         r AS (SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) AS rank
+           FROM f)
+         SELECT source, doc_id, CAST(rank AS BIGINT) AS rank FROM r
+         WHERE rank <= 5 ORDER BY source, rank"""
+    },
+
+    // LM-score mirror: bigram/head counts on the reference half, vocab V,
+    // per-bigram 6-dp rounded bits, then the per-doc mean
+    "t40_lm_score" ->
+      s"""WITH bg AS ($BIGRAMS_SQL),
+         ref AS (SELECT * FROM bg WHERE doc_id < 250),
+         tgt AS (SELECT * FROM bg WHERE doc_id >= 250),
+         cb AS (SELECT sh, COUNT(*) AS cb FROM ref GROUP BY 1),
+         cu AS (SELECT w1, COUNT(*) AS cu FROM ref GROUP BY 1),
+         v AS (SELECT CAST(COUNT(DISTINCT x) AS DOUBLE) AS v
+           FROM (SELECT unnest(w) AS x FROM ($TOKS_SQL) WHERE doc_id < 250)),
+         sc AS (SELECT t.doc_id,
+             CAST(ROUND(ROUND(ln((COALESCE(cu.cu, 0) + 0.1 * v.v)
+               / (COALESCE(cb.cb, 0) + 0.1)) / ln(2.0), 6) * 1000000.0, 0)
+               AS BIGINT) AS micro
+           FROM tgt t LEFT JOIN cb USING (sh) LEFT JOIN cu USING (w1)
+           CROSS JOIN v)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           (SUM(micro)::DOUBLE / COUNT(*)) / 1000000.0 AS lm_bits
+         FROM sc GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -1001,4 +1001,122 @@ object TextOps {
       .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
       .filter(col("n_hit") >= minOverlap)
   }
+
+  /** Token-window document chunking — the RAG / context-window prep
+    * step: split each document into windows of `chunkTokens` tokens
+    * with `overlap` tokens shared between consecutive chunks
+    * (stride = chunkTokens - overlap). One row per chunk:
+    * (idCol, chunk_id, n_tok, chunk_text); chunk starts are 0, stride,
+    * 2*stride, … up to the last start < n_tokens, so the final chunk
+    * may be short. Empty documents produce no chunks.
+    *
+    * Scale shape: tokenize once (codegen'd [[Tokens]] kernel), explode
+    * a computed chunk-index sequence, slice the materialized token
+    * array — a pure narrow map stage with NO shuffle; output
+    * partitioning inherits the input's, ready for the downstream
+    * embed/write step. The token array is projected into a column
+    * before the explode so the per-chunk `slice` reads a plain
+    * attribute instead of re-tokenizing per chunk. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunkTokens=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    val start = (col("chunk_id") * stride + 1).cast("int")
+    fanOut(df).select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L),
+          floor((col("__n") - 1) / lit(stride.toDouble)).cast("long"))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        size(slice(col("__toks"), start, lit(chunkTokens))).cast("long").as("n_tok"),
+        array_join(slice(col("__toks"), start, lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
+  /** Deterministic exact-k stratified sample: the k smallest documents
+    * per stratum by a salted md5 hash — a reproducible "pick k docs per
+    * source" that is stable across runs and engines. Returns
+    * (strataCol, idCol, rank) with rank in 1..k.
+    *
+    * Scale shape: ranking a low-cardinality stratum column with a bare
+    * window would funnel each stratum through ONE task — the classic
+    * skew trap. So the window only ever sees a pre-filtered sliver:
+    * exact per-stratum counts (a tiny hash agg, broadcast back) set a
+    * keep-threshold p = min(1, oversample*k/count) on the SAME uniform
+    * hash used for ranking, so ~oversample*k rows per stratum reach the
+    * rank. Because the top-k rows are the k smallest hashes, they all
+    * pass the filter whenever at least k rows do; the filter is
+    * deterministic, so any engine mirroring it agrees bit-for-bit.
+    * Short-fall (< k survivors) has per-stratum probability
+    * exp(-Θ(oversample·k)) — raise `oversample` to taste; the result is
+    * then min(k, survivors) rows for that stratum. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      k: Int, oversample: Double = 8.0): DataFrame = {
+    require(k > 0 && oversample >= 1.0,
+      s"need k > 0 and oversample >= 1, got k=$k oversample=$oversample")
+    val denom = math.pow(2.0, 60).toLong // md5Hash60 range
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("__u"), col(idCol))
+    df.select(col(strataCol), col(idCol))
+      .withColumn("__u", md5Hash60(concat(lit("strat:"), col(idCol).cast("string"))))
+      .join(broadcast(counts), Seq(strataCol))
+      .filter(col("__u") / lit(denom.toDouble) <
+        least(lit(1.0), lit(oversample * k) / col("__cnt")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .drop("__u", "__cnt")
+  }
+
+  /** Corpus-bigram language-model score — the CCNet-style fluency
+    * signal: train add-alpha-smoothed bigram counts on a reference
+    * corpus, then score each target document by its mean bigram
+    * cross-entropy in bits,
+    * score(d) = mean over bigrams (w1,w2) of
+    * -log2((c(w1 w2) + alpha) / (c(w1 ·) + alpha·V)),
+    * where c(w1 ·) counts bigrams headed by w1 and V is the reference
+    * vocabulary size. Lower = more fluent under the reference model.
+    * Returns (idCol, n_bigrams, lm_bits); documents with < 2 tokens get
+    * no row. Self-scoring (reference eq target) is the in-corpus
+    * outlier detector; a clean reference scoring a crawled target is
+    * the CCNet quality-filter setup.
+    *
+    * Scale shape: training is two hash aggs over exploded bigrams;
+    * scoring is a keyed shuffle join doc-bigrams ⋈ counts — the
+    * canonical fact-to-fact-on-key shape (both sides hash-partition by
+    * gram; AQE splits head-word skew). V joins as a broadcast
+    * single-row aggregate, like [[tfidfTopTerms]]'s N. Nothing is
+    * collected to the driver. */
+  def lmScore(reference: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val refSh = explodedShingles(reference, idCol, textCol, 2)
+    val biCounts = refSh.groupBy(col("sh")).agg(count(lit(1)).as("__cb"))
+    val headCounts = refSh
+      .select(substring_index(col("sh"), " ", 1).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__cu"))
+    val vocab = fanOut(reference)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .agg(countDistinct(col("__w")).cast("double").as("__v"))
+    explodedShingles(target, idCol, textCol, 2)
+      .withColumn("__w1", substring_index(col("sh"), " ", 1))
+      .join(biCounts, Seq("sh"), "left")
+      .join(headCounts, Seq("__w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        // per-bigram rounding (like [[tfidfTopTerms]]'s per-term log
+        // round) keeps cross-engine log ulp noise away from the gate;
+        // scaling the 6-dp value to integer micro-bits makes the SUM
+        // exact and order-independent — a double AVG of the rounded
+        // values can land on a rounding boundary and flip the 6th
+        // decimal depending on summation order (seen at sf0.01)
+        round(round(log((coalesce(col("__cu"), lit(0L)) + lit(alpha) * col("__v")) /
+            (coalesce(col("__cb"), lit(0L)) + lit(alpha))) / log(lit(2.0)), 6)
+          * lit(1e6), 0).cast("long").as("__micro"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        ((sum(col("__micro")).cast("double") / count(lit(1))) / lit(1e6))
+          .as("lm_bits"))
+  }
 }

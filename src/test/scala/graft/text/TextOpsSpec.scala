@@ -254,4 +254,65 @@ class TextOpsSpec extends AnyFunSuite {
       shingleWords = 3, minOverlap = 2)
     assert(strict.collect().map(_.getLong(0)).toSeq == Seq(10L))
   }
+
+  test("chunkDocuments: stride windows, short tail, empty docs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b"),                           // shorter than one chunk
+      (3L, "... !!! ---"))                   // tokenizes to nothing
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, overlap = 1) // stride 3 -> starts 0,3,6,9
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 1L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 4L, "t6 t7 t8 t9"),
+      (1L, 3L, 1L, "t9"),
+      (2L, 0L, 2L, "a b")))
+    // overlap tokens really are shared between consecutive chunks
+    assert(got(0)._4.endsWith("t3") && got(1)._4.startsWith("t3"))
+  }
+
+  test("stratifiedSample: exact k per stratum, deterministic, prefilter-invariant") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "src")
+    val a = TextOps.stratifiedSample(docs, "doc_id", "src", k = 4, oversample = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a.groupBy(_._1).forall { case (_, rs) =>
+      rs.size == 4 && rs.map(_._3).sorted == Seq(1L, 2L, 3L, 4L) })
+    // same result with the prefilter wide open (oversample covers the
+    // whole stratum): the threshold never cuts a top-k hash
+    val b = TextOps.stratifiedSample(docs, "doc_id", "src", k = 4, oversample = 100.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a == b)
+    // deterministic across runs
+    val c = TextOps.stratifiedSample(docs, "doc_id", "src", k = 4, oversample = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a == c)
+  }
+
+  test("lmScore: hand-computed bigram cross-entropy with add-alpha smoothing") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val tgt = Seq((10L, "a b c")).toDF("doc_id", "text")
+    // ref model: cb("a b")=2, cb("b a")=1, cb("a c")=1; cu(a)=3, cu(b)=1; V=3
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bitsAB = r6(math.log((3 + 0.1 * 3) / (2 + 0.1)) / math.log(2.0)) // seen
+    val bitsBC = r6(math.log((1 + 0.1 * 3) / (0 + 0.1)) / math.log(2.0)) // unseen
+    val got = TextOps.lmScore(ref, tgt, "doc_id", "text", alpha = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 1)
+    assert(got(0)._1 == 10L && got(0)._2 == 2L)
+    // exact mean of the integer micro-bit values (order-independent sum)
+    val expected = (math.round(bitsAB * 1e6) + math.round(bitsBC * 1e6)) / 2.0 / 1e6
+    assert(math.abs(got(0)._3 - expected) < 1e-12)
+    // the unseen bigram costs more bits than the frequent one
+    assert(bitsBC > bitsAB)
+    // a sub-2-token doc gets no row
+    assert(TextOps.lmScore(ref, Seq((11L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+  }
 }
