@@ -371,6 +371,17 @@ object TextQueries {
       TextOps.lmScore(docs.filter(col("doc_id") < 250),
           docs.filter(col("doc_id") >= 250), "doc_id", "text", alpha = 0.1)
         .orderBy("doc_id")
+    }),
+
+    // SemDeDup: same trained k-means as t13, then drop any vector with
+    // an earlier same-cell member at rounded cosine >= 0.3 (the
+    // synthetic embeddings are near-random, so 0.3 ~ the p99 pair sim
+    // — a non-trivial but not corpus-clearing threshold at this SF)
+    "t41_semantic_dedup" -> ((s, dir) => {
+      graft.sim.Similarity.semDedup(t(s, dir, "embeddings"), "vec_id",
+          "embedding", initIds = Seq(0L, 1L, 2L, 3L), iterations = 2,
+          simThreshold = 0.3)
+        .orderBy("vec_id")
     })
   )
 
@@ -395,6 +406,34 @@ object TextQueries {
        list_extract(w, i) || ' ' || list_extract(w, i+1) AS sh
        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
              FROM ($TOKS_SQL))"""
+
+  /** Trained k-means assignment chain shared by t13 and t41: 4 seed
+    * centroids (vec_id < 4), 2 Lloyd iterations, final 4-dp-rounded
+    * cosine assignment in `af` (vec_id, v, cell). Splices after WITH. */
+  private val KMEANS_TRAINED_ASSIGN_CTES: String = {
+    val meanList = (1 to 64).map(i => s"AVG(v[$i])").mkString("[", ", ", "]")
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    def assign(cent: String, name: String, rounded: Boolean) = {
+      val sim = if (rounded) s"ROUND(${cos("v", "cv")}, 4)" else cos("v", "cv")
+      s"""${name}s AS (SELECT d.vec_id, d.v, cell, $sim AS sim FROM d, $cent),
+         $name AS (SELECT vec_id, v, cell FROM (
+           SELECT vec_id, v, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+           FROM ${name}s) WHERE rn = 1)"""
+    }
+    def lloyd(prev: String, assigned: String, next: String) =
+      s"""${next}m AS (SELECT cell, $meanList AS cv FROM $assigned GROUP BY cell),
+         $next AS (SELECT p.cell, COALESCE(m.cv, p.cv) AS cv
+           FROM $prev p LEFT JOIN ${next}m m USING (cell))"""
+    s"""d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 4),
+         ${assign("c0", "a0", rounded = false)},
+         ${lloyd("c0", "a0", "c1")},
+         ${assign("c1", "a1", rounded = false)},
+         ${lloyd("c1", "a1", "c2")},
+         ${assign("c2", "af", rounded = true)}"""
+  }
 
   /** PQ pipeline mirror (t33/t34): codebook from the first 16 vectors'
     * subvectors, squared-L2 via the dot identity on DOUBLE[] slices —
@@ -840,31 +879,22 @@ object TextQueries {
            JOIN reach ON reach.id = e.b_id)
          SELECT id AS doc_id, MIN(r) AS cluster FROM reach
          GROUP BY id ORDER BY doc_id""",
-    "t13_kmeans_ivf" -> {
-      val meanList = (1 to 64).map(i => s"AVG(v[$i])").mkString("[", ", ", "]")
-      def cos(a: String, b: String) =
-        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
-      def assign(cent: String, name: String, rounded: Boolean) = {
-        val sim = if (rounded) s"ROUND(${cos("v", "cv")}, 4)" else cos("v", "cv")
-        s"""${name}s AS (SELECT d.vec_id, d.v, cell, $sim AS sim FROM d, $cent),
-         $name AS (SELECT vec_id, v, cell FROM (
-           SELECT vec_id, v, cell,
-             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
-           FROM ${name}s) WHERE rn = 1)"""
-      }
-      def lloyd(prev: String, assigned: String, next: String) =
-        s"""${next}m AS (SELECT cell, $meanList AS cv FROM $assigned GROUP BY cell),
-         $next AS (SELECT p.cell, COALESCE(m.cv, p.cv) AS cv
-           FROM $prev p LEFT JOIN ${next}m m USING (cell))"""
-      s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         c0 AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 4),
-         ${assign("c0", "a0", rounded = false)},
-         ${lloyd("c0", "a0", "c1")},
-         ${assign("c1", "a1", rounded = false)},
-         ${lloyd("c1", "a1", "c2")},
-         ${assign("c2", "af", rounded = true)}
-         SELECT vec_id, cell FROM af ORDER BY vec_id"""
-    },
+    "t13_kmeans_ivf" ->
+      s"""WITH $KMEANS_TRAINED_ASSIGN_CTES
+         SELECT vec_id, cell FROM af ORDER BY vec_id""",
+
+    // SemDeDup mirror: the SAME trained-assignment chain as t13, then
+    // the "exists an earlier similar same-cell member" drop rule
+    "t41_semantic_dedup" ->
+      s"""WITH $KMEANS_TRAINED_ASSIGN_CTES,
+         drops AS (SELECT DISTINCT a.vec_id FROM af a JOIN af b
+           ON a.cell = b.cell AND b.vec_id < a.vec_id
+           AND ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3)
+         SELECT vec_id, cell FROM af
+         WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+         ORDER BY vec_id""",
     "t11_ivf_search" ->
       """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          cent AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 4),

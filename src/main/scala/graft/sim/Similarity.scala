@@ -340,4 +340,44 @@ object Similarity {
     dists.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .drop("rn")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with [[kmeansCentroids]],
+    * then within each cluster drop every vector that has a
+    * smaller-id member whose rounded cosine similarity reaches
+    * `simThreshold` — keeping the first (smallest-id) representative
+    * of each near-duplicate group as seen through its cluster.
+    * Returns the surviving (idCol, cell) rows.
+    *
+    * Scale shape: the clustering IS the scalability mechanism — the
+    * pairwise cosine check joins the assigned frame to itself keyed
+    * on the cell id, so the work is sum over cells of |cell|^2
+    * instead of n^2, and k (via `initIds`) tunes the cell size the
+    * same way SemDeDup's paper sweeps cluster counts. The drop rule
+    * is "exists an earlier similar member": one keyed join + distinct
+    * + left_anti, no connected-components iteration; a skewed hot
+    * cell splits under AQE like any keyed join. The assigned frame is
+    * checkpointed once so the self-join's two branches share one
+    * assignment pass instead of re-running k-means per branch. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      initIds: Seq[Long], iterations: Int,
+      simThreshold: Double): DataFrame = {
+    require(simThreshold > 0 && simThreshold <= 1,
+      s"simThreshold must be in (0, 1], got $simThreshold")
+    val trained = kmeansCentroids(corpus, idCol, vecCol, initIds, iterations)
+    val assigned = ivfAssign(corpus,
+        trained.select(col("cell").as(idCol), col("centroid").as(vecCol)),
+        idCol, vecCol)
+      .localCheckpoint()
+    val later = assigned.select(col(idCol).as("__aid"),
+      col("v").as("__av"), col("cell"))
+    val earlier = assigned.select(col(idCol).as("__bid"),
+      col("v").as("__bv"), col("cell"))
+    val dropIds = later.join(earlier, Seq("cell"))
+      .filter(col("__bid") < col("__aid") &&
+        round(cosine(col("__av"), col("__bv")), 4) >= simThreshold)
+      .select(col("__aid").as(idCol)).distinct()
+    assigned.join(dropIds, Seq(idCol), "left_anti")
+      .select(idCol, "cell")
+  }
 }

@@ -15,6 +15,9 @@ import org.apache.spark.sql.DataFrame
   */
 object FanOut {
   def apply(df: DataFrame): DataFrame = {
+    // Streaming frames can't be partition-probed (df.rdd throws) and
+    // micro-batches don't hit the small-file regime this guards against.
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
     else df

@@ -99,4 +99,27 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"mean recall@5 with nProbe=2/4 cells = $mean")
   }
+
+  test("semDedup keeps the first representative of each in-cluster near-dup group") {
+    import spark.implicits._
+    // two orthogonal clusters; 2 duplicates 1, 4 duplicates 3, 5 sits
+    // between the clusters (cos ~0.71 to both) and survives at thr=0.95
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.01f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.01f, 0.999f)),
+      (5L, Array(0.7f, 0.714f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(corpus, "vec_id", "embedding",
+        initIds = Seq(1L, 3L), iterations = 0, simThreshold = 0.95)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // survivors are the smallest id per near-dup group plus the loner;
+    // 5 lands in the y-axis cell (cos to (0,1) beats cos to (1,0))
+    assert(got.toSeq == Seq((1L, 0L), (3L, 1L), (5L, 1L)))
+    // a corpus-clearing threshold keeps exactly the per-cell minima
+    val aggressive = Similarity.semDedup(corpus, "vec_id", "embedding",
+        initIds = Seq(1L, 3L), iterations = 0, simThreshold = 0.01)
+      .orderBy("vec_id").collect().map(_.getLong(0))
+    assert(aggressive.toSeq == Seq(1L, 3L))
+  }
 }

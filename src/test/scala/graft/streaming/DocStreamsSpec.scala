@@ -65,6 +65,27 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("chunkDocuments composes with a stream, matching batch") {
+    // Chunking is a stateless narrow map (tokenize -> explode -> slice),
+    // so the SAME call runs unchanged on a streaming frame in append
+    // mode — chunk-at-ingest for a RAG/embedding pipeline.
+    val schema = docsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      TextOps.chunkDocuments(df, "doc_id", "text",
+        chunkTokens = 16, overlap = 4)
+    val q = pipeline(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunk_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("chunk_stream")
+    val batch = pipeline(docsBatch)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming simhash dedup emits one doc per distinct 64-bit signature") {
     val schema = docsBatch.schema
     val stream = spark.readStream.schema(schema).parquet(streamDir)
