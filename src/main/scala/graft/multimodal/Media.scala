@@ -25,10 +25,14 @@ import org.apache.spark.sql.types._
   *    timescale+duration, `trak/tkhd` for track dimensions), the same
   *    pure-JVM approach as the BMP/WAV header parsers, and
   *    [[buildMp4]] emits a structurally valid container so the pair is
-  *    an oracle-checkable round trip. Frame PIXEL extraction (which
-  *    does need a codec) stays a clearly-marked deterministic STUB
-  *    ([[fakeDecode]], non-MP4 video only); frame-sample PLANNING
-  *    ([[sampleFrames]]) is real plumbing around it.
+  *    an oracle-checkable round trip. Frame PIXELS are real for AVI:
+  *    [[decodeAviFrames]] unpacks uncompressed BI_RGB '00db' frames
+  *    directly and routes MJPEG '00dc' frames through the ImageIO JPEG
+  *    codec, so [[videoFrames]] emits measured frame content
+  *    (oracle-checked via [[buildAvi]]'s deterministic pixel rule).
+  *    Only containers with no pure-JVM path (webm/mkv) still fall to
+  *    the clearly-marked STUB ([[fakeDecode]]); frame-sample PLANNING
+  *    ([[sampleFrames]]) is real plumbing either way.
   *
   * Per-partition `mapPartitions` is the Scala analogue of a
   * `mapInPandas` batch UDF: no shuffle, codec state per task, scales by
@@ -126,8 +130,8 @@ object Media {
   }
 
   /** Real header parse: (format, width, height, duration_ms) for BMP,
-    * WAV and MP4 magic; None for anything else (goes to the JDK-codec
-    * ladder, then the STUB path). */
+    * WAV, AVI and MP4 magic; None for anything else (goes to the
+    * JDK-codec ladder, then the STUB path). */
   def parseContainer(payload: Array[Byte]): Option[(String, Int, Int, Long)] = {
     if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M')
       Some(("bmp", rdLe32(payload, 18), rdLe32(payload, 22), 0L))
@@ -139,7 +143,213 @@ object Media {
       val dataSize = rdLe32(payload, 40)
       val nSamples = if (bytesPerSample == 0) 0 else dataSize / bytesPerSample
       Some(("wav", 0, 0, nSamples.toLong * 1000L / sampleRate))
-    } else parseMp4(payload)
+    } else parseAvi(payload).orElse(parseMp4(payload))
+  }
+
+  /** Iterate sibling RIFF chunks of [start, end): f(fourcc, bodyStart,
+    * bodyEnd). Chunk bodies are WORD-aligned (odd sizes padded). The
+    * little-endian twin of [[walkBoxes]]. */
+  private def walkRiff(b: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var off = start
+    while (off + 8 <= end) {
+      val t = new String(b, off, 4, "US-ASCII")
+      val size = rdLe32(b, off + 4)
+      if (size < 0 || off + 8 + size > end) return
+      f(t, off + 8, off + 8 + size)
+      off += 8 + size + (size & 1)
+    }
+  }
+
+  /** Real AVI metadata parse — pure-JVM RIFF walk to `hdrl/avih`:
+    * (format, width, height, duration_ms = usPerFrame * totalFrames).
+    * None when the RIFF/AVI structure is absent. */
+  def parseAvi(payload: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    if (payload.length < 12 + 8 + 56) return None
+    if (new String(payload, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(payload, 8, 4, "US-ASCII") != "AVI ") return None
+    var out: Option[(String, Int, Int, Long)] = None
+    walkRiff(payload, 12, payload.length) { (t, bs, be) =>
+      if (t == "LIST" && be - bs >= 4 &&
+          new String(payload, bs, 4, "US-ASCII") == "hdrl") {
+        walkRiff(payload, bs + 4, be) { (t2, bs2, be2) =>
+          if (t2 == "avih" && be2 - bs2 >= 40 && out.isEmpty) {
+            val usPerFrame = rdLe32(payload, bs2).toLong & 0xffffffffL
+            val total = rdLe32(payload, bs2 + 16).toLong & 0xffffffffL
+            val w = rdLe32(payload, bs2 + 32)
+            val h = rdLe32(payload, bs2 + 36)
+            out = Some(("avi", w, h, usPerFrame * total / 1000L))
+          }
+        }
+      }
+    }
+    out
+  }
+
+  /** A structurally valid AVI container. Default codec is uncompressed
+    * BI_RGB ('DIB ', '00db' chunks: bottom-up BGR24 rows, 4-byte padded
+    * like BMP); `mjpeg=true` emits real ImageIO-encoded JPEG frames in
+    * '00dc' chunks (handler 'MJPG') instead. Frame f's pixel (x, y) has
+    * r = g = b = (x*31 + y*17 + f*29) & 0xff — deterministic from the
+    * construction params, so an external oracle recomputes raw-frame
+    * statistics without a codec (the MJPEG variant is lossy and
+    * verified in-JVM only). */
+  def buildAvi(width: Int, height: Int, nFrames: Int, fps: Int = 10,
+      mjpeg: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames >= 0 && fps > 0,
+      s"invalid AVI geometry: ${width}x$height x$nFrames @${fps}fps")
+    def pixel(x: Int, y: Int, f: Int): Int = (x * 31 + y * 17 + f * 29) & 0xff
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val chunks: Seq[(String, Array[Byte])] = (0 until nFrames).map { f =>
+      if (mjpeg) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = pixel(x, y, f)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        ("00dc", bos.toByteArray)
+      } else {
+        val b = new Array[Byte](rowSize * height)
+        var s = 0
+        while (s < height) {
+          val y = height - 1 - s // bottom-up storage
+          var x = 0
+          while (x < width) {
+            val v = pixel(x, y, f).toByte
+            val p = s * rowSize + x * 3
+            b(p) = v; b(p + 1) = v; b(p + 2) = v
+            x += 1
+          }
+          s += 1
+        }
+        ("00db", b)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    def tag(s: String): Unit = s.foreach(c => bos.write(c.toInt))
+    val handler = if (mjpeg) "MJPG" else "DIB "
+    val strhSize = 56; val strfSize = 40; val avihSize = 56
+    val strlSize = 4 + (8 + strhSize) + (8 + strfSize)
+    val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize)
+    val moviSize = 4 + chunks.map { case (_, c) => 8 + c.length + (c.length & 1) }.sum
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    tag("RIFF"); w32(riffSize); tag("AVI ")
+    tag("LIST"); w32(hdrlSize); tag("hdrl")
+    tag("avih"); w32(avihSize)
+    w32(1000000 / fps)                 // usPerFrame
+    w32(0); w32(0); w32(0)             // maxBytesPerSec, padding, flags
+    w32(nFrames); w32(0); w32(1)       // totalFrames, initialFrames, streams
+    w32(rowSize * height)              // suggestedBufferSize
+    w32(width); w32(height)
+    (0 until 4).foreach(_ => w32(0))   // reserved
+    tag("LIST"); w32(strlSize); tag("strl")
+    tag("strh"); w32(strhSize)
+    tag("vids"); tag(handler)
+    w32(0); w32(0); w32(0)             // flags, priority+language, initialFrames
+    w32(1); w32(fps)                   // scale, rate -> fps frames/sec
+    w32(0); w32(nFrames)               // start, length
+    w32(rowSize * height); w32(-1); w32(0) // suggestedBuf, quality, sampleSize
+    w16(0); w16(0); w16(width); w16(height) // rcFrame
+    tag("strf"); w32(strfSize)
+    w32(40); w32(width); w32(height)
+    w16(1); w16(24)                    // planes, bpp
+    if (mjpeg) tag("MJPG") else w32(0) // biCompression
+    w32(rowSize * height); w32(0); w32(0); w32(0); w32(0)
+    tag("LIST"); w32(moviSize); tag("movi")
+    chunks.foreach { case (cc, c) =>
+      tag(cc); w32(c.length); bos.write(c, 0, c.length)
+      if ((c.length & 1) == 1) bos.write(0)
+    }
+    bos.toByteArray
+  }
+
+  /** REAL frame-pixel decode of an AVI payload's movi chunks:
+    * uncompressed '..db' BI_RGB frames are unpacked directly
+    * (bottom-up BGR24 -> BufferedImage), and MJPEG '..dc' frames
+    * (JPEG SOI marker) go through the actual ImageIO JPEG codec.
+    * Non-AVI payloads and unrecognized chunks yield no frames. */
+  def decodeAviFrames(payload: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+    val meta = parseAvi(payload)
+    if (meta.isEmpty) return Nil
+    val (_, w, h, _) = meta.get
+    if (w <= 0 || h <= 0) return Nil
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val frames = Seq.newBuilder[java.awt.image.BufferedImage]
+    walkRiff(payload, 12, payload.length) { (t, bs, be) =>
+      if (t == "LIST" && be - bs >= 4 &&
+          new String(payload, bs, 4, "US-ASCII") == "movi") {
+        walkRiff(payload, bs + 4, be) { (t2, bs2, be2) =>
+          if (t2.endsWith("db") && be2 - bs2 >= rowSize * h) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var s = 0
+            while (s < h) {
+              val y = h - 1 - s
+              var x = 0
+              while (x < w) {
+                val p = bs2 + s * rowSize + x * 3
+                val bB = payload(p) & 0xff
+                val gB = payload(p + 1) & 0xff
+                val rB = payload(p + 2) & 0xff
+                img.setRGB(x, y, (rB << 16) | (gB << 8) | bB)
+                x += 1
+              }
+              s += 1
+            }
+            frames += img
+          } else if (t2.endsWith("dc") && be2 - bs2 >= 2 &&
+              (payload(bs2) & 0xff) == 0xff && (payload(bs2 + 1) & 0xff) == 0xd8) {
+            decodeImage(java.util.Arrays.copyOfRange(payload, bs2, be2))
+              .foreach(frames += _)
+          }
+        }
+      }
+    }
+    frames.result()
+  }
+
+  /** Frame-CONTENT extraction stage: one row per decoded video frame
+    * with its dimensions and mean gray level — real pixels, not
+    * metadata ([[decodeAviFrames]]; MP4 and other containers without a
+    * pure-JVM frame path emit no rows here — their planning twin is
+    * [[sampleFrames]]). Scale shape: per-partition map with a bounded
+    * per-row fan-out (nFrames rows per video), no shuffle. */
+  def videoFrames(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("f_width", IntegerType),
+      StructField("f_height", IntegerType),
+      StructField("mean_gray", DoubleType)))
+    val enc = Encoders.row(schema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        decodeAviFrames(r.getAs[Array[Byte]](1)).zipWithIndex.map {
+          case (img, i) =>
+            val fw = img.getWidth; val fh = img.getHeight
+            var sum = 0.0
+            var y = 0
+            while (y < fh) {
+              var x = 0
+              while (x < fw) { sum += gray(img.getRGB(x, y)); x += 1 }
+              y += 1
+            }
+            Row(id, i, fw, fh, sum / (fw.toLong * fh))
+        }
+      }
+    }(enc)
   }
 
   // ISO-BMFF fields are big-endian, unlike BMP/WAV above.
@@ -313,9 +523,11 @@ object Media {
     } catch { case _: Exception => None }
 
   /** STUB codec — last-resort fallback only. MP4 metadata is parsed
-    * for real by [[parseMp4]]; what remains here is video in containers
-    * with no pure-JVM parser yet (webm/mkv) and payloads no probe
-    * recognizes. Deterministic fake until a parser is added. */
+    * for real by [[parseMp4]], AVI metadata by [[parseAvi]], and AVI
+    * frame PIXELS by [[decodeAviFrames]] (raw BI_RGB + MJPEG); what
+    * remains here is video in containers with no pure-JVM parser yet
+    * (webm/mkv) and payloads no probe recognizes. Deterministic fake
+    * until a parser is added. */
   private def fakeDecode(kind: String, payload: Array[Byte]): (String, Int, Int, Long) = {
     val h = java.util.Arrays.hashCode(payload)
     val fmt = kind match {
@@ -552,6 +764,28 @@ object Media {
             height = 16 + (id % 73).toInt,
             durationMs = 500L + (n.toLong * 7L + id * 13L) % 60000L)
           Row(id, "video", payload, Row("synthetic", "mp4"))
+        }
+      }(enc)
+  }
+
+  /** Real uncompressed-AVI containers whose geometry AND frame pixels
+    * derive only from (id, text length) — the frame-CONTENT analogue of
+    * [[syntheticVideos]]: [[videoFrames]] decodes the raw BI_RGB frames
+    * back, and an external oracle recomputes per-frame mean gray from
+    * the construction rule without a codec. Dimensions stay small
+    * (<= 16x12 x3 frames) so the oracle's pixel expansion is bounded. */
+  def syntheticAviVideos(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"),
+        length(col(textCol)).cast("int").as("n"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val n = r.getInt(1)
+          val payload = buildAvi(
+            width = 8 + n % 9,
+            height = 6 + (id % 7).toInt,
+            nFrames = 1 + (id % 3).toInt)
+          Row(id, "video", payload, Row("synthetic", "avi"))
         }
       }(enc)
   }

@@ -143,4 +143,175 @@ object PlotData {
     val ordered = graft.chem.Chem.sortOxideColumns(schema.oxideCols)
     df.select(carry.map(col) ++ ordered.map(col): _*)
   }
+
+  // ---- ternary axis geometry (reference: _plotting.py:324-612) -------------
+  // Driver-side plot scaffolding: these run over polygon vertex lists of
+  // at most ~6 points (the clipped triangle), never over data rows — the
+  // data-plane reduction is [[ternary]] above.
+
+  private val geomEps = 1e-9
+
+  /** Scalar barycentric projection (reference: _project, _plotting.py:324).
+    * Scale-invariant like [[ternary]]. */
+  def projectPoint(t: Double, left: Double, r: Double): (Double, Double) = {
+    val denom = t + left + r
+    ((r / denom - left / denom) * xScale, t / denom)
+  }
+
+  private def interpolateV(p1: Vector[Double], p2: Vector[Double], key: Int,
+      bound: Double): Vector[Double] = {
+    val frac = (bound - p1(key)) / (p2(key) - p1(key))
+    p1.zip(p2).map { case (a, b) => a + frac * (b - a) }
+  }
+
+  /** One Sutherland-Hodgman pass clipping to `v(key) >= bound` (or `<=`)
+    * (reference: _clip_polygon, _plotting.py:361). */
+  private def clipPolygon(vs: Seq[Vector[Double]], key: Int, bound: Double,
+      keepGe: Boolean): Seq[Vector[Double]] = {
+    if (vs.isEmpty) return vs
+    def in(v: Vector[Double]) = if (keepGe) v(key) >= bound else v(key) <= bound
+    val n = vs.length
+    val out = Seq.newBuilder[Vector[Double]]
+    for (i <- 0 until n) {
+      val curr = vs(i)
+      val prev = vs((i - 1 + n) % n)
+      if (in(curr)) {
+        if (!in(prev)) out += interpolateV(prev, curr, key, bound)
+        out += curr
+      } else if (in(prev)) out += interpolateV(prev, curr, key, bound)
+    }
+    out.result()
+  }
+
+  /** Visible-region vertices as (t, left, r) in boundary order, exactly
+    * clipped to the axis limits (reference: _polygon_vertices,
+    * _plotting.py:382). */
+  def polygonVertices(tlim: Option[(Double, Double)],
+      llim: Option[(Double, Double)], rlim: Option[(Double, Double)],
+      ternarySum: Double): Seq[Vector[Double]] = {
+    var vs: Seq[Vector[Double]] = Seq(
+      Vector(ternarySum, 0.0, 0.0),
+      Vector(0.0, 0.0, ternarySum),
+      Vector(0.0, ternarySum, 0.0))
+    Seq((0, tlim), (1, llim), (2, rlim)).foreach { case (key, lim) =>
+      lim.foreach { case (vmin, vmax) =>
+        vs = clipPolygon(vs, key, vmin, keepGe = true)
+        vs = clipPolygon(vs, key, vmax, keepGe = false)
+      }
+    }
+    vs
+  }
+
+  /** MaxNLocator(nbins=5)-equivalent nice ticks, filtered to
+    * [vmin, vmax] (reference: _nice_ticks, _plotting.py:413): candidate
+    * steps 1/2/2.5/5/10 scaled to the range's magnitude, smallest step
+    * producing at most nbins intervals. */
+  def niceTicks(vmin: Double, vmax: Double, nbins: Int = 5): Seq[Double] = {
+    require(vmax > vmin, s"niceTicks needs vmax > vmin, got [$vmin, $vmax]")
+    val rawStep = (vmax - vmin) / nbins
+    val mag = math.pow(10, math.floor(math.log10(rawStep)))
+    val steps = Seq(1.0, 2.0, 2.5, 5.0, 10.0).map(_ * mag)
+    val step = steps.find(s => (vmax - vmin) / s <= nbins + geomEps)
+      .getOrElse(steps.last)
+    val first = math.floor(vmin / step) * step
+    Iterator.from(0).map(i => first + i * step)
+      .takeWhile(_ <= vmax + step)
+      .filter(v => v >= vmin - geomEps && v <= vmax + geomEps)
+      .map(v => if (math.abs(v) < geomEps) 0.0 else v)
+      .toSeq
+  }
+
+  // Tick-ownership convention (reference: _OWNER_MIN/_OWNER_MAX,
+  // _plotting.py:426-427): the edge where barycentric key k is at its
+  // minimum shows ticks for ownerMin(k); at its maximum, ownerMax(k).
+  private val ownerMin = Map(0 -> 2, 1 -> 0, 2 -> 1)
+  private val ownerMax = Map(0 -> 1, 1 -> 2, 2 -> 0)
+
+  private def unit(dx: Double, dy: Double): (Double, Double) = {
+    val len = math.hypot(dx, dy)
+    (dx / len, dy / len)
+  }
+
+  // full-triangle vertex projections: T, L, R
+  private val vT = (0.0, 1.0)
+  private val vL = (-xScale, 0.0)
+  private val vR = (xScale, 0.0)
+
+  // ticks for axis k are drawn parallel to the side OPPOSITE k's vertex
+  // (reference: _TICK_DIRECTION, _plotting.py:457)
+  private val tickDir: Map[Int, (Double, Double)] = Map(
+    0 -> unit(vR._1 - vL._1, vR._2 - vL._2),
+    1 -> unit(vR._1 - vT._1, vR._2 - vT._2),
+    2 -> unit(vL._1 - vT._1, vL._2 - vT._2))
+
+  private def polygonCentroid(polygon: Seq[Vector[Double]]): (Double, Double) = {
+    val pts = polygon.map(v => projectPoint(v(0), v(1), v(2)))
+    (pts.map(_._1).sum / pts.length, pts.map(_._2).sum / pts.length)
+  }
+
+  /** Unit normal of edge (x1,y1)-(x2,y2) pointing away from `centroid`
+    * (reference: _edge_outward_normal, _plotting.py:466). */
+  private def edgeOutwardNormal(x1: Double, y1: Double, x2: Double, y2: Double,
+      centroid: (Double, Double)): (Double, Double) = {
+    val (edx, edy) = (x2 - x1, y2 - y1)
+    if (math.hypot(edx, edy) < geomEps) return (0.0, 0.0)
+    var (nx, ny) = unit(-edy, edx)
+    val (mx, my) = ((x1 + x2) / 2, (y1 + y2) / 2)
+    if (nx * (mx - centroid._1) + ny * (my - centroid._2) < 0) { nx = -nx; ny = -ny }
+    (nx, ny)
+  }
+
+  private def outwardTickDirection(key: Int,
+      edgeNormal: (Double, Double)): (Double, Double) = {
+    val (dx, dy) = tickDir(key)
+    if (dx * edgeNormal._1 + dy * edgeNormal._2 < 0) (-dx, -dy) else (dx, dy)
+  }
+
+  /** Tick positions for one axis on its owning polygon edges
+    * (reference: _axis_ticks, _plotting.py:545): one
+    * ((x, y), value, (dx, dy)) per nice tick value, where (dx, dy) is
+    * the outward-oriented tick/label direction. Handles an axis whose
+    * scale is split across two edges by a different axis's limit. */
+  def axisTicks(polygon: Seq[Vector[Double]], key: Int, vmin: Double,
+      vmax: Double): Seq[((Double, Double), Double, (Double, Double))] = {
+    val n = polygon.length
+    val globalMin = (0 until 3).map(k => polygon.map(_(k)).min)
+    val globalMax = (0 until 3).map(k => polygon.map(_(k)).max)
+    val centroid = polygonCentroid(polygon)
+    val nice = niceTicks(vmin, vmax)
+    val found = scala.collection.mutable.LinkedHashMap
+      .empty[Double, ((Double, Double), (Double, Double))]
+    for (i <- 0 until n) {
+      val v1 = polygon(i)
+      val v2 = polygon((i + 1) % n)
+      (0 until 3).find(k => math.abs(v1(k) - v2(k)) < geomEps).foreach { edgeKey =>
+        val constVal = v1(edgeKey)
+        val owner =
+          if (math.abs(constVal - globalMin(edgeKey)) < geomEps) Some(ownerMin(edgeKey))
+          else if (math.abs(constVal - globalMax(edgeKey)) < geomEps) Some(ownerMax(edgeKey))
+          else None
+        if (owner.contains(key)) {
+          val (x1, y1) = projectPoint(v1(0), v1(1), v1(2))
+          val (x2, y2) = projectPoint(v2(0), v2(1), v2(2))
+          val normal = edgeOutwardNormal(x1, y1, x2, y2, centroid)
+          val direction = outwardTickDirection(key, normal)
+          val lo = math.min(v1(key), v2(key))
+          val hi = math.max(v1(key), v2(key))
+          nice.foreach { value =>
+            val rounded = math.rint(value * 1e6) / 1e6
+            if (lo - geomEps <= value && value <= hi + geomEps &&
+                !found.contains(rounded)) {
+              val point =
+                if (math.abs(v2(key) - v1(key)) < geomEps) v1
+                else interpolateV(v1, v2, key, value)
+              found(rounded) = (projectPoint(point(0), point(1), point(2)), direction)
+            }
+          }
+        }
+      }
+    }
+    nice.flatMap { v =>
+      found.get(math.rint(v * 1e6) / 1e6).map { case (xy, dir) => (xy, v, dir) }
+    }
+  }
 }

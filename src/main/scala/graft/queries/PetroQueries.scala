@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.chem.Chem
-import graft.petro.{Cipw, Convert, Minerals, Stoich, Thermo, Units}
+import graft.petro.{Cipw, Convert, Minerals, PetroFrame, Stoich, Thermo, Units}
 
 /** Petro-operator query track for the DuckDB oracle.
   *
@@ -249,6 +249,26 @@ object PetroQueries {
     "p81_perplex_block" -> ((s, dir) => {
       Thermo.perplexBulk(oxWithFe2O3(s, dir), carry = Seq("id"))
         .select("id", "block").orderBy("id")
+    }),
+
+    // S9: MAGEMin bulk input line formatting (db=mp shares the
+    // MnNCKFMASHTO component SET with p18/p19 — identical prep numbers,
+    // mp component order + the label;comment;db;sysIn;[oxides];[values];
+    // line shape of _accessors.py:890-949)
+    "p83_magemin_lines" -> ((s, dir) => {
+      Thermo.magemim(oxWithFe2O3(s, dir), labelCol = col("id").cast("string"),
+          db = "mp", carry = Seq("id"))
+        .select("id", "line").orderBy("id")
+    }),
+
+    // U8: convert-dispatcher round trip — wt% -> APFU(12 O) -> wt%,
+    // restoring the remembered analytical total through the TotalCol
+    // carry; both engines run the FULL cascade (never shortcut to
+    // identity), so the oracle verifies the dispatcher arithmetic
+    "p84_convert_roundtrip" -> ((s, dir) => {
+      val pf = PetroFrame.clean(oxFrame(s, dir).drop("grp", "wt"), Seq("id"))
+      val rt = pf.convert(Units.Apfu, nOxy = Some(12.0)).convert(Units.WtPct)
+      roundAll(rt.df, Seq("id")).orderBy("id")
     }),
 
     // G6: profile auto-split — optimal contiguous 2-way partition of
@@ -744,6 +764,38 @@ object PetroQueries {
           SELECT id, 'begin thermodynamic component list' || chr(10) ||
             $lineFor || chr(10) || 'end thermodynamic component list' AS block
           FROM pr3 ORDER BY id""")
+      },
+      "p83_magemin_lines" -> {
+        // db=mp component set == MnNCKFMASHTO -> the shared prep CTEs
+        // apply verbatim; only the emit order + line format differ.
+        val mpCols = Thermo.magemimSystems("mp")
+        val oxides = mpCols.mkString(", ")
+        val fmt = mpCols.map(_ => "%.4f").mkString(", ")
+        wrap(s"""$tcPrepCtes
+          SELECT id, id::VARCHAR || ';petropandas;mp;mol;[$oxides];[' ||
+            printf('$fmt', ${mpCols.map(c => s"pr_${san(c)}").mkString(", ")})
+            || '];' AS line
+          FROM pr3 ORDER BY id""")
+      },
+      "p84_convert_roundtrip" -> {
+        // full wt% -> apfu(12 O) -> wt% cascade with the analytical-total
+        // rescale, mirroring PetroFrame.convert's TotalCol round trip
+        val totSql = OXIDES.map(qi).mkString(" + ")
+        val totalRef = OXIDES.map { c =>
+          s"(${qi(Chem.oxideToIonCol(c))} / ${Chem.cationsPer(c)}) * ${Chem.oxygensPer(c)}"
+        }.mkString(" + ")
+        val denom = s"(CASE WHEN ($totalRef) = 0.0 THEN 1.0 ELSE ($totalRef) END)"
+        val wtSel = OXIDES.map { c =>
+          s"(${qi(Chem.oxideToIonCol(c))} / ${Chem.cationsPer(c)}) * (12.0 / $denom) * ${Chem.mw(c)} AS ${qi(c)}"
+        }.mkString(", ")
+        val sumWt = OXIDES.map(qi).mkString(" + ")
+        val denom2 = s"(CASE WHEN ($sumWt) = 0.0 THEN 1.0 ELSE ($sumWt) END)"
+        val finalSel = OXIDES.map { c =>
+          s"ROUND(${qi(c)} / $denom2 * tot, 6) AS ${qi(c)}"
+        }.mkString(", ")
+        wrap(s""", apfu AS (SELECT id, ($totSql) AS tot, $apfuSelectSql FROM ox),
+          wt AS (SELECT id, tot, $wtSel FROM apfu)
+          SELECT id, $finalSel FROM wt ORDER BY id""")
       },
       "p82_auto_split" -> {
         // 1-D Jenks mirror: per-column global means (the union of the

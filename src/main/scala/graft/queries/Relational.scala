@@ -17,8 +17,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads
+    // under this legacy conf. Set it at EVERY events read: registry Map
+    // iteration order shifts as queries are added, so a query that reads
+    // events must never depend on an earlier query having set the flag
+    // (q16 broke exactly that way when t42/t43 reordered the map).
+    if (name == "events")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G2-style grouped aggregation + P5-style predicate (TPC-H Q1 shape)

@@ -305,13 +305,18 @@ object TextQueries {
     }),
 
     // PQ encode of the whole embedding corpus: 4 subspaces x 16 dims,
-    // codebook = subvectors of the first 16 vectors
+    // codebook = subvectors of the first 16 vectors. The codes array is
+    // emitted comma-joined (scalar-sortable) so the cross-engine harness
+    // can sort/hash the rows — array-typed columns defeat its comparator.
     "t33_pq_encode" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cb = graft.sim.Similarity.pqCodebook(
         emb.filter(col("vec_id") < 16), "vec_id", "embedding", m = 4, subDim = 16)
       graft.sim.Similarity.pqEncode(emb, cb, "vec_id", "embedding",
           m = 4, subDim = 16)
+        .select(col("vec_id"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+          col("err"))
         .orderBy("vec_id")
     }),
 
@@ -381,6 +386,35 @@ object TextQueries {
       graft.sim.Similarity.semDedup(t(s, dir, "embeddings"), "vec_id",
           "embedding", initIds = Seq(0L, 1L, 2L, 3L), iterations = 2,
           simThreshold = 0.3)
+        .orderBy("vec_id")
+    }),
+
+    // REAL video frame-pixel extraction: uncompressed AVI containers
+    // built with a deterministic pixel rule, then the raw BI_RGB frames
+    // are genuinely decoded back — the oracle recomputes each frame's
+    // mean gray from the rule, so a frame-decode bug hash-fails
+    "t43_video_frames" -> ((s, dir) => {
+      val media = graft.multimodal.Media.syntheticAviVideos(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.multimodal.Media.videoFrames(media)
+        .select(col("media_id"), col("frame_idx"), col("f_width"),
+          col("f_height"), round(col("mean_gray"), 6).as("mean_gray"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // PQ encode through a TRAINED codebook: per-subspace k-means (16
+    // codes seeded from vec_id 0..15, 2 Lloyd iterations) instead of
+    // t33's raw id-prefix sample — the Jégou-style training path. Same
+    // flattened output shape as t33.
+    "t42_pq_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.sim.Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
+        m = 4, subDim = 16, initIds = 0L until 16L, iterations = 2)
+      graft.sim.Similarity.pqEncode(emb, cb, "vec_id", "embedding",
+          m = 4, subDim = 16)
+        .select(col("vec_id"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+          col("err"))
         .orderBy("vec_id")
     })
   )
@@ -459,6 +493,50 @@ object TextQueries {
        enc AS (SELECT vec_id, list(code_id ORDER BY sub_idx) AS codes,
                 ROUND(SUM(d2), 6) + 0.0 AS err
                FROM best WHERE brn = 1 GROUP BY vec_id)"""
+
+  /** Trained-PQ mirror (t42): per-subspace Lloyd k-means — 16 seed
+    * codes (vec_id < 16, code_id = seed rank = vec_id), 2 iterations,
+    * squared-L2 assignment with the same 6-dp rounding + smaller-code
+    * tie-break as pqEncode/sqDist6, and centroid means rounded to 6 dp
+    * exactly like Similarity.pqTrainCodebook so both engines train the
+    * bit-identical codebook. Structure mirrors KMEANS_TRAINED_ASSIGN_CTES
+    * with (sub_idx, code_id) in place of cell. */
+  private val PQ_TRAINED_SQL: String = {
+    val meanList = (1 to 16).map(i => s"ROUND(AVG(sv[$i]), 6)")
+      .mkString("[", ", ", "]")
+    def d2(a: String, b: String) =
+      s"""ROUND(list_dot_product($a, $a) - 2.0*list_dot_product($a, $b)
+         + list_dot_product($b, $b), 6) + 0.0"""
+    def assign(cent: String, name: String) =
+      s"""${name}s AS (SELECT sub.vec_id, sub.sub_idx, sub.sv, code_id,
+            ${d2("sv", "cv")} AS d2
+           FROM sub JOIN $cent USING (sub_idx)),
+         $name AS (SELECT vec_id, sub_idx, sv, code_id, d2 FROM (
+           SELECT vec_id, sub_idx, sv, code_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub_idx
+               ORDER BY d2, code_id) AS rn
+           FROM ${name}s) WHERE rn = 1)"""
+    def lloyd(prev: String, assigned: String, next: String) =
+      s"""${next}m AS (SELECT sub_idx, code_id, $meanList AS cv
+           FROM $assigned GROUP BY 1, 2),
+         $next AS (SELECT p.sub_idx, p.code_id, COALESCE(m.cv, p.cv) AS cv
+           FROM $prev p LEFT JOIN ${next}m m USING (sub_idx, code_id))"""
+    s"""d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       ss AS (SELECT unnest([0,1,2,3]) AS sub_idx),
+       sub AS (SELECT vec_id, sub_idx,
+                list_slice(v, sub_idx*16+1, sub_idx*16+16) AS sv
+               FROM d, ss),
+       k0 AS (SELECT CAST(vec_id AS BIGINT) AS code_id, sub_idx, sv AS cv
+              FROM sub WHERE vec_id < 16),
+       ${assign("k0", "pa0")},
+       ${lloyd("k0", "pa0", "k1")},
+       ${assign("k1", "pa1")},
+       ${lloyd("k1", "pa1", "k2")},
+       ${assign("k2", "paf")},
+       tenc AS (SELECT vec_id, list(code_id ORDER BY sub_idx) AS codes,
+                 ROUND(SUM(d2), 6) + 0.0 AS err
+                FROM paf GROUP BY vec_id)"""
+  }
 
   /** 60-bit numeric minhash half (mirrors TextOps.minhashSignature's
     * conv(hex,16,10) longs — '0x'-cast is DuckDB's hex parse). */
@@ -1031,7 +1109,29 @@ object TextQueries {
          FROM h ORDER BY doc_id""",
     "t33_pq_encode" ->
       s"""WITH $PQ_SQL
-         SELECT vec_id, codes, err FROM enc ORDER BY vec_id""",
+         SELECT vec_id, array_to_string(codes, ',') AS codes, err
+         FROM enc ORDER BY vec_id""",
+    "t42_pq_trained" ->
+      s"""WITH $PQ_TRAINED_SQL
+         SELECT vec_id, array_to_string(codes, ',') AS codes, err
+         FROM tenc ORDER BY vec_id""",
+    // mirrors Media.buildAvi's pixel rule r=g=b=(x*31+y*17+f*29)%256 and
+    // syntheticAviVideos' geometry rule, while the Spark side decodes
+    // the raw BI_RGB frames it actually built
+    "t43_video_frames" ->
+      """WITH dims AS (SELECT doc_id, 8 + length(text) % 9 AS w,
+             6 + doc_id % 7 AS h, 1 + doc_id % 3 AS nf FROM documents),
+         fr AS (SELECT doc_id, w, h, unnest(range(nf)) AS f FROM dims),
+         fx AS (SELECT doc_id, w, h, f, unnest(range(w)) AS x FROM fr),
+         fxy AS (SELECT doc_id, w, h, f, x, unnest(range(h)) AS y FROM fx),
+         g AS (SELECT doc_id, f, w, h,
+                0.299*v + 0.587*v + 0.114*v AS gr
+               FROM (SELECT *, CAST((x*31 + y*17 + f*29) % 256 AS DOUBLE) AS v
+                     FROM fxy))
+         SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(w AS INTEGER) AS f_width, CAST(h AS INTEGER) AS f_height,
+           ROUND(AVG(gr), 6) + 0.0 AS mean_gray
+         FROM g GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx""",
     "t34_pq_adc" ->
       s"""WITH $PQ_SQL,
          q AS (SELECT vec_id AS query_id, sub_idx, sv AS qsv FROM sub

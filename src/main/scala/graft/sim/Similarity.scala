@@ -286,6 +286,63 @@ object Similarity {
       m: Int, subDim: Int): DataFrame =
     subvectors(source, "code_id", idCol, vecCol, m, subDim, "subvec")
 
+  /** Trained PQ codebook — per-subspace k-means (Jégou et al. 2011
+    * §III-A: a separate quantizer per subspace), Lloyd's algorithm with
+    * deterministic seeding: code c of subspace s starts at the s-th
+    * subvector of the initIds(c) row. Assignment uses the SAME
+    * [[sqDist6]] rounding and smaller-code tie-break as [[pqEncode]],
+    * and centroid means are rounded to 6 decimals, so training is
+    * bit-reproducible across engines (summation-order ULP drift in an
+    * unrounded mean could flip a downstream argmin). Returns the same
+    * (code_id, sub_idx, subvec) contract as [[pqCodebook]] with
+    * code_id = rank in `initIds`; codes that lose every member keep
+    * their previous centroid.
+    *
+    * Scale shape: all m subspace problems advance in ONE corpus pass
+    * per Lloyd iteration — slice+explode (narrow), broadcast join of
+    * the m*k centroid rows (KBs), argmin as a min-struct hash agg (no
+    * window sort), then a per-(sub, code, pos) hash-agg mean; only the
+    * m*k model rows are ever collected, data stays put. */
+  def pqTrainCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, initIds: Seq[Long], iterations: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subs = subvectors(corpus, "__vid", idCol, vecCol, m, subDim, "sv")
+    var centroids: Seq[(Long, Int, Seq[Double])] =
+      subvectors(corpus.filter(col(idCol).isInCollection(initIds)),
+          "__sid", idCol, vecCol, m, subDim, "sv")
+        .as[(Long, Int, Seq[Double])].collect().toSeq
+        .map { case (sid, sub, sv) => (initIds.indexOf(sid).toLong, sub, sv) }
+        .sortBy(t => (t._1, t._2))
+    (0 until iterations).foreach { _ =>
+      val centDf = centroids.toDF("code_id", "sub_idx", "subvec")
+      val assigned = subs.join(broadcast(centDf), Seq("sub_idx"))
+        .select(col("__vid"), col("sub_idx"), col("sv"),
+          sqDist6(col("sv"), col("subvec")).as("d2"), col("code_id"))
+        .groupBy(col("__vid"), col("sub_idx"))
+        // sv is constant within the (__vid, sub_idx) group, so first()
+        // is deterministic here
+        .agg(min(struct(col("d2"), col("code_id"))).as("b"),
+          first(col("sv")).as("sv"))
+        .select(col("sub_idx"), col("b.code_id").as("code_id"), col("sv"))
+      val means = assigned
+        .select(col("sub_idx"), col("code_id"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub_idx", "code_id", "pos")
+        .agg(round(avg("x"), 6).as("mv"))
+        .groupBy("sub_idx", "code_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("code_id"), col("sub_idx"),
+          expr("transform(pm, e -> e.mv)").as("sv"))
+        .as[(Long, Int, Seq[Double])].collect()
+        .map(t => ((t._1, t._2), t._3)).toMap
+      centroids = centroids.map { case (cid, sub, sv) =>
+        (cid, sub, means.getOrElse((cid, sub), sv))
+      }
+    }
+    centroids.toDF("code_id", "sub_idx", "subvec")
+  }
+
   /** PQ encode: nearest codebook entry per subspace by squared L2 —
     * computed as dot(a,a) - 2 dot(a,b) + dot(b,b) on the codegen'd
     * [[Dot]] kernel and rounded to 6 decimals BEFORE the argmin so
@@ -323,9 +380,15 @@ object Similarity {
     * codes' table entries (rounded like [[pqEncode]]). Top-k per query
     * by (distance asc, cand id). The corpus pass reads ONLY the code
     * ids, never the original vectors — the PQ memory shape that makes
-    * exhaustive ANN scans feasible at 100 TB. */
+    * exhaustive ANN scans feasible at 100 TB.
+    *
+    * Identity contract mirrors [[cosineTopK]]: with the default
+    * `excludeSelf=true` a candidate sharing the query's id is dropped
+    * (right when queries come from the encoded corpus); pass false for
+    * external queries whose ids merely coincide with corpus ids. */
   def pqAdcSearch(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, m: Int, subDim: Int, k: Int): DataFrame = {
+      idCol: String, vecCol: String, m: Int, subDim: Int, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val qsubs = subvectors(queries, "query_id", idCol, vecCol, m, subDim, "qsv")
     val lut = qsubs.join(codebook, Seq("sub_idx"))
       .select(col("query_id"), col("sub_idx"), col("code_id"),
@@ -333,7 +396,7 @@ object Similarity {
     val expanded = codes.select(col(idCol).as("cand_id"),
       posexplode(col("codes")).as(Seq("sub_idx", "code_id")))
     val dists = expanded.join(broadcast(lut), Seq("sub_idx", "code_id"))
-      .filter(col("cand_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("cand_id") =!= col("query_id") else lit(true))
       .groupBy(col("query_id"), col("cand_id"))
       .agg(round(sum("d2"), 6).as("adist"))
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("cand_id"))

@@ -796,6 +796,8 @@ object TextOps {
     * the write's exchange. No global sort ever happens. */
   def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    Seq("__u", "shard", "seq").foreach(c => require(!df.columns.contains(c),
+      s"column $c collides with shardAssign's output/internal columns"))
     val u = md5Hash60(col(idCol).cast("string"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("__u"), col(idCol))

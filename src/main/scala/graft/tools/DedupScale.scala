@@ -84,7 +84,23 @@ object DedupScale {
             .as("embedding"))
       }.reduce(_ unionByName _)
 
-    // warm pass: JIT/codegen for both tracks before anything is timed
+    // Deliberately cell-skewed corpus for the semDedup |cell|^2 worst
+    // case: every EVEN vec_id collapses onto one tight synthetic
+    // cluster (dim 0 ~ 0.9 + a tiny id-dependent offset, the rest a
+    // constant 0.1), so k-means with an even seed ends up with ONE cell
+    // holding ~50% of all rows — the adversarial distribution the
+    // cluster-keyed self-join is worst at.
+    def skewedEmb(k: Int): DataFrame =
+      scaledEmb(k).select(col("vec_id"),
+        when(col("vec_id") % 2 === 0,
+          transform(col("embedding"), (x, i) =>
+            when(i === 0,
+              (pmod(col("vec_id"), lit(997L)).cast("double") * 1e-6 + 0.9)
+                .cast("float"))
+              .otherwise(lit(0.1f))))
+          .otherwise(col("embedding")).as("embedding"))
+
+    // warm pass: JIT/codegen for all tracks before anything is timed
     TextOps.segmentDedup(docs0, "doc_id", "text", sep = " the ").count()
     locally {
       val cb = Similarity.pqCodebook(emb0.filter(col("vec_id") < 16),
@@ -93,6 +109,8 @@ object DedupScale {
       Similarity.pqAdcSearch(codes, cb,
         emb0.filter(col("vec_id") >= 16 && col("vec_id") < 19),
         "vec_id", "embedding", 4, 16, k = 5).count()
+      Similarity.semDedup(emb0, "vec_id", "embedding",
+        Seq(0L, 1L, 2L, 3L), 2, 0.3).count()
     }
 
     copies.foreach { k =>
@@ -119,6 +137,19 @@ object DedupScale {
         Similarity.pqAdcSearch(codes, cb,
           emb.filter(col("vec_id") >= 16 && col("vec_id") < 19),
           "vec_id", "embedding", 4, 16, k = 5).count()
+      }
+      // SemDeDup: balanced cells (near-random embeddings -> ~n/k per
+      // cell) vs the adversarial one-hot-cell distribution above; the
+      // gap between these two rows IS the measured |cell|^2 exposure.
+      measure("semdedup_bal", nE) {
+        Similarity.semDedup(emb, "vec_id", "embedding",
+          Seq(0L, 1L, 2L, 3L), 2, 0.3).count()
+      }
+      val skew = skewedEmb(k).localCheckpoint()
+      val nS = skew.count()
+      measure("semdedup_skew", nS) {
+        Similarity.semDedup(skew, "vec_id", "embedding",
+          Seq(0L, 1L, 3L, 5L), 2, 0.3).count()
       }
     }
     spark.stop()

@@ -89,6 +89,60 @@ class MediaSpec extends AnyFunSuite {
     assert(frames.count() >= d.count(), "at least frame 0 per video")
   }
 
+  test("AVI build -> parse round trip reads avih fields (RIFF walk)") {
+    val a = Media.buildAvi(16, 12, 3, fps = 10)
+    assert(new String(a, 8, 4, "US-ASCII") == "AVI ")
+    // 3 frames at 100000 us/frame = 300 ms
+    assert(Media.parseAvi(a).contains(("avi", 16, 12, 300L)))
+    assert(Media.parseContainer(a).contains(("avi", 16, 12, 300L)))
+    assert(Media.parseAvi(Media.buildWav(8000, 100)).isEmpty)
+    assert(Media.parseAvi(Media.buildMp4(64, 64, 1000L)).isEmpty)
+  }
+
+  test("raw-RGB AVI frames decode to the exact construction-rule pixels") {
+    val a = Media.buildAvi(9, 7, 2) // odd width exercises the 4-byte row pad
+    val frames = Media.decodeAviFrames(a)
+    assert(frames.length == 2)
+    for (f <- 0 until 2) {
+      val img = frames(f)
+      assert(img.getWidth == 9 && img.getHeight == 7)
+      for (y <- 0 until 7; x <- 0 until 9) {
+        val v = (x * 31 + y * 17 + f * 29) & 0xff
+        assert((img.getRGB(x, y) & 0xffffff) == ((v << 16) | (v << 8) | v),
+          s"pixel ($x,$y) frame $f")
+      }
+    }
+  }
+
+  test("MJPEG AVI frames decode through the real ImageIO JPEG codec") {
+    val a = Media.buildAvi(16, 12, 2, mjpeg = true)
+    val frames = Media.decodeAviFrames(a)
+    assert(frames.length == 2)
+    assert(frames.forall(f => f.getWidth == 16 && f.getHeight == 12))
+    def mean(img: java.awt.image.BufferedImage): Double = {
+      val vs = for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        yield (img.getRGB(x, y) & 0xff).toDouble
+      vs.sum / vs.length
+    }
+    // lossy codec: mean gray lands near the rule's mean, not exactly on it
+    val want = (for (y <- 0 until 12; x <- 0 until 16)
+      yield ((x * 31 + y * 17) & 0xff).toDouble).sum / (16 * 12)
+    assert(math.abs(mean(frames(0)) - want) < 16.0)
+  }
+
+  test("videoFrames measures real frame content per synthetic AVI") {
+    val syn = Media.syntheticAviVideos(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val vf = Media.videoFrames(syn).cache()
+    // frame counts follow the construction rule 1 + id % 3
+    val counts = vf.groupBy("media_id").count()
+    assert(counts.filter(col("count") =!= (col("media_id") % 3 + 1)).count() == 0)
+    // mean gray is a real pixel statistic: inside (0, 255), varies by frame
+    assert(vf.filter(col("mean_gray") <= 0 || col("mean_gray") >= 255).count() == 0)
+    assert(vf.select("mean_gray").distinct().count() > 1)
+    vf.unpersist()
+  }
+
   test("syntheticMedia payloads decode via the real header parsers") {
     val syn = Media.syntheticMedia(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")

@@ -56,6 +56,47 @@ class PqSpec extends AnyFunSuite {
     assert(out.length == 2)
   }
 
+  test("pqAdcSearch keeps id-coincident candidates with excludeSelf=false") {
+    val enc = Similarity.pqEncode(corpus, cb, "vec_id", "embedding", 2, 2)
+    val qs = corpus.filter(col("vec_id") === 2L)
+    val out = Similarity.pqAdcSearch(enc, cb, qs, "vec_id", "embedding",
+        m = 2, subDim = 2, k = 4, excludeSelf = false)
+      .collect().map(_.getLong(1)).toSet
+    assert(out.contains(2L))
+  }
+
+  test("pqTrainCodebook reduces total quantization error vs the id-prefix codebook") {
+    // two clusters per subspace; seeds 0/1 sit off the cluster centers,
+    // so Lloyd must move the centroids to beat the raw prefix sample
+    val c = vecs(
+      0L -> Seq(0.3f, 0f, 0.3f, 0f),
+      1L -> Seq(0.7f, 1f, 0.7f, 1f),
+      2L -> Seq(0f, 0f, 0f, 0f),
+      3L -> Seq(0.1f, 0f, 0.1f, 0f),
+      4L -> Seq(1f, 1f, 1f, 1f),
+      5L -> Seq(0.9f, 1f, 0.9f, 1f))
+    def totalErr(cb: org.apache.spark.sql.DataFrame): Double =
+      Similarity.pqEncode(c, cb, "vec_id", "embedding", 2, 2)
+        .agg(sum("err")).collect()(0).getDouble(0)
+    val prefix = Similarity.pqCodebook(
+      c.filter(col("vec_id") < 2), "vec_id", "embedding", m = 2, subDim = 2)
+    val trained = Similarity.pqTrainCodebook(c, "vec_id", "embedding",
+      m = 2, subDim = 2, initIds = Seq(0L, 1L), iterations = 2)
+    assert(totalErr(trained) < totalErr(prefix))
+  }
+
+  test("pqTrainCodebook keeps the (code_id, sub_idx, subvec) contract and seed ranks") {
+    val trained = Similarity.pqTrainCodebook(corpus, "vec_id", "embedding",
+      m = 2, subDim = 2, initIds = Seq(1L, 0L), iterations = 1)
+    val rows = trained.orderBy("code_id", "sub_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).length))
+    // code_id = rank in initIds (seed 1L -> code 0), one row per
+    // (code, subspace), subvecs at subDim
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, 0), (0L, 1), (1L, 0), (1L, 1)))
+    assert(rows.forall(_._3 == 2))
+  }
+
   test("ADC distance equals the summed per-subspace table entries") {
     val enc = Similarity.pqEncode(corpus, cb, "vec_id", "embedding", 2, 2)
     val qs = vecs(10L -> Seq(0.5f, 0.5f, 0.5f, 0.5f))
