@@ -416,6 +416,18 @@ object TextQueries {
           concat_ws(",", col("codes").cast("array<string>")).as("codes"),
           col("err"))
         .orderBy("vec_id")
+    }),
+
+    // SemDeDup with the |cell|^2 guard on: cells above 50 members are
+    // split by 2 deterministic refinement rounds (smallest-id sub-seed
+    // assignment) before the pairwise drop — the capped path DedupScale
+    // measured against the skewed worst case. Cell ids become paths
+    // ("3/17"), hash-compared as strings.
+    "t44_semdedup_capped" -> ((s, dir) => {
+      graft.sim.Similarity.semDedup(t(s, dir, "embeddings"), "vec_id",
+          "embedding", initIds = Seq(0L, 1L, 2L, 3L), iterations = 2,
+          simThreshold = 0.3, maxCellSize = 50, refineRounds = 2)
+        .orderBy("vec_id")
     })
   )
 
@@ -467,6 +479,42 @@ object TextQueries {
          ${assign("c1", "a1", rounded = false)},
          ${lloyd("c1", "a1", "c2")},
          ${assign("c2", "af", rounded = true)}"""
+  }
+
+  /** Capped-SemDeDup mirror (t44): splices the trained-assignment
+    * chain, then `refine` rounds that split every cell above `cap`
+    * members by re-assigning its rows to the cell's ceil(n/cap)
+    * smallest-vec_id member vectors — exactly
+    * Similarity.semDedup(maxCellSize=50, refineRounds=2): rounded-4
+    * cosine, seed-id tie-break, path-string cell ids. */
+  private val SEMDEDUP_CAPPED_SQL: String = {
+    def cosR(a: String, b: String) =
+      s"""ROUND(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a))
+         * sqrt(list_dot_product($b, $b))), 4)"""
+    def refine(prev: String, next: String, cap: Int) =
+      s"""${next}o AS (SELECT cell, CAST(CEIL(COUNT(*) / $cap.0) AS INT) AS k
+           FROM $prev GROUP BY cell HAVING COUNT(*) > $cap),
+         ${next}m AS (SELECT p.vec_id, p.v, p.cell, o.k
+           FROM $prev p JOIN ${next}o o USING (cell)),
+         ${next}s AS (SELECT cell, vec_id AS sid, v AS sv FROM (
+           SELECT cell, vec_id, v, k,
+             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS r
+           FROM ${next}m) WHERE r <= k),
+         ${next}a AS (SELECT vec_id, v, cell || '/' || sid AS cell FROM (
+           SELECT m.vec_id, m.v, m.cell, s.sid,
+             ROW_NUMBER() OVER (PARTITION BY m.vec_id
+               ORDER BY ${cosR("m.v", "s.sv")} DESC, s.sid) AS rn
+           FROM ${next}m m JOIN ${next}s s USING (cell)) WHERE rn = 1),
+         $next AS (SELECT vec_id, v, cell FROM $prev
+            WHERE cell NOT IN (SELECT cell FROM ${next}o)
+            UNION ALL SELECT vec_id, v, cell FROM ${next}a)"""
+    s"""$KMEANS_TRAINED_ASSIGN_CTES,
+       r0 AS (SELECT vec_id, v, cell::VARCHAR AS cell FROM af),
+       ${refine("r0", "r1", 50)},
+       ${refine("r1", "r2", 50)},
+       capdrops AS (SELECT DISTINCT a.vec_id FROM r2 a JOIN r2 b
+         ON a.cell = b.cell AND b.vec_id < a.vec_id
+         AND ${cosR("a.v", "b.v")} >= 0.3)"""
   }
 
   /** PQ pipeline mirror (t33/t34): codebook from the first 16 vectors'
@@ -972,6 +1020,16 @@ object TextQueries {
                 * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3)
          SELECT vec_id, cell FROM af
          WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+         ORDER BY vec_id""",
+
+    // Capped-SemDeDup mirror: same trained assignment, then 2 refine
+    // rounds splitting every cell > 50 members via smallest-id sub-seed
+    // re-assignment (rounded cosine, seed-id tie-break), then the same
+    // earlier-similar-member drop rule on the refined cells.
+    "t44_semdedup_capped" ->
+      s"""WITH $SEMDEDUP_CAPPED_SQL
+         SELECT vec_id, cell FROM r2
+         WHERE vec_id NOT IN (SELECT vec_id FROM capdrops)
          ORDER BY vec_id""",
     "t11_ivf_search" ->
       """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -421,17 +421,74 @@ object Similarity {
     * + left_anti, no connected-components iteration; a skewed hot
     * cell splits under AQE like any keyed join. The assigned frame is
     * checkpointed once so the self-join's two branches share one
-    * assignment pass instead of re-running k-means per branch. */
+    * assignment pass instead of re-running k-means per branch.
+    *
+    * `maxCellSize` guards the |cell|^2 worst case (measured 28x wall
+    * at 10x rows when one cell holds ~half the corpus — DedupScale
+    * skew table in BASELINE.md): when > 0, up to `refineRounds`
+    * deterministic refinement passes split every cell above the cap
+    * by re-assigning its members to the cell's ceil(n/cap) smallest-id
+    * member vectors (rounded-cosine, seed-id tie-break), so the
+    * self-join cost is bounded by n * maxCellSize instead of the worst
+    * cell's square. Refined cell ids are path strings ("3" -> "3/17");
+    * with the cap on, the `cell` column is a string. Near-duplicates
+    * are mutually close, so they land in the same sub-cell with the
+    * same affinity reasoning as the paper's raised-k sweep; the cap is
+    * opt-in (0 = off) because it changes which pairs are compared. */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
       initIds: Seq[Long], iterations: Int,
-      simThreshold: Double): DataFrame = {
+      simThreshold: Double, maxCellSize: Int = 0,
+      refineRounds: Int = 3): DataFrame = {
     require(simThreshold > 0 && simThreshold <= 1,
       s"simThreshold must be in (0, 1], got $simThreshold")
+    require(maxCellSize >= 0, s"maxCellSize must be >= 0, got $maxCellSize")
     val trained = kmeansCentroids(corpus, idCol, vecCol, initIds, iterations)
-    val assigned = ivfAssign(corpus,
+    var assigned = ivfAssign(corpus,
         trained.select(col("cell").as(idCol), col("centroid").as(vecCol)),
         idCol, vecCol)
       .localCheckpoint()
+    if (maxCellSize > 0) {
+      assigned = assigned.withColumn("cell", col("cell").cast("string"))
+      var round_ = 0
+      var done = false
+      while (round_ < refineRounds && !done) {
+        // ceil(n/cap) sub-seeds per oversized cell; the seed-selection
+        // window sorts only oversized cells' members (linearithmic in
+        // the hot cell, never quadratic), and each member joins only
+        // its OWN cell's seeds: cost sum |cell|^2 / cap per round.
+        val over = assigned.groupBy("cell")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxCellSize)
+          .select(col("cell"),
+            ceil(col("__n") / lit(maxCellSize.toDouble)).cast("int").as("__k"))
+        if (over.limit(1).count() == 0) done = true
+        else {
+          val members = assigned.join(over, Seq("cell"))
+          val wSeed = Window.partitionBy("cell").orderBy(col(idCol))
+          val seeds = members
+            .withColumn("__r", row_number().over(wSeed))
+            .filter(col("__r") <= col("__k"))
+            .select(col("cell"), col(idCol).as("__sid"), col("v").as("__sv"))
+          val wA = Window.partitionBy(idCol)
+            .orderBy(desc("__sim"), col("__sid"))
+          val refined = members.join(seeds, Seq("cell"))
+            .select(col(idCol), col("v"), col("cell"), col("__sid"),
+              round(cosine(col("v"), col("__sv")), 4).as("__sim"))
+            .withColumn("__rn", row_number().over(wA))
+            .filter(col("__rn") === 1)
+            .select(col(idCol), col("v"),
+              concat_ws("/", col("cell"), col("__sid")).as("cell"))
+          // checkpoint per round: the next round's sizes/seeds re-read
+          // this frame twice, and the early-exit count above is an
+          // action — without the barrier each round re-runs the whole
+          // refinement lineage (same reasoning as curateCorpus's
+          // load-bearing barriers).
+          assigned = assigned.join(over, Seq("cell"), "left_anti")
+            .unionByName(refined)
+            .localCheckpoint()
+        }
+        round_ += 1
+      }
+    }
     val later = assigned.select(col(idCol).as("__aid"),
       col("v").as("__av"), col("cell"))
     val earlier = assigned.select(col(idCol).as("__bid"),

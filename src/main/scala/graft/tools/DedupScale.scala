@@ -151,6 +151,14 @@ object DedupScale {
         Similarity.semDedup(skew, "vec_id", "embedding",
           Seq(0L, 1L, 3L, 5L), 2, 0.3).count()
       }
+      // same adversarial input with the |cell|^2 guard on: cells above
+      // 500 members split by smallest-id sub-seed refinement, bounding
+      // the self-join at n*cap — the wall gap vs semdedup_skew is the
+      // measured value of the cap
+      measure("semdedup_skew_capped", nS) {
+        Similarity.semDedup(skew, "vec_id", "embedding",
+          Seq(0L, 1L, 3L, 5L), 2, 0.3, maxCellSize = 500).count()
+      }
     }
     spark.stop()
   }

@@ -122,4 +122,44 @@ class SimilaritySpec extends AnyFunSuite {
       .orderBy("vec_id").collect().map(_.getLong(0))
     assert(aggressive.toSeq == Seq(1L, 3L))
   }
+
+  test("semDedup maxCellSize splits every oversized cell under the cap") {
+    // single k-means seed -> ONE cell holds all 500 vectors (the skew
+    // worst case); the cap must split it into path-id sub-cells none
+    // of which exceeds ~2x the cap after the refinement rounds
+    val deduped = Similarity.semDedup(emb, "vec_id", "embedding",
+      initIds = Seq(0L), iterations = 0, simThreshold = 0.999,
+      maxCellSize = 50, refineRounds = 3)
+    val cells = deduped.groupBy("cell").count().collect()
+    assert(cells.length > 1, "the hot cell must have been split")
+    assert(cells.forall(_.getString(0).contains("/")),
+      "every refined cell id is a path string")
+    // near-random embeddings spread ~evenly over sub-seeds; allow slack
+    // since assignment-to-seed does not rebalance like Lloyd would
+    assert(cells.forall(_.getLong(1) <= 150),
+      s"max refined cell ${cells.map(_.getLong(1)).max} far exceeds the cap")
+  }
+
+  test("semDedup capped run is deterministic and near-dup groups still collapse") {
+    import spark.implicits._
+    // 60 vectors in one tight cluster (worst pair cos ~0.9983, so every
+    // pair clears thr=0.98 even after refinement); distinct angles keep
+    // the rounded-cosine assignment from degenerating into one tie
+    val rows = (0L until 60L).map { i =>
+      (i, Array(1.0f, i.toFloat * 1e-3f))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    def run() = Similarity.semDedup(corpus, "vec_id", "embedding",
+        initIds = Seq(0L), iterations = 0, simThreshold = 0.98,
+        maxCellSize = 10, refineRounds = 3)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val a = run()
+    assert(a == run(), "capped semDedup must be deterministic")
+    // each sub-cell keeps exactly one representative (all pairs within
+    // a sub-cell are above threshold), so survivors == #sub-cells
+    val nCells = a.map(_._2).distinct.length
+    assert(a.length == nCells && a.length < 60,
+      s"expected one survivor per sub-cell, got ${a.length} of $nCells cells")
+  }
 }
