@@ -428,6 +428,28 @@ object TextQueries {
           "embedding", initIds = Seq(0L, 1L, 2L, 3L), iterations = 2,
           simThreshold = 0.3, maxCellSize = 50, refineRounds = 2)
         .orderBy("vec_id")
+    }),
+
+    // Lee et al.-style repeated-span removal: every 8-token run seen in
+    // >= 2 distinct documents is cut from all of them. hashKeys=false
+    // so the oracle groups on the literal gram text (the spec proves
+    // the xxhash64 scale path agrees); at this SF 47 of 500 docs carry
+    // cross-document spans
+    "t45_span_dedup" -> ((s, dir) => {
+      TextOps.spanDedup(t(s, dir, "documents"), "doc_id", "text",
+          spanWords = 8, minDocs = 2, hashKeys = false)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance selection: src0 documents model the target
+    // domain, the rest are the raw pool; hashed-bigram (256 buckets)
+    // log-likelihood-ratio weights plus deterministic md5 Gumbel noise
+    // pick the top 100
+    "t46_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.dsirSelect(docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "doc_id", "text",
+          buckets = 256, k = 100)
     })
   )
 
@@ -1031,6 +1053,67 @@ object TextQueries {
          SELECT vec_id, cell FROM r2
          WHERE vec_id NOT IN (SELECT vec_id FROM capdrops)
          ORDER BY vec_id""",
+
+    // Repeated-span removal mirror: literal-space tokens (NOT the
+    // lowercased TOKS_SQL — reconstruction must be byte-exact),
+    // 8-token grams, hot = >= 2 distinct docs, coverage via exploded
+    // (doc, pos) anti-join, rebuild with an ordered string_agg.
+    // 1-based list positions where the Spark side is 0-based; internal.
+    "t45_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id, i AS s, array_to_string(t[i:i+7], ' ') AS gram
+               FROM toks, UNNEST(generate_series(1, len(t)-7)) AS u(i)),
+         hot AS (SELECT gram FROM g GROUP BY gram
+                 HAVING COUNT(DISTINCT doc_id) >= 2),
+         hs AS (SELECT g.doc_id, g.s FROM g JOIN hot USING (gram)),
+         cov AS (SELECT DISTINCT doc_id, s + d AS p
+                 FROM hs, UNNEST(generate_series(0, 7)) AS v(d)),
+         tp AS (SELECT doc_id, p, t[p] AS tok
+                FROM toks, UNNEST(generate_series(1, len(t))) AS w(p)),
+         kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+                  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+                  WHERE cov.p IS NULL),
+         agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                        COUNT(*) AS n_kept
+                 FROM kept GROUP BY 1)
+         SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+         FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
+
+    // DSIR mirror: same salted-md5 bucket hash, add-1 smoothing over
+    // 256 buckets, per-bucket 6-dp-rounded micro-nat log ratios summed
+    // as BIGINTs, md5-seeded Gumbel tie-broken on doc_id — every
+    // floating step rounds before it aggregates, like t40.
+    "t46_dsir_select" ->
+      s"""WITH bg AS ($BIGRAMS_SQL),
+         src AS (SELECT doc_id, source FROM documents),
+         bb AS (SELECT bg.doc_id, src.source,
+                  ('0x' || substr(md5('dsir:' || sh), 1, 15))::BIGINT % 256 AS b
+                FROM bg JOIN src USING (doc_id)),
+         tb AS (SELECT b FROM bb WHERE source = 'src0'),
+         rb AS (SELECT doc_id, b FROM bb WHERE source <> 'src0'),
+         ct AS (SELECT b, COUNT(*) AS ct FROM tb GROUP BY 1),
+         cr AS (SELECT b, COUNT(*) AS cr FROM rb GROUP BY 1),
+         tt AS (SELECT COUNT(*) AS tt FROM tb),
+         rt AS (SELECT COUNT(*) AS rt FROM rb),
+         m AS (SELECT b,
+                 CAST(ROUND(ROUND(ln(
+                     ((COALESCE(ct.ct, 0) + 1)::DOUBLE / (tt.tt + 256)) /
+                     ((COALESCE(cr.cr, 0) + 1)::DOUBLE / (rt.rt + 256))), 6)
+                   * 1000000.0, 0) AS BIGINT) AS lr
+               FROM cr FULL JOIN ct USING (b) CROSS JOIN tt CROSS JOIN rt),
+         w AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(m.lr) AS w
+               FROM rb JOIN m USING (b) GROUP BY 1),
+         sc AS (SELECT doc_id, n_grams,
+                  w::DOUBLE / 1000000.0 AS weight,
+                  (w + CAST(ROUND(ROUND(-ln(-ln(
+                      (('0x' || substr(md5('dsirg:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                        + 0.5) / 1152921504606846976.0)), 6) * 1000000.0, 0)
+                    AS BIGINT))::DOUBLE / 1000000.0 AS score
+                FROM w)
+         SELECT doc_id, n_grams, weight, score FROM sc
+         ORDER BY score DESC, doc_id LIMIT 100""",
     "t11_ivf_search" ->
       """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          cent AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 4),

@@ -1121,4 +1121,135 @@ object TextOps {
         ((sum(col("__micro")).cast("double") / count(lit(1))) / lit(1e6))
           .as("lm_bits"))
   }
+
+  /** Cross-document repeated-span removal — substring-level dedup in
+    * the Lee et al. 2022 family (the ExactSubstr setting of
+    * "Deduplicating Training Data Makes Language Models Better",
+    * reference `docs` has no equivalent; this is an LLM-pipeline
+    * extension): every run of `spanWords` consecutive space-delimited
+    * tokens that occurs in at least `minDocs` DISTINCT documents is cut
+    * from every document carrying it (all overlapping hot spans, not
+    * one representative — unlike [[segmentDedup]]'s keep-first rule,
+    * boilerplate at this granularity is noise in every copy), and each
+    * document's surviving tokens are re-joined on single spaces.
+    * Returns one row per input document:
+    * (idCol, clean_text, n_tokens, n_removed). Tokenization is literal
+    * single-space splitting so survivors rebuild byte-identically;
+    * whitespace normalization is the caller's concern.
+    *
+    * `hashKeys=true` (default, the 100 TB path) ships 64-bit
+    * xxhash64(gram) keys through the count/join instead of the gram
+    * text — at spanWords=50 that is ~25x fewer shuffle bytes; an
+    * xxhash64 collision could cut an innocent span, with probability
+    * ~n_grams^2 / 2^65 (~1e-8 at a trillion grams). External-oracle
+    * verification uses `hashKeys=false` so both engines group on the
+    * literal text; [[TextOpsSpec]] asserts both paths agree.
+    *
+    * Scale shape: one narrow shingle pass -> (key) hash agg with
+    * two-phase distinct-doc counting (map-side partial dedup, so a
+    * crawl-wide boilerplate span ships one candidate per task, the
+    * same argument as [[segmentDedup]]) -> left_semi of gram rows
+    * against the hot-key set (key-partitioned; AQE broadcasts when the
+    * hot set is small, the common case) -> per-doc start-list
+    * collect_list (bounded by that doc's own gram count) -> narrow
+    * array-lambda rebuild. The rebuild's coverage test is
+    * exists(starts)(s <= p < s+n) per position: O(|hot starts| *
+    * |tokens|) per document, worst case O(T^2) for a document that is
+    * wall-to-wall boilerplate — those are exactly the documents
+    * doc-level dedup ([[minhashLsh]]/t01) removes first, and the spec
+    * pins the degenerate all-hot case. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 8, minDocs: Int = 2,
+      hashKeys: Boolean = true): DataFrame = {
+    require(spanWords >= 2, s"spanWords must be >= 2, got $spanWords")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = fanOut(df)
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+    val grams = toks
+      .select(col(idCol),
+        posexplode(shingles(col("__t"), spanWords)).as(Seq("start", "gram")))
+    val keyed = grams.select(col(idCol), col("start"),
+      (if (hashKeys) xxhash64(col("gram")) else col("gram")).as("__k"))
+    val hot = keyed.groupBy("__k")
+      .agg(countDistinct(col(idCol)).as("__d"))
+      .filter(col("__d") >= minDocs)
+      .select("__k")
+    val hotStarts = keyed.join(hot, Seq("__k"), "left_semi")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("start"))).as("__starts"))
+    toks.join(hotStarts, Seq(idCol), "left")
+      .withColumn("__s",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      // positions are zip_with-paired BEFORE the filter so the lambda
+      // reads plain struct fields (header note: a captured expression
+      // re-evaluates per element)
+      .withColumn("__z",
+        expr("zip_with(__t, sequence(0, size(__t) - 1), (tk, p) -> struct(tk, p))"))
+      .withColumn("__kept",
+        expr(s"filter(__z, e -> NOT exists(__s, s -> s <= e.p AND e.p < s + $spanWords))"))
+      .select(col(idCol),
+        concat_ws(" ", expr("transform(__kept, e -> e.tk)")).as("clean_text"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hashed-bigram
+    * bucket counts model a target domain and the raw pool; each raw
+    * document scores its summed per-bigram log-likelihood ratio
+    * ln(p_target(bucket)/p_raw(bucket)) (add-1 smoothed), plus a
+    * deterministic md5-seeded Gumbel perturbation (the paper's
+    * Gumbel-top-k resampling, made reproducible); the k highest scores
+    * win. Returns k rows (idCol, n_grams, weight, score) sorted by
+    * score descending, id ascending. Documents with < 2 tokens never
+    * score (no bigrams). Per-bucket and per-doc log terms are rounded
+    * to 6 dp and summed as integer micro-nats, so the aggregate is
+    * summation-order-independent ([[lmScore]]'s discipline).
+    *
+    * Scale shape: two `buckets`-row hash aggs train the model (partial
+    * combine collapses each bucket per task); the scorer joins gram
+    * rows to the KB-sized model broadcast-style (buckets defaults to
+    * 256 rows — always under the broadcast threshold), one per-doc
+    * hash agg, then a TakeOrdered top-k: only k rows reach the driver.
+    * No vocabulary-sized state anywhere — that is the point of DSIR's
+    * hashing trick, and what makes this runnable against a 100 TB raw
+    * pool with a laptop-sized target. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 256, k: Int = 100): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(k > 0, s"k must be positive, got $k")
+    val denom = math.pow(2.0, 60) // md5Hash60 range
+    def bucketed(df: DataFrame): DataFrame =
+      explodedShingles(df, idCol, textCol, 2)
+        .select(col(idCol),
+          pmod(md5Hash60(concat(lit("dsir:"), col("sh"))), lit(buckets.toLong))
+            .as("__b"))
+    val tgt = bucketed(target).groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val tgtTot = bucketed(target).agg(count(lit(1)).as("__tt"))
+    val rawB = bucketed(raw)
+    val rawCnt = rawB.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val rawTot = rawB.agg(count(lit(1)).as("__rt"))
+    val model = rawCnt.join(tgt, Seq("__b"), "full")
+      .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
+      .select(col("__b"),
+        round(round(log(
+            ((coalesce(col("__ct"), lit(0L)) + lit(1L)).cast("double") /
+              (col("__tt") + lit(buckets.toLong))) /
+            ((coalesce(col("__cr"), lit(0L)) + lit(1L)).cast("double") /
+              (col("__rt") + lit(buckets.toLong)))), 6)
+          * lit(1e6), 0).cast("long").as("__lr"))
+    val weights = rawB.join(broadcast(model), Seq("__b"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), sum(col("__lr")).as("__w"))
+    val gumbel = round(round(
+        -log(-log((md5Hash60(concat(lit("dsirg:"), col(idCol).cast("string")))
+          .cast("double") + lit(0.5)) / lit(denom))), 6) * lit(1e6), 0)
+      .cast("long")
+    weights
+      .select(col(idCol), col("n_grams"),
+        (col("__w").cast("double") / lit(1e6)).as("weight"),
+        ((col("__w") + gumbel).cast("double") / lit(1e6)).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
 }

@@ -315,4 +315,78 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.lmScore(ref, Seq((11L, "solo")).toDF("doc_id", "text"),
       "doc_id", "text").count() == 0)
   }
+
+  test("spanDedup cuts cross-document spans, keeps unique text, hash path agrees") {
+    import spark.implicits._
+    val shared = "w1 w2 w3 w4" // the repeated 4-token boilerplate run
+    val docs = Seq(
+      (1L, s"alpha $shared beta"),     // shared span at positions 1..4
+      (2L, s"$shared gamma delta"),    // shared span at positions 0..3
+      (3L, "unique text only here"),   // untouched
+      (4L, "tiny"),                    // shorter than the span size
+      (5L, shared)                     // degenerate: the whole doc is hot
+    ).toDF("doc_id", "text")
+    def run(hashed: Boolean) =
+      TextOps.spanDedup(docs, "doc_id", "text", spanWords = 4, minDocs = 2,
+          hashKeys = hashed)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val got = run(hashed = false)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got(0)._2 == "alpha beta" && got(0)._4 == 4L)
+    assert(got(1)._2 == "gamma delta" && got(1)._4 == 4L)
+    assert(got(2)._2 == "unique text only here" && got(2)._4 == 0L)
+    assert(got(3)._2 == "tiny" && got(3)._3 == 1L && got(3)._4 == 0L)
+    // wall-to-wall boilerplate empties out but still gets its row
+    assert(got(4)._2 == "" && got(4)._4 == 4L)
+    // the xxhash64 scale path and the literal-gram oracle path agree
+    assert(run(hashed = true).toSeq == got.toSeq)
+  }
+
+  test("spanDedup removes overlapping hot spans as a merged range") {
+    import spark.implicits._
+    // docs 1 and 2 share the 5-token run "a b c d e"; with spanWords=4
+    // BOTH 4-grams ("a b c d", "b c d e") are hot in both docs, so the
+    // merged coverage is the full 5-token range, not just one window
+    val docs = Seq(
+      (1L, "x a b c d e y"),
+      (2L, "a b c d e z")
+    ).toDF("doc_id", "text")
+    val got = TextOps.spanDedup(docs, "doc_id", "text", spanWords = 4,
+        minDocs = 2, hashKeys = false)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    assert(got(0) == ("x y", 5L))
+    assert(got(1) == ("z", 5L))
+  }
+
+  test("dsirSelect ranks target-like raw docs first and is deterministic") {
+    import spark.implicits._
+    // target domain speaks "spark query table"; half the raw pool does
+    // too, the other half speaks an unrelated vocabulary
+    val target = (0L until 8L).map(i =>
+      (1000L + i, "spark query table spark query table spark query"))
+      .toDF("doc_id", "text")
+    val raw = ((0L until 10L).map(i =>
+        (i, "spark query table spark query table")) ++
+      (10L until 20L).map(i =>
+        (i, "zebra yak xylophone walrus vulture zebra yak")))
+      .toDF("doc_id", "text")
+    val got = TextOps.dsirSelect(raw, target, "doc_id", "text",
+      buckets = 64, k = 10)
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.length == 10)
+    // all 10 winners come from the target-like half despite Gumbel noise
+    // (the LLR gap between the halves dwarfs the noise scale)
+    assert(ids.forall(_ < 10L), s"unexpected winners: $ids")
+    // weights of target-like docs strictly exceed the off-domain ones
+    val all = TextOps.dsirSelect(raw, target, "doc_id", "text",
+      buckets = 64, k = 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert((0L until 10L).map(all).min > (10L until 20L).map(all).max)
+    // byte-deterministic across runs
+    val again = TextOps.dsirSelect(raw, target, "doc_id", "text",
+      buckets = 64, k = 10).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(again == ids)
+  }
 }
