@@ -1252,4 +1252,173 @@ object TextOps {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
+
+  /** Gopher document-quality rules (Rae et al. 2021 "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A1.1 — the MassiveText heuristic filter; reference has no
+    * equivalent, this is an LLM-pipeline extension): per-document word
+    * count, mean word length, symbol-to-word ratio (`#` and `...`),
+    * bullet-start and ellipsis-end line fractions, alphabetic-word
+    * fraction, and distinct-stopword count, each compared against the
+    * paper's published thresholds into one `pass` verdict. Words are
+    * whitespace runs; lines are `\n` splits; the stopword test uses the
+    * paper's list (the, be, to, of, and, that, have, with) against
+    * lowercased alphanumeric tokens. All fractions are 6-dp rounded
+    * BEFORE the threshold compare so the booleans are reproducible on
+    * any IEEE engine.
+    *
+    * Scale shape: a single narrow projection — tokenize/split/lambda
+    * arithmetic per row, NO shuffle, no aggregation, output
+    * partitioning inherits the input's. The cheapest filter in the
+    * curation stack and the one to run first at 100 TB (before any
+    * dedup shuffle pays for documents this would have dropped). */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val words = filter(split(col(textCol), "\\s+"), x => x =!= "")
+    val lines = filter(transform(split(col(textCol), "\n"), x => trim(x)),
+      x => x =!= "")
+    val nWords = size(col("__w"))
+    val nLines = size(col("__l"))
+    val meanLen = when(nWords === 0, lit(null)).otherwise(round(
+      aggregate(transform(col("__w"), x => length(x).cast("long")),
+        lit(0L), (a, x) => a + x).cast("double") / nWords, 6))
+    // '#' occurrences + non-overlapping '...' occurrences, per the
+    // paper's "symbol" definition
+    val nSymbols =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), "#", ""))) +
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / lit(3)
+    val symbolRatio = when(nWords === 0, lit(null))
+      .otherwise(round(nSymbols.cast("double") / nWords, 6))
+    val bulletFrac = when(nLines === 0, lit(null)).otherwise(round(
+      size(filter(col("__l"), x =>
+        x.startsWith("-") || x.startsWith("*") || x.startsWith("•")))
+        .cast("double") / nLines, 6))
+    val ellipsisFrac = when(nLines === 0, lit(null)).otherwise(round(
+      size(filter(col("__l"), x =>
+        x.endsWith("...") || x.endsWith("…"))).cast("double") / nLines, 6))
+    val alphaFrac = when(nWords === 0, lit(null)).otherwise(round(
+      size(filter(col("__w"), x => x.rlike("[a-zA-Z]"))).cast("double") /
+        nWords, 6))
+    val stopArr = array(gopherStops.map(lit): _*)
+    // tokens materialized as __t once — the filter lambda re-evaluates
+    // its body per element, so an inline tokens() would tokenize 8x
+    val stopHits = size(filter(stopArr, s => array_contains(col("__t"), s)))
+    df.select(col(idCol), col(textCol), words.as("__w"), lines.as("__l"),
+        tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        nWords.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"),
+        bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"),
+        alphaFrac.as("alpha_frac"),
+        stopHits.cast("long").as("stop_hits"))
+      .withColumn("pass",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+        (col("symbol_ratio") <= maxSymbolRatio) &&
+        coalesce(col("bullet_frac") <= maxBulletFrac, lit(true)) &&
+        coalesce(col("ellipsis_frac") <= maxEllipsisFrac, lit(true)) &&
+        (col("alpha_frac") >= minAlphaFrac) &&
+        (col("stop_hits") >= minStopHits))
+  }
+
+  /** Fractional n-gram overlap against a benchmark set — the GPT-3-
+    * style contamination SCORE next to [[decontaminate]]'s binary hit
+    * count (Brown et al. 2020 measured leakage as the fraction of a
+    * document's 13-grams seen in evals; a threshold on the fraction
+    * tolerates incidental short-phrase collisions that a single-hit
+    * rule would flag). One row per corpus document with at least one
+    * gram: (idCol, n_grams, n_overlap, overlap_frac, contaminated),
+    * where n_grams counts DISTINCT grams, overlap_frac is 6-dp rounded,
+    * and contaminated = overlap_frac >= minFrac.
+    *
+    * Scale shape: identical to [[decontaminate]] — the benchmark gram
+    * set is eval-suite-sized, so AQE broadcasts it; the corpus side is
+    * one explode + partial-agg distinct + two hash aggs keyed by doc,
+    * no corpus-vs-corpus shuffle. The extra cost over decontaminate is
+    * one more per-doc count, not a new shuffle. */
+  def overlapContamination(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, shingleWords: Int = 8,
+      minFrac: Double = 0.2): DataFrame = {
+    val bs = explodedShingles(bench, idCol, textCol, shingleWords)
+      .select(col("sh")).distinct()
+    val grams = explodedShingles(corpus, idCol, textCol, shingleWords)
+      .distinct()
+    val totals = grams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(bs, "sh")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        round(col("n_overlap").cast("double") / col("n_grams"), 6))
+      .withColumn("contaminated", col("overlap_frac") >= minFrac)
+  }
+
+  /** BM25 retrieval ranking (Robertson & Walker's Okapi BM25, the
+    * k1/b form in Robertson & Zaragoza 2009 "The Probabilistic
+    * Relevance Framework"): scores every corpus document against every
+    * query and keeps each query's top `k`. Query terms are the query
+    * text's DISTINCT lowercase-alphanumeric tokens; per-term
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the non-negative Lucene
+    * variant) and tf saturation tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)).
+    * Each (query, doc, term) contribution is 6-dp rounded and summed
+    * as integer micro-units ([[lmScore]]'s discipline), so the
+    * per-pair score is summation-order-independent; ties break on
+    * ascending doc id. Returns (queryIdCol, idCol, n_terms, score,
+    * rank) with rank 1..k per query.
+    *
+    * Scale shape: doc tf and df are the [[tfidfTopTerms]] aggregates
+    * (map-side combine, term-keyed); N and avgdl are single-row
+    * broadcasts; the query-term frame is queries-sized so its term
+    * join broadcasts under AQE, and the only wide op touching corpus
+    * scale is the per-(query, doc) hash agg. The final top-k window
+    * partitions by query over that query's CANDIDATE docs (those
+    * sharing a term) — for a stopword-laden query at corpus scale,
+    * raise the bar by stopword-pruning the query side (df/N is already
+    * joined and filterable); the spec pins the semantics. */
+  def bm25Rank(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, queryIdCol: String, queryTextCol: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = fanOut(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("__n"))
+      .crossJoin(dl.agg(avg(col("dl")).as("__avgdl")))
+    val qterms = fanOut(queries)
+      .select(col(queryIdCol), explode(tokens(col(queryTextCol))).as("term"))
+      .distinct()
+    val contrib = qterms
+      .join(tf, "term")
+      .join(dfreq, "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(queryIdCol), col(idCol),
+        round(round(
+            log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))) *
+            (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * col("dl") / col("__avgdl"))), 6)
+          * lit(1e6), 0).cast("long").as("__micro"))
+    val scored = contrib
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        (sum(col("__micro")).cast("double") / lit(1e6)).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryIdCol).orderBy(desc("score"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }
