@@ -154,17 +154,22 @@ object Media {
     var off = start
     while (off + 8 <= end) {
       val t = new String(b, off, 4, "US-ASCII")
-      val size = rdLe32(b, off + 4)
-      if (size < 0 || off + 8 + size > end) return
-      f(t, off + 8, off + 8 + size)
-      off += 8 + size + (size & 1)
+      // The on-disk size is unsigned; widen to Long before the bound
+      // check so a crafted size near 2^31 can't wrap `off + 8 + size`
+      // negative, sneak past `> end`, and drive `off` out of range.
+      val size = rdLe32(b, off + 4).toLong & 0xffffffffL
+      if (off + 8L + size > end) return
+      f(t, off + 8, (off + 8L + size).toInt)
+      val next = off + 8L + size + (size & 1L)
+      if (next > end) return
+      off = next.toInt
     }
   }
 
   /** Real AVI metadata parse — pure-JVM RIFF walk to `hdrl/avih`:
     * (format, width, height, duration_ms = usPerFrame * totalFrames).
     * None when the RIFF/AVI structure is absent. */
-  def parseAvi(payload: Array[Byte]): Option[(String, Int, Int, Long)] = {
+  def parseAvi(payload: Array[Byte]): Option[(String, Int, Int, Long)] = try {
     if (payload.length < 12 + 8 + 56) return None
     if (new String(payload, 0, 4, "US-ASCII") != "RIFF" ||
         new String(payload, 8, 4, "US-ASCII") != "AVI ") return None
@@ -184,6 +189,11 @@ object Media {
       }
     }
     out
+  } catch {
+    // A malformed payload must fall through to the codec ladder / stub
+    // path (a decode task never dies on crafted bytes), matching
+    // parseMp4's posture.
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** A structurally valid AVI container. Default codec is uncompressed
@@ -279,18 +289,21 @@ object Media {
     * (bottom-up BGR24 -> BufferedImage), and MJPEG '..dc' frames
     * (JPEG SOI marker) go through the actual ImageIO JPEG codec.
     * Non-AVI payloads and unrecognized chunks yield no frames. */
-  def decodeAviFrames(payload: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+  def decodeAviFrames(payload: Array[Byte]): Seq[java.awt.image.BufferedImage] = try {
     val meta = parseAvi(payload)
     if (meta.isEmpty) return Nil
     val (_, w, h, _) = meta.get
-    if (w <= 0 || h <= 0) return Nil
+    // Bound the claimed geometry BEFORE any allocation: a crafted avih
+    // w/h can't force a multi-GB BufferedImage, and every chunk-size
+    // compare below stays in Long so rowSize*h can't overflow Int.
+    if (w <= 0 || h <= 0 || w > 16384 || h > 16384) return Nil
     val rowSize = ((w * 3 + 3) / 4) * 4
     val frames = Seq.newBuilder[java.awt.image.BufferedImage]
     walkRiff(payload, 12, payload.length) { (t, bs, be) =>
       if (t == "LIST" && be - bs >= 4 &&
           new String(payload, bs, 4, "US-ASCII") == "movi") {
         walkRiff(payload, bs + 4, be) { (t2, bs2, be2) =>
-          if (t2.endsWith("db") && be2 - bs2 >= rowSize * h) {
+          if (t2.endsWith("db") && (be2 - bs2).toLong >= rowSize.toLong * h) {
             val img = new java.awt.image.BufferedImage(
               w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
             var s = 0
@@ -317,6 +330,8 @@ object Media {
       }
     }
     frames.result()
+  } catch {
+    case scala.util.control.NonFatal(_) => Nil
   }
 
   /** Frame-CONTENT extraction stage: one row per decoded video frame

@@ -450,6 +450,38 @@ object TextQueries {
       TextOps.dsirSelect(docs.filter(col("source") =!= "src0"),
           docs.filter(col("source") === "src0"), "doc_id", "text",
           buckets = 256, k = 100)
+    }),
+
+    // Gopher/MassiveText document-quality rules: the paper's published
+    // word/line/symbol/stopword thresholds, each statistic emitted
+    // alongside the combined pass verdict — a pure narrow projection,
+    // the filter a curation stack runs before any dedup shuffle
+    "t47_gopher_rules" -> ((s, dir) => {
+      TextOps.gopherRules(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // GPT-3-style fractional contamination score against the doc_id<50
+    // benchmark slice (t28's binary-hit twin): distinct 3-gram overlap
+    // fraction per corpus document, flagged at >= 5%
+    "t48_overlap_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.overlapContamination(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", shingleWords = 3, minFrac = 0.05)
+        .orderBy("doc_id")
+    }),
+
+    // Okapi BM25 retrieval: the first three documents' texts as queries
+    // over the whole corpus, top-10 per query (a query's own source doc
+    // must rank 1 — every term saturates at its own tf)
+    "t49_bm25_rank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.bm25Rank(docs,
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+          "doc_id", "text", "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -1114,6 +1146,102 @@ object TextQueries {
                 FROM w)
          SELECT doc_id, n_grams, weight, score FROM sc
          ORDER BY score DESC, doc_id LIMIT 100""",
+
+    // Gopher-rules mirror: same word/line/token splits (words keep
+    // case, lines trim + drop blanks, stop-hits use the lowercase
+    // alnum tokens), every fraction 6-dp rounded BEFORE the threshold
+    // compare, NULL-line/word docs pass the line rules via COALESCE
+    // exactly like the Spark side.
+    "t47_gopher_rules" ->
+      """WITH base AS (SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
+           list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+             x -> x <> '') AS l,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS t
+         FROM documents),
+         m AS (SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           len(l) AS n_lines,
+           CASE WHEN len(w) = 0 THEN NULL ELSE ROUND(
+             list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))::DOUBLE
+               / len(w), 6) END AS mean_word_len,
+           CASE WHEN len(w) = 0 THEN NULL ELSE ROUND(
+             ((length(text) - length(replace(text, '#', ''))) +
+              (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+               / len(w), 6) END AS symbol_ratio,
+           CASE WHEN len(l) = 0 THEN NULL ELSE ROUND(
+             len(list_filter(l, x -> starts_with(x, '-') OR starts_with(x, '*')
+               OR starts_with(x, '•')))::DOUBLE / len(l), 6) END AS bullet_frac,
+           CASE WHEN len(l) = 0 THEN NULL ELSE ROUND(
+             len(list_filter(l, x -> ends_with(x, '...') OR ends_with(x, '…')))
+               ::DOUBLE / len(l), 6) END AS ellipsis_frac,
+           CASE WHEN len(w) = 0 THEN NULL ELSE ROUND(
+             len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+               / len(w), 6) END AS alpha_frac,
+           CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(t, s))) AS BIGINT) AS stop_hits
+         FROM base)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+           ellipsis_frac, alpha_frac, stop_hits,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_ratio <= 0.1
+             AND COALESCE(bullet_frac <= 0.9, TRUE)
+             AND COALESCE(ellipsis_frac <= 0.3, TRUE)
+             AND alpha_frac >= 0.8
+             AND stop_hits >= 2 AS pass
+         FROM m ORDER BY doc_id""",
+
+    // Fractional-overlap contamination mirror: t28's distinct-3-gram
+    // join plus a per-doc total, fraction 6-dp rounded before the
+    // 5% threshold.
+    "t48_overlap_contamination" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, sh FROM ($SHINGLES_SQL)),
+         b AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50),
+         tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh
+                 WHERE doc_id >= 50 GROUP BY 1),
+         hit AS (SELECT c.doc_id, COUNT(*) AS n_overlap FROM sh c
+                 JOIN b USING (sh) WHERE c.doc_id >= 50 GROUP BY 1)
+         SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           ROUND(COALESCE(h.n_overlap, 0)::DOUBLE / t.n_grams, 6) AS overlap_frac,
+           ROUND(COALESCE(h.n_overlap, 0)::DOUBLE / t.n_grams, 6) >= 0.05
+             AS contaminated
+         FROM tot t LEFT JOIN hit h USING (doc_id) ORDER BY doc_id""",
+
+    // BM25 mirror: Lucene-variant idf, k1/b saturation with the SAME
+    // float expression shape as the Scala side (1.2 + 1.0 computed,
+    // never a 2.2 literal — the runtime sum is what the engine uses),
+    // per-(query, doc, term) contributions 6-dp rounded into BIGINT
+    // micro-units before the sum, row_number top-10 tie-broken on
+    // doc_id.
+    "t49_bm25_rank" ->
+      s"""WITH tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+               FROM (SELECT doc_id, unnest(w) AS tok FROM ($TOKS_SQL))
+               GROUP BY 1, 2),
+         dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+         dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+                       (SELECT AVG(dl) FROM dl) AS avgdl),
+         qt AS (SELECT DISTINCT doc_id AS query_id, tok AS term
+                FROM (SELECT doc_id, unnest(w) AS tok FROM ($TOKS_SQL)
+                      WHERE doc_id < 3)),
+         ctr AS (SELECT qt.query_id, tf.doc_id,
+                  CAST(ROUND(ROUND(
+                      ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                      (tf.tf * (1.2 + 1.0)) /
+                      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6)
+                    * 1000000.0, 0) AS BIGINT) AS micro
+                FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+                     JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+         sc AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                  SUM(micro)::DOUBLE / 1000000.0 AS score
+                FROM ctr GROUP BY 1, 2)
+         SELECT query_id, doc_id, n_terms, score, rank FROM (
+           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "t11_ivf_search" ->
       """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          cent AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 4),

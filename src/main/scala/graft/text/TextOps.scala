@@ -1206,14 +1206,17 @@ object TextOps {
     * to 6 dp and summed as integer micro-nats, so the aggregate is
     * summation-order-independent ([[lmScore]]'s discipline).
     *
-    * Scale shape: two `buckets`-row hash aggs train the model (partial
-    * combine collapses each bucket per task); the scorer joins gram
-    * rows to the KB-sized model broadcast-style (buckets defaults to
-    * 256 rows — always under the broadcast threshold), one per-doc
-    * hash agg, then a TakeOrdered top-k: only k rows reach the driver.
-    * No vocabulary-sized state anywhere — that is the point of DSIR's
-    * hashing trick, and what makes this runnable against a 100 TB raw
-    * pool with a laptop-sized target. */
+    * Scale shape: each corpus is shingled exactly once — the target
+    * into a <=buckets-row count table, the raw pool into a
+    * per-(doc, bucket) count table (localCheckpointed, so its two
+    * consumers share the single explode pass); the model totals are
+    * sums over those tables, never a re-scan. The scorer joins the
+    * per-(doc, bucket) counts to the KB-sized model broadcast-style
+    * (buckets defaults to 256 rows — always under the broadcast
+    * threshold), one per-doc hash agg, then a TakeOrdered top-k: only
+    * k rows reach the driver. No vocabulary-sized state anywhere —
+    * that is the point of DSIR's hashing trick, and what makes this
+    * runnable against a 100 TB raw pool with a laptop-sized target. */
   def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 256, k: Int = 100): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
@@ -1224,11 +1227,19 @@ object TextOps {
         .select(col(idCol),
           pmod(md5Hash60(concat(lit("dsir:"), col("sh"))), lit(buckets.toLong))
             .as("__b"))
-    val tgt = bucketed(target).groupBy("__b").agg(count(lit(1)).as("__ct"))
-    val tgtTot = bucketed(target).agg(count(lit(1)).as("__tt"))
-    val rawB = bucketed(raw)
-    val rawCnt = rawB.groupBy("__b").agg(count(lit(1)).as("__cr"))
-    val rawTot = rawB.agg(count(lit(1)).as("__rt"))
+    // Each corpus is shingled exactly ONCE: the target collapses to a
+    // <=buckets-row count table, the raw pool to a per-(doc, bucket)
+    // count table, and every total below is a sum over those tables
+    // rather than a second (or third) explode+hash pass over the
+    // corpus. localCheckpoint pins each single pass because both
+    // frames feed two branches (model + totals, model + scorer).
+    val tgt = bucketed(target).groupBy("__b")
+      .agg(count(lit(1)).as("__ct")).localCheckpoint()
+    val tgtTot = tgt.agg(sum("__ct").as("__tt"))
+    val rawDoc = bucketed(raw).groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c")).localCheckpoint()
+    val rawCnt = rawDoc.groupBy("__b").agg(sum("__c").as("__cr"))
+    val rawTot = rawCnt.agg(sum("__cr").as("__rt"))
     val model = rawCnt.join(tgt, Seq("__b"), "full")
       .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
       .select(col("__b"),
@@ -1238,9 +1249,9 @@ object TextOps {
             ((coalesce(col("__cr"), lit(0L)) + lit(1L)).cast("double") /
               (col("__rt") + lit(buckets.toLong)))), 6)
           * lit(1e6), 0).cast("long").as("__lr"))
-    val weights = rawB.join(broadcast(model), Seq("__b"))
+    val weights = rawDoc.join(broadcast(model), Seq("__b"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_grams"), sum(col("__lr")).as("__w"))
+      .agg(sum("__c").as("n_grams"), sum(col("__lr") * col("__c")).as("__w"))
     val gumbel = round(round(
         -log(-log((md5Hash60(concat(lit("dsirg:"), col(idCol).cast("string")))
           .cast("double") + lit(0.5)) / lit(denom))), 6) * lit(1e6), 0)

@@ -99,6 +99,37 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.parseAvi(Media.buildMp4(64, 64, 1000L)).isEmpty)
   }
 
+  test("crafted RIFF payloads fail closed: None/Nil, never a crash") {
+    // Chunk size near Int.MaxValue: signed 32-bit `off + 8 + size`
+    // would wrap negative, bypass the end-bound check, and drive the
+    // walker out of the array. The Long-widened walk must just stop.
+    val huge = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = s.foreach(c => huge.write(c.toInt))
+    def le32(v: Int): Unit =
+      (0 until 4).foreach(i => huge.write((v >>> (8 * i)) & 0xff))
+    tag("RIFF"); le32(100); tag("AVI ")
+    tag("LIST"); le32(0x7ffffff0) // claims ~2 GB of body in an 84-byte file
+    huge.write(new Array[Byte](64))
+    val hb = huge.toByteArray
+    assert(Media.parseAvi(hb).isEmpty)
+    assert(Media.decodeAviFrames(hb).isEmpty)
+    // An avih claiming a 1M x 1M frame: geometry is bounded BEFORE any
+    // BufferedImage allocation, so decode yields no frames (metadata
+    // parse itself still reports what the header claims).
+    val a = Media.buildAvi(4, 4, 1)
+    val idx = a.indexOfSlice("avih".getBytes("US-ASCII"))
+    assert(idx > 0)
+    def patchLe32(off: Int, v: Int): Unit =
+      (0 until 4).foreach(i => a(off + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    patchLe32(idx + 8 + 32, 1000000) // width
+    patchLe32(idx + 8 + 36, 1000000) // height
+    assert(Media.parseAvi(a).exists(_._2 == 1000000))
+    assert(Media.decodeAviFrames(a).isEmpty)
+    // Truncated mid-header and zero-length payloads
+    assert(Media.parseAvi(java.util.Arrays.copyOf(hb, 14)).isEmpty)
+    assert(Media.decodeAviFrames(Array.emptyByteArray).isEmpty)
+  }
+
   test("raw-RGB AVI frames decode to the exact construction-rule pixels") {
     val a = Media.buildAvi(9, 7, 2) // odd width exercises the 4-byte row pad
     val frames = Media.decodeAviFrames(a)

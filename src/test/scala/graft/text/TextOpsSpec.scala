@@ -389,4 +389,76 @@ class TextOpsSpec extends AnyFunSuite {
       buckets = 64, k = 10).select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(again == ids)
   }
+
+  test("gopherRules: per-rule statistics and verdicts on crafted docs") {
+    import spark.implicits._
+    val good = (("the quick brown fox jumps over that lazy dog and " * 6) +
+      "we have fun with words to spare here now").trim
+    val docs = Seq(
+      (1L, good),                       // 69 words, stopword-rich -> pass
+      (2L, "too short to have any of the required words"), // n_words < 50
+      (3L, ("- item one\n" * 10).trim), // bullet_frac = 1.0 > 0.9
+      (4L, good + " ### ... ... " + ("# " * 12).trim), // symbols over 10%
+      (5L, "")                          // empty: everything null/zero
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(8), "good doc must pass")
+    assert(r(1L).getLong(1) == 69)
+    assert(r(1L).getLong(7) >= 5, "distinct stopword hits")
+    assert(!r(2L).getBoolean(8) && r(2L).getLong(1) < 50)
+    assert(r(3L).getDouble(4) == 1.0 && !r(3L).getBoolean(8))
+    // 15 '#' + 2 non-overlapping '...' over 84 whitespace words
+    assert(math.abs(r(4L).getDouble(3) - math.rint(1e6 * 17.0 / 84) / 1e6)
+      < 1e-9)
+    assert(!r(4L).getBoolean(8))
+    assert(r(5L).getLong(1) == 0 && r(5L).isNullAt(2) && !r(5L).getBoolean(8))
+  }
+
+  test("overlapContamination: fraction of distinct grams seen in the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),       // fully contained
+      (2L, "alpha beta gamma plus unrelated trailing words here"), // partial
+      (3L, "nothing shared with benchmark content at all")) // clean
+      .toDF("doc_id", "text")
+    val r = TextOps.overlapContamination(corpus, bench, "doc_id", "text",
+        shingleWords = 3, minFrac = 0.5).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getBoolean(4))).sortBy(_._1)
+    // doc 1: 4 distinct 3-grams, all in the benchmark
+    assert(r(0) == ((1L, 4L, 4L, 1.0, true)))
+    // doc 2: 6 grams, exactly "alpha beta gamma" overlaps
+    assert(r(1) == ((2L, 6L, 1L, 0.166667, false)))
+    assert(r(2) == ((3L, 5L, 0L, 0.0, false)))
+  }
+
+  test("bm25Rank: self-retrieval, term-match ordering, rank contract") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "spark spark spark and nothing else spark"),
+      (3L, "gardening tips for growing tomatoes at home"),
+      (4L, "cluster management and data shuffles in spark deployments"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "spark shuffles data across the cluster"))
+      .toDF("query_id", "qtext")
+    val r = TextOps.bm25Rank(docs, qs, "doc_id", "text", "query_id", "qtext",
+        k = 3).orderBy("rank").collect()
+    // the query IS doc 1: every query term present -> doc 1 first
+    assert(r(0).getLong(1) == 1L && r(0).getInt(4) == 1)
+    // doc 3 shares no terms -> never a candidate; ranks are 1..n dense
+    assert(r.map(_.getLong(1)).toSet == Set(1L, 2L, 4L))
+    assert(r.map(_.getInt(4)).toSeq == Seq(1, 2, 3))
+    // n_terms counts MATCHED query terms: doc 4 shares 4, doc 2 shares 1
+    val byDoc = r.map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(byDoc(4L) == 4L && byDoc(2L) == 1L)
+    // scores strictly ordered, deterministic across runs
+    assert(r.map(_.getDouble(3)).sliding(2).forall(p => p(0) >= p(1)))
+    val again = TextOps.bm25Rank(docs, qs, "doc_id", "text", "query_id",
+      "qtext", k = 3).orderBy("rank").collect()
+    assert(again.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq)
+  }
 }
