@@ -7,20 +7,26 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JIT/codegen/parquet-reader paths so the first timed query
-    // isn't charged the one-time JVM startup cost.
-    locally {
+    // isn't charged the one-time JVM startup cost. The WHOLE block is
+    // try/catch-guarded: a warm-up failure costs one cold (noisy) first
+    // measurement, but an unguarded warm-up death costs the entire
+    // round's bench signal (r7: one analysis error in the events
+    // warm-up → rc=1, parsed:null, no number at all).
+    try {
       import org.apache.spark.sql.functions._
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       li.groupBy("l_returnflag").agg(sum("l_quantity")).collect()
-      // events stores TIMESTAMP(NANOS): warm the legacy-nanos reader path
-      // (footer + schema conversion) the q08-q14 family depends on.
+      // events warm-up goes through the same schema-adaptive helper the
+      // q08-q14 family uses (handles nanos-as-Long AND micros variants).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .select(timestamp_micros(expr("ts DIV 1000")).as("t")).agg(max("t")).collect()
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      graft.streaming.EventStreams.withEventTime(ev)
+        .agg(max("event_time")).collect()
       spark.range(1000)
         .select(explode(split(md5(col("id").cast("string")), "")).as("c"))
         .groupBy("c").count().collect()
@@ -70,6 +76,11 @@ object Bench {
         indexed, cent, vecs.limit(20), "id", "embedding", k = 5, nProbe = 2).count()
       graft.sim.Similarity.cosineTopK(
         vecs, vecs.limit(10), "id", "embedding", k = 5).count()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // Diagnostic only — the timed loop below still runs; each query
+        // has its own failure accounting.
+        System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
     }
     // A query that throws is recorded with time -1 and listed under
     // "failed" so a broken query can never masquerade as a fast one.

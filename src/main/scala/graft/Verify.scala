@@ -15,10 +15,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must be LOUD: r7 had 5 queries die inside this loop
+    // and the correctness report simply lacked their rows — a 151-green
+    // report that read as perfect. Failures are collected, written to
+    // _failed.json beside the results, and echoed to stdout so both the
+    // driver log and the output dir carry the regression.
+    var failed = List.empty[(String, String)]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -37,6 +44,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson = failed.sortBy(_._1)
+      .map { case (n, m) => s"${q(n)}: ${q(m.take(300))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    if (failed.nonEmpty) {
+      println(s"[verify] FAILED ${failed.size} queries: " +
+        failed.map(_._1).sorted.mkString(", "))
+    } else println("[verify] all queries dumped OK")
     spark.stop()
   }
 }

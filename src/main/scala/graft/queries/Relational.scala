@@ -18,11 +18,13 @@ import org.apache.spark.sql.expressions.Window
 object Relational {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads
-    // under this legacy conf. Set it at EVERY events read: registry Map
-    // iteration order shifts as queries are added, so a query that reads
-    // events must never depend on an earlier query having set the flag
-    // (q16 broke exactly that way when t42/t43 reordered the map).
+    // events.ts has shipped as both TIMESTAMP(NANOS) and, in newer
+    // testdata drops, TIMESTAMP(MICROS). The legacy conf lets Spark 4
+    // read the nanos variant (as LongType) and is a no-op for micros;
+    // EventStreams.eventTime then adapts to whichever type was read.
+    // Set it at EVERY events read: registry Map iteration order shifts
+    // as queries are added, so a query that reads events must never
+    // depend on an earlier query having set the flag.
     if (name == "events")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/$name.parquet")
@@ -120,14 +122,11 @@ object Relational {
         .orderBy("kind", "n_name")
     }),
 
-    // time-bucketed aggregation over the events stream table.
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads via
-    // the nanosAsLong legacy conf; integer-DIV to micros preserves
-    // precision (a double division would lose sub-ms bits at 1e18).
+    // time-bucketed aggregation over the events stream table; the
+    // event-time derivation is schema-adaptive (EventStreams.eventTime).
     "q08_events_hourly" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, dir, "events")
-        .withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
+      val ev = t(s, dir, "events")
+      ev.withColumn("tsx", graft.streaming.EventStreams.eventTime(ev))
         .groupBy(date_trunc("hour", col("tsx")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
         .orderBy("hour", "event_type")
@@ -144,7 +143,6 @@ object Relational {
 
     // gap-based sessionization (batch twin of the streaming operator)
     "q11_sessionize" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       graft.streaming.EventStreams.sessionizeBatch(t(s, dir, "events"))
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), round(col("total_value"), 4).as("total_value"))
@@ -154,7 +152,6 @@ object Relational {
     // sliding-window per-user activity (batch twin of
     // EventStreams.slidingUserActivity; 1h window, 15min slide)
     "q12_sliding_activity" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       graft.streaming.EventStreams.slidingUserActivity(t(s, dir, "events"))
         .select(col("window.start").as("win_start"), col("user_id"),
           col("n_events"), round(col("total_value"), 4).as("total_value"))
@@ -219,9 +216,8 @@ object Relational {
     // ts order clicks (is_p=false) before purchases, then by event_id,
     // so the result is deterministic in both engines.
     "q14_asof_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("tsx", graft.streaming.EventStreams.eventTime(ev0))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("tsx").as("et"),
           col("value"))
@@ -307,9 +303,8 @@ object Relational {
     // sort, one running frame scan; the range bound is numeric epoch
     // micros so both engines share the frame arithmetic exactly.
     "q19_rolling_1h" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = t(s, dir, "events")
-        .withColumn("et", timestamp_micros(expr("ts DIV 1000")))
+      val e0 = t(s, dir, "events")
+      val e = e0.withColumn("et", graft.streaming.EventStreams.eventTime(e0))
         .withColumn("us", unix_micros(col("et")))
       val w = Window.partitionBy("user_id").orderBy("us")
         .rangeBetween(-3600000000L, 0L)

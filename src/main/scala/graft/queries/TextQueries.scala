@@ -381,7 +381,10 @@ object TextQueries {
     // SemDeDup: same trained k-means as t13, then drop any vector with
     // an earlier same-cell member at rounded cosine >= 0.3 (the
     // synthetic embeddings are near-random, so 0.3 ~ the p99 pair sim
-    // — a non-trivial but not corpus-clearing threshold at this SF)
+    // — a non-trivial but not corpus-clearing threshold at this SF).
+    // Runs the DEFAULT (cap-500) path: no cell exceeds the cap at this
+    // SF, so values match the uncapped algorithm but cell ids are the
+    // guard's strings — the oracle casts to match.
     "t41_semantic_dedup" -> ((s, dir) => {
       graft.sim.Similarity.semDedup(t(s, dir, "embeddings"), "vec_id",
           "embedding", initIds = Seq(0L, 1L, 2L, 3L), iterations = 2,
@@ -481,6 +484,25 @@ object TextQueries {
           docs.filter(col("doc_id") < 3)
             .select(col("doc_id").as("query_id"), col("text").as("qtext")),
           "doc_id", "text", "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // BM25 with the stopword guard engaged: query terms in more than
+    // 80% of the corpus are pruned BEFORE the postings join, so each
+    // query's candidate set is its rarer terms' postings instead of
+    // (potentially) the whole corpus — the df/N prune the t49 scaladoc
+    // prescribes for stopword-laden queries at scale. (The synthetic
+    // corpus's vocabulary is tiny — every query term sits in 74-81% of
+    // docs — so 0.8 is the thr that prunes SOME terms without zeroing
+    // the result; the TextOpsSpec stopword test pins the sharp-prune
+    // behavior.) n_terms/score drop accordingly; the oracle applies
+    // the identical df <= N*0.8 filter.
+    "t50_bm25_pruned" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.bm25Rank(docs,
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+          "doc_id", "text", "query_id", "qtext", k = 10, maxDfRatio = 0.8)
         .orderBy("query_id", "rank")
     })
   )
@@ -1064,7 +1086,10 @@ object TextQueries {
          SELECT vec_id, cell FROM af ORDER BY vec_id""",
 
     // SemDeDup mirror: the SAME trained-assignment chain as t13, then
-    // the "exists an earlier similar same-cell member" drop rule
+    // the "exists an earlier similar same-cell member" drop rule. Cell
+    // ids cast to VARCHAR: the engine's default-on cell-size guard
+    // carries string cells (no split happens at this SF — every cell is
+    // under the 500 cap — so the VALUES are the uncapped algorithm's).
     "t41_semantic_dedup" ->
       s"""WITH $KMEANS_TRAINED_ASSIGN_CTES,
          drops AS (SELECT DISTINCT a.vec_id FROM af a JOIN af b
@@ -1072,7 +1097,7 @@ object TextQueries {
            AND ROUND(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v))
                 * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3)
-         SELECT vec_id, cell FROM af
+         SELECT vec_id, cell::VARCHAR AS cell FROM af
          WHERE vec_id NOT IN (SELECT vec_id FROM drops)
          ORDER BY vec_id""",
 
@@ -1235,6 +1260,37 @@ object TextQueries {
                     * 1000000.0, 0) AS BIGINT) AS micro
                 FROM qt JOIN tf USING (term) JOIN dfq USING (term)
                      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+         sc AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                  SUM(micro)::DOUBLE / 1000000.0 AS score
+                FROM ctr GROUP BY 1, 2)
+         SELECT query_id, doc_id, n_terms, score, rank FROM (
+           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // Pruned-BM25 mirror: identical chain with the df/N stopword guard
+    // (df <= N * 0.8) applied to the query-term frame before the
+    // postings join — the same place the engine prunes.
+    "t50_bm25_pruned" ->
+      s"""WITH tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+               FROM (SELECT doc_id, unnest(w) AS tok FROM ($TOKS_SQL))
+               GROUP BY 1, 2),
+         dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+         dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT (SELECT COUNT(*) FROM documents)::DOUBLE AS n,
+                       (SELECT AVG(dl) FROM dl) AS avgdl),
+         qt AS (SELECT DISTINCT doc_id AS query_id, tok AS term
+                FROM (SELECT doc_id, unnest(w) AS tok FROM ($TOKS_SQL)
+                      WHERE doc_id < 3)),
+         ctr AS (SELECT qt.query_id, tf.doc_id,
+                  CAST(ROUND(ROUND(
+                      ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+                      (tf.tf * (1.2 + 1.0)) /
+                      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6)
+                    * 1000000.0, 0) AS BIGINT) AS micro
+                FROM qt JOIN tf USING (term) JOIN dfq USING (term)
+                     JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+                WHERE dfq.df <= st.n * 0.8),
          sc AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
                   SUM(micro)::DOUBLE / 1000000.0 AS score
                 FROM ctr GROUP BY 1, 2)

@@ -433,11 +433,15 @@ object Similarity {
     * cell's square. Refined cell ids are path strings ("3" -> "3/17");
     * with the cap on, the `cell` column is a string. Near-duplicates
     * are mutually close, so they land in the same sub-cell with the
-    * same affinity reasoning as the paper's raised-k sweep; the cap is
-    * opt-in (0 = off) because it changes which pairs are compared. */
+    * same affinity reasoning as the paper's raised-k sweep. The cap is
+    * ON by default (500, the DedupScale-measured safe value: it
+    * flattens the skewed 32x wall blow-up to ~linear) because the
+    * uncapped |cell|^2 worst case is a scale-killer an unsuspecting
+    * caller should not inherit; pass maxCellSize = 0 to opt out and
+    * get raw integer cell ids + exact paper semantics. */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
       initIds: Seq[Long], iterations: Int,
-      simThreshold: Double, maxCellSize: Int = 0,
+      simThreshold: Double, maxCellSize: Int = 500,
       refineRounds: Int = 3): DataFrame = {
     require(simThreshold > 0 && simThreshold <= 1,
       s"simThreshold must be in (0, 1], got $simThreshold")

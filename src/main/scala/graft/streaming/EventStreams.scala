@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Structured Streaming operators over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -15,10 +16,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** Events with the nanosecond epoch column converted to a timestamp
-    * (test parquet stores TIMESTAMP(NANOS); see Relational q08). */
+  /** Schema-adaptive event-time column: the test parquet's `ts` has
+    * shipped as both TIMESTAMP(NANOS) (read as LongType under the
+    * `nanosAsLong` legacy conf) and TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ), so the engine inspects the bound schema instead of
+    * assuming one encoding:
+    *  - LongType       → epoch nanos; integer-DIV to micros preserves
+    *                     sub-ms precision (double division loses bits at 1e18)
+    *  - TIMESTAMP_NTZ  → cast to TIMESTAMP. Sessions run with
+    *                     spark.sql.session.timeZone=UTC, so the wall-clock
+    *                     reinterpretation is value-identical to the raw
+    *                     micros — same instants the nanos path produced —
+    *                     and downstream watermarks / Instant encoders get
+    *                     the TimestampType they require.
+    *  - TIMESTAMP      → used as-is. */
+  def eventTime(events: DataFrame, tsCol: String = "ts"): Column =
+    events.schema(tsCol).dataType match {
+      case LongType        => timestamp_micros(expr(s"$tsCol DIV 1000"))
+      case TimestampType   => col(tsCol)
+      case TimestampNTZType => col(tsCol).cast(TimestampType)
+      case other: DataType  => col(tsCol).cast(TimestampType)
+    }
+
+  /** Events with `event_time` derived from `ts` (see [[eventTime]]). */
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    events.withColumn("event_time", eventTime(events))
 
   /** Tumbling-window counts/sums per event type with a watermark. */
   def windowedAgg(events: DataFrame, windowLen: String = "1 hour",

@@ -1392,13 +1392,24 @@ object TextOps {
     * join broadcasts under AQE, and the only wide op touching corpus
     * scale is the per-(query, doc) hash agg. The final top-k window
     * partitions by query over that query's CANDIDATE docs (those
-    * sharing a term) — for a stopword-laden query at corpus scale,
-    * raise the bar by stopword-pruning the query side (df/N is already
-    * joined and filterable); the spec pins the semantics. */
+    * sharing a term); `maxDfRatio` is the stopword guard for that
+    * window: a query term present in more than that fraction of the
+    * corpus is dropped BEFORE the tf join, so a stopword-laden query's
+    * candidate set is bounded by its rare terms' postings instead of
+    * degenerating to the whole corpus. The prune happens on the
+    * queries-sized frame (qterms x df is broadcast-scale), so it costs
+    * nothing at corpus scale; 1.0 keeps every term (df <= N always).
+    * Pruned terms contribute neither score nor n_terms — the classic
+    * stopping trade: ranking within the candidates is unchanged
+    * because a term shared by every candidate adds a near-constant
+    * (idf ~ ln(1 + ~0.5/df) ~ 0) contribution anyway. */
   def bm25Rank(docs: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, queryIdCol: String, queryTextCol: String,
-      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      maxDfRatio: Double = 1.0): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(maxDfRatio > 0 && maxDfRatio <= 1.0,
+      s"maxDfRatio must be in (0, 1], got $maxDfRatio")
     val tf = fanOut(docs)
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
@@ -1410,11 +1421,15 @@ object TextOps {
     val qterms = fanOut(queries)
       .select(col(queryIdCol), explode(tokens(col(queryTextCol))).as("term"))
       .distinct()
-    val contrib = qterms
-      .join(tf, "term")
+    // df and N land on the queries-sized frame first so the stopword
+    // prune runs before anything corpus-sized is joined.
+    val qpruned = qterms
       .join(dfreq, "term")
-      .join(dl, idCol)
       .crossJoin(broadcast(stats))
+      .filter(col("df").cast("double") <= col("__n") * lit(maxDfRatio))
+    val contrib = qpruned
+      .join(tf, "term")
+      .join(dl, idCol)
       .select(col(queryIdCol), col(idCol),
         round(round(
             log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) /

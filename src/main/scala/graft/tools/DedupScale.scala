@@ -138,9 +138,10 @@ object DedupScale {
           emb.filter(col("vec_id") >= 16 && col("vec_id") < 19),
           "vec_id", "embedding", 4, 16, k = 5).count()
       }
-      // SemDeDup: balanced cells (near-random embeddings -> ~n/k per
-      // cell) vs the adversarial one-hot-cell distribution above; the
-      // gap between these two rows IS the measured |cell|^2 exposure.
+      // SemDeDup DEFAULT path (cap 500 since r8): balanced cells
+      // (near-random embeddings -> ~n/k per cell) vs the adversarial
+      // one-hot-cell distribution; with the guard on by default both
+      // rows should now grow ~linearly.
       measure("semdedup_bal", nE) {
         Similarity.semDedup(emb, "vec_id", "embedding",
           Seq(0L, 1L, 2L, 3L), 2, 0.3).count()
@@ -151,13 +152,13 @@ object DedupScale {
         Similarity.semDedup(skew, "vec_id", "embedding",
           Seq(0L, 1L, 3L, 5L), 2, 0.3).count()
       }
-      // same adversarial input with the |cell|^2 guard on: cells above
-      // 500 members split by smallest-id sub-seed refinement, bounding
-      // the self-join at n*cap — the wall gap vs semdedup_skew is the
-      // measured value of the cap
-      measure("semdedup_skew_capped", nS) {
+      // the explicit OPT-OUT (maxCellSize = 0): the raw |cell|^2
+      // self-join on the adversarial input — the wall gap vs the
+      // capped semdedup_skew row above is the measured value of the
+      // default guard.
+      measure("semdedup_skew_raw", nS) {
         Similarity.semDedup(skew, "vec_id", "embedding",
-          Seq(0L, 1L, 3L, 5L), 2, 0.3, maxCellSize = 500).count()
+          Seq(0L, 1L, 3L, 5L), 2, 0.3, maxCellSize = 0).count()
       }
     }
     spark.stop()

@@ -112,10 +112,12 @@ class SimilaritySpec extends AnyFunSuite {
     val got = Similarity.semDedup(corpus, "vec_id", "embedding",
         initIds = Seq(1L, 3L), iterations = 0, simThreshold = 0.95)
       .orderBy("vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getLong(0), r.getString(1)))
     // survivors are the smallest id per near-dup group plus the loner;
-    // 5 lands in the y-axis cell (cos to (0,1) beats cos to (1,0))
-    assert(got.toSeq == Seq((1L, 0L), (3L, 1L), (5L, 1L)))
+    // 5 lands in the y-axis cell (cos to (0,1) beats cos to (1,0)).
+    // cell ids are strings: the default-on maxCellSize guard casts them
+    // (no cell here exceeds the cap, so no path suffixes appear)
+    assert(got.toSeq == Seq((1L, "0"), (3L, "1"), (5L, "1")))
     // a corpus-clearing threshold keeps exactly the per-cell minima
     val aggressive = Similarity.semDedup(corpus, "vec_id", "embedding",
         initIds = Seq(1L, 3L), iterations = 0, simThreshold = 0.01)

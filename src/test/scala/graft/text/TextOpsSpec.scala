@@ -461,4 +461,31 @@ class TextOpsSpec extends AnyFunSuite {
       "qtext", k = 3).orderBy("rank").collect()
     assert(again.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq)
   }
+
+  test("bm25Rank maxDfRatio prunes stopword candidates before the postings join") {
+    import spark.implicits._
+    // "the" appears in EVERY doc (the stopword); "zebra" in exactly one.
+    // A query of only those two words degenerates to a full-corpus
+    // candidate set without the guard, and to zebra's single posting
+    // with it.
+    val docs = Seq(
+      (1L, "the zebra grazes"),
+      (2L, "the lion sleeps"),
+      (3L, "the river bends"),
+      (4L, "the mountain stands"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "the zebra")).toDF("query_id", "qtext")
+    val unpruned = TextOps.bm25Rank(docs, qs, "doc_id", "text",
+      "query_id", "qtext", k = 10).collect()
+    assert(unpruned.map(_.getLong(1)).toSet == Set(1L, 2L, 3L, 4L),
+      "without the guard every doc containing 'the' is a candidate")
+    // df('the')/N = 1.0 > 0.5 -> pruned; df('zebra')/N = 0.25 stays
+    val pruned = TextOps.bm25Rank(docs, qs, "doc_id", "text",
+      "query_id", "qtext", k = 10, maxDfRatio = 0.5).collect()
+    assert(pruned.map(_.getLong(1)).toSet == Set(1L),
+      "with the guard the candidate set shrinks to the rare term's postings")
+    assert(pruned.head.getLong(2) == 1L, "only the surviving term counts")
+    // candidate ORDER among survivors is unchanged: doc 1 still first
+    assert(pruned.head.getInt(4) == 1)
+  }
 }
