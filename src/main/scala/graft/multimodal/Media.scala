@@ -519,10 +519,22 @@ object Media {
     } catch { case _: Exception => None } finally iis.close()
   }
 
-  /** Real full-pixel image decode via ImageIO. */
-  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-    catch { case _: Exception => None }
+  /** Real full-pixel image decode via ImageIO, geometry-capped: the
+    * header is probed FIRST (no pixel allocation) and any image whose
+    * declared dimensions exceed `maxDim` is rejected before ImageIO
+    * ever allocates a raster. Without the pre-check a tiny crafted
+    * JPEG claiming ~65500x65500 would make ImageIO attempt a multi-GB
+    * allocation from its own SOF header — an OutOfMemoryError no
+    * NonFatal catch sees — despite the container-level avih bounds
+    * (MJPEG 'dc' frames carry their OWN dimensions). */
+  def decodeImage(payload: Array[Byte],
+      maxDim: Int = 16384): Option[java.awt.image.BufferedImage] =
+    probeImage(payload) match {
+      case Some((_, w, h)) if w > 0 && h > 0 && w <= maxDim && h <= maxDim =>
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        catch { case _: Exception => None }
+      case _ => None
+    }
 
   /** Real audio probe via javax.sound.sampled: (format, duration_ms). */
   def probeAudio(payload: Array[Byte]): Option[(String, Long)] =

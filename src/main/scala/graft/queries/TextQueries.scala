@@ -1179,7 +1179,7 @@ object TextQueries {
     // exactly like the Spark side.
     "t47_gopher_rules" ->
       """WITH base AS (SELECT doc_id, text,
-           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
+           list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS w,
            list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
              x -> x <> '') AS l,
            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -1387,7 +1387,7 @@ object TextQueries {
            SELECT doc_id, string_split(text, ' the ') AS lines FROM documents),
          f AS (SELECT doc_id, lines,
                 list_filter(lines, l ->
-                  len(string_split_regex(trim(l), '\s+')) >= 4
+                  len(string_split_regex(trim(l), '[ \t\n\x0b\f\r]+')) >= 4
                   AND NOT contains(lower(l), 'slow')) AS kept
                FROM base)
          SELECT doc_id, array_to_string(kept, ' the ') AS clean_text,

@@ -896,7 +896,9 @@ object TextOps {
       banned: Seq[String] = Seq("javascript", "lorem ipsum", "{"),
       requireTerminal: Boolean = false, minKeptLines: Int = 1): DataFrame = {
     def keep(l: Column): Column = {
-      val enough = size(split(trim(l), "\\s+")) >= minWords
+      // explicit class, not \s: Java \s and the oracle's RE2 \s
+      // disagree on U+000B (see gopherRules)
+      val enough = size(split(trim(l), "[ \\t\\n\\x0B\\f\\r]+")) >= minWords
       val clean = banned
         .map(b => !contains(lower(l), lit(b.toLowerCase)))
         .foldLeft(lit(true))(_ && _)
@@ -1233,13 +1235,21 @@ object TextOps {
     // rather than a second (or third) explode+hash pass over the
     // corpus. localCheckpoint pins each single pass because both
     // frames feed two branches (model + totals, model + scorer).
+    // coalesce(sum, 0): sum() over an EMPTY count table is NULL, which
+    // would null every downstream weight — an empty target/raw frame
+    // must degrade to the defined smoothed log-ratios the old
+    // count-based totals gave, not to all-NULL scores.
+    // eager = false: building the DataFrame must not launch Spark jobs
+    // before the caller runs an action (framework-API contract); the
+    // checkpoint materializes at the first action and the branches
+    // still share the single shingle pass.
     val tgt = bucketed(target).groupBy("__b")
-      .agg(count(lit(1)).as("__ct")).localCheckpoint()
-    val tgtTot = tgt.agg(sum("__ct").as("__tt"))
+      .agg(count(lit(1)).as("__ct")).localCheckpoint(eager = false)
+    val tgtTot = tgt.agg(coalesce(sum("__ct"), lit(0L)).as("__tt"))
     val rawDoc = bucketed(raw).groupBy(col(idCol), col("__b"))
-      .agg(count(lit(1)).as("__c")).localCheckpoint()
+      .agg(count(lit(1)).as("__c")).localCheckpoint(eager = false)
     val rawCnt = rawDoc.groupBy("__b").agg(sum("__c").as("__cr"))
-    val rawTot = rawCnt.agg(sum("__cr").as("__rt"))
+    val rawTot = rawCnt.agg(coalesce(sum("__cr"), lit(0L)).as("__rt"))
     val model = rawCnt.join(tgt, Seq("__b"), "full")
       .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
       .select(col("__b"),
@@ -1290,7 +1300,10 @@ object TextOps {
       maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
       minStopHits: Int = 2): DataFrame = {
     val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val words = filter(split(col(textCol), "\\s+"), x => x =!= "")
+    // explicit whitespace class, NOT \s: Java regex \s and RE2 \s (the
+    // DuckDB oracle's engine) disagree on vertical tab U+000B, so the
+    // class pins identical word-split semantics in both engines
+    val words = filter(split(col(textCol), "[ \\t\\n\\x0B\\f\\r]+"), x => x =!= "")
     val lines = filter(transform(split(col(textCol), "\n"), x => trim(x)),
       x => x =!= "")
     val nWords = size(col("__w"))

@@ -130,6 +130,34 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.decodeAviFrames(Array.emptyByteArray).isEmpty)
   }
 
+  test("crafted JPEG claiming huge SOF dimensions is rejected before allocation") {
+    // A REAL tiny JPEG whose SOF0 height/width fields are patched to
+    // ~65500x65500: ImageIO would allocate from the JPEG's own header
+    // (a multi-GB raster -> OutOfMemoryError no NonFatal catch sees),
+    // so decodeImage must reject on the header probe BEFORE decoding.
+    // This is the MJPEG 'dc' bypass: avih bounds don't cover the
+    // frame's own declared geometry.
+    val jpg = Media.buildImage(8, 8, "jpg")
+    var sof = -1
+    var i = 2
+    while (sof < 0 && i < jpg.length - 1) {
+      if ((jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc0) sof = i
+      i += 1
+    }
+    assert(sof > 0, "SOF0 marker present in the real JPEG")
+    def patchBe16(off: Int, v: Int): Unit = {
+      jpg(off) = ((v >>> 8) & 0xff).toByte; jpg(off + 1) = (v & 0xff).toByte
+    }
+    patchBe16(sof + 5, 65500) // height
+    patchBe16(sof + 7, 65500) // width
+    assert(Media.probeImage(jpg).exists(p => p._2 == 65500 && p._3 == 65500),
+      "the header really claims the huge geometry")
+    assert(Media.decodeImage(jpg).isEmpty,
+      "oversized declared geometry must fail closed, not allocate")
+    // and an untampered JPEG still decodes
+    assert(Media.decodeImage(Media.buildImage(8, 8, "jpg")).isDefined)
+  }
+
   test("raw-RGB AVI frames decode to the exact construction-rule pixels") {
     val a = Media.buildAvi(9, 7, 2) // odd width exercises the 4-byte row pad
     val frames = Media.decodeAviFrames(a)

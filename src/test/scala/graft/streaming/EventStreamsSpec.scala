@@ -132,6 +132,31 @@ class EventStreamsSpec extends AnyFunSuite {
       "streaming sessions not found in batch result")
   }
 
+  test("eventTime adapts to every ts encoding the testdata has shipped") {
+    import spark.implicits._
+    // the same instant three ways: epoch-nanos Long, TIMESTAMP (micros,
+    // instant-semantics), TIMESTAMP_NTZ — the encodings events.ts has
+    // actually arrived in across testdata regenerations. r7 lost the
+    // whole temporal surface (bench crash + 5 dropped oracle rows) to
+    // an unannounced nanos->micros flip; this pins the adaptive read.
+    val us = 1700000123456789L
+    val asLong = Seq((1L, us * 1000L)).toDF("event_id", "ts")
+    val asTs = Seq((1L, java.time.Instant.EPOCH.plusNanos(us * 1000L)))
+      .toDF("event_id", "ts")
+    val asNtz = asTs.select(col("event_id"),
+      col("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"))
+    val got = Seq(asLong, asTs, asNtz).map { df =>
+      val out = EventStreams.withEventTime(df)
+      assert(out.schema("event_time").dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"event_time must be TIMESTAMP for input ${df.schema("ts").dataType}")
+      out.select("event_time").as[java.time.Instant].head()
+    }
+    assert(got.distinct.size == 1,
+      s"all three encodings must yield the same instant, got $got")
+    assert(got.head == java.time.Instant.EPOCH.plusNanos(us * 1000L))
+  }
+
   test("asofEnrichStream idle TTL reclaims the sealed right; default keeps it forever") {
     import spark.implicits._
     // Spark 4.1 moved MemoryStream under execution.streaming.runtime
