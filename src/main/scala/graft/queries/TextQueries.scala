@@ -562,7 +562,7 @@ object TextQueries {
     * members by re-assigning its rows to the cell's ceil(n/cap)
     * smallest-vec_id member vectors — exactly
     * Similarity.semDedup(maxCellSize=50, refineRounds=2): rounded-4
-    * cosine, seed-id tie-break, path-string cell ids. */
+    * cosine, member-x-seed md5 tie-break, path-string cell ids. */
   private val SEMDEDUP_CAPPED_SQL: String = {
     def cosR(a: String, b: String) =
       s"""ROUND(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a))
@@ -579,7 +579,9 @@ object TextQueries {
          ${next}a AS (SELECT vec_id, v, cell || '/' || sid AS cell FROM (
            SELECT m.vec_id, m.v, m.cell, s.sid,
              ROW_NUMBER() OVER (PARTITION BY m.vec_id
-               ORDER BY ${cosR("m.v", "s.sv")} DESC, s.sid) AS rn
+               ORDER BY ${cosR("m.v", "s.sv")} DESC,
+                 ('0x' || substr(md5(m.vec_id::VARCHAR || '/' || s.sid::VARCHAR),
+                   1, 15))::BIGINT, s.sid) AS rn
            FROM ${next}m m JOIN ${next}s s USING (cell)) WHERE rn = 1),
          $next AS (SELECT vec_id, v, cell FROM $prev
             WHERE cell NOT IN (SELECT cell FROM ${next}o)
@@ -1103,7 +1105,7 @@ object TextQueries {
 
     // Capped-SemDeDup mirror: same trained assignment, then 2 refine
     // rounds splitting every cell > 50 members via smallest-id sub-seed
-    // re-assignment (rounded cosine, seed-id tie-break), then the same
+    // re-assignment (rounded cosine, member-x-seed md5 tie-break), then the same
     // earlier-similar-member drop rule on the refined cells.
     "t44_semdedup_capped" ->
       s"""WITH $SEMDEDUP_CAPPED_SQL

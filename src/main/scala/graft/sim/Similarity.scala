@@ -428,7 +428,8 @@ object Similarity {
     * skew table in BASELINE.md): when > 0, up to `refineRounds`
     * deterministic refinement passes split every cell above the cap
     * by re-assigning its members to the cell's ceil(n/cap) smallest-id
-    * member vectors (rounded-cosine, seed-id tie-break), so the
+    * member vectors (rounded-cosine, member-x-seed-hash tie-break so
+    * even an all-ties degenerate cell spreads uniformly), so the
     * self-join cost is bounded by n * maxCellSize instead of the worst
     * cell's square. Refined cell ids are path strings ("3" -> "3/17");
     * with the cap on, the `cell` column is a string. Near-duplicates
@@ -472,8 +473,22 @@ object Similarity {
             .withColumn("__r", row_number().over(wSeed))
             .filter(col("__r") <= col("__k"))
             .select(col("cell"), col(idCol).as("__sid"), col("v").as("__sv"))
+          // Tie-break by member-x-seed hash, NOT by smallest seed id: a
+          // cell of near-IDENTICAL vectors ties every seed at the 4-dp
+          // rounded cosine, and a seed-id tie-break would re-collapse
+          // the whole cell onto seed 1 — the refinement could then
+          // never split degenerate mass and the |cell|^2 bound failed
+          // exactly on the worst input (measured: the adversarial skew
+          // table stayed superlinear). The hash spreads tied members
+          // ~uniformly over the sub-seeds, so even an all-duplicates
+          // cell lands under ~cap per sub-cell; non-tied assignments
+          // (distinct rounded sims) are unaffected. md5Hash60 keeps the
+          // DuckDB oracle bit-identical (same expression both engines).
           val wA = Window.partitionBy(idCol)
-            .orderBy(desc("__sim"), col("__sid"))
+            .orderBy(desc("__sim"),
+              graft.text.TextOps.md5Hash60(concat(col(idCol).cast("string"),
+                lit("/"), col("__sid").cast("string"))),
+              col("__sid"))
           val refined = members.join(seeds, Seq("cell"))
             .select(col(idCol), col("v"), col("cell"), col("__sid"),
               round(cosine(col("v"), col("__sv")), 4).as("__sim"))

@@ -142,6 +142,28 @@ class SimilaritySpec extends AnyFunSuite {
       s"max refined cell ${cells.map(_.getLong(1)).max} far exceeds the cap")
   }
 
+  test("semDedup cap splits even an all-IDENTICAL-vector cell (hash tie-break)") {
+    import spark.implicits._
+    // worst case for affinity splitting: every vector is the same
+    // point, so every sub-seed ties at rounded cosine 1.0. A seed-id
+    // tie-break would re-collapse all 200 members onto seed 1 and the
+    // |cell|^2 bound would fail exactly on the degenerate input; the
+    // member-x-seed hash tie-break must spread them ~uniformly.
+    val corpus = (0L until 200L).map(i => (i, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val deduped = Similarity.semDedup(corpus, "vec_id", "embedding",
+      initIds = Seq(0L), iterations = 0, simThreshold = 0.999,
+      maxCellSize = 20, refineRounds = 3)
+    val cells = deduped.select("cell").distinct().collect().map(_.getString(0))
+    // with 200 members over ceil(200/20)=10 hash-spread sub-seeds a
+    // uniform spread materializes ~10 sub-cells; >= 5 allows hash
+    // variance while proving the cell did NOT re-collapse onto seed 1
+    assert(cells.length >= 5,
+      s"identical-vector cell must hash-spread over sub-seeds, got ${cells.length}")
+    // survivors: exactly one per sub-cell (every pair is above threshold)
+    assert(deduped.count() == cells.length)
+  }
+
   test("semDedup capped run is deterministic and near-dup groups still collapse") {
     import spark.implicits._
     // 60 vectors in one tight cluster (worst pair cos ~0.9983, so every
