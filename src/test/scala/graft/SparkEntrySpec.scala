@@ -26,4 +26,27 @@ class SparkEntrySpec extends AnyFunSuite {
       s"short-id collisions (bench falls back to full names, inflating the " +
         s"final line): $collisions")
   }
+
+  test("every registered query ANALYZES against the current testdata schemas") {
+    // r7 regression class: the driver regenerated the testdata with a
+    // different physical encoding (events.ts nanos -> micros) and 5
+    // queries started failing ANALYSIS — invisible to sbt test, visible
+    // only as silently-missing correctness rows. Building each query's
+    // DataFrame forces full analysis (and any driver-side model fits)
+    // against the real sf0.001 files, so a schema drift in ANY table
+    // now fails the suite with the query name and the analysis error.
+    // No job is launched for the plan itself (construction only), so
+    // the sweep stays cheap; queries that train driver-side models
+    // (k-means seeds etc.) run their small fits at this SF.
+    val dir = "/root/testdata/sf0.001"
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, dir).schema; None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(2).mkString(" | ")}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries failed analysis:\n${failures.mkString("\n")}")
+  }
 }
