@@ -504,6 +504,22 @@ object TextQueries {
             .select(col("doc_id").as("query_id"), col("text").as("qtext")),
           "doc_id", "text", "query_id", "qtext", k = 10, maxDfRatio = 0.8)
         .orderBy("query_id", "rank")
+    }),
+
+    // Temperature (alpha=0.5) mixture resampling over a deliberately
+    // SKEWED slice (the full table is uniform across sources, which
+    // would make any alpha a no-op): sources s with s%10<3 keep all 25
+    // docs, the rest ~7 — smoothing then downsamples the common
+    // sources (rate ~0.74) and upsamples the rare ones (rate ~1.4,
+    // i.e. every doc once plus a deterministic ~40% twice), both
+    // paths exercised in one oracle row.
+    "t51_temperature_sample" -> ((s, dir) => {
+      TextOps.temperatureSample(
+          t(s, dir, "documents")
+            .filter(col("doc_id") < 150 || col("doc_id") % 10 < 3),
+          "doc_id", "source", alpha = 0.5)
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")
     })
   )
 
@@ -820,6 +836,33 @@ object TextQueries {
              CAST(FLOOR(rate) +
                (CASE WHEN u < rate - FLOOR(rate) THEN 1 ELSE 0 END) AS INT) AS n
            FROM r)
+         SELECT doc_id, source, CAST(unnest(range(n)) AS INT) AS copy
+         FROM n WHERE n > 0 ORDER BY doc_id, copy"""
+    },
+
+    // temperature-resampling mirror: counts -> micro-unit pow(c, 0.5)
+    // -> exact-long normalizer -> 6-dp rate, then t37's floor+frac
+    // copy rule with the "temp:"-salted u-hash
+    "t51_temperature_sample" -> {
+      val denom = math.pow(16.0, 15)
+      s"""WITH d AS (SELECT doc_id, source FROM documents
+             WHERE doc_id < 150 OR doc_id % 10 < 3),
+         c AS (SELECT source, COUNT(*) AS c,
+                 CAST(ROUND(pow(COUNT(*)::DOUBLE, 0.5) * 1000000.0, 0) AS BIGINT) AS pm
+               FROM d GROUP BY 1),
+         z AS (SELECT SUM(c) AS tot, SUM(pm) AS z FROM c),
+         r AS (SELECT source,
+                 ROUND(1.0 * z.tot::DOUBLE * (c.pm::DOUBLE / z.z::DOUBLE)
+                   / c.c::DOUBLE, 6) AS rate
+               FROM c CROSS JOIN z),
+         u AS (SELECT d.doc_id, d.source, r.rate,
+                 ('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+                   / ($denom::DOUBLE) AS u
+               FROM d JOIN r USING (source)),
+         n AS (SELECT doc_id, source,
+                 CAST(FLOOR(rate) +
+                   (CASE WHEN u < rate - FLOOR(rate) THEN 1 ELSE 0 END) AS INT) AS n
+               FROM u)
          SELECT doc_id, source, CAST(unnest(range(n)) AS INT) AS copy
          FROM n WHERE n > 0 ORDER BY doc_id, copy"""
     },

@@ -763,6 +763,61 @@ object TextOps {
       .drop("__n")
   }
 
+  /** Temperature (alpha-smoothing) mixture resampling: per-source
+    * rates are derived from the corpus's OWN source counts instead of
+    * being hand-specified — the standard multilingual / data-mixture
+    * technique (e.g. multilingual BERT / XLM-R sampling, alpha ~ 0.3-
+    * 0.7): with p_s the empirical source share, the target mixture is
+    * q_s = p_s^alpha / sum_t p_t^alpha, so alpha < 1 upweights rare
+    * sources and downweights dominant ones (alpha = 1 is a no-op,
+    * alpha -> 0 approaches uniform). Each document is then kept /
+    * replicated exactly like [[mixtureUpsample]] with
+    * rate_s = sizeFactor * N * q_s / c_s: floor(rate) copies plus one
+    * more iff the "temp:"-salted id-hash falls below frac(rate), so
+    * the expected output size is sizeFactor * N with mixture q.
+    * Returns the input columns plus the 0-based `copy` index.
+    *
+    * Determinism across engines: per-source pow(c, alpha) is rounded
+    * into integer micro-units BEFORE the normalizing sum (order-
+    * independent long arithmetic, [[bm25Rank]]'s discipline) and the
+    * final rate is 6-dp rounded in both engines, so the keep/copy
+    * threshold compare is bit-identical.
+    *
+    * Scale shape: the count table is one partial+final hash agg
+    * collapsing to |sources| rows; its totals and the per-source rate
+    * land back on the corpus via an explicitly broadcast join keyed on
+    * the source column — no driver collect, no assumption on source
+    * cardinality beyond broadcastability, and the corpus itself sees
+    * one narrow projection + bounded explode, no shuffle. */
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double, sizeFactor: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(sizeFactor > 0, s"sizeFactor must be positive, got $sizeFactor")
+    Seq("__c", "__pm", "__z", "__tot", "__rate", "__n", "copy").foreach(c =>
+      require(!df.columns.contains(c),
+        s"column $c collides with temperatureSample's output/internal columns"))
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__c"))
+      .withColumn("__pm",
+        round(pow(col("__c").cast("double"), lit(alpha)) * lit(1e6), 0)
+          .cast("long"))
+    val totals = counts.agg(sum("__c").as("__tot"), sum("__pm").as("__z"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(sourceCol),
+        round(lit(sizeFactor) * col("__tot").cast("double") *
+            (col("__pm").cast("double") / col("__z").cast("double")) /
+            col("__c").cast("double"), 6)
+          .as("__rate"))
+    val u = md5Hash60(concat(lit("temp:"), col(idCol).cast("string")))
+      .cast("double") / math.pow(16.0, 15)
+    df.join(broadcast(rates), sourceCol)
+      .withColumn("__n", (floor(col("__rate")) +
+        when(u < col("__rate") - floor(col("__rate")), 1.0).otherwise(0.0))
+        .cast("int"))
+      .filter(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("__n") - 1)))
+      .select(df.columns.map(col) :+ col("copy"): _*)
+  }
+
   /** Contiguous-fill sequence packing: assign each document to a fixed
     * token-budget bin by the running token total in (source, id) order —
     * bin k starts where the cumulative count crosses k*budget. This is

@@ -462,6 +462,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq)
   }
 
+  test("temperatureSample: alpha=1 is identity, alpha<1 reshapes toward uniform") {
+    import spark.implicits._
+    // 40 docs from "big", 5 from "rare" — ids interleaved so the hash
+    // sampling sees no id-range structure
+    val docs = (0L until 45L)
+      .map(i => (i, if (i % 9 == 8) "rare" else "big"))
+      .toDF("doc_id", "source")
+    // alpha = 1: q == p, every rate is exactly 1.0 -> identity + copy=0
+    val id = TextOps.temperatureSample(docs, "doc_id", "source", alpha = 1.0)
+      .collect()
+    assert(id.length == 45 && id.forall(_.getInt(2) == 0),
+      "alpha=1 must keep every doc exactly once")
+    // alpha = 0.25: the rare source's rate rises above 1 (upsampled),
+    // the big source's falls below 1 (downsampled)
+    val sm = TextOps.temperatureSample(docs, "doc_id", "source", alpha = 0.25)
+    val bySrc = sm.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // q_rare = 5^.25/(5^.25+40^.25) ~ 0.373 -> expected rare rows
+    // ~ 45*0.373 ~ 16.8 (rate ~3.36: 3 copies + ~36% a 4th);
+    // q_big ~ 0.627 -> expected big rows ~ 28.2 of 40 (rate ~0.71)
+    assert(bySrc("rare") > 10L, s"rare source must be upsampled, got $bySrc")
+    assert(bySrc("big") < 40L, s"big source must be downsampled, got $bySrc")
+    // deterministic across runs
+    val again = TextOps.temperatureSample(docs, "doc_id", "source", alpha = 0.25)
+      .orderBy("doc_id", "copy").collect().map(_.toSeq).toSeq
+    assert(again == sm.orderBy("doc_id", "copy").collect().map(_.toSeq).toSeq)
+  }
+
   test("bm25Rank maxDfRatio prunes stopword candidates before the postings join") {
     import spark.implicits._
     // "the" appears in EVERY doc (the stopword); "zebra" in exactly one.
