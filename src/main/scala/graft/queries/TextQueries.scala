@@ -520,6 +520,14 @@ object TextQueries {
           "doc_id", "source", alpha = 0.5)
         .select("doc_id", "source", "copy")
         .orderBy("doc_id", "copy")
+    }),
+
+    // per-document character Shannon entropy (nats) — the gibberish /
+    // char-diversity quality signal; micro-unit term rounding makes
+    // the cross-engine sum order-independent
+    "t52_char_entropy" -> ((s, dir) => {
+      TextOps.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -866,6 +874,23 @@ object TextQueries {
          SELECT doc_id, source, CAST(unnest(range(n)) AS INT) AS copy
          FROM n WHERE n > 0 ORDER BY doc_id, copy"""
     },
+
+    // char-entropy mirror: same micro-unit per-character terms over
+    // the distinct-char list, exact-long sum, 6-dp final division
+    "t52_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, string_split(text, '') AS ch FROM documents),
+         m AS (SELECT doc_id, ch, len(ch) AS n,
+                 list_distinct(ch) AS dch FROM ch)
+         SELECT doc_id,
+           CAST(length(array_to_string(ch, '')) AS BIGINT) AS n_chars,
+           CAST(len(dch) AS BIGINT) AS n_distinct_chars,
+           CASE WHEN n <= 0 THEN 0.0 ELSE ROUND(
+             list_sum(list_transform(dch, c ->
+               CAST(ROUND(len(list_filter(ch, x -> x = c))::DOUBLE
+                 * ln(n::DOUBLE / len(list_filter(ch, x -> x = c))::DOUBLE)
+                 * 1000000.0, 0) AS BIGINT)))::DOUBLE
+             / 1000000.0 / n::DOUBLE, 6) END AS entropy
+         FROM m ORDER BY doc_id""",
 
     // contiguous-fill packing mirror: per-source window token cumsum
     "t24_pack_sequences" ->

@@ -763,6 +763,42 @@ object TextOps {
       .drop("__n")
   }
 
+  /** Character-level Shannon entropy per document — the classic
+    * gibberish / low-diversity quality signal (binary blobs and
+    * base64 runs score HIGH, single-char spam and whitespace floods
+    * score LOW, natural language sits ~2.5-4.5 bits-of-e): with n_c
+    * the count of character c in the doc and n the total length,
+    * entropy = (1/n) * sum_c n_c * ln(n / n_c) (nats). Returns
+    * (idCol, n_chars, n_distinct_chars, entropy).
+    *
+    * Determinism: each per-character term is rounded into integer
+    * micro-units before the sum (the summation order over the
+    * distinct-char array differs between engines; exact long addition
+    * makes it irrelevant — [[bm25Rank]]'s discipline), and the final
+    * division is 6-dp rounded in both engines.
+    *
+    * Scale shape: a pure narrow projection — the per-row char loop is
+    * array HOFs over the row's own text (O(len * distinct_chars) per
+    * row, all inside whole-stage codegen), NO explode, NO shuffle;
+    * output partitioning inherits the input's. Like [[gopherRules]],
+    * the cheapest class of filter and the one to run before any
+    * dedup shuffle pays for documents this would have dropped. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = split(col(textCol), "")
+    val n = size(col("__ch"))
+    val cnt = (c: Column) =>
+      size(filter(col("__ch"), x => x === c)).cast("double")
+    val terms = transform(array_distinct(col("__ch")), c =>
+      round(cnt(c) * log(n.cast("double") / cnt(c)) * lit(1e6), 0).cast("long"))
+    df.select(col(idCol), chars.as("__ch"))
+      .select(col(idCol),
+        length(concat_ws("", col("__ch"))).cast("long").as("n_chars"),
+        size(array_distinct(col("__ch"))).cast("long").as("n_distinct_chars"),
+        when(n <= 0, lit(0.0)).otherwise(
+          round(aggregate(terms, lit(0L), (a, x) => a + x).cast("double") /
+            lit(1e6) / n.cast("double"), 6)).as("entropy"))
+  }
+
   /** Temperature (alpha-smoothing) mixture resampling: per-source
     * rates are derived from the corpus's OWN source counts instead of
     * being hand-specified — the standard multilingual / data-mixture

@@ -462,6 +462,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq)
   }
 
+  test("charEntropy: known distributions, degenerate inputs, quality ordering") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),            // zero entropy: one symbol
+      (2L, "abab"),            // uniform over 2 -> ln 2
+      (3L, "abcd"),            // uniform over 4 -> ln 4
+      (4L, ""),                // empty -> 0 by contract
+      (5L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val r = TextOps.charEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getDouble(3) == 0.0)
+    assert(math.abs(r(1).getDouble(3) - math.log(2)) < 1e-5)
+    assert(math.abs(r(2).getDouble(3) - math.log(4)) < 1e-5)
+    assert(r(3).getLong(1) == 0L && r(3).getDouble(3) == 0.0)
+    // natural language sits between single-char spam and uniform noise
+    assert(r(4).getDouble(3) > 2.0 && r(4).getDouble(3) < 4.0)
+    assert(r(4).getLong(2) > 20L, "pangram has > 20 distinct chars")
+  }
+
   test("temperatureSample: alpha=1 is identity, alpha<1 reshapes toward uniform") {
     import spark.implicits._
     // 40 docs from "big", 5 from "rare" — ids interleaved so the hash
