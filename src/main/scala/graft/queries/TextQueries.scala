@@ -528,6 +528,15 @@ object TextQueries {
     "t52_char_entropy" -> ((s, dir) => {
       TextOps.charEntropy(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // contamination-safe 20% test split: near-dup clusters (t14's
+    // MinHash/LSH/CC chain) assigned to a side as a UNIT by the
+    // cluster-id hash, so no near-duplicate pair straddles the split
+    "t53_leak_safe_split" -> ((s, dir) => {
+      TextOps.leakSafeSplit(t(s, dir, "documents"), "doc_id", "text",
+          testFrac = 0.2)
+        .orderBy("doc_id")
     })
   )
 
@@ -1151,6 +1160,37 @@ object TextQueries {
            JOIN reach ON reach.id = e.b_id)
          SELECT id AS doc_id, MIN(r) AS cluster FROM reach
          GROUP BY id ORDER BY doc_id""",
+    // leak-safe split mirror: t14's cluster chain LEFT-joined back to
+    // the full corpus (singletons cluster to themselves), side by the
+    // "split:"-salted cluster-id hash against 0.2
+    "t53_leak_safe_split" -> {
+      val denom = math.pow(16.0, 15)
+      s"""WITH RECURSIVE mh AS ($MH_SQL),
+         buckets AS (
+           ${(0 until 4).map(b =>
+             s"SELECT doc_id, md5('b$b:' || h${2*b} || ':' || h${2*b+1}) AS bucket FROM mh")
+             .mkString(" UNION ALL ")}),
+         pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM buckets x JOIN buckets y
+           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         edges AS (SELECT a_id, b_id FROM pairs
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.a_id AS id, reach.r FROM edges e
+           JOIN reach ON reach.id = e.b_id),
+         cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         SELECT d.doc_id,
+           COALESCE(cc.cluster, d.doc_id) AS cluster,
+           CASE WHEN ('0x' || substr(md5('split:' ||
+                 CAST(COALESCE(cc.cluster, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+               / ($denom::DOUBLE) < 0.2
+             THEN 'test' ELSE 'train' END AS split
+         FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+         ORDER BY d.doc_id"""
+    },
     "t13_kmeans_ivf" ->
       s"""WITH $KMEANS_TRAINED_ASSIGN_CTES
          SELECT vec_id, cell FROM af ORDER BY vec_id""",

@@ -763,6 +763,50 @@ object TextOps {
       .drop("__n")
   }
 
+  /** Leakage-safe train/test split: documents are assigned to splits
+    * BY NEAR-DUP CLUSTER, not individually, so two near-duplicate
+    * documents can never straddle the train/test boundary — the
+    * standard benchmark-contamination guard a per-doc random split
+    * violates (a test doc's near-twin in train leaks the answer).
+    * Clusters come from the same MinHash -> banded-LSH -> connected-
+    * components chain as the near-dedup track (t14); documents in no
+    * candidate pair are their own singleton cluster. The side is the
+    * "split:"-salted uniform hash of the CLUSTER id against
+    * `testFrac` — deterministic, content-independent, reproducible
+    * across runs and engines like [[mixtureSample]]'s keep-hash.
+    * Returns (idCol, cluster, split) with split in {"train", "test"}.
+    *
+    * Scale shape: signatures and buckets are narrow per-doc work; the
+    * only corpus-wide shuffles are the LSH bucket self-join (candidate
+    * pairs ∝ true near-dups) and the cluster left-join back to the
+    * corpus (clusters frame is pairs-sized). The split decision itself
+    * is a narrow projection. */
+  def leakSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+      testFrac: Double, k: Int = 8, rows: Int = 2): DataFrame = {
+    require(testFrac >= 0 && testFrac <= 1,
+      s"testFrac must be in [0, 1], got $testFrac")
+    Seq("cluster", "split", "__cl").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"column $c collides with leakSafeSplit's output columns"))
+    val sigs = minhashSignature(docs, idCol, textCol, k)
+    val bux = lshBuckets(sigs, idCol, k, rows).localCheckpoint()
+    val pairs = bux.as("x").join(bux.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+    val clusters = nearDupClusters(pairs)
+      .select(col("id").as(idCol), col("cluster").as("__cl"))
+    val u = md5Hash60(concat(lit("split:"), col("cluster").cast("string")))
+      .cast("double") / math.pow(16.0, 15)
+    docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("__cl"), col(idCol)))
+      .withColumn("split",
+        when(u < lit(testFrac), lit("test")).otherwise(lit("train")))
+      .select(idCol, "cluster", "split")
+  }
+
   /** Character-level Shannon entropy per document — the classic
     * gibberish / low-diversity quality signal (binary blobs and
     * base64 runs score HIGH, single-char spam and whitespace floods

@@ -462,6 +462,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq)
   }
 
+  test("leakSafeSplit: near-duplicates never straddle the split; frac honored") {
+    import spark.implicits._
+    // 30 groups of 3 near-identical docs (one unique suffix token) —
+    // LSH must cluster each trio; singleton docs fill out the corpus
+    val base = (0L until 30L).flatMap { g =>
+      val words = (0 until 30).map(w => s"w${g * 7 + w % 19}").mkString(" ")
+      (0 until 3).map(c => (g * 10 + c, s"$words v${g * 10 + c}"))
+    }
+    val singles = (900L until 950L).map(i =>
+      (i, (0 until 30).map(w => s"u${i * 13 + w * 5}").mkString(" ")))
+    val docs = (base ++ singles).toDF("doc_id", "text")
+    val split = TextOps.leakSafeSplit(docs, "doc_id", "text", testFrac = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(split.length == docs.count())
+    // every cluster is entirely one side
+    val sidesPerCluster = split.groupBy(_._2).view
+      .mapValues(_.map(_._3).toSet).toMap
+    assert(sidesPerCluster.values.forall(_.size == 1),
+      "a cluster straddles the train/test boundary")
+    // the near-dup trios actually clustered together (guard against a
+    // degenerate all-singletons run that would pass the check above)
+    val trioClusters = split.filter(_._1 < 300).groupBy(_._1 / 10 * 10)
+    assert(trioClusters.forall { case (_, ms) => ms.map(_._2).toSet.size == 1 },
+      "each near-identical trio must share one cluster")
+    // both sides populated at testFrac=0.3 over ~80 clusters
+    val sides = split.map(_._3).toSet
+    assert(sides == Set("train", "test"))
+    // deterministic
+    val again = TextOps.leakSafeSplit(docs, "doc_id", "text", testFrac = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.sortBy(_._1).toSeq == split.sortBy(_._1).toSeq)
+  }
+
   test("charEntropy: known distributions, degenerate inputs, quality ordering") {
     import spark.implicits._
     val docs = Seq(
