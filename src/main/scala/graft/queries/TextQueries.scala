@@ -537,6 +537,14 @@ object TextQueries {
       TextOps.leakSafeSplit(t(s, dir, "documents"), "doc_id", "text",
           testFrac = 0.2)
         .orderBy("doc_id")
+    }),
+
+    // head+tail truncation to a 50-token budget (docs run 10-99 tokens
+    // at this SF, so roughly half truncate and half pass byte-exact)
+    "t54_truncate_tokens" -> ((s, dir) => {
+      TextOps.truncateTokens(t(s, dir, "documents"), "doc_id", "text",
+          maxTokens = 50, headFrac = 0.5)
+        .orderBy("doc_id")
     })
   )
 
@@ -1160,6 +1168,21 @@ object TextQueries {
            JOIN reach ON reach.id = e.b_id)
          SELECT id AS doc_id, MIN(r) AS cluster FROM reach
          GROUP BY id ORDER BY doc_id""",
+    // head+tail truncation mirror: literal-space tokens, first-25 +
+    // last-25 slices rejoined with single spaces; <= 50 tokens passes
+    // the ORIGINAL string through untouched
+    "t54_truncate_tokens" ->
+      """WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CASE WHEN len(t) <= 50 THEN text
+             ELSE array_to_string(list_slice(t, 1, 25), ' ') || ' ' ||
+                  array_to_string(list_slice(t, len(t) - 24, len(t)), ' ')
+             END AS text_trunc,
+           len(t) > 50 AS truncated
+         FROM tk ORDER BY doc_id""",
+
     // leak-safe split mirror: t14's cluster chain LEFT-joined back to
     // the full corpus (singletons cluster to themselves), side by the
     // "split:"-salted cluster-id hash against 0.2

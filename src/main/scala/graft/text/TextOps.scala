@@ -763,6 +763,36 @@ object TextOps {
       .drop("__n")
   }
 
+  /** Head+tail token-budget truncation — fit long documents to a
+    * context window by keeping the first ceil(headFrac * maxTokens)
+    * and last (maxTokens - head) literal-space tokens, the standard
+    * long-document strategy (document openings and endings carry the
+    * most signal; the middle is dropped). Documents at or under the
+    * budget pass through BYTE-EXACT (the original string, no
+    * re-join); truncated text is rebuilt by joining the kept token
+    * slices with single spaces. Returns (idCol, n_tokens, text_trunc,
+    * truncated). A pure narrow projection: per-row split/slice/join,
+    * no shuffle, output partitioning inherits the input's. */
+  def truncateTokens(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, headFrac: Double = 0.5): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(headFrac >= 0 && headFrac <= 1,
+      s"headFrac must be in [0, 1], got $headFrac")
+    val headN = math.ceil(maxTokens * headFrac).toInt
+    val tailN = maxTokens - headN
+    val n = size(col("__t"))
+    val kept =
+      if (tailN == 0) concat_ws(" ", slice(col("__t"), 1, headN))
+      else concat_ws(" ",
+        concat_ws(" ", slice(col("__t"), 1, headN)),
+        concat_ws(" ", slice(col("__t"), -tailN, tailN)))
+    df.select(col(idCol), col(textCol), split(col(textCol), " ").as("__t"))
+      .select(col(idCol),
+        n.cast("long").as("n_tokens"),
+        when(n <= maxTokens, col(textCol)).otherwise(kept).as("text_trunc"),
+        (n > maxTokens).as("truncated"))
+  }
+
   /** Leakage-safe train/test split: documents are assigned to splits
     * BY NEAR-DUP CLUSTER, not individually, so two near-duplicate
     * documents can never straddle the train/test boundary — the

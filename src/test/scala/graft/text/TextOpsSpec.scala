@@ -462,6 +462,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).toSeq == r.map(_.toSeq).toSeq)
   }
 
+  test("truncateTokens: head+tail budget, byte-exact passthrough, edge fracs") {
+    import spark.implicits._
+    val long = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a  b c"),      // double space: passthrough must be byte-exact
+      (2L, long))          // 20 tokens, budget 10 -> first 5 + last 5
+      .toDF("doc_id", "text")
+    val r = TextOps.truncateTokens(docs, "doc_id", "text",
+        maxTokens = 10, headFrac = 0.5)
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(2) == "a  b c" && !r(0).getBoolean(3),
+      "under-budget text passes through byte-exact (double space kept)")
+    assert(r(1).getString(2) ==
+      "w1 w2 w3 w4 w5 w16 w17 w18 w19 w20" && r(1).getBoolean(3))
+    assert(r(1).getLong(1) == 20L)
+    // headFrac = 1.0: pure head truncation, no tail slice
+    val headOnly = TextOps.truncateTokens(docs, "doc_id", "text",
+        maxTokens = 4, headFrac = 1.0)
+      .orderBy("doc_id").collect()
+    assert(headOnly(1).getString(2) == "w1 w2 w3 w4")
+  }
+
   test("leakSafeSplit: near-duplicates never straddle the split; frac honored") {
     import spark.implicits._
     // 30 groups of 3 near-identical docs (one unique suffix token) —
