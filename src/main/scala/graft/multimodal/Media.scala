@@ -686,6 +686,50 @@ object Media {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  /** Audio-CONTENT extraction stage: one row per fixed-size sample
+    * window of each decodable audio payload, with the window's RMS
+    * level and absolute peak — real PCM through the javax.sound codec
+    * ([[pcmSamples]]), the audio twin of [[videoFrames]]' frame-pixel
+    * rows. Non-audio payloads emit no rows. The RMS is computed from
+    * an EXACT long sum of squares and 6-dp rounded, so an external
+    * oracle recomputing from the synthetic generation rule compares
+    * bit-identically regardless of summation order. Scale shape:
+    * per-partition map with a bounded per-row fan-out (nSamples /
+    * windowSamples rows per clip), no shuffle. */
+  def audioWindows(media: DataFrame, windowSamples: Int = 1000): DataFrame = {
+    require(windowSamples > 0,
+      s"windowSamples must be positive, got $windowSamples")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("win_idx", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("rms", DoubleType),
+      StructField("peak", IntegerType)))
+    val enc = Encoders.row(schema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        pcmSamples(r.getAs[Array[Byte]](1)).filter(_.nonEmpty).toSeq
+          .flatMap { s =>
+            s.grouped(windowSamples).zipWithIndex.map { case (w, wi) =>
+              var sumsq = 0L
+              var peak = 0
+              var j = 0
+              while (j < w.length) {
+                val v = w(j).toInt
+                sumsq += v.toLong * v
+                if (math.abs(v) > peak) peak = math.abs(v)
+                j += 1
+              }
+              val rms =
+                math.round(math.sqrt(sumsq.toDouble / w.length) * 1e6) / 1e6
+              Row(id, wi, w.length, rms, peak)
+            }
+          }
+      }
+    }(enc)
+  }
+
   /** Real image resize: decode -> bilinear resample -> re-encode PNG.
     * Rows whose payload is not a decodable image pass through with a
     * null resized column (total function, no task failure). */

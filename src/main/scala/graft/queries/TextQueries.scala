@@ -545,6 +545,18 @@ object TextQueries {
       TextOps.truncateTokens(t(s, dir, "documents"), "doc_id", "text",
           maxTokens = 50, headFrac = 0.5)
         .orderBy("doc_id")
+    }),
+
+    // REAL audio content extraction: WAV payloads decoded back through
+    // javax.sound (t43's discipline, audio edition) into 1000-sample
+    // windows with exact-sum RMS + peak; the oracle recomputes every
+    // sample from the synthetic WAV byte rule, so a PCM-decode bug
+    // hash-fails
+    "t55_audio_windows" -> ((s, dir) => {
+      val media = graft.multimodal.Media.syntheticMedia(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.multimodal.Media.audioWindows(media, windowSamples = 1000)
+        .orderBy("media_id", "win_idx")
     })
   )
 
@@ -750,6 +762,30 @@ object TextQueries {
          CAST(CASE WHEN doc_id % 2 = 0 THEN 0
            ELSE ((800 + length(text) % 8000) * 1000) // 8000 END AS BIGINT) AS duration_ms
          FROM documents ORDER BY media_id""",
+    // audio-windows mirror: regenerates every PCM sample from
+    // buildWav's byte rule (data byte i = (i*17 + nSamples) & 0xff,
+    // LE int16 pairs from offset 44), windows of 1000, exact integer
+    // sum of squares before the 6-dp-rounded sqrt — the engine side
+    // reads the same numbers back through the real javax.sound codec
+    "t55_audio_windows" ->
+      """WITH a AS (SELECT doc_id AS media_id,
+             800 + length(text) % 8000 AS ns
+           FROM documents WHERE doc_id % 2 = 1),
+         s AS (SELECT media_id, ns,
+             unnest(generate_series(0, ns - 1)) AS k FROM a),
+         v AS (SELECT media_id, CAST(k // 1000 AS INT) AS win_idx,
+             CASE WHEN (((45 + 2*k)*17 + ns) % 256) >= 128
+               THEN ((((45 + 2*k)*17 + ns) % 256) * 256
+                     + (((44 + 2*k)*17 + ns) % 256)) - 65536
+               ELSE (((45 + 2*k)*17 + ns) % 256) * 256
+                     + (((44 + 2*k)*17 + ns) % 256) END AS smp
+           FROM s)
+         SELECT media_id, win_idx,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           ROUND(sqrt(SUM(smp::BIGINT * smp)::DOUBLE / COUNT(*)), 6) AS rms,
+           CAST(MAX(ABS(smp)) AS INT) AS peak
+         FROM v GROUP BY 1, 2 ORDER BY media_id, win_idx""",
+
     // mirrors Media.syntheticVideos' construction rule (ftyp 20 +
     // moov(mvhd+trak/tkhd) 216 + mdat 72 = 308 bytes; timescale 1000 so
     // duration round-trips exactly) while the Spark side box-walks the

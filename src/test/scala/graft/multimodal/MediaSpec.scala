@@ -130,6 +130,31 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.decodeAviFrames(Array.emptyByteArray).isEmpty)
   }
 
+  test("audioWindows: real PCM decode matches the construction-rule windows") {
+    import spark.implicits._
+    val ns = 2500 // 2 full windows + one 500-sample partial
+    val media = Seq((7L, Media.buildWav(8000, ns)), (8L, Media.buildBmp(16, 16)))
+      .toDF("media_id", "payload")
+    val got = Media.audioWindows(media, windowSamples = 1000)
+      .orderBy("win_idx").collect()
+    // the image row emits nothing; 3 windows from the audio row
+    assert(got.map(_.getLong(0)).toSet == Set(7L))
+    assert(got.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(got.map(_.getInt(2)).toSeq == Seq(1000, 1000, 500))
+    // recompute window 0 directly from buildWav's byte rule
+    def sample(k: Int): Int = {
+      val lo = ((44 + 2 * k) * 17 + ns) & 0xff
+      val hi = ((45 + 2 * k) * 17 + ns) & 0xff
+      val raw = (hi << 8) | lo
+      if (hi >= 128) raw - 65536 else raw
+    }
+    val w0 = (0 until 1000).map(sample)
+    val sumsq = w0.map(v => v.toLong * v).sum
+    val rms = math.round(math.sqrt(sumsq.toDouble / 1000) * 1e6) / 1e6
+    assert(got(0).getDouble(3) == rms, "RMS must match the byte rule exactly")
+    assert(got(0).getInt(4) == w0.map(math.abs).max)
+  }
+
   test("crafted JPEG claiming huge SOF dimensions is rejected before allocation") {
     // A REAL tiny JPEG whose SOF0 height/width fields are patched to
     // ~65500x65500: ImageIO would allocate from the JPEG's own header
