@@ -547,6 +547,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // int8 scalar quantization of the embedding corpus: per-dim
+    // min/max trained over the corpus, 0..255 codes + reconstruction
+    // error (the 4x-smaller-than-float32 storage tier between raw
+    // vectors and PQ); codes flattened to a string for the hash
+    // compare like t33
+    "t56_scalar_quant" -> ((s, dir) => {
+      graft.sim.Similarity.sqEncode(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64)
+        .select(col("vec_id"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+          col("err"))
+        .orderBy("vec_id")
+    }),
+
     // REAL audio content extraction: WAV payloads decoded back through
     // javax.sound (t43's discipline, audio edition) into 1000-sample
     // windows with exact-sum RMS + peak; the oracle recomputes every
@@ -762,6 +776,29 @@ object TextQueries {
          CAST(CASE WHEN doc_id % 2 = 0 THEN 0
            ELSE ((800 + length(text) % 8000) * 1000) // 8000 END AS BIGINT) AS duration_ms
          FROM documents ORDER BY media_id""",
+    // scalar-quantization mirror: per-dim min/max (exact, no
+    // summation), identical 255-scale rounding, nano-unit squared
+    // reconstruction errors summed exactly before the 6-dp round
+    "t56_scalar_quant" ->
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         st AS (SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+                FROM d CROSS JOIN dims GROUP BY i),
+         e AS (SELECT vec_id, i, mn, mx, v[i] AS x,
+                 CASE WHEN mx = mn THEN 0
+                   ELSE CAST(ROUND(255.0 * (v[i] - mn) / (mx - mn), 0) AS INT)
+                   END AS code
+               FROM d CROSS JOIN dims JOIN st USING (i)),
+         r AS (SELECT vec_id, i, code,
+                 CAST(ROUND((x - (mn + code::DOUBLE * (mx - mn) / 255.0))
+                   * (x - (mn + code::DOUBLE * (mx - mn) / 255.0))
+                   * 1000000000.0, 0) AS BIGINT) AS en
+               FROM e)
+         SELECT vec_id,
+           array_to_string(list(code ORDER BY i), ',') AS codes,
+           ROUND(SUM(en)::DOUBLE / 1000000000.0, 6) AS err
+         FROM r GROUP BY vec_id ORDER BY vec_id""",
+
     // audio-windows mirror: regenerates every PCM sample from
     // buildWav's byte rule (data byte i = (i*17 + nSamples) & 0xff,
     // LE int16 pairs from offset 44), windows of 1000, exact integer

@@ -286,6 +286,48 @@ object Similarity {
       m: Int, subDim: Int): DataFrame =
     subvectors(source, "code_id", idCol, vecCol, m, subDim, "subvec")
 
+  /** Int8 scalar quantization (FAISS SQ8-style): per-dimension
+    * [min, max] over the corpus, each component mapped to
+    * round(255 * (x - min) / (max - min)) in 0..255, plus the rounded
+    * total squared reconstruction error (recon_d = min_d + code_d *
+    * (max_d - min_d) / 255). The memory-for-precision trade one tier
+    * milder than PQ: 1 byte per DIMENSION (4x smaller than float32,
+    * exact per-dim bounds) vs PQ's 1 byte per SUBSPACE. A constant
+    * dimension (max == min) encodes to 0 and reconstructs exactly.
+    * Returns (idCol, codes array<int> in dimension order, err).
+    *
+    * Determinism: min/max involve no summation (exact under any
+    * aggregation order); per-dim squared errors are rounded into
+    * integer nano-units before the fixed-order array sum, and the
+    * final err is 6-dp rounded — both engines bit-agree.
+    *
+    * Scale shape: the stats row is one partial+final aggregate of
+    * 2*dim scalars (KBs, broadcast back); encoding is a narrow
+    * per-row map over the corpus — no explode, no shuffle. The codes
+    * are the 100 TB point: an int8 array per vector scans 4x faster
+    * than the float array it replaces. */
+  def sqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val v = (d: Int) => element_at(col(vecCol), d + 1).cast("double")
+    val stats = corpus.agg(
+      array((0 until dim).map(d => min(v(d))): _*).as("__mn"),
+      array((0 until dim).map(d => max(v(d))): _*).as("__mx"))
+    val mn = (d: Int) => element_at(col("__mn"), d + 1)
+    val mx = (d: Int) => element_at(col("__mx"), d + 1)
+    val code = (d: Int) => when(mx(d) === mn(d), lit(0)).otherwise(
+      round(lit(255.0) * (v(d) - mn(d)) / (mx(d) - mn(d)), 0).cast("int"))
+    val errNano = (d: Int) => {
+      val recon = mn(d) + code(d).cast("double") * (mx(d) - mn(d)) / lit(255.0)
+      round((v(d) - recon) * (v(d) - recon) * lit(1e9), 0).cast("long")
+    }
+    corpus.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        array((0 until dim).map(code): _*).as("codes"),
+        round((0 until dim).map(errNano).reduce(_ + _).cast("double") /
+          lit(1e9), 6).as("err"))
+  }
+
   /** Trained PQ codebook — per-subspace k-means (Jégou et al. 2011
     * §III-A: a separate quantizer per subspace), Lloyd's algorithm with
     * deterministic seeding: code c of subspace s starts at the s-th

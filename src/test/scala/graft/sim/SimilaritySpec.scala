@@ -142,6 +142,27 @@ class SimilaritySpec extends AnyFunSuite {
       s"max refined cell ${cells.map(_.getLong(1)).max} far exceeds the cap")
   }
 
+  test("sqEncode: exact bounds hit codes 0/255, constant dim encodes to 0, err bounded") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(0.0f, 5.0f, 1.0f)),
+      (2L, Array(1.0f, 5.0f, 0.5f)),
+      (3L, Array(0.5f, 5.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.sqEncode(corpus, "vec_id", "embedding", dim = 3)
+      .orderBy("vec_id").collect()
+    def codes(i: Int) = r(i).getSeq[Int](1)
+    // dim 0 spans [0,1]: the min encodes 0, the max 255, mid ~128
+    assert(codes(0)(0) == 0 && codes(1)(0) == 255 && codes(2)(0) == 128)
+    // constant dim 1 -> code 0, exact reconstruction
+    assert(codes(0)(1) == 0 && codes(1)(1) == 0 && codes(2)(1) == 0)
+    assert(codes(0)(2) == 255 && codes(2)(2) == 0)
+    // reconstruction error bounded by dims * (range/255/2)^2
+    val bound = 3 * math.pow(1.0 / 255 / 2, 2) + 1e-6
+    assert(r.forall(_.getDouble(2) <= bound),
+      s"err exceeds the half-step bound: ${r.map(_.getDouble(2)).toSeq}")
+  }
+
   test("semDedup cap splits even an all-IDENTICAL-vector cell (hash tie-break)") {
     import spark.implicits._
     // worst case for affinity splitting: every vector is the same
