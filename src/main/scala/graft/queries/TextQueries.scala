@@ -561,6 +561,20 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // asymmetric top-5 search over the SQ8 codes: queries vec_id 4..6
+    // against the whole quantized corpus (t09's query set), distances
+    // computed from on-the-fly reconstructions — the scan never reads
+    // the original floats
+    "t57_sq_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val stats = graft.sim.Similarity.sqStats(emb, "embedding", 64)
+      val codes = graft.sim.Similarity.sqEncode(emb, "vec_id", "embedding", 64)
+      graft.sim.Similarity.sqSearch(codes, stats,
+          emb.filter(col("vec_id") >= 4 && col("vec_id") < 7),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "cand_id")
+    }),
+
     // REAL audio content extraction: WAV payloads decoded back through
     // javax.sound (t43's discipline, audio edition) into 1000-sample
     // windows with exact-sum RMS + peak; the oracle recomputes every
@@ -776,6 +790,36 @@ object TextQueries {
          CAST(CASE WHEN doc_id % 2 = 0 THEN 0
            ELSE ((800 + length(text) % 8000) * 1000) // 8000 END AS BIGINT) AS duration_ms
          FROM documents ORDER BY media_id""",
+    // SQ-search mirror: rebuild each vector from its t56 codes, exact
+    // queries vs reconstructions by the same 6-dp-rounded L2 identity,
+    // row_number top-5 tie-broken on cand_id
+    "t57_sq_search" ->
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         st AS (SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+                FROM d CROSS JOIN dims GROUP BY i),
+         e AS (SELECT vec_id, i, mn, mx,
+                 CASE WHEN mx = mn THEN 0
+                   ELSE CAST(ROUND(255.0 * (v[i] - mn) / (mx - mn), 0) AS INT)
+                   END AS code
+               FROM d CROSS JOIN dims JOIN st USING (i)),
+         rv AS (SELECT vec_id,
+                  list(mn + code::DOUBLE * (mx - mn) / 255.0 ORDER BY i) AS r
+                FROM e GROUP BY vec_id),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM d
+               WHERE vec_id >= 4 AND vec_id < 7),
+         sc AS (SELECT q.query_id, rv.vec_id AS cand_id,
+                  ROUND(list_dot_product(qv, qv)
+                    - 2.0 * list_dot_product(qv, r)
+                    + list_dot_product(r, r), 6) + 0.0 AS adist
+                FROM rv CROSS JOIN q WHERE rv.vec_id <> q.query_id),
+         rk AS (SELECT query_id, cand_id, adist,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adist, cand_id) AS rn
+                FROM sc)
+         SELECT query_id, cand_id, adist FROM rk WHERE rn <= 5
+         ORDER BY query_id, cand_id""",
+
     // scalar-quantization mirror: per-dim min/max (exact, no
     // summation), identical 255-scale rounding, nano-unit squared
     // reconstruction errors summed exactly before the 6-dp round

@@ -306,13 +306,23 @@ object Similarity {
     * per-row map over the corpus — no explode, no shuffle. The codes
     * are the 100 TB point: an int8 array per vector scans 4x faster
     * than the float array it replaces. */
+  /** Per-dimension [min, max] training row for [[sqEncode]] /
+    * [[sqSearch]]: one partial+final aggregate collapsing the corpus
+    * to a single (__mn, __mx) array pair — KBs, broadcast wherever
+    * the bounds are needed. */
+  def sqStats(corpus: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val v = (d: Int) => element_at(col(vecCol), d + 1).cast("double")
+    corpus.agg(
+      array((0 until dim).map(d => min(v(d))): _*).as("__mn"),
+      array((0 until dim).map(d => max(v(d))): _*).as("__mx"))
+  }
+
   def sqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
     val v = (d: Int) => element_at(col(vecCol), d + 1).cast("double")
-    val stats = corpus.agg(
-      array((0 until dim).map(d => min(v(d))): _*).as("__mn"),
-      array((0 until dim).map(d => max(v(d))): _*).as("__mx"))
+    val stats = sqStats(corpus, vecCol, dim)
     val mn = (d: Int) => element_at(col("__mn"), d + 1)
     val mx = (d: Int) => element_at(col("__mx"), d + 1)
     val code = (d: Int) => when(mx(d) === mn(d), lit(0)).otherwise(
@@ -441,6 +451,42 @@ object Similarity {
       .filter(if (excludeSelf) col("cand_id") =!= col("query_id") else lit(true))
       .groupBy(col("query_id"), col("cand_id"))
       .agg(round(sum("d2"), 6).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("cand_id"))
+    dists.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Asymmetric top-k search over [[sqEncode]]'s int8 codes: each
+    * corpus row is reconstructed on the fly from its codes + the
+    * broadcast [min, max] stats row, and ranked against the exact
+    * query vector by squared L2 (rounded 6-dp before the argsort,
+    * cand-id tie-break — [[pqAdcSearch]]'s discipline). The corpus
+    * pass reads only the int8 codes, never the original floats: the
+    * SQ memory shape for exhaustive ANN scans, one tier more precise
+    * than PQ's LUT sums. `excludeSelf` mirrors [[cosineTopK]].
+    *
+    * Scale shape: stats + queries broadcast; one narrow
+    * reconstruct-and-score projection over the codes, then the
+    * per-query top-k window over candidate rows. */
+  def sqSearch(codes: DataFrame, stats: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val recon = transform(col("codes"), (c, d) => {
+      val mn = element_at(col("__mn"), d + 1)
+      val mx = element_at(col("__mx"), d + 1)
+      mn + c.cast("double") * (mx - mn) / lit(255.0)
+    })
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val dists = codes.crossJoin(broadcast(stats))
+      .select(col(idCol).as("cand_id"), recon.as("__rv"))
+      .crossJoin(broadcast(q))
+      .filter(if (excludeSelf) col("cand_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("__qv"), col("__qv")) -
+          lit(2.0) * dot(col("__qv"), col("__rv")) +
+          dot(col("__rv"), col("__rv")), 6).as("adist"))
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("cand_id"))
     dists.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .drop("rn")

@@ -163,6 +163,23 @@ class SimilaritySpec extends AnyFunSuite {
       s"err exceeds the half-step bound: ${r.map(_.getDouble(2)).toSeq}")
   }
 
+  test("sqSearch ranks the quantized corpus by true proximity to the query") {
+    import spark.implicits._
+    // 1-D line of points: quantization preserves order, so the SQ scan
+    // must return the true nearest neighbors in order
+    val corpus = (0L until 20L).map(i => (i, Array(i.toFloat, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val stats = Similarity.sqStats(corpus, "embedding", 2)
+    val codes = Similarity.sqEncode(corpus, "vec_id", "embedding", 2)
+    val q = Seq((7L, Array(7.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.sqSearch(codes, stats, q, "vec_id", "embedding", k = 4)
+      .orderBy("adist", "cand_id").collect()
+    // query == corpus point 7 (excluded as self): nearest are 6/8 then 5/9
+    assert(r.map(_.getLong(1)).toSet == Set(6L, 8L, 5L, 9L),
+      s"got ${r.map(_.getLong(1)).toSeq}")
+    assert(r.take(2).map(_.getLong(1)).toSet == Set(6L, 8L))
+  }
+
   test("semDedup cap splits even an all-IDENTICAL-vector cell (hash tie-break)") {
     import spark.implicits._
     // worst case for affinity splitting: every vector is the same
