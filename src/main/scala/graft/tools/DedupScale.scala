@@ -138,6 +138,20 @@ object DedupScale {
           emb.filter(col("vec_id") >= 16 && col("vec_id") < 19),
           "vec_id", "embedding", 4, 16, k = 5).count()
       }
+      // SQ8 tier: per-dim bounds + narrow encode, then the
+      // reconstruct-and-score scan over int8 codes (same
+      // pre-materialized-codes shape as pq_adc)
+      val sqStats = Similarity.sqStats(emb, "embedding", 64).localCheckpoint()
+      measure("sq_encode", nE) {
+        Similarity.sqEncode(emb, "vec_id", "embedding", 64).count()
+      }
+      val sqCodes = Similarity.sqEncode(emb, "vec_id", "embedding", 64)
+        .localCheckpoint()
+      measure("sq_search", nE) {
+        Similarity.sqSearch(sqCodes, sqStats,
+          emb.filter(col("vec_id") >= 16 && col("vec_id") < 19),
+          "vec_id", "embedding", k = 5).count()
+      }
       // SemDeDup DEFAULT path (cap 500 since r8): balanced cells
       // (near-random embeddings -> ~n/k per cell) vs the adversarial
       // one-hot-cell distribution; with the guard on by default both
