@@ -155,6 +155,28 @@ class MediaSpec extends AnyFunSuite {
     assert(got(0).getInt(4) == w0.map(math.abs).max)
   }
 
+  test("audioWindows fails closed on crafted WAV payloads") {
+    import spark.implicits._
+    val good = Media.buildWav(8000, 100)
+    // truncate mid-data: javax.sound either yields the readable prefix
+    // or nothing — either way no crash and no phantom windows
+    val truncated = java.util.Arrays.copyOf(good, 60)
+    // data chunk claiming ~2 GB in a 144-byte payload
+    val lying = good.clone()
+    def le32(b: Array[Byte], off: Int, v: Int): Unit =
+      (0 until 4).foreach(i => b(off + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    le32(lying, 40, 0x7ffffff0)
+    val media = Seq(
+      (1L, truncated), (2L, lying), (3L, Array.emptyByteArray),
+      (4L, good))
+      .toDF("media_id", "payload")
+    val r = Media.audioWindows(media, windowSamples = 50).collect()
+    // the intact payload yields its 2 windows; nothing crashes
+    val byId = r.groupBy(_.getLong(0))
+    assert(byId.contains(4L) && byId(4L).length == 2)
+    assert(r.forall(_.getInt(2) <= 50))
+  }
+
   test("crafted JPEG claiming huge SOF dimensions is rejected before allocation") {
     // A REAL tiny JPEG whose SOF0 height/width fields are patched to
     // ~65500x65500: ImageIO would allocate from the JPEG's own header
