@@ -561,6 +561,17 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // cluster-balanced downsampling: t13's trained cells, then a
+    // deterministic 20-per-cell pick (salted-hash order) — the
+    // coverage-preserving pruning shape; uniform sampling would
+    // over-represent dense cells
+    "t58_cell_balanced_sample" -> ((s, dir) => {
+      graft.sim.Similarity.cellBalancedSample(t(s, dir, "embeddings"),
+          "vec_id", "embedding", initIds = Seq(0L, 1L, 2L, 3L),
+          iterations = 2, perCell = 20)
+        .orderBy("cell", "rank")
+    }),
+
     // asymmetric top-5 search over the SQ8 codes: queries vec_id 4..6
     // against the whole quantized corpus (t09's query set), distances
     // computed from on-the-fly reconstructions — the scan never reads
@@ -790,6 +801,26 @@ object TextQueries {
          CAST(CASE WHEN doc_id % 2 = 0 THEN 0
            ELSE ((800 + length(text) % 8000) * 1000) // 8000 END AS BIGINT) AS duration_ms
          FROM documents ORDER BY media_id""",
+    // cell-balanced-sample mirror: the t13 trained-assignment chain,
+    // then t39's stratified pick keyed on the cell (same "strat:" salt,
+    // 8x oversample prefilter, 20 per cell)
+    "t58_cell_balanced_sample" -> {
+      val denom = math.pow(2.0, 60)
+      s"""WITH $KMEANS_TRAINED_ASSIGN_CTES,
+         bh AS (SELECT cell, vec_id,
+             ('0x' || substr(md5('strat:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS u
+           FROM af),
+         bc AS (SELECT cell, COUNT(*) AS cnt FROM af GROUP BY 1),
+         bf AS (SELECT bh.cell, vec_id, u FROM bh JOIN bc USING (cell)
+           WHERE u::DOUBLE / ($denom::DOUBLE)
+             < LEAST(1.0::DOUBLE, 160.0::DOUBLE / cnt)),
+         br AS (SELECT cell, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY cell ORDER BY u, vec_id) AS rank
+           FROM bf)
+         SELECT cell, vec_id, CAST(rank AS BIGINT) AS rank FROM br
+         WHERE rank <= 20 ORDER BY cell, rank"""
+    },
+
     // SQ-search mirror: rebuild each vector from its t56 codes, exact
     // queries vs reconstructions by the same 6-dp-rounded L2 identity,
     // row_number top-5 tie-broken on cand_id

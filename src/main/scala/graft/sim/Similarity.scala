@@ -456,6 +456,31 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Cluster-balanced (diversity-preserving) downsampling: assign the
+    * corpus to trained k-means cells, then keep a deterministic
+    * `perCell` members of each cell — the coverage-preserving data-
+    * pruning shape (uniform sampling over-represents dense regions;
+    * sampling per cell keeps the corpus's geometric spread). Member
+    * choice within a cell is the salted id-hash order, so the output
+    * is reproducible across runs and engines. Returns
+    * (cell, idCol, rank) with rank 1..perCell per cell.
+    *
+    * Scale shape: the assignment is [[ivfAssign]] (broadcast
+    * centroids, narrow argmax); the per-cell pick delegates to
+    * [[graft.text.TextOps.stratifiedSample]], whose count-derived
+    * keep-threshold prefilter bounds the rank window's input to
+    * ~oversample*perCell rows per cell — a hot cell never sorts its
+    * full membership. */
+  def cellBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
+      initIds: Seq[Long], iterations: Int, perCell: Int): DataFrame = {
+    require(perCell > 0, s"perCell must be positive, got $perCell")
+    val trained = kmeansCentroids(corpus, idCol, vecCol, initIds, iterations)
+    val assigned = ivfAssign(corpus,
+      trained.select(col("cell").as(idCol), col("centroid").as(vecCol)),
+      idCol, vecCol)
+    graft.text.TextOps.stratifiedSample(assigned, idCol, "cell", perCell)
+  }
+
   /** Asymmetric top-k search over [[sqEncode]]'s int8 codes: each
     * corpus row is reconstructed on the fly from its codes + the
     * broadcast [min, max] stats row, and ranked against the exact

@@ -163,6 +163,25 @@ class SimilaritySpec extends AnyFunSuite {
       s"err exceeds the half-step bound: ${r.map(_.getDouble(2)).toSeq}")
   }
 
+  test("cellBalancedSample keeps exactly perCell members of every full cell") {
+    val sampled = Similarity.cellBalancedSample(emb, "vec_id", "embedding",
+      initIds = Seq(0L, 1L, 2L, 3L), iterations = 1, perCell = 10)
+    val perCell = sampled.groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 500 near-random vectors over 4 cells -> every cell has >= 10
+    assert(perCell.size == 4 && perCell.values.forall(_ == 10L),
+      s"expected 10 per cell, got $perCell")
+    // ranks are dense 1..10 within each cell
+    val ranks = sampled.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sorted.toSeq)
+    assert(ranks.values.forall(_ == (1L to 10L)), "ranks must be dense 1..k")
+    // deterministic
+    val again = Similarity.cellBalancedSample(emb, "vec_id", "embedding",
+      initIds = Seq(0L, 1L, 2L, 3L), iterations = 1, perCell = 10)
+      .orderBy("cell", "rank").collect().map(_.toSeq).toSeq
+    assert(again == sampled.orderBy("cell", "rank").collect().map(_.toSeq).toSeq)
+  }
+
   test("sqSearch ranks the quantized corpus by true proximity to the query") {
     import spark.implicits._
     // 1-D line of points: quantization preserves order, so the SQ scan
