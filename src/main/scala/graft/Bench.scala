@@ -173,10 +173,17 @@ object Bench {
     val warm = rerunRaw.toSeq.filter(_._2 >= 0).sortBy(_._1)
       .map { case (k, v) => s"\"${short(k)}\":${fmt2(v)}" }
       .mkString("{", ",", "}")
+    // Two final-line length savers (every char postpones the 1-dp
+    // degrade): the failed list appears only when NON-empty — an empty
+    // one carries no information the diag line doesn't — and sf is the
+    // directory basename (the full path is on the diag line and in the
+    // driver's own run metadata).
+    val failedField = if (failed.isEmpty) "" else s""","failed":$fs"""
+    val sfShort = sfDir.split('/').last
     val withWarm =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"queries_warm":$warm,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"queries_warm":$warm$failedField,"sf":"$sfShort"}"""
     val noWarm =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfShort"}"""
     // Last-ditch degrade: if even the warm-less line would overflow the
     // harness tail (the queries map grows ~11 chars per new query), drop
     // per-query precision to 1 decimal rather than ever risking a
@@ -188,7 +195,7 @@ object Bench {
       .map { case (k, v) => s"\"${short(k)}\":${fmt1(v)}" }
       .mkString("{", ",", "}")
     val coarse =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs1,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs1$failedField,"sf":"$sfShort"}"""
     val line =
       if (withWarm.length <= 1900) withWarm
       else if (noWarm.length <= 1900) noWarm
