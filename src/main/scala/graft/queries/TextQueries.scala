@@ -561,6 +561,17 @@ object TextQueries {
         .orderBy("vec_id")
     }),
 
+    // Matryoshka truncation to the first 16 dims + renorm, micro-unit
+    // components flattened for the hash compare (t33's discipline)
+    "t59_mrl_truncate" -> ((s, dir) => {
+      graft.sim.Similarity.truncateEmbeddings(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dims = 16)
+        .select(col("vec_id"),
+          concat_ws(",", col("emb_trunc").cast("array<string>")).as("emb_trunc"),
+          col("norm"))
+        .orderBy("vec_id")
+    }),
+
     // cluster-balanced downsampling: t13's trained cells, then a
     // deterministic 20-per-cell pick (salted-hash order) — the
     // coverage-preserving pruning shape; uniform sampling would
@@ -801,6 +812,19 @@ object TextQueries {
          CAST(CASE WHEN doc_id % 2 = 0 THEN 0
            ELSE ((800 + length(text) % 8000) * 1000) // 8000 END AS BIGINT) AS duration_ms
          FROM documents ORDER BY media_id""",
+    // MRL-truncation mirror: 16-dim prefix, list_dot_product norm,
+    // micro-unit components, 6-dp norm
+    "t59_mrl_truncate" ->
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s AS (SELECT vec_id, list_slice(v, 1, 16) AS s FROM d),
+         n AS (SELECT vec_id, s, sqrt(list_dot_product(s, s)) AS nrm FROM s)
+         SELECT vec_id,
+           array_to_string(list_transform(s, x ->
+             CAST(ROUND((CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END)
+               * 1000000.0, 0) AS BIGINT)), ',') AS emb_trunc,
+           ROUND(nrm, 6) AS norm
+         FROM n ORDER BY vec_id""",
+
     // cell-balanced-sample mirror: the t13 trained-assignment chain,
     // then t39's stratified pick keyed on the cell (same "strat:" salt,
     // 8x oversample prefilter, 20 per cell)

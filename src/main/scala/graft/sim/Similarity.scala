@@ -456,6 +456,31 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Matryoshka-style embedding truncation: keep the first `dims`
+    * components and L2-renormalize — the cheap first-stage retrieval
+    * representation for prefix-trained (MRL-style) embeddings, where
+    * the leading dimensions carry a usable coarse embedding on their
+    * own. Components are emitted as integer micro-units (round(x/norm
+    * * 1e6)) so the result is exactly comparable across engines with
+    * no float-to-string formatting drift; `norm` is the 6-dp-rounded
+    * prefix norm. A zero prefix (norm 0) passes through as zeros.
+    * Returns (idCol, emb_trunc array<long> micro-units, norm).
+    * Scale shape: pure narrow projection (slice + Dot-kernel norm +
+    * one transform), no shuffle. */
+  def truncateEmbeddings(corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    val s = slice(col(vecCol).cast("array<double>"), 1, dims)
+    corpus.select(col(idCol), s.as("__s"))
+      .select(col(idCol), col("__s"),
+        sqrt(dot(col("__s"), col("__s"))).as("__n"))
+      .select(col(idCol),
+        transform(col("__s"), x =>
+          round(when(col("__n") === 0.0, lit(0.0)).otherwise(x / col("__n"))
+            * lit(1e6), 0).cast("long")).as("emb_trunc"),
+        round(col("__n"), 6).as("norm"))
+  }
+
   /** Cluster-balanced (diversity-preserving) downsampling: assign the
     * corpus to trained k-means cells, then keep a deterministic
     * `perCell` members of each cell — the coverage-preserving data-

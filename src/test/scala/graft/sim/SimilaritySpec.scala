@@ -163,6 +163,21 @@ class SimilaritySpec extends AnyFunSuite {
       s"err exceeds the half-step bound: ${r.map(_.getDouble(2)).toSeq}")
   }
 
+  test("truncateEmbeddings: prefix norm, unit-length micro components, zero guard") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(3.0f, 4.0f, 99.0f)),  // prefix (3,4): norm 5
+      (2L, Array(0.0f, 0.0f, 7.0f)))   // zero prefix
+      .toDF("vec_id", "embedding")
+    val r = Similarity.truncateEmbeddings(corpus, "vec_id", "embedding", dims = 2)
+      .orderBy("vec_id").collect()
+    assert(r(0).getDouble(2) == 5.0)
+    assert(r(0).getSeq[Long](1) == Seq(600000L, 800000L),
+      "components are micro-units of the renormalized prefix")
+    assert(r(1).getDouble(2) == 0.0 && r(1).getSeq[Long](1) == Seq(0L, 0L),
+      "zero prefix passes through as zeros, not NaN")
+  }
+
   test("cellBalancedSample keeps exactly perCell members of every full cell") {
     val sampled = Similarity.cellBalancedSample(emb, "vec_id", "embedding",
       initIds = Seq(0L, 1L, 2L, 3L), iterations = 1, perCell = 10)
