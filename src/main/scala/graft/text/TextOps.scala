@@ -783,6 +783,7 @@ object TextOps {
     val n = size(col("__t"))
     val kept =
       if (tailN == 0) concat_ws(" ", slice(col("__t"), 1, headN))
+      else if (headN == 0) concat_ws(" ", slice(col("__t"), -tailN, tailN))
       else concat_ws(" ",
         concat_ws(" ", slice(col("__t"), 1, headN)),
         concat_ws(" ", slice(col("__t"), -tailN, tailN)))
@@ -819,7 +820,7 @@ object TextOps {
       require(!docs.columns.contains(c),
         s"column $c collides with leakSafeSplit's output columns"))
     val sigs = minhashSignature(docs, idCol, textCol, k)
-    val bux = lshBuckets(sigs, idCol, k, rows).localCheckpoint()
+    val bux = lshBuckets(sigs, idCol, k, rows).localCheckpoint(eager = false)
     val pairs = bux.as("x").join(bux.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -858,7 +859,10 @@ object TextOps {
     * the cheapest class of filter and the one to run before any
     * dedup shuffle pays for documents this would have dropped. */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val chars = split(col(textCol), "")
+    // array_remove of "" guards the empty/null-text edge: Spark's
+    // split("", "") yields [""], which would count as 1 distinct char
+    // while DuckDB's list_distinct over the same split gives 0.
+    val chars = array_remove(split(col(textCol), ""), "")
     val n = size(col("__ch"))
     val cnt = (c: Column) =>
       size(filter(col("__ch"), x => x === c)).cast("double")
@@ -1595,7 +1599,7 @@ object TextOps {
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).cast("double").as("__n"))
-      .crossJoin(dl.agg(avg(col("dl")).as("__avgdl")))
+      .crossJoin(broadcast(dl.agg(avg(col("dl")).as("__avgdl"))))
     val qterms = fanOut(queries)
       .select(col(queryIdCol), explode(tokens(col(queryTextCol))).as("term"))
       .distinct()

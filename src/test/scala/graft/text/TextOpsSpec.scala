@@ -482,6 +482,12 @@ class TextOpsSpec extends AnyFunSuite {
         maxTokens = 4, headFrac = 1.0)
       .orderBy("doc_id").collect()
     assert(headOnly(1).getString(2) == "w1 w2 w3 w4")
+    // headFrac = 0.0: pure tail truncation — no leading space from an
+    // empty head join (concat_ws skips nulls, not empty strings)
+    val tailOnly = TextOps.truncateTokens(docs, "doc_id", "text",
+        maxTokens = 4, headFrac = 0.0)
+      .orderBy("doc_id").collect()
+    assert(tailOnly(1).getString(2) == "w17 w18 w19 w20")
   }
 
   test("leakSafeSplit: near-duplicates never straddle the split; frac honored") {
