@@ -336,10 +336,13 @@ object Media {
 
   /** Frame-CONTENT extraction stage: one row per decoded video frame
     * with its dimensions and mean gray level — real pixels, not
-    * metadata ([[decodeAviFrames]]; MP4 and other containers without a
-    * pure-JVM frame path emit no rows here — their planning twin is
-    * [[sampleFrames]]). Scale shape: per-partition map with a bounded
-    * per-row fan-out (nFrames rows per video), no shuffle. */
+    * metadata. AVI payloads decode via [[decodeAviFrames]] (BI_RGB +
+    * MJPEG) and MP4 payloads via [[decodeMp4Frames]] (sample-table
+    * walk, `raw ` RGB24 + MJPEG through ImageIO); containers without
+    * a pure-JVM frame path (webm/mkv) emit no rows here — their
+    * planning twin is [[sampleFrames]]. Scale shape: per-partition
+    * map with a bounded per-row fan-out (nFrames rows per video), no
+    * shuffle. */
   def videoFrames(media: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType),
@@ -351,7 +354,12 @@ object Media {
     media.select("media_id", "payload").mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
-        decodeAviFrames(r.getAs[Array[Byte]](1)).zipWithIndex.map {
+        val payload = r.getAs[Array[Byte]](1)
+        val decoded = {
+          val avi = decodeAviFrames(payload)
+          if (avi.nonEmpty) avi else decodeMp4Frames(payload)
+        }
+        decoded.zipWithIndex.map {
           case (img, i) =>
             val fw = img.getWidth; val fh = img.getHeight
             var sum = 0.0
@@ -499,6 +507,291 @@ object Media {
     b
   }
 
+  /** Size-prefixed big-endian ISO-BMFF box from raw body parts — the
+    * construction twin of [[walkBoxes]]. */
+  private def beBox(tag: String, body: Array[Byte]*): Array[Byte] = {
+    val size = 8 + body.map(_.length).sum
+    val out = new Array[Byte](size)
+    wrBe32(out, 0, size)
+    tag.zipWithIndex.foreach { case (c, i) => out(4 + i) = c.toByte }
+    var off = 8
+    body.foreach { b => System.arraycopy(b, 0, out, off, b.length); off += b.length }
+    out
+  }
+
+  /** A structurally valid MP4 that carries REAL frame samples behind a
+    * full sample table (`stbl`): `ftyp` + `mdat` (the frame bytes) +
+    * `moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(vmhd, dinf(dref),
+    * stbl(stsd, stts, stsc, stsz, stco)))))` per ISO/IEC 14496-12 §8.
+    * Default codec is the QuickTime-style uncompressed 24-bit `raw `
+    * sample entry (top-down RGB rows, no padding) with the SAME
+    * deterministic pixel rule as [[buildAvi]] — r = g = b =
+    * (x*31 + y*17 + f*29) & 0xff — so an external oracle recomputes
+    * raw-frame statistics without a codec; `mjpeg = true` emits real
+    * ImageIO-encoded JPEG samples under a `jpeg` sample entry instead
+    * (lossy, verified in-JVM only — [[buildAvi]]'s discipline). All
+    * samples live in ONE chunk, so `stco` is a single offset and
+    * `stsc` a single run; `stsz` carries per-sample sizes. */
+  def buildMp4Frames(width: Int, height: Int, nFrames: Int, fps: Int = 10,
+      mjpeg: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames >= 0 && fps > 0,
+      s"invalid MP4 geometry: ${width}x$height x$nFrames @${fps}fps")
+    def pixel(x: Int, y: Int, f: Int): Int = (x * 31 + y * 17 + f * 29) & 0xff
+    val samples: Seq[Array[Byte]] = (0 until nFrames).map { f =>
+      if (mjpeg) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = pixel(x, y, f)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      } else {
+        val b = new Array[Byte](width * 3 * height)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = pixel(x, y, f).toByte
+            val p = (y * width + x) * 3
+            b(p) = v; b(p + 1) = v; b(p + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        b
+      }
+    }
+    def be32(vs: Long*): Array[Byte] = {
+      val b = new Array[Byte](vs.length * 4)
+      vs.zipWithIndex.foreach { case (v, i) => wrBe32(b, i * 4, v) }
+      b
+    }
+    val durationMs = nFrames.toLong * 1000L / fps
+    val ftyp = {
+      val b = new Array[Byte](20)
+      wrBe32(b, 0, 20)
+      "ftypisom".zipWithIndex.foreach { case (c, i) => b(4 + i) = c.toByte }
+      "isom".zipWithIndex.foreach { case (c, i) => b(16 + i) = c.toByte }
+      b
+    }
+    val mdat = beBox("mdat", samples: _*)
+    val chunkOff = ftyp.length + 8L // first sample byte inside mdat
+    val mvhd = {
+      val b = new Array[Byte](100) // v0: see buildMp4's field map
+      wrBe32(b, 12, 1000L); wrBe32(b, 16, durationMs)
+      wrBe32(b, 20, 0x00010000L); b(24) = 0x01
+      wrBe32(b, 36, 0x00010000L); wrBe32(b, 52, 0x00010000L)
+      wrBe32(b, 68, 0x40000000L); wrBe32(b, 96, 2L)
+      beBox("mvhd", b)
+    }
+    val tkhd = {
+      val b = new Array[Byte](84) // v0
+      wrBe32(b, 0, 0x00000007L) // flags: enabled | in-movie | in-preview
+      wrBe32(b, 12, 1L)         // track_ID
+      wrBe32(b, 20, durationMs)
+      wrBe32(b, 40, 0x00010000L); wrBe32(b, 56, 0x00010000L)
+      wrBe32(b, 72, 0x40000000L)
+      wrBe32(b, 76, width.toLong << 16); wrBe32(b, 80, height.toLong << 16)
+      beBox("tkhd", b)
+    }
+    val mdhd = {
+      val b = new Array[Byte](24) // v0; media timescale = fps, delta 1/frame
+      wrBe32(b, 12, fps.toLong); wrBe32(b, 16, nFrames.toLong)
+      b(20) = 0x55; b(21) = 0xc4.toByte // packed ISO-639-2 'und'
+      beBox("mdhd", b)
+    }
+    val hdlr = {
+      val b = new Array[Byte](25) // v/flags + predefined + 'vide' + rsvd + ""
+      "vide".zipWithIndex.foreach { case (c, i) => b(8 + i) = c.toByte }
+      beBox("hdlr", b)
+    }
+    val vmhd = { val b = new Array[Byte](12); wrBe32(b, 0, 1L); beBox("vmhd", b) }
+    val dinf = beBox("dinf",
+      beBox("dref", be32(0L, 1L), beBox("url ", be32(1L)))) // self-contained
+    val stsd = {
+      val e = new Array[Byte](86) // VisualSampleEntry
+      wrBe32(e, 0, 86L)
+      (if (mjpeg) "jpeg" else "raw ").zipWithIndex.foreach {
+        case (c, i) => e(4 + i) = c.toByte }
+      e(15) = 1 // data_reference_index
+      e(32) = ((width >> 8) & 0xff).toByte; e(33) = (width & 0xff).toByte
+      e(34) = ((height >> 8) & 0xff).toByte; e(35) = (height & 0xff).toByte
+      wrBe32(e, 36, 0x00480000L); wrBe32(e, 40, 0x00480000L) // 72 dpi
+      e(49) = 1                                    // frame_count
+      e(82) = 0x00; e(83) = 24                     // depth
+      e(84) = 0xff.toByte; e(85) = 0xff.toByte     // pre_defined = -1
+      beBox("stsd", be32(0L, 1L), e)
+    }
+    val stts =
+      if (nFrames == 0) beBox("stts", be32(0L, 0L))
+      else beBox("stts", be32(0L, 1L, nFrames.toLong, 1L))
+    val stsc =
+      if (nFrames == 0) beBox("stsc", be32(0L, 0L))
+      else beBox("stsc", be32(0L, 1L, 1L, nFrames.toLong, 1L))
+    val stsz = beBox("stsz",
+      be32(0L, 0L, nFrames.toLong), be32(samples.map(_.length.toLong): _*))
+    val stco =
+      if (nFrames == 0) beBox("stco", be32(0L, 0L))
+      else beBox("stco", be32(0L, 1L, chunkOff))
+    val stbl = beBox("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = beBox("minf", vmhd, dinf, stbl)
+    val mdia = beBox("mdia", mdhd, hdlr, minf)
+    val trak = beBox("trak", tkhd, mdia)
+    val moov = beBox("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** REAL frame-pixel decode of an MP4 payload through its sample
+    * tables — the ISO-BMFF twin of [[decodeAviFrames]]: walk
+    * `moov/trak/mdia/minf/stbl`, read `stsd` (sample-entry codec +
+    * dimensions), `stsz` (sample sizes), `stco` (chunk offsets) and
+    * `stsc` (samples-per-chunk runs), resolve each sample's byte range
+    * in `mdat`, and decode: `jpeg`/JPEG-magic samples go through the
+    * hardened ImageIO path ([[decodeImage]], 16384^2 pre-check) and
+    * `raw ` samples are unpacked directly (top-down RGB24). Non-MP4
+    * payloads, absent/empty sample tables and unrecognized codecs
+    * yield no frames; all offsets/sizes are bounds-checked in Long
+    * against the payload, the sample count is capped (65536) and the
+    * claimed geometry is capped (16384^2) BEFORE any allocation, so a
+    * crafted sample table can't force a giant raster or a wild read —
+    * [[decodeAviFrames]]'s posture. */
+  def decodeMp4Frames(payload: Array[Byte]): Seq[java.awt.image.BufferedImage] = try {
+    if (payload.length < 16 || boxType(payload, 0) != "ftyp") return Nil
+    var fmt = ""; var w = 0; var h = 0
+    var sizes: Array[Long] = null
+    var chunkOffs: Array[Long] = null
+    var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+    var found = false
+    walkBoxes(payload, 0, payload.length) { (t, bs, be) =>
+      if (t == "moov") walkBoxes(payload, bs, be) { (t2, bs2, be2) =>
+        if (t2 == "trak" && !found) walkBoxes(payload, bs2, be2) { (t3, bs3, be3) =>
+          if (t3 == "mdia") walkBoxes(payload, bs3, be3) { (t4, bs4, be4) =>
+            if (t4 == "minf") walkBoxes(payload, bs4, be4) { (t5, bs5, be5) =>
+              if (t5 == "stbl") {
+                found = true
+                walkBoxes(payload, bs5, be5) { (t6, bs6, be6) =>
+                  val n = be6 - bs6
+                  if (t6 == "stsd" && n >= 8 + 36 && rdBe32(payload, bs6 + 4) >= 1) {
+                    fmt = boxType(payload, bs6 + 8) // entry's (size, format)
+                    w = ((payload(bs6 + 40) & 0xff) << 8) | (payload(bs6 + 41) & 0xff)
+                    h = ((payload(bs6 + 42) & 0xff) << 8) | (payload(bs6 + 43) & 0xff)
+                  } else if (t6 == "stsz" && n >= 12) {
+                    val fixed = rdBe32(payload, bs6 + 4)
+                    val cnt = rdBe32(payload, bs6 + 8)
+                    if (cnt >= 0 && cnt <= 65536 &&
+                        (fixed != 0L || 12 + cnt * 4 <= n)) {
+                      sizes = Array.tabulate(cnt.toInt)(i =>
+                        if (fixed != 0L) fixed
+                        else rdBe32(payload, bs6 + 12 + i * 4))
+                    }
+                  } else if (t6 == "stco" && n >= 8) {
+                    val cnt = rdBe32(payload, bs6 + 4)
+                    if (cnt >= 0 && cnt <= 65536 && 8 + cnt * 4 <= n)
+                      chunkOffs = Array.tabulate(cnt.toInt)(i =>
+                        rdBe32(payload, bs6 + 8 + i * 4))
+                  } else if (t6 == "co64" && n >= 8) {
+                    val cnt = rdBe32(payload, bs6 + 4)
+                    if (cnt >= 0 && cnt <= 65536 && 8 + cnt * 8 <= n)
+                      chunkOffs = Array.tabulate(cnt.toInt)(i =>
+                        rdBe64(payload, bs6 + 8 + i * 8))
+                  } else if (t6 == "stsc" && n >= 8) {
+                    val cnt = rdBe32(payload, bs6 + 4)
+                    if (cnt >= 0 && cnt <= 65536 && 8 + cnt * 12 <= n)
+                      stscRuns = Array.tabulate(cnt.toInt)(i =>
+                        (rdBe32(payload, bs6 + 8 + i * 12),
+                          rdBe32(payload, bs6 + 12 + i * 12)))
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    if (sizes == null || chunkOffs == null || stscRuns == null ||
+        sizes.isEmpty || chunkOffs.isEmpty || stscRuns.isEmpty) return Nil
+    if (w <= 0 || h <= 0 || w > 16384 || h > 16384) return Nil
+    // Resolve sample byte ranges: per chunk, the samples-per-chunk run
+    // in effect is the last stsc entry with first_chunk <= chunk.
+    val ranges = Seq.newBuilder[(Long, Long)] // (offset, size)
+    var sample = 0
+    var chunk = 0
+    while (chunk < chunkOffs.length && sample < sizes.length) {
+      var spc = 0L
+      stscRuns.foreach { case (fc, s) => if (fc <= chunk + 1) spc = s }
+      if (spc <= 0L || spc > sizes.length) return Nil
+      var off = chunkOffs(chunk)
+      var i = 0L
+      while (i < spc && sample < sizes.length) {
+        val sz = sizes(sample)
+        if (off < 0L || sz < 0L || sz > Int.MaxValue ||
+            off + sz > payload.length) return Nil
+        ranges += ((off, sz))
+        off += sz; sample += 1; i += 1
+      }
+      chunk += 1
+    }
+    val frames = Seq.newBuilder[java.awt.image.BufferedImage]
+    ranges.result().foreach { case (off, sz) =>
+      val o = off.toInt; val n = sz.toInt
+      if (fmt == "raw " && n >= w * 3 * h) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = o + (y * w + x) * 3
+            val r = payload(p) & 0xff
+            val g = payload(p + 1) & 0xff
+            val b = payload(p + 2) & 0xff
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        frames += img
+      } else if (n >= 2 && (payload(o) & 0xff) == 0xff &&
+          (payload(o + 1) & 0xff) == 0xd8) {
+        decodeImage(java.util.Arrays.copyOfRange(payload, o, o + n))
+          .foreach(frames += _)
+      }
+    }
+    frames.result()
+  } catch {
+    case scala.util.control.NonFatal(_) => Nil
+  }
+
+  /** Real MP4 containers whose geometry AND frame pixels derive only
+    * from (id, text length) — the ISO-BMFF twin of
+    * [[syntheticAviVideos]] (same geometry and pixel rules, so the
+    * same external oracle applies): [[videoFrames]] resolves the
+    * sample tables and unpacks the `raw ` RGB24 samples back. */
+  def syntheticMp4Videos(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"),
+        length(col(textCol)).cast("int").as("n"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val n = r.getInt(1)
+          val payload = buildMp4Frames(
+            width = 8 + n % 9,
+            height = 6 + (id % 7).toInt,
+            nFrames = 1 + (id % 3).toInt)
+          Row(id, "video", payload, Row("synthetic", "mp4"))
+        }
+      }(enc)
+  }
+
   // ---- real JDK codecs (javax.imageio / javax.sound.sampled) --------------
 
   /** Real image probe via ImageIO: (format, width, height) without a
@@ -550,11 +843,12 @@ object Media {
     } catch { case _: Exception => None }
 
   /** STUB codec — last-resort fallback only. MP4 metadata is parsed
-    * for real by [[parseMp4]], AVI metadata by [[parseAvi]], and AVI
-    * frame PIXELS by [[decodeAviFrames]] (raw BI_RGB + MJPEG); what
-    * remains here is video in containers with no pure-JVM parser yet
-    * (webm/mkv) and payloads no probe recognizes. Deterministic fake
-    * until a parser is added. */
+    * for real by [[parseMp4]], AVI metadata by [[parseAvi]], AVI frame
+    * PIXELS by [[decodeAviFrames]] (raw BI_RGB + MJPEG) and MP4 frame
+    * PIXELS by [[decodeMp4Frames]] (sample tables, `raw ` + MJPEG);
+    * what remains here is video in containers with no pure-JVM parser
+    * yet (webm/mkv) and payloads no probe recognizes. Deterministic
+    * fake until a parser is added. */
   private def fakeDecode(kind: String, payload: Array[Byte]): (String, Int, Int, Long) = {
     val h = java.util.Arrays.hashCode(payload)
     val fmt = kind match {

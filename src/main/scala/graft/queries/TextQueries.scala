@@ -405,6 +405,19 @@ object TextQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // t43's ISO-BMFF twin: structurally valid MP4s with full sample
+    // tables (stsd/stts/stsc/stsz/stco) and raw RGB24 samples, frame
+    // pixels genuinely resolved back through the sample-table walk —
+    // same construction rule, so the same oracle recompute applies
+    "t60_mp4_frames" -> ((s, dir) => {
+      val media = graft.multimodal.Media.syntheticMp4Videos(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.multimodal.Media.videoFrames(media)
+        .select(col("media_id"), col("frame_idx"), col("f_width"),
+          col("f_height"), round(col("mean_gray"), 6).as("mean_gray"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // PQ encode through a TRAINED codebook: per-subspace k-means (16
     // codes seeded from vec_id 0..15, 2 Lloyd iterations) instead of
     // t33's raw id-prefix sample — the Jégou-style training path. Same
@@ -1749,6 +1762,22 @@ object TextQueries {
     // syntheticAviVideos' geometry rule, while the Spark side decodes
     // the raw BI_RGB frames it actually built
     "t43_video_frames" ->
+      """WITH dims AS (SELECT doc_id, 8 + length(text) % 9 AS w,
+             6 + doc_id % 7 AS h, 1 + doc_id % 3 AS nf FROM documents),
+         fr AS (SELECT doc_id, w, h, unnest(range(nf)) AS f FROM dims),
+         fx AS (SELECT doc_id, w, h, f, unnest(range(w)) AS x FROM fr),
+         fxy AS (SELECT doc_id, w, h, f, x, unnest(range(h)) AS y FROM fx),
+         g AS (SELECT doc_id, f, w, h,
+                0.299*v + 0.587*v + 0.114*v AS gr
+               FROM (SELECT *, CAST((x*31 + y*17 + f*29) % 256 AS DOUBLE) AS v
+                     FROM fxy))
+         SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(w AS INTEGER) AS f_width, CAST(h AS INTEGER) AS f_height,
+           ROUND(AVG(gr), 6) + 0.0 AS mean_gray
+         FROM g GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx""",
+    // same geometry + pixel rules as t43 (buildMp4Frames mirrors
+    // buildAvi's rule), exercised through the MP4 sample-table walk
+    "t60_mp4_frames" ->
       """WITH dims AS (SELECT doc_id, 8 + length(text) % 9 AS w,
              6 + doc_id % 7 AS h, 1 + doc_id % 3 AS nf FROM documents),
          fr AS (SELECT doc_id, w, h, unnest(range(nf)) AS f FROM dims),

@@ -236,6 +236,81 @@ class MediaSpec extends AnyFunSuite {
     assert(math.abs(mean(frames(0)) - want) < 16.0)
   }
 
+  test("raw-RGB MP4 samples decode to the exact construction-rule pixels") {
+    val m = Media.buildMp4Frames(9, 7, 2)
+    val frames = Media.decodeMp4Frames(m)
+    assert(frames.length == 2)
+    for (f <- 0 until 2) {
+      val img = frames(f)
+      assert(img.getWidth == 9 && img.getHeight == 7)
+      for (y <- 0 until 7; x <- 0 until 9) {
+        val v = (x * 31 + y * 17 + f * 29) & 0xff
+        assert((img.getRGB(x, y) & 0xffffff) == ((v << 16) | (v << 8) | v),
+          s"pixel ($x,$y) frame $f")
+      }
+    }
+  }
+
+  test("MJPEG MP4 samples decode through the real ImageIO JPEG codec") {
+    val m = Media.buildMp4Frames(16, 12, 2, mjpeg = true)
+    val frames = Media.decodeMp4Frames(m)
+    assert(frames.length == 2)
+    assert(frames.forall(f => f.getWidth == 16 && f.getHeight == 12))
+    def mean(img: java.awt.image.BufferedImage): Double = {
+      val vs = for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        yield (img.getRGB(x, y) & 0xff).toDouble
+      vs.sum / vs.length
+    }
+    // lossy codec: mean gray lands near the rule's mean, not exactly on it
+    val want = (for (y <- 0 until 12; x <- 0 until 16)
+      yield ((x * 31 + y * 17) & 0xff).toDouble).sum / (16 * 12)
+    assert(math.abs(mean(frames(0)) - want) < 16.0)
+  }
+
+  test("frame-bearing MP4s still parse through the metadata box walk") {
+    val m = Media.buildMp4Frames(9, 7, 3, fps = 10)
+    val meta = Media.parseMp4(m)
+    assert(meta.contains(("mp4", 9, 7, 300L)), s"got $meta")
+  }
+
+  test("malformed MP4 sample tables fail closed, never throw") {
+    val good = Media.buildMp4Frames(9, 7, 2)
+    // moov trails the mdat, so ANY truncation severs the sample tables
+    // and must yield zero frames (each cut lands in a different check)
+    for (cut <- Seq(4, 17, 40, 100, good.length / 2, good.length - 3))
+      assert(Media.decodeMp4Frames(java.util.Arrays.copyOf(good, cut)).isEmpty,
+        s"truncated at $cut")
+    // a crafted stco pointing past the payload must yield no frames
+    val patched = good.clone()
+    var i = 0
+    var stco = -1
+    while (stco < 0 && i < patched.length - 4) {
+      if (new String(patched, i, 4, "US-ASCII") == "stco") stco = i
+      i += 1
+    }
+    assert(stco > 0)
+    // chunk offset field = stco body(version 4 + count 4) + 8
+    val offField = stco + 4 + 8
+    patched(offField) = 0x7f; patched(offField + 1) = 0xff.toByte
+    assert(Media.decodeMp4Frames(patched).isEmpty,
+      "out-of-range chunk offset must be rejected")
+    // zero frames: a structurally valid but empty track yields no rows
+    assert(Media.decodeMp4Frames(Media.buildMp4Frames(9, 7, 0)).isEmpty)
+    // non-MP4 bytes
+    assert(Media.decodeMp4Frames("not a video".getBytes).isEmpty)
+  }
+
+  test("videoFrames measures real frame content per synthetic MP4") {
+    val syn = Media.syntheticMp4Videos(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val vf = Media.videoFrames(syn).cache()
+    val counts = vf.groupBy("media_id").count()
+    assert(counts.filter(col("count") =!= (col("media_id") % 3 + 1)).count() == 0)
+    assert(vf.filter(col("mean_gray") <= 0 || col("mean_gray") >= 255).count() == 0)
+    assert(vf.select("mean_gray").distinct().count() > 1)
+    vf.unpersist()
+  }
+
   test("videoFrames measures real frame content per synthetic AVI") {
     val syn = Media.syntheticAviVideos(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
