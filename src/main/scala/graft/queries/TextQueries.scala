@@ -405,6 +405,20 @@ object TextQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // trained-BPE tokenization: 12 merges trained on the corpus's OWN
+    // pretoken frequency table (deterministic count-desc/pair-asc
+    // argmax), then applied per document. The DuckDB oracle re-runs
+    // the SAME training loop — 12 unrolled pair-count/argmax/merge
+    // iterations over the wrapped-symbol strings — and the same
+    // application fold, so a drift in either training determinism or
+    // merge semantics hash-fails, not just the output shape.
+    "t61_bpe_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextOps.bpeTrainMerges(docs, "text", numMerges = 12)
+      TextOps.bpeTokenize(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // t43's ISO-BMFF twin: structurally valid MP4s with full sample
     // tables (stsd/stts/stsc/stsz/stco) and raw RGB24 samples, frame
     // pixels genuinely resolved back through the sample-table walk —
@@ -631,6 +645,53 @@ object TextQueries {
   private val TOKS_SQL =
     """SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        x -> x <> '') AS w FROM documents"""
+
+  /** DuckDB mirror of the FULL trained-BPE path (t61): w0/d0 build the
+    * word-frequency table and per-document merge strings in TextOps's
+    * wrapped-symbol form (chr(288) = U+0120 space mark, chr(31) =
+    * pretoken boundary), then each unrolled iteration i counts symbol
+    * pairs (p_i), picks the count-desc/pair-asc argmax (b_i) and
+    * applies the literal " l  r " -> " lr " replacement to both the
+    * vocabulary (w_{i+1}) and the documents (d_{i+1}) — byte-for-byte
+    * the expressions bpeTrainMerges/bpeTokenize fold in Spark. */
+  private def bpeOracleSql(numMerges: Int): String = {
+    val pat = graft.text.TextOps.BpePattern.replace("'", "''")
+    def wrap(x: String) =
+      s"' ' || array_to_string(string_split(replace($x, ' ', chr(288)), ''), '  ') || ' '"
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS (
+       SELECT ${wrap("tok")} AS s, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+         SELECT unnest(regexp_extract_all(text, '$pat')) AS tok FROM documents)
+       GROUP BY 1 ORDER BY wc DESC, s LIMIT 65536),
+     d0 AS (
+       SELECT doc_id, array_to_string(list_transform(
+         regexp_extract_all(text, '$pat'), t -> ${wrap("t")}), chr(31)) AS s
+       FROM documents)"""
+    for (i <- 0 until numMerges) {
+      sb ++= s""",
+     p$i AS (
+       SELECT y[j] AS l, y[j + 1] AS r, SUM(wc) AS cnt FROM (
+         SELECT wc, y, unnest(generate_series(1, len(y) - 1)) AS j FROM (
+           SELECT wc, string_split(trim(s), '  ') AS y FROM w$i))
+       GROUP BY 1, 2),
+     b$i AS (SELECT l, r FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+     w${i + 1} AS (
+       SELECT replace(s, ' ' || l || '  ' || r || ' ',
+         ' ' || l || r || ' ') AS s, wc FROM w$i, b$i),
+     d${i + 1} AS (
+       SELECT doc_id, replace(s, ' ' || l || '  ' || r || ' ',
+         ' ' || l || r || ' ') AS s FROM d$i, b$i)"""
+    }
+    sb ++= s""",
+     fin AS (SELECT doc_id, trim(regexp_replace(s,
+       '[' || chr(31) || ' ]+', ' ', 'g')) AS toks FROM d$numMerges)
+     SELECT doc_id,
+       CAST(CASE WHEN toks = '' THEN 0
+         ELSE len(string_split(toks, ' ')) END AS BIGINT) AS n_tokens,
+       toks AS tokens
+     FROM fin ORDER BY doc_id"""
+    sb.toString
+  }
 
   private val SHINGLES_SQL =
     s"""SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
@@ -1775,6 +1836,10 @@ object TextQueries {
            CAST(w AS INTEGER) AS f_width, CAST(h AS INTEGER) AS f_height,
            ROUND(AVG(gr), 6) + 0.0 AS mean_gray
          FROM g GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx""",
+    // full trained-BPE mirror: the training loop itself (12 unrolled
+    // pair-count/argmax/merge iterations) AND the application fold,
+    // both over the exact wrapped-symbol representation TextOps uses
+    "t61_bpe_tokenize" -> bpeOracleSql(12),
     // same geometry + pixel rules as t43 (buildMp4Frames mirrors
     // buildAvi's rule), exercised through the MP4 sample-table walk
     "t60_mp4_frames" ->

@@ -654,6 +654,119 @@ object TextOps {
         round(when(col("n_bpe_tokens") === 0, lit(null))
           .otherwise(col("n_chars").cast("double") / col("n_bpe_tokens")), 6))
 
+  // ---- trained byte-pair encoding ------------------------------------------
+
+  /** GPT-2-style visible-space marker: pretoken spaces are mapped to
+    * U+0120 before character splitting so symbols never contain the
+    * separator the merge representation is built on. */
+  val BpeSpaceMark = "Ġ"
+
+  /** Pretoken-boundary sentinel for [[bpeTokenize]]'s whole-document
+    * merge string: merges can never bridge two pretokens because the
+    * " l  r " double-space pair pattern is broken by "  ". */
+  private val BpeBoundary = "\u001f"
+
+  /** Wrapped-symbol representation: every symbol is surrounded by one
+    * space on each side, so a symbol list [a, b] renders " a  b "
+    * (double space BETWEEN symbols, single at the ends). Applying the
+    * merge (l, r) is then the literal replacement of " l  r " with
+    * " lr " — leftmost non-overlapping, exactly BPE's left-to-right
+    * greedy merge scan — and the double-interior/single-edge shape
+    * makes a pattern match impossible anywhere but at a true symbol
+    * boundary. The same construction is mirrored verbatim in the
+    * DuckDB oracle. */
+  private def bpeWrap(tok: Column): Column =
+    concat(lit(" "),
+      array_join(split(replace(tok, lit(" "), lit(BpeSpaceMark)), ""), "  "),
+      lit(" "))
+
+  private def bpeMergePat(l: String, r: String): (String, String) =
+    (s" $l  $r ", s" $l$r ")
+
+  /** Train a deterministic BPE merge table from a corpus (Sennrich
+    * 2016; the GPT-2 training shape): pretokenize with [[BpePattern]],
+    * aggregate the word-frequency table (ONE corpus-sized pass — all
+    * later work is vocabulary-sized, the property that makes BPE
+    * training tractable at 100 TB), cap it to the `maxWords` most
+    * frequent words (count-desc, word-asc tie-break — deterministic),
+    * then run `numMerges` merge iterations: count symbol pairs
+    * weighted by word frequency, pick the most frequent pair
+    * (count-desc, pair-asc tie-break), and merge it in every word.
+    * Each iteration is a vocabulary-sized hash aggregation plus a
+    * 1-row TakeOrdered collect — the driver holds only the merge
+    * table itself (numMerges rows), the k-row-model contract of
+    * [[graft.sim.Similarity.kmeansCentroids]]. Throws if the corpus
+    * runs out of distinct pairs before `numMerges` merges — a merge
+    * table shorter than requested would silently drift from the
+    * engine-external mirror. */
+  def bpeTrainMerges(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 65536): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    require(maxWords > 0, s"maxWords must be positive, got $maxWords")
+    var words = fanOut(
+      df.select(explode(regexp_extract_all(col(textCol), lit(BpePattern),
+          lit(0))).as("__tok"))
+        .groupBy("__tok").agg(count(lit(1)).as("__wc"))
+        .select(bpeWrap(col("__tok")).as("__s"), col("__wc"))
+        .orderBy(desc("__wc"), asc("__s")).limit(maxWords))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    while (i < numMerges) {
+      val syms = split(trim(col("__s")), "  ")
+      val top = words
+        .select(col("__wc"), syms.as("__y"))
+        .select(col("__wc"), explode(arrays_zip(
+          slice(col("__y"), lit(1), size(col("__y")) - 1),
+          slice(col("__y"), lit(2), size(col("__y")) - 1))).as("__p"))
+        .groupBy(col("__p.0").as("l"), col("__p.1").as("r"))
+        .agg(sum("__wc").as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r")).limit(1)
+        .collect()
+      require(top.nonEmpty,
+        s"corpus exhausted after $i merges; requested $numMerges")
+      val l = top(0).getString(0); val r = top(0).getString(1)
+      merges += ((l, r))
+      val (pat, rep) = bpeMergePat(l, r)
+      // checkpoint per iteration: the next round's pair count re-reads
+      // this frame, and without the barrier each round re-runs the whole
+      // merge lineage (semDedup's refinement discipline)
+      words = words.withColumn("__s", replace(col("__s"), lit(pat), lit(rep)))
+        .localCheckpoint()
+      i += 1
+    }
+    merges.result()
+  }
+
+  /** Apply a trained merge table ([[bpeTrainMerges]]) to a corpus: per
+    * document, pretokenize, render each pretoken in the wrapped-symbol
+    * form, join pretokens with the [[BpeBoundary]] sentinel (merges
+    * never bridge pretokens), fold the merge replacements in rank
+    * order, and emit (idCol, n_tokens, tokens) with the final symbols
+    * single-space-joined. A pure narrow projection — numMerges chained
+    * codegen'd literal replaces, no shuffle, partitioning inherited —
+    * so the per-row cost is numMerges linear scans, not a per-symbol
+    * loop. `tokens` feeds [[packSequences]] / [[truncateTokens]] /
+    * [[chunkDocuments]] directly: their whitespace splitting recovers
+    * exactly these symbols, upgrading every token-budget operator from
+    * the [[bpeTokenStats]] approximation to trained-BPE counts. */
+  def bpeTokenize(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val doc0 = array_join(
+      transform(regexp_extract_all(col(textCol), lit(BpePattern), lit(0)),
+        t => bpeWrap(t)),
+      BpeBoundary)
+    val merged = merges.foldLeft(doc0) { case (c, (l, r)) =>
+      val (pat, rep) = bpeMergePat(l, r)
+      replace(c, lit(pat), lit(rep))
+    }
+    val toks = trim(regexp_replace(merged, s"[$BpeBoundary ]+", " "))
+    df.select(col(idCol),
+      when(toks === "", lit(0L))
+        .otherwise(size(split(toks, " ")).cast("long")).as("n_tokens"),
+      toks.as("tokens"))
+  }
+
   /** Function-word profiles for the argmax language classifier
     * ([[langId]]). Small closed-class word lists (the standard
     * stopword-profile approach to language ID — function words are the
