@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+
+/** ANN quality measurement: recall@k of each approximate search path
+  * — [[Similarity.ivfSearch]] (by nProbe), [[Similarity.pqAdcSearch]]
+  * (by m) and [[Similarity.sqSearch]] — against the exact
+  * [[Similarity.cosineTopK]] ground truth on the real embeddings
+  * table. The correctness oracles prove each path honors its own
+  * contract; THIS harness measures the quality axis those contracts
+  * don't: how much of the true neighborhood each compression/probing
+  * level keeps, the table that turns nProbe/m tuning at 100 TB from
+  * guesswork into a lookup. The testdata embeddings are unit-norm, so
+  * the L2-ranked PQ/SQ paths are directly comparable to the cosine
+  * ground truth (L2^2 = 2 - 2cos on the unit sphere).
+  *
+  * Usage: runMain graft.tools.RecallScale [sfDir] [nQueries] [k]
+  */
+object RecallScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nQueries = if (args.length > 1) args(1).toInt else 100
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+    val nRows = emb.count()
+    val queries = emb.filter(col("vec_id") < nQueries).cache()
+    queries.count()
+
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k)
+      .select(col("query_id"), col("cand_id")).cache()
+    val nExact = exact.count()
+    println(s"RECALL ground truth: $nExact exact pairs " +
+      s"($nQueries queries x k=$k over $nRows rows)")
+
+    def recall(label: String, approx: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val hits = approx.select(col("query_id"), col("cand_id"))
+        .join(exact, Seq("query_id", "cand_id")).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"RECALL op=$label%-16s k=$k recall=${hits.toDouble / nExact}%6.3f " +
+        f"wall=$sec%6.2f s")
+    }
+
+    // IVF: 16 trained cells; nProbe sweeps the coverage/cost trade.
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      initIds = 0L until 16L, iterations = 2)
+    val centArg = cents.select(col("cell").as("vec_id"),
+      col("centroid").as("embedding"))
+    val indexed = Similarity.ivfAssign(emb, centArg, "vec_id", "embedding")
+      .cache()
+    indexed.count()
+    Seq(1, 2, 4, 8, 16).foreach { nProbe =>
+      recall(s"ivf nProbe=$nProbe", Similarity.ivfSearch(indexed, centArg,
+        queries, "vec_id", "embedding", k, nProbe))
+    }
+
+    // PQ: trained codebooks at m subspaces of dim 64/m; more subspaces
+    // = finer quantization = higher recall, bigger codes.
+    Seq(4, 8, 16).foreach { m =>
+      val subDim = 64 / m
+      val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
+        m = m, subDim = subDim, initIds = 0L until 16L, iterations = 2)
+      val codes = Similarity.pqEncode(emb, cb, "vec_id", "embedding",
+        m = m, subDim = subDim)
+      recall(s"pq m=$m", Similarity.pqAdcSearch(codes, cb, queries,
+        "vec_id", "embedding", m = m, subDim = subDim, k = k))
+    }
+
+    // SQ: one int8 code per dimension — the cheapest compression.
+    val stats = Similarity.sqStats(emb, "embedding", dim = 64)
+    val codes = Similarity.sqEncode(emb, "vec_id", "embedding", dim = 64)
+    recall("sq int8", Similarity.sqSearch(codes, stats, queries,
+      "vec_id", "embedding", k))
+
+    spark.stop()
+  }
+}
