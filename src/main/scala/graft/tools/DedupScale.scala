@@ -111,6 +111,12 @@ object DedupScale {
         "vec_id", "embedding", 4, 16, k = 5).count()
       Similarity.semDedup(emb0, "vec_id", "embedding",
         Seq(0L, 1L, 2L, 3L), 2, 0.3).count()
+      TextOps.leakSafeSplit(docs0, "doc_id", "text", testFrac = 0.2).count()
+      TextOps.temperatureSample(docs0.withColumn("source",
+          concat(lit("s"), pmod(col("doc_id"), lit(7L)))),
+        "doc_id", "source", alpha = 0.5).count()
+      Similarity.cellBalancedSample(emb0, "vec_id", "embedding",
+        initIds = Seq(0L, 1L, 2L, 3L), iterations = 2, perCell = 100).count()
     }
 
     copies.foreach { k =>
@@ -173,6 +179,27 @@ object DedupScale {
       measure("semdedup_skew_raw", nS) {
         Similarity.semDedup(skew, "vec_id", "embedding",
           Seq(0L, 1L, 3L, 5L), 2, 0.3, maxCellSize = 0).count()
+      }
+      // Round-8 operators. leakSafeSplit inherits the full MinHash/LSH/
+      // CC chain on a duplicate-heavy corpus (every non-10th copy is a
+      // one-token variant of its base doc, so the candidate-pair join
+      // sees k x the true-dup volume — the bound that must stay
+      // candidate-proportional). The sampling pair are expected to be
+      // near-free: one |sources|-row agg + a narrow explode
+      // (temperature), one k-means fit + prefiltered rank (cell-bal).
+      measure("leak_split", nD) {
+        TextOps.leakSafeSplit(docs, "doc_id", "text", testFrac = 0.2).count()
+      }
+      val srcDocs = docs.withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(7L)))).localCheckpoint()
+      measure("temp_sample", nD) {
+        TextOps.temperatureSample(srcDocs, "doc_id", "source",
+          alpha = 0.5).count()
+      }
+      measure("cell_bal", nE) {
+        Similarity.cellBalancedSample(emb, "vec_id", "embedding",
+          initIds = Seq(0L, 1L, 2L, 3L), iterations = 2,
+          perCell = 100).count()
       }
     }
     spark.stop()
