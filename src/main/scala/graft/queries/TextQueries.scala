@@ -405,6 +405,41 @@ object TextQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // URL canonicalization + per-domain cap over a deterministic
+    // synthetic url column (mixed-case schemes/hosts, default and
+    // explicit ports, tracking params, fragments, multi-part TLDs —
+    // every canonicalization rule exercised); the cap is the t39
+    // prefiltered-rank sampler keyed on the registrable domain
+    "t62_domain_cap" -> ((s, dir) => {
+      val id = col("doc_id")
+      val hostArr = array(lit("WWW.Example.COM"), lit("news.Site.co.uk"),
+        lit("a.b.Example.org"), lit("Sub.Domain.example.com"),
+        lit("cdn.media.ac.uk"))
+      val urlExpr = concat(
+        when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+        element_at(hostArr, (id % 5 + 1).cast("int")),
+        when(id % 3 === 0,
+            when(id % 2 === 0, lit(":80")).otherwise(lit(":443")))
+          .when(id % 7 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), (id % 11).cast("string"),
+        when(id % 4 === 0, concat(lit("?utm_source=x&id="), id.cast("string"),
+            lit("&utm_campaign=Y")))
+          .when(id % 4 === 1, concat(lit("?id="), id.cast("string"),
+            lit("&fbclid=abc")))
+          .when(id % 4 === 2, lit(""))
+          .otherwise(lit("?a=1&b=2")),
+        when(id % 2 === 1, lit("#frag")).otherwise(lit("")))
+      val withUrl = t(s, dir, "documents").select(id, urlExpr.as("url"))
+      val canon = graft.text.UrlOps.canonicalizeUrls(withUrl, "doc_id", "url")
+      val kept = graft.text.UrlOps.capPerDomain(withUrl, "doc_id", "url",
+        maxPerDomain = 40)
+      canon.select("doc_id", "url_canon", "domain")
+        .join(kept.select(col("doc_id"), col("rank")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("url_canon"), col("domain"),
+          col("rank").isNotNull.as("kept"), col("rank"))
+        .orderBy("doc_id")
+    }),
+
     // trained-BPE tokenization: 12 merges trained on the corpus's OWN
     // pretoken frequency table (deterministic count-desc/pair-asc
     // argmax), then applied per document. The DuckDB oracle re-runs
@@ -1836,6 +1871,75 @@ object TextQueries {
            CAST(w AS INTEGER) AS f_width, CAST(h AS INTEGER) AS f_height,
            ROUND(AVG(gr), 6) + 0.0 AS mean_gray
          FROM g GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx""",
+    // URL canonicalization + domain-cap mirror: same synthetic url
+    // rule, same regex cascade (RE2-identical constructs), same
+    // multi-part-TLD membership, and the t39 sampler shape for the cap
+    "t62_domain_cap" -> {
+      val denom = math.pow(2.0, 60)
+      val track = graft.text.UrlOps.TrackingParamPattern
+      val tlds = graft.text.UrlOps.MultiPartTlds
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+             (['WWW.Example.COM','news.Site.co.uk','a.b.Example.org',
+               'Sub.Domain.example.com','cdn.media.ac.uk'])[CAST(doc_id % 5 AS INT) + 1] ||
+             (CASE WHEN doc_id % 3 = 0 THEN
+                     (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                   WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
+             '/p/' || CAST(doc_id % 11 AS VARCHAR) ||
+             (CASE WHEN doc_id % 4 = 0 THEN
+                     '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=Y'
+                   WHEN doc_id % 4 = 1 THEN
+                     '?id=' || CAST(doc_id AS VARCHAR) || '&fbclid=abc'
+                   WHEN doc_id % 4 = 2 THEN ''
+                   ELSE '?a=1&b=2' END) ||
+             (CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END) AS url
+           FROM documents),
+         c AS (SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+             regexp_extract(url, '\\?([^#]*)', 1) AS q
+           FROM u),
+         h AS (SELECT *,
+             CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+                  ELSE hostport END AS host FROM c),
+         k AS (SELECT *, array_to_string(list_filter(string_split(q, '&'),
+                 p -> NOT regexp_matches(p, '$track')), '&') AS kq
+               FROM h),
+         cn AS (SELECT doc_id, host,
+             CASE WHEN scheme = '' OR host = '' THEN NULL
+                  ELSE scheme || '://' || host ||
+                       (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
+                       (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) END AS url_canon
+           FROM k),
+         dm AS (SELECT doc_id, url_canon,
+             CASE WHEN url_canon IS NULL THEN NULL
+                  WHEN len(y) <= 2 THEN hnp
+                  WHEN (y[-2] || '.' || y[-1]) IN ($tlds)
+                    THEN y[-3] || '.' || y[-2] || '.' || y[-1]
+                  ELSE y[-2] || '.' || y[-1] END AS domain
+           FROM (SELECT *, string_split(hnp, '.') AS y FROM
+             (SELECT doc_id, url_canon,
+                regexp_replace(host, ':[0-9]+$$', '') AS hnp FROM cn))),
+         cnt AS (SELECT domain, COUNT(*) AS cnt FROM dm
+                 WHERE domain IS NOT NULL GROUP BY 1),
+         hh AS (SELECT doc_id, domain,
+             ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS uu
+           FROM dm WHERE domain IS NOT NULL),
+         f AS (SELECT hh.domain, doc_id, uu FROM hh JOIN cnt USING (domain)
+           WHERE uu::DOUBLE / ($denom::DOUBLE)
+             < LEAST(1.0::DOUBLE, 320.0::DOUBLE / cnt)),
+         r AS (SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY domain ORDER BY uu, doc_id) AS rank
+           FROM f),
+         kept AS (SELECT doc_id, CAST(rank AS BIGINT) AS rank FROM r
+                  WHERE rank <= 40)
+         SELECT dm.doc_id, dm.url_canon, dm.domain,
+           (kept.rank IS NOT NULL) AS kept, kept.rank
+         FROM dm LEFT JOIN kept USING (doc_id) ORDER BY dm.doc_id"""
+    },
     // full trained-BPE mirror: the training loop itself (12 unrolled
     // pair-count/argmax/merge iterations) AND the application fold,
     // both over the exact wrapped-symbol representation TextOps uses

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus URL hygiene: canonicalization, registrable-domain
+  * derivation, and per-domain document caps — the standard first
+  * stage of a crawl-derived training-data pipeline (a handful of
+  * over-crawled domains otherwise dominate the corpus, and raw URL
+  * strings under-dedup because tracking params and case differences
+  * hide identical pages).
+  *
+  * Everything here is a Column cascade over regexes restricted to
+  * Java-regex/RE2-identical constructs, so the DuckDB oracle mirrors
+  * each step byte-for-byte — the [[TextOps.BpePattern]] discipline. */
+object UrlOps {
+
+  /** Query parameters that identify a CLICK, not a page: the common
+    * tracker names (utm_*, Google/Facebook/Microsoft click ids,
+    * Mailchimp, Instagram, GA) dropped during canonicalization.
+    * Anchored name-match against a full `name=value` pair. */
+  val TrackingParamPattern: String =
+    "^(utm_[a-z0-9]+|gclid|fbclid|msclkid|dclid|mc_eid|mc_cid|igshid|_ga|ref|ref_src)="
+
+  /** Pragmatic multi-part public suffixes: when a host's last two
+    * labels land here, the registrable domain keeps three labels
+    * (bbc.co.uk, not co.uk). A curated subset of the public-suffix
+    * list covering the common ccTLD second levels — the full PSL is a
+    * data-file swap, not a code change. */
+  val MultiPartTlds: Seq[String] = Seq(
+    "ac.uk", "co.in", "co.jp", "co.kr", "co.nz", "co.uk", "co.za",
+    "com.ar", "com.au", "com.br", "com.cn", "com.mx", "com.sg",
+    "com.tr", "com.tw", "gov.uk", "ne.jp", "net.au", "or.jp",
+    "org.au", "org.uk")
+
+  private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val hostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  private val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+  /** Canonical form + registrable domain of a URL column. Steps, in
+    * order: trim; lowercase scheme and host (path/query case is
+    * significant per RFC 3986 and kept); drop the fragment; drop
+    * [[TrackingParamPattern]] query params (others kept in original
+    * order); strip the scheme's default port (:80/http, :443/https —
+    * explicit non-default ports are identity and stay); empty path
+    * becomes "/". Unparseable rows (no scheme://host) yield null
+    * url_canon/domain rather than a guess. The registrable domain is
+    * the host minus port minus subdomains under the
+    * [[MultiPartTlds]] heuristic. Returns the input columns plus
+    * (url_canon, domain). A pure narrow projection — regex extracts
+    * and one bounded array filter per row, no shuffle. */
+  def canonicalizeUrls(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    Seq("url_canon", "domain").foreach(c =>
+      require(!df.columns.contains(c),
+        s"column $c collides with canonicalizeUrls's output columns"))
+    val url = trim(col(urlCol))
+    val scheme = lower(regexp_extract(url, schemeRe, 1))
+    val hostPort = lower(regexp_extract(url, hostRe, 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val path = regexp_extract(url, pathRe, 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val keptQ = array_join(
+      filter(split(query, "&"), p => !p.rlike(TrackingParamPattern)), "&")
+    val canon = when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host,
+        when(path === "", lit("/")).otherwise(path),
+        when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ))))
+    val hostNoPort = regexp_replace(host, ":[0-9]+$", "")
+    val labels = split(hostNoPort, "\\.")
+    val last2 = concat_ws(".",
+      element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".",
+      element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+    val multiArr = array(MultiPartTlds.map(lit): _*)
+    val domain = when(canon.isNull, lit(null).cast("string"))
+      .when(size(labels) <= 2, hostNoPort)
+      .when(array_contains(multiArr, last2), last3)
+      .otherwise(last2)
+    df.withColumn("url_canon", canon).withColumn("domain", domain)
+  }
+
+  /** Deterministic per-domain document cap: canonicalize, derive the
+    * registrable domain, and keep at most `maxPerDomain` documents per
+    * domain via [[TextOps.stratifiedSample]]'s salted-hash rank —
+    * content-independent, reproducible across runs and engines, and
+    * never a full sort of a hot domain (the count-derived keep
+    * threshold prefilters each domain to ~oversample * cap rows before
+    * the rank window). Unparseable URLs are dropped (no domain to cap
+    * under). Returns (domain, idCol, rank) for the kept rows.
+    *
+    * Scale shape: one narrow canonicalization pass, a |domains|-row
+    * broadcast count, and the prefiltered per-domain rank — the
+    * over-crawled-domain skew this operator exists for is exactly the
+    * skew the prefilter bounds. */
+  def capPerDomain(df: DataFrame, idCol: String, urlCol: String,
+      maxPerDomain: Int, oversample: Double = 8.0): DataFrame = {
+    val canon = canonicalizeUrls(df, idCol, urlCol)
+      .filter(col("domain").isNotNull)
+    TextOps.stratifiedSample(canon, idCol, "domain", maxPerDomain, oversample)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class UrlOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def canon(urls: (Long, String)*): Map[Long, (String, String)] = {
+    import spark.implicits._
+    UrlOps.canonicalizeUrls(urls.toDF("id", "url"), "id", "url")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+  }
+
+  test("canonicalization: case, ports, fragments, trackers, paths") {
+    val got = canon(
+      1L -> "HTTPS://WWW.Example.COM/Path/File?b=2&utm_source=x&a=1#frag",
+      2L -> "http://site.org:80/a",
+      3L -> "https://site.org:443/a",
+      4L -> "https://site.org:8080/a",
+      5L -> "http://example.com",
+      6L -> "  https://pad.example.com/x  ",
+      7L -> "https://news.bbc.co.uk/story?gclid=g&fbclid=f&id=9",
+      8L -> "not a url at all",
+      9L -> "https://example.co.uk",
+      10L -> "http://localhost/x",
+      11L -> "https://a.b.c.example.com/deep?ref=tw&keep=1")
+    // case folds only on scheme+host; path case kept; tracker dropped,
+    // other params keep their original relative order; fragment gone
+    assert(got(1L) == ("https://www.example.com/Path/File?b=2&a=1", "example.com"))
+    // default ports stripped per scheme, explicit non-default kept
+    assert(got(2L)._1 == "http://site.org/a")
+    assert(got(3L)._1 == "https://site.org/a")
+    assert(got(4L)._1 == "https://site.org:8080/a")
+    assert(got(4L)._2 == "site.org", "port never leaks into the domain")
+    // empty path becomes /
+    assert(got(5L)._1 == "http://example.com/")
+    // surrounding whitespace trimmed
+    assert(got(6L)._1 == "https://pad.example.com/x")
+    // all-tracker query collapses away entirely
+    assert(got(7L)._1 == "https://news.bbc.co.uk/story?id=9")
+    assert(got(7L)._2 == "bbc.co.uk", "multi-part TLD keeps three labels")
+    // unparseable input fails closed to nulls, not a guess
+    assert(got(8L) == (null, null))
+    // a bare registrable domain is its own domain
+    assert(got(9L)._2 == "example.co.uk")
+    // single-label hosts pass through
+    assert(got(10L)._2 == "localhost")
+    // deep subdomains collapse to the registrable pair
+    assert(got(11L) == ("https://a.b.c.example.com/deep?keep=1", "example.com"))
+  }
+
+  test("capPerDomain: cap honored per domain, deterministic, rank dense") {
+    import spark.implicits._
+    // 3 domains with 60/40/5 docs under assorted hosts/params
+    val urls = ((0L until 60L).map(i => (i, s"https://a$i.big.com/p?utm_source=$i")) ++
+      (100L until 140L).map(i => (i, s"http://www.mid.org:80/q/$i")) ++
+      (200L until 205L).map(i => (i, s"https://small.net/r#x$i")))
+      .toDF("id", "url")
+    val kept = UrlOps.capPerDomain(urls, "id", "url", maxPerDomain = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byDom = kept.groupBy(_._1)
+    assert(byDom("big.com").length == 10)
+    assert(byDom("mid.org").length == 10)
+    assert(byDom("small.net").length == 5, "under-cap domains keep all docs")
+    byDom.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        "ranks are dense 1..n per domain")
+    }
+    val again = UrlOps.capPerDomain(urls, "id", "url", maxPerDomain = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(kept.sortBy(t => (t._1, t._3)).toSeq ==
+      again.sortBy(t => (t._1, t._3)).toSeq, "hash-ranked: identical reruns")
+  }
+}
