@@ -405,6 +405,25 @@ object TextQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // hashed-bigram logistic regression — the in-engine fastText-style
+    // quality/domain classifier: trained on docs < 250 labeled en/not-en
+    // (8 full-batch GD iterations, micro-unit gradient sums, 6-dp
+    // rounds), scored over the whole corpus. The oracle re-runs the
+    // ENTIRE training loop unrolled in SQL, so the learned model
+    // itself is hash-checked, not just the scoring pass. The synthetic
+    // corpus's text is label-independent, so the correct fit is the
+    // class prior (scores cluster at the base rate) — the math is what
+    // this row checks; separation on separable data is ClassifierSpec's.
+    "t63_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.filter(col("doc_id") < 250)
+        .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
+      val model = graft.text.Classifier.trainTextClassifier(
+        labeled, "doc_id", "text", "y")
+      graft.text.Classifier.scoreTextClassifier(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization + per-domain cap over a deterministic
     // synthetic url column (mixed-case schemes/hosts, default and
     // explicit ports, tracking params, fragments, multi-part TLDs —
@@ -681,6 +700,60 @@ object TextQueries {
     """SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        x -> x <> '') AS w FROM documents"""
 
+  /** DuckDB mirror of the FULL hashed-bigram logistic-regression path
+    * (t63): lab/fe build the labeled set and the hashed features
+    * ("qc:"-salted md5 mod 256), then each unrolled iteration computes
+    * micro-unit margins (mg_i), 6-dp sigmoid residuals (r_i), and the
+    * bias/weight updates (bs_{i+1}, w_{i+1}) with the exact
+    * rounding/association order Classifier uses; the final weights
+    * score every document. */
+  private def qcOracleSql(iterations: Int, lr: String = "2.0"): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH lab AS (SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         FROM documents WHERE doc_id < 250),
+       bgc AS MATERIALIZED (SELECT doc_id,
+           CAST(('0x' || substr(md5('qc:' || sh), 1, 15))::BIGINT % 256 AS INT)
+             AS bucket
+         FROM ($BIGRAMS_SQL)),
+       af AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM bgc GROUP BY 1, 2),
+       fe AS MATERIALIZED (SELECT doc_id, bucket, cnt,
+              SUM(cnt) OVER (PARTITION BY doc_id) AS n FROM af),
+       lf AS MATERIALIZED (SELECT fe.* FROM fe JOIN lab USING (doc_id)),
+       n0 AS MATERIALIZED (SELECT COUNT(*) AS nl FROM lab),
+       w0 AS MATERIALIZED (SELECT DISTINCT bucket, 0.0 AS wt FROM lf),
+       bs0 AS (SELECT 0.0 AS b)"""
+    for (i <- 0 until iterations) {
+      sb ++= s""",
+       mg$i AS MATERIALIZED (SELECT f.doc_id,
+           SUM(CAST(ROUND(w.wt * f.cnt / f.n * 1e6, 0) AS BIGINT)) AS mm
+         FROM lf f JOIN w$i w USING (bucket) GROUP BY 1),
+       r$i AS MATERIALIZED (SELECT lab.doc_id,
+           CAST(ROUND((ROUND(1.0 / (1.0 + exp(-(bs.b + COALESCE(mg.mm, 0) / 1e6))), 6)
+             - lab.y) * 1e6, 0) AS BIGINT) AS rm
+         FROM lab CROSS JOIN bs$i bs LEFT JOIN mg$i mg USING (doc_id)),
+       bs${i + 1} AS MATERIALIZED (SELECT ROUND(bs.b - $lr * (SUM(r.rm) / 1e6) / n.nl, 6) AS b
+         FROM r$i r CROSS JOIN bs$i bs CROSS JOIN n0 n GROUP BY bs.b, n.nl),
+       g$i AS MATERIALIZED (SELECT f.bucket,
+           SUM(CAST(ROUND(r.rm / 1e6 * f.cnt / f.n * 1e6, 0) AS BIGINT)) AS gm
+         FROM lf f JOIN r$i r USING (doc_id) GROUP BY 1),
+       w${i + 1} AS MATERIALIZED (SELECT w.bucket,
+           ROUND(w.wt - $lr * (COALESCE(g.gm, 0) / 1e6) / n.nl, 6) AS wt
+         FROM w$i w LEFT JOIN g$i g USING (bucket) CROSS JOIN n0 n)"""
+    }
+    sb ++= s""",
+       sm AS (SELECT f.doc_id,
+           SUM(CAST(ROUND(COALESCE(w.wt, 0.0) * f.cnt / f.n * 1e6, 0) AS BIGINT))
+             AS mm
+         FROM fe f LEFT JOIN w$iterations w USING (bucket) GROUP BY 1),
+       fin AS (SELECT d.doc_id,
+           ROUND(1.0 / (1.0 + exp(-(bs.b + COALESCE(sm.mm, 0) / 1e6))), 6) AS score
+         FROM documents d CROSS JOIN bs$iterations bs LEFT JOIN sm USING (doc_id))
+       SELECT doc_id, score, (score >= 0.5) AS pred FROM fin ORDER BY doc_id"""
+    sb.toString
+  }
+
   /** DuckDB mirror of the FULL trained-BPE path (t61): w0/d0 build the
     * word-frequency table and per-document merge strings in TextOps's
     * wrapped-symbol form (chr(288) = U+0120 space mark, chr(31) =
@@ -694,26 +767,26 @@ object TextQueries {
     def wrap(x: String) =
       s"' ' || array_to_string(string_split(replace($x, ' ', chr(288)), ''), '  ') || ' '"
     val sb = new StringBuilder
-    sb ++= s"""WITH w0 AS (
+    sb ++= s"""WITH w0 AS MATERIALIZED (
        SELECT ${wrap("tok")} AS s, CAST(COUNT(*) AS BIGINT) AS wc FROM (
          SELECT unnest(regexp_extract_all(text, '$pat')) AS tok FROM documents)
        GROUP BY 1 ORDER BY wc DESC, s LIMIT 65536),
-     d0 AS (
+     d0 AS MATERIALIZED (
        SELECT doc_id, array_to_string(list_transform(
          regexp_extract_all(text, '$pat'), t -> ${wrap("t")}), chr(31)) AS s
        FROM documents)"""
     for (i <- 0 until numMerges) {
       sb ++= s""",
-     p$i AS (
+     p$i AS MATERIALIZED (
        SELECT y[j] AS l, y[j + 1] AS r, SUM(wc) AS cnt FROM (
          SELECT wc, y, unnest(generate_series(1, len(y) - 1)) AS j FROM (
            SELECT wc, string_split(trim(s), '  ') AS y FROM w$i))
        GROUP BY 1, 2),
-     b$i AS (SELECT l, r FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
-     w${i + 1} AS (
+     b$i AS MATERIALIZED (SELECT l, r FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+     w${i + 1} AS MATERIALIZED (
        SELECT replace(s, ' ' || l || '  ' || r || ' ',
          ' ' || l || r || ' ') AS s, wc FROM w$i, b$i),
-     d${i + 1} AS (
+     d${i + 1} AS MATERIALIZED (
        SELECT doc_id, replace(s, ' ' || l || '  ' || r || ' ',
          ' ' || l || r || ' ') AS s FROM d$i, b$i)"""
     }
@@ -1871,6 +1944,8 @@ object TextQueries {
            CAST(w AS INTEGER) AS f_width, CAST(h AS INTEGER) AS f_height,
            ROUND(AVG(gr), 6) + 0.0 AS mean_gray
          FROM g GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx""",
+    // full hashed-bigram LR mirror: 8 unrolled GD iterations + scoring
+    "t63_quality_classifier" -> qcOracleSql(8),
     // URL canonicalization + domain-cap mirror: same synthetic url
     // rule, same regex cascade (RE2-identical constructs), same
     // multi-part-TLD membership, and the t39 sampler shape for the cap

@@ -1,0 +1,127 @@
+package graft.text
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** In-engine text classification: a hashed-bigram logistic regression
+  * — the fastText-style quality/domain classifier a curation pipeline
+  * trains on a few labeled documents and scores over the whole corpus
+  * (fastText itself is a linear classifier over hashed n-gram
+  * features; this is the same model family with deterministic
+  * full-batch training instead of SGD).
+  *
+  * Determinism is the design constraint everything else follows from:
+  * every floating-point SUM crossing rows is rounded into integer
+  * micro-units first ([[TextOps.bm25Rank]]'s discipline — long
+  * addition is order-independent where double addition is not), the
+  * training loop runs a FIXED iteration count of full-batch gradient
+  * descent (no RNG, no early stop), and per-step values are 6-dp
+  * rounded — so the DuckDB oracle re-runs the whole training loop and
+  * lands on the identical model. */
+object Classifier {
+
+  /** Trained model: bucket weights (absent bucket = 0.0) + bias.
+    * At most `dim` + 1 numbers — the k-row-model contract. */
+  case class TextClassifierModel(weights: Map[Int, Double], bias: Double,
+      dim: Int)
+
+  /** Hashed-bigram features: (idCol, bucket, cnt, n) with one row per
+    * (doc, bucket) and n the doc's total bigram count. Bucket =
+    * "qc:"-salted 60-bit md5 of the bigram mod dim — the hashing-trick
+    * feature map, mirrored exactly in SQL. Documents with < 2 tokens
+    * produce no rows (their margin is the bias alone). */
+  private def features(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    val sh = TextOps.explodedShingles(df, idCol, textCol, 2)
+    val bucket = pmod(TextOps.md5Hash60(concat(lit("qc:"), col("sh"))),
+      lit(dim.toLong)).cast("int")
+    sh.select(col(idCol), bucket.as("bucket"))
+      .groupBy(idCol, "bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(idCol)))
+  }
+
+  /** ROUND(x, 6) with SQL semantics (half away from zero on the
+    * shortest decimal representation) for the driver-side weight
+    * updates, so they match the oracle's ROUND exactly. */
+  private def round6(x: Double): Double =
+    JBigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
+
+  /** Train by `iterations` rounds of full-batch gradient descent on
+    * log loss: margin m_d = b + sum_j w_j * cnt_dj / n_d, residual
+    * r_d = sigmoid(m_d) - y_d, gradients g_j = sum_d r_d * cnt_dj /
+    * n_d and g_b = sum_d r_d, update w <- w - lr * g / N. All
+    * cross-row sums are micro-unit longs; sigmoid and the updated
+    * weights are 6-dp rounded.
+    *
+    * Scale shape: per iteration, one broadcast join of the (<= dim)-row
+    * weight table onto the labeled features, two hash aggs, and a
+    * <= dim-row collect — the driver never holds more than the model.
+    * The labeled set is the expensive side and label sets are small by
+    * nature (the fastText setup: thousands of labels, billions
+    * scored); the corpus-sized cost is [[scoreTextClassifier]]'s one
+    * narrow pass. */
+  def trainTextClassifier(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int = 256, iterations: Int = 8,
+      lr: Double = 2.0): TextClassifierModel = {
+    require(dim > 0 && iterations > 0 && lr > 0,
+      s"need dim/iterations/lr > 0, got $dim/$iterations/$lr")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val lab = labeled.select(col(idCol), col(labelCol).cast("double").as("y"))
+      .localCheckpoint()
+    val nl = lab.count()
+    require(nl > 0, "labeled set is empty")
+    val feats = features(labeled, idCol, textCol, dim).localCheckpoint()
+    val buckets = feats.select("bucket").distinct().as[Int].collect().sorted
+    var w: Map[Int, Double] = buckets.map(_ -> 0.0).toMap
+    var b = 0.0
+    (0 until iterations).foreach { _ =>
+      val wDf = broadcast(w.toSeq.toDF("bucket", "wt"))
+      val mg = feats.join(wDf, "bucket")
+        .groupBy(idCol)
+        .agg(sum(round(col("wt") * col("cnt") / col("n") * lit(1e6), 0)
+          .cast("long")).as("mm"))
+      val sig = round(lit(1.0) / (lit(1.0) +
+        exp(-(lit(b) + coalesce(col("mm"), lit(0L)) / lit(1e6)))), 6)
+      val res = lab.join(mg, Seq(idCol), "left")
+        .select(col(idCol),
+          round((sig - col("y")) * lit(1e6), 0).cast("long").as("rm"))
+        .localCheckpoint() // shared by the bias and weight gradients
+      val gb = res.agg(sum("rm")).as[Long].head()
+      val g = feats.join(res, Seq(idCol))
+        .groupBy("bucket")
+        .agg(sum(round(col("rm") / lit(1e6) * col("cnt") / col("n") * lit(1e6), 0)
+          .cast("long")).as("gm"))
+        .as[(Int, Long)].collect().toMap
+      b = round6(b - lr * (gb / 1e6) / nl)
+      w = w.map { case (k, v) =>
+        k -> round6(v - lr * (g.getOrElse(k, 0L) / 1e6) / nl)
+      }
+    }
+    TextClassifierModel(w, b, dim)
+  }
+
+  /** Score a corpus under a trained model: (idCol, score, pred) with
+    * score the 6-dp sigmoid of the margin and pred = score >= 0.5.
+    * One narrow feature pass + a broadcast join of the <= dim-row
+    * weight table + a per-doc hash agg — no corpus-sized shuffle
+    * beyond the per-doc aggregation, nothing collected. */
+  def scoreTextClassifier(df: DataFrame, idCol: String, textCol: String,
+      model: TextClassifierModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feats = features(df, idCol, textCol, model.dim)
+    val wDf = broadcast(model.weights.toSeq.toDF("bucket", "wt"))
+    val mg = feats.join(wDf, Seq("bucket"), "left")
+      .groupBy(idCol)
+      .agg(sum(round(coalesce(col("wt"), lit(0.0)) * col("cnt") / col("n") *
+        lit(1e6), 0).cast("long")).as("mm"))
+    val score = round(lit(1.0) / (lit(1.0) +
+      exp(-(lit(model.bias) + coalesce(col("mm"), lit(0L)) / lit(1e6)))), 6)
+    df.select(col(idCol)).join(mg, Seq(idCol), "left")
+      .select(col(idCol), score.as("score"), (score >= 0.5).as("pred"))
+  }
+}
