@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.text.TextOps
 
@@ -39,6 +41,122 @@ object DocStreams {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("__sh64"))
       .drop("__sh64")
+
+  /** One exploded LSH band row: (bucket, ts, id, text). */
+  case class BandRow(bucket: String, ts: java.sql.Timestamp, id: Long,
+      text: String)
+
+  /** A claim emitted by [[BucketClaimProcessor]]: the (ts, id)-minimal
+    * document that first claimed a band bucket, with its payload. */
+  case class ClaimRow(ts: java.sql.Timestamp, id: Long, text: String)
+
+  /** Per-bucket claim state for [[dedupByMinhash]]: the FIRST document
+    * (smallest (ts, id) across the batch's rows — deterministic, so a
+    * document either claims consistently across all its bands or not
+    * at all) to reach an unclaimed bucket claims it and is emitted;
+    * everyone else arriving while the claim lives is silently absorbed.
+    * The claim expires via an event-time timer `horizonMs` after its
+    * event time, bounding state to the horizon's bucket cardinality —
+    * dropDuplicatesWithinWatermark's memory shape, with the claim
+    * ordering dropDuplicates cannot promise. */
+  private class BucketClaimProcessor(horizonMs: Long)
+      extends StatefulProcessor[String, BandRow, ClaimRow] {
+    @transient private var claim: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      claim = getHandle.getValueState[Long]("claim", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[BandRow],
+        timers: TimerValues): Iterator[ClaimRow] = {
+      if (claim.exists() || !rows.hasNext) Iterator.empty
+      else {
+        val first = rows.minBy(r => (r.ts.getTime, r.id))
+        claim.update(first.ts.getTime)
+        getHandle.registerTimer(first.ts.getTime + horizonMs)
+        Iterator.single(ClaimRow(first.ts, first.id, first.text))
+      }
+    }
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClaimRow] = {
+      claim.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Online MinHash/LSH near-duplicate drop — the streaming twin of the
+    * batch minhashSignature -> lshBuckets -> candidate-pairs ->
+    * [[graft.text.TextOps.dropNearDuplicates]] chain: a document
+    * survives iff it claims ALL of its k/rows band buckets first;
+    * sharing even one live bucket with an earlier document absorbs it
+    * into that document's cluster. Dropped documents still hold their
+    * claimed buckets, so chains propagate transitively exactly like the
+    * batch connected components (A keeps, B shares a band with A and is
+    * dropped, C shares only B's other band and is still dropped).
+    *
+    * The per-document signature is computed NARROWLY — each band hash
+    * is an array_min over the row's own shingle array with the exact
+    * md5-half arithmetic of the batch [[graft.text.TextOps
+    * .minhashFromShingles]], so no aggregation state exists outside the
+    * bucket claims. Documents with fewer than `shingleWords` tokens get
+    * per-document unique buckets and always survive (the batch chain
+    * never pairs them either). Claims expire `claimHorizonMs` after
+    * their event time (state ~ horizon bucket cardinality, evicted by
+    * event-time timers); the downstream per-document count aggregation
+    * is watermark-bounded the same way, so survivors emit once the
+    * watermark passes their event time.
+    *
+    * Batch-parity contract: with arrival order = id order, the survivor
+    * set equals the batch chain's whenever no LATER document bridges
+    * two already-distinct earlier clusters (the one decision an online
+    * pass cannot retroactively revise); near-identical duplicate groups
+    * — the case near-dedup exists for — never bridge, and the spec
+    * pins stream == batch on exactly that corpus shape.
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` ->
+    * `...RocksDBStateStoreProvider`), the transformWithState backend. */
+  def dedupByMinhash(docs: DataFrame, idCol: String, textCol: String,
+      eventTimeCol: String, k: Int = 8, rows: Int = 2,
+      shingleWords: Int = 3, watermark: String = "2 hours",
+      claimHorizonMs: Long = 2L * 3600 * 1000): DataFrame = {
+    require(k % 2 == 0, "k must be even (two 60-bit halves per md5)")
+    require(rows > 0 && k % rows == 0, s"k=$k must divide into bands of $rows")
+    val nBands = k / rows
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"),
+        col(eventTimeCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+    val hashes = (0 until k).map { i =>
+      val j = i / 2
+      val start = if (i % 2 == 0) 1 else 17
+      array_min(transform(col("__shs"), s =>
+        conv(substring(md5(concat(lit(s"$j:"), s)), start, 15), 16, 10)
+          .cast("long")))
+    }
+    val withH = base
+      .withColumn("__shs", TextOps.shinglesOf(col("text"), shingleWords))
+      .select(col("id") +: col("text") +: col("ts") +:
+        (0 until k).map(i => hashes(i).as(s"__h$i")): _*)
+    val bands = (0 until nBands).map { b =>
+      val cs = (b * rows until (b + 1) * rows)
+        .map(i => col(s"__h$i").cast("string"))
+      when(col("__h0").isNull,
+        concat(lit(s"u$b:"), col("id").cast("string")))
+        .otherwise(md5(concat_ws(":", (lit(s"b$b") +: cs): _*)))
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = withH.withColumn("bucket", explode(array(bands: _*)))
+      .select("bucket", "ts", "id", "text").as[BandRow]
+    val claims = banded.groupByKey(_.bucket)
+      .transformWithState(new BucketClaimProcessor(claimHorizonMs),
+        "ts", OutputMode.Append())
+    claims.toDF()
+      .groupBy(col("ts"), col("id"), col("text"))
+      .agg(count(lit(1)).as("__claimed"))
+      .filter(col("__claimed") === nBands)
+      .select(col("id").as(idCol), col("text").as(textCol),
+        col("ts").as(eventTimeCol))
+  }
 
   /** Streaming test-set decontamination: drop any incoming document
     * sharing at least one n-word shingle with the static benchmark

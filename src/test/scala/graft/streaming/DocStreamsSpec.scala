@@ -108,6 +108,97 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(wantSigs >= sigs16, "64-bit signatures are at least as fine-grained")
   }
 
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("streaming MinHash dedup matches the batch LSH/CC chain on dup groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    withRocksDb {
+      // 20 trios of near-identical docs (one unique tail token) plus 30
+      // singletons with disjoint vocabularies — dup clusters are bucket
+      // cliques, the shape the batch-parity contract pins
+      val base = (0L until 20L).flatMap { g =>
+        val words = (0 until 25).map(w => s"g${g}w${(g * 7 + w * 3) % 23}")
+          .mkString(" ")
+        (0 until 3).map(c => (g * 10 + c, s"$words tail${g * 10 + c}"))
+      }
+      val singles = (500L until 530L).map(i =>
+        (i, (0 until 25).map(w => s"s${i}u${i * 13 + w * 5}").mkString(" ")))
+      val corpus = (base ++ singles).sortBy(_._1)
+      val docs = corpus.toDF("doc_id", "text")
+      val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
+      val bux = TextOps.lshBuckets(sigs, "doc_id", 8, 2)
+      val pairs = bux.as("x").join(bux.as("y"),
+          col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val want = TextOps.dropNearDuplicates(docs, "doc_id", pairs)
+        .select("doc_id").as[Long].collect().toSet
+      assert(want.size < corpus.size, "the corpus must actually deduplicate")
+
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val stream = in.toDF.toDF("doc_id", "text", "ingest_time")
+      val q = DocStreams.dedupByMinhash(stream, "doc_id", "text", "ingest_time")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("mh_dedup").start()
+      in.addData(corpus.map { case (id, text) => (id, text, ts(id)) })
+      q.processAllAvailable()
+      // far-future sentinel advances the watermark past every real doc
+      // so the append-mode per-doc aggregation emits the survivors
+      in.addData((999999L, "sentinel doc", ts(86400L * 2)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("mh_dedup").select("doc_id").as[Long]
+        .collect().toSet - 999999L
+      assert(got == want,
+        s"stream/batch mismatch: only-stream=${got -- want} only-batch=${want -- got}")
+    }
+  }
+
+  test("MinHash claims expire with the horizon; re-arrivals survive again") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    withRocksDb {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val twin = (0 until 25).map(w => s"dup${w % 7}tok$w").mkString(" ")
+      val filler = (0 until 25).map(w => s"fill${w * 11}").mkString(" ")
+      def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+      val h = 3600L
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val stream = in.toDF.toDF("doc_id", "text", "ingest_time")
+      val q = DocStreams.dedupByMinhash(stream, "doc_id", "text", "ingest_time")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("mh_expiry").start()
+      def step(rows: (Long, String, java.sql.Timestamp)*): Unit = {
+        in.addData(rows); q.processAllAvailable()
+      }
+      step((1L, twin, ts(0)))           // A claims
+      step((2L, twin, ts(h)))           // B absorbed: claim live
+      step((10L, filler, ts(5 * h)))    // watermark -> 3h: A's claim (2h) expires
+      step((3L, twin, ts(5 * h + 30)))  // C re-claims the expired buckets
+      step((4L, twin, ts(5 * h + 60)))  // D absorbed by C's fresh claim
+      step((99L, "sentinel doc", ts(86400L * 3))) // flush the aggregation
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("mh_expiry").select("doc_id").as[Long]
+        .collect().toSet - 99L
+      assert(got == Set(1L, 10L, 3L),
+        s"expected A, filler and the post-horizon re-arrival; got $got")
+    }
+  }
+
   test("streaming decontamination drops exactly the batch-flagged docs") {
     val schema = docsBatch.schema
     val bench = docsBatch.filter(col("doc_id") < 50)
