@@ -119,15 +119,57 @@ object Bench {
       name -> (if (t2 >= 0) math.min(cold(name), t2) else cold(name))
     }
     val results = cold ++ rerun
-    // The harness that collects this output keeps only the TAIL of stdout
-    // (~2000 chars), so the final JSON line must stay well under that:
-    // query keys are the short id prefix ("p14_cipw_gcdkit" -> "p14" —
-    // unique across the registry; full names are in CORRECTNESS_r*.json
-    // and on the diagnostic line below) and times are millisecond-rounded.
     // Locale.ROOT: a comma-decimal default locale would render 1,234
     // and corrupt the JSON the harness parses.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qsFull = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    // First-pass raw timings for the re-measured set, so a reader can
+    // see exactly which spikes the min-of-two filtered out.
+    val cs = rerun.keys.toSeq.sorted
+      .map(k => s"\"$k\":${fmt(cold(k))}").mkString("{", ",", "}")
+    // Full-name timings + raw first pass, for humans reading the whole log.
+    println(s"""{"diag":"full_names","queries":$qsFull,"first_pass":$cs}""")
+    val (line, diags) =
+      renderFinal(results, rerunRaw.toMap, failed, sfDir.split('/').last)
+    diags.foreach(println)
+    println(line)
+    spark.stop()
+  }
+
+  /** The final JSON line + any degrade diagnostics, pure so the
+    * overflow ladder is unit-testable at simulated registry sizes.
+    *
+    * The harness that collects stdout keeps only its TAIL (~2000
+    * chars) plus sbt's trailing "[success]" footer (~70 chars), so the
+    * WHOLE final line must fit in ~1900 chars or its head is cut and
+    * the driver records parsed:null (the r4 failure at 3 decimals
+    * with 129 queries). Query keys are the short id prefix
+    * ("p14_cipw_gcdkit" -> "p14", unique across the registry; full
+    * names are in CORRECTNESS_r*.json and the diag line) and times are
+    * 2-dp with trailing zeros trimmed. Degrade ladder when a growing
+    * registry overflows the budget anyway:
+    * 1. drop the warm (second-pass) map;
+    * 2. grouped subtotals — per-track totals (track = the key's
+    *    leading letter run) plus ONLY the >0.5s queries itemized, so
+    *    every slow query still resolves per-query while the
+    *    sub-half-second tail collapses into its track subtotal
+    *    (~15 chars/slow query: holds hundreds of registry entries as
+    *    long as the slow set stays bounded, which is what a bench
+    *    regression watch actually reads);
+    * 3. last ditch: the full map at 1 decimal. */
+  private[graft] def renderFinal(results: Map[String, Double],
+      rerunRaw: Map[String, Double], failed: List[String],
+      sfShort: String, budget: Int = 1900): (String, Seq[String]) = {
+    def trim0(s: String): String =
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
+        .stripSuffix(".")
+      else s
+    def fmt2(v: Double): String =
+      trim0(String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)))
+    def fmt1(v: Double): String =
+      trim0(String.format(java.util.Locale.ROOT, "%.1f", Double.box(v)))
     val prefixes = results.keys.groupBy(_.takeWhile(_ != '_'))
     // Fall back to the full name if two ids ever share a prefix, so the
     // compaction can never silently merge two queries into one key.
@@ -137,35 +179,10 @@ object Bench {
     }
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    val qsFull = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
-    // First-pass raw timings for the re-measured set, so a reader can
-    // see exactly which spikes the min-of-two filtered out.
-    val cs = rerun.keys.toSeq.sorted
-      .map(k => s"\"$k\":${fmt(cold(k))}").mkString("{", ",", "}")
-    // Full-name timings + raw first pass, for humans reading the whole log.
-    println(s"""{"diag":"full_names","queries":$qsFull,"first_pass":$cs}""")
-    // The harness tail also keeps sbt's trailing "[success] Total time"
-    // footer (~70 chars), so the WHOLE final line must fit in ~1900
-    // chars or its head is cut and the driver records parsed:null —
-    // exactly what happened to the r4 line at 3 decimals with 129
-    // queries. 2 decimals (10ms resolution, far inside this VM's noise
-    // band) keeps ~131 queries + the warm map at ~1800 chars, and a
-    // length guard drops the warm map rather than ever risking the
-    // queries map again.
-    // trailing zeros trimmed ("0.10" -> "0.1", "0.00" -> "0"): with
-    // 160+ queries the per-entry savings keep the 2-dp line under the
-    // harness tail budget instead of degrading everything to 1 dp.
-    def trim0(s: String): String =
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
-        .stripSuffix(".")
-      else s
-    def fmt2(v: Double): String =
-      trim0(String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)))
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"${short(k)}\":${fmt2(v)}" }
       .mkString("{", ",", "}")
-    // Warm (second-pass) timings for the re-measured >1s subset, in the
+    // Warm (second-pass) timings for the re-measured subset, in the
     // FINAL json so round-over-round comparisons of the slow queries
     // don't depend on what the stdout tail happened to preserve. A
     // transiently-failed rerun (t2 = -1) is omitted rather than emitted
@@ -173,34 +190,35 @@ object Bench {
     val warm = rerunRaw.toSeq.filter(_._2 >= 0).sortBy(_._1)
       .map { case (k, v) => s"\"${short(k)}\":${fmt2(v)}" }
       .mkString("{", ",", "}")
-    // Two final-line length savers (every char postpones the 1-dp
-    // degrade): the failed list appears only when NON-empty — an empty
-    // one carries no information the diag line doesn't — and sf is the
-    // directory basename (the full path is on the diag line and in the
-    // driver's own run metadata).
+    // Two length savers (every char postpones a degrade): the failed
+    // list appears only when NON-empty, and sf is the directory
+    // basename (the full path is on the diag line and in the driver's
+    // own run metadata).
     val failedField = if (failed.isEmpty) "" else s""","failed":$fs"""
-    val sfShort = sfDir.split('/').last
-    val withWarm =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"queries_warm":$warm$failedField,"sf":"$sfShort"}"""
-    val noWarm =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfShort"}"""
-    // Last-ditch degrade: if even the warm-less line would overflow the
-    // harness tail (the queries map grows ~11 chars per new query), drop
-    // per-query precision to 1 decimal rather than ever risking a
-    // truncated — and thus unparseable — final line. The full-precision
-    // map is always on the diag line above.
-    def fmt1(v: Double): String =
-      trim0(String.format(java.util.Locale.ROOT, "%.1f", Double.box(v)))
+    val head = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec""""
+    val tail = s"""$failedField,"sf":"$sfShort"}"""
+    val withWarm = s"""$head,"queries":$qs,"queries_warm":$warm$tail"""
+    val noWarm = s"""$head,"queries":$qs$tail"""
+    val trackTotals = results.toSeq.groupBy(_._1.takeWhile(_.isLetter))
+      .toSeq.sortBy(_._1)
+      .map { case (t, kvs) =>
+        s"\"$t\":${fmt2(kvs.map(_._2).filter(_ >= 0).sum)}" }
+      .mkString("{", ",", "}")
+    val slow = results.toSeq.filter(_._2 > 0.5)
+    val slowQs = slow.sortBy(_._1)
+      .map { case (k, v) => s"\"${short(k)}\":${fmt2(v)}" }
+      .mkString("{", ",", "}")
+    val grouped = s"""$head,"tracks":$trackTotals,"queries":$slowQs""" +
+      s""","queries_omitted":${results.size - slow.size}$tail"""
     val qs1 = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"${short(k)}\":${fmt1(v)}" }
       .mkString("{", ",", "}")
-    val coarse =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs1$failedField,"sf":"$sfShort"}"""
-    val line =
-      if (withWarm.length <= 1900) withWarm
-      else if (noWarm.length <= 1900) noWarm
-      else { println(s"""{"diag":"final_line_degraded_to_1dp","len_2dp":${noWarm.length}}"""); coarse }
-    println(line)
-    spark.stop()
+    val coarse = s"""$head,"queries":$qs1$tail"""
+    if (withWarm.length <= budget) (withWarm, Nil)
+    else if (noWarm.length <= budget) (noWarm, Nil)
+    else if (grouped.length <= budget)
+      (grouped, Seq(s"""{"diag":"final_line_grouped_subtotals","len_2dp":${noWarm.length}}"""))
+    else
+      (coarse, Seq(s"""{"diag":"final_line_degraded_to_1dp","len_grouped":${grouped.length}}"""))
   }
 }
