@@ -321,20 +321,30 @@ object Similarity {
   def sqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    val v = (d: Int) => element_at(col(vecCol), d + 1).cast("double")
     val stats = sqStats(corpus, vecCol, dim)
-    val mn = (d: Int) => element_at(col("__mn"), d + 1)
-    val mx = (d: Int) => element_at(col("__mx"), d + 1)
-    val code = (d: Int) => when(mx(d) === mn(d), lit(0)).otherwise(
-      round(lit(255.0) * (v(d) - mn(d)) / (mx(d) - mn(d)), 0).cast("int"))
-    val errNano = (d: Int) => {
-      val recon = mn(d) + code(d).cast("double") * (mx(d) - mn(d)) / lit(255.0)
-      round((v(d) - recon) * (v(d) - recon) * lit(1e9), 0).cast("long")
-    }
+    // Array HOFs (one compiled loop), NOT per-dim unrolled expressions:
+    // the original array((0 until 64).map(code)) + 64-term err chain
+    // inlined ~1500 expression nodes into one generated method, blowing
+    // Janino's method-size limit — the whole SQ stage then ran on the
+    // interpreted fallback after a multi-second failed compile. Same
+    // arithmetic per dimension (identical association and rounding, so
+    // the t56/t57 oracles are bit-unchanged); the err fold sums longs
+    // ascending-d exactly like the old reduce chain.
+    val v = slice(col(vecCol).cast("array<double>"), 1, dim)
+    val mnD = (d: Column) => element_at(col("__mn"), d + 1)
+    val mxD = (d: Column) => element_at(col("__mx"), d + 1)
+    val codeOf = (x: Column, d: Column) =>
+      when(mxD(d) === mnD(d), lit(0)).otherwise(
+        round(lit(255.0) * (x - mnD(d)) / (mxD(d) - mnD(d)), 0).cast("int"))
+    val errTerms = transform(v, (x, d) => {
+      val recon = mnD(d) + codeOf(x, d).cast("double") * (mxD(d) - mnD(d)) /
+        lit(255.0)
+      round((x - recon) * (x - recon) * lit(1e9), 0).cast("long")
+    })
     corpus.crossJoin(broadcast(stats))
       .select(col(idCol),
-        array((0 until dim).map(code): _*).as("codes"),
-        round((0 until dim).map(errNano).reduce(_ + _).cast("double") /
+        transform(v, (x, d) => codeOf(x, d)).as("codes"),
+        round(aggregate(errTerms, lit(0L), (a, x) => a + x).cast("double") /
           lit(1e9), 6).as("err"))
   }
 
