@@ -30,9 +30,12 @@ import org.apache.spark.sql.types._
   *    directly and routes MJPEG '00dc' frames through the ImageIO JPEG
   *    codec, so [[videoFrames]] emits measured frame content
   *    (oracle-checked via [[buildAvi]]'s deterministic pixel rule).
-  *    Only containers with no pure-JVM path (webm/mkv) still fall to
-  *    the clearly-marked STUB ([[fakeDecode]]); frame-sample PLANNING
-  *    ([[sampleFrames]]) is real plumbing either way.
+  *    Matroska/WebM metadata AND frames are equally real via the
+  *    pure-JVM EBML walk ([[parseMkv]]/[[decodeMkvFrames]]:
+  *    V_UNCOMPRESSED RGB24 + V_MJPEG through ImageIO). Payloads no
+  *    pure-JVM path recognizes fall to the clearly-marked STUB
+  *    ([[fakeDecode]]); frame-sample PLANNING ([[sampleFrames]]) is
+  *    real plumbing either way.
   *
   * Per-partition `mapPartitions` is the Scala analogue of a
   * `mapInPandas` batch UDF: no shuffle, codec state per task, scales by
@@ -143,7 +146,7 @@ object Media {
       val dataSize = rdLe32(payload, 40)
       val nSamples = if (bytesPerSample == 0) 0 else dataSize / bytesPerSample
       Some(("wav", 0, 0, nSamples.toLong * 1000L / sampleRate))
-    } else parseAvi(payload).orElse(parseMp4(payload))
+    } else parseAvi(payload).orElse(parseMp4(payload)).orElse(parseMkv(payload))
   }
 
   /** Iterate sibling RIFF chunks of [start, end): f(fourcc, bodyStart,
@@ -337,9 +340,10 @@ object Media {
   /** Frame-CONTENT extraction stage: one row per decoded video frame
     * with its dimensions and mean gray level — real pixels, not
     * metadata. AVI payloads decode via [[decodeAviFrames]] (BI_RGB +
-    * MJPEG) and MP4 payloads via [[decodeMp4Frames]] (sample-table
-    * walk, `raw ` RGB24 + MJPEG through ImageIO); containers without
-    * a pure-JVM frame path (webm/mkv) emit no rows here — their
+    * MJPEG), MP4 payloads via [[decodeMp4Frames]] (sample-table
+    * walk, `raw ` RGB24 + MJPEG through ImageIO) and Matroska/WebM
+    * payloads via [[decodeMkvFrames]] (EBML walk, V_UNCOMPRESSED +
+    * V_MJPEG); unrecognized containers emit no rows here — their
     * planning twin is [[sampleFrames]]. Scale shape: per-partition
     * map with a bounded per-row fan-out (nFrames rows per video), no
     * shuffle. */
@@ -357,7 +361,11 @@ object Media {
         val payload = r.getAs[Array[Byte]](1)
         val decoded = {
           val avi = decodeAviFrames(payload)
-          if (avi.nonEmpty) avi else decodeMp4Frames(payload)
+          if (avi.nonEmpty) avi
+          else {
+            val mp4 = decodeMp4Frames(payload)
+            if (mp4.nonEmpty) mp4 else decodeMkvFrames(payload)
+          }
         }
         decoded.zipWithIndex.map {
           case (img, i) =>
@@ -788,6 +796,398 @@ object Media {
             height = 6 + (id % 7).toInt,
             nFrames = 1 + (id % 3).toInt)
           Row(id, "video", payload, Row("synthetic", "mp4"))
+        }
+      }(enc)
+  }
+
+  // ---- Matroska / WebM (EBML) ----------------------------------------------
+  // Pure-JVM EBML walk per the Matroska spec (RFC 8794 EBML + the
+  // public matroska.org element registry) — the variable-length twin
+  // of [[walkBoxes]]/[[walkRiff]]. Reference has no video support at
+  // all; this is extension surface for multimodal corpora.
+
+  // EBML element IDs (marker bits retained, as they appear on the wire)
+  private val EbmlHeader = 0x1A45DFA3L
+  private val EbmlDocType = 0x4282L
+  private val MkvSegment = 0x18538067L
+  private val MkvInfo = 0x1549A966L
+  private val MkvTimestampScale = 0x2AD7B1L
+  private val MkvDuration = 0x4489L
+  private val MkvTracks = 0x1654AE6BL
+  private val MkvTrackEntry = 0xAEL
+  private val MkvTrackNumber = 0xD7L
+  private val MkvTrackType = 0x83L
+  private val MkvCodecId = 0x86L
+  private val MkvVideo = 0xE0L
+  private val MkvPixelWidth = 0xB0L
+  private val MkvPixelHeight = 0xBAL
+  private val MkvCluster = 0x1F43B675L
+  private val MkvSimpleBlock = 0xA3L
+
+  /** Read an EBML element ID at off (IDs keep their length-marker bit).
+    * Returns (id, nBytes); (-1, 0) on malformed input. */
+  private def ebmlId(b: Array[Byte], off: Int, end: Int): (Long, Int) = {
+    if (off >= end) return (-1L, 0)
+    val first = b(off) & 0xff
+    val len =
+      if ((first & 0x80) != 0) 1 else if ((first & 0x40) != 0) 2
+      else if ((first & 0x20) != 0) 3 else if ((first & 0x10) != 0) 4 else 0
+    if (len == 0 || off + len > end) return (-1L, 0)
+    var v = first.toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(off + i) & 0xff); i += 1 }
+    (v, len)
+  }
+
+  /** Read an EBML data size at off (marker bit stripped, 1-8 bytes).
+    * Returns (size, nBytes); size -1 encodes "unknown" (all value bits
+    * set — legal only on Segment/Cluster, treated as to-end); (-2, 0)
+    * on malformed input. */
+  private def ebmlSize(b: Array[Byte], off: Int, end: Int): (Long, Int) = {
+    if (off >= end) return (-2L, 0)
+    val first = b(off) & 0xff
+    var len = 1
+    var mask = 0x80
+    while (len <= 8 && (first & mask) == 0) { len += 1; mask >>= 1 }
+    if (len > 8 || off + len > end) return (-2L, 0)
+    var v = (first & (mask - 1)).toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(off + i) & 0xff); i += 1 }
+    val allOnes = (1L << (7 * len)) - 1L
+    (if (v == allOnes) -1L else v, len)
+  }
+
+  /** Iterate sibling EBML elements of [start, end): f(id, bodyStart,
+    * bodyEnd). Stops on a malformed id/size; unknown-size elements
+    * extend to the enclosing end. */
+  private def walkEbml(b: Array[Byte], start: Int, end: Int)(
+      f: (Long, Int, Int) => Unit): Unit = {
+    var off = start
+    while (off < end) {
+      val (id, idLen) = ebmlId(b, off, end)
+      if (idLen == 0) return
+      val (sz, szLen) = ebmlSize(b, off + idLen, end)
+      if (szLen == 0) return
+      val bs = off + idLen + szLen
+      val beL = if (sz < 0L) end.toLong else bs.toLong + sz
+      if (beL > end || beL < bs) return
+      val be = beL.toInt
+      f(id, bs, be)
+      off = be
+    }
+  }
+
+  private def ebmlUint(b: Array[Byte], bs: Int, be: Int): Long = {
+    if (be - bs > 8) return -1L
+    var v = 0L
+    var i = bs
+    while (i < be) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+    v
+  }
+
+  private def ebmlFloat(b: Array[Byte], bs: Int, be: Int): Double =
+    if (be - bs == 4) java.lang.Float.intBitsToFloat(rdBe32(b, bs).toInt).toDouble
+    else if (be - bs == 8) java.lang.Double.longBitsToDouble(rdBe64(b, bs))
+    else Double.NaN
+
+  private def ebmlString(b: Array[Byte], bs: Int, be: Int): String = {
+    // EBML strings may be zero-padded; the value ends at the first NUL
+    var e = bs
+    while (e < be && b(e) != 0) e += 1
+    new String(b, bs, e - bs, "US-ASCII")
+  }
+
+  /** First video track of a Matroska payload: (trackNumber, codecId,
+    * width, height), or None. Shared by [[parseMkv]] and
+    * [[decodeMkvFrames]]. */
+  private def mkvVideoTrack(b: Array[Byte], segStart: Int, segEnd: Int)
+      : Option[(Long, String, Int, Int)] = {
+    var found: Option[(Long, String, Int, Int)] = None
+    walkEbml(b, segStart, segEnd) { (id, bs, be) =>
+      if (id == MkvTracks && found.isEmpty) walkEbml(b, bs, be) { (id2, bs2, be2) =>
+        if (id2 == MkvTrackEntry && found.isEmpty) {
+          var num = -1L; var tpe = -1L; var codec = ""; var w = 0; var h = 0
+          walkEbml(b, bs2, be2) { (id3, bs3, be3) =>
+            if (id3 == MkvTrackNumber) num = ebmlUint(b, bs3, be3)
+            else if (id3 == MkvTrackType) tpe = ebmlUint(b, bs3, be3)
+            else if (id3 == MkvCodecId) codec = ebmlString(b, bs3, be3)
+            else if (id3 == MkvVideo) walkEbml(b, bs3, be3) { (id4, bs4, be4) =>
+              if (id4 == MkvPixelWidth) w = ebmlUint(b, bs4, be4).toInt
+              else if (id4 == MkvPixelHeight) h = ebmlUint(b, bs4, be4).toInt
+            }
+          }
+          if (tpe == 1L && num > 0L) found = Some((num, codec, w, h))
+        }
+      }
+    }
+    found
+  }
+
+  /** Real Matroska/WebM metadata parse — a pure-JVM EBML walk, no
+    * codec: the EBML header's DocType picks "webm" vs "mkv",
+    * `Segment/Info` yields TimestampScale (ns/tick, default 10^6) +
+    * Duration (float ticks), and the first video TrackEntry yields
+    * pixel dimensions. Returns None without an EBML header or a
+    * Segment Duration. */
+  def parseMkv(payload: Array[Byte]): Option[(String, Int, Int, Long)] = try {
+    if (payload.length < 8) return None
+    val (hid, _) = ebmlId(payload, 0, payload.length)
+    if (hid != EbmlHeader) return None
+    var docType = "matroska"
+    var tsScale = 1000000L
+    var durTicks = Double.NaN
+    var w = 0; var h = 0
+    var sawSegment = false
+    walkEbml(payload, 0, payload.length) { (id, bs, be) =>
+      if (id == EbmlHeader) walkEbml(payload, bs, be) { (id2, bs2, be2) =>
+        if (id2 == EbmlDocType) docType = ebmlString(payload, bs2, be2)
+      } else if (id == MkvSegment) {
+        sawSegment = true
+        walkEbml(payload, bs, be) { (id2, bs2, be2) =>
+          if (id2 == MkvInfo) walkEbml(payload, bs2, be2) { (id3, bs3, be3) =>
+            if (id3 == MkvTimestampScale) tsScale = ebmlUint(payload, bs3, be3)
+            else if (id3 == MkvDuration) durTicks = ebmlFloat(payload, bs3, be3)
+          }
+        }
+        mkvVideoTrack(payload, bs, be).foreach { case (_, _, tw, th) =>
+          w = tw; h = th
+        }
+      }
+    }
+    if (!sawSegment || tsScale <= 0L || durTicks.isNaN || durTicks < 0.0) None
+    else {
+      val fmt = if (docType == "webm") "webm" else "mkv"
+      Some((fmt, w, h, (durTicks * tsScale / 1e6).toLong))
+    }
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** Minimal-length EBML data-size encoding of v (v >= 0). */
+  private def ebmlSizeBytes(v: Long): Array[Byte] = {
+    var len = 1
+    while (len < 8 && v >= (1L << (7 * len)) - 1L) len += 1
+    val out = new Array[Byte](len)
+    var i = len - 1
+    var rest = v
+    while (i >= 0) { out(i) = (rest & 0xff).toByte; rest >>>= 8; i -= 1 }
+    out(0) = (out(0) | (0x80 >> (len - 1))).toByte
+    out
+  }
+
+  private def ebmlIdBytes(id: Long): Array[Byte] = {
+    val len = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
+      else if (id <= 0xffffffL) 3 else 4
+    val out = new Array[Byte](len)
+    var i = len - 1
+    var rest = id
+    while (i >= 0) { out(i) = (rest & 0xff).toByte; rest >>>= 8; i -= 1 }
+    out
+  }
+
+  /** EBML element from raw body parts — the construction twin of
+    * [[walkEbml]]. */
+  private def ebmlEl(id: Long, body: Array[Byte]*): Array[Byte] = {
+    val n = body.map(_.length).sum
+    val idB = ebmlIdBytes(id)
+    val szB = ebmlSizeBytes(n.toLong)
+    val out = new Array[Byte](idB.length + szB.length + n)
+    System.arraycopy(idB, 0, out, 0, idB.length)
+    System.arraycopy(szB, 0, out, idB.length, szB.length)
+    var off = idB.length + szB.length
+    body.foreach { b => System.arraycopy(b, 0, out, off, b.length); off += b.length }
+    out
+  }
+
+  /** Shortest big-endian unsigned encoding of v (>= 1 byte). */
+  private def ebmlUintBytes(v: Long): Array[Byte] = {
+    var len = 1
+    while (len < 8 && (v >>> (8 * len)) != 0L) len += 1
+    val out = new Array[Byte](len)
+    var i = len - 1
+    var rest = v
+    while (i >= 0) { out(i) = (rest & 0xff).toByte; rest >>>= 8; i -= 1 }
+    out
+  }
+
+  /** A structurally valid Matroska container carrying REAL frames:
+    * EBML header (DocType matroska) + Segment(Info(TimestampScale,
+    * Duration), Tracks(video TrackEntry), Cluster(Timestamp,
+    * SimpleBlock per frame)). Default codec is `V_UNCOMPRESSED`
+    * top-down RGB24 (no padding) with the SAME deterministic pixel
+    * rule as [[buildAvi]]/[[buildMp4Frames]] — r = g = b =
+    * (x*31 + y*17 + f*29) & 0xff — so an external oracle recomputes
+    * frame statistics without a codec; `mjpeg = true` emits real
+    * ImageIO JPEG samples under `V_MJPEG` instead (lossy, verified
+    * in-JVM only). Each SimpleBlock is keyframe-flagged, unlaced,
+    * track 1, timestamped f*1000/fps ms. */
+  def buildMkv(width: Int, height: Int, nFrames: Int, fps: Int = 10,
+      mjpeg: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames >= 0 && fps > 0,
+      s"invalid MKV geometry: ${width}x$height x$nFrames @${fps}fps")
+    def pixel(x: Int, y: Int, f: Int): Int = (x * 31 + y * 17 + f * 29) & 0xff
+    val frames: Seq[Array[Byte]] = (0 until nFrames).map { f =>
+      if (mjpeg) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = pixel(x, y, f)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      } else {
+        val b = new Array[Byte](width * 3 * height)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = pixel(x, y, f).toByte
+            val p = (y * width + x) * 3
+            b(p) = v; b(p + 1) = v; b(p + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        b
+      }
+    }
+    val durationMs = nFrames.toLong * 1000L / fps
+    val header = ebmlEl(EbmlHeader,
+      ebmlEl(0x4286L, ebmlUintBytes(1L)),      // EBMLVersion
+      ebmlEl(0x42F7L, ebmlUintBytes(1L)),      // EBMLReadVersion
+      ebmlEl(0x42F2L, ebmlUintBytes(4L)),      // EBMLMaxIDLength
+      ebmlEl(0x42F3L, ebmlUintBytes(8L)),      // EBMLMaxSizeLength
+      ebmlEl(EbmlDocType, "matroska".getBytes("US-ASCII")),
+      ebmlEl(0x4287L, ebmlUintBytes(4L)),      // DocTypeVersion
+      ebmlEl(0x4285L, ebmlUintBytes(2L)))      // DocTypeReadVersion
+    val info = ebmlEl(MkvInfo,
+      ebmlEl(MkvTimestampScale, ebmlUintBytes(1000000L)),
+      ebmlEl(MkvDuration, {
+        val b = new Array[Byte](8)
+        val bits = java.lang.Double.doubleToLongBits(durationMs.toDouble)
+        var i = 0
+        while (i < 8) { b(i) = ((bits >>> (56 - 8 * i)) & 0xff).toByte; i += 1 }
+        b
+      }))
+    val tracks = ebmlEl(MkvTracks,
+      ebmlEl(MkvTrackEntry,
+        ebmlEl(MkvTrackNumber, ebmlUintBytes(1L)),
+        ebmlEl(0x73C5L, ebmlUintBytes(1L)),    // TrackUID
+        ebmlEl(MkvTrackType, ebmlUintBytes(1L)),
+        ebmlEl(MkvCodecId,
+          (if (mjpeg) "V_MJPEG" else "V_UNCOMPRESSED").getBytes("US-ASCII")),
+        ebmlEl(MkvVideo,
+          ebmlEl(MkvPixelWidth, ebmlUintBytes(width.toLong)),
+          ebmlEl(MkvPixelHeight, ebmlUintBytes(height.toLong)))))
+    val blocks = frames.zipWithIndex.map { case (fb, f) =>
+      val ts = (f.toLong * 1000L / fps).toInt
+      val head = Array[Byte](0x81.toByte,             // track 1 as VINT
+        ((ts >> 8) & 0xff).toByte, (ts & 0xff).toByte, // s16 rel. timestamp
+        0x80.toByte)                                   // keyframe, no lacing
+      ebmlEl(MkvSimpleBlock, head, fb)
+    }
+    val cluster = ebmlEl(MkvCluster,
+      (ebmlEl(0xE7L, ebmlUintBytes(0L)) +: blocks): _*) // Timestamp 0
+    val segment = ebmlEl(MkvSegment, info, tracks, cluster)
+    header ++ segment
+  }
+
+  /** REAL frame-pixel decode of a Matroska payload — the EBML twin of
+    * [[decodeAviFrames]]/[[decodeMp4Frames]]: resolve the first video
+    * TrackEntry (number, CodecID, dimensions), then walk
+    * Segment/Cluster/SimpleBlock, keep unlaced blocks of that track,
+    * and decode: `V_UNCOMPRESSED` bodies unpack directly (top-down
+    * RGB24) and `V_MJPEG`/JPEG-magic bodies go through the hardened
+    * ImageIO path ([[decodeImage]], 16384^2 pre-check). Claimed
+    * geometry is capped (16384^2) and the frame count capped (65536)
+    * BEFORE any allocation; a malformed EBML tree fails closed. */
+  def decodeMkvFrames(payload: Array[Byte]): Seq[java.awt.image.BufferedImage] = try {
+    if (payload.length < 8) return Nil
+    val (hid, _) = ebmlId(payload, 0, payload.length)
+    if (hid != EbmlHeader) return Nil
+    var track: Option[(Long, String, Int, Int)] = None
+    var segRange: Option[(Int, Int)] = None
+    walkEbml(payload, 0, payload.length) { (id, bs, be) =>
+      if (id == MkvSegment && segRange.isEmpty) {
+        segRange = Some((bs, be))
+        track = mkvVideoTrack(payload, bs, be)
+      }
+    }
+    if (track.isEmpty || segRange.isEmpty) return Nil
+    val (num, codec, w, h) = track.get
+    if (w <= 0 || h <= 0 || w > 16384 || h > 16384) return Nil
+    val (segS, segE) = segRange.get
+    val frames = Seq.newBuilder[java.awt.image.BufferedImage]
+    var nFrames = 0
+    walkEbml(payload, segS, segE) { (id, bs, be) =>
+      if (id == MkvCluster) walkEbml(payload, bs, be) { (id2, bs2, be2) =>
+        if (id2 == MkvSimpleBlock && nFrames < 65536) {
+          // block layout: track VINT, s16 timestamp, u8 flags, data
+          val (bTrack, tLen) = ebmlSize(payload, bs2, be2)
+          val dataS = bs2 + tLen + 3
+          if (tLen > 0 && bTrack == num && dataS <= be2) {
+            val flags = payload(bs2 + tLen + 2) & 0xff
+            if ((flags & 0x06) == 0) { // unlaced only
+              val n = be2 - dataS
+              if (codec == "V_UNCOMPRESSED" && n >= w * 3 * h) {
+                val img = new java.awt.image.BufferedImage(
+                  w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val p = dataS + (y * w + x) * 3
+                    val r = payload(p) & 0xff
+                    val g = payload(p + 1) & 0xff
+                    val b = payload(p + 2) & 0xff
+                    img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                    x += 1
+                  }
+                  y += 1
+                }
+                frames += img
+                nFrames += 1
+              } else if (n >= 2 && (payload(dataS) & 0xff) == 0xff &&
+                  (payload(dataS + 1) & 0xff) == 0xd8) {
+                decodeImage(java.util.Arrays.copyOfRange(payload, dataS, be2))
+                  .foreach { img => frames += img; nFrames += 1 }
+              }
+            }
+          }
+        }
+      }
+    }
+    frames.result()
+  } catch {
+    case scala.util.control.NonFatal(_) => Nil
+  }
+
+  /** Real Matroska containers whose geometry AND frame pixels derive
+    * only from (id, text length) — the EBML twin of
+    * [[syntheticAviVideos]]/[[syntheticMp4Videos]] (same geometry and
+    * pixel rules, so the same external oracle applies):
+    * [[videoFrames]] resolves the SimpleBlocks and unpacks the
+    * V_UNCOMPRESSED RGB24 bodies back. */
+  def syntheticMkvVideos(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"),
+        length(col(textCol)).cast("int").as("n"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val n = r.getInt(1)
+          val payload = buildMkv(
+            width = 8 + n % 9,
+            height = 6 + (id % 7).toInt,
+            nFrames = 1 + (id % 3).toInt)
+          Row(id, "video", payload, Row("synthetic", "mkv"))
         }
       }(enc)
   }

@@ -411,4 +411,94 @@ class MediaSpec extends AnyFunSuite {
     assert(ham <= 8, s"jpeg aHash drifted $ham bits from lossless")
     assert(h(3).isNullAt(1))
   }
+
+  test("buildMkv -> parseMkv round-trips format, dimensions and duration") {
+    val m = Media.buildMkv(9, 7, 3, fps = 10)
+    val meta = Media.parseMkv(m)
+    assert(meta.contains(("mkv", 9, 7, 300L)), s"got $meta")
+    // and through the shared container ladder
+    assert(Media.parseContainer(m) == meta)
+  }
+
+  test("V_UNCOMPRESSED MKV blocks decode to the exact construction-rule pixels") {
+    val m = Media.buildMkv(9, 7, 2)
+    val frames = Media.decodeMkvFrames(m)
+    assert(frames.length == 2)
+    for (f <- 0 until 2) {
+      val img = frames(f)
+      assert(img.getWidth == 9 && img.getHeight == 7)
+      for (y <- 0 until 7; x <- 0 until 9) {
+        val v = (x * 31 + y * 17 + f * 29) & 0xff
+        assert((img.getRGB(x, y) & 0xffffff) == ((v << 16) | (v << 8) | v),
+          s"pixel ($x,$y) frame $f")
+      }
+    }
+  }
+
+  test("V_MJPEG MKV blocks decode through the real ImageIO JPEG codec") {
+    val m = Media.buildMkv(16, 12, 2, mjpeg = true)
+    val frames = Media.decodeMkvFrames(m)
+    assert(frames.length == 2)
+    assert(frames.forall(f => f.getWidth == 16 && f.getHeight == 12))
+    def mean(img: java.awt.image.BufferedImage): Double = {
+      val vs = for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        yield (img.getRGB(x, y) & 0xff).toDouble
+      vs.sum / vs.length
+    }
+    // lossy codec: mean gray lands near the rule's mean, not exactly on it
+    val want = (for (y <- 0 until 12; x <- 0 until 16)
+      yield ((x * 31 + y * 17) & 0xff).toDouble).sum / (16 * 12)
+    assert(math.abs(mean(frames(0)) - want) < 16.0)
+  }
+
+  test("malformed EBML trees fail closed, never throw") {
+    val good = Media.buildMkv(9, 7, 2)
+    for (cut <- Seq(3, 10, 30, 80, good.length / 2, good.length - 3)) {
+      // truncation must never throw; frames may survive only if the cut
+      // lands beyond the last SimpleBlock (it never does here: the
+      // cluster is the final element)
+      assert(Media.decodeMkvFrames(java.util.Arrays.copyOf(good, cut)).length < 2,
+        s"truncated at $cut")
+    }
+    // a laced SimpleBlock (flags bits 0x06) is skipped, not misread:
+    // find the first SimpleBlock (id 0xa3 + its 2-byte size VINT for
+    // 4 + 9*7*3 = 193 body bytes: 0x40 0xc1 — the full pattern, since
+    // a bare 0xa3 also appears as the EBML header's size byte) and set
+    // a lacing bit in its flags byte
+    val patched = good.clone()
+    var i = 0
+    var blk = -1
+    while (blk < 0 && i < patched.length - 3) {
+      if ((patched(i) & 0xff) == 0xa3 && (patched(i + 1) & 0xff) == 0x40 &&
+          (patched(i + 2) & 0xff) == 0xc1) blk = i
+      i += 1
+    }
+    assert(blk > 0)
+    // layout after the id: size VINT (2 bytes here: 0x4xxx), track VINT
+    // (1 byte), s16 ts, flags
+    val flagsOff = blk + 1 + 2 + 1 + 2
+    patched(flagsOff) = (patched(flagsOff) | 0x02).toByte
+    assert(Media.decodeMkvFrames(patched).length == 1, "laced block must be skipped")
+    // zero frames, wrong magic
+    assert(Media.decodeMkvFrames(Media.buildMkv(9, 7, 0)).isEmpty)
+    assert(Media.decodeMkvFrames("not matroska".getBytes).isEmpty)
+  }
+
+  test("videoFrames measures real frame content per synthetic MKV") {
+    val syn = Media.syntheticMkvVideos(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val vf = Media.videoFrames(syn).cache()
+    val counts = vf.groupBy("media_id").count()
+    assert(counts.filter(col("count") =!= (col("media_id") % 3 + 1)).count() == 0)
+    assert(vf.filter(col("mean_gray") <= 0 || col("mean_gray") >= 255).count() == 0)
+    assert(vf.select("mean_gray").distinct().count() > 1)
+    vf.unpersist()
+  }
+
+  test("MKV and MP4 synthetic twins agree frame-for-frame") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
+    val a = Media.videoFrames(Media.syntheticMkvVideos(docs, "doc_id", "text"))
+    val b = Media.videoFrames(Media.syntheticMp4Videos(docs, "doc_id", "text"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
 }
