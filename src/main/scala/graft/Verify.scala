@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o) => (s, o, None)
+      // optional 3rd arg: comma-separated query-name prefixes to dump
+      // (iteration aid; the driver always runs the 2-arg form)
+      case Array(s, o, f) => (s, o, Some(f.split(',').toSeq))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +26,9 @@ object Verify {
     // _failed.json beside the results, and echoed to stdout so both the
     // driver log and the output dir carry the regression.
     var failed = List.empty[(String, String)]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -42,6 +49,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val failedJson = failed.sortBy(_._1)

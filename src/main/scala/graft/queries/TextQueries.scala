@@ -486,6 +486,62 @@ object TextQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // t60's EBML twin: structurally valid Matroska containers
+    // (EBML header + Segment(Info, Tracks, Cluster(SimpleBlock...)))
+    // with V_UNCOMPRESSED RGB24 blocks, frame pixels genuinely
+    // resolved back through the EBML walk — same construction rule,
+    // so the same oracle recompute applies
+    "t64_mkv_frames" -> ((s, dir) => {
+      val media = graft.multimodal.Media.syntheticMkvVideos(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.multimodal.Media.videoFrames(media)
+        .select(col("media_id"), col("frame_idx"), col("f_width"),
+          col("f_height"), round(col("mean_gray"), 6).as("mean_gray"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // RefinedWeb-style paragraph dedup. The corpus text carries no
+    // newlines, so the paragraph structure is synthesized (t62's
+    // synthetic-url discipline): a 6-paragraph shared pool + one
+    // per-doc unique paragraph, giving both cross-doc and within-doc
+    // duplicates; first (doc, pos) occurrence wins corpus-wide
+    "t65_paragraph_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val pool = array(ParagraphPool.map(lit): _*)
+      val ptext = concat_ws("\n\n",
+        element_at(pool, (id % 6 + 1).cast("int")),
+        element_at(pool, ((id * 3 + 1) % 6 + 1).cast("int")),
+        concat(lit("doc "), id.cast("string"), lit(" unique notes")),
+        element_at(pool, ((id * 7 + 2) % 6 + 1).cast("int")))
+      val docs = t(s, dir, "documents").select(id, ptext.as("ptext"))
+      TextOps.dedupParagraphs(docs, "doc_id", "ptext")
+        .orderBy("doc_id")
+    }),
+
+    // rule-based PII redaction (BigScience/ROOTS-style hygiene): the
+    // synthetic text plants emails/IPs and, on id-derived subsets,
+    // SSNs, E.164 phones and PAN-length digit runs; the oracle re-runs
+    // the SAME pattern cascade (built from PiiOps.Stages, so the two
+    // engines can never drift) under RE2
+    "t66_pii_redact" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ptext = concat(
+        lit("Contact user"), id.cast("string"), lit("@Example.com "),
+        when(id % 3 === 0, concat(lit("or +14155550"),
+            lpad((id % 100).cast("string"), 3, "0"), lit(" ")))
+          .otherwise(lit("")),
+        when(id % 4 === 0, concat(lit("ssn 123-45-"),
+            lpad((id % 10000).cast("string"), 4, "0"), lit(" ")))
+          .otherwise(lit("")),
+        when(id % 5 === 0, concat(lit("card 411111111111"),
+            lpad((id % 10000).cast("string"), 4, "0"), lit(" ")))
+          .otherwise(lit("")),
+        lit("ip 10."), (id % 256).cast("string"), lit(".0.1 done"))
+      val docs = t(s, dir, "documents").select(id, ptext.as("ptext"))
+      graft.text.PiiOps.redactPii(docs, "doc_id", "ptext")
+        .orderBy("doc_id")
+    }),
+
     // PQ encode through a TRAINED codebook: per-subspace k-means (16
     // codes seeded from vec_id 0..15, 2 Lloyd iterations) instead of
     // t33's raw id-prefix sample — the Jégou-style training path. Same
@@ -977,6 +1033,103 @@ object TextQueries {
   private val MH_SQL =
     s"""SELECT doc_id, ${(0 until 8).map(i => s"${mhAgg(i)} AS h$i").mkString(", ")}
        FROM ($SHINGLES_SQL) GROUP BY doc_id"""
+
+  /** Paragraph pool for t65 — shared between the Spark query's
+    * synthetic text and the DuckDB mirror so the construction rule is
+    * written once. */
+  private val ParagraphPool = Seq(
+    "shared paragraph alpha about spark shuffles",
+    "shared paragraph beta about parquet scans",
+    "shared paragraph gamma about broadcast joins",
+    "shared paragraph delta about hash aggregates",
+    "shared paragraph epsilon about window functions",
+    "shared paragraph zeta about sort merge joins")
+
+  /** t65 mirror: same synthetic paragraph construction, then exact
+    * first-(doc,pos)-wins paragraph dedup + per-doc reassembly. */
+  private val PARAGRAPH_DEDUP_SQL: String = {
+    val pool = ParagraphPool.map(p => s"'$p'").mkString("[", ", ", "]")
+    val sep = "chr(10) || chr(10)"
+    s"""WITH src AS (SELECT doc_id,
+           ($pool)[CAST(doc_id % 6 AS INT) + 1] || $sep ||
+           ($pool)[CAST((doc_id*3 + 1) % 6 AS INT) + 1] || $sep ||
+           'doc ' || doc_id || ' unique notes' || $sep ||
+           ($pool)[CAST((doc_id*7 + 2) % 6 AS INT) + 1] AS ptext
+         FROM documents),
+       d AS (SELECT doc_id, string_split(ptext, $sep) AS l FROM src),
+       p0 AS (SELECT doc_id, CAST(unnest(range(len(l))) AS BIGINT) AS pos, l
+              FROM d),
+       p AS (SELECT doc_id, pos, trim(l[CAST(pos AS INT) + 1]) AS par
+             FROM p0 WHERE trim(l[CAST(pos AS INT) + 1]) <> ''),
+       f AS (SELECT par, min(doc_id) AS fdoc FROM p GROUP BY par),
+       f2 AS (SELECT p.par, f.fdoc, min(p.pos) AS fpos
+              FROM p JOIN f ON p.par = f.par AND p.doc_id = f.fdoc
+              GROUP BY p.par, f.fdoc),
+       m AS (SELECT p.doc_id, p.pos, p.par,
+              (p.doc_id = f2.fdoc AND p.pos = f2.fpos) AS kept
+             FROM p JOIN f2 ON p.par = f2.par)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         COALESCE(string_agg(CASE WHEN kept THEN par END, $sep ORDER BY pos),
+           '') AS text_dedup
+       FROM m GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** t66 mirror: same synthetic PII text, then the SAME
+    * count-then-replace cascade as [[graft.text.PiiOps.redactPii]],
+    * generated from PiiOps.Stages so the two engines share one
+    * pattern source. */
+  private val PII_REDACT_SQL: String = {
+    val stages = graft.text.PiiOps.Stages
+    val cascade = stages.zipWithIndex.map { case ((name, pat, rep), i) =>
+      s"""s${i + 1} AS (SELECT doc_id,
+           ${(0 until i).map(j => s"n_${stages(j)._1}").map(n => s"$n,")
+             .mkString(" ")}
+           CAST(len(regexp_extract_all(t$i, '$pat')) AS BIGINT) AS n_$name,
+           regexp_replace(t$i, '$pat', '$rep', 'g') AS t${i + 1}
+         FROM s$i)"""
+    }.mkString(",\n       ")
+    val names = stages.map(s => s"n_${s._1}")
+    s"""WITH src AS (SELECT doc_id,
+           'Contact user' || doc_id || '@Example.com ' ||
+           CASE WHEN doc_id % 3 = 0 THEN
+             'or +14155550' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') || ' '
+             ELSE '' END ||
+           CASE WHEN doc_id % 4 = 0 THEN
+             'ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+             ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0 THEN
+             'card 411111111111' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+             ELSE '' END ||
+           'ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 done' AS ptext
+         FROM documents),
+       s0 AS (SELECT doc_id, ptext AS t0 FROM src),
+       $cascade
+       SELECT doc_id, ${names.mkString(", ")},
+         ${names.mkString(" + ")} AS n_pii,
+         t${stages.length} AS text_redacted
+       FROM s${stages.length} ORDER BY doc_id"""
+  }
+
+  /** Shared construction-rule recompute for the synthetic-video frame
+    * oracles (t43 AVI, t60 MP4, t64 MKV): all three builders use the
+    * SAME geometry rule (w = 8 + len%9, h = 6 + id%7, nf = 1 + id%3)
+    * and pixel rule r = g = b = (x*31 + y*17 + f*29) & 0xff, so one
+    * codec-free per-frame mean-gray recompute covers every container. */
+  private val FRAME_RULE_SQL: String =
+    """WITH dims AS (SELECT doc_id, 8 + length(text) % 9 AS w,
+           6 + doc_id % 7 AS h, 1 + doc_id % 3 AS nf FROM documents),
+       fr AS (SELECT doc_id, w, h, unnest(range(nf)) AS f FROM dims),
+       fx AS (SELECT doc_id, w, h, f, unnest(range(w)) AS x FROM fr),
+       fxy AS (SELECT doc_id, w, h, f, x, unnest(range(h)) AS y FROM fx),
+       g AS (SELECT doc_id, f, w, h,
+              0.299*v + 0.587*v + 0.114*v AS gr
+             FROM (SELECT *, CAST((x*31 + y*17 + f*29) % 256 AS DOUBLE) AS v
+                   FROM fxy))
+       SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+         CAST(w AS INTEGER) AS f_width, CAST(h AS INTEGER) AS f_height,
+         ROUND(AVG(gr), 6) + 0.0 AS mean_gray
+       FROM g GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx"""
 
   val oracle: Map[String, String] = Map(
     // mirrors Media.syntheticMedia's construction rule (BMP 54-byte
@@ -1930,20 +2083,7 @@ object TextQueries {
     // mirrors Media.buildAvi's pixel rule r=g=b=(x*31+y*17+f*29)%256 and
     // syntheticAviVideos' geometry rule, while the Spark side decodes
     // the raw BI_RGB frames it actually built
-    "t43_video_frames" ->
-      """WITH dims AS (SELECT doc_id, 8 + length(text) % 9 AS w,
-             6 + doc_id % 7 AS h, 1 + doc_id % 3 AS nf FROM documents),
-         fr AS (SELECT doc_id, w, h, unnest(range(nf)) AS f FROM dims),
-         fx AS (SELECT doc_id, w, h, f, unnest(range(w)) AS x FROM fr),
-         fxy AS (SELECT doc_id, w, h, f, x, unnest(range(h)) AS y FROM fx),
-         g AS (SELECT doc_id, f, w, h,
-                0.299*v + 0.587*v + 0.114*v AS gr
-               FROM (SELECT *, CAST((x*31 + y*17 + f*29) % 256 AS DOUBLE) AS v
-                     FROM fxy))
-         SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
-           CAST(w AS INTEGER) AS f_width, CAST(h AS INTEGER) AS f_height,
-           ROUND(AVG(gr), 6) + 0.0 AS mean_gray
-         FROM g GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx""",
+    "t43_video_frames" -> FRAME_RULE_SQL,
     // full hashed-bigram LR mirror: 8 unrolled GD iterations + scoring
     "t63_quality_classifier" -> qcOracleSql(8),
     // URL canonicalization + domain-cap mirror: same synthetic url
@@ -2021,20 +2161,13 @@ object TextQueries {
     "t61_bpe_tokenize" -> bpeOracleSql(12),
     // same geometry + pixel rules as t43 (buildMp4Frames mirrors
     // buildAvi's rule), exercised through the MP4 sample-table walk
-    "t60_mp4_frames" ->
-      """WITH dims AS (SELECT doc_id, 8 + length(text) % 9 AS w,
-             6 + doc_id % 7 AS h, 1 + doc_id % 3 AS nf FROM documents),
-         fr AS (SELECT doc_id, w, h, unnest(range(nf)) AS f FROM dims),
-         fx AS (SELECT doc_id, w, h, f, unnest(range(w)) AS x FROM fr),
-         fxy AS (SELECT doc_id, w, h, f, x, unnest(range(h)) AS y FROM fx),
-         g AS (SELECT doc_id, f, w, h,
-                0.299*v + 0.587*v + 0.114*v AS gr
-               FROM (SELECT *, CAST((x*31 + y*17 + f*29) % 256 AS DOUBLE) AS v
-                     FROM fxy))
-         SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
-           CAST(w AS INTEGER) AS f_width, CAST(h AS INTEGER) AS f_height,
-           ROUND(AVG(gr), 6) + 0.0 AS mean_gray
-         FROM g GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx""",
+    "t60_mp4_frames" -> FRAME_RULE_SQL,
+    // same construction rule as t60 carried by a Matroska container —
+    // the Spark side decodes V_UNCOMPRESSED SimpleBlocks instead of
+    // `raw ` MP4 samples, the recompute is identical
+    "t64_mkv_frames" -> FRAME_RULE_SQL,
+    "t65_paragraph_dedup" -> PARAGRAPH_DEDUP_SQL,
+    "t66_pii_redact" -> PII_REDACT_SQL,
     "t34_pq_adc" ->
       s"""WITH $PQ_SQL,
          q AS (SELECT vec_id AS query_id, sub_idx, sv AS qsv FROM sub

@@ -1742,4 +1742,49 @@ object TextOps {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Paragraph-level exact dedup across the corpus — the RefinedWeb
+    * hygiene pass (Penedo et al. 2023) between document-exact and
+    * near-dup dedup: split each document on `sep`, keep only the FIRST
+    * corpus-wide occurrence of each distinct (trimmed, non-empty)
+    * paragraph — first = smallest (doc id, position) — and reassemble
+    * every document from its surviving paragraphs. Emits one row per
+    * document that had at least one paragraph: id, `n_paragraphs`,
+    * `n_kept`, and the reassembled `text_dedup` ("" when every
+    * paragraph of the doc occurred earlier elsewhere).
+    *
+    * Scale shape: posexplode -> ONE corpus-wide hash aggregate keyed
+    * by the paragraph (`min(struct(id, pos))` is the entire reduction,
+    * map-side combine applies) -> hash join back -> per-doc reassembly
+    * aggregate. No window over the corpus, no driver state. With
+    * `hashKeys = true` the aggregate + join key is `xxhash64(par)`
+    * instead of the paragraph STRING: at 100 TB that shuffles 8-byte
+    * fingerprints instead of the corpus text (64-bit collision odds
+    * are negligible at any realistic paragraph count). The default
+    * keeps exact strings so the DuckDB mirror stays expressible —
+    * [[removeRepeatedSpans]]'s two-path discipline. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n", hashKeys: Boolean = false): DataFrame = {
+    val id = col(idCol)
+    val pars = df
+      .select(id, posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep))))
+      .select(id, col("pos"), trim(col("col")).as("par"))
+      .filter(col("par") =!= "")
+    val keyed = pars.withColumn("__k",
+      if (hashKeys) xxhash64(col("par")) else col("par"))
+    val firsts = keyed.groupBy("__k")
+      .agg(min(struct(id.as("fid"), col("pos").as("fpos"))).as("__first"))
+    val marked = keyed.join(firsts, "__k")
+      .withColumn("kept",
+        col("__first.fid") === id && col("__first.fpos") === col("pos"))
+    marked.groupBy(id)
+      .agg(count(lit(1)).as("n_paragraphs"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        concat_ws(sep,
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("pos"), col("par"))))),
+            s => s.getField("par"))).as("text_dedup"))
+  }
 }

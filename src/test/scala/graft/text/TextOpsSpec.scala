@@ -597,4 +597,76 @@ class TextOpsSpec extends AnyFunSuite {
     // candidate ORDER among survivors is unchanged: doc 1 still first
     assert(pruned.head.getInt(4) == 1)
   }
+
+  test("dedupParagraphs keeps the first (doc, pos) occurrence corpus-wide") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared one\n\nunique a\n\nshared two"),
+      (2L, "shared two\n\nunique b"),
+      (3L, "shared one\n\nshared one\n\nunique c"), // within-doc dup too
+      (4L, "shared one\n\nshared two")              // everything seen before
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 3L, "shared one\n\nunique a\n\nshared two")))
+    // doc 2's "shared two" lost to doc 1 pos 2
+    assert(out(2L) == ((2L, 1L, "unique b")))
+    // doc 3: first "shared one" lost to doc 1 pos 0; its own second copy
+    // loses to the SAME first occurrence (min doc then min pos)
+    assert(out(3L) == ((3L, 1L, "unique c")))
+    // doc 4 keeps nothing -> empty string, not null
+    assert(out(4L) == ((2L, 0L, "")))
+  }
+
+  test("dedupParagraphs drops empty/whitespace paragraphs; hashKeys agrees") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "  \n\npar x\n\n\n\npar y"),
+      (2L, "par y\n\npar z"),
+      (3L, "")).toDF("doc_id", "text")
+    val exact = TextOps.dedupParagraphs(docs, "doc_id", "text")
+    // blank/empty paragraphs never count; the all-empty doc emits no row
+    val rows = exact.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 2L, 2L -> 2L))
+    // the xxhash64 scale path returns the identical frame
+    val hashed = TextOps.dedupParagraphs(docs, "doc_id", "text", hashKeys = true)
+    assert(exact.exceptAll(hashed).count() == 0 &&
+      hashed.exceptAll(exact).count() == 0)
+  }
+
+  test("redactPii counts and replaces each category once, in stage order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@x-y.co.uk and 10.0.0.1 ssn 123-45-6789 " +
+        "+4915123456789 card 4111111111111111"),
+      (2L, "no pii here"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = graft.text.PiiOps.redactPii(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert((1L to 5L).map(i => r1.getLong(i.toInt)) == Seq(1L, 1L, 1L, 1L, 1L))
+    assert(r1.getLong(6) == 5L)
+    assert(r1.getString(7) ==
+      "mail [EMAIL] and [IP] ssn [SSN] [PHONE] card [CARD]")
+    assert(out(2L).getLong(6) == 0L && out(2L).getString(7) == "no pii here")
+    assert(out(3L).getLong(6) == 0L && out(3L).getString(7) == "")
+  }
+
+  test("redactPii attributes overlapping spans to the earliest stage") {
+    import spark.implicits._
+    // a 13-digit E.164 number is ALSO a PAN-length digit run: the phone
+    // stage must claim it; a bare 14-digit run falls through to card
+    val docs = Seq((1L, "+4930123456789 then 41111111111111"))
+      .toDF("doc_id", "text")
+    val r = graft.text.PiiOps.redactPii(docs, "doc_id", "text").collect()(0)
+    assert(r.getLong(4) == 1L && r.getLong(5) == 1L, // n_phone, n_card
+      s"got phone=${r.getLong(4)} card=${r.getLong(5)}")
+    assert(r.getString(7) == "[PHONE] then [CARD]")
+    // placeholders carry no digits, so re-running is a fixed point
+    val again = graft.text.PiiOps.redactPii(
+      Seq((1L, r.getString(7))).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    assert(again.getLong(6) == 0L && again.getString(7) == r.getString(7))
+  }
 }
