@@ -518,6 +518,40 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet perplexity bucketing over t40's reference/target split:
+    // per-source quartile cutoffs of the micro-bit LM scores (exact
+    // binary fractions -> bit-identical interpolation both engines),
+    // head <= p25 < middle <= p75 < tail
+    "t68_perplexity_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.perplexityBuckets(docs.filter(col("doc_id") < 250),
+          docs.filter(col("doc_id") >= 250), "doc_id", "text", "source",
+          alpha = 0.1)
+        .orderBy("doc_id")
+    }),
+
+    // full IVF-PQ (IVFADC) pipeline: assign cells (vec_id<4 seeds),
+    // form residuals against the assigned centroid, PQ-encode the
+    // RESIDUALS through an id-prefix residual codebook, then search
+    // with per-(query, probed-cell) residual lookup tables — the
+    // Jégou recall fix for raw PQ, mirrored stage-for-stage in DuckDB
+    "t67_ivfpq_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 4)
+      val qs = emb.filter(col("vec_id") >= 4 && col("vec_id") < 7)
+      val indexed = graft.sim.Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+      val res = graft.sim.Similarity.ivfResiduals(indexed, cents,
+        "vec_id", "embedding")
+      val cb = graft.sim.Similarity.pqCodebook(
+        res.filter(col("vec_id") < 16).select(col("vec_id"), col("res")),
+        "vec_id", "res", m = 4, subDim = 16)
+      val enc = graft.sim.Similarity.ivfPqEncode(res, cb, "vec_id",
+        m = 4, subDim = 16)
+      graft.sim.Similarity.ivfPqSearch(enc, cents, cb, qs, "vec_id",
+          "embedding", m = 4, subDim = 16, k = 5, nProbe = 2)
+        .orderBy("query_id", "cand_id")
+    }),
+
     // rule-based PII redaction (BigScience/ROOTS-style hygiene): the
     // synthetic text plants emails/IPs and, on id-derived subsets,
     // SSNs, E.164 phones and PAN-length digit runs; the oracle re-runs
@@ -1109,6 +1143,73 @@ object TextQueries {
          ${names.mkString(" + ")} AS n_pii,
          t${stages.length} AS text_redacted
        FROM s${stages.length} ORDER BY doc_id"""
+  }
+
+  /** t67 mirror: the full IVFADC pipeline — 4-dp cosine cell
+    * assignment (t11's rule), residual lists (elementwise v - cv, the
+    * SAME materialize-then-dot association as Spark's zip_with +
+    * Dot kernel), id-prefix residual codebook, 6-dp squared-L2
+    * encode (PQ_SQL's rule with cell carried), per-(query, probed
+    * cell) residual LUT, summed ADC distances, top-5. */
+  private val IVFPQ_SQL: String = {
+    def resList(a: String, b: String) =
+      s"list_transform(range(64), i -> $a[CAST(i AS INT)+1] - $b[CAST(i AS INT)+1])"
+    def d2(a: String, b: String) =
+      s"""ROUND(list_dot_product($a, $a) - 2.0*list_dot_product($a, $b)
+         + list_dot_product($b, $b), 6) + 0.0"""
+    def cos(a: String, b: String) =
+      s"""list_dot_product($a, $b) /
+         (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
+    s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       cent AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 4),
+       sc AS (SELECT d.vec_id, d.v, cell, cv,
+               ROUND(${cos("v", "cv")}, 4) AS sim
+              FROM d, cent),
+       idx AS (SELECT vec_id, v, cell, cv FROM (
+               SELECT vec_id, v, cell, cv,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, cell) AS rn
+               FROM sc) WHERE rn = 1),
+       res AS (SELECT vec_id, cell, ${resList("v", "cv")} AS r FROM idx),
+       ss AS (SELECT unnest([0,1,2,3]) AS sub_idx),
+       rsub AS (SELECT vec_id, cell, sub_idx,
+                 list_slice(r, sub_idx*16+1, sub_idx*16+16) AS sv
+                FROM res, ss),
+       cb AS (SELECT CAST(vec_id AS BIGINT) AS code_id, sub_idx, sv AS cv2
+              FROM rsub WHERE vec_id < 16),
+       encs AS (SELECT rsub.vec_id, rsub.cell, rsub.sub_idx, code_id,
+                 ${d2("sv", "cv2")} AS d2
+                FROM rsub JOIN cb USING (sub_idx)),
+       best AS (SELECT vec_id, cell, sub_idx, code_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub_idx
+                   ORDER BY d2, code_id) AS rn
+                FROM encs),
+       enc AS (SELECT vec_id, cell, list(code_id ORDER BY sub_idx) AS codes
+               FROM best WHERE rn = 1 GROUP BY vec_id, cell),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM d
+             WHERE vec_id >= 4 AND vec_id < 7),
+       qsc AS (SELECT query_id, qv, cell, cv, ${cos("qv", "cv")} AS sim
+               FROM q, cent),
+       probed AS (SELECT query_id, cell, ${resList("qv", "cv")} AS qr
+                  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, cell) AS rn
+                        FROM qsc) WHERE rn <= 2),
+       psub AS (SELECT query_id, cell, sub_idx,
+                 list_slice(qr, sub_idx*16+1, sub_idx*16+16) AS qsv
+                FROM probed, ss),
+       lut AS (SELECT query_id, psub.cell, psub.sub_idx, code_id,
+                ${d2("qsv", "cv2")} AS d2
+               FROM psub JOIN cb USING (sub_idx)),
+       ex AS (SELECT vec_id AS cand_id, cell, unnest(codes) AS code_id,
+               unnest(range(4)) AS sub_idx FROM enc),
+       ad AS (SELECT query_id, cand_id, ROUND(SUM(d2), 6) + 0.0 AS adist
+              FROM ex JOIN lut USING (cell, sub_idx, code_id)
+              WHERE cand_id <> query_id GROUP BY 1, 2),
+       r2 AS (SELECT query_id, cand_id, adist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adist, cand_id) AS rn FROM ad)
+       SELECT query_id, cand_id, adist FROM r2 WHERE rn <= 5
+       ORDER BY query_id, cand_id"""
   }
 
   /** Shared construction-rule recompute for the synthetic-video frame
@@ -2168,6 +2269,7 @@ object TextQueries {
     "t64_mkv_frames" -> FRAME_RULE_SQL,
     "t65_paragraph_dedup" -> PARAGRAPH_DEDUP_SQL,
     "t66_pii_redact" -> PII_REDACT_SQL,
+    "t67_ivfpq_search" -> IVFPQ_SQL,
     "t34_pq_adc" ->
       s"""WITH $PQ_SQL,
          q AS (SELECT vec_id AS query_id, sub_idx, sv AS qsv FROM sub
@@ -2223,21 +2325,47 @@ object TextQueries {
     // LM-score mirror: bigram/head counts on the reference half, vocab V,
     // per-bigram 6-dp rounded bits, then the per-doc mean
     "t40_lm_score" ->
-      s"""WITH bg AS ($BIGRAMS_SQL),
-         ref AS (SELECT * FROM bg WHERE doc_id < 250),
-         tgt AS (SELECT * FROM bg WHERE doc_id >= 250),
-         cb AS (SELECT sh, COUNT(*) AS cb FROM ref GROUP BY 1),
-         cu AS (SELECT w1, COUNT(*) AS cu FROM ref GROUP BY 1),
-         v AS (SELECT CAST(COUNT(DISTINCT x) AS DOUBLE) AS v
-           FROM (SELECT unnest(w) AS x FROM ($TOKS_SQL) WHERE doc_id < 250)),
-         sc AS (SELECT t.doc_id,
-             CAST(ROUND(ROUND(ln((COALESCE(cu.cu, 0) + 0.1 * v.v)
-               / (COALESCE(cb.cb, 0) + 0.1)) / ln(2.0), 6) * 1000000.0, 0)
-               AS BIGINT) AS micro
-           FROM tgt t LEFT JOIN cb USING (sh) LEFT JOIN cu USING (w1)
-           CROSS JOIN v)
+      s"""WITH $LM_SCORE_CTES
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            (SUM(micro)::DOUBLE / COUNT(*)) / 1000000.0 AS lm_bits
-         FROM sc GROUP BY 1 ORDER BY 1"""
+         FROM sc GROUP BY 1 ORDER BY 1""",
+
+    // t40's LM pipeline + per-source quartile bucketing: micro-bit
+    // doc scores (the SAME /1e6 then *1e6 round sequence as the Spark
+    // side), quantile_cont at the exact binary fractions 0.25/0.75
+    "t68_perplexity_buckets" ->
+      s"""WITH $LM_SCORE_CTES,
+         lmout AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(ROUND(((SUM(micro)::DOUBLE / COUNT(*)) / 1000000.0)
+               * 1000000.0, 0) AS BIGINT) AS dmicro
+           FROM sc GROUP BY 1),
+         ws AS (SELECT l.doc_id, l.n_bigrams, l.dmicro, d.source
+           FROM lmout l JOIN documents d USING (doc_id)),
+         cuts AS (SELECT source, quantile_cont(dmicro, 0.25) AS lo,
+             quantile_cont(dmicro, 0.75) AS hi
+           FROM ws GROUP BY source)
+         SELECT doc_id, source, n_bigrams,
+           dmicro::DOUBLE / 1000000.0 AS lm_bits,
+           CASE WHEN dmicro <= lo THEN 'head'
+                WHEN dmicro > hi THEN 'tail'
+                ELSE 'middle' END AS bucket
+         FROM ws JOIN cuts USING (source) ORDER BY doc_id"""
   )
+
+  /** Shared CTE block for t40/t68: per-bigram micro-bit contributions
+    * of the target half against the reference half's bigram LM. */
+  private lazy val LM_SCORE_CTES: String =
+    s"""bg AS ($BIGRAMS_SQL),
+       ref AS (SELECT * FROM bg WHERE doc_id < 250),
+       tgt AS (SELECT * FROM bg WHERE doc_id >= 250),
+       cb AS (SELECT sh, COUNT(*) AS cb FROM ref GROUP BY 1),
+       cu AS (SELECT w1, COUNT(*) AS cu FROM ref GROUP BY 1),
+       v AS (SELECT CAST(COUNT(DISTINCT x) AS DOUBLE) AS v
+         FROM (SELECT unnest(w) AS x FROM ($TOKS_SQL) WHERE doc_id < 250)),
+       sc AS (SELECT t.doc_id,
+           CAST(ROUND(ROUND(ln((COALESCE(cu.cu, 0) + 0.1 * v.v)
+             / (COALESCE(cb.cb, 0) + 0.1)) / ln(2.0), 6) * 1000000.0, 0)
+             AS BIGINT) AS micro
+         FROM tgt t LEFT JOIN cb USING (sh) LEFT JOIN cu USING (w1)
+         CROSS JOIN v)"""
 }

@@ -466,6 +466,98 @@ object Similarity {
       .drop("rn")
   }
 
+  // ---- IVF-PQ (residual product quantization) -----------------------------
+
+  /** Residual vectors after IVF assignment: each vector minus its
+    * cell's centroid (Jégou et al. 2011 §III — quantizing residuals
+    * concentrates the PQ codebook on the within-cell distribution,
+    * which is why IVF-PQ recall beats raw PQ at the same code budget;
+    * measured in BASELINE.md's recall table). Input is [[ivfAssign]]'s
+    * output; centroids are broadcast. Returns (idCol, cell, res).
+    * Scale shape: one broadcast join + a zip_with projection — narrow,
+    * no shuffle. */
+  def ivfResiduals(indexed: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val cent = centroids.select(col(idCol).as("cell"),
+      col(vecCol).cast("array<double>").as("cv"))
+    indexed.join(broadcast(cent), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("res"))
+  }
+
+  /** PQ-encode IVF residuals, keeping the cell id alongside the codes:
+    * same assignment rule as [[pqEncode]] (6-dp-rounded squared L2,
+    * smaller-code tie-break) with `cell` carried through the
+    * aggregation keys — the inverted-list layout an IVF-PQ index scan
+    * reads (cell -> [cand codes]). Returns (idCol, cell, codes, err).
+    * Scale shape identical to [[pqEncode]]: broadcast codebook, m-way
+    * explode, two hash aggregates. */
+  def ivfPqEncode(residuals: DataFrame, codebook: DataFrame, idCol: String,
+      m: Int, subDim: Int): DataFrame = {
+    val exploded = residuals.select(col(idCol), col("cell"),
+        explode(array((0 until m).map(s => struct(lit(s).as("sub_idx"),
+          slice(col("res"), s * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col(idCol), col("cell"),
+        col("e.sub_idx").as("sub_idx"), col("e.sv").as("sv"))
+    val scored = exploded.join(broadcast(codebook), Seq("sub_idx"))
+      .select(col(idCol), col("cell"), col("sub_idx"), col("code_id"),
+        sqDist6(col("sv"), col("subvec")).as("d2"))
+    scored.groupBy(col(idCol), col("cell"), col("sub_idx"))
+      .agg(min(struct(col("d2"), col("code_id"))).as("b"))
+      .groupBy(col(idCol), col("cell"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(sub_idx, b.code_id as code))), e -> e.code)")
+          .as("codes"),
+        round(sum("b.d2"), 6).as("err"))
+  }
+
+  /** IVF-PQ ANN search: probe the nProbe closest cells per query
+    * (cosine, [[ivfSearch]]'s rule), form the QUERY RESIDUAL against
+    * each probed cell's centroid, build the per-(query, cell) ADC
+    * lookup table against the residual codebook, and score only the
+    * probed cells' encoded candidates by summed table entries — the
+    * full Jégou IVFADC pipeline. Top-k per query by (adist, cand id).
+    *
+    * Scale shape: the LUT is |queries| * nProbe * m * nCodes rows of
+    * scalars — KBs, broadcast; the corpus side reads ONLY (cell,
+    * codes), joined on (cell, sub_idx, code_id), so like
+    * [[pqAdcSearch]] no original vector is touched, and like
+    * [[ivfSearch]] only probed cells contribute candidates. */
+  def ivfPqSearch(encoded: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, k: Int, nProbe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cent = centroids.select(col(idCol).as("cell"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val qCells = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("cell"), col("cv"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    val wq = Window.partitionBy("query_id").orderBy(desc("sim"), col("cell"))
+    val probed = qCells.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qr"))
+    val lutBase = probed.select(col("query_id"), col("cell"),
+        explode(array((0 until m).map(s => struct(lit(s).as("sub_idx"),
+          slice(col("qr"), s * subDim + 1, subDim).as("qsv"))): _*)).as("e"))
+      .select(col("query_id"), col("cell"),
+        col("e.sub_idx").as("sub_idx"), col("e.qsv").as("qsv"))
+    val lut = lutBase.join(codebook, Seq("sub_idx"))
+      .select(col("query_id"), col("cell"), col("sub_idx"), col("code_id"),
+        sqDist6(col("qsv"), col("subvec")).as("d2"))
+    val expanded = encoded.select(col(idCol).as("cand_id"), col("cell"),
+      posexplode(col("codes")).as(Seq("sub_idx", "code_id")))
+    val dists = expanded.join(broadcast(lut), Seq("cell", "sub_idx", "code_id"))
+      .filter(if (excludeSelf) col("cand_id") =!= col("query_id") else lit(true))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(round(sum("d2"), 6).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("cand_id"))
+    dists.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Matryoshka-style embedding truncation: keep the first `dims`
     * components and L2-renormalize — the cheap first-stage retrieval
     * representation for prefix-trained (MRL-style) embeddings, where

@@ -1743,6 +1743,48 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
+    * target document against a reference bigram LM ([[lmScore]]) and
+    * split each source's documents into head/middle/tail quality
+    * buckets by per-source percentile cutoffs of the LM bits (lower
+    * bits = closer to the reference = "head"). Returns (idCol,
+    * sourceCol, n_bigrams, lm_bits, bucket); documents with no bigram
+    * have no LM score and emit no row ([[lmScore]]'s contract).
+    *
+    * Cutoff fractions default to the QUARTILES (0.25/0.75) rather
+    * than CCNet's thirds: quartile rank indices are exact binary
+    * fractions, so the interpolated cutoffs over integer micro-bits
+    * are bit-identical across engines — 1/3 is not representable and
+    * would park cross-engine ulp noise exactly on the bucket
+    * comparison boundary.
+    *
+    * Scale shape: [[lmScore]]'s hash aggregates, one id-keyed join to
+    * recover the source column, a |sources|-row exact-percentile
+    * aggregate broadcast back, and a narrow bucket compare. The exact
+    * percentile is the only addition beyond lmScore itself; swap
+    * approx_percentile in when per-source cardinality is huge and the
+    * cutoff tolerance allows. */
+  def perplexityBuckets(reference: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, sourceCol: String, alpha: Double = 0.1,
+      loFrac: Double = 0.25, hiFrac: Double = 0.75): DataFrame = {
+    require(loFrac > 0 && hiFrac < 1 && loFrac <= hiFrac,
+      s"need 0 < loFrac <= hiFrac < 1, got $loFrac/$hiFrac")
+    val scores = lmScore(reference, target, idCol, textCol, alpha)
+      .select(col(idCol), col("n_bigrams"),
+        round(col("lm_bits") * lit(1e6), 0).cast("long").as("__micro"))
+    val withSrc = scores.join(
+      target.select(col(idCol), col(sourceCol)), Seq(idCol))
+    val cuts = withSrc.groupBy(sourceCol)
+      .agg(percentile(col("__micro"), lit(loFrac)).as("__lo"),
+        percentile(col("__micro"), lit(hiFrac)).as("__hi"))
+    withSrc.join(broadcast(cuts), Seq(sourceCol))
+      .select(col(idCol), col(sourceCol), col("n_bigrams"),
+        (col("__micro").cast("double") / lit(1e6)).as("lm_bits"),
+        when(col("__micro") <= col("__lo"), lit("head"))
+          .when(col("__micro") > col("__hi"), lit("tail"))
+          .otherwise(lit("middle")).as("bucket"))
+  }
+
   /** Paragraph-level exact dedup across the corpus — the RefinedWeb
     * hygiene pass (Penedo et al. 2023) between document-exact and
     * near-dup dedup: split each document on `sep`, keep only the FIRST

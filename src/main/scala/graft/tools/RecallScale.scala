@@ -75,11 +75,94 @@ object RecallScale {
         "vec_id", "embedding", m = m, subDim = subDim, k = k))
     }
 
+    // IVF-PQ: PQ over RESIDUALS against the trained cells (Jégou
+    // IVFADC) — same code budget as raw PQ at each m, plus the probe
+    // knob; the residual codebook sees only within-cell offsets, which
+    // is where the raw-PQ recall went missing on this corpus.
+    val res = Similarity.ivfResiduals(indexed, centArg, "vec_id", "embedding")
+      .cache()
+    res.count()
+    Seq(4, 8).foreach { m =>
+      val subDim = 64 / m
+      val rcb = Similarity.pqTrainCodebook(res, "vec_id", "res",
+        m = m, subDim = subDim, initIds = 0L until 16L, iterations = 2)
+      val enc = Similarity.ivfPqEncode(res, rcb, "vec_id",
+        m = m, subDim = subDim)
+      Seq(4, 16).foreach { nProbe =>
+        recall(f"ivfpq m=$m np=$nProbe", Similarity.ivfPqSearch(enc, centArg,
+          rcb, queries, "vec_id", "embedding", m = m, subDim = subDim,
+          k = k, nProbe = nProbe))
+      }
+    }
+
     // SQ: one int8 code per dimension — the cheapest compression.
     val stats = Similarity.sqStats(emb, "embedding", dim = 64)
     val codes = Similarity.sqEncode(emb, "vec_id", "embedding", dim = 64)
     recall("sq int8", Similarity.sqSearch(codes, stats, queries,
       "vec_id", "embedding", k))
+
+    // ---- clustered corpus: residual coding's home turf ---------------------
+    // The shipped embeddings are near-uniform random, so residuals
+    // against any centroid are as random as the originals and IVFADC
+    // can only match raw PQ (the table above). REAL embedding corpora
+    // cluster; this section measures both paths on a deterministic
+    // 16-cluster corpus (seeded unit centers, sigma=0.08 offsets) to
+    // show where the residual step pays.
+    {
+      import spark.implicits._
+      val rnd = new scala.util.Random(42)
+      def unitVec(): Array[Double] = {
+        val a = Array.fill(64)(rnd.nextGaussian())
+        val n = math.sqrt(a.map(x => x * x).sum)
+        a.map(_ / n)
+      }
+      val centers = Array.fill(16)(unitVec())
+      val rows = (0 until 2000).map { i =>
+        (i.toLong, centers(i % 16).map(_ + 0.08 * rnd.nextGaussian()))
+      }
+      val cemb = rows.toDF("vec_id", "embedding").cache()
+      cemb.count()
+      val cq = cemb.filter(col("vec_id") < nQueries).cache()
+      val cExact = Similarity.cosineTopK(cemb, cq, "vec_id", "embedding", k)
+        .select(col("query_id"), col("cand_id")).cache()
+      val nCExact = cExact.count()
+      def crecall(label: String, approx: DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val hits = approx.select(col("query_id"), col("cand_id"))
+          .join(cExact, Seq("query_id", "cand_id")).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"RECALL op=$label%-22s k=$k recall=${hits.toDouble / nCExact}%6.3f " +
+          f"wall=$sec%6.2f s")
+      }
+      val ccents = Similarity.kmeansCentroids(cemb, "vec_id", "embedding",
+        initIds = 0L until 16L, iterations = 2)
+      val ccentArg = ccents.select(col("cell").as("vec_id"),
+        col("centroid").as("embedding"))
+      val cindexed = Similarity.ivfAssign(cemb, ccentArg, "vec_id", "embedding")
+        .cache()
+      cindexed.count()
+      val cres = Similarity.ivfResiduals(cindexed, ccentArg,
+        "vec_id", "embedding").cache()
+      cres.count()
+      Seq(4, 8).foreach { m =>
+        val subDim = 64 / m
+        val cb = Similarity.pqTrainCodebook(cemb, "vec_id", "embedding",
+          m = m, subDim = subDim, initIds = 0L until 16L, iterations = 2)
+        val pcodes = Similarity.pqEncode(cemb, cb, "vec_id", "embedding",
+          m = m, subDim = subDim)
+        crecall(s"clustered pq m=$m", Similarity.pqAdcSearch(pcodes, cb,
+          cq, "vec_id", "embedding", m = m, subDim = subDim, k = k))
+        val rcb = Similarity.pqTrainCodebook(cres, "vec_id", "res",
+          m = m, subDim = subDim, initIds = 0L until 16L, iterations = 2)
+        val enc = Similarity.ivfPqEncode(cres, rcb, "vec_id",
+          m = m, subDim = subDim)
+        Seq(4, 16).foreach { nProbe =>
+          crecall(s"clustered ivfpq m=$m np=$nProbe",
+            Similarity.ivfPqSearch(enc, ccentArg, rcb, cq, "vec_id",
+              "embedding", m = m, subDim = subDim, k = k, nProbe = nProbe))
+        }
+      }
+    }
 
     spark.stop()
   }

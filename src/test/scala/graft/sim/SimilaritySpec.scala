@@ -258,4 +258,69 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.length == nCells && a.length < 60,
       s"expected one survivor per sub-cell, got ${a.length} of $nCells cells")
   }
+
+  test("ivfResiduals subtracts the assigned centroid exactly") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0, 0.0)),
+      (2L, Array(0.9, 0.1, 0.0, 0.0)), (3L, Array(0.1, 0.9, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val cents = corpus.filter(col("vec_id") < 2)
+    val indexed = Similarity.ivfAssign(corpus, cents, "vec_id", "embedding")
+    val res = Similarity.ivfResiduals(indexed, cents, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    // vec 2 lands in cell 0 (centroid [1,0,0,0]); residual is exact
+    assert(res(2L) == Seq(0.9 - 1.0, 0.1, 0.0, 0.0))
+    assert(res(3L) == Seq(0.1, 0.9 - 1.0, 0.0, 0.0))
+    // centroid members' residuals are zero
+    assert(res(0L).forall(_ == 0.0) && res(1L).forall(_ == 0.0))
+  }
+
+  test("ivfPqEncode keeps the cell and encodes codebook members to err 0") {
+    val cents = emb.filter(col("vec_id") < 4)
+    val indexed = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+    val res = Similarity.ivfResiduals(indexed, cents, "vec_id", "embedding")
+    val cb = Similarity.pqCodebook(
+      res.filter(col("vec_id") < 16).select(col("vec_id"), col("res")),
+      "vec_id", "res", m = 4, subDim = 16)
+    val enc = Similarity.ivfPqEncode(res, cb, "vec_id", m = 4, subDim = 16)
+    assert(enc.count() == emb.count())
+    // cells survive the encode unchanged
+    val cellsIn = indexed.select("vec_id", "cell")
+    assert(enc.select("vec_id", "cell").exceptAll(cellsIn).count() == 0)
+    // a codebook-source vector's own residual is a codeword: err == 0
+    // (codes need not be the own id — the four centroid members all
+    // have the zero residual, so their d2 ties break to the smallest
+    // of the tied codes)
+    val own = enc.filter(col("vec_id") < 16).collect()
+    assert(own.forall(_.getDouble(3) == 0.0),
+      "codebook members must encode losslessly")
+    assert(own.forall(r => r.getSeq[Long](2).forall(c => c >= 0L && c < 16L)))
+  }
+
+  test("ivfPqSearch scores only candidates in probed cells; full probe ranks sanely") {
+    val cents = emb.filter(col("vec_id") < 4)
+    val queries = emb.filter(col("vec_id") === 10)
+    val indexed = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+    val res = Similarity.ivfResiduals(indexed, cents, "vec_id", "embedding")
+    val cb = Similarity.pqCodebook(
+      res.filter(col("vec_id") < 16).select(col("vec_id"), col("res")),
+      "vec_id", "res", m = 4, subDim = 16)
+    val enc = Similarity.ivfPqEncode(res, cb, "vec_id", m = 4, subDim = 16)
+    val one = Similarity.ivfPqSearch(enc, cents, cb, queries, "vec_id",
+      "embedding", m = 4, subDim = 16, k = 1000, nProbe = 1)
+    // nProbe=1: every candidate inhabits the query's single probed cell
+    val probedCells = one.join(enc.select(col("vec_id").as("cand_id"),
+      col("cell")), "cand_id").select("cell").distinct().count()
+    assert(probedCells == 1L)
+    // full probing: the ADC top-10 overlaps the exact cosine top-10
+    // (unit-norm corpus, so L2 and cosine rank compatibly)
+    val full = Similarity.ivfPqSearch(enc, cents, cb, queries, "vec_id",
+      "embedding", m = 4, subDim = 16, k = 10, nProbe = 4)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 10)
+    val hits = full.select("query_id", "cand_id")
+      .join(exact.select("query_id", "cand_id"), Seq("query_id", "cand_id"))
+      .count()
+    assert(hits >= 3, s"ivfpq full-probe top-10 shares only $hits with exact")
+  }
 }

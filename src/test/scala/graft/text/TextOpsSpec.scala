@@ -598,6 +598,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pruned.head.getInt(4) == 1)
   }
 
+  test("perplexityBuckets orders head <= middle <= tail within every source") {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    assume(new java.io.File(s"$dir/documents.parquet").exists)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val b = TextOps.perplexityBuckets(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") < 250),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 250),
+      "doc_id", "text", "source").cache()
+    val bySource = b.collect()
+      .groupBy(_.getString(1))
+      .view.mapValues(_.map(r => (r.getString(4), r.getDouble(3))))
+    bySource.foreach { case (src, rows) =>
+      val head = rows.filter(_._1 == "head").map(_._2)
+      val mid = rows.filter(_._1 == "middle").map(_._2)
+      val tail = rows.filter(_._1 == "tail").map(_._2)
+      // quartile cutoffs: every bucket populated at this corpus size,
+      // and the bits ordering is total across buckets
+      assert(head.nonEmpty && mid.nonEmpty && tail.nonEmpty, s"source $src")
+      assert(head.max <= mid.min, s"source $src head/middle overlap")
+      assert(mid.max <= tail.min, s"source $src middle/tail overlap")
+      // quartiles: head and tail each hold no more than ~30% of docs
+      val n = rows.length.toDouble
+      assert(head.length <= n * 0.35 && tail.length <= n * 0.35, s"source $src")
+    }
+    b.unpersist()
+  }
+
   test("dedupParagraphs keeps the first (doc, pos) occurrence corpus-wide") {
     import spark.implicits._
     val docs = Seq(
