@@ -518,6 +518,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // embedding outlier flags: squared residual distance to the
+    // assigned (vec_id<4) centroid, per-cell mean/variance from exact
+    // integer micro-unit sums, z=1.5 sigma tail test with no sqrt —
+    // corrupt-vector hygiene before ANN indexing / SemDeDup
+    "t69_embedding_outliers" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 4)
+      graft.sim.Similarity.embeddingOutliers(emb, cents, "vec_id",
+          "embedding", z = 1.5)
+        .orderBy("vec_id")
+    }),
+
     // CCNet perplexity bucketing over t40's reference/target split:
     // per-source quartile cutoffs of the micro-bit LM scores (exact
     // binary fractions -> bit-identical interpolation both engines),
@@ -1151,26 +1163,35 @@ object TextQueries {
     * Dot kernel), id-prefix residual codebook, 6-dp squared-L2
     * encode (PQ_SQL's rule with cell carried), per-(query, probed
     * cell) residual LUT, summed ADC distances, top-5. */
-  private val IVFPQ_SQL: String = {
-    def resList(a: String, b: String) =
-      s"list_transform(range(64), i -> $a[CAST(i AS INT)+1] - $b[CAST(i AS INT)+1])"
-    def d2(a: String, b: String) =
-      s"""ROUND(list_dot_product($a, $a) - 2.0*list_dot_product($a, $b)
-         + list_dot_product($b, $b), 6) + 0.0"""
-    def cos(a: String, b: String) =
-      s"""list_dot_product($a, $b) /
-         (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
-    s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private def resList(a: String, b: String) =
+    s"list_transform(range(64), i -> $a[CAST(i AS INT)+1] - $b[CAST(i AS INT)+1])"
+  private def cosSql(a: String, b: String) =
+    s"""list_dot_product($a, $b) /
+       (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
+
+  /** Shared CTE block for t67/t69: 4-dp cosine IVF assignment against
+    * the vec_id<4 centroids (t11's rule) + residual lists (the SAME
+    * materialize-then-dot association as Spark's zip_with + Dot
+    * kernel). */
+  private lazy val IVF_RES_CTES: String =
+    s"""d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        cent AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 4),
        sc AS (SELECT d.vec_id, d.v, cell, cv,
-               ROUND(${cos("v", "cv")}, 4) AS sim
+               ROUND(${cosSql("v", "cv")}, 4) AS sim
               FROM d, cent),
        idx AS (SELECT vec_id, v, cell, cv FROM (
                SELECT vec_id, v, cell, cv,
                  ROW_NUMBER() OVER (PARTITION BY vec_id
                    ORDER BY sim DESC, cell) AS rn
                FROM sc) WHERE rn = 1),
-       res AS (SELECT vec_id, cell, ${resList("v", "cv")} AS r FROM idx),
+       res AS (SELECT vec_id, cell, ${resList("v", "cv")} AS r FROM idx)"""
+
+  private val IVFPQ_SQL: String = {
+    def d2(a: String, b: String) =
+      s"""ROUND(list_dot_product($a, $a) - 2.0*list_dot_product($a, $b)
+         + list_dot_product($b, $b), 6) + 0.0"""
+    val cos = cosSql _
+    s"""WITH $IVF_RES_CTES,
        ss AS (SELECT unnest([0,1,2,3]) AS sub_idx),
        rsub AS (SELECT vec_id, cell, sub_idx,
                  list_slice(r, sub_idx*16+1, sub_idx*16+16) AS sv
@@ -2270,6 +2291,23 @@ object TextQueries {
     "t65_paragraph_dedup" -> PARAGRAPH_DEDUP_SQL,
     "t66_pii_redact" -> PII_REDACT_SQL,
     "t67_ivfpq_search" -> IVFPQ_SQL,
+    // shared assign/residual CTEs with t67; stats from exact integer
+    // sums (BIGINT squares fit: dm <= 4e6 -> dm^2 <= 1.6e13; DuckDB
+    // sums BIGINT into HUGEINT), double conversion once, z^2 = 2.25
+    "t69_embedding_outliers" ->
+      s"""WITH $IVF_RES_CTES,
+         dd AS (SELECT vec_id, cell,
+             CAST(ROUND(ROUND(list_dot_product(r, r), 6) * 1000000.0, 0)
+               AS BIGINT) AS dm
+           FROM res),
+         st AS (SELECT cell, COUNT(*)::DOUBLE AS n, SUM(dm)::DOUBLE AS s,
+             SUM(dm*dm)::DOUBLE AS ss
+           FROM dd GROUP BY cell)
+         SELECT vec_id, cell, dm::DOUBLE / 1000000.0 AS d2,
+           ((dm::DOUBLE - s/n) > 0 AND
+            (dm::DOUBLE - s/n)*(dm::DOUBLE - s/n) >
+              2.25*(ss/n - (s/n)*(s/n))) AS is_outlier
+         FROM dd JOIN st USING (cell) ORDER BY vec_id""",
     "t34_pq_adc" ->
       s"""WITH $PQ_SQL,
          q AS (SELECT vec_id AS query_id, sub_idx, sv AS qsv FROM sub

@@ -558,6 +558,48 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Embedding outlier detection — the corrupt-vector hygiene pass a
+    * large embedding corpus needs before ANN indexing or SemDeDup: a
+    * vector whose squared distance to its IVF centroid sits more than
+    * `z` standard deviations ABOVE its cell's mean is flagged (encoder
+    * failures, zero/garbage vectors, wrong-modality rows all land in
+    * the far tail of their cell). Returns (idCol, cell, d2,
+    * is_outlier).
+    *
+    * Determinism: per-vector d2 is 6-dp rounded into integer
+    * micro-units; cell mean/variance come from EXACT integer sums
+    * (decimal accumulation — a long sum of squared micro-units
+    * overflows at corpus scale) converted to double once, and the
+    * z-test compares (d2-mean)^2 > z^2 * var with dev > 0 — no sqrt,
+    * no builtin stddev (whose engine-specific accumulation would put
+    * ulp noise on the flag boundary).
+    *
+    * Scale shape: [[ivfAssign]] + [[ivfResiduals]] (broadcast
+    * centroids, narrow), one |cells|-row stats aggregate broadcast
+    * back, one narrow compare. No corpus shuffle beyond the stats
+    * hash agg. */
+  def embeddingOutliers(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, z: Double = 2.0): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val indexed = ivfAssign(corpus, centroids, idCol, vecCol)
+    val res = ivfResiduals(indexed, centroids, idCol, vecCol)
+    val d = res.select(col(idCol), col("cell"),
+      round(round(dot(col("res"), col("res")), 6) * lit(1e6), 0)
+        .cast("long").as("__d"))
+    val dec = col("__d").cast("decimal(38,0)")
+    val stats = d.groupBy("cell").agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(dec).cast("double").as("__s"),
+      sum(dec * dec).cast("double").as("__ss"))
+    val mean = col("__s") / col("__n")
+    val variance = col("__ss") / col("__n") - mean * mean
+    val dev = col("__d").cast("double") - mean
+    d.join(broadcast(stats), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        (col("__d").cast("double") / lit(1e6)).as("d2"),
+        (dev > 0 && dev * dev > lit(z * z) * variance).as("is_outlier"))
+  }
+
   /** Matryoshka-style embedding truncation: keep the first `dims`
     * components and L2-renormalize — the cheap first-stage retrieval
     * representation for prefix-trained (MRL-style) embeddings, where

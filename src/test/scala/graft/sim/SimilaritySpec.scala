@@ -259,6 +259,23 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected one survivor per sub-cell, got ${a.length} of $nCells cells")
   }
 
+  test("embeddingOutliers flags the far tail of a cell, not its bulk") {
+    import spark.implicits._
+    // one tight cluster around e1 + a single corrupt far vector that
+    // still lands in the same cell (nearest of the two centroids)
+    val corpus = (Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0, 0.0))) ++
+      (2L to 20L).map(i => (i, Array(1.0, 0.001 * i, 0.0, 0.0))) :+
+      ((21L, Array(0.3, 0.3, 0.1, 0.9)))).toDF("vec_id", "embedding")
+    val cents = corpus.filter(col("vec_id") < 2)
+    val out = Similarity.embeddingOutliers(corpus, cents, "vec_id",
+        "embedding", z = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(21L), "the corrupt vector must be flagged")
+    assert((2L to 20L).forall(i => !out(i)), "cluster bulk must pass")
+    assert(!out(0L) && !out(1L), "centroid members must pass")
+  }
+
   test("ivfResiduals subtracts the assigned centroid exactly") {
     import spark.implicits._
     val corpus = Seq(

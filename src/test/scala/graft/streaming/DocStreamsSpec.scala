@@ -65,6 +65,35 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("redactPii composes with a stream, matching batch") {
+    // PII redaction is a pure narrow regexp cascade, so the SAME
+    // library call runs unchanged at ingest time — and ingest is where
+    // PII scrubbing belongs: the raw text never lands downstream.
+    val schema = docsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      graft.text.PiiOps.redactPii(
+        df.withColumn("text", concat(col("text"),
+          lit(" mail u"), col("doc_id").cast("string"),
+          lit("@x.org ip 10.1.2."), (col("doc_id") % 256).cast("string"))),
+        "doc_id", "text")
+    val q = pipeline(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pii_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("pii_stream")
+    val batch = pipeline(docsBatch)
+    assert(streamed.count() == docsBatch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // every planted email/ip is gone from the streamed output
+    assert(spark.table("pii_stream")
+      .filter(col("text_redacted").rlike(graft.text.PiiOps.EmailPattern) ||
+        col("text_redacted").rlike(graft.text.PiiOps.Ipv4Pattern))
+      .count() == 0)
+  }
+
   test("chunkDocuments composes with a stream, matching batch") {
     // Chunking is a stateless narrow map (tokenize -> explode -> slice),
     // so the SAME call runs unchanged on a streaming frame in append
