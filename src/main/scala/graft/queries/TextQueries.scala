@@ -518,6 +518,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // quality-proportional soft sampling: keep probability = the
+    // distinct-token ratio (a real quality proxy already oracled in
+    // t02), decided by the "q:"-salted uniform id-hash
+    "t70_quality_sample" -> ((s, dir) => {
+      val stats = TextOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          (col("n_distinct").cast("double") / col("n_tokens")).as("p"))
+      TextOps.qualitySample(stats, "doc_id", "p")
+        .orderBy("doc_id")
+    }),
+
     // embedding outlier flags: squared residual distance to the
     // assigned (vec_id<4) centroid, per-cell mean/variance from exact
     // integer micro-unit sums, z=1.5 sigma tail test with no sqrt —
@@ -2291,6 +2302,19 @@ object TextQueries {
     "t65_paragraph_dedup" -> PARAGRAPH_DEDUP_SQL,
     "t66_pii_redact" -> PII_REDACT_SQL,
     "t67_ivfpq_search" -> IVFPQ_SQL,
+    // soft-sampling mirror: t02's token frame for the keep
+    // probability, t23's u-hash with the "q:" salt
+    "t70_quality_sample" -> {
+      val denom = math.pow(16.0, 15)
+      s"""WITH tk AS (SELECT doc_id, len(w) AS nt,
+             len(list_distinct(w)) AS nd FROM ($TOKS_SQL)),
+         p AS (SELECT doc_id, nd::DOUBLE / nt AS p FROM tk)
+         SELECT doc_id, p FROM p
+         WHERE ('0x' || substr(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+               / ($denom::DOUBLE)
+             < GREATEST(0.0::DOUBLE, LEAST(1.0::DOUBLE, COALESCE(p, 0.0)))
+         ORDER BY doc_id"""
+    },
     // shared assign/residual CTEs with t67; stats from exact integer
     // sums (BIGINT squares fit: dm <= 4e6 -> dm^2 <= 1.6e13; DuckDB
     // sums BIGINT into HUGEINT), double conversion once, z^2 = 2.25

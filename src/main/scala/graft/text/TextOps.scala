@@ -847,6 +847,28 @@ object TextOps {
     df.filter(u < rateCase(sourceCol, rates, defaultRate))
   }
 
+  /** Quality-proportional (soft) sampling — the FineWeb-Edu-style
+    * alternative to a hard classifier cut: keep each document with
+    * probability `probCol` (clamped to [0, 1]; null drops the row),
+    * decided by a "q:"-salted deterministic uniform id-hash
+    * ([[mixtureSample]]'s mechanism, per-document probabilities
+    * instead of per-source rates). Soft filtering keeps a stake for
+    * every quality stratum — a 0.4-scored document survives 40% of
+    * the time rather than dying at a 0.5 threshold — while still
+    * tilting the corpus toward quality; feed it a classifier score
+    * ([[graft.text.Classifier]]), a [[langQuality]] ratio, or any
+    * 0..1 signal. Scale shape: one narrow filter — no shuffle, no RNG
+    * state, reproducible across runs, engines and partitionings. */
+  def qualitySample(df: DataFrame, idCol: String, probCol: String): DataFrame = {
+    val u = md5Hash60(concat(lit("q:"), col(idCol).cast("string")))
+      .cast("double") / math.pow(16.0, 15)
+    // coalesce BEFORE the clamp: Spark's least/greatest skip nulls, so
+    // least(1.0, null) is 1.0 and a bare clamp would KEEP null-scored
+    // rows instead of dropping them
+    df.filter(u <
+      greatest(lit(0.0), least(lit(1.0), coalesce(col(probCol), lit(0.0)))))
+  }
+
   /** [[mixtureSample]] generalized to epoch-style weights that may
     * EXCEED 1 — the standard training-mixture shape (Pile/LLaMA-style
     * source weights): a document with rate r appears floor(r) times,

@@ -598,6 +598,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pruned.head.getInt(4) == 1)
   }
 
+  test("qualitySample keeps by clamped probability, deterministically") {
+    import spark.implicits._
+    val n = 1000L
+    def docs(p: Double) = (0L until n).map(i => (i, p)).toDF("doc_id", "p")
+    def kept(p: Double) = TextOps.qualitySample(docs(p), "doc_id", "p").count()
+    assert(kept(1.0) == n && kept(0.0) == 0L)
+    // clamping: out-of-range probabilities behave as their clamp
+    assert(kept(2.0) == n && kept(-1.0) == 0L)
+    // p=0.5 keeps about half (hash-uniform), and the same half each run
+    val half = kept(0.5)
+    assert(half > 400 && half < 600, s"got $half of $n at p=0.5")
+    val a = TextOps.qualitySample(docs(0.5), "doc_id", "p")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = TextOps.qualitySample(docs(0.5), "doc_id", "p")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+    // null probability drops the row
+    val withNull = Seq((1L, Some(1.0)), (2L, None)).toDF("doc_id", "p")
+    assert(TextOps.qualitySample(withNull, "doc_id", "p")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a higher-p doc set strictly contains the lower-p keeps (monotone)
+    val k3 = TextOps.qualitySample(docs(0.3), "doc_id", "p")
+      .collect().map(_.getLong(0)).toSet
+    val k7 = TextOps.qualitySample(docs(0.7), "doc_id", "p")
+      .collect().map(_.getLong(0)).toSet
+    assert(k3.subsetOf(k7))
+  }
+
   test("perplexityBuckets orders head <= middle <= tail within every source") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     assume(new java.io.File(s"$dir/documents.parquet").exists)
