@@ -117,6 +117,19 @@ object DedupScale {
         "doc_id", "source", alpha = 0.5).count()
       Similarity.cellBalancedSample(emb0, "vec_id", "embedding",
         initIds = Seq(0L, 1L, 2L, 3L), iterations = 2, perCell = 100).count()
+      // round-9 tracks
+      TextOps.dedupParagraphs(docs0.withColumn("text",
+        regexp_replace(col("text"), " the ", "\n\n")), "doc_id", "text").count()
+      graft.text.PiiOps.redactPii(docs0, "doc_id", "text").count()
+      locally {
+        val cents = emb0.filter(col("vec_id") < 4)
+        val indexed = Similarity.ivfAssign(emb0, cents, "vec_id", "embedding")
+        val res = Similarity.ivfResiduals(indexed, cents, "vec_id", "embedding")
+        val rcb = Similarity.pqCodebook(res.filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("res")), "vec_id", "res", 4, 16)
+        Similarity.ivfPqEncode(res, rcb, "vec_id", 4, 16).count()
+        Similarity.embeddingOutliers(emb0, cents, "vec_id", "embedding").count()
+      }
     }
 
     copies.foreach { k =>
@@ -200,6 +213,45 @@ object DedupScale {
         Similarity.cellBalancedSample(emb, "vec_id", "embedding",
           initIds = Seq(0L, 1L, 2L, 3L), iterations = 2,
           perCell = 100).count()
+      }
+      // Round-9 operators. Paragraph dedup mirrors segdedup's shape
+      // (one min-struct hash agg + join back — growth must track the
+      // paragraph count); PII redaction is a pure narrow regexp map
+      // (expected ~flat shuffle, wall ∝ bytes); perplexity buckets are
+      // lmScore's aggs + a |sources|-row percentile; the IVF-PQ pair
+      // adds only the residual projection to the PQ rows' shape; the
+      // outlier flag is a |cells|-row stats agg + narrow compare.
+      val pdocs = docs.withColumn("text",
+        regexp_replace(col("text"), " the ", "\n\n")).localCheckpoint()
+      measure("para_dedup", nD) {
+        TextOps.dedupParagraphs(pdocs, "doc_id", "text").count()
+      }
+      measure("pii_redact", nD) {
+        graft.text.PiiOps.redactPii(docs, "doc_id", "text").count()
+      }
+      measure("ppl_buckets", nD) {
+        TextOps.perplexityBuckets(docs.filter(col("doc_id") % 4 === 0),
+          srcDocs.filter(col("doc_id") % 4 =!= 0),
+          "doc_id", "text", "source").count()
+      }
+      val icents = emb.filter(col("vec_id") < 4)
+      val res = Similarity.ivfResiduals(
+        Similarity.ivfAssign(emb, icents, "vec_id", "embedding"),
+        icents, "vec_id", "embedding").localCheckpoint()
+      val rcb = Similarity.pqCodebook(res.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("res")), "vec_id", "res", 4, 16)
+      measure("ivfpq_encode", nE) {
+        Similarity.ivfPqEncode(res, rcb, "vec_id", 4, 16).count()
+      }
+      val ivfCodes = Similarity.ivfPqEncode(res, rcb, "vec_id", 4, 16)
+        .localCheckpoint()
+      measure("ivfpq_adc", nE) {
+        Similarity.ivfPqSearch(ivfCodes, icents, rcb,
+          emb.filter(col("vec_id") >= 16 && col("vec_id") < 19),
+          "vec_id", "embedding", 4, 16, k = 5, nProbe = 2).count()
+      }
+      measure("emb_outliers", nE) {
+        Similarity.embeddingOutliers(emb, icents, "vec_id", "embedding").count()
       }
     }
     spark.stop()
