@@ -158,6 +158,103 @@ object DocStreams {
         col("ts").as(eventTimeCol))
   }
 
+  /** One exploded paragraph row for [[scrubParagraphs]]: key = md5 of
+    * the trimmed paragraph (bounds state-key size; a 128-bit collision
+    * is negligible at any corpus scale). */
+  case class ParRow(key: String, ts: java.sql.Timestamp, id: Long,
+      pos: Int, par: String)
+
+  /** Per-paragraph verdict: the input row plus whether THIS occurrence
+    * holds the corpus-wide first claim. */
+  case class ParOut(ts: java.sql.Timestamp, id: Long, pos: Int,
+      par: String, kept: Boolean)
+
+  /** Paragraph-claim state for [[scrubParagraphs]]: the first (ts, id,
+    * pos) occurrence of a paragraph claims it and is kept; every later
+    * occurrence — same batch or later — is emitted kept=false. Claims
+    * expire `horizonMs` after their event time ([[BucketClaimProcessor]]'s
+    * memory shape: state ~ the horizon's distinct-paragraph count). */
+  private class ParagraphClaimProcessor(horizonMs: Long)
+      extends StatefulProcessor[String, ParRow, ParOut] {
+    @transient private var claim: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      claim = getHandle.getValueState[Long]("claim", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[ParRow],
+        timers: TimerValues): Iterator[ParOut] = {
+      val rs = rows.toSeq
+      if (rs.isEmpty) Iterator.empty
+      else if (claim.exists())
+        rs.iterator.map(r => ParOut(r.ts, r.id, r.pos, r.par, kept = false))
+      else {
+        val first = rs.minBy(r => (r.ts.getTime, r.id, r.pos))
+        claim.update(first.ts.getTime)
+        getHandle.registerTimer(first.ts.getTime + horizonMs)
+        rs.iterator.map(r => ParOut(r.ts, r.id, r.pos, r.par,
+          kept = r.ts.getTime == first.ts.getTime && r.id == first.id &&
+            r.pos == first.pos))
+      }
+    }
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ParOut] = {
+      claim.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Online paragraph-level exact dedup — the streaming twin of
+    * [[graft.text.TextOps.dedupParagraphs]] for scrubbing boilerplate
+    * at ingest: each document's paragraphs claim their first-occurrence
+    * slots; paragraphs already claimed inside the horizon (by an
+    * earlier document OR an earlier position of this one) are removed,
+    * and the document is re-emitted from its surviving paragraphs once
+    * the watermark passes its event time. Output matches the batch
+    * operator — (idCol, n_paragraphs, n_kept, text_dedup) — plus the
+    * event-time column; documents with no non-empty paragraph emit no
+    * row.
+    *
+    * Batch-parity contract: first-claim-wins IS the batch rule, so
+    * with arrival order consistent with (ts, id) the streamed output
+    * equals the batch frame exactly (no bridging caveat — unlike
+    * [[dedupByMinhash]], paragraph identity is not transitive). State
+    * is one claim per distinct paragraph in the horizon, evicted by
+    * event-time timers; the reassembly aggregation is
+    * watermark-bounded the same way. Requires the RocksDB state store
+    * provider (transformWithState backend). */
+  def scrubParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      eventTimeCol: String, sep: String = "\n\n",
+      watermark: String = "2 hours",
+      claimHorizonMs: Long = 2L * 3600 * 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"),
+        col(eventTimeCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+    val pars = base
+      .select(col("id"), col("ts"),
+        posexplode(split(coalesce(col("text"), lit("")),
+          java.util.regex.Pattern.quote(sep))))
+      .select(md5(trim(col("col"))).as("key"), col("ts"), col("id"),
+        col("pos"), trim(col("col")).as("par"))
+      .filter(col("par") =!= "")
+      .as[ParRow]
+    val verdicts = pars.groupByKey(_.key)
+      .transformWithState(new ParagraphClaimProcessor(claimHorizonMs),
+        "ts", OutputMode.Append())
+    verdicts.toDF()
+      .groupBy(col("ts"), col("id"))
+      .agg(count(lit(1)).as("n_paragraphs"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        concat_ws(sep,
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("pos"), col("par"))))),
+            s => s.getField("par"))).as("text_dedup"))
+      .select(col("id").as(idCol), col("n_paragraphs"), col("n_kept"),
+        col("text_dedup"), col("ts").as(eventTimeCol))
+  }
+
   /** Streaming test-set decontamination: drop any incoming document
     * sharing at least one n-word shingle with the static benchmark
     * frame — the streaming twin of [[graft.text.TextOps.decontaminate]].

@@ -196,6 +196,79 @@ class DocStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming paragraph scrub matches batch dedupParagraphs exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    withRocksDb {
+      // shared pool + unique paragraphs: cross-doc dups, within-doc
+      // dups, and an all-dup doc — the full batch-semantics surface
+      val pool = (0 until 6).map(i => s"shared paragraph $i about spark")
+      val corpus = (0L until 40L).map { i =>
+        val own = s"doc $i unique notes"
+        val ps = Seq(pool((i % 6).toInt), pool(((i * 3 + 1) % 6).toInt),
+          own, pool(((i * 7 + 2) % 6).toInt))
+        (i, ps.mkString("\n\n"))
+      }
+      val docs = corpus.toDF("doc_id", "text")
+      val want = TextOps.dedupParagraphs(docs, "doc_id", "text")
+
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val stream = in.toDF.toDF("doc_id", "text", "ingest_time")
+      val q = DocStreams.scrubParagraphs(stream, "doc_id", "text", "ingest_time")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("para_scrub").start()
+      in.addData(corpus.map { case (id, text) => (id, text, ts(id)) })
+      q.processAllAvailable()
+      in.addData((999999L, "sentinel", ts(86400L * 2)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("para_scrub")
+        .filter(col("doc_id") =!= 999999L)
+        .drop("ingest_time")
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        "stream/batch paragraph scrub mismatch")
+    }
+  }
+
+  test("paragraph claims expire with the horizon; re-arrivals keep again") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    withRocksDb {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val stream = in.toDF.toDF("doc_id", "text", "ingest_time")
+      // 1-minute claim horizon and watermark
+      val q = DocStreams.scrubParagraphs(stream, "doc_id", "text",
+          "ingest_time", watermark = "1 minute", claimHorizonMs = 60000L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("para_expire").start()
+      def step(rows: (Long, String, java.sql.Timestamp)*): Unit = {
+        in.addData(rows); q.processAllAvailable()
+      }
+      // doc 1 claims "boiler"; doc 2 (5s later) loses it
+      step((1L, "boiler\n\nalpha", ts(0)), (2L, "boiler\n\nbeta", ts(5)))
+      // filler advances the watermark past ts(60), firing the expiry
+      // timer BEFORE doc 3's batch (timers fire on watermark progress,
+      // not wall clock)
+      step((10L, "filler only", ts(300)))
+      // doc 3 arrives after the horizon: the claim expired, keeps again
+      step((3L, "boiler\n\ngamma", ts(600)))
+      step((999L, "sentinel", ts(7200)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("para_expire")
+        .filter(col("doc_id") =!= 999L)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(got(1L) == "boiler\n\nalpha")
+      assert(got(2L) == "beta", "doc 2 must lose the live claim")
+      assert(got(3L) == "boiler\n\ngamma", "expired claim must free the paragraph")
+    }
+  }
+
   test("MinHash claims expire with the horizon; re-arrivals survive again") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
