@@ -518,6 +518,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // feature-hashed text embeddings: the model-free text -> vector
+    // path (hashing trick over bigrams, signed counts, L2-normalized
+    // micro-units) that feeds the similarity stack directly
+    "t71_hash_embed" -> ((s, dir) => {
+      TextOps.hashEmbed(t(s, dir, "documents"), "doc_id", "text",
+          dim = 16, shingleWords = 2)
+        .select(col("doc_id"),
+          concat_ws(",", col("emb").cast("array<string>")).as("emb"),
+          col("norm"))
+        .orderBy("doc_id")
+    }),
+
     // quality-proportional soft sampling: keep probability = the
     // distinct-token ratio (a real quality proxy already oracled in
     // t02), decided by the "q:"-salted uniform id-hash
@@ -2302,6 +2314,31 @@ object TextQueries {
     "t65_paragraph_dedup" -> PARAGRAPH_DEDUP_SQL,
     "t66_pii_redact" -> PII_REDACT_SQL,
     "t67_ivfpq_search" -> IVFPQ_SQL,
+    // hashing-trick mirror: same salted md5 bucket/sign arithmetic,
+    // exact integer sum-of-squares norm, same /norm*1e6 micro rounding
+    "t71_hash_embed" ->
+      s"""WITH bg AS ($BIGRAMS_SQL),
+         hb AS (SELECT doc_id,
+             ('0x' || substr(md5('he:' || sh), 1, 15))::BIGINT % 16 AS b,
+             (('0x' || substr(md5('hs:' || sh), 1, 15))::BIGINT % 2) * 2 - 1 AS s
+           FROM bg),
+         sums AS (SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v
+           FROM hb GROUP BY 1, 2),
+         grid AS (SELECT doc_id, unnest(range(16)) AS i
+           FROM (SELECT DISTINCT doc_id FROM sums)),
+         dense AS (SELECT g.doc_id, g.i, COALESCE(s.v, 0) AS v
+           FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.i),
+         nrm AS (SELECT doc_id, ROUND(sqrt(CAST(SUM(v*v) AS DOUBLE)), 6) + 0.0
+             AS norm
+           FROM dense GROUP BY doc_id)
+         SELECT de.doc_id,
+           array_to_string(list(
+             CAST(ROUND(de.v::DOUBLE / n.norm * 1000000.0, 0) AS BIGINT)
+             ORDER BY de.i), ',') AS emb,
+           n.norm
+         FROM dense de JOIN nrm n USING (doc_id)
+         WHERE n.norm > 0
+         GROUP BY de.doc_id, n.norm ORDER BY de.doc_id""",
     // soft-sampling mirror: t02's token frame for the keep
     // probability, t23's u-hash with the "q:" salt
     "t70_quality_sample" -> {

@@ -1765,6 +1765,51 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Feature-hashed text embeddings (Weinberger et al. 2009's hashing
+    * trick over n-word shingles): each shingle lands in bucket
+    * md5-hash mod `dim` with a +-1 sign from an independently salted
+    * hash, per-bucket signed counts form the raw vector, and the
+    * output is L2-normalized into integer micro-units
+    * ([[graft.sim.Similarity.truncateEmbeddings]]'s encoding, so the
+    * result is exactly comparable across engines). The in-engine
+    * text -> vector path that lets the whole similarity stack (cosine
+    * top-k, IVF, PQ, SemDeDup, outlier flags) run on raw text with no
+    * external encoder — a deterministic, model-free baseline
+    * embedding. Returns (idCol, emb array<long> micro-units, norm);
+    * documents with no shingle emit no row.
+    *
+    * Scale shape: one shingle explode -> (id, bucket) hash aggregate
+    * (map-side combine) -> per-id dense-assembly aggregate (dim
+    * entries max per doc) -> narrow normalize. No corpus-width
+    * shuffle beyond the two keyed aggs; dim is a constant. */
+  def hashEmbed(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64, shingleWords: Int = 2): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val bucket = pmod(md5Hash60(concat(lit("he:"), col("sh"))), lit(dim.toLong))
+    val sign = pmod(md5Hash60(concat(lit("hs:"), col("sh"))), lit(2L))
+      .cast("long") * 2L - 1L
+    val sums = explodedShingles(df, idCol, textCol, shingleWords)
+      .select(col(idCol), bucket.as("__b"), sign.as("__s"))
+      .groupBy(col(idCol), col("__b")).agg(sum("__s").as("__v"))
+    val raw = sums.groupBy(idCol)
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__v"))))
+        .as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit(dim.toLong - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L))).as("__raw"))
+    val norm = round(
+      sqrt(aggregate(col("__raw"), lit(0L), (a, x) => a + x * x)
+        .cast("double")), 6)
+    raw.select(col(idCol),
+        col("__raw"), norm.as("norm"))
+      .filter(col("norm") > 0)
+      .select(col(idCol),
+        transform(col("__raw"),
+          x => round(x.cast("double") / col("norm") * lit(1e6), 0)
+            .cast("long")).as("emb"),
+        col("norm"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
     * target document against a reference bigram LM ([[lmScore]]) and
     * split each source's documents into head/middle/tail quality

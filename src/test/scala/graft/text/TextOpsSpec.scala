@@ -598,6 +598,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pruned.head.getInt(4) == 1)
   }
 
+  test("hashEmbed emits unit vectors where similar text lands closer") {
+    import spark.implicits._
+    val a = (0 until 30).map(w => s"alpha tok${w % 9} body").mkString(" ")
+    val docs = Seq(
+      (1L, a), (2L, a + " tail"),                      // near-identical pair
+      (3L, (0 until 30).map(w => s"zeta u${w * 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val emb = TextOps.hashEmbed(docs, "doc_id", "text", dim = 32)
+    val rows = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1).map(_.toDouble)).toMap
+    assert(rows.size == 3)
+    // micro-unit encoding: ||v|| ~ 1e6 within rounding slack
+    rows.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1e6) < 100, s"norm $n drifted from 1e6")
+    }
+    def cos(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (a, b) => a * b }.sum /
+        (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    val near = cos(rows(1L), rows(2L))
+    val far = cos(rows(1L), rows(3L))
+    assert(near > 0.9, s"near-identical docs cosine $near")
+    assert(far < near - 0.3, s"disjoint-vocab cosine $far vs near $near")
+    // the output feeds the similarity stack directly (micro-unit longs
+    // cast like any embedding column): exact top-1 for doc 1 is doc 2
+    val embCol = emb.withColumnRenamed("emb", "embedding")
+    val top = graft.sim.Similarity.cosineTopK(embCol,
+      embCol.filter(org.apache.spark.sql.functions.col("doc_id") === 1),
+      "doc_id", "embedding", k = 1).collect()
+    assert(top.head.getLong(1) == 2L)
+  }
+
   test("qualitySample keeps by clamped probability, deterministically") {
     import spark.implicits._
     val n = 1000L
