@@ -1474,6 +1474,43 @@ object Media {
     }(enc)
   }
 
+  /** Image near-duplicate pairs — the multimodal twin of
+    * [[graft.text.TextOps.simhashNearDupPairs]]: 64-bit average-hash
+    * fingerprints ([[imageHash]], real decoded pixels) band-bucketed
+    * into 4 x 16-bit bands (pigeonhole: every pair within Hamming
+    * distance 3 shares at least one band; raising `maxHamming` above 3
+    * trades recall exactly like text SimHash), then an exact
+    * bit_count(xor) verify per candidate. Returns (a_id, b_id,
+    * hamming) with hamming <= maxHamming; undecodable payloads (null
+    * hash) never pair. Cluster + drop survivors by feeding the pairs
+    * to [[graft.text.TextOps.nearDupClusters]] /
+    * `dropNearDuplicates` — the same CC machinery as text.
+    *
+    * Scale shape: per-partition decode (the imageHash map), then a
+    * banded candidate join — never all-pairs; the signature frame is
+    * materialized once (it is referenced four times below). */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = imageHash(media).filter(col("ahash").isNotNull)
+      .localCheckpoint()
+    val bands = sigs.select(col("media_id"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * 16).bitwiseAND(0xffffL).as("v"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("bk.band"), col("bk.v"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"))
+      .distinct()
+    val sa = sigs.select(col("media_id").as("a_id"), col("ahash").as("__a"))
+    val sb = sigs.select(col("media_id").as("b_id"), col("ahash").as("__b"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(__a ^ __b)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame-sampling plan for video payloads: one row per sampled frame
     * timestamp (real plumbing; frame pixel extraction is the STUB'd
     * codec's job downstream). */

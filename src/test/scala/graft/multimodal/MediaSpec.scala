@@ -412,6 +412,41 @@ class MediaSpec extends AnyFunSuite {
     assert(h(3).isNullAt(1))
   }
 
+  test("imageNearDups pairs perturbed copies, not distinct images or junk") {
+    import spark.implicits._
+    val base = Media.decodeImage(Media.buildImage(64, 64, "png")).get
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    def perturb(src: java.awt.image.BufferedImage, n: Int) = {
+      val c = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) c.setRGB(x, y, src.getRGB(x, y))
+      for (i <- 0 until n) c.setRGB(i % 64, i / 64, 0xffffff)
+      c
+    }
+    def invert(src: java.awt.image.BufferedImage) = {
+      val c = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64)
+        c.setRGB(x, y, ~src.getRGB(x, y) & 0xffffff)
+      c
+    }
+    val media = Seq(
+      (1L, png(base)), (2L, png(perturb(base, 40))),  // near-dup of 1
+      (3L, png(invert(base))),                        // far from 1
+      (4L, "not an image".getBytes)                   // undecodable
+    ).toDF("media_id", "payload")
+    val pairs = Media.imageNearDups(media, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"perturbed copy must pair, got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "the inverted image must not pair with anything")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "undecodable payloads never pair")
+  }
+
   test("buildMkv -> parseMkv round-trips format, dimensions and duration") {
     val m = Media.buildMkv(9, 7, 3, fps = 10)
     val meta = Media.parseMkv(m)
