@@ -518,6 +518,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // incremental ingest dedup: the doc_id<250 half is the curated
+    // corpus (its LSH buckets are the index), the >=250 half the new
+    // batch — index clashes absorbed, then within-batch CC dedup
+    "t72_dedup_against_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val existing = docs.filter(col("doc_id") < 250)
+      val idx = TextOps.lshBuckets(
+        TextOps.minhashSignature(existing, "doc_id", "text", k = 8),
+        "doc_id", 8, 2)
+      TextOps.dedupAgainstCorpus(docs.filter(col("doc_id") >= 250), idx,
+          "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // feature-hashed text embeddings: the model-free text -> vector
     // path (hashing trick over bigrams, signed counts, L2-normalized
     // micro-units) that feeds the similarity stack directly
@@ -2314,6 +2329,39 @@ object TextQueries {
     "t65_paragraph_dedup" -> PARAGRAPH_DEDUP_SQL,
     "t66_pii_redact" -> PII_REDACT_SQL,
     "t67_ivfpq_search" -> IVFPQ_SQL,
+    // incremental-dedup mirror: t05's bucket arithmetic split at
+    // doc_id 250, t14's recursive-CTE reachability for the
+    // within-batch clusters
+    "t72_dedup_against_corpus" ->
+      s"""WITH RECURSIVE mh AS ($MH_SQL),
+         buckets AS (
+           ${(0 until 4).map(b =>
+             s"SELECT doc_id, md5('b$b:' || h${2*b} || ':' || h${2*b+1}) AS bucket FROM mh")
+             .mkString(" UNION ALL ")}),
+         idx AS (SELECT DISTINCT bucket FROM buckets WHERE doc_id < 250),
+         newb AS (SELECT doc_id, bucket FROM buckets WHERE doc_id >= 250),
+         clash AS (SELECT DISTINCT doc_id FROM newb
+           WHERE bucket IN (SELECT bucket FROM idx)),
+         fresh AS (SELECT doc_id, bucket FROM newb
+           WHERE doc_id NOT IN (SELECT doc_id FROM clash)),
+         pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM fresh x JOIN fresh y
+           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         edges AS (SELECT a_id, b_id FROM pairs
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.a_id AS id, reach.r FROM edges e
+           JOIN reach ON reach.id = e.b_id),
+         cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         SELECT doc_id FROM documents
+         WHERE doc_id >= 250
+           AND doc_id NOT IN (SELECT doc_id FROM clash)
+           AND doc_id NOT IN (SELECT id FROM cl WHERE id <> cluster)
+         ORDER BY doc_id""",
+
     // hashing-trick mirror: same salted md5 bucket/sign arithmetic,
     // exact integer sum-of-squares norm, same /norm*1e6 micro rounding
     "t71_hash_embed" ->

@@ -115,6 +115,40 @@ object TextOps {
     sigs.select(col(idCol), explode(array(bands: _*)).as("bucket"))
   }
 
+  /** Incremental near-dup dedup of a NEW batch against an
+    * already-curated corpus — the continuous-ingest shape
+    * [[curateCorpus]] leaves open: the existing corpus's LSH buckets
+    * ([[lshBuckets]] over [[minhashSignature]], persisted once at
+    * curation time as just (id, bucket) — no text needed) act as the
+    * index. A new document sharing ANY bucket with the index is
+    * absorbed by the existing corpus (dropped); the remaining new
+    * documents then near-dedup among THEMSELVES through the standard
+    * candidate-pairs -> connected-components -> keep-canonical chain.
+    * Returns the surviving rows of `newDocs` (all columns).
+    *
+    * Scale shape: one bucket-keyed join against the index (shuffle ∝
+    * bucket rows, never corpus x batch), then the within-batch stage
+    * fans out only by the new batch's own candidates. Re-index by
+    * unioning the survivors' buckets into the index frame — the next
+    * batch's calls see them. */
+  def dedupAgainstCorpus(newDocs: DataFrame, indexBuckets: DataFrame,
+      idCol: String, textCol: String, k: Int = 8, rows: Int = 2,
+      shingleWords: Int = 3): DataFrame = {
+    val bux = lshBuckets(
+      minhashSignature(newDocs, idCol, textCol, k, shingleWords),
+      idCol, k, rows).localCheckpoint()
+    val idx = indexBuckets.select(col("bucket")).distinct()
+    val clash = bux.join(idx, "bucket").select(col(idCol)).distinct()
+    val fresh = bux.join(clash, Seq(idCol), "left_anti")
+    val pairs = fresh.as("x").join(fresh.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+    val survivors = newDocs.join(clash, Seq(idCol), "left_anti")
+    dropNearDuplicates(survivors, idCol, pairs)
+  }
+
   /** Exact n-gram Jaccard similarity for an explicit candidate-pair
     * frame (columns a_id, b_id) — the verification stage after LSH
     * bucketing: J(a,b) = |Sa ∩ Sb| / |Sa ∪ Sb| over distinct n-word

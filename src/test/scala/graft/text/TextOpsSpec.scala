@@ -598,6 +598,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pruned.head.getInt(4) == 1)
   }
 
+  test("dedupAgainstCorpus absorbs index clashes, then dedups within batch") {
+    import spark.implicits._
+    val twin = (0 until 25).map(w => s"dup${w % 7}tok$w").mkString(" ")
+    val existing = Seq(
+      (1L, twin),
+      (2L, (0 until 25).map(w => s"old$w").mkString(" "))).toDF("doc_id", "text")
+    val idx = TextOps.lshBuckets(
+      TextOps.minhashSignature(existing, "doc_id", "text", 8), "doc_id", 8, 2)
+    val freshB = (0 until 25).map(w => s"newB${w * 5}").mkString(" ")
+    val newDocs = Seq(
+      (10L, twin + " tail10"),   // near-copy of existing doc 1 -> absorbed
+      (11L, (0 until 25).map(w => s"newA${w * 3}").mkString(" ")), // kept
+      (12L, freshB + " t12"),    // within-batch twins: keep the canonical
+      (13L, freshB + " t13")     // drop the later one
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupAgainstCorpus(newDocs, idx, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L, 12L), s"got $got")
+    // re-index the survivors: the NEXT batch's copy of doc 12 is absorbed
+    val idx2 = idx.unionByName(TextOps.lshBuckets(
+      TextOps.minhashSignature(
+        newDocs.filter(
+          org.apache.spark.sql.functions.col("doc_id").isin(11L, 12L)),
+        "doc_id", "text", 8), "doc_id", 8, 2))
+    val next = Seq((20L, freshB + " t20")).toDF("doc_id", "text")
+    assert(TextOps.dedupAgainstCorpus(next, idx2, "doc_id", "text").count() == 0)
+  }
+
   test("hashEmbed emits unit vectors where similar text lands closer") {
     import spark.implicits._
     val a = (0 until 30).map(w => s"alpha tok${w % 9} body").mkString(" ")
