@@ -162,7 +162,10 @@ object Similarity {
       initIds: Seq[Long], iterations: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    // id cast up front: a testdata re-encode to int32 ids must not
+    // break the seed collection's getLong (drift-net lesson)
+    val c = corpus.select(col(idCol).cast("long").as(idCol),
+      col(vecCol).cast("array<double>").as("v"))
     var centroids = c
       .filter(col(idCol).isInCollection(initIds))
       .select(col(idCol), col("v"))

@@ -98,4 +98,38 @@ class SchemaDriftSpec extends AnyFunSuite {
         "o_custkey" -> "int"))))
     sweep("narrow", vdir)
   }
+
+  // drift-prone axes on the text/embedding tables: int32 ids and
+  // widened embedding elements (the operators cast array<double>
+  // everywhere, so a float<->double re-encode must be a non-event)
+  private val executedText = Set("t01_exact_dedup", "t02_token_stats",
+    "t09_ivf_cells", "t59_mrl_truncate", "t70_quality_sample",
+    "t71_hash_embed")
+
+  private def sweepText(label: String, vdir: String): Unit = {
+    val failures = TextQueries.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val df = fn(spark, vdir)
+          df.schema
+          if (executedText(name)) df.count()
+          None
+        } catch {
+          case e: Throwable => Some(s"$name: " + Option(e.getMessage)
+            .getOrElse(e.getClass.getName).linesIterator.take(2)
+            .mkString(" | "))
+        }
+    }
+    assert(failures.isEmpty,
+      s"[$label] ${failures.size} queries broke:\n${failures.mkString("\n")}")
+  }
+
+  test("documents/embeddings with int32 ids + double embeddings still read") {
+    val vdir = variant("textdrift")(Map(
+      "documents" -> (df => cast(df,
+        "doc_id" -> "int", "n_chars" -> "int")),
+      "embeddings" -> (df => cast(df,
+        "vec_id" -> "int", "embedding" -> "array<double>"))))
+    sweepText("textdrift", vdir)
+  }
 }
