@@ -204,6 +204,20 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // z-order layout: Morton interleave of the two scan dimensions —
+    // the write-time clustering value behind Layout.writeZOrdered,
+    // summarized per returnflag so the full 32-bit arithmetic is
+    // hash-checked without dumping the fact table
+    "q24_zorder" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.withColumn("z", graft.ops.Layout.zvalue(
+          col("l_orderkey"), col("l_partkey"), bits = 16))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), min("z").as("z_min"),
+          max("z").as("z_max"), sum("z").as("z_sum"))
+        .orderBy("l_returnflag")
+    }),
+
     // G-track: multi-level totals via ROLLUP (partial-agg friendly —
     // one shuffle produces the detail, subtotal, and grand-total rows)
     // As-of join (time-series point-in-time lookup — the classic operator
@@ -505,6 +519,22 @@ object Relational {
          ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",
+    // Morton-interleave mirror: same pmod + per-bit shift/mask/add
+    "q24_zorder" -> {
+      val zx = (0 until 16).map(i => s"(((x >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      val zy = (0 until 16).map(i => s"(((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT l_returnflag,
+           CAST((l_orderkey % 65536 + 65536) % 65536 AS BIGINT) AS x,
+           CAST((l_partkey % 65536 + 65536) % 65536 AS BIGINT) AS y
+         FROM lineitem),
+         z AS (SELECT l_returnflag, ($zx) + ($zy) AS z FROM b)
+         SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(z) AS BIGINT) AS z_min, CAST(MAX(z) AS BIGINT) AS z_max,
+           CAST(SUM(z) AS BIGINT) AS z_sum
+         FROM z GROUP BY 1 ORDER BY 1"""
+    },
     "q12_sliding_activity" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS et, value FROM events),
          k AS (SELECT unnest([0,1,2,3]) AS k),

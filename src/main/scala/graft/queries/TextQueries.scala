@@ -518,6 +518,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic HyperLogLog distinct-token estimate per source:
+    // md5-derived registers, exact integer harmonic sum, linear-
+    // counting small-range branch — alongside the exact count it
+    // replaces at scale
+    "t73_hll_distinct" -> ((s, dir) => {
+      TextOps.hllDistinct(t(s, dir, "documents"), "source",
+          explode(TextOps.tokens(col("text"))), p = 8)
+        .orderBy("source")
+    }),
+
+    // corpus data card: per-source + overall (rollup) doc/token/char
+    // volume and short/empty fractions in ONE hash aggregate
+    "t74_corpus_stats" -> ((s, dir) => {
+      TextOps.corpusStats(t(s, dir, "documents"), "doc_id", "text",
+          "source")
+        .orderBy("source")
+    }),
+
     // incremental ingest dedup: the doc_id<250 half is the curated
     // corpus (its LSH buckets are the index), the >=250 half the new
     // batch — index clashes absorbed, then within-batch CC dedup
@@ -2329,6 +2347,65 @@ object TextQueries {
     "t65_paragraph_dedup" -> PARAGRAPH_DEDUP_SQL,
     "t66_pii_redact" -> PII_REDACT_SQL,
     "t67_ivfpq_search" -> IVFPQ_SQL,
+    // HLL mirror: same 60-bit md5 hash, low-8-bit bucket, trailing-
+    // zero rank via the exact log2(w & -w), integer register sum,
+    // identical float op sequence for the estimate branches
+    "t73_hll_distinct" -> {
+      val m = 256
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val num = alpha * m.toDouble * m.toDouble * math.pow(2.0, 53)
+      s"""WITH tk AS (SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS t FROM documents),
+         dt AS (SELECT DISTINCT source, t FROM tk),
+         h AS (SELECT source, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+           FROM dt),
+         b AS (SELECT source, h % 256 AS bucket, h // 256 AS w FROM h),
+         regs AS (SELECT source, bucket,
+             MAX(CASE WHEN w = 0 THEN 53
+                 ELSE CAST(ROUND(log2(w & -w)) AS INT) + 1 END) AS rho
+           FROM b GROUP BY 1, 2),
+         agg AS (SELECT source, COUNT(*) AS nb,
+             CAST(SUM(CAST(pow(2.0, 53 - rho) AS BIGINT)) AS BIGINT) AS s
+           FROM regs GROUP BY 1),
+         raw AS (SELECT source,
+             $num / CAST(s + (256 - nb) * CAST(pow(2.0, 53) AS BIGINT)
+               AS DOUBLE) AS raw,
+             256 - nb AS v
+           FROM agg),
+         fin AS (SELECT source,
+             ROUND(CASE WHEN raw <= 640.0 AND v > 0
+               THEN 256.0 * ln(CAST(v AS DOUBLE) / 256) * -1.0
+               ELSE raw END, 4) AS hll_est
+           FROM raw),
+         ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+           FROM dt GROUP BY 1)
+         SELECT f.source, f.hll_est, e.exact_distinct,
+           ROUND(ABS(f.hll_est - e.exact_distinct) / e.exact_distinct, 6)
+             AS rel_err
+         FROM fin f JOIN ex e USING (source) ORDER BY source"""
+    },
+
+    // data-card mirror: same token/char projection, GROUP BY ROLLUP,
+    // COALESCE(source,'ALL') label
+    "t74_corpus_stats" ->
+      """WITH d AS (SELECT source,
+           CAST(len(list_filter(string_split_regex(lower(COALESCE(text, '')),
+             '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n,
+           CAST(length(COALESCE(text, '')) AS BIGINT) AS c
+         FROM documents)
+         SELECT COALESCE(source, 'ALL') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n) AS BIGINT)::DOUBLE / COUNT(*), 6) AS avg_tokens,
+           MAX(n) AS max_tokens,
+           CAST(SUM(c) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(CASE WHEN n < 50 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+             / COUNT(*), 6) AS short_frac,
+           ROUND(CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+             / COUNT(*), 6) AS empty_frac
+         FROM d GROUP BY ROLLUP(source) ORDER BY 1""",
+
     // incremental-dedup mirror: t05's bucket arithmetic split at
     // doc_id 250, t14's recursive-CTE reachability for the
     // within-batch clusters

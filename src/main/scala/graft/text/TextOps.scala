@@ -1930,4 +1930,99 @@ object TextOps {
               when(col("kept"), struct(col("pos"), col("par"))))),
             s => s.getField("par"))).as("text_dedup"))
   }
+
+  /** Deterministic HyperLogLog distinct-token estimate per group
+    * (Flajolet et al. 2007) — the cardinality sketch a 100 TB corpus
+    * report runs instead of an exact `COUNT(DISTINCT token)`: the
+    * shuffle carries at most `2^p` (bucket, max-rho) register rows per
+    * group instead of every distinct term. Built ENTIRELY from the
+    * shared [[md5Hash60]] hash so the estimate is bit-identical across
+    * runs, partitionings and engines (Spark's own
+    * `approx_count_distinct` is a non-portable HLL++ whose estimate an
+    * external oracle cannot reproduce):
+    *
+    *  - bucket = low p bits of the 60-bit hash; w = the high `60-p`.
+    *  - rho = trailing zeros of w, +1 (a uniform-geometric rank like
+    *    the classic leading-rank; `w & -w` isolates the lowest set bit,
+    *    whose log2 is EXACT in ieee754 — no float boundary anywhere).
+    *  - registers: one `max(rho)` hash agg keyed by (group, bucket) —
+    *    map-side combine applies, state is `groups * 2^p` rows.
+    *  - estimate: the harmonic mean is scaled by `2^(rmax)` into an
+    *    EXACT integer register sum (sum of `2^(rmax - rho)` longs), so
+    *    the only float ops are one embedded-literal division and the
+    *    small-range `m * ln(m/V)` linear-counting branch — identical
+    *    op sequences in both engines.
+    *
+    * Output: (group, hll_est 4-dp, exact_distinct, rel_err 6-dp) — the
+    * exact count is computed alongside (this IS the validation table;
+    * at scale a caller drops it and keeps only the sketch). */
+  def hllDistinct(df: DataFrame, groupCol: String, termCol: Column,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val rmax = 60 - p + 1 // w has 60-p bits; w == 0 reports rmax
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // alpha * m^2 * 2^(rmax): one double literal embedded in BOTH
+    // engines' expressions (Double.toString round-trips, so the oracle
+    // parses back the identical ieee754 value).
+    val num = alpha * m.toDouble * m.toDouble * math.pow(2.0, rmax)
+    val terms = df.select(col(groupCol), termCol.as("__t")).distinct()
+    val h = terms.select(col(groupCol), md5Hash60(col("__t")).as("__h"))
+    val regs = h
+      .select(col(groupCol), (col("__h") % m).as("bucket"),
+        expr(s"__h div $m").as("__w"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(when(col("__w") === 0, lit(rmax))
+        .otherwise(expr("CAST(ROUND(log2(__w & -__w)) AS INT) + 1")))
+        .as("rho"))
+    val est = regs.groupBy(groupCol)
+      .agg(count(lit(1)).as("__nb"),
+        sum(expr(s"CAST(pow(2.0, $rmax - rho) AS BIGINT)")).as("__s"))
+      .select(col(groupCol),
+        col("__nb"),
+        (col("__s") + (lit(m.toLong) - col("__nb")) *
+          expr(s"CAST(pow(2.0, $rmax) AS BIGINT)")).as("__sum"))
+      .select(col(groupCol),
+        (lit(num) / col("__sum").cast("double")).as("__raw"),
+        (lit(m.toLong) - col("__nb")).as("__v"))
+      .select(col(groupCol),
+        round(when(col("__raw") <= 2.5 * m && col("__v") > 0,
+          lit(m.toDouble) * log(col("__v").cast("double") / m) * -1.0)
+          .otherwise(col("__raw")), 4).as("hll_est"))
+    val exact = terms.groupBy(groupCol)
+      .agg(count(lit(1)).cast("long").as("exact_distinct"))
+    est.join(exact, Seq(groupCol))
+      .select(col(groupCol), col("hll_est"), col("exact_distinct"),
+        round(abs(col("hll_est") - col("exact_distinct")) /
+          col("exact_distinct"), 6).as("rel_err"))
+  }
+
+  /** Corpus data card — the per-source + overall statistics panel every
+    * dataset release ships (docs, token volume, length distribution,
+    * short/empty fractions). ONE rollup hash aggregate over a narrow
+    * per-doc projection: partial map-side combine applies at both
+    * grouping levels, no second scan for the overall row, no driver
+    * work. The `source` column of the overall row is 'ALL' (rollup's
+    * null, made explicit so the report is self-describing). */
+  def corpusStats(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, shortTokens: Int = 50): DataFrame = {
+    val perDoc = df.select(col(sourceCol),
+        size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("__n"),
+        length(coalesce(col(textCol), lit(""))).cast("long").as("__c"))
+    perDoc.rollup(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("total_tokens"),
+        round(sum(col("__n")).cast("double") / count(lit(1)), 6)
+          .as("avg_tokens"),
+        max(col("__n")).as("max_tokens"),
+        sum(col("__c")).as("total_chars"),
+        round(sum((col("__n") < shortTokens).cast("long")).cast("double") /
+          count(lit(1)), 6).as("short_frac"),
+        round(sum((col("__n") === 0).cast("long")).cast("double") /
+          count(lit(1)), 6).as("empty_frac"))
+      .select(coalesce(col(sourceCol), lit("ALL")).as(sourceCol),
+        col("n_docs"), col("total_tokens"), col("avg_tokens"),
+        col("max_tokens"), col("total_chars"), col("short_frac"),
+        col("empty_frac"))
+  }
 }

@@ -114,4 +114,69 @@ class TextInvariantsSpec extends AnyFunSuite {
     assert(offNorm.count() == 0)
     assert(emb.count() == corpus.count())
   }
+
+  /** Deterministic term frame: group gK carries exactly 400*(K+1)
+    * distinct terms (disjoint across groups), each duplicated 1-3x. */
+  private def termFrame = {
+    import spark.implicits._
+    (0 until 4).flatMap { g =>
+      (0 until 400 * (g + 1)).flatMap { i =>
+        val copies = 1 + (i * 13 + g) % 3
+        Seq.fill(copies)((s"g$g", s"term_${g}_$i"))
+      }
+    }.toDF("grp", "term")
+  }
+
+  test("hllDistinct: exact column is exact; estimate within HLL error") {
+    val out = TextOps.hllDistinct(termFrame, "grp", col("term")).cache()
+    val rows = out.collect().map(r =>
+      r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set("g0", "g1", "g2", "g3"))
+    (0 until 4).foreach { g =>
+      val (est, exact, relErr) = rows(s"g$g")
+      assert(exact == 400L * (g + 1), s"g$g exact off: $exact")
+      // m=256 -> ~6.5% std error; 20% is >3 sigma and the input is
+      // deterministic, so this can never flake once green
+      assert(relErr < 0.20, s"g$g rel_err $relErr (est $est)")
+    }
+  }
+
+  test("hllDistinct: partitioning-invariant and small-range accurate") {
+    import spark.implicits._
+    // 7 distinct terms -> the linear-counting branch; near-exact there
+    val tiny = (0 until 7).flatMap(i => Seq.fill(3)(("only", s"t$i")))
+      .toDF("grp", "term")
+    val est = TextOps.hllDistinct(tiny, "grp", col("term"))
+      .collect()(0).getDouble(1)
+    assert(math.abs(est - 7.0) < 0.5, s"linear-counting est $est")
+    // hash-determinism: a different physical partitioning cannot move
+    // the estimate by even an ulp
+    val a = TextOps.hllDistinct(termFrame, "grp", col("term")).collect()
+    val b = TextOps.hllDistinct(termFrame.repartition(7), "grp", col("term"))
+      .collect()
+    assert(a.sortBy(_.getString(0)).map(_.toString).toSeq ==
+      b.sortBy(_.getString(0)).map(_.toString).toSeq)
+  }
+
+  test("corpusStats: the ALL rollup row is the exact column-wise total") {
+    val docs = corpus.withColumn("source",
+      concat(lit("s"), (col("doc_id") % 3).cast("string")))
+    val out = TextOps.corpusStats(docs, "doc_id", "text", "source").cache()
+    assert(out.count() == 4) // 3 sources + ALL
+    val all = out.filter(col("source") === "ALL").collect()(0)
+    val parts = out.filter(col("source") =!= "ALL")
+      .agg(sum("n_docs"), sum("total_tokens"), sum("total_chars"),
+        max("max_tokens"))
+      .collect()(0)
+    assert(all.getAs[Long]("n_docs") == parts.getLong(0))
+    assert(all.getAs[Long]("total_tokens") == parts.getLong(1))
+    assert(all.getAs[Long]("total_chars") == parts.getLong(2))
+    assert(all.getAs[Long]("max_tokens") == parts.getLong(3))
+    // fractions live in [0,1]; avg * n_docs recovers the token total
+    // to rounding
+    val bad = out.filter(col("short_frac") < 0 || col("short_frac") > 1 ||
+      col("empty_frac") < 0 || col("empty_frac") > 1 ||
+      abs(col("avg_tokens") * col("n_docs") - col("total_tokens")) > 0.5)
+    assert(bad.count() == 0)
+  }
 }
