@@ -528,6 +528,23 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // count-min sketch: bounded-memory (4 x 1024 cells) token counts;
+    // probes = the doc_id<10 vocabulary, est >= exact always, `over`
+    // exposes the collision overcount the width bounds
+    "t76_cms_counts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val occ = docs.select(explode(TextOps.tokens(col("text"))).as("t"))
+      val regs = TextOps.cmsRegisters(occ, col("t"))
+      val probes = docs.filter(col("doc_id") < 10)
+        .select(explode(TextOps.tokens(col("text"))).as("t"))
+      val exact = occ.groupBy("t").agg(count(lit(1)).as("exact_n"))
+      TextOps.cmsEstimate(regs, probes, "t")
+        .join(exact, Seq("t"))
+        .select(col("t"), col("cms_est"), col("exact_n"),
+          (col("cms_est") - col("exact_n")).as("over"))
+        .orderBy("t")
+    }),
+
     // corpus data card: per-source + overall (rollup) doc/token/char
     // volume and short/empty fractions in ONE hash aggregate
     "t74_corpus_stats" -> ((s, dir) => {
@@ -2384,6 +2401,36 @@ object TextQueries {
            ROUND(ABS(f.hll_est - e.exact_distinct) / e.exact_distinct, 6)
              AS rel_err
          FROM fin f JOIN ex e USING (source) ORDER BY source"""
+    },
+
+    // count-min mirror: same per-row salted cell hashes (unrolled),
+    // same register agg and min-over-rows probe
+    "t76_cms_counts" -> {
+      def cellSql(i: Int, t: String) =
+        s"('0x' || substr(md5('cms$i:' || $t), 1, 15))::BIGINT % 1024"
+      val rcArms = (0 until 4).map(i =>
+        s"SELECT $i AS row, ${cellSql(i, "t")} AS cell FROM tk")
+        .mkString(" UNION ALL ")
+      val pcArms = (0 until 4).map(i =>
+        s"SELECT t, $i AS row, ${cellSql(i, "t")} AS cell FROM probe")
+        .mkString(" UNION ALL ")
+      s"""WITH tk AS (SELECT
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS t FROM documents),
+         rc AS ($rcArms),
+         regs AS (SELECT row, cell, CAST(COUNT(*) AS BIGINT) AS n
+           FROM rc GROUP BY 1, 2),
+         probe AS (SELECT DISTINCT
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS t
+           FROM documents WHERE doc_id < 10),
+         pc AS ($pcArms),
+         est AS (SELECT t, MIN(COALESCE(n, 0)) AS cms_est
+           FROM pc LEFT JOIN regs USING (row, cell) GROUP BY t),
+         ex AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_n
+           FROM tk GROUP BY t)
+         SELECT e.t, e.cms_est, x.exact_n, e.cms_est - x.exact_n AS over
+         FROM est e JOIN ex x USING (t) ORDER BY t"""
     },
 
     // data-card mirror: same token/char projection, GROUP BY ROLLUP,

@@ -1997,6 +1997,47 @@ object TextOps {
           col("exact_distinct"), 6).as("rel_err"))
   }
 
+  /** Count-min sketch registers (Cormode & Muthukrishnan 2005) — the
+    * bounded-memory frequency table a 100 TB token stream keeps when the
+    * exact (term, count) table itself would be the scale problem: `depth`
+    * independent md5-salted hash rows of `width` cells each, so the
+    * aggregation state is AT MOST depth*width rows no matter how many
+    * distinct terms flow through (an exact per-term groupBy's state is
+    * the vocabulary). One bounded explode (depth structs per term
+    * occurrence) + one hash agg with map-side combine; deterministic
+    * across runs/partitionings/engines via the shared [[md5Hash60]]. */
+  def cmsRegisters(df: DataFrame, termCol: Column, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 2,
+      s"bad sketch shape ($depth x $width)")
+    val cells = array((0 until depth).map(i =>
+      struct(lit(i).as("row"),
+        (md5Hash60(concat(lit(s"cms$i:"), termCol)) % width).as("cell"))): _*)
+    df.select(explode(cells).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-query the sketch: estimated occurrence count of each probe
+    * term = min over the depth rows of its hashed cell (never an
+    * UNDERcount; overcounts are bounded by e*N/width per row with
+    * high probability). The register side is depth*width rows —
+    * broadcast — so probing any number of terms is one narrow
+    * broadcast join + a min agg keyed by term. */
+  def cmsEstimate(registers: DataFrame, probes: DataFrame,
+      termCol: String, depth: Int = 4, width: Int = 1024): DataFrame = {
+    val cells = array((0 until depth).map(i =>
+      struct(lit(i).as("row"),
+        (md5Hash60(concat(lit(s"cms$i:"), col(termCol))) % width)
+          .as("cell"))): _*)
+    probes.select(col(termCol)).distinct()
+      .select(col(termCol), explode(cells).as("rc"))
+      .select(col(termCol), col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .join(broadcast(registers), Seq("row", "cell"), "left")
+      .groupBy(termCol)
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
+  }
+
   /** Corpus data card — the per-source + overall statistics panel every
     * dataset release ships (docs, token volume, length distribution,
     * short/empty fractions). ONE rollup hash aggregate over a narrow

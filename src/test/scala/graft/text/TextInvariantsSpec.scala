@@ -158,6 +158,38 @@ class TextInvariantsSpec extends AnyFunSuite {
       b.sortBy(_.getString(0)).map(_.toString).toSeq)
   }
 
+  test("cmsEstimate: never undercounts, exact on collision-free widths") {
+    import spark.implicits._
+    val occ = termFrame.select(col("term").as("t"))
+    val exact = occ.groupBy("t").agg(count(lit(1)).as("exact_n"))
+    // narrow sketch -> collisions happen; the CMS guarantee must hold
+    // for EVERY term anyway
+    val regs = TextOps.cmsRegisters(occ, col("t"), depth = 4, width = 64)
+    val est = TextOps.cmsEstimate(regs, occ, "t", depth = 4, width = 64)
+    val under = est.join(exact, "t")
+      .filter(col("cms_est") < col("exact_n")).count()
+    assert(under == 0, "count-min undercounted a term")
+    // register state is bounded by the sketch shape, not the vocabulary
+    assert(regs.count() <= 4L * 64)
+    // total mass per row equals the stream length (no occurrence lost)
+    val mass = regs.groupBy("row").agg(sum("n").as("m"))
+      .select(collect_set("m")).collect()(0).getSeq[Long](0)
+    assert(mass == Seq(occ.count()))
+    // unknown probes report 0 (never negative / null)
+    val ghost = TextOps.cmsEstimate(regs,
+      Seq("never_seen_term_xyz").toDF("t"), "t", depth = 4, width = 64)
+      .collect()(0).getLong(1)
+    assert(ghost >= 0L)
+    // a wide sketch on a small vocabulary is near-exact and
+    // deterministic under repartitioning
+    val wide = TextOps.cmsRegisters(occ.repartition(9), col("t"))
+    val est2 = TextOps.cmsEstimate(wide, occ, "t")
+    val est2b = TextOps.cmsEstimate(TextOps.cmsRegisters(occ, col("t")),
+      occ, "t")
+    assert(est2.join(est2b.withColumnRenamed("cms_est", "e2"), "t")
+      .filter(col("cms_est") =!= col("e2")).count() == 0)
+  }
+
   test("corpusStats: the ALL rollup row is the exact column-wise total") {
     val docs = corpus.withColumn("source",
       concat(lit("s"), (col("doc_id") % 3).cast("string")))
