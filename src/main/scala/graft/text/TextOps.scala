@@ -1956,26 +1956,48 @@ object TextOps {
     * Output: (group, hll_est 4-dp, exact_distinct, rel_err 6-dp) — the
     * exact count is computed alongside (this IS the validation table;
     * at scale a caller drops it and keeps only the sketch). */
-  def hllDistinct(df: DataFrame, groupCol: String, termCol: Column,
+  /** The (group, bucket, rho) register frame behind [[hllDistinct]] —
+    * exposed because MERGEABILITY is the point of the sketch at scale:
+    * persist per-shard/per-day registers (at most 2^p rows per group)
+    * and combine them with [[hllMerge]] instead of ever re-reading the
+    * raw data; `hllRegisters(A ∪ B) == hllMerge(regs(A), regs(B))`
+    * exactly (max is idempotent/commutative — proven in spec). */
+  def hllRegisters(df: DataFrame, groupCol: String, termCol: Column,
       p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
     val rmax = 60 - p + 1 // w has 60-p bits; w == 0 reports rmax
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    // alpha * m^2 * 2^(rmax): one double literal embedded in BOTH
-    // engines' expressions (Double.toString round-trips, so the oracle
-    // parses back the identical ieee754 value).
-    val num = alpha * m.toDouble * m.toDouble * math.pow(2.0, rmax)
-    val terms = df.select(col(groupCol), termCol.as("__t")).distinct()
-    val h = terms.select(col(groupCol), md5Hash60(col("__t")).as("__h"))
-    val regs = h
+    df.select(col(groupCol), termCol.as("__t")).distinct()
+      .select(col(groupCol), md5Hash60(col("__t")).as("__h"))
       .select(col(groupCol), (col("__h") % m).as("bucket"),
         expr(s"__h div $m").as("__w"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(max(when(col("__w") === 0, lit(rmax))
         .otherwise(expr("CAST(ROUND(log2(__w & -__w)) AS INT) + 1")))
         .as("rho"))
-    val est = regs.groupBy(groupCol)
+  }
+
+  /** Merge independently-built register frames (same group column and
+    * p): per-bucket max. The union-distinct of the underlying term sets
+    * is recovered EXACTLY — this is how 1000 executors' (or 365 days')
+    * sketches combine into one estimate without touching raw data. */
+  def hllMerge(regs: DataFrame*): DataFrame = {
+    val all = regs.reduce(_ unionByName _)
+    val groupCol = all.columns(0)
+    all.groupBy(col(groupCol), col("bucket")).agg(max("rho").as("rho"))
+  }
+
+  /** Estimate distinct counts from a register frame (see
+    * [[hllRegisters]] for the register arithmetic contract). */
+  def hllEstimate(regs: DataFrame, groupCol: String, p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val rmax = 60 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // alpha * m^2 * 2^(rmax): one double literal embedded in BOTH
+    // engines' expressions (Double.toString round-trips, so the oracle
+    // parses back the identical ieee754 value).
+    val num = alpha * m.toDouble * m.toDouble * math.pow(2.0, rmax)
+    regs.groupBy(groupCol)
       .agg(count(lit(1)).as("__nb"),
         sum(expr(s"CAST(pow(2.0, $rmax - rho) AS BIGINT)")).as("__s"))
       .select(col(groupCol),
@@ -1989,6 +2011,17 @@ object TextOps {
         round(when(col("__raw") <= 2.5 * m && col("__v") > 0,
           lit(m.toDouble) * log(col("__v").cast("double") / m) * -1.0)
           .otherwise(col("__raw")), 4).as("hll_est"))
+  }
+
+  /** [[hllEstimate]] over [[hllRegisters]], with the exact distinct
+    * count computed alongside as the validation column (at scale a
+    * caller keeps only the sketch). Output: (group, hll_est 4-dp,
+    * exact_distinct, rel_err 6-dp). */
+  def hllDistinct(df: DataFrame, groupCol: String, termCol: Column,
+      p: Int = 8): DataFrame = {
+    val terms = df.select(col(groupCol), termCol.as("__t")).distinct()
+    val est = hllEstimate(hllRegisters(df, groupCol, termCol, p),
+      groupCol, p)
     val exact = terms.groupBy(groupCol)
       .agg(count(lit(1)).cast("long").as("exact_distinct"))
     est.join(exact, Seq(groupCol))

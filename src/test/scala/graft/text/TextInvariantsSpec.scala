@@ -158,6 +158,33 @@ class TextInvariantsSpec extends AnyFunSuite {
       b.sortBy(_.getString(0)).map(_.toString).toSeq)
   }
 
+  test("hllMerge: sharded registers merge to the whole-corpus sketch") {
+    val whole = termFrame
+    // shard by an arbitrary hash — shards overlap in groups, not terms
+    val shardA = whole.filter(pmod(xxhash64(col("term")), lit(3)) === 0)
+    val shardB = whole.filter(pmod(xxhash64(col("term")), lit(3)) === 1)
+    val shardC = whole.filter(pmod(xxhash64(col("term")), lit(3)) === 2)
+    val merged = TextOps.hllMerge(
+      TextOps.hllRegisters(shardA, "grp", col("term")),
+      TextOps.hllRegisters(shardB, "grp", col("term")),
+      TextOps.hllRegisters(shardC, "grp", col("term")))
+    val direct = TextOps.hllRegisters(whole, "grp", col("term"))
+    // register-exact equality: merge loses NOTHING vs a full recompute
+    assert(merged.union(direct).distinct().count() == direct.count())
+    // and the estimates are therefore bit-identical
+    val a = TextOps.hllEstimate(merged, "grp").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = TextOps.hllEstimate(direct, "grp").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+    // duplicate-shard idempotence: merging a shard with itself is a no-op
+    val dup = TextOps.hllMerge(
+      TextOps.hllRegisters(shardA, "grp", col("term")),
+      TextOps.hllRegisters(shardA, "grp", col("term")))
+    assert(dup.union(TextOps.hllRegisters(shardA, "grp", col("term")))
+      .distinct().count() == dup.count())
+  }
+
   test("cmsEstimate: never undercounts, exact on collision-free widths") {
     import spark.implicits._
     val occ = termFrame.select(col("term").as("t"))
