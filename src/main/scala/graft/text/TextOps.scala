@@ -1963,11 +1963,17 @@ object TextOps {
     * raw data; `hllRegisters(A ∪ B) == hllMerge(regs(A), regs(B))`
     * exactly (max is idempotent/commutative — proven in spec). */
   def hllRegisters(df: DataFrame, groupCol: String, termCol: Column,
-      p: Int = 8): DataFrame = {
+      p: Int = 8, dedupTerms: Boolean = true): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
     val rmax = 60 - p + 1 // w has 60-p bits; w == 0 reports rmax
-    df.select(col(groupCol), termCol.as("__t")).distinct()
+    val terms = df.select(col(groupCol), termCol.as("__t"))
+    // max(rho) is duplicate-insensitive, so the pre-aggregation
+    // distinct is ONLY a shuffle-size optimization (one row per
+    // distinct term instead of one per occurrence). Pass
+    // dedupTerms=false where a second stateful op is illegal — the
+    // streaming register twin (complete-mode agg; see DocStreamsSpec).
+    (if (dedupTerms) terms.distinct() else terms)
       .select(col(groupCol), md5Hash60(col("__t")).as("__h"))
       .select(col(groupCol), (col("__h") % m).as("bucket"),
         expr(s"__h div $m").as("__w"))

@@ -49,7 +49,12 @@ object DedupScale {
     def drain(): Unit =
       org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
 
+    // optional comma-separated label filter: measure only matching ops
+    // (iteration aid; the recorded BASELINE runs use the full set)
+    val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(',').toSet)
     def measure(label: String, n: Long)(job: => Long): Unit = {
+      if (opFilter.exists(f => !f.contains(label))) return
       drain(); metrics.reset()
       val t0 = System.nanoTime()
       val out = job
@@ -118,6 +123,16 @@ object DedupScale {
       Similarity.cellBalancedSample(emb0, "vec_id", "embedding",
         initIds = Seq(0L, 1L, 2L, 3L), iterations = 2, perCell = 100).count()
       // round-9 tracks
+      TextOps.hllRegisters(docs0.withColumn("source", lit("s")), "source",
+        explode(TextOps.tokens(col("text")))).count()
+      TextOps.cmsRegisters(
+        docs0.select(explode(TextOps.tokens(col("text"))).as("t")),
+        col("t")).count()
+      TextOps.corpusStats(docs0.withColumn("source", lit("s")),
+        "doc_id", "text", "source").count()
+      graft.ops.Layout.zorderCells(
+        docs0.select(col("doc_id"), length(col("text")).as("len")),
+        "doc_id", "len").count()
       TextOps.dedupParagraphs(docs0.withColumn("text",
         regexp_replace(col("text"), " the ", "\n\n")), "doc_id", "text").count()
       graft.text.PiiOps.redactPii(docs0, "doc_id", "text").count()
@@ -252,6 +267,30 @@ object DedupScale {
       }
       measure("emb_outliers", nE) {
         Similarity.embeddingOutliers(emb, icents, "vec_id", "embedding").count()
+      }
+      // Late-round-9 operators. The two sketches must show BOUNDED
+      // output (registers ∝ sketch shape, not rows) with wall ∝ the
+      // token stream; the data card is one rollup agg (wall ∝ bytes,
+      // tiny shuffle); zorder is a hash-sampled percentile pair + a
+      // narrow interleave (flat shuffle — the write-time range
+      // partition is the caller's one placement shuffle, not timed
+      // here).
+      measure("hll_registers", nD) {
+        TextOps.hllRegisters(srcDocs, "source",
+          explode(TextOps.tokens(col("text")))).count()
+      }
+      measure("cms_registers", nD) {
+        TextOps.cmsRegisters(
+          docs.select(explode(TextOps.tokens(col("text"))).as("t")),
+          col("t")).count()
+      }
+      measure("data_card", nD) {
+        TextOps.corpusStats(srcDocs, "doc_id", "text", "source").count()
+      }
+      measure("zorder_cells", nD) {
+        graft.ops.Layout.zorderCells(
+          docs.select(col("doc_id"), length(col("text")).as("len")),
+          "doc_id", "len", bits = 8).count()
       }
     }
     spark.stop()

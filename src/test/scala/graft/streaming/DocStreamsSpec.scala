@@ -321,4 +321,53 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got.exceptAll(wantClean).count() == 0,
       "streaming survivors differ from batch-clean docs")
   }
+
+  test("streaming CMS registers equal the batch sketch (bounded state)") {
+    // The count-min register table IS a streaming aggregate: state is
+    // depth x width rows no matter how long the stream runs — the
+    // bounded-memory counting shape for an ingest pipeline.
+    val schema = docsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = TextOps.cmsRegisters(
+        stream.select(explode(TextOps.tokens(col("text"))).as("t")),
+        col("t"), depth = 4, width = 256)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("cms_stream")
+    val batch = TextOps.cmsRegisters(
+      docsBatch.select(explode(TextOps.tokens(col("text"))).as("t")),
+      col("t"), depth = 4, width = 256)
+    assert(streamed.count() <= 4L * 256)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming HLL registers equal the batch sketch") {
+    // max(rho) is duplicate-insensitive, so the stream twin skips the
+    // batch path's distinct (dedupTerms = false) and still lands on
+    // the IDENTICAL register table — one complete-mode agg, state
+    // bounded by groups x 2^p.
+    val schema = docsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = TextOps.hllRegisters(
+        stream.select(col("source"), col("text")), "source",
+        explode(TextOps.tokens(col("text"))), p = 6, dedupTerms = false)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hll_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hll_stream")
+    val batch = TextOps.hllRegisters(docsBatch, "source",
+      explode(TextOps.tokens(col("text"))), p = 6)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // and the estimates from the streamed registers are bit-identical
+    val a = TextOps.hllEstimate(streamed, "source", p = 6).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = TextOps.hllEstimate(batch, "source", p = 6).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
 }
