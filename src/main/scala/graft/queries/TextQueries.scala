@@ -528,6 +528,15 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // log2-histogram quantiles: mergeable bounded-state (<=64 buckets
+    // per source) distribution sketch queried at 4 quantile points
+    "t77_hist_quantiles" -> ((s, dir) => {
+      val regs = TextOps.histRegisters(t(s, dir, "documents"), "source",
+        length(col("text")))
+      TextOps.histQuantiles(regs, "source", Seq(0.25, 0.5, 0.75, 0.99))
+        .orderBy("source", "frac")
+    }),
+
     // count-min sketch: bounded-memory (4 x 1024 cells) token counts;
     // probes = the doc_id<10 vocabulary, est >= exact always, `over`
     // exposes the collision overcount the width bounds
@@ -2401,6 +2410,37 @@ object TextQueries {
            ROUND(ABS(f.hll_est - e.exact_distinct) / e.exact_distinct, 6)
              AS rel_err
          FROM fin f JOIN ex e USING (source) ORDER BY source"""
+    },
+
+    // histogram-quantile mirror: same exact-integer log2 bucketing
+    // (length of the base-2 string), cumulative window, rank filter
+    // and in-bucket interpolation, one arm per quantile point
+    "t77_hist_quantiles" -> {
+      def arm(f: Double): String = {
+        val micro = math.round(f * 1000000.0)
+        s"""SELECT source, ${micro / 1000000.0}::DOUBLE AS frac,
+           ROUND(vmin + CAST(vmax - vmin AS DOUBLE)
+             * CAST(rank - (cum - n) - 1 AS DOUBLE)
+             / CAST(GREATEST(n - 1, 1) AS DOUBLE), 4) AS est
+           FROM (SELECT *,
+               GREATEST(CAST(CEIL(total * $micro / 1000000.0) AS BIGINT),
+                 1) AS rank
+             FROM cum)
+           WHERE cum >= rank AND cum - n < rank"""
+      }
+      s"""WITH v AS (SELECT source, CAST(length(text) AS BIGINT) AS v
+           FROM documents),
+         b AS (SELECT source, CAST(length(bin(v)) - 1 AS INT) AS bucket, v
+           FROM v WHERE v > 0),
+         regs AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(v) AS vmin, MAX(v) AS vmax
+           FROM b GROUP BY 1, 2),
+         cum AS (SELECT *,
+             SUM(n) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+             SUM(n) OVER (PARTITION BY source) AS total
+           FROM regs)
+         ${Seq(0.25, 0.5, 0.75, 0.99).map(arm).mkString(" UNION ALL ")}
+         ORDER BY source, frac"""
     },
 
     // count-min mirror: same per-row salted cell hashes (unrolled),

@@ -2036,6 +2036,73 @@ object TextOps {
           col("exact_distinct"), 6).as("rel_err"))
   }
 
+  /** Log2-histogram registers — the MERGEABLE quantile sketch that
+    * completes the bounded-state trilogy ([[hllRegisters]] distinct,
+    * [[cmsRegisters]] frequency, this one distribution): per (group,
+    * bucket) count/min/max/sum where bucket = floor(log2(v)) computed
+    * EXACTLY as `length(binary(v)) - 1` (string length of the base-2
+    * representation — integer semantics in both engines; an IEEE
+    * `floor(log2(v))` can land on either side at exact powers of two).
+    * At most 64 buckets per group regardless of row count; shards
+    * merge by add/min/max ([[histMerge]]) — the percentile answer a
+    * 100 TB pipeline keeps per shard/day when the exact per-group sort
+    * ([[perplexityBuckets]]'s percentile) is the scale problem.
+    * Nonpositive values are excluded (log buckets are undefined
+    * there); callers shift if zero matters. */
+  def histRegisters(df: DataFrame, groupCol: String,
+      valueCol: Column): DataFrame =
+    df.select(col(groupCol), valueCol.cast("long").as("__v"))
+      .filter(col("__v") > 0)
+      .select(col(groupCol),
+        (length(conv(col("__v"), 10, 2)) - 1).cast("int").as("bucket"),
+        col("__v"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"), min("__v").as("vmin"),
+        max("__v").as("vmax"), sum("__v").as("vsum"))
+
+  /** Merge independently-built histogram register frames (same group
+    * column): per-bucket add/min/max — exactly the whole-corpus
+    * recompute, like [[hllMerge]]. */
+  def histMerge(regs: DataFrame*): DataFrame = {
+    val all = regs.reduce(_ unionByName _)
+    val groupCol = all.columns(0)
+    all.groupBy(col(groupCol), col("bucket"))
+      .agg(sum("n").as("n"), min("vmin").as("vmin"),
+        max("vmax").as("vmax"), sum("vsum").as("vsum"))
+  }
+
+  /** Quantile estimates from histogram registers: walk the cumulative
+    * counts to the target rank's bucket, then interpolate linearly
+    * inside the bucket's OBSERVED [vmin, vmax] span. All arithmetic is
+    * exact integers up to one final division (4-dp rounded), so the
+    * estimate is bit-stable across engines. The per-group window runs
+    * over at most 64 register rows — bounded, never the data. */
+  def histQuantiles(regs: DataFrame, groupCol: String,
+      fracs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy("bucket")
+    val cum = regs
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("total", sum("n").over(Window.partitionBy(groupCol)))
+    val probes = fracs.map { f =>
+      // target rank (1-based, ceil) as exact integer arithmetic:
+      // ceil(f * total) with f carried in micro-units
+      val micro = math.round(f * 1000000.0)
+      cum.withColumn("frac", lit(micro / 1000000.0))
+        .withColumn("rank",
+          greatest(ceil(col("total") * micro / 1000000.0), lit(1L)))
+        .filter(col("cum") >= col("rank") &&
+          col("cum") - col("n") < col("rank"))
+        .select(col(groupCol), col("frac"),
+          round(col("vmin") +
+            (col("vmax") - col("vmin")).cast("double") *
+              (col("rank") - (col("cum") - col("n")) - 1).cast("double") /
+              greatest(col("n") - 1, lit(1L)).cast("double"), 4)
+            .as("est"))
+    }
+    probes.reduce(_ unionByName _)
+  }
+
   /** Count-min sketch registers (Cormode & Muthukrishnan 2005) — the
     * bounded-memory frequency table a 100 TB token stream keeps when the
     * exact (term, count) table itself would be the scale problem: `depth`

@@ -185,6 +185,43 @@ class TextInvariantsSpec extends AnyFunSuite {
       .distinct().count() == dup.count())
   }
 
+  test("histQuantiles: merge-exact shards, ordered and bounded estimates") {
+    import spark.implicits._
+    // deterministic long-tailed values: mostly small, some huge
+    val vals = (0 until 3000).map { i =>
+      val g = s"g${i % 2}"
+      val v = if (i % 17 == 0) 100000L + i else 10L + (i % 97)
+      (g, v)
+    }.toDF("grp", "v")
+    val direct = TextOps.histRegisters(vals, "grp", col("v"))
+    // shard merge is register-exact, like hllMerge
+    val merged = TextOps.histMerge(
+      TextOps.histRegisters(vals.filter(col("v") % 2 === 0), "grp", col("v")),
+      TextOps.histRegisters(vals.filter(col("v") % 2 === 1), "grp", col("v")))
+    assert(merged.union(direct).distinct().count() == direct.count())
+    val q = TextOps.histQuantiles(direct, "grp",
+      Seq(0.1, 0.5, 0.9, 1.0)).cache()
+    // one estimate per (group, frac); estimates are monotone in frac
+    assert(q.count() == 8)
+    val byG = q.collect().groupBy(_.getString(0))
+    byG.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getDouble(1)).map(_.getDouble(2))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+    // estimates stay inside the observed value range; the 1.0-quantile
+    // is EXACTLY the group max (top bucket's vmax)
+    val ext = vals.groupBy("grp").agg(min("v").as("lo"), max("v").as("hi"))
+    assert(q.join(ext, "grp")
+      .filter(col("est") < col("lo") || col("est") > col("hi"))
+      .count() == 0)
+    assert(q.filter(col("frac") === 1.0).join(ext, "grp")
+      .filter(col("est") =!= col("hi").cast("double")).count() == 0)
+    // nonpositive values are excluded, not mis-bucketed
+    val withJunk = vals.union(Seq(("g0", 0L), ("g1", -5L)).toDF("grp", "v"))
+    assert(TextOps.histRegisters(withJunk, "grp", col("v"))
+      .union(direct).distinct().count() == direct.count())
+  }
+
   test("cmsEstimate: never undercounts, exact on collision-free widths") {
     import spark.implicits._
     val occ = termFrame.select(col("term").as("t"))
