@@ -528,6 +528,22 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // unicode/whitespace normalization over a crafted messy corpus
+    // (curly quotes, NBSP, CRLF, bell char, blank-line runs, tab runs
+    // — planted by the same construction rule as the oracle)
+    "t78_normalize_text" -> ((s, dir) => {
+      val ptext = concat(
+        lit("  “q” "), col("doc_id").cast("string"),
+        lit("‘a’ b – c\r\nde"),
+        when(col("doc_id") % 3 === 0, lit("\n\n\n\n"))
+          .otherwise(lit("\t \t")),
+        lit("f…   g  "))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        ptext.as("ptext"))
+      graft.text.NormalizeOps.normalizeText(docs, "doc_id", "ptext")
+        .orderBy("doc_id")
+    }),
+
     // log2-histogram quantiles: mergeable bounded-state (<=64 buckets
     // per source) distribution sketch queried at 4 quantile points
     "t77_hist_quantiles" -> ((s, dir) => {
@@ -2410,6 +2426,33 @@ object TextQueries {
            ROUND(ABS(f.hll_est - e.exact_distinct) / e.exact_distinct, 6)
              AS rel_err
          FROM fin f JOIN ex e USING (source) ORDER BY source"""
+    },
+
+    // normalization mirror: cascade generated from NormalizeOps.Stages
+    // (one pattern source), construction-rule ptext via chr() codes
+    "t78_normalize_text" -> {
+      def sq(s: String) = s.replace("'", "''")
+      val stages = graft.text.NormalizeOps.Stages
+      val cascade = stages.zipWithIndex.map { case ((_, pat, rep), i) =>
+        s"""s${i + 1} AS (SELECT doc_id, ptext,
+             regexp_replace(t$i, '${sq(pat)}', '${sq(rep)}', 'g')
+               AS t${i + 1} FROM s$i)"""
+      }.mkString(",\n       ")
+      s"""WITH src AS (SELECT doc_id,
+           '  ' || chr(8220) || 'q' || chr(8221) || ' '
+           || CAST(doc_id AS VARCHAR)
+           || chr(8216) || 'a' || chr(8217) || chr(160) || 'b '
+           || chr(8211) || ' c' || chr(13) || chr(10) || 'd' || chr(7)
+           || 'e'
+           || CASE WHEN doc_id % 3 = 0 THEN repeat(chr(10), 4)
+                   ELSE chr(9) || ' ' || chr(9) END
+           || 'f' || chr(8230) || '   g  ' AS ptext
+         FROM documents),
+       s0 AS (SELECT doc_id, ptext, ptext AS t0 FROM src),
+       $cascade
+       SELECT doc_id, trim(t${stages.length}) AS text_norm,
+         trim(t${stages.length}) <> ptext AS changed
+       FROM s${stages.length} ORDER BY doc_id"""
     },
 
     // histogram-quantile mirror: same exact-integer log2 bucketing

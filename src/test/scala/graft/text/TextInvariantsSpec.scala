@@ -185,6 +185,28 @@ class TextInvariantsSpec extends AnyFunSuite {
       .distinct().count() == dup.count())
   }
 
+  test("normalizeText: idempotent, exact on crafted cases, clean-text noop") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "  “hi” there – ok\r\nnextline  "),
+      (2L, "a\n\n\n\n\nb\t\tc‘d’…"),
+      (3L, "already clean text"),
+      (4L, "")).toDF("id", "t")
+    val once = graft.text.NormalizeOps.normalizeText(cases, "id", "t")
+    val got = once.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getBoolean(2))).toMap
+    assert(got(1L) == ("\"hi\" there - ok\nnextline", true))
+    assert(got(2L) == ("a\n\nb c'd'...", true))
+    assert(got(3L) == ("already clean text", false))
+    assert(got(4L) == ("", false))
+    // idempotence: a second pass changes nothing and reports changed=false
+    val twice = graft.text.NormalizeOps.normalizeText(
+      once.select(col("id"), col("text_norm").as("t")), "id", "t")
+    assert(twice.filter(col("changed")).count() == 0)
+    assert(twice.withColumnRenamed("text_norm", "t2").join(once, "id")
+      .filter(col("t2") =!= col("text_norm")).count() == 0)
+  }
+
   test("histQuantiles: merge-exact shards, ordered and bounded estimates") {
     import spark.implicits._
     // deterministic long-tailed values: mostly small, some huge
