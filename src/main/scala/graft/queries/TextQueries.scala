@@ -528,6 +528,26 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // script detection over a planted multilingual corpus: pure-
+    // Cyrillic docs, CJK-tailed docs, and a Greek/Arabic tie that
+    // exercises the dominance tie-break
+    "t79_script_detect" -> ((s, dir) => {
+      val ptext =
+        when(col("doc_id") % 7 === 1,
+          expr("repeat('ж', cast(doc_id % 11 + 2 as int))"))
+        .when(col("doc_id") % 7 === 2,
+          concat(col("text"), lit(" "),
+            expr("repeat('中', cast(doc_id % 5 + 40 as int))")))
+        .when(col("doc_id") % 7 === 3,
+          concat(expr("repeat('λ', 5)"),
+            expr("repeat('ع', cast(doc_id % 6 as int))")))
+        .otherwise(col("text"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        ptext.as("ptext"))
+      TextOps.scriptDetect(docs, "doc_id", "ptext")
+        .orderBy("doc_id")
+    }),
+
     // unicode/whitespace normalization over a crafted messy corpus
     // (curly quotes, NBSP, CRLF, bell char, blank-line runs, tab runs
     // — planted by the same construction rule as the oracle)
@@ -2426,6 +2446,38 @@ object TextQueries {
            ROUND(ABS(f.hll_est - e.exact_distinct) / e.exact_distinct, 6)
              AS rel_err
          FROM fin f JOIN ex e USING (source) ORDER BY source"""
+    },
+
+    // script-detection mirror: counts/dominance generated from
+    // TextOps.ScriptClasses (one range source), chr()-planted corpus
+    "t79_script_detect" -> {
+      val classes = TextOps.ScriptClasses
+      val cnt = classes.map { case (n, cls) =>
+        s"CAST(len(regexp_extract_all(ptext, '$cls')) AS BIGINT) AS n_$n"
+      }.mkString(",\n           ")
+      val names = classes.map(s => s"n_${s._1}")
+      val best = s"GREATEST(${names.mkString(", ")})"
+      val total = names.mkString(" + ")
+      val domArms = classes.map { case (n, _) =>
+        s"WHEN n_$n > 0 AND n_$n = $best THEN '$n'"
+      }.mkString(" ")
+      s"""WITH src AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 1 THEN
+                  repeat(chr(1078), CAST(doc_id % 11 + 2 AS INT))
+                WHEN doc_id % 7 = 2 THEN
+                  text || ' ' || repeat(chr(20013), CAST(doc_id % 5 + 40 AS INT))
+                WHEN doc_id % 7 = 3 THEN
+                  repeat(chr(955), 5) || repeat(chr(1593), CAST(doc_id % 6 AS INT))
+                ELSE text END AS ptext
+         FROM documents),
+       c AS (SELECT doc_id,
+           $cnt
+         FROM src)
+       SELECT doc_id, ${names.mkString(", ")},
+         CASE $domArms ELSE 'unknown' END AS script,
+         ROUND(CASE WHEN $total = 0 THEN NULL
+           ELSE CAST($best AS DOUBLE) / ($total) END, 6) AS script_frac
+       FROM c ORDER BY doc_id"""
     },
 
     // normalization mirror: cascade generated from NormalizeOps.Stages

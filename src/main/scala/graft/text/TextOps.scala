@@ -847,6 +847,46 @@ object TextOps {
       pred.as("lang_pred"): _*)
   }
 
+  /** Unicode-range script classes for [[scriptDetect]] — literal-char
+    * ranges only (no \p{Script} property classes: Java and RE2 disagree
+    * on property-name spelling, but literal ranges mean the same code
+    * points everywhere). One (name, character-class) per script, in
+    * dominance tie-break order. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("cjk", "[一-鿿぀-ヿ가-힯]"),
+    ("arabic", "[؀-ۿ]"))
+
+  /** Writing-system detection — the router a multilingual corpus needs
+    * BEFORE [[langId]]'s per-language token profiles apply (those
+    * assume Latin script): per-document counts of characters in each
+    * script's unicode range, the dominant script (count tie-break =
+    * [[ScriptClasses]] order; 'unknown' when no script chars at all),
+    * and the dominant script's share of all script chars. Narrow
+    * regexp_count projection — no shuffle, no UDF, codegen'd. */
+  def scriptDetect(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val counts = ScriptClasses.map { case (name, cls) =>
+      regexp_count(t, lit(cls)).cast("long").as(s"n_$name")
+    }
+    val withCounts = df.select(col(idCol) +: counts: _*)
+    val total = ScriptClasses.map(s => col(s"n_${s._1}")).reduce(_ + _)
+    val best = ScriptClasses.map(s => col(s"n_${s._1}"))
+      .reduce((a, b) => greatest(a, b))
+    val dominant = ScriptClasses.foldRight(lit("unknown")) {
+      case ((name, _), rest) =>
+        when(col(s"n_$name") > 0 && col(s"n_$name") === best, name)
+          .otherwise(rest)
+    }
+    withCounts.select(
+      (col(idCol) +: ScriptClasses.map(s => col(s"n_${s._1}"))) :+
+        dominant.as("script") :+
+        round(when(total === 0, lit(null))
+          .otherwise(best.cast("double") / total), 6).as("script_frac"): _*)
+  }
+
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it",
     "you", "that", "for", "on", "with", "as")
 

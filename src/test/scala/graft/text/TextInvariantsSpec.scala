@@ -185,6 +185,30 @@ class TextInvariantsSpec extends AnyFunSuite {
       .distinct().count() == dup.count())
   }
 
+  test("scriptDetect: exact counts, dominance, tie-break, unknown") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "hello мир мир"),          // 5 latin, 6 cyrillic
+      (2L, "正体中文字"),              // 5 cjk only
+      (3L, "αβγ abc"),               // 3-3 greek/latin tie -> latin first
+      (4L, "12345 !?"),              // no script chars
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val got = TextOps.scriptDetect(cases, "id", "t").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_latin") == 5 &&
+      got(1L).getAs[Long]("n_cyrillic") == 6 &&
+      got(1L).getAs[String]("script") == "cyrillic")
+    assert(got(2L).getAs[Long]("n_cjk") == 5 &&
+      got(2L).getAs[String]("script") == "cjk" &&
+      got(2L).getAs[Double]("script_frac") == 1.0)
+    // tie goes to the earlier ScriptClasses entry (latin)
+    assert(got(3L).getAs[String]("script") == "latin")
+    assert(got(4L).getAs[String]("script") == "unknown" &&
+      got(4L).isNullAt(got(4L).fieldIndex("script_frac")))
+    assert(got(5L).getAs[String]("script") == "unknown")
+  }
+
   test("normalizeText: idempotent, exact on crafted cases, clean-text noop") {
     import spark.implicits._
     val cases = Seq(
