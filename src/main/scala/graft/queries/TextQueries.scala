@@ -528,6 +528,26 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // snapshot diff: doc_id<400 is the old snapshot, >=100 the new,
+    // every 17th doc mutated — the four statuses all exercised
+    "t80_snapshot_diff" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val oldSnap = base.filter(col("doc_id") < 400)
+      val newSnap = base.filter(col("doc_id") >= 100).select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      TextOps.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // per-source token-distribution drift: smoothed KL(source||corpus)
+    // over 64 hashed buckets, micro-nat integer sums
+    "t81_token_drift" -> ((s, dir) => {
+      TextOps.tokenDrift(t(s, dir, "documents"), "doc_id", "text",
+          "source")
+        .orderBy("source")
+    }),
+
     // script detection over a planted multilingual corpus: pure-
     // Cyrillic docs, CJK-tailed docs, and a Greek/Arabic tie that
     // exercises the dominance tie-break
@@ -2447,6 +2467,55 @@ object TextQueries {
              AS rel_err
          FROM fin f JOIN ex e USING (source) ORDER BY source"""
     },
+
+    // snapshot-diff mirror: same content-hash full outer join
+    "t80_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id < 400),
+         n AS (SELECT doc_id,
+             md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+                 ELSE text END) AS h
+           FROM documents WHERE doc_id >= 100)
+         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h = n.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""",
+
+    // drift mirror: same bucket hash, add-one smoothing, single
+    // p * ln(p/q) * 1e6 op order, micro-nat integer sums
+    "t81_token_drift" ->
+      """WITH occ AS (SELECT source,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS b
+           FROM (SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS t FROM documents)),
+         srcb AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM occ GROUP BY 1, 2),
+         srcn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM occ GROUP BY 1),
+         allb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS call
+           FROM occ GROUP BY 1),
+         alln AS (SELECT CAST(COUNT(*) AS BIGINT) AS nall FROM occ),
+         grid AS (SELECT s.source, s.n, g.b
+           FROM srcn s, (SELECT unnest(range(64)) AS b) g),
+         j AS (SELECT grid.source, grid.n,
+             COALESCE(sb.c, 0) AS c, COALESCE(ab.call, 0) AS call,
+             (SELECT nall FROM alln) AS nall
+           FROM grid
+           LEFT JOIN srcb sb ON sb.source = grid.source AND sb.b = grid.b
+           LEFT JOIN allb ab ON ab.b = grid.b),
+         tm AS (SELECT source, n,
+             CAST(ROUND(((c + 1)::DOUBLE / (n + 64)::DOUBLE)
+               * ln(((c + 1)::DOUBLE / (n + 64)::DOUBLE)
+                 / ((call + 1)::DOUBLE / (nall + 64)::DOUBLE))
+               * 1000000.0, 0) AS BIGINT) AS tmic
+           FROM j)
+         SELECT source, MAX(n) AS n_tokens,
+           CAST(SUM(tmic) AS BIGINT) AS kl_micro
+         FROM tm GROUP BY source ORDER BY source""",
 
     // script-detection mirror: counts/dominance generated from
     // TextOps.ScriptClasses (one range source), chr()-planted corpus

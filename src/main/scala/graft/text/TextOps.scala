@@ -2076,6 +2076,64 @@ object TextOps {
           col("exact_distinct"), 6).as("rel_err"))
   }
 
+  /** Snapshot diff — the data-versioning audit between two corpus
+    * snapshots: per id, `added` / `removed` / `changed` / `unchanged`
+    * by content hash. One id-keyed full outer join of two (id, md5)
+    * projections — the text itself never shuffles, only 32-byte
+    * hashes; at 100 TB this is the nightly "what moved" report that
+    * makes incremental reprocessing ([[dedupAgainstCorpus]]) safe to
+    * trust. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("__oid"), md5(col(textCol)).as("__oh"))
+    val n = newDf.select(col(idCol).as("__nid"), md5(col(textCol)).as("__nh"))
+    o.join(n, col("__oid") === col("__nid"), "full_outer")
+      .select(coalesce(col("__oid"), col("__nid")).as(idCol),
+        when(col("__oid").isNull, "added")
+          .when(col("__nid").isNull, "removed")
+          .when(col("__oh") === col("__nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** Per-source token-distribution drift vs the whole corpus — the
+    * monitoring signal a production ingest pipeline alarms on (a
+    * source whose token mix diverges from the corpus is a scraper
+    * change, an encoding bug, or contamination): smoothed KL(source ||
+    * corpus) over `buckets` hashed token cells. Counts are exact
+    * integer hash aggs; each bucket's KL term is rounded to micro-nats
+    * and the per-source result is an EXACT integer sum of those terms
+    * ([[lmScore]]'s order-independence discipline — double summation
+    * order can never move the answer). Bounded state: the dense grid
+    * is |sources| x buckets rows; corpus totals ride a broadcast. */
+  def tokenDrift(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, buckets: Int = 64): DataFrame = {
+    val occ = fanOut(df).select(col(sourceCol),
+      explode(tokens(col(textCol))).as("__t"))
+      .select(col(sourceCol), (md5Hash60(col("__t")) % buckets).as("b"))
+    val srcB = occ.groupBy(sourceCol, "b").agg(count(lit(1)).as("c"))
+    val srcN = occ.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+    val allB = occ.groupBy("b").agg(count(lit(1)).as("cAll"))
+    val allN = occ.agg(count(lit(1)).as("nAll"))
+    val grid = srcN
+      .select(col(sourceCol), col("n"),
+        explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("b"))
+      .join(srcB, Seq(sourceCol, "b"), "left")
+      .join(allB, Seq("b"), "left")
+      .crossJoin(broadcast(allN))
+      .select(col(sourceCol), col("n"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("cAll"), lit(0L)).as("cAll"), col("nAll"))
+    // p, q and the ln ratio share ONE op order with the oracle; the
+    // only cross-engine float op is ln, absorbed by the micro rounding
+    val p = (col("c") + 1).cast("double") / (col("n") + buckets).cast("double")
+    val q = (col("cAll") + 1).cast("double") /
+      (col("nAll") + buckets).cast("double")
+    val termMicro = round(p * log(p / q) * 1000000.0, 0).cast("long")
+    grid.select(col(sourceCol), col("n"), termMicro.as("__tm"))
+      .groupBy(sourceCol)
+      .agg(max("n").as("n_tokens"), sum("__tm").as("kl_micro"))
+  }
+
   /** Log2-histogram registers — the MERGEABLE quantile sketch that
     * completes the bounded-state trilogy ([[hllRegisters]] distinct,
     * [[cmsRegisters]] frequency, this one distribution): per (group,

@@ -185,6 +185,50 @@ class TextInvariantsSpec extends AnyFunSuite {
       .distinct().count() == dup.count())
   }
 
+  test("snapshotDiff: statuses partition the id universe correctly") {
+    import spark.implicits._
+    val oldSnap = (0L until 100L).map(i => (i, s"doc $i body")).toDF("id", "t")
+    val newSnap = (50L until 150L).map { i =>
+      (i, if (i % 10 == 0) s"doc $i body EDITED" else s"doc $i body")
+    }.toDF("id", "t")
+    val d = TextOps.snapshotDiff(oldSnap, newSnap, "id", "t").cache()
+    val by = d.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by("added") == 50)    // 100..149
+    assert(by("removed") == 50)  // 0..49
+    assert(by("changed") == 5)   // 50,60,...,90
+    assert(by("unchanged") == 45)
+    // every id appears exactly once
+    assert(d.count() == d.select("id").distinct().count())
+    assert(d.count() == 150)
+    // diffing a snapshot against itself is all-unchanged
+    val self = TextOps.snapshotDiff(oldSnap, oldSnap, "id", "t")
+    assert(self.filter(col("status") =!= "unchanged").count() == 0)
+  }
+
+  test("tokenDrift: zero for the corpus's own mix, positive for drift") {
+    import spark.implicits._
+    // two sources with IDENTICAL token mixes -> both KLs equal and ~0;
+    // a third source with an alien vocabulary -> clearly larger KL
+    val docs = (0 until 300).map { i =>
+      val src = if (i < 100) "a" else if (i < 200) "b" else "alien"
+      val txt = if (src == "alien") s"zzq$i xkcd qwerty uniq${i % 7}"
+      else s"the quick brown fox ${i % 5} jumps over dogs"
+      (i.toLong, src, txt)
+    }.toDF("id", "src", "t")
+    val kl = TextOps.tokenDrift(docs, "id", "t", "src").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(kl.keySet == Set("a", "b", "alien"))
+    // a and b have identical distributions -> identical KL values
+    assert(kl("a") == kl("b"))
+    assert(kl("alien") > kl("a") + 100000L,
+      s"alien ${kl("alien")} not clearly above ${kl("a")}")
+    // determinism under repartitioning (integer micro-nat sums)
+    val kl2 = TextOps.tokenDrift(docs.repartition(7), "id", "t", "src")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(kl == kl2)
+  }
+
   test("scriptDetect: exact counts, dominance, tie-break, unknown") {
     import spark.implicits._
     val cases = Seq(
