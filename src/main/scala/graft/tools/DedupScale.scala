@@ -292,6 +292,13 @@ object DedupScale {
           docs.select(col("doc_id"), length(col("text")).as("len")),
           "doc_id", "len", bits = 8).count()
       }
+      measure("hist_registers", nD) {
+        TextOps.histRegisters(srcDocs, "source",
+          length(col("text"))).count()
+      }
+      measure("token_drift", nD) {
+        TextOps.tokenDrift(srcDocs, "doc_id", "text", "source").count()
+      }
     }
     spark.stop()
   }

@@ -344,6 +344,23 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming histogram registers equal the batch sketch") {
+    // count/min/max/sum per log2 bucket is one complete-mode agg;
+    // state bounded by groups x 64 — same contract as CMS/HLL.
+    val schema = docsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = TextOps.histRegisters(stream, "source", length(col("text")))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hist_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hist_stream")
+    val batch = TextOps.histRegisters(docsBatch, "source",
+      length(col("text")))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming HLL registers equal the batch sketch") {
     // max(rho) is duplicate-insensitive, so the stream twin skips the
     // batch path's distinct (dedupTerms = false) and still lands on
