@@ -1088,11 +1088,16 @@ object TextQueries {
     * smallest-vec_id member vectors — exactly
     * Similarity.semDedup(maxCellSize=50, refineRounds=2): rounded-4
     * cosine, member-x-seed md5 tie-break, path-string cell ids. */
-  private val SEMDEDUP_CAPPED_SQL: String = {
+  /** Capped-SemDeDup mirror, parameterized by (cap, refineRounds) so
+    * the SAME builder serves both t44 (cap=50, 2 rounds) and t41's
+    * DEFAULT path (cap=500, 3 rounds — splits first trigger at sf0.1,
+    * where an uncapped mirror silently diverges). Returns the WITH
+    * body; the final refined frame is r<rounds>, drops in capdrops. */
+  private def semdedupCappedSql(cap: Int, rounds: Int): String = {
     def cosR(a: String, b: String) =
       s"""ROUND(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a))
          * sqrt(list_dot_product($b, $b))), 4)"""
-    def refine(prev: String, next: String, cap: Int) =
+    def refine(prev: String, next: String) =
       s"""${next}o AS (SELECT cell, CAST(CEIL(COUNT(*) / $cap.0) AS INT) AS k
            FROM $prev GROUP BY cell HAVING COUNT(*) > $cap),
          ${next}m AS (SELECT p.vec_id, p.v, p.cell, o.k
@@ -1111,11 +1116,13 @@ object TextQueries {
          $next AS (SELECT vec_id, v, cell FROM $prev
             WHERE cell NOT IN (SELECT cell FROM ${next}o)
             UNION ALL SELECT vec_id, v, cell FROM ${next}a)"""
+    val chain = (0 until rounds)
+      .map(i => refine(s"r$i", s"r${i + 1}")).mkString(",\n       ")
+    val fin = s"r$rounds"
     s"""$KMEANS_TRAINED_ASSIGN_CTES,
        r0 AS (SELECT vec_id, v, cell::VARCHAR AS cell FROM af),
-       ${refine("r0", "r1", 50)},
-       ${refine("r1", "r2", 50)},
-       capdrops AS (SELECT DISTINCT a.vec_id FROM r2 a JOIN r2 b
+       $chain,
+       capdrops AS (SELECT DISTINCT a.vec_id FROM $fin a JOIN $fin b
          ON a.cell = b.cell AND b.vec_id < a.vec_id
          AND ${cosR("a.v", "b.v")} >= 0.3)"""
   }
@@ -1672,8 +1679,8 @@ object TextQueries {
              list_sum(list_transform(dch, c ->
                CAST(ROUND(len(list_filter(ch, x -> x = c))::DOUBLE
                  * ln(n::DOUBLE / len(list_filter(ch, x -> x = c))::DOUBLE)
-                 * 1000000.0, 0) AS BIGINT)))::DOUBLE
-             / 1000000.0 / n::DOUBLE, 6) END AS entropy
+                 * 10000.0, 0) AS BIGINT)))::DOUBLE
+             / 10000.0 / n::DOUBLE, 6) END AS entropy
          FROM m ORDER BY doc_id""",
 
     // contiguous-fill packing mirror: per-source window token cumsum
@@ -1990,15 +1997,15 @@ object TextQueries {
     // ids cast to VARCHAR: the engine's default-on cell-size guard
     // carries string cells (no split happens at this SF — every cell is
     // under the 500 cap — so the VALUES are the uncapped algorithm's).
+    // Default-path mirror = the SAME capped machinery at the default
+    // cap/rounds (500, 3): at sf0.01 no cell exceeds 500 and this
+    // degenerates to the uncapped drop rule; at sf0.1 the 2000-vector
+    // 4-cell assignment DOES split, and only the capped mirror stays
+    // bit-identical (caught by the r9 sf0.1 stretch check).
     "t41_semantic_dedup" ->
-      s"""WITH $KMEANS_TRAINED_ASSIGN_CTES,
-         drops AS (SELECT DISTINCT a.vec_id FROM af a JOIN af b
-           ON a.cell = b.cell AND b.vec_id < a.vec_id
-           AND ROUND(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v))
-                * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3)
-         SELECT vec_id, cell::VARCHAR AS cell FROM af
-         WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+      s"""WITH ${semdedupCappedSql(500, 3)}
+         SELECT vec_id, cell FROM r3
+         WHERE vec_id NOT IN (SELECT vec_id FROM capdrops)
          ORDER BY vec_id""",
 
     // Capped-SemDeDup mirror: same trained assignment, then 2 refine
@@ -2006,7 +2013,7 @@ object TextQueries {
     // re-assignment (rounded cosine, member-x-seed md5 tie-break), then the same
     // earlier-similar-member drop rule on the refined cells.
     "t44_semdedup_capped" ->
-      s"""WITH $SEMDEDUP_CAPPED_SQL
+      s"""WITH ${semdedupCappedSql(50, 2)}
          SELECT vec_id, cell FROM r2
          WHERE vec_id NOT IN (SELECT vec_id FROM capdrops)
          ORDER BY vec_id""",

@@ -1075,15 +1075,23 @@ object TextOps {
     val n = size(col("__ch"))
     val cnt = (c: Column) =>
       size(filter(col("__ch"), x => x === c)).cast("double")
+    // Per-term grain is 1e4 (NOT 1e6): each term's c*ln(n/c) differs
+    // between engines by ~1 ulp (~2e-16 relative — Java Math.log vs
+    // libm), so an integer round flips when the scaled term sits
+    // within that ulp of a .5 boundary. The flip window shrinks
+    // linearly with the grain: at 1e6 the sf0.1 corpus's ~125k terms
+    // made a flip near-certain once per few rounds (observed in the
+    // r9 stretch check); at 1e4 it is ~100x rarer, for ~1e-5 nats of
+    // quantization — invisible at the 6-dp display precision.
     val terms = transform(array_distinct(col("__ch")), c =>
-      round(cnt(c) * log(n.cast("double") / cnt(c)) * lit(1e6), 0).cast("long"))
+      round(cnt(c) * log(n.cast("double") / cnt(c)) * lit(1e4), 0).cast("long"))
     df.select(col(idCol), chars.as("__ch"))
       .select(col(idCol),
         length(concat_ws("", col("__ch"))).cast("long").as("n_chars"),
         size(array_distinct(col("__ch"))).cast("long").as("n_distinct_chars"),
         when(n <= 0, lit(0.0)).otherwise(
           round(aggregate(terms, lit(0L), (a, x) => a + x).cast("double") /
-            lit(1e6) / n.cast("double"), 6)).as("entropy"))
+            lit(1e4) / n.cast("double"), 6)).as("entropy"))
   }
 
   /** Temperature (alpha-smoothing) mixture resampling: per-source
