@@ -2118,10 +2118,15 @@ object TextOps {
     val occ = fanOut(df).select(col(sourceCol),
       explode(tokens(col(textCol))).as("__t"))
       .select(col(sourceCol), (md5Hash60(col("__t")) % buckets).as("b"))
+    // ONE pass over the corpus: every total below re-aggregates the
+    // |sources| x buckets count table, never the token stream (the
+    // plan-audit fix — the naive four-agg shape scanned and
+    // re-tokenized the corpus four times)
     val srcB = occ.groupBy(sourceCol, "b").agg(count(lit(1)).as("c"))
-    val srcN = occ.groupBy(sourceCol).agg(count(lit(1)).as("n"))
-    val allB = occ.groupBy("b").agg(count(lit(1)).as("cAll"))
-    val allN = occ.agg(count(lit(1)).as("nAll"))
+      .localCheckpoint(eager = false)
+    val srcN = srcB.groupBy(sourceCol).agg(sum("c").as("n"))
+    val allB = srcB.groupBy("b").agg(sum("c").as("cAll"))
+    val allN = allB.agg(sum("cAll").as("nAll"))
     val grid = srcN
       .select(col(sourceCol), col("n"),
         explode(sequence(lit(0L), lit((buckets - 1).toLong))).as("b"))
