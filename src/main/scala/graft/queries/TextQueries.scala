@@ -528,6 +528,15 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // exact embedding second moments: the d x d mean/covariance table
+    // behind allButTop — pure integer arithmetic, the oracled
+    // foundation of the (driver-side, spec-verified) eigen step
+    "t82_emb_moments" -> ((s, dir) => {
+      graft.sim.Similarity.embMoments(t(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .orderBy("i", "j")
+    }),
+
     // snapshot diff: doc_id<400 is the old snapshot, >=100 the new,
     // every 17th doc mutated — the four statuses all exercised
     "t80_snapshot_diff" -> ((s, dir) => {
@@ -2474,6 +2483,23 @@ object TextQueries {
              AS rel_err
          FROM fin f JOIN ex e USING (source) ORDER BY source"""
     },
+
+    // moments mirror: same micro-unit components, exact integer sums,
+    // n*Sxy - Sx*Sy numerator
+    "t82_emb_moments" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         comp AS (SELECT vec_id, CAST(i AS INT) AS i,
+             CAST(ROUND(v[CAST(i AS INT) + 1] * 1000000.0, 0) AS BIGINT)
+               AS xm
+           FROM (SELECT vec_id, v, unnest(range(len(v))) AS i FROM e)),
+         p AS (SELECT a.i AS i, b.i AS j, a.xm AS xi, b.xm AS xj
+           FROM comp a JOIN comp b
+           ON a.vec_id = b.vec_id AND b.i >= a.i)
+         SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(xi) AS BIGINT) AS sum_i,
+           CAST(COUNT(*) * SUM(xi * xj) - SUM(xi) * SUM(xj) AS BIGINT)
+             AS cov_num
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // snapshot-diff mirror: same content-hash full outer join
     "t80_snapshot_diff" ->

@@ -804,4 +804,121 @@ object Similarity {
     assigned.join(dropIds, Seq(idCol), "left_anti")
       .select(idCol, "cell")
   }
+
+  /** Exact second moments of an embedding corpus — the (mean,
+    * covariance-numerator) table behind [[allButTop]], oracled on its
+    * own (t82) because it is pure integer arithmetic: components are
+    * 6-dp micro-units, the per-(i, j) numerator is
+    * `n * Σ x_i x_j - Σ x_i * Σ x_j` over EXACT long/decimal sums —
+    * order-independent, bit-identical across engines and
+    * partitionings. Output: one row per ordered (i, j) pair with
+    * `n`, `sum_i` (micro), and `cov_num` (micro², scaled covariance
+    * numerator; divide by n² for the covariance itself).
+    *
+    * Scale shape: one explode to (row, i, x_i) then a self-join on the
+    * row id restricted to j >= i — shuffle ∝ rows * d, aggregate state
+    * d(d+1)/2 pairs with map-side combine. The d x d moment table is a
+    * fixed-size model no matter the corpus size. */
+  def embMoments(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val comp = df.select(col(idCol).as("__rid"),
+        posexplode(col(vecCol)).as(Seq("i", "__x")))
+      .select(col("__rid"), col("i"),
+        round(col("__x").cast("double") * 1e6, 0).cast("long").as("xm"))
+      .localCheckpoint(eager = false) // read twice by the self-join
+    val a = comp.select(col("__rid"), col("i"), col("xm").as("xi"))
+    val b = comp.select(col("__rid"), col("i").as("j"), col("xm").as("xj"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    a.join(b, Seq("__rid")).filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("xi"))).cast("long").as("si"),
+        sum(dec(col("xj"))).cast("long").as("sj"),
+        sum(dec(col("xi")) * dec(col("xj"))).cast("decimal(38,0)")
+          .as("sij"))
+      .select(col("i"), col("j"), col("n"), col("si").as("sum_i"),
+        // decimal internally (long sums of micro^2 products overflow
+        // at extreme corpus sizes); emitted as long for the oracle's
+        // integer compare — fine to ~4e18, i.e. corpora to ~1e6 rows
+        // per moment pair at unit-scale embeddings
+        (dec(col("n")) * col("sij") - dec(col("si")) * dec(col("sj")))
+          .cast("long").as("cov_num"))
+  }
+
+  /** All-But-The-Top embedding post-processing (Mu & Viswanath 2018):
+    * subtract the corpus mean and remove the projection onto the top
+    * `k` principal components — the standard isotropy fix that
+    * measurably improves similarity search on anisotropic embedding
+    * corpora (the dominant directions carry frequency, not meaning).
+    *
+    * The eigenvectors come from `iters` fixed power-iteration rounds
+    * (with deflation for k > 1) over the EXACT integer covariance of
+    * [[embMoments]], collected to the driver as a d x d model (the
+    * k-means-centroids contract; d = embedding width, never corpus-
+    * sized). Determinism: the covariance is exact, the iteration count
+    * is fixed, the start vector is the constant all-ones direction,
+    * and each iterate is re-rounded to 9 dp — so the resulting
+    * component literals (and therefore every projected output) are
+    * reproducible across runs and partitionings (proven in spec; the
+    * eigen step itself is driver-side Scala and has no SQL mirror —
+    * the moments feeding it are the oracled surface).
+    *
+    * Returns (idCol, emb_abtt array<long> micro-units): the centered,
+    * top-k-removed embedding. Transform is a narrow zip_with/aggregate
+    * cascade over broadcast literal vectors — zero shuffle. */
+  def allButTop(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 1, iters: Int = 20): DataFrame = {
+    require(k >= 1 && iters >= 1, s"bad k=$k / iters=$iters")
+    val moments = embMoments(df, idCol, vecCol).collect()
+    require(moments.nonEmpty, "empty corpus")
+    val d = moments.map(_.getInt(1)).max + 1
+    val n = moments.head.getLong(2).toDouble
+    val mean = new Array[Double](d)
+    val cov = Array.ofDim[Double](d, d)
+    moments.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val covNum = r.getLong(4).toDouble
+      cov(i)(j) = covNum / (n * n); cov(j)(i) = cov(i)(j)
+      if (i == j) mean(i) = r.getLong(3).toDouble / n
+    }
+    // power iteration + deflation, fixed rounds, 9-dp re-rounding
+    val comps = (0 until k).map { _ =>
+      var v = Array.fill(d)(1.0 / math.sqrt(d))
+      (0 until iters).foreach { _ =>
+        val u = Array.tabulate(d)(i =>
+          (0 until d).map(j => cov(i)(j) * v(j)).sum)
+        val norm = math.sqrt(u.map(x => x * x).sum)
+        v = u.map(x =>
+          math.rint(x / norm * 1e9) / 1e9)
+      }
+      val lambda = (0 until d).map(i =>
+        (0 until d).map(j => v(i) * cov(i)(j) * v(j)).sum).sum
+      for (i <- 0 until d; j <- 0 until d)
+        cov(i)(j) -= lambda * v(i) * v(j)
+      v
+    }
+    // transform: x' = (x - mean) - Σ_c <x - mean, e_c> e_c, emitted in
+    // micro-units; all dot products run in array-index order in one
+    // codegen-friendly cascade over literal component vectors
+    val meanLit = lit(mean.map(m => math.rint(m) / 1e6))
+    val centered = zip_with(col(vecCol).cast("array<double>"), meanLit,
+      (x, m) => x - m)
+    // each projection coefficient is MATERIALIZED into its own column
+    // before the removal zip_with references it — a lambda-captured
+    // aggregate would re-evaluate the d-term dot product once per
+    // element (the O(d^2)-per-row HOF pitfall the file header bans)
+    val out = comps.zipWithIndex.foldLeft(
+      df.withColumn("__c", centered)) { case (acc, (e, idx)) =>
+        val eLit = lit(e)
+        acc
+          .withColumn(s"__p$idx",
+            aggregate(zip_with(col("__c"), eLit, (x, c) => x * c),
+              lit(0.0), (a, x) => a + x))
+          .withColumn("__c",
+            zip_with(col("__c"), eLit,
+              (x, c) => x - col(s"__p$idx") * c))
+      }
+    out.select(col(idCol),
+      transform(col("__c"), x => round(x * 1e6, 0).cast("long"))
+        .as("emb_abtt"))
+  }
 }

@@ -340,4 +340,38 @@ class SimilaritySpec extends AnyFunSuite {
       .count()
     assert(hits >= 3, s"ivfpq full-probe top-10 shares only $hits with exact")
   }
+
+  test("allButTop removes the planted dominant direction and centers") {
+    import spark.implicits._
+    // vectors = s * u + small orthogonal noise, u = e0: the top PC is
+    // e0 by construction, so after abtt(k=1) component 0 collapses
+    val rows = (0 until 200).map { i =>
+      val s = (i % 21).toFloat - 10f // spread along e0, mean 0
+      val noise = (0 until 8).map(j =>
+        if (j == 0) s + 100f // +offset: centering must remove it
+        else ((i * 7 + j * 13) % 5).toFloat * 0.01f)
+      (i.toLong, noise)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.allButTop(rows, "vec_id", "embedding", k = 1)
+      .cache()
+    assert(out.count() == 200)
+    // component 0 (the planted PC) is ~0 for every row (micro-units)
+    val worst0 = out.select(max(abs(element_at(col("emb_abtt"), 1))))
+      .collect()(0).getLong(0)
+    assert(worst0 < 50000L, s"top-PC residual $worst0 micro") // < 0.05
+    // per-dim means ~0 after centering (mean of micro components)
+    val meanBad = out
+      .select(posexplode(col("emb_abtt")).as(Seq("i", "x")))
+      .groupBy("i").agg(avg(col("x")).as("m"))
+      .filter(abs(col("m")) > 1000.0).count() // < 1e-3 raw
+    assert(meanBad == 0)
+    // determinism under repartitioning
+    val b = Similarity.allButTop(rows.repartition(7), "vec_id",
+      "embedding", k = 1)
+    assert(out.withColumnRenamed("emb_abtt", "a").join(b, "vec_id")
+      .filter(col("a") =!= col("emb_abtt")).count() == 0)
+    // k=2 removes a second direction without disturbing row count
+    assert(Similarity.allButTop(rows, "vec_id", "embedding", k = 2)
+      .count() == 200)
+  }
 }
