@@ -296,6 +296,9 @@ object DedupScale {
         TextOps.histRegisters(srcDocs, "source",
           length(col("text"))).count()
       }
+      measure("emb_moments", nE) {
+        Similarity.embMoments(emb, "vec_id", "embedding").count()
+      }
       measure("token_drift", nD) {
         TextOps.tokenDrift(srcDocs, "doc_id", "text", "source").count()
       }
