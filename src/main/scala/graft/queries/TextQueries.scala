@@ -1106,32 +1106,36 @@ object TextQueries {
     def cosR(a: String, b: String) =
       s"""ROUND(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a))
          * sqrt(list_dot_product($b, $b))), 4)"""
+    // Every CTE in the refine chain is referenced 2+ times; DuckDB
+    // inlines plain CTEs, re-evaluating the whole chain combinatorially
+    // (measured: 621 s for cap=500/rounds=3 at sf0.01 vs 0.1 s
+    // materialized, identical rows). AS MATERIALIZED throughout.
     def refine(prev: String, next: String) =
-      s"""${next}o AS (SELECT cell, CAST(CEIL(COUNT(*) / $cap.0) AS INT) AS k
+      s"""${next}o AS MATERIALIZED (SELECT cell, CAST(CEIL(COUNT(*) / $cap.0) AS INT) AS k
            FROM $prev GROUP BY cell HAVING COUNT(*) > $cap),
-         ${next}m AS (SELECT p.vec_id, p.v, p.cell, o.k
+         ${next}m AS MATERIALIZED (SELECT p.vec_id, p.v, p.cell, o.k
            FROM $prev p JOIN ${next}o o USING (cell)),
-         ${next}s AS (SELECT cell, vec_id AS sid, v AS sv FROM (
+         ${next}s AS MATERIALIZED (SELECT cell, vec_id AS sid, v AS sv FROM (
            SELECT cell, vec_id, v, k,
              ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS r
            FROM ${next}m) WHERE r <= k),
-         ${next}a AS (SELECT vec_id, v, cell || '/' || sid AS cell FROM (
+         ${next}a AS MATERIALIZED (SELECT vec_id, v, cell || '/' || sid AS cell FROM (
            SELECT m.vec_id, m.v, m.cell, s.sid,
              ROW_NUMBER() OVER (PARTITION BY m.vec_id
                ORDER BY ${cosR("m.v", "s.sv")} DESC,
                  ('0x' || substr(md5(m.vec_id::VARCHAR || '/' || s.sid::VARCHAR),
                    1, 15))::BIGINT, s.sid) AS rn
            FROM ${next}m m JOIN ${next}s s USING (cell)) WHERE rn = 1),
-         $next AS (SELECT vec_id, v, cell FROM $prev
+         $next AS MATERIALIZED (SELECT vec_id, v, cell FROM $prev
             WHERE cell NOT IN (SELECT cell FROM ${next}o)
             UNION ALL SELECT vec_id, v, cell FROM ${next}a)"""
     val chain = (0 until rounds)
       .map(i => refine(s"r$i", s"r${i + 1}")).mkString(",\n       ")
     val fin = s"r$rounds"
     s"""$KMEANS_TRAINED_ASSIGN_CTES,
-       r0 AS (SELECT vec_id, v, cell::VARCHAR AS cell FROM af),
+       r0 AS MATERIALIZED (SELECT vec_id, v, cell::VARCHAR AS cell FROM af),
        $chain,
-       capdrops AS (SELECT DISTINCT a.vec_id FROM $fin a JOIN $fin b
+       capdrops AS MATERIALIZED (SELECT DISTINCT a.vec_id FROM $fin a JOIN $fin b
          ON a.cell = b.cell AND b.vec_id < a.vec_id
          AND ${cosR("a.v", "b.v")} >= 0.3)"""
   }

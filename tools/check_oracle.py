@@ -10,9 +10,15 @@ Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
 import json
 import math
 import sys
+import time
 
 import duckdb
 import pyarrow.dataset as ds
+
+# Any single oracle mirror slower than this is a budget hazard for the
+# driver's t2 gate (the r9 report came back empty because one mirror took
+# 621 s). Fail loudly here so it never reaches the driver.
+ORACLE_BUDGET_SEC = 10.0
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -39,6 +45,8 @@ def main(out_dir, sf_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
+    total_wall = 0.0
+    slow = []
     for name, sql in sorted(oracle.items()):
         try:
             got_tbl = ds.dataset(f"{out_dir}/{name}").to_table()
@@ -52,9 +60,14 @@ def main(out_dir, sf_dir):
             n_fail += 1
             continue
         try:
+            t0 = time.monotonic()
             res = con.execute(sql)
             cols = [d[0] for d in res.description]
             rows = res.fetchall()
+            wall = time.monotonic() - t0
+            total_wall += wall
+            if wall > ORACLE_BUDGET_SEC:
+                slow.append((name, wall))
             order = sorted(range(len(cols)), key=lambda i: cols[i])
             want_cols = sorted(cols)
             want = sorted(tuple(norm(r[i]) for i in order) for r in rows)
@@ -77,9 +90,17 @@ def main(out_dir, sf_dir):
                 print(f"  duck  head: {want[:1]}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(got)} rows)")
+            print(f"PASS {name} ({len(got)} rows, {wall:.2f}s)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    print(f"\n{n_pass} pass, {n_fail} fail, "
+          f"oracle wall {total_wall:.1f}s over {n_pass + n_fail} queries")
+    if slow:
+        for name, wall in slow:
+            print(f"SLOW {name}: duckdb mirror took {wall:.1f}s "
+                  f"(> {ORACLE_BUDGET_SEC:.0f}s budget) — fix before the "
+                  f"driver gate runs (use AS MATERIALIZED for "
+                  f"multi-reference CTEs)")
+        return 1
     return 1 if n_fail else 0
 
 
