@@ -2367,13 +2367,12 @@ object TextQueries {
     // full hashed-bigram LR mirror: 8 unrolled GD iterations + scoring
     "t63_quality_classifier" -> qcOracleSql(8),
     // URL canonicalization + domain-cap mirror: same synthetic url
-    // rule, same regex cascade (RE2-identical constructs), same
-    // multi-part-TLD membership, and the t39 sampler shape for the cap
+    // rule, same regex cascade (RE2-identical constructs), the FULL
+    // public-suffix-list algorithm over the same bundled data file
+    // Psl reads, and the t39 sampler shape for the cap
     "t62_domain_cap" -> {
       val denom = math.pow(2.0, 60)
       val track = graft.text.UrlOps.TrackingParamPattern
-      val tlds = graft.text.UrlOps.MultiPartTlds
-        .map(t => s"'$t'").mkString(", ")
       s"""WITH u AS (SELECT doc_id,
              (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
              (['WWW.Example.COM','news.Site.co.uk','a.b.Example.org',
@@ -2409,15 +2408,40 @@ object TextQueries {
                        (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
                        (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) END AS url_canon
            FROM k),
-         dm AS (SELECT doc_id, url_canon,
-             CASE WHEN url_canon IS NULL THEN NULL
-                  WHEN len(y) <= 2 THEN hnp
-                  WHEN (y[-2] || '.' || y[-1]) IN ($tlds)
-                    THEN y[-3] || '.' || y[-2] || '.' || y[-1]
-                  ELSE y[-2] || '.' || y[-1] END AS domain
-           FROM (SELECT *, string_split(hnp, '.') AS y FROM
-             (SELECT doc_id, url_canon,
-                regexp_replace(host, ':[0-9]+$$', '') AS hnp FROM cn))),
+         psl AS MATERIALIZED (SELECT trim(x) AS rule
+           FROM (SELECT unnest(string_split(content, chr(10))) AS x
+                 FROM read_text('${graft.text.UrlOps.PslSourcePath}'))
+           WHERE trim(x) <> '' AND trim(x) NOT LIKE '//%'),
+         psl_ex AS MATERIALIZED (SELECT rule FROM psl
+           WHERE rule NOT LIKE '*.%' AND rule NOT LIKE '!%'),
+         psl_w AS MATERIALIZED (SELECT substr(rule, 3) AS base FROM psl
+           WHERE rule LIKE '*.%'),
+         psl_x AS MATERIALIZED (SELECT substr(rule, 2) AS rule FROM psl
+           WHERE rule LIKE '!%'),
+         hy AS (SELECT doc_id, url_canon, hnp, string_split(hnp, '.') AS y
+           FROM (SELECT doc_id, url_canon,
+                regexp_replace(host, ':[0-9]+$$', '') AS hnp FROM cn)),
+         -- candidate suffixes: last i labels, i = 1..min(len, 5 = deepest rule)
+         cand AS (SELECT doc_id, i,
+             array_to_string(list_slice(y, len(y) - i + 1, len(y)), '.') AS sfx,
+             array_to_string(list_slice(y, len(y) - i + 2, len(y)), '.') AS base
+           FROM hy, unnest(generate_series(1, LEAST(len(y), 5))) AS g(i)
+           WHERE url_canon IS NOT NULL),
+         -- PSL precedence: an exception rule prevails (public suffix =
+         -- rule minus leftmost label); else deepest match; default rule 1
+         pslen AS (SELECT doc_id,
+             COALESCE(MAX(CASE WHEN sfx IN (SELECT rule FROM psl_x)
+                               THEN i - 1 END),
+               GREATEST(COALESCE(MAX(CASE
+                 WHEN sfx IN (SELECT rule FROM psl_ex) THEN i
+                 WHEN i >= 2 AND base IN (SELECT base FROM psl_w) THEN i
+                 END), 1), 1)) AS ps
+           FROM cand GROUP BY doc_id),
+         dm AS (SELECT hy.doc_id, url_canon,
+             CASE WHEN url_canon IS NULL OR len(y) <= ps THEN NULL
+                  ELSE array_to_string(
+                    list_slice(y, len(y) - ps, len(y)), '.') END AS domain
+           FROM hy LEFT JOIN pslen ON hy.doc_id = pslen.doc_id),
          cnt AS (SELECT domain, COUNT(*) AS cnt FROM dm
                  WHERE domain IS NOT NULL GROUP BY 1),
          hh AS (SELECT doc_id, domain,

@@ -22,16 +22,20 @@ object UrlOps {
   val TrackingParamPattern: String =
     "^(utm_[a-z0-9]+|gclid|fbclid|msclkid|dclid|mc_eid|mc_cid|igshid|_ga|ref|ref_src)="
 
-  /** Pragmatic multi-part public suffixes: when a host's last two
-    * labels land here, the registrable domain keeps three labels
-    * (bbc.co.uk, not co.uk). A curated subset of the public-suffix
-    * list covering the common ccTLD second levels — the full PSL is a
-    * data-file swap, not a code change. */
-  val MultiPartTlds: Seq[String] = Seq(
-    "ac.uk", "co.in", "co.jp", "co.kr", "co.nz", "co.uk", "co.za",
-    "com.ar", "com.au", "com.br", "com.cn", "com.mx", "com.sg",
-    "com.tr", "com.tw", "gov.uk", "ne.jp", "net.au", "or.jp",
-    "org.au", "org.uk")
+  /** Absolute path of the bundled public-suffix list inside this
+    * repo's source tree — the DuckDB oracle mirrors [[Psl]] by reading
+    * the SAME data file, so Spark and oracle can never disagree on the
+    * rule set. */
+  val PslSourcePath: String =
+    "/root/repo/src/main/resources/graft/public_suffix_list.dat"
+
+  /** Registrable domain of an already-lowercased host column via the
+    * full bundled public-suffix list — see [[Psl]]. Null when the host
+    * has no registrable domain (bare TLD / public suffix / single
+    * label). */
+  def pslDomain(host: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      PslDomain(org.apache.spark.sql.graftbridge.Bridge.expression(host)))
 
   private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   private val hostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
@@ -45,8 +49,10 @@ object UrlOps {
     * explicit non-default ports are identity and stay); empty path
     * becomes "/". Unparseable rows (no scheme://host) yield null
     * url_canon/domain rather than a guess. The registrable domain is
-    * the host minus port minus subdomains under the
-    * [[MultiPartTlds]] heuristic. Returns the input columns plus
+    * derived from the host (minus port) by the full public-suffix-list
+    * algorithm ([[Psl]]); hosts that ARE a public suffix (or a single
+    * label, e.g. localhost) get a null domain. Returns the input
+    * columns plus
     * (url_canon, domain). A pure narrow projection — regex extracts
     * and one bounded array filter per row, no shuffle. */
   def canonicalizeUrls(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
@@ -68,16 +74,8 @@ object UrlOps {
         when(path === "", lit("/")).otherwise(path),
         when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ))))
     val hostNoPort = regexp_replace(host, ":[0-9]+$", "")
-    val labels = split(hostNoPort, "\\.")
-    val last2 = concat_ws(".",
-      element_at(labels, -2), element_at(labels, -1))
-    val last3 = concat_ws(".",
-      element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
-    val multiArr = array(MultiPartTlds.map(lit): _*)
     val domain = when(canon.isNull, lit(null).cast("string"))
-      .when(size(labels) <= 2, hostNoPort)
-      .when(array_contains(multiArr, last2), last3)
-      .otherwise(last2)
+      .otherwise(pslDomain(hostNoPort))
     df.withColumn("url_canon", canon).withColumn("domain", domain)
   }
 

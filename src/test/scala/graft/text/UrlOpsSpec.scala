@@ -46,10 +46,56 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got(8L) == (null, null))
     // a bare registrable domain is its own domain
     assert(got(9L)._2 == "example.co.uk")
-    // single-label hosts pass through
-    assert(got(10L)._2 == "localhost")
+    // single-label hosts have no registrable domain: strict PSL
+    // fail-closes intranet hosts out of a web corpus
+    assert(got(10L)._2 == null)
     // deep subdomains collapse to the registrable pair
     assert(got(11L) == ("https://a.b.c.example.com/deep?keep=1", "example.com"))
+  }
+
+  test("registrable domain follows the full PSL algorithm") {
+    // planted fixtures covering every rule kind of the published
+    // algorithm: exact (com, co.uk, ac.uk, pages.dev, com.ua, co.il),
+    // wildcard (*.ck, *.kobe.jp, *.compute.amazonaws.com), exception
+    // (!www.ck, !city.kobe.jp), default rule (unknown TLD), and the
+    // no-registrable-domain cases (bare public suffix, single label)
+    val cases = Seq(
+      "www.example.com" -> "example.com",
+      "news.site.co.uk" -> "site.co.uk",
+      "cdn.media.ac.uk" -> "media.ac.uk",
+      "host.com.ua" -> "host.com.ua", // long-tail ccTLD the curated list missed
+      "shop.co.il" -> "shop.co.il",
+      "deep.sub.pages.dev" -> "sub.pages.dev",
+      "foo.bar.ck" -> "foo.bar.ck", // *.ck: bar.ck is the public suffix
+      "www.ck" -> "www.ck", // !www.ck exception: ck is the public suffix
+      "bar.ck" -> null, // host IS a wildcard public suffix
+      "x.city.kobe.jp" -> "city.kobe.jp", // !city.kobe.jp vs *.kobe.jp
+      "a.kobe.jp" -> null, // host IS a *.kobe.jp public suffix
+      "x.y.compute.amazonaws.com" -> "x.y.compute.amazonaws.com", // 4-label wildcard
+      "example.foo" -> "example.foo", // default rule *
+      "foo" -> null, // bare unknown TLD
+      "com" -> null, // bare known TLD
+      "co.uk" -> null, // bare multi-label public suffix
+      "localhost" -> null)
+    import org.apache.spark.unsafe.types.UTF8String
+    cases.foreach { case (host, want) =>
+      val got = Psl.registrableDomain(UTF8String.fromString(host))
+      assert(Option(got).map(_.toString).orNull == want, s"host=$host")
+    }
+    assert(Psl.registrableDomain(null) == null)
+    // the bundled file parsed into a full-size rule set, not a subset
+    val (nExact, nWild, nExc) = Psl.ruleCounts
+    assert(nExact > 9000 && nWild > 100 && nExc >= 8,
+      s"PSL parse shrank: ($nExact, $nWild, $nExc)")
+    // the Column path (codegen'd expression) agrees with the kernel
+    import spark.implicits._
+    val viaCol = cases.map(_._1).zipWithIndex.map { case (h, i) => (i, h) }
+      .toDF("i", "host")
+      .select(col("i"), UrlOps.pslDomain(col("host")).as("d"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((host, want), i) =>
+      assert(viaCol(i) == want, s"column path host=$host")
+    }
   }
 
   test("capPerDomain: cap honored per domain, deterministic, rank dense") {
