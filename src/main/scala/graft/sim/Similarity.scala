@@ -815,20 +815,19 @@ object Similarity {
     * `n`, `sum_i` (micro), and `cov_num` (micro², scaled covariance
     * numerator; divide by n² for the covariance itself).
     *
-    * Scale shape: one explode to (row, i, x_i) then a self-join on the
-    * row id restricted to j >= i — shuffle ∝ rows * d, aggregate state
-    * d(d+1)/2 pairs with map-side combine. The d x d moment table is a
-    * fixed-size model no matter the corpus size. */
+    * Scale shape: a purely NARROW per-row (i, j) pair stream — each
+    * row's pairs are generated in-place by the compiled
+    * [[MomentPairs]] kernel and fed straight into the partial
+    * aggregate, so the ONLY shuffle is the
+    * map-side-combined d(d+1)/2-pair aggregate state (≤ #partitions x
+    * 2 080 rows at d = 64), not a rows x d self-join. The d x d moment
+    * table is a fixed-size model no matter the corpus size. */
   def embMoments(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val comp = df.select(col(idCol).as("__rid"),
-        posexplode(col(vecCol)).as(Seq("i", "__x")))
-      .select(col("__rid"), col("i"),
-        round(col("__x").cast("double") * 1e6, 0).cast("long").as("xm"))
-      .localCheckpoint(eager = false) // read twice by the self-join
-    val a = comp.select(col("__rid"), col("i"), col("xm").as("xi"))
-    val b = comp.select(col("__rid"), col("i").as("j"), col("xm").as("xj"))
+    val pairs = Bridge.column(MomentPairs(Bridge.expression(col(vecCol))))
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    a.join(b, Seq("__rid")).filter(col("j") >= col("i"))
+    df.select(explode(pairs).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.xi").as("xi"), col("p.xj").as("xj"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"),
         sum(dec(col("xi"))).cast("long").as("si"),

@@ -27,6 +27,76 @@ object VecKernels {
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
+
+  /** The (i, j, xi, xj) upper-triangle pair stream behind
+    * [[Similarity.embMoments]], generated in one compiled pass: each
+    * component is micro-rounded exactly like the Column cascade
+    * `round(x.cast("double") * 1e6, 0).cast("long")` (Spark's Round on
+    * doubles is BigDecimal.valueOf + HALF_UP — NOT Math.round, which
+    * differs on negative halfway values), then all d(d+1)/2 ordered
+    * pairs are emitted as struct rows. Replaces an interpreted nested
+    * transform/sequence HOF that walked an expression tree per pair. */
+  def momentPairs(v: ArrayData, isFloat: Boolean): ArrayData = {
+    val d = v.numElements()
+    val xm = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      xm(i) = java.math.BigDecimal.valueOf(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      i += 1
+    }
+    val out = new Array[Any](d * (d + 1) / 2)
+    var k = 0
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, j, xm(i), xm(j)))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Codegen'd upper-triangle moment-pair stream of an embedding column
+  * (array<float> or array<double>) — see [[VecKernels.momentPairs]]. */
+case class MomentPairs(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // lazy: the child is unresolved at construction (Bridge wraps a bare
+  // column reference); dataType only exists after analysis
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"MomentPairs requires array<float|double>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("xi",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("xj",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    VecKernels.momentPairs(input.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.sim.VecKernels.momentPairs($c, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): MomentPairs =
+    copy(child = newChild)
 }
 
 /** Codegen'd dot product of two array<double> columns. */

@@ -341,6 +341,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= 3, s"ivfpq full-probe top-10 shares only $hits with exact")
   }
 
+  test("MomentPairs kernel micro-rounds exactly like the Column cascade") {
+    import spark.implicits._
+    // adversarial components: positive/negative halfway cases (HALF_UP
+    // differs from Math.round at -x.5), float widening artifacts, and
+    // magnitudes spanning the embedding range
+    val vals = Seq(1.5e-6f, -1.5e-6f, 2.5e-6f, -2.5e-6f, 0.1f, -0.1f,
+      0.9999995f, -0.9999995f, 3.14159f, -2.71828f, 0f, 8.5e-7f)
+    val df = Seq((0L, vals)).toDF("vec_id", "embedding")
+    val viaKernel = Similarity.embMoments(df, "vec_id", "embedding")
+      .filter(col("i") === col("j"))
+      .select(col("i"), col("sum_i")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val viaColumns = df.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("i"),
+        round(col("x").cast("double") * 1e6, 0).cast("long").as("xm"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaColumns,
+      s"kernel vs Column rounding drift: $viaKernel vs $viaColumns")
+    // array<double> input takes the non-widening path
+    val dd = Seq((0L, vals.map(_.toDouble))).toDF("vec_id", "embedding")
+    assert(Similarity.embMoments(dd, "vec_id", "embedding")
+      .filter(col("i") === col("j")).count() == vals.length)
+  }
+
   test("allButTop removes the planted dominant direction and centers") {
     import spark.implicits._
     // vectors = s * u + small orthogonal noise, u = e0: the top PC is
