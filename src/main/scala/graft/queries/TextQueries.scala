@@ -577,6 +577,31 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // true NFC/NFKC normalization (java.text.Normalizer) over planted
+    // combining-mark and compatibility fixtures whose normal forms are
+    // KNOWN codepoint sequences — the oracle rebuilds the expected
+    // outputs literally from the same construction rule (no SQL
+    // Normalizer exists), so a drift in form handling hash-fails
+    "t83_unicode_normalize" -> ((s, dir) => {
+      val id = col("doc_id")
+      val suffix = when(id % 7 === 0, lit("éclair")) // e + combining acute
+        .when(id % 7 === 1, lit("Ångstrom")) // angstrom sign -> U+00C5
+        .when(id % 7 === 2, lit("ﬁle")) // fi ligature (NFKC-only fold)
+        .when(id % 7 === 3, lit("ＡBC")) // fullwidth A (NFKC-only)
+        .when(id % 7 === 4, lit("① step")) // circled one (NFKC-only)
+        .when(id % 7 === 5, lit("x²")) // superscript two (NFKC-only)
+        .otherwise(lit("plain"))
+      val docs = t(s, dir, "documents").select(id,
+        concat(lit("base "), id.cast("string"), lit(" "), suffix)
+          .as("ptext"))
+      val nfc = graft.text.NormalizeOps.unicodeNormalized(col("ptext"), "NFC")
+      val nfkc = graft.text.NormalizeOps.unicodeNormalized(col("ptext"), "NFKC")
+      docs.select(id, nfc.as("nfc"), nfkc.as("nfkc"),
+        (nfc =!= col("ptext")).as("changed_nfc"),
+        (nfkc =!= col("ptext")).as("changed_nfkc"))
+        .orderBy("doc_id")
+    }),
+
     // unicode/whitespace normalization over a crafted messy corpus
     // (curly quotes, NBSP, CRLF, bell char, blank-line runs, tab runs
     // — planted by the same construction rule as the oracle)
@@ -2608,6 +2633,35 @@ object TextQueries {
          ROUND(CASE WHEN $total = 0 THEN NULL
            ELSE CAST($best AS DOUBLE) / ($total) END, 6) AS script_frac
        FROM c ORDER BY doc_id"""
+    },
+
+    // NFC/NFKC mirror BY CONSTRUCTION: no SQL Normalizer exists, so
+    // the oracle rebuilds each fixture's KNOWN normal form literally
+    // from codepoints — U+0065 U+0301 composes to U+00E9, U+212B
+    // composes to U+00C5, and the NFKC-only compatibility folds
+    // (U+FB01 -> fi, U+FF21 -> A, U+2460 -> 1, U+00B2 -> 2)
+    "t83_unicode_normalize" -> {
+      s"""WITH src AS (SELECT doc_id, CAST(doc_id % 7 AS INT) AS m,
+           'base ' || CAST(doc_id AS VARCHAR) || ' ' AS pre
+         FROM documents)
+       SELECT doc_id,
+         pre || CASE m WHEN 0 THEN chr(233) || 'clair'
+                       WHEN 1 THEN chr(197) || 'ngstrom'
+                       WHEN 2 THEN chr(64257) || 'le'
+                       WHEN 3 THEN chr(65313) || 'BC'
+                       WHEN 4 THEN chr(9312) || ' step'
+                       WHEN 5 THEN 'x' || chr(178)
+                       ELSE 'plain' END AS nfc,
+         pre || CASE m WHEN 0 THEN chr(233) || 'clair'
+                       WHEN 1 THEN chr(197) || 'ngstrom'
+                       WHEN 2 THEN 'file'
+                       WHEN 3 THEN 'ABC'
+                       WHEN 4 THEN '1 step'
+                       WHEN 5 THEN 'x2'
+                       ELSE 'plain' END AS nfkc,
+         m IN (0, 1) AS changed_nfc,
+         m <= 5 AS changed_nfkc
+       FROM src ORDER BY doc_id"""
     },
 
     // normalization mirror: cascade generated from NormalizeOps.Stages

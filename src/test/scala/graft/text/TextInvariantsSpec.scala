@@ -275,6 +275,54 @@ class TextInvariantsSpec extends AnyFunSuite {
       .filter(col("t2") =!= col("text_norm")).count() == 0)
   }
 
+  test("unicodeNormalize: known forms, idempotence, composition with normalizeText") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "éclair"), // decomposed -> U+00E9 under every form
+      (2L, "Ångstrom"), // angstrom sign -> U+00C5
+      (3L, "ﬁle"), // fi ligature: NFC keeps, NFKC folds
+      (4L, "ＡBC"), // fullwidth A: NFKC-only
+      (5L, "① x²"), // circled one + superscript two
+      (6L, "plain ascii"),
+      (7L, null)).toDF("id", "t")
+    val nfkc = graft.text.NormalizeOps.unicodeNormalize(cases, "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(2))).toMap
+    assert(nfkc(1L) == ("éclair", true))
+    assert(nfkc(2L) == ("Ångstrom", true))
+    assert(nfkc(3L) == ("file", true))
+    assert(nfkc(4L) == ("ABC", true))
+    assert(nfkc(5L) == ("1 x2", true))
+    assert(nfkc(6L) == ("plain ascii", false))
+    assert(nfkc(7L) == ("", false), "null text normalizes to empty")
+    val nfc = graft.text.NormalizeOps.unicodeNormalize(
+      cases, "id", "t", form = "NFC").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(nfc(1L) == ("éclair", true))
+    assert(nfc(3L) == ("ﬁle", false), "NFC keeps compatibility chars")
+    assert(nfc(4L) == ("ＡBC", false))
+    // NFD round-trip: NFC(NFD(x)) == NFC(x) on the composed cases
+    val viaNfd = graft.text.NormalizeOps.unicodeNormalize(
+      graft.text.NormalizeOps.unicodeNormalize(cases, "id", "t", "NFD")
+        .select(col("id"), col("text_uni").as("t")), "id", "t", "NFC")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaNfd(1L) == "éclair" && viaNfd(2L) == "Ångstrom")
+    // idempotence (Unicode stability guarantee)
+    val twice = graft.text.NormalizeOps.unicodeNormalize(
+      graft.text.NormalizeOps.unicodeNormalize(cases, "id", "t")
+        .select(col("id"), col("text_uni").as("t")), "id", "t")
+    assert(twice.filter(col("changed")).count() == 0)
+    // composition: NFKC first, then the regex cascade — both passes
+    // fire on a doc that needs both (ligature + curly quotes + CRLF)
+    val messy = Seq((1L, "“ﬁle”\r\nok")).toDF("id", "t")
+    val composed = graft.text.NormalizeOps.normalizeText(
+      graft.text.NormalizeOps.unicodeNormalize(messy, "id", "t")
+        .select(col("id"), col("text_uni").as("t")), "id", "t")
+      .collect()(0)
+    assert(composed.getString(1) == "\"file\"\nok")
+    assert(composed.getBoolean(2))
+  }
+
   test("histQuantiles: merge-exact shards, ordered and bounded estimates") {
     import spark.implicits._
     // deterministic long-tailed values: mostly small, some huge
