@@ -736,6 +736,29 @@ object TextQueries {
         .orderBy("query_id", "cand_id")
     }),
 
+    // two-stage retrieval: the t67 IVFADC chain produces an ADC
+    // shortlist (k=8) from codes only, then ONLY those pairs join back
+    // to raw vectors for exact-cosine re-ranking (top-3) — the
+    // standard compressed-scan -> exact-rerank shape at scale
+    "t84_rerank_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 4)
+      val qs = emb.filter(col("vec_id") >= 4 && col("vec_id") < 7)
+      val indexed = graft.sim.Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+      val res = graft.sim.Similarity.ivfResiduals(indexed, cents,
+        "vec_id", "embedding")
+      val cb = graft.sim.Similarity.pqCodebook(
+        res.filter(col("vec_id") < 16).select(col("vec_id"), col("res")),
+        "vec_id", "res", m = 4, subDim = 16)
+      val enc = graft.sim.Similarity.ivfPqEncode(res, cb, "vec_id",
+        m = 4, subDim = 16)
+      val shortlist = graft.sim.Similarity.ivfPqSearch(enc, cents, cb, qs,
+        "vec_id", "embedding", m = 4, subDim = 16, k = 8, nProbe = 2)
+      graft.sim.Similarity.rerankExact(shortlist, emb, qs,
+          "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "cand_id")
+    }),
+
     // rule-based PII redaction (BigScience/ROOTS-style hygiene): the
     // synthetic text plants emails/IPs and, on id-derived subsets,
     // SSNs, E.164 phones and PAN-length digit runs; the oracle re-runs
@@ -1369,12 +1392,15 @@ object TextQueries {
                FROM sc) WHERE rn = 1),
        res AS (SELECT vec_id, cell, ${resList("v", "cv")} AS r FROM idx)"""
 
-  private val IVFPQ_SQL: String = {
+  /** CTE chain of the IVFADC pipeline up to `r2` (per-query ADC rank
+    * over probed-cell candidates) — shared by t67 (top-5 ADC hits)
+    * and t84 (ADC shortlist re-ranked by exact cosine). */
+  private lazy val IVFPQ_CTES: String = {
     def d2(a: String, b: String) =
       s"""ROUND(list_dot_product($a, $a) - 2.0*list_dot_product($a, $b)
          + list_dot_product($b, $b), 6) + 0.0"""
     val cos = cosSql _
-    s"""WITH $IVF_RES_CTES,
+    s"""$IVF_RES_CTES,
        ss AS (SELECT unnest([0,1,2,3]) AS sub_idx),
        rsub AS (SELECT vec_id, cell, sub_idx,
                  list_slice(r, sub_idx*16+1, sub_idx*16+16) AS sv
@@ -1411,10 +1437,30 @@ object TextQueries {
               WHERE cand_id <> query_id GROUP BY 1, 2),
        r2 AS (SELECT query_id, cand_id, adist,
                ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY adist, cand_id) AS rn FROM ad)
+                 ORDER BY adist, cand_id) AS rn FROM ad)"""
+  }
+
+  private lazy val IVFPQ_SQL: String =
+    s"""WITH $IVFPQ_CTES
        SELECT query_id, cand_id, adist FROM r2 WHERE rn <= 5
        ORDER BY query_id, cand_id"""
-  }
+
+  /** t84 mirror: ADC shortlist (rn <= 8 from the t67 chain) joined
+    * back to the RAW vectors and re-scored with the exact 4-dp cosine
+    * (t07's rule), top-3 by (score DESC, cand_id). */
+  private lazy val RERANK_SQL: String =
+    s"""WITH $IVFPQ_CTES,
+       short AS (SELECT query_id, cand_id FROM r2 WHERE rn <= 8),
+       rr AS (SELECT s.query_id, s.cand_id,
+               ROUND(${cosSql("q.qv", "cd.v")}, 4) AS score
+              FROM short s
+              JOIN q ON s.query_id = q.query_id
+              JOIN d cd ON s.cand_id = cd.vec_id),
+       rk AS (SELECT query_id, cand_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, cand_id) AS rn FROM rr)
+       SELECT query_id, cand_id, score FROM rk WHERE rn <= 3
+       ORDER BY query_id, cand_id"""
 
   /** Shared construction-rule recompute for the synthetic-video frame
     * oracles (t43 AVI, t60 MP4, t64 MKV): all three builders use the
@@ -2498,6 +2544,8 @@ object TextQueries {
     "t65_paragraph_dedup" -> PARAGRAPH_DEDUP_SQL,
     "t66_pii_redact" -> PII_REDACT_SQL,
     "t67_ivfpq_search" -> IVFPQ_SQL,
+    // ADC shortlist re-ranked by exact cosine over the raw vectors
+    "t84_rerank_exact" -> RERANK_SQL,
     // HLL mirror: same 60-bit md5 hash, low-8-bit bucket, trailing-
     // zero rank via the exact log2(w & -w), integer register sum,
     // identical float op sequence for the estimate branches

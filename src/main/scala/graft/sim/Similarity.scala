@@ -561,6 +561,40 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Exact re-ranking of an approximate shortlist — the standard
+    * two-stage retrieval shape at scale: an ANN path ([[ivfSearch]] /
+    * [[pqAdcSearch]] / [[ivfPqSearch]] / [[sqSearch]]) produces a
+    * shortlist of candidates per query from compressed codes WITHOUT
+    * touching raw vectors, then only those (query, cand) pairs are
+    * joined back to the original vectors and scored with the exact
+    * rounded cosine ([[cosineTopK]]'s 4-dp score and (desc score,
+    * cand_id) tie contract, so reranked output is directly comparable
+    * to the brute-force baseline). Returns (query_id, cand_id, score),
+    * top `k` per query.
+    *
+    * Scale shape: the shortlist is |queries| x shortK rows — tiny —
+    * so the corpus join is keyed on the candidate id with the small
+    * side broadcast by AQE; the corpus is scanned once, projecting
+    * only (id, vector); the re-rank window runs over |queries| x
+    * shortK rows. Recall follows the shortlist: RecallScale measures
+    * the shortlist-size -> exact-recall trade per ANN path. */
+  def rerankExact(shortlist: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val cand = shortlist.select(col("query_id"), col("cand_id"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = cand.join(c, Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), col("cand_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Embedding outlier detection — the corrupt-vector hygiene pass a
     * large embedding corpus needs before ANN indexing or SemDeDup: a
     * vector whose squared distance to its IVF centroid sits more than

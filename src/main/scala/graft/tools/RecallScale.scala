@@ -101,6 +101,31 @@ object RecallScale {
     recall("sq int8", Similarity.sqSearch(codes, stats, queries,
       "vec_id", "embedding", k))
 
+    // Two-stage retrieval: compressed shortlist (x2/x4/x8 the final k)
+    // -> exact-cosine rerank. The rerank can only ever reorder WITHIN
+    // the shortlist, so its recall = fraction of true neighbors the
+    // shortlist captured — the number that tells you how big an ANN
+    // shortlist must be before rerank recovers exact-search quality.
+    {
+      val m = 4; val subDim = 16
+      val cbR = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
+        m = m, subDim = subDim, initIds = 0L until 16L, iterations = 2)
+      val codesR = Similarity.pqEncode(emb, cbR, "vec_id", "embedding",
+        m = m, subDim = subDim)
+      Seq(2, 4, 8).foreach { mult =>
+        val short = Similarity.pqAdcSearch(codesR, cbR, queries,
+          "vec_id", "embedding", m = m, subDim = subDim, k = k * mult)
+        recall(f"pq4+rerank x$mult",
+          Similarity.rerankExact(short, emb, queries, "vec_id", "embedding", k))
+      }
+      Seq(2, 4).foreach { mult =>
+        val short = Similarity.ivfSearch(indexed, centArg, queries,
+          "vec_id", "embedding", k * mult, nProbe = 4)
+        recall(f"ivf np=4+rerank x$mult",
+          Similarity.rerankExact(short, emb, queries, "vec_id", "embedding", k))
+      }
+    }
+
     // ---- clustered corpus: residual coding's home turf ---------------------
     // The shipped embeddings are near-uniform random, so residuals
     // against any centroid are as random as the originals and IVFADC

@@ -341,6 +341,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hits >= 3, s"ivfpq full-probe top-10 shares only $hits with exact")
   }
 
+  test("rerankExact on a full-corpus shortlist equals brute-force cosineTopK") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val all = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(emb.select(col("vec_id").as("cand_id")))
+      .filter(col("query_id") =!= col("cand_id"))
+    val rr = Similarity.rerankExact(all, emb, queries, "vec_id", "embedding", 5)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+    assert(rr.exceptAll(exact).count() == 0 && exact.exceptAll(rr).count() == 0,
+      "reranking the complete candidate set must reproduce the exact baseline")
+  }
+
+  test("rerankExact returns k rows per query drawn from the shortlist") {
+    val queries = emb.filter(col("vec_id") < 3)
+    // a deterministic 10-candidate shortlist per query that ignores
+    // true proximity entirely: rerank must still exact-rank WITHIN it
+    val shortlist = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(emb.select(col("vec_id").as("cand_id")))
+      .filter(col("cand_id") =!= col("query_id") && col("cand_id") % 7 === 2)
+      .filter(col("cand_id") < 80)
+    val rr = Similarity.rerankExact(shortlist, emb, queries,
+      "vec_id", "embedding", k = 4).cache()
+    val counts = rr.groupBy("query_id").count().collect()
+    assert(counts.length == 3 && counts.forall(_.getLong(1) == 4))
+    assert(rr.join(shortlist, Seq("query_id", "cand_id"), "left_anti")
+      .count() == 0, "reranked hits must come from the shortlist")
+    // within each query the kept scores dominate the discarded ones
+    val kept = rr.select(col("query_id"), col("cand_id"))
+    val discarded = shortlist.join(kept, Seq("query_id", "cand_id"), "left_anti")
+    val worstKept = rr.groupBy("query_id").agg(min("score").as("wk"))
+    val bestDiscarded = Similarity.rerankExact(discarded, emb, queries,
+      "vec_id", "embedding", k = 1).groupBy("query_id")
+      .agg(max("score").as("bd"))
+    assert(worstKept.join(bestDiscarded, "query_id")
+      .filter(col("bd") > col("wk")).count() == 0)
+  }
+
   test("MomentPairs kernel micro-rounds exactly like the Column cascade") {
     import spark.implicits._
     // adversarial components: positive/negative halfway cases (HALF_UP
