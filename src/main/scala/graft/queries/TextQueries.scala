@@ -577,6 +577,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // HTML -> text extraction over synthetic markup built from each
+    // doc (script/style/comment bodies, block tags, the six
+    // high-frequency entities, self-closing and attributed tags);
+    // oracle runs the SAME stage cascade generated from HtmlOps.Stages
+    "t85_html_extract" -> ((s, dir) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><head><title>T</title>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "<style>p { color: red }</style></head><body>"),
+        lit("<!-- id "), id.cast("string"), lit(" --><h1>Doc "),
+        id.cast("string"), lit("</h1><p class=\"lead\">"),
+        substring(col("text"), 1, 40),
+        lit(" &amp; more &lt;tags&gt; &quot;q&quot; it&#39;s&nbsp;here<br/></p>"),
+        when(id % 3 === 0, lit("<ul><li>a</li><li>b</li></ul>"))
+          .otherwise(lit("<div>block</div>")),
+        lit("</body></html>"))
+      val docs = t(s, dir, "documents").select(id, html.as("h"))
+      graft.text.HtmlOps.extractText(docs, "doc_id", "h")
+        .orderBy("doc_id")
+    }),
+
     // true NFC/NFKC normalization (java.text.Normalizer) over planted
     // combining-mark and compatibility fixtures whose normal forms are
     // KNOWN codepoint sequences — the oracle rebuilds the expected
@@ -2681,6 +2703,36 @@ object TextQueries {
          ROUND(CASE WHEN $total = 0 THEN NULL
            ELSE CAST($best AS DOUBLE) / ($total) END, 6) AS script_frac
        FROM c ORDER BY doc_id"""
+    },
+
+    // HTML-extraction mirror: cascade generated from HtmlOps.Stages
+    // (one pattern source, Java-regex/RE2 common dialect), same
+    // synthetic markup construction
+    "t85_html_extract" -> {
+      def sq(s: String) = s.replace("'", "''")
+      val stages = graft.text.HtmlOps.Stages
+      val cascade = stages.zipWithIndex.map { case ((_, pat, rep), i) =>
+        s"""s${i + 1} AS (SELECT doc_id, h,
+             regexp_replace(t$i, '${sq(pat)}', '${sq(rep)}', 'g')
+               AS t${i + 1} FROM s$i)"""
+      }.mkString(",\n       ")
+      s"""WITH src AS (SELECT doc_id,
+           '<html><head><title>T</title>' ||
+           '<script type="text/javascript">var x = 1 < 2;</script>' ||
+           '<style>p { color: red }</style></head><body>' ||
+           '<!-- id ' || CAST(doc_id AS VARCHAR) || ' --><h1>Doc ' ||
+           CAST(doc_id AS VARCHAR) || '</h1><p class="lead">' ||
+           substr(text, 1, 40) ||
+           ' &amp; more &lt;tags&gt; &quot;q&quot; it&#39;s&nbsp;here<br/></p>' ||
+           CASE WHEN doc_id % 3 = 0 THEN '<ul><li>a</li><li>b</li></ul>'
+                ELSE '<div>block</div>' END ||
+           '</body></html>' AS h
+         FROM documents),
+       s0 AS (SELECT doc_id, h, h AS t0 FROM src),
+       $cascade
+       SELECT doc_id, trim(t${stages.length}) AS text_html,
+         trim(t${stages.length}) <> h AS changed
+       FROM s${stages.length} ORDER BY doc_id"""
     },
 
     // NFC/NFKC mirror BY CONSTRUCTION: no SQL Normalizer exists, so

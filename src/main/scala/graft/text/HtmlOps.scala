@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML -> text extraction — the first stage of a crawl-derived
+  * training-data pipeline (C4/CCNet start from markup, not clean
+  * text): drop non-content blocks (comments, script, style), convert
+  * block-level tags to line structure, strip the remaining markup,
+  * decode the high-frequency entities, and collapse the whitespace
+  * the markup left behind.
+  *
+  * Engine shape: one narrow regexp cascade per document (the
+  * [[NormalizeOps]] / [[PiiOps]] discipline) — no shuffle, no UDF, no
+  * DOM allocation; scales with executors. The stage list is the
+  * single pattern source for Spark AND the DuckDB oracle, and every
+  * pattern keeps to the Java-regex/RE2 common dialect (inline (?is)
+  * flags, lazy quantifiers, ASCII \b — no lookarounds, no
+  * backreferences).
+  *
+  * Honest boundary (documented, like the media codecs): this is
+  * tag-structural extraction, not boilerplate REMOVAL — nav bars and
+  * footers survive as text lines (trafilatura-class content scoring
+  * needs a DOM and is out of regex reach), and entity decoding covers
+  * the named entities that dominate real markup plus the apostrophe
+  * reference; arbitrary numeric character references pass through
+  * unchanged. Pipe the output through [[NormalizeOps]] +
+  * [[TextOps.lineFilter]] for the C4-style line-level cleanup. */
+object HtmlOps {
+
+  /** (name, pattern, replacement) in application order. Order is
+    * load-bearing: comments/script/style must vanish BEFORE tag
+    * stripping (their bodies are not content); block tags become
+    * newlines before the generic strip so paragraph structure
+    * survives; `&amp;` decodes LAST so `&amp;lt;` becomes the literal
+    * text `&lt;` instead of double-decoding to `<`. */
+  val Stages: Seq[(String, String, String)] = Seq(
+    ("comment", "(?s)<!--.*?-->", ""),
+    ("script", "(?is)<script\\b[^>]*>.*?</script>", ""),
+    ("style", "(?is)<style\\b[^>]*>.*?</style>", ""),
+    ("block", "(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|th|td|blockquote|section|article|header|footer)\\b[^>]*/?>", "\n"),
+    ("tag", "<[^>]+>", ""),
+    ("lt", "&lt;", "<"),
+    ("gt", "&gt;", ">"),
+    ("quot", "&quot;", "\""),
+    ("apos", "&(?:apos|#39);", "'"),
+    ("nbsp", "&nbsp;", " "),
+    ("amp", "&amp;", "&"),
+    ("hspace", "[ \\t]+", " "),
+    // two passes, not one alternation: replacement text is never
+    // rescanned, so "a \n b" under a single "\n +| +\n" rule would
+    // keep its leading space — splitting the rule makes both sides
+    // deterministic in one application each
+    ("lineltrim", "[ ]+\n", "\n"),
+    ("linertrim", "\n[ ]+", "\n"),
+    // line-oriented output: every block boundary is ONE line break
+    // (adjacent close+open tags would otherwise leave \n\n between
+    // every block), and boundary newlines strip so the final trim
+    // (space-only in both engines) yields clean text
+    ("newlines", "\n{2,}", "\n"),
+    ("lead", "^\n+", ""),
+    ("tail", "\n+$", ""))
+
+  /** Adds `text_html` (the extracted text, trimmed) and `changed`
+    * (whether any stage fired — false means the input was already
+    * plain text). Null input extracts to the empty string. */
+  def extractText(df: DataFrame, idCol: String,
+      htmlCol: String): DataFrame = {
+    val start: Column = coalesce(col(htmlCol), lit(""))
+    val cleaned = Stages.foldLeft(start) { case (cur, (_, pat, rep)) =>
+      regexp_replace(cur, pat, rep)
+    }
+    df.select(col(idCol), trim(cleaned).as("text_html"),
+      (trim(cleaned) =!= start).as("changed"))
+  }
+}
