@@ -2263,24 +2263,71 @@ object TextOps {
     * work. The `source` column of the overall row is 'ALL' (rollup's
     * null, made explicit so the report is self-describing). */
   def corpusStats(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, shortTokens: Int = 50): DataFrame =
+    corpusStatsFrom(
+      corpusStatsRegisters(df, idCol, textCol, sourceCol, shortTokens),
+      sourceCol)
+
+  /** The data card's mergeable register form: one row per source with
+    * EXACT integer numerators (doc/token/char counts, short/empty doc
+    * counts, max tokens) — every column is sum- or max-mergeable, so
+    * this runs unchanged as a complete-mode STREAMING aggregate
+    * (state = |sources| rows, the hllRegisters contract) and shards
+    * merge exactly ([[corpusStatsMerge]]). [[corpusStatsFrom]] derives
+    * the presentation card (averages, fractions, ALL rollup row). */
+  def corpusStatsRegisters(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, shortTokens: Int = 50): DataFrame = {
     val perDoc = df.select(col(sourceCol),
-        size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("__n"),
-        length(coalesce(col(textCol), lit(""))).cast("long").as("__c"))
-    perDoc.rollup(col(sourceCol))
+      size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("__n"),
+      length(coalesce(col(textCol), lit(""))).cast("long").as("__c"))
+    perDoc.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__n")).as("total_tokens"),
-        round(sum(col("__n")).cast("double") / count(lit(1)), 6)
-          .as("avg_tokens"),
         max(col("__n")).as("max_tokens"),
         sum(col("__c")).as("total_chars"),
-        round(sum((col("__n") < shortTokens).cast("long")).cast("double") /
-          count(lit(1)), 6).as("short_frac"),
-        round(sum((col("__n") === 0).cast("long")).cast("double") /
-          count(lit(1)), 6).as("empty_frac"))
+        sum((col("__n") < shortTokens).cast("long")).as("n_short"),
+        sum((col("__n") === 0).cast("long")).as("n_empty"))
+  }
+
+  /** Merge register shards from independent runs/batches — exact, the
+    * register columns are sums and a max. */
+  def corpusStatsMerge(shards: DataFrame*): DataFrame = {
+    require(shards.nonEmpty, "no shards")
+    val srcCol = shards.head.columns.head
+    shards.reduce(_ unionByName _).groupBy(col(srcCol))
+      .agg(sum("n_docs").as("n_docs"),
+        sum("total_tokens").as("total_tokens"),
+        max("max_tokens").as("max_tokens"),
+        sum("total_chars").as("total_chars"),
+        sum("n_short").as("n_short"),
+        sum("n_empty").as("n_empty"))
+  }
+
+  /** Presentation card from [[corpusStatsRegisters]]: per-source rows
+    * plus the ALL rollup row derived by merging registers (long sums
+    * are exact, so the derived ALL row is bit-identical to a direct
+    * whole-corpus rollup — the same division operands reach the same
+    * 6-dp rounding). */
+  def corpusStatsFrom(registers: DataFrame, sourceCol: String): DataFrame = {
+    val all = registers.groupBy()
+      .agg(sum("n_docs").as("n_docs"),
+        sum("total_tokens").as("total_tokens"),
+        max("max_tokens").as("max_tokens"),
+        sum("total_chars").as("total_chars"),
+        sum("n_short").as("n_short"),
+        sum("n_empty").as("n_empty"))
+      .select(lit(null).cast("string").as(sourceCol), col("n_docs"),
+        col("total_tokens"), col("max_tokens"), col("total_chars"),
+        col("n_short"), col("n_empty"))
+    registers.unionByName(all)
       .select(coalesce(col(sourceCol), lit("ALL")).as(sourceCol),
-        col("n_docs"), col("total_tokens"), col("avg_tokens"),
-        col("max_tokens"), col("total_chars"), col("short_frac"),
-        col("empty_frac"))
+        col("n_docs"), col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 6)
+          .as("avg_tokens"),
+        col("max_tokens"), col("total_chars"),
+        round(col("n_short").cast("double") / col("n_docs"), 6)
+          .as("short_frac"),
+        round(col("n_empty").cast("double") / col("n_docs"), 6)
+          .as("empty_frac"))
   }
 }

@@ -361,6 +361,31 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming data-card registers equal batch; derived card exact") {
+    // corpusStats itself rolls up (unsupported in streaming); its
+    // register form is a plain complete-mode agg with |sources|-row
+    // state, and the presentation card derives from registers with
+    // bit-identical arithmetic — so the streamed card IS the batch card
+    val schema = docsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = graft.text.TextOps.corpusStatsRegisters(
+        stream, "doc_id", "text", "source")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("card_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("card_stream")
+    val batch = graft.text.TextOps.corpusStatsRegisters(
+      docsBatch, "doc_id", "text", "source")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    val cardS = graft.text.TextOps.corpusStatsFrom(streamed, "source")
+    val cardB = graft.text.TextOps.corpusStats(
+      docsBatch, "doc_id", "text", "source")
+    assert(cardS.exceptAll(cardB).count() == 0 &&
+      cardB.exceptAll(cardS).count() == 0)
+  }
+
   test("streaming HLL registers equal the batch sketch") {
     // max(rho) is duplicate-insensitive, so the stream twin skips the
     // batch path's distinct (dedupTerms = false) and still lands on

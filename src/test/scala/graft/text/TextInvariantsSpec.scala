@@ -185,6 +185,29 @@ class TextInvariantsSpec extends AnyFunSuite {
       .distinct().count() == dup.count())
   }
 
+  test("corpusStats registers: shard-merge exact, derived card matches rollup") {
+    import spark.implicits._
+    val docs = (0L until 300L).map { i =>
+      val src = s"s${i % 3}"
+      val text = if (i % 17 == 0) "" else ("w " * (5 + (i % 80)).toInt).trim
+      (i, text, src)
+    }.toDF("doc_id", "text", "source")
+    val direct = TextOps.corpusStatsRegisters(docs, "doc_id", "text", "source")
+    val merged = TextOps.corpusStatsMerge(
+      TextOps.corpusStatsRegisters(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", "source"),
+      TextOps.corpusStatsRegisters(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", "source"))
+    assert(merged.union(direct).distinct().count() == direct.count(),
+      "register shards must merge exactly to the whole-corpus registers")
+    // the derived card equals the one-call corpusStats (incl. ALL row)
+    val viaRegs = TextOps.corpusStatsFrom(merged, "source")
+    val oneCall = TextOps.corpusStats(docs, "doc_id", "text", "source")
+    assert(viaRegs.exceptAll(oneCall).count() == 0 &&
+      oneCall.exceptAll(viaRegs).count() == 0)
+    assert(oneCall.filter(col("source") === "ALL").count() == 1)
+  }
+
   test("snapshotDiff: statuses partition the id universe correctly") {
     import spark.implicits._
     val oldSnap = (0L until 100L).map(i => (i, s"doc $i body")).toDF("id", "t")
