@@ -2114,16 +2114,40 @@ object TextOps {
     * order can never move the answer). Bounded state: the dense grid
     * is |sources| x buckets rows; corpus totals ride a broadcast. */
   def tokenDrift(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, buckets: Int = 64): DataFrame =
+    tokenDriftFrom(
+      tokenDriftRegisters(df, idCol, textCol, sourceCol, buckets),
+      sourceCol, buckets)
+
+  /** The drift grid's mergeable register form: exact token counts per
+    * (source, hashed bucket) — ≤ |sources| x buckets rows, one hash
+    * agg over the token stream. Sum-mergeable ([[tokenDriftMerge]])
+    * and streaming-safe as a complete-mode aggregate, the
+    * [[corpusStatsRegisters]] contract: a production pipeline keeps
+    * the register table per shard/day and derives drift on demand. */
+  def tokenDriftRegisters(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, buckets: Int = 64): DataFrame = {
     val occ = fanOut(df).select(col(sourceCol),
       explode(tokens(col(textCol))).as("__t"))
       .select(col(sourceCol), (md5Hash60(col("__t")) % buckets).as("b"))
-    // ONE pass over the corpus: every total below re-aggregates the
-    // |sources| x buckets count table, never the token stream (the
-    // plan-audit fix — the naive four-agg shape scanned and
-    // re-tokenized the corpus four times)
-    val srcB = occ.groupBy(sourceCol, "b").agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false)
+    occ.groupBy(sourceCol, "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Merge register shards — exact (counts sum). */
+  def tokenDriftMerge(shards: DataFrame*): DataFrame = {
+    require(shards.nonEmpty, "no shards")
+    val srcCol = shards.head.columns.head
+    shards.reduce(_ unionByName _).groupBy(col(srcCol), col("b"))
+      .agg(sum("c").as("c"))
+  }
+
+  /** Smoothed KL(source || corpus) from a register table — every
+    * total re-aggregates the |sources| x buckets counts, never the
+    * token stream (the plan-audit fix: the naive four-agg shape
+    * scanned and re-tokenized the corpus four times). */
+  def tokenDriftFrom(registers: DataFrame, sourceCol: String,
+      buckets: Int = 64): DataFrame = {
+    val srcB = registers.localCheckpoint(eager = false)
     val srcN = srcB.groupBy(sourceCol).agg(sum("c").as("n"))
     val allB = srcB.groupBy("b").agg(sum("c").as("cAll"))
     val allN = allB.agg(sum("cAll").as("nAll"))

@@ -386,6 +386,27 @@ class DocStreamsSpec extends AnyFunSuite {
       cardB.exceptAll(cardS).count() == 0)
   }
 
+  test("streaming token-drift registers equal batch; derived KL exact") {
+    val schema = docsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = graft.text.TextOps.tokenDriftRegisters(
+        stream, "doc_id", "text", "source")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("drift_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("drift_stream")
+    val batch = graft.text.TextOps.tokenDriftRegisters(
+      docsBatch, "doc_id", "text", "source")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    val klS = graft.text.TextOps.tokenDriftFrom(streamed, "source")
+    val klB = graft.text.TextOps.tokenDrift(
+      docsBatch, "doc_id", "text", "source")
+    assert(klS.exceptAll(klB).count() == 0 &&
+      klB.exceptAll(klS).count() == 0)
+  }
+
   test("streaming HLL registers equal the batch sketch") {
     // max(rho) is duplicate-insensitive, so the stream twin skips the
     // batch path's distinct (dedupTerms = false) and still lands on
