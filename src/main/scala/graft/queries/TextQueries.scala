@@ -14,6 +14,32 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic synthetic URL per document — shared by t62 (domain
+    * cap) and t87 (blocklist filter): mixed-case schemes/hosts,
+    * default and explicit ports, tracking params, fragments, and
+    * multi-part-TLD hosts so every canonicalization rule fires. The
+    * SQL twin is the `u` CTE inside [[URL_DM_CTES]]. */
+  private def syntheticUrlExpr: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    val hostArr = array(lit("WWW.Example.COM"), lit("news.Site.co.uk"),
+      lit("a.b.Example.org"), lit("Sub.Domain.example.com"),
+      lit("cdn.media.ac.uk"))
+    concat(
+      when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+      element_at(hostArr, (id % 5 + 1).cast("int")),
+      when(id % 3 === 0,
+          when(id % 2 === 0, lit(":80")).otherwise(lit(":443")))
+        .when(id % 7 === 0, lit(":8080")).otherwise(lit("")),
+      lit("/p/"), (id % 11).cast("string"),
+      when(id % 4 === 0, concat(lit("?utm_source=x&id="), id.cast("string"),
+          lit("&utm_campaign=Y")))
+        .when(id % 4 === 1, concat(lit("?id="), id.cast("string"),
+          lit("&fbclid=abc")))
+        .when(id % 4 === 2, lit(""))
+        .otherwise(lit("?a=1&b=2")),
+      when(id % 2 === 1, lit("#frag")).otherwise(lit("")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup groups by content hash
     "t01_exact_dedup" -> ((s, dir) => {
@@ -431,24 +457,8 @@ object TextQueries {
     // prefiltered-rank sampler keyed on the registrable domain
     "t62_domain_cap" -> ((s, dir) => {
       val id = col("doc_id")
-      val hostArr = array(lit("WWW.Example.COM"), lit("news.Site.co.uk"),
-        lit("a.b.Example.org"), lit("Sub.Domain.example.com"),
-        lit("cdn.media.ac.uk"))
-      val urlExpr = concat(
-        when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
-        element_at(hostArr, (id % 5 + 1).cast("int")),
-        when(id % 3 === 0,
-            when(id % 2 === 0, lit(":80")).otherwise(lit(":443")))
-          .when(id % 7 === 0, lit(":8080")).otherwise(lit("")),
-        lit("/p/"), (id % 11).cast("string"),
-        when(id % 4 === 0, concat(lit("?utm_source=x&id="), id.cast("string"),
-            lit("&utm_campaign=Y")))
-          .when(id % 4 === 1, concat(lit("?id="), id.cast("string"),
-            lit("&fbclid=abc")))
-          .when(id % 4 === 2, lit(""))
-          .otherwise(lit("?a=1&b=2")),
-        when(id % 2 === 1, lit("#frag")).otherwise(lit("")))
-      val withUrl = t(s, dir, "documents").select(id, urlExpr.as("url"))
+      val withUrl = t(s, dir, "documents").select(id,
+        syntheticUrlExpr.as("url"))
       val canon = graft.text.UrlOps.canonicalizeUrls(withUrl, "doc_id", "url")
       val kept = graft.text.UrlOps.capPerDomain(withUrl, "doc_id", "url",
         maxPerDomain = 40)
@@ -457,6 +467,28 @@ object TextQueries {
         .select(col("doc_id"), col("url_canon"), col("domain"),
           col("rank").isNotNull.as("kept"), col("rank"))
         .orderBy("doc_id")
+    }),
+
+    // domain blocklist over the same synthetic URLs: registrable-
+    // domain matching so blocking site.co.uk kills news.Site.co.uk
+    // too; unparseable URLs fail closed
+    "t87_domain_filter" -> ((s, dir) => {
+      val withUrl = t(s, dir, "documents").select(col("doc_id"),
+        syntheticUrlExpr.as("url"))
+      graft.text.UrlOps.filterDomains(withUrl, "doc_id", "url",
+          Seq("site.co.uk", "example.org"))
+        .select("doc_id", "url_canon", "domain")
+        .orderBy("doc_id")
+    }),
+
+    // per-source TOKEN-budget sampling (training mixtures are token
+    // counts, not doc counts): hash-ordered prefix per source whose
+    // pre-doc cumulative token count stays under the budget, behind
+    // the t39-style count-derived prefilter
+    "t86_token_budget" -> ((s, dir) => {
+      TextOps.tokenBudgetSample(t(s, dir, "documents"), "doc_id", "text",
+          "source", budgetTokens = 600)
+        .orderBy("source", "doc_id")
     }),
 
     // trained-BPE tokenization: 12 merges trained on the corpus's OWN
@@ -1396,6 +1428,86 @@ object TextQueries {
   private def cosSql(a: String, b: String) =
     s"""list_dot_product($a, $b) /
        (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
+
+  /** Shared CTE chain for the URL-hygiene mirrors (t62 cap, t87
+    * blocklist): the synthetic url rule (`u` — SQL twin of
+    * [[syntheticUrlExpr]]), the canonicalization regex cascade
+    * (`c`/`h`/`k`/`cn` — the same RE2-portable patterns UrlOps
+    * applies), and the FULL public-suffix-list registrable-domain
+    * derivation (`psl*`/`hy`/`cand`/`pslen`/`dm`) over the SAME
+    * bundled data file [[graft.text.Psl]] reads. */
+  private lazy val URL_DM_CTES: String = {
+    val track = graft.text.UrlOps.TrackingParamPattern
+    s"""u AS (SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+             (['WWW.Example.COM','news.Site.co.uk','a.b.Example.org',
+               'Sub.Domain.example.com','cdn.media.ac.uk'])[CAST(doc_id % 5 AS INT) + 1] ||
+             (CASE WHEN doc_id % 3 = 0 THEN
+                     (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                   WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
+             '/p/' || CAST(doc_id % 11 AS VARCHAR) ||
+             (CASE WHEN doc_id % 4 = 0 THEN
+                     '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=Y'
+                   WHEN doc_id % 4 = 1 THEN
+                     '?id=' || CAST(doc_id AS VARCHAR) || '&fbclid=abc'
+                   WHEN doc_id % 4 = 2 THEN ''
+                   ELSE '?a=1&b=2' END) ||
+             (CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END) AS url
+           FROM documents),
+         c AS (SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+             regexp_extract(url, '\\?([^#]*)', 1) AS q
+           FROM u),
+         h AS (SELECT *,
+             CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+                  ELSE hostport END AS host FROM c),
+         k AS (SELECT *, array_to_string(list_filter(string_split(q, '&'),
+                 p -> NOT regexp_matches(p, '$track')), '&') AS kq
+               FROM h),
+         cn AS (SELECT doc_id, host,
+             CASE WHEN scheme = '' OR host = '' THEN NULL
+                  ELSE scheme || '://' || host ||
+                       (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
+                       (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) END AS url_canon
+           FROM k),
+         psl AS MATERIALIZED (SELECT trim(x) AS rule
+           FROM (SELECT unnest(string_split(content, chr(10))) AS x
+                 FROM read_text('${graft.text.UrlOps.PslSourcePath}'))
+           WHERE trim(x) <> '' AND trim(x) NOT LIKE '//%'),
+         psl_ex AS MATERIALIZED (SELECT rule FROM psl
+           WHERE rule NOT LIKE '*.%' AND rule NOT LIKE '!%'),
+         psl_w AS MATERIALIZED (SELECT substr(rule, 3) AS base FROM psl
+           WHERE rule LIKE '*.%'),
+         psl_x AS MATERIALIZED (SELECT substr(rule, 2) AS rule FROM psl
+           WHERE rule LIKE '!%'),
+         hy AS (SELECT doc_id, url_canon, hnp, string_split(hnp, '.') AS y
+           FROM (SELECT doc_id, url_canon,
+                regexp_replace(host, ':[0-9]+$$', '') AS hnp FROM cn)),
+         -- candidate suffixes: last i labels, i = 1..min(len, 5 = deepest rule)
+         cand AS (SELECT doc_id, i,
+             array_to_string(list_slice(y, len(y) - i + 1, len(y)), '.') AS sfx,
+             array_to_string(list_slice(y, len(y) - i + 2, len(y)), '.') AS base
+           FROM hy, unnest(generate_series(1, LEAST(len(y), 5))) AS g(i)
+           WHERE url_canon IS NOT NULL),
+         -- PSL precedence: an exception rule prevails (public suffix =
+         -- rule minus leftmost label); else deepest match; default rule 1
+         pslen AS (SELECT doc_id,
+             COALESCE(MAX(CASE WHEN sfx IN (SELECT rule FROM psl_x)
+                               THEN i - 1 END),
+               GREATEST(COALESCE(MAX(CASE
+                 WHEN sfx IN (SELECT rule FROM psl_ex) THEN i
+                 WHEN i >= 2 AND base IN (SELECT base FROM psl_w) THEN i
+                 END), 1), 1)) AS ps
+           FROM cand GROUP BY doc_id),
+         dm AS (SELECT hy.doc_id, url_canon,
+             CASE WHEN url_canon IS NULL OR len(y) <= ps THEN NULL
+                  ELSE array_to_string(
+                    list_slice(y, len(y) - ps, len(y)), '.') END AS domain
+           FROM hy LEFT JOIN pslen ON hy.doc_id = pslen.doc_id)"""
+  }
 
   /** Shared CTE block for t67/t69: 4-dp cosine IVF assignment against
     * the vec_id<4 centroids (t11's rule) + residual lists (the SAME
@@ -2465,76 +2577,7 @@ object TextQueries {
     // Psl reads, and the t39 sampler shape for the cap
     "t62_domain_cap" -> {
       val denom = math.pow(2.0, 60)
-      val track = graft.text.UrlOps.TrackingParamPattern
-      s"""WITH u AS (SELECT doc_id,
-             (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
-             (['WWW.Example.COM','news.Site.co.uk','a.b.Example.org',
-               'Sub.Domain.example.com','cdn.media.ac.uk'])[CAST(doc_id % 5 AS INT) + 1] ||
-             (CASE WHEN doc_id % 3 = 0 THEN
-                     (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
-                   WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
-             '/p/' || CAST(doc_id % 11 AS VARCHAR) ||
-             (CASE WHEN doc_id % 4 = 0 THEN
-                     '?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=Y'
-                   WHEN doc_id % 4 = 1 THEN
-                     '?id=' || CAST(doc_id AS VARCHAR) || '&fbclid=abc'
-                   WHEN doc_id % 4 = 2 THEN ''
-                   ELSE '?a=1&b=2' END) ||
-             (CASE WHEN doc_id % 2 = 1 THEN '#frag' ELSE '' END) AS url
-           FROM documents),
-         c AS (SELECT doc_id,
-             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
-             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
-             regexp_extract(url, '\\?([^#]*)', 1) AS q
-           FROM u),
-         h AS (SELECT *,
-             CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
-                  WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
-                  ELSE hostport END AS host FROM c),
-         k AS (SELECT *, array_to_string(list_filter(string_split(q, '&'),
-                 p -> NOT regexp_matches(p, '$track')), '&') AS kq
-               FROM h),
-         cn AS (SELECT doc_id, host,
-             CASE WHEN scheme = '' OR host = '' THEN NULL
-                  ELSE scheme || '://' || host ||
-                       (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
-                       (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) END AS url_canon
-           FROM k),
-         psl AS MATERIALIZED (SELECT trim(x) AS rule
-           FROM (SELECT unnest(string_split(content, chr(10))) AS x
-                 FROM read_text('${graft.text.UrlOps.PslSourcePath}'))
-           WHERE trim(x) <> '' AND trim(x) NOT LIKE '//%'),
-         psl_ex AS MATERIALIZED (SELECT rule FROM psl
-           WHERE rule NOT LIKE '*.%' AND rule NOT LIKE '!%'),
-         psl_w AS MATERIALIZED (SELECT substr(rule, 3) AS base FROM psl
-           WHERE rule LIKE '*.%'),
-         psl_x AS MATERIALIZED (SELECT substr(rule, 2) AS rule FROM psl
-           WHERE rule LIKE '!%'),
-         hy AS (SELECT doc_id, url_canon, hnp, string_split(hnp, '.') AS y
-           FROM (SELECT doc_id, url_canon,
-                regexp_replace(host, ':[0-9]+$$', '') AS hnp FROM cn)),
-         -- candidate suffixes: last i labels, i = 1..min(len, 5 = deepest rule)
-         cand AS (SELECT doc_id, i,
-             array_to_string(list_slice(y, len(y) - i + 1, len(y)), '.') AS sfx,
-             array_to_string(list_slice(y, len(y) - i + 2, len(y)), '.') AS base
-           FROM hy, unnest(generate_series(1, LEAST(len(y), 5))) AS g(i)
-           WHERE url_canon IS NOT NULL),
-         -- PSL precedence: an exception rule prevails (public suffix =
-         -- rule minus leftmost label); else deepest match; default rule 1
-         pslen AS (SELECT doc_id,
-             COALESCE(MAX(CASE WHEN sfx IN (SELECT rule FROM psl_x)
-                               THEN i - 1 END),
-               GREATEST(COALESCE(MAX(CASE
-                 WHEN sfx IN (SELECT rule FROM psl_ex) THEN i
-                 WHEN i >= 2 AND base IN (SELECT base FROM psl_w) THEN i
-                 END), 1), 1)) AS ps
-           FROM cand GROUP BY doc_id),
-         dm AS (SELECT hy.doc_id, url_canon,
-             CASE WHEN url_canon IS NULL OR len(y) <= ps THEN NULL
-                  ELSE array_to_string(
-                    list_slice(y, len(y) - ps, len(y)), '.') END AS domain
-           FROM hy LEFT JOIN pslen ON hy.doc_id = pslen.doc_id),
+      s"""WITH $URL_DM_CTES,
          cnt AS (SELECT domain, COUNT(*) AS cnt FROM dm
                  WHERE domain IS NOT NULL GROUP BY 1),
          hh AS (SELECT doc_id, domain,
@@ -2552,6 +2595,42 @@ object TextQueries {
            (kept.rank IS NOT NULL) AS kept, kept.rank
          FROM dm LEFT JOIN kept USING (doc_id) ORDER BY dm.doc_id"""
     },
+    // blocklist mirror: same url/canonicalization/PSL chain, then a
+    // registrable-domain NOT IN filter with null domains failing closed
+    "t87_domain_filter" -> {
+      s"""WITH $URL_DM_CTES
+         SELECT doc_id, url_canon, domain FROM dm
+         WHERE domain IS NOT NULL
+           AND domain NOT IN ('site.co.uk', 'example.org')
+         ORDER BY doc_id"""
+    },
+
+    // token-budget mirror: same tokenization, salted hash, prefilter
+    // threshold and windowed running-sum arithmetic
+    "t86_token_budget" -> {
+      val denom = math.pow(2.0, 60)
+      s"""WITH tk AS (SELECT doc_id, source,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS BIGINT) AS n_tokens
+         FROM documents),
+       hh AS (SELECT *,
+           ('0x' || substr(md5('tb:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS uu
+         FROM tk),
+       tot AS (SELECT source, SUM(n_tokens) AS tot FROM hh GROUP BY 1),
+       f AS (SELECT hh.source, doc_id, n_tokens, uu
+         FROM hh JOIN tot USING (source)
+         WHERE uu::DOUBLE / ($denom::DOUBLE)
+           < LEAST(1.0::DOUBLE, (8.0::DOUBLE * 600.0::DOUBLE) / tot)),
+       cum AS (SELECT source, doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+             ORDER BY uu, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before
+         FROM f)
+       SELECT source, doc_id, n_tokens, cum_before FROM cum
+       WHERE cum_before < 600 ORDER BY source, doc_id"""
+    },
+
     // full trained-BPE mirror: the training loop itself (12 unrolled
     // pair-count/argmax/merge iterations) AND the application fold,
     // both over the exact wrapped-symbol representation TextOps uses

@@ -1459,6 +1459,46 @@ object TextOps {
       .drop("__u", "__cnt")
   }
 
+  /** Deterministic per-source TOKEN-budget sampling — mixture building
+    * when the target is a token count, not a document count (training
+    * mixtures are specified in tokens): documents are taken in
+    * salted-hash order while the cumulative token count BEFORE each
+    * document stays under `budgetTokens`, so every non-empty source
+    * keeps at least one document and overshoot is bounded by the last
+    * document. Returns (sourceCol, idCol, n_tokens, cum_before).
+    *
+    * Scale shape: [[stratifiedSample]]'s prefilter discipline,
+    * token-weighted — exact per-source token totals (one hash agg,
+    * broadcast back) set a keep-threshold
+    * p = min(1, oversample·budget/total) on the SAME uniform hash used
+    * for ordering, so the cumulative-sum window sees ~oversample·budget
+    * tokens per source instead of the whole source. The kept set is a
+    * hash-order prefix of ~budget token mass; with `oversample`x slack
+    * the whole prefix survives the prefilter (token-weighted analogue
+    * of stratifiedSample's exp(-Θ(oversample·k)) shortfall bound). */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgetTokens: Long,
+      oversample: Double = 8.0): DataFrame = {
+    require(budgetTokens > 0 && oversample >= 1.0,
+      s"need budgetTokens > 0 and oversample >= 1, got $budgetTokens/$oversample")
+    val denom = math.pow(2.0, 60)
+    val base = df.select(col(sourceCol), col(idCol),
+      size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"),
+      md5Hash60(concat(lit("tb:"), col(idCol).cast("string"))).as("__u"))
+    val totals = base.groupBy(sourceCol).agg(sum("n_tokens").as("__tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(col("__u"), col(idCol))
+    base.join(broadcast(totals), Seq(sourceCol))
+      .filter(col("__u") / lit(denom) < least(lit(1.0),
+        lit(oversample) * lit(budgetTokens.toDouble) / col("__tot")))
+      .withColumn("cum_before", coalesce(
+        sum("n_tokens").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter(col("cum_before") < budgetTokens)
+      .select(col(sourceCol), col(idCol), col("n_tokens"), col("cum_before"))
+  }
+
   /** Corpus-bigram language-model score — the CCNet-style fluency
     * signal: train add-alpha-smoothed bigram counts on a reference
     * corpus, then score each target document by its mean bigram

@@ -79,6 +79,29 @@ object UrlOps {
     df.withColumn("url_canon", canon).withColumn("domain", domain)
   }
 
+  /** Domain blocklist filter — the crawl-hygiene companion of
+    * [[capPerDomain]]: canonicalize, derive the registrable domain
+    * ([[Psl]]), and DROP every document whose domain is blocked.
+    * Because matching happens on the REGISTRABLE domain, blocking
+    * "example.com" also blocks "cdn.sub.example.com" — the behavior a
+    * blocklist consumer expects — while "notexample.com" stays.
+    * Unparseable URLs (null domain) are dropped too (fail closed: a
+    * URL that can't be attributed to a domain can't be cleared by
+    * one). Returns the canonicalized frame minus blocked rows.
+    *
+    * Scale shape: a narrow canonicalization pass plus one hash-set
+    * membership test per row (the blocklist ships as a broadcast
+    * literal set — curated blocklists are thousands of entries, driver
+    * -sized; for web-scale lists join a blocklist DataFrame on
+    * `domain` instead). */
+  def filterDomains(df: DataFrame, idCol: String, urlCol: String,
+      blockedDomains: Seq[String]): DataFrame = {
+    require(blockedDomains.nonEmpty, "empty blocklist — nothing to filter")
+    canonicalizeUrls(df, idCol, urlCol)
+      .filter(col("domain").isNotNull &&
+        !col("domain").isin(blockedDomains: _*))
+  }
+
   /** Deterministic per-domain document cap: canonicalize, derive the
     * registrable domain, and keep at most `maxPerDomain` documents per
     * domain via [[TextOps.stratifiedSample]]'s salted-hash rank —

@@ -294,6 +294,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == c)
   }
 
+  test("tokenBudgetSample: budget honored, one-doc overshoot, prefilter-invariant") {
+    import spark.implicits._
+    // 3 sources x 40 docs of 7 tokens each = 280 tokens/source
+    val docs = (1L to 120L).map(i =>
+      (i, "a b c d e f g", s"s${i % 3}")).toDF("doc_id", "text", "src")
+    val a = TextOps.tokenBudgetSample(docs, "doc_id", "text", "src",
+      budgetTokens = 100, oversample = 3.0).cache()
+    val bySrc = a.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).groupBy(_._1)
+    assert(bySrc.keySet == Set("s0", "s1", "s2"))
+    bySrc.values.foreach { rows =>
+      assert(rows.forall(_._4 < 100), "every kept doc starts inside budget")
+      // 7-token docs against budget 100: exactly ceil(100/7)=15 kept,
+      // total 105 — overshoot bounded by the last doc
+      assert(rows.length == 15 && rows.map(_._3).sum == 105)
+    }
+    // prefilter-invariance: a wide-open threshold yields the same set
+    val b = TextOps.tokenBudgetSample(docs, "doc_id", "text", "src",
+      budgetTokens = 100, oversample = 100.0)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // determinism under repartitioning
+    val c = TextOps.tokenBudgetSample(docs.repartition(7), "doc_id",
+      "text", "src", budgetTokens = 100, oversample = 3.0)
+    assert(a.exceptAll(c).count() == 0 && c.exceptAll(a).count() == 0)
+    // a source smaller than the budget survives whole
+    val tiny = TextOps.tokenBudgetSample(
+      docs.filter(docs("doc_id") <= 3), "doc_id", "text", "src",
+      budgetTokens = 100)
+    assert(tiny.count() == 3)
+  }
+
   test("lmScore: hand-computed bigram cross-entropy with add-alpha smoothing") {
     import spark.implicits._
     val ref = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")

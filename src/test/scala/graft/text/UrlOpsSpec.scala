@@ -98,6 +98,25 @@ class UrlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("filterDomains: registrable-domain blocking, fail-closed nulls") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://example.com/a"),
+      (2L, "https://cdn.sub.example.com/b"), // subdomain of blocked
+      (3L, "https://notexample.com/c"), // distinct registrable domain
+      (4L, "https://keep.org/d"),
+      (5L, "not a url"), // unparseable -> fail closed
+      (6L, "https://co.uk/e")) // bare public suffix -> null -> dropped
+      .toDF("id", "url")
+    val kept = UrlOps.filterDomains(urls, "id", "url", Seq("example.com"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L),
+      "blocking example.com must drop its subdomains and all null-domain rows")
+    intercept[IllegalArgumentException] {
+      UrlOps.filterDomains(urls, "id", "url", Seq.empty)
+    }
+  }
+
   test("capPerDomain: cap honored per domain, deterministic, rank dense") {
     import spark.implicits._
     // 3 domains with 60/40/5 docs under assorted hosts/params
