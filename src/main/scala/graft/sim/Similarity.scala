@@ -857,11 +857,25 @@ object Similarity {
     * 2 080 rows at d = 64), not a rows x d self-join. The d x d moment
     * table is a fixed-size model no matter the corpus size. */
   def embMoments(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val pairs = Bridge.column(MomentPairs(Bridge.expression(col(vecCol))))
+    // 1-row dim peek (the k-row contract): wide embeddings split into
+    // i-blocks so the per-row pair materialization stays ≤ ~blockI x d
+    // structs per pass (d = 1024 in one pass would be 524k structs
+    // ≈ 16 MB PER ROW); each block is its own narrow pass, unioned
+    // ahead of the single partial aggregate.
+    val blockI = 64
+    val dim = df.select(size(col(vecCol)).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val ranges = if (dim <= 2 * blockI) Seq((0, Int.MaxValue))
+      else (0 until dim by blockI)
+        .map(i => (i, math.min(i + blockI, dim)))
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    df.select(explode(pairs).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"),
-        col("p.xi").as("xi"), col("p.xj").as("xj"))
+    ranges.map { case (lo, hi) =>
+      val pairs = Bridge.column(
+        MomentPairs(Bridge.expression(col(vecCol)), lo, hi))
+      df.select(explode(pairs).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"),
+          col("p.xi").as("xi"), col("p.xj").as("xj"))
+    }.reduce(_ unionByName _)
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"),
         sum(dec(col("xi"))).cast("long").as("si"),

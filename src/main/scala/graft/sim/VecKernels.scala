@@ -33,23 +33,35 @@ object VecKernels {
     * component is micro-rounded exactly like the Column cascade
     * `round(x.cast("double") * 1e6, 0).cast("long")` (Spark's Round on
     * doubles is BigDecimal.valueOf + HALF_UP — NOT Math.round, which
-    * differs on negative halfway values), then all d(d+1)/2 ordered
-    * pairs are emitted as struct rows. Replaces an interpreted nested
-    * transform/sequence HOF that walked an expression tree per pair. */
-  def momentPairs(v: ArrayData, isFloat: Boolean): ArrayData = {
+    * differs on negative halfway values), then the ordered pairs with
+    * i in [iStart, min(iEnd, d)) are emitted as struct rows. The
+    * i-range bounds the PER-ROW materialization: a full d = 1024 pass
+    * would allocate 524k structs (~16 MB) per row, so embMoments
+    * splits wide embeddings into i-blocks and unions the narrow
+    * passes. Replaces an interpreted nested transform/sequence HOF
+    * that walked an expression tree per pair. */
+  def momentPairs(v: ArrayData, isFloat: Boolean, iStart: Int,
+      iEnd: Int): ArrayData = {
     val d = v.numElements()
+    val lo = math.max(iStart, 0)
+    val hi = math.min(iEnd, d)
+    if (lo >= hi) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
     val xm = new Array[Long](d)
-    var i = 0
+    var i = lo // xm needed for i in [lo, d): pair partners are j >= i
     while (i < d) {
       val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
       xm(i) = java.math.BigDecimal.valueOf(x * 1e6)
         .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
       i += 1
     }
-    val out = new Array[Any](d * (d + 1) / 2)
+    var n = 0
+    i = lo
+    while (i < hi) { n += d - i; i += 1 }
+    val out = new Array[Any](n)
     var k = 0
-    i = 0
-    while (i < d) {
+    i = lo
+    while (i < hi) {
       var j = i
       while (j < d) {
         out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -63,8 +75,10 @@ object VecKernels {
 }
 
 /** Codegen'd upper-triangle moment-pair stream of an embedding column
-  * (array<float> or array<double>) — see [[VecKernels.momentPairs]]. */
-case class MomentPairs(child: Expression) extends
+  * (array<float> or array<double>), restricted to first-index block
+  * [iStart, iEnd) — see [[VecKernels.momentPairs]]. */
+case class MomentPairs(child: Expression, iStart: Int = 0,
+    iEnd: Int = Int.MaxValue) extends
     org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   // lazy: the child is unresolved at construction (Bridge wraps a bare
   // column reference); dataType only exists after analysis
@@ -91,10 +105,11 @@ case class MomentPairs(child: Expression) extends
     containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
-    VecKernels.momentPairs(input.asInstanceOf[ArrayData], isFloat)
+    VecKernels.momentPairs(input.asInstanceOf[ArrayData], isFloat,
+      iStart, iEnd)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.sim.VecKernels.momentPairs($c, $isFloat)")
+      c => s"graft.sim.VecKernels.momentPairs($c, $isFloat, $iStart, $iEnd)")
   override protected def withNewChildInternal(newChild: Expression): MomentPairs =
     copy(child = newChild)
 }

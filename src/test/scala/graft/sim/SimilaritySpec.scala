@@ -401,6 +401,31 @@ class SimilaritySpec extends AnyFunSuite {
       .filter(col("i") === col("j")).count() == vals.length)
   }
 
+  test("embMoments i-blocking at wide dims matches the single pass") {
+    import spark.implicits._
+    // d = 200 > the 2*64 blocking threshold -> three i-blocks; the
+    // blocked union must produce the identical 200*201/2 moment table
+    // a single kernel pass over the same rows yields
+    val d = 200
+    val rows = (0 until 40).map { r =>
+      (r.toLong, (0 until d).map(i =>
+        ((r * 31 + i * 7) % 19 - 9).toFloat / 10f))
+    }.toDF("vec_id", "embedding")
+    val blocked = Similarity.embMoments(rows, "vec_id", "embedding")
+    assert(blocked.count() == d.toLong * (d + 1) / 2)
+    val single = rows
+      .select(explode(org.apache.spark.sql.graftbridge.Bridge.column(
+        MomentPairs(org.apache.spark.sql.graftbridge.Bridge.expression(
+          col("embedding"))))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.xi").as("xi"), col("p.xj").as("xj"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi").cast("decimal(38,0)")).cast("long").as("sum_i"))
+    val b = blocked.select("i", "j", "n", "sum_i")
+    assert(b.exceptAll(single).count() == 0 && single.exceptAll(b).count() == 0)
+  }
+
   test("allButTop removes the planted dominant direction and centers") {
     import spark.implicits._
     // vectors = s * u + small orthogonal noise, u = e0: the top PC is
