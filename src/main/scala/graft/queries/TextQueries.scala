@@ -469,6 +469,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // WARC build->parse round trip: a structurally valid two-record
+    // WARC file per doc (warcinfo + HTTP response wrapping the html
+    // body), then the real byte-offset record walk; the oracle
+    // recomputes every parsed field from the construction rule
+    "t88_warc_parse" -> ((s, dir) => {
+      val warc = graft.sources.Warc.buildWarc(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.sources.Warc.parseWarcRecords(warc, "warc_id", "payload")
+        .orderBy("warc_id", "rec_idx")
+    }),
+
     // domain blocklist over the same synthetic URLs: registrable-
     // domain matching so blocking site.co.uk kills news.Site.co.uk
     // too; unparseable URLs fail closed
@@ -2595,6 +2606,32 @@ object TextQueries {
            (kept.rank IS NOT NULL) AS kept, kept.rank
          FROM dm LEFT JOIN kept USING (doc_id) ORDER BY dm.doc_id"""
     },
+    // WARC mirror BY CONSTRUCTION: the builder's record layout is
+    // deterministic, so every parsed field recomputes in SQL — lengths
+    // are byte lengths (strlen) of the SAME strings, and the two
+    // framing constants interpolate from the Warc object (one source)
+    "t88_warc_parse" -> {
+      val httpLen = graft.sources.Warc.HttpHead
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      val infoLen = graft.sources.Warc.WarcinfoBody
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      s"""WITH b AS (SELECT doc_id,
+           '<html><body>' || text || '</body></html>' AS body
+         FROM documents)
+       SELECT doc_id AS warc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+         CAST(NULL AS VARCHAR) AS target_uri,
+         CAST($infoLen AS BIGINT) AS content_length,
+         CAST(NULL AS INTEGER) AS http_status,
+         CAST(NULL AS VARCHAR) AS body_text
+       FROM b
+       UNION ALL
+       SELECT doc_id, 1, 'response',
+         'https://example.com/doc/' || CAST(doc_id AS VARCHAR),
+         CAST($httpLen + strlen(body) AS BIGINT), CAST(200 AS INTEGER), body
+       FROM b
+       ORDER BY warc_id, rec_idx"""
+    },
+
     // blocklist mirror: same url/canonicalization/PSL chain, then a
     // registrable-domain NOT IN filter with null domains failing closed
     "t87_domain_filter" -> {

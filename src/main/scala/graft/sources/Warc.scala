@@ -1,0 +1,195 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC (Web ARChive, ISO 28500) — the container Common Crawl and
+  * every crawl-derived corpus actually ship: length-prefixed records
+  * (`WARC/1.0` + headers + `Content-Length` octets of payload),
+  * response records wrapping raw HTTP messages whose bodies are the
+  * HTML that [[graft.text.HtmlOps]] extracts.
+  *
+  * Same architecture as the [[graft.multimodal.Media]] containers:
+  * [[buildWarc]] emits a structurally valid file per document from a
+  * deterministic construction rule, [[parseWarcRecords]] is a real
+  * pure-JVM record walk (header block scan + Content-Length-delimited
+  * payload slices + HTTP status/header/body split — byte-offset
+  * arithmetic, not regex over the whole file), and the t88 oracle
+  * recomputes every parsed field from the construction rule, so the
+  * build->parse pair is a hash-gated round trip. Per-partition
+  * `mapPartitions`, no shuffle; a real crawl file drops in because
+  * the parser reads only the WARC/HTTP framing, not our builder's
+  * choices.
+  *
+  * Boundary (documented like the media codecs): payloads are read
+  * as-is — no gzip member decompression (Common Crawl's .warc.gz
+  * concatenated-member framing needs a streaming inflater per record;
+  * `spark.read` handles whole-file gzip transparently) and no
+  * chunked-transfer decoding; records without Content-Length are
+  * skipped (the spec requires it; real crawls comply). */
+object Warc {
+
+  private val Crlf = "\r\n"
+  /** The HTTP response head every built record carries — ONE source
+    * for builder, parser tests and the SQL mirror (interpolated into
+    * the oracle, never retyped). */
+  val HttpHead: String =
+    s"HTTP/1.1 200 OK${Crlf}Content-Type: text/html$Crlf$Crlf"
+  val WarcinfoBody: String = s"software: graft$Crlf"
+
+  /** One WARC file per row: a warcinfo record then a response record
+    * whose HTTP body is `<html><body>` text `</body></html>` at
+    * `https://example.com/doc/<id>`. Deterministic — the t88 oracle
+    * rebuilds every field from this rule. Returns (idCol, payload). */
+  def buildWarc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("warc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = Encoders.row(schema)
+    df.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val body = s"<html><body>${r.getString(1)}</body></html>"
+          val http = HttpHead + body
+          val sb = new StringBuilder
+          def record(headers: Seq[(String, String)], payload: String): Unit = {
+            sb.append("WARC/1.0").append(Crlf)
+            headers.foreach { case (k, v) =>
+              sb.append(k).append(": ").append(v).append(Crlf) }
+            sb.append("Content-Length: ")
+              .append(payload.getBytes(StandardCharsets.UTF_8).length)
+              .append(Crlf).append(Crlf)
+            sb.append(payload).append(Crlf).append(Crlf)
+          }
+          record(Seq(
+            "WARC-Type" -> "warcinfo",
+            "WARC-Record-ID" -> s"<urn:graft:$id-0>"), WarcinfoBody)
+          record(Seq(
+            "WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"https://example.com/doc/$id",
+            "WARC-Record-ID" -> s"<urn:graft:$id-1>",
+            "Content-Type" -> "application/http; msgtype=response"), http)
+          Row(id, sb.toString.getBytes(StandardCharsets.UTF_8))
+        }
+      }(enc)
+  }
+
+  /** Walk the records of a WARC payload column: one output row per
+    * record — (idCol, rec_idx, warc_type, target_uri, content_length,
+    * http_status, body_text). `http_status`/`body_text` are null for
+    * non-HTTP records; `body_text` is the HTTP body decoded as UTF-8
+    * (the input to [[graft.text.HtmlOps.extractText]]). Malformed
+    * framing fails closed: the walk stops at the first record whose
+    * header block or length field doesn't parse. */
+  def parseWarcRecords(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("warc_id", LongType, nullable = false),
+      StructField("rec_idx", IntegerType, nullable = false),
+      StructField("warc_type", StringType, nullable = true),
+      StructField("target_uri", StringType, nullable = true),
+      StructField("content_length", LongType, nullable = false),
+      StructField("http_status", IntegerType, nullable = true),
+      StructField("body_text", StringType, nullable = true)))
+    val enc = Encoders.row(schema)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          parseRecords(bytes).zipWithIndex.map { case (rec, i) =>
+            Row(id, i, rec.warcType.orNull, rec.targetUri.orNull,
+              rec.contentLength,
+              rec.httpStatus.map(Int.box).orNull, rec.bodyText.orNull)
+          }
+        }
+      }(enc)
+  }
+
+  private[sources] case class WarcRecord(warcType: Option[String],
+      targetUri: Option[String], contentLength: Long,
+      httpStatus: Option[Int], bodyText: Option[String])
+
+  /** Pure record walk over the raw bytes. */
+  private[sources] def parseRecords(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var pos = 0
+    val n = bytes.length
+    def lineEnd(from: Int): Int = { // index of CR in CRLF, or -1
+      var i = from
+      while (i + 1 < n && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 < n) i else -1
+    }
+    def str(from: Int, until: Int): String =
+      new String(bytes, from, until - from, StandardCharsets.UTF_8)
+    while (pos + 8 <= n && str(pos, pos + 8).startsWith("WARC/")) {
+      val verEnd = lineEnd(pos)
+      if (verEnd < 0) return out.toSeq
+      var hp = verEnd + 2
+      var wtype: Option[String] = None
+      var uri: Option[String] = None
+      var clen = -1L
+      var done = false
+      while (!done) {
+        val he = lineEnd(hp)
+        if (he < 0) return out.toSeq
+        if (he == hp) { done = true; hp += 2 } // blank line: headers end
+        else {
+          val line = str(hp, he)
+          val ci = line.indexOf(':')
+          if (ci > 0) {
+            val k = line.substring(0, ci).trim
+            val v = line.substring(ci + 1).trim
+            k.toLowerCase match {
+              case "warc-type" => wtype = Some(v)
+              case "warc-target-uri" => uri = Some(v)
+              case "content-length" =>
+                clen = try v.toLong catch { case _: NumberFormatException => -1L }
+              case _ => ()
+            }
+          }
+          hp = he + 2
+        }
+      }
+      if (clen < 0 || hp + clen > n) return out.toSeq // fail closed
+      val payloadStart = hp
+      val payloadEnd = hp + clen.toInt
+      // HTTP message payloads: status line + headers + CRLFCRLF + body
+      val isHttp = payloadEnd - payloadStart >= 5 &&
+        str(payloadStart, payloadStart + 5) == "HTTP/"
+      var status: Option[Int] = None
+      var body: Option[String] = None
+      if (isHttp) {
+        val sl = lineEnd(payloadStart)
+        if (sl > 0) {
+          val parts = str(payloadStart, sl).split(" ")
+          if (parts.length >= 2)
+            status = parts(1).toIntOption
+        }
+        // find the blank line inside the payload
+        var bp = payloadStart
+        var found = -1
+        while (found < 0 && bp < payloadEnd) {
+          val he = lineEnd(bp)
+          if (he < 0 || he >= payloadEnd) bp = payloadEnd
+          else if (he == bp) { found = bp + 2 }
+          else bp = he + 2
+        }
+        if (found >= 0) body = Some(str(found, payloadEnd))
+      }
+      out += WarcRecord(wtype, uri, clen, status, body)
+      pos = payloadEnd
+      // consume the record separator (two CRLFs) when present
+      var skips = 0
+      while (skips < 2 && pos + 1 < n &&
+          bytes(pos) == '\r' && bytes(pos + 1) == '\n') {
+        pos += 2; skips += 1
+      }
+    }
+    out.toSeq
+  }
+}
