@@ -24,11 +24,12 @@ import org.apache.spark.sql.types._
   * the parser reads only the WARC/HTTP framing, not our builder's
   * choices.
   *
-  * Boundary (documented like the media codecs): payloads are read
-  * as-is — no gzip member decompression (Common Crawl's .warc.gz
-  * concatenated-member framing needs a streaming inflater per record;
-  * `spark.read` handles whole-file gzip transparently) and no
-  * chunked-transfer decoding; records without Content-Length are
+  * .warc.gz input (Common Crawl's concatenated-gzip-member framing)
+  * is inflated transparently ([[gunzipAll]] — GZIPInputStream walks
+  * the member chain); plain input passes through untouched.
+  *
+  * Boundary (documented like the media codecs): no chunked-transfer
+  * decoding of HTTP bodies; records without Content-Length are
   * skipped (the spec requires it; real crawls comply). */
 object Warc {
 
@@ -114,8 +115,34 @@ object Warc {
       targetUri: Option[String], contentLength: Long,
       httpStatus: Option[Int], bodyText: Option[String])
 
-  /** Pure record walk over the raw bytes. */
-  private[sources] def parseRecords(bytes: Array[Byte]): Seq[WarcRecord] = {
+  /** Inflate a concatenated-gzip-member buffer (the .warc.gz framing:
+    * each record its own member) to the plain byte stream. Plain
+    * (non-gzip) input passes through untouched, so [[parseRecords]]
+    * accepts either framing transparently. Truncated/corrupt gzip
+    * fails closed to the bytes inflated so far — the same
+    * keep-prior-records contract as the record walk itself.
+    * GZIPInputStream already handles member concatenation (it reads
+    * subsequent members until actual EOF). */
+  private[sources] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 2 ||
+        (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b) return bytes
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val buf = new Array[Byte](8192)
+    try {
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch {
+      case _: java.io.IOException => () // truncated/corrupt: keep prefix
+    } finally in.close()
+    out.toByteArray
+  }
+
+  /** Pure record walk over the raw bytes; gzip-framed input
+    * ([[gunzipAll]]) is inflated first. */
+  private[sources] def parseRecords(raw: Array[Byte]): Seq[WarcRecord] = {
+    val bytes = gunzipAll(raw)
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
     var pos = 0
     val n = bytes.length

@@ -71,6 +71,31 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parseRecords((good + noLen).getBytes).length == 1)
   }
 
+  test("warc.gz: concatenated gzip members inflate; truncation keeps prefix") {
+    def gzip(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes(StandardCharsets.UTF_8)); g.close()
+      bo.toByteArray
+    }
+    // Common Crawl framing: one gzip member PER RECORD, concatenated
+    val r1 = rec(Seq("WARC-Type" -> "warcinfo"), "software: x\r\n")
+    val r2 = rec(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://gz.example/y"),
+      "HTTP/1.1 200 OK\r\n\r\nzipped body")
+    val gz = gzip(r1) ++ gzip(r2)
+    val got = Warc.parseRecords(gz)
+    assert(got.length == 2)
+    assert(got(1).targetUri.contains("https://gz.example/y") &&
+      got(1).bodyText.contains("zipped body"))
+    // truncated second member: first record survives (fail closed)
+    val trunc = gzip(r1) ++ gzip(r2).dropRight(7)
+    val kept = Warc.parseRecords(trunc)
+    assert(kept.nonEmpty && kept.head.warcType.contains("warcinfo"))
+    // non-gzip input is untouched by the inflate path
+    assert(Warc.parseRecords(r1.getBytes(StandardCharsets.UTF_8)).length == 1)
+  }
+
   test("composes with HtmlOps: WARC -> http body -> extracted text") {
     import spark.implicits._
     val docs = Seq((1L, "A &amp; B")).toDF("doc_id", "text")
