@@ -28,9 +28,12 @@ import org.apache.spark.sql.types._
   * is inflated transparently ([[gunzipAll]] — GZIPInputStream walks
   * the member chain); plain input passes through untouched.
   *
-  * Boundary (documented like the media codecs): no chunked-transfer
-  * decoding of HTTP bodies; records without Content-Length are
-  * skipped (the spec requires it; real crawls comply). */
+  * Chunked HTTP bodies (`Transfer-Encoding: chunked`) are decoded
+  * ([[dechunk]] — hex-size framing, extensions and trailers ignored,
+  * malformed framing keeps the decoded prefix).
+  *
+  * Boundary: records without Content-Length are skipped (the WARC
+  * spec requires the header; real crawls comply). */
 object Warc {
 
   private val Crlf = "\r\n"
@@ -109,6 +112,40 @@ object Warc {
           }
         }
       }(enc)
+  }
+
+  /** HTTP/1.1 chunked-transfer decode (hex-size line + chunk + CRLF,
+    * terminated by a 0 chunk; chunk extensions after ';' and trailer
+    * headers ignored). Malformed framing fails closed to the chunks
+    * decoded so far. */
+  private[sources] def dechunk(bytes: Array[Byte], start: Int,
+      end: Int): String = {
+    val sb = new java.lang.StringBuilder
+    var p = start
+    var ok = true
+    while (ok && p < end) {
+      var e = p
+      while (e + 1 < end && !(bytes(e) == '\r' && bytes(e + 1) == '\n')) e += 1
+      if (e + 1 >= end) ok = false
+      else {
+        val sizeLine = new String(bytes, p, e - p,
+          StandardCharsets.US_ASCII).trim
+        val hexPart = sizeLine.takeWhile(c => c != ';')
+        val size = try Integer.parseInt(hexPart.trim, 16)
+          catch { case _: NumberFormatException => -1 }
+        if (size < 0) ok = false
+        else if (size == 0) { p = end; ok = false } // terminal chunk
+        else {
+          val cs = e + 2
+          if (cs + size > end) ok = false
+          else {
+            sb.append(new String(bytes, cs, size, StandardCharsets.UTF_8))
+            p = cs + size + 2 // skip the chunk's trailing CRLF
+          }
+        }
+      }
+    }
+    sb.toString
   }
 
   private[sources] case class WarcRecord(warcType: Option[String],
@@ -197,16 +234,24 @@ object Warc {
           if (parts.length >= 2)
             status = parts(1).toIntOption
         }
-        // find the blank line inside the payload
+        // walk the header block: find the blank line, note chunking
         var bp = payloadStart
         var found = -1
+        var chunked = false
         while (found < 0 && bp < payloadEnd) {
           val he = lineEnd(bp)
           if (he < 0 || he >= payloadEnd) bp = payloadEnd
           else if (he == bp) { found = bp + 2 }
-          else bp = he + 2
+          else {
+            if (str(bp, he).toLowerCase
+                .replace(" ", "") == "transfer-encoding:chunked")
+              chunked = true
+            bp = he + 2
+          }
         }
-        if (found >= 0) body = Some(str(found, payloadEnd))
+        if (found >= 0) body = Some(
+          if (chunked) dechunk(bytes, found, payloadEnd)
+          else str(found, payloadEnd))
       }
       out += WarcRecord(wtype, uri, clen, status, body)
       pos = payloadEnd

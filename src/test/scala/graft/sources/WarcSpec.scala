@@ -96,6 +96,22 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parseRecords(r1.getBytes(StandardCharsets.UTF_8)).length == 1)
   }
 
+  test("chunked transfer bodies decode; malformed chunking keeps prefix") {
+    val chunked = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "5\r\nhello\r\n7;ext=1\r\n, world\r\n0\r\nX-Trailer: t\r\n\r\n"
+    val got = Warc.parseRecords(rec(Seq("WARC-Type" -> "response",
+      "WARC-Target-URI" -> "https://c.example/z"), chunked)
+      .getBytes(StandardCharsets.UTF_8))
+    assert(got.length == 1 && got(0).bodyText.contains("hello, world"),
+      s"got ${got.headOption.flatMap(_.bodyText)}")
+    // malformed size line: keep the chunks decoded so far
+    val bad = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "5\r\nhello\r\nzz\r\nnope\r\n"
+    val kept = Warc.parseRecords(rec(Seq("WARC-Type" -> "response"), bad)
+      .getBytes(StandardCharsets.UTF_8))
+    assert(kept.length == 1 && kept(0).bodyText.contains("hello"))
+  }
+
   test("composes with HtmlOps: WARC -> http body -> extracted text") {
     import spark.implicits._
     val docs = Seq((1L, "A &amp; B")).toDF("doc_id", "text")
