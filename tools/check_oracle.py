@@ -9,6 +9,7 @@ Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
 """
 import json
 import math
+import os
 import sys
 import time
 
@@ -17,8 +18,10 @@ import pyarrow.dataset as ds
 
 # Any single oracle mirror slower than this is a budget hazard for the
 # driver's t2 gate (the r9 report came back empty because one mirror took
-# 621 s). Fail loudly here so it never reaches the driver.
-ORACLE_BUDGET_SEC = 10.0
+# 621 s). Fail loudly here so it never reaches the driver. The driver's
+# gate runs at sf0.01; for sf0.1 stretch runs the training mirrors
+# legitimately take longer — override via ORACLE_BUDGET_SEC=60.
+ORACLE_BUDGET_SEC = float(os.environ.get("ORACLE_BUDGET_SEC", "10"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
