@@ -469,6 +469,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // crawl-to-corpus composition: WARC -> HTTP body -> HTML extract
+    // -> normalize, one narrow zero-shuffle chain; the mirror
+    // re-derives all three stages from their shared single sources
+    "t90_crawl_corpus" -> ((s, dir) => {
+      val warc = graft.sources.Warc.buildWarc(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.sources.Warc.toCorpus(warc, "warc_id", "payload")
+        .select(col("warc_id").as("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // sentence segmentation: terminal-punctuation boundaries via the
+    // shared sentinel two-step (RE2 has no lookahead), 0-based index
+    // over non-blank trimmed sentences, token counts per sentence
+    "t89_sentence_split" -> ((s, dir) => {
+      // the corpus text is punctuation-free, so plant deterministic
+      // sentence structure (same construction in the mirror):
+      // multi-char terminators, double spaces, a trailing fragment
+      val ptext = concat(lit("First part. "),
+        substring(col("text"), 1, 30),
+        lit("!! Then doc "), col("doc_id").cast("string"),
+        lit("?  And more...  tail bit"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        ptext.as("ptext"))
+      TextOps.sentenceSplit(docs, "doc_id", "ptext")
+        .orderBy("doc_id", "sent_idx")
+    }),
+
     // WARC build->parse round trip: a structurally valid two-record
     // WARC file per doc (warcinfo + HTTP response wrapping the html
     // body), then the real byte-offset record walk; the oracle
@@ -2606,6 +2634,54 @@ object TextQueries {
            (kept.rank IS NOT NULL) AS kept, kept.rank
          FROM dm LEFT JOIN kept USING (doc_id) ORDER BY dm.doc_id"""
     },
+    // crawl-corpus mirror: WARC body by construction, then BOTH stage
+    // cascades generated from their single sources (HtmlOps.Stages,
+    // NormalizeOps.Stages) over a uniform one-column chain
+    "t90_crawl_corpus" -> {
+      def sq(s: String) = s.replace("'", "''")
+      def cascade(stages: Seq[(String, String, String)],
+          prefix: String): String =
+        stages.zipWithIndex.map { case ((_, pat, rep), i) =>
+          s"""$prefix${i + 1} AS (SELECT doc_id,
+               regexp_replace(t, '${sq(pat)}', '${sq(rep)}', 'g') AS t
+             FROM $prefix$i)"""
+        }.mkString(",\n       ")
+      val hs = graft.text.HtmlOps.Stages
+      val ns = graft.text.NormalizeOps.Stages
+      s"""WITH h0 AS (SELECT doc_id,
+           '<html><body>' || text || '</body></html>' AS t
+         FROM documents),
+       ${cascade(hs, "h")},
+       n0 AS (SELECT doc_id, trim(t) AS t FROM h${hs.length}),
+       ${cascade(ns, "n")}
+       SELECT doc_id, trim(t) AS text FROM n${ns.length}
+       ORDER BY doc_id"""
+    },
+
+    // sentence-split mirror: same boundary regex, \1-group + chr(1)
+    // sentinel (DuckDB's spelling of Spark's $1), same trim/non-blank
+    // filter and dense re-index
+    "t89_sentence_split" ->
+      s"""WITH src AS (SELECT doc_id,
+           'First part. ' || substr(text, 1, 30) || '!! Then doc ' ||
+           CAST(doc_id AS VARCHAR) || '?  And more...  tail bit' AS ptext
+         FROM documents),
+       m AS (SELECT doc_id,
+           regexp_replace(ptext, '([.!?]+)\\s+', '\\1' || chr(1), 'g') AS mt
+         FROM src),
+       p AS (SELECT doc_id, string_split(mt, chr(1)) AS parts FROM m),
+       e AS (SELECT doc_id, g.i AS raw_idx,
+               trim(parts[CAST(g.i AS INT)]) AS sentence
+             FROM p, unnest(generate_series(1, len(parts))) AS g(i)),
+       f AS (SELECT doc_id, raw_idx, sentence,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY raw_idx) - 1 AS INT) AS sent_idx
+             FROM e WHERE sentence <> '')
+       SELECT doc_id, sent_idx, sentence,
+         CAST(len(list_filter(string_split_regex(lower(sentence),
+           '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+       FROM f ORDER BY doc_id, sent_idx""",
+
     // WARC mirror BY CONSTRUCTION: the builder's record layout is
     // deterministic, so every parsed field recomputes in SQL — lengths
     // are byte lengths (strlen) of the SAME strings, and the two

@@ -148,6 +148,26 @@ object Warc {
     sb.toString
   }
 
+  /** Crawl-to-corpus in one call: WARC records -> HTTP response
+    * bodies -> [[graft.text.HtmlOps.extractText]] ->
+    * [[graft.text.NormalizeOps.normalizeText]]. Returns (idCol, text)
+    * — the clean-text frame the dedup/quality/sampling tier consumes.
+    * Every stage is narrow, so the whole chain is one pass over the
+    * payload bytes with zero shuffles (t90 pins it end-to-end against
+    * a DuckDB re-derivation of all three stages). Insert
+    * `NormalizeOps.unicodeNormalize` between the two text stages when
+    * the crawl needs NFC/NFKC (kept out of the default chain because
+    * it has no SQL mirror). */
+  def toCorpus(warcDf: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val bodies = parseWarcRecords(warcDf, idCol, payloadCol)
+      .filter(col("warc_type") === "response" && col("body_text").isNotNull)
+      .select(col("warc_id").as(idCol), col("body_text"))
+    val html = graft.text.HtmlOps.extractText(bodies, idCol, "body_text")
+    graft.text.NormalizeOps.normalizeText(html, idCol, "text_html")
+      .select(col(idCol), col("text_norm").as("text"))
+  }
+
   private[sources] case class WarcRecord(warcType: Option[String],
       targetUri: Option[String], contentLength: Long,
       httpStatus: Option[Int], bodyText: Option[String])

@@ -1237,6 +1237,36 @@ object TextOps {
     * then a semi-join back on (segment, id, pos), whose key is unique
     * and therefore skew-free, and per-doc reassembly via
     * array_sort(collect_list(struct)). */
+  /** Sentence segmentation — the grain SFT/eval-decontamination and
+    * sentence-level dedup work at: boundaries are terminal-punctuation
+    * runs ([.!?]+) followed by whitespace. RE2 (the oracle dialect)
+    * has no lookahead, so the split is a two-step both engines share:
+    * replace each `([.!?]+)\s+` boundary with the group plus a 
+    * sentinel (Spark `$1`, DuckDB `\1` — dialect spellings of the same
+    * reference), then split on the sentinel. Returns one row per
+    * non-blank trimmed sentence: (idCol, sent_idx 0-based, sentence,
+    * n_tokens). A pure narrow explode — no shuffle; feed the output to
+    * [[segmentDedup]]-style machinery (or [[decontaminate]]) for
+    * sentence-level passes.
+    *
+    * Known-and-shared limitation: abbreviation periods ("Dr. Smith")
+    * split like sentence ends — the rule is deterministic and
+    * identical in both engines, which is what the gate needs; a
+    * lookahead-free abbreviation list would be the upgrade. */
+  def sentenceSplit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val marked = regexp_replace(coalesce(col(textCol), lit("")),
+      "([.!?]+)\\s+", "$1\u0001")
+    df.select(col(idCol),
+        posexplode(split(marked, "\u0001")).as(Seq("sent_idx_raw", "__s")))
+      .select(col(idCol), col("sent_idx_raw"), trim(col("__s")).as("sentence"))
+      .filter(col("sentence") =!= "")
+      .withColumn("sent_idx", (row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+          .orderBy("sent_idx_raw")) - 1).cast("int"))
+      .select(col(idCol), col("sent_idx"), col("sentence"),
+        size(tokens(col("sentence"))).cast("long").as("n_tokens"))
+  }
+
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n"): DataFrame = {
     // The per-doc segment total rides through the explode as a narrow

@@ -294,6 +294,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == c)
   }
 
+  test("sentenceSplit: boundaries, dense index, fragments, empties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "One. Two!! Three?  And a trailing fragment"),
+      (2L, "No terminator at all"),
+      (3L, "Ends clean."),
+      (4L, ""),
+      (5L, null)).toDF("doc_id", "text")
+    val got = TextOps.sentenceSplit(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).groupBy(_._1)
+    assert(got(1L).sortBy(_._2).map(_._3).toSeq ==
+      Seq("One.", "Two!!", "Three?", "And a trailing fragment"))
+    assert(got(1L).sortBy(_._2).map(_._2).toSeq == Seq(0, 1, 2, 3),
+      "sentence index is dense 0-based")
+    assert(got(1L).sortBy(_._2).map(_._4).toSeq == Seq(1L, 1L, 1L, 4L))
+    assert(got(2L).map(_._3).toSeq == Seq("No terminator at all"))
+    assert(got(3L).map(_._3).toSeq == Seq("Ends clean."),
+      "a doc-final terminator does not open an empty sentence")
+    assert(!got.contains(4L) && !got.contains(5L),
+      "empty/null docs yield no sentences")
+  }
+
   test("tokenBudgetSample: budget honored, one-doc overshoot, prefilter-invariant") {
     import spark.implicits._
     // 3 sources x 40 docs of 7 tokens each = 280 tokens/source
