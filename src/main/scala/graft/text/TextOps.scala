@@ -1256,14 +1256,13 @@ object TextOps {
   def sentenceSplit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val marked = regexp_replace(coalesce(col(textCol), lit("")),
       "([.!?]+)\\s+", "$1\u0001")
-    df.select(col(idCol),
-        posexplode(split(marked, "\u0001")).as(Seq("sent_idx_raw", "__s")))
-      .select(col(idCol), col("sent_idx_raw"), trim(col("__s")).as("sentence"))
-      .filter(col("sentence") =!= "")
-      .withColumn("sent_idx", (row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
-          .orderBy("sent_idx_raw")) - 1).cast("int"))
-      .select(col(idCol), col("sent_idx"), col("sentence"),
+    // trim + drop blanks INSIDE the row, so posexplode's position IS
+    // the dense 0-based sentence index — no reindex window, no shuffle
+    val sents = filter(transform(split(marked, "\u0001"), s => trim(s)),
+      s => s =!= "")
+    df.select(col(idCol), posexplode(sents).as(Seq("sent_idx", "sentence")))
+      .select(col(idCol), col("sent_idx").cast("int").as("sent_idx"),
+        col("sentence"),
         size(tokens(col("sentence"))).cast("long").as("n_tokens"))
   }
 

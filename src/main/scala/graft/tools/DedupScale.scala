@@ -302,6 +302,31 @@ object DedupScale {
       measure("token_drift", nD) {
         TextOps.tokenDrift(srcDocs, "doc_id", "text", "source").count()
       }
+      // Round-10 operators: the crawl tier (all narrow — wall should
+      // track bytes with ~0 shuffle), the budget sampler (prefilter +
+      // one bounded window shuffle) and sentence segmentation.
+      measure("html_extract", nD) {
+        val html = docs.select(col("doc_id"),
+          concat(lit("<html><head><script>var x = 1 < 2;</script>" +
+            "<style>p{}</style></head><body><h1>T</h1><p>"),
+            col("text"),
+            lit(" &amp; tail</p><div>b</div></body></html>")).as("h"))
+        graft.text.HtmlOps.extractText(html, "doc_id", "h").count()
+      }
+      measure("warc_to_corpus", nD) {
+        graft.sources.Warc.toCorpus(
+          graft.sources.Warc.buildWarc(docs, "doc_id", "text"),
+          "warc_id", "payload").count()
+      }
+      measure("sentence_split", nD) {
+        TextOps.sentenceSplit(docs.select(col("doc_id"),
+          concat(col("text"), lit(". End part! Tail?")).as("t")),
+          "doc_id", "t").count()
+      }
+      measure("token_budget", nD) {
+        TextOps.tokenBudgetSample(srcDocs, "doc_id", "text", "source",
+          budgetTokens = 5000).count()
+      }
     }
     spark.stop()
   }
