@@ -51,14 +51,26 @@ object Psl {
     val exact = new java.util.HashSet[String](16384)
     val wild = new java.util.HashSet[String](256)
     val exc = new java.util.HashSet[String](16)
+    // Each rule is stored in BOTH its published (unicode) and its
+    // punycoded (IDN.toASCII) form when they differ, so hosts arrive
+    // in either representation and still match — the official test
+    // vectors require 食狮.公司.cn and xn--85x722f.xn--55qx5d.cn to
+    // derive the same way.
+    def add(set: java.util.HashSet[String], rule: String): Unit = {
+      set.add(rule)
+      try {
+        val ascii = java.net.IDN.toASCII(rule)
+        if (ascii != rule) set.add(ascii)
+      } catch { case _: IllegalArgumentException => () }
+    }
     val src = scala.io.Source.fromInputStream(in, StandardCharsets.UTF_8.name())
     try {
       for (line <- src.getLines()) {
         val s = line.trim
         if (s.nonEmpty && !s.startsWith("//")) {
-          if (s.startsWith("!")) exc.add(s.substring(1))
-          else if (s.startsWith("*.")) wild.add(s.substring(2))
-          else exact.add(s)
+          if (s.startsWith("!")) add(exc, s.substring(1))
+          else if (s.startsWith("*.")) add(wild, s.substring(2))
+          else add(exact, s)
         }
       }
     } finally src.close()
@@ -82,6 +94,13 @@ object Psl {
     val labels = h.split('.')
     val n = labels.length
     if (n == 0) return null
+    // an empty label (leading dot, consecutive dots) is not a valid
+    // host — no registrable domain (official vectors: '.com' -> null)
+    var li = 0
+    while (li < n) {
+      if (labels(li).isEmpty) return null
+      li += 1
+    }
     var psLen = 0 // best prevailing-rule label count so far
     var excLen = -1 // exception rule match (prevails over everything)
     val maxI = math.min(n, maxRuleLabels)

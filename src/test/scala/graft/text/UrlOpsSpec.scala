@@ -98,6 +98,38 @@ class UrlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("official publicsuffix.org test vectors all pass") {
+    // the upstream project's own conformance file (public domain,
+    // bundled verbatim): checkPublicSuffix(host, registrableOrNull)
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/test_psl.txt"), "UTF-8")
+    val vecRe = """checkPublicSuffix\((.+?),\s*(.+?)\);""".r
+    def arg(s: String): Option[String] = s.trim match {
+      case "null" => None
+      case q => Some(q.stripPrefix("'").stripSuffix("'"))
+    }
+    val vectors = try {
+      src.getLines().filterNot(_.trim.startsWith("//")).flatMap { line =>
+        vecRe.findFirstMatchIn(line).map(m => (arg(m.group(1)), arg(m.group(2))))
+      }.toList
+    } finally src.close()
+    assert(vectors.size >= 75, s"vector file parsed only ${vectors.size}")
+    import org.apache.spark.unsafe.types.UTF8String
+    val failures = vectors.flatMap { case (host, want) =>
+      // the official algorithm lowercases first (canonicalizeUrls'
+      // precondition); null input -> null output
+      val got = host.map(h => Psl.registrableDomain(
+        UTF8String.fromString(h.toLowerCase))) match {
+        case Some(null) | None => None
+        case Some(u) => Some(u.toString)
+      }
+      if (got == want) None
+      else Some(s"host=$host want=$want got=$got")
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} official vectors failed:\n${failures.mkString("\n")}")
+  }
+
   test("filterDomains: registrable-domain blocking, fail-closed nulls") {
     import spark.implicits._
     val urls = Seq(
