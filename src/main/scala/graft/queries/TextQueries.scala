@@ -469,6 +469,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // filter-ablation cube: three SQL-expressible quality signals
+    // (token floor, char ceiling, digit-fraction cap) cubed so every
+    // joint/marginal kill count lands in one aggregate
+    "t91_filter_ablation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nTok = size(TextOps.tokens(col("text"))).cast("long")
+      val nDigit = length(regexp_replace(col("text"), "[^0-9]", ""))
+      TextOps.filterAblation(docs, Seq(
+        "len_ok" -> (nTok >= 60),
+        "chars_ok" -> (length(col("text")) <= 2000),
+        "digits_ok" -> (nDigit.cast("double") <
+          length(col("text")).cast("double") * 0.05)))
+        .orderBy("len_ok", "chars_ok", "digits_ok")
+    }),
+
     // crawl-to-corpus composition: WARC -> HTTP body -> HTML extract
     // -> normalize, one narrow zero-shuffle chain; the mirror
     // re-derives all three stages from their shared single sources
@@ -2634,6 +2649,20 @@ object TextQueries {
            (kept.rank IS NOT NULL) AS kept, kept.rank
          FROM dm LEFT JOIN kept USING (doc_id) ORDER BY dm.doc_id"""
     },
+    // ablation-cube mirror: same three signals, GROUP BY CUBE
+    "t91_filter_ablation" ->
+      s"""WITH sig AS (SELECT
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) >= 60 AS len_ok,
+           length(text) <= 2000 AS chars_ok,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             < CAST(length(text) AS DOUBLE) * 0.05 AS digits_ok
+         FROM documents)
+       SELECT len_ok, chars_ok, digits_ok,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM sig GROUP BY CUBE (len_ok, chars_ok, digits_ok)
+       ORDER BY len_ok, chars_ok, digits_ok""",
+
     // crawl-corpus mirror: WARC body by construction, then BOTH stage
     // cascades generated from their single sources (HtmlOps.Stages,
     // NormalizeOps.Stages) over a uniform one-column chain

@@ -1237,6 +1237,29 @@ object TextOps {
     * then a semi-join back on (segment, id, pos), whose key is unique
     * and therefore skew-free, and per-doc reassembly via
     * array_sort(collect_list(struct)). */
+  /** Filter-ablation cube — the curation diagnostic that answers
+    * "which filters would drop what, jointly?" before anything is
+    * actually dropped: each candidate filter becomes a boolean signal
+    * column, and one CUBE aggregate yields the doc count of every
+    * signal combination at every marginalization level (null = "any").
+    * Reading the output: the all-true cell is the corpus that survives
+    * every filter; a signal's false-marginal row is its standalone
+    * kill count; pairwise cells expose overlap (two filters killing
+    * the same docs are redundant).
+    *
+    * Scale shape: ONE pass — the signals are narrow projections and
+    * the cube is a single hash aggregate with map-side combine over
+    * 2^k grouping sets (k = #filters, small by design: this is a
+    * human-read report). */
+  def filterAblation(df: DataFrame,
+      signals: Seq[(String, Column)]): DataFrame = {
+    require(signals.nonEmpty && signals.size <= 6,
+      s"1..6 signals (2^k grouping sets), got ${signals.size}")
+    val projected = df.select(signals.map { case (n, c) => c.as(n) }: _*)
+    projected.cube(signals.map(s => col(s._1)): _*)
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Sentence segmentation — the grain SFT/eval-decontamination and
     * sentence-level dedup work at: boundaries are terminal-punctuation
     * runs ([.!?]+) followed by whitespace. RE2 (the oracle dialect)

@@ -294,6 +294,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == c)
   }
 
+  test("filterAblation: joint cells, marginals and grand total are exact") {
+    import spark.implicits._
+    // 4 docs: TT, TF, FT, TT — hand-checkable cube
+    val docs = Seq((1L, true, true), (2L, true, false),
+      (3L, false, true), (4L, true, true)).toDF("id", "a", "b")
+    val cube = TextOps.filterAblation(docs,
+        Seq("a" -> docs("a"), "b" -> docs("b")))
+      .collect().map { r =>
+        (if (r.isNullAt(0)) None else Some(r.getBoolean(0)),
+         if (r.isNullAt(1)) None else Some(r.getBoolean(1)),
+         r.getLong(2))
+      }.map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(cube((Some(true), Some(true))) == 2, "survives-all cell")
+    assert(cube((Some(true), None)) == 3, "a's pass marginal")
+    assert(cube((None, Some(false))) == 1, "b's kill marginal")
+    assert(cube((None, None)) == 4, "grand total")
+    intercept[IllegalArgumentException] {
+      TextOps.filterAblation(docs, Seq.empty)
+    }
+  }
+
   test("sentenceSplit: boundaries, dense index, fragments, empties") {
     import spark.implicits._
     val docs = Seq(
