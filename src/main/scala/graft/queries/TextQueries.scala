@@ -469,6 +469,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // within-document segment dedup over planted in-page boilerplate
+    // (a banner segment injected twice, a footer repeated, plus two
+    // unique segments and a blank) — entirely in-row, keep-first order
+    "t92_within_doc_dedup" -> ((s, dir) => {
+      val banner = lit("ACCEPT COOKIES to continue")
+      val ptext = concat(
+        banner, lit("\n\n"), lit("para one "), col("doc_id").cast("string"),
+        lit("\n\n"), banner, lit("\n\n"), lit("  \n\n"),
+        substring(col("text"), 1, 40), lit("\n\nfooter legal\n\nfooter legal"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        ptext.as("ptext"))
+      TextOps.dedupWithinDoc(docs, "doc_id", "ptext")
+        .orderBy("doc_id")
+    }),
+
     // filter-ablation cube: three SQL-expressible quality signals
     // (token floor, char ceiling, digit-fraction cap) cubed so every
     // joint/marginal kill count lands in one aggregate
@@ -2649,6 +2664,31 @@ object TextQueries {
            (kept.rank IS NOT NULL) AS kept, kept.rank
          FROM dm LEFT JOIN kept USING (doc_id) ORDER BY dm.doc_id"""
     },
+    // within-doc dedup mirror: same construction, literal split,
+    // positional keep-first list filter (list_position over the
+    // 1..i-1 prefix), blank drop, re-join
+    "t92_within_doc_dedup" ->
+      s"""WITH src AS (SELECT doc_id,
+           'ACCEPT COOKIES to continue' || chr(10) || chr(10) ||
+           'para one ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+           'ACCEPT COOKIES to continue' || chr(10) || chr(10) ||
+           '  ' || chr(10) || chr(10) ||
+           substr(text, 1, 40) || chr(10) || chr(10) ||
+           'footer legal' || chr(10) || chr(10) || 'footer legal' AS ptext
+         FROM documents),
+       sp AS (SELECT doc_id,
+           list_filter(string_split(ptext, chr(10) || chr(10)),
+             x -> trim(x) <> '') AS nb
+         FROM src),
+       kp AS (SELECT doc_id, nb,
+           list_filter(nb, (x, i) -> list_position(nb[1:i-1], x) = 0) AS kept
+         FROM sp)
+       SELECT doc_id,
+         array_to_string(kept, chr(10) || chr(10)) AS clean_text,
+         CAST(len(nb) AS BIGINT) AS n_seg,
+         CAST(len(kept) AS BIGINT) AS n_kept
+       FROM kp ORDER BY doc_id""",
+
     // ablation-cube mirror: same three signals, GROUP BY CUBE
     "t91_filter_ablation" ->
       s"""WITH sig AS (SELECT

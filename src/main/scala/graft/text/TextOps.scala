@@ -1237,6 +1237,28 @@ object TextOps {
     * then a semi-join back on (segment, id, pos), whose key is unique
     * and therefore skew-free, and per-doc reassembly via
     * array_sort(collect_list(struct)). */
+  /** WITHIN-document segment dedup — the in-page counterpart of
+    * [[segmentDedup]]: pages repeat their own boilerplate (cookie
+    * banners re-injected per section, templated footers, scraped
+    * pagination), and only the FIRST in-document occurrence of each
+    * segment survives, order preserved. Blank segments drop. Entirely
+    * in-row (a positional array filter: keep element i iff it does not
+    * appear among elements 0..i-1) — no explode, no shuffle, nothing
+    * corpus-wide; run [[segmentDedup]] afterwards for the cross-corpus
+    * pass. Returns (idCol, clean_text, n_seg, n_kept). */
+  def dedupWithinDoc(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val parts = split(coalesce(col(textCol), lit("")),
+      java.util.regex.Pattern.quote(sep))
+    val nonBlank = filter(parts, s => trim(s) =!= "")
+    val kept = filter(nonBlank, (s, i) =>
+      array_position(slice(nonBlank, lit(1), i), s) === 0)
+    df.select(col(idCol),
+      array_join(kept, sep).as("clean_text"),
+      size(nonBlank).cast("long").as("n_seg"),
+      size(kept).cast("long").as("n_kept"))
+  }
+
   /** Filter-ablation cube — the curation diagnostic that answers
     * "which filters would drop what, jointly?" before anything is
     * actually dropped: each candidate filter becomes a boolean signal

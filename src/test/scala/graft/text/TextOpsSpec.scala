@@ -294,6 +294,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == c)
   }
 
+  test("dedupWithinDoc: keep-first order, blanks drop, cross-doc untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "banner\n\nbody A\n\nbanner\n\n  \n\nfooter\n\nfooter"),
+      (2L, "banner\n\nbody B"), // same banner in ANOTHER doc: kept (in-row only)
+      (3L, "only one segment"),
+      (4L, ""),
+      (5L, null)).toDF("doc_id", "text")
+    val got = TextOps.dedupWithinDoc(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (("banner\n\nbody A\n\nfooter", 5L, 3L)))
+    assert(got(2L) == (("banner\n\nbody B", 2L, 2L)),
+      "within-doc dedup must not touch cross-document repeats")
+    assert(got(3L) == (("only one segment", 1L, 1L)))
+    assert(got(4L) == (("", 0L, 0L)) && got(5L) == (("", 0L, 0L)))
+    // idempotence: a second pass changes nothing
+    val twice = TextOps.dedupWithinDoc(
+      TextOps.dedupWithinDoc(docs, "doc_id", "text")
+        .selectExpr("doc_id", "clean_text as text"),
+      "doc_id", "text")
+    assert(twice.filter("n_seg != n_kept").count() == 0)
+  }
+
   test("filterAblation: joint cells, marginals and grand total are exact") {
     import spark.implicits._
     // 4 docs: TT, TF, FT, TT — hand-checkable cube
