@@ -1525,7 +1525,9 @@ object TextQueries {
            FROM documents),
          c AS (SELECT doc_id,
              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+             regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+               '^[^@]*@', '') AS hostport,
              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
              regexp_extract(url, '\\?([^#]*)', 1) AS q
            FROM u),

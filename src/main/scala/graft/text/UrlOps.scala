@@ -61,7 +61,11 @@ object UrlOps {
         s"column $c collides with canonicalizeUrls's output columns"))
     val url = trim(col(urlCol))
     val scheme = lower(regexp_extract(url, schemeRe, 1))
-    val hostPort = lower(regexp_extract(url, hostRe, 1))
+    // the authority's userinfo ("user:pass@host") is a credential,
+    // never part of the host: strip it BEFORE any host handling so it
+    // can neither leak into the canonical URL nor fabricate a domain
+    val hostPort = regexp_replace(
+      lower(regexp_extract(url, hostRe, 1)), "^[^@]*@", "")
     val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
