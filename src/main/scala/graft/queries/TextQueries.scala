@@ -469,6 +469,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // domain-diversity monitoring: HLL distinct registrable domains
+    // per source — a source whose crawl collapses onto few domains is
+    // a scraped silo; composes the PSL derivation with the mergeable
+    // HLL register machinery (t62 x t73)
+    "t93_domain_diversity" -> ((s, dir) => {
+      val withUrl = t(s, dir, "documents").select(col("doc_id"),
+        col("source"), syntheticUrlExpr.as("url"))
+      val canon = graft.text.UrlOps.canonicalizeUrls(withUrl,
+        "doc_id", "url")
+      TextOps.hllDistinct(canon.filter(col("domain").isNotNull),
+          "source", col("domain"), p = 8)
+        .orderBy("source")
+    }),
+
     // within-document segment dedup over planted in-page boilerplate
     // (a banner segment injected twice, a footer repeated, plus two
     // unique segments and a blank) — entirely in-row, keep-first order
@@ -2666,6 +2680,44 @@ object TextQueries {
            (kept.rank IS NOT NULL) AS kept, kept.rank
          FROM dm LEFT JOIN kept USING (doc_id) ORDER BY dm.doc_id"""
     },
+    // domain-diversity mirror: the URL/PSL chain supplies the domain
+    // term, then t73's exact HLL register arithmetic over it
+    "t93_domain_diversity" -> {
+      val m = 256
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val num = alpha * m.toDouble * m.toDouble * math.pow(2.0, 53)
+      s"""WITH $URL_DM_CTES,
+         dt AS (SELECT DISTINCT d.source, dm.domain AS t
+           FROM dm JOIN documents d USING (doc_id)
+           WHERE dm.domain IS NOT NULL),
+         dh AS (SELECT source, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+           FROM dt),
+         bb AS (SELECT source, h % 256 AS bucket, h // 256 AS w FROM dh),
+         regs AS (SELECT source, bucket,
+             MAX(CASE WHEN w = 0 THEN 53
+                 ELSE CAST(ROUND(log2(w & -w)) AS INT) + 1 END) AS rho
+           FROM bb GROUP BY 1, 2),
+         agg AS (SELECT source, COUNT(*) AS nb,
+             CAST(SUM(CAST(pow(2.0, 53 - rho) AS BIGINT)) AS BIGINT) AS s
+           FROM regs GROUP BY 1),
+         raw AS (SELECT source,
+             $num / CAST(s + (256 - nb) * CAST(pow(2.0, 53) AS BIGINT)
+               AS DOUBLE) AS raw,
+             256 - nb AS v
+           FROM agg),
+         fin AS (SELECT source,
+             ROUND(CASE WHEN raw <= 640.0 AND v > 0
+               THEN 256.0 * ln(CAST(v AS DOUBLE) / 256) * -1.0
+               ELSE raw END, 4) AS hll_est
+           FROM raw),
+         ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+           FROM dt GROUP BY 1)
+         SELECT f.source, f.hll_est, e.exact_distinct,
+           ROUND(ABS(f.hll_est - e.exact_distinct) / e.exact_distinct, 6)
+             AS rel_err
+         FROM fin f JOIN ex e USING (source) ORDER BY source"""
+    },
+
     // within-doc dedup mirror: same construction, literal split,
     // positional keep-first list filter (list_position over the
     // 1..i-1 prefix), blank drop, re-join
