@@ -9,6 +9,11 @@ import graft.petro.Minerals
   * `queries` is the oracle-checked operator inventory: every implemented
   * operator from SURVEY.md §2 (plus the large-scale text/dedup/similarity
   * extensions) is registered here with a DuckDB-equivalent in `oracleSql`.
+  *
+  * Registry id conventions: p* petro, q* relational, t* text/similarity.
+  * Ids are append-only and never reused; `t75` is an intentionally
+  * retired id (its z-order query moved to `q24_zorder`), so the t74→t76
+  * gap is deliberate, not a lost query.
   */
 object SparkEntry {
 

@@ -28,7 +28,8 @@ object Layout {
     * 2i+1. Columns are taken modulo 2^bits (pre-quantized inputs — see
     * [[zorderCells]] for the skew-proof rank quantizer). Pure
     * shift/mask/add cascade: whole-stage codegen keeps it in one
-    * compiled pass; the t75 oracle mirrors it bit-for-bit in SQL. */
+    * compiled pass; the q24_zorder oracle mirrors it bit-for-bit in
+    * SQL. */
   def zvalue(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     val m = 1L << bits

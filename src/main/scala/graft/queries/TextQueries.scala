@@ -1541,7 +1541,7 @@ object TextQueries {
              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
              regexp_replace(lower(regexp_extract(url,
                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-               '^[^@]*@', '') AS hostport,
+               '^.*@', '') AS hostport,
              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
              regexp_extract(url, '\\?([^#]*)', 1) AS q
            FROM u),
@@ -1571,11 +1571,13 @@ object TextQueries {
          hy AS (SELECT doc_id, url_canon, hnp, string_split(hnp, '.') AS y
            FROM (SELECT doc_id, url_canon,
                 regexp_replace(host, ':[0-9]+$$', '') AS hnp FROM cn)),
-         -- candidate suffixes: last i labels, i = 1..min(len, 5 = deepest rule)
+         -- candidate suffixes: last i labels, i = 1..min(len, deepest rule
+         -- depth, interpolated from Psl.maxRuleLabels so Spark and the
+         -- oracle share one file-derived bound)
          cand AS (SELECT doc_id, i,
              array_to_string(list_slice(y, len(y) - i + 1, len(y)), '.') AS sfx,
              array_to_string(list_slice(y, len(y) - i + 2, len(y)), '.') AS base
-           FROM hy, unnest(generate_series(1, LEAST(len(y), 5))) AS g(i)
+           FROM hy, unnest(generate_series(1, LEAST(len(y), ${graft.text.Psl.maxRuleLabels}))) AS g(i)
            WHERE url_canon IS NOT NULL),
          -- PSL precedence: an exception rule prevails (public suffix =
          -- rule minus leftmost label); else deepest match; default rule 1
@@ -2735,7 +2737,11 @@ object TextQueries {
              x -> trim(x) <> '') AS nb
          FROM src),
        kp AS (SELECT doc_id, nb,
-           list_filter(nb, (x, i) -> list_position(nb[1:i-1], x) = 0) AS kept
+           -- COALESCE: pinned DuckDB 1.0.0 returns 0 for a not-found
+           -- element, current DuckDB documents NULL — coalesce to 0 so
+           -- the mirror survives an oracle-engine upgrade
+           list_filter(nb, (x, i) ->
+             COALESCE(list_position(nb[1:i-1], x), 0) = 0) AS kept
          FROM sp)
        SELECT doc_id,
          array_to_string(kept, chr(10) || chr(10)) AS clean_text,

@@ -857,14 +857,19 @@ object Similarity {
     * 2 080 rows at d = 64), not a rows x d self-join. The d x d moment
     * table is a fixed-size model no matter the corpus size. */
   def embMoments(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    // 1-row dim peek (the k-row contract): wide embeddings split into
+    // 1-value dim peek (the k-row contract): wide embeddings split into
     // i-blocks so the per-row pair materialization stays ≤ ~blockI x d
     // structs per pass (d = 1024 in one pass would be 524k structs
     // ≈ 16 MB PER ROW); each block is its own narrow pass, unioned
     // ahead of the single partial aggregate.
     val blockI = 64
-    val dim = df.select(size(col(vecCol)).as("d")).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    // dim peek via max(size) — one tiny aggregate, not a first-row
+    // sample: skips null vectors and can never under-read a ragged
+    // corpus (a row wider than a first-row peek would silently lose
+    // its (i, j) pairs beyond the peeked width in the blocked path)
+    val dim = df.agg(max(size(col(vecCol))).as("d")).head(1)
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      .filter(_ > 0).getOrElse(0)
     val ranges = if (dim <= 2 * blockI) Seq((0, Int.MaxValue))
       else (0 until dim by blockI)
         .map(i => (i, math.min(i + blockI, dim)))

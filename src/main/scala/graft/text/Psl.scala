@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The lookup is a compiled per-row kernel ([[PslDomain]]) called from
   * whole-stage codegen — three static hash-set probes per candidate
-  * suffix, at most [[Psl.maxRuleLabels]] (= 5) candidates per host, no
+  * suffix, at most [[Psl.maxRuleLabels]] (file-derived; 5 for the
+  * bundled list) candidates per host, no
   * join, no shuffle, no per-row regex. The DuckDB oracle re-derives
   * the same algorithm in SQL over the same bundled data file
   * (`read_text` + suffix/base joins), so any drift in rule parsing or
@@ -43,9 +44,9 @@ object Psl {
 
   /** (exact rules, wildcard bases = rule minus "*.", exception rules
     * minus "!"), parsed once from the bundled list. */
-  private val (exactRules, wildcardBases, exceptionRules): (
+  private val (exactRules, wildcardBases, exceptionRules, parsedMaxRuleLabels): (
       java.util.HashSet[String], java.util.HashSet[String],
-      java.util.HashSet[String]) = {
+      java.util.HashSet[String], Int) = {
     val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
     require(in != null, "bundled public_suffix_list.dat missing from classpath")
     val exact = new java.util.HashSet[String](16384)
@@ -63,23 +64,41 @@ object Psl {
         if (ascii != rule) set.add(ascii)
       } catch { case _: IllegalArgumentException => () }
     }
+    // Deepest candidate-suffix depth any rule can match at: an exact
+    // or exception rule of L labels matches an L-label suffix; a
+    // wildcard rule "*.base" matches at (labels(base) + 1). Derived
+    // while parsing so a PSL data-file refresh with a deeper rule
+    // can never silently truncate the per-host candidate loop.
+    var maxLabels = 1
+    def labelCount(rule: String): Int = rule.count(_ == '.') + 1
     val src = scala.io.Source.fromInputStream(in, StandardCharsets.UTF_8.name())
     try {
       for (line <- src.getLines()) {
         val s = line.trim
         if (s.nonEmpty && !s.startsWith("//")) {
-          if (s.startsWith("!")) add(exc, s.substring(1))
-          else if (s.startsWith("*.")) add(wild, s.substring(2))
-          else add(exact, s)
+          if (s.startsWith("!")) {
+            add(exc, s.substring(1))
+            maxLabels = math.max(maxLabels, labelCount(s.substring(1)))
+          } else if (s.startsWith("*.")) {
+            add(wild, s.substring(2))
+            maxLabels = math.max(maxLabels, labelCount(s.substring(2)) + 1)
+          } else {
+            add(exact, s)
+            maxLabels = math.max(maxLabels, labelCount(s))
+          }
         }
       }
     } finally src.close()
-    (exact, wild, exc)
+    (exact, wild, exc, maxLabels)
   }
 
-  /** Deepest rule in the published list (currently 5 labels) — bounds
-    * the per-host candidate loop. */
-  val maxRuleLabels: Int = 5
+  /** Deepest candidate depth in the bundled list — bounds the
+    * per-host candidate loop. Derived from the parsed file (not
+    * hand-pinned) so a data refresh with a deeper rule widens the
+    * loop automatically; the DuckDB mirrors interpolate this SAME
+    * value into their `LEAST(len(y), N)` candidate bound, so Spark
+    * and oracle can never disagree on it. */
+  val maxRuleLabels: Int = parsedMaxRuleLabels
 
   def ruleCounts: (Int, Int, Int) =
     (exactRules.size, wildcardBases.size, exceptionRules.size)

@@ -22,12 +22,20 @@ object UrlOps {
   val TrackingParamPattern: String =
     "^(utm_[a-z0-9]+|gclid|fbclid|msclkid|dclid|mc_eid|mc_cid|igshid|_ga|ref|ref_src)="
 
-  /** Absolute path of the bundled public-suffix list inside this
-    * repo's source tree — the DuckDB oracle mirrors [[Psl]] by reading
-    * the SAME data file, so Spark and oracle can never disagree on the
-    * rule set. */
+  /** Filesystem path of the bundled public-suffix list — the DuckDB
+    * oracle mirrors [[Psl]] by `read_text`-ing the SAME data file, so
+    * Spark and oracle can never disagree on the rule set. Resolved at
+    * runtime, in order: `GRAFT_PSL_PATH` env override (packaged
+    * deployments where the resource lives in a jar DuckDB can't read);
+    * the classpath resource's own file URL (sbt/IDE runs, where
+    * resources are unpacked on disk); the repo-relative source path as
+    * a last resort. */
   val PslSourcePath: String =
-    "/root/repo/src/main/resources/graft/public_suffix_list.dat"
+    sys.env.get("GRAFT_PSL_PATH")
+      .orElse(Option(getClass.getResource("/graft/public_suffix_list.dat"))
+        .filter(_.getProtocol == "file")
+        .map(u => java.nio.file.Paths.get(u.toURI).toString))
+      .getOrElse("src/main/resources/graft/public_suffix_list.dat")
 
   /** Registrable domain of an already-lowercased host column via the
     * full bundled public-suffix list — see [[Psl]]. Null when the host
@@ -63,9 +71,12 @@ object UrlOps {
     val scheme = lower(regexp_extract(url, schemeRe, 1))
     // the authority's userinfo ("user:pass@host") is a credential,
     // never part of the host: strip it BEFORE any host handling so it
-    // can neither leak into the canonical URL nor fabricate a domain
+    // can neither leak into the canonical URL nor fabricate a domain.
+    // Greedy ^.*@ splits at the LAST '@' (WHATWG behavior) — an
+    // unencoded '@' inside the password ("user:p@ss@host") must not
+    // leave a credential fragment in the host
     val hostPort = regexp_replace(
-      lower(regexp_extract(url, hostRe, 1)), "^[^@]*@", "")
+      lower(regexp_extract(url, hostRe, 1)), "^.*@", "")
     val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
