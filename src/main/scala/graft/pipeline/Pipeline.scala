@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** The composed crawl-to-training-shards pipeline — the end-to-end
+  * product a training-data team actually runs, assembled from the
+  * individually-verified stages: crawl ingestion (WARC -> HTML extract
+  * -> unicode/text normalize, [[graft.sources.Warc.toCorpus]]), the
+  * curation core (exact dedup -> MinHash/LSH near dedup -> language +
+  * quality gates, [[TextOps.curateCorpus]]), benchmark decontamination
+  * ([[TextOps.decontaminate]]), per-source token-budget mixture
+  * ([[TextOps.tokenBudgetSample]]), sequence packing
+  * ([[TextOps.packSequences]]' bin rule), and a leak-safe train/test
+  * split ([[TextOps.leakSafeSplit]]).
+  *
+  * Composition is where lineage bugs hide (the t22 history: removing
+  * its checkpoint barriers cost 1.8x even at 5k docs), so the barrier
+  * discipline here is explicit and ID-SCALE ONLY — the corpus text is
+  * never materialized by this operator:
+  *
+  *   - the curated id set is localCheckpointed once (ids only); every
+  *     downstream stage re-reaches the corpus text through a narrow
+  *     semi join against it rather than re-running the LSH cascade;
+  *   - the budget survivor set (bounded at ~budgetTokens/source by
+  *     construction) is localCheckpointed because both the packer and
+  *     the splitter consume it;
+  *   - the input corpus itself is assumed cheap to re-derive (the
+  *     crawl chain is a zero-shuffle narrow map) or already on disk —
+  *     at real scale a pipeline writes the extracted corpus to parquet
+  *     once and reads it here; this operator adds no corpus-sized
+  *     barrier of its own.
+  *
+  * Scale shape: the expensive stages are exactly the measured ones —
+  * curateCorpus (banded LSH, candidates ∝ true dups; see BASELINE.md
+  * "Curation pipeline scale steps") and decontaminate (shingle join
+  * bounded by the benchmark's distinct-shingle count). Budgeting,
+  * packing and splitting all operate on the post-curation survivor
+  * set, and the budget prefilter caps the window input at
+  * ~oversample x budget tokens per source regardless of corpus size.
+  */
+object Pipeline {
+
+  /** Curated corpus -> training shards. `corpus` carries (idCol,
+    * textCol, sourceCol); `bench` carries (idCol, textCol) of the
+    * evaluation set to scrub. Returns one row per document that
+    * survives every gate: (idCol, sourceCol, n_tokens, bin, split)
+    * where `bin` is [[TextOps.packSequences]]' contiguous-fill bin
+    * over the budget survivors (same window, same formula — computed
+    * on the already-derived n_tokens instead of re-tokenizing) and
+    * `split` is [[TextOps.leakSafeSplit]]'s whole-cluster train/test
+    * assignment over the same survivors. */
+  def corpusToShards(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, sourceCol: String,
+      minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
+      maxTopWordFrac: Double = 0.12, keepLangs: Seq[String] = Seq("en"),
+      decontamShingle: Int = 13, budgetTokens: Long = 600,
+      packBudget: Int = 512, testFrac: Double = 0.2): DataFrame = {
+    // id-scale barrier #1: the curation survivor ids. curateCorpus's
+    // own internal barriers already protect its LSH lineage; this one
+    // stops decontaminate/budget/split from re-running curation.
+    val curatedIds = TextOps.curateCorpus(
+        corpus.select(col(idCol), col(textCol)), idCol, textCol,
+        minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
+      .select(col(idCol)).localCheckpoint()
+    val curated = corpus.join(curatedIds, Seq(idCol), "left_semi")
+    // decontaminate returns the FLAGGED docs; the pipeline drops them
+    // (fail closed: any benchmark shingle overlap removes the doc)
+    val flagged = TextOps.decontaminate(curated, bench, idCol, textCol,
+      decontamShingle).select(col(idCol))
+    val clean = curated.join(flagged, Seq(idCol), "left_anti")
+    // id-scale barrier #2: the budget survivors (bounded per source by
+    // the budget itself) feed both the packer and the splitter.
+    val budgeted = TextOps.tokenBudgetSample(clean, idCol, textCol,
+        sourceCol, budgetTokens)
+      .select(col(sourceCol), col(idCol), col("n_tokens"))
+      .localCheckpoint()
+    val w = Window.partitionBy(sourceCol).orderBy(idCol)
+    val packed = budgeted.withColumn("bin",
+      floor((sum("n_tokens").over(w) - col("n_tokens")) /
+        lit(packBudget.toDouble)).cast("long"))
+    val splits = TextOps.leakSafeSplit(
+      clean.join(budgeted.select(col(idCol)), Seq(idCol), "left_semi"),
+      idCol, textCol, testFrac)
+    packed.join(splits.select(col(idCol), col("split")), Seq(idCol))
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("bin"),
+        col("split"))
+  }
+
+  /** WARC files -> training shards: [[graft.sources.Warc.toCorpus]]'s
+    * narrow ingest chain (record walk -> HTTP body -> HTML extract ->
+    * normalize) feeding [[corpusToShards]]. `warc` carries
+    * (warcIdCol, payloadCol); `sources` maps idCol -> sourceCol for
+    * the mixture stage (a crawl manifest); `bench` as above. */
+  def crawlToShards(warc: DataFrame, warcIdCol: String, payloadCol: String,
+      sources: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String = "text", sourceCol: String = "source",
+      minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
+      maxTopWordFrac: Double = 0.12, keepLangs: Seq[String] = Seq("en"),
+      decontamShingle: Int = 13, budgetTokens: Long = 600,
+      packBudget: Int = 512, testFrac: Double = 0.2): DataFrame = {
+    val corpus = graft.sources.Warc.toCorpus(warc, warcIdCol, payloadCol)
+      .select(col(warcIdCol).as(idCol), col("text").as(textCol))
+      .join(sources.select(col(idCol), col(sourceCol)), Seq(idCol))
+    corpusToShards(corpus, bench, idCol, textCol, sourceCol, minJaccard,
+      minTokens, maxTokens, maxTopWordFrac, keepLangs, decontamShingle,
+      budgetTokens, packBudget, testFrac)
+  }
+}

@@ -469,6 +469,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the flagship crawl-to-training-shards composition: WARC record
+    // walk -> HTTP body -> HTML extract -> normalize (t88/t85/t83) ->
+    // exact + near dedup + language/quality gates (t22's core) ->
+    // 13-gram benchmark decontamination (t28's join at the Lee et al.
+    // gram width; bench = every 17th raw doc as the planted eval set;
+    // 3-grams would collide corpus-wide at sf0.1 and empty the output)
+    // -> per-source token-budget mixture (t86) -> contiguous
+    // -fill packing (t24) -> leak-safe train/test split (t53), as ONE
+    // plan. The mirror re-derives every stage from the same sources.
+    "t94_crawl_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val warc = graft.sources.Warc.buildWarc(docs, "doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+        .select("doc_id", "text")
+      graft.pipeline.Pipeline.crawlToShards(warc, "warc_id", "payload",
+          docs.select("doc_id", "source"), bench, idCol = "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // domain-diversity monitoring: HLL distinct registrable domains
     // per source — a source whose crawl collapses onto few domains is
     // a scraped silo; composes the PSL derivation with the mergeable
@@ -955,6 +974,16 @@ object TextQueries {
     // cross-document spans
     "t45_span_dedup" -> ((s, dir) => {
       TextOps.spanDedup(t(s, dir, "documents"), "doc_id", "text",
+          spanWords = 8, minDocs = 2, hashKeys = false)
+        .orderBy("doc_id")
+    }),
+
+    // maximal-run span dedup: same hot 8-grams as t45, but adjacent/
+    // overlapping hot starts coalesce in-row into maximal spans (the
+    // real Lee et al. cut structure) — same removed-token set, plus
+    // the span count and 0-based [start, end) intervals per doc
+    "t95_span_dedup_maximal" -> ((s, dir) => {
+      TextOps.spanDedupMaximal(t(s, dir, "documents"), "doc_id", "text",
           spanWords = 8, minDocs = 2, hashKeys = false)
         .orderBy("doc_id")
     }),
@@ -1703,6 +1732,152 @@ object TextQueries {
          ROUND(AVG(gr), 6) + 0.0 AS mean_gray
        FROM g GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx"""
 
+  /** t94 mirror: the full crawl-to-training-shards chain in one
+    * statement. Stage fragments are the SAME strings the per-stage
+    * mirrors use (TOKS/SHINGLES/MH over the crawl-derived `docs`, the
+    * HtmlOps/NormalizeOps cascades interpolated from their Stages
+    * tables), so the composed oracle can't drift from the per-stage
+    * ones. CTE naming: the curation pass owns mh/buckets/cand/../cc
+    * (t22's names); the split pass suffixes 2 (mh2/../cc2) because the
+    * leak-safe clustering runs on the BUDGET SURVIVORS, a different
+    * minhash population than the curation pass. */
+  private lazy val crawlPipelineSql: String = {
+    def sq(s: String) = s.replace("'", "''")
+    def cascade(stages: Seq[(String, String, String)],
+        prefix: String): String =
+      stages.zipWithIndex.map { case ((_, pat, rep), i) =>
+        s"""$prefix${i + 1} AS (SELECT doc_id,
+             regexp_replace(t, '${sq(pat)}', '${sq(rep)}', 'g') AS t
+           FROM $prefix$i)"""
+      }.mkString(",\n       ")
+    def bands(mhName: String): String =
+      (0 until 4).map(b =>
+        s"SELECT doc_id, md5('b$b:' || h${2 * b} || ':' || h${2 * b + 1}) AS bucket FROM $mhName")
+        .mkString(" UNION ALL ")
+    val hs = graft.text.HtmlOps.Stages
+    val ns = graft.text.NormalizeOps.Stages
+    val toksD = TOKS_SQL.replace("FROM documents", "FROM docs")
+    val mhD = MH_SQL.replace("FROM documents", "FROM docs")
+    val (rs, pred) = langIdSqlParts
+    val denom16 = math.pow(16.0, 15)
+    val denom2 = math.pow(2.0, 60)
+    s"""WITH RECURSIVE h0 AS (SELECT doc_id,
+         '<html><body>' || text || '</body></html>' AS t FROM documents),
+       ${cascade(hs, "h")},
+       n0 AS (SELECT doc_id, trim(t) AS t FROM h${hs.length}),
+       ${cascade(ns, "n")},
+       crawl AS MATERIALIZED (SELECT doc_id, trim(t) AS text
+         FROM n${ns.length}),
+       docs AS MATERIALIZED (SELECT c.doc_id, c.text FROM crawl c
+         WHERE c.doc_id IN (SELECT MIN(doc_id) FROM crawl GROUP BY md5(text))),
+       mh AS MATERIALIZED ($mhD),
+       buckets AS (${bands("mh")}),
+       cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM buckets x JOIN buckets y
+         ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (
+         SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
+                list_extract(w, i+2) AS sh
+         FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+               FROM ($toksD)))),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n_inter
+         FROM cand p
+         JOIN sh sa ON sa.doc_id = p.a_id
+         JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+         GROUP BY 1, 2),
+       verified AS (SELECT p.a_id, p.b_id FROM cand p
+         JOIN sizes na ON na.doc_id = p.a_id
+         JOIN sizes nb ON nb.doc_id = p.b_id
+         LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+         WHERE CASE WHEN na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0) > 0
+           THEN COALESCE(i.n_inter, 0)::DOUBLE /
+             (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0))
+           ELSE 0.0 END >= 0.5),
+       edges AS (SELECT a_id, b_id FROM verified
+         UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM verified),
+       nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+       reach(id, r) AS (
+         SELECT id, id AS r FROM nodes
+         UNION
+         SELECT e.a_id AS id, reach.r FROM edges e
+         JOIN reach ON reach.id = e.b_id),
+       cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       tq AS MATERIALIZED ($toksD),
+       wf AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS mx
+         FROM (SELECT doc_id, t, COUNT(*) AS c
+               FROM (SELECT doc_id, unnest(w) AS t FROM tq) GROUP BY 1, 2)
+         GROUP BY 1),
+       lang AS (SELECT doc_id, $pred AS lang_pred
+         FROM (SELECT doc_id, $rs FROM tq)),
+       cur AS MATERIALIZED (SELECT d.doc_id FROM docs d
+         JOIN wf ON wf.doc_id = d.doc_id
+         JOIN lang ON lang.doc_id = d.doc_id
+         WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE cluster <> id)
+           AND lang.lang_pred = 'en'
+           AND wf.n BETWEEN 20 AND 80
+           AND ROUND(CAST(wf.mx AS DOUBLE) / wf.n, 6) <= 0.12),
+       bsh AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS sh
+         FROM (SELECT doc_id, w FROM ($TOKS_SQL) WHERE doc_id % 17 = 0),
+           UNNEST(generate_series(1, len(w) - 12)) AS u(i)),
+       cursh AS (SELECT DISTINCT doc_id,
+           array_to_string(w[i:i+12], ' ') AS sh
+         FROM tq, UNNEST(generate_series(1, len(w) - 12)) AS u(i)
+         WHERE doc_id IN (SELECT doc_id FROM cur)),
+       contam AS (SELECT DISTINCT doc_id FROM cursh
+         JOIN bsh USING (sh)),
+       clean AS (SELECT cur.doc_id, d.source
+         FROM cur JOIN documents d USING (doc_id)
+         WHERE cur.doc_id NOT IN (SELECT doc_id FROM contam)),
+       ctk AS (SELECT c.doc_id, c.source,
+           CAST(len(t.w) AS BIGINT) AS n_tokens
+         FROM clean c JOIN tq t USING (doc_id)),
+       hh AS (SELECT *,
+           ('0x' || substr(md5('tb:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS uu
+         FROM ctk),
+       tot AS (SELECT source, SUM(n_tokens) AS tot FROM hh GROUP BY 1),
+       fb AS (SELECT hh.source, doc_id, n_tokens, uu
+         FROM hh JOIN tot USING (source)
+         WHERE uu::DOUBLE / ($denom2::DOUBLE)
+           < LEAST(1.0::DOUBLE, (8.0::DOUBLE * 600.0::DOUBLE) / tot)),
+       cum AS (SELECT source, doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+             ORDER BY uu, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before
+         FROM fb),
+       kept AS MATERIALIZED (SELECT source, doc_id, n_tokens FROM cum
+         WHERE cum_before < 600),
+       packed AS (SELECT doc_id, source, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source
+             ORDER BY doc_id) - n_tokens) / 512.0::DOUBLE) AS BIGINT) AS bin
+         FROM kept),
+       mh2 AS (SELECT * FROM mh
+         WHERE doc_id IN (SELECT doc_id FROM kept)),
+       buckets2 AS (${bands("mh2")}),
+       pairs2 AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM buckets2 x JOIN buckets2 y
+         ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       edges2 AS (SELECT a_id, b_id FROM pairs2
+         UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pairs2),
+       nodes2 AS (SELECT DISTINCT a_id AS id FROM edges2),
+       reach2(id, r) AS (
+         SELECT id, id AS r FROM nodes2
+         UNION
+         SELECT e.a_id AS id, reach2.r FROM edges2 e
+         JOIN reach2 ON reach2.id = e.b_id),
+       cc2 AS (SELECT id, MIN(r) AS cluster FROM reach2 GROUP BY id),
+       spl AS (SELECT k.doc_id,
+           CASE WHEN ('0x' || substr(md5('split:' ||
+                 CAST(COALESCE(cc2.cluster, k.doc_id) AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+               / ($denom16::DOUBLE) < 0.2
+             THEN 'test' ELSE 'train' END AS split
+         FROM kept k LEFT JOIN cc2 ON cc2.id = k.doc_id)
+       SELECT p.doc_id, p.source, p.n_tokens, p.bin, s.split
+       FROM packed p JOIN spl s USING (doc_id)
+       ORDER BY p.doc_id"""
+  }
+
   val oracle: Map[String, String] = Map(
     // mirrors Media.syntheticMedia's construction rule (BMP 54-byte
     // header + 4-padded 24bpp rows; WAV 44-byte header + 16-bit mono),
@@ -2350,6 +2525,48 @@ object TextQueries {
            CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
          FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
 
+    // maximal-span mirror: t45's hot-gram machinery plus the classic
+    // gaps-and-islands window (break where the 1-based start exceeds
+    // the previous start + 8), spans re-emitted 0-based end-exclusive
+    "t95_span_dedup_maximal" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id, i AS s, array_to_string(t[i:i+7], ' ') AS gram
+               FROM toks, UNNEST(generate_series(1, len(t)-7)) AS u(i)),
+         hot AS (SELECT gram FROM g GROUP BY gram
+                 HAVING COUNT(DISTINCT doc_id) >= 2),
+         hs AS (SELECT g.doc_id, g.s FROM g JOIN hot USING (gram)),
+         fl AS (SELECT doc_id, s,
+                 CASE WHEN LAG(s) OVER (PARTITION BY doc_id ORDER BY s) IS NULL
+                        OR s > LAG(s) OVER (PARTITION BY doc_id ORDER BY s) + 8
+                      THEN 1 ELSE 0 END AS brk
+                FROM hs),
+         spg AS (SELECT doc_id, s,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+                 FROM fl),
+         spans AS (SELECT doc_id, MIN(s) AS st1, MAX(s) + 8 AS en1
+                   FROM spg GROUP BY doc_id, grp),
+         spagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                    string_agg((st1 - 1) || '-' || (en1 - 1), ';' ORDER BY st1)
+                      AS spans
+                   FROM spans GROUP BY doc_id),
+         cov AS (SELECT DISTINCT doc_id, s + d AS p
+                 FROM hs, UNNEST(generate_series(0, 7)) AS v(d)),
+         tp AS (SELECT doc_id, p, t[p] AS tok
+                FROM toks, UNNEST(generate_series(1, len(t))) AS w(p)),
+         kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+                  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+                  WHERE cov.p IS NULL),
+         agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                        COUNT(*) AS n_kept
+                 FROM kept GROUP BY 1)
+         SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(sa.n_spans, 0) AS n_spans,
+           COALESCE(sa.spans, '') AS spans
+         FROM toks t LEFT JOIN agg a USING (doc_id)
+         LEFT JOIN spagg sa USING (doc_id) ORDER BY doc_id""",
+
     // DSIR mirror: same salted-md5 bucket hash, add-1 smoothing over
     // 256 buckets, per-bucket 6-dp-rounded micro-nat log ratios summed
     // as BIGINTs, md5-seeded Gumbel tie-broken on doc_id — every
@@ -2766,6 +2983,15 @@ object TextQueries {
     // crawl-corpus mirror: WARC body by construction, then BOTH stage
     // cascades generated from their single sources (HtmlOps.Stages,
     // NormalizeOps.Stages) over a uniform one-column chain
+    // flagship pipeline mirror: the t90 crawl cascade by construction,
+    // the full t22 curation body over the crawl-derived docs, the t28
+    // shingle-overlap decontamination (bench = every 17th raw doc),
+    // the t86 budget machinery, the t24 bin window, and the t53
+    // cluster-split — composed as one statement. Multi-referenced CTEs
+    // are MATERIALIZED (the r10 semdedup lesson: DuckDB re-inlines
+    // otherwise and the oracle budget blows up).
+    "t94_crawl_pipeline" -> crawlPipelineSql,
+
     "t90_crawl_corpus" -> {
       def sq(s: String) = s.replace("'", "''")
       def cascade(stages: Seq[(String, String, String)],

@@ -1695,6 +1695,73 @@ object TextOps {
         (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 
+  /** Maximal-run variant of [[spanDedup]] — the actual Lee et al.
+    * semantics: adjacent/overlapping hot grams coalesce into ONE
+    * maximal repeated span before cutting, so a 60-token boilerplate
+    * block reports as a single span, not 53 overlapping 8-gram cuts.
+    * The removed token set is identical to [[spanDedup]]'s (the union
+    * of hot-gram coverage); what changes is the cut structure: returns
+    * (idCol, clean_text, n_tokens, n_removed, n_spans, spans) where
+    * `spans` lists the maximal cut intervals as "start-end" (0-based,
+    * end-exclusive) joined by ";" in position order.
+    *
+    * The coalescing is an in-row fold over the doc's SORTED hot-start
+    * list (a start s extends the current span iff s <= its end, else
+    * opens a new one) — no shuffle beyond [[spanDedup]]'s own, and the
+    * rebuild's coverage test probes the MERGED spans instead of every
+    * hot start: for wall-to-wall boilerplate that collapses the
+    * O(|starts| * |tokens|) worst case to O(|tokens|). */
+  def spanDedupMaximal(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 8, minDocs: Int = 2,
+      hashKeys: Boolean = true): DataFrame = {
+    require(spanWords >= 2, s"spanWords must be >= 2, got $spanWords")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = fanOut(df)
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+    val grams = toks
+      .select(col(idCol),
+        posexplode(shingles(col("__t"), spanWords)).as(Seq("start", "gram")))
+    val keyed = grams.select(col(idCol), col("start"),
+      (if (hashKeys) xxhash64(col("gram")) else col("gram")).as("__k"))
+    val hot = keyed.groupBy("__k")
+      .agg(countDistinct(col(idCol)).as("__d"))
+      .filter(col("__d") >= minDocs)
+      .select("__k")
+    val hotStarts = keyed.join(hot, Seq("__k"), "left_semi")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("start"))).as("__starts"))
+    toks.join(hotStarts, Seq(idCol), "left")
+      .withColumn("__s",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      // gaps-and-islands fold: CASE arms evaluate lazily, so the
+      // element_at(acc, -1) probes only run once acc is non-empty
+      .withColumn("__spans", expr(
+        s"""aggregate(__s,
+             cast(array() as array<struct<st:int,en:int>>),
+             (acc, s) -> CASE
+               WHEN size(acc) = 0
+                 THEN array(named_struct('st', s, 'en', s + $spanWords))
+               WHEN s > element_at(acc, -1).en
+                 THEN concat(acc,
+                   array(named_struct('st', s, 'en', s + $spanWords)))
+               ELSE concat(slice(acc, 1, size(acc) - 1),
+                 array(named_struct('st', element_at(acc, -1).st,
+                   'en', s + $spanWords)))
+             END)"""))
+      .withColumn("__z",
+        expr("zip_with(__t, sequence(0, size(__t) - 1), (tk, p) -> struct(tk, p))"))
+      .withColumn("__kept",
+        expr("filter(__z, e -> NOT exists(__spans, sp -> sp.st <= e.p AND e.p < sp.en))"))
+      .select(col(idCol),
+        concat_ws(" ", expr("transform(__kept, e -> e.tk)")).as("clean_text"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"),
+        size(col("__spans")).cast("long").as("n_spans"),
+        concat_ws(";", expr(
+          "transform(__spans, sp -> concat(cast(sp.st as string), '-', cast(sp.en as string)))"))
+          .as("spans"))
+  }
+
   /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): hashed-bigram
     * bucket counts model a target domain and the raw pool; each raw

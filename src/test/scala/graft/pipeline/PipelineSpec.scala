@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.text.TextOps
+
+/** Stage-accountability spec for the composed crawl-to-shards
+  * pipeline: a small corpus planted with one victim per gate, then an
+  * assertion that each victim is excluded for exactly its reason and
+  * that the composition agrees with running the stages by hand. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 40-token English filler; the id is embedded in every content token
+  // so no two docs share a token run and near-dup machinery only fires
+  // where planted (a modular construction here aligned ids 31..39 with
+  // 0..8 as 33-token shared runs — genuine near-dups)
+  private def body(id: Long): String =
+    (0 until 40).map(i => s"w${id}n$i")
+      .mkString("the and of to in ", " ", " end")
+
+  private lazy val corpus: DataFrame = {
+    val rows = Seq.newBuilder[(Long, String, String)]
+    for (id <- 0L until 40L) rows += ((id, body(id), s"src${id % 2}"))
+    rows += ((100L, body(3), "src0"))              // exact dup of id 3
+    rows += ((101L, body(5) + " tinyedit", "src0"))// near dup of id 5
+    rows += ((102L, "le chat sur le tapis et le chien dans la rue " * 4,
+      "src1"))                                     // off-language
+    rows += ((103L, "too short", "src0"))          // fails token floor
+    rows += ((104L, ("spam " * 50).trim, "src0"))  // top-word frac 1.0
+    spark.createDataFrame(rows.result()).toDF("doc_id", "text", "source")
+  }
+
+  // bench = doc 7's full text: decontamination must remove doc 7 (and
+  // only doc 7 — every other doc's 13-grams are unique by construction)
+  private lazy val bench =
+    Seq((7L, body(7))).toDF("doc_id", "text")
+
+  private lazy val out = Pipeline.corpusToShards(corpus, bench,
+    "doc_id", "text", "source", minTokens = 20, maxTokens = 80,
+    budgetTokens = 10000).cache()
+
+  test("every planted victim is excluded, every clean doc survives") {
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(100L), "exact dup survived")
+    assert(!kept.contains(101L) || !kept.contains(5L),
+      "both members of the near-dup pair survived")
+    assert(!kept.contains(102L), "off-language doc survived")
+    assert(!kept.contains(103L), "sub-minTokens doc survived")
+    assert(!kept.contains(104L), "degenerate top-word doc survived")
+    assert(!kept.contains(7L), "benchmark-contaminated doc survived")
+    // the un-planted docs all pass every gate (one of {5,101} also
+    // survives as its near-dup cluster's canonical member)
+    val expectedCore = (0L until 40L).toSet - 7L - 5L
+    assert((expectedCore -- kept).isEmpty,
+      s"clean docs were dropped: ${expectedCore -- kept}")
+  }
+
+  test("composition agrees with the hand-run stage chain") {
+    val curated = TextOps.curateCorpus(corpus.select("doc_id", "text"),
+      "doc_id", "text")
+    val flagged = TextOps.decontaminate(curated, bench, "doc_id", "text", 13)
+    val clean = curated.join(flagged.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      .join(corpus.select("doc_id", "source"), Seq("doc_id"))
+    val budgeted = TextOps.tokenBudgetSample(clean, "doc_id", "text",
+      "source", 10000L)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ===
+      budgeted.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("bins are contiguous-fill over survivors and splits are leak-safe") {
+    // bin must equal packSequences' formula applied to the survivor set
+    val byBin = out.orderBy("source", "doc_id")
+      .select("source", "n_tokens", "bin").as[(String, Long, Long)]
+      .collect().groupBy(_._1)
+    for ((_, rows) <- byBin) {
+      var cum = 0L
+      for ((_, n, bin) <- rows) {
+        assert(bin === cum / 512, "bin diverges from contiguous fill")
+        cum += n
+      }
+    }
+    // near-dup survivors share a split with their cluster: rebuild the
+    // expected assignment from leakSafeSplit directly
+    val survivors = corpus.join(out.select("doc_id"), Seq("doc_id"),
+      "left_semi")
+    val expected = TextOps.leakSafeSplit(survivors, "doc_id", "text", 0.2)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val got = out.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    assert(got === expected)
+    assert(got.values.toSet.subsetOf(Set("train", "test")))
+  }
+
+  test("token budget caps each source") {
+    val tight = Pipeline.corpusToShards(corpus, bench, "doc_id", "text",
+      "source", budgetTokens = 120)
+    val perSource = tight.groupBy("source")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+    assert(perSource.nonEmpty)
+    for ((src, tot, n) <- perSource) {
+      // cum_before < budget admits at most one budget-crossing doc
+      val maxDoc = 46L // ~45-token docs
+      assert(tot < 120L + maxDoc, s"$src blew the token budget: $tot")
+      assert(n >= 1)
+    }
+  }
+}

@@ -459,6 +459,58 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(1) == ("z", 5L))
   }
 
+  test("spanDedupMaximal cuts a 60-token block as ONE span, not 53 grams") {
+    import spark.implicits._
+    // a 60-token boilerplate block shared by two docs: spanWords=8
+    // makes 53 overlapping hot 8-grams, which must coalesce into a
+    // single maximal [start, end) cut per document
+    val block = (0 until 60).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro $block outro"),
+      (2L, block),
+      (3L, "no shared content here at all")
+    ).toDF("doc_id", "text")
+    val got = TextOps.spanDedupMaximal(docs, "doc_id", "text",
+        spanWords = 8, minDocs = 2, hashKeys = false)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4),
+        r.getString(5)))
+    assert(got(0) == ((1L, "intro outro", 60L, 1L, "1-61")))
+    assert(got(1) == ((2L, "", 60L, 1L, "0-60")))
+    assert(got(2)._4 == 0L && got(2)._5 == "")
+    // removed-token set identical to spanDedup's
+    val flat = TextOps.spanDedup(docs, "doc_id", "text", spanWords = 8,
+        minDocs = 2, hashKeys = false)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    assert(got.map(g => (g._2, g._3)).toSeq == flat.toSeq)
+    // hash path agrees
+    val hashed = TextOps.spanDedupMaximal(docs, "doc_id", "text",
+        spanWords = 8, minDocs = 2, hashKeys = true)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4),
+        r.getString(5)))
+    assert(hashed.toSeq == got.toSeq)
+  }
+
+  test("spanDedupMaximal keeps DISJOINT hot runs as separate spans") {
+    import spark.implicits._
+    // two 8-token shared runs separated by unique middles: two spans,
+    // and a run pair whose coverage is adjacent-but-overlapping merges
+    val runA = (0 until 8).map(i => s"a$i").mkString(" ")
+    val runB = (0 until 8).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$runA mid1x mid2x $runB"),
+      (2L, s"$runA other filler words $runB")
+    ).toDF("doc_id", "text")
+    val got = TextOps.spanDedupMaximal(docs, "doc_id", "text",
+        spanWords = 8, minDocs = 2, hashKeys = false)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(4), r.getString(5)))
+    assert(got(0) == ((2L, "0-8;10-18")))
+    assert(got(1) == ((2L, "0-8;11-19")))
+  }
+
   test("dsirSelect ranks target-like raw docs first and is deterministic") {
     import spark.implicits._
     // target domain speaks "spark query table"; half the raw pool does
