@@ -450,6 +450,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // one-vs-rest multi-class scoring (FineWeb-Edu-style ordinal
+    // curation is this mechanism with quality-tier labels): 5 language
+    // classes, ONE shared feature pass, k binary GD loops at 4
+    // iterations (the mirror re-runs all 5 trainings — 8 would double
+    // a DuckDB chain that is already the registry's largest), argmax
+    // with class-name tie-break
+    "t96_multiclass_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.filter(col("doc_id") < 250)
+      val model = graft.text.Classifier.trainMultiClassClassifier(
+        labeled, "doc_id", "text", "lang", iterations = 4)
+      graft.text.Classifier.scoreMultiClassClassifier(
+          docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization + per-domain cap over a deterministic
     // synthetic url column (mixed-case schemes/hosts, default and
     // explicit ports, tracking params, fragments, multi-part TLDs —
@@ -1214,6 +1230,80 @@ object TextQueries {
            ROUND(1.0 / (1.0 + exp(-(bs.b + COALESCE(sm.mm, 0) / 1e6))), 6) AS score
          FROM documents d CROSS JOIN bs$iterations bs LEFT JOIN sm USING (doc_id))
        SELECT doc_id, score, (score >= 0.5) AS pred FROM fin ORDER BY doc_id"""
+    sb.toString
+  }
+
+  /** t96 mirror: the full one-vs-rest training — qcOracleSql's
+    * iteration blocks instantiated once per class (prefix c0..c{k-1})
+    * over ONE shared feature build, then per-class corpus margins and
+    * the score-desc/class-asc argmax. Classes interpolate statically:
+    * the unrolled CTE chain cannot branch on data, so the list is the
+    * testdata's known lang set — [[graft.text.Classifier]] derives its
+    * classes FROM the data, and the gate hash-fails if they ever
+    * disagree (the drift-surfacing direction). */
+  private def multiQcOracleSql(classes: Seq[String], iterations: Int,
+      lr: String = "2.0"): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH lab0 AS MATERIALIZED (SELECT doc_id, lang
+         FROM documents WHERE doc_id < 250),
+       bgc AS MATERIALIZED (SELECT doc_id,
+           CAST(('0x' || substr(md5('qc:' || sh), 1, 15))::BIGINT % 256 AS INT)
+             AS bucket
+         FROM ($BIGRAMS_SQL)),
+       af AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM bgc GROUP BY 1, 2),
+       fe AS MATERIALIZED (SELECT doc_id, bucket, cnt,
+              SUM(cnt) OVER (PARTITION BY doc_id) AS n FROM af),
+       lf AS MATERIALIZED (SELECT fe.* FROM fe JOIN lab0 USING (doc_id)),
+       n0 AS MATERIALIZED (SELECT COUNT(*) AS nl FROM lab0)"""
+    for ((c, k) <- classes.zipWithIndex) {
+      val p = s"c$k"
+      sb ++= s""",
+       lab_$p AS MATERIALIZED (SELECT doc_id,
+           CASE WHEN lang = '$c' THEN 1.0 ELSE 0.0 END AS y FROM lab0),
+       w${p}_0 AS MATERIALIZED (SELECT DISTINCT bucket, 0.0 AS wt FROM lf),
+       bs${p}_0 AS (SELECT 0.0 AS b)"""
+      for (i <- 0 until iterations) {
+        sb ++= s""",
+       mg${p}_$i AS MATERIALIZED (SELECT f.doc_id,
+           SUM(CAST(ROUND(w.wt * f.cnt / f.n * 1e6, 0) AS BIGINT)) AS mm
+         FROM lf f JOIN w${p}_$i w USING (bucket) GROUP BY 1),
+       r${p}_$i AS MATERIALIZED (SELECT lab.doc_id,
+           CAST(ROUND((ROUND(1.0 / (1.0 + exp(-(bs.b + COALESCE(mg.mm, 0) / 1e6))), 6)
+             - lab.y) * 1e6, 0) AS BIGINT) AS rm
+         FROM lab_$p lab CROSS JOIN bs${p}_$i bs
+         LEFT JOIN mg${p}_$i mg USING (doc_id)),
+       bs${p}_${i + 1} AS MATERIALIZED (
+         SELECT ROUND(bs.b - $lr * (SUM(r.rm) / 1e6) / n.nl, 6) AS b
+         FROM r${p}_$i r CROSS JOIN bs${p}_$i bs CROSS JOIN n0 n
+         GROUP BY bs.b, n.nl),
+       g${p}_$i AS MATERIALIZED (SELECT f.bucket,
+           SUM(CAST(ROUND(r.rm / 1e6 * f.cnt / f.n * 1e6, 0) AS BIGINT)) AS gm
+         FROM lf f JOIN r${p}_$i r USING (doc_id) GROUP BY 1),
+       w${p}_${i + 1} AS MATERIALIZED (SELECT w.bucket,
+           ROUND(w.wt - $lr * (COALESCE(g.gm, 0) / 1e6) / n.nl, 6) AS wt
+         FROM w${p}_$i w LEFT JOIN g${p}_$i g USING (bucket) CROSS JOIN n0 n)"""
+      }
+      sb ++= s""",
+       sm_$p AS MATERIALIZED (SELECT f.doc_id,
+           SUM(CAST(ROUND(COALESCE(w.wt, 0.0) * f.cnt / f.n * 1e6, 0) AS BIGINT))
+             AS mm
+         FROM fe f LEFT JOIN w${p}_$iterations w USING (bucket) GROUP BY 1)"""
+    }
+    val arms = classes.zipWithIndex.map { case (c, k) =>
+      s"""SELECT d.doc_id, '$c' AS cls,
+           ROUND(1.0 / (1.0 + exp(-(bs.b + COALESCE(sm.mm, 0) / 1e6))), 6) AS score
+         FROM documents d CROSS JOIN bsc${k}_$iterations bs
+         LEFT JOIN sm_c$k sm USING (doc_id)"""
+    }.mkString(" UNION ALL ")
+    sb ++= s""",
+       sc AS ($arms),
+       rnk AS (SELECT doc_id, cls, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, cls) AS rn
+         FROM sc)
+       SELECT doc_id, cls AS pred_label, score FROM rnk WHERE rn = 1
+       ORDER BY doc_id"""
     sb.toString
   }
 
@@ -2875,6 +2965,8 @@ object TextQueries {
     "t43_video_frames" -> FRAME_RULE_SQL,
     // full hashed-bigram LR mirror: 8 unrolled GD iterations + scoring
     "t63_quality_classifier" -> qcOracleSql(8),
+    "t96_multiclass_classifier" ->
+      multiQcOracleSql(Seq("de", "en", "es", "fr", "zh"), 4),
     // URL canonicalization + domain-cap mirror: same synthetic url
     // rule, same regex cascade (RE2-identical constructs), the FULL
     // public-suffix-list algorithm over the same bundled data file

@@ -68,13 +68,22 @@ object Classifier {
       lr: Double = 2.0): TextClassifierModel = {
     require(dim > 0 && iterations > 0 && lr > 0,
       s"need dim/iterations/lr > 0, got $dim/$iterations/$lr")
-    val spark = labeled.sparkSession
-    import spark.implicits._
     val lab = labeled.select(col(idCol), col(labelCol).cast("double").as("y"))
       .localCheckpoint()
     val nl = lab.count()
     require(nl > 0, "labeled set is empty")
     val feats = features(labeled, idCol, textCol, dim).localCheckpoint()
+    trainLoop(feats, lab, idCol, nl, dim, iterations, lr)
+  }
+
+  /** The shared full-batch GD loop over an already-materialized
+    * (feats, lab) pair — [[trainTextClassifier]] prepares both for one
+    * binary problem; [[trainMultiClassClassifier]] reuses ONE feature
+    * pass across all k one-vs-rest problems. */
+  private def trainLoop(feats: DataFrame, lab: DataFrame, idCol: String,
+      nl: Long, dim: Int, iterations: Int, lr: Double): TextClassifierModel = {
+    val spark = feats.sparkSession
+    import spark.implicits._
     val buckets = feats.select("bucket").distinct().as[Int].collect().sorted
     var w: Map[Int, Double] = buckets.map(_ -> 0.0).toMap
     var b = 0.0
@@ -102,6 +111,86 @@ object Classifier {
       }
     }
     TextClassifierModel(w, b, dim)
+  }
+
+  /** One-vs-rest multi-class model: one [[TextClassifierModel]] per
+    * class over the SAME hashed feature space — k x (<= dim + 1)
+    * numbers, still driver/broadcast-sized for any realistic class
+    * count (FineWeb-Edu-style ordinal quality scoring is k = 6). */
+  case class MultiClassTextModel(classes: Seq[String],
+      models: Map[String, TextClassifierModel])
+
+  /** Train a one-vs-rest classifier over a string label column. The
+    * feature pass runs ONCE (localCheckpointed) and every class's
+    * binary problem reuses it with its own 0/1 target — k x the
+    * training loop, 1 x the corpus-touching work. Classes are the
+    * label column's distinct values, sorted (deterministic model
+    * identity). */
+  def trainMultiClassClassifier(labeled: DataFrame, idCol: String,
+      textCol: String, labelCol: String, dim: Int = 256,
+      iterations: Int = 8, lr: Double = 2.0): MultiClassTextModel = {
+    require(dim > 0 && iterations > 0 && lr > 0,
+      s"need dim/iterations/lr > 0, got $dim/$iterations/$lr")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val labAll = labeled
+      .select(col(idCol), col(labelCol).cast("string").as("__cls"))
+      .localCheckpoint()
+    val nl = labAll.count()
+    require(nl > 0, "labeled set is empty")
+    val classes = labAll.select("__cls").distinct().as[String]
+      .collect().sorted.toSeq
+    require(classes.size >= 2,
+      s"need >= 2 distinct labels, got ${classes.size}")
+    val feats = features(labeled, idCol, textCol, dim).localCheckpoint()
+    val models = classes.map { c =>
+      val lab = labAll.select(col(idCol),
+        (col("__cls") === c).cast("double").as("y"))
+      c -> trainLoop(feats, lab, idCol, nl, dim, iterations, lr)
+    }
+    MultiClassTextModel(classes, models.toMap)
+  }
+
+  /** Score a corpus under a one-vs-rest model: (idCol, pred_label,
+    * score) with pred_label the class whose binary sigmoid is highest
+    * (ties break by class name ascending — deterministic and
+    * oracle-mirrorable) and score that winning 6-dp sigmoid.
+    *
+    * Scale shape: ONE narrow feature pass (not k); the k x <= dim
+    * weight rows join as a single broadcast long-format table; margins
+    * are one (doc, class)-keyed hash agg; the argmax is a window
+    * partitioned by doc — the same per-doc shuffle key as the margin
+    * agg, so AQE plans them into one exchange. Nothing corpus-sized is
+    * collected. */
+  def scoreMultiClassClassifier(df: DataFrame, idCol: String,
+      textCol: String, model: MultiClassTextModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feats = features(df, idCol, textCol,
+      model.models(model.classes.head).dim)
+    val wDf = broadcast(model.classes.flatMap(c =>
+        model.models(c).weights.toSeq.map { case (b, wt) => (c, b, wt) })
+      .toDF("__cls", "bucket", "wt"))
+    val mg = feats.join(wDf, Seq("bucket"))
+      .groupBy(col(idCol), col("__cls"))
+      .agg(sum(round(col("wt") * col("cnt") / col("n") * lit(1e6), 0)
+        .cast("long")).as("mm"))
+    // every doc scores every class (a doc sharing no bucket with a
+    // class still has that class's bias): doc x class grid via a
+    // broadcast of the k-row bias table
+    val biases = broadcast(model.classes.map(c =>
+      (c, model.models(c).bias)).toDF("__cls", "__bias"))
+    val scored = df.select(col(idCol)).crossJoin(biases)
+      .join(mg, Seq(idCol, "__cls"), "left")
+      .select(col(idCol), col("__cls"),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("__bias") +
+          coalesce(col("mm"), lit(0L)) / lit(1e6)))), 6).as("__score"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("__score").desc, col("__cls").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__cls").as("pred_label"),
+        col("__score").as("score"))
   }
 
   /** Score a corpus under a trained model: (idCol, score, pred) with

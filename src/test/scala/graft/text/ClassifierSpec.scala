@@ -54,6 +54,57 @@ class ClassifierSpec extends AnyFunSuite {
     assert(math.abs(r(0).getDouble(1) - sigB) < 1e-5)
   }
 
+  test("one-vs-rest separates a planted 3-class corpus, held-out included") {
+    import spark.implicits._
+    // three disjoint vocabularies; 20 labeled docs per class plus a
+    // held-out doc per class that the model never saw
+    val vocab = Map(
+      "code" -> "def class import return lambda yield async await",
+      "news" -> "minister election parliament treaty summit embassy vote",
+      "chat" -> "lol omg brb gonna wanna kinda sorta yeah")
+    def doc(cls: String, i: Long): String = {
+      val ws = vocab(cls).split(" ")
+      (0 until 12).map(j => ws(((i + j) % ws.length).toInt)).mkString(" ")
+    }
+    val labeled = vocab.keys.toSeq.sorted.zipWithIndex.flatMap {
+      case (c, k) => (0L until 20L).map(i => (k * 100L + i, doc(c, i), c))
+    }.toDF("doc_id", "text", "label")
+    val model = Classifier.trainMultiClassClassifier(labeled, "doc_id",
+      "text", "label", iterations = 8)
+    assert(model.classes == Seq("chat", "code", "news"))
+    val heldOut = Seq((900L, doc("code", 7L), "code"),
+      (901L, doc("news", 7L), "news"), (902L, doc("chat", 7L), "chat"))
+      .toDF("doc_id", "text", "truth")
+    val preds = Classifier.scoreMultiClassClassifier(
+        labeled.unionByName(heldOut.select(col("doc_id"), col("text"),
+          lit("?").as("label"))), "doc_id", "text", model)
+      .join(labeled.select(col("doc_id"), col("label").as("truth"))
+        .unionByName(heldOut.select("doc_id", "truth")), "doc_id")
+      .select("doc_id", "pred_label", "truth")
+      .as[(Long, String, String)].collect()
+    assert(preds.length == 63)
+    val wrong = preds.filter(p => p._2 != p._3)
+    assert(wrong.isEmpty, s"misclassified: ${wrong.mkString(", ")}")
+  }
+
+  test("one-vs-rest training is deterministic and reuses one feature pass") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i =>
+      (i, if (i % 3 == 0) "alpha beta gamma alpha beta"
+          else if (i % 3 == 1) "delta epsilon zeta delta epsilon"
+          else "eta theta iota eta theta",
+        s"c${i % 3}")).toDF("doc_id", "text", "label")
+    val m1 = Classifier.trainMultiClassClassifier(docs, "doc_id", "text",
+      "label", iterations = 4)
+    val m2 = Classifier.trainMultiClassClassifier(docs, "doc_id", "text",
+      "label", iterations = 4)
+    assert(m1.classes == m2.classes)
+    for (c <- m1.classes) {
+      assert(m1.models(c).weights == m2.models(c).weights)
+      assert(m1.models(c).bias == m2.models(c).bias)
+    }
+  }
+
   test("more iterations move the model toward the labels") {
     val docs = corpus
     def loss(iters: Int): Double = {
