@@ -623,6 +623,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // trained BPE at a REALISTIC merge depth via the driver-loop
+    // trainer (bit-identical to the distributed loop — BpeSpec — but
+    // ~2 ms/merge instead of ~200: one corpus pass, then the capped
+    // <= maxWords word table trains in memory). The mirror re-runs all
+    // 64 merge iterations in DuckDB.
+    "t97_bpe_merges64" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextOps.bpeTrainMergesDriver(docs, "text", numMerges = 64)
+      TextOps.bpeTokenize(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     // t43's ISO-BMFF twin: structurally valid MP4s with full sample
     // tables (stsd/stts/stsc/stsz/stco) and raw RGB24 samples, frame
     // pixels genuinely resolved back through the sample-table walk —
@@ -3195,6 +3207,7 @@ object TextQueries {
     // pair-count/argmax/merge iterations) AND the application fold,
     // both over the exact wrapped-symbol representation TextOps uses
     "t61_bpe_tokenize" -> bpeOracleSql(12),
+    "t97_bpe_merges64" -> bpeOracleSql(64),
     // same geometry + pixel rules as t43 (buildMp4Frames mirrors
     // buildAvi's rule), exercised through the MP4 sample-table walk
     "t60_mp4_frames" -> FRAME_RULE_SQL,

@@ -277,4 +277,24 @@ object DocStreams {
         "left_anti")
       .drop("__shs")
   }
+
+  /** Domain-diversity monitoring on a live ingest stream — the
+    * streaming twin of t93's batch composition: canonicalize each
+    * URL ([[graft.text.UrlOps.canonicalizeUrls]] — a narrow cascade
+    * whose PSL probe is a codegen'd kernel, so it runs unchanged on a
+    * streaming frame), drop unparseable rows, and maintain per-source
+    * HLL registers over the registrable domain. A complete-mode
+    * aggregate whose state is bounded at |sources| x 2^p register
+    * rows regardless of stream length (max(rho) is
+    * duplicate-insensitive, so `dedupTerms = false` — no distinct
+    * pass, identical registers). Feed the output to
+    * [[TextOps.hllEstimate]] for the distinct-domain estimates; the
+    * spec asserts stream == batch register parity bit-for-bit. */
+  def domainDiversityRegisters(docs: DataFrame, idCol: String,
+      urlCol: String, sourceCol: String, p: Int = 8): DataFrame = {
+    val canon = graft.text.UrlOps.canonicalizeUrls(docs, idCol, urlCol)
+      .filter(col("domain").isNotNull)
+    TextOps.hllRegisters(canon.select(col(sourceCol), col("domain")),
+      sourceCol, col("domain"), p, dedupTerms = false)
+  }
 }

@@ -732,11 +732,18 @@ object TextOps {
     * [[graft.sim.Similarity.kmeansCentroids]]. Throws if the corpus
     * runs out of distinct pairs before `numMerges` merges — a merge
     * table shorter than requested would silently drift from the
-    * engine-external mirror. */
+    * engine-external mirror; pass `stopAtExhaustion = true` for real
+    * training runs where "merge until the vocabulary is fully fused"
+    * is the intent (the returned table is then authoritative for its
+    * own length, and no fixed-count mirror should be attached). */
   def bpeTrainMerges(df: DataFrame, textCol: String, numMerges: Int,
-      maxWords: Int = 65536): Seq[(String, String)] = {
+      maxWords: Int = 65536,
+      stopAtExhaustion: Boolean = false,
+      checkpointEvery: Int = 8): Seq[(String, String)] = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     require(maxWords > 0, s"maxWords must be positive, got $maxWords")
+    require(checkpointEvery > 0,
+      s"checkpointEvery must be positive, got $checkpointEvery")
     var words = fanOut(
       df.select(explode(regexp_extract_all(col(textCol), lit(BpePattern),
           lit(0))).as("__tok"))
@@ -757,17 +764,107 @@ object TextOps {
         .agg(sum("__wc").as("cnt"))
         .orderBy(desc("cnt"), asc("l"), asc("r")).limit(1)
         .collect()
+      if (top.isEmpty && stopAtExhaustion) return merges.result()
       require(top.nonEmpty,
         s"corpus exhausted after $i merges; requested $numMerges")
       val l = top(0).getString(0); val r = top(0).getString(1)
       merges += ((l, r))
       val (pat, rep) = bpeMergePat(l, r)
-      // checkpoint per iteration: the next round's pair count re-reads
-      // this frame, and without the barrier each round re-runs the whole
-      // merge lineage (semDedup's refinement discipline)
+      // Periodic checkpoint, not per-merge: the next round's pair count
+      // tolerates a <= checkpointEvery-deep chain of narrow literal
+      // replaces on top of the last barrier (each is one codegen'd scan
+      // of the vocabulary-sized frame), while a per-merge materialization
+      // pays a full job per merge — at realistic merge counts the fixed
+      // per-job overhead IS the training cost (BASELINE.md "BPE
+      // merge-count scale"). Without ANY barrier each round re-runs the
+      // whole merge lineage (semDedup's refinement discipline), so the
+      // cadence is bounded, not removed.
       words = words.withColumn("__s", replace(col("__s"), lit(pat), lit(rep)))
-        .localCheckpoint()
+      if ((i + 1) % checkpointEvery == 0) words = words.localCheckpoint()
       i += 1
+    }
+    merges.result()
+  }
+
+  /** [[bpeTrainMerges]] with the merge loop run DRIVER-SIDE — the
+    * realistic-merge-count path. The corpus-sized work is identical
+    * (ONE pretokenize + word-count pass, capped to the `maxWords` most
+    * frequent words); the capped table is then collected (bounded at
+    * maxWords rows by construction — the same bounded-driver-state
+    * contract as [[nearDupClusters]]'s edge fast path) and the
+    * count/argmax/merge iterations run in memory, removing the ~0.2 s
+    * per-merge fixed Spark-job overhead that dominates the distributed
+    * loop (BASELINE.md "BPE merge-count scale": the distributed loop
+    * costs wall ∝ merges regardless of corpus size; this path makes
+    * 30-50k-merge tokenizers tractable). Bit-identical semantics to
+    * the distributed loop — pair counts are exact longs, the argmax
+    * tie-break compares symbols as UTF-8 bytes (Spark's string
+    * ordering), merges apply leftmost-non-overlapping — so the two
+    * paths return the SAME table and share the same external mirror;
+    * the spec asserts equality. */
+  def bpeTrainMergesDriver(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 65536,
+      stopAtExhaustion: Boolean = false): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    require(maxWords > 0, s"maxWords must be positive, got $maxWords")
+    // same single corpus pass + deterministic cap as the distributed
+    // loop; collect (wrapped word, count) — <= maxWords rows
+    val collected = fanOut(
+      df.select(explode(regexp_extract_all(col(textCol), lit(BpePattern),
+          lit(0))).as("__tok"))
+        .groupBy("__tok").agg(count(lit(1)).as("__wc"))
+        .select(bpeWrap(col("__tok")).as("__s"), col("__wc"))
+        .orderBy(desc("__wc"), asc("__s")).limit(maxWords))
+      .collect()
+    // wrapped form " a  b  c " -> symbol array
+    var words: Array[(Array[String], Long)] = collected.map(r =>
+      (r.getString(0).trim.split("  "), r.getLong(1)))
+    // UTF-8 unsigned byte order == Spark's UTF8String ordering
+    def u8lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    while (m < numMerges) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      for ((syms, wc) <- words; i <- 0 until syms.length - 1)
+        counts.merge((syms(i), syms(i + 1)), wc, _ + _)
+      if (counts.isEmpty && stopAtExhaustion) return merges.result()
+      require(!counts.isEmpty,
+        s"corpus exhausted after $m merges; requested $numMerges")
+      var best: ((String, String), Long) = null
+      counts.forEach { (p, c) =>
+        if (best == null || c > best._2 ||
+          (c == best._2 && (u8lt(p._1, best._1._1) ||
+            (p._1 == best._1._1 && u8lt(p._2, best._1._2)))))
+          best = (p, c)
+      }
+      val (l, r) = best._1
+      merges += ((l, r))
+      // leftmost non-overlapping fuse — the " l  r " -> " lr " replace
+      words = words.map { case (syms, wc) =>
+        if (syms.length < 2) (syms, wc)
+        else {
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), wc)
+        }
+      }
+      m += 1
     }
     merges.result()
   }

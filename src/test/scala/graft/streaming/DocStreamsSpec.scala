@@ -407,6 +407,41 @@ class DocStreamsSpec extends AnyFunSuite {
       klB.exceptAll(klS).count() == 0)
   }
 
+  test("streaming domain-diversity registers equal the batch composition") {
+    // t93's streaming twin: URL canonicalization (incl. the PSL domain
+    // kernel) composed with per-source HLL registers, complete mode.
+    // The planted URL column exercises multi-part TLDs, default-port
+    // stripping, and an unparseable row (doc_id % 11 == 0 -> no
+    // scheme) that must be dropped identically in both engines.
+    val urlExpr = when(col("doc_id") % 11 === 0, lit("not a url"))
+      .otherwise(concat(lit("https://"),
+        element_at(array(lit("WWW.Example.COM"), lit("news.Site.co.uk"),
+          lit("a.b.Example.org"), lit("cdn.media.ac.uk")),
+          (col("doc_id") % 4 + 1).cast("int")),
+        lit(":443/p/"), (col("doc_id") % 7).cast("string")))
+    val schema = docsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    def withUrl(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("source"), urlExpr.as("url"))
+    val q = DocStreams.domainDiversityRegisters(withUrl(stream),
+        "doc_id", "url", "source", p = 6)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("domdiv_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("domdiv_stream")
+    val batch = DocStreams.domainDiversityRegisters(withUrl(docsBatch),
+      "doc_id", "url", "source", p = 6)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // derived estimates bit-identical too
+    val a = TextOps.hllEstimate(streamed, "source", p = 6).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = TextOps.hllEstimate(batch, "source", p = 6).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b && a.nonEmpty)
+  }
+
   test("streaming HLL registers equal the batch sketch") {
     // max(rho) is duplicate-insensitive, so the stream twin skips the
     // batch path's distinct (dedupTerms = false) and still lands on

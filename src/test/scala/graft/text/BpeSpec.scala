@@ -150,5 +150,23 @@ class BpeSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       TextOps.bpeTrainMerges(tiny, "text", numMerges = 3)
     }
+    // the opt-in exhaustion mode returns the shorter authoritative table
+    assert(TextOps.bpeTrainMerges(tiny, "text", numMerges = 3,
+      stopAtExhaustion = true) == one)
+    assert(TextOps.bpeTrainMergesDriver(tiny, "text", numMerges = 3,
+      stopAtExhaustion = true) == one)
+  }
+
+  test("driver-loop training is bit-identical to the distributed loop") {
+    val dist = TextOps.bpeTrainMerges(df, "text", numMerges = 16)
+    val drv = TextOps.bpeTrainMergesDriver(df, "text", numMerges = 16)
+    assert(drv == dist)
+    // and at full exhaustion depth, where ties and degenerate words pile up
+    val distAll = TextOps.bpeTrainMerges(df, "text", numMerges = 10000,
+      stopAtExhaustion = true)
+    val drvAll = TextOps.bpeTrainMergesDriver(df, "text", numMerges = 10000,
+      stopAtExhaustion = true)
+    assert(drvAll == distAll)
+    assert(distAll.size < 10000, "fixture corpus must exhaust")
   }
 }
