@@ -559,6 +559,44 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // DOM-free main-content extraction (trafilatura's core heuristic):
+    // block segmentation at sectioning tags, per-block text-length +
+    // link-density scoring — the planted page carries a link-saturated
+    // nav, a real article <p>, a link-sparse prose <div>, a related-
+    // links <aside> and a short <footer>; only the two content blocks
+    // must survive, entities decoded
+    "t99_html_main_content" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>T</title><script>var x = 1 < 2;</script></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> <a href=\"/c\">Contact</a></nav>"),
+        lit("<p>Story &amp; analysis: "), substring(col("text"), 1, 100),
+        lit(" tail of doc "), col("doc_id").cast("string"), lit("</p>"),
+        lit("<div>Read <a href=\"/m\">more on this</a> plus plenty of surrounding prose to keep density low.</div>"),
+        lit("<aside><a href=\"/x\">One</a> <a href=\"/y\">Two</a> <a href=\"/z\">Three links here</a></aside>"),
+        lit("<footer>(c) 2026 example</footer></body></html>"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        html.as("html"))
+      graft.text.HtmlOps.extractMainText(docs, "doc_id", "html")
+        .orderBy("doc_id")
+    }),
+
+    // abbreviation-aware sentence segmentation: titles/latinisms
+    // ("Dr.", "Fig.", "e.g.", "No.", "etc.") protect their periods via
+    // a pre-pass sentinel, so they no longer split mid-sentence — the
+    // upgrade t89's known limitation pointed at; same lookahead-free
+    // regex discipline, mirrored byte-for-byte
+    "t98_sentence_abbrev" -> ((s, dir) => {
+      val ptext = concat(lit("Dr. Smith saw "),
+        substring(col("text"), 1, 20),
+        lit(". See Fig. 3 and e.g. doc "), col("doc_id").cast("string"),
+        lit(". No. 5 on the list, etc. More at the end! Done."))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        ptext.as("ptext"))
+      TextOps.sentenceSplit(docs, "doc_id", "ptext",
+          abbreviations = TextOps.DefaultAbbreviations)
+        .orderBy("doc_id", "sent_idx")
+    }),
+
     // sentence segmentation: terminal-punctuation boundaries via the
     // shared sentinel two-step (RE2 has no lookahead), 0-based index
     // over non-blank trimmed sentences, token counts per sentence
@@ -3115,6 +3153,97 @@ object TextQueries {
        ${cascade(ns, "n")}
        SELECT doc_id, trim(t) AS text FROM n${ns.length}
        ORDER BY doc_id"""
+    },
+
+    // main-content mirror: pre-clean/boundary/anchor/entity patterns
+    // all interpolated from HtmlOps's single sources; blocks unnest to
+    // rows, the same length/link-density rule filters, kept text
+    // reassembles ordered with blank-line joins, zero-block docs keep
+    // their row via the documents left join
+    "t99_html_main_content" -> {
+      def sq(x: String) = x.replace("'", "''")
+      val block = sq(graft.text.HtmlOps.BlockBoundaryPattern)
+      val anchor = sq(graft.text.HtmlOps.AnchorPattern)
+      val preSql = graft.text.HtmlOps.Stages.take(3)
+        .foldLeft("html") { case (acc, (_, pat, rep)) =>
+          s"regexp_replace($acc, '${sq(pat)}', '${sq(rep)}', 'g')" }
+      val entSql = graft.text.HtmlOps.EntityStages
+        .foldLeft("txt") { case (acc, (_, pat, rep)) =>
+          s"regexp_replace($acc, '${sq(pat)}', '${sq(rep)}', 'g')" }
+      s"""WITH src AS (SELECT doc_id,
+           '<html><head><title>T</title><script>var x = 1 < 2;</script></head><body>' ||
+           '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>' ||
+           '<p>Story &amp; analysis: ' || substr(text, 1, 100) ||
+           ' tail of doc ' || CAST(doc_id AS VARCHAR) || '</p>' ||
+           '<div>Read <a href="/m">more on this</a> plus plenty of surrounding prose to keep density low.</div>' ||
+           '<aside><a href="/x">One</a> <a href="/y">Two</a> <a href="/z">Three links here</a></aside>' ||
+           '<footer>(c) 2026 example</footer></body></html>' AS html
+         FROM documents),
+       seg AS (SELECT doc_id,
+           string_split(regexp_replace($preSql, '$block', chr(1), 'g'),
+             chr(1)) AS parts
+         FROM src),
+       blocks AS (SELECT doc_id, u.i AS bidx, parts[CAST(u.i AS INT)] AS b
+         FROM seg, UNNEST(generate_series(1, len(parts))) AS u(i)),
+       sc AS (SELECT doc_id, bidx,
+           trim(regexp_replace(regexp_replace(b, '<[^>]+>', '', 'g'),
+             '[ \\t\\r\\n]+', ' ', 'g')) AS t,
+           trim(regexp_replace(regexp_replace(
+             COALESCE(array_to_string(
+               regexp_extract_all(b, '$anchor', 1), ' '), ''),
+             '<[^>]+>', '', 'g'), '[ \\t\\r\\n]+', ' ', 'g')) AS lt
+         FROM blocks),
+       m AS (SELECT doc_id, bidx, t,
+           length(t) AS len, length(lt) AS lc FROM sc),
+       ne AS (SELECT * FROM m WHERE len > 0),
+       ag AS (SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(COUNT(*) FILTER (WHERE len >= 25
+             AND CAST(lc AS DOUBLE) <= 0.4 * len) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN len >= 25
+               AND CAST(lc AS DOUBLE) <= 0.4 * len THEN t END,
+             chr(10) || chr(10) ORDER BY bidx), '') AS txt
+         FROM ne GROUP BY 1),
+       fin AS (SELECT d.doc_id, COALESCE(ag.txt, '') AS txt,
+           COALESCE(ag.n_blocks, 0) AS n_blocks,
+           COALESCE(ag.n_kept, 0) AS n_kept
+         FROM documents d LEFT JOIN ag USING (doc_id))
+       SELECT doc_id, $entSql AS text_main, n_blocks, n_kept
+       FROM fin ORDER BY doc_id"""
+    },
+
+    // abbreviation-aware mirror: the SAME protection alternation
+    // (interpolated from DefaultAbbreviations, dots escaped once for
+    // both engines) + chr(2) sentinel restored to a space per
+    // sentence, then t89's boundary/split/reindex machinery
+    "t98_sentence_abbrev" -> {
+      val alt = graft.text.TextOps.DefaultAbbreviations
+        .map(_.replace(".", "\\.")).mkString("|")
+      s"""WITH src AS (SELECT doc_id,
+           'Dr. Smith saw ' || substr(text, 1, 20) ||
+           '. See Fig. 3 and e.g. doc ' || CAST(doc_id AS VARCHAR) ||
+           '. No. 5 on the list, etc. More at the end! Done.' AS ptext
+         FROM documents),
+       g AS (SELECT doc_id,
+           regexp_replace(ptext, '\\b($alt)\\.\\s+', '\\1.' || chr(2), 'g')
+             AS gt
+         FROM src),
+       m AS (SELECT doc_id,
+           regexp_replace(gt, '([.!?]+)\\s+', '\\1' || chr(1), 'g') AS mt
+         FROM g),
+       p AS (SELECT doc_id, string_split(mt, chr(1)) AS parts FROM m),
+       e AS (SELECT doc_id, u.i AS raw_idx,
+               trim(replace(parts[CAST(u.i AS INT)], chr(2), ' '))
+                 AS sentence
+             FROM p, unnest(generate_series(1, len(parts))) AS u(i)),
+       f AS (SELECT doc_id, raw_idx, sentence,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY raw_idx) - 1 AS INT) AS sent_idx
+             FROM e WHERE sentence <> '')
+       SELECT doc_id, sent_idx, sentence,
+         CAST(len(list_filter(string_split_regex(lower(sentence),
+           '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+       FROM f ORDER BY doc_id, sent_idx"""
     },
 
     // sentence-split mirror: same boundary regex, \1-group + chr(1)

@@ -73,4 +73,72 @@ object HtmlOps {
     df.select(col(idCol), trim(cleaned).as("text_html"),
       (trim(cleaned) =!= start).as("changed"))
   }
+
+  /** Block boundary tags for [[extractMainText]]'s segmentation —
+    * [[Stages]]' block alternation plus the structural containers
+    * (nav/aside/main/body/html), since main-content scoring wants a
+    * boundary at every DOM sectioning element. */
+  val BlockBoundaryPattern: String =
+    "(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|th|td|blockquote|" +
+      "section|article|header|footer|nav|aside|main|body|html)\\b[^>]*/?>"
+
+  /** Anchor elements, inner text as group 1 — the link-density
+    * numerator. Lazy quantifier + inline flags only (RE2-safe). */
+  val AnchorPattern: String = "(?is)<a\\b[^>]*>(.*?)</a>"
+
+  /** Entity-decode suffix of [[Stages]] (order preserved: `&amp;`
+    * last so `&amp;lt;` yields literal "&lt;"). Public so the oracle
+    * mirror interpolates the SAME pattern list. */
+  val EntityStages: Seq[(String, String, String)] =
+    Stages.filter(s => Set("lt", "gt", "quot", "apos", "nbsp", "amp")(s._1))
+
+  /** Main-content extraction — the boilerplate-REMOVING upgrade of
+    * [[extractText]] (trafilatura's core heuristic, DOM-free): split
+    * the page into blocks at sectioning-tag boundaries, score each
+    * block by text length and LINK DENSITY (chars of anchor text /
+    * chars of block text — navigation, footers and related-links rails
+    * are short and link-saturated; article bodies are long and link-
+    * sparse), and keep only blocks with `len >= minChars` and
+    * `linkChars <= maxLinkDensity * len`. Returns (idCol, text_main,
+    * n_blocks, n_kept) with kept blocks entity-decoded and joined by
+    * blank lines.
+    *
+    * Still one narrow per-row expression cascade — block splitting and
+    * scoring are array HOFs over the row's own markup, no DOM, no
+    * shuffle, no UDF; every regex keeps to the Java/RE2 common dialect
+    * so the DuckDB mirror replays the scoring bit-for-bit. The honest
+    * boundary shrinks to: no per-node DOM walk, so scoring granularity
+    * is the sectioning-tag block, not arbitrary subtrees. */
+  def extractMainText(df: DataFrame, idCol: String, htmlCol: String,
+      minChars: Int = 25, maxLinkDensity: Double = 0.4): DataFrame = {
+    require(minChars >= 0 && maxLinkDensity >= 0,
+      s"need minChars/maxLinkDensity >= 0, got $minChars/$maxLinkDensity")
+    val pre = Stages.take(3).foldLeft(coalesce(col(htmlCol), lit(""))) {
+      case (cur, (_, pat, rep)) => regexp_replace(cur, pat, rep)
+    }
+    val blocks = split(regexp_replace(pre, BlockBoundaryPattern, "\u0001"),
+      "\u0001")
+    def ws(c: Column): Column =
+      trim(regexp_replace(c, "[ \\t\\r\\n]+", " "))
+    val scored = transform(blocks, b => {
+      val text = ws(regexp_replace(b, "<[^>]+>", ""))
+      val linkTxt = ws(regexp_replace(
+        concat_ws(" ", regexp_extract_all(b, lit(AnchorPattern), lit(1))),
+        "<[^>]+>", ""))
+      struct(text.as("t"), length(text).as("len"),
+        length(linkTxt).as("lc"))
+    })
+    val nonEmpty = filter(scored, s => s.getField("len") > 0)
+    val kept = filter(nonEmpty, s =>
+      s.getField("len") >= minChars &&
+        s.getField("lc").cast("double") <=
+          lit(maxLinkDensity) * s.getField("len"))
+    val joined = array_join(transform(kept, s => s.getField("t")), "\n\n")
+    val decoded = EntityStages.foldLeft(joined) {
+      case (cur, (_, pat, rep)) => regexp_replace(cur, pat, rep)
+    }
+    df.select(col(idCol), decoded.as("text_main"),
+      size(nonEmpty).cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept"))
+  }
 }

@@ -1395,12 +1395,39 @@ object TextOps {
     * split like sentence ends — the rule is deterministic and
     * identical in both engines, which is what the gate needs; a
     * lookahead-free abbreviation list would be the upgrade. */
-  def sentenceSplit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val marked = regexp_replace(coalesce(col(textCol), lit("")),
-      "([.!?]+)\\s+", "$1\u0001")
+  /** Abbreviation inventory for [[sentenceSplit]]'s protected mode:
+    * titles, latinisms and reference words whose trailing period is
+    * (almost) never a sentence end. Stored WITHOUT the final period;
+    * interior periods ("e.g") are escaped when the alternation is
+    * built, so the same literal list interpolates into the RE2 mirror.
+    * Case-sensitive on purpose — "No." the numbering abbreviation is
+    * capitalized; a lowercase "no." ending a sentence must still
+    * split. */
+  val DefaultAbbreviations: Seq[String] = Seq(
+    "Dr", "Mr", "Mrs", "Ms", "Prof", "Sr", "Jr", "St", "No", "Fig",
+    "Eq", "vs", "etc", "al", "e.g", "i.e", "cf", "approx", "Inc", "Ltd")
+
+  def sentenceSplit(df: DataFrame, idCol: String, textCol: String,
+      abbreviations: Seq[String] = Nil): DataFrame = {
+    val base = coalesce(col(textCol), lit(""))
+    // Protected mode: rewrite "<abbrev>.<spaces>" to "<abbrev>.\u0002"
+    // BEFORE boundary marking, so the boundary regex never sees
+    // whitespace after an abbreviation period; the sentinel restores to
+    // ONE space per sentence after the split (a run of spaces after an
+    // abbreviation normalizes — deterministic and mirrored identically).
+    // Lookahead-free, so the same expression runs under RE2.
+    val guarded =
+      if (abbreviations.isEmpty) base
+      else {
+        val alt = abbreviations.map(_.replace(".", "\\.")).mkString("|")
+        regexp_replace(base, s"\\b($alt)\\.\\s+", "$1.\u0002")
+      }
+    val marked = regexp_replace(guarded, "([.!?]+)\\s+", "$1\u0001")
     // trim + drop blanks INSIDE the row, so posexplode's position IS
     // the dense 0-based sentence index — no reindex window, no shuffle
-    val sents = filter(transform(split(marked, "\u0001"), s => trim(s)),
+    val sents = filter(
+      transform(split(marked, "\u0001"),
+        s => trim(replace(s, lit("\u0002"), lit(" ")))),
       s => s =!= "")
     df.select(col(idCol), posexplode(sents).as(Seq("sent_idx", "sentence")))
       .select(col(idCol), col("sent_idx").cast("int").as("sent_idx"),

@@ -59,6 +59,46 @@ class HtmlOpsSpec extends AnyFunSuite {
     assert(got(3L)._1 == "padded\nlines")
   }
 
+  test("extractMainText keeps long link-sparse blocks, drops boilerplate") {
+    import spark.implicits._
+    val article = "This is the real article body with enough characters " +
+      "to clear the floor and it cites <a href=\"/r\">one reference</a> only."
+    val page =
+      "<html><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/b\">Blog</a> <a href=\"/c\">Contact us</a></nav>" +
+        s"<p>$article</p>" +
+        "<aside><a href=\"/1\">First related link</a> <a href=\"/2\">Second related link</a></aside>" +
+        "<footer>short footer</footer>" +
+      "</body></html>"
+    val got = HtmlOps.extractMainText(
+        Seq((1L, page), (2L, "<div><a href=\"/x\">all link soup in this whole block of text</a></div>"),
+          (3L, null.asInstanceOf[String])).toDF("id", "h"), "id", "h")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val (txt1, blocks1, kept1) = got(1L)
+    assert(blocks1 == 4L && kept1 == 1L,
+      s"nav/aside/footer must drop, article must survive: $got")
+    assert(txt1.startsWith("This is the real article body"))
+    assert(txt1.contains("one reference"), "inline anchor TEXT is content")
+    assert(!txt1.contains("Home") && !txt1.contains("related link") &&
+      !txt1.contains("short footer"))
+    // a long but fully-link block fails the density gate
+    val (txt2, blocks2, kept2) = got(2L)
+    assert(blocks2 == 1L && kept2 == 0L && txt2 == "")
+    // null input: zero blocks, empty main text
+    assert(got(3L) == (("", 0L, 0L)))
+  }
+
+  test("extractMainText decodes entities in kept blocks only at the end") {
+    import spark.implicits._
+    val got = HtmlOps.extractMainText(
+      Seq((1L, "<p>salt &amp; pepper, fish &amp;amp; chips, plus filler " +
+        "to get past the length floor</p>")).toDF("id", "h"), "id", "h")
+      .collect().head.getString(1)
+    assert(got.contains("salt & pepper"))
+    assert(got.contains("fish &amp; chips"), "&amp; must decode exactly once")
+  }
+
   test("composes with NormalizeOps and lineFilter downstream") {
     import spark.implicits._
     val html = Seq((1L,

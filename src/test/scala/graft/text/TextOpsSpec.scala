@@ -362,6 +362,31 @@ class TextOpsSpec extends AnyFunSuite {
       "empty/null docs yield no sentences")
   }
 
+  test("sentenceSplit abbreviation mode: 'Dr. Smith' stays one sentence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Dr. Smith arrived. He met Prof. Jones, e.g. at noon."),
+      (2L, "See Fig. 3 for details. No. 5 wins, etc. all around."),
+      (3L, "A hard stop. Then more."),   // no abbreviations: unchanged
+      (4L, "He said no. Then left.")     // lowercase 'no.' MUST split
+    ).toDF("doc_id", "text")
+    val got = TextOps.sentenceSplit(docs, "doc_id", "text",
+        abbreviations = TextOps.DefaultAbbreviations)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(_._3).toSeq }
+    assert(got(1L) == Seq("Dr. Smith arrived.",
+      "He met Prof. Jones, e.g. at noon."))
+    assert(got(2L) == Seq("See Fig. 3 for details.",
+      "No. 5 wins, etc. all around."))
+    assert(got(3L) == Seq("A hard stop.", "Then more."))
+    assert(got(4L) == Seq("He said no.", "Then left."))
+    // default mode is unchanged (t89's contract): 'Dr.' still splits
+    val plain = TextOps.sentenceSplit(docs.filter("doc_id = 1"),
+        "doc_id", "text")
+      .collect().map(_.getString(2)).toSeq
+    assert(plain.head == "Dr.")
+  }
+
   test("tokenBudgetSample: budget honored, one-doc overshoot, prefilter-invariant") {
     import spark.implicits._
     // 3 sources x 40 docs of 7 tokens each = 280 tokens/source
