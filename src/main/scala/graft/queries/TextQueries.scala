@@ -496,7 +496,11 @@ object TextQueries {
     // plan. The mirror re-derives every stage from the same sources.
     "t94_crawl_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val warc = graft.sources.Warc.buildWarc(docs, "doc_id", "text")
+      // the WARC build/parse/extract chain multiplies work per row, and
+      // a single-file scan arrives as 1-2 tasks — fan out first so the
+      // ingest leg uses every core (FanOut's small-file guard)
+      val warc = graft.sources.Warc.buildWarc(
+        graft.util.FanOut(docs), "doc_id", "text")
       val bench = docs.filter(col("doc_id") % 17 === 0)
         .select("doc_id", "text")
       graft.pipeline.Pipeline.crawlToShards(warc, "warc_id", "payload",

@@ -143,11 +143,21 @@ object Classifier {
     require(classes.size >= 2,
       s"need >= 2 distinct labels, got ${classes.size}")
     val feats = features(labeled, idCol, textCol, dim).localCheckpoint()
-    val models = classes.map { c =>
-      val lab = labAll.select(col(idCol),
-        (col("__cls") === c).cast("double").as("y"))
-      c -> trainLoop(feats, lab, idCol, nl, dim, iterations, lr)
-    }
+    // The k one-vs-rest problems are independent and each is a chain
+    // of SMALL jobs (labeled-set-sized aggregates + <= dim-row
+    // collects), so their driver loops run concurrently — the cluster
+    // schedules k tiny jobs at once instead of serializing k *
+    // iterations of fixed per-job latency. Results are unchanged:
+    // each loop is deterministic and touches only its own frames.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val models = Await.result(
+      Future.traverse(classes) { c => Future {
+        val lab = labAll.select(col(idCol),
+          (col("__cls") === c).cast("double").as("y"))
+        c -> trainLoop(feats, lab, idCol, nl, dim, iterations, lr)
+      }}, Duration.Inf)
     MultiClassTextModel(classes, models.toMap)
   }
 

@@ -57,7 +57,10 @@ object PipelineScale {
       }.reduce(_ unionByName _)
 
     def run(docs: DataFrame, budget: Long): Long = {
-      val warc = graft.sources.Warc.buildWarc(docs, "doc_id", "text")
+      // single-file scans arrive as 1-2 tasks; the ingest chain
+      // multiplies work per row — fan out first (t94 does the same)
+      val warc = graft.sources.Warc.buildWarc(
+        graft.util.FanOut(docs), "doc_id", "text")
       val bench = docs.filter(col("doc_id") % 17 === 0)
         .select("doc_id", "text")
       graft.pipeline.Pipeline.crawlToShards(warc, "warc_id", "payload",

@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   * interesting direction for cell caps).
   *
   * The testdata dirs are read-only by contract, so this writes to a
-  * scratch dir (default /tmp/sf1) that tools/stretch_check.sh can take
-  * as its sfDir. Usage: runMain graft.tools.Sf1Gen [outDir] [copies]
+  * scratch dir (default /tmp/sf1) that graft.Verify takes as its
+  * sfDir. Spark writes DIRECTORY-style parquet; tools/check_oracle.py
+  * (and the driver) expect one FILE per table, so flatten for the
+  * DuckDB side before the compare — in python/duckdb, per table:
+  * `COPY (SELECT ... FROM read_parquet('<dir>.parquet' + glob)) TO
+  * '<flatdir>/<table>.parquet' (FORMAT PARQUET)` (the r11 sf1 run
+  * used /tmp/sf1 -> /tmp/sf1f this way).
+  * Usage: runMain graft.tools.Sf1Gen [outDir] [copies]
   */
 object Sf1Gen {
   def main(args: Array[String]): Unit = {
