@@ -569,6 +569,78 @@ object TextQueries {
     // nav, a real article <p>, a link-sparse prose <div>, a related-
     // links <aside> and a short <footer>; only the two content blocks
     // must survive, entities decoded
+    // quality-aware near-dup survivor selection: the t14 LSH candidate
+    // chain, but each cluster keeps its member with the MOST tokens
+    // (ties: min id) instead of the min id — the "keep the complete
+    // variant, not the first-crawled one" production convention
+    "t100_near_dedup_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
+      val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2)
+        .localCheckpoint()
+      val pairs = bux.as("x").join(bux.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      TextOps.dropNearDuplicatesBy(docs, "doc_id", pairs,
+          size(TextOps.tokens(col("text"))).cast("long"))
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // near-exact dedup under the aggressive normalization key
+    // (casefold + non-alnum collapse + trim): planted variant groups —
+    // each group-of-3 leader's text prefix re-emitted verbatim,
+    // uppercased+'!!', and space/punct-padded — must collapse to one
+    // key with the leader as canonical
+    "t101_normalized_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val leaders = docs.select(col("doc_id").as("gid"),
+        substring(col("text"), 1, 80).as("base"))
+      val variants = docs.select(col("doc_id"),
+          (col("doc_id") - col("doc_id") % 3).as("gid"))
+        .join(leaders, "gid")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, col("base"))
+            .when(col("doc_id") % 3 === 1, concat(upper(col("base")), lit("!!")))
+            .otherwise(concat(lit("  "), col("base"), lit(" ..")))
+            .as("vtext"))
+      TextOps.exactDupGroupsNormalized(variants, "doc_id", "vtext")
+        .orderBy("content_key")
+    }),
+
+    // Efraimidis–Spirakis weighted sampling without replacement:
+    // exactly 20 docs per source with probability proportional to
+    // token count — key u^(1/w) on the salted id hash, micro-rounded
+    // before ranking so the oracle reproduces the exact selection
+    "t102_weighted_sample" -> ((s, dir) => {
+      TextOps.weightedSample(t(s, dir, "documents"), "doc_id", "source",
+          size(TextOps.tokens(col("text"))).cast("double"), k = 20)
+        .select("doc_id", "source", "weight", "key_micro", "rk")
+        .orderBy("source", "rk")
+    }),
+
+    // KMV cross-source content overlap: per-source k-minimum-values
+    // sketches over 3-word shingles, pairwise Jaccard estimated from
+    // the k smallest hashes of each pair's sketch union — the
+    // "mirrored dump" detector with corpus-size-independent state
+    "t103_kmv_overlap" -> ((s, dir) => {
+      val sk = TextOps.kmvSketch(t(s, dir, "documents"), "source", "text",
+        k = 256).localCheckpoint()
+      TextOps.kmvSourceOverlap(sk, "source", k = 256)
+        .orderBy("source_a", "source_b")
+    }),
+
+    // KMV per-source distinct-shingle estimate: exact below k (the
+    // sketch IS the set), else (k-1) * 2^60 / h_k
+    "t104_kmv_distinct" -> ((s, dir) => {
+      val sk = TextOps.kmvSketch(t(s, dir, "documents"), "source", "text",
+        k = 256)
+      TextOps.kmvDistinctEstimate(sk, "source", k = 256)
+        .orderBy("source")
+    }),
+
     "t99_html_main_content" -> ((s, dir) => {
       val html = concat(
         lit("<html><head><title>T</title><script>var x = 1 < 2;</script></head><body>"),
@@ -2022,7 +2094,117 @@ object TextQueries {
        ORDER BY p.doc_id"""
   }
 
+  /** Shared KMV sketch chain (t103/t104): distinct "kmv:"-salted
+    * 60-bit 3-shingle hashes per source, the 256 smallest kept. */
+  private val KMV_CTES =
+    """stk AS (SELECT source, list_filter(string_split_regex(lower(text),
+           '[^a-z0-9]+'), x -> x <> '') AS w FROM documents),
+       ssh AS (SELECT source, list_extract(w, i) || ' ' || list_extract(w, i+1)
+           || ' ' || list_extract(w, i+2) AS sh
+         FROM (SELECT source, w, unnest(generate_series(1, len(w)-2)) AS i
+               FROM stk)),
+       hs AS (SELECT DISTINCT source,
+           ('0x' || substr(md5('kmv:' || sh), 1, 15))::BIGINT AS h FROM ssh),
+       sk AS (SELECT source, h FROM (
+           SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+           FROM hs) WHERE rk <= 256)"""
+
   val oracle: Map[String, String] = Map(
+    // t14's recursive CC chain, but the cluster survivor is the
+    // max-token member (ties: min id); singletons survive untouched
+    "t100_near_dedup_best" ->
+      s"""WITH RECURSIVE mh AS ($MH_SQL),
+         buckets AS (
+           ${(0 until 4).map(b =>
+             s"SELECT doc_id, md5('b$b:' || h${2*b} || ':' || h${2*b+1}) AS bucket FROM mh")
+             .mkString(" UNION ALL ")}),
+         pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM buckets x JOIN buckets y
+           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         edges AS (SELECT a_id, b_id FROM pairs
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.a_id AS id, reach.r FROM edges e
+           JOIN reach ON reach.id = e.b_id),
+         cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         tk AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+           FROM ($TOKS_SQL)),
+         losers AS (SELECT id FROM (
+           SELECT cc.id, ROW_NUMBER() OVER (PARTITION BY cc.cluster
+             ORDER BY tk.n_tokens DESC, cc.id) AS rk
+           FROM cc JOIN tk ON tk.doc_id = cc.id) WHERE rk > 1)
+         SELECT d.doc_id, tk.n_tokens FROM documents d
+         JOIN tk ON tk.doc_id = d.doc_id
+         WHERE d.doc_id NOT IN (SELECT id FROM losers)
+         ORDER BY d.doc_id""",
+    // planted case/punct variants per group-of-3, collapsed under the
+    // casefold + non-alnum-collapse + trim md5 key
+    "t101_normalized_dedup" ->
+      """WITH L AS (SELECT doc_id AS gid, substr(text, 1, 80) AS base
+           FROM documents),
+         v AS (SELECT d.doc_id,
+             CASE WHEN d.doc_id % 3 = 0 THEN l.base
+               WHEN d.doc_id % 3 = 1 THEN upper(l.base) || '!!'
+               ELSE '  ' || l.base || ' ..' END AS vtext
+           FROM documents d JOIN L l ON l.gid = d.doc_id - d.doc_id % 3)
+         SELECT md5(trim(regexp_replace(lower(vtext), '[^a-z0-9]+', ' ', 'g')))
+             AS content_key,
+           CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS canonical_id
+         FROM v GROUP BY 1 ORDER BY content_key""",
+    // Efraimidis–Spirakis mirror: same salted uniform, same micro-unit
+    // key rounding, same (key desc, id) ranking
+    "t102_weighted_sample" -> {
+      val denom = math.pow(16.0, 15)
+      s"""WITH tk AS (SELECT doc_id, source,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS DOUBLE) AS weight
+           FROM documents),
+         k AS (SELECT doc_id, source, weight,
+           CAST(ROUND(power(
+             ('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+               / $denom, 1.0 / weight) * 1000000.0, 0) AS BIGINT) AS key_micro
+           FROM tk WHERE weight > 0),
+         r AS (SELECT doc_id, source, weight, key_micro,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY key_micro DESC, doc_id) AS INTEGER) AS rk FROM k)
+         SELECT doc_id, source, weight, key_micro, rk FROM r
+         WHERE rk <= 20 ORDER BY source, rk"""
+    },
+    // KMV pair overlap: k smallest of each pair's sketch union, the
+    // both-sides fraction is the Jaccard estimate
+    "t103_kmv_overlap" ->
+      s"""WITH $KMV_CTES,
+         srcs AS (SELECT DISTINCT source FROM sk),
+         pr AS (SELECT a.source AS source_a, b.source AS source_b
+           FROM srcs a JOIN srcs b ON a.source < b.source),
+         sides AS (
+           SELECT p.source_a, p.source_b, s.h, 'a' AS side
+           FROM pr p JOIN sk s ON s.source = p.source_a
+           UNION ALL
+           SELECT p.source_a, p.source_b, s.h, 'b' AS side
+           FROM pr p JOIN sk s ON s.source = p.source_b),
+         m AS (SELECT source_a, source_b, h, COUNT(DISTINCT side) AS ns
+           FROM sides GROUP BY 1, 2, 3),
+         u AS (SELECT source_a, source_b, ns FROM (
+           SELECT source_a, source_b, ns,
+             ROW_NUMBER() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rk
+           FROM m) WHERE rk <= 256)
+         SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS union_k,
+           CAST(SUM(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           ROUND(CAST(SUM(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS jaccard_est
+         FROM u GROUP BY 1, 2 ORDER BY source_a, source_b""",
+    // KMV distinct estimate: exact below k, else (k-1) * 2^60 / h_k
+    "t104_kmv_distinct" ->
+      s"""WITH $KMV_CTES
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+           ROUND(CASE WHEN COUNT(*) < 256 THEN COUNT(*)::DOUBLE
+             ELSE 255 * power(2.0, 60) / MAX(h)::DOUBLE END, 4) AS distinct_est
+         FROM sk GROUP BY source ORDER BY source""",
     // mirrors Media.syntheticMedia's construction rule (BMP 54-byte
     // header + 4-padded 24bpp rows; WAV 44-byte header + 16-bit mono),
     // while the Spark side PARSES the binary headers — a round trip

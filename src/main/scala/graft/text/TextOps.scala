@@ -333,6 +333,33 @@ object TextOps {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware near-dup survivor selection — the production
+    * alternative to [[dropNearDuplicates]]' min-id convention: within
+    * each connected cluster the member maximizing `score` survives
+    * (score ties: minimum id; null scores sort last). Real pipelines
+    * keep the longest or highest-classifier-score variant of a
+    * duplicated page, not the one that happened to ingest first — the
+    * canonical-by-id rule silently prefers truncated early crawls of
+    * the same page over later complete ones.
+    *
+    * Scale shape: the cluster frame is ∝ CLUSTERED docs (sparse after
+    * LSH + verify), never the corpus; scoring joins and the survivor
+    * window touch only those rows, and unclustered documents never
+    * shuffle — same cost class as [[dropNearDuplicates]] plus one
+    * cluster-partitioned window over the sparse frame. */
+  def dropNearDuplicatesBy(df: DataFrame, idCol: String, pairs: DataFrame,
+      score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("__score").desc_nulls_last, col("id").asc)
+    val losers = df.select(col(idCol).as("id"), score.as("__score"))
+      .join(nearDupClusters(pairs), "id")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     * SIGMOD 2003 — the MOSS algorithm): hash every k-word gram, slide a
     * window of `window` consecutive gram hashes, keep each window's
@@ -601,6 +628,36 @@ object TextOps {
   /** Exact dedup: keep one row (min id) per distinct content. */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keep = exactDupGroups(df, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Aggressive normalization key for near-exact dedup: casefold, every
+    * non-alphanumeric run to one space, trim — then md5. Byte-identical
+    * pages already collapse under [[exactDupGroups]]; this key also
+    * collapses the trivially-reformatted variants every crawl carries
+    * (case changes, punctuation/whitespace edits, added "!!") that are
+    * NOT worth the full MinHash machinery. Sits between exact and
+    * near dedup in the standard cascade: run it first, so the expensive
+    * shingle stages never see cheap variants. One RE2-compatible regex,
+    * mirrored verbatim by the SQL oracle. */
+  def normalizedContentKey(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")))
+
+  /** [[exactDupGroups]] under [[normalizedContentKey]]: one row per
+    * distinct normalized content — (content_key, n, canonical_id). Same
+    * min-struct hash-agg shape (map-side combined, 16-byte keys
+    * shuffle, never the text). */
+  def exactDupGroupsNormalized(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.groupBy(normalizedContentKey(col(textCol)).as("content_key"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("canonical_id"))
+
+  /** Near-exact dedup completion: keep one row (min id) per distinct
+    * NORMALIZED content. */
+  def dropExactDuplicatesNormalized(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val keep = exactDupGroupsNormalized(df, idCol, textCol)
       .select(col("canonical_id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
@@ -1244,6 +1301,46 @@ object TextOps {
       .filter(col("__n") > 0)
       .withColumn("copy", explode(sequence(lit(0), col("__n") - 1)))
       .select(df.columns.map(col) :+ col("copy"): _*)
+  }
+
+  /** Weighted sampling WITHOUT replacement, per source — the exact-size
+    * companion to [[temperatureSample]]'s rate-based (expected-size)
+    * draw: each document gets key u^(1/w) with u its salted 60-bit
+    * md5 uniform and w its weight; the k largest keys per source are a
+    * weight-proportional without-replacement sample (Efraimidis &
+    * Spirakis 2006). This is how "pick exactly N docs, biased by
+    * quality/length" is done reproducibly: no rejection loop, no
+    * global state, any subset of the corpus computes the same keys.
+    *
+    * Keys are rounded to micro-units BEFORE ranking (rounded-key desc,
+    * id asc) so an external engine reproduces the exact selection —
+    * the [[temperatureSample]] discipline; micro-key ties are real at
+    * corpus scale and the id tie-break makes them deterministic.
+    * Non-positive / null weights are excluded (zero weight = never
+    * sampled, exactly as the estimator prescribes).
+    *
+    * Scale shape: one narrow key projection, then a per-source top-k
+    * window — the same single shuffle class as [[stratifiedSample]];
+    * for sources too hot for one partition, rank within salted
+    * sub-partitions first and re-rank the k*salt survivors (the
+    * [[kmvSketch]] two-phase shape) — k rows per source survive
+    * either way. Output: input columns + (weight, key_micro, rk). */
+  def weightedSample(df: DataFrame, idCol: String, sourceCol: String,
+      weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    Seq("weight", "key_micro", "rk", "__u").foreach(c =>
+      require(!df.columns.contains(c),
+        s"column $c collides with weightedSample's output columns"))
+    val u = md5Hash60(concat(lit("wrs:"), col(idCol).cast("string")))
+      .cast("double") / math.pow(16.0, 15)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(col("key_micro").desc, col(idCol).asc)
+    df.withColumn("weight", weight.cast("double"))
+      .filter(col("weight") > 0)
+      .withColumn("key_micro",
+        round(pow(u, lit(1.0) / col("weight")) * 1e6, 0).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
   }
 
   /** Contiguous-fill sequence packing: assign each document to a fixed
@@ -2387,6 +2484,90 @@ object TextOps {
       .select(col(groupCol), col("hll_est"), col("exact_distinct"),
         round(abs(col("hll_est") - col("exact_distinct")) /
           col("exact_distinct"), 6).as("rel_err"))
+  }
+
+  /** k-minimum-values (KMV) sketch per source over distinct text
+    * shingles (Beyer et al., SIGMOD 2007): the k smallest salted
+    * 60-bit shingle hashes, kept as (source, rk, h) rows. Unlike HLL
+    * it supports SET operations — union by min-merge, and the
+    * intersection/Jaccard estimates [[kmvSourceOverlap]] derives —
+    * which makes it the sketch for the cross-source question HLL
+    * can't answer: "are two of my sources the same crawl twice?"
+    * State is k hashes per source regardless of corpus size.
+    *
+    * Scale shape: the heavy stage is the distinct (source, hash)
+    * pre-aggregate (map-side combined, ∝ corpus shingles); top-k then
+    * runs in two phases — k smallest within each of 64 salted
+    * sub-partitions, then k smallest of the ≤ 64k survivors — so one
+    * hot source never serializes through a single partition's sort. */
+  def kmvSketch(df: DataFrame, sourceCol: String, textCol: String,
+      k: Int = 256, shingleWords: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val hs = fanOut(df).select(col(sourceCol),
+        explode(shinglesOf(col(textCol), shingleWords)).as("sh"))
+      .select(col(sourceCol),
+        md5Hash60(concat(lit("kmv:"), col("sh"))).as("h"))
+      .distinct()
+    val wLocal = Window.partitionBy(col(sourceCol), pmod(col("h"), lit(64L)))
+      .orderBy(col("h").asc)
+    val wGlobal = Window.partitionBy(sourceCol).orderBy(col("h").asc)
+    hs.withColumn("__lrk", row_number().over(wLocal))
+      .filter(col("__lrk") <= k)
+      .withColumn("rk", row_number().over(wGlobal))
+      .filter(col("rk") <= k)
+      .select(col(sourceCol), col("rk"), col("h"))
+  }
+
+  /** Per-source distinct-shingle estimate from a [[kmvSketch]]: exact
+    * when the source produced fewer than k distinct hashes (the sketch
+    * IS the set), else the KMV estimator (k-1) * 2^60 / h_k with h_k
+    * the kth smallest hash. 4-dp rounded, oracle-reproducible. */
+  def kmvDistinctEstimate(sketch: DataFrame, sourceCol: String,
+      k: Int): DataFrame =
+    sketch.groupBy(sourceCol)
+      .agg(count(lit(1)).cast("long").as("n_sketch"),
+        max(col("h")).as("__hk"))
+      .select(col(sourceCol), col("n_sketch"),
+        round(when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble * math.pow(2.0, 60)) /
+            col("__hk").cast("double")), 4).as("distinct_est"))
+
+  /** Pairwise source-content overlap from [[kmvSketch]] rows: for each
+    * source pair the k smallest hashes of the sketch UNION form U_k, a
+    * uniform sample of the union, so |U_k ∩ A ∩ B| / |U_k| estimates
+    * the shingle-set Jaccard (Beyer et al. 2007) — mirrored-dump and
+    * re-crawled sources light up without any document-level pairwise
+    * work. All joins run over sketch rows (|sources| × k, corpus-size
+    * independent); the source-pair frame is tiny and broadcast. */
+  def kmvSourceOverlap(sketch: DataFrame, sourceCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = sketch.select(col(sourceCol).as("__s"), col("h"))
+    val srcs = s.select(col("__s")).distinct()
+    val pairs = srcs.select(col("__s").as("source_a"))
+      .join(srcs.select(col("__s").as("source_b")),
+        col("source_a") < col("source_b"))
+    val ha = pairs.join(s.select(col("__s").as("source_a"), col("h")),
+      Seq("source_a"))
+    val hb = pairs.join(s.select(col("__s").as("source_b"), col("h")),
+      Seq("source_b"))
+    val merged = ha.select(col("source_a"), col("source_b"), col("h"),
+        lit("a").as("__side"))
+      .union(hb.select(col("source_a"), col("source_b"), col("h"),
+        lit("b").as("__side")))
+      .groupBy("source_a", "source_b", "h")
+      .agg(countDistinct("__side").as("__ns"))
+    val w = Window.partitionBy("source_a", "source_b").orderBy(col("h").asc)
+    merged.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast("long").as("union_k"),
+        sum(when(col("__ns") === 2, 1L).otherwise(0L)).as("n_both"))
+      .select(col("source_a"), col("source_b"), col("union_k"),
+        col("n_both"),
+        round(col("n_both").cast("double") / col("union_k"), 6)
+          .as("jaccard_est"))
   }
 
   /** Snapshot diff — the data-versioning audit between two corpus

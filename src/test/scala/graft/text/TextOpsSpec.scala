@@ -960,4 +960,96 @@ class TextOpsSpec extends AnyFunSuite {
       "doc_id", "text").collect()(0)
     assert(again.getLong(6) == 0L && again.getString(7) == r.getString(7))
   }
+
+  test("dropNearDuplicatesBy keeps the best-scoring cluster member") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "short"), (2L, "a much longer body of text wins here"),
+      (5L, "mid length text"), (3L, "untouched"), (6L, "also untouched"))
+      .toDF("doc_id", "text")
+    val kept = TextOps.dropNearDuplicatesBy(docs, "doc_id",
+        pairs((1L, 2L), (2L, 5L)), size(TextOps.tokens(col("text"))))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // cluster {1,2,5}: 2 has the most tokens -> 2 survives, NOT min-id 1
+    assert(kept == Seq(2L, 3L, 6L))
+  }
+
+  test("dropNearDuplicatesBy breaks score ties by minimum id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((9L, "same len"), (7L, "same len"), (8L, "same len"))
+      .toDF("doc_id", "text")
+    val kept = TextOps.dropNearDuplicatesBy(docs, "doc_id",
+        pairs((7L, 9L), (8L, 9L)), size(TextOps.tokens(col("text"))))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(7L))
+  }
+
+  test("normalized-key dedup collapses case/punct/whitespace variants") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "  HELLO   world .."),
+      (4L, "different content")).toDF("doc_id", "text")
+    val groups = TextOps.exactDupGroupsNormalized(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((3L, 1L), (1L, 4L)))
+    val kept = TextOps.dropExactDuplicatesNormalized(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L))
+  }
+
+  test("weightedSample draws exactly k per source, excludes non-positive weights, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 50L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", if (i % 10 == 0) 0.0 else i.toDouble))
+      .toDF("doc_id", "source", "w")
+    val got = TextOps.weightedSample(docs, "doc_id", "source", col("w"), k = 5)
+    assert(got.count() == 10)
+    assert(got.groupBy("source").count().collect()
+      .map(_.getLong(1)).forall(_ == 5L))
+    assert(got.filter(col("weight") <= 0).count() == 0)
+    val again = TextOps.weightedSample(docs, "doc_id", "source", col("w"), k = 5)
+    assert(got.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("weightedSample prefers heavy weights") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // u^(1/1e6) ~ 1 for any u; u^1000 ~ 0 unless u is within 1e-5 of 1
+    val docs = ((1L to 30L).map(i => (i, "s", 0.001)) :+ ((99L, "s", 1e6)))
+      .toDF("doc_id", "source", "w")
+    val ids = TextOps.weightedSample(docs, "doc_id", "source", col("w"), k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(99L))
+  }
+
+  test("kmvSketch is exact below k and kmvDistinctEstimate reports it") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s1", "alpha beta gamma eta theta iota"))
+      .toDF("doc_id", "source", "text")
+    // 4 + 4 distinct 3-shingles with exactly "alpha beta gamma" shared -> 7
+    val sk = TextOps.kmvSketch(docs, "source", "text", k = 256)
+    assert(sk.count() == 7)
+    val est = TextOps.kmvDistinctEstimate(sk, "source", 256).collect()(0)
+    assert(est.getLong(1) == 7L && est.getDouble(2) == 7.0)
+  }
+
+  test("kmvSourceOverlap: identical sources estimate 1, disjoint 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "one two three four five six"),
+      (2L, "b", "one two three four five six"),
+      (3L, "c", "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "source", "text")
+    val sk = TextOps.kmvSketch(docs, "source", "text", k = 16)
+    val ov = TextOps.kmvSourceOverlap(sk, "source", 16).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
+    assert(ov(("a", "b")) == 1.0)
+    assert(ov(("a", "c")) == 0.0 && ov(("b", "c")) == 0.0)
+  }
 }
