@@ -569,6 +569,19 @@ object TextQueries {
     // nav, a real article <p>, a link-sparse prose <div>, a related-
     // links <aside> and a short <footer>; only the two content blocks
     // must survive, entities decoded
+    // one-permutation MinHash registers + pairwise source overlap:
+    // the register-tier (streaming-safe, min-mergeable) sibling of
+    // t103's KMV — k bucket-minima per source, match fraction over
+    // shared buckets estimates the shingle-set Jaccard
+    "t105_source_overlap_registers" -> ((s, dir) => {
+      val regs = TextOps.minhashRegisters(
+        t(s, dir, "documents").select(col("source"),
+          explode(TextOps.shinglesOf(col("text"), 3)).as("sh")),
+        "source", col("sh"), k = 128).localCheckpoint()
+      TextOps.minhashRegisterOverlap(regs, "source")
+        .orderBy("source_a", "source_b")
+    }),
+
     // quality-aware near-dup survivor selection: the t14 LSH candidate
     // chain, but each cluster keeps its member with the MOST tokens
     // (ties: min id) instead of the min id — the "keep the complete
@@ -2094,15 +2107,20 @@ object TextQueries {
        ORDER BY p.doc_id"""
   }
 
-  /** Shared KMV sketch chain (t103/t104): distinct "kmv:"-salted
-    * 60-bit 3-shingle hashes per source, the 256 smallest kept. */
-  private val KMV_CTES =
+  /** Per-source 3-shingle chain shared by the cross-source sketch
+    * mirrors (t103/t104/t105). */
+  private val SRC_SHINGLE_CTES =
     """stk AS (SELECT source, list_filter(string_split_regex(lower(text),
            '[^a-z0-9]+'), x -> x <> '') AS w FROM documents),
        ssh AS (SELECT source, list_extract(w, i) || ' ' || list_extract(w, i+1)
            || ' ' || list_extract(w, i+2) AS sh
          FROM (SELECT source, w, unnest(generate_series(1, len(w)-2)) AS i
-               FROM stk)),
+               FROM stk))"""
+
+  /** Shared KMV sketch chain (t103/t104): distinct "kmv:"-salted
+    * 60-bit 3-shingle hashes per source, the 256 smallest kept. */
+  private val KMV_CTES =
+    s"""$SRC_SHINGLE_CTES,
        hs AS (SELECT DISTINCT source,
            ('0x' || substr(md5('kmv:' || sh), 1, 15))::BIGINT AS h FROM ssh),
        sk AS (SELECT source, h FROM (
@@ -2198,6 +2216,23 @@ object TextQueries {
            ROUND(CAST(SUM(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 6) AS jaccard_est
          FROM u GROUP BY 1, 2 ORDER BY source_a, source_b""",
+    // one-permutation MinHash registers: per-source per-bucket MIN of
+    // the "mhr:"-salted shingle hash (no distinct — min is
+    // dup-insensitive), pairwise match fraction over shared buckets
+    "t105_source_overlap_registers" ->
+      s"""WITH $SRC_SHINGLE_CTES,
+         rh AS (SELECT source,
+             ('0x' || substr(md5('mhr:' || sh), 1, 15))::BIGINT AS h FROM ssh),
+         regs AS (SELECT source, h % 128 AS bucket, MIN(h) AS min_h
+           FROM rh GROUP BY 1, 2),
+         j AS (SELECT a.source AS source_a, b.source AS source_b,
+             CASE WHEN a.min_h = b.min_h THEN 1 ELSE 0 END AS mt
+           FROM regs a JOIN regs b
+           ON a.bucket = b.bucket AND a.source < b.source)
+         SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(mt) AS BIGINT) AS n_match,
+           ROUND(CAST(SUM(mt) AS DOUBLE) / COUNT(*), 6) AS jaccard_est
+         FROM j GROUP BY 1, 2 ORDER BY source_a, source_b""",
     // KMV distinct estimate: exact below k, else (k-1) * 2^60 / h_k
     "t104_kmv_distinct" ->
       s"""WITH $KMV_CTES

@@ -297,4 +297,21 @@ object DocStreams {
     TextOps.hllRegisters(canon.select(col(sourceCol), col("domain")),
       sourceCol, col("domain"), p, dedupTerms = false)
   }
+
+  /** Cross-source content-overlap monitoring on a live ingest stream —
+    * the streaming twin of t105's batch composition: 3-word shingles
+    * into per-source one-permutation MinHash registers
+    * ([[TextOps.minhashRegisters]] — min is duplicate-insensitive, so
+    * the whole thing is ONE complete-mode aggregate with state bounded
+    * at |sources| × k rows; the shingle explode ahead of it is
+    * stateless). Feed the output to
+    * [[TextOps.minhashRegisterOverlap]] for the pairwise Jaccard
+    * estimates — "did source X start mirroring source Y mid-stream?";
+    * the spec asserts stream == batch register parity bit-for-bit. */
+  def sourceOverlapRegisters(docs: DataFrame, textCol: String,
+      sourceCol: String, k: Int = 128): DataFrame =
+    TextOps.minhashRegisters(
+      docs.select(col(sourceCol),
+        explode(TextOps.shinglesOf(col(textCol), 3)).as("__sh")),
+      sourceCol, col("__sh"), k)
 }

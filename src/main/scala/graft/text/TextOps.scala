@@ -2570,6 +2570,61 @@ object TextOps {
           .as("jaccard_est"))
   }
 
+  /** One-permutation-hashing MinHash registers (Li, Owen & Zhang,
+    * NIPS 2012) per group: the hash space splits into k buckets
+    * (h mod k) and each keeps its MINIMUM — a k-register MinHash
+    * signature of the group's term set as a plain (group, bucket,
+    * min_h) table. min is duplicate-insensitive, so this is ONE
+    * complete-mode-legal aggregate exactly like [[hllRegisters]]'s
+    * max(rho) — the register-tier sketch that, unlike HLL, supports
+    * cross-group SIMILARITY ([[minhashRegisterOverlap]]) while
+    * staying streaming-safe and min-mergeable
+    * ([[minhashRegisterMerge]]); [[kmvSketch]] stays the batch tool
+    * when set-size estimates are also wanted. State: ≤ |groups| × k
+    * rows regardless of stream length. */
+  def minhashRegisters(df: DataFrame, groupCol: String, termCol: Column,
+      k: Int = 128): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(col(groupCol),
+        md5Hash60(concat(lit("mhr:"), termCol)).as("__h"))
+      .groupBy(col(groupCol), pmod(col("__h"), lit(k.toLong)).as("bucket"))
+      .agg(min("__h").as("min_h"))
+  }
+
+  /** Merge independently-built MinHash register frames (same group
+    * column and k): per-bucket min — the min over a union of term
+    * sets, recovered exactly, shard by shard. */
+  def minhashRegisterMerge(regs: DataFrame*): DataFrame = {
+    val all = regs.reduce(_ unionByName _)
+    val groupCol = all.columns(0)
+    all.groupBy(col(groupCol), col("bucket")).agg(min("min_h").as("min_h"))
+  }
+
+  /** Pairwise group similarity from [[minhashRegisters]]: the fraction
+    * of shared buckets whose minima AGREE estimates the term-set
+    * Jaccard (the MinHash property, one register per permutation
+    * bucket). Reported over the buckets both groups populated
+    * (n_buckets) — the OPH empty-bin caveat: groups with far fewer
+    * than k distinct terms leave bins empty and the estimate coarsens;
+    * at corpus scale every source fills all k. Joins touch register
+    * rows only (≤ |groups| × k — corpus-size independent). */
+  def minhashRegisterOverlap(regs: DataFrame, groupCol: String): DataFrame = {
+    val a = regs.select(col(groupCol).as("source_a"), col("bucket"),
+      col("min_h").as("__ha"))
+    val b = regs.select(col(groupCol).as("source_b"), col("bucket"),
+      col("min_h").as("__hb"))
+    a.join(b, "bucket")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum(when(col("__ha") === col("__hb"), 1L).otherwise(0L))
+          .as("n_match"))
+      .select(col("source_a"), col("source_b"), col("n_buckets"),
+        col("n_match"),
+        round(col("n_match").cast("double") / col("n_buckets"), 6)
+          .as("jaccard_est"))
+  }
+
   /** Snapshot diff — the data-versioning audit between two corpus
     * snapshots: per id, `added` / `removed` / `changed` / `unchanged`
     * by content hash. One id-keyed full outer join of two (id, md5)

@@ -442,6 +442,34 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("streaming MinHash overlap registers equal the batch sketch") {
+    // min per (source, bucket) is duplicate-insensitive, so the
+    // stream twin is ONE complete-mode aggregate landing on the
+    // IDENTICAL register table — and the pairwise overlap estimates
+    // derived from the streamed registers are bit-identical too.
+    val schema = docsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = DocStreams.sourceOverlapRegisters(stream, "text", "source",
+        k = 64)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("mhr_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // localCheckpoint: the memory-sink view can't self-join (MemoryPlan
+    // lacks MultiInstanceRelation), and minhashRegisterOverlap is a
+    // self-join; the checkpointed LogicalRDD dedups fine
+    val streamed = spark.table("mhr_stream").localCheckpoint()
+    val batch = DocStreams.sourceOverlapRegisters(docsBatch, "text",
+      "source", k = 64)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    val a = TextOps.minhashRegisterOverlap(streamed, "source").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    val b = TextOps.minhashRegisterOverlap(batch, "source").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(a == b && a.nonEmpty)
+  }
+
   test("streaming HLL registers equal the batch sketch") {
     // max(rho) is duplicate-insensitive, so the stream twin skips the
     // batch path's distinct (dedupTerms = false) and still lands on

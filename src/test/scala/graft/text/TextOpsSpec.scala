@@ -1039,6 +1039,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(est.getLong(1) == 7L && est.getDouble(2) == 7.0)
   }
 
+  test("minhashRegisterOverlap: identical sources estimate 1, disjoint 0; shards min-merge exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a", "one two three four five six"),
+      (2L, "b", "one two three four five six"),
+      (3L, "c", "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "source", "text")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      TextOps.minhashRegisters(
+        df.select(col("source"),
+          explode(TextOps.shinglesOf(col("text"), 3)).as("sh")),
+        "source", col("sh"), k = 32)
+    val r = regs(docs)
+    val ov = TextOps.minhashRegisterOverlap(r, "source").collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getDouble(4))).toMap
+    assert(ov(("a", "b")) == 1.0)
+    assert(ov(("a", "c")) == 0.0 && ov(("b", "c")) == 0.0)
+    // two shards min-merge to exactly the whole-corpus registers
+    val merged = TextOps.minhashRegisterMerge(
+      regs(docs.filter(col("doc_id") <= 1)),
+      regs(docs.filter(col("doc_id") >= 2)))
+    assert(merged.exceptAll(r).count() == 0)
+    assert(r.exceptAll(merged).count() == 0)
+  }
+
   test("kmvSourceOverlap: identical sources estimate 1, disjoint 0") {
     import spark.implicits._
     val docs = Seq(
