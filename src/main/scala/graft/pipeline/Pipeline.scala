@@ -58,7 +58,8 @@ object Pipeline {
       minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
       maxTopWordFrac: Double = 0.12, keepLangs: Seq[String] = Seq("en"),
       decontamShingle: Int = 13, budgetTokens: Long = 600,
-      packBudget: Int = 512, testFrac: Double = 0.2): DataFrame = {
+      packBudget: Int = 512, testFrac: Double = 0.2,
+      scrubPii: Boolean = false): DataFrame = {
     // id-scale barrier #1: the curation survivor ids. curateCorpus's
     // own internal barriers already protect its LSH lineage; this one
     // stops decontaminate/budget/split from re-running curation.
@@ -66,7 +67,18 @@ object Pipeline {
         corpus.select(col(idCol), col(textCol)), idCol, textCol,
         minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
       .select(col(idCol)).localCheckpoint()
-    val curated = corpus.join(curatedIds, Seq(idCol), "left_semi")
+    val curatedRaw = corpus.join(curatedIds, Seq(idCol), "left_semi")
+    // Optional PII hygiene on the survivors — scrub-LATE (after dedup,
+    // before anything token-counting), the order real pipelines use so
+    // masks never break dedup buckets: every downstream token count
+    // (decontamination shingles, budget, packing, split signatures)
+    // sees the MASKED text. A pure narrow regex cascade on the
+    // already-curated rows — no new shuffle, no new barrier.
+    val curated =
+      if (!scrubPii) curatedRaw
+      else TextOps.piiScrub(curatedRaw, idCol, textCol)
+        .select(col(idCol), col("clean_text").as(textCol))
+        .join(curatedRaw.select(col(idCol), col(sourceCol)), Seq(idCol))
     // decontaminate returns the FLAGGED docs; the pipeline drops them
     // (fail closed: any benchmark shingle overlap removes the doc)
     val flagged = TextOps.decontaminate(curated, bench, idCol, textCol,
@@ -101,7 +113,8 @@ object Pipeline {
       minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
       maxTopWordFrac: Double = 0.12, keepLangs: Seq[String] = Seq("en"),
       decontamShingle: Int = 13, budgetTokens: Long = 600,
-      packBudget: Int = 512, testFrac: Double = 0.2): DataFrame = {
+      packBudget: Int = 512, testFrac: Double = 0.2,
+      scrubPii: Boolean = false): DataFrame = {
     // Materialize the EXTRACTED corpus once — the in-process stand-in
     // for the parquet write every real crawl pipeline does between
     // ingest and curation. Without it, each downstream consumer
@@ -117,6 +130,6 @@ object Pipeline {
       .localCheckpoint()
     corpusToShards(corpus, bench, idCol, textCol, sourceCol, minJaccard,
       minTokens, maxTokens, maxTopWordFrac, keepLangs, decontamShingle,
-      budgetTokens, packBudget, testFrac)
+      budgetTokens, packBudget, testFrac, scrubPii)
   }
 }

@@ -494,6 +494,32 @@ object TextQueries {
     // -> per-source token-budget mixture (t86) -> contiguous
     // -fill packing (t24) -> leak-safe train/test split (t53), as ONE
     // plan. The mirror re-derives every stage from the same sources.
+    // the t94 composition with PII hygiene ON: every 5th doc carries a
+    // planted email/IP/long-digit-run suffix; crawlToShards(scrubPii =
+    // true) masks the curated survivors scrub-LATE (after dedup, before
+    // token counting), so decontamination shingles, budget tokens,
+    // packing and split signatures all see the masked text — the full
+    // production stage order, observable because the masks change
+    // token counts
+    "t106_crawl_pipeline_pii" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact bob"), col("doc_id").cast("string"),
+              lit("@mail.example.com or 10.0.0.1 ref 123456789012")))
+            .otherwise(lit(""))).as("text"),
+        col("source"))
+      val warc = graft.sources.Warc.buildWarc(
+        graft.util.FanOut(planted), "doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+        .select("doc_id", "text")
+      graft.pipeline.Pipeline.crawlToShards(warc, "warc_id", "payload",
+          planted.select("doc_id", "source"), bench, idCol = "doc_id",
+          scrubPii = true)
+        .orderBy("doc_id")
+    }),
+
     "t94_crawl_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // the WARC build/parse/extract chain multiplies work per row, and
@@ -1970,7 +1996,19 @@ object TextQueries {
     * (t22's names); the split pass suffixes 2 (mh2/../cc2) because the
     * leak-safe clustering runs on the BUDGET SURVIVORS, a different
     * minhash population than the curation pass. */
-  private lazy val crawlPipelineSql: String = {
+  private lazy val crawlPipelineSql: String =
+    crawlPipelineSqlImpl(plantPii = false)
+  private lazy val crawlPipelinePiiSql: String =
+    crawlPipelineSqlImpl(plantPii = true)
+
+  /** t94 / t106 mirror builder. With `plantPii` the h0 CTE appends the
+    * same PII suffix the t106 Spark query plants (every 5th doc), and a
+    * scrub cascade (t25's exact patterns) rewrites the CURATED
+    * survivors' text before everything token-counting — mirroring
+    * Pipeline.corpusToShards(scrubPii = true)'s scrub-late order:
+    * curation gates still read raw text, decontamination shingles /
+    * budget tokens / packing / split signatures read masked text. */
+  private def crawlPipelineSqlImpl(plantPii: Boolean): String = {
     def sq(s: String) = s.replace("'", "''")
     def cascade(stages: Seq[(String, String, String)],
         prefix: String): String =
@@ -1990,8 +2028,31 @@ object TextQueries {
     val (rs, pred) = langIdSqlParts
     val denom16 = math.pow(16.0, 15)
     val denom2 = math.pow(2.0, 60)
+    val plant = if (!plantPii) "" else
+      """ || CASE WHEN doc_id % 5 = 0 THEN ' contact bob' ||
+         CAST(doc_id AS VARCHAR) ||
+         '@mail.example.com or 10.0.0.1 ref 123456789012'
+         ELSE '' END"""
+    // scrub-late: the curated survivors' text is masked (t25's exact
+    // patterns) and every downstream token consumer reads the masked
+    // frames (tq2/mhs) instead of the raw ones (tq/mh)
+    val tqx = if (plantPii) "tq2" else "tq"
+    val mhx = if (plantPii) "mhs" else "mh"
+    val scrub = if (!plantPii) "" else {
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ip = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+      val digits = """\b[0-9]{9,}\b"""
+      s"""scr AS MATERIALIZED (SELECT c.doc_id,
+           regexp_replace(regexp_replace(regexp_replace(c.text,
+             '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+             '$digits', '<NUM>', 'g') AS text
+         FROM crawl c WHERE c.doc_id IN (SELECT doc_id FROM cur)),
+       tq2 AS MATERIALIZED (${TOKS_SQL.replace("FROM documents", "FROM scr")}),
+       mhs AS MATERIALIZED (${MH_SQL.replace("FROM documents", "FROM scr")}),
+       """
+    }
     s"""WITH RECURSIVE h0 AS (SELECT doc_id,
-         '<html><body>' || text || '</body></html>' AS t FROM documents),
+         '<html><body>' || text$plant || '</body></html>' AS t FROM documents),
        ${cascade(hs, "h")},
        n0 AS (SELECT doc_id, trim(t) AS t FROM h${hs.length}),
        ${cascade(ns, "n")},
@@ -2046,12 +2107,12 @@ object TextQueries {
            AND lang.lang_pred = 'en'
            AND wf.n BETWEEN 20 AND 80
            AND ROUND(CAST(wf.mx AS DOUBLE) / wf.n, 6) <= 0.12),
-       bsh AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS sh
+       ${scrub}bsh AS (SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS sh
          FROM (SELECT doc_id, w FROM ($TOKS_SQL) WHERE doc_id % 17 = 0),
            UNNEST(generate_series(1, len(w) - 12)) AS u(i)),
        cursh AS (SELECT DISTINCT doc_id,
            array_to_string(w[i:i+12], ' ') AS sh
-         FROM tq, UNNEST(generate_series(1, len(w) - 12)) AS u(i)
+         FROM $tqx, UNNEST(generate_series(1, len(w) - 12)) AS u(i)
          WHERE doc_id IN (SELECT doc_id FROM cur)),
        contam AS (SELECT DISTINCT doc_id FROM cursh
          JOIN bsh USING (sh)),
@@ -2060,7 +2121,7 @@ object TextQueries {
          WHERE cur.doc_id NOT IN (SELECT doc_id FROM contam)),
        ctk AS (SELECT c.doc_id, c.source,
            CAST(len(t.w) AS BIGINT) AS n_tokens
-         FROM clean c JOIN tq t USING (doc_id)),
+         FROM clean c JOIN $tqx t USING (doc_id)),
        hh AS (SELECT *,
            ('0x' || substr(md5('tb:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS uu
          FROM ctk),
@@ -2081,7 +2142,7 @@ object TextQueries {
            CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source
              ORDER BY doc_id) - n_tokens) / 512.0::DOUBLE) AS BIGINT) AS bin
          FROM kept),
-       mh2 AS (SELECT * FROM mh
+       mh2 AS (SELECT * FROM $mhx
          WHERE doc_id IN (SELECT doc_id FROM kept)),
        buckets2 AS (${bands("mh2")}),
        pairs2 AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
@@ -3354,6 +3415,7 @@ object TextQueries {
     // are MATERIALIZED (the r10 semdedup lesson: DuckDB re-inlines
     // otherwise and the oracle budget blows up).
     "t94_crawl_pipeline" -> crawlPipelineSql,
+    "t106_crawl_pipeline_pii" -> crawlPipelinePiiSql,
 
     "t90_crawl_corpus" -> {
       def sq(s: String) = s.replace("'", "''")

@@ -97,6 +97,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.values.toSet.subsetOf(Set("train", "test")))
   }
 
+  test("scrubPii masks survivors scrub-late: token counts shrink, gates unchanged") {
+    // plant an email + IP + long digit run on doc 10: raw tokens =
+    // contact,bob10,mail,example,com,or,10,0,0,1,ref,123456789012 (12);
+    // masked <EMAIL>/<IP>/<NUM> tokens = contact,email,or,ip,ref,num (6)
+    val pii = " contact bob10@mail.example.com or 10.0.0.1 ref 123456789012"
+    val planted = corpus.select(col("doc_id"),
+      when(col("doc_id") === 10L, concat(col("text"), lit(pii)))
+        .otherwise(col("text")).as("text"),
+      col("source"))
+    val raw = Pipeline.corpusToShards(planted, bench, "doc_id", "text",
+      "source", budgetTokens = 10000)
+    val scrubbed = Pipeline.corpusToShards(planted, bench, "doc_id",
+      "text", "source", budgetTokens = 10000, scrubPii = true)
+    // same survivor set (curation gates read RAW text in both runs)
+    assert(raw.select("doc_id").as[Long].collect().toSet ==
+      scrubbed.select("doc_id").as[Long].collect().toSet)
+    def tok(df: DataFrame, id: Long): Long =
+      df.filter(col("doc_id") === id).select("n_tokens").as[Long].head()
+    // doc 10's masked text counts 6 fewer tokens (12 PII -> 6 masks)
+    assert(tok(raw, 10L) - tok(scrubbed, 10L) == 6L,
+      s"raw=${tok(raw, 10L)} scrubbed=${tok(scrubbed, 10L)}")
+    // an unplanted doc is untouched
+    assert(tok(raw, 11L) == tok(scrubbed, 11L))
+  }
+
   test("token budget caps each source") {
     val tight = Pipeline.corpusToShards(corpus, bench, "doc_id", "text",
       "source", budgetTokens = 120)
