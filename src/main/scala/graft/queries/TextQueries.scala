@@ -502,7 +502,11 @@ object TextQueries {
     // production stage order, observable because the masks change
     // token counts
     "t106_crawl_pipeline_pii" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // half corpus: t94 already carries the full-corpus composition in
+      // the bench; this variant pins the PII stage order, and its scale
+      // behavior is t94's (the scrub is a narrow cascade — see
+      // PipelineScale for the measured full-chain curve)
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
       val planted = docs.select(col("doc_id"),
         concat(col("text"),
           when(col("doc_id") % 5 === 0,
@@ -512,7 +516,7 @@ object TextQueries {
         col("source"))
       val warc = graft.sources.Warc.buildWarc(
         graft.util.FanOut(planted), "doc_id", "text")
-      val bench = docs.filter(col("doc_id") % 17 === 0)
+      val bench = t(s, dir, "documents").filter(col("doc_id") % 17 === 0)
         .select("doc_id", "text")
       graft.pipeline.Pipeline.crawlToShards(warc, "warc_id", "payload",
           planted.select("doc_id", "source"), bench, idCol = "doc_id",
@@ -2033,6 +2037,9 @@ object TextQueries {
          CAST(doc_id AS VARCHAR) ||
          '@mail.example.com or 10.0.0.1 ref 123456789012'
          ELSE '' END"""
+    // the pii variant runs on the half corpus (t94 carries the full one)
+    val corpusSrc = if (plantPii) "FROM documents WHERE doc_id % 2 = 0"
+      else "FROM documents"
     // scrub-late: the curated survivors' text is masked (t25's exact
     // patterns) and every downstream token consumer reads the masked
     // frames (tq2/mhs) instead of the raw ones (tq/mh)
@@ -2052,7 +2059,7 @@ object TextQueries {
        """
     }
     s"""WITH RECURSIVE h0 AS (SELECT doc_id,
-         '<html><body>' || text$plant || '</body></html>' AS t FROM documents),
+         '<html><body>' || text$plant || '</body></html>' AS t $corpusSrc),
        ${cascade(hs, "h")},
        n0 AS (SELECT doc_id, trim(t) AS t FROM h${hs.length}),
        ${cascade(ns, "n")},
