@@ -33,7 +33,7 @@ object Classifier {
     * "qc:"-salted 60-bit md5 of the bigram mod dim — the hashing-trick
     * feature map, mirrored exactly in SQL. Documents with < 2 tokens
     * produce no rows (their margin is the bias alone). */
-  private def features(df: DataFrame, idCol: String, textCol: String,
+  private[text] def features(df: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
     val sh = TextOps.explodedShingles(df, idCol, textCol, 2)
     val bucket = pmod(TextOps.md5Hash60(concat(lit("qc:"), col("sh"))),
@@ -76,14 +76,43 @@ object Classifier {
     trainLoop(feats, lab, idCol, nl, dim, iterations, lr)
   }
 
+  /** ROUND(x, 0) with the same SQL HALF_UP semantics as [[round6]] —
+    * the micro-unit row rounding of the distributed loop, replicated
+    * for the driver fast path. */
+  private def round0(x: Double): Long =
+    JBigDecimal.valueOf(x).setScale(0, RoundingMode.HALF_UP).longValue()
+
   /** The shared full-batch GD loop over an already-materialized
     * (feats, lab) pair — [[trainTextClassifier]] prepares both for one
     * binary problem; [[trainMultiClassClassifier]] reuses ONE feature
-    * pass across all k one-vs-rest problems. */
-  private def trainLoop(feats: DataFrame, lab: DataFrame, idCol: String,
-      nl: Long, dim: Int, iterations: Int, lr: Double): TextClassifierModel = {
+    * pass across all k one-vs-rest problems.
+    *
+    * Scale-adaptive fast path (the [[TextOps.nearDupClusters]]
+    * `maxLocalEdges` contract class): the labeled set is small by
+    * nature, so its feature table (≤ labeled docs × dim rows) is
+    * usually collect-safe — below `maxLocalRows` the ENTIRE
+    * fixed-iteration loop runs on the driver over ONE collect,
+    * collapsing iterations × 3 tiny Spark jobs into plain Scala. Every
+    * cross-row sum in the loop is an integer micro-unit Long (order-
+    * independent) and every rounding is the same SQL HALF_UP, so the
+    * two paths produce BIT-IDENTICAL models (spec-pinned, like the
+    * distributed==driver BPE equality). Above the bound — a labeled
+    * set that outgrows the driver — the distributed loop runs
+    * unchanged. */
+  private[text] def trainLoop(feats: DataFrame, lab: DataFrame, idCol: String,
+      nl: Long, dim: Int, iterations: Int, lr: Double,
+      maxLocalRows: Long = 1L << 20): TextClassifierModel = {
     val spark = feats.sparkSession
     import spark.implicits._
+    if (feats.count() <= maxLocalRows) {
+      // ids key only grouping/lookup here, so the string cast is a
+      // safe universal key (feats and lab ids come from the same frame)
+      val fr = feats.select(col(idCol).cast("string"), col("bucket"),
+        col("cnt"), col("n")).as[(String, Int, Long, Long)].collect()
+      val ys = lab.select(col(idCol).cast("string"), col("y"))
+        .as[(String, Double)].collect()
+      return trainLoopLocal(fr, ys, nl, dim, iterations, lr)
+    }
     val buckets = feats.select("bucket").distinct().as[Int].collect().sorted
     var w: Map[Int, Double] = buckets.map(_ -> 0.0).toMap
     var b = 0.0
@@ -105,6 +134,45 @@ object Classifier {
         .agg(sum(round(col("rm") / lit(1e6) * col("cnt") / col("n") * lit(1e6), 0)
           .cast("long")).as("gm"))
         .as[(Int, Long)].collect().toMap
+      b = round6(b - lr * (gb / 1e6) / nl)
+      w = w.map { case (k, v) =>
+        k -> round6(v - lr * (g.getOrElse(k, 0L) / 1e6) / nl)
+      }
+    }
+    TextClassifierModel(w, b, dim)
+  }
+
+  /** Driver-side twin of the distributed loop body: identical
+    * expression shapes (same operand association), identical HALF_UP
+    * roundings, Long sums throughout — any drift is a bug the equality
+    * spec catches. */
+  private def trainLoopLocal(fr: Array[(String, Int, Long, Long)],
+      ys: Array[(String, Double)], nl: Long, dim: Int, iterations: Int,
+      lr: Double): TextClassifierModel = {
+    val buckets = fr.map(_._2).distinct.sorted
+    var w: Map[Int, Double] = buckets.map(_ -> 0.0).toMap
+    var b = 0.0
+    val byDoc: Map[String, Array[(Int, Long, Long)]] =
+      fr.groupBy(_._1).map { case (k, v) =>
+        k -> v.map(t => (t._2, t._3, t._4)) }
+    (0 until iterations).foreach { _ =>
+      val mm: Map[String, Long] = byDoc.map { case (id, rows) =>
+        id -> rows.map { case (bk, cnt, n) =>
+          round0(w(bk) * cnt / n * 1e6) }.sum
+      }
+      val rm: Array[(String, Long)] = ys.map { case (id, y) =>
+        val sig = round6(1.0 / (1.0 +
+          math.exp(-(b + mm.getOrElse(id, 0L) / 1e6))))
+        id -> round0((sig - y) * 1e6)
+      }
+      val rmMap = rm.toMap
+      val gb = rm.map(_._2).sum
+      val g = scala.collection.mutable.HashMap.empty[Int, Long]
+      fr.foreach { case (id, bk, cnt, n) =>
+        rmMap.get(id).foreach { r =>
+          g(bk) = g.getOrElse(bk, 0L) + round0(r / 1e6 * cnt / n * 1e6)
+        }
+      }
       b = round6(b - lr * (gb / 1e6) / nl)
       w = w.map { case (k, v) =>
         k -> round6(v - lr * (g.getOrElse(k, 0L) / 1e6) / nl)

@@ -42,6 +42,21 @@ class ClassifierSpec extends AnyFunSuite {
     assert(m1.weights.nonEmpty && m1.weights.size <= 256)
   }
 
+  test("driver fast-path model is bit-identical to the distributed loop") {
+    import spark.implicits._
+    val docs = corpus
+    val lab = docs.select(col("doc_id"), col("y")).localCheckpoint()
+    val nl = lab.count()
+    val feats = Classifier.features(docs, "doc_id", "text", 256)
+      .localCheckpoint()
+    val local = Classifier.trainLoop(feats, lab, "doc_id", nl, 256, 8, 2.0,
+      maxLocalRows = Long.MaxValue)
+    val dist = Classifier.trainLoop(feats, lab, "doc_id", nl, 256, 8, 2.0,
+      maxLocalRows = 0L)
+    assert(local == dist)
+    assert(local.weights.nonEmpty)
+  }
+
   test("featureless documents score at the bias; scoring covers all rows") {
     import spark.implicits._
     val docs = corpus
