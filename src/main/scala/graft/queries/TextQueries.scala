@@ -612,6 +612,40 @@ object TextQueries {
         .orderBy("source_a", "source_b")
     }),
 
+    // frequency-threshold boilerplate removal (the Dolma/CCNet rule
+    // dedupParagraphs is not): EVERY copy of a segment in > 30% of its
+    // source's docs dies. Planted per doc: a per-source nav bar (100%
+    // -> removed), a ~17% pool paragraph (kept), a ~50% promo banner
+    // (removed), a unique line (kept). g = doc index WITHIN its source
+    // (ids are source-interleaved, so plain doc_id % k is constant
+    // per source and useless for in-source frequency control)
+    "t107_boilerplate_removal" -> ((s, dir) => {
+      val id = col("doc_id")
+      val g = ((id - id % 20) / 20).cast("long")
+      val pool = array(ParagraphPool.map(lit): _*)
+      val ptext = concat_ws("\n\n",
+        concat(lit("nav menu for "), col("source")),
+        element_at(pool, (g % 6 + 1).cast("int")),
+        concat(lit("promo banner "), (g % 2).cast("string")),
+        concat(lit("doc "), id.cast("string"), lit(" unique notes")))
+      val docs = t(s, dir, "documents")
+        .select(id, col("source"), ptext.as("ptext"))
+      TextOps.removeBoilerplateSegments(docs, "doc_id", "source", "ptext",
+          maxDocFrac = 0.3, minDocFreq = 2)
+        .orderBy("doc_id")
+    }),
+
+    // water-filling mixture solver: 15k-token budget split by source
+    // weight (1..4 from the source suffix); supply-capped sources
+    // saturate, their slack re-flows to the rest — the rates column
+    // is mixtureSample's input
+    "t108_mixture_allocate" -> ((s, dir) => {
+      TextOps.mixtureAllocate(t(s, dir, "documents"), "source", "text",
+          substring(col("source"), 4, 10).cast("int") % 4 + 1,
+          budgetTokens = 15000L)
+        .orderBy("source")
+    }),
+
     // quality-aware near-dup survivor selection: the t14 LSH candidate
     // chain, but each cluster keeps its member with the MOST tokens
     // (ties: min id) instead of the min id — the "keep the complete
@@ -1752,6 +1786,94 @@ object TextQueries {
        FROM m GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** t107 mirror: same synthetic segment structure (g = within-source
+    * doc index), same per-(source, segment) document-frequency rule —
+    * every copy of a segment in > 30% (and >= 2 docs) of its source
+    * dies, survivors reassemble in position order. */
+  private val BOILERPLATE_SQL: String = {
+    val pool = ParagraphPool.map(p => s"'$p'").mkString("[", ", ", "]")
+    val sep = "chr(10) || chr(10)"
+    s"""WITH src AS (SELECT doc_id, source,
+           CAST((doc_id - doc_id % 20) / 20 AS BIGINT) AS g FROM documents),
+       src2 AS (SELECT doc_id, source,
+           'nav menu for ' || source || $sep ||
+           ($pool)[CAST(g % 6 AS INT) + 1] || $sep ||
+           'promo banner ' || CAST(g % 2 AS VARCHAR) || $sep ||
+           'doc ' || doc_id || ' unique notes' AS ptext
+         FROM src),
+       d AS (SELECT doc_id, source, string_split(ptext, $sep) AS l FROM src2),
+       p0 AS (SELECT doc_id, source, CAST(unnest(range(len(l))) AS BIGINT)
+                AS pos, l FROM d),
+       p AS (SELECT doc_id, source, pos,
+               trim(l[CAST(pos AS INT) + 1]) AS par
+             FROM p0 WHERE trim(l[CAST(pos AS INT) + 1]) <> ''),
+       gd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS gdocs
+              FROM src GROUP BY source),
+       f AS (SELECT source, par, CAST(COUNT(*) AS BIGINT) AS dfreq
+             FROM (SELECT DISTINCT source, par, doc_id FROM p)
+             GROUP BY source, par),
+       hot AS (SELECT f.source, f.par FROM f JOIN gd ON f.source = gd.source
+               WHERE f.dfreq >= 2 AND f.dfreq > 0.3 * gd.gdocs),
+       m AS (SELECT p.doc_id, p.source, p.pos, p.par,
+               hot.par IS NULL AS kept
+             FROM p LEFT JOIN hot
+               ON p.source = hot.source AND p.par = hot.par)
+       SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_seg,
+         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         COALESCE(string_agg(CASE WHEN kept THEN par END, $sep ORDER BY pos),
+           '') AS clean_text
+       FROM m GROUP BY doc_id, source ORDER BY doc_id"""
+  }
+
+  /** t108 mirror: the same integer-cumulative water-filling chain —
+    * micro-unit weights, 6-dp HALF_UP divisions, prefix sums ordered
+    * by (ratio, source) — so the saturation marks and allocations are
+    * bit-identical. */
+  private val MIXTURE_ALLOCATE_SQL: String =
+    s"""WITH tk AS (SELECT source,
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS n FROM documents),
+       s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS avail_tokens,
+           ROUND(CAST((CAST(substr(source, 4, 10) AS INT) % 4) + 1
+             AS DOUBLE), 6) AS weight
+         FROM tk GROUP BY source),
+       m AS (SELECT *, CAST(ROUND(weight * 1000000.0, 0) AS BIGINT)
+             AS wmicro,
+           ROUND(CAST(avail_tokens AS DOUBLE) / weight, 6) AS ratio
+         FROM s WHERE weight > 0),
+       c AS (SELECT *,
+           COALESCE(SUM(avail_tokens) OVER (ORDER BY ratio, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cavail,
+           COALESCE(SUM(wmicro) OVER (ORDER BY ratio, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cw,
+           SUM(wmicro) OVER () AS wtot
+         FROM m),
+       sat AS (SELECT *, ratio <= ROUND((15000.0 - CAST(cavail AS DOUBLE))
+             / (CAST(wtot - cw AS DOUBLE) / 1000000.0), 6) AS saturated
+         FROM c),
+       lvl AS (SELECT *,
+           COALESCE(SUM(CASE WHEN saturated THEN avail_tokens END)
+             OVER (), 0) AS sata,
+           COALESCE(SUM(CASE WHEN saturated THEN wmicro END) OVER (), 0)
+             AS satw
+         FROM sat),
+       fin AS (SELECT *, CASE WHEN wtot > satw THEN
+             ROUND((15000.0 - CAST(sata AS DOUBLE))
+               / (CAST(wtot - satw AS DOUBLE) / 1000000.0), 6)
+             ELSE 0.0 END AS lambda
+         FROM lvl),
+       a AS (SELECT source, avail_tokens, weight, saturated,
+           CASE WHEN saturated THEN avail_tokens
+             ELSE LEAST(avail_tokens, GREATEST(0,
+               CAST(ROUND(weight * lambda, 0) AS BIGINT))) END
+             AS alloc_tokens
+         FROM fin)
+       SELECT source, avail_tokens, weight, saturated, alloc_tokens,
+         CASE WHEN avail_tokens > 0 THEN ROUND(CAST(alloc_tokens AS DOUBLE)
+           / CAST(avail_tokens AS DOUBLE), 6) ELSE 0.0 END AS rate
+       FROM a ORDER BY source"""
+
   /** t66 mirror: same synthetic PII text, then the SAME
     * count-then-replace cascade as [[graft.text.PiiOps.redactPii]],
     * generated from PiiOps.Stages so the two engines share one
@@ -2301,6 +2423,13 @@ object TextQueries {
            CAST(SUM(mt) AS BIGINT) AS n_match,
            ROUND(CAST(SUM(mt) AS DOUBLE) / COUNT(*), 6) AS jaccard_est
          FROM j GROUP BY 1, 2 ORDER BY source_a, source_b""",
+    // frequency-threshold boilerplate removal: per-(source, segment)
+    // document frequency, > 30% of the source's docs (and >= 2) kills
+    // every copy, survivors reassemble in position order
+    "t107_boilerplate_removal" -> BOILERPLATE_SQL,
+    // water-filling mixture solver: integer-cumulative prefix sums
+    // ordered by (avail/weight, source), 6-dp rounded water levels
+    "t108_mixture_allocate" -> MIXTURE_ALLOCATE_SQL,
     // KMV distinct estimate: exact below k, else (k-1) * 2^60 / h_k
     "t104_kmv_distinct" ->
       s"""WITH $KMV_CTES

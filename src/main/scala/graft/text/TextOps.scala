@@ -1126,6 +1126,76 @@ object TextOps {
       .drop("__n")
   }
 
+  /** Mixture-weight SOLVER — computes the per-source token allocation
+    * that [[mixtureSample]]/[[weightedSample]] consume as given: split
+    * `budgetTokens` across sources proportionally to `weight`, capped
+    * by each source's available tokens, with capped sources' unused
+    * share re-flowing to the rest (water-filling — the LLaMA/Pile-style
+    * "epochs per source" computation). A source is SATURATED when its
+    * fair share at the final water level exceeds its supply; its
+    * allocation is everything it has, and the remaining budget is
+    * re-split over the unsaturated sources by weight.
+    *
+    * The saturated set is found without iteration: sorted by
+    * avail/weight ascending, it is a PREFIX — if a source's supply
+    * exceeds its share at the water level implied by saturating every
+    * cheaper source, so does every later source's (cross-multiplying
+    * the water-level recurrence shows the per-row rule is
+    * self-consistent) — so one ordered window pass marks it. All
+    * cumulative state is integer (token Longs, micro-unit weights) and
+    * every float step is a 6-dp HALF_UP-rounded division, so the
+    * saturation boundary and the allocations are bit-reproducible
+    * across engines.
+    *
+    * Returns (sourceCol, avail_tokens, weight, saturated, alloc_tokens,
+    * rate): `rate` (= alloc/avail, 6 dp) feeds [[mixtureSample]]
+    * directly. Scale shape: one corpus-sized token-count aggregate;
+    * everything after runs on the |sources|-row frame (the whole-frame
+    * window is over that tiny frame, never the corpus). */
+  def mixtureAllocate(df: DataFrame, sourceCol: String, textCol: String,
+      weight: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val srcs = df
+      .select(col(sourceCol), size(tokens(col(textCol))).cast("long").as("__n"))
+      .groupBy(sourceCol).agg(sum("__n").as("avail_tokens"))
+      .withColumn("weight", round(weight.cast("double"), 6))
+      .filter(col("weight") > 0)
+      .withColumn("__wmicro", round(col("weight") * 1e6, 0).cast("long"))
+      .withColumn("__ratio",
+        round(col("avail_tokens").cast("double") / col("weight"), 6))
+    val ord = Window.orderBy(col("__ratio"), col(sourceCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val b = lit(budgetTokens).cast("double")
+    val marked = srcs
+      .withColumn("__cavail", coalesce(sum("avail_tokens").over(ord), lit(0L)))
+      .withColumn("__cw", coalesce(sum("__wmicro").over(ord), lit(0L)))
+      .withColumn("__wtot", sum("__wmicro").over(all))
+      .withColumn("saturated", col("__ratio") <= round(
+        (b - col("__cavail").cast("double")) /
+          ((col("__wtot") - col("__cw")).cast("double") / 1e6), 6))
+    val leveled = marked
+      .withColumn("__sata", coalesce(sum(when(col("saturated"),
+        col("avail_tokens"))).over(all), lit(0L)))
+      .withColumn("__satw", coalesce(sum(when(col("saturated"),
+        col("__wmicro"))).over(all), lit(0L)))
+      .withColumn("__lambda", when(col("__wtot") > col("__satw"), round(
+        (b - col("__sata").cast("double")) /
+          ((col("__wtot") - col("__satw")).cast("double") / 1e6), 6))
+        .otherwise(lit(0.0)))
+    leveled
+      .withColumn("alloc_tokens", when(col("saturated"), col("avail_tokens"))
+        .otherwise(least(col("avail_tokens"), greatest(lit(0L),
+          round(col("weight") * col("__lambda"), 0).cast("long")))))
+      .withColumn("rate", when(col("avail_tokens") > 0,
+        round(col("alloc_tokens").cast("double") /
+          col("avail_tokens").cast("double"), 6)).otherwise(lit(0.0)))
+      .select(sourceCol, "avail_tokens", "weight", "saturated",
+        "alloc_tokens", "rate")
+  }
+
   /** Head+tail token-budget truncation — fit long documents to a
     * context window by keeping the first ceil(headFrac * maxTokens)
     * and last (maxTokens - head) literal-space tokens, the standard
@@ -1451,6 +1521,59 @@ object TextOps {
       array_join(kept, sep).as("clean_text"),
       size(nonBlank).cast("long").as("n_seg"),
       size(kept).cast("long").as("n_kept"))
+  }
+
+  /** Frequency-threshold boilerplate removal — the Dolma/CCNet rule
+    * [[dedupParagraphs]] deliberately is NOT: a segment whose DOCUMENT
+    * frequency within its group (domain, source) exceeds
+    * `maxDocFrac` of the group's documents (and at least `minDocFreq`
+    * documents, so 2-doc groups don't self-destruct) is boilerplate —
+    * nav bars, cookie banners, license blocks — and EVERY copy is
+    * removed, including the first (first-occurrence-wins dedup would
+    * keep one copy of the nav bar as if it were content). Documents
+    * keep their remaining segments in order; docs whose every segment
+    * was boilerplate emit clean_text = "".
+    *
+    * Returns (idCol, groupCol, n_seg, n_kept, clean_text).
+    *
+    * Scale shape: one per-(group, segment) document-frequency hash
+    * aggregate over within-doc-distinct segments (map-side combine —
+    * a segment repeated 10^8 times ships one candidate per task), one
+    * tiny per-group doc-count aggregate, and the hot set — bounded by
+    * distinct segments ABOVE the frequency threshold, small by nature
+    * — comes back as a broadcast left-anti-style mark, so the corpus
+    * itself never reshuffles on the (skewed) segment key. Reassembly
+    * is the same per-doc aggregate as [[dedupParagraphs]]. */
+  def removeBoilerplateSegments(df: DataFrame, idCol: String,
+      groupCol: String, textCol: String, sep: String = "\n\n",
+      maxDocFrac: Double = 0.3, minDocFreq: Int = 2): DataFrame = {
+    require(maxDocFrac > 0 && maxDocFrac <= 1,
+      s"maxDocFrac must be in (0,1], got $maxDocFrac")
+    val id = col(idCol)
+    val grp = col(groupCol)
+    val segs = df
+      .select(id, grp, posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep))))
+      .select(id, grp, col("pos"), trim(col("col")).as("par"))
+      .filter(col("par") =!= "")
+    val groupDocs = df.groupBy(grp).agg(
+      count(lit(1)).as("__gdocs"))
+    val dfreq = segs.select(grp, col("par"), id).distinct()
+      .groupBy(grp, col("par")).agg(count(lit(1)).as("__df"))
+    val hot = dfreq.join(groupDocs, groupCol)
+      .filter(col("__df") >= minDocFreq &&
+        col("__df") > lit(maxDocFrac) * col("__gdocs"))
+      .select(grp, col("par"), lit(true).as("__hot"))
+    val marked = segs.join(broadcast(hot), Seq(groupCol, "par"), "left")
+      .withColumn("kept", col("__hot").isNull)
+    marked.groupBy(id, grp)
+      .agg(count(lit(1)).as("n_seg"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        concat_ws(sep,
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("pos"), col("par"))))),
+            s => s.getField("par"))).as("clean_text"))
   }
 
   /** Filter-ablation cube — the curation diagnostic that answers

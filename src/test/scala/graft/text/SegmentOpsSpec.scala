@@ -150,4 +150,90 @@ class SegmentOpsSpec extends AnyFunSuite {
     }
     assert(a.size == 64)
   }
+
+  test("removeBoilerplateSegments kills every copy above the frequency threshold") {
+    // group "a": NAV in 4/4 docs (removed), PROMO in 2/4 = 0.5 (removed),
+    // each doc one unique segment (kept). Doc 4 is all-boilerplate.
+    val docs = Seq(
+      (1L, "a", "NAV\n\nPROMO\n\nunique one"),
+      (2L, "a", "NAV\n\nPROMO\n\nunique two"),
+      (3L, "a", "NAV\n\nunique three"),
+      (4L, "a", "NAV"),
+      // group "b" has its own threshold base (2 docs, not 6)
+      (5L, "b", "SHARED\n\nfive"),
+      (6L, "b", "SHARED\n\nsix")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.removeBoilerplateSegments(docs, "doc_id", "source",
+        "text", maxDocFrac = 0.3, minDocFreq = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, "unique one"),              // NAV 4/4, PROMO 2/4 gone
+      (2L, 3L, 1L, "unique two"),
+      (3L, 2L, 1L, "unique three"),
+      (4L, 1L, 0L, ""),                        // all boilerplate -> empty
+      (5L, 2L, 1L, "five"),                    // SHARED 2/2 in group b
+      (6L, 2L, 1L, "six")))
+  }
+
+  test("removeBoilerplateSegments minDocFreq floor protects tiny groups") {
+    val docs = Seq(
+      (5L, "b", "SHARED\n\nfive"),
+      (6L, "b", "SHARED\n\nsix")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.removeBoilerplateSegments(docs, "doc_id", "source",
+        "text", maxDocFrac = 0.3, minDocFreq = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+    // df=2 < minDocFreq=3: the 100%-frequency pair still survives
+    assert(out.toSeq == Seq(
+      (5L, 2L, "SHARED\n\nfive"),
+      (6L, 2L, "SHARED\n\nsix")))
+  }
+
+  test("removeBoilerplateSegments counts DOCUMENT frequency, not occurrences") {
+    // the repeated-within-one-doc segment has df=1: within-doc repeats
+    // must not push it over the threshold
+    val docs = Seq(
+      (1L, "a", "echo\n\necho\n\necho\n\nbody"),
+      (2L, "a", "other"), (3L, "a", "more"), (4L, "a", "text")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.removeBoilerplateSegments(docs, "doc_id", "source",
+        "text", maxDocFrac = 0.3, minDocFreq = 2)
+      .filter(col("doc_id") === 1L).collect()(0)
+    assert(out.getLong(3) == 4L, "df=1 segment survives all its copies")
+  }
+
+  test("mixtureAllocate water-fills: saturated supply re-flows by weight") {
+    def src(name: String, n: Int) = (name, Seq.fill(n)("tok").mkString(" "))
+    val docs = Seq(src("A", 100), src("B", 10000), src("C", 10000))
+      .toDF("source", "text")
+    val w = when(col("source") === "C", 2.0).otherwise(1.0)
+    val out = TextOps.mixtureAllocate(docs, "source", "text", w,
+        budgetTokens = 8100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getBoolean(3), r.getLong(4), r.getDouble(5))).toMap
+    // A: ratio 100 vs first water level 8100/4 = 2025 -> saturated, all in
+    assert(out("A") == ((100L, true, 100L, 1.0)))
+    // remaining 8000 splits 1:2 over B:C, levels 6-dp rounded
+    assert(out("B") == ((10000L, false, 2667L, 0.2667)))
+    assert(out("C") == ((10000L, false, 5333L, 0.5333)))
+  }
+
+  test("mixtureAllocate saturates everything when the budget exceeds supply") {
+    val docs = Seq(("A", "a b c"), ("B", "d e")).toDF("source", "text")
+    val out = TextOps.mixtureAllocate(docs, "source", "text", lit(1.0),
+        budgetTokens = 1000L)
+      .collect().map(r => (r.getString(0), r.getBoolean(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(out.toSet == Set(("A", true, 3L, 1.0), ("B", true, 2L, 1.0)))
+  }
+
+  test("mixtureAllocate drops non-positive-weight sources") {
+    val docs = Seq(("A", "a b"), ("Z", "c d")).toDF("source", "text")
+    val w = when(col("source") === "Z", 0.0).otherwise(1.0)
+    val out = TextOps.mixtureAllocate(docs, "source", "text", w, 2L)
+    assert(out.select("source").as[String].collect().toSeq == Seq("A"))
+  }
 }
