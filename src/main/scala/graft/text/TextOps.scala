@@ -2074,6 +2074,56 @@ object TextOps {
     val hotStarts = keyed.join(hot, Seq("__k"), "left_semi")
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("start"))).as("__starts"))
+    cutMaximalSpans(toks, hotStarts, idCol, spanWords)
+  }
+
+  /** SURGICAL decontamination — [[decontaminate]]/[[bloomDecontaminate]]
+    * drop whole documents; this cuts only the CONTAMINATED SPANS (the
+    * maximal runs of `spanWords`-grams that appear verbatim in the
+    * benchmark set) and keeps the rest of the document — the option a
+    * token-starved domain wants, where discarding a 5k-token document
+    * over one quoted benchmark question is waste. Same cut structure
+    * as [[spanDedupMaximal]]: overlapping hot grams coalesce in-row
+    * into maximal [start, end) intervals. Returns one row per corpus
+    * document: (idCol, clean_text, n_tokens, n_removed, n_spans,
+    * spans).
+    *
+    * `hashKeys=true` ships 64-bit keys (the 100 TB path,
+    * [[spanDedup]]'s two-path discipline; `false` keeps literal grams
+    * so an external oracle can mirror).
+    *
+    * Scale shape: the benchmark side reduces to DISTINCT gram keys
+    * (benchmark-sized — small by nature, AQE broadcasts the semi-join
+    * build side), the corpus side is one narrow shingle pass +
+    * per-doc start collect; nothing corpus-wide ever pairs with
+    * anything corpus-wide. */
+  def decontaminateSpans(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, spanWords: Int = 13,
+      hashKeys: Boolean = true): DataFrame = {
+    require(spanWords >= 2, s"spanWords must be >= 2, got $spanWords")
+    val toks = fanOut(corpus)
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+    val grams = toks
+      .select(col(idCol),
+        posexplode(shingles(col("__t"), spanWords)).as(Seq("start", "gram")))
+    val keyed = grams.select(col(idCol), col("start"),
+      (if (hashKeys) xxhash64(col("gram")) else col("gram")).as("__k"))
+    val benchKeys = fanOut(bench)
+      .select(explode(shingles(split(col(textCol), " "), spanWords))
+        .as("gram"))
+      .select((if (hashKeys) xxhash64(col("gram")) else col("gram")).as("__k"))
+      .distinct()
+    val hotStarts = keyed.join(benchKeys, Seq("__k"), "left_semi")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("start"))).as("__starts"))
+    cutMaximalSpans(toks, hotStarts, idCol, spanWords)
+  }
+
+  /** Shared tail of [[spanDedupMaximal]] and [[decontaminateSpans]]:
+    * coalesce each doc's sorted hot starts into maximal spans (in-row
+    * fold), cut the covered positions, rebuild the survivors. */
+  private def cutMaximalSpans(toks: DataFrame, hotStarts: DataFrame,
+      idCol: String, spanWords: Int): DataFrame = {
     toks.join(hotStarts, Seq(idCol), "left")
       .withColumn("__s",
         coalesce(col("__starts"), array().cast("array<int>")))

@@ -86,8 +86,26 @@ object R11Scale {
         .distinct()
     }
 
+    // t107-shaped synthetic segments: per-source nav (100% of the
+    // source -> removed), promo by doc parity (~50% -> removed), a
+    // ~17% pool paragraph (kept), the doc's own text (unique, kept).
+    // source = doc_id % 7 and gcd(7, 6) = gcd(7, 2) = 1, so the
+    // in-source frequencies hold at any scale
+    def segDocs(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), col("source"),
+        concat_ws("\n\n",
+          concat(lit("nav menu for "), col("source")),
+          concat(lit("pool para "), (col("doc_id") % 6).cast("string")),
+          concat(lit("promo banner "), (col("doc_id") % 2).cast("string")),
+          col("text")).as("ptext"))
+
     // warm pass: JIT/codegen before anything is timed
     TextOps.kmvSketch(docs0, "source", "text", k = 256).count()
+    TextOps.removeBoilerplateSegments(segDocs(docs0), "doc_id", "source",
+      "ptext").count()
+    TextOps.mixtureAllocate(docs0, "source", "text",
+      pmod(substring(col("source"), 2, 5).cast("int"), lit(4)) + 1,
+      budgetTokens = 100000L).count()
     TextOps.weightedSample(docs0, "doc_id", "source",
       size(TextOps.tokens(col("text"))).cast("double"), k = 20).count()
     TextOps.dropExactDuplicatesNormalized(docs0, "doc_id", "text").count()
@@ -115,6 +133,19 @@ object R11Scale {
       }
       measure("norm_exact_dedup", n) {
         TextOps.dropExactDuplicatesNormalized(docs, "doc_id", "text").count()
+      }
+      // hot set must stay CONSTANT (nav x 7 + promo x 14) while docs
+      // grow — the broadcast mark is the 100 TB posture claim
+      measure("boilerplate_rm", n) {
+        TextOps.removeBoilerplateSegments(segDocs(docs), "doc_id",
+          "source", "ptext").count()
+      }
+      // one corpus token-count pass; the water-filling itself runs on
+      // the 7-row source frame, so wall tracks the scan alone
+      measure("mixture_alloc", n) {
+        TextOps.mixtureAllocate(docs, "source", "text",
+          pmod(substring(col("source"), 2, 5).cast("int"), lit(4)) + 1,
+          budgetTokens = 100000L).count()
       }
       // pair frame shared by the two survivor conventions so the delta
       // is EXACTLY the selection policy, not the LSH chain
