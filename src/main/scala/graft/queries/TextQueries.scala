@@ -547,8 +547,16 @@ object TextQueries {
         col("source"), syntheticUrlExpr.as("url"))
       val canon = graft.text.UrlOps.canonicalizeUrls(withUrl,
         "doc_id", "url")
-      TextOps.hllDistinct(canon.filter(col("domain").isNotNull),
-          "source", col("domain"), p = 8)
+      val dom = canon.filter(col("domain").isNotNull)
+      // min/max registrable domain per source: string-SENSITIVE guard
+      // columns (r11: the HLL estimate alone is insensitive to WHICH
+      // domain strings the upstream URL/PSL chain derives, so a
+      // drifted oracle mirror stayed green here while t62/t87 failed —
+      // these columns make any domain-string drift redden t93 too)
+      val mm = dom.groupBy("source").agg(
+        min("domain").as("domain_min"), max("domain").as("domain_max"))
+      TextOps.hllDistinct(dom, "source", col("domain"), p = 8)
+        .join(mm, "source")
         .orderBy("source")
     }),
 
@@ -1929,6 +1937,25 @@ object TextQueries {
     * applies), and the FULL public-suffix-list registrable-domain
     * derivation (`psl*`/`hy`/`cand`/`pslen`/`dm`) over the SAME
     * bundled data file [[graft.text.Psl]] reads. */
+  /** (exact, wildcard, exception) rule counts of the bundled PSL file,
+    * parsed at SQL-generation time with EXACTLY the framing rule the
+    * `psl` CTE applies (split on LF; strip spaces, tabs and CR; drop
+    * blanks and `//` comments) — the expected values of the fail-loud
+    * `psl_canary`. Java's `String.trim` strips every char <= U+0020,
+    * a superset of the CTE's `trim(x, ' '||chr(9)||chr(13))` that is
+    * identical on this file (no other control chars present). */
+  private lazy val pslOracleCounts: (Int, Int, Int) = {
+    val rules = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(graft.text.UrlOps.PslSourcePath)),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split('\n').iterator.map(_.trim)
+      .filter(r => r.nonEmpty && !r.startsWith("//")).toSeq
+    val wild = rules.count(_.startsWith("*."))
+    val exc = rules.count(_.startsWith("!"))
+    (rules.size - wild - exc, wild, exc)
+  }
+
   private lazy val URL_DM_CTES: String = {
     val track = graft.text.UrlOps.TrackingParamPattern
     s"""u AS (SELECT doc_id,
@@ -1968,16 +1995,37 @@ object TextQueries {
                        (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
                        (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) END AS url_canon
            FROM k),
-         psl AS MATERIALIZED (SELECT trim(x) AS rule
-           FROM (SELECT unnest(string_split(content, chr(10))) AS x
-                 FROM read_text('${graft.text.UrlOps.PslSourcePath}'))
-           WHERE trim(x) <> '' AND trim(x) NOT LIKE '//%'),
+         psl AS MATERIALIZED (SELECT rule FROM (
+             SELECT trim(x, ' ' || chr(9) || chr(13)) AS rule
+             FROM (SELECT unnest(string_split(content, chr(10))) AS x
+                   FROM read_text('${graft.text.UrlOps.PslSourcePath}')))
+           WHERE rule <> '' AND rule NOT LIKE '//%'),
          psl_ex AS MATERIALIZED (SELECT rule FROM psl
            WHERE rule NOT LIKE '*.%' AND rule NOT LIKE '!%'),
          psl_w AS MATERIALIZED (SELECT substr(rule, 3) AS base FROM psl
            WHERE rule LIKE '*.%'),
          psl_x AS MATERIALIZED (SELECT substr(rule, 2) AS rule FROM psl
            WHERE rule LIKE '!%'),
+         -- fail-loud ingest canary (r11: a drifted read_text silently
+         -- matched zero rules and DEGRADED t62/t87 to wrong-but-
+         -- plausible rows). The expected counts are parsed from the
+         -- SAME file at SQL-generation time with the SAME framing
+         -- rule, so any byte-level divergence between what this SQL
+         -- reads and what the generator read turns the whole mirror
+         -- into an ERROR instead. dm consumes `ok` in its WHERE so
+         -- the check can never be pruned.
+         psl_canary AS (SELECT CASE WHEN
+               (SELECT count(*) FROM psl_ex) = ${pslOracleCounts._1}
+               AND (SELECT count(*) FROM psl_w) = ${pslOracleCounts._2}
+               AND (SELECT count(*) FROM psl_x) = ${pslOracleCounts._3}
+               AND (SELECT count(*) FROM psl_ex WHERE rule = 'co.uk') = 1
+             THEN 1 ELSE error('PSL oracle ingest drifted: rule counts '
+               || (SELECT count(*) FROM psl_ex) || '/'
+               || (SELECT count(*) FROM psl_w) || '/'
+               || (SELECT count(*) FROM psl_x)
+               || ' do not match the generated-time parse '
+               || '${pslOracleCounts._1}/${pslOracleCounts._2}/${pslOracleCounts._3}'
+               || ' of ${graft.text.UrlOps.PslSourcePath}') END AS ok),
          hy AS (SELECT doc_id, url_canon, hnp, string_split(hnp, '.') AS y
            FROM (SELECT doc_id, url_canon,
                 regexp_replace(host, ':[0-9]+$$', '') AS hnp FROM cn)),
@@ -2003,7 +2051,8 @@ object TextQueries {
              CASE WHEN url_canon IS NULL OR len(y) <= ps THEN NULL
                   ELSE array_to_string(
                     list_slice(y, len(y) - ps, len(y)), '.') END AS domain
-           FROM hy LEFT JOIN pslen ON hy.doc_id = pslen.doc_id)"""
+           FROM hy LEFT JOIN pslen ON hy.doc_id = pslen.doc_id
+           WHERE (SELECT ok FROM psl_canary) = 1)"""
   }
 
   /** Shared CTE block for t67/t69: 4-dp cosine IVF assignment against
@@ -3490,11 +3539,17 @@ object TextQueries {
                ELSE raw END, 4) AS hll_est
            FROM raw),
          ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+           FROM dt GROUP BY 1),
+         -- string-sensitive guard columns: HLL cardinality alone can't
+         -- see WHICH domains the URL/PSL chain derived (the r11 drift
+         -- that reddened t62/t87 left this mirror green)
+         mm AS (SELECT source, MIN(t) AS domain_min, MAX(t) AS domain_max
            FROM dt GROUP BY 1)
          SELECT f.source, f.hll_est, e.exact_distinct,
            ROUND(ABS(f.hll_est - e.exact_distinct) / e.exact_distinct, 6)
-             AS rel_err
-         FROM fin f JOIN ex e USING (source) ORDER BY source"""
+             AS rel_err, mm.domain_min, mm.domain_max
+         FROM fin f JOIN ex e USING (source) JOIN mm USING (source)
+         ORDER BY source"""
     },
 
     // within-doc dedup mirror: same construction, literal split,

@@ -24,18 +24,41 @@ object UrlOps {
 
   /** Filesystem path of the bundled public-suffix list — the DuckDB
     * oracle mirrors [[Psl]] by `read_text`-ing the SAME data file, so
-    * Spark and oracle can never disagree on the rule set. Resolved at
-    * runtime, in order: `GRAFT_PSL_PATH` env override (packaged
-    * deployments where the resource lives in a jar DuckDB can't read);
-    * the classpath resource's own file URL (sbt/IDE runs, where
-    * resources are unpacked on disk); the repo-relative source path as
-    * a last resort. */
-  val PslSourcePath: String =
-    sys.env.get("GRAFT_PSL_PATH")
-      .orElse(Option(getClass.getResource("/graft/public_suffix_list.dat"))
+    * Spark and oracle can never disagree on the rule set.
+    *
+    * Resolution is ENVIRONMENT-PROOF by construction (the r11 lesson:
+    * a cwd-relative fallback baked a path into the generated SQL that
+    * the oracle's process resolved differently, silently matching zero
+    * rules and failing t62/t87): every candidate is canonicalized to
+    * an ABSOLUTE path, the first one that is verifiably readable wins,
+    * and if none is readable this `lazy val` THROWS at SQL-generation
+    * time — the mirror errors loudly instead of drifting. Candidates,
+    * in order: `GRAFT_PSL_PATH` env override (packaged deployments
+    * where the resource lives in a jar DuckDB can't read); the repo
+    * source file (absolutized against the generating JVM's cwd); the
+    * classpath resource's own file URL (sbt runs unpack resources on
+    * disk). Lazy so a resolution failure can only ever hit oracle-SQL
+    * generation, never the Spark-side [[Psl]] kernel, which reads the
+    * resource from the classpath directly. */
+  lazy val PslSourcePath: String = {
+    val candidates: Seq[(String, String)] = Seq(
+      sys.env.get("GRAFT_PSL_PATH").map("GRAFT_PSL_PATH" -> _),
+      Some("repo source" -> "src/main/resources/graft/public_suffix_list.dat"),
+      Option(getClass.getResource("/graft/public_suffix_list.dat"))
         .filter(_.getProtocol == "file")
-        .map(u => java.nio.file.Paths.get(u.toURI).toString))
-      .getOrElse("src/main/resources/graft/public_suffix_list.dat")
+        .map(u => "classpath" ->
+          java.nio.file.Paths.get(u.toURI).toString)).flatten
+    val resolved = candidates
+      .map { case (k, p) =>
+        k -> java.nio.file.Paths.get(p).toAbsolutePath.normalize }
+    resolved
+      .collectFirst {
+        case (_, p) if java.nio.file.Files.isReadable(p) => p.toString }
+      .getOrElse(sys.error(
+        "public_suffix_list.dat is not readable at any candidate path " +
+          "(oracle mirrors for URL/domain queries cannot be generated): " +
+          resolved.map { case (k, p) => s"$k=$p" }.mkString(", ")))
+  }
 
   /** Registrable domain of an already-lowercased host column via the
     * full bundled public-suffix list — see [[Psl]]. Null when the host
