@@ -1491,7 +1491,7 @@ object Media {
     * materialized once (it is referenced four times below). */
   def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = imageHash(media).filter(col("ahash").isNotNull)
-      .localCheckpoint()
+      .cache()
     val bands = sigs.select(col("media_id"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

@@ -69,10 +69,19 @@ object Classifier {
     require(dim > 0 && iterations > 0 && lr > 0,
       s"need dim/iterations/lr > 0, got $dim/$iterations/$lr")
     val lab = labeled.select(col(idCol), col(labelCol).cast("double").as("y"))
-      .localCheckpoint()
+      .cache()
     val nl = lab.count()
     require(nl > 0, "labeled set is empty")
-    val feats = features(labeled, idCol, textCol, dim).localCheckpoint()
+    // Distinct ids are part of the accepted-input contract: with a
+    // duplicated id the two loop twins diverge (the local path applies
+    // ONE residual per id where the distributed feats-join-res inner
+    // join applies one per duplicate row), and the gradient itself is
+    // ill-defined when one id carries two labels. Fail loudly instead.
+    val nd = lab.select(idCol).distinct().count()
+    require(nd == nl,
+      s"labeled frame must carry distinct $idCol values: $nl rows but " +
+        s"$nd distinct ids — dedup (or re-key) the labeled set first")
+    val feats = features(labeled, idCol, textCol, dim).cache()
     trainLoop(feats, lab, idCol, nl, dim, iterations, lr)
   }
 
@@ -203,14 +212,21 @@ object Classifier {
     import spark.implicits._
     val labAll = labeled
       .select(col(idCol), col(labelCol).cast("string").as("__cls"))
-      .localCheckpoint()
+      .cache()
     val nl = labAll.count()
     require(nl > 0, "labeled set is empty")
+    // same distinct-id contract as the binary trainer (and doubly so
+    // here: a duplicated id with two DIFFERENT labels would make the
+    // one-vs-rest targets contradictory)
+    val ndAll = labAll.select(idCol).distinct().count()
+    require(ndAll == nl,
+      s"labeled frame must carry distinct $idCol values: $nl rows but " +
+        s"$ndAll distinct ids — dedup (or re-key) the labeled set first")
     val classes = labAll.select("__cls").distinct().as[String]
       .collect().sorted.toSeq
     require(classes.size >= 2,
       s"need >= 2 distinct labels, got ${classes.size}")
-    val feats = features(labeled, idCol, textCol, dim).localCheckpoint()
+    val feats = features(labeled, idCol, textCol, dim).cache()
     // The k one-vs-rest problems are independent and each is a chain
     // of SMALL jobs (labeled-set-sized aggregates + <= dim-row
     // collects), so their driver loops run concurrently — the cluster

@@ -136,7 +136,7 @@ object TextOps {
       shingleWords: Int = 3): DataFrame = {
     val bux = lshBuckets(
       minhashSignature(newDocs, idCol, textCol, k, shingleWords),
-      idCol, k, rows).localCheckpoint()
+      idCol, k, rows).cache()
     val idx = indexBuckets.select(col("bucket")).distinct()
     val clash = bux.join(idx, "bucket").select(col(idCol)).distinct()
     val fresh = bux.join(clash, Seq(idCol), "left_anti")
@@ -513,7 +513,7 @@ object TextOps {
     // below (band self-join x2, verify joins x2) — materialize once or
     // the full tokenize+aggregate pipeline re-runs per reference.
     val sigs = simhash64(df, idCol, textCol).select(col(idCol), col("simhash"))
-      .localCheckpoint()
+      .cache()
     val bands = sigs.select(col(idCol), explode(array((0 until 4).map { b =>
       struct(lit(b).as("band"), substring(col("simhash"), 1 + 16 * b, 16).as("v"))
     }: _*)).as("bk")).select(col(idCol), col("bk.band"), col("bk.v"))
@@ -559,14 +559,23 @@ object TextOps {
       keepLangs: Seq[String] = Seq("en")): DataFrame = {
     // `exact` is referenced by five downstream stages; materializing the
     // corpus itself would be prohibitive at scale, but the exact-dup
-    // LOSER ids (duplicates only) are small — checkpoint those and make
+    // LOSER ids (duplicates only) are small — materialize those and make
     // every re-reference a cheap anti join instead of re-running the
     // full content-hash aggregation per reference.
-    // (A/B, round 4 at sf0.1: replacing ALL the pipeline's
-    // localCheckpoints with plain lazy frames slowed t22 1.8x — 5.0s ->
+    // (A/B, round 4 at sf0.1: replacing ALL the pipeline's barriers
+    // with plain lazy frames slowed t22 1.8x — 5.0s ->
     // 9.1s warm — because cand/verified re-derive the whole LSH lineage
     // per consumer. The barriers are load-bearing even at 5k docs; do
     // not make them size-conditional.)
+    // The barriers are cache() (MEMORY_AND_DISK, lazy), NOT
+    // localCheckpoint (r12 A/B: 4.1 s -> 1.5 s fixed cost at 625 docs,
+    // identical survivors): an eager checkpoint serializes each stage
+    // into its own driver job round and truncates the plan to a
+    // stats-less LogicalRDD that downstream join planning can't size,
+    // while cache keeps ONE schedulable DAG, accurate size estimates,
+    // and recompute-on-eviction safety. Iterative loops (CC labels,
+    // BPE merge training) still localCheckpoint — there lineage
+    // TRUNCATION is the point.
     val groups = df.groupBy(md5(col(textCol)).as("__h"))
       .agg(min(col(idCol)).as("__canon"), count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
@@ -574,7 +583,7 @@ object TextOps {
       .join(groups, "__h")
       .filter(col(idCol) =!= col("__canon"))
       .select(col(idCol))
-      .localCheckpoint()
+      .cache()
     val exact = df.join(exactLosers, Seq(idCol), "left_anti")
     // One tokenize+shingle pass feeds BOTH the minhash signatures and
     // the Jaccard verify (min over the distinct set == min over the
@@ -587,22 +596,22 @@ object TextOps {
     // row (k/2 md5s + k base-16 parses), so fan it back out to the full
     // core count before the aggregation.
     val allSh = explodedShingles(exact, idCol, textCol, 3).distinct()
-      .localCheckpoint()
+      .cache()
     val sigs = minhashFromShingles(fanOut(allSh), idCol, k = 8)
-    val bux = lshBuckets(sigs, idCol, k = 8, rows = 2).localCheckpoint()
+    val bux = lshBuckets(sigs, idCol, k = 8, rows = 2).cache()
     val cand = bux.as("x").join(bux.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
-      .localCheckpoint() // read 3x by the id semi-join + overlap joins
+      .cache() // read 3x by the id semi-join + overlap joins
     val candIds = cand.select(col("a_id").as(idCol))
       .union(cand.select(col("b_id").as(idCol))).distinct()
     val verified = jaccardFromShingles(
         allSh.join(candIds, Seq(idCol), "left_semi"), idCol, cand)
       .filter(col("jaccard") >= minJaccard)
       .select("a_id", "b_id")
-      .localCheckpoint() // referenced by clusters across CC iterations
+      .cache() // referenced by clusters across CC iterations
     val deduped = dropNearDuplicates(exact, idCol, verified)
     // The gate reads only the word-level fractions, so it uses
     // [[wordFracs]] directly: riding through repetitionStats would also
@@ -949,6 +958,26 @@ object TextOps {
       replace(c, lit(pat), lit(rep))
     }
     val toks = trim(regexp_replace(merged, s"[$BpeBoundary ]+", " "))
+    df.select(col(idCol),
+      when(toks === "", lit(0L))
+        .otherwise(size(split(toks, " ")).cast("long")).as("n_tokens"),
+      toks.as("tokens"))
+  }
+
+  /** [[bpeTokenize]] through the rank-greedy [[BpeEncode]] kernel —
+    * same output contract ((idCol, n_tokens, tokens)), bit-identical
+    * on trained merge tables (BpeSpec pins the equality), but built
+    * for REALISTIC merge depth: one O(1)-node codegen'd expression and
+    * an O(table) broadcast rank map instead of numMerges chained
+    * whole-document replaces, so a 32k-merge tokenizer costs per-row
+    * work ∝ symbols actually merged, not table size. Use this for
+    * production-depth tables; the fold twin remains the
+    * oracle-mirrorable anchor at shallow depth. */
+  def bpeTokenizeGreedy(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = org.apache.spark.sql.graftbridge.Bridge.column(
+      BpeEncode(org.apache.spark.sql.graftbridge.Bridge.expression(
+        col(textCol)), merges))
     df.select(col(idCol),
       when(toks === "", lit(0L))
         .otherwise(size(split(toks, " ")).cast("long")).as("n_tokens"),

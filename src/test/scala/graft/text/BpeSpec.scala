@@ -169,4 +169,69 @@ class BpeSpec extends AnyFunSuite {
     assert(drvAll == distAll)
     assert(distAll.size < 10000, "fixture corpus must exhaust")
   }
+
+  // -- rank-greedy kernel equivalence ---------------------------------------
+
+  test("greedy kernel is bit-identical to the chained fold on trained tables") {
+    // 12, 64, and full-exhaustion depth: the equivalence contract the
+    // BpeEncode Expression documents (trained tables only — every
+    // merge's sides predate it, so the fold can never miss one)
+    for (n <- Seq(4, 12, 64)) {
+      val merges = TextOps.bpeTrainMergesDriver(df, "text", numMerges = n,
+        stopAtExhaustion = true)
+      val a = TextOps.bpeTokenize(df, "doc_id", "text", merges)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val b = TextOps.bpeTokenizeGreedy(df, "doc_id", "text", merges)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(a.toSeq == b.toSeq, s"greedy != fold at $n merges")
+    }
+  }
+
+  test("greedy kernel matches the fold on the real corpus at exhaustion") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val merges = TextOps.bpeTrainMergesDriver(docs, "text", numMerges = 500,
+      stopAtExhaustion = true)
+    assert(merges.nonEmpty)
+    val a = TextOps.bpeTokenize(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val b = TextOps.bpeTokenizeGreedy(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("on NON-trained tables greedy applies the authoritative semantics") {
+    import spark.implicits._
+    val one = Seq(0L -> "abc").toDF("doc_id", "text")
+    // rank0's sides only exist AFTER rank1 runs: the fold misses it
+    // (single pass in rank order), the greedy kernel applies it — the
+    // GPT-2 reference behavior. This is exactly why the equivalence
+    // contract is scoped to trained tables.
+    val table = Seq(("ab", "c"), ("a", "b"))
+    val fold = TextOps.bpeTokenize(one, "doc_id", "text", table)
+      .select("tokens").as[String].head()
+    val greedy = TextOps.bpeTokenizeGreedy(one, "doc_id", "text", table)
+      .select("tokens").as[String].head()
+    assert(fold == "ab c")
+    assert(greedy == "abc")
+  }
+
+  test("greedy kernel handles nulls, empties and surrogate pairs") {
+    import spark.implicits._
+    val rows = Seq((0L, "the cat"), (1L, ""), (2L, "   "),
+      (3L, "emoji \ud83d\ude00 pair"), (4L, null))
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeTrainMergesDriver(df, "text", numMerges = 8)
+    val out = TextOps.bpeTokenizeGreedy(rows, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    assert(out.length == 5)
+    assert(out(1).getLong(1) == 0L && out(1).getString(2) == "")
+    assert(out(4).isNullAt(1) && out(4).isNullAt(2))
+    // the fold twin agrees on every non-null row
+    val fold = TextOps.bpeTokenize(rows.filter(col("text").isNotNull),
+      "doc_id", "text", merges).orderBy("doc_id").collect()
+    assert(fold.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      out.filter(!_.isNullAt(2)).map(r => (r.getLong(0), r.getString(2))).toSeq)
+  }
 }

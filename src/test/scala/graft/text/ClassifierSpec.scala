@@ -135,4 +135,25 @@ class ClassifierSpec extends AnyFunSuite {
     val l2 = loss(2); val l8 = loss(8)
     assert(l8 < l2, s"log loss must fall with iterations: $l2 -> $l8")
   }
+
+  test("duplicate ids in the labeled frame are rejected loudly") {
+    // the driver fast-path and the distributed loop only agree on
+    // distinct-id inputs (rm.toMap vs inner-join multiplicity), so the
+    // trainers enforce the contract instead of silently diverging
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dup = corpus.union(corpus.limit(1))
+    val e1 = intercept[IllegalArgumentException] {
+      Classifier.trainTextClassifier(dup, "doc_id", "text", "y")
+    }
+    assert(e1.getMessage.contains("distinct"))
+    val mc = dup.withColumn("label",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("c"),
+        (org.apache.spark.sql.functions.col("doc_id") % 3).cast("string")))
+    val e2 = intercept[IllegalArgumentException] {
+      Classifier.trainMultiClassClassifier(mc, "doc_id", "text", "label")
+    }
+    assert(e2.getMessage.contains("distinct"))
+  }
 }
