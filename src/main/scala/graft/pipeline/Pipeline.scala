@@ -114,6 +114,54 @@ object Pipeline {
         col("split"))
   }
 
+  /** Interleaved image-caption curation — the multimodal twin of
+    * [[corpusToShards]]: dedup the IMAGE side first (exact payload
+    * identity — the cheap stage every image pipeline runs before any
+    * decode, because re-crawled bytes are the dominant duplicate
+    * class), decode only the surviving payloads (real codec round
+    * trip), then run the full text curation core over the survivors'
+    * captions and emit one row per document that clears both
+    * modalities: (idCol, format, width, height, n_tokens).
+    *
+    * Stage order is the load-bearing contract: byte dedup BEFORE
+    * decode (never pay the codec for a duplicate), caption curation
+    * AFTER image survival (a caption dropped with its duplicate image
+    * must not influence text near-dup clustering). Near-duplicate
+    * IMAGE dedup (aHash bands, [[graft.multimodal.Media.imageNearDups]])
+    * composes the same way — pairs -> CC -> drop — and is pinned at
+    * spec level (PipelineSpec), where planted perturbed copies make
+    * the expected clusters exact; its hash values ride through lossy
+    * codecs and bilinear resampling, so an external SQL oracle can
+    * only mirror the byte-identity stage.
+    *
+    * Scale shape: the payload-hash dedup is one hash agg over
+    * (md5(payload), min id) — map-side combinable, shuffle ∝ distinct
+    * images; decode is per-partition and touches survivors only;
+    * the caption stages inherit [[graft.text.TextOps.curateCorpus]]'s
+    * measured curve. */
+  def imageCaptionCurate(media: DataFrame, captions: DataFrame,
+      idCol: String, textCol: String,
+      minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
+      maxTopWordFrac: Double = 0.12,
+      keepLangs: Seq[String] = Seq("en")): DataFrame = {
+    // id-scale barrier: both modalities' survivor joins consume it
+    val keep = media.groupBy(md5(col("payload")).as("__h"))
+      .agg(min(col("media_id")).as("media_id"))
+      .select("media_id")
+      .cache()
+    val survivors = media.join(keep, Seq("media_id"), "left_semi")
+    val meta = graft.multimodal.Media.decode(survivors)
+      .select(col("media_id"), col("format"), col("width"), col("height"))
+    val caps = captions.select(col(idCol), col(textCol))
+      .join(keep.select(col("media_id").as(idCol)), Seq(idCol), "left_semi")
+    val curated = TextOps.curateCorpus(caps, idCol, textCol,
+      minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
+    curated
+      .join(meta, curated(idCol) === meta("media_id"))
+      .select(col(idCol), col("format"), col("width"), col("height"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+  }
+
   /** WARC files -> training shards: [[graft.sources.Warc.toCorpus]]'s
     * narrow ingest chain (record walk -> HTTP body -> HTML extract ->
     * normalize) feeding [[corpusToShards]]. `warc` carries

@@ -858,6 +858,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // composed multimodal pipeline: real PNG/JPEG payloads built from
+    // the caption corpus -> exact image dedup (md5 over the REAL
+    // encoder bytes; the oracle predicts the identity classes from the
+    // construction rule alone, so a wrong byte stream or a drifted
+    // encoder hash-fails the survivor set) -> real codec decode of the
+    // survivors -> full caption curation core -> one row per doc that
+    // clears both modalities. The aHash NEAR-dup composition twin is
+    // pinned at spec level (PipelineSpec) where planted perturbed
+    // copies make expected clusters exact.
+    "t110_multimodal_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.multimodal.Media.syntheticImages(
+        graft.util.FanOut(docs), "doc_id", "text")
+      graft.pipeline.Pipeline.imageCaptionCurate(media, docs,
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // t43's ISO-BMFF twin: structurally valid MP4s with full sample
     // tables (stsd/stts/stsc/stsz/stco) and raw RGB24 samples, frame
     // pixels genuinely resolved back through the sample-table walk —
@@ -3843,6 +3861,82 @@ object TextQueries {
     "t61_bpe_tokenize" -> bpeOracleSql(12),
     "t97_bpe_merges64" -> bpeOracleSql(64),
     "t109_bpe_greedy" -> bpeOracleSql(64),
+
+    // multimodal pipeline mirror: image identity classes from the
+    // construction rule (format from id parity, dimensions from
+    // (id, caption length) — t18's rule), min-id survivor per class,
+    // then the t22 curation chain re-rooted at the surviving captions,
+    // finished with the class metadata + token counts
+    "t110_multimodal_pipeline" -> {
+      val toksC = TOKS_SQL.replace("FROM documents", "FROM docs")
+      val mhC = MH_SQL.replace("FROM documents", "FROM docs")
+      val (rs, pred) = langIdSqlParts
+      s"""WITH RECURSIVE k AS (SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           CAST(16 + length(text) % 41 AS INTEGER) AS width,
+           CAST(12 + doc_id % 29 AS INTEGER) AS height
+           FROM documents),
+         imgkeep AS (SELECT MIN(doc_id) AS doc_id FROM k
+           GROUP BY format, width, height),
+         caps AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
+           WHERE d.doc_id IN (SELECT doc_id FROM imgkeep)),
+         docs AS MATERIALIZED (SELECT c.doc_id, c.text FROM caps c
+           WHERE c.doc_id IN (SELECT MIN(doc_id) FROM caps GROUP BY md5(text))),
+         mh AS MATERIALIZED ($mhC),
+         buckets AS (
+           ${(0 until 4).map(b =>
+             s"SELECT doc_id, md5('b$b:' || h${2 * b} || ':' || h${2 * b + 1}) AS bucket FROM mh")
+             .mkString(" UNION ALL ")}),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM buckets x JOIN buckets y
+           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (
+           SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
+                  list_extract(w, i+2) AS sh
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+                 FROM ($toksC)))),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n_inter
+           FROM cand p
+           JOIN sh sa ON sa.doc_id = p.a_id
+           JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+           GROUP BY 1, 2),
+         verified AS (SELECT p.a_id, p.b_id FROM cand p
+           JOIN sizes na ON na.doc_id = p.a_id
+           JOIN sizes nb ON nb.doc_id = p.b_id
+           LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+           WHERE CASE WHEN na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0) > 0
+             THEN COALESCE(i.n_inter, 0)::DOUBLE /
+               (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0))
+             ELSE 0.0 END >= 0.5),
+         edges AS (SELECT a_id, b_id FROM verified
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM verified),
+         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.a_id AS id, reach.r FROM edges e
+           JOIN reach ON reach.id = e.b_id),
+         cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         tq AS MATERIALIZED ($toksC),
+         wf AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS mx
+           FROM (SELECT doc_id, t, COUNT(*) AS c
+                 FROM (SELECT doc_id, unnest(w) AS t FROM tq) GROUP BY 1, 2)
+           GROUP BY 1),
+         lang AS (SELECT doc_id, $pred AS lang_pred
+           FROM (SELECT doc_id, $rs FROM tq))
+         SELECT d.doc_id, k.format, k.width, k.height,
+           CAST(wf.n AS BIGINT) AS n_tokens
+         FROM docs d
+         JOIN k ON k.doc_id = d.doc_id
+         JOIN wf ON wf.doc_id = d.doc_id
+         JOIN lang ON lang.doc_id = d.doc_id
+         WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE cluster <> id)
+           AND lang.lang_pred = 'en'
+           AND wf.n BETWEEN 20 AND 80
+           AND ROUND(CAST(wf.mx AS DOUBLE) / wf.n, 6) <= 0.12
+         ORDER BY d.doc_id"""
+    },
     // same geometry + pixel rules as t43 (buildMp4Frames mirrors
     // buildAvi's rule), exercised through the MP4 sample-table walk
     "t60_mp4_frames" -> FRAME_RULE_SQL,

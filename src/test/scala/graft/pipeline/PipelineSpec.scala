@@ -136,4 +136,85 @@ class PipelineSpec extends AnyFunSuite {
       assert(n >= 1)
     }
   }
+
+  // -- multimodal composition ------------------------------------------------
+
+  test("imageCaptionCurate: byte dedup -> decode -> caption curation") {
+    // 20 docs with curation-passing captions; ids 10..14 share ONE
+    // image class (identical payload bytes by construction rule), so
+    // only the min id survives the byte-dedup stage; id 15's caption is
+    // an exact text dup of id 16's, so the caption stage drops 16
+    def cap(id: Long): String =
+      (0 until 30).map(i => s"w${id}x$i").mkString("the and of to in ", " ", " end")
+    val rows = (0L until 20L).map { id =>
+      val c = if (id == 16L) cap(15L) else cap(id)
+      // image class: ids 10-14 collapse to one class, others unique
+      val cls = if (id >= 10L && id <= 14L) 10L else id
+      (id, c, cls)
+    }
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "text", "cls")
+    val media = docs.select(col("doc_id"), col("cls")).as[(Long, Long)]
+      .map { case (id, cls) =>
+        (id, graft.multimodal.Media.buildImage(
+          20 + (cls % 7).toInt, 15 + (cls % 5).toInt,
+          if (cls % 2 == 0) "png" else "jpg"))
+      }.toDF("media_id", "payload")
+      .withColumn("kind", lit("image"))
+    val out = Pipeline.imageCaptionCurate(media,
+        docs.select("doc_id", "text"), "doc_id", "text",
+        minTokens = 10, maxTokens = 80)
+      .collect().map(_.getLong(0)).sorted
+    // image stage: 11-14 die (byte dups of 10)... but also distinct cls
+    // values can collide into the same (fmt, w, h) class: cls%7/cls%5/
+    // cls%2 cycle with period 70, so ids 0-9 and 15-19 map to distinct
+    // classes EXCEPT cls pairs congruent mod 70 - none here below 20.
+    // caption stage: 16 dies (exact text dup of 15, min id wins).
+    val expected = ((0L to 10L) ++ (15L to 19L)).filterNot(_ == 16L)
+    assert(out.toSeq == expected.sorted,
+      s"got ${out.mkString(",")} expected ${expected.mkString(",")}")
+  }
+
+  test("aHash near-dup composition: pairs -> CC -> survivors -> captions") {
+    // the oracle-unmirrorable twin (lossy codecs + bilinear resample
+    // sit between the rule and the hash), pinned here with planted
+    // perturbed copies instead: 3 copies of one base image (1 exact,
+    // 1 perturbed near-dup), plus 2 distinct images
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val base = graft.multimodal.Media.decodeImage(
+      graft.multimodal.Media.buildImage(64, 64, "png")).get
+    def perturb(n: Int) = {
+      val c = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) c.setRGB(x, y, base.getRGB(x, y))
+      for (i <- 0 until n) c.setRGB(i % 64, i / 64, 0xffffff)
+      c
+    }
+    val far = {
+      val c = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64)
+        c.setRGB(x, y, ~base.getRGB(x, y) & 0xffffff)
+      c
+    }
+    val media = Seq(
+      (1L, png(base)), (2L, png(base)), (3L, png(perturb(40))),
+      (4L, png(far)), (5L, png(perturb(2048))))
+      .toDF("media_id", "payload")
+    val pairs = graft.multimodal.Media.imageNearDups(media, maxHamming = 6)
+      .select("a_id", "b_id")
+    val survivors = TextOps.dropNearDuplicates(media, "media_id", pairs)
+      .select("media_id")
+    val caps = Seq(1L -> "caption one", 2L -> "caption two",
+      3L -> "caption three", 4L -> "caption four", 5L -> "caption five")
+      .toDF("doc_id", "caption")
+    val kept = caps.join(survivors.withColumnRenamed("media_id", "doc_id"),
+        Seq("doc_id"), "left_semi")
+      .collect().map(_.getLong(0)).sorted
+    // 2 (exact copy) and 3 (perturbed) cluster with 1; min id 1 survives;
+    // 4 (inverted) and 5 (heavily perturbed) stay distinct
+    assert(kept.toSeq == Seq(1L, 4L, 5L), s"got ${kept.mkString(",")}")
+  }
 }
