@@ -93,6 +93,41 @@ object Media {
     b
   }
 
+  /** An 8x8 black/white 24bpp BMP whose average-hash is EXACTLY the
+    * given 60-bit pattern (bit i = pixel (i%8, i/8) white): with both
+    * colors present the 8x8 patch mean lies strictly between 0 and
+    * 255, so `gray > mean` is true exactly on the white pixels —
+    * independent of the grayscale coefficients' floating-point
+    * representation — and an all-black pattern hashes to 0 either way.
+    * This collapses the real decode -> resample(8x8, identity at 1:1)
+    * -> gray -> mean chain to the planted pattern, which is what makes
+    * the banded near-dup machinery externally SQL-mirrorable end to
+    * end while the payload still walks the genuine BMP codec path. */
+  def buildBmpPattern(pattern: Long): Array[Byte] = {
+    val rowSize = 24 // 8 * 3, already 4-byte aligned
+    val size = 54 + rowSize * 8
+    val b = new Array[Byte](size)
+    b(0) = 'B'; b(1) = 'M'
+    le32(b, 2, size); le32(b, 10, 54)
+    le32(b, 14, 40); le32(b, 18, 8); le32(b, 22, 8)
+    le16(b, 26, 1); le16(b, 28, 24)
+    le32(b, 34, rowSize * 8)
+    var s = 0
+    while (s < 8) {
+      val y = 7 - s // BMP rows are bottom-up
+      var x = 0
+      while (x < 8) {
+        val v: Byte =
+          if (((pattern >>> (y * 8 + x)) & 1L) == 1L) 0xff.toByte else 0x00
+        val off = 54 + s * rowSize + x * 3
+        b(off) = v; b(off + 1) = v; b(off + 2) = v
+        x += 1
+      }
+      s += 1
+    }
+    b
+  }
+
   /** A structurally valid RIFF/WAVE PCM payload (16-bit mono). */
   def buildWav(sampleRate: Int, nSamples: Int): Array[Byte] = {
     val dataSize = nSamples * 2
@@ -1546,6 +1581,34 @@ object Media {
           val fmt = if (id % 2 == 0) "png" else "jpg"
           val payload = buildImage(16 + n % 41, 12 + (id % 29).toInt, fmt)
           Row(id, "image", payload, Row("synthetic", fmt))
+        }
+      }(enc)
+  }
+
+  /** Planted near-duplicate image classes over [[buildBmpPattern]]:
+    * five consecutive ids share one md5-derived 60-bit base pattern
+    * (`cls = id / 5`), member `id % 5 = p` XORs in the low-p-bit mask
+    * `(1 << p) - 1` — pairwise Hamming distance up to 4 inside a
+    * class, chained through <= 3 hops so connected-components joins
+    * the whole class, while distinct classes sit ~30 random bits
+    * apart. Every quantity is recomputable by an external SQL oracle
+    * (md5 hex parse + xor + bit_count), yet the Spark side still
+    * earns it: real BMP bytes, real ImageIO decode, real resample/
+    * gray/mean hashing. */
+  def syntheticPatternBmps(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val cls = id / 5
+          md.reset()
+          val hex = md.digest(s"imgcls:$cls".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          val base = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          val pattern = base ^ ((1L << (id % 5).toInt) - 1L)
+          Row(id, "image", buildBmpPattern(pattern), Row("synthetic", "bmp"))
         }
       }(enc)
   }

@@ -876,6 +876,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // aHash near-dup clustering with an EXACT external oracle: 8x8
+    // black/white pattern BMPs make the decoded average-hash provably
+    // equal the planted md5-derived pattern (both colors present =>
+    // the mean separates them regardless of float coefficients), so
+    // the banded candidate join + Hamming verify + CC resolve are all
+    // SQL-recomputable while Spark still walks the real codec path.
+    // Closes the "decode step not SQL-mirrorable" gap that kept the
+    // image near-dup surface spec-only since r9.
+    "t111_image_ahash_dedup" -> ((s, dir) => {
+      val media = graft.multimodal.Media.syntheticPatternBmps(
+        graft.util.FanOut(t(s, dir, "documents")), "doc_id")
+      val pairs = graft.multimodal.Media.imageNearDups(media, maxHamming = 3)
+        .select(col("a_id"), col("b_id"))
+      TextOps.nearDupClusters(pairs)
+        .select(col("id").as("media_id"), col("cluster"))
+        .orderBy("media_id")
+    }),
+
     // t43's ISO-BMFF twin: structurally valid MP4s with full sample
     // tables (stsd/stts/stsc/stsz/stco) and raw RGB24 samples, frame
     // pixels genuinely resolved back through the sample-table walk —
@@ -3861,6 +3879,36 @@ object TextQueries {
     "t61_bpe_tokenize" -> bpeOracleSql(12),
     "t97_bpe_merges64" -> bpeOracleSql(64),
     "t109_bpe_greedy" -> bpeOracleSql(64),
+
+    // aHash near-dup mirror: the planted 60-bit pattern IS the hash
+    // (both colors present => mean separates exactly), so the oracle
+    // recomputes md5-base XOR member-mask per doc, re-runs the 16-bit
+    // band join + bit_count(xor) verify, and resolves components with
+    // the shared recursive-reach pattern
+    "t111_image_ahash_dedup" ->
+      s"""WITH RECURSIVE pat AS (SELECT doc_id,
+           xor(('0x' || substr(md5('imgcls:' || CAST(doc_id // 5 AS VARCHAR)), 1, 15))::BIGINT,
+               (1::BIGINT << CAST(doc_id % 5 AS INTEGER)) - 1) AS h
+         FROM documents),
+         bands AS (SELECT doc_id, b, (h >> (16 * b)) & 65535 AS v
+           FROM pat, (SELECT unnest(generate_series(0, 3)) AS b)),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM bands x JOIN bands y
+           ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+         verified AS (SELECT a_id, b_id FROM cand
+           JOIN pat pa ON pa.doc_id = a_id
+           JOIN pat pb ON pb.doc_id = b_id
+           WHERE bit_count(xor(pa.h, pb.h)) <= 3),
+         edges AS (SELECT a_id, b_id FROM verified
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM verified),
+         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.a_id AS id, reach.r FROM edges e
+           JOIN reach ON reach.id = e.b_id),
+         cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         SELECT id AS media_id, cluster FROM cc ORDER BY media_id""",
 
     // multimodal pipeline mirror: image identity classes from the
     // construction rule (format from id parity, dimensions from

@@ -536,4 +536,18 @@ class MediaSpec extends AnyFunSuite {
     val b = Media.videoFrames(Media.syntheticMp4Videos(docs, "doc_id", "text"))
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
+
+  test("buildBmpPattern round-trips the planted pattern through decode + aHash") {
+    import spark.implicits._
+    // patterns with 1 white pixel, a dense mix, and all-black: the
+    // decoded average-hash must equal the pattern bit-for-bit
+    val pats = Seq(0L, 1L, 0x0123456789abcdL, (1L << 60) - 1 - 0xf0L)
+    val media = pats.zipWithIndex
+      .map { case (pt, i) => (i.toLong, Media.buildBmpPattern(pt)) }
+      .toDF("media_id", "payload")
+    val got = Media.imageHash(media).orderBy("media_id")
+      .collect().map(r => r.getLong(1))
+    assert(got.toSeq == pats,
+      s"ahash must equal the planted pattern: ${got.mkString(",")}")
+  }
 }
