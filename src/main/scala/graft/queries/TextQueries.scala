@@ -884,6 +884,15 @@ object TextQueries {
     // SQL-recomputable while Spark still walks the real codec path.
     // Closes the "decode step not SQL-mirrorable" gap that kept the
     // image near-dup surface spec-only since r9.
+    // n-gram novelty: per-doc fraction of distinct 3-word shingles
+    // whose corpus-wide first occurrence (min doc_id) is this doc —
+    // the dedup-aware data-selection signal (syndicated/boilerplate
+    // content scores ~0, originals ~1)
+    "t112_ngram_novelty" -> ((s, dir) => {
+      TextOps.ngramNovelty(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "t111_image_ahash_dedup" -> ((s, dir) => {
       val media = graft.multimodal.Media.syntheticPatternBmps(
         graft.util.FanOut(t(s, dir, "documents")), "doc_id")
@@ -3879,6 +3888,24 @@ object TextQueries {
     "t61_bpe_tokenize" -> bpeOracleSql(12),
     "t97_bpe_merges64" -> bpeOracleSql(64),
     "t109_bpe_greedy" -> bpeOracleSql(64),
+
+    // novelty mirror: same distinct-shingle frame, min-id first
+    // occurrence, per-doc novel fraction
+    "t112_ngram_novelty" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, sh FROM (
+           SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
+                  list_extract(w, i+2) AS sh
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+                 FROM ($TOKS_SQL)))),
+         first AS (SELECT sh, MIN(doc_id) AS first_id FROM sh GROUP BY 1)
+         SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS novelty
+         FROM sh s JOIN first f USING (sh)
+         GROUP BY s.doc_id ORDER BY s.doc_id""",
 
     // aHash near-dup mirror: the planted 60-bit pattern IS the hash
     // (both colors present => mean separates exactly), so the oracle

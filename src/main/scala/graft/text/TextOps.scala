@@ -377,6 +377,38 @@ object TextOps {
     * Gram hashes are 60-bit md5 prefixes parsed to BIGINT — numeric,
     * portable (an external SQL engine reproduces them exactly), and
     * cheap to compare downstream. */
+  /** Per-document n-gram NOVELTY score — the data-selection signal
+    * behind dedup-aware curricula ("how much of this document's
+    * content first appears here?"): for each document, the fraction of
+    * its distinct n-word shingles whose corpus-wide FIRST occurrence
+    * (minimum id) is this document. Boilerplate-heavy or syndicated
+    * docs score near 0, originals near 1; ordering is the id order, so
+    * the score is deterministic and incremental-friendly (new batches
+    * only ever lower nothing — ids are assigned increasing).
+    *
+    * Returns (idCol, n_shingles, n_novel, novelty). Documents with
+    * fewer than `n` tokens carry no shingles and are omitted, like the
+    * other shingle-grain operators.
+    *
+    * Scale shape: one map-side-combinable distinct + min aggregate on
+    * the shingle key (shuffle ∝ distinct shingles, the decontamination
+    * cost class), one hash agg back on the id — no window over the
+    * corpus, no self-join. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3): DataFrame = {
+    val sh = explodedShingles(df, idCol, textCol, shingleWords).distinct()
+    val first = sh.groupBy(col("sh"))
+      .agg(min(col(idCol)).as("__first"))
+    sh.join(first, "sh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col(idCol), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+  }
+
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       gramWords: Int = 3, window: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -496,4 +496,33 @@ class DocStreamsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(a == b)
   }
+
+  test("greedy BPE tokenization is stream-legal and matches batch exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // BpeEncode is a narrow stateless projection, so the STREAMING twin
+    // is the same operator applied to a streaming frame — this pins
+    // that it stays legal (no fanOut repartition, no aggregation) and
+    // byte-identical across the two execution modes
+    val corpus = (0L until 40L).map(i =>
+      (i, s"the cat c$i sat on mat m${i % 7} it's low lower ${i * 31}"))
+    val docs = corpus.toDF("doc_id", "text")
+    val merges = TextOps.bpeTrainMergesDriver(docs, "text", numMerges = 24)
+    val want = TextOps.bpeTokenizeGreedy(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = TextOps.bpeTokenizeGreedy(
+        in.toDF.toDF("doc_id", "text"), "doc_id", "text", merges)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bpe_greedy_stream").start()
+    in.addData(corpus)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bpe_greedy_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want,
+      s"stream/batch mismatch: only-stream=${got -- want} only-batch=${want -- got}")
+  }
 }
