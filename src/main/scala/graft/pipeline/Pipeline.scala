@@ -139,6 +139,10 @@ object Pipeline {
     * images; decode is per-partition and touches survivors only;
     * the caption stages inherit [[graft.text.TextOps.curateCorpus]]'s
     * measured curve. */
+  /** `media` must carry the standard media columns (media_id, kind,
+    * payload) — the synthetic builders' and
+    * [[graft.multimodal.Media.fromText]]'s shape; `captions` carries
+    * (idCol, textCol) keyed by the same ids as media_id. */
   def imageCaptionCurate(media: DataFrame, captions: DataFrame,
       idCol: String, textCol: String,
       minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
