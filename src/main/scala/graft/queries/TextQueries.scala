@@ -884,6 +884,53 @@ object TextQueries {
     // SQL-recomputable while Spark still walks the real codec path.
     // Closes the "decode step not SQL-mirrorable" gap that kept the
     // image near-dup surface spec-only since r9.
+    // tokenizer fertility per source: trained-BPE tokens per
+    // alphanumeric word — the cost signal that decides how a source is
+    // budgeted (high-fertility sources eat the token budget faster
+    // than their word counts suggest). Composes the driver-loop
+    // trainer with the rank-greedy kernel and a per-source rollup.
+    "t113_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextOps.bpeTrainMergesDriver(docs, "text", numMerges = 12)
+      val tok = TextOps.bpeTokenizeGreedy(docs, "doc_id", "text", merges)
+      val words = docs.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_words"))
+      tok.join(words, "doc_id")
+        .groupBy("source")
+        .agg(sum("n_tokens").as("bpe_tokens"),
+          sum("n_words").as("words"),
+          round(sum("n_tokens").cast("double") / sum("n_words"), 6)
+            .as("fertility"))
+        .orderBy("source")
+    }),
+
+    // per-source vocabulary statistics: distinct tokens, hapax count,
+    // type-token ratio and top-10 token mass — the exact-integer "data
+    // card" vocabulary signals (Zipf-tail health without float
+    // regression): a scraped silo shows low TTR and high top-10 mass
+    "t114_vocab_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = graft.util.FanOut(docs).select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("t"))
+      val counts = tok.groupBy("source", "t").agg(count(lit(1)).as("c"))
+      val ranked = counts.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(desc("c"), col("t"))))
+      counts.groupBy("source")
+        .agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .join(ranked.filter(col("rk") <= 10).groupBy("source")
+          .agg(sum("c").as("top10_mass")), "source")
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          col("n_hapax"),
+          round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+            .as("ttr"),
+          round(col("top10_mass").cast("double") / col("n_tokens"), 6)
+            .as("top10_frac"))
+        .orderBy("source")
+    }),
+
     // n-gram novelty: per-doc fraction of distinct 3-word shingles
     // whose corpus-wide first occurrence (min doc_id) is this doc —
     // the dedup-aware data-selection signal (syndicated/boilerplate
@@ -3888,6 +3935,40 @@ object TextQueries {
     "t61_bpe_tokenize" -> bpeOracleSql(12),
     "t97_bpe_merges64" -> bpeOracleSql(64),
     "t109_bpe_greedy" -> bpeOracleSql(64),
+
+    // fertility mirror: the full 12-merge training+application mirror
+    // as a subquery, joined to word counts, rolled up per source
+    "t113_bpe_fertility" ->
+      s"""SELECT d.source,
+           CAST(SUM(b.n_tokens) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(len(tq.w)) AS BIGINT) AS words,
+           ROUND(SUM(b.n_tokens)::DOUBLE / SUM(len(tq.w)), 6) AS fertility
+         FROM (${bpeOracleSql(12)}) b
+         JOIN documents d USING (doc_id)
+         JOIN ($TOKS_SQL) tq ON tq.doc_id = b.doc_id
+         GROUP BY d.source ORDER BY d.source""",
+
+    // vocabulary-stats mirror: token counts per (source, token),
+    // rank-by-count window for the top-10 mass, exact integer ratios
+    "t114_vocab_stats" ->
+      s"""WITH tok AS (SELECT source, unnest(w) AS t
+           FROM ($TOKS_SQL) q JOIN documents d USING (doc_id)),
+         counts AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         ranked AS (SELECT source, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY c DESC, t) AS rk
+           FROM counts),
+         top10 AS (SELECT source, SUM(c) AS top10_mass FROM ranked
+           WHERE rk <= 10 GROUP BY 1),
+         agg AS (SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+           FROM counts GROUP BY 1)
+         SELECT a.source, a.n_tokens, a.n_distinct, a.n_hapax,
+           ROUND(a.n_distinct::DOUBLE / a.n_tokens, 6) AS ttr,
+           ROUND(t.top10_mass::DOUBLE / a.n_tokens, 6) AS top10_frac
+         FROM agg a JOIN top10 t USING (source) ORDER BY a.source""",
 
     // novelty mirror: same distinct-shingle frame, min-id first
     // occurrence, per-doc novel fraction

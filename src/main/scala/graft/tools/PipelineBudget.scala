@@ -91,6 +91,38 @@ object PipelineBudget {
     time("I3 + join sources", ingest(2, fanOut = true, doJoin = true, ckpt = false))
     time("I4 + localCheckpoint", ingest(2, fanOut = true, doJoin = true, ckpt = true))
 
+    // crawl-vs-parquet corpus gap at FULL corpus: is the t94 residual
+    // (vs the parquet-direct control) the barrier kind, or the chain?
+    {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val bench2 = docs.filter(col("doc_id") % 17 === 0).select("doc_id", "text")
+      def viaCrawlFull(): DataFrame = {
+        val warc = graft.sources.Warc.buildWarc(
+          graft.util.FanOut(docs), "doc_id", "text")
+        graft.pipeline.Pipeline.crawlToShards(warc, "warc_id", "payload",
+          docs.select("doc_id", "source"), bench2, idCol = "doc_id")
+          .orderBy("doc_id")
+      }
+      def viaParquetSpill(): DataFrame = {
+        val warc = graft.sources.Warc.buildWarc(
+          graft.util.FanOut(docs), "doc_id", "text")
+        val c = graft.sources.Warc.toCorpus(warc, "warc_id", "payload")
+          .select(col("warc_id").as("doc_id"), col("text"))
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        c.write.mode("overwrite").parquet("/tmp/pb_corpus.parquet")
+        graft.pipeline.Pipeline.corpusToShards(
+          spark.read.parquet("/tmp/pb_corpus.parquet"), bench2,
+          "doc_id", "text", "source").orderBy("doc_id")
+      }
+      def viaParquetDirect(): DataFrame =
+        graft.pipeline.Pipeline.corpusToShards(
+          graft.util.FanOut(docs), bench2, "doc_id", "text", "source")
+          .orderBy("doc_id")
+      time("E full crawlToShards (t94)", viaCrawlFull())
+      time("G full crawl+parquet spill", viaParquetSpill())
+      time("H full parquet direct", viaParquetDirect())
+    }
+
     // stage decomposition of corpusToShards' ~10 s floor (eighth corpus)
     {
       import graft.text.TextOps
