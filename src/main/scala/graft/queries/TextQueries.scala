@@ -912,7 +912,10 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val tok = graft.util.FanOut(docs).select(col("source"),
         explode(TextOps.tokens(col("text"))).as("t"))
+      // cached: the stats aggregate and the rank window both read the
+      // vocabulary-sized counts — one corpus scan, not two
       val counts = tok.groupBy("source", "t").agg(count(lit(1)).as("c"))
+        .cache()
       val ranked = counts.withColumn("rk",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("source").orderBy(desc("c"), col("t"))))

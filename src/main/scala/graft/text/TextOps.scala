@@ -396,7 +396,11 @@ object TextOps {
     * corpus, no self-join. */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3): DataFrame = {
+    // cached: both the first-occurrence aggregate and the per-doc join
+    // consume this token-scale frame — without the barrier the corpus
+    // is scanned and shingle-aggregated twice (the allSh discipline)
     val sh = explodedShingles(df, idCol, textCol, shingleWords).distinct()
+      .cache()
     val first = sh.groupBy(col("sh"))
       .agg(min(col(idCol)).as("__first"))
     sh.join(first, "sh")
