@@ -884,6 +884,38 @@ object TextQueries {
     // SQL-recomputable while Spark still walks the real codec path.
     // Closes the "decode step not SQL-mirrorable" gap that kept the
     // image near-dup surface spec-only since r9.
+    // benchmark-side contamination report: which eval items leak into
+    // the corpus, and how broadly — bench = every 17th doc (t94's
+    // convention), corpus = the rest, 13-gram grain
+    "t115_bench_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.benchContaminationReport(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text")
+        .orderBy("bench_id")
+    }),
+
+    // packing-efficiency report per source: bins used by the
+    // contiguous-fill packer vs the LP lower bound ceil(tokens/budget)
+    // — the fragmentation signal that says when a smarter packer is
+    // worth its complexity
+    "t116_pack_efficiency" -> ((s, dir) => {
+      val packed = TextOps.packSequences(t(s, dir, "documents"),
+        "doc_id", "text", "source", budget = 512)
+      packed.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("total_tokens"),
+          (max("bin") + 1L).as("bins_used"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("bins_used"),
+          ceil(col("total_tokens").cast("double") / 512.0).cast("long")
+            .as("lower_bound"))
+        .withColumn("efficiency",
+          round(col("lower_bound").cast("double") / col("bins_used"), 6))
+        .orderBy("source")
+    }),
+
     // tokenizer fertility per source: trained-BPE tokens per
     // alphanumeric word — the cost signal that decides how a source is
     // budgeted (high-fertility sources eat the token budget faster
@@ -3938,6 +3970,48 @@ object TextQueries {
     "t61_bpe_tokenize" -> bpeOracleSql(12),
     "t97_bpe_merges64" -> bpeOracleSql(64),
     "t109_bpe_greedy" -> bpeOracleSql(64),
+
+    // bench-contamination mirror: distinct 13-gram frames per side,
+    // shingle join, per-bench-item distinct counts
+    "t115_bench_contamination" ->
+      s"""WITH cs AS (SELECT DISTINCT doc_id, sh FROM (
+           SELECT doc_id, array_to_string(w[i:i+12], ' ') AS sh
+           FROM (SELECT doc_id, w FROM ($TOKS_SQL) WHERE doc_id % 17 <> 0),
+             UNNEST(generate_series(1, len(w) - 12)) AS u(i))),
+         bs AS (SELECT DISTINCT doc_id AS bench_id, sh FROM (
+           SELECT doc_id, array_to_string(w[i:i+12], ' ') AS sh
+           FROM (SELECT doc_id, w FROM ($TOKS_SQL) WHERE doc_id % 17 = 0),
+             UNNEST(generate_series(1, len(w) - 12)) AS u(i)))
+         SELECT bench_id,
+           CAST(COUNT(DISTINCT cs.doc_id) AS BIGINT) AS n_contaminating_docs,
+           CAST(COUNT(DISTINCT bs.sh) AS BIGINT) AS n_shared_shingles
+         FROM bs JOIN cs USING (sh)
+         GROUP BY bench_id ORDER BY bench_id""",
+
+    // packing-efficiency mirror: t24's cumsum-window bins rolled up
+    // against the LP lower bound
+    "t116_pack_efficiency" ->
+      s"""WITH packed AS (
+           SELECT source, doc_id, n_tok,
+             CAST(FLOOR((cum - n_tok) / 512.0::DOUBLE) AS BIGINT) AS bin
+           FROM (
+             SELECT source, doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+               SUM(CAST(len(w) AS BIGINT))
+                 OVER (PARTITION BY source ORDER BY doc_id) AS cum
+             FROM (SELECT source, doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '') AS w
+               FROM documents))),
+         agg AS (SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(MAX(bin) + 1 AS BIGINT) AS bins_used
+           FROM packed GROUP BY 1)
+         SELECT source, n_docs, total_tokens, bins_used,
+           CAST(CEIL(total_tokens::DOUBLE / 512.0) AS BIGINT) AS lower_bound,
+           ROUND(CEIL(total_tokens::DOUBLE / 512.0) / bins_used::DOUBLE, 6)
+             AS efficiency
+         FROM agg ORDER BY source""",
 
     // fertility mirror: the full 12-merge training+application mirror
     // as a subquery, joined to word counts, rolled up per source

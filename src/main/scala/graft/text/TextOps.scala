@@ -1837,6 +1837,30 @@ object TextOps {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Benchmark-side contamination report — [[decontaminate]] seen from
+    * the EVAL set's point of view ("which benchmark items leak?"
+    * rather than "which corpus docs to drop"): for each benchmark
+    * document, the number of distinct corpus documents sharing at
+    * least one `shingleWords`-gram with it and the number of its
+    * distinct grams that appear anywhere in the corpus. The
+    * eval-integrity signal a team reads BEFORE trusting a score —
+    * a benchmark item contaminated by hundreds of corpus docs is
+    * memorized, not solved.
+    *
+    * Scale shape: identical to [[decontaminate]] — one distinct-
+    * shingle aggregate per side, one shingle-keyed join bounded by the
+    * benchmark's gram count, then a bench-id-keyed aggregate. */
+  def benchContaminationReport(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, shingleWords: Int = 13): DataFrame = {
+    val bs = explodedShingles(bench, idCol, textCol, shingleWords).distinct()
+      .select(col(idCol).as("bench_id"), col("sh"))
+    val cs = explodedShingles(corpus, idCol, textCol, shingleWords).distinct()
+    bs.join(cs, "sh")
+      .groupBy("bench_id")
+      .agg(countDistinct(col(idCol)).as("n_contaminating_docs"),
+        countDistinct(col("sh")).as("n_shared_shingles"))
+  }
+
   /** Bloom-filter decontamination — the compact-filter variant of
     * [[decontaminate]]: each distinct benchmark shingle sets `kHashes`
     * md5-derived positions in an `mBits`-wide filter, and a corpus
