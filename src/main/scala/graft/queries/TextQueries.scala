@@ -884,6 +884,30 @@ object TextQueries {
     // SQL-recomputable while Spark still walks the real codec path.
     // Closes the "decode step not SQL-mirrorable" gap that kept the
     // image near-dup surface spec-only since r9.
+    // C4-style word-list gate: docs whose listed-token fraction
+    // exceeds 8% drop; survivors carry the audit columns. The list
+    // reuses corpus-frequent words so the gate genuinely bites.
+    "t117_wordlist_filter" -> ((s, dir) => {
+      TextOps.wordlistFilter(t(s, dir, "documents"), "doc_id", "text",
+          words = Seq("slow", "stream", "spill"), maxFrac = 0.08)
+        .select("doc_id", "n_listed", "listed_frac")
+        .orderBy("doc_id")
+    }),
+
+    // encoding-hygiene score over planted mojibake: every 4th doc gets
+    // a U+FFFD, every 6th a double-encoded marker, every 9th a bare
+    // control char — the crawl-extraction QA signal
+    "t118_encoding_quality" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" bad�char")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit(" cafÃ©")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit(" x\u0007y")).otherwise(lit("")))
+          .as("ptext"))
+      TextOps.encodingQuality(planted, "doc_id", "ptext")
+        .orderBy("doc_id")
+    }),
+
     // benchmark-side contamination report: which eval items leak into
     // the corpus, and how broadly — bench = every 17th doc (t94's
     // convention), corpus = the rest, 13-gram grain
@@ -3970,6 +3994,44 @@ object TextQueries {
     "t61_bpe_tokenize" -> bpeOracleSql(12),
     "t97_bpe_merges64" -> bpeOracleSql(64),
     "t109_bpe_greedy" -> bpeOracleSql(64),
+
+    // word-list gate mirror: same token filter, fraction and keep rule
+    "t117_wordlist_filter" ->
+      s"""SELECT doc_id,
+           CAST(len(list_filter(w, x -> x IN ('slow', 'stream', 'spill')))
+             AS BIGINT) AS n_listed,
+           CASE WHEN len(w) = 0 THEN NULL
+                ELSE ROUND(len(list_filter(w,
+                  x -> x IN ('slow', 'stream', 'spill')))::DOUBLE
+                  / len(w), 6) END AS listed_frac
+         FROM ($TOKS_SQL)
+         WHERE len(w) = 0 OR ROUND(len(list_filter(w,
+             x -> x IN ('slow', 'stream', 'spill')))::DOUBLE / len(w), 6)
+           <= 0.08
+         ORDER BY doc_id""",
+
+    // encoding-hygiene mirror: same planted suffixes (chr() for the
+    // unprintables), same occurrence-count regexes
+    "t118_encoding_quality" -> {
+      val repl = graft.text.TextOps.ReplacementCharPattern
+      val ctrl = graft.text.TextOps.ControlCharPattern
+      val moji = graft.text.TextOps.MojibakePattern
+      s"""WITH src AS (SELECT doc_id, text ||
+           (CASE WHEN doc_id % 4 = 0 THEN ' bad' || chr(65533) || 'char' ELSE '' END) ||
+           (CASE WHEN doc_id % 6 = 0 THEN ' cafÃ©' ELSE '' END) ||
+           (CASE WHEN doc_id % 9 = 0 THEN ' x' || chr(7) || 'y' ELSE '' END)
+             AS ptext
+         FROM documents)
+         SELECT doc_id,
+           CAST(length(ptext) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(ptext, '$repl')) AS BIGINT) AS n_replacement,
+           CAST(len(regexp_extract_all(ptext, '$ctrl')) AS BIGINT) AS n_control,
+           CAST(len(regexp_extract_all(ptext, '$moji')) AS BIGINT) AS n_mojibake,
+           (len(regexp_extract_all(ptext, '$repl'))
+             + len(regexp_extract_all(ptext, '$ctrl'))
+             + len(regexp_extract_all(ptext, '$moji'))) <= 0 AS clean
+         FROM src ORDER BY doc_id"""
+    },
 
     // bench-contamination mirror: distinct 13-gram frames per side,
     // shingle join, per-bench-item distinct counts

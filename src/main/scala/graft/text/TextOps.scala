@@ -1837,6 +1837,64 @@ object TextOps {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Word-list document gate — the C4-style "bad words" filter: per
+    * document, the fraction of its alphanumeric tokens found in
+    * `words`; documents above `maxFrac` are dropped. Returns the kept
+    * rows plus (n_listed, listed_frac) so downstream stages can audit
+    * the gate instead of trusting it. Token-less documents carry a
+    * null fraction and are KEPT (the gate measures list density, not
+    * emptiness — emptiness is the length gate's job).
+    *
+    * Narrow projection: the list ships as an array literal (word
+    * lists are hundreds of entries; model-sized), membership is one
+    * codegen'd array_contains filter over the already-materialized
+    * token array — no shuffle, no join. */
+  def wordlistFilter(df: DataFrame, idCol: String, textCol: String,
+      words: Seq[String], maxFrac: Double = 0.0): DataFrame = {
+    require(words.nonEmpty, "the word list is empty")
+    require(maxFrac >= 0 && maxFrac < 1, s"maxFrac in [0,1): $maxFrac")
+    val arr = array(words.map(w => lit(w.toLowerCase)): _*)
+    val w = tokens(col(textCol))
+    val n = size(w)
+    val hits = size(filter(w, x => array_contains(arr, x)))
+    val frac = round(when(n === 0, lit(null))
+      .otherwise(hits.cast("double") / n), 6)
+    df.withColumn("n_listed", hits.cast("long"))
+      .withColumn("listed_frac", frac)
+      .filter(col("listed_frac").isNull || col("listed_frac") <= maxFrac)
+  }
+
+  /** Encoding-hygiene score — the mojibake/binary-junk detector a
+    * crawl pipeline runs right after text extraction: per document,
+    * counts of U+FFFD replacement characters (a decoder already gave
+    * up), C0/C1 control characters (tab/newline/CR excluded), and the
+    * classic UTF-8-read-as-Latin-1 double-encoding markers ("Ã", "Â",
+    * "â€" prefixes), plus the total character count and a `clean`
+    * verdict (zero of all three). Narrow one-pass projection —
+    * codegen'd regexp counts, no shuffle. */
+  /** Occurrence-count regexes, shared verbatim with the SQL mirror
+    * (Java-regex/RE2-identical constructs only). */
+  val ReplacementCharPattern = "\\x{FFFD}"
+  val ControlCharPattern =
+    "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}]"
+  val MojibakePattern = "\u00c3.|\u00c2.|\u00e2\u20ac."
+
+  def encodingQuality(df: DataFrame, idCol: String, textCol: String,
+      maxBad: Long = 0): DataFrame = {
+    def cnt(pat: String) =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+    val repl = cnt(ReplacementCharPattern)
+    val ctrl = cnt(ControlCharPattern)
+    val moji = cnt(MojibakePattern)
+    df.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      repl.cast("long").as("n_replacement"),
+      ctrl.cast("long").as("n_control"),
+      moji.cast("long").as("n_mojibake"),
+      ((repl + ctrl + moji) <= maxBad).as("clean"))
+  }
+
+
   /** Benchmark-side contamination report — [[decontaminate]] seen from
     * the EVAL set's point of view ("which benchmark items leak?"
     * rather than "which corpus docs to drop"): for each benchmark
