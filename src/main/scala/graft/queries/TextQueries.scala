@@ -884,6 +884,55 @@ object TextQueries {
     // SQL-recomputable while Spark still walks the real codec path.
     // Closes the "decode step not SQL-mirrorable" gap that kept the
     // image near-dup surface spec-only since r9.
+    // LSH candidate-score histogram: the threshold-calibration signal
+    // for the near-dup verify stage — 0.05-wide Jaccard bins over the
+    // banded candidates show where the true-dup mass sits relative to
+    // the minJaccard cut (a bimodal histogram = safe threshold; mass on
+    // the cut = the bands are recalling borderline junk)
+    "t119_jaccard_histogram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
+      val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2).cache()
+      val pairs = bux.as("x").join(bux.as("y"),
+          col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      TextOps.jaccardPairs(docs, "doc_id", "text", pairs)
+        .select(least(floor(round(col("jaccard"), 6) * 20), lit(19L))
+          .cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+        .select(col("bin"), round(col("bin") / 20.0, 2).as("bin_lo"),
+          col("n_pairs"))
+        .orderBy("bin")
+    }),
+
+    // IVF recall report: per query vector, |IVF top-5 ∩ exact top-5| —
+    // the accuracy contract of the ANN shortcut as a standing
+    // oracle-checked query instead of a one-off tool run
+    "t120_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 4)
+      val qs = emb.filter(col("vec_id") >= 4 && col("vec_id") < 7)
+      val indexed = graft.sim.Similarity.ivfAssign(emb, centroids,
+        "vec_id", "embedding")
+      val ivf5 = graft.sim.Similarity.ivfSearch(indexed, centroids, qs,
+          "vec_id", "embedding", k = 5, nProbe = 2)
+        .select("query_id", "cand_id")
+      val ex5 = graft.sim.Similarity.cosineTopK(emb, qs,
+          "vec_id", "embedding", k = 5)
+        .select("query_id", "cand_id")
+      val hits = ivf5.join(ex5, Seq("query_id", "cand_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      ex5.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0, 6)
+            .as("recall_at_5"))
+        .orderBy("query_id")
+    }),
+
     // C4-style word-list gate: docs whose listed-token fraction
     // exceeds 8% drop; survivors carry the audit columns. The list
     // reuses corpus-frequent words so the gate genuinely bites.
@@ -3994,6 +4043,85 @@ object TextQueries {
     "t61_bpe_tokenize" -> bpeOracleSql(12),
     "t97_bpe_merges64" -> bpeOracleSql(64),
     "t109_bpe_greedy" -> bpeOracleSql(64),
+
+    // candidate-histogram mirror: t12's banded-candidate + Jaccard
+    // chain, binned at 0.05
+    "t119_jaccard_histogram" ->
+      s"""WITH mh AS ($MH_SQL),
+         buckets AS (
+           ${(0 until 4).map(b =>
+             s"SELECT doc_id, md5('b$b:' || h${2 * b} || ':' || h${2 * b + 1}) AS bucket FROM mh")
+             .mkString(" UNION ALL ")}),
+         pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM buckets x JOIN buckets y
+           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         sh AS (SELECT DISTINCT doc_id, sh FROM ($SHINGLES_SQL)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n_inter
+           FROM pairs p
+           JOIN sh sa ON sa.doc_id = p.a_id
+           JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+           GROUP BY 1, 2),
+         jac AS (SELECT p.a_id, p.b_id,
+             ROUND(COALESCE(i.n_inter, 0)::DOUBLE /
+               (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0)), 6) AS jaccard
+           FROM pairs p
+           JOIN sizes na ON na.doc_id = p.a_id
+           JOIN sizes nb ON nb.doc_id = p.b_id
+           LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id)
+         SELECT LEAST(CAST(FLOOR(jaccard * 20) AS BIGINT), 19) AS bin,
+           ROUND(LEAST(CAST(FLOOR(jaccard * 20) AS BIGINT), 19) / 20.0, 2)
+             AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+         FROM jac GROUP BY 1, 2 ORDER BY bin""",
+
+    // IVF-recall mirror: the t11 IVF chain and the t07 exact chain,
+    // intersected per query
+    "t120_ivf_recall" ->
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 4),
+         sc AS (SELECT d.vec_id, d.v, cell,
+                 ROUND(list_dot_product(v, cv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 4) AS sim
+               FROM d, cent),
+         idx AS (SELECT vec_id, v, cell FROM (
+                 SELECT vec_id, v, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+                 FROM sc) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM d
+               WHERE vec_id >= 4 AND vec_id < 7),
+         qc AS (SELECT query_id, qv, cell,
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+               FROM q, cent),
+         probed AS (SELECT query_id, qv, cell FROM (
+                 SELECT query_id, qv, cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cell) AS rn
+                 FROM qc) WHERE rn <= 2),
+         cands AS (SELECT p.query_id, i.vec_id AS cand_id,
+                 ROUND(list_dot_product(p.qv, i.v) /
+                   (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(i.v, i.v))), 4) AS score
+               FROM idx i JOIN probed p USING (cell)
+               WHERE i.vec_id <> p.query_id),
+         ivf5 AS (SELECT query_id, cand_id FROM (
+                 SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rn
+                 FROM cands) WHERE rn <= 5),
+         ep AS (SELECT query_id, vec_id AS cand_id,
+                 ROUND(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS score
+               FROM d, q WHERE vec_id <> query_id),
+         ex5 AS (SELECT query_id, cand_id FROM (
+                 SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rn
+                 FROM ep) WHERE rn <= 5),
+         hit AS (SELECT query_id, COUNT(*) AS c FROM ivf5
+                 JOIN ex5 USING (query_id, cand_id) GROUP BY 1)
+         SELECT q2.query_id,
+           CAST(COALESCE(hit.c, 0) AS BIGINT) AS n_hit,
+           ROUND(COALESCE(hit.c, 0)::DOUBLE / 5.0, 6) AS recall_at_5
+         FROM (SELECT DISTINCT query_id FROM ex5) q2
+         LEFT JOIN hit USING (query_id) ORDER BY q2.query_id""",
 
     // word-list gate mirror: same token filter, fraction and keep rule
     "t117_wordlist_filter" ->
