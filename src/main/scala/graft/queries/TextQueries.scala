@@ -1331,8 +1331,10 @@ object TextQueries {
       val cents = emb.filter(col("vec_id") < 4)
       val qs = emb.filter(col("vec_id") >= 4 && col("vec_id") < 7)
       val indexed = graft.sim.Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+      // cached: the codebook trainer and the encoder both read the
+      // residual frame (plan-audited r12: 26 embedding scans without)
       val res = graft.sim.Similarity.ivfResiduals(indexed, cents,
-        "vec_id", "embedding")
+        "vec_id", "embedding").cache()
       val cb = graft.sim.Similarity.pqCodebook(
         res.filter(col("vec_id") < 16).select(col("vec_id"), col("res")),
         "vec_id", "res", m = 4, subDim = 16)
@@ -1352,8 +1354,10 @@ object TextQueries {
       val cents = emb.filter(col("vec_id") < 4)
       val qs = emb.filter(col("vec_id") >= 4 && col("vec_id") < 7)
       val indexed = graft.sim.Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+      // cached: the codebook trainer and the encoder both read the
+      // residual frame (plan-audited r12: 26 embedding scans without)
       val res = graft.sim.Similarity.ivfResiduals(indexed, cents,
-        "vec_id", "embedding")
+        "vec_id", "embedding").cache()
       val cb = graft.sim.Similarity.pqCodebook(
         res.filter(col("vec_id") < 16).select(col("vec_id"), col("res")),
         "vec_id", "res", m = 4, subDim = 16)

@@ -2086,7 +2086,8 @@ object TextOps {
   def lmScore(reference: DataFrame, target: DataFrame, idCol: String,
       textCol: String, alpha: Double = 0.1): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val refSh = explodedShingles(reference, idCol, textCol, 2)
+    // cached: both n-gram count tables read the reference shingles
+    val refSh = explodedShingles(reference, idCol, textCol, 2).cache()
     val biCounts = refSh.groupBy(col("sh")).agg(count(lit(1)).as("__cb"))
     val headCounts = refSh
       .select(substring_index(col("sh"), " ", 1).as("__w1"))
@@ -2531,10 +2532,14 @@ object TextOps {
     require(k > 0, s"k must be positive, got $k")
     require(maxDfRatio > 0 && maxDfRatio <= 1.0,
       s"maxDfRatio must be in (0, 1], got $maxDfRatio")
+    // cached: dl, dfreq AND the contrib join all read the term
+    // frequencies — without the barrier the corpus is tokenized and
+    // aggregated three times (plan-audited r12: 12 parquet scans)
     val tf = fanOut(docs)
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .cache()
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).cast("double").as("__n"))
@@ -2643,8 +2648,12 @@ object TextOps {
     val scores = lmScore(reference, target, idCol, textCol, alpha)
       .select(col(idCol), col("n_bigrams"),
         round(col("lm_bits") * lit(1e6), 0).cast("long").as("__micro"))
+    // cached: the percentile cuts and the final bucket join both read
+    // the scored frame — without the barrier the whole lmScore chain
+    // (reference counts + target shingle joins) runs twice
     val withSrc = scores.join(
       target.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .cache()
     val cuts = withSrc.groupBy(sourceCol)
       .agg(percentile(col("__micro"), lit(loFrac)).as("__lo"),
         percentile(col("__micro"), lit(hiFrac)).as("__hi"))
