@@ -884,6 +884,25 @@ object TextQueries {
     // SQL-recomputable while Spark still walks the real codec path.
     // Closes the "decode step not SQL-mirrorable" gap that kept the
     // image near-dup surface spec-only since r9.
+    // per-source curation survival report: how much of each source the
+    // full curation core keeps — the observability row a data team
+    // reads per ingest batch (a source suddenly surviving at 10% means
+    // its crawler broke or its content went templated)
+    "t121_curation_rates" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = TextOps.curateCorpus(docs, "doc_id", "text")
+        .select(col("doc_id"), lit(1L).as("__kept"))
+      docs.select("doc_id", "source")
+        .join(kept, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__kept"), lit(0L))).as("n_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_docs"), 6)
+            .as("keep_rate"))
+        .orderBy("source")
+    }),
+
     // LSH candidate-score histogram: the threshold-calibration signal
     // for the near-dup verify stage — 0.05-wide Jaccard bins over the
     // banded candidates show where the true-dup mass sits relative to
@@ -2165,6 +2184,69 @@ object TextQueries {
     * applies), and the FULL public-suffix-list registrable-domain
     * derivation (`psl*`/`hy`/`cand`/`pslen`/`dm`) over the SAME
     * bundled data file [[graft.text.Psl]] reads. */
+  /** t22's full curation-chain mirror, extracted so composed
+    * mirrors (t121 rates) can re-root on the surviving ids. */
+  private lazy val curateCorpusSql: String = {
+
+      val toksD = TOKS_SQL.replace("FROM documents", "FROM docs")
+      val mhD = MH_SQL.replace("FROM documents", "FROM docs")
+      val (rs, pred) = langIdSqlParts
+      s"""WITH RECURSIVE docs AS (
+           SELECT d.doc_id, d.text FROM documents d
+           WHERE d.doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))),
+         mh AS ($mhD),
+         buckets AS (
+           ${(0 until 4).map(b =>
+             s"SELECT doc_id, md5('b$b:' || h${2 * b} || ':' || h${2 * b + 1}) AS bucket FROM mh")
+             .mkString(" UNION ALL ")}),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM buckets x JOIN buckets y
+           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         sh AS (SELECT DISTINCT doc_id, sh FROM (
+           SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
+                  list_extract(w, i+2) AS sh
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+                 FROM ($toksD)))),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n_inter
+           FROM cand p
+           JOIN sh sa ON sa.doc_id = p.a_id
+           JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+           GROUP BY 1, 2),
+         verified AS (SELECT p.a_id, p.b_id FROM cand p
+           JOIN sizes na ON na.doc_id = p.a_id
+           JOIN sizes nb ON nb.doc_id = p.b_id
+           LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+           WHERE CASE WHEN na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0) > 0
+             THEN COALESCE(i.n_inter, 0)::DOUBLE /
+               (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0))
+             ELSE 0.0 END >= 0.5),
+         edges AS (SELECT a_id, b_id FROM verified
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM verified),
+         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.a_id AS id, reach.r FROM edges e
+           JOIN reach ON reach.id = e.b_id),
+         cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         tq AS ($toksD),
+         wf AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS mx
+           FROM (SELECT doc_id, t, COUNT(*) AS c
+                 FROM (SELECT doc_id, unnest(w) AS t FROM tq) GROUP BY 1, 2)
+           GROUP BY 1),
+         lang AS (SELECT doc_id, $pred AS lang_pred
+           FROM (SELECT doc_id, $rs FROM tq))
+         SELECT d.doc_id, d.text FROM docs d
+         JOIN wf ON wf.doc_id = d.doc_id
+         JOIN lang ON lang.doc_id = d.doc_id
+         WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE cluster <> id)
+           AND lang.lang_pred = 'en'
+           AND wf.n BETWEEN 20 AND 80
+           AND ROUND(CAST(wf.mx AS DOUBLE) / wf.n, 6) <= 0.12
+         ORDER BY d.doc_id"""
+  }
+
   /** (exact, wildcard, exception) rule counts of the bundled PSL file,
     * parsed at SQL-generation time with EXACTLY the framing rule the
     * `psl` CTE applies (split on LF; strip spaces, tabs and CR; drop
@@ -2868,65 +2950,19 @@ object TextQueries {
     // curation mirror: every stage is the same SQL as the single-op
     // oracles (t01/t04/t05/t12/t14/t19/t20), re-rooted at the
     // exact-dedup survivor set
-    "t22_curate_corpus" -> {
-      val toksD = TOKS_SQL.replace("FROM documents", "FROM docs")
-      val mhD = MH_SQL.replace("FROM documents", "FROM docs")
-      val (rs, pred) = langIdSqlParts
-      s"""WITH RECURSIVE docs AS (
-           SELECT d.doc_id, d.text FROM documents d
-           WHERE d.doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))),
-         mh AS ($mhD),
-         buckets AS (
-           ${(0 until 4).map(b =>
-             s"SELECT doc_id, md5('b$b:' || h${2 * b} || ':' || h${2 * b + 1}) AS bucket FROM mh")
-             .mkString(" UNION ALL ")}),
-         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           FROM buckets x JOIN buckets y
-           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
-         sh AS (SELECT DISTINCT doc_id, sh FROM (
-           SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
-                  list_extract(w, i+2) AS sh
-           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
-                 FROM ($toksD)))),
-         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-         inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n_inter
-           FROM cand p
-           JOIN sh sa ON sa.doc_id = p.a_id
-           JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
-           GROUP BY 1, 2),
-         verified AS (SELECT p.a_id, p.b_id FROM cand p
-           JOIN sizes na ON na.doc_id = p.a_id
-           JOIN sizes nb ON nb.doc_id = p.b_id
-           LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
-           WHERE CASE WHEN na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0) > 0
-             THEN COALESCE(i.n_inter, 0)::DOUBLE /
-               (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0))
-             ELSE 0.0 END >= 0.5),
-         edges AS (SELECT a_id, b_id FROM verified
-           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM verified),
-         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
-         reach(id, r) AS (
-           SELECT id, id AS r FROM nodes
-           UNION
-           SELECT e.a_id AS id, reach.r FROM edges e
-           JOIN reach ON reach.id = e.b_id),
-         cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
-         tq AS ($toksD),
-         wf AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS mx
-           FROM (SELECT doc_id, t, COUNT(*) AS c
-                 FROM (SELECT doc_id, unnest(w) AS t FROM tq) GROUP BY 1, 2)
-           GROUP BY 1),
-         lang AS (SELECT doc_id, $pred AS lang_pred
-           FROM (SELECT doc_id, $rs FROM tq))
-         SELECT d.doc_id, d.text FROM docs d
-         JOIN wf ON wf.doc_id = d.doc_id
-         JOIN lang ON lang.doc_id = d.doc_id
-         WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE cluster <> id)
-           AND lang.lang_pred = 'en'
-           AND wf.n BETWEEN 20 AND 80
-           AND ROUND(CAST(wf.mx AS DOUBLE) / wf.n, 6) <= 0.12
-         ORDER BY d.doc_id"""
-    },
+    "t22_curate_corpus" -> curateCorpusSql,
+    // curation-rate mirror: the t22 chain's surviving ids, rolled up
+    // per source against the full corpus
+    "t121_curation_rates" ->
+      s"""WITH kept AS (SELECT doc_id FROM ($curateCorpusSql))
+         SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN kept.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS keep_rate
+         FROM documents d LEFT JOIN kept USING (doc_id)
+         GROUP BY d.source ORDER BY d.source""",
 
     // uniform-hash mixture sampling mirror: same md5-derived u and the
     // same per-source rate CASE as the operator's when-cascade
