@@ -64,6 +64,8 @@ object TextOps {
       case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
     }
 
+
+
   /** (id, sh) exploded shingle pairs via the compiled shingle kernel. */
   private[graft] def explodedShingles(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int): DataFrame =
@@ -612,6 +614,17 @@ object TextOps {
     // and recompute-on-eviction safety. Iterative loops (CC labels,
     // BPE merge training) still localCheckpoint — there lineage
     // TRUNCATION is the point.
+    // Known, measured tradeoff of LAZY caching: same-wave consumers
+    // (the bux self-join; allSh's two readers) can race to populate a
+    // not-yet-materialized cache, redundantly recomputing its lineage
+    // once. r12 A/B at 50k adversarial docs: lazy 15.1 s / 693 MB
+    // shuffle vs eager cache-then-count 14.9 s / 556 MB — equal wall,
+    // ~20% extra shuffle — while at bench scale the eager variant's
+    // 4 count-job rounds cost +1.2-2.3 s per invocation across every
+    // curation-composing query (measured 129.6 -> 140.9+ s registry
+    // total). The race wastes at most one bounded recomputation of
+    // two frames; the rounds tax every run. Lazy wins both measured
+    // regimes; revisit only with cluster-scale evidence.
     val groups = df.groupBy(md5(col(textCol)).as("__h"))
       .agg(min(col(idCol)).as("__canon"), count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
