@@ -362,23 +362,6 @@ object TextOps {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
-    * SIGMOD 2003 — the MOSS algorithm): hash every k-word gram, slide a
-    * window of `window` consecutive gram hashes, keep each window's
-    * minimum; the distinct kept hashes are the fingerprint. Guarantee:
-    * any shared run of at least window+k-1 tokens between two documents
-    * yields at least one shared fingerprint, while storage is ~2/(w+1)
-    * of the gram count — the standard local-similarity sketch for
-    * plagiarism/provenance detection at corpus scale.
-    *
-    * Documents with fewer than `window` grams contribute the minimum
-    * over all their grams (one degenerate window) instead of nothing.
-    *
-    * Scale shape: one shuffle (window partitioned by document), then a
-    * partial-aggregated distinct; no driver collection, no all-pairs.
-    * Gram hashes are 60-bit md5 prefixes parsed to BIGINT — numeric,
-    * portable (an external SQL engine reproduces them exactly), and
-    * cheap to compare downstream. */
   /** Per-document n-gram NOVELTY score — the data-selection signal
     * behind dedup-aware curricula ("how much of this document's
     * content first appears here?"): for each document, the fraction of
@@ -415,6 +398,23 @@ object TextOps {
           .as("novelty"))
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-word gram, slide a
+    * window of `window` consecutive gram hashes, keep each window's
+    * minimum; the distinct kept hashes are the fingerprint. Guarantee:
+    * any shared run of at least window+k-1 tokens between two documents
+    * yields at least one shared fingerprint, while storage is ~2/(w+1)
+    * of the gram count — the standard local-similarity sketch for
+    * plagiarism/provenance detection at corpus scale.
+    *
+    * Documents with fewer than `window` grams contribute the minimum
+    * over all their grams (one degenerate window) instead of nothing.
+    *
+    * Scale shape: one shuffle (window partitioned by document), then a
+    * partial-aggregated distinct; no driver collection, no all-pairs.
+    * Gram hashes are 60-bit md5 prefixes parsed to BIGINT — numeric,
+    * portable (an external SQL engine reproduces them exactly), and
+    * cheap to compare downstream. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       gramWords: Int = 3, window: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1877,6 +1877,13 @@ object TextOps {
       .filter(col("listed_frac").isNull || col("listed_frac") <= maxFrac)
   }
 
+  /** Occurrence-count regexes for [[encodingQuality]], shared verbatim
+    * with the SQL mirror (Java-regex/RE2-identical constructs only). */
+  val ReplacementCharPattern = "\\x{FFFD}"
+  val ControlCharPattern =
+    "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}]"
+  val MojibakePattern = "\u00c3.|\u00c2.|\u00e2\u20ac."
+
   /** Encoding-hygiene score — the mojibake/binary-junk detector a
     * crawl pipeline runs right after text extraction: per document,
     * counts of U+FFFD replacement characters (a decoder already gave
@@ -1885,13 +1892,6 @@ object TextOps {
     * "â€" prefixes), plus the total character count and a `clean`
     * verdict (zero of all three). Narrow one-pass projection —
     * codegen'd regexp counts, no shuffle. */
-  /** Occurrence-count regexes, shared verbatim with the SQL mirror
-    * (Java-regex/RE2-identical constructs only). */
-  val ReplacementCharPattern = "\\x{FFFD}"
-  val ControlCharPattern =
-    "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}-\\x{9F}]"
-  val MojibakePattern = "\u00c3.|\u00c2.|\u00e2\u20ac."
-
   def encodingQuality(df: DataFrame, idCol: String, textCol: String,
       maxBad: Long = 0): DataFrame = {
     def cnt(pat: String) =

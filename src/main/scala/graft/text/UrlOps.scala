@@ -32,32 +32,47 @@ object UrlOps {
     * rules and failing t62/t87): every candidate is canonicalized to
     * an ABSOLUTE path, the first one that is verifiably readable wins,
     * and if none is readable this `lazy val` THROWS at SQL-generation
-    * time — the mirror errors loudly instead of drifting. Candidates,
-    * in order: `GRAFT_PSL_PATH` env override (packaged deployments
-    * where the resource lives in a jar DuckDB can't read); the repo
-    * source file (absolutized against the generating JVM's cwd); the
-    * classpath resource's own file URL (sbt runs unpack resources on
-    * disk). Lazy so a resolution failure can only ever hit oracle-SQL
-    * generation, never the Spark-side [[Psl]] kernel, which reads the
-    * resource from the classpath directly. */
+    * time — the mirror errors loudly instead of drifting. An explicitly
+    * set `GRAFT_PSL_PATH` is AUTHORITATIVE: if it is set but
+    * unreadable that is an error, not a fall-through (a silent
+    * fallback would mirror a different rule set than the operator
+    * intended). Candidates, in order: `GRAFT_PSL_PATH` env override
+    * (packaged deployments where the resource lives in a jar DuckDB
+    * can't read); the classpath resource's own file URL (sbt runs
+    * unpack resources on disk — this is the EXACT file the Spark-side
+    * [[Psl]] kernel reads, so it outranks the cwd-relative repo source,
+    * which in a multi-checkout setup could be a DIFFERENT file the
+    * psl_canary cannot distinguish); the repo source file (absolutized
+    * against the generating JVM's cwd) as the last resort for
+    * resource-less classloaders. Lazy so a resolution failure can only
+    * ever hit oracle-SQL generation, never the Spark-side [[Psl]]
+    * kernel, which reads the resource from the classpath directly. */
   lazy val PslSourcePath: String = {
-    val candidates: Seq[(String, String)] = Seq(
-      sys.env.get("GRAFT_PSL_PATH").map("GRAFT_PSL_PATH" -> _),
-      Some("repo source" -> "src/main/resources/graft/public_suffix_list.dat"),
-      Option(getClass.getResource("/graft/public_suffix_list.dat"))
-        .filter(_.getProtocol == "file")
-        .map(u => "classpath" ->
-          java.nio.file.Paths.get(u.toURI).toString)).flatten
-    val resolved = candidates
-      .map { case (k, p) =>
-        k -> java.nio.file.Paths.get(p).toAbsolutePath.normalize }
-    resolved
-      .collectFirst {
-        case (_, p) if java.nio.file.Files.isReadable(p) => p.toString }
-      .getOrElse(sys.error(
-        "public_suffix_list.dat is not readable at any candidate path " +
-          "(oracle mirrors for URL/domain queries cannot be generated): " +
-          resolved.map { case (k, p) => s"$k=$p" }.mkString(", ")))
+    def abs(p: String) = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+    sys.env.get("GRAFT_PSL_PATH") match {
+      case Some(p) =>
+        val path = abs(p)
+        if (!java.nio.file.Files.isReadable(path)) sys.error(
+          s"GRAFT_PSL_PATH is set but not readable: $path " +
+            "(refusing to fall back to a bundled copy — the oracle " +
+            "would mirror a different rule set than intended)")
+        path.toString
+      case None =>
+        val candidates: Seq[(String, java.nio.file.Path)] = Seq(
+          Option(getClass.getResource("/graft/public_suffix_list.dat"))
+            .filter(_.getProtocol == "file")
+            .map(u => "classpath" ->
+              java.nio.file.Paths.get(u.toURI).toAbsolutePath.normalize),
+          Some("repo source" ->
+            abs("src/main/resources/graft/public_suffix_list.dat"))).flatten
+        candidates
+          .collectFirst {
+            case (_, p) if java.nio.file.Files.isReadable(p) => p.toString }
+          .getOrElse(sys.error(
+            "public_suffix_list.dat is not readable at any candidate path " +
+              "(oracle mirrors for URL/domain queries cannot be generated): " +
+              candidates.map { case (k, p) => s"$k=$p" }.mkString(", ")))
+    }
   }
 
   /** Registrable domain of an already-lowercased host column via the
