@@ -1,0 +1,84 @@
+package graft.util
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.Dataset
+
+/** Session-lifetime ledger for the cache() BARRIER frames library
+  * operators materialize internally (curateCorpus's shingle/candidate
+  * frames, Pipeline's stage boundaries, the classifier's feature
+  * frames, ...). The barriers are load-bearing for a single invocation
+  * — each is read several times within its own operator — but Spark's
+  * CacheManager keeps the MEMORY_AND_DISK blocks until somebody
+  * unpersists them, so a LONG-LIVED SERVICE invoking operators
+  * repeatedly in one session accumulates storage without bound.
+  *
+  * Every internal barrier is created through [[cache]], which registers
+  * a weak reference here; a service calls [[releaseAll]] between units
+  * of work to return the CacheManager to its pre-invocation state
+  * without nuking caches the APPLICATION itself created (the blunt
+  * alternative, `spark.catalog.clearCache()`, drops those too).
+  *
+  * The ledger holds STRONG references: the CacheManager itself keeps
+  * a strong reference to every cached plan, so a weakly-held ledger
+  * entry whose Dataset got collected would leave an entry nobody can
+  * unpersist — the exact leak this exists to close. The driver-side
+  * cost is the Dataset wrapper (KBs of plan objects) per barrier
+  * until release; the bound is the number of invocations between
+  * releases, which is the caller's unit-of-work contract.
+  *
+  * Batch jobs need none of this: the session exits, the blocks die.
+  */
+object Barriers {
+  private val ledger = new ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** `df.cache()` + register for a later [[releaseAll]]. */
+  def cache[T](df: Dataset[T]): Dataset[T] = {
+    val cached = df.cache()
+    ledger.add(cached)
+    cached
+  }
+
+  /** Unpersist every barrier registered since the last call and clear
+    * the ledger. `blocking = false`: block removal proceeds
+    * asynchronously, the CacheManager entry removal is synchronous.
+    * Returns the number of frames unpersisted. */
+  def releaseAll(): Int = {
+    var n = 0
+    var df = ledger.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      n += 1
+      df = ledger.poll()
+    }
+    n
+  }
+
+  /** Drop-in suffix form for the operators' barrier sites:
+    * `frame.barrierCache()` == `Barriers.cache(frame)`. */
+  implicit class BarrierOps[T](private val df: Dataset[T]) extends AnyVal {
+    def barrierCache(): Dataset[T] = Barriers.cache(df)
+  }
+
+  /** Run `f`, then release the barriers registered DURING it (from any
+    * thread — the scope is the ledger delta, which is exactly this
+    * invocation's barriers when units of work run one at a time, the
+    * long-lived-service shape this exists for). The release runs on
+    * failure too, so a thrown stage doesn't leak its upstream
+    * barriers. */
+  def scoped[T](f: => T): T = {
+    val before = new java.util.IdentityHashMap[Dataset[_], java.lang.Boolean]()
+    ledger.forEach(df => before.put(df, java.lang.Boolean.TRUE))
+    try f
+    finally {
+      val it = ledger.iterator()
+      while (it.hasNext) {
+        val df = it.next()
+        if (!before.containsKey(df)) {
+          df.unpersist(blocking = false)
+          it.remove()
+        }
+      }
+    }
+  }
+}

@@ -20,4 +20,12 @@ object Bridge {
     * reset/read boundaries. */
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty(30000L)
+
+  /** Whether the session's CacheManager holds no cached plans —
+    * `sharedState` is `private[sql]`; the barrier-lifecycle spec
+    * asserts this returns to true after
+    * [[graft.util.Barriers.releaseAll]]. */
+  def cacheManagerIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }
