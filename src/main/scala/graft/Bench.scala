@@ -93,6 +93,19 @@ object Bench {
     val cold = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeOne(name, fn)
     }.toMap
+    // Drop DATA warmth between the passes while keeping JIT/codegen
+    // warmth: operators cache() shared frames and nothing else ever
+    // unpersists them in this JVM, so without this the second pass is
+    // served from the MEMORY_AND_DISK blocks the first pass populated
+    // and the min-of-two systematically reports the cache-assisted
+    // time. With the clear, the rerun re-pays every cache populate the
+    // first pass paid — the min now filters host-scheduler contention
+    // only, not data warmth. (Within-pass cross-query reuse remains,
+    // deterministically, in sorted registry order — the same regime a
+    // real session running the registry once sees; the first-pass
+    // total is reported as "total_cold" so the gate can be audited on
+    // a number with no second-pass influence at all.)
+    spark.catalog.clearCache()
     // This VM shows transient host-scheduler contention: the SAME query
     // measured in consecutive cold JVMs swings 10-20x in either
     // direction (e.g. 1.5s vs 19.5s), while back-to-back in-JVM re-runs
@@ -132,7 +145,8 @@ object Bench {
     // Full-name timings + raw first pass, for humans reading the whole log.
     println(s"""{"diag":"full_names","queries":$qsFull,"first_pass":$cs}""")
     val (line, diags) =
-      renderFinal(results, rerunRaw.toMap, failed, sfDir.split('/').last)
+      renderFinal(results, rerunRaw.toMap, failed, sfDir.split('/').last,
+        coldTotal = cold.values.filter(_ >= 0).sum)
     diags.foreach(println)
     println(line)
     spark.stop()
@@ -161,7 +175,8 @@ object Bench {
     * 3. last ditch: the full map at 1 decimal. */
   private[graft] def renderFinal(results: Map[String, Double],
       rerunRaw: Map[String, Double], failed: List[String],
-      sfShort: String, budget: Int = 1900): (String, Seq[String]) = {
+      sfShort: String, budget: Int = 1900,
+      coldTotal: Double = -1.0): (String, Seq[String]) = {
     def trim0(s: String): String =
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
         .stripSuffix(".")
@@ -195,7 +210,14 @@ object Bench {
     // basename (the full path is on the diag line and in the driver's
     // own run metadata).
     val failedField = if (failed.isEmpty) "" else s""","failed":$fs"""
-    val head = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec""""
+    // First-pass-only total: min-of-two can only mask contention, not
+    // help a cached rerun, after the inter-pass clearCache — but this
+    // field lets any reader audit the gate on a number with zero
+    // second-pass influence.
+    val coldField =
+      if (coldTotal >= 0) s""","total_cold":${fmt2(coldTotal)}""" else ""
+    val head =
+      s"""{"metric":"total","value":${fmt2(total)}$coldField,"unit":"sec""""
     val tail = s"""$failedField,"sf":"$sfShort"}"""
     val withWarm = s"""$head,"queries":$qs,"queries_warm":$warm$tail"""
     val noWarm = s"""$head,"queries":$qs$tail"""

@@ -64,6 +64,21 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line == Bench.renderFinal(r, Map.empty, Nil, "sf0.1")._1)
   }
 
+  test("total_cold rides every rung and stays inside the budget") {
+    for (n <- Seq(140, 220)) {
+      val r = registry(n)
+      val warm = r.filter(_._2 > 1.0)
+      val (line, _) = Bench.renderFinal(r, warm, Nil, "sf0.1",
+        coldTotal = r.values.sum + 3.25)
+      parse(line)
+      assert(line.length <= 1900, s"line overflows with total_cold: ${line.length}")
+      assert(line.contains("\"total_cold\":"), s"total_cold missing at n=$n")
+    }
+    // default (-1) keeps the field out entirely — old call sites unchanged
+    val (noCold, _) = Bench.renderFinal(registry(140), Map.empty, Nil, "sf0.1")
+    assert(!noCold.contains("total_cold"))
+  }
+
   test("failed queries stay listed on every rung") {
     val r = registry(220) + ("t999_dead" -> -1.0)
     val (line, _) = Bench.renderFinal(r, Map.empty, List("t999_dead"), "sf0.1")
