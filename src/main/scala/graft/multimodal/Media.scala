@@ -3,6 +3,7 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.util.Barriers.BarrierOps
 
 /** Multimodal columns: image/audio/video payloads as opaque binary with
   * typed metadata, processed per-partition.
@@ -1524,20 +1525,28 @@ object Media {
     * Scale shape: per-partition decode (the imageHash map), then a
     * banded candidate join — never all-pairs; the signature frame is
     * materialized once (it is referenced four times below). */
-  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = imageHash(media).filter(col("ahash").isNotNull)
-      .cache()
-    val bands = sigs.select(col("media_id"),
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    imageNearDupsFromHashes(
+      imageHash(media).filter(col("ahash").isNotNull).barrierCache(),
+      maxHamming)
+
+  /** [[imageNearDups]] from an already-computed (media_id, ahash)
+    * signature frame — pipelines that also need the hashes downstream
+    * (e.g. [[graft.pipeline.Pipeline.imageCaptionCurateNearDup]]) pass
+    * their own materialized frame so the decode runs once. Null hashes
+    * must already be filtered; callers with an expensive lineage
+    * should cache the frame (it is referenced three times). */
+  def imageNearDupsFromHashes(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // (band, 16-bit value) flattened to one injective bucket key so
+    // graft.text.TextOps.lshCandidatePairs' hot-bucket star-edge cap
+    // applies — a templated-image mega-cluster (one aHash shared
+    // corpus-wide) is the same in-bucket quadratic as the text chains.
+    val bux = sigs.select(col("media_id"),
       explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("ahash"), b * 16).bitwiseAND(0xffffL).as("v"))
-      }: _*)).as("bk"))
-      .select(col("media_id"), col("bk.band"), col("bk.v"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
-          col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"))
-      .distinct()
+        concat_ws(":", lit(b),
+          shiftright(col("ahash"), b * 16).bitwiseAND(0xffffL))
+      }: _*)).as("bucket"))
+    val cand = graft.text.TextOps.lshCandidatePairs(bux, "media_id")
     val sa = sigs.select(col("media_id").as("a_id"), col("ahash").as("__a"))
     val sb = sigs.select(col("media_id").as("b_id"), col("ahash").as("__b"))
     cand.join(sa, "a_id").join(sb, "b_id")

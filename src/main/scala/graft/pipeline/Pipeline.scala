@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextOps
+import graft.util.Barriers.BarrierOps
 
 /** The composed crawl-to-training-shards pipeline — the end-to-end
   * product a training-data team actually runs, assembled from the
@@ -37,9 +38,13 @@ import graft.text.TextOps
   * job scheduling), while a cached frame keeps lineage — so executor
   * loss or memory-pressure eviction recomputes instead of failing, and
   * size estimates keep flowing. The blocks live in the CacheManager
-  * until the session drops them; a long-lived service running many
-  * pipelines per session should `spark.catalog.clearCache()` between
-  * runs.
+  * until the session drops them; every barrier (here and in every
+  * caching operator) is registered in [[graft.util.Barriers]], so a
+  * long-lived service running many pipelines per session calls
+  * `Barriers.releaseAll()` between runs — or wraps each run in
+  * `Barriers.scoped { ... }` — to return the CacheManager to its
+  * pre-invocation state without dropping the application's own caches
+  * (which a blanket `spark.catalog.clearCache()` would).
   *   - the input corpus itself is assumed cheap to re-derive (the
   *     crawl chain is a zero-shuffle narrow map) or already on disk —
   *     at real scale a pipeline writes the extracted corpus to parquet
@@ -78,7 +83,7 @@ object Pipeline {
     val curatedIds = TextOps.curateCorpus(
         corpus.select(col(idCol), col(textCol)), idCol, textCol,
         minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
-      .select(col(idCol)).cache()
+      .select(col(idCol)).barrierCache()
     val curatedRaw = corpus.join(curatedIds, Seq(idCol), "left_semi")
     // Optional PII hygiene on the survivors — scrub-LATE (after dedup,
     // before anything token-counting), the order real pipelines use so
@@ -101,7 +106,7 @@ object Pipeline {
     val budgeted = TextOps.tokenBudgetSample(clean, idCol, textCol,
         sourceCol, budgetTokens)
       .select(col(sourceCol), col(idCol), col("n_tokens"))
-      .cache()
+      .barrierCache()
     val w = Window.partitionBy(sourceCol).orderBy(idCol)
     val packed = budgeted.withColumn("bin",
       floor((sum("n_tokens").over(w) - col("n_tokens")) /
@@ -152,7 +157,7 @@ object Pipeline {
     val keep = media.groupBy(md5(col("payload")).as("__h"))
       .agg(min(col("media_id")).as("media_id"))
       .select("media_id")
-      .cache()
+      .barrierCache()
     val survivors = media.join(keep, Seq("media_id"), "left_semi")
     val meta = graft.multimodal.Media.decode(survivors)
       .select(col("media_id"), col("format"), col("width"), col("height"))
@@ -163,6 +168,45 @@ object Pipeline {
     curated
       .join(meta, curated(idCol) === meta("media_id"))
       .select(col(idCol), col("format"), col("width"), col("height"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+  }
+
+  /** [[imageCaptionCurate]] with NEAR-duplicate image dedup: the aHash
+    * band join + Hamming verify + connected-components chain
+    * ([[graft.multimodal.Media.imageNearDupsFromHashes]] — hot-bucket
+    * capped like every candidate generator) replaces the byte-identity
+    * stage, each near-dup image cluster keeps its min-id member, and
+    * the caption curation core runs over the survivors only. Returns
+    * (idCol, ahash, n_tokens) — the hash column pins the REAL decode
+    * path (for [[graft.multimodal.Media.syntheticPatternBmps]] inputs
+    * it provably equals the planted pattern, which is what makes the
+    * whole composition externally mirrorable, t122).
+    *
+    * Stage order contract mirrors [[imageCaptionCurate]]: image decode
+    * happens once (the signature frame is the shared barrier), image
+    * survival gates caption curation — a caption dropped with its
+    * near-dup image never influences text clustering. */
+  def imageCaptionCurateNearDup(media: DataFrame, captions: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 3,
+      minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
+      maxTopWordFrac: Double = 0.12,
+      keepLangs: Seq[String] = Seq("en")): DataFrame = {
+    // one decode for both the near-dup chain and the output hashes
+    val sigs = graft.multimodal.Media.imageHash(media)
+      .filter(col("ahash").isNotNull)
+      .barrierCache()
+    val pairs = graft.multimodal.Media
+      .imageNearDupsFromHashes(sigs, maxHamming)
+      .select("a_id", "b_id")
+    val keep = TextOps.dropNearDuplicates(
+      sigs.select("media_id"), "media_id", pairs)
+    val caps = captions.select(col(idCol), col(textCol))
+      .join(keep.select(col("media_id").as(idCol)), Seq(idCol), "left_semi")
+    val curated = TextOps.curateCorpus(caps, idCol, textCol,
+      minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
+    curated
+      .join(sigs, curated(idCol) === sigs("media_id"))
+      .select(col(idCol), col("ahash"),
         size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
   }
 
@@ -191,7 +235,7 @@ object Pipeline {
     val corpus = graft.sources.Warc.toCorpus(warc, warcIdCol, payloadCol)
       .select(col(warcIdCol).as(idCol), col("text").as(textCol))
       .join(sources.select(col(idCol), col(sourceCol)), Seq(idCol))
-      .cache()
+      .barrierCache()
     corpusToShards(corpus, bench, idCol, textCol, sourceCol, minJaccard,
       minTokens, maxTokens, maxTopWordFrac, keepLangs, decontamShingle,
       budgetTokens, packBudget, testFrac, scrubPii)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.text.TextOps
+import graft.util.Barriers.BarrierOps
 
 /** LLM-data-pipeline operators over `documents` and `embeddings`:
   * exact/near dedup, text statistics, language ID, similarity search.
@@ -93,11 +94,8 @@ object TextQueries {
       // derived pairs three more times — without the checkpoint each
       // reference recomputes the whole minhash lineage over the corpus
       val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2)
-        .cache()
-      val pairs = bux.as("x").join(bux.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
+        .barrierCache()
+      val pairs = TextOps.lshCandidatePairs(bux, "doc_id")
       TextOps.jaccardPairs(docs, "doc_id", "text", pairs)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
@@ -152,11 +150,8 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
       val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2)
-        .cache()
-      val pairs = bux.as("x").join(bux.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
+        .barrierCache()
+      val pairs = TextOps.lshCandidatePairs(bux, "doc_id")
       TextOps.nearDupClusters(pairs)
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
@@ -619,7 +614,7 @@ object TextQueries {
       val regs = TextOps.minhashRegisters(
         t(s, dir, "documents").select(col("source"),
           explode(TextOps.shinglesOf(col("text"), 3)).as("sh")),
-        "source", col("sh"), k = 128).cache()
+        "source", col("sh"), k = 128).barrierCache()
       TextOps.minhashRegisterOverlap(regs, "source")
         .orderBy("source_a", "source_b")
     }),
@@ -666,11 +661,8 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
       val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2)
-        .cache()
-      val pairs = bux.as("x").join(bux.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
+        .barrierCache()
+      val pairs = TextOps.lshCandidatePairs(bux, "doc_id")
       TextOps.dropNearDuplicatesBy(docs, "doc_id", pairs,
           size(TextOps.tokens(col("text"))).cast("long"))
         .select(col("doc_id"),
@@ -716,7 +708,7 @@ object TextQueries {
     // "mirrored dump" detector with corpus-size-independent state
     "t103_kmv_overlap" -> ((s, dir) => {
       val sk = TextOps.kmvSketch(t(s, dir, "documents"), "source", "text",
-        k = 256).cache()
+        k = 256).barrierCache()
       TextOps.kmvSourceOverlap(sk, "source", k = 256)
         .orderBy("source_a", "source_b")
     }),
@@ -911,12 +903,8 @@ object TextQueries {
     "t119_jaccard_histogram" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
-      val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2).cache()
-      val pairs = bux.as("x").join(bux.as("y"),
-          col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
+      val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2).barrierCache()
+      val pairs = TextOps.lshCandidatePairs(bux, "doc_id")
       TextOps.jaccardPairs(docs, "doc_id", "text", pairs)
         .select(least(floor(round(col("jaccard"), 6) * 20), lit(19L))
           .cast("long").as("bin"))
@@ -1039,7 +1027,7 @@ object TextQueries {
       // cached: the stats aggregate and the rank window both read the
       // vocabulary-sized counts — one corpus scan, not two
       val counts = tok.groupBy("source", "t").agg(count(lit(1)).as("c"))
-        .cache()
+        .barrierCache()
       val ranked = counts.withColumn("rk",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("source").orderBy(desc("c"), col("t"))))
@@ -1075,6 +1063,22 @@ object TextQueries {
       TextOps.nearDupClusters(pairs)
         .select(col("id").as("media_id"), col("cluster"))
         .orderBy("media_id")
+    }),
+
+    // t110's composition with the NEAR-dup image stage oracled
+    // end-to-end: planted-pattern BMPs make the decoded aHash provably
+    // equal the md5-derived pattern, so the band join + Hamming verify
+    // + CC survivor selection AND the downstream caption curation are
+    // all SQL-recomputed while Spark walks real ImageIO decode — the
+    // standing CORRECTNESS row for the pipeline's near-dup image stage
+    // (previously pinned only at spec level)
+    "t122_multimodal_near_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.multimodal.Media.syntheticPatternBmps(
+        graft.util.FanOut(docs), "doc_id")
+      graft.pipeline.Pipeline.imageCaptionCurateNearDup(media, docs,
+          "doc_id", "text")
+        .orderBy("doc_id")
     }),
 
     // t43's ISO-BMFF twin: structurally valid MP4s with full sample
@@ -1353,7 +1357,7 @@ object TextQueries {
       // cached: the codebook trainer and the encoder both read the
       // residual frame (plan-audited r12: 26 embedding scans without)
       val res = graft.sim.Similarity.ivfResiduals(indexed, cents,
-        "vec_id", "embedding").cache()
+        "vec_id", "embedding").barrierCache()
       val cb = graft.sim.Similarity.pqCodebook(
         res.filter(col("vec_id") < 16).select(col("vec_id"), col("res")),
         "vec_id", "res", m = 4, subDim = 16)
@@ -1376,7 +1380,7 @@ object TextQueries {
       // cached: the codebook trainer and the encoder both read the
       // residual frame (plan-audited r12: 26 embedding scans without)
       val res = graft.sim.Similarity.ivfResiduals(indexed, cents,
-        "vec_id", "embedding").cache()
+        "vec_id", "embedding").barrierCache()
       val cb = graft.sim.Similarity.pqCodebook(
         res.filter(col("vec_id") < 16).select(col("vec_id"), col("res")),
         "vec_id", "res", m = 4, subDim = 16)
@@ -2000,6 +2004,32 @@ object TextQueries {
     s"""SELECT doc_id, ${(0 until 8).map(i => s"${mhAgg(i)} AS h$i").mkString(", ")}
        FROM ($SHINGLES_SQL) GROUP BY doc_id"""
 
+  /** SQL twin of [[TextOps.lshCandidatePairs]]: candidate pairs from
+    * an LSH bucket relation with the hot-bucket star-edge cap. Emits
+    * TWO comma-separated CTE bodies — `<out>_sz` (per-bucket size and
+    * min-id windowed onto each member) and `<out>` (distinct a_id <
+    * b_id pairs: all pairs in buckets at or under
+    * [[TextOps.HotBucketCap]], star edges to the bucket-min member
+    * above it) — splice into a WITH chain where the single all-pairs
+    * CTE used to sit. */
+  private def candPairsCtes(rel: String, out: String,
+      keys: Seq[String] = Seq("bucket"), id: String = "doc_id"): String = {
+    val part = keys.mkString(", ")
+    val joinOn = keys.map(k => s"x.$k = y.$k").mkString(" AND ")
+    s"""${out}_sz AS (SELECT $id, $part,
+         COUNT(*) OVER (PARTITION BY $part) AS bn,
+         MIN($id) OVER (PARTITION BY $part) AS bmin
+       FROM $rel),
+     $out AS (SELECT DISTINCT a_id, b_id FROM (
+       SELECT x.$id AS a_id, y.$id AS b_id
+       FROM ${out}_sz x JOIN ${out}_sz y
+       ON $joinOn AND x.$id < y.$id
+       WHERE x.bn <= ${TextOps.HotBucketCap}
+       UNION ALL
+       SELECT bmin AS a_id, $id AS b_id FROM ${out}_sz
+       WHERE bn > ${TextOps.HotBucketCap} AND $id <> bmin))"""
+  }
+
   /** Paragraph pool for t65 — shared between the Spark query's
     * synthetic text and the DuckDB mirror so the construction rule is
     * written once. */
@@ -2199,9 +2229,7 @@ object TextQueries {
            ${(0 until 4).map(b =>
              s"SELECT doc_id, md5('b$b:' || h${2 * b} || ':' || h${2 * b + 1}) AS bucket FROM mh")
              .mkString(" UNION ALL ")}),
-         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           FROM buckets x JOIN buckets y
-           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         ${candPairsCtes("buckets", "cand")},
          sh AS (SELECT DISTINCT doc_id, sh FROM (
            SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
                   list_extract(w, i+2) AS sh
@@ -2557,9 +2585,7 @@ object TextQueries {
          WHERE c.doc_id IN (SELECT MIN(doc_id) FROM crawl GROUP BY md5(text))),
        mh AS MATERIALIZED ($mhD),
        buckets AS (${bands("mh")}),
-       cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         FROM buckets x JOIN buckets y
-         ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       ${candPairsCtes("buckets", "cand")},
        sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (
          SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
                 list_extract(w, i+2) AS sh
@@ -2640,9 +2666,7 @@ object TextQueries {
        mh2 AS (SELECT * FROM $mhx
          WHERE doc_id IN (SELECT doc_id FROM kept)),
        buckets2 AS (${bands("mh2")}),
-       pairs2 AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         FROM buckets2 x JOIN buckets2 y
-         ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       ${candPairsCtes("buckets2", "pairs2")},
        edges2 AS (SELECT a_id, b_id FROM pairs2
          UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pairs2),
        nodes2 AS (SELECT DISTINCT a_id AS id FROM edges2),
@@ -2693,9 +2717,7 @@ object TextQueries {
            ${(0 until 4).map(b =>
              s"SELECT doc_id, md5('b$b:' || h${2*b} || ':' || h${2*b+1}) AS bucket FROM mh")
              .mkString(" UNION ALL ")}),
-         pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           FROM buckets x JOIN buckets y
-           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         ${candPairsCtes("buckets", "pairs")},
          edges AS (SELECT a_id, b_id FROM pairs
            UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pairs),
          nodes AS (SELECT DISTINCT a_id AS id FROM edges),
@@ -3086,23 +3108,23 @@ object TextQueries {
         s"CASE WHEN substr(sa.simhash, $i, 1) = substr(sb.simhash, $i, 1) THEN 0 ELSE 1 END")
         .mkString(" + ")
       def inList(k: Int) = hexBit(k).map(h => s"'$h'").mkString("(", ",", ")")
-      s"""WITH tok AS (SELECT doc_id, unnest(w) AS tok FROM ($TOKS_SQL)),
+      s"""WITH tok AS (SELECT doc_id, md5(tok) AS h
+           FROM (SELECT doc_id, unnest(w) AS tok FROM ($TOKS_SQL))),
          sums AS (SELECT doc_id, ${(0 until 64).map(b =>
-        s"SUM(CASE WHEN substr(md5(tok), ${b / 4 + 1}, 1) IN ${inList(3 - b % 4)} THEN 1 ELSE -1 END) AS b$b")
+        s"SUM(CASE WHEN substr(h, ${b / 4 + 1}, 1) IN ${inList(3 - b % 4)} THEN 1 ELSE -1 END) AS b$b")
         .mkString(", ")} FROM tok GROUP BY doc_id),
          sigs AS (SELECT doc_id, concat(${(0 until 64).map(b =>
         s"CASE WHEN b$b > 0 THEN '1' ELSE '0' END").mkString(", ")}) AS simhash
            FROM sums),
          bands AS (SELECT doc_id, b, substr(simhash, 1 + 16 * b, 16) AS v
            FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)),
-         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           FROM bands x JOIN bands y
-           ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
-         SELECT a_id, b_id, CAST($ham AS INTEGER) AS hamming
-         FROM cand
-         JOIN sigs sa ON sa.doc_id = a_id
-         JOIN sigs sb ON sb.doc_id = b_id
-         WHERE $ham <= 3
+         ${candPairsCtes("bands", "cand", keys = Seq("b", "v"))},
+         ham AS (SELECT a_id, b_id, CAST($ham AS INTEGER) AS hamming
+           FROM cand
+           JOIN sigs sa ON sa.doc_id = a_id
+           JOIN sigs sb ON sb.doc_id = b_id)
+         SELECT a_id, b_id, hamming FROM ham
+         WHERE hamming <= 3
          ORDER BY a_id, b_id"""
     },
 
@@ -3202,9 +3224,10 @@ object TextQueries {
          MAX(doc_id) AS max_doc
          FROM buckets GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""",
     "t06_simhash" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(w) AS tok FROM ($TOKS_SQL)),
+      s"""WITH tok AS (SELECT doc_id, md5(tok) AS h
+           FROM (SELECT doc_id, unnest(w) AS tok FROM ($TOKS_SQL))),
          sums AS (SELECT doc_id, ${(0 until 16).map(b =>
-           s"SUM(CASE WHEN substr(md5(tok), ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$b")
+           s"SUM(CASE WHEN substr(h, ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$b")
            .mkString(", ")} FROM tok GROUP BY doc_id)
          SELECT doc_id, concat(${(0 until 16).map(b =>
            s"CASE WHEN b$b > 0 THEN '1' ELSE '0' END").mkString(", ")}) AS simhash
@@ -3226,14 +3249,12 @@ object TextQueries {
         s"CASE WHEN list_dot_product(v, [$arr]::DOUBLE[]) >= 0.0 THEN '1' ELSE '0' END"
       }.mkString(", ")
       s"""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         sigs AS (SELECT vec_id, v, concat($bits) AS srp_sig FROM d),
-         pairs AS (SELECT x.vec_id AS a_id, x.v AS av, y.vec_id AS b_id, y.v AS bv
-           FROM sigs x JOIN sigs y
-           ON x.srp_sig = y.srp_sig AND x.vec_id < y.vec_id),
+         sigs AS (SELECT vec_id, concat($bits) AS srp_sig FROM d),
+         ${candPairsCtes("sigs", "cand", keys = Seq("srp_sig"), id = "vec_id")},
          scored AS (SELECT a_id, b_id,
-           ROUND(list_dot_product(av, bv) /
-             (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv))), 4) AS cos
-           FROM pairs)
+           ROUND(list_dot_product(da.v, db.v) /
+             (sqrt(list_dot_product(da.v, da.v)) * sqrt(list_dot_product(db.v, db.v))), 4) AS cos
+           FROM cand JOIN d da ON da.vec_id = a_id JOIN d db ON db.vec_id = b_id)
          SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.2
          ORDER BY a_id, b_id"""
     },
@@ -3254,9 +3275,7 @@ object TextQueries {
            ${(0 until 4).map(b =>
              s"SELECT doc_id, md5('b$b:' || h${2*b} || ':' || h${2*b+1}) AS bucket FROM mh")
              .mkString(" UNION ALL ")}),
-         pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           FROM buckets x JOIN buckets y
-           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         ${candPairsCtes("buckets", "pairs")},
          sh AS (SELECT DISTINCT doc_id, sh FROM ($SHINGLES_SQL)),
          sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
          inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n_inter
@@ -3287,9 +3306,7 @@ object TextQueries {
            ${(0 until 4).map(b =>
              s"SELECT doc_id, md5('b$b:' || h${2*b} || ':' || h${2*b+1}) AS bucket FROM mh")
              .mkString(" UNION ALL ")}),
-         pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           FROM buckets x JOIN buckets y
-           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         ${candPairsCtes("buckets", "pairs")},
          edges AS (SELECT a_id, b_id FROM pairs
            UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pairs),
          nodes AS (SELECT DISTINCT a_id AS id FROM edges),
@@ -3325,9 +3342,7 @@ object TextQueries {
            ${(0 until 4).map(b =>
              s"SELECT doc_id, md5('b$b:' || h${2*b} || ':' || h${2*b+1}) AS bucket FROM mh")
              .mkString(" UNION ALL ")}),
-         pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           FROM buckets x JOIN buckets y
-           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         ${candPairsCtes("buckets", "pairs")},
          edges AS (SELECT a_id, b_id FROM pairs
            UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pairs),
          nodes AS (SELECT DISTINCT a_id AS id FROM edges),
@@ -4092,9 +4107,7 @@ object TextQueries {
            ${(0 until 4).map(b =>
              s"SELECT doc_id, md5('b$b:' || h${2 * b} || ':' || h${2 * b + 1}) AS bucket FROM mh")
              .mkString(" UNION ALL ")}),
-         pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           FROM buckets x JOIN buckets y
-           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         ${candPairsCtes("buckets", "pairs")},
          sh AS (SELECT DISTINCT doc_id, sh FROM ($SHINGLES_SQL)),
          sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
          inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n_inter
@@ -4307,9 +4320,7 @@ object TextQueries {
          FROM documents),
          bands AS (SELECT doc_id, b, (h >> (16 * b)) & 65535 AS v
            FROM pat, (SELECT unnest(generate_series(0, 3)) AS b)),
-         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           FROM bands x JOIN bands y
-           ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+         ${candPairsCtes("bands", "cand", keys = Seq("b", "v"))},
          verified AS (SELECT a_id, b_id FROM cand
            JOIN pat pa ON pa.doc_id = a_id
            JOIN pat pb ON pb.doc_id = b_id
@@ -4324,6 +4335,93 @@ object TextQueries {
            JOIN reach ON reach.id = e.b_id),
          cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
          SELECT id AS media_id, cluster FROM cc ORDER BY media_id""",
+
+    // near-dup multimodal pipeline mirror: t111's planted-pattern
+    // aHash chain (md5-rule pattern, 16-bit band candidates with the
+    // shared hot-bucket cap, bit_count Hamming verify, recursive-reach
+    // CC, min-id survivor) feeding t110's caption-curation chain
+    // re-rooted at the surviving ids; ahash in the output is the
+    // planted pattern the real decode provably reproduces
+    "t122_multimodal_near_dup" -> {
+      val toksC = TOKS_SQL.replace("FROM documents", "FROM docs")
+      val mhC = MH_SQL.replace("FROM documents", "FROM docs")
+      val (rs, pred) = langIdSqlParts
+      s"""WITH RECURSIVE pat AS (SELECT doc_id,
+           xor(('0x' || substr(md5('imgcls:' || CAST(doc_id // 5 AS VARCHAR)), 1, 15))::BIGINT,
+               (1::BIGINT << CAST(doc_id % 5 AS INTEGER)) - 1) AS h
+         FROM documents),
+         ibands AS (SELECT doc_id, b, (h >> (16 * b)) & 65535 AS v
+           FROM pat, (SELECT unnest(generate_series(0, 3)) AS b)),
+         ${candPairsCtes("ibands", "icand", keys = Seq("b", "v"))},
+         iverified AS (SELECT a_id, b_id FROM icand
+           JOIN pat pa ON pa.doc_id = a_id
+           JOIN pat pb ON pb.doc_id = b_id
+           WHERE bit_count(xor(pa.h, pb.h)) <= 3),
+         iedges AS (SELECT a_id, b_id FROM iverified
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM iverified),
+         inodes AS (SELECT DISTINCT a_id AS id FROM iedges),
+         ireach(id, r) AS (
+           SELECT id, id AS r FROM inodes
+           UNION
+           SELECT e.a_id AS id, ireach.r FROM iedges e
+           JOIN ireach ON ireach.id = e.b_id),
+         icc AS (SELECT id, MIN(r) AS cluster FROM ireach GROUP BY id),
+         caps AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
+           WHERE d.doc_id NOT IN (SELECT id FROM icc WHERE cluster <> id)),
+         docs AS MATERIALIZED (SELECT c.doc_id, c.text FROM caps c
+           WHERE c.doc_id IN (SELECT MIN(doc_id) FROM caps GROUP BY md5(text))),
+         mh AS MATERIALIZED ($mhC),
+         buckets AS (
+           ${(0 until 4).map(b =>
+             s"SELECT doc_id, md5('b$b:' || h${2 * b} || ':' || h${2 * b + 1}) AS bucket FROM mh")
+             .mkString(" UNION ALL ")}),
+         ${candPairsCtes("buckets", "cand")},
+         sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (
+           SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
+                  list_extract(w, i+2) AS sh
+           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+                 FROM ($toksC)))),
+         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n_inter
+           FROM cand p
+           JOIN sh sa ON sa.doc_id = p.a_id
+           JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+           GROUP BY 1, 2),
+         verified AS (SELECT p.a_id, p.b_id FROM cand p
+           JOIN sizes na ON na.doc_id = p.a_id
+           JOIN sizes nb ON nb.doc_id = p.b_id
+           LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+           WHERE CASE WHEN na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0) > 0
+             THEN COALESCE(i.n_inter, 0)::DOUBLE /
+               (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0))
+             ELSE 0.0 END >= 0.5),
+         edges AS (SELECT a_id, b_id FROM verified
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM verified),
+         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.a_id AS id, reach.r FROM edges e
+           JOIN reach ON reach.id = e.b_id),
+         cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         tq AS MATERIALIZED ($toksC),
+         wf AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS mx
+           FROM (SELECT doc_id, t, COUNT(*) AS c
+                 FROM (SELECT doc_id, unnest(w) AS t FROM tq) GROUP BY 1, 2)
+           GROUP BY 1),
+         lang AS (SELECT doc_id, $pred AS lang_pred
+           FROM (SELECT doc_id, $rs FROM tq))
+         SELECT d.doc_id, p.h AS ahash, CAST(wf.n AS BIGINT) AS n_tokens
+         FROM docs d
+         JOIN pat p ON p.doc_id = d.doc_id
+         JOIN wf ON wf.doc_id = d.doc_id
+         JOIN lang ON lang.doc_id = d.doc_id
+         WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE cluster <> id)
+           AND lang.lang_pred = 'en'
+           AND wf.n BETWEEN 20 AND 80
+           AND ROUND(CAST(wf.mx AS DOUBLE) / wf.n, 6) <= 0.12
+         ORDER BY d.doc_id"""
+    },
 
     // multimodal pipeline mirror: image identity classes from the
     // construction rule (format from id parity, dimensions from
@@ -4350,9 +4448,7 @@ object TextQueries {
            ${(0 until 4).map(b =>
              s"SELECT doc_id, md5('b$b:' || h${2 * b} || ':' || h${2 * b + 1}) AS bucket FROM mh")
              .mkString(" UNION ALL ")}),
-         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           FROM buckets x JOIN buckets y
-           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         ${candPairsCtes("buckets", "cand")},
          sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (
            SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
                   list_extract(w, i+2) AS sh
@@ -4731,9 +4827,7 @@ object TextQueries {
            WHERE bucket IN (SELECT bucket FROM idx)),
          fresh AS (SELECT doc_id, bucket FROM newb
            WHERE doc_id NOT IN (SELECT doc_id FROM clash)),
-         pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           FROM fresh x JOIN fresh y
-           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         ${candPairsCtes("fresh", "pairs")},
          edges AS (SELECT a_id, b_id FROM pairs
            UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pairs),
          nodes AS (SELECT DISTINCT a_id AS id FROM edges),

@@ -134,10 +134,11 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       planes: Array[Array[Double]], minCosine: Double): DataFrame = {
     val sig = srpSignature(df, idCol, vecCol, planes)
-    val pairs = sig.as("x").join(sig.as("y"),
-        col("x.srp_sig") === col("y.srp_sig") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+    // signature = bucket: the shared hot-bucket star-edge cap applies
+    // (an embedding mega-cluster collapsing onto one SRP signature is
+    // the same in-bucket quadratic as the text/image chains)
+    val pairs = graft.text.TextOps.lshCandidatePairs(
+      sig.select(col(idCol), col("srp_sig").as("bucket")), idCol)
     val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
     pairs
       .join(v.select(col(idCol).as("a_id"), col("v").as("av")), "a_id")

@@ -5,6 +5,7 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Barriers.BarrierOps
 
 /** In-engine text classification: a hashed-bigram logistic regression
   * — the fastText-style quality/domain classifier a curation pipeline
@@ -69,7 +70,7 @@ object Classifier {
     require(dim > 0 && iterations > 0 && lr > 0,
       s"need dim/iterations/lr > 0, got $dim/$iterations/$lr")
     val lab = labeled.select(col(idCol), col(labelCol).cast("double").as("y"))
-      .cache()
+      .barrierCache()
     val nl = lab.count()
     require(nl > 0, "labeled set is empty")
     // Distinct ids are part of the accepted-input contract: with a
@@ -81,7 +82,7 @@ object Classifier {
     require(nd == nl,
       s"labeled frame must carry distinct $idCol values: $nl rows but " +
         s"$nd distinct ids — dedup (or re-key) the labeled set first")
-    val feats = features(labeled, idCol, textCol, dim).cache()
+    val feats = features(labeled, idCol, textCol, dim).barrierCache()
     trainLoop(feats, lab, idCol, nl, dim, iterations, lr)
   }
 
@@ -212,7 +213,7 @@ object Classifier {
     import spark.implicits._
     val labAll = labeled
       .select(col(idCol), col(labelCol).cast("string").as("__cls"))
-      .cache()
+      .barrierCache()
     val nl = labAll.count()
     require(nl > 0, "labeled set is empty")
     // same distinct-id contract as the binary trainer (and doubly so
@@ -226,7 +227,7 @@ object Classifier {
       .collect().sorted.toSeq
     require(classes.size >= 2,
       s"need >= 2 distinct labels, got ${classes.size}")
-    val feats = features(labeled, idCol, textCol, dim).cache()
+    val feats = features(labeled, idCol, textCol, dim).barrierCache()
     // The k one-vs-rest problems are independent and each is a chain
     // of SMALL jobs (labeled-set-sized aggregates + <= dim-row
     // collects), so their driver loops run concurrently — the cluster

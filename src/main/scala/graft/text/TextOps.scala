@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
+import graft.util.Barriers.BarrierOps
 
 /** Text-analysis and dedup operators for large-scale document pipelines.
   *
@@ -117,6 +118,57 @@ object TextOps {
     sigs.select(col(idCol), explode(array(bands: _*)).as("bucket"))
   }
 
+  /** Default hot-bucket cap for [[lshCandidatePairs]]: buckets at or
+    * under this size emit all pairs; bigger buckets emit star edges.
+    * Shared with the SQL mirrors so both engines bucket identically. */
+  val HotBucketCap = 64
+
+  /** Near-dup candidate pairs (a_id < b_id, distinct) from an LSH
+    * bucket frame — the one candidate-generation kernel every near-dup
+    * consumer shares, with the HOT-BUCKET CAP that keeps candidate
+    * volume linear in cluster size: a bucket with at most
+    * `hotBucketCap` members emits all C(B,2) pairs (exact, the common
+    * case); a bucket beyond the cap emits STAR EDGES to its min-id
+    * member (B-1 pairs). Without the cap a templated mega-cluster —
+    * the dominant real-corpus skew: millions of near-identical
+    * boilerplate pages sharing all bands after trivial edits — makes
+    * the in-bucket self-join quadratic IN THE CLUSTER SIZE, the one
+    * shuffle in the dedup chain that does not survive a 100x scale-up.
+    *
+    * Semantics under the cap: the candidate graph keeps every hot
+    * bucket connected through its hub, so the downstream
+    * connected-components stage still resolves the mega-cluster as one
+    * component when the Jaccard verify confirms hub-member similarity
+    * (true for template clusters, whose members are all near-identical
+    * to the hub). The documented approximation: a borderline pair
+    * inside a hot bucket whose members are near the hub's threshold
+    * but nearer each other is only recalled if some OTHER band puts
+    * the two in a small bucket — the usual banded-LSH multi-chance
+    * recall argument, bounded to hot buckets only. Set
+    * `hotBucketCap = Int.MaxValue` to opt out (exact all-pairs).
+    *
+    * Scale shape: one hash aggregation on the bucket key (map-side
+    * combined, no sort) for per-bucket size and min-id, joined back on
+    * the same key (partitioning reused), then the small-bucket-only
+    * self-join plus a narrow star projection — shuffle and output both
+    * linear in rows + true near-dups, never cluster-quadratic. */
+  def lshCandidatePairs(bux: DataFrame, idCol: String,
+      hotBucketCap: Int = HotBucketCap): DataFrame = {
+    val stats = bux.groupBy("bucket")
+      .agg(count(lit(1)).as("__bn"), min(col(idCol)).as("__bmin"))
+    val sized = bux.join(stats, "bucket")
+    val small = sized.filter(col("__bn") <= hotBucketCap)
+      .select(col("bucket"), col(idCol))
+    val smallPairs = small.as("x").join(small.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+    val starPairs = sized
+      .filter(col("__bn") > hotBucketCap && col(idCol) =!= col("__bmin"))
+      .select(col("__bmin").as("a_id"), col(idCol).as("b_id"))
+    smallPairs.union(starPairs).distinct()
+  }
+
   /** Incremental near-dup dedup of a NEW batch against an
     * already-curated corpus — the continuous-ingest shape
     * [[curateCorpus]] leaves open: the existing corpus's LSH buckets
@@ -138,15 +190,11 @@ object TextOps {
       shingleWords: Int = 3): DataFrame = {
     val bux = lshBuckets(
       minhashSignature(newDocs, idCol, textCol, k, shingleWords),
-      idCol, k, rows).cache()
+      idCol, k, rows).barrierCache()
     val idx = indexBuckets.select(col("bucket")).distinct()
     val clash = bux.join(idx, "bucket").select(col(idCol)).distinct()
     val fresh = bux.join(clash, Seq(idCol), "left_anti")
-    val pairs = fresh.as("x").join(fresh.as("y"),
-        col("x.bucket") === col("y.bucket") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
-      .distinct()
+    val pairs = lshCandidatePairs(fresh, idCol)
     val survivors = newDocs.join(clash, Seq(idCol), "left_anti")
     dropNearDuplicates(survivors, idCol, pairs)
   }
@@ -385,7 +433,7 @@ object TextOps {
     // consume this token-scale frame — without the barrier the corpus
     // is scanned and shingle-aggregated twice (the allSh discipline)
     val sh = explodedShingles(df, idCol, textCol, shingleWords).distinct()
-      .cache()
+      .barrierCache()
     val first = sh.groupBy(col("sh"))
       .agg(min(col(idCol)).as("__first"))
     sh.join(first, "sh")
@@ -551,15 +599,16 @@ object TextOps {
     // below (band self-join x2, verify joins x2) — materialize once or
     // the full tokenize+aggregate pipeline re-runs per reference.
     val sigs = simhash64(df, idCol, textCol).select(col(idCol), col("simhash"))
-      .cache()
-    val bands = sigs.select(col(idCol), explode(array((0 until 4).map { b =>
-      struct(lit(b).as("band"), substring(col("simhash"), 1 + 16 * b, 16).as("v"))
-    }: _*)).as("bk")).select(col(idCol), col("bk.band"), col("bk.v"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
-      .distinct()
+      .barrierCache()
+    // (band, 16-bit value) flattened to one injective bucket key so the
+    // shared [[lshCandidatePairs]] hot-bucket cap applies here too — a
+    // SimHash mega-cluster (one signature shared corpus-wide) is the
+    // same quadratic the MinHash chain has, and gets the same star-edge
+    // treatment above the cap.
+    val bux = sigs.select(col(idCol), explode(array((0 until 4).map { b =>
+      concat_ws(":", lit(b), substring(col("simhash"), 1 + 16 * b, 16))
+    }: _*)).as("bucket"))
+    val cand = lshCandidatePairs(bux, idCol)
     // Hamming via packed longs + bit_count(xor): two base-2 parses per
     // DOCUMENT, two long xors per PAIR. (A 64-term per-pair character
     // comparison cascade was 12x slower — too large for codegen, it
@@ -632,7 +681,7 @@ object TextOps {
       .join(groups, "__h")
       .filter(col(idCol) =!= col("__canon"))
       .select(col(idCol))
-      .cache()
+      .barrierCache()
     val exact = df.join(exactLosers, Seq(idCol), "left_anti")
     // One tokenize+shingle pass feeds BOTH the minhash signatures and
     // the Jaccard verify (min over the distinct set == min over the
@@ -645,22 +694,18 @@ object TextOps {
     // row (k/2 md5s + k base-16 parses), so fan it back out to the full
     // core count before the aggregation.
     val allSh = explodedShingles(exact, idCol, textCol, 3).distinct()
-      .cache()
+      .barrierCache()
     val sigs = minhashFromShingles(fanOut(allSh), idCol, k = 8)
-    val bux = lshBuckets(sigs, idCol, k = 8, rows = 2).cache()
-    val cand = bux.as("x").join(bux.as("y"),
-        col("x.bucket") === col("y.bucket") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
-      .distinct()
-      .cache() // read 3x by the id semi-join + overlap joins
+    val bux = lshBuckets(sigs, idCol, k = 8, rows = 2).barrierCache()
+    val cand = lshCandidatePairs(bux, idCol)
+      .barrierCache() // read 3x by the id semi-join + overlap joins
     val candIds = cand.select(col("a_id").as(idCol))
       .union(cand.select(col("b_id").as(idCol))).distinct()
     val verified = jaccardFromShingles(
         allSh.join(candIds, Seq(idCol), "left_semi"), idCol, cand)
       .filter(col("jaccard") >= minJaccard)
       .select("a_id", "b_id")
-      .cache() // referenced by clusters across CC iterations
+      .barrierCache() // referenced by clusters across CC iterations
     val deduped = dropNearDuplicates(exact, idCol, verified)
     // The gate reads only the word-level fractions, so it uses
     // [[wordFracs]] directly: riding through repetitionStats would also
@@ -1332,11 +1377,7 @@ object TextOps {
         s"column $c collides with leakSafeSplit's output columns"))
     val sigs = minhashSignature(docs, idCol, textCol, k)
     val bux = lshBuckets(sigs, idCol, k, rows).localCheckpoint(eager = false)
-    val pairs = bux.as("x").join(bux.as("y"),
-        col("x.bucket") === col("y.bucket") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
-      .distinct()
+    val pairs = lshCandidatePairs(bux, idCol)
     val clusters = nearDupClusters(pairs)
       .select(col("id").as(idCol), col("cluster").as("__cl"))
     val u = md5Hash60(concat(lit("split:"), col("cluster").cast("string")))
@@ -2100,7 +2141,7 @@ object TextOps {
       textCol: String, alpha: Double = 0.1): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
     // cached: both n-gram count tables read the reference shingles
-    val refSh = explodedShingles(reference, idCol, textCol, 2).cache()
+    val refSh = explodedShingles(reference, idCol, textCol, 2).barrierCache()
     val biCounts = refSh.groupBy(col("sh")).agg(count(lit(1)).as("__cb"))
     val headCounts = refSh
       .select(substring_index(col("sh"), " ", 1).as("__w1"))
@@ -2552,7 +2593,7 @@ object TextOps {
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .cache()
+      .barrierCache()
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).cast("double").as("__n"))
@@ -2666,7 +2707,7 @@ object TextOps {
     // (reference counts + target shingle joins) runs twice
     val withSrc = scores.join(
       target.select(col(idCol), col(sourceCol)), Seq(idCol))
-      .cache()
+      .barrierCache()
     val cuts = withSrc.groupBy(sourceCol)
       .agg(percentile(col("__micro"), lit(loFrac)).as("__lo"),
         percentile(col("__micro"), lit(hiFrac)).as("__hi"))

@@ -54,10 +54,7 @@ object CurateProfile {
     }
     var cand: org.apache.spark.sql.DataFrame = null
     time("cand_ckpt") {
-      cand = bux.as("x").join(bux.as("y"),
-          col("x.bucket") === col("y.bucket") && col(s"x.$id") < col(s"y.$id"))
-        .select(col(s"x.$id").as("a_id"), col(s"y.$id").as("b_id"))
-        .distinct().localCheckpoint()
+      cand = TextOps.lshCandidatePairs(bux, id).localCheckpoint()
       cand.count()
     }
     var verified: org.apache.spark.sql.DataFrame = null

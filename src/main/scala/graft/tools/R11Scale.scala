@@ -80,10 +80,7 @@ object R11Scale {
       val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
       val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2)
         .localCheckpoint()
-      bux.as("x").join(bux.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
+      TextOps.lshCandidatePairs(bux, "doc_id")
     }
 
     // t107-shaped synthetic segments: per-source nav (100% of the

@@ -174,6 +174,31 @@ class PipelineSpec extends AnyFunSuite {
       s"got ${out.mkString(",")} expected ${expected.mkString(",")}")
   }
 
+  test("imageCaptionCurateNearDup: pattern BMPs -> aHash CC -> caption curation, hash = planted pattern") {
+    // 15 docs = 3 pattern classes of 5 (syntheticPatternBmps' rule);
+    // per class only the min id survives the near-dup image stage; all
+    // captions pass the (loosened) curation gate, so the output is one
+    // row per class leader whose ahash must equal the planted pattern
+    def cap(id: Long): String =
+      (0 until 30).map(i => s"w${id}x$i").mkString("the and of to in ", " ", " end")
+    val docs = spark.createDataFrame((0L until 15L).map(id => (id, cap(id))))
+      .toDF("doc_id", "text")
+    val media = graft.multimodal.Media.syntheticPatternBmps(docs, "doc_id")
+    val out = Pipeline.imageCaptionCurateNearDup(media, docs,
+        "doc_id", "text", minTokens = 10, maxTokens = 80)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(0L, 5L, 10L), s"got ${out.keySet}")
+    // the REAL decode reproduced the planted md5-derived pattern
+    out.foreach { case (id, ahash) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"imgcls:${id / 5}".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val expected = java.lang.Long.parseLong(hex.substring(0, 15), 16) ^
+        ((1L << (id % 5).toInt) - 1L)
+      assert(ahash == expected, s"doc $id: ahash $ahash != planted $expected")
+    }
+  }
+
   test("aHash near-dup composition: pairs -> CC -> survivors -> captions") {
     // the oracle-unmirrorable twin (lossy codecs + bilinear resample
     // sit between the rule and the hash), pinned here with planted

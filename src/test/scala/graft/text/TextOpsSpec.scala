@@ -22,6 +22,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("lshCandidatePairs: all pairs under the cap, star edges above it, linear volume") {
+    import spark.implicits._
+    // bucket A: 3 members (small) -> C(3,2)=3 pairs; bucket B: 5 members
+    // with cap 4 (hot) -> 4 star edges to the min id; bucket C shares a
+    // member pair with A -> distinct must collapse the duplicate
+    val bux = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"),
+      (10L, "B"), (11L, "B"), (12L, "B"), (13L, "B"), (14L, "B"),
+      (1L, "C"), (2L, "C")).toDF("doc_id", "bucket")
+    val got = TextOps.lshCandidatePairs(bux, "doc_id", hotBucketCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(
+      (1L, 2L), (1L, 3L), (2L, 3L),                        // A all-pairs (C dup collapsed)
+      (10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L)))     // B star to min
+    // opt-out reproduces exact all-pairs
+    val raw = TextOps.lshCandidatePairs(bux, "doc_id", hotBucketCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(raw == got ++ Set((11L, 12L), (11L, 13L), (11L, 14L),
+      (12L, 13L), (12L, 14L), (13L, 14L)))
+    // a hot bucket stays one connected component through CC
+    val cc = TextOps.nearDupClusters(
+        TextOps.lshCandidatePairs(bux, "doc_id", hotBucketCap = 4)
+          .filter($"a_id" >= 10L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+  }
+
   test("dropNearDuplicates keeps canonical members and untouched docs") {
     import spark.implicits._
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
