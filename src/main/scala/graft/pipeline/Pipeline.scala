@@ -210,6 +210,126 @@ object Pipeline {
         size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
   }
 
+  /** The audio edition of [[imageCaptionCurate]]: audio-caption pairs
+    * -> byte-identity dedup of the audio payloads -> REAL PCM decode of
+    * the survivors into fixed windows ([[graft.multimodal.Media
+    * .audioWindows]]) -> a windowed loudness gate (clips shorter than
+    * `minWindows` windows, or whose mean window RMS falls below
+    * `minMeanRms`, are silence/stub artifacts a speech corpus drops) ->
+    * the full caption curation core over the survivors' captions.
+    * Returns one row per pair clearing both modalities:
+    * (idCol, n_windows, mean_rms, peak, n_tokens).
+    *
+    * Stage order contract (as in every composed pipeline here): audio
+    * survival gates caption curation — a caption whose clip was
+    * deduped or gated never influences text clustering. Per-window RMS
+    * values are the 6-dp-rounded exact-sum numbers audioWindows
+    * emits, and the per-clip mean is exact integer arithmetic over
+    * their micro-units, so an external oracle recomputing from a
+    * synthetic generation rule compares bit-identically.
+    *
+    * Scale shape: payload-hash dedup is one map-side-combinable hash
+    * agg (shuffle ∝ distinct clips); decode is per-partition over
+    * survivors only with bounded fan-out (nSamples/windowSamples rows
+    * per clip); the caption stages inherit
+    * [[graft.text.TextOps.curateCorpus]]'s measured curve. */
+  def audioCaptionCurate(media: DataFrame, captions: DataFrame,
+      idCol: String, textCol: String, windowSamples: Int = 1000,
+      minWindows: Long = 2, minMeanRms: Double = 1000.0,
+      minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
+      maxTopWordFrac: Double = 0.12,
+      keepLangs: Seq[String] = Seq("en")): DataFrame = {
+    val audio = media.filter(col("kind") === "audio")
+    val keep = audio.groupBy(md5(col("payload")).as("__h"))
+      .agg(min(col("media_id")).as("media_id"))
+      .select("media_id")
+    val survivors = audio.join(keep, Seq("media_id"), "left_semi")
+    // id-scale barrier: the gated stats feed both the caption semi
+    // join and the final output join. The per-clip mean RMS is
+    // computed in exact micro-units (the t63 classifier discipline):
+    // each window RMS is already a 6-dp value, so sum(rms * 1e6) is an
+    // exact long and the half-up mean ((2S + n) div 2n) is pure
+    // integer arithmetic — a float avg() would differ from an external
+    // oracle's by one ulp exactly at rounding boundaries.
+    val stats = graft.multimodal.Media
+      .audioWindows(survivors, windowSamples)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(round(col("rms") * 1e6).cast("long")).as("__sm"),
+        max(col("peak")).as("peak"))
+      .withColumn("__mm",
+        expr("(__sm * 2 + n_windows) div (n_windows * 2)"))
+      .filter(col("n_windows") >= minWindows &&
+        col("__mm") >= math.round(minMeanRms * 1e6))
+      .select(col("media_id"), col("n_windows"),
+        (col("__mm").cast("double") / 1e6).as("mean_rms"), col("peak"))
+      .barrierCache()
+    val caps = captions.select(col(idCol), col(textCol))
+      .join(stats.select(col("media_id").as(idCol)), Seq(idCol), "left_semi")
+    val curated = TextOps.curateCorpus(caps, idCol, textCol,
+      minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
+    curated
+      .join(stats, curated(idCol) === stats("media_id"))
+      .select(col(idCol), col("n_windows"), col("mean_rms"), col("peak"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+  }
+
+  /** The video edition of [[imageCaptionCurate]]: video-caption pairs
+    * -> byte-identity dedup of the video payloads -> REAL container
+    * walk + frame decode of the survivors ([[graft.multimodal.Media
+    * .videoFrames]], AVI/MP4/MKV uncompressed payloads) -> a frame
+    * gate (clips with fewer than `minFrames` decodable frames are
+    * stills/stubs; clips whose mean frame luminance falls below
+    * `minMeanGray` are black-frame artifacts) -> the full caption
+    * curation core over the survivors' captions. Returns
+    * (idCol, n_frames, width, height, mean_gray, n_tokens).
+    *
+    * Per-frame means are 6-dp rounded and the per-clip average is
+    * exact micro-unit integer arithmetic over them, so the composition
+    * is bit-stable for an external oracle recomputing from a
+    * synthetic pixel rule. Scale
+    * shape mirrors [[audioCaptionCurate]]: one hash agg for the byte
+    * dedup, per-partition decode over survivors with per-clip bounded
+    * frame fan-out, curation core on the caption side. */
+  def videoCaptionCurate(media: DataFrame, captions: DataFrame,
+      idCol: String, textCol: String,
+      minFrames: Long = 2, minMeanGray: Double = 20.0,
+      minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
+      maxTopWordFrac: Double = 0.12,
+      keepLangs: Seq[String] = Seq("en")): DataFrame = {
+    val video = media.filter(col("kind") === "video")
+    val keep = video.groupBy(md5(col("payload")).as("__h"))
+      .agg(min(col("media_id")).as("media_id"))
+      .select("media_id")
+    val survivors = video.join(keep, Seq("media_id"), "left_semi")
+    // exact micro-unit mean over the 6-dp per-frame means, as in
+    // [[audioCaptionCurate]] — integer half-up, no float-avg ulp drift
+    val stats = graft.multimodal.Media.videoFrames(survivors)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        max(col("f_width")).as("width"),
+        max(col("f_height")).as("height"),
+        sum(round(round(col("mean_gray"), 6) * 1e6).cast("long"))
+          .as("__sg"))
+      .withColumn("__mg",
+        expr("(__sg * 2 + n_frames) div (n_frames * 2)"))
+      .filter(col("n_frames") >= minFrames &&
+        col("__mg") >= math.round(minMeanGray * 1e6))
+      .select(col("media_id"), col("n_frames"), col("width"),
+        col("height"),
+        (col("__mg").cast("double") / 1e6).as("mean_gray"))
+      .barrierCache()
+    val caps = captions.select(col(idCol), col(textCol))
+      .join(stats.select(col("media_id").as(idCol)), Seq(idCol), "left_semi")
+    val curated = TextOps.curateCorpus(caps, idCol, textCol,
+      minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
+    curated
+      .join(stats, curated(idCol) === stats("media_id"))
+      .select(col(idCol), col("n_frames"), col("width"), col("height"),
+        col("mean_gray"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+  }
+
   /** WARC files -> training shards: [[graft.sources.Warc.toCorpus]]'s
     * narrow ingest chain (record walk -> HTTP body -> HTML extract ->
     * normalize) feeding [[corpusToShards]]. `warc` carries

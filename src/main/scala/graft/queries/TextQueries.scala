@@ -1081,6 +1081,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // composed AUDIO-caption pipeline: byte-identity dedup of the WAV
+    // payloads (mirrorable: the payload is bijective with the sample
+    // count) -> REAL javax.sound PCM decode into 1000-sample windows
+    // -> duration + loudness gate -> full caption curation core. The
+    // audio twin of t110 — gives the PCM decode surface (t55)
+    // composition-level evidence with a standing external oracle.
+    "t123_audio_caption_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.multimodal.Media.syntheticMedia(
+        graft.util.FanOut(docs), "doc_id", "text")
+      graft.pipeline.Pipeline.audioCaptionCurate(media, docs,
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // composed VIDEO-caption pipeline: byte-identity dedup of the MP4
+    // payloads (bijective with the geometry rule) -> REAL sample-table
+    // walk + frame decode -> frame-count + luminance gate -> caption
+    // curation core. The video twin of t110/t123 — the container walk
+    // surfaces (t43/t60/t64) get composition-level evidence.
+    "t124_video_caption_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.multimodal.Media.syntheticMp4Videos(
+        graft.util.FanOut(docs), "doc_id", "text")
+      graft.pipeline.Pipeline.videoCaptionCurate(media, docs,
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // t43's ISO-BMFF twin: structurally valid MP4s with full sample
     // tables (stsd/stts/stsc/stsz/stco) and raw RGB24 samples, frame
     // pixels genuinely resolved back through the sample-table walk —
@@ -2029,6 +2058,71 @@ object TextQueries {
        SELECT bmin AS a_id, $id AS b_id FROM ${out}_sz
        WHERE bn > ${TextOps.HotBucketCap} AND $id <> bmin))"""
   }
+
+  /** The caption curation core's CTE chain — minhash -> banded
+    * buckets -> capped candidates -> Jaccard verify -> CC -> token /
+    * language stats — re-rooted at a `docs(doc_id, text)` CTE the
+    * composed mirrors provide (exact text dedup belongs in the
+    * caller's `docs` definition). Exposes `cc`, `wf` (n/mx token
+    * stats) and `lang` (lang_pred); callers join those in their final
+    * SELECT and filter survivors with [[curationSurvivorWhere]].
+    * Written once so the composed multimodal mirrors (t110/t122/t123/
+    * t124) cannot drift from the single-op oracles or each other.
+    * Requires the statement to open with WITH RECURSIVE (for reach). */
+  private def curationCoreCtes: String = {
+    val toksC = TOKS_SQL.replace("FROM documents", "FROM docs")
+    val mhC = MH_SQL.replace("FROM documents", "FROM docs")
+    val (rs, pred) = langIdSqlParts
+    s"""mh AS MATERIALIZED ($mhC),
+       buckets AS (
+         ${(0 until 4).map(b =>
+           s"SELECT doc_id, md5('b$b:' || h${2 * b} || ':' || h${2 * b + 1}) AS bucket FROM mh")
+           .mkString(" UNION ALL ")}),
+       ${candPairsCtes("buckets", "cand")},
+       sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (
+         SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
+                list_extract(w, i+2) AS sh
+         FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+               FROM ($toksC)))),
+       sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n_inter
+         FROM cand p
+         JOIN sh sa ON sa.doc_id = p.a_id
+         JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+         GROUP BY 1, 2),
+       verified AS (SELECT p.a_id, p.b_id FROM cand p
+         JOIN sizes na ON na.doc_id = p.a_id
+         JOIN sizes nb ON nb.doc_id = p.b_id
+         LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+         WHERE CASE WHEN na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0) > 0
+           THEN COALESCE(i.n_inter, 0)::DOUBLE /
+             (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0))
+           ELSE 0.0 END >= 0.5),
+       edges AS (SELECT a_id, b_id FROM verified
+         UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM verified),
+       nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+       reach(id, r) AS (
+         SELECT id, id AS r FROM nodes
+         UNION
+         SELECT e.a_id AS id, reach.r FROM edges e
+         JOIN reach ON reach.id = e.b_id),
+       cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       tq AS MATERIALIZED ($toksC),
+       wf AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS mx
+         FROM (SELECT doc_id, t, COUNT(*) AS c
+               FROM (SELECT doc_id, unnest(w) AS t FROM tq) GROUP BY 1, 2)
+         GROUP BY 1),
+       lang AS (SELECT doc_id, $pred AS lang_pred
+         FROM (SELECT doc_id, $rs FROM tq))"""
+  }
+
+  /** Survivor predicate over [[curationCoreCtes]]' `cc`/`wf`/`lang`
+    * for a row aliased `d` — curateCorpus's default gates. */
+  private val curationSurvivorWhere: String =
+    """d.doc_id NOT IN (SELECT id FROM cc WHERE cluster <> id)
+       AND lang.lang_pred = 'en'
+       AND wf.n BETWEEN 20 AND 80
+       AND ROUND(CAST(wf.mx AS DOUBLE) / wf.n, 6) <= 0.12"""
 
   /** Paragraph pool for t65 — shared between the Spark query's
     * synthetic text and the DuckDB mirror so the construction rule is
@@ -4342,10 +4436,7 @@ object TextQueries {
     // CC, min-id survivor) feeding t110's caption-curation chain
     // re-rooted at the surviving ids; ahash in the output is the
     // planted pattern the real decode provably reproduces
-    "t122_multimodal_near_dup" -> {
-      val toksC = TOKS_SQL.replace("FROM documents", "FROM docs")
-      val mhC = MH_SQL.replace("FROM documents", "FROM docs")
-      val (rs, pred) = langIdSqlParts
+    "t122_multimodal_near_dup" ->
       s"""WITH RECURSIVE pat AS (SELECT doc_id,
            xor(('0x' || substr(md5('imgcls:' || CAST(doc_id // 5 AS VARCHAR)), 1, 15))::BIGINT,
                (1::BIGINT << CAST(doc_id % 5 AS INTEGER)) - 1) AS h
@@ -4370,68 +4461,114 @@ object TextQueries {
            WHERE d.doc_id NOT IN (SELECT id FROM icc WHERE cluster <> id)),
          docs AS MATERIALIZED (SELECT c.doc_id, c.text FROM caps c
            WHERE c.doc_id IN (SELECT MIN(doc_id) FROM caps GROUP BY md5(text))),
-         mh AS MATERIALIZED ($mhC),
-         buckets AS (
-           ${(0 until 4).map(b =>
-             s"SELECT doc_id, md5('b$b:' || h${2 * b} || ':' || h${2 * b + 1}) AS bucket FROM mh")
-             .mkString(" UNION ALL ")}),
-         ${candPairsCtes("buckets", "cand")},
-         sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (
-           SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
-                  list_extract(w, i+2) AS sh
-           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
-                 FROM ($toksC)))),
-         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-         inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n_inter
-           FROM cand p
-           JOIN sh sa ON sa.doc_id = p.a_id
-           JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
-           GROUP BY 1, 2),
-         verified AS (SELECT p.a_id, p.b_id FROM cand p
-           JOIN sizes na ON na.doc_id = p.a_id
-           JOIN sizes nb ON nb.doc_id = p.b_id
-           LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
-           WHERE CASE WHEN na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0) > 0
-             THEN COALESCE(i.n_inter, 0)::DOUBLE /
-               (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0))
-             ELSE 0.0 END >= 0.5),
-         edges AS (SELECT a_id, b_id FROM verified
-           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM verified),
-         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
-         reach(id, r) AS (
-           SELECT id, id AS r FROM nodes
-           UNION
-           SELECT e.a_id AS id, reach.r FROM edges e
-           JOIN reach ON reach.id = e.b_id),
-         cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
-         tq AS MATERIALIZED ($toksC),
-         wf AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS mx
-           FROM (SELECT doc_id, t, COUNT(*) AS c
-                 FROM (SELECT doc_id, unnest(w) AS t FROM tq) GROUP BY 1, 2)
-           GROUP BY 1),
-         lang AS (SELECT doc_id, $pred AS lang_pred
-           FROM (SELECT doc_id, $rs FROM tq))
+         $curationCoreCtes
          SELECT d.doc_id, p.h AS ahash, CAST(wf.n AS BIGINT) AS n_tokens
          FROM docs d
          JOIN pat p ON p.doc_id = d.doc_id
          JOIN wf ON wf.doc_id = d.doc_id
          JOIN lang ON lang.doc_id = d.doc_id
-         WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE cluster <> id)
-           AND lang.lang_pred = 'en'
-           AND wf.n BETWEEN 20 AND 80
-           AND ROUND(CAST(wf.mx AS DOUBLE) / wf.n, 6) <= 0.12
-         ORDER BY d.doc_id"""
-    },
+         WHERE $curationSurvivorWhere
+         ORDER BY d.doc_id""",
+
+    // audio-caption pipeline mirror: byte-dedup collapses to a GROUP BY
+    // on the sample count (buildWav's payload is bijective with ns),
+    // every PCM sample is recomputed from the synthetic byte rule
+    // (t55's CTE re-rooted at the dedup survivors), the gate reruns on
+    // the same 6-dp numbers, and the caption curation chain is the
+    // shared [[curationCoreCtes]] block
+    "t123_audio_caption_pipeline" ->
+      s"""WITH RECURSIVE aud AS (SELECT doc_id,
+           800 + length(text) % 8000 AS ns
+           FROM documents WHERE doc_id % 2 = 1),
+         akeep AS (SELECT MIN(doc_id) AS doc_id, ns FROM aud GROUP BY ns),
+         smp AS (SELECT doc_id, ns,
+             unnest(generate_series(0, ns - 1)) AS k FROM akeep),
+         pcm AS (SELECT doc_id, CAST(k // 1000 AS INT) AS win_idx,
+             CASE WHEN (((45 + 2*k)*17 + ns) % 256) >= 128
+               THEN ((((45 + 2*k)*17 + ns) % 256) * 256
+                     + (((44 + 2*k)*17 + ns) % 256)) - 65536
+               ELSE (((45 + 2*k)*17 + ns) % 256) * 256
+                     + (((44 + 2*k)*17 + ns) % 256) END AS v
+           FROM smp),
+         wins AS (SELECT doc_id, win_idx,
+             ROUND(sqrt(SUM(v::BIGINT * v)::DOUBLE / COUNT(*)), 6) AS rms,
+             MAX(ABS(v)) AS peak
+           FROM pcm GROUP BY 1, 2),
+         astat AS (SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             SUM(CAST(ROUND(rms * 1000000) AS BIGINT)) AS sm,
+             CAST(MAX(peak) AS INT) AS peak
+           FROM wins GROUP BY 1),
+         gated AS (SELECT doc_id, n_windows,
+             ((sm * 2 + n_windows) // (n_windows * 2)) / 1000000.0
+               AS mean_rms, peak
+           FROM astat
+           WHERE n_windows >= 2
+             AND ((sm * 2 + n_windows) // (n_windows * 2)) >= 1000000000),
+         caps AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
+           WHERE d.doc_id IN (SELECT doc_id FROM gated)),
+         docs AS MATERIALIZED (SELECT c.doc_id, c.text FROM caps c
+           WHERE c.doc_id IN (SELECT MIN(doc_id) FROM caps GROUP BY md5(text))),
+         $curationCoreCtes
+         SELECT d.doc_id, g.n_windows, g.mean_rms, g.peak,
+           CAST(wf.n AS BIGINT) AS n_tokens
+         FROM docs d
+         JOIN gated g ON g.doc_id = d.doc_id
+         JOIN wf ON wf.doc_id = d.doc_id
+         JOIN lang ON lang.doc_id = d.doc_id
+         WHERE $curationSurvivorWhere
+         ORDER BY d.doc_id""",
+
+    // video-caption pipeline mirror: byte-dedup collapses to a GROUP BY
+    // on the geometry rule (buildMp4Frames' payload is bijective with
+    // (w, h, nf)), per-frame means are t43's codec-free recompute
+    // re-rooted at the dedup survivors, the frame gate reruns on the
+    // same 6-dp numbers, then the shared curation chain
+    "t124_video_caption_pipeline" ->
+      s"""WITH RECURSIVE dims AS (SELECT doc_id, 8 + length(text) % 9 AS w,
+           6 + doc_id % 7 AS h, 1 + doc_id % 3 AS nf FROM documents),
+         vkeep AS (SELECT MIN(doc_id) AS doc_id, w, h, nf FROM dims
+           GROUP BY w, h, nf),
+         fr AS (SELECT doc_id, w, h, unnest(range(nf)) AS f FROM vkeep),
+         fx AS (SELECT doc_id, w, h, f, unnest(range(w)) AS x FROM fr),
+         fxy AS (SELECT doc_id, w, h, f, x, unnest(range(h)) AS y FROM fx),
+         fm AS (SELECT doc_id, f, w, h, ROUND(AVG(gr), 6) AS mean_gray
+           FROM (SELECT doc_id, f, w, h,
+                   0.299*v + 0.587*v + 0.114*v AS gr
+                 FROM (SELECT *, CAST((x*31 + y*17 + f*29) % 256 AS DOUBLE) AS v
+                       FROM fxy))
+           GROUP BY doc_id, f, w, h),
+         vstat AS (SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+             SUM(CAST(ROUND(mean_gray * 1000000) AS BIGINT)) AS sg
+           FROM fm GROUP BY 1),
+         gated AS (SELECT doc_id, n_frames, width, height,
+             ((sg * 2 + n_frames) // (n_frames * 2)) / 1000000.0
+               AS mean_gray
+           FROM vstat
+           WHERE n_frames >= 2
+             AND ((sg * 2 + n_frames) // (n_frames * 2)) >= 20000000),
+         caps AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
+           WHERE d.doc_id IN (SELECT doc_id FROM gated)),
+         docs AS MATERIALIZED (SELECT c.doc_id, c.text FROM caps c
+           WHERE c.doc_id IN (SELECT MIN(doc_id) FROM caps GROUP BY md5(text))),
+         $curationCoreCtes
+         SELECT d.doc_id, g.n_frames, g.width, g.height, g.mean_gray,
+           CAST(wf.n AS BIGINT) AS n_tokens
+         FROM docs d
+         JOIN gated g ON g.doc_id = d.doc_id
+         JOIN wf ON wf.doc_id = d.doc_id
+         JOIN lang ON lang.doc_id = d.doc_id
+         WHERE $curationSurvivorWhere
+         ORDER BY d.doc_id""",
 
     // multimodal pipeline mirror: image identity classes from the
     // construction rule (format from id parity, dimensions from
     // (id, caption length) — t18's rule), min-id survivor per class,
     // then the t22 curation chain re-rooted at the surviving captions,
     // finished with the class metadata + token counts
-    "t110_multimodal_pipeline" -> {
-      val toksC = TOKS_SQL.replace("FROM documents", "FROM docs")
-      val mhC = MH_SQL.replace("FROM documents", "FROM docs")
-      val (rs, pred) = langIdSqlParts
+    "t110_multimodal_pipeline" ->
       s"""WITH RECURSIVE k AS (SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
            CAST(16 + length(text) % 41 AS INTEGER) AS width,
@@ -4443,59 +4580,15 @@ object TextQueries {
            WHERE d.doc_id IN (SELECT doc_id FROM imgkeep)),
          docs AS MATERIALIZED (SELECT c.doc_id, c.text FROM caps c
            WHERE c.doc_id IN (SELECT MIN(doc_id) FROM caps GROUP BY md5(text))),
-         mh AS MATERIALIZED ($mhC),
-         buckets AS (
-           ${(0 until 4).map(b =>
-             s"SELECT doc_id, md5('b$b:' || h${2 * b} || ':' || h${2 * b + 1}) AS bucket FROM mh")
-             .mkString(" UNION ALL ")}),
-         ${candPairsCtes("buckets", "cand")},
-         sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (
-           SELECT doc_id, list_extract(w, i) || ' ' || list_extract(w, i+1) || ' ' ||
-                  list_extract(w, i+2) AS sh
-           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
-                 FROM ($toksC)))),
-         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-         inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n_inter
-           FROM cand p
-           JOIN sh sa ON sa.doc_id = p.a_id
-           JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
-           GROUP BY 1, 2),
-         verified AS (SELECT p.a_id, p.b_id FROM cand p
-           JOIN sizes na ON na.doc_id = p.a_id
-           JOIN sizes nb ON nb.doc_id = p.b_id
-           LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
-           WHERE CASE WHEN na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0) > 0
-             THEN COALESCE(i.n_inter, 0)::DOUBLE /
-               (na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0))
-             ELSE 0.0 END >= 0.5),
-         edges AS (SELECT a_id, b_id FROM verified
-           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM verified),
-         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
-         reach(id, r) AS (
-           SELECT id, id AS r FROM nodes
-           UNION
-           SELECT e.a_id AS id, reach.r FROM edges e
-           JOIN reach ON reach.id = e.b_id),
-         cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
-         tq AS MATERIALIZED ($toksC),
-         wf AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS mx
-           FROM (SELECT doc_id, t, COUNT(*) AS c
-                 FROM (SELECT doc_id, unnest(w) AS t FROM tq) GROUP BY 1, 2)
-           GROUP BY 1),
-         lang AS (SELECT doc_id, $pred AS lang_pred
-           FROM (SELECT doc_id, $rs FROM tq))
+         $curationCoreCtes
          SELECT d.doc_id, k.format, k.width, k.height,
            CAST(wf.n AS BIGINT) AS n_tokens
          FROM docs d
          JOIN k ON k.doc_id = d.doc_id
          JOIN wf ON wf.doc_id = d.doc_id
          JOIN lang ON lang.doc_id = d.doc_id
-         WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE cluster <> id)
-           AND lang.lang_pred = 'en'
-           AND wf.n BETWEEN 20 AND 80
-           AND ROUND(CAST(wf.mx AS DOUBLE) / wf.n, 6) <= 0.12
-         ORDER BY d.doc_id"""
-    },
+         WHERE $curationSurvivorWhere
+         ORDER BY d.doc_id""",
     // same geometry + pixel rules as t43 (buildMp4Frames mirrors
     // buildAvi's rule), exercised through the MP4 sample-table walk
     "t60_mp4_frames" -> FRAME_RULE_SQL,

@@ -118,6 +118,69 @@ object DocStreams {
       eventTimeCol: String, k: Int = 8, rows: Int = 2,
       shingleWords: Int = 3, watermark: String = "2 hours",
       claimHorizonMs: Long = 2L * 3600 * 1000): DataFrame = {
+    val (banded, nBands) = bandedRows(docs, idCol, textCol, eventTimeCol,
+      k, rows, shingleWords, watermark)
+    claimSurvivors(banded, nBands, claimHorizonMs,
+      idCol, textCol, eventTimeCol)
+  }
+
+  /** The streaming twin of [[graft.text.TextOps.dedupAgainstCorpus]] —
+    * continuous ingest against an already-curated corpus: each arriving
+    * document's LSH band buckets are checked against the STATIC index
+    * of the corpus's buckets (a stream-static anti join: any band hit
+    * drops the document, the batch operator's `clash` semantics), and
+    * the survivors then near-dedup among THEMSELVES through the same
+    * per-bucket first-claim state [[dedupByMinhash]] uses. Emits the
+    * surviving (idCol, textCol, eventTimeCol) rows.
+    *
+    * `indexBuckets` carries a `bucket` column from
+    * [[graft.text.TextOps.lshBuckets]] over the curated corpus — the
+    * same frame the batch operator consumes, so a job can flip between
+    * sweep and stream without rebuilding the index. Re-index by
+    * restarting the query over the refreshed static frame (static
+    * sides are re-planned per run, not per microbatch).
+    *
+    * Documented divergence from the batch operator, in the
+    * CONSERVATIVE direction only: a corpus-clashed document's
+    * non-clashing buckets still claim within the horizon, so a stream
+    * document that near-duplicates a clashed one is also dropped —
+    * the batch chain keeps it (its only candidate pair was removed
+    * with the clashed doc). The streaming behavior is the
+    * dedup-safe call: such a document transitively near-duplicates
+    * corpus content through the clashed doc. No document the batch
+    * operator DROPS is ever kept here.
+    *
+    * Scale shape: the anti join shuffles band rows against the
+    * index's distinct buckets (corpus-bounded, never corpus x stream),
+    * and the claim state holds one entry per live bucket inside the
+    * horizon — the within-stream stage never materializes candidate
+    * pairs at all, which is the streaming answer to the batch chain's
+    * hot-bucket discipline. */
+  def dedupAgainstCorpus(docs: DataFrame, indexBuckets: DataFrame,
+      idCol: String, textCol: String, eventTimeCol: String,
+      k: Int = 8, rows: Int = 2, shingleWords: Int = 3,
+      watermark: String = "2 hours",
+      claimHorizonMs: Long = 2L * 3600 * 1000): DataFrame = {
+    val (banded, nBands) = bandedRows(docs, idCol, textCol, eventTimeCol,
+      k, rows, shingleWords, watermark)
+    val idx = indexBuckets.select(col("bucket")).distinct()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // a document with ANY band bucket in the corpus index loses that
+    // band row here and can never reach the nBands claim count below
+    val fresh = banded.toDF()
+      .join(idx, Seq("bucket"), "left_anti").as[BandRow]
+    claimSurvivors(fresh, nBands, claimHorizonMs,
+      idCol, textCol, eventTimeCol)
+  }
+
+  /** Shared banding stage: minhash the stream, explode one bucket row
+    * per band (u-prefixed unique buckets for shingle-less docs, as in
+    * the batch [[graft.text.TextOps.lshBuckets]]). Returns the banded
+    * rows and the band count. */
+  private def bandedRows(docs: DataFrame, idCol: String, textCol: String,
+      eventTimeCol: String, k: Int, rows: Int, shingleWords: Int,
+      watermark: String): (org.apache.spark.sql.Dataset[BandRow], Int) = {
     require(k % 2 == 0, "k must be even (two 60-bit halves per md5)")
     require(rows > 0 && k % rows == 0, s"k=$k must divide into bands of $rows")
     val nBands = k / rows
@@ -147,6 +210,17 @@ object DocStreams {
     import spark.implicits._
     val banded = withH.withColumn("bucket", explode(array(bands: _*)))
       .select("bucket", "ts", "id", "text").as[BandRow]
+    (banded, nBands)
+  }
+
+  /** Shared claim stage: per-bucket first-claim state, then keep the
+    * documents that claimed ALL their bands. */
+  private def claimSurvivors(
+      banded: org.apache.spark.sql.Dataset[BandRow], nBands: Int,
+      claimHorizonMs: Long, idCol: String, textCol: String,
+      eventTimeCol: String): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
     val claims = banded.groupByKey(_.bucket)
       .transformWithState(new BucketClaimProcessor(claimHorizonMs),
         "ts", OutputMode.Append())

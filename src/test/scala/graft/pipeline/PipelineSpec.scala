@@ -242,4 +242,51 @@ class PipelineSpec extends AnyFunSuite {
     // 4 (inverted) and 5 (heavily perturbed) stay distinct
     assert(kept.toSeq == Seq(1L, 4L, 5L), s"got ${kept.mkString(",")}")
   }
+
+  test("audioCaptionCurate: byte dedup, duration gate, caption curation") {
+    def cap(id: Long): String =
+      (0 until 30).map(i => s"w${id}x$i").mkString("the and of to in ", " ", " end")
+    // ids 0-7: distinct sample counts (>= 2 windows, pass); id 8 is a
+    // byte dup of id 0 (same nSamples -> identical WAV); id 9 is a
+    // 900-sample stub (1 window -> duration-gated)
+    val media = (0L to 9L).map { id =>
+      val ns = if (id == 8L) 2000 else if (id == 9L) 900
+               else 2000 + 100 * id.toInt
+      (id, "audio", graft.multimodal.Media.buildWav(8000, ns))
+    }.toDF("media_id", "kind", "payload")
+    val docs = (0L to 9L).map(id => (id, cap(id))).toDF("doc_id", "text")
+    val out = Pipeline.audioCaptionCurate(media, docs, "doc_id", "text",
+        minTokens = 10, maxTokens = 80)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(out.keySet == (0L to 7L).toSet, s"got ${out.keySet}")
+    // every surviving clip decoded 2 full windows of real PCM, loud
+    // enough to clear the silence gate by orders of magnitude
+    out.foreach { case (id, (nw, rms, peak)) =>
+      assert(nw >= 2L && rms > 1000.0 && peak > 0, s"doc $id: $nw/$rms/$peak")
+    }
+  }
+
+  test("videoCaptionCurate: byte dedup, frame gate, caption curation") {
+    def cap(id: Long): String =
+      (0 until 30).map(i => s"w${id}x$i").mkString("the and of to in ", " ", " end")
+    // ids 0-5: distinct widths, 2 frames (pass); id 6 duplicates id 0's
+    // geometry -> identical MP4 bytes, deduped; id 7 is a single-frame
+    // still -> frame-gated
+    val media = (0L to 7L).map { id =>
+      val (w, nf) = if (id == 6L) (8, 2) else if (id == 7L) (20, 1)
+                    else (8 + id.toInt, 2)
+      (id, "video", graft.multimodal.Media.buildMp4Frames(w, 6, nf))
+    }.toDF("media_id", "kind", "payload")
+    val docs = (0L to 7L).map(id => (id, cap(id))).toDF("doc_id", "text")
+    val out = Pipeline.videoCaptionCurate(media, docs, "doc_id", "text",
+        minTokens = 10, maxTokens = 80)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getDouble(4))).toMap
+    assert(out.keySet == (0L to 5L).toSet, s"got ${out.keySet}")
+    out.foreach { case (id, (nf, w, mg)) =>
+      assert(nf == 2L && w == 8 + id.toInt && mg > 20.0,
+        s"doc $id: $nf/$w/$mg")
+    }
+  }
 }

@@ -301,6 +301,60 @@ class DocStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming corpus-index dedup matches batch dedupAgainstCorpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    withRocksDb {
+      // curated corpus: 10 distinct-vocabulary docs. Batch shape:
+      // - ids 100-102: trivial edits of corpus doc 0 -> corpus clash,
+      //   dropped both sides
+      // - ids 200/201, 210/211: within-batch dup pairs with vocab
+      //   disjoint from the corpus -> pair min survives
+      // - ids 300-309: singletons -> all survive
+      def corpusText(g: Long) =
+        (0 until 25).map(w => s"c${g}w${(g * 11 + w * 3) % 29}").mkString(" ")
+      val corpus = (0L until 10L).map(i => (i, corpusText(i)))
+        .toDF("doc_id", "text")
+      val idx = TextOps.lshBuckets(
+        TextOps.minhashSignature(corpus, "doc_id", "text", k = 8),
+        "doc_id", 8, 2)
+      def dupText(g: Long, c: Long) =
+        (0 until 25).map(w => s"n${g}w${(g * 7 + w * 5) % 23}")
+          .mkString(" ") + s" tail$c"
+      val batch = Seq(
+          (100L, corpusText(0) + " tiny100"),
+          (101L, corpusText(0) + " tiny101"),
+          (102L, corpusText(0) + " tiny102"),
+          (200L, dupText(1, 200)), (201L, dupText(1, 201)),
+          (210L, dupText(2, 210)), (211L, dupText(2, 211))) ++
+        (300L until 310L).map(i =>
+          (i, (0 until 25).map(w => s"z${i}u${i * 13 + w * 5}").mkString(" ")))
+      val docs = batch.toDF("doc_id", "text")
+      val want = TextOps.dedupAgainstCorpus(docs, idx, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(!want.exists(_ < 200), "corpus clashes must drop")
+      assert(want.size < batch.size, "the batch must actually deduplicate")
+
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+      val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val stream = in.toDF.toDF("doc_id", "text", "ingest_time")
+      val q = DocStreams.dedupAgainstCorpus(stream, idx,
+          "doc_id", "text", "ingest_time")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("corpus_dedup").start()
+      in.addData(batch.map { case (id, text) => (id, text, ts(id)) })
+      q.processAllAvailable()
+      in.addData((999999L, "sentinel doc", ts(86400L * 2)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("corpus_dedup").select("doc_id").as[Long]
+        .collect().toSet - 999999L
+      assert(got == want,
+        s"stream/batch mismatch: only-stream=${got -- want} only-batch=${want -- got}")
+    }
+  }
+
   test("streaming decontamination drops exactly the batch-flagged docs") {
     val schema = docsBatch.schema
     val bench = docsBatch.filter(col("doc_id") < 50)
