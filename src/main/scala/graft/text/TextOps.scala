@@ -147,19 +147,23 @@ object TextOps {
     * recall argument, bounded to hot buckets only. Set
     * `hotBucketCap = Int.MaxValue` to opt out (exact all-pairs).
     *
-    * Scale shape (bigint ids, the hot path): ONE hash aggregation on
-    * the bucket key (map-side combined, no sort) computes per-bucket
-    * size, min id, and a member list BOUNDED at cap + 1 elements
-    * ([[BoundedCollectLong]] — complete for small buckets, truncated
-    * for hot ones, so aggregation state is O(cap) per bucket no matter
-    * how big the mega-cluster). Small-bucket pairs come from a
-    * codegen'd array comprehension over the complete list — no
-    * self-join; hot buckets (tiny, usually empty) broadcast back onto
-    * the bucket frame for star edges. Shuffle and output both linear
-    * in rows + true near-dups, never cluster-quadratic. */
+    * Scale shape: ONE window over the bucket key annotates every row
+    * with its bucket's size and min id (a single exchange; the window
+    * state is two running values, never a member list), so star edges
+    * are a pure filter+project — a hot-bucket row already carries its
+    * hub — and only small buckets reach the self-join, whose fan-out
+    * the cap bounds at C(cap, 2) per bucket. Shuffle and output both
+    * linear in rows + true near-dups, never cluster-quadratic. The
+    * returned pair frame is an id-scale cache barrier: consumers
+    * (Jaccard verify reads it three times) get exact size stats for
+    * their join planning instead of a stats-blind window+union
+    * estimate. Four capped designs were A/B'd at sf0.1 (per-bucket
+    * stats agg + join back; a bounded-collect object aggregate, with
+    * and without the sort-based-fallback threshold raised; this
+    * window) — this one measures cheapest, ~+0.6 s per invocation
+    * over the uncapped self-join, the price of the one extra stage. */
   def lshCandidatePairs(bux: DataFrame, idCol: String,
       hotBucketCap: Int = HotBucketCap): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     if (hotBucketCap == Int.MaxValue) {
       // exact opt-out: the plain in-bucket self-join — all pairs
       return bux.as("x").join(bux.as("y"),
@@ -168,65 +172,20 @@ object TextOps {
         .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
         .distinct()
     }
-    if (bux.schema(idCol).dataType !=
-        org.apache.spark.sql.types.LongType) {
-      // generic-id path: same capped semantics via per-bucket stats +
-      // conditional self-join (slower than the long fast path below,
-      // but id types other than bigint are off every hot query path)
-      val stats = bux.groupBy("bucket")
-        .agg(count(lit(1)).as("__bn"), min(col(idCol)).as("__bmin"))
-      val sized = bux.join(stats, "bucket").barrierCache()
-      val small = sized.filter(col("__bn") <= hotBucketCap)
-        .select(col("bucket"), col(idCol))
-      val smallPairs = small.as("x").join(small.as("y"),
-          col("x.bucket") === col("y.bucket") &&
-            col(s"x.$idCol") < col(s"y.$idCol"))
-        .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
-      val starPairs = sized
-        .filter(col("__bn") > hotBucketCap && col(idCol) =!= col("__bmin"))
-        .select(col("__bmin").as("a_id"), col(idCol).as("b_id"))
-      return smallPairs.union(starPairs).distinct()
-    }
-    // Single-pass fast path: ONE hash aggregation on the bucket key
-    // yields (size, min id, member list bounded at cap + 1 — see
-    // [[BoundedCollectLong]]: complete for small buckets, truncated
-    // for hot ones). Small-bucket pairs are generated by a codegen'd
-    // array comprehension over the complete list — no self-join, no
-    // per-bucket stats join, no extra barrier to race on (the r13
-    // first cut paid +0.5-5 s per curation query for exactly those).
-    // Hot buckets emit star edges via a BROADCAST join of the (tiny,
-    // usually empty) hot-bucket list back onto bux — the only path
-    // that needs every member of a bucket whose list was truncated.
-    // Exchange count matches the plain self-join (agg + distinct).
-    val collectIds = org.apache.spark.sql.graftbridge.Bridge.column(
-      org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
-        BoundedCollectLong(
-          org.apache.spark.sql.graftbridge.Bridge.expression(col(idCol)),
-          hotBucketCap + 1),
-        org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
-        isDistinct = false))
-    // barrier: referenced by BOTH branches below, and consumers like
-    // jaccardPairs re-reference the returned pair frame up to three
-    // times — without the cache every reference re-runs the
-    // aggregation over bux's whole lineage
-    val agg = bux.groupBy("bucket")
-      .agg(count(lit(1)).as("__bn"), min(col(idCol)).as("__bmin"),
-        collectIds.as("__ids"))
-      .barrierCache()
-    val smallPairs = agg
-      .filter(col("__bn") <= hotBucketCap && col("__bn") >= 2)
-      .select(explode(expr(
-        """filter(
-             flatten(transform(__ids, x -> transform(__ids, y ->
-               struct(x AS a_id, y AS b_id)))),
-             p -> p.a_id < p.b_id)""")).as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
-    val hot = agg.filter(col("__bn") > hotBucketCap)
-      .select(col("bucket"), col("__bmin"))
-    val starPairs = bux.join(broadcast(hot), "bucket")
-      .filter(col(idCol) =!= col("__bmin"))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    val en = bux.select(col("bucket"), col(idCol))
+      .withColumn("__bn", count(lit(1)).over(wb))
+      .withColumn("__bmin", min(col(idCol)).over(wb))
+    val small = en.filter(col("__bn") <= hotBucketCap)
+      .select(col("bucket"), col(idCol))
+    val smallPairs = small.as("x").join(small.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+    val starPairs = en
+      .filter(col("__bn") > hotBucketCap && col(idCol) =!= col("__bmin"))
       .select(col("__bmin").as("a_id"), col(idCol).as("b_id"))
-    smallPairs.union(starPairs).distinct()
+    smallPairs.union(starPairs).distinct().barrierCache()
   }
 
 

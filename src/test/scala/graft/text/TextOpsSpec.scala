@@ -49,10 +49,9 @@ class TextOpsSpec extends AnyFunSuite {
     assert(cc == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
   }
 
-  test("lshCandidatePairs generic-id path matches the bigint fast path") {
+  test("lshCandidatePairs capped kernel is id-type agnostic") {
     import spark.implicits._
-    // int ids route through the stats-join path; cast to long for the
-    // fast path — the two capped kernels must emit identical pair sets
+    // the window kernel must emit the same pair set for int and long ids
     val buxInt = Seq(
       (1, "A"), (2, "A"), (3, "A"),
       (10, "B"), (11, "B"), (12, "B"), (13, "B"), (14, "B"),
@@ -65,33 +64,6 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(generic == fast)
     assert(generic.nonEmpty)
-  }
-
-  test("BoundedCollectLong: complete under the limit, truncated-not-grown above it") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    // many partitions so partial buffers genuinely merge in shuffle
-    val df = spark.range(0, 100, 1, 16)
-      .withColumn("g", (col("id") % 2).cast("string"))
-    def collected(limit: Int) = {
-      val agg = org.apache.spark.sql.graftbridge.Bridge.column(
-        org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression(
-          BoundedCollectLong(
-            org.apache.spark.sql.graftbridge.Bridge.expression(col("id")), limit),
-          org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
-          isDistinct = false))
-      df.groupBy("g").agg(agg.as("ids")).collect()
-        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
-    }
-    // limit above the group size: the COMPLETE multiset, any order
-    val full = collected(60)
-    assert(full("0").sorted == (0L until 100L by 2).toSeq)
-    assert(full("1").sorted == (1L until 100L by 2).toSeq)
-    // limit below the group size: exactly `limit` members, all from the group
-    val cut = collected(7)
-    assert(cut.values.forall(_.length == 7))
-    assert(cut("0").forall(_ % 2 == 0) && cut("1").forall(_ % 2 == 1))
-    assert(cut.values.forall(ids => ids.distinct.length == ids.length))
   }
 
   test("dropNearDuplicates keeps canonical members and untouched docs") {
