@@ -146,6 +146,38 @@ object Media {
     b
   }
 
+  /** A real RIFF/WAVE PCM payload (16-bit mono) whose per-window
+    * loudness is EXACT: window w (of `windowSamples` samples) is an
+    * alternating +amps(w)/-amps(w) square wave, so its RMS equals
+    * amps(w) precisely (every |sample| = A, sqrt of a perfect square)
+    * — the audio analogue of [[buildBmpPattern]]: the planted
+    * quantity survives the real javax.sound codec round trip
+    * bit-exactly, which is what makes [[audioFingerprint]] externally
+    * mirrorable. */
+  def buildSquareWav(amps: Seq[Int], windowSamples: Int = 1000,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val n = amps.length * windowSamples
+    val dataSize = n * 2
+    val b = new Array[Byte](44 + dataSize)
+    def tag(off: Int, s: String): Unit = s.zipWithIndex.foreach {
+      case (c, i) => b(off + i) = c.toByte
+    }
+    tag(0, "RIFF"); le32(b, 4, 36 + dataSize); tag(8, "WAVE")
+    tag(12, "fmt "); le32(b, 16, 16); le16(b, 20, 1); le16(b, 22, 1)
+    le32(b, 24, sampleRate); le32(b, 28, sampleRate * 2)
+    le16(b, 32, 2); le16(b, 34, 16)
+    tag(36, "data"); le32(b, 40, dataSize)
+    var k = 0
+    while (k < n) {
+      val a = amps(k / windowSamples)
+      val v = if (k % 2 == 0) a else -a
+      b(44 + 2 * k) = (v & 0xff).toByte
+      b(45 + 2 * k) = ((v >> 8) & 0xff).toByte
+      k += 1
+    }
+    b
+  }
+
   /** A real PNG (or any ImageIO-writable format) with deterministic
     * pixel content derived only from (width, height) — so an external
     * oracle can predict decode metadata from the dimensions alone while
@@ -577,10 +609,18 @@ object Media {
     * samples live in ONE chunk, so `stco` is a single offset and
     * `stsc` a single run; `stsz` carries per-sample sizes. */
   def buildMp4Frames(width: Int, height: Int, nFrames: Int, fps: Int = 10,
-      mjpeg: Boolean = false): Array[Byte] = {
+      mjpeg: Boolean = false): Array[Byte] =
+    buildMp4FramesWith(width, height, nFrames, fps, mjpeg,
+      (x, y, f) => (x * 31 + y * 17 + f * 29) & 0xff)
+
+  /** [[buildMp4Frames]] with a caller-supplied pixel rule — the hook
+    * [[syntheticPatternMp4s]] uses to plant constant-luminance frames
+    * whose decoded mean gray equals an md5-derived value exactly. */
+  def buildMp4FramesWith(width: Int, height: Int, nFrames: Int,
+      fps: Int, mjpeg: Boolean,
+      pixel: (Int, Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames >= 0 && fps > 0,
       s"invalid MP4 geometry: ${width}x$height x$nFrames @${fps}fps")
-    def pixel(x: Int, y: Int, f: Int): Int = (x * 31 + y * 17 + f * 29) & 0xff
     val samples: Seq[Array[Byte]] = (0 until nFrames).map { f =>
       if (mjpeg) {
         val img = new java.awt.image.BufferedImage(
@@ -1460,6 +1500,184 @@ object Media {
     }(enc)
   }
 
+  /** 64-bit audio ENERGY-ENVELOPE fingerprint — the audio sibling of
+    * [[imageHash]]: real PCM decode ([[pcmSamples]]), the first 16
+    * fixed-size windows' RMS levels quantized to 4 bits each
+    * (`min(15, round(rms) / levelStep)`) and packed window-w-at-bits
+    * [4w, 4w+4) — a coarse loudness profile that survives re-encoding
+    * and small amplitude noise (the dominant duplicate classes for
+    * crawled audio: same clip re-uploaded, transcoded, or gain-shifted
+    * below a level step). Non-audio / undecodable payloads emit a null
+    * fingerprint. Per-partition map with no shuffle; clips shorter
+    * than 16 windows leave the high nibbles 0 (duration is part of
+    * the profile). */
+  def audioFingerprint(media: DataFrame, windowSamples: Int = 1000,
+      levelStep: Int = 256): DataFrame = {
+    require(windowSamples > 0 && levelStep > 0,
+      s"invalid fingerprint params: $windowSamples/$levelStep")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("afp", LongType)))
+    val enc = Encoders.row(schema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val fp = pcmSamples(r.getAs[Array[Byte]](1)).filter(_.nonEmpty)
+          .map { s =>
+            var acc = 0L
+            var w = 0
+            while (w < 16 && w * windowSamples < s.length) {
+              val from = w * windowSamples
+              val until = math.min(s.length, from + windowSamples)
+              var sumsq = 0L
+              var j = from
+              while (j < until) {
+                val v = s(j).toInt; sumsq += v.toLong * v; j += 1
+              }
+              val rms = math.sqrt(sumsq.toDouble / (until - from))
+              val level = math.min(15L, math.round(rms) / levelStep)
+              acc |= level << (4 * w)
+              w += 1
+            }
+            acc
+          }
+        Row(id, fp.map(java.lang.Long.valueOf).orNull)
+      }
+    }(enc)
+  }
+
+  /** Audio near-duplicate pairs — [[imageNearDups]]' audio sibling:
+    * [[audioFingerprint]] envelopes through the shared
+    * [[bandedHammingPairs]] machinery (4 x 16-bit bands, hot-bucket
+    * capped candidates, exact Hamming verify). Returns (a_id, b_id,
+    * hamming); cluster + drop survivors with
+    * [[graft.text.TextOps.nearDupClusters]] as everywhere else. */
+  def audioNearDups(media: DataFrame, maxHamming: Int = 3,
+      windowSamples: Int = 1000): DataFrame =
+    bandedHammingPairs(
+      audioFingerprint(media, windowSamples)
+        .filter(col("afp").isNotNull).barrierCache(),
+      "afp", maxHamming)
+
+  /** Planted near-duplicate audio classes over [[buildSquareWav]] —
+    * [[syntheticPatternBmps]]' audio twin: five consecutive ids share
+    * one md5-derived 60-bit envelope pattern (`cls = id / 5`), member
+    * `id % 5 = p` XORs in the low-p-bit mask, window w's amplitude is
+    * `nibble_w * 256 + 128` (mid-cell, so quantization recovers the
+    * nibble exactly). [[audioFingerprint]] over the REAL codec path
+    * provably equals the planted pattern, making the whole
+    * band-join + Hamming + CC chain externally SQL-recomputable. */
+  def syntheticEnvelopeWavs(df: DataFrame, idCol: String,
+      windowSamples: Int = 1000): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          md.reset()
+          val hex = md.digest(s"audcls:${id / 5}".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          val base = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          val pattern = base ^ ((1L << (id % 5).toInt) - 1L)
+          val amps = (0 until 16).map(w =>
+            ((pattern >>> (4 * w)) & 0xfL).toInt * 256 + 128)
+          Row(id, "audio", buildSquareWav(amps, windowSamples),
+            Row("synthetic", "wav"))
+        }
+      }(enc)
+  }
+
+  /** 64-bit video LUMINANCE-ENVELOPE fingerprint — the video sibling
+    * of [[imageHash]]/[[audioFingerprint]]: real container walk +
+    * frame decode ([[decodeAviFrames]]/[[decodeMp4Frames]]/
+    * [[decodeMkvFrames]]), the first 16 frames' mean grays quantized
+    * to 4 bits each (`round(mean) / 16`) and packed frame-f-at-bits
+    * [4f, 4f+4) — the coarse brightness profile that survives
+    * container swaps and re-encodes (the dominant duplicate classes
+    * for crawled video: same clip remuxed or re-encoded). Undecodable
+    * payloads emit a null fingerprint; clips shorter than 16 frames
+    * leave the high nibbles 0 (length is part of the profile).
+    * Per-partition map, no shuffle. */
+  def videoFingerprint(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("vfp", LongType)))
+    val enc = Encoders.row(schema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val decoded = {
+          val avi = decodeAviFrames(payload)
+          if (avi.nonEmpty) avi
+          else {
+            val mp4 = decodeMp4Frames(payload)
+            if (mp4.nonEmpty) mp4 else decodeMkvFrames(payload)
+          }
+        }
+        val fp =
+          if (decoded.isEmpty) null
+          else {
+            var acc = 0L
+            decoded.take(16).zipWithIndex.foreach { case (img, f) =>
+              val fw = img.getWidth; val fh = img.getHeight
+              var sum = 0.0
+              var y = 0
+              while (y < fh) {
+                var x = 0
+                while (x < fw) { sum += gray(img.getRGB(x, y)); x += 1 }
+                y += 1
+              }
+              val level =
+                math.min(15L, math.round(sum / (fw.toLong * fh)) / 16)
+              acc |= level << (4 * f)
+            }
+            java.lang.Long.valueOf(acc)
+          }
+        Row(id, fp)
+      }
+    }(enc)
+  }
+
+  /** Video near-duplicate pairs — [[imageNearDups]]' video sibling:
+    * [[videoFingerprint]] envelopes through the shared
+    * [[bandedHammingPairs]] machinery. Returns (a_id, b_id, hamming);
+    * cluster + drop with the usual CC chain. */
+  def videoNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(
+      videoFingerprint(media).filter(col("vfp").isNotNull).barrierCache(),
+      "vfp", maxHamming)
+
+  /** Planted near-duplicate video classes over [[buildMp4FramesWith]]
+    * — [[syntheticPatternBmps]]' video twin: five consecutive ids
+    * share one md5-derived 60-bit envelope pattern (`cls = id / 5`),
+    * member `id % 5 = p` XORs in the low-p-bit mask, frame f is a
+    * constant-luminance plane `nibble_f * 16 + 8` (mid-cell, so the
+    * decoded mean-gray quantization recovers the nibble exactly).
+    * [[videoFingerprint]] over the REAL sample-table walk provably
+    * equals the planted pattern — the whole band join + Hamming + CC
+    * chain is externally SQL-recomputable while Spark still earns it
+    * through real ISO-BMFF bytes and raw RGB24 frame decode. */
+  def syntheticPatternMp4s(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          md.reset()
+          val hex = md.digest(s"vidcls:${id / 5}".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          val base = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          val pattern = base ^ ((1L << (id % 5).toInt) - 1L)
+          val payload = buildMp4FramesWith(8, 6, 16, 10, mjpeg = false,
+            (_, _, f) => (((pattern >>> (4 * f)) & 0xfL).toInt << 4) | 8)
+          Row(id, "video", payload, Row("synthetic", "mp4"))
+        }
+      }(enc)
+  }
+
   /** Real image resize: decode -> bilinear resample -> re-encode PNG.
     * Rows whose payload is not a decodable image pass through with a
     * null resized column (total function, no task failure). */
@@ -1536,19 +1754,31 @@ object Media {
     * their own materialized frame so the decode runs once. Null hashes
     * must already be filtered; callers with an expensive lineage
     * should cache the frame (it is referenced three times). */
-  def imageNearDupsFromHashes(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // (band, 16-bit value) flattened to one injective bucket key so
-    // graft.text.TextOps.lshCandidatePairs' hot-bucket star-edge cap
-    // applies — a templated-image mega-cluster (one aHash shared
-    // corpus-wide) is the same in-bucket quadratic as the text chains.
+  def imageNearDupsFromHashes(sigs: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(sigs, "ahash", maxHamming)
+
+  /** Shared banded-Hamming candidate machinery over ANY 64-bit
+    * signature column — the one near-dup geometry every fingerprint
+    * modality rides (image aHash, audio energy envelope, video
+    * luminance envelope): 4 x 16-bit bands (pigeonhole: every pair
+    * within Hamming distance 3 shares a band), the (band, value) pair
+    * flattened to one injective bucket key so
+    * [[graft.text.TextOps.lshCandidatePairs]]' hot-bucket star-edge
+    * cap applies — a templated mega-cluster (one signature shared
+    * corpus-wide) is the same in-bucket quadratic as the text chains —
+    * then an exact bit_count(xor) verify per candidate. Returns
+    * (a_id, b_id, hamming) with hamming <= maxHamming. `sigs` carries
+    * (media_id, sigCol) with nulls already filtered. */
+  def bandedHammingPairs(sigs: DataFrame, sigCol: String,
+      maxHamming: Int = 3): DataFrame = {
     val bux = sigs.select(col("media_id"),
       explode(array((0 until 4).map { b =>
         concat_ws(":", lit(b),
-          shiftright(col("ahash"), b * 16).bitwiseAND(0xffffL))
+          shiftright(col(sigCol), b * 16).bitwiseAND(0xffffL))
       }: _*)).as("bucket"))
     val cand = graft.text.TextOps.lshCandidatePairs(bux, "media_id")
-    val sa = sigs.select(col("media_id").as("a_id"), col("ahash").as("__a"))
-    val sb = sigs.select(col("media_id").as("b_id"), col("ahash").as("__b"))
+    val sa = sigs.select(col("media_id").as("a_id"), col(sigCol).as("__a"))
+    val sb = sigs.select(col("media_id").as("b_id"), col(sigCol).as("__b"))
     cand.join(sa, "a_id").join(sb, "b_id")
       .select(col("a_id"), col("b_id"),
         expr("bit_count(__a ^ __b)").cast("int").as("hamming"))

@@ -1065,6 +1065,35 @@ object TextQueries {
         .orderBy("media_id")
     }),
 
+    // audio near-dup: planted-envelope WAVs (square-wave windows whose
+    // RMS is the amplitude exactly) through REAL javax.sound PCM
+    // decode -> 16x4-bit quantized energy envelope -> banded Hamming
+    // -> CC; the fingerprint provably equals the md5-derived pattern,
+    // so the whole chain is SQL-recomputed — t111's audio twin
+    "t125_audio_envelope_dedup" -> ((s, dir) => {
+      val media = graft.multimodal.Media.syntheticEnvelopeWavs(
+        graft.util.FanOut(t(s, dir, "documents")), "doc_id")
+      val pairs = graft.multimodal.Media.audioNearDups(media, maxHamming = 3)
+        .select(col("a_id"), col("b_id"))
+      TextOps.nearDupClusters(pairs)
+        .select(col("id").as("media_id"), col("cluster"))
+        .orderBy("media_id")
+    }),
+
+    // video near-dup: planted-envelope MP4s (constant-luminance
+    // frames) through the REAL sample-table walk + RGB24 frame decode
+    // -> 16x4-bit luminance envelope -> banded Hamming -> CC — t111's
+    // video twin
+    "t126_video_envelope_dedup" -> ((s, dir) => {
+      val media = graft.multimodal.Media.syntheticPatternMp4s(
+        graft.util.FanOut(t(s, dir, "documents")), "doc_id")
+      val pairs = graft.multimodal.Media.videoNearDups(media, maxHamming = 3)
+        .select(col("a_id"), col("b_id"))
+      TextOps.nearDupClusters(pairs)
+        .select(col("id").as("media_id"), col("cluster"))
+        .orderBy("media_id")
+    }),
+
     // t110's composition with the NEAR-dup image stage oracled
     // end-to-end: planted-pattern BMPs make the decoded aHash provably
     // equal the md5-derived pattern, so the band join + Hamming verify
@@ -2123,6 +2152,38 @@ object TextQueries {
        AND lang.lang_pred = 'en'
        AND wf.n BETWEEN 20 AND 80
        AND ROUND(CAST(wf.mx AS DOUBLE) / wf.n, 6) <= 0.12"""
+
+  /** The planted-envelope near-dup mirror, parameterized by the class
+    * salt — one statement shared by the image aHash (t111, imgcls),
+    * audio energy-envelope (t125, audcls) and video luminance-envelope
+    * (t126, vidcls) dedup oracles: the md5-rule pattern, 16-bit band
+    * candidates through the shared hot-bucket cap, bit_count Hamming
+    * verify, recursive-reach CC, min-id cluster labels. The three
+    * Spark sides each EARN the shared recompute through a different
+    * real codec path (ImageIO decode + resample; javax.sound PCM +
+    * window RMS; ISO-BMFF sample walk + frame mean-gray). */
+  private def plantedEnvelopeDedupSql(salt: String): String =
+    s"""WITH RECURSIVE pat AS (SELECT doc_id,
+           xor(('0x' || substr(md5('$salt:' || CAST(doc_id // 5 AS VARCHAR)), 1, 15))::BIGINT,
+               (1::BIGINT << CAST(doc_id % 5 AS INTEGER)) - 1) AS h
+         FROM documents),
+         bands AS (SELECT doc_id, b, (h >> (16 * b)) & 65535 AS v
+           FROM pat, (SELECT unnest(generate_series(0, 3)) AS b)),
+         ${candPairsCtes("bands", "cand", keys = Seq("b", "v"))},
+         verified AS (SELECT a_id, b_id FROM cand
+           JOIN pat pa ON pa.doc_id = a_id
+           JOIN pat pb ON pb.doc_id = b_id
+           WHERE bit_count(xor(pa.h, pb.h)) <= 3),
+         edges AS (SELECT a_id, b_id FROM verified
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM verified),
+         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.a_id AS id, reach.r FROM edges e
+           JOIN reach ON reach.id = e.b_id),
+         cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         SELECT id AS media_id, cluster FROM cc ORDER BY media_id"""
 
   /** Paragraph pool for t65 — shared between the Spark query's
     * synthetic text and the DuckDB mirror so the construction rule is
@@ -4407,28 +4468,18 @@ object TextQueries {
     // recomputes md5-base XOR member-mask per doc, re-runs the 16-bit
     // band join + bit_count(xor) verify, and resolves components with
     // the shared recursive-reach pattern
-    "t111_image_ahash_dedup" ->
-      s"""WITH RECURSIVE pat AS (SELECT doc_id,
-           xor(('0x' || substr(md5('imgcls:' || CAST(doc_id // 5 AS VARCHAR)), 1, 15))::BIGINT,
-               (1::BIGINT << CAST(doc_id % 5 AS INTEGER)) - 1) AS h
-         FROM documents),
-         bands AS (SELECT doc_id, b, (h >> (16 * b)) & 65535 AS v
-           FROM pat, (SELECT unnest(generate_series(0, 3)) AS b)),
-         ${candPairsCtes("bands", "cand", keys = Seq("b", "v"))},
-         verified AS (SELECT a_id, b_id FROM cand
-           JOIN pat pa ON pa.doc_id = a_id
-           JOIN pat pb ON pb.doc_id = b_id
-           WHERE bit_count(xor(pa.h, pb.h)) <= 3),
-         edges AS (SELECT a_id, b_id FROM verified
-           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM verified),
-         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
-         reach(id, r) AS (
-           SELECT id, id AS r FROM nodes
-           UNION
-           SELECT e.a_id AS id, reach.r FROM edges e
-           JOIN reach ON reach.id = e.b_id),
-         cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
-         SELECT id AS media_id, cluster FROM cc ORDER BY media_id""",
+    "t111_image_ahash_dedup" -> plantedEnvelopeDedupSql("imgcls"),
+
+    // audio-envelope near-dup mirror: same planted-pattern chain with
+    // the audcls salt — the Spark side earns it through real WAV
+    // bytes, javax.sound PCM decode, exact window RMS and 4-bit
+    // quantization that provably reproduces the md5-derived pattern
+    "t125_audio_envelope_dedup" -> plantedEnvelopeDedupSql("audcls"),
+
+    // video-envelope near-dup mirror: vidcls salt — Spark earns it
+    // through real ISO-BMFF bytes, the sample-table walk, raw RGB24
+    // frame decode and per-frame mean-gray quantization
+    "t126_video_envelope_dedup" -> plantedEnvelopeDedupSql("vidcls"),
 
     // near-dup multimodal pipeline mirror: t111's planted-pattern
     // aHash chain (md5-rule pattern, 16-bit band candidates with the

@@ -550,4 +550,53 @@ class MediaSpec extends AnyFunSuite {
     assert(got.toSeq == pats,
       s"ahash must equal the planted pattern: ${got.mkString(",")}")
   }
+
+  test("audio energy envelope round-trips the planted pattern through PCM decode") {
+    import spark.implicits._
+    val pats = Seq(0L, 0xfL, 0x0123456789abcdL, (1L << 60) - 1)
+    val media = pats.zipWithIndex.map { case (pt, i) =>
+      val amps = (0 until 16).map(w => ((pt >>> (4 * w)) & 0xfL).toInt * 256 + 128)
+      (i.toLong, Media.buildSquareWav(amps))
+    }.toDF("media_id", "payload")
+    val got = Media.audioFingerprint(media).orderBy("media_id")
+      .collect().map(r => r.getLong(1))
+    assert(got.toSeq == pats,
+      s"afp must equal the planted pattern: ${got.mkString(",")}")
+    // junk bytes yield a null fingerprint, never a throw
+    val junk = Seq((9L, Array.fill[Byte](64)(0x42))).toDF("media_id", "payload")
+    assert(Media.audioFingerprint(junk).collect()(0).isNullAt(1))
+  }
+
+  test("video luminance envelope round-trips the planted pattern through the MP4 walk") {
+    import spark.implicits._
+    val pats = Seq(0L, 0xfL, 0x0123456789abcdL, (1L << 60) - 1)
+    val media = pats.zipWithIndex.map { case (pt, i) =>
+      val payload = Media.buildMp4FramesWith(8, 6, 16, 10, mjpeg = false,
+        (_, _, f) => (((pt >>> (4 * f)) & 0xfL).toInt << 4) | 8)
+      (i.toLong, payload)
+    }.toDF("media_id", "payload")
+    val got = Media.videoFingerprint(media).orderBy("media_id")
+      .collect().map(r => r.getLong(1))
+    assert(got.toSeq == pats,
+      s"vfp must equal the planted pattern: ${got.mkString(",")}")
+    // a short clip leaves high nibbles 0 — duration is part of the profile
+    val shortClip = Seq((9L, Media.buildMp4FramesWith(8, 6, 2, 10, false,
+      (_, _, _) => 0xf8))).toDF("media_id", "payload")
+    val sfp = Media.videoFingerprint(shortClip).collect()(0).getLong(1)
+    assert(sfp == 0xffL, s"2-frame clip must pack 2 nibbles, got $sfp")
+  }
+
+  test("audio/video near-dups cluster planted classes, not cross-class") {
+    import spark.implicits._
+    val ids = (0L until 15L).toDF("doc_id")
+    def clusters(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.text.TextOps.nearDupClusters(pairs.select("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ac = clusters(Media.audioNearDups(
+      Media.syntheticEnvelopeWavs(ids, "doc_id")))
+    val vc = clusters(Media.videoNearDups(
+      Media.syntheticPatternMp4s(ids, "doc_id")))
+    for (c <- Seq(ac, vc); id <- 0L until 15L)
+      assert(c(id) == (id / 5) * 5, s"doc $id -> ${c(id)} in $c")
+  }
 }
