@@ -1521,30 +1521,35 @@ object Media {
     val enc = Encoders.row(schema)
     media.select("media_id", "payload").mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(0)
-        val fp = pcmSamples(r.getAs[Array[Byte]](1)).filter(_.nonEmpty)
-          .map { s =>
-            var acc = 0L
-            var w = 0
-            while (w < 16 && w * windowSamples < s.length) {
-              val from = w * windowSamples
-              val until = math.min(s.length, from + windowSamples)
-              var sumsq = 0L
-              var j = from
-              while (j < until) {
-                val v = s(j).toInt; sumsq += v.toLong * v; j += 1
-              }
-              val rms = math.sqrt(sumsq.toDouble / (until - from))
-              val level = math.min(15L, math.round(rms) / levelStep)
-              acc |= level << (4 * w)
-              w += 1
-            }
-            acc
-          }
-        Row(id, fp.map(java.lang.Long.valueOf).orNull)
+        Row(r.getLong(0),
+          audioFingerprintOf(r.getAs[Array[Byte]](1), windowSamples,
+            levelStep).map(java.lang.Long.valueOf).orNull)
       }
     }(enc)
   }
+
+  /** Per-payload core of [[audioFingerprint]] — shared with the
+    * streaming twin ([[graft.streaming.MediaStreams]]). */
+  def audioFingerprintOf(payload: Array[Byte], windowSamples: Int = 1000,
+      levelStep: Int = 256): Option[Long] =
+    pcmSamples(payload).filter(_.nonEmpty).map { s =>
+      var acc = 0L
+      var w = 0
+      while (w < 16 && w * windowSamples < s.length) {
+        val from = w * windowSamples
+        val until = math.min(s.length, from + windowSamples)
+        var sumsq = 0L
+        var j = from
+        while (j < until) {
+          val v = s(j).toInt; sumsq += v.toLong * v; j += 1
+        }
+        val rms = math.sqrt(sumsq.toDouble / (until - from))
+        val level = math.min(15L, math.round(rms) / levelStep)
+        acc |= level << (4 * w)
+        w += 1
+      }
+      acc
+    }
 
   /** Audio near-duplicate pairs — [[imageNearDups]]' audio sibling:
     * [[audioFingerprint]] envelopes through the shared
@@ -1606,38 +1611,42 @@ object Media {
     val enc = Encoders.row(schema)
     media.select("media_id", "payload").mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val decoded = {
-          val avi = decodeAviFrames(payload)
-          if (avi.nonEmpty) avi
-          else {
-            val mp4 = decodeMp4Frames(payload)
-            if (mp4.nonEmpty) mp4 else decodeMkvFrames(payload)
-          }
-        }
-        val fp =
-          if (decoded.isEmpty) null
-          else {
-            var acc = 0L
-            decoded.take(16).zipWithIndex.foreach { case (img, f) =>
-              val fw = img.getWidth; val fh = img.getHeight
-              var sum = 0.0
-              var y = 0
-              while (y < fh) {
-                var x = 0
-                while (x < fw) { sum += gray(img.getRGB(x, y)); x += 1 }
-                y += 1
-              }
-              val level =
-                math.min(15L, math.round(sum / (fw.toLong * fh)) / 16)
-              acc |= level << (4 * f)
-            }
-            java.lang.Long.valueOf(acc)
-          }
-        Row(id, fp)
+        Row(r.getLong(0),
+          videoFingerprintOf(r.getAs[Array[Byte]](1))
+            .map(java.lang.Long.valueOf).orNull)
       }
     }(enc)
+  }
+
+  /** Per-payload core of [[videoFingerprint]] — shared with the
+    * streaming twin ([[graft.streaming.MediaStreams]]). */
+  def videoFingerprintOf(payload: Array[Byte]): Option[Long] = {
+    val decoded = {
+      val avi = decodeAviFrames(payload)
+      if (avi.nonEmpty) avi
+      else {
+        val mp4 = decodeMp4Frames(payload)
+        if (mp4.nonEmpty) mp4 else decodeMkvFrames(payload)
+      }
+    }
+    if (decoded.isEmpty) None
+    else Some {
+      var acc = 0L
+      decoded.take(16).zipWithIndex.foreach { case (img, f) =>
+        val fw = img.getWidth; val fh = img.getHeight
+        var sum = 0.0
+        var y = 0
+        while (y < fh) {
+          var x = 0
+          while (x < fw) { sum += gray(img.getRGB(x, y)); x += 1 }
+          y += 1
+        }
+        val level =
+          math.min(15L, math.round(sum / (fw.toLong * fh)) / 16)
+        acc |= level << (4 * f)
+      }
+      acc
+    }
   }
 
   /** Video near-duplicate pairs — [[imageNearDups]]' video sibling:

@@ -330,6 +330,35 @@ object Pipeline {
         size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
   }
 
+  /** CROSS-MODAL duplicate clustering — the LAION-style rule "a pair
+    * is a duplicate if EITHER modality matches": image near-dup edges
+    * (aHash band join + Hamming verify,
+    * [[graft.multimodal.Media.imageNearDups]]) are unioned with text
+    * near-dup edges (the banded MinHash candidate convention the
+    * dedup chain uses everywhere, [[TextOps.lshCandidatePairs]] over
+    * [[TextOps.lshBuckets]]) into ONE connected-components pass, so a
+    * re-captioned copy of an image and a re-encoded image under the
+    * same caption land in the same cluster even though each modality
+    * alone only sees half the evidence. Returns (idCol, cluster) for
+    * every document in any cross-modal pair; feed to
+    * [[TextOps.dropNearDuplicates]]-style survivor selection as usual.
+    *
+    * Scale shape: both edge generators are hot-bucket capped and
+    * linear in true dups; the union adds one distinct and the CC pass
+    * is the standard O(log diameter) pointer-jumping loop — no new
+    * shuffle class beyond the per-modality chains. */
+  def crossModalDupClusters(media: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 3,
+      k: Int = 8, rows: Int = 2): DataFrame = {
+    val ipairs = graft.multimodal.Media.imageNearDups(media, maxHamming)
+      .select(col("a_id"), col("b_id"))
+    val bux = TextOps.lshBuckets(
+      TextOps.minhashSignature(docs, idCol, textCol, k), idCol, k, rows)
+    val tpairs = TextOps.lshCandidatePairs(bux, idCol)
+    TextOps.nearDupClusters(ipairs.union(tpairs).distinct())
+      .select(col("id").as(idCol), col("cluster"))
+  }
+
   /** WARC files -> training shards: [[graft.sources.Warc.toCorpus]]'s
     * narrow ingest chain (record walk -> HTTP body -> HTML extract ->
     * normalize) feeding [[corpusToShards]]. `warc` carries

@@ -1094,6 +1094,20 @@ object TextQueries {
         .orderBy("media_id")
     }),
 
+    // CROSS-MODAL dup clustering: image near-dup edges (planted aHash
+    // patterns, real decode) unioned with text near-dup edges (banded
+    // MinHash over the real document texts) into one CC pass — a pair
+    // is a dup if EITHER modality matches; clusters merge relations
+    // neither modality sees alone
+    "t127_cross_modal_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.multimodal.Media.syntheticPatternBmps(
+        graft.util.FanOut(docs), "doc_id")
+      graft.pipeline.Pipeline.crossModalDupClusters(media, docs,
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // t110's composition with the NEAR-dup image stage oracled
     // end-to-end: planted-pattern BMPs make the decoded aHash provably
     // equal the md5-derived pattern, so the band join + Hamming verify
@@ -4480,6 +4494,39 @@ object TextQueries {
     // through real ISO-BMFF bytes, the sample-table walk, raw RGB24
     // frame decode and per-frame mean-gray quantization
     "t126_video_envelope_dedup" -> plantedEnvelopeDedupSql("vidcls"),
+
+    // cross-modal mirror: t111's planted image chain UNION t14's text
+    // candidate chain, one recursive-reach CC over the merged edges
+    "t127_cross_modal_dedup" ->
+      s"""WITH RECURSIVE pat AS (SELECT doc_id,
+           xor(('0x' || substr(md5('imgcls:' || CAST(doc_id // 5 AS VARCHAR)), 1, 15))::BIGINT,
+               (1::BIGINT << CAST(doc_id % 5 AS INTEGER)) - 1) AS h
+         FROM documents),
+         ibands AS (SELECT doc_id, b, (h >> (16 * b)) & 65535 AS v
+           FROM pat, (SELECT unnest(generate_series(0, 3)) AS b)),
+         ${candPairsCtes("ibands", "icand", keys = Seq("b", "v"))},
+         iverified AS (SELECT a_id, b_id FROM icand
+           JOIN pat pa ON pa.doc_id = a_id
+           JOIN pat pb ON pb.doc_id = b_id
+           WHERE bit_count(xor(pa.h, pb.h)) <= 3),
+         mh AS ($MH_SQL),
+         buckets AS (
+           ${(0 until 4).map(b =>
+             s"SELECT doc_id, md5('b$b:' || h${2 * b} || ':' || h${2 * b + 1}) AS bucket FROM mh")
+             .mkString(" UNION ALL ")}),
+         ${candPairsCtes("buckets", "tcand")},
+         allp AS (SELECT a_id, b_id FROM iverified
+           UNION SELECT a_id, b_id FROM tcand),
+         edges AS (SELECT a_id, b_id FROM allp
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM allp),
+         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.a_id AS id, reach.r FROM edges e
+           JOIN reach ON reach.id = e.b_id),
+         cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         SELECT id AS doc_id, cluster FROM cc ORDER BY doc_id""",
 
     // near-dup multimodal pipeline mirror: t111's planted-pattern
     // aHash chain (md5-rule pattern, 16-bit band candidates with the

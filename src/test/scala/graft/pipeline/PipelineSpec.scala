@@ -243,6 +243,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 4L, 5L), s"got ${kept.mkString(",")}")
   }
 
+  test("crossModalDupClusters merges clusters only text+image see together") {
+    import spark.implicits._
+    // image classes {0-4} and {5-9} (syntheticPatternBmps' rule);
+    // texts: unique per doc EXCEPT ids 4 and 5, which are near-identical
+    // — text evidence bridges the two image classes into ONE cluster
+    def uniq(id: Long) =
+      (0 until 25).map(w => s"u${id}w${id * 13 + w * 7}").mkString(" ")
+    val bridge = (0 until 25).map(w => s"bridgew${(w * 3) % 23}").mkString(" ")
+    val docs = (0L until 10L).map { id =>
+      val text = if (id == 4L) s"$bridge tail4"
+        else if (id == 5L) s"$bridge tail5" else uniq(id)
+      (id, text)
+    }.toDF("doc_id", "text")
+    val media = graft.multimodal.Media.syntheticPatternBmps(docs, "doc_id")
+    val clusters = Pipeline.crossModalDupClusters(media, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 10L).forall(clusters(_) == 0L),
+      s"text bridge 4~5 must merge both image classes: $clusters")
+    // without the bridge, the same media yields two separate clusters
+    val docsNoBridge = (0L until 10L).map(id => (id, uniq(id)))
+      .toDF("doc_id", "text")
+    val c2 = Pipeline.crossModalDupClusters(
+        graft.multimodal.Media.syntheticPatternBmps(docsNoBridge, "doc_id"),
+        docsNoBridge, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 10L).forall(id => c2(id) == (id / 5) * 5), s"$c2")
+  }
+
   test("audioCaptionCurate: byte dedup, duration gate, caption curation") {
     def cap(id: Long): String =
       (0 until 30).map(i => s"w${id}x$i").mkString("the and of to in ", " ", " end")
