@@ -210,6 +210,46 @@ object Pipeline {
         size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
   }
 
+  /** Multimodal pipeline FUNNEL — the observability row a multimodal
+    * curation team reads per ingest batch, [[graft.queries.TextQueries]]
+    * t121's sibling for [[imageCaptionCurateNearDup]]: one row per
+    * stage with the surviving document count, so a broken crawler
+    * (decodable collapse), a templated image source (near-dup
+    * collapse) or a caption-quality regression (curation collapse)
+    * shows up as the stage where the funnel suddenly narrows.
+    * Stages: media -> decodable -> image_unique (near-dup survivors)
+    * -> curated (captions through the full curation core). Returns
+    * (stage_idx, stage, n_docs). Each count is an id-scale aggregate
+    * over frames the pipeline builds anyway — the funnel adds no new
+    * shuffle class. */
+  def multimodalFunnel(media: DataFrame, captions: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 3,
+      minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
+      maxTopWordFrac: Double = 0.12,
+      keepLangs: Seq[String] = Seq("en")): DataFrame = {
+    val sigs = graft.multimodal.Media.imageHash(media)
+      .filter(col("ahash").isNotNull)
+      .barrierCache()
+    val pairs = graft.multimodal.Media
+      .imageNearDupsFromHashes(sigs, maxHamming)
+      .select("a_id", "b_id")
+    val keep = TextOps.dropNearDuplicates(
+      sigs.select("media_id"), "media_id", pairs).barrierCache()
+    val caps = captions.select(col(idCol), col(textCol))
+      .join(keep.select(col("media_id").as(idCol)), Seq(idCol), "left_semi")
+    val curated = TextOps.curateCorpus(caps, idCol, textCol,
+      minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
+    def stage(i: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"))
+    stage(0, "media", media)
+      .union(stage(1, "decodable", sigs))
+      .union(stage(2, "image_unique", keep))
+      .union(stage(3, "curated", curated))
+      .orderBy("stage_idx")
+  }
+
   /** The audio edition of [[imageCaptionCurate]]: audio-caption pairs
     * -> byte-identity dedup of the audio payloads -> REAL PCM decode of
     * the survivors into fixed windows ([[graft.multimodal.Media

@@ -1094,6 +1094,18 @@ object TextQueries {
         .orderBy("media_id")
     }),
 
+    // multimodal pipeline funnel: per-stage survival counts through
+    // imageCaptionCurateNearDup's chain (media -> decodable ->
+    // near-dup survivors -> curated captions) — t121's multimodal
+    // sibling, the row that localizes WHERE a batch collapsed
+    "t128_multimodal_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.multimodal.Media.syntheticPatternBmps(
+        graft.util.FanOut(docs), "doc_id")
+      graft.pipeline.Pipeline.multimodalFunnel(media, docs,
+        "doc_id", "text")
+    }),
+
     // CROSS-MODAL dup clustering: image near-dup edges (planted aHash
     // patterns, real decode) unioned with text near-dup edges (banded
     // MinHash over the real document texts) into one CC pass — a pair
@@ -4494,6 +4506,51 @@ object TextQueries {
     // through real ISO-BMFF bytes, the sample-table walk, raw RGB24
     // frame decode and per-frame mean-gray quantization
     "t126_video_envelope_dedup" -> plantedEnvelopeDedupSql("vidcls"),
+
+    // funnel mirror: t122's planted image chain + curation chain, with
+    // each stage's survivor set counted instead of projected
+    "t128_multimodal_funnel" ->
+      s"""WITH RECURSIVE pat AS (SELECT doc_id,
+           xor(('0x' || substr(md5('imgcls:' || CAST(doc_id // 5 AS VARCHAR)), 1, 15))::BIGINT,
+               (1::BIGINT << CAST(doc_id % 5 AS INTEGER)) - 1) AS h
+         FROM documents),
+         ibands AS (SELECT doc_id, b, (h >> (16 * b)) & 65535 AS v
+           FROM pat, (SELECT unnest(generate_series(0, 3)) AS b)),
+         ${candPairsCtes("ibands", "icand", keys = Seq("b", "v"))},
+         iverified AS (SELECT a_id, b_id FROM icand
+           JOIN pat pa ON pa.doc_id = a_id
+           JOIN pat pb ON pb.doc_id = b_id
+           WHERE bit_count(xor(pa.h, pb.h)) <= 3),
+         iedges AS (SELECT a_id, b_id FROM iverified
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM iverified),
+         inodes AS (SELECT DISTINCT a_id AS id FROM iedges),
+         ireach(id, r) AS (
+           SELECT id, id AS r FROM inodes
+           UNION
+           SELECT e.a_id AS id, ireach.r FROM iedges e
+           JOIN ireach ON ireach.id = e.b_id),
+         icc AS (SELECT id, MIN(r) AS cluster FROM ireach GROUP BY id),
+         keepids AS (SELECT doc_id FROM documents
+           WHERE doc_id NOT IN (SELECT id FROM icc WHERE cluster <> id)),
+         caps AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
+           WHERE d.doc_id IN (SELECT doc_id FROM keepids)),
+         docs AS MATERIALIZED (SELECT c.doc_id, c.text FROM caps c
+           WHERE c.doc_id IN (SELECT MIN(doc_id) FROM caps GROUP BY md5(text))),
+         $curationCoreCtes,
+         curated AS (SELECT d.doc_id FROM docs d
+           JOIN wf ON wf.doc_id = d.doc_id
+           JOIN lang ON lang.doc_id = d.doc_id
+           WHERE $curationSurvivorWhere)
+         SELECT * FROM (
+           SELECT CAST(0 AS INTEGER) AS stage_idx, 'media' AS stage,
+             (SELECT COUNT(*) FROM documents) AS n_docs
+           UNION ALL SELECT 1, 'decodable',
+             (SELECT COUNT(*) FROM documents)
+           UNION ALL SELECT 2, 'image_unique',
+             (SELECT COUNT(*) FROM keepids)
+           UNION ALL SELECT 3, 'curated',
+             (SELECT COUNT(*) FROM curated))
+         ORDER BY stage_idx""",
 
     // cross-modal mirror: t111's planted image chain UNION t14's text
     // candidate chain, one recursive-reach CC over the merged edges
