@@ -4552,8 +4552,16 @@ object TextQueries {
              (SELECT COUNT(*) FROM curated))
          ORDER BY stage_idx""",
 
-    // cross-modal mirror: t111's planted image chain UNION t14's text
-    // candidate chain, one recursive-reach CC over the merged edges
+    // cross-modal mirror: t111's planted image chain and t14's text
+    // candidate chain each resolve to per-modality cluster labels
+    // FIRST, then one recursive-reach CC runs over the CONTRACTED
+    // label graph (edge per id: its image label — its text label,
+    // text labels namespaced by 2^40). Graph contraction is exact for
+    // connected components, and the deep reach recursion sees label
+    // clusters (size ≈ merged components / per-modality cluster size)
+    // instead of raw id clusters — at sf1 the naive merged-edge reach
+    // took 755 s (B^2 rows per merged cluster); this shape scales
+    // with the contracted graph.
     "t127_cross_modal_dedup" ->
       s"""WITH RECURSIVE pat AS (SELECT doc_id,
            xor(('0x' || substr(md5('imgcls:' || CAST(doc_id // 5 AS VARCHAR)), 1, 15))::BIGINT,
@@ -4566,24 +4574,54 @@ object TextQueries {
            JOIN pat pa ON pa.doc_id = a_id
            JOIN pat pb ON pb.doc_id = b_id
            WHERE bit_count(xor(pa.h, pb.h)) <= 3),
+         iedges AS (SELECT a_id, b_id FROM iverified
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM iverified),
+         inodes AS (SELECT DISTINCT a_id AS id FROM iedges),
+         ireach(id, r) AS (
+           SELECT id, id AS r FROM inodes
+           UNION
+           SELECT e.a_id AS id, ireach.r FROM iedges e
+           JOIN ireach ON ireach.id = e.b_id),
+         icc AS (SELECT id, MIN(r) AS cluster FROM ireach GROUP BY id),
          mh AS ($MH_SQL),
          buckets AS (
            ${(0 until 4).map(b =>
              s"SELECT doc_id, md5('b$b:' || h${2 * b} || ':' || h${2 * b + 1}) AS bucket FROM mh")
              .mkString(" UNION ALL ")}),
          ${candPairsCtes("buckets", "tcand")},
-         allp AS (SELECT a_id, b_id FROM iverified
-           UNION SELECT a_id, b_id FROM tcand),
-         edges AS (SELECT a_id, b_id FROM allp
-           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM allp),
-         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
-         reach(id, r) AS (
-           SELECT id, id AS r FROM nodes
+         tedges AS (SELECT a_id, b_id FROM tcand
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM tcand),
+         tnodes AS (SELECT DISTINCT a_id AS id FROM tedges),
+         treach(id, r) AS (
+           SELECT id, id AS r FROM tnodes
            UNION
-           SELECT e.a_id AS id, reach.r FROM edges e
-           JOIN reach ON reach.id = e.b_id),
-         cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
-         SELECT id AS doc_id, cluster FROM cc ORDER BY doc_id""",
+           SELECT e.a_id AS id, treach.r FROM tedges e
+           JOIN treach ON treach.id = e.b_id),
+         tcc AS (SELECT id, MIN(r) AS cluster FROM treach GROUP BY id),
+         lab AS MATERIALIZED (SELECT d.doc_id,
+             COALESCE(ic.cluster, d.doc_id) AS il,
+             COALESCE(tc.cluster, d.doc_id) + (1::BIGINT << 40) AS tl
+           FROM documents d
+           LEFT JOIN icc ic ON ic.id = d.doc_id
+           LEFT JOIN tcc tc ON tc.id = d.doc_id),
+         ledge0 AS (SELECT DISTINCT il AS a_id, tl AS b_id FROM lab),
+         ledges AS (SELECT a_id, b_id FROM ledge0
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM ledge0),
+         lnodes AS (SELECT DISTINCT a_id AS id FROM ledges),
+         lreach(id, r) AS (
+           SELECT id, id AS r FROM lnodes
+           UNION
+           SELECT e.a_id AS id, lreach.r FROM ledges e
+           JOIN lreach ON lreach.id = e.b_id),
+         lcc AS (SELECT id, MIN(r) AS comp FROM lreach GROUP BY id),
+         paired AS (SELECT DISTINCT a_id AS id FROM (
+           SELECT a_id FROM iverified UNION ALL SELECT b_id FROM iverified
+           UNION ALL SELECT a_id FROM tcand UNION ALL SELECT b_id FROM tcand) u(a_id)),
+         merged AS (SELECT l.doc_id, c.comp FROM lab l
+           JOIN lcc c ON c.id = l.il
+           JOIN paired p ON p.id = l.doc_id)
+         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY comp) AS cluster
+         FROM merged ORDER BY doc_id""",
 
     // near-dup multimodal pipeline mirror: t111's planted-pattern
     // aHash chain (md5-rule pattern, 16-bit band candidates with the
