@@ -425,6 +425,19 @@ object Pipeline {
       .select(col(warcIdCol).as(idCol), col("text").as(textCol))
       .join(sources.select(col(idCol), col(sourceCol)), Seq(idCol))
       .barrierCache()
+    // EAGER populate — the one deliberate exception to the lazy-barrier
+    // default (r12's adjudication kept barriers lazy because eager
+    // count jobs taxed EVERY operator invocation registry-wide). This
+    // single frame guards the most expensive lineage in the library
+    // (WARC record walk + HTML extract + 17-stage regex normalize),
+    // and its first consumer wave is wide: curateCorpus references the
+    // corpus four times and the scrub/decontaminate/budget/split legs
+    // re-reach it — under a lazy cache those same-wave consumers race
+    // to populate and re-run the crawl chain concurrently. Measured
+    // (tools/PipelineBudget E, sf0.1, min-of-two): 18.2-18.8 s lazy ->
+    // 12.07 s eager, cheaper than spilling the corpus to real parquet
+    // (14.3 s) — one count job on a frame every consumer needs anyway.
+    corpus.count()
     corpusToShards(corpus, bench, idCol, textCol, sourceCol, minJaccard,
       minTokens, maxTokens, maxTopWordFrac, keepLangs, decontamShingle,
       budgetTokens, packBudget, testFrac, scrubPii)
