@@ -190,13 +190,60 @@ object Pipeline {
       idCol: String, textCol: String, maxHamming: Int = 3,
       minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
       maxTopWordFrac: Double = 0.12,
-      keepLangs: Seq[String] = Seq("en")): DataFrame = {
+      keepLangs: Seq[String] = Seq("en")): DataFrame =
     // one decode for both the near-dup chain and the output hashes
-    val sigs = graft.multimodal.Media.imageHash(media)
-      .filter(col("ahash").isNotNull)
-      .barrierCache()
+    signatureCaptionCurateNearDup(
+      graft.multimodal.Media.imageHash(media)
+        .filter(col("ahash").isNotNull).barrierCache(),
+      captions, idCol, textCol, "ahash", maxHamming,
+      minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
+
+  /** [[imageCaptionCurateNearDup]]'s audio edition (t129): the 64-bit
+    * energy envelope ([[graft.multimodal.Media.audioFingerprint]],
+    * real PCM decode) drives the near-dup stage; surviving clips'
+    * captions run the curation core. Returns (idCol, afp, n_tokens). */
+  def audioCaptionCurateNearDup(media: DataFrame, captions: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 3,
+      minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
+      maxTopWordFrac: Double = 0.12,
+      keepLangs: Seq[String] = Seq("en")): DataFrame =
+    signatureCaptionCurateNearDup(
+      graft.multimodal.Media.audioFingerprint(media)
+        .filter(col("afp").isNotNull).barrierCache(),
+      captions, idCol, textCol, "afp", maxHamming,
+      minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
+
+  /** [[imageCaptionCurateNearDup]]'s video edition (t130): the 64-bit
+    * luminance envelope ([[graft.multimodal.Media.videoFingerprint]],
+    * real container walk + frame decode) drives the near-dup stage.
+    * Returns (idCol, vfp, n_tokens). */
+  def videoCaptionCurateNearDup(media: DataFrame, captions: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 3,
+      minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
+      maxTopWordFrac: Double = 0.12,
+      keepLangs: Seq[String] = Seq("en")): DataFrame =
+    signatureCaptionCurateNearDup(
+      graft.multimodal.Media.videoFingerprint(media)
+        .filter(col("vfp").isNotNull).barrierCache(),
+      captions, idCol, textCol, "vfp", maxHamming,
+      minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
+
+  /** The signature-agnostic near-dup caption-curation core the three
+    * modality pipelines above share: a (media_id, sigCol) 64-bit
+    * signature frame (already decoded, nulls filtered, CACHED by the
+    * caller — it is read three times) drives
+    * [[graft.multimodal.Media.bandedHammingPairs]] + CC + min-id
+    * survivor selection, survivors gate the caption curation core, and
+    * the output carries the signature column so planted-pattern inputs
+    * stay externally mirrorable end-to-end. Stage order contract as
+    * [[imageCaptionCurate]]: decode once, media survival gates caption
+    * clustering. */
+  def signatureCaptionCurateNearDup(sigs: DataFrame, captions: DataFrame,
+      idCol: String, textCol: String, sigCol: String, maxHamming: Int,
+      minJaccard: Double, minTokens: Long, maxTokens: Long,
+      maxTopWordFrac: Double, keepLangs: Seq[String]): DataFrame = {
     val pairs = graft.multimodal.Media
-      .imageNearDupsFromHashes(sigs, maxHamming)
+      .bandedHammingPairs(sigs, sigCol, maxHamming)
       .select("a_id", "b_id")
     val keep = TextOps.dropNearDuplicates(
       sigs.select("media_id"), "media_id", pairs)
@@ -206,7 +253,7 @@ object Pipeline {
       minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
     curated
       .join(sigs, curated(idCol) === sigs("media_id"))
-      .select(col(idCol), col("ahash"),
+      .select(col(idCol), col(sigCol),
         size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
   }
 

@@ -1136,6 +1136,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // t122's audio edition: planted-envelope WAVs drive the near-dup
+    // stage through real PCM decode, survivors' captions run the
+    // curation core — the envelope in the output is the planted
+    // pattern the codec path provably reproduces
+    "t129_audio_near_dup_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.multimodal.Media.syntheticEnvelopeWavs(
+        graft.util.FanOut(docs), "doc_id")
+      graft.pipeline.Pipeline.audioCaptionCurateNearDup(media, docs,
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // t122's video edition: planted-envelope MP4s through the real
+    // sample-table walk + frame decode
+    "t130_video_near_dup_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.multimodal.Media.syntheticPatternMp4s(
+        graft.util.FanOut(docs), "doc_id")
+      graft.pipeline.Pipeline.videoCaptionCurateNearDup(media, docs,
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // composed AUDIO-caption pipeline: byte-identity dedup of the WAV
     // payloads (mirrorable: the payload is bijective with the sample
     // count) -> REAL javax.sound PCM decode into 1000-sample windows
@@ -2178,6 +2202,48 @@ object TextQueries {
        AND lang.lang_pred = 'en'
        AND wf.n BETWEEN 20 AND 80
        AND ROUND(CAST(wf.mx AS DOUBLE) / wf.n, 6) <= 0.12"""
+
+  /** The planted near-dup CAPTION-CURATION pipeline mirror,
+    * parameterized by class salt and output signature column — one
+    * statement shared by the image (t122, imgcls/ahash), audio (t129,
+    * audcls/afp) and video (t130, vidcls/vfp) editions of
+    * signatureCaptionCurateNearDup: the md5-rule pattern chain resolves
+    * near-dup survivors, the shared curation core gates their
+    * captions, and the output carries the planted signature the real
+    * codec path provably reproduces. */
+  private def plantedNearDupCurateSql(salt: String, outCol: String): String =
+    s"""WITH RECURSIVE pat AS (SELECT doc_id,
+           xor(('0x' || substr(md5('$salt:' || CAST(doc_id // 5 AS VARCHAR)), 1, 15))::BIGINT,
+               (1::BIGINT << CAST(doc_id % 5 AS INTEGER)) - 1) AS h
+         FROM documents),
+         ibands AS (SELECT doc_id, b, (h >> (16 * b)) & 65535 AS v
+           FROM pat, (SELECT unnest(generate_series(0, 3)) AS b)),
+         ${candPairsCtes("ibands", "icand", keys = Seq("b", "v"))},
+         iverified AS (SELECT a_id, b_id FROM icand
+           JOIN pat pa ON pa.doc_id = a_id
+           JOIN pat pb ON pb.doc_id = b_id
+           WHERE bit_count(xor(pa.h, pb.h)) <= 3),
+         iedges AS (SELECT a_id, b_id FROM iverified
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM iverified),
+         inodes AS (SELECT DISTINCT a_id AS id FROM iedges),
+         ireach(id, r) AS (
+           SELECT id, id AS r FROM inodes
+           UNION
+           SELECT e.a_id AS id, ireach.r FROM iedges e
+           JOIN ireach ON ireach.id = e.b_id),
+         icc AS (SELECT id, MIN(r) AS cluster FROM ireach GROUP BY id),
+         caps AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
+           WHERE d.doc_id NOT IN (SELECT id FROM icc WHERE cluster <> id)),
+         docs AS MATERIALIZED (SELECT c.doc_id, c.text FROM caps c
+           WHERE c.doc_id IN (SELECT MIN(doc_id) FROM caps GROUP BY md5(text))),
+         $curationCoreCtes
+         SELECT d.doc_id, p.h AS $outCol, CAST(wf.n AS BIGINT) AS n_tokens
+         FROM docs d
+         JOIN pat p ON p.doc_id = d.doc_id
+         JOIN wf ON wf.doc_id = d.doc_id
+         JOIN lang ON lang.doc_id = d.doc_id
+         WHERE $curationSurvivorWhere
+         ORDER BY d.doc_id"""
 
   /** The planted-envelope near-dup mirror, parameterized by the class
     * salt — one statement shared by the image aHash (t111, imgcls),
@@ -4629,39 +4695,17 @@ object TextQueries {
     // CC, min-id survivor) feeding t110's caption-curation chain
     // re-rooted at the surviving ids; ahash in the output is the
     // planted pattern the real decode provably reproduces
-    "t122_multimodal_near_dup" ->
-      s"""WITH RECURSIVE pat AS (SELECT doc_id,
-           xor(('0x' || substr(md5('imgcls:' || CAST(doc_id // 5 AS VARCHAR)), 1, 15))::BIGINT,
-               (1::BIGINT << CAST(doc_id % 5 AS INTEGER)) - 1) AS h
-         FROM documents),
-         ibands AS (SELECT doc_id, b, (h >> (16 * b)) & 65535 AS v
-           FROM pat, (SELECT unnest(generate_series(0, 3)) AS b)),
-         ${candPairsCtes("ibands", "icand", keys = Seq("b", "v"))},
-         iverified AS (SELECT a_id, b_id FROM icand
-           JOIN pat pa ON pa.doc_id = a_id
-           JOIN pat pb ON pb.doc_id = b_id
-           WHERE bit_count(xor(pa.h, pb.h)) <= 3),
-         iedges AS (SELECT a_id, b_id FROM iverified
-           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM iverified),
-         inodes AS (SELECT DISTINCT a_id AS id FROM iedges),
-         ireach(id, r) AS (
-           SELECT id, id AS r FROM inodes
-           UNION
-           SELECT e.a_id AS id, ireach.r FROM iedges e
-           JOIN ireach ON ireach.id = e.b_id),
-         icc AS (SELECT id, MIN(r) AS cluster FROM ireach GROUP BY id),
-         caps AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
-           WHERE d.doc_id NOT IN (SELECT id FROM icc WHERE cluster <> id)),
-         docs AS MATERIALIZED (SELECT c.doc_id, c.text FROM caps c
-           WHERE c.doc_id IN (SELECT MIN(doc_id) FROM caps GROUP BY md5(text))),
-         $curationCoreCtes
-         SELECT d.doc_id, p.h AS ahash, CAST(wf.n AS BIGINT) AS n_tokens
-         FROM docs d
-         JOIN pat p ON p.doc_id = d.doc_id
-         JOIN wf ON wf.doc_id = d.doc_id
-         JOIN lang ON lang.doc_id = d.doc_id
-         WHERE $curationSurvivorWhere
-         ORDER BY d.doc_id""",
+    "t122_multimodal_near_dup" -> plantedNearDupCurateSql("imgcls", "ahash"),
+
+    // the audio edition: audcls-planted envelopes through the real PCM
+    // path drive the near-dup stage; same shared mirror, afp output
+    "t129_audio_near_dup_pipeline" ->
+      plantedNearDupCurateSql("audcls", "afp"),
+
+    // the video edition: vidcls-planted envelopes through the real
+    // sample-table walk; same shared mirror, vfp output
+    "t130_video_near_dup_pipeline" ->
+      plantedNearDupCurateSql("vidcls", "vfp"),
 
     // audio-caption pipeline mirror: byte-dedup collapses to a GROUP BY
     // on the sample count (buildWav's payload is bijective with ns),
