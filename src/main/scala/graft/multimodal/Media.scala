@@ -1319,12 +1319,15 @@ object Media {
     } catch { case _: Exception => None }
 
   /** STUB codec — last-resort fallback only. MP4 metadata is parsed
-    * for real by [[parseMp4]], AVI metadata by [[parseAvi]], AVI frame
-    * PIXELS by [[decodeAviFrames]] (raw BI_RGB + MJPEG) and MP4 frame
-    * PIXELS by [[decodeMp4Frames]] (sample tables, `raw ` + MJPEG);
-    * what remains here is video in containers with no pure-JVM parser
-    * yet (webm/mkv) and payloads no probe recognizes. Deterministic
-    * fake until a parser is added. */
+    * for real by [[parseMp4]], AVI by [[parseAvi]], Matroska/WebM by
+    * [[parseMkv]]; frame PIXELS by [[decodeAviFrames]] (raw BI_RGB +
+    * MJPEG), [[decodeMp4Frames]] (sample tables, `raw ` + MJPEG) and
+    * [[decodeMkvFrames]] (V_UNCOMPRESSED + V_MJPEG). What remains here
+    * is payloads NO probe recognizes at all (a compressed H.264/VP8/
+    * VP9 clip in a known container still gets real metadata from the
+    * container walk — only its frame decode is out of scope, the
+    * documented permanent boundary under the offline-jars
+    * constraint). Deterministic fake, clearly marked. */
   private def fakeDecode(kind: String, payload: Array[Byte]): (String, Int, Int, Long) = {
     val h = java.util.Arrays.hashCode(payload)
     val fmt = kind match {
@@ -1795,8 +1798,11 @@ object Media {
   }
 
   /** Frame-sampling plan for video payloads: one row per sampled frame
-    * timestamp (real plumbing; frame pixel extraction is the STUB'd
-    * codec's job downstream). */
+    * timestamp. Pairs with the real frame decoders ([[decodeAviFrames]]/
+    * [[decodeMp4Frames]]/[[decodeMkvFrames]], shipped since r9) for
+    * pixel extraction on uncompressed/MJPEG tracks; compressed
+    * bitstreams (H.264/VP8/VP9) remain metadata-only — the documented
+    * capability boundary in this file's header. */
   def sampleFrames(decoded: DataFrame, everyMs: Long = 1000L): DataFrame =
     decoded.filter(col("kind") === "video")
       .select(col("media_id"),

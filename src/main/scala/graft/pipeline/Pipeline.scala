@@ -251,8 +251,11 @@ object Pipeline {
       .join(keep.select(col("media_id").as(idCol)), Seq(idCol), "left_semi")
     val curated = TextOps.curateCorpus(caps, idCol, textCol,
       minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
+    // sigs' own media_id is renamed before the join so a caller whose
+    // idCol IS "media_id" cannot hit an ambiguous-column resolution
+    val sigSide = sigs.select(col("media_id").as("__sig_mid"), col(sigCol))
     curated
-      .join(sigs, curated(idCol) === sigs("media_id"))
+      .join(sigSide, curated(idCol) === sigSide("__sig_mid"))
       .select(col(idCol), col(sigCol),
         size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
   }
@@ -273,12 +276,38 @@ object Pipeline {
       idCol: String, textCol: String, maxHamming: Int = 3,
       minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
       maxTopWordFrac: Double = 0.12,
+      keepLangs: Seq[String] = Seq("en")): DataFrame =
+    modalFunnel(media, captions, idCol, textCol, "image", maxHamming,
+      minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
+
+  /** [[multimodalFunnel]] parameterized over the signature-agnostic
+    * near-dup core: `kind` selects the fingerprint kernel (image aHash
+    * / audio energy envelope / video luminance envelope — each a real
+    * decode path) and names the near-dup stage `<kind>_unique`, so the
+    * audio and video caption pipelines (t129/t130) get the same
+    * per-stage observability row the image pipeline reads (t128).
+    * Stages: media -> decodable (fingerprintable payloads) ->
+    * <kind>_unique (banded-Hamming near-dup survivors) -> curated
+    * (captions through the full curation core). Returns
+    * (stage_idx, stage, n_docs); every count is an id-scale aggregate
+    * over frames the pipeline builds anyway — no new shuffle class. */
+  def modalFunnel(media: DataFrame, captions: DataFrame,
+      idCol: String, textCol: String, kind: String, maxHamming: Int = 3,
+      minJaccard: Double = 0.5, minTokens: Long = 20, maxTokens: Long = 80,
+      maxTopWordFrac: Double = 0.12,
       keepLangs: Seq[String] = Seq("en")): DataFrame = {
-    val sigs = graft.multimodal.Media.imageHash(media)
-      .filter(col("ahash").isNotNull)
-      .barrierCache()
-    val pairs = graft.multimodal.Media
-      .imageNearDupsFromHashes(sigs, maxHamming)
+    val m = graft.multimodal.Media
+    val sigs = (kind match {
+      case "image" => m.imageHash(media).filter(col("ahash").isNotNull)
+        .select(col("media_id"), col("ahash").as("__sig"))
+      case "audio" => m.audioFingerprint(media).filter(col("afp").isNotNull)
+        .select(col("media_id"), col("afp").as("__sig"))
+      case "video" => m.videoFingerprint(media).filter(col("vfp").isNotNull)
+        .select(col("media_id"), col("vfp").as("__sig"))
+      case other => throw new IllegalArgumentException(
+        s"kind must be image, audio or video, got $other")
+    }).barrierCache()
+    val pairs = m.bandedHammingPairs(sigs, "__sig", maxHamming)
       .select("a_id", "b_id")
     val keep = TextOps.dropNearDuplicates(
       sigs.select("media_id"), "media_id", pairs).barrierCache()
@@ -292,7 +321,7 @@ object Pipeline {
           col("n_docs"))
     stage(0, "media", media)
       .union(stage(1, "decodable", sigs))
-      .union(stage(2, "image_unique", keep))
+      .union(stage(2, s"${kind}_unique", keep))
       .union(stage(3, "curated", curated))
       .orderBy("stage_idx")
   }
@@ -446,11 +475,51 @@ object Pipeline {
       .select(col("id").as(idCol), col("cluster"))
   }
 
+  /** [[crossModalDupClusters]] over ALL FOUR modalities — image aHash,
+    * audio energy-envelope, video luminance-envelope, and text MinHash
+    * edges unioned into the one CC pass: an item is a dup of another
+    * if ANY modality matches, and clusters merge relations no single
+    * modality sees (the re-encoded clip whose caption was rewritten,
+    * the reposted image whose audio track survived). All three media
+    * frames carry (media_id, payload) keyed by the same id space as
+    * `docs(idCol)`.
+    *
+    * Scale shape: all four edge generators ride the shared hot-bucket
+    * capped kernel ([[TextOps.lshCandidatePairs]] directly or through
+    * [[graft.multimodal.Media.bandedHammingPairs]]), so every family
+    * is linear in true dups; the union adds one distinct and the CC
+    * pass is the standard O(log diameter) pointer-jumping loop — no
+    * new shuffle class beyond the per-modality chains. */
+  def crossModalDupClustersAll(images: DataFrame, audio: DataFrame,
+      video: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, k: Int = 8, rows: Int = 2): DataFrame = {
+    val m = graft.multimodal.Media
+    val ipairs = m.imageNearDups(images, maxHamming)
+      .select(col("a_id"), col("b_id"))
+    val apairs = m.audioNearDups(audio, maxHamming)
+      .select(col("a_id"), col("b_id"))
+    val vpairs = m.videoNearDups(video, maxHamming)
+      .select(col("a_id"), col("b_id"))
+    val bux = TextOps.lshBuckets(
+      TextOps.minhashSignature(docs, idCol, textCol, k), idCol, k, rows)
+    val tpairs = TextOps.lshCandidatePairs(bux, idCol)
+    TextOps.nearDupClusters(
+        ipairs.union(apairs).union(vpairs).union(tpairs).distinct())
+      .select(col("id").as(idCol), col("cluster"))
+  }
+
   /** WARC files -> training shards: [[graft.sources.Warc.toCorpus]]'s
     * narrow ingest chain (record walk -> HTTP body -> HTML extract ->
     * normalize) feeding [[corpusToShards]]. `warc` carries
     * (warcIdCol, payloadCol); `sources` maps idCol -> sourceCol for
-    * the mixture stage (a crawl manifest); `bench` as above. */
+    * the mixture stage (a crawl manifest); `bench` as above.
+    *
+    * NOT fully lazy: this method EAGERLY runs the WARC-walk/extract/
+    * normalize job at CALL time to populate the corpus barrier (the
+    * measured-cheapest way to stop its wide first consumer wave racing
+    * to recompute the crawl chain — A/B numbers inline below). Callers
+    * that only compose or `.explain` the returned plan still pay that
+    * one ingest job. */
   def crawlToShards(warc: DataFrame, warcIdCol: String, payloadCol: String,
       sources: DataFrame, bench: DataFrame, idCol: String,
       textCol: String = "text", sourceCol: String = "source",

@@ -996,6 +996,43 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // ATOMIC best-fit-decreasing packing: no-split capacity-128 bins,
+    // shard-local BFD (fullest-fitting-bin, ties -> lowest id) — the
+    // packer that acts on t116's fragmentation signal
+    "t131_pack_bestfit" -> ((s, dir) => {
+      TextOps.packSequencesAtomic(t(s, dir, "documents"), "doc_id",
+          "text", "source", budget = 128, nShards = 4, strategy = "bfd")
+        .orderBy("doc_id")
+    }),
+
+    // atomic-packing efficiency per source: the arrival-order next-fit
+    // baseline vs BFD vs the LP lower bound — the gap t116 measures,
+    // closed (bins are summed over the md5 sub-shards, the unit that
+    // actually packs)
+    "t132_pack_efficiency_bfd" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nf = TextOps.packSequencesAtomic(docs, "doc_id", "text",
+          "source", budget = 128, nShards = 4, strategy = "nextfit")
+        .groupBy("source", "shard").agg((max("bin") + 1L).as("b"))
+        .groupBy("source").agg(sum("b").as("nextfit_bins"))
+      val bf = TextOps.packSequencesAtomic(docs, "doc_id", "text",
+          "source", budget = 128, nShards = 4, strategy = "bfd")
+        .groupBy("source", "shard")
+        .agg((max("bin") + 1L).as("b"), sum("n_tok").as("tk"))
+        .groupBy("source")
+        .agg(sum("b").as("bfd_bins"), sum("tk").as("total_tokens"))
+      bf.join(nf, "source")
+        .select(col("source"), col("total_tokens"),
+          ceil(col("total_tokens").cast("double") / 128.0).cast("long")
+            .as("lower_bound"),
+          col("nextfit_bins"), col("bfd_bins"))
+        .withColumn("efficiency_nextfit",
+          round(col("lower_bound").cast("double") / col("nextfit_bins"), 6))
+        .withColumn("efficiency_bfd",
+          round(col("lower_bound").cast("double") / col("bfd_bins"), 6))
+        .orderBy("source")
+    }),
+
     // tokenizer fertility per source: trained-BPE tokens per
     // alphanumeric word — the cost signal that decides how a source is
     // budgeted (high-fertility sources eat the token budget faster
@@ -1106,6 +1143,27 @@ object TextQueries {
         "doc_id", "text")
     }),
 
+    // t128's audio sibling: per-stage survival counts through
+    // audioCaptionCurateNearDup's chain (real PCM decode, planted
+    // envelope classes) via the parameterized modal funnel
+    "t134_audio_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.multimodal.Media.syntheticEnvelopeWavs(
+        graft.util.FanOut(docs), "doc_id")
+      graft.pipeline.Pipeline.modalFunnel(media, docs,
+        "doc_id", "text", "audio")
+    }),
+
+    // t128's video sibling: same funnel over the luminance-envelope
+    // near-dup chain (real ISO-BMFF walk + frame decode)
+    "t135_video_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.multimodal.Media.syntheticPatternMp4s(
+        graft.util.FanOut(docs), "doc_id")
+      graft.pipeline.Pipeline.modalFunnel(media, docs,
+        "doc_id", "text", "video")
+    }),
+
     // CROSS-MODAL dup clustering: image near-dup edges (planted aHash
     // patterns, real decode) unioned with text near-dup edges (banded
     // MinHash over the real document texts) into one CC pass — a pair
@@ -1117,6 +1175,24 @@ object TextQueries {
         graft.util.FanOut(docs), "doc_id")
       graft.pipeline.Pipeline.crossModalDupClusters(media, docs,
           "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // CROSS-MODAL dup clustering over ALL FOUR modalities: image aHash
+    // + audio energy-envelope + video luminance-envelope + text
+    // MinHash edges in one CC pass — each media family through its
+    // real codec path (ImageIO decode, PCM window RMS, ISO-BMFF frame
+    // walk) over its own planted class rule, so every edge family is
+    // externally recomputable
+    "t133_cross_modal_all" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.multimodal.Media
+      val fan = graft.util.FanOut(docs)
+      graft.pipeline.Pipeline.crossModalDupClustersAll(
+          m.syntheticPatternBmps(fan, "doc_id"),
+          m.syntheticEnvelopeWavs(fan, "doc_id"),
+          m.syntheticPatternMp4s(fan, "doc_id"),
+          docs, "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -2138,6 +2214,75 @@ object TextQueries {
        WHERE bn > ${TextOps.HotBucketCap} AND $id <> bmin))"""
   }
 
+  /** SQL twin of [[TextOps.packSequencesAtomic]]: the atomic (no-split)
+    * bin-packing recurrences as recursive CTEs — `pack` (best-fit-
+    * decreasing: docs per (source, md5-sub-shard) group in (n_tok desc,
+    * doc_id) order, each placed in the fullest open bin that still
+    * fits, ties -> lowest bin id; state = the group's bin-fill list)
+    * and `nfpack` (arrival-order next-fit: one open bin, scalar state).
+    * Bin ids are creation-ordered, exactly the Spark kernel's. Splice
+    * after WITH RECURSIVE; emits CTEs toks/ranked/pack/nfranked/nfpack. */
+  private def atomicPackCtes(budget: Int, nShards: Int): String =
+    s"""toks AS (
+         SELECT source, doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS BIGINT) AS n_tok,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % $nShards AS INT) AS shard
+         FROM documents),
+       ranked AS (
+         SELECT source, shard, doc_id, n_tok,
+           ROW_NUMBER() OVER (PARTITION BY source, shard
+             ORDER BY n_tok DESC, doc_id) AS r
+         FROM toks),
+       pack AS (
+         SELECT source, shard, CAST(0 AS BIGINT) AS r,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tok,
+           CAST(NULL AS BIGINT) AS bin, CAST([] AS BIGINT[]) AS fills
+         FROM (SELECT DISTINCT source, shard FROM ranked)
+         UNION ALL
+         SELECT p.source, p.shard, d.r, d.doc_id, d.n_tok,
+           CASE WHEN best IS NULL THEN len(p.fills)::BIGINT
+                ELSE best - 1 END AS bin,
+           CASE WHEN best IS NULL THEN list_append(p.fills, d.n_tok)
+                ELSE list_transform(list_zip(p.fills, range(1, len(p.fills)+1)),
+                       z -> CASE WHEN z[2] = best THEN z[1] + d.n_tok
+                                 ELSE z[1] END)
+           END AS fills
+         FROM (
+           SELECT p.*, d.r AS dr,
+             (SELECT min(i) FROM (
+                SELECT unnest(p.fills) AS f,
+                       unnest(range(1, len(p.fills)+1)) AS i) q
+              WHERE q.f + d.n_tok <= $budget
+                AND q.f = (SELECT max(f) FROM (
+                  SELECT unnest(p.fills) AS f) q2
+                  WHERE q2.f + d.n_tok <= $budget)) AS best
+           FROM pack p JOIN ranked d
+             ON d.source = p.source AND d.shard = p.shard
+               AND d.r = p.r + 1) p
+         JOIN ranked d
+           ON d.source = p.source AND d.shard = p.shard AND d.r = p.dr),
+       nfranked AS (
+         SELECT source, shard, doc_id, n_tok,
+           ROW_NUMBER() OVER (PARTITION BY source, shard
+             ORDER BY doc_id) AS r
+         FROM toks),
+       nfpack AS (
+         SELECT source, shard, CAST(0 AS BIGINT) AS r,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(0 AS BIGINT) AS fill, CAST(-1 AS BIGINT) AS bin
+         FROM (SELECT DISTINCT source, shard FROM nfranked)
+         UNION ALL
+         SELECT p.source, p.shard, d.r, d.doc_id,
+           CASE WHEN p.bin >= 0 AND p.fill + d.n_tok <= $budget
+                THEN p.fill + d.n_tok ELSE d.n_tok END AS fill,
+           CASE WHEN p.bin >= 0 AND p.fill + d.n_tok <= $budget
+                THEN p.bin ELSE p.bin + 1 END AS bin
+         FROM nfpack p JOIN nfranked d
+           ON d.source = p.source AND d.shard = p.shard
+             AND d.r = p.r + 1)"""
+
   /** The caption curation core's CTE chain — minhash -> banded
     * buckets -> capped candidates -> Jaccard verify -> CC -> token /
     * language stats — re-rooted at a `docs(doc_id, text)` CTE the
@@ -2276,6 +2421,64 @@ object TextQueries {
            JOIN reach ON reach.id = e.b_id),
          cc AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
          SELECT id AS media_id, cluster FROM cc ORDER BY media_id"""
+
+  /** One planted-envelope modality's per-modality CC block for the
+    * cross-modal mirrors — [[plantedEnvelopeDedupSql]]'s chain (md5
+    * pattern -> 16-bit bands -> capped candidates -> Hamming verify ->
+    * recursive reach -> min-id labels) with every CTE name prefixed by
+    * `p` so several modalities splice into ONE statement. Exposes
+    * `${p}verified` (the pair list) and `${p}cc` (id -> cluster). */
+  private def plantedCcCtes(salt: String, p: String): String =
+    s"""${p}pat AS (SELECT doc_id,
+           xor(('0x' || substr(md5('$salt:' || CAST(doc_id // 5 AS VARCHAR)), 1, 15))::BIGINT,
+               (1::BIGINT << CAST(doc_id % 5 AS INTEGER)) - 1) AS h
+         FROM documents),
+       ${p}bands AS (SELECT doc_id, b, (h >> (16 * b)) & 65535 AS v
+         FROM ${p}pat, (SELECT unnest(generate_series(0, 3)) AS b)),
+       ${candPairsCtes(s"${p}bands", s"${p}cand", keys = Seq("b", "v"))},
+       ${p}verified AS (SELECT a_id, b_id FROM ${p}cand
+         JOIN ${p}pat pa ON pa.doc_id = a_id
+         JOIN ${p}pat pb ON pb.doc_id = b_id
+         WHERE bit_count(xor(pa.h, pb.h)) <= 3),
+       ${p}edges AS (SELECT a_id, b_id FROM ${p}verified
+         UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM ${p}verified),
+       ${p}nodes AS (SELECT DISTINCT a_id AS id FROM ${p}edges),
+       ${p}reach(id, r) AS (
+         SELECT id, id AS r FROM ${p}nodes
+         UNION
+         SELECT e.a_id AS id, ${p}reach.r FROM ${p}edges e
+         JOIN ${p}reach ON ${p}reach.id = e.b_id),
+       ${p}cc AS (SELECT id, MIN(r) AS cluster FROM ${p}reach GROUP BY id)"""
+
+  /** The modal FUNNEL mirror, parameterized by the planted class salt
+    * and the near-dup stage name — one statement shared by the image
+    * (t128), audio (t134) and video (t135) funnel oracles: the
+    * [[plantedCcCtes]] per-modality near-dup chain, min-id survivor
+    * ids, the caption curation chain re-rooted at those survivors, and
+    * each stage's survivor set COUNTED instead of projected. */
+  private def plantedFunnelSql(salt: String, uniqueStage: String): String =
+    s"""WITH RECURSIVE ${plantedCcCtes(salt, "i")},
+         keepids AS (SELECT doc_id FROM documents
+           WHERE doc_id NOT IN (SELECT id FROM icc WHERE cluster <> id)),
+         caps AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
+           WHERE d.doc_id IN (SELECT doc_id FROM keepids)),
+         docs AS MATERIALIZED (SELECT c.doc_id, c.text FROM caps c
+           WHERE c.doc_id IN (SELECT MIN(doc_id) FROM caps GROUP BY md5(text))),
+         $curationCoreCtes,
+         curated AS (SELECT d.doc_id FROM docs d
+           JOIN wf ON wf.doc_id = d.doc_id
+           JOIN lang ON lang.doc_id = d.doc_id
+           WHERE $curationSurvivorWhere)
+         SELECT * FROM (
+           SELECT CAST(0 AS INTEGER) AS stage_idx, 'media' AS stage,
+             (SELECT COUNT(*) FROM documents) AS n_docs
+           UNION ALL SELECT 1, 'decodable',
+             (SELECT COUNT(*) FROM documents)
+           UNION ALL SELECT 2, '$uniqueStage',
+             (SELECT COUNT(*) FROM keepids)
+           UNION ALL SELECT 3, 'curated',
+             (SELECT COUNT(*) FROM curated))
+         ORDER BY stage_idx"""
 
   /** Paragraph pool for t65 — shared between the Spark query's
     * synthetic text and the DuckDB mirror so the construction rule is
@@ -4503,6 +4706,36 @@ object TextQueries {
              AS efficiency
          FROM agg ORDER BY source""",
 
+    // atomic BFD packing mirror: the bin-fill recurrence replayed as a
+    // recursive CTE, one doc per group per step
+    "t131_pack_bestfit" ->
+      s"""WITH RECURSIVE ${atomicPackCtes(128, 4)}
+         SELECT source, shard, doc_id, n_tok, bin
+         FROM pack WHERE r > 0 ORDER BY doc_id""",
+
+    // atomic packing-efficiency mirror: next-fit and BFD bins per
+    // source (summed over sub-shards) against the LP lower bound
+    "t132_pack_efficiency_bfd" ->
+      s"""WITH RECURSIVE ${atomicPackCtes(128, 4)},
+         bfagg AS (SELECT source,
+             CAST(SUM(b) AS BIGINT) AS bfd_bins,
+             CAST(SUM(tk) AS BIGINT) AS total_tokens
+           FROM (SELECT source, shard, MAX(bin) + 1 AS b,
+               SUM(n_tok) AS tk
+             FROM pack WHERE r > 0 GROUP BY 1, 2) GROUP BY 1),
+         nfagg AS (SELECT source, CAST(SUM(b) AS BIGINT) AS nextfit_bins
+           FROM (SELECT source, shard, MAX(bin) + 1 AS b
+             FROM nfpack WHERE r > 0 GROUP BY 1, 2) GROUP BY 1)
+         SELECT b.source, b.total_tokens,
+           CAST(CEIL(b.total_tokens::DOUBLE / 128.0) AS BIGINT)
+             AS lower_bound,
+           n.nextfit_bins, b.bfd_bins,
+           ROUND(CEIL(b.total_tokens::DOUBLE / 128.0)
+             / n.nextfit_bins::DOUBLE, 6) AS efficiency_nextfit,
+           ROUND(CEIL(b.total_tokens::DOUBLE / 128.0)
+             / b.bfd_bins::DOUBLE, 6) AS efficiency_bfd
+         FROM bfagg b JOIN nfagg n USING (source) ORDER BY b.source""",
+
     // fertility mirror: the full 12-merge training+application mirror
     // as a subquery, joined to word counts, rolled up per source
     "t113_bpe_fertility" ->
@@ -4575,48 +4808,14 @@ object TextQueries {
 
     // funnel mirror: t122's planted image chain + curation chain, with
     // each stage's survivor set counted instead of projected
-    "t128_multimodal_funnel" ->
-      s"""WITH RECURSIVE pat AS (SELECT doc_id,
-           xor(('0x' || substr(md5('imgcls:' || CAST(doc_id // 5 AS VARCHAR)), 1, 15))::BIGINT,
-               (1::BIGINT << CAST(doc_id % 5 AS INTEGER)) - 1) AS h
-         FROM documents),
-         ibands AS (SELECT doc_id, b, (h >> (16 * b)) & 65535 AS v
-           FROM pat, (SELECT unnest(generate_series(0, 3)) AS b)),
-         ${candPairsCtes("ibands", "icand", keys = Seq("b", "v"))},
-         iverified AS (SELECT a_id, b_id FROM icand
-           JOIN pat pa ON pa.doc_id = a_id
-           JOIN pat pb ON pb.doc_id = b_id
-           WHERE bit_count(xor(pa.h, pb.h)) <= 3),
-         iedges AS (SELECT a_id, b_id FROM iverified
-           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM iverified),
-         inodes AS (SELECT DISTINCT a_id AS id FROM iedges),
-         ireach(id, r) AS (
-           SELECT id, id AS r FROM inodes
-           UNION
-           SELECT e.a_id AS id, ireach.r FROM iedges e
-           JOIN ireach ON ireach.id = e.b_id),
-         icc AS (SELECT id, MIN(r) AS cluster FROM ireach GROUP BY id),
-         keepids AS (SELECT doc_id FROM documents
-           WHERE doc_id NOT IN (SELECT id FROM icc WHERE cluster <> id)),
-         caps AS MATERIALIZED (SELECT d.doc_id, d.text FROM documents d
-           WHERE d.doc_id IN (SELECT doc_id FROM keepids)),
-         docs AS MATERIALIZED (SELECT c.doc_id, c.text FROM caps c
-           WHERE c.doc_id IN (SELECT MIN(doc_id) FROM caps GROUP BY md5(text))),
-         $curationCoreCtes,
-         curated AS (SELECT d.doc_id FROM docs d
-           JOIN wf ON wf.doc_id = d.doc_id
-           JOIN lang ON lang.doc_id = d.doc_id
-           WHERE $curationSurvivorWhere)
-         SELECT * FROM (
-           SELECT CAST(0 AS INTEGER) AS stage_idx, 'media' AS stage,
-             (SELECT COUNT(*) FROM documents) AS n_docs
-           UNION ALL SELECT 1, 'decodable',
-             (SELECT COUNT(*) FROM documents)
-           UNION ALL SELECT 2, 'image_unique',
-             (SELECT COUNT(*) FROM keepids)
-           UNION ALL SELECT 3, 'curated',
-             (SELECT COUNT(*) FROM curated))
-         ORDER BY stage_idx""",
+    "t128_multimodal_funnel" -> plantedFunnelSql("imgcls", "image_unique"),
+
+    // the audio funnel mirror: audcls-planted envelope chain, same
+    // shared funnel statement
+    "t134_audio_funnel" -> plantedFunnelSql("audcls", "audio_unique"),
+
+    // the video funnel mirror: vidcls-planted envelope chain
+    "t135_video_funnel" -> plantedFunnelSql("vidcls", "video_unique"),
 
     // cross-modal mirror: t111's planted image chain and t14's text
     // candidate chain each resolve to per-modality cluster labels
@@ -4682,6 +4881,64 @@ object TextQueries {
          lcc AS (SELECT id, MIN(r) AS comp FROM lreach GROUP BY id),
          paired AS (SELECT DISTINCT a_id AS id FROM (
            SELECT a_id FROM iverified UNION ALL SELECT b_id FROM iverified
+           UNION ALL SELECT a_id FROM tcand UNION ALL SELECT b_id FROM tcand) u(a_id)),
+         merged AS (SELECT l.doc_id, c.comp FROM lab l
+           JOIN lcc c ON c.id = l.il
+           JOIN paired p ON p.id = l.doc_id)
+         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY comp) AS cluster
+         FROM merged ORDER BY doc_id""",
+
+    // four-modality cross-modal mirror: t127's contracted-CC structure
+    // with the audio (audcls) and video (vidcls) planted chains spliced
+    // in as additional per-modality CC blocks; the label graph stars
+    // each doc's audio/video/text labels through its image label (one
+    // edge family per extra modality, namespaced by 2^40 multiples),
+    // and the deep recursion again sees only label clusters
+    "t133_cross_modal_all" ->
+      s"""WITH RECURSIVE ${plantedCcCtes("imgcls", "i")},
+         ${plantedCcCtes("audcls", "a")},
+         ${plantedCcCtes("vidcls", "v")},
+         mh AS ($MH_SQL),
+         buckets AS (
+           ${(0 until 4).map(b =>
+             s"SELECT doc_id, md5('b$b:' || h${2 * b} || ':' || h${2 * b + 1}) AS bucket FROM mh")
+             .mkString(" UNION ALL ")}),
+         ${candPairsCtes("buckets", "tcand")},
+         tedges AS (SELECT a_id, b_id FROM tcand
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM tcand),
+         tnodes AS (SELECT DISTINCT a_id AS id FROM tedges),
+         treach(id, r) AS (
+           SELECT id, id AS r FROM tnodes
+           UNION
+           SELECT e.a_id AS id, treach.r FROM tedges e
+           JOIN treach ON treach.id = e.b_id),
+         tcc AS (SELECT id, MIN(r) AS cluster FROM treach GROUP BY id),
+         lab AS MATERIALIZED (SELECT d.doc_id,
+             COALESCE(ic.cluster, d.doc_id) AS il,
+             COALESCE(ac.cluster, d.doc_id) + (1::BIGINT << 40) AS al,
+             COALESCE(vc.cluster, d.doc_id) + (2::BIGINT << 40) AS vl,
+             COALESCE(tc.cluster, d.doc_id) + (3::BIGINT << 40) AS tl
+           FROM documents d
+           LEFT JOIN icc ic ON ic.id = d.doc_id
+           LEFT JOIN acc ac ON ac.id = d.doc_id
+           LEFT JOIN vcc vc ON vc.id = d.doc_id
+           LEFT JOIN tcc tc ON tc.id = d.doc_id),
+         ledge0 AS (SELECT DISTINCT il AS a_id, al AS b_id FROM lab
+           UNION SELECT DISTINCT il AS a_id, vl AS b_id FROM lab
+           UNION SELECT DISTINCT il AS a_id, tl AS b_id FROM lab),
+         ledges AS (SELECT a_id, b_id FROM ledge0
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM ledge0),
+         lnodes AS (SELECT DISTINCT a_id AS id FROM ledges),
+         lreach(id, r) AS (
+           SELECT id, id AS r FROM lnodes
+           UNION
+           SELECT e.a_id AS id, lreach.r FROM ledges e
+           JOIN lreach ON lreach.id = e.b_id),
+         lcc AS (SELECT id, MIN(r) AS comp FROM lreach GROUP BY id),
+         paired AS (SELECT DISTINCT a_id AS id FROM (
+           SELECT a_id FROM iverified UNION ALL SELECT b_id FROM iverified
+           UNION ALL SELECT a_id FROM averified UNION ALL SELECT b_id FROM averified
+           UNION ALL SELECT a_id FROM vverified UNION ALL SELECT b_id FROM vverified
            UNION ALL SELECT a_id FROM tcand UNION ALL SELECT b_id FROM tcand) u(a_id)),
          merged AS (SELECT l.doc_id, c.comp FROM lab l
            JOIN lcc c ON c.id = l.il

@@ -130,7 +130,17 @@ object Similarity {
     * The embedding analogue of the minhash -> jaccard text loop:
     * returns (a_id, b_id, cos) for verified pairs. Scale shape: two
     * shuffle joins keyed by signature/id, codegen'd [[Dot]] in the
-    * verify projection, no broadcast of anything unbounded. */
+    * verify projection, no broadcast of anything unbounded.
+    *
+    * BEHAVIOR CHANGE (r13, see CHANGELOG.md): candidate generation
+    * inherits [[graft.text.TextOps.lshCandidatePairs]]' hot-bucket cap
+    * BY DEFAULT — inside an SRP bucket larger than
+    * [[graft.text.TextOps.HotBucketCap]] only hub (min-id) pairs are
+    * emitted, so a borderline pair in a mega-bucket is recalled via
+    * the exact-cosine verify of its hub edges / another bucket, not
+    * exhaustively. Downstream clustering is unaffected for genuine
+    * duplicate clusters (hub keeps the component connected); pair
+    * LISTINGS are a capped subset under skew. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       planes: Array[Array[Double]], minCosine: Double): DataFrame = {
     val sig = srpSignature(df, idCol, vecCol, planes)

@@ -214,8 +214,12 @@ object DocStreams {
   }
 
   /** Shared claim stage: per-bucket first-claim state, then keep the
-    * documents that claimed ALL their bands. */
-  private def claimSurvivors(
+    * documents that claimed ALL their bands. Package-visible so
+    * [[MediaStreams.dedupByEnvelopeBanded]] can ride the SAME state
+    * machine with envelope bands as buckets (its `text` slot carries
+    * the fingerprint, stringified — the claim state never looks inside
+    * the payload column). */
+  private[streaming] def claimSurvivors(
       banded: org.apache.spark.sql.Dataset[BandRow], nBands: Int,
       claimHorizonMs: Long, idCol: String, textCol: String,
       eventTimeCol: String): DataFrame = {

@@ -59,4 +59,79 @@ object MediaStreams {
       .select(col("media_id"), col("__fp").as("fingerprint"),
         col("__ts").as(eventTimeCol))
   }
+
+  /** Online HAMMING-TOLERANT envelope dedup — the streaming twin of
+    * the batch [[Media.audioNearDups]]/[[Media.videoNearDups]] + CC +
+    * keep-canonical chain, closing the gap [[dedupByEnvelope]]
+    * documents (a re-encoded clip whose envelope differs by a few
+    * quantization levels slips an exact-match dedup): the clip's
+    * 64-bit envelope is split into the SAME 4 x 16-bit bands the batch
+    * [[Media.bandedHammingPairs]] buckets on (pigeonhole: every pair
+    * within Hamming distance 3 shares a band), and each band bucket
+    * runs the first-claim state machine [[DocStreams.dedupByMinhash]]
+    * already implements — this is literally [[DocStreams
+    * .claimSurvivors]] with envelope bands as buckets. A clip survives
+    * iff it claims ALL 4 of its bands first; sharing even one live
+    * band with an earlier clip absorbs it into that clip's cluster,
+    * and dropped clips still hold their claimed bands, so chains
+    * propagate transitively exactly like the batch connected
+    * components. Emits (media_id, fingerprint, eventTimeCol) for the
+    * survivors; undecodable payloads are dropped.
+    *
+    * Batch-parity contract (the [[DocStreams.dedupByMinhash]] one):
+    * with arrival order = id order, the survivor set equals the batch
+    * chain's whenever (a) no LATER clip bridges two already-distinct
+    * earlier clusters and (b) no two batch-distinct clips collide on a
+    * 16-bit band value — the false-positive direction the banded claim
+    * trades for bounded state; an accidental same-band pair needs a
+    * ~4 * 2^-16 per-pair collision inside one horizon, and re-encoded
+    * duplicate groups — the case this stage exists for — share bands
+    * by construction, not by accident. Claims expire `claimHorizonMs`
+    * after their event time (state = one row per live band bucket in
+    * the horizon — envelope cardinality, never payload bytes); the
+    * downstream per-clip count aggregation is watermark-bounded the
+    * same way, so survivors emit once the watermark passes their event
+    * time. Requires the RocksDB state store provider
+    * (transformWithState backend), like every claim-state stream. */
+  def dedupByEnvelopeBanded(media: DataFrame, kind: String,
+      eventTimeCol: String, watermark: String = "2 hours",
+      claimHorizonMs: Long = 2L * 3600 * 1000): DataFrame = {
+    require(kind == "audio" || kind == "video",
+      s"kind must be audio or video, got $kind")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("__fp", LongType),
+      StructField("__ts", TimestampType)))
+    val enc = Encoders.row(schema)
+    val fp = media
+      .select(col("media_id").cast("long"), col("payload"),
+        col(eventTimeCol).cast("timestamp"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val sig =
+            if (kind == "audio") Media.audioFingerprintOf(r.getAs[Array[Byte]](1))
+            else Media.videoFingerprintOf(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), sig.map(java.lang.Long.valueOf).orNull,
+            r.getTimestamp(2))
+        }
+      }(enc)
+    val spark = media.sparkSession
+    import spark.implicits._
+    // one BandRow per 16-bit band — Media.bandedHammingPairs' exact
+    // bucket key, kind-prefixed so mixed pipelines can never cross-claim
+    val banded = fp.filter(col("__fp").isNotNull)
+      .withWatermark("__ts", watermark)
+      .select(
+        explode(array((0 until 4).map { b =>
+          concat_ws(":", lit(kind), lit(b),
+            shiftright(col("__fp"), b * 16).bitwiseAND(0xffffL))
+        }: _*)).as("bucket"),
+        col("__ts").as("ts"), col("media_id").as("id"),
+        col("__fp").cast("string").as("text"))
+      .as[DocStreams.BandRow]
+    DocStreams.claimSurvivors(banded, nBands = 4,
+        claimHorizonMs, "media_id", "__fpstr", eventTimeCol)
+      .select(col("media_id"),
+        col("__fpstr").cast("long").as("fingerprint"), col(eventTimeCol))
+  }
 }

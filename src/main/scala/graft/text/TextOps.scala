@@ -147,21 +147,31 @@ object TextOps {
     * recall argument, bounded to hot buckets only. Set
     * `hotBucketCap = Int.MaxValue` to opt out (exact all-pairs).
     *
-    * Scale shape: ONE window over the bucket key annotates every row
-    * with its bucket's size and min id (a single exchange; the window
-    * state is two running values, never a member list), so star edges
-    * are a pure filter+project — a hot-bucket row already carries its
-    * hub — and only small buckets reach the self-join, whose fan-out
-    * the cap bounds at C(cap, 2) per bucket. Shuffle and output both
-    * linear in rows + true near-dups, never cluster-quadratic. The
-    * returned pair frame is an id-scale cache barrier: consumers
-    * (Jaccard verify reads it three times) get exact size stats for
-    * their join planning instead of a stats-blind window+union
-    * estimate. Four capped designs were A/B'd at sf0.1 (per-bucket
-    * stats agg + join back; a bounded-collect object aggregate, with
-    * and without the sort-based-fallback threshold raised; this
-    * window) — this one measures cheapest, ~+0.6 s per invocation
-    * over the uncapped self-join, the price of the one extra stage. */
+    * Scale shape: per-bucket size/min-id stats come from a map-side
+    * combinable `groupBy(bucket).agg(count, min)` streamed back onto
+    * the rows with a hash join — NOT a window partitioned on the
+    * bucket key. The distinction is exactly the skew this cap exists
+    * for: a window over `bucket` lands a mega-bucket's every row on
+    * ONE task (buffered in a spillable row array — completes, but a
+    * single-task straggler at 100x), whereas partial aggregation
+    * collapses the mega-bucket to one (bucket, count, min) row on the
+    * map side and the join-back streams row-at-a-time, so max task
+    * time stays flat no matter how skewed the bucket histogram is
+    * (measured: graft.tools.LshSkew's 50%-one-bucket 200k-doc row in
+    * BASELINE.md). Star edges are then a pure filter+project — a
+    * hot-bucket row already carries its hub — and only small buckets
+    * reach the self-join, whose fan-out the cap bounds at C(cap, 2)
+    * per bucket. Shuffle and output both linear in rows + true
+    * near-dups, never cluster-quadratic. The returned pair frame is
+    * an id-scale cache barrier: consumers (Jaccard verify reads it
+    * three times) get exact size stats for their join planning. Five
+    * capped designs were A/B'd at sf0.1 (a window over the bucket
+    * key; a bounded-collect object aggregate, with and without the
+    * sort-based-fallback threshold raised; the uncapped self-join;
+    * this groupBy+join-back) — the window measured ~4% cheaper
+    * locally but is the straggler shape above; this one is the
+    * skew-robust choice (BASELINE.md kernel A/B + LshSkew max-task
+    * rows). */
   def lshCandidatePairs(bux: DataFrame, idCol: String,
       hotBucketCap: Int = HotBucketCap): DataFrame = {
     if (hotBucketCap == Int.MaxValue) {
@@ -172,10 +182,10 @@ object TextOps {
         .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
         .distinct()
     }
-    val wb = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
-    val en = bux.select(col("bucket"), col(idCol))
-      .withColumn("__bn", count(lit(1)).over(wb))
-      .withColumn("__bmin", min(col(idCol)).over(wb))
+    val ids = bux.select(col("bucket"), col(idCol))
+    val stats = ids.groupBy("bucket")
+      .agg(count(lit(1)).as("__bn"), min(col(idCol)).as("__bmin"))
+    val en = ids.join(stats, "bucket")
     val small = en.filter(col("__bn") <= hotBucketCap)
       .select(col("bucket"), col(idCol))
     val smallPairs = small.as("x").join(small.as("y"),
@@ -185,7 +195,26 @@ object TextOps {
     val starPairs = en
       .filter(col("__bn") > hotBucketCap && col(idCol) =!= col("__bmin"))
       .select(col("__bmin").as("a_id"), col(idCol).as("b_id"))
-    smallPairs.union(starPairs).distinct().barrierCache()
+    // EAGER populate + LINEAGE FIREWALL (measured in BASELINE.md's r14
+    // kernel note). Two failure modes this closes:
+    // (1) the pair frame's first consumer wave is always wide (the
+    //     Jaccard verify alone reads it three times) and this plan
+    //     scans `bux` twice, so a lazily-populated barrier makes the
+    //     readers RACE to recompute the upstream minhash chain;
+    // (2) worse, the verify SELF-JOINS the corpus against ids derived
+    //     from these pairs, and the analyzer's self-join
+    //     deduplication rewrites the pair subtree so it no longer
+    //     `sameResult`-matches the CacheManager entry — the "cached"
+    //     barrier silently re-derives per consumer (measured: 13 raw
+    //     re-derivations of the minhash chain in ONE verify plan).
+    // The count populates the cache once; re-rooting the returned
+    // frame at the materialized RDD makes the barrier a LEAF no
+    // analyzer rewrite can miss, while the Barriers ledger still owns
+    // the storage (post-release reads recompute through the preserved
+    // lineage — the documented safe-but-slow contract).
+    val out = smallPairs.union(starPairs).distinct().barrierCache()
+    out.count()
+    bux.sparkSession.createDataFrame(out.rdd, out.schema)
   }
 
 
@@ -204,7 +233,15 @@ object TextOps {
     * bucket rows, never corpus x batch), then the within-batch stage
     * fans out only by the new batch's own candidates. Re-index by
     * unioning the survivors' buckets into the index frame — the next
-    * batch's calls see them. */
+    * batch's calls see them.
+    *
+    * BEHAVIOR CHANGE (r13, see CHANGELOG.md): the within-batch stage
+    * inherits [[lshCandidatePairs]]' hot-bucket cap BY DEFAULT — a
+    * templated mega-bucket inside the NEW batch near-dedups through
+    * hub edges rather than all pairs (survivor sets identical for
+    * genuine template clusters, measured in BASELINE.md's LshSkew
+    * table; recall of borderline in-hot-bucket pairs rides the other
+    * bands). The index-clash drop stage is exact and unaffected. */
   def dedupAgainstCorpus(newDocs: DataFrame, indexBuckets: DataFrame,
       idCol: String, textCol: String, k: Int = 8, rows: Int = 2,
       shingleWords: Int = 3): DataFrame = {
@@ -218,6 +255,29 @@ object TextOps {
     val survivors = newDocs.join(clash, Seq(idCol), "left_anti")
     dropNearDuplicates(survivors, idCol, pairs)
   }
+
+  /** Re-index step for the continuous-ingest dedup loop — the
+    * "refresh the static frame" half of [[dedupAgainstCorpus]]'s
+    * contract (and of the streaming twin [[graft.streaming.DocStreams
+    * .dedupAgainstCorpus]], whose static index is re-planned per query
+    * RUN, not per microbatch): union the current index's (id, bucket)
+    * rows with the LSH buckets of a batch's SURVIVORS, so the next
+    * batch — or the restarted stream — sees them as corpus content.
+    * The refresh cadence is the operator's compaction story: run it
+    * after every batch sweep (exact), or periodically for a stream
+    * (between refreshes, within-horizon claims still suppress stream-
+    * internal dups; only cross-restart near-dups of not-yet-indexed
+    * survivors can slip, bounded by the refresh interval — the spec
+    * pins refresh-then-rerun == from-scratch batch). Inputs/outputs
+    * are id-scale (id, bucket) frames; persist the result where the
+    * index lives (parquet/Delta) — this method only builds the plan. */
+  def refreshIndexBuckets(indexBuckets: DataFrame, survivors: DataFrame,
+      idCol: String, textCol: String, k: Int = 8, rows: Int = 2,
+      shingleWords: Int = 3): DataFrame =
+    indexBuckets.select(col(idCol), col("bucket"))
+      .unionByName(lshBuckets(
+        minhashSignature(survivors, idCol, textCol, k, shingleWords),
+        idCol, k, rows))
 
   /** Exact n-gram Jaccard similarity for an explicit candidate-pair
     * frame (columns a_id, b_id) — the verification stage after LSH
@@ -1568,6 +1628,114 @@ object TextOps {
       .withColumn("bin",
         floor((sum("n_tok").over(w) - col("n_tok")) / lit(budget.toDouble))
           .cast("long"))
+  }
+
+  /** ATOMIC (no-split) sequence packing — the packing regime where
+    * fragmentation is REAL: each document must land whole inside one
+    * capacity-`budget` bin (SFT/instruction corpora, where crossing a
+    * document boundary poisons the sample), so bins waste their tail
+    * slack and the packer's job is to minimize bins. Two strategies:
+    *
+    *  - `"nextfit"` — arrival (id) order, one open bin: a doc that
+    *    does not fit closes the bin and opens the next. The streaming
+    *    baseline; wastes ~half a mean doc per bin.
+    *  - `"bfd"` (default) — best-fit-decreasing: docs sorted by
+    *    (n_tok desc, id asc), each placed in the FULLEST open bin that
+    *    still fits it (ties -> lowest bin id), else a new bin. The
+    *    classic 11/9-OPT guarantee; closes most of next-fit's gap
+    *    (measured per-source in the t132 efficiency report).
+    *
+    * Oversized docs (n_tok > budget) get a singleton bin under both
+    * strategies (they can never co-habit; truncation is the trainer's
+    * call, not the packer's). Bin ids are creation-ordered per group.
+    *
+    * Scale shape: packing is SHARD-LOCAL — docs are deterministically
+    * split into `nShards` sub-shards per source (the [[shardAssign]]
+    * md5 hash, so the mirror recomputes membership), and each
+    * (source, shard) group packs independently after ONE exchange
+    * keyed on exactly those columns; the per-source length sort is
+    * within-partition, never global. The sequential fold below is
+    * [[org.apache.spark.sql.Dataset.mapPartitions]] by necessity, not
+    * convenience — best-fit is an inherently order-dependent
+    * recurrence no Catalyst expression expresses — and its state is
+    * the OPEN-BIN fill table of the current group (O(group tokens /
+    * budget) longs), never the group's rows. Group size is
+    * nShards-bounded: at 100 TB you raise nShards until a group's
+    * bin table fits comfortably; bins stay full because every group
+    * sees the source's full length distribution (the md5 split is
+    * length-blind). Returns (source, shard, idCol, n_tok, bin). */
+  def packSequencesAtomic(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budget: Int = 512, nShards: Int = 4,
+      strategy: String = "bfd"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(strategy == "bfd" || strategy == "nextfit",
+      s"strategy must be bfd or nextfit, got $strategy")
+    val lens = df.select(col(sourceCol).cast("string").as("source"),
+        col(idCol).cast("long").as("__id"),
+        size(tokens(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("shard",
+        pmod(md5Hash60(col("__id").cast("string")), lit(nShards.toLong))
+          .cast("int"))
+    val ord =
+      if (strategy == "bfd")
+        Seq(col("source"), col("shard"), col("n_tok").desc, col("__id"))
+      else Seq(col("source"), col("shard"), col("__id"))
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val arranged = lens
+      .repartition(nPart, col("source"), col("shard"))
+      .sortWithinPartitions(ord: _*)
+      .select("source", "shard", "__id", "n_tok")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tok",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bin",
+        org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val cap = budget.toLong
+    val bfd = strategy == "bfd"
+    arranged.mapPartitions { rows =>
+      var curSrc: String = null
+      var curShard = Int.MinValue
+      // open bins as (fill, -binId): maxBefore((cap - n, MaxValue))
+      // IS best-fit with the lowest-bin-id tie-break
+      val bins = scala.collection.mutable.TreeSet.empty[(Long, Long)]
+      var nextBin = 0L
+      var lastFill = 0L   // nextfit: the single open bin
+      var lastBin = -1L
+      rows.map { r =>
+        val src = r.getString(0); val sh = r.getInt(1)
+        if (src != curSrc || sh != curShard) {
+          curSrc = src; curShard = sh
+          bins.clear(); nextBin = 0L; lastFill = 0L; lastBin = -1L
+        }
+        val n = r.getLong(3)
+        val bin =
+          if (bfd) {
+            bins.maxBefore((cap - n, Long.MaxValue)) match {
+              case Some(k @ (fill, negB)) if fill + n <= cap =>
+                bins.remove(k); bins.add((fill + n, negB)); -negB
+              case _ =>
+                val b = nextBin; nextBin += 1
+                bins.add((n, -b)); b
+            }
+          } else {
+            if (lastBin >= 0 && lastFill + n <= cap) {
+              lastFill += n; lastBin
+            } else {
+              val b = nextBin; nextBin += 1
+              lastFill = n; lastBin = b; b
+            }
+          }
+        org.apache.spark.sql.Row(src, sh, r.getLong(2), n, bin)
+      }
+    }(enc)
   }
 
   /** Deterministic training-shard assignment — the reproducible "global

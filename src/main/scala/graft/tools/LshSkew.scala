@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,9 +18,12 @@ import graft.text.TextOps
   * Uncapped, the in-bucket self-join emits C(B,2) candidate pairs —
   * quadratic in the cluster size; the default hot-bucket star-edge cap
   * emits B-1. This tool measures both paths per corpus size: candidate
-  * rows, candidate wall, full near-dedup-chain wall (pairs -> Jaccard
-  * verify -> CC -> survivors), and shuffle volume — the growth curves
-  * BASELINE.md cites for the "no scale-killer" claim. The raw chain is
+  * rows, candidate wall, MAX SINGLE-TASK time (the straggler signal —
+  * the capped kernel's per-bucket stats are a map-side-combinable
+  * groupBy precisely so this stays flat when one bucket holds half the
+  * corpus), full near-dedup-chain wall (pairs -> Jaccard verify -> CC
+  * -> survivors), and shuffle volume — the growth curves BASELINE.md
+  * cites for the "no scale-killer" claim. The raw chain is
   * skipped above `rawChainMax` docs (its verify join fans out by the
   * quadratic pair count; that cliff is the finding, not a harness
   * failure to tolerate).
@@ -29,8 +32,12 @@ import graft.text.TextOps
   */
 object LshSkew {
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(2000, 6000, 20000)
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq
+                else Seq(2000, 6000, 20000, 200000)
     val rawChainMax = 6000
+    // above this the raw kernel's candidate COUNT is the cliff
+    // (C(n/2, 2) rows — 5e9 at n=200k); measuring it adds nothing
+    val rawCandMax = 20000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,11 +47,18 @@ object LshSkew {
     object metrics extends SparkListener {
       @volatile var shuffleWrite = 0L
       @volatile var shuffleRead = 0L
+      @volatile var maxTaskMs = 0L
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         shuffleWrite += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
         shuffleRead += sc.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
       }
-      def reset(): Unit = { shuffleWrite = 0L; shuffleRead = 0L }
+      // the straggler signal: the longest single task anywhere in the
+      // measured job — a skew-safe kernel keeps this flat as one bucket
+      // swallows half the corpus; a per-key window does not
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null && te.taskInfo.duration > maxTaskMs)
+          maxTaskMs = te.taskInfo.duration
+      def reset(): Unit = { shuffleWrite = 0L; shuffleRead = 0L; maxTaskMs = 0L }
     }
     spark.sparkContext.addSparkListener(metrics)
 
@@ -80,6 +94,7 @@ object LshSkew {
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext)
       println(f"LSH_SKEW $label%-28s rows=$out%9d wall=$sec%8.2f s " +
+        f"max_task=${metrics.maxTaskMs / 1e3}%7.2f s " +
         f"shuffle_write=${metrics.shuffleWrite / 1e6}%9.1f MB " +
         f"shuffle_read=${metrics.shuffleRead / 1e6}%9.1f MB")
     }
@@ -97,9 +112,12 @@ object LshSkew {
       measure(s"cand_capped n=$n") {
         TextOps.lshCandidatePairs(bux(), "doc_id").count()
       }
-      measure(s"cand_raw n=$n") {
-        TextOps.lshCandidatePairs(bux(), "doc_id", Int.MaxValue).count()
-      }
+      if (n <= rawCandMax)
+        measure(s"cand_raw n=$n") {
+          TextOps.lshCandidatePairs(bux(), "doc_id", Int.MaxValue).count()
+        }
+      else
+        println(s"LSH_SKEW cand_raw n=$n SKIPPED (C(n/2,2) candidate rows)")
       measure(s"chain_capped n=$n") { chain(docs, TextOps.HotBucketCap) }
       if (n <= rawChainMax)
         measure(s"chain_raw n=$n") { chain(docs, Int.MaxValue) }

@@ -32,6 +32,22 @@ import org.apache.spark.sql.Dataset
 object Barriers {
   private val ledger = new ConcurrentLinkedQueue[Dataset[_]]()
 
+  /** In-flight [[scoped]] blocks. The release contract assumes one
+    * unit of work at a time; overlapping scopes (or a [[releaseAll]]
+    * racing a scope) unpersist barriers another in-flight operator is
+    * still reading — SAFE (the lineage-preserving cache recomputes)
+    * but silently slow. The counter makes that misuse LOUD: both
+    * entry points warn on stderr when they observe concurrency, so a
+    * service discovers the contract violation from its logs instead
+    * of from a latency graph. */
+  private val activeScopes = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def warnConcurrent(site: String): Unit =
+    System.err.println(s"[graft.Barriers] $site observed a concurrent " +
+      "scoped block: barriers another in-flight operator still reads may " +
+      "be unpersisted (safe, but forces recomputation). Run units of " +
+      "work one at a time, or scope per-thread work separately.")
+
   /** `df.cache()` + register for a later [[releaseAll]]. */
   def cache[T](df: Dataset[T]): Dataset[T] = {
     val cached = df.cache()
@@ -44,6 +60,7 @@ object Barriers {
     * asynchronously, the CacheManager entry removal is synchronous.
     * Returns the number of frames unpersisted. */
   def releaseAll(): Int = {
+    if (activeScopes.get() > 0) warnConcurrent("releaseAll")
     var n = 0
     var df = ledger.poll()
     while (df != null) {
@@ -67,6 +84,7 @@ object Barriers {
     * failure too, so a thrown stage doesn't leak its upstream
     * barriers. */
   def scoped[T](f: => T): T = {
+    if (activeScopes.getAndIncrement() > 0) warnConcurrent("scoped")
     val before = new java.util.IdentityHashMap[Dataset[_], java.lang.Boolean]()
     ledger.forEach(df => before.put(df, java.lang.Boolean.TRUE))
     try f
@@ -79,6 +97,7 @@ object Barriers {
           it.remove()
         }
       }
+      activeScopes.decrementAndGet()
     }
   }
 }

@@ -355,6 +355,78 @@ class DocStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("index refresh: restarted stream over refreshIndexBuckets matches from-scratch batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    withRocksDb {
+      // the periodic-compaction story: batch 1 dedups against the
+      // curated index, its survivors are folded in with
+      // refreshIndexBuckets, the stream RESTARTS over the refreshed
+      // static frame, and batch 2's survivors must equal (a) the
+      // incremental batch run and (b) a from-scratch index built over
+      // corpus + batch-1 survivors
+      def vocab(p: String, g: Long) =
+        (0 until 25).map(w => s"$p${g}w${(g * 11 + w * 3) % 29}").mkString(" ")
+      val corpus = (0L until 5L).map(i => (i, vocab("c", i)))
+        .toDF("doc_id", "text")
+      val idx0 = TextOps.lshBuckets(
+        TextOps.minhashSignature(corpus, "doc_id", "text", k = 8),
+        "doc_id", 8, 2).cache()
+      val batch1 = Seq(
+        (100L, vocab("c", 0) + " tiny100"),    // corpus clash -> dropped
+        (200L, vocab("n", 1) + " tail200"),    // pair min -> survives
+        (201L, vocab("n", 1) + " tail201"),    // absorbed by 200
+        (300L, vocab("s", 3)))                 // singleton -> survives
+      val b1 = batch1.toDF("doc_id", "text")
+      val s1 = TextOps.dedupAgainstCorpus(b1, idx0, "doc_id", "text").cache()
+      assert(s1.select("doc_id").as[Long].collect().toSet == Set(200L, 300L))
+      val idx1 = TextOps.refreshIndexBuckets(idx0, s1, "doc_id", "text")
+        .cache()
+      val batch2 = Seq(
+        (400L, vocab("n", 1) + " tail400"),    // near-dups s1's 200 -> dropped
+        (401L, vocab("s", 3) + " tiny401"),    // near-dups s1's 300 -> dropped
+        (500L, vocab("q", 7)),                 // singleton -> survives
+        (510L, vocab("r", 9) + " tail510"),    // pair min -> survives
+        (511L, vocab("r", 9) + " tail511"))    // absorbed by 510
+      val b2 = batch2.toDF("doc_id", "text")
+      val wantS2 = TextOps.dedupAgainstCorpus(b2, idx1, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(wantS2 == Set(500L, 510L), s"incremental batch-2: $wantS2")
+      // (b) the refreshed index behaves exactly like one rebuilt from
+      // scratch over corpus + batch-1 survivors
+      val idxScratch = TextOps.lshBuckets(
+        TextOps.minhashSignature(
+          corpus.unionByName(s1.select("doc_id", "text")),
+          "doc_id", "text", k = 8), "doc_id", 8, 2)
+      val scratchS2 = TextOps.dedupAgainstCorpus(b2, idxScratch,
+          "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(scratchS2 == wantS2, "refresh must equal a from-scratch index")
+      // (a) the RESTARTED stream over the refreshed static frame
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+      def runStream(idx: org.apache.spark.sql.DataFrame,
+          batch: Seq[(Long, String)], name: String): Set[Long] = {
+        val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+        val stream = in.toDF.toDF("doc_id", "text", "ingest_time")
+        val q = DocStreams.dedupAgainstCorpus(stream, idx,
+            "doc_id", "text", "ingest_time")
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        in.addData(batch.map { case (id, text) => (id, text, ts(id)) })
+        q.processAllAvailable()
+        in.addData((999999L, "sentinel doc", ts(86400L * 2)))
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name).select("doc_id").as[Long].collect().toSet - 999999L
+      }
+      assert(runStream(idx0, batch1, "refresh_b1") == Set(200L, 300L))
+      assert(runStream(idx1, batch2, "refresh_b2") == wantS2,
+        "restarted stream over the refreshed index must match batch")
+      Seq(idx0, s1, idx1).foreach(_.unpersist())
+    }
+  }
+
   test("streaming decontamination drops exactly the batch-flagged docs") {
     val schema = docsBatch.schema
     val bench = docsBatch.filter(col("doc_id") < 50)

@@ -132,6 +132,60 @@ class TextOpsSpec extends AnyFunSuite {
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("packSequencesAtomic: BFD beats next-fit and respects capacity") {
+    import spark.implicits._
+    // one source, nShards = 1 so the whole group packs together; lengths
+    // 60,60,60,40,40,40 with budget 100: next-fit in id order burns 4
+    // bins (60 | 60 | 60+40 | 40+40); BFD (60+40)x3 hits the LP bound of 3
+    val docs = Seq(60, 60, 60, 40, 40, 40).zipWithIndex.map { case (n, i) =>
+      (i.toLong, "A", Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    def pack(strategy: String) =
+      TextOps.packSequencesAtomic(docs, "doc_id", "text", "source",
+          budget = 100, nShards = 1, strategy = strategy)
+        .collect().map(r => r.getLong(2) -> r.getLong(4)).toMap
+    val nf = pack("nextfit")
+    assert(nf.values.toSet.size == 4, s"next-fit must burn 4 bins: $nf")
+    val bf = pack("bfd")
+    assert(bf.values.toSet.size == 3, s"BFD must hit the LP bound: $bf")
+    // capacity invariant: no bin over budget under either strategy
+    val lens = Map(0L -> 60L, 1L -> 60L, 2L -> 60L, 3L -> 40L, 4L -> 40L, 5L -> 40L)
+    Seq(nf, bf).foreach { m =>
+      m.groupBy(_._2).foreach { case (b, ds) =>
+        assert(ds.keys.map(lens).sum <= 100, s"bin $b over budget in $m")
+      }
+    }
+  }
+
+  test("packSequencesAtomic: oversized docs get singleton bins; shards pack independently") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A", Seq.fill(150)("w").mkString(" ")), // oversized
+      (2L, "A", Seq.fill(90)("w").mkString(" ")),
+      (3L, "A", Seq.fill(90)("w").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val bf = TextOps.packSequencesAtomic(docs, "doc_id", "text", "source",
+        budget = 100, nShards = 1, strategy = "bfd")
+      .collect().map(r => r.getLong(2) -> r.getLong(4)).toMap
+    assert(bf.values.toSet.size == 3, s"oversized doc must sit alone: $bf")
+    // with nShards = 4 the md5 split is the t35 shard hash: bins are
+    // creation-ordered WITHIN each (source, shard) group
+    val many = (0L until 40L).map(i =>
+      (i, "A", Seq.fill(30 + (i % 5).toInt * 10)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.packSequencesAtomic(many, "doc_id", "text", "source",
+      budget = 100, nShards = 4, strategy = "bfd").collect()
+    val byShard = out.groupBy(_.getInt(1))
+    assert(byShard.size == 4, "the md5 split must actually spread shards")
+    byShard.foreach { case (_, rows) =>
+      val bins = rows.map(_.getLong(4)).toSet
+      assert(bins == (0L until bins.size).toSet, "bins creation-ordered per group")
+      rows.groupBy(_.getLong(4)).foreach { case (_, ds) =>
+        assert(ds.map(_.getLong(3)).sum <= 100)
+      }
+    }
+  }
+
   test("piiScrub masks emails, IPs, and digit runs with typed placeholders") {
     import spark.implicits._
     val docs = Seq(
