@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.util.Barriers.BarrierOps
+import graft.util.Barriers.{BarrierOps, FirewallOps}
 
 /** Text-analysis and dedup operators for large-scale document pipelines.
   *
@@ -207,14 +207,12 @@ object TextOps {
     //     `sameResult`-matches the CacheManager entry — the "cached"
     //     barrier silently re-derives per consumer (measured: 13 raw
     //     re-derivations of the minhash chain in ONE verify plan).
-    // The count populates the cache once; re-rooting the returned
-    // frame at the materialized RDD makes the barrier a LEAF no
-    // analyzer rewrite can miss, while the Barriers ledger still owns
-    // the storage (post-release reads recompute through the preserved
-    // lineage — the documented safe-but-slow contract).
-    val out = smallPairs.union(starPairs).distinct().barrierCache()
-    out.count()
-    bux.sparkSession.createDataFrame(out.rdd, out.schema)
+    // The firewall populates the cache once and re-roots the returned
+    // frame at the materialized RDD — a LEAF no analyzer rewrite can
+    // miss — while the Barriers ledger still owns the storage
+    // (post-release reads recompute through the preserved lineage,
+    // the documented safe-but-slow contract).
+    smallPairs.union(starPairs).distinct().barrierFirewall()
   }
 
 
@@ -245,11 +243,18 @@ object TextOps {
   def dedupAgainstCorpus(newDocs: DataFrame, indexBuckets: DataFrame,
       idCol: String, textCol: String, k: Int = 8, rows: Int = 2,
       shingleWords: Int = 3): DataFrame = {
+    // Both frames are FIREWALLED, not just cached: `fresh` is bux
+    // anti-joined against clash-derived-FROM-bux, and `survivors` is
+    // newDocs (bux's own leaf) anti-joined against clash — exactly the
+    // self-join shapes whose analyzer dedup rewrite misses a plain
+    // cache entry (CacheAudit r14: this operator re-derived the
+    // minhash chain 3x per run under barrierCache).
     val bux = lshBuckets(
       minhashSignature(newDocs, idCol, textCol, k, shingleWords),
-      idCol, k, rows).barrierCache()
+      idCol, k, rows).barrierFirewall()
     val idx = indexBuckets.select(col("bucket")).distinct()
     val clash = bux.join(idx, "bucket").select(col(idCol)).distinct()
+      .barrierFirewall()
     val fresh = bux.join(clash, Seq(idCol), "left_anti")
     val pairs = lshCandidatePairs(fresh, idCol)
     val survivors = newDocs.join(clash, Seq(idCol), "left_anti")
@@ -295,14 +300,18 @@ object TextOps {
     // smaller than the corpus, and tokenize+shingle+distinct over
     // non-candidates is pure waste (it was the most expensive kernel of
     // the verification stage). The shingle frame is referenced three
-    // times below (sizes, a-side, b-side); the recomputes pipeline in
-    // parallel and beat a materialization barrier (A/B'd at sf0.1) —
-    // callers that already hold a materialized shingle frame (e.g.
-    // [[curateCorpus]]) use [[jaccardFromShingles]] directly.
+    // times below (sizes, a-side, b-side) — and the a/b sides JOIN EACH
+    // OTHER, the self-join shape whose analyzer dedup rewrite misses a
+    // plain cache entry (BASELINE.md r14 kernel note), so it is
+    // FIREWALLED: the pre-r14 "recomputes pipeline in parallel and beat
+    // a materialization barrier" A/B was measured under that broken
+    // substitution and no longer holds (re-measured r14: t12 3.59 ->
+    // 2.25 s, t119 likewise, at sf0.1). Candidate-bounded token scale.
     val ids = pairs.select(col("a_id").as(idCol))
       .union(pairs.select(col("b_id").as(idCol))).distinct()
     val docs = df.join(ids, Seq(idCol), "left_semi")
     val sh = explodedShingles(docs, idCol, textCol, shingleWords).distinct()
+      .barrierFirewall()
     jaccardFromShingles(sh, idCol, pairs)
   }
 
@@ -757,11 +766,16 @@ object TextOps {
     val groups = df.groupBy(md5(col(textCol)).as("__h"))
       .agg(min(col(idCol)).as("__canon"), count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
+    // FIREWALLED (id-scale): `exact` anti-joins df against losers
+    // derived FROM df — the self-join shape a plain cache entry
+    // misses (BASELINE.md r14 kernel note) — and `exact` itself is
+    // re-read by the shingle, survivor and quality legs, each of
+    // which would otherwise re-run the exact-dup double aggregation.
     val exactLosers = df.select(col(idCol), md5(col(textCol)).as("__h"))
       .join(groups, "__h")
       .filter(col(idCol) =!= col("__canon"))
       .select(col(idCol))
-      .barrierCache()
+      .barrierFirewall()
     val exact = df.join(exactLosers, Seq(idCol), "left_anti")
     // One tokenize+shingle pass feeds BOTH the minhash signatures and
     // the Jaccard verify (min over the distinct set == min over the
@@ -773,12 +787,18 @@ object TextOps {
     // handful of partitions — but the minhash stage multiplies work per
     // row (k/2 md5s + k base-16 parses), so fan it back out to the full
     // core count before the aggregation.
+    // FIREWALLED (token-scale — the one deliberate exception to the
+    // id-scale-only guideline, A/B'd at sf0.1): the Jaccard-verify leg
+    // semi-joins allSh against candIds derived from allSh's own
+    // minhash chain, so a plain cache entry missed there and the
+    // corpus re-tokenized per read (CacheAudit r14).
     val allSh = explodedShingles(exact, idCol, textCol, 3).distinct()
-      .barrierCache()
+      .barrierFirewall()
     val sigs = minhashFromShingles(fanOut(allSh), idCol, k = 8)
     val bux = lshBuckets(sigs, idCol, k = 8, rows = 2).barrierCache()
+    // the kernel output arrives FIREWALLED (materialized RDD leaf) —
+    // a second cache here would store the id-pair rows twice
     val cand = lshCandidatePairs(bux, idCol)
-      .barrierCache() // read 3x by the id semi-join + overlap joins
     val candIds = cand.select(col("a_id").as(idCol))
       .union(cand.select(col("b_id").as(idCol))).distinct()
     val verified = jaccardFromShingles(

@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+import graft.util.Barriers
+
+/** Registry-wide audit for the SELF-JOIN CACHE-MISS class the r14
+  * kernel fix exposed (BASELINE.md r14 note): an operator registers a
+  * barrier (cache) but a consumer's plan, rewritten by the analyzer's
+  * self-join deduplication, no longer `sameResult`-matches the
+  * CacheManager entry — the barrier silently re-derives its lineage
+  * per consumer. Signal per query: barriers registered while building
+  * + executing the plan vs InMemoryTableScan occurrences in the
+  * executed plan. `barriers > 0 && imts == 0` means EVERY registered
+  * barrier misses in the final plan; `imts < barriers` flags partial
+  * misses worth a look (some are benign: a barrier consumed entirely
+  * inside an earlier job, e.g. a collect-bounded CC loop, never shows
+  * in the FINAL plan).
+  *
+  * Usage: runMain graft.tools.CacheAudit [sfDir] [prefix,...]
+  */
+object CacheAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val only = if (args.length > 1) Some(args(1).split(',').toSeq) else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
+    names.foreach { name =>
+      try {
+        val before = Barriers.ledgerSize
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        val barriers = Barriers.ledgerSize - before
+        val imts = "InMemoryTableScan".r.findAllIn(plan).length
+        val rdds = "Scan ExistingRDD".r.findAllIn(plan).length
+        val sh = "explode\\(shingles".r.findAllIn(plan).length
+        val verdict =
+          if (barriers > 0 && imts == 0) "MISS_ALL"
+          else if (imts < barriers) "MISS_SOME"
+          else "ok"
+        println(f"CACHE_AUDIT $name%-34s barriers=$barriers%2d imts=$imts%2d " +
+          f"rddscans=$rdds%2d shingle_derives=$sh%2d $verdict")
+      } catch { case e: Throwable =>
+        println(s"CACHE_AUDIT $name ERROR ${e.getMessage}")
+      } finally Barriers.releaseAll()
+    }
+    spark.stop()
+  }
+}

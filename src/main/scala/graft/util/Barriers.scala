@@ -48,6 +48,9 @@ object Barriers {
       "be unpersisted (safe, but forces recomputation). Run units of " +
       "work one at a time, or scope per-thread work separately.")
 
+  /** Current ledger size — diagnostics only (tools/CacheAudit). */
+  def ledgerSize: Int = ledger.size()
+
   /** `df.cache()` + register for a later [[releaseAll]]. */
   def cache[T](df: Dataset[T]): Dataset[T] = {
     val cached = df.cache()
@@ -71,10 +74,47 @@ object Barriers {
     n
   }
 
+  /** barrierCache + EAGER populate + re-root at the materialized RDD —
+    * the LINEAGE FIREWALL for barrier frames consumed in SELF-JOIN
+    * shapes (a consumer joins the frame, or ids derived from it, back
+    * against a plan sharing one of its leaves). The analyzer's
+    * self-join deduplication rewrites such subtrees so they no longer
+    * `sameResult`-match the CacheManager entry, and the "cached"
+    * barrier silently re-derives its whole lineage per consumer
+    * (measured: 13 raw minhash re-derivations in ONE Jaccard-verify
+    * plan; BASELINE.md r14 kernel note). Re-rooting the returned frame
+    * at `out.rdd` makes the barrier a LEAF no rewrite can miss:
+    * downstream reads scan the populated cache through the RDD, the
+    * ledger still owns the storage for [[releaseAll]], and a
+    * post-release read recomputes through the preserved lineage — the
+    * same safe-but-slow contract as every barrier.
+    *
+    * Cost: one count job at call time (id-scale frames only — never
+    * firewall a payload-width frame) plus a Row round-trip per read.
+    * Use for multi-read, self-join-consumed barriers; plain
+    * [[cache]]/[[BarrierOps.barrierCache]] remains right for frames
+    * read through cache-substitutable plans. */
+  def firewall(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val out = cache(df)
+    out.count()
+    // InMemoryRelation leaf, NOT createDataFrame(out.rdd, schema): the
+    // relation carries its real materialized stats, so id-scale
+    // barriers still BROADCAST in consumer joins (a stats-less
+    // LogicalRDD re-root forced sort-merge joins — the r12 lesson).
+    org.apache.spark.sql.graftbridge.Bridge.cachedLeaf(out)
+  }
+
   /** Drop-in suffix form for the operators' barrier sites:
     * `frame.barrierCache()` == `Barriers.cache(frame)`. */
   implicit class BarrierOps[T](private val df: Dataset[T]) extends AnyVal {
     def barrierCache(): Dataset[T] = Barriers.cache(df)
+  }
+
+  /** Suffix form of [[firewall]] for DataFrame barrier sites. */
+  implicit class FirewallOps(private val df: org.apache.spark.sql.DataFrame)
+      extends AnyVal {
+    def barrierFirewall(): org.apache.spark.sql.DataFrame =
+      Barriers.firewall(df)
   }
 
   /** Run `f`, then release the barriers registered DURING it (from any

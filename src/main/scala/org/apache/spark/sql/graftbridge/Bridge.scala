@@ -21,6 +21,28 @@ object Bridge {
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty(30000L)
 
+  /** Re-root an already-CACHED DataFrame at its InMemoryRelation — the
+    * stats-preserving lineage firewall [[graft.util.Barriers.firewall]]
+    * rides. Returning the relation itself as a leaf plan (rather than
+    * `createDataFrame(df.rdd, schema)`, whose LogicalRDD reports the
+    * stats-less default size) keeps two properties at once: (1) no
+    * analyzer self-join rewrite can miss the cache, because consumers
+    * embed the relation as a LEAF needing no CacheManager substitution;
+    * (2) join planning still sees the relation's REAL materialized
+    * size, so an id-scale barrier broadcasts instead of falling back to
+    * a sort-merge join. `Dataset.ofRows`/`sharedState` are
+    * `private[sql]`, hence the bridge. Throws if `df` is not cached. */
+  def cachedLeaf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = cdf.sparkSession
+    val cached = spark.sharedState.cacheManager
+      .lookupCachedData(spark, cdf.logicalPlan)
+      .getOrElse(throw new IllegalStateException(
+        "cachedLeaf: frame is not cached"))
+    org.apache.spark.sql.classic.Dataset.ofRows(spark,
+      cached.cachedRepresentation)
+  }
+
   /** Whether the session's CacheManager holds no cached plans —
     * `sharedState` is `private[sql]`; the barrier-lifecycle spec
     * asserts this returns to true after
