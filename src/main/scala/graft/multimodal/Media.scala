@@ -3,7 +3,7 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.util.Barriers.BarrierOps
+import graft.util.Barriers.{BarrierOps, FirewallOps}
 
 /** Multimodal columns: image/audio/video payloads as opaque binary with
   * typed metadata, processed per-partition.
@@ -1564,7 +1564,7 @@ object Media {
       windowSamples: Int = 1000): DataFrame =
     bandedHammingPairs(
       audioFingerprint(media, windowSamples)
-        .filter(col("afp").isNotNull).barrierCache(),
+        .filter(col("afp").isNotNull).barrierFirewall(),
       "afp", maxHamming)
 
   /** Planted near-duplicate audio classes over [[buildSquareWav]] —
@@ -1658,7 +1658,7 @@ object Media {
     * cluster + drop with the usual CC chain. */
   def videoNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame =
     bandedHammingPairs(
-      videoFingerprint(media).filter(col("vfp").isNotNull).barrierCache(),
+      videoFingerprint(media).filter(col("vfp").isNotNull).barrierFirewall(),
       "vfp", maxHamming)
 
   /** Planted near-duplicate video classes over [[buildMp4FramesWith]]
@@ -1757,7 +1757,7 @@ object Media {
     * materialized once (it is referenced four times below). */
   def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame =
     imageNearDupsFromHashes(
-      imageHash(media).filter(col("ahash").isNotNull).barrierCache(),
+      imageHash(media).filter(col("ahash").isNotNull).barrierFirewall(),
       maxHamming)
 
   /** [[imageNearDups]] from an already-computed (media_id, ahash)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextOps
-import graft.util.Barriers.BarrierOps
+import graft.util.Barriers.{BarrierOps, FirewallOps}
 
 /** The composed crawl-to-training-shards pipeline — the end-to-end
   * product a training-data team actually runs, assembled from the
@@ -83,7 +83,7 @@ object Pipeline {
     val curatedIds = TextOps.curateCorpus(
         corpus.select(col(idCol), col(textCol)), idCol, textCol,
         minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
-      .select(col(idCol)).barrierCache()
+      .select(col(idCol)).barrierFirewall()
     val curatedRaw = corpus.join(curatedIds, Seq(idCol), "left_semi")
     // Optional PII hygiene on the survivors — scrub-LATE (after dedup,
     // before anything token-counting), the order real pipelines use so
@@ -157,7 +157,7 @@ object Pipeline {
     val keep = media.groupBy(md5(col("payload")).as("__h"))
       .agg(min(col("media_id")).as("media_id"))
       .select("media_id")
-      .barrierCache()
+      .barrierFirewall()
     val survivors = media.join(keep, Seq("media_id"), "left_semi")
     val meta = graft.multimodal.Media.decode(survivors)
       .select(col("media_id"), col("format"), col("width"), col("height"))
@@ -194,7 +194,7 @@ object Pipeline {
     // one decode for both the near-dup chain and the output hashes
     signatureCaptionCurateNearDup(
       graft.multimodal.Media.imageHash(media)
-        .filter(col("ahash").isNotNull).barrierCache(),
+        .filter(col("ahash").isNotNull).barrierFirewall(),
       captions, idCol, textCol, "ahash", maxHamming,
       minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
 
@@ -209,7 +209,7 @@ object Pipeline {
       keepLangs: Seq[String] = Seq("en")): DataFrame =
     signatureCaptionCurateNearDup(
       graft.multimodal.Media.audioFingerprint(media)
-        .filter(col("afp").isNotNull).barrierCache(),
+        .filter(col("afp").isNotNull).barrierFirewall(),
       captions, idCol, textCol, "afp", maxHamming,
       minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
 
@@ -224,7 +224,7 @@ object Pipeline {
       keepLangs: Seq[String] = Seq("en")): DataFrame =
     signatureCaptionCurateNearDup(
       graft.multimodal.Media.videoFingerprint(media)
-        .filter(col("vfp").isNotNull).barrierCache(),
+        .filter(col("vfp").isNotNull).barrierFirewall(),
       captions, idCol, textCol, "vfp", maxHamming,
       minJaccard, minTokens, maxTokens, maxTopWordFrac, keepLangs)
 
@@ -306,11 +306,11 @@ object Pipeline {
         .select(col("media_id"), col("vfp").as("__sig"))
       case other => throw new IllegalArgumentException(
         s"kind must be image, audio or video, got $other")
-    }).barrierCache()
+    }).barrierFirewall()
     val pairs = m.bandedHammingPairs(sigs, "__sig", maxHamming)
       .select("a_id", "b_id")
     val keep = TextOps.dropNearDuplicates(
-      sigs.select("media_id"), "media_id", pairs).barrierCache()
+      sigs.select("media_id"), "media_id", pairs).barrierFirewall()
     val caps = captions.select(col(idCol), col(textCol))
       .join(keep.select(col("media_id").as(idCol)), Seq(idCol), "left_semi")
     val curated = TextOps.curateCorpus(caps, idCol, textCol,
@@ -379,7 +379,7 @@ object Pipeline {
         col("__mm") >= math.round(minMeanRms * 1e6))
       .select(col("media_id"), col("n_windows"),
         (col("__mm").cast("double") / 1e6).as("mean_rms"), col("peak"))
-      .barrierCache()
+      .barrierFirewall()
     val caps = captions.select(col(idCol), col(textCol))
       .join(stats.select(col("media_id").as(idCol)), Seq(idCol), "left_semi")
     val curated = TextOps.curateCorpus(caps, idCol, textCol,
@@ -434,7 +434,7 @@ object Pipeline {
       .select(col("media_id"), col("n_frames"), col("width"),
         col("height"),
         (col("__mg").cast("double") / 1e6).as("mean_gray"))
-      .barrierCache()
+      .barrierFirewall()
     val caps = captions.select(col(idCol), col(textCol))
       .join(stats.select(col("media_id").as(idCol)), Seq(idCol), "left_semi")
     val curated = TextOps.curateCorpus(caps, idCol, textCol,
@@ -540,7 +540,7 @@ object Pipeline {
     val corpus = graft.sources.Warc.toCorpus(warc, warcIdCol, payloadCol)
       .select(col(warcIdCol).as(idCol), col("text").as(textCol))
       .join(sources.select(col(idCol), col(sourceCol)), Seq(idCol))
-      .barrierCache()
+      .barrierFirewall()
     // EAGER populate — the one deliberate exception to the lazy-barrier
     // default (r12's adjudication kept barriers lazy because eager
     // count jobs taxed EVERY operator invocation registry-wide). This
@@ -552,8 +552,10 @@ object Pipeline {
     // to populate and re-run the crawl chain concurrently. Measured
     // (tools/PipelineBudget E, sf0.1, min-of-two): 18.2-18.8 s lazy ->
     // 12.07 s eager, cheaper than spilling the corpus to real parquet
-    // (14.3 s) — one count job on a frame every consumer needs anyway.
-    corpus.count()
+    // (14.3 s) — one count job on a frame every consumer needs anyway;
+    // since r14 the populate lives inside barrierFirewall, which also
+    // re-roots the frame so the curated-ids semi-join back onto the
+    // corpus (a self-join) cannot miss the cache.
     corpusToShards(corpus, bench, idCol, textCol, sourceCol, minJaccard,
       minTokens, maxTokens, maxTopWordFrac, keepLangs, decontamShingle,
       budgetTokens, packBudget, testFrac, scrubPii)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.text.TextOps
-import graft.util.Barriers.BarrierOps
+import graft.util.Barriers.{BarrierOps, FirewallOps}
 
 /** LLM-data-pipeline operators over `documents` and `embeddings`:
   * exact/near dedup, text statistics, language ID, similarity search.
@@ -903,7 +903,7 @@ object TextQueries {
     "t119_jaccard_histogram" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
-      val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2).barrierCache()
+      val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2).barrierFirewall()
       val pairs = TextOps.lshCandidatePairs(bux, "doc_id")
       TextOps.jaccardPairs(docs, "doc_id", "text", pairs)
         .select(least(floor(round(col("jaccard"), 6) * 20), lit(19L))

@@ -305,8 +305,10 @@ object TextOps {
     // plain cache entry (BASELINE.md r14 kernel note), so it is
     // FIREWALLED: the pre-r14 "recomputes pipeline in parallel and beat
     // a materialization barrier" A/B was measured under that broken
-    // substitution and no longer holds (re-measured r14: t12 3.59 ->
-    // 2.25 s, t119 likewise, at sf0.1). Candidate-bounded token scale.
+    // substitution and no longer holds (re-measured r14 at sf0.1: t119
+    // 3.59 -> 1.82 s; t12, which reads the chain once, pays +0.16 s of
+    // populate — the accepted single-read tax). Candidate-bounded
+    // token scale.
     val ids = pairs.select(col("a_id").as(idCol))
       .union(pairs.select(col("b_id").as(idCol))).distinct()
     val docs = df.join(ids, Seq(idCol), "left_semi")
@@ -518,11 +520,13 @@ object TextOps {
     * corpus, no self-join. */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3): DataFrame = {
-    // cached: both the first-occurrence aggregate and the per-doc join
-    // consume this token-scale frame — without the barrier the corpus
-    // is scanned and shingle-aggregated twice (the allSh discipline)
+    // FIREWALLED: the per-doc join consumes sh JOINED AGAINST the
+    // first-occurrence aggregate derived from sh itself — the
+    // self-join shape a plain cache entry misses (BASELINE.md r14
+    // kernel note); without the firewall the corpus is scanned and
+    // shingle-aggregated twice
     val sh = explodedShingles(df, idCol, textCol, shingleWords).distinct()
-      .barrierCache()
+      .barrierFirewall()
     val first = sh.groupBy(col("sh"))
       .agg(min(col(idCol)).as("__first"))
     sh.join(first, "sh")
@@ -743,26 +747,23 @@ object TextOps {
     // 9.1s warm — because cand/verified re-derive the whole LSH lineage
     // per consumer. The barriers are load-bearing even at 5k docs; do
     // not make them size-conditional.)
-    // The barriers are cache() (MEMORY_AND_DISK, lazy), NOT
-    // localCheckpoint (r12 A/B: 4.1 s -> 1.5 s fixed cost at 625 docs,
-    // identical survivors): an eager checkpoint serializes each stage
-    // into its own driver job round and truncates the plan to a
-    // stats-less LogicalRDD that downstream join planning can't size,
-    // while cache keeps ONE schedulable DAG, accurate size estimates,
-    // and recompute-on-eviction safety. Iterative loops (CC labels,
-    // BPE merge training) still localCheckpoint — there lineage
-    // TRUNCATION is the point.
-    // Known, measured tradeoff of LAZY caching: same-wave consumers
-    // (the bux self-join; allSh's two readers) can race to populate a
-    // not-yet-materialized cache, redundantly recomputing its lineage
-    // once. r12 A/B at 50k adversarial docs: lazy 15.1 s / 693 MB
-    // shuffle vs eager cache-then-count 14.9 s / 556 MB — equal wall,
-    // ~20% extra shuffle — while at bench scale the eager variant's
-    // 4 count-job rounds cost +1.2-2.3 s per invocation across every
-    // curation-composing query (measured 129.6 -> 140.9+ s registry
-    // total). The race wastes at most one bounded recomputation of
-    // two frames; the rounds tax every run. Lazy wins both measured
-    // regimes; revisit only with cluster-scale evidence.
+    // Barrier mechanics, r14 revision: the SELF-JOIN-consumed frames
+    // (exactLosers, allSh, bux, the kernel's pairs) are FIREWALLED —
+    // cache + eager populate + InMemoryRelation-leaf re-root
+    // ([[graft.util.Barriers.firewall]]) — because the analyzer's
+    // self-join deduplication rewrites those consumers' subtrees so a
+    // plain lazy cache entry never matched: each consumer silently
+    // re-derived the whole chain (BASELINE.md r14 kernel note; the
+    // pre-r14 lazy-vs-eager A/Bs recorded here compared two REGIMES
+    // THAT BOTH MISSED and are superseded — re-measured r14, the
+    // firewalled chain cut every curation-composing bench query, t94
+    // 19.9 -> 13.9 s, net -24% across the 237-query registry in a
+    // same-window A/B). Unlike the r12 localCheckpoint era this keeps
+    // stats (the relation knows its materialized size, so id-scale
+    // barriers still broadcast) and keeps recompute-on-release safety.
+    // Frames consumed through substitutable plans keep plain lazy
+    // cache(); iterative loops (CC labels, BPE training) still
+    // localCheckpoint — there lineage TRUNCATION is the point.
     val groups = df.groupBy(md5(col(textCol)).as("__h"))
       .agg(min(col(idCol)).as("__canon"), count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
@@ -795,7 +796,9 @@ object TextOps {
     val allSh = explodedShingles(exact, idCol, textCol, 3).distinct()
       .barrierFirewall()
     val sigs = minhashFromShingles(fanOut(allSh), idCol, k = 8)
-    val bux = lshBuckets(sigs, idCol, k = 8, rows = 2).barrierCache()
+    // firewalled: the capped kernel joins bux's rows leg against
+    // bux's own stats leg — self-join again
+    val bux = lshBuckets(sigs, idCol, k = 8, rows = 2).barrierFirewall()
     // the kernel output arrives FIREWALLED (materialized RDD leaf) —
     // a second cache here would store the id-pair rows twice
     val cand = lshCandidatePairs(bux, idCol)

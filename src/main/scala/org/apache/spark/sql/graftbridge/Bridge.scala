@@ -39,8 +39,14 @@ object Bridge {
       .lookupCachedData(spark, cdf.logicalPlan)
       .getOrElse(throw new IllegalStateException(
         "cachedLeaf: frame is not cached"))
-    org.apache.spark.sql.classic.Dataset.ofRows(spark,
+    val out = org.apache.spark.sql.classic.Dataset.ofRows(spark,
       cached.cachedRepresentation)
+    // sameResult ignores output NAMES, so the lookup may legally return
+    // a relation cached under different column names (e.g. a session
+    // that cached the un-renamed plan first) — restore the caller's
+    // names positionally so downstream resolution sees what it built.
+    val want = cdf.logicalPlan.output.map(_.name)
+    if (out.columns.toSeq == want) out else out.toDF(want: _*)
   }
 
   /** Whether the session's CacheManager holds no cached plans —
