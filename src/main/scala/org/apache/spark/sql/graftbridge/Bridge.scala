@@ -39,14 +39,24 @@ object Bridge {
       .lookupCachedData(spark, cdf.logicalPlan)
       .getOrElse(throw new IllegalStateException(
         "cachedLeaf: frame is not cached"))
-    val out = org.apache.spark.sql.classic.Dataset.ofRows(spark,
-      cached.cachedRepresentation)
-    // sameResult ignores output NAMES, so the lookup may legally return
-    // a relation cached under different column names (e.g. a session
-    // that cached the un-renamed plan first) — restore the caller's
-    // names positionally so downstream resolution sees what it built.
-    val want = cdf.logicalPlan.output.map(_.name)
-    if (out.columns.toSeq == want) out else out.toDF(want: _*)
+    // The leaf is a LogicalRDD over the frame's OWN execution RDD
+    // (which reads through the InMemoryRelation — self-substitution is
+    // the one lookup shape the analyzer can never rewrite away),
+    // carrying the relation's materialized Statistics as originStats —
+    // the localCheckpoint plan shape, minus the lineage truncation.
+    // Exposing the CachedData's InMemoryRelation object directly is
+    // NOT safe: self-join deduplication calls its withOutput, which
+    // can reference attributes outside the relation's output and
+    // throw; LogicalRDD.newInstance is the battle-tested dedup path.
+    // Output attrs come from the caller's own analyzed plan, so names
+    // and exprIds are exactly what the call site built.
+    val qe = cdf.queryExecution
+    val leaf = org.apache.spark.sql.execution.LogicalRDD(
+      qe.analyzed.output, qe.toRdd,
+      org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0),
+      Nil, false, None)(
+      spark, Some(cached.cachedRepresentation.computeStats()), None)
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, leaf)
   }
 
   /** Whether the session's CacheManager holds no cached plans —

@@ -60,6 +60,52 @@ class BarriersSpec extends AnyFunSuite {
     assert(Bridge.cacheManagerIsEmpty(spark))
   }
 
+  test("firewall: leaf plan, self-join consumers read the cache, release-safe") {
+    import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
+    Barriers.releaseAll()
+    val df = spark.range(500).selectExpr("id", "id % 7 as k")
+    val losers = df.filter(col("id") % 3 === 0).select("id")
+    val fw = Barriers.firewall(losers)
+    // 1. the returned frame is a stats-bearing LEAF (LogicalRDD over
+    // the cached execution): the self-join shape (df anti-joined
+    // against ids derived from df) that misses a plain cache entry
+    // plans against the leaf — and the id-scale barrier BROADCASTS,
+    // which is the stats-preservation half of the firewall contract
+    val kept = df.join(fw, Seq("id"), "left_anti")
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"),
+      s"a firewalled barrier must appear as a leaf scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the id-scale firewalled side must broadcast (stats intact):\n$plan")
+    assert(kept.count() == 333)
+    // 2. results survive releaseAll (recompute through preserved
+    // lineage — the safe-but-slow contract)
+    assert(Barriers.releaseAll() >= 1)
+    assert(Bridge.cacheManagerIsEmpty(spark))
+    assert(kept.count() == 333, "post-release reads must recompute")
+    spark.catalog.clearCache()
+  }
+
+  test("firewall restores caller column names when a renamed twin is cached first") {
+    import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
+    Barriers.releaseAll()
+    val base = spark.range(100).selectExpr("id as media_id", "id * 2 as vfp")
+    // cache the UN-renamed plan first — sameResult ignores output
+    // names, so the firewall's lookup below legally resolves to THIS
+    // relation; the bridge must still expose the caller's names
+    val twin = Barriers.cache(base)
+    twin.count()
+    val fw = Barriers.firewall(base.select(col("media_id"),
+      col("vfp").as("__sig")))
+    assert(fw.columns.toSeq == Seq("media_id", "__sig"),
+      s"firewall must keep the caller's names, got ${fw.columns.toSeq}")
+    assert(fw.select(sum(col("__sig"))).head.getLong(0) == 9900L)
+    Barriers.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("scoped releases barriers on failure too") {
     spark.catalog.clearCache()
     Barriers.releaseAll()
