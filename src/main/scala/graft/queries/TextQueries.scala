@@ -1196,6 +1196,41 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // SEMANTIC decontamination: corpus embeddings vs a benchmark slice
+    // (vec_id < 50) — a corpus vector whose max 4-dp cosine to any
+    // bench item reaches 0.35 is flagged with its nearest bench id;
+    // the similarity-tier contamination report t28/t36's n-gram
+    // machinery structurally cannot produce
+    "t136_semantic_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bench = emb.filter(col("vec_id") < 50)
+      val corpus = emb.filter(col("vec_id") >= 50)
+      graft.sim.Similarity.semanticDecontaminateReport(
+          corpus, bench, "vec_id", "embedding", minCosine = 0.35)
+        .orderBy("vec_id")
+    }),
+
+    // hard-negative mining: top-5 similar-but-not-duplicate corpus
+    // items per anchor inside the cosine band [0.2, 0.45) — the
+    // contrastive-retrieval training-pair prep stage
+    "t137_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val anchors = emb.filter(col("vec_id") < 10)
+      graft.sim.Similarity.hardNegatives(emb, anchors, "vec_id",
+          "embedding", k = 5, minCosine = 0.2, maxCosine = 0.45)
+        .orderBy("query_id", "rank")
+    }),
+
+    // prototype pruning (SSL-prototypes / D4): t13's trained k-means
+    // cells, drop the 30% most centroid-similar members of each cell,
+    // keep the hard/diverse remainder with its prototypicality rank
+    "t138_prototype_prune" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.sim.Similarity.prototypePrune(emb, "vec_id", "embedding",
+          initIds = Seq(0L, 1L, 2L, 3L), iterations = 2, dropFrac = 0.3)
+        .orderBy("cell", "rank")
+    }),
+
     // t110's composition with the NEAR-dup image stage oracled
     // end-to-end: planted-pattern BMPs make the decoded aHash provably
     // equal the md5-derived pattern, so the band join + Hamming verify
@@ -3814,6 +3849,54 @@ object TextQueries {
     "t13_kmeans_ivf" ->
       s"""WITH $KMEANS_TRAINED_ASSIGN_CTES
          SELECT vec_id, cell FROM af ORDER BY vec_id""",
+
+    // semantic decontamination mirror: bench slice broadcast-shaped in
+    // SQL as a plain cross join; threshold filter BEFORE the per-corpus
+    // top-1 window, as the engine runs it
+    "t136_semantic_decontam" ->
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (SELECT vec_id AS bench_id, v AS bv FROM d WHERE vec_id < 50),
+         c AS (SELECT vec_id, v FROM d WHERE vec_id >= 50),
+         p AS (SELECT c.vec_id, bench_id,
+                 ROUND(list_dot_product(c.v, bv) /
+                   (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(bv, bv))), 4) AS cos
+               FROM c, b),
+         f AS (SELECT vec_id, bench_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rn
+               FROM p WHERE cos >= 0.35)
+         SELECT vec_id, bench_id, cos FROM f WHERE rn = 1 ORDER BY vec_id""",
+
+    // hard-negative mirror: t07's exact-cosine chain with the
+    // similarity band applied before the per-anchor top-k ranking
+    "t137_hard_negatives" ->
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < 10),
+         p AS (SELECT query_id, vec_id AS neg_id,
+                 ROUND(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS score
+               FROM d, q WHERE vec_id <> query_id),
+         f AS (SELECT query_id, neg_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neg_id) AS rank
+               FROM p WHERE score >= 0.2 AND score < 0.45)
+         SELECT query_id, neg_id, CAST(rank AS INTEGER) AS rank, score
+         FROM f WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // prototype-prune mirror: t13's trained-assignment chain, each
+    // member re-scored against its own cell's trained centroid (c2),
+    // per-cell floor(n * 0.3) most-prototypical rows dropped
+    "t138_prototype_prune" ->
+      s"""WITH $KMEANS_TRAINED_ASSIGN_CTES,
+         sc AS (SELECT a.vec_id, a.cell,
+                  ROUND(list_dot_product(a.v, c.cv) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))), 4) AS proto
+                FROM af a JOIN c2 c USING (cell)),
+         n AS (SELECT cell, COUNT(*) AS n FROM sc GROUP BY cell),
+         r AS (SELECT vec_id, cell, proto,
+                 ROW_NUMBER() OVER (PARTITION BY cell ORDER BY proto DESC, vec_id) AS rank
+               FROM sc)
+         SELECT r.vec_id, r.cell, r.proto, CAST(r.rank AS INTEGER) AS rank
+         FROM r JOIN n USING (cell) WHERE r.rank > FLOOR(n.n * 0.3)
+         ORDER BY cell, rank""",
 
     // SemDeDup mirror: the SAME trained-assignment chain as t13, then
     // the "exists an earlier similar same-cell member" drop rule. Cell

@@ -850,6 +850,146 @@ object Similarity {
       .select(idCol, "cell")
   }
 
+  /** Embedding-space decontamination report — the semantic sibling of
+    * [[graft.text.TextOps.decontaminate]] (shingle overlap) and
+    * [[graft.text.TextOps.bloomDecontaminate]] (membership): a corpus
+    * document is contaminated when its embedding's 4-dp rounded cosine
+    * to ANY benchmark item reaches `minCosine`, catching the
+    * paraphrased / reformatted / translated eval leakage that n-gram
+    * overlap structurally misses (the similarity-tier contamination
+    * check modern model cards report alongside exact-match). Returns
+    * one row per contaminated corpus document:
+    * (idCol, `bench_id` — the nearest benchmark item, ties to the
+    * smallest bench id — and `cos`, the rounded max similarity).
+    *
+    * Scale shape: the benchmark side is eval-suite sized BY CONTRACT —
+    * `maxBench` enforces it up front ([[cosineTopK]]'s guard
+    * discipline) — and is broadcast, so the corpus streams through one
+    * narrow scored projection; the threshold filter runs BEFORE the
+    * per-corpus-row top-1 window, so only contaminated pairs (≤ |hits|
+    * x |bench|, typically a sliver) ever reach state. The corpus is
+    * never shuffled on a content key and never self-joined. For a
+    * benchmark too big to broadcast, pre-bucket both sides with
+    * [[srpCandidates]] and verify the surviving pairs the same way. */
+  def semanticDecontaminateReport(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, minCosine: Double,
+      maxBench: Int = 100000): DataFrame = {
+    require(minCosine > 0 && minCosine <= 1,
+      s"minCosine must be in (0, 1], got $minCosine")
+    val nB = bench.limit(maxBench + 1).count()
+    require(nB <= maxBench,
+      s"semanticDecontaminateReport broadcasts the benchmark; it exceeds " +
+        s"maxBench=$maxBench — pre-bucket with srpCandidates instead")
+    val c = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val b = bench.select(col(idCol).as("bench_id"),
+      col(vecCol).cast("array<double>").as("__bv"))
+    val scored = c.crossJoin(broadcast(b))
+      .select(col(idCol), col("bench_id"),
+        round(cosine(col("__cv"), col("__bv")), 4).as("cos"))
+      .filter(col("cos") >= minCosine)
+    val w = Window.partitionBy(idCol).orderBy(desc("cos"), col("bench_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Survivor view of [[semanticDecontaminateReport]]: the corpus rows
+    * (all columns) whose maximum benchmark cosine stays below
+    * `minCosine` — the frame a training run should actually read.
+    * One broadcast scored pass + a left-anti on the flagged ids. */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, minCosine: Double,
+      maxBench: Int = 100000): DataFrame = {
+    val flagged = semanticDecontaminateReport(corpus, bench, idCol, vecCol,
+      minCosine, maxBench).select(col(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** Hard-negative mining for contrastive retrieval training data (the
+    * DPR / ANCE / RocketQA prep stage): for each anchor (query) vector,
+    * the top-k corpus items inside the similarity band
+    * [`minCosine`, `maxCosine`) — similar enough to be informative
+    * negatives, but BELOW the near-duplicate cutoff above which a
+    * "negative" is more likely an unlabeled positive (the
+    * false-negative poisoning RocketQA measures; the band's upper edge
+    * exists to exclude it). The anchor itself is always excluded.
+    * Returns (query_id, neg_id, rank 1.., score) with [[cosineTopK]]'s
+    * determinism: 4-dp rounded score, candidate-id tie-break.
+    *
+    * Scale shape: exactly [[cosineTopK]] — anchors broadcast under the
+    * `maxQueries` contract, corpus streamed once through a narrow
+    * scored projection, and the band filter runs BEFORE the per-anchor
+    * top-k window so easy pairs and duplicates never reach it. For
+    * production-size anchor sets, generate candidates with
+    * [[ivfSearch]] / [[srpCandidates]] and band-filter their output by
+    * the same rule. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, minCosine: Double, maxCosine: Double,
+      maxQueries: Int = 10000): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minCosine < maxCosine,
+      s"band is [minCosine, maxCosine): got [$minCosine, $maxCosine)")
+    val nQ = queries.limit(maxQueries + 1).count()
+    require(nQ <= maxQueries,
+      s"hardNegatives broadcasts the anchor set; it exceeds " +
+        s"maxQueries=$maxQueries — route candidates through ivfSearch")
+    val c = corpus.select(col(idCol).as("neg_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val banded = c.crossJoin(broadcast(q))
+      .filter(col("neg_id") =!= col("query_id"))
+      .select(col("query_id"), col("neg_id"),
+        round(cosine(col("__qv"), col("__cv")), 4).as("score"))
+      .filter(col("score") >= minCosine && col("score") < maxCosine)
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), col("neg_id"))
+    banded.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neg_id"),
+        col("rank").cast("int").as("rank"), col("score"))
+  }
+
+  /** Prototype pruning — the SSL-prototypes data-pruning metric
+    * (Sorscher et al. 2022 "Beyond neural scaling laws") that D4
+    * (Tirumala et al. 2023, arXiv:2308.12284) runs after SemDeDup:
+    * cluster with [[kmeansCentroids]], score every vector by its 4-dp
+    * rounded cosine to its OWN cell centroid (prototypicality), and
+    * drop the `dropFrac` MOST prototypical members of each cell — the
+    * easy, redundant core of dense regions — keeping the hard /
+    * diverse remainder. Per-cell drop count is floor(|cell| *
+    * dropFrac), so a cell loses nothing until it holds ≥ 1/dropFrac
+    * members. Returns the surviving (idCol, cell, proto, rank) rows,
+    * `rank` the 1-based prototypicality order within the cell (the
+    * dropped rows are exactly ranks 1..floor(n*dropFrac)).
+    *
+    * Scale shape: assignment is [[ivfAssign]] (broadcast centroids,
+    * narrow argmax); the per-cell size is a map-side-combinable
+    * groupBy joined back BROADCAST (k rows — the de-skewed
+    * [[graft.text.TextOps.lshCandidatePairs]] stats discipline, never
+    * a count window over the skewed cell key); the prototypicality
+    * rank is a per-cell sort window, so cell size is the unit of
+    * parallelism — size cells via `initIds`/k exactly as [[semDedup]]
+    * does (its maxCellSize refinement is the guard pattern if one cell
+    * swallows the corpus). */
+  def prototypePrune(corpus: DataFrame, idCol: String, vecCol: String,
+      initIds: Seq[Long], iterations: Int, dropFrac: Double): DataFrame = {
+    require(dropFrac >= 0 && dropFrac < 1,
+      s"dropFrac must be in [0, 1), got $dropFrac")
+    val trained = kmeansCentroids(corpus, idCol, vecCol, initIds, iterations)
+    val assigned = ivfAssign(corpus,
+      trained.select(col("cell").as(idCol), col("centroid").as(vecCol)),
+      idCol, vecCol)
+    val scored = assigned.join(broadcast(trained), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        round(cosine(col("v"), col("centroid")), 4).as("proto"))
+    val sizes = scored.groupBy("cell").agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy("cell").orderBy(desc("proto"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .join(broadcast(sizes), Seq("cell"))
+      .filter(col("rank") > floor(col("__n") * lit(dropFrac)))
+      .select(col(idCol), col("cell"),
+        col("proto"), col("rank").cast("int").as("rank"))
+  }
+
   /** Exact second moments of an embedding corpus — the (mean,
     * covariance-numerator) table behind [[allButTop]], oracled on its
     * own (t82) because it is pure integer arithmetic: components are

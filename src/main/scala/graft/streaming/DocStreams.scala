@@ -356,6 +356,33 @@ object DocStreams {
       .drop("__shs")
   }
 
+  /** Streaming SEMANTIC decontamination: drop any incoming document
+    * whose embedding's 4-dp rounded cosine similarity to ANY vector of
+    * the static benchmark frame reaches `minCosine` — the streaming
+    * twin of [[graft.sim.Similarity.semanticDecontaminate]], and the
+    * similarity-tier sibling of [[decontaminate]] above (paraphrased /
+    * reformatted eval leakage that shingle overlap structurally
+    * misses).
+    *
+    * Implemented as a STATELESS stream-static LEFT ANTI theta-join on
+    * the rounded-cosine threshold: the benchmark side is eval-suite
+    * sized by contract, so it broadcasts, and a document survives only
+    * when no benchmark vector clears the threshold. Each micro-batch
+    * costs |batch| x |bench| narrow Dot-kernel products — the batch
+    * operator's exact arithmetic (same kernel, same 4-dp rounding), so
+    * stream survivors equal batch survivors row-for-row (spec-pinned).
+    * The static side is re-planned per run, not per micro-batch:
+    * refresh the benchmark by restarting the query over the new frame,
+    * [[dedupAgainstCorpus]]'s re-index contract. */
+  def semanticDecontaminate(docs: DataFrame, bench: DataFrame,
+      vecCol: String, minCosine: Double): DataFrame = {
+    val b = bench.select(col(vecCol).cast("array<double>").as("__bv"))
+    docs.join(broadcast(b),
+      round(graft.sim.Similarity.cosine(
+        col(vecCol).cast("array<double>"), col("__bv")), 4) >= minCosine,
+      "left_anti")
+  }
+
   /** Domain-diversity monitoring on a live ingest stream — the
     * streaming twin of t93's batch composition: canonicalize each
     * URL ([[graft.text.UrlOps.canonicalizeUrls]] — a narrow cascade

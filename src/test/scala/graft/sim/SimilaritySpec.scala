@@ -459,4 +459,109 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.allButTop(rows, "vec_id", "embedding", k = 2)
       .count() == 200)
   }
+
+  test("semanticDecontaminate flags the paraphrase-close row, nearest bench wins") {
+    import spark.implicits._
+    // bench: two orthogonal eval items; corpus: a near-copy of bench 1,
+    // a vector mid-way between both (closer to bench 2), an orthogonal
+    // clean row
+    val bench = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.99f, 0.01f, 0.0f)),  // ~bench 1
+      (11L, Array(0.4f, 0.6f, 0.0f)),    // closer to bench 2
+      (12L, Array(0.0f, 0.0f, 1.0f)))    // clean
+      .toDF("vec_id", "embedding")
+    val rep = Similarity.semanticDecontaminateReport(
+        corpus, bench, "vec_id", "embedding", minCosine = 0.5)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rep.toSeq == Seq((10L, 1L), (11L, 2L)),
+      s"nearest bench item must win: ${rep.toSeq}")
+    val kept = Similarity.semanticDecontaminate(
+        corpus, bench, "vec_id", "embedding", minCosine = 0.5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L), s"only the clean row survives: $kept")
+    // bench-side size contract fires up front
+    val err = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminateReport(
+        corpus, bench, "vec_id", "embedding", 0.5, maxBench = 1)
+    }
+    assert(err.getMessage.contains("maxBench"))
+  }
+
+  test("semanticDecontaminate tie at rounded cosine goes to the smaller bench id") {
+    import spark.implicits._
+    val bench = Seq(
+      (5L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.semanticDecontaminateReport(
+      corpus, bench, "vec_id", "embedding", 0.9).collect().head
+    assert(r.getLong(1) == 3L)
+  }
+
+  test("hardNegatives keeps the band, excludes duplicates, self and easy pairs") {
+    import spark.implicits._
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // anchor at 0 deg; corpus: an exact duplicate (cos 1 — above the
+    // band), two in-band rows at 45/60 deg, one far row at 90 deg
+    // (cos 0 — below the band)
+    val corpus = Seq(
+      (1L, v(0)),            // self (excluded by id)
+      (20L, v(0)),           // duplicate: cos 1.0 >= maxCosine
+      (21L, v(45)),          // cos .7071 — in band, nearest
+      (22L, v(60)),          // cos .5 — in band
+      (23L, v(90)))          // cos 0 — too easy
+      .toDF("vec_id", "embedding")
+    val anchors = Seq((1L, v(0))).toDF("vec_id", "embedding")
+    val negs = Similarity.hardNegatives(corpus, anchors, "vec_id",
+        "embedding", k = 5, minCosine = 0.2, maxCosine = 0.99)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    assert(negs.toSeq == Seq((21L, 1), (22L, 2)),
+      s"band [0.2, 0.99) keeps 45/60 deg ranked by similarity: ${negs.toSeq}")
+    // k caps the per-anchor output
+    val one = Similarity.hardNegatives(corpus, anchors, "vec_id",
+      "embedding", k = 1, minCosine = 0.2, maxCosine = 0.99)
+    assert(one.count() == 1 && one.collect().head.getLong(1) == 21L)
+  }
+
+  test("prototypePrune drops exactly the floor(n*frac) most prototypical per cell") {
+    // real corpus: 4 trained cells over sf0.001 embeddings; dropFrac=0
+    // yields the full ranking, dropFrac=0.3 must keep exactly the rows
+    // ranked past floor(n * 0.3) of each cell
+    val all = Similarity.prototypePrune(emb, "vec_id", "embedding",
+      initIds = Seq(0L, 1L, 2L, 3L), iterations = 2, dropFrac = 0.0)
+    val cellN = all.groupBy("cell").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cellN.values.sum == emb.count(), "dropFrac=0 keeps everything")
+    val pruned = Similarity.prototypePrune(emb, "vec_id", "embedding",
+      initIds = Seq(0L, 1L, 2L, 3L), iterations = 2, dropFrac = 0.3)
+    val prunedN = pruned.groupBy("cell").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    cellN.foreach { case (cell, n) =>
+      val want = n - math.floor(n * 0.3).toLong
+      assert(prunedN.getOrElse(cell, 0L) == want,
+        s"cell $cell: want $want of $n, got ${prunedN.getOrElse(cell, 0L)}")
+    }
+    // survivors are the TAIL of the prototypicality ranking: every
+    // surviving rank exceeds the cell's drop count
+    val bad = pruned.join(
+        all.groupBy("cell").agg(count(lit(1)).as("n")), "cell")
+      .filter(col("rank") <= floor(col("n") * 0.3)).count()
+    assert(bad == 0, "no survivor may carry a dropped-range rank")
+    // the dropped rows are the most centroid-similar: min surviving
+    // proto never exceeds the cell's dropped max (ties share values)
+    val dropped = all.select(col("cell"), col("vec_id"))
+      .except(pruned.select(col("cell"), col("vec_id")))
+      .join(all, Seq("cell", "vec_id"))
+    val worstKept = pruned.groupBy("cell").agg(max("proto").as("mk"))
+    val worstDrop = dropped.groupBy("cell").agg(min("proto").as("md"))
+    assert(worstKept.join(worstDrop, "cell")
+      .filter(col("mk") > col("md")).count() == 0,
+      "every dropped row is at least as prototypical as every kept row")
+  }
 }

@@ -65,6 +65,39 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming semantic decontamination matches the batch survivor set") {
+    // stateless stream-static anti join on the rounded-cosine
+    // threshold: stream survivors must equal the batch operator's
+    // row-for-row (same Dot kernel, same 4-dp rounding)
+    val embDir = {
+      val d = java.nio.file.Files.createTempDirectory("emb_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+        d.resolve("embeddings.parquet"))
+      d.toString
+    }
+    val embBatch = spark.read.parquet(s"$dir/embeddings.parquet")
+    val bench = embBatch.filter(col("vec_id") < 50)
+    val stream = spark.readStream.schema(embBatch.schema).parquet(embDir)
+      .filter(col("vec_id") >= 50)
+    val q = DocStreams.semanticDecontaminate(stream, bench,
+        "embedding", minCosine = 0.35)
+      .select("vec_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("semdecon_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("semdecon_stream")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.sim.Similarity.semanticDecontaminate(
+        embBatch.filter(col("vec_id") >= 50), bench,
+        "vec_id", "embedding", minCosine = 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch, "stream survivors must equal batch")
+    assert(batch.size < embBatch.filter(col("vec_id") >= 50).count(),
+      "fixture must actually flag something")
+  }
+
   test("redactPii composes with a stream, matching batch") {
     // PII redaction is a pure narrow regexp cascade, so the SAME
     // library call runs unchanged at ingest time — and ingest is where
