@@ -1231,6 +1231,17 @@ object TextQueries {
         .orderBy("cell", "rank")
     }),
 
+    // UNIGRAM-LM tokenization (the SentencePiece family, next to the
+    // BPE track): frequency-seeded piece scores in exact micro-units,
+    // then per-doc Viterbi segmentation through the codegen'd kernel;
+    // the mirror recomputes training AND the DP (unrolled per word
+    // position), pinning pieces, piece count and total log-likelihood
+    "t139_unigram_tokenize" -> ((s, dir) => {
+      TextOps.unigramTokenize(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 64, maxPieceLen = 8)
+        .orderBy("doc_id")
+    }),
+
     // t110's composition with the NEAR-dup image stage oracled
     // end-to-end: planted-pattern BMPs make the decoded aHash provably
     // equal the md5-derived pattern, so the band join + Hamming verify
@@ -2123,6 +2134,65 @@ object TextQueries {
        capdrops AS MATERIALIZED (SELECT DISTINCT a.vec_id FROM $fin a JOIN $fin b
          ON a.cell = b.cell AND b.vec_id < a.vec_id
          AND ${cosR("a.v", "b.v")} >= 0.3)"""
+  }
+
+  /** Unigram-LM tokenizer mirror (t139): recomputes BOTH the training
+    * (substring candidates over distinct words, single-chars + top-V
+    * multis, micro-unit ln scores) and the Viterbi DP — unrolled to
+    * `unroll` word positions (per-position argmax over piece lengths
+    * 1..maxPieceLen with the engine's exact comparator: score DESC,
+    * piece count ASC, last-piece length DESC), carrying the piece path
+    * so the emitted segmentation is pinned verbatim. Words longer than
+    * `unroll` would be LOST by the mirror (visible hash fail, never a
+    * silent pass) — the fixture's max word length is 8. */
+  private def unigramSql(vocabSize: Int, maxPieceLen: Int,
+      unroll: Int): String = {
+    def legs(i: Int): String =
+      (1 to math.min(i, maxPieceLen)).map { l =>
+        s"""SELECT b.word, b.wl, b.s + v.score AS s, b.n + 1 AS n,
+           b.p || ' ' || substr(b.word, ${i - l + 1}, $l) AS p, $l AS l
+           FROM b${i - l} b JOIN vocab v
+             ON v.piece = substr(b.word, ${i - l + 1}, $l)
+           WHERE b.wl >= $i"""
+      }.mkString(" UNION ALL ")
+    val steps = (1 to unroll).map { i =>
+      s"""b$i AS MATERIALIZED (
+         SELECT word, wl, s, n, p FROM (
+           SELECT word, wl, s, n, p, ROW_NUMBER() OVER (
+             PARTITION BY word ORDER BY s DESC, n ASC, l DESC) AS rn
+           FROM (${legs(i)})) WHERE rn = 1)"""
+    }.mkString(",\n       ")
+    val wordDp = (1 to unroll)
+      .map(i => s"SELECT word, s, n, ltrim(p) AS p FROM b$i WHERE wl = $i")
+      .mkString(" UNION ALL ")
+    s"""tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+           '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       w AS (SELECT unnest(toks) AS word FROM tk),
+       wf AS MATERIALIZED (SELECT word, COUNT(*) AS wf FROM w GROUP BY 1),
+       pos AS (SELECT word, wf, unnest(range(1, len(word) + 1)) AS st FROM wf),
+       pc AS MATERIALIZED (SELECT substr(word, st, l.l) AS piece,
+           SUM(wf) AS freq
+         FROM pos, (SELECT unnest(range(1, ${maxPieceLen + 1})) AS l) l
+         WHERE st + l.l - 1 <= len(word) GROUP BY 1),
+       singles AS (SELECT piece, freq FROM pc WHERE len(piece) = 1),
+       multis AS (SELECT piece, freq FROM (
+         SELECT piece, freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, piece) AS rn
+         FROM pc WHERE len(piece) >= 2) WHERE rn <= $vocabSize),
+       kept AS (SELECT * FROM singles UNION ALL SELECT * FROM multis),
+       vocab AS MATERIALIZED (SELECT piece,
+         CAST(ROUND(ln(freq::DOUBLE / (SELECT SUM(freq) FROM kept))
+           * 1000000, 0) AS BIGINT) AS score FROM kept),
+       dw AS MATERIALIZED (SELECT DISTINCT word, len(word) AS wl FROM wf),
+       b0 AS (SELECT word, wl, 0::BIGINT AS s, 0 AS n, '' AS p FROM dw),
+       $steps,
+       worddp AS MATERIALIZED ($wordDp),
+       dwords AS (SELECT doc_id, unnest(toks) AS word,
+         unnest(range(1, len(toks) + 1)) AS idx FROM tk),
+       uniagg AS (SELECT d.doc_id,
+           string_agg(wd.p, ' ' ORDER BY d.idx) AS pieces,
+           SUM(wd.n) AS n_pieces, SUM(wd.s) AS score_micro
+         FROM dwords d JOIN worddp wd USING (word) GROUP BY 1)"""
   }
 
   /** PQ pipeline mirror (t33/t34): codebook from the first 16 vectors'
@@ -3849,6 +3919,16 @@ object TextQueries {
     "t13_kmeans_ivf" ->
       s"""WITH $KMEANS_TRAINED_ASSIGN_CTES
          SELECT vec_id, cell FROM af ORDER BY vec_id""",
+
+    // unigram-LM tokenizer mirror: training + per-word Viterbi DP
+    // unrolled to 16 positions, piece paths carried through the
+    // argmax so the segmentation string is recomputed verbatim
+    "t139_unigram_tokenize" ->
+      s"""WITH ${unigramSql(vocabSize = 64, maxPieceLen = 8, unroll = 16)}
+         SELECT t.doc_id, COALESCE(a.pieces, '') AS pieces,
+           CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+           CAST(COALESCE(a.score_micro, 0) AS BIGINT) AS score_micro
+         FROM tk t LEFT JOIN uniagg a USING (doc_id) ORDER BY doc_id""",
 
     // semantic decontamination mirror: bench slice broadcast-shaped in
     // SQL as a plain cross join; threshold filter BEFORE the per-corpus

@@ -1181,6 +1181,79 @@ object TextOps {
       toks.as("tokens"))
   }
 
+  /** Unigram-LM vocabulary training (the SentencePiece seeding stage):
+    * candidate pieces are ALL substrings (length ≤ `maxPieceLen`) of
+    * the corpus's distinct words, scored by corpus frequency (each
+    * occurrence of a word contributes its substring multiset). The
+    * kept vocabulary is every single-character piece (segmentability
+    * guarantee: Viterbi can never get stuck) plus the top `vocabSize`
+    * multi-character pieces by (frequency desc, piece asc). Scores are
+    * 6-dp micro-unit longs: round(ln(freq / total_kept_freq) * 1e6) —
+    * exact integer DP currency downstream ([[bm25Rank]]'s discipline).
+    * Returns (piece, freq, score_micro). SentencePiece's EM refinement
+    * over this seed is the documented extension; the frequency seed is
+    * the standard ESA-counted init (Kudo 2018 §3).
+    *
+    * Scale shape: the corpus is touched ONCE (word-count hash agg,
+    * map-side combinable); the substring fan-out runs over the
+    * DISTINCT-WORD table — vocabulary-sized, not corpus-sized — and
+    * the top-V pick is a TakeOrdered (no global sort materialized).
+    * The model is |alphabet| + vocabSize rows no matter the corpus. */
+  def unigramTrainScores(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 64, maxPieceLen: Int = 8): DataFrame = {
+    require(vocabSize >= 0, s"vocabSize must be >= 0, got $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val wf = fanOut(df)
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wf"))
+    val subs = flatten(transform(
+      sequence(lit(1), length(col("word"))),
+      st => transform(
+        sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - st + 1)),
+        l => col("word").substr(st, l))))
+    val pc = wf.select(col("wf"), explode(subs).as("piece"))
+      .groupBy("piece").agg(sum("wf").as("freq"))
+    val singles = pc.filter(length(col("piece")) === 1)
+    val multis = pc.filter(length(col("piece")) >= 2)
+      .orderBy(desc("freq"), col("piece")).limit(vocabSize)
+    val kept = singles.unionByName(multis)
+    kept.crossJoin(broadcast(kept.agg(sum(col("freq")).as("__tot"))))
+      .select(col("piece"), col("freq"),
+        round(log(col("freq").cast("double") / col("__tot")) * 1e6, 0)
+          .cast("long").as("score_micro"))
+  }
+
+  /** Unigram-LM Viterbi tokenization with an explicit vocabulary —
+    * the apply path: one codegen'd [[UnigramEncode]] projection per
+    * row (O(chars x maxPieceLen), vocab broadcast as model state, no
+    * join, no shuffle). Returns (idCol, pieces space-joined,
+    * n_pieces, score_micro) — score_micro is the exact micro-unit
+    * log-likelihood of the optimal segmentation, the sequence-level
+    * signal perplexity-style selection reads. */
+  def unigramTokenizeWith(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Long)], maxPieceLen: Int = 8): DataFrame = {
+    val enc = org.apache.spark.sql.graftbridge.Bridge.column(
+      UnigramEncode(org.apache.spark.sql.graftbridge.Bridge.expression(
+        col(textCol)), vocab, maxPieceLen))
+    df.select(col(idCol), enc.as("__u"))
+      .select(col(idCol), col("__u.pieces").as("pieces"),
+        col("__u.n_pieces").cast("long").as("n_pieces"),
+        col("__u.score_micro").as("score_micro"))
+  }
+
+  /** Train-then-apply unigram tokenization over one corpus:
+    * [[unigramTrainScores]] collected as the model (bounded at
+    * |alphabet| + vocabSize rows — the k-row model contract the BPE
+    * driver trainer and the classifiers share), then
+    * [[unigramTokenizeWith]]. */
+  def unigramTokenize(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 64, maxPieceLen: Int = 8): DataFrame = {
+    val model = unigramTrainScores(df, idCol, textCol, vocabSize, maxPieceLen)
+      .select("piece", "score_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    unigramTokenizeWith(df, idCol, textCol, model, maxPieceLen)
+  }
+
   /** Function-word profiles for the argmax language classifier
     * ([[langId]]). Small closed-class word lists (the standard
     * stopword-profile approach to language ID — function words are the
