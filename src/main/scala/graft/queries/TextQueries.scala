@@ -1242,6 +1242,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // one Viterbi-EM refinement round on the unigram seed: decode
+    // counts re-scored (pieces the seed decode never uses drop out),
+    // then the corpus re-decoded under the re-estimated table — the
+    // mirror recomputes the seed DP, the count/re-score M step, AND
+    // the second DP, pinning the refined segmentation end-to-end
+    "t140_unigram_em" -> ((s, dir) => {
+      TextOps.unigramTokenizeEm(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 64, maxPieceLen = 8, emRounds = 1)
+        .orderBy("doc_id")
+    }),
+
     // t110's composition with the NEAR-dup image stage oracled
     // end-to-end: planted-pattern BMPs make the decoded aHash provably
     // equal the md5-derived pattern, so the band join + Hamming verify
@@ -2145,26 +2156,53 @@ object TextQueries {
     * so the emitted segmentation is pinned verbatim. Words longer than
     * `unroll` would be LOST by the mirror (visible hash fail, never a
     * silent pass) — the fixture's max word length is 8. */
-  private def unigramSql(vocabSize: Int, maxPieceLen: Int,
+  /** The per-word Viterbi DP, unrolled: emits CTEs b<sfx>1..b<sfx>U
+    * and worddp<sfx> decoding every distinct word (`dw`) under the
+    * `vocabCte` score table. Each position's candidates are the vocab
+    * legs for lengths 1..maxPieceLen PLUS the UNK leg (an anti-join on
+    * the single char — the engine's out-of-vocabulary lattice
+    * candidate at UnkScoreMicro), picked by the engine's exact
+    * comparator (score DESC, piece count ASC, last-piece length
+    * DESC). */
+  private def unigramDpSql(vocabCte: String, sfx: String, maxPieceLen: Int,
       unroll: Int): String = {
-    def legs(i: Int): String =
-      (1 to math.min(i, maxPieceLen)).map { l =>
+    val unk = graft.text.UnigramApply.UnkScoreMicro
+    def prev(i: Int, l: Int) = if (i - l == 0) "b0" else s"b$sfx${i - l}"
+    def legs(i: Int): String = {
+      val vocabLegs = (1 to math.min(i, maxPieceLen)).map { l =>
         s"""SELECT b.word, b.wl, b.s + v.score AS s, b.n + 1 AS n,
            b.p || ' ' || substr(b.word, ${i - l + 1}, $l) AS p, $l AS l
-           FROM b${i - l} b JOIN vocab v
+           FROM ${prev(i, l)} b JOIN $vocabCte v
              ON v.piece = substr(b.word, ${i - l + 1}, $l)
            WHERE b.wl >= $i"""
-      }.mkString(" UNION ALL ")
+      }
+      val unkLeg =
+        s"""SELECT b.word, b.wl, b.s + ($unk) AS s, b.n + 1 AS n,
+           b.p || ' ' || substr(b.word, $i, 1) AS p, 1 AS l
+           FROM ${prev(i, 1)} b
+           WHERE b.wl >= $i AND NOT EXISTS (SELECT 1 FROM $vocabCte v
+             WHERE v.piece = substr(b.word, $i, 1))"""
+      (vocabLegs :+ unkLeg).mkString(" UNION ALL ")
+    }
     val steps = (1 to unroll).map { i =>
-      s"""b$i AS MATERIALIZED (
+      s"""b$sfx$i AS MATERIALIZED (
          SELECT word, wl, s, n, p FROM (
            SELECT word, wl, s, n, p, ROW_NUMBER() OVER (
              PARTITION BY word ORDER BY s DESC, n ASC, l DESC) AS rn
            FROM (${legs(i)})) WHERE rn = 1)"""
     }.mkString(",\n       ")
     val wordDp = (1 to unroll)
-      .map(i => s"SELECT word, s, n, ltrim(p) AS p FROM b$i WHERE wl = $i")
+      .map(i => s"SELECT word, s, n, ltrim(p) AS p FROM b$sfx$i WHERE wl = $i")
       .mkString(" UNION ALL ")
+    s"""$steps,
+       worddp$sfx AS MATERIALIZED ($wordDp)"""
+  }
+
+  /** Unigram training CTEs (t139/t140 share them): word counts,
+    * substring candidates over distinct words, singles + top-V multis,
+    * micro-unit ln scores (`vocab`), the distinct-word DP base (`dw`,
+    * `b0`) and the per-doc word-occurrence list (`dwords`). */
+  private def unigramTrainSql(vocabSize: Int, maxPieceLen: Int): String =
     s"""tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
            '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
        w AS (SELECT unnest(toks) AS word FROM tk),
@@ -2185,15 +2223,37 @@ object TextQueries {
            * 1000000, 0) AS BIGINT) AS score FROM kept),
        dw AS MATERIALIZED (SELECT DISTINCT word, len(word) AS wl FROM wf),
        b0 AS (SELECT word, wl, 0::BIGINT AS s, 0 AS n, '' AS p FROM dw),
-       $steps,
-       worddp AS MATERIALIZED ($wordDp),
        dwords AS (SELECT doc_id, unnest(toks) AS word,
-         unnest(range(1, len(toks) + 1)) AS idx FROM tk),
-       uniagg AS (SELECT d.doc_id,
+         unnest(range(1, len(toks) + 1)) AS idx FROM tk)"""
+
+  /** Per-doc roll-up of a worddp decode: (doc_id, pieces in word
+    * order, n_pieces, score_micro). */
+  private def unigramAggSql(worddpCte: String, aggCte: String): String =
+    s"""$aggCte AS (SELECT d.doc_id,
            string_agg(wd.p, ' ' ORDER BY d.idx) AS pieces,
            SUM(wd.n) AS n_pieces, SUM(wd.s) AS score_micro
-         FROM dwords d JOIN worddp wd USING (word) GROUP BY 1)"""
-  }
+         FROM dwords d JOIN $worddpCte wd USING (word) GROUP BY 1)"""
+
+  private def unigramSql(vocabSize: Int, maxPieceLen: Int,
+      unroll: Int): String =
+    s"""${unigramTrainSql(vocabSize, maxPieceLen)},
+       ${unigramDpSql("vocab", "", maxPieceLen, unroll)},
+       ${unigramAggSql("worddp", "uniagg")}"""
+
+  /** t140: one Viterbi-EM round on top of t139's seed — piece counts
+    * from the seed decode (word multiplicity included), re-scored as
+    * ln(count/total) micro-units, then a SECOND full DP under the
+    * re-estimated table. */
+  private def unigramEmSql(vocabSize: Int, maxPieceLen: Int,
+      unroll: Int): String =
+    s"""${unigramSql(vocabSize, maxPieceLen, unroll)},
+       emc AS MATERIALIZED (SELECT unnest(string_split(wd.p, ' ')) AS piece
+         FROM dwords d JOIN worddp wd USING (word)),
+       vocab2 AS MATERIALIZED (SELECT piece,
+         CAST(ROUND(ln(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM emc))
+           * 1000000, 0) AS BIGINT) AS score FROM emc GROUP BY 1),
+       ${unigramDpSql("vocab2", "e", maxPieceLen, unroll)},
+       ${unigramAggSql("worddpe", "uniagge")}"""
 
   /** PQ pipeline mirror (t33/t34): codebook from the first 16 vectors'
     * subvectors, squared-L2 via the dot identity on DOUBLE[] slices —
@@ -3929,6 +3989,16 @@ object TextQueries {
            CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces,
            CAST(COALESCE(a.score_micro, 0) AS BIGINT) AS score_micro
          FROM tk t LEFT JOIN uniagg a USING (doc_id) ORDER BY doc_id""",
+
+    // unigram Viterbi-EM mirror: seed chain + decode-count re-score +
+    // second unrolled DP under vocab2 (with the UNK anti-join leg for
+    // characters the pruning orphaned)
+    "t140_unigram_em" ->
+      s"""WITH ${unigramEmSql(vocabSize = 64, maxPieceLen = 8, unroll = 16)}
+         SELECT t.doc_id, COALESCE(a.pieces, '') AS pieces,
+           CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+           CAST(COALESCE(a.score_micro, 0) AS BIGINT) AS score_micro
+         FROM tk t LEFT JOIN uniagge a USING (doc_id) ORDER BY doc_id""",
 
     // semantic decontamination mirror: bench slice broadcast-shaped in
     // SQL as a plain cross join; threshold filter BEFORE the per-corpus

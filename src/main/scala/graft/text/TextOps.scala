@@ -1254,6 +1254,52 @@ object TextOps {
     unigramTokenizeWith(df, idCol, textCol, model, maxPieceLen)
   }
 
+  /** One Viterbi-EM re-estimation round for the unigram model (the
+    * hard-EM refinement SentencePiece iterates over its seed): decode
+    * the corpus under `vocab`, count each piece's occurrences in the
+    * optimal segmentations (the E step, Viterbi-approximated), and
+    * re-score as round(ln(count / total_count) * 1e6) (the M step).
+    * Pieces the decode never uses drop out — the pruning that
+    * concentrates mass on pieces that actually win segmentations; a
+    * character orphaned by pruning still decodes via the UNK lattice
+    * candidate. Returns (piece, freq, score_micro).
+    *
+    * Scale shape: one [[unigramTokenizeWith]] pass (narrow, codegen'd)
+    * + a piece explode into a map-side-combinable hash agg; the new
+    * model is ≤ |vocab| rows. */
+  def unigramEmStep(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Long)], maxPieceLen: Int = 8): DataFrame = {
+    val counts = unigramTokenizeWith(df, idCol, textCol, vocab, maxPieceLen)
+      .filter(col("pieces") =!= "")
+      .select(explode(split(col("pieces"), " ")).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("freq"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("freq")).as("__tot"))))
+      .select(col("piece"), col("freq"),
+        round(log(col("freq").cast("double") / col("__tot")) * 1e6, 0)
+          .cast("long").as("score_micro"))
+  }
+
+  /** [[unigramTokenize]] with `emRounds` Viterbi-EM refinement rounds
+    * between seeding and the final decode. Each round collects the
+    * ≤ |vocab|-row model (the k-row contract) and re-decodes — the
+    * corpus is scanned emRounds + 2 times total, every pass narrow. */
+  def unigramTokenizeEm(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 64, maxPieceLen: Int = 8,
+      emRounds: Int = 1): DataFrame = {
+    require(emRounds >= 0, s"emRounds must be >= 0, got $emRounds")
+    var model = unigramTrainScores(df, idCol, textCol, vocabSize, maxPieceLen)
+      .select("piece", "score_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    var r = 0
+    while (r < emRounds) {
+      model = unigramEmStep(df, idCol, textCol, model, maxPieceLen)
+        .select("piece", "score_micro").collect()
+        .map(row => (row.getString(0), row.getLong(1))).toSeq
+      r += 1
+    }
+    unigramTokenizeWith(df, idCol, textCol, model, maxPieceLen)
+  }
+
   /** Function-word profiles for the argmax language classifier
     * ([[langId]]). Small closed-class word lists (the standard
     * stopword-profile approach to language ID — function words are the

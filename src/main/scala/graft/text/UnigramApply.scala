@@ -72,21 +72,24 @@ object UnigramApply {
         var bn = Int.MaxValue
         var bl = 0
         // scan lengths LONGEST first with strictly-better comparison,
-        // so a full (score, pieces) tie keeps the longest last piece
+        // so a full (score, pieces) tie keeps the longest last piece.
+        // An out-of-vocabulary single character enters the lattice as
+        // a regular candidate at UnkScoreMicro (SentencePiece's
+        // unknown-symbol treatment), so the DP is total for any input
+        // and the rule mirrors as one anti-join leg per position.
         var l = math.min(i, maxPieceLen)
         while (l >= 1) {
           val sc = score.get(word.substring(i - l, i))
-          if (sc != null) {
-            val cs = bestS(i - l) + sc.longValue()
+          val scv: Long =
+            if (sc != null) sc.longValue()
+            else if (l == 1) UnkScoreMicro
+            else Long.MinValue
+          if (scv != Long.MinValue) {
+            val cs = bestS(i - l) + scv
             val cn = bestN(i - l) + 1
             if (cs > bs || (cs == bs && cn < bn)) { bs = cs; bn = cn; bl = l }
           }
           l -= 1
-        }
-        if (bl == 0) { // no piece ends here at any length: UNK char
-          bs = bestS(i - 1) + UnkScoreMicro
-          bn = bestN(i - 1) + 1
-          bl = 1
         }
         bestS(i) = bs; bestN(i) = bn; bestL(i) = bl
         i += 1

@@ -90,6 +90,45 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("EM step counts Viterbi pieces, re-scores, prunes the unused") {
+    // corpus "ab" x3: seed vocab = {a:3, b:3, ab:3} (all score ln(1/3));
+    // the decode picks "ab" everywhere (fewer pieces on the score tie),
+    // so EM counts {ab: 3}, prunes the orphaned singles, and re-scores
+    // ab to ln(3/3) = 0
+    val df = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val seed = TextOps.unigramTrainScores(df, "doc_id", "text",
+        vocabSize = 4, maxPieceLen = 2)
+      .select("piece", "score_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val em = TextOps.unigramEmStep(df, "doc_id", "text", seed, maxPieceLen = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(em.toSeq == Seq(("ab", 3L, 0L)), em.toSeq)
+    // a character orphaned by pruning decodes via the UNK lattice entry
+    val emVocab = em.map(x => (x._1, x._3)).toSeq
+    val other = Seq((9L, "ba")).toDF("doc_id", "text")
+    val r = TextOps.unigramTokenizeWith(other, "doc_id", "text",
+      emVocab, maxPieceLen = 2).collect().head
+    assert(r.getString(1) == "b a" &&
+      r.getLong(3) == 2 * UnigramApply.UnkScoreMicro)
+  }
+
+  test("EM round never decreases corpus log-likelihood (M-step optimality)") {
+    // L(new model, new seg) >= L(new model, old seg) (Viterbi optimal)
+    // >= L(old model, old seg) (MLE re-score of the old counts)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def total(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("score_micro")).collect().head.getLong(0)
+    val seedScore = total(TextOps.unigramTokenize(
+      docs, "doc_id", "text", vocabSize = 64, maxPieceLen = 8))
+    val emScore = total(TextOps.unigramTokenizeEm(
+      docs, "doc_id", "text", vocabSize = 64, maxPieceLen = 8, emRounds = 1))
+    assert(emScore >= seedScore, s"$emScore < $seedScore")
+    // zero rounds degenerates to the plain seed decode
+    val zero = total(TextOps.unigramTokenizeEm(
+      docs, "doc_id", "text", vocabSize = 64, maxPieceLen = 8, emRounds = 0))
+    assert(zero == seedScore)
+  }
+
   test("train-then-apply over real docs: deterministic, pieces reassemble words") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextOps.unigramTokenize(docs, "doc_id", "text",
