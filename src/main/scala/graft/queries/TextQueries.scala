@@ -1253,6 +1253,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // t113's unigram sibling: per-source pieces-per-word under the
+    // trained unigram model — the budgeting cost signal for the second
+    // tokenizer family (a source whose unigram fertility diverges from
+    // its BPE fertility is segmenting pathologically under one of them)
+    "t141_unigram_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tok = TextOps.unigramTokenize(docs, "doc_id", "text",
+        vocabSize = 64, maxPieceLen = 8)
+      val words = docs.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_words"))
+      tok.join(words, "doc_id")
+        .groupBy("source")
+        .agg(sum("n_pieces").as("uni_pieces"),
+          sum("n_words").as("words"),
+          round(sum("n_pieces").cast("double") / sum("n_words"), 6)
+            .as("fertility"))
+        .orderBy("source")
+    }),
+
     // t110's composition with the NEAR-dup image stage oracled
     // end-to-end: planted-pattern BMPs make the decoded aHash provably
     // equal the md5-derived pattern, so the band join + Hamming verify
@@ -3999,6 +4018,19 @@ object TextQueries {
            CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces,
            CAST(COALESCE(a.score_micro, 0) AS BIGINT) AS score_micro
          FROM tk t LEFT JOIN uniagge a USING (doc_id) ORDER BY doc_id""",
+
+    // unigram fertility mirror: the t139 chain rolled up per source
+    "t141_unigram_fertility" ->
+      s"""WITH ${unigramSql(vocabSize = 64, maxPieceLen = 8, unroll = 16)}
+         SELECT d.source,
+           CAST(SUM(COALESCE(a.n_pieces, 0)) AS BIGINT) AS uni_pieces,
+           CAST(SUM(len(t.toks)) AS BIGINT) AS words,
+           ROUND(SUM(COALESCE(a.n_pieces, 0))::DOUBLE / SUM(len(t.toks)), 6)
+             AS fertility
+         FROM tk t
+         JOIN documents d USING (doc_id)
+         LEFT JOIN uniagg a USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
 
     // semantic decontamination mirror: bench slice broadcast-shaped in
     // SQL as a plain cross join; threshold filter BEFORE the per-corpus

@@ -684,4 +684,36 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == want,
       s"stream/batch mismatch: only-stream=${got -- want} only-batch=${want -- got}")
   }
+
+  test("unigram Viterbi tokenization is stream-legal and matches batch exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // UnigramEncode is a narrow stateless projection like BpeEncode:
+    // train batch-side, apply the SAME operator to a streaming frame
+    val corpus = (0L until 40L).map(i =>
+      (i, s"the cat c$i sat on mat m${i % 7} it's low lower ${i * 31}"))
+    val docs = corpus.toDF("doc_id", "text")
+    val model = TextOps.unigramTrainScores(docs, "doc_id", "text",
+        vocabSize = 32, maxPieceLen = 6)
+      .select("piece", "score_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = TextOps.unigramTokenizeWith(docs, "doc_id", "text", model, 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = TextOps.unigramTokenizeWith(
+        in.toDF.toDF("doc_id", "text"), "doc_id", "text", model, 6)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("unigram_stream").start()
+    in.addData(corpus)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("unigram_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want,
+      s"stream/batch mismatch: only-stream=${got -- want} only-batch=${want -- got}")
+  }
 }
