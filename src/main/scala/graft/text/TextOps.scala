@@ -1241,6 +1241,32 @@ object TextOps {
         col("__u.score_micro").as("score_micro"))
   }
 
+  /** [[unigramTokenizeWith]] shipping the model as a TorrentBroadcast
+    * instead of a plan-embedded reference object — same output
+    * (spec-pinned), but a production-size model (32k-256k pieces) is
+    * distributed ONCE per application, executor-to-executor, rather
+    * than re-serialized into every task binary of every plan that
+    * applies it. Use this form when |vocab| is beyond a few thousand
+    * pieces; UnigramScale measures the shipping gap. */
+  def unigramBroadcastModel(spark: org.apache.spark.sql.SparkSession,
+      vocab: Seq[(String, Long)], maxPieceLen: Int = 8)
+      : org.apache.spark.broadcast.Broadcast[UnigramApply.Vocab] =
+    spark.sparkContext.broadcast(
+      new UnigramApply.Vocab(vocab, maxPieceLen))
+
+  def unigramTokenizeWithBroadcast(df: DataFrame, idCol: String,
+      textCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[UnigramApply.Vocab])
+      : DataFrame = {
+    val enc = org.apache.spark.sql.graftbridge.Bridge.column(
+      UnigramEncodeBroadcast(org.apache.spark.sql.graftbridge.Bridge
+        .expression(col(textCol)), bc))
+    df.select(col(idCol), enc.as("__u"))
+      .select(col(idCol), col("__u.pieces").as("pieces"),
+        col("__u.n_pieces").cast("long").as("n_pieces"),
+        col("__u.score_micro").as("score_micro"))
+  }
+
   /** Train-then-apply unigram tokenization over one corpus:
     * [[unigramTrainScores]] collected as the model (bounded at
     * |alphabet| + vocabSize rows — the k-row model contract the BPE

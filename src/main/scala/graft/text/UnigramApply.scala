@@ -160,3 +160,37 @@ case class UnigramEncode(child: Expression, vocab: Seq[(String, Long)],
   override protected def withNewChildInternal(newChild: Expression): UnigramEncode =
     copy(child = newChild)
 }
+
+/** [[UnigramEncode]] with the model shipped as a TorrentBroadcast
+  * instead of a plan-embedded reference object: the expression
+  * serializes only the broadcast HANDLE, so a production-size model
+  * (32k-256k pieces, tens of MB) is distributed once per application
+  * — BitTorrent-style, executor-to-executor — rather than re-shipped
+  * inside every task binary of every plan that uses it. Identical
+  * output to the plan-embedded form (spec-pinned); UnigramScale
+  * measures the shipping gap at a padded 1M-entry model. */
+case class UnigramEncodeBroadcast(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[UnigramApply.Vocab])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"UnigramEncodeBroadcast requires a string input, got " +
+        child.dataType.catalogString)
+  override def dataType: DataType = StructType(Seq(
+    StructField("pieces", StringType, nullable = false),
+    StructField("score_micro", LongType, nullable = false),
+    StructField("n_pieces", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    bc.value.encode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocabBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((${classOf[UnigramApply.Vocab].getName}) $ref.value()).encode($c);")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramEncodeBroadcast =
+    copy(child = newChild)
+}

@@ -129,6 +129,25 @@ class UnigramSpec extends AnyFunSuite {
     assert(zero == seedScore)
   }
 
+  test("broadcast-model apply is bit-identical to the plan-embedded form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = TextOps.unigramTrainScores(docs, "doc_id", "text",
+        vocabSize = 64, maxPieceLen = 8)
+      .select("piece", "score_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val plain = TextOps.unigramTokenizeWith(docs, "doc_id", "text", model, 8)
+    val bc = TextOps.unigramBroadcastModel(spark, model, 8)
+    val bcast = TextOps.unigramTokenizeWithBroadcast(docs, "doc_id", "text", bc)
+      .withColumnRenamed("pieces", "p2")
+      .withColumnRenamed("n_pieces", "n2")
+      .withColumnRenamed("score_micro", "s2")
+    val mismatch = plain.join(bcast, "doc_id")
+      .filter(col("pieces") =!= col("p2") || col("n_pieces") =!= col("n2") ||
+        col("score_micro") =!= col("s2")).count()
+    assert(mismatch == 0)
+    bc.destroy()
+  }
+
   test("train-then-apply over real docs: deterministic, pieces reassemble words") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextOps.unigramTokenize(docs, "doc_id", "text",
