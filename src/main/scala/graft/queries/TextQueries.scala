@@ -1272,6 +1272,23 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // link-graph PageRank for crawl quality weighting: a deterministic
+    // two-family synthetic link graph over the documents (a permuting
+    // long-range link + a hub link onto pages 0..9, so hubs accumulate
+    // rank), 6 exact fixed-point power iterations — the per-page
+    // centrality signal CC-style pipelines weight sampling by
+    "t142_link_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          (col("doc_id") % 10).as("dst")))
+      graft.ops.LinkRank.pageRank(edges, "src", "dst", iterations = 6)
+        .orderBy("node")
+    }),
+
     // t110's composition with the NEAR-dup image stage oracled
     // end-to-end: planted-pattern BMPs make the decoded aHash provably
     // equal the md5-derived pattern, so the band join + Hamming verify
@@ -3998,6 +4015,33 @@ object TextQueries {
     "t13_kmeans_ivf" ->
       s"""WITH $KMEANS_TRAINED_ASSIGN_CTES
          SELECT vec_id, cell FROM af ORDER BY vec_id""",
+
+    // PageRank mirror: same integer fixed-point recurrence, unrolled —
+    // contribution floor-div at the source, damped floor-div after the
+    // inbound sum, base (1-d)*1e6; bit-exact long arithmetic end to end
+    "t142_link_pagerank" -> {
+      def step(prev: String, next: String) =
+        s"""$next AS MATERIALIZED (SELECT n.node,
+           150000 + (85 * COALESCE(SUM($prev.r // od.od), 0)) // 100 AS r
+           FROM nodes n
+           LEFT JOIN e ON e.dst = n.node
+           LEFT JOIN $prev ON $prev.node = e.src
+           LEFT JOIN od ON od.src = e.src
+           GROUP BY 1)"""
+      val steps = (1 to 6).map(i => step(s"r${i - 1}", s"r$i"))
+        .mkString(",\n         ")
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         nn AS (SELECT COUNT(*) AS n FROM d),
+         e AS MATERIALIZED (
+           SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst FROM d
+           UNION ALL SELECT doc_id AS src, doc_id % 10 AS dst FROM d),
+         nodes AS MATERIALIZED (SELECT src AS node FROM e
+           UNION SELECT dst FROM e),
+         od AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+         r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
+         $steps
+         SELECT node, r AS rank_micro FROM r6 ORDER BY node"""
+    },
 
     // unigram-LM tokenizer mirror: training + per-word Viterbi DP
     // unrolled to 16 positions, piece paths carried through the

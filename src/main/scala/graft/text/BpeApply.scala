@@ -151,3 +151,32 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
     copy(child = newChild)
 }
+
+/** [[BpeEncode]] with the merge table shipped as a TorrentBroadcast —
+  * the expression serializes only the broadcast handle, so a
+  * production-depth table (30-50k merges) distributes once per
+  * application instead of riding every plan's task binaries
+  * (`UnigramEncodeBroadcast`'s pattern; identical output,
+  * spec-pinned). */
+case class BpeEncodeBroadcast(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[BpeApply.MergeTable])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"BpeEncodeBroadcast requires a string input, got " +
+        child.dataType.catalogString)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    bc.value.encode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTableBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((${classOf[BpeApply.MergeTable].getName}) $ref.value()).encode($c);")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeEncodeBroadcast =
+    copy(child = newChild)
+}

@@ -1181,6 +1181,31 @@ object TextOps {
       toks.as("tokens"))
   }
 
+  /** One broadcast handle for a compiled BPE merge table — build once,
+    * pass to every [[bpeTokenizeGreedyBroadcast]] plan. */
+  def bpeBroadcastTable(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)])
+      : org.apache.spark.broadcast.Broadcast[BpeApply.MergeTable] =
+    spark.sparkContext.broadcast(new BpeApply.MergeTable(merges))
+
+  /** [[bpeTokenizeGreedy]] with the merge table shipped as a
+    * TorrentBroadcast ([[unigramTokenizeWithBroadcast]]'s pattern):
+    * same output, but a 30-50k-merge production table distributes once
+    * per application instead of re-serializing into every plan that
+    * applies it. */
+  def bpeTokenizeGreedyBroadcast(df: DataFrame, idCol: String,
+      textCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[BpeApply.MergeTable])
+      : DataFrame = {
+    val toks = org.apache.spark.sql.graftbridge.Bridge.column(
+      BpeEncodeBroadcast(org.apache.spark.sql.graftbridge.Bridge
+        .expression(col(textCol)), bc))
+    df.select(col(idCol),
+      when(toks === "", lit(0L))
+        .otherwise(size(split(toks, " ")).cast("long")).as("n_tokens"),
+      toks.as("tokens"))
+  }
+
   /** Unigram-LM vocabulary training (the SentencePiece seeding stage):
     * candidate pieces are ALL substrings (length ≤ `maxPieceLen`) of
     * the corpus's distinct words, scored by corpus frequency (each

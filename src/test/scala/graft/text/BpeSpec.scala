@@ -201,6 +201,23 @@ class BpeSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("broadcast-table greedy apply is bit-identical to the plan-embedded form") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val merges = TextOps.bpeTrainMergesDriver(docs, "text", numMerges = 64,
+      stopAtExhaustion = true)
+    val a = TextOps.bpeTokenizeGreedy(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val bc = TextOps.bpeBroadcastTable(spark, merges)
+    val b = TextOps.bpeTokenizeGreedyBroadcast(docs, "doc_id", "text", bc)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(a.toSeq == b.toSeq)
+    bc.destroy()
+  }
+
   test("on NON-trained tables greedy applies the authoritative semantics") {
     import spark.implicits._
     val one = Seq(0L -> "abc").toDF("doc_id", "text")
