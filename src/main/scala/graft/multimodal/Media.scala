@@ -1740,6 +1740,76 @@ object Media {
     }(enc)
   }
 
+  /** Fixed-point 8x8 DCT-II cosine table for [[imagePHash]]:
+    * round(cos((2x+1) u pi / 16) * 2^14). ONE source of truth — the
+    * DuckDB mirror interpolates these exact integers, so the hash can
+    * never drift on transcendental-function bits. */
+  val PhashCosTable: Array[Array[Long]] = Array.tabulate(8, 8) { (u, x) =>
+    math.round(math.cos((2 * x + 1) * u * math.Pi / 16.0) * 16384.0)
+  }
+
+  /** 64-bit DCT perceptual hash (pHash) — the industry-standard
+    * near-duplicate image signature next to [[imageHash]]'s aHash:
+    * 8x8 gray resample, EXACT fixed-point 8x8 DCT-II
+    * ([[PhashCosTable]], integer multiply-accumulate end to end), then
+    * each AC coefficient's bit (index v*8+u) is set iff the
+    * coefficient exceeds the lower median of the 63 AC coefficients;
+    * the DC bit (index 0) is always 0. Ranking DCT coefficients
+    * against their own median makes the hash robust to global
+    * brightness/contrast shifts that flip aHash bits near the mean,
+    * while staying bit-identical across engines and platforms (all
+    * integer arithmetic; ties AT the median are 0 in both engines).
+    * Null for undecodable payloads. Near-dup pairs: rename `phash` to
+    * `ahash` and feed [[imageNearDupsFromHashes]] — the same banded
+    * Hamming geometry. */
+  def imagePHash(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("phash", LongType)))
+    val enc = Encoders.row(schema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      val ct = PhashCosTable
+      rows.map { r =>
+        val id = r.getLong(0)
+        val h = decodeImage(r.getAs[Array[Byte]](1)).map { img =>
+          val p = resample(img, 8, 8)
+          val g = Array.tabulate(64)(i => math.round(gray(p.getRGB(i % 8, i / 8))))
+          val dct = Array.ofDim[Long](64)
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var acc = 0L
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  acc += g(y * 8 + x) * ct(u)(x) * ct(v)(y)
+                  x += 1
+                }
+                y += 1
+              }
+              dct(v * 8 + u) = acc
+              v += 1
+            }
+            u += 1
+          }
+          val ac = java.util.Arrays.copyOfRange(dct, 1, 64)
+          java.util.Arrays.sort(ac)
+          val median = ac(31) // lower median of 63 AC coefficients
+          var bits = 0L
+          var i = 1
+          while (i < 64) {
+            if (dct(i) > median) bits |= (1L << i)
+            i += 1
+          }
+          bits
+        }
+        Row(id, h.map(java.lang.Long.valueOf).orNull)
+      }
+    }(enc)
+  }
+
   /** Image near-duplicate pairs — the multimodal twin of
     * [[graft.text.TextOps.simhashNearDupPairs]]: 64-bit average-hash
     * fingerprints ([[imageHash]], real decoded pixels) band-bucketed

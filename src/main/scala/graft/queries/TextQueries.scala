@@ -1272,6 +1272,20 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // DCT perceptual hash (pHash) over the planted-pattern BMPs: the
+    // REAL ImageIO decode + 8x8 resample + exact fixed-point DCT +
+    // AC-median threshold, while the oracle recomputes the identical
+    // integer pipeline from the md5 construction rule — the hash VALUE
+    // itself is pinned, not just downstream pair structure
+    "t143_image_phash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.multimodal.Media.syntheticPatternBmps(
+        graft.util.FanOut(docs), "doc_id")
+      graft.multimodal.Media.imagePHash(media)
+        .select(col("media_id").as("doc_id"), col("phash"))
+        .orderBy("doc_id")
+    }),
+
     // link-graph PageRank for crawl quality weighting: a deterministic
     // two-family synthetic link graph over the documents (a permuting
     // long-range link + a hub link onto pages 0..9, so hubs accumulate
@@ -4015,6 +4029,41 @@ object TextQueries {
     "t13_kmeans_ivf" ->
       s"""WITH $KMEANS_TRAINED_ASSIGN_CTES
          SELECT vec_id, cell FROM af ORDER BY vec_id""",
+
+    // pHash mirror: the planted md5 pattern gives the exact 8x8 pixel
+    // grid (255 * bit); the fixed-point DCT uses the ENGINE'S cosine
+    // table verbatim (Media.PhashCosTable interpolated below), the
+    // lower median of the 63 AC coefficients thresholds the bits, and
+    // the HUGEINT bit sum folds back to the signed-64 bit pattern
+    "t143_image_phash" -> {
+      val ct = graft.multimodal.Media.PhashCosTable
+      val vals = (for (u <- 0 until 8; x <- 0 until 8)
+        yield s"($u, $x, ${ct(u)(x)})").mkString(", ")
+      s"""WITH ppat AS (SELECT doc_id,
+           xor(('0x' || substr(md5('imgcls:' || CAST(doc_id // 5 AS VARCHAR)), 1, 15))::BIGINT,
+               (1::BIGINT << CAST(doc_id % 5 AS INTEGER)) - 1) AS h
+         FROM documents),
+         ctab(u, x, c) AS (VALUES $vals),
+         pbits AS (SELECT doc_id, i, 255 * ((h >> i) & 1) AS g
+           FROM ppat, (SELECT unnest(range(0, 64)) AS i)),
+         pdct AS MATERIALIZED (SELECT b.doc_id, cu.u AS u, cv.u AS v,
+             SUM(b.g * cu.c * cv.c) AS d
+           FROM pbits b
+           JOIN ctab cu ON cu.x = b.i % 8
+           JOIN ctab cv ON cv.x = b.i // 8
+           GROUP BY 1, 2, 3),
+         pmed AS (SELECT doc_id, d AS m FROM (
+           SELECT doc_id, d, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d) AS rn
+           FROM pdct WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+         praw AS (SELECT pdct.doc_id,
+             SUM(CASE WHEN NOT (u = 0 AND v = 0) AND d > m.m
+               THEN (1::HUGEINT << (v * 8 + u)) ELSE 0 END) AS s
+           FROM pdct JOIN pmed m USING (doc_id) GROUP BY 1)
+         SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+             THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT)
+           AS phash
+         FROM praw ORDER BY doc_id"""
+    },
 
     // PageRank mirror: same integer fixed-point recurrence, unrolled —
     // contribution floor-div at the source, damped floor-div after the

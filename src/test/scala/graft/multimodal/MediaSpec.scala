@@ -599,4 +599,71 @@ class MediaSpec extends AnyFunSuite {
     for (c <- Seq(ac, vc); id <- 0L until 15L)
       assert(c(id) == (id / 5) * 5, s"doc $id -> ${c(id)} in $c")
   }
+
+  test("imagePHash: DC bit clear, constant image hashes 0, junk is null") {
+    import spark.implicits._
+    def png(pix: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach { i =>
+        val v = pix(i); img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(_ => 128)),                       // constant gray
+      (2L, png(i => if (i % 3 == 0) 255 else 0)), // patterned
+      (3L, Array[Byte](1, 2, 3)))                 // undecodable
+      .toDF("media_id", "payload")
+    val h = Media.imagePHash(rows).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(h(1L) == Some(0L), "all-zero AC coefficients -> hash 0")
+    assert(h(2L).exists(v => v != 0L && (v & 1L) == 0L),
+      "patterned image sets bits, never the DC bit")
+    assert(h(3L).isEmpty, "undecodable payloads are null")
+  }
+
+  test("imagePHash is invariant to affine pixel maps (contrast/brightness)") {
+    import spark.implicits._
+    def png(hi: Int, lo: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach { i =>
+        val v = if ((i * 7 + 3) % 5 < 2) hi else lo
+        img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq((1L, png(255, 0)), (2L, png(140, 40)), (3L, png(90, 60)))
+      .toDF("media_id", "payload")
+    val h = Media.imagePHash(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L) && h(2L) == h(3L),
+      s"AC-median ranking must survive affine pixel maps: $h")
+    assert(h(1L) != 0L)
+  }
+
+  test("imagePHash on planted patterns is deterministic across partitionings") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    def hashes(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Media.imagePHash(Media.syntheticPatternBmps(df, "doc_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = hashes(ids)
+    val b = hashes(ids.repartition(7))
+    assert(a == b && a.size == 40)
+    // same planted class (id div 5) means near-identical patterns:
+    // the class-0 base pattern and its 1-bit perturbations stay within
+    // a few Hamming bits of each other in pHash space
+    val base = a(0L)
+    (1L until 5L).foreach { id =>
+      val d = java.lang.Long.bitCount(base ^ a(id))
+      assert(d <= 16, s"within-class pHash distance blew up: $d")
+    }
+  }
 }
