@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.util.Barriers.BarrierOps
+import graft.util.Barriers.FirewallOps
 
 /** Link-graph centrality for crawl quality weighting — the signal real
   * web-scale corpus pipelines read before sampling (Common Crawl
@@ -49,12 +49,18 @@ object LinkRank {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
+    // barrierFirewall, not a plain cache: every iteration joins `e`
+    // against `out` (an aggregate OVER e) — exactly the self-join
+    // shape whose analyzer dedup rewrite silently misses a lazy cache
+    // entry (the r14 kernel lesson); the firewall re-roots both at
+    // their materialized leaves so the edge scan runs ONCE, not once
+    // per iteration side
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).barrierCache()
+      col(dstCol).cast("long").as("dst")).barrierFirewall()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-    val out = e.groupBy("src").agg(count(lit(1)).as("od")).barrierCache()
+    val out = e.groupBy("src").agg(count(lit(1)).as("od")).barrierFirewall()
     val base = (100 - dampingPct) * 10000L // (1-d) * 1e6
     var r = nodes.withColumn("rank_micro", lit(1000000L))
     var i = 0

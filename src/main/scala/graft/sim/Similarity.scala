@@ -912,9 +912,16 @@ object Similarity {
     * negatives, but BELOW the near-duplicate cutoff above which a
     * "negative" is more likely an unlabeled positive (the
     * false-negative poisoning RocketQA measures; the band's upper edge
-    * exists to exclude it). The anchor itself is always excluded.
-    * Returns (query_id, neg_id, rank 1.., score) with [[cosineTopK]]'s
-    * determinism: 4-dp rounded score, candidate-id tie-break.
+    * exists to exclude it). Returns (query_id, neg_id, rank 1..,
+    * score) with [[cosineTopK]]'s determinism: 4-dp rounded score,
+    * candidate-id tie-break.
+    *
+    * Inherits [[cosineTopK]]'s identity contract: with the default
+    * `excludeSelf=true` a corpus row sharing the anchor's id never
+    * becomes a negative (right when anchors are drawn from the corpus
+    * itself); for genuinely EXTERNAL anchor frames whose ids merely
+    * coincide with corpus ids, pass `excludeSelf=false` or a valid
+    * candidate is silently dropped from that anchor's pool.
     *
     * Scale shape: exactly [[cosineTopK]] — anchors broadcast under the
     * `maxQueries` contract, corpus streamed once through a narrow
@@ -925,7 +932,7 @@ object Similarity {
     * the same rule. */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, minCosine: Double, maxCosine: Double,
-      maxQueries: Int = 10000): DataFrame = {
+      maxQueries: Int = 10000, excludeSelf: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(minCosine < maxCosine,
       s"band is [minCosine, maxCosine): got [$minCosine, $maxCosine)")
@@ -938,7 +945,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
     val banded = c.crossJoin(broadcast(q))
-      .filter(col("neg_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("neg_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neg_id"),
         round(cosine(col("__qv"), col("__cv")), 4).as("score"))
       .filter(col("score") >= minCosine && col("score") < maxCosine)

@@ -375,7 +375,17 @@ object DocStreams {
     * refresh the benchmark by restarting the query over the new frame,
     * [[dedupAgainstCorpus]]'s re-index contract. */
   def semanticDecontaminate(docs: DataFrame, bench: DataFrame,
-      vecCol: String, minCosine: Double): DataFrame = {
+      vecCol: String, minCosine: Double,
+      maxBench: Int = 100000): DataFrame = {
+    // the batch twin's guards, enforced at plan time (bench is a
+    // STATIC frame, so the count is a legal one-off action here):
+    // broadcasting an unbounded "benchmark" would OOM every micro-batch
+    require(minCosine > 0 && minCosine <= 1,
+      s"minCosine must be in (0, 1], got $minCosine")
+    val nB = bench.limit(maxBench + 1).count()
+    require(nB <= maxBench,
+      s"streaming semanticDecontaminate broadcasts the benchmark; it " +
+        s"exceeds maxBench=$maxBench — pre-bucket with srpCandidates")
     val b = bench.select(col(vecCol).cast("array<double>").as("__bv"))
     docs.join(broadcast(b),
       round(graft.sim.Similarity.cosine(

@@ -15,6 +15,32 @@ import graft.multimodal.Media
   */
 object MediaStreams {
 
+  /** Shared fingerprint stage: (media_id, __fp nullable, __ts) via the
+    * batch kernels; audio takes the quantization knobs, video has
+    * none. */
+  private def fingerprinted(media: DataFrame, kind: String,
+      eventTimeCol: String, windowSamples: Int,
+      levelStep: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("__fp", LongType),
+      StructField("__ts", TimestampType)))
+    val enc = Encoders.row(schema)
+    media
+      .select(col("media_id").cast("long"), col("payload"),
+        col(eventTimeCol).cast("timestamp"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val sig =
+            if (kind == "audio") Media.audioFingerprintOf(
+              r.getAs[Array[Byte]](1), windowSamples, levelStep)
+            else Media.videoFingerprintOf(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), sig.map(java.lang.Long.valueOf).orNull,
+            r.getTimestamp(2))
+        }
+      }(enc)
+  }
+
   /** Online exact-envelope dedup — [[DocStreams.dedupBySimhash]]'s
     * media twin: a clip whose 64-bit envelope fingerprint (audio
     * energy via [[Media.audioFingerprintOf]] when `kind = "audio"`,
@@ -31,28 +57,21 @@ object MediaStreams {
     * aggregation state), and dropDuplicatesWithinWatermark keeps one
     * state row per distinct envelope inside the horizon — memory
     * tracks the horizon's envelope cardinality, never the stream's
-    * length or the payload bytes. */
+    * length or the payload bytes.
+    *
+    * `windowSamples`/`levelStep` are the AUDIO envelope's quantization
+    * knobs and must match the batch side's ([[Media.audioNearDups]]'s
+    * parameters) or the parity contract silently breaks — a stream
+    * fingerprinting at a different window width sees different 64-bit
+    * envelopes than the batch sweep; the video envelope has no knobs
+    * and ignores them. */
   def dedupByEnvelope(media: DataFrame, kind: String,
-      eventTimeCol: String, watermark: String = "2 hours"): DataFrame = {
+      eventTimeCol: String, watermark: String = "2 hours",
+      windowSamples: Int = 1000, levelStep: Int = 256): DataFrame = {
     require(kind == "audio" || kind == "video",
       s"kind must be audio or video, got $kind")
-    val schema = StructType(Seq(
-      StructField("media_id", LongType),
-      StructField("__fp", LongType),
-      StructField("__ts", TimestampType)))
-    val enc = Encoders.row(schema)
-    val fp = media
-      .select(col("media_id").cast("long"), col("payload"),
-        col(eventTimeCol).cast("timestamp"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val sig =
-            if (kind == "audio") Media.audioFingerprintOf(r.getAs[Array[Byte]](1))
-            else Media.videoFingerprintOf(r.getAs[Array[Byte]](1))
-          Row(r.getLong(0), sig.map(java.lang.Long.valueOf).orNull,
-            r.getTimestamp(2))
-        }
-      }(enc)
+    val fp = fingerprinted(media, kind, eventTimeCol,
+      windowSamples, levelStep)
     fp.filter(col("__fp").isNotNull)
       .withWatermark("__ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("__fp"))
@@ -95,26 +114,12 @@ object MediaStreams {
     * (transformWithState backend), like every claim-state stream. */
   def dedupByEnvelopeBanded(media: DataFrame, kind: String,
       eventTimeCol: String, watermark: String = "2 hours",
-      claimHorizonMs: Long = 2L * 3600 * 1000): DataFrame = {
+      claimHorizonMs: Long = 2L * 3600 * 1000,
+      windowSamples: Int = 1000, levelStep: Int = 256): DataFrame = {
     require(kind == "audio" || kind == "video",
       s"kind must be audio or video, got $kind")
-    val schema = StructType(Seq(
-      StructField("media_id", LongType),
-      StructField("__fp", LongType),
-      StructField("__ts", TimestampType)))
-    val enc = Encoders.row(schema)
-    val fp = media
-      .select(col("media_id").cast("long"), col("payload"),
-        col(eventTimeCol).cast("timestamp"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val sig =
-            if (kind == "audio") Media.audioFingerprintOf(r.getAs[Array[Byte]](1))
-            else Media.videoFingerprintOf(r.getAs[Array[Byte]](1))
-          Row(r.getLong(0), sig.map(java.lang.Long.valueOf).orNull,
-            r.getTimestamp(2))
-        }
-      }(enc)
+    val fp = fingerprinted(media, kind, eventTimeCol,
+      windowSamples, levelStep)
     val spark = media.sparkSession
     import spark.implicits._
     // one BandRow per 16-bit band — Media.bandedHammingPairs' exact

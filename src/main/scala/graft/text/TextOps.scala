@@ -1298,12 +1298,9 @@ object TextOps {
     * driver trainer and the classifiers share), then
     * [[unigramTokenizeWith]]. */
   def unigramTokenize(df: DataFrame, idCol: String, textCol: String,
-      vocabSize: Int = 64, maxPieceLen: Int = 8): DataFrame = {
-    val model = unigramTrainScores(df, idCol, textCol, vocabSize, maxPieceLen)
-      .select("piece", "score_micro").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    unigramTokenizeWith(df, idCol, textCol, model, maxPieceLen)
-  }
+      vocabSize: Int = 64, maxPieceLen: Int = 8): DataFrame =
+    unigramTokenizeEm(df, idCol, textCol, vocabSize, maxPieceLen,
+      emRounds = 0)
 
   /** One Viterbi-EM re-estimation round for the unigram model (the
     * hard-EM refinement SentencePiece iterates over its seed): decode
@@ -1334,18 +1331,22 @@ object TextOps {
     * between seeding and the final decode. Each round collects the
     * ≤ |vocab|-row model (the k-row contract) and re-decodes — the
     * corpus is scanned emRounds + 2 times total, every pass narrow. */
+  /** Materialize a (piece, score_micro) frame as the driver-side model
+    * — the one projection the unigram entry points share. */
+  private def collectUnigramModel(scores: DataFrame): Seq[(String, Long)] =
+    scores.select("piece", "score_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
   def unigramTokenizeEm(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int = 64, maxPieceLen: Int = 8,
       emRounds: Int = 1): DataFrame = {
     require(emRounds >= 0, s"emRounds must be >= 0, got $emRounds")
-    var model = unigramTrainScores(df, idCol, textCol, vocabSize, maxPieceLen)
-      .select("piece", "score_micro").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    var model = collectUnigramModel(
+      unigramTrainScores(df, idCol, textCol, vocabSize, maxPieceLen))
     var r = 0
     while (r < emRounds) {
-      model = unigramEmStep(df, idCol, textCol, model, maxPieceLen)
-        .select("piece", "score_micro").collect()
-        .map(row => (row.getString(0), row.getLong(1))).toSeq
+      model = collectUnigramModel(
+        unigramEmStep(df, idCol, textCol, model, maxPieceLen))
       r += 1
     }
     unigramTokenizeWith(df, idCol, textCol, model, maxPieceLen)
@@ -1864,12 +1865,22 @@ object TextOps {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(strategy == "bfd" || strategy == "nextfit",
       s"strategy must be bfd or nextfit, got $strategy")
+    // shard hash reads the RAW id's string form — the exact
+    // [[shardAssign]] expression, so membership agrees between the two
+    // operators for any id type (a long id renders identically either
+    // way; a string id must not diverge). Null text packs as a 0-token
+    // doc and a null id falls to shard 0 instead of NPE-ing the fold —
+    // the graceful-degradation contract [[packSequences]] set.
     val lens = df.select(col(sourceCol).cast("string").as("source"),
         col(idCol).cast("long").as("__id"),
-        size(tokens(col(textCol))).cast("long").as("n_tok"))
+        coalesce(size(tokens(coalesce(col(textCol).cast("string"),
+          lit("")))).cast("long"), lit(0L)).as("n_tok"),
+        col(idCol).cast("string").as("__rawid"))
       .withColumn("shard",
-        pmod(md5Hash60(col("__id").cast("string")), lit(nShards.toLong))
-          .cast("int"))
+        coalesce(
+          pmod(md5Hash60(col("__rawid")), lit(nShards.toLong)).cast("int"),
+          lit(0)))
+      .drop("__rawid")
     val ord =
       if (strategy == "bfd")
         Seq(col("source"), col("shard"), col("n_tok").desc, col("__id"))
@@ -1926,7 +1937,11 @@ object TextOps {
               lastFill = n; lastBin = b; b
             }
           }
-        org.apache.spark.sql.Row(src, sh, r.getLong(2), n, bin)
+        // boxed id read: a null id row still packs (shard 0) instead
+        // of NPE-ing the whole partition
+        val idVal: java.lang.Long =
+          if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))
+        org.apache.spark.sql.Row(src, sh, idVal, n, bin)
       }
     }(enc)
   }

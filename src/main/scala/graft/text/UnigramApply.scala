@@ -100,12 +100,10 @@ object UnigramApply {
       var k = bestN(len)
       while (p > 0) { k -= 1; starts(k) = p - bestL(p); p -= bestL(p) }
       k = 0
-      var pos = 0
       while (k < starts.length) {
         if (sb.length > 0) sb.append(' ')
         val end = if (k + 1 < starts.length) starts(k + 1) else len
         sb.append(word, starts(k), end)
-        pos = end
         k += 1
       }
       (bestS(len), bestN(len))

@@ -527,6 +527,16 @@ class SimilaritySpec extends AnyFunSuite {
     val one = Similarity.hardNegatives(corpus, anchors, "vec_id",
       "embedding", k = 1, minCosine = 0.2, maxCosine = 0.99)
     assert(one.count() == 1 && one.collect().head.getLong(1) == 21L)
+    // external anchor frame whose id merely coincides with corpus id 1:
+    // excludeSelf=false keeps the coinciding corpus row as a candidate
+    // (cosineTopK's identity contract)
+    val external = Seq((1L, v(44))).toDF("vec_id", "embedding")
+    val withSelf = Similarity.hardNegatives(corpus, external, "vec_id",
+        "embedding", k = 5, minCosine = 0.2, maxCosine = 0.99,
+        excludeSelf = false)
+      .collect().map(_.getLong(1)).toSet
+    assert(withSelf.contains(1L),
+      s"corpus row 1 (cos ~0.72) must be eligible: $withSelf")
   }
 
   test("prototypePrune drops exactly the floor(n*frac) most prototypical per cell") {

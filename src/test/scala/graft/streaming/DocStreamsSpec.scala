@@ -96,6 +96,17 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(streamed == batch, "stream survivors must equal batch")
     assert(batch.size < embBatch.filter(col("vec_id") >= 50).count(),
       "fixture must actually flag something")
+    // the batch twin's guards fire at plan time on the stream side too
+    val err = intercept[IllegalArgumentException] {
+      DocStreams.semanticDecontaminate(stream, bench, "embedding",
+        minCosine = 0.35, maxBench = 10)
+    }
+    assert(err.getMessage.contains("maxBench"))
+    val err2 = intercept[IllegalArgumentException] {
+      DocStreams.semanticDecontaminate(stream, bench, "embedding",
+        minCosine = 1.5)
+    }
+    assert(err2.getMessage.contains("minCosine"))
   }
 
   test("redactPii composes with a stream, matching batch") {

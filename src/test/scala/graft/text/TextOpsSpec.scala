@@ -157,6 +157,39 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequencesAtomic: null text and null ids degrade gracefully, shard hash matches shardAssign") {
+    // null text packs as a 0-token doc, a null id falls to shard 0 —
+    // neither may NPE the partition fold (packSequences' contract)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "A", "five words of real text"),
+        Row(2L, "A", null),
+        Row(null, "A", "doc with a null id")),
+      schema)
+    val out = TextOps.packSequencesAtomic(docs, "doc_id", "text", "source",
+        budget = 100, nShards = 1, strategy = "bfd")
+      .collect()
+    assert(out.length == 3)
+    val byId = out.map(r =>
+      (if (r.isNullAt(2)) None else Some(r.getLong(2))) -> r.getLong(3)).toMap
+    assert(byId(Some(2L)) == 0L, "null text packs as zero tokens")
+    assert(byId.contains(None), "null-id row survives the fold")
+    // shard membership agrees with shardAssign for the same ids
+    import spark.implicits._
+    val typed = Seq((7L, "A", "x"), (8L, "A", "y")).toDF("doc_id", "source", "text")
+    val packShards = TextOps.packSequencesAtomic(typed, "doc_id", "text",
+        "source", budget = 100, nShards = 4)
+      .collect().map(r => r.getLong(2) -> r.getInt(1)).toMap
+    val assignShards = TextOps.shardAssign(typed, "doc_id", nShards = 4)
+      .select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(packShards == assignShards,
+      s"pack shards $packShards must equal shardAssign $assignShards")
+  }
+
   test("packSequencesAtomic: oversized docs get singleton bins; shards pack independently") {
     import spark.implicits._
     val docs = Seq(
