@@ -1272,6 +1272,22 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // WebDataset export manifest over the planted-pattern BMPs +
+    // caption texts: md5 shard assignment, per-shard sequence,
+    // zero-padded member names and exact member byte sizes — the
+    // oracle-checkable half of the sharded-tar sink (the tar EMISSION
+    // itself is spec-verified by a byte-exact write/read round trip)
+    "t144_webdataset_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.multimodal.Media.syntheticPatternBmps(
+          graft.util.FanOut(docs), "doc_id")
+        .select(col("media_id").as("doc_id"), col("payload"))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      graft.multimodal.WebDataset.manifest(media, "doc_id", "payload",
+          "text", nShards = 8)
+        .orderBy("doc_id")
+    }),
+
     // DCT perceptual hash (pHash) over the planted-pattern BMPs: the
     // REAL ImageIO decode + 8x8 resample + exact fixed-point DCT +
     // AC-median threshold, while the oracle recomputes the identical
@@ -4029,6 +4045,27 @@ object TextQueries {
     "t13_kmeans_ivf" ->
       s"""WITH $KMEANS_TRAINED_ASSIGN_CTES
          SELECT vec_id, cell FROM af ORDER BY vec_id""",
+
+    // WebDataset manifest mirror: t35's md5 shard chain + the member
+    // naming rule; img_bytes is the planted-BMP construction-rule
+    // constant (8x8 24-bit rows padded to 24 bytes + 54-byte header)
+    "t144_webdataset_manifest" ->
+      """WITH h AS (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
+           FROM documents),
+         s AS (SELECT doc_id, CAST(u % 8 AS INT) AS shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY u % 8 ORDER BY u, doc_id)
+               AS BIGINT) AS seq
+           FROM h),
+         k AS (SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 9, '0') AS key
+           FROM documents)
+         SELECT s.doc_id, s.shard, s.seq, k.key,
+           k.key || '.bmp' AS img_member,
+           k.key || '.txt' AS txt_member,
+           CAST(54 + 24 * 8 AS BIGINT) AS img_bytes,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS txt_bytes
+         FROM s JOIN k USING (doc_id) JOIN documents d USING (doc_id)
+         ORDER BY s.doc_id""",
 
     // pHash mirror: the planted md5 pattern gives the exact 8x8 pixel
     // grid (255 * bit); the fixed-point DCT uses the ENGINE'S cosine

@@ -119,6 +119,32 @@ class MediaStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("non-default windowSamples threads to the stream's audio kernel") {
+    import spark.implicits._
+    // the knob must reach the fingerprint: the same WAV fingerprinted
+    // at windowSamples 1000 vs 250 yields different envelopes, and the
+    // stream's output fingerprint must equal the batch kernel's at the
+    // SAME setting (the parity contract the parameter exists for)
+    val wav = Media.buildSquareWav((0 until 16).map(w => w * 137 + 211))
+    val fp250 = Media.audioFingerprintOf(wav, windowSamples = 250).get
+    val fp1000 = Media.audioFingerprintOf(wav).get
+    assert(fp250 != fp1000, "fixture must distinguish the settings")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val stream = in.toDF.toDF("media_id", "payload", "ingest_time")
+    val q = MediaStreams.dedupByEnvelope(stream, "audio", "ingest_time",
+        windowSamples = 250)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("env_ws").start()
+    in.addData(Seq((1L, wav, new java.sql.Timestamp(1700000000000L))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("env_ws").select("fingerprint")
+      .collect().head.getLong(0)
+    assert(got == fp250, s"stream must fingerprint at windowSamples=250")
+  }
+
   test("banded video dedup matches the batch near-dup + CC chain") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
