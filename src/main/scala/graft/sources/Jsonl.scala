@@ -39,4 +39,86 @@ object Jsonl {
   def write(df: DataFrame, path: String, compression: String = "none"): Unit =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
       .write.mode("overwrite").option("compression", compression).text(path)
+
+  /** Deterministic NAMED-shard JSONL export — the text sibling of
+    * [[graft.multimodal.WebDataset.writeShards]], and the artifact
+    * convention text-pretraining corpora actually ship
+    * (`shard-%06d.jsonl[.gz]`, stable membership and line order, so a
+    * re-run of the exporter produces bit-identical files a downstream
+    * hash manifest can verify): rows are assigned by
+    * [[graft.text.TextOps.shardAssign]]'s salt-free md5 hash, ordered
+    * by its per-shard `seq`, rendered with Spark's `to_json` over the
+    * frame's own column order, and streamed one shard per file. Gzip
+    * members are reproducible too (Java's GZIP header carries
+    * mtime 0). Returns the per-shard report (shard, path, n_lines,
+    * bytes_written) from the writing tasks themselves; the write
+    * happens when the returned frame is acted on.
+    *
+    * Scale shape: one exchange on the shard key + the per-shard seq
+    * window, then each shard streams to its file in one pass; shards
+    * are independent, so write parallelism is min(nShards, cores). */
+  def writeShards(df: DataFrame, idCol: String, outDir: String,
+      nShards: Int, gzip: Boolean = true): DataFrame = {
+    val withLine = df.withColumn("__line",
+      to_json(struct(df.columns.map(col): _*)))
+    val rows = graft.text.TextOps.shardAssign(withLine, idCol, nShards)
+      .select(col("shard"), col("seq"), col("__line"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_lines",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bytes_written",
+        org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val sfx = if (gzip) ".jsonl.gz" else ".jsonl"
+    rows.mapPartitions { it =>
+      // group-fold over (possibly several) shards per hash partition —
+      // the WebDataset writer's pattern
+      var out: java.io.OutputStream = null
+      var file: java.io.File = null
+      var cur = Int.MinValue
+      var n = 0L
+      val done = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      def close(): Unit = if (out != null) {
+        out.close()
+        done += org.apache.spark.sql.Row(cur, file.getPath, n, file.length())
+        out = null
+      }
+      val emitted = it.flatMap { r =>
+        val sh = r.getInt(0)
+        val flushed = if (sh != cur) {
+          close()
+          cur = sh
+          file = new java.io.File(
+            s"$outDir/shard-${"%06d".format(sh)}$sfx")
+          val fos = new java.io.FileOutputStream(file)
+          out = new java.io.BufferedOutputStream(
+            if (gzip) new java.util.zip.GZIPOutputStream(fos) else fos)
+          n = 0L
+          val f = done.toList; done.clear(); f
+        } else Nil
+        out.write(r.getString(2).getBytes("UTF-8"))
+        out.write('\n')
+        n += 1
+        flushed
+      }
+      emitted ++ new Iterator[org.apache.spark.sql.Row] {
+        private var tail: List[org.apache.spark.sql.Row] = null
+        override def hasNext: Boolean = {
+          if (tail == null) { close(); tail = done.toList }
+          tail.nonEmpty
+        }
+        override def next(): org.apache.spark.sql.Row = {
+          val h = tail.head; tail = tail.tail; h
+        }
+      }
+    }(enc)
+  }
 }

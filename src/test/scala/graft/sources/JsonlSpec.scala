@@ -54,4 +54,50 @@ class JsonlSpec extends AnyFunSuite {
     // doc_id but not the text payload
     assert(plan.contains("doc_id") && !plan.contains("text"))
   }
+
+  test("writeShards: named gz shards round-trip through the reader, report consistent") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 80)
+    val out = java.nio.file.Files.createTempDirectory("jsonl_sh").toString
+    val report = Jsonl.writeShards(docs, "doc_id", out, nShards = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(report.map(_._1).toSet == Set(0, 1, 2, 3))
+    assert(report.map(_._3).sum == 80, "every row lands in a shard")
+    report.foreach { case (_, path, _, bytes) =>
+      assert(path.endsWith(".jsonl.gz"))
+      assert(java.nio.file.Files.size(java.nio.file.Paths.get(path)) == bytes)
+    }
+    // spark.read.json decompresses .gz transparently: full row parity
+    val back = Jsonl.read(spark, out, docs.schema)
+    assert(back.count() == 80)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+    // shard membership equals shardAssign's (the export manifest rule)
+    val want = graft.text.TextOps.shardAssign(docs, "doc_id", 4)
+      .groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(report.map(r => r._1 -> r._3).toMap == want)
+  }
+
+  test("writeShards is reproducible: identical bytes across runs and partitionings") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 40)
+    val d1 = java.nio.file.Files.createTempDirectory("jsonl_r1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("jsonl_r2").toString
+    Jsonl.writeShards(docs, "doc_id", d1, 2).collect()
+    Jsonl.writeShards(docs.repartition(7), "doc_id", d2, 2).collect()
+    (0 until 2).foreach { sh =>
+      val p = f"shard-$sh%06d.jsonl.gz"
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$d1/$p"))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$d2/$p"))
+      assert(java.util.Arrays.equals(a, b),
+        s"$p must be bit-identical across runs")
+    }
+    // plain (uncompressed) mode emits .jsonl and stays line-readable
+    val d3 = java.nio.file.Files.createTempDirectory("jsonl_r3").toString
+    Jsonl.writeShards(docs, "doc_id", d3, 2, gzip = false).collect()
+    val first = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$d3/shard-000000.jsonl")).get(0)
+    assert(first.startsWith("{") && first.endsWith("}"))
+  }
 }
