@@ -42,9 +42,17 @@ object CacheAudit {
         val imts = "InMemoryTableScan".r.findAllIn(plan).length
         val rdds = "Scan ExistingRDD".r.findAllIn(plan).length
         val sh = "explode\\(shingles".r.findAllIn(plan).length
+        // a FIREWALLED barrier shows as a LogicalRDD leaf ("Scan
+        // ExistingRDD"), not an InMemoryTableScan — both are HITS; the
+        // miss signature is a barrier whose final plan carries NEITHER
+        // (its lineage was silently re-derived). Barriers consumed
+        // entirely inside an earlier job (collect-bounded loops) also
+        // vanish from the final plan, so hits > 0 with fewer hits than
+        // barriers is only a "look here", not a verdict.
+        val hits = imts + rdds
         val verdict =
-          if (barriers > 0 && imts == 0) "MISS_ALL"
-          else if (imts < barriers) "MISS_SOME"
+          if (barriers > 0 && hits == 0) "MISS_ALL"
+          else if (barriers > 0 && hits < barriers) "CHECK_PARTIAL"
           else "ok"
         println(f"CACHE_AUDIT $name%-34s barriers=$barriers%2d imts=$imts%2d " +
           f"rddscans=$rdds%2d shingle_derives=$sh%2d $verdict")
