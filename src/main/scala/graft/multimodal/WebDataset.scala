@@ -79,12 +79,15 @@ object WebDataset {
       StructField("n_samples", LongType),
       StructField("bytes_written", LongType)))
     val enc = Encoders.row(schema)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val hc = graft.sources.ShardIO.conf(media)
     rows.mapPartitions { it =>
       // a partition may carry several shards (hash partitioning):
       // consume sequentially, cutting a new tar at each shard change —
-      // packSequencesAtomic's group-fold pattern
+      // packSequencesAtomic's group-fold pattern. All file IO rides
+      // ShardIO's Hadoop-FS temp+rename commit (cluster-portable,
+      // retry-safe — see ShardIO's contract).
       var out: java.io.OutputStream = null
+      var ss: graft.sources.ShardIO.ShardStream = null
       var cur = Int.MinValue
       var path: String = null
       var n = 0L
@@ -93,8 +96,9 @@ object WebDataset {
       def close(): Unit = if (out != null) {
         out.write(new Array[Byte](1024)) // end-of-archive zero blocks
         out.close()
+        ss.commit()
         done += Row(cur, path, n, bytes + 1024L)
-        out = null
+        out = null; ss = null
       }
       def entry(name: String, data: Array[Byte]): Long = {
         val h = new Array[Byte](512)
@@ -130,12 +134,15 @@ object WebDataset {
           close()
           cur = sh
           path = s"$outDir/shard-${"%06d".format(sh)}.tar"
-          out = new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(path))
+          ss = graft.sources.ShardIO.begin(hc, path)
+          out = new java.io.BufferedOutputStream(ss.raw)
           n = 0L; bytes = 0L
           val f = done.toList; done.clear(); f
         } else Nil
-        bytes += entry(r.getString(2), r.getAs[Array[Byte]](4))
+        // null payload → empty member, mirroring the caption guard
+        // below (one null row must not fail the whole export task)
+        bytes += entry(r.getString(2),
+          Option(r.getAs[Array[Byte]](4)).getOrElse(Array.emptyByteArray))
         bytes += entry(r.getString(3),
           Option(r.getString(5)).getOrElse("").getBytes("UTF-8"))
         n += 1

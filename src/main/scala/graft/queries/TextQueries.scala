@@ -4126,7 +4126,7 @@ object TextQueries {
          od AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
          r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
          $steps
-         SELECT node, r AS rank_micro FROM r6 ORDER BY node"""
+         SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r6 ORDER BY node"""
     },
 
     // unigram-LM tokenizer mirror: training + per-word Viterbi DP

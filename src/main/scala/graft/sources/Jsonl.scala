@@ -75,32 +75,34 @@ object Jsonl {
       org.apache.spark.sql.types.StructField("bytes_written",
         org.apache.spark.sql.types.LongType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val hc = ShardIO.conf(df)
     val sfx = if (gzip) ".jsonl.gz" else ".jsonl"
     rows.mapPartitions { it =>
       // group-fold over (possibly several) shards per hash partition —
-      // the WebDataset writer's pattern
+      // the WebDataset writer's pattern. All file IO rides ShardIO's
+      // Hadoop-FS temp+rename commit (cluster-portable, retry-safe).
       var out: java.io.OutputStream = null
-      var file: java.io.File = null
+      var ss: ShardIO.ShardStream = null
+      var path: String = null
       var cur = Int.MinValue
       var n = 0L
       val done = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.spark.sql.Row]
       def close(): Unit = if (out != null) {
-        out.close()
-        done += org.apache.spark.sql.Row(cur, file.getPath, n, file.length())
-        out = null
+        out.close() // finishes the gzip member before commit
+        val len = ss.commit()
+        done += org.apache.spark.sql.Row(cur, path, n, len)
+        out = null; ss = null
       }
       val emitted = it.flatMap { r =>
         val sh = r.getInt(0)
         val flushed = if (sh != cur) {
           close()
           cur = sh
-          file = new java.io.File(
-            s"$outDir/shard-${"%06d".format(sh)}$sfx")
-          val fos = new java.io.FileOutputStream(file)
+          path = s"$outDir/shard-${"%06d".format(sh)}$sfx"
+          ss = ShardIO.begin(hc, path)
           out = new java.io.BufferedOutputStream(
-            if (gzip) new java.util.zip.GZIPOutputStream(fos) else fos)
+            if (gzip) new java.util.zip.GZIPOutputStream(ss.raw) else ss.raw)
           n = 0L
           val f = done.toList; done.clear(); f
         } else Nil

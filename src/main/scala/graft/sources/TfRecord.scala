@@ -83,9 +83,12 @@ object TfRecord {
       StructField("n_records", LongType),
       StructField("bytes_written", LongType)))
     val enc = Encoders.row(schema)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val hc = ShardIO.conf(df)
     rows.mapPartitions { it =>
+      // All file IO rides ShardIO's Hadoop-FS temp+rename commit
+      // (cluster-portable, retry-safe — see ShardIO's contract).
       var out: java.io.OutputStream = null
+      var ss: ShardIO.ShardStream = null
       var path: String = null
       var cur = Int.MinValue
       var n = 0L
@@ -93,8 +96,9 @@ object TfRecord {
       val done = scala.collection.mutable.ArrayBuffer.empty[Row]
       def close(): Unit = if (out != null) {
         out.close()
+        ss.commit()
         done += Row(cur, path, n, bytes)
-        out = null
+        out = null; ss = null
       }
       val emitted = it.flatMap { r =>
         val sh = r.getInt(0)
@@ -103,8 +107,8 @@ object TfRecord {
           cur = sh
           path = s"$outDir/shard-${"%05d".format(sh)}-of-" +
             s"${"%05d".format(nShards)}.tfrecord"
-          out = new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(path))
+          ss = ShardIO.begin(hc, path)
+          out = new java.io.BufferedOutputStream(ss.raw)
           n = 0L; bytes = 0L
           val f = done.toList; done.clear(); f
         } else Nil

@@ -26,6 +26,26 @@ ORACLE_BUDGET_SEC = float(os.environ.get("ORACLE_BUDGET_SEC", "10"))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Type canary (r15): DuckDB silently promotes SUM(BIGINT) -> HUGEINT and
+# integer // chains follow; the driver's hash is TYPE-sensitive, so a
+# mirror whose final projection leaks a type outside this allowlist can
+# be value-equal yet hash-red (the t142 r14 failure). Every mirror's
+# DESCRIBE'd output types must be in this pinned set — anything else
+# (HUGEINT, UHUGEINT, UBIGINT, DECIMAL, ...) fails locally, before the
+# driver gate ever sees it. CAST aggregates back in the final SELECT.
+ALLOWED_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+    "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP", "BLOB",
+}
+
+
+def type_canary(con, name, sql):
+    """Return a list of (col, duckdb_type) outside the allowlist."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    bad = [(c, t) for c, t, *_ in desc
+           if t.removesuffix("[]").split("(")[0].strip() not in ALLOWED_TYPES]
+    return bad
+
 
 def norm(v):
     if isinstance(v, float):
@@ -63,6 +83,13 @@ def main(out_dir, sf_dir):
             n_fail += 1
             continue
         try:
+            bad_types = type_canary(con, name, sql)
+            if bad_types:
+                print(f"FAIL {name}: oracle column type(s) outside the "
+                      f"pinned allowlist: {bad_types} — CAST back in the "
+                      f"final projection (driver hash is type-sensitive)")
+                n_fail += 1
+                continue
             t0 = time.monotonic()
             res = con.execute(sql)
             cols = [d[0] for d in res.description]
