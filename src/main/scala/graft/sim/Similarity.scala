@@ -973,10 +973,13 @@ object Similarity {
     * groupBy joined back BROADCAST (k rows — the de-skewed
     * [[graft.text.TextOps.lshCandidatePairs]] stats discipline, never
     * a count window over the skewed cell key); the prototypicality
-    * rank is a per-cell sort window, so cell size is the unit of
-    * parallelism — size cells via `initIds`/k exactly as [[semDedup]]
-    * does (its maxCellSize refinement is the guard pattern if one cell
-    * swallows the corpus). */
+    * rank is [[graft.util.DistRank.perKeyRowNumber]] (r15) — a
+    * range-partitioned two-pass row number, NOT a per-cell window, so
+    * a degenerate corpus whose every vector lands in one k-means cell
+    * (near-constant embeddings — exactly the redundancy D4 targets)
+    * spreads that cell across all tasks instead of funneling it
+    * through one. Ranks are exact; a unique id tiebreaker totalizes
+    * the order. */
   def prototypePrune(corpus: DataFrame, idCol: String, vecCol: String,
       initIds: Seq[Long], iterations: Int, dropFrac: Double): DataFrame = {
     require(dropFrac >= 0 && dropFrac < 1,
@@ -989,8 +992,8 @@ object Similarity {
       .select(col(idCol), col("cell"),
         round(cosine(col("v"), col("centroid")), 4).as("proto"))
     val sizes = scored.groupBy("cell").agg(count(lit(1)).as("__n"))
-    val w = Window.partitionBy("cell").orderBy(desc("proto"), col(idCol))
-    scored.withColumn("rank", row_number().over(w))
+    graft.util.DistRank
+      .perKeyRowNumber(scored, "cell", Seq(desc("proto"), col(idCol)), "rank")
       .join(broadcast(sizes), Seq("cell"))
       .filter(col("rank") > floor(col("__n") * lit(dropFrac)))
       .select(col(idCol), col("cell"),
