@@ -2219,9 +2219,12 @@ object TextQueries {
     * `unroll` word positions (per-position argmax over piece lengths
     * 1..maxPieceLen with the engine's exact comparator: score DESC,
     * piece count ASC, last-piece length DESC), carrying the piece path
-    * so the emitted segmentation is pinned verbatim. Words longer than
-    * `unroll` would be LOST by the mirror (visible hash fail, never a
-    * silent pass) — the fixture's max word length is 8. */
+    * so the emitted segmentation is pinned verbatim. The mirrors are
+    * instantiated with unroll = 16; a word longer than THAT drops out
+    * of the DP's inner-join roll-up entirely (row-count mismatch →
+    * visible hash fail, never a silent pass) — if a future fixture
+    * grows words past 16 chars, raise `unroll` in the instantiations
+    * below rather than chasing an unexplained red row. */
   /** The per-word Viterbi DP, unrolled: emits CTEs b<sfx>1..b<sfx>U
     * and worddp<sfx> decoding every distinct word (`dw`) under the
     * `vocabCte` score table. Each position's candidates are the vocab

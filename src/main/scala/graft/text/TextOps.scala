@@ -462,7 +462,12 @@ object TextOps {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idType),
       org.apache.spark.sql.types.StructField("cluster", idType)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    // LocalRelation, not parallelize(): Catalyst sees a local table
+    // with known size (so downstream joins broadcast it on stats, and
+    // tools/CacheAudit can tell this driver-materialized result apart
+    // from an untagged distributed RDD scan)
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
 
   /** Near-dup dedup completion: drop every clustered document except its

@@ -40,22 +40,35 @@ object CacheAudit {
         val plan = df.queryExecution.executedPlan.toString
         val barriers = Barriers.ledgerSize - before
         val imts = "InMemoryTableScan".r.findAllIn(plan).length
-        val rdds = "Scan ExistingRDD".r.findAllIn(plan).length
+        // firewalled barriers are TAGGED (Bridge.cachedLeaf names the
+        // RDD), so they are counted apart from unrelated LogicalRDD
+        // leaves (localCheckpoint frames, e.g. LinkRank's per-iteration
+        // rank checkpoints) — the r14 advice: untagged RDD scans could
+        // push hits >= barriers and mask a real all-miss.
+        val fw = "Scan ExistingRDD graft_firewall".r.findAllIn(plan).length
+        val rdds = "Scan ExistingRDD".r.findAllIn(plan).length - fw
         val sh = "explode\\(shingles".r.findAllIn(plan).length
-        // a FIREWALLED barrier shows as a LogicalRDD leaf ("Scan
-        // ExistingRDD"), not an InMemoryTableScan — both are HITS; the
-        // miss signature is a barrier whose final plan carries NEITHER
-        // (its lineage was silently re-derived). Barriers consumed
-        // entirely inside an earlier job (collect-bounded loops) also
-        // vanish from the final plan, so hits > 0 with fewer hits than
+        // a FIREWALLED barrier shows as its tagged leaf, a plain cached
+        // barrier as an InMemoryTableScan — both are HITS; the miss
+        // signature is a barrier whose final plan carries NEITHER (its
+        // lineage was silently re-derived). Barriers consumed entirely
+        // inside an earlier job (collect-bounded loops) also vanish
+        // from the final plan, so hits > 0 with fewer hits than
         // barriers is only a "look here", not a verdict.
-        val hits = imts + rdds
+        val hits = imts + fw
+        // driver-materialized results (nearDupClusters' bounded
+        // union-find fast path, k-row collects) legitimately consume
+        // every barrier in EARLIER jobs: the final plan is a
+        // LocalTableScan with no distributed lineage left to audit
+        val localResult = plan.contains("LocalTableScan")
         val verdict =
-          if (barriers > 0 && hits == 0) "MISS_ALL"
+          if (barriers > 0 && hits == 0 && localResult) "LOCAL_RESULT"
+          else if (barriers > 0 && hits == 0) "MISS_ALL"
           else if (barriers > 0 && hits < barriers) "CHECK_PARTIAL"
           else "ok"
         println(f"CACHE_AUDIT $name%-34s barriers=$barriers%2d imts=$imts%2d " +
-          f"rddscans=$rdds%2d shingle_derives=$sh%2d $verdict")
+          f"firewalls=$fw%2d other_rddscans=$rdds%2d " +
+          f"shingle_derives=$sh%2d $verdict")
       } catch { case e: Throwable =>
         println(s"CACHE_AUDIT $name ERROR ${e.getMessage}")
       } finally Barriers.releaseAll()

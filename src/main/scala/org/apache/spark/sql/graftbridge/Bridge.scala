@@ -51,8 +51,15 @@ object Bridge {
     // Output attrs come from the caller's own analyzed plan, so names
     // and exprIds are exactly what the call site built.
     val qe = cdf.queryExecution
+    // Tag the execution RDD: RDDScanExec appends the RDD's name to its
+    // nodeName, so firewalled barriers print as
+    // "Scan ExistingRDD graft_firewall" — distinguishable in plan
+    // strings from unrelated LogicalRDD leaves (localCheckpoint
+    // frames), which tools/CacheAudit counts separately.
+    val rdd = qe.toRdd
+    rdd.setName("graft_firewall")
     val leaf = org.apache.spark.sql.execution.LogicalRDD(
-      qe.analyzed.output, qe.toRdd,
+      qe.analyzed.output, rdd,
       org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0),
       Nil, false, None)(
       spark, Some(cached.cachedRepresentation.computeStats()), None)
