@@ -1277,6 +1277,24 @@ object TextQueries {
     // zero-padded member names and exact member byte sizes — the
     // oracle-checkable half of the sharded-tar sink (the tar EMISSION
     // itself is spec-verified by a byte-exact write/read round trip)
+    // canonical tf.Example payload bytes (t145): the TFRecord sink's
+    // protobuf serializer pinned BYTE-exactly — doc_id (Int64List),
+    // text (BytesList, UTF-8), token lengths (packed Int64List) per
+    // document, emitted sorted-key canonical and hex-dumped; the
+    // oracle rebuilds the identical wire bytes from the protobuf spec
+    // in pure SQL (varint CASE cascade, bottom-up length framing)
+    "t145_tfexample_bytes" -> ((s, dir) => {
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+        x => length(x) > 0)
+      t(s, dir, "documents").select(col("doc_id"),
+        lower(hex(graft.sources.TfExample.encode(Seq(
+          "doc_id" -> col("doc_id"),
+          "text" -> col("text"),
+          "tok_lens" -> transform(toks, x => length(x).cast("long"))))))
+          .as("example_hex"))
+        .orderBy("doc_id")
+    }),
+
     "t144_webdataset_manifest" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val media = graft.multimodal.Media.syntheticPatternBmps(
@@ -4048,6 +4066,64 @@ object TextQueries {
     "t13_kmeans_ivf" ->
       s"""WITH $KMEANS_TRAINED_ASSIGN_CTES
          SELECT vec_id, cell FROM af ORDER BY vec_id""",
+
+    // tf.Example wire mirror: rebuilds the protobuf bytes bottom-up as
+    // hex strings — varint via the vhx CASE cascade (canonical LEB128,
+    // 1..4 bytes, NULL past 2^28 so overflow fails loudly), lengths
+    // from hex-string halves, features emitted in the sorted key order
+    // the engine pins (doc_id < text < tok_lens)
+    "t145_tfexample_bytes" -> {
+      def vhx(a: String): String =
+        s"""(CASE WHEN $a < 128 THEN lpad(lower(to_hex($a)), 2, '0')
+           WHEN $a < 16384 THEN lpad(lower(to_hex(($a % 128) + 128)), 2, '0') ||
+             lpad(lower(to_hex($a // 128)), 2, '0')
+           WHEN $a < 2097152 THEN lpad(lower(to_hex(($a % 128) + 128)), 2, '0') ||
+             lpad(lower(to_hex((($a // 128) % 128) + 128)), 2, '0') ||
+             lpad(lower(to_hex($a // 16384)), 2, '0')
+           WHEN $a < 268435456 THEN lpad(lower(to_hex(($a % 128) + 128)), 2, '0') ||
+             lpad(lower(to_hex((($a // 128) % 128) + 128)), 2, '0') ||
+             lpad(lower(to_hex((($a // 16384) % 128) + 128)), 2, '0') ||
+             lpad(lower(to_hex($a // 2097152)), 2, '0')
+           ELSE NULL END)"""
+      s"""WITH base AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             t -> t <> '') AS toks
+         FROM documents),
+         p1 AS (SELECT doc_id, text,
+           ${vhx("doc_id")} AS di_packed,
+           array_to_string(list_transform(toks,
+             l -> ${vhx("length(l)")}), '') AS tl_packed
+         FROM base),
+         p2 AS (SELECT doc_id, text, tl_packed,
+           '0a' || ${vhx("length(di_packed) // 2")} || di_packed AS di_list,
+           CASE WHEN tl_packed = '' THEN ''
+             ELSE '0a' || ${vhx("length(tl_packed) // 2")} || tl_packed
+           END AS tl_list,
+           '0a' || ${vhx("octet_length(encode(text))")} ||
+             lower(hex(encode(text))) AS tb_frame
+         FROM p1),
+         p3 AS (SELECT doc_id,
+           '1a' || ${vhx("length(di_list) // 2")} || di_list AS feat_di,
+           '1a' || ${vhx("length(tl_list) // 2")} || tl_list AS feat_tl,
+           '0a' || ${vhx("length(tb_frame) // 2")} || tb_frame AS feat_tx
+         FROM p2),
+         p4 AS (SELECT doc_id,
+           '0a06' || lower(hex(encode('doc_id'))) || '12' ||
+             ${vhx("length(feat_di) // 2")} || feat_di AS ent_di_c,
+           '0a04' || lower(hex(encode('text'))) || '12' ||
+             ${vhx("length(feat_tx) // 2")} || feat_tx AS ent_tx_c,
+           '0a08' || lower(hex(encode('tok_lens'))) || '12' ||
+             ${vhx("length(feat_tl) // 2")} || feat_tl AS ent_tl_c
+         FROM p3),
+         p5 AS (SELECT doc_id,
+           '0a' || ${vhx("length(ent_di_c) // 2")} || ent_di_c ||
+           '0a' || ${vhx("length(ent_tx_c) // 2")} || ent_tx_c ||
+           '0a' || ${vhx("length(ent_tl_c) // 2")} || ent_tl_c AS feats
+         FROM p4)
+         SELECT doc_id, '0a' || ${vhx("length(feats) // 2")} || feats
+           AS example_hex
+         FROM p5 ORDER BY doc_id"""
+    },
 
     // WebDataset manifest mirror: t35's md5 shard chain + the member
     // naming rule; img_bytes is the planted-BMP construction-rule

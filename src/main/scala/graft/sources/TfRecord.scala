@@ -129,6 +129,20 @@ object TfRecord {
     }(enc)
   }
 
+  /** TFRecord export whose payloads are canonical [[TfExample]]
+    * protobufs serialized from the given (name, column) features —
+    * the full TF input-pipeline artifact (tf.data's
+    * `TFRecordDataset` + `parse_single_example` consume these
+    * directly). Same sharding/order/reproducibility contract as
+    * [[writeShards]]; the serialization is a codegen'd projection
+    * ahead of the shard exchange, so payload bytes shuffle once. */
+  def writeExamples(df: DataFrame, idCol: String,
+      features: Seq[(String, org.apache.spark.sql.Column)],
+      outDir: String, nShards: Int): DataFrame =
+    writeShards(
+      df.select(col(idCol), TfExample.encode(features).as("__example")),
+      idCol, "__example", outDir, nShards)
+
   /** Read a TFRecord file back as payload byte arrays, VERIFYING both
     * masked crc32c fields per record — the test-side inverse of
     * [[writeShards]], and fail-closed: a flipped bit anywhere in the
