@@ -33,6 +33,20 @@ object LinkRank {
   /** Returns (node, rank_micro) over the union of source and target
     * node ids after `iterations` power steps.
     *
+    * `redistributeDangling = true` adds the otherwise-dropped dangling
+    * mass back each step: with M_k = Σ r_k(u) over nodes with no
+    * out-links and |V| nodes, every node's next rank gains
+    * `floor(d * floor(M_k / |V|) / 100)` — still exact integer (the
+    * floor order is pinned), and total mass is conserved to within
+    * the floors' truncation (≤ 1 micro per edge + 2 per node per
+    * step; LinkRankSpec pins the bound). The default stays the
+    * documented drop-the-mass simplification — the oracle anchor.
+    *
+    * `convergeDeltaMicro = Some(d)` stops EARLY once
+    * max_v |r'(v) - r(v)| <= d (checked per iteration — one bounded
+    * 1-row aggregate job); `iterations` remains the hard cap, so the
+    * fixed-iteration contract is unchanged when the stop never fires.
+    *
     * Scale shape: the canonical two-shuffles-per-iteration PageRank —
     * contributions shuffle on the SOURCE key (join ranks + out-degree
     * to edges), the new ranks aggregate on the TARGET key (map-side
@@ -43,12 +57,19 @@ object LinkRank {
     * step instead of O(iterations) joins deep. Skewed in-degree (every
     * crawl has a google.com) lands in the TARGET aggregation — a hash
     * aggregate with partial combine, not a window, so a hot page never
-    * serializes a task. */
+    * serializes a task. The dangling-mass term is a 1-row aggregate
+    * cross-joined back (broadcast by construction); the delta stop
+    * adds one 1-row max-abs-diff job per iteration — both stay
+    * id-scale at any corpus size. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, dampingPct: Int = 85): DataFrame = {
+      iterations: Int, dampingPct: Int = 85,
+      redistributeDangling: Boolean = false,
+      convergeDeltaMicro: Option[Long] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
+    require(convergeDeltaMicro.forall(_ >= 0),
+      s"convergeDeltaMicro must be >= 0, got $convergeDeltaMicro")
     // barrierFirewall, not a plain cache: every iteration joins `e`
     // against `out` (an aggregate OVER e) — exactly the self-join
     // shape whose analyzer dedup rewrite silently misses a lazy cache
@@ -62,21 +83,43 @@ object LinkRank {
       .localCheckpoint()
     val out = e.groupBy("src").agg(count(lit(1)).as("od")).barrierFirewall()
     val base = (100 - dampingPct) * 10000L // (1-d) * 1e6
+    // |V| — needed only for the dangling split; one bounded 1-row job
+    val nV = if (redistributeDangling) nodes.count() else 0L
     var r = nodes.withColumn("rank_micro", lit(1000000L))
     var i = 0
-    while (i < iterations) {
+    var stopped = false
+    while (i < iterations && !stopped) {
       val contrib = e
         .join(r.select(col("node").as("src"), col("rank_micro")), "src")
         .join(out, "src")
         .select(col("dst").as("node"),
           expr("rank_micro div od").as("__c"))
       val sums = contrib.groupBy("node").agg(sum("__c").as("__s"))
-      r = nodes.join(sums, Seq("node"), "left")
+      val stepped = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           (lit(base) +
             expr(s"$dampingPct * coalesce(__s, 0L) div 100"))
             .as("rank_micro"))
-        .localCheckpoint()
+      val next = (if (redistributeDangling) {
+        // dangling mass: ranks of nodes with no out-links (anti-join
+        // against the firewalled out-degree frame — id-scale), split
+        // floor(M/|V|) per node, damped with the pinned floor order
+        val dang = r.join(out, r("node") === out("src"), "left_anti")
+          .agg(coalesce(sum("rank_micro"), lit(0L)).as("__m"))
+          .select(expr(s"$dampingPct * (__m div $nV) div 100").as("__dm"))
+        stepped.crossJoin(broadcast(dang))
+          .select(col("node"),
+            (col("rank_micro") + col("__dm")).as("rank_micro"))
+      } else stepped).localCheckpoint()
+      convergeDeltaMicro.foreach { d =>
+        val maxDelta = next.join(
+            r.select(col("node"), col("rank_micro").as("__prev")), "node")
+          .agg(coalesce(max(abs(col("rank_micro") - col("__prev"))),
+            lit(0L)).as("d"))
+          .head.getLong(0)
+        if (maxDelta <= d) stopped = true
+      }
+      r = next
       i += 1
     }
     r

@@ -1277,6 +1277,24 @@ object TextQueries {
     // zero-padded member names and exact member byte sizes — the
     // oracle-checkable half of the sharded-tar sink (the tar EMISSION
     // itself is spec-verified by a byte-exact write/read round trip)
+    // PageRank with dangling-mass redistribution (t146): t142's
+    // recurrence on a graph where multiples of 3 have NO out-links
+    // (link-receiving dead-end pages — every crawl has them), the
+    // dropped mass split floor(M/|V|) per node and damped with the
+    // pinned floor order; 4 exact integer power steps
+    "t146_pagerank_dangling" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val linkers = docs.filter(col("doc_id") % 3 =!= 0)
+      val edges = linkers.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst"))
+        .unionByName(linkers.select(col("doc_id").as("src"),
+          (col("doc_id") % 10).as("dst")))
+      graft.ops.LinkRank.pageRank(edges, "src", "dst", iterations = 4,
+          redistributeDangling = true)
+        .orderBy("node")
+    }),
+
     // canonical tf.Example payload bytes (t145): the TFRecord sink's
     // protobuf serializer pinned BYTE-exactly — doc_id (Int64List),
     // text (BytesList, UTF-8), token lengths (packed Int64List) per
@@ -4066,6 +4084,42 @@ object TextQueries {
     "t13_kmeans_ivf" ->
       s"""WITH $KMEANS_TRAINED_ASSIGN_CTES
          SELECT vec_id, cell FROM af ORDER BY vec_id""",
+
+    // dangling-redistribution PageRank mirror: t142's unrolled integer
+    // recurrence plus the per-step dangling term — scalar subqueries
+    // compute M_k (ranks of nodes outside od) and |V|, the share is
+    // floor(M/|V|) damped with the engine's pinned floor order; final
+    // CAST back to BIGINT (SUM promotes to HUGEINT — the t142 lesson)
+    "t146_pagerank_dangling" -> {
+      def step(prev: String, next: String) =
+        s"""$next AS MATERIALIZED (SELECT n.node,
+           150000 + (85 * COALESCE(SUM($prev.r // od.od), 0)) // 100
+             + (85 * ((SELECT COALESCE(SUM(r), 0) FROM $prev
+                 WHERE node NOT IN (SELECT src FROM od))
+               // (SELECT nv FROM nvt))) // 100 AS r
+           FROM nodes n
+           LEFT JOIN e ON e.dst = n.node
+           LEFT JOIN $prev ON $prev.node = e.src
+           LEFT JOIN od ON od.src = e.src
+           GROUP BY 1)"""
+      val steps = (1 to 4).map(i => step(s"r${i - 1}", s"r$i"))
+        .mkString(",\n         ")
+      s"""WITH d AS (SELECT doc_id FROM documents),
+         nn AS (SELECT COUNT(*) AS n FROM d),
+         e AS MATERIALIZED (
+           SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst
+             FROM d WHERE doc_id % 3 <> 0
+           UNION ALL SELECT doc_id AS src, doc_id % 10 AS dst
+             FROM d WHERE doc_id % 3 <> 0),
+         nodes AS MATERIALIZED (SELECT src AS node FROM e
+           UNION SELECT dst FROM e),
+         od AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+         nvt AS (SELECT COUNT(*) AS nv FROM nodes),
+         r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
+         $steps
+         SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r4
+         ORDER BY node"""
+    },
 
     // tf.Example wire mirror: rebuilds the protobuf bytes bottom-up as
     // hex strings — varint via the vhx CASE cascade (canonical LEB128,

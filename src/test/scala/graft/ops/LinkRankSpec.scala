@@ -73,4 +73,69 @@ class LinkRankSpec extends AnyFunSuite {
       .count() == 0)
     r.unpersist()
   }
+
+  test("dangling redistribution conserves total mass within the " +
+      "floor-truncation bound") {
+    // 1 -> 2, 3 -> 2: node 2 is dangling and hoards inbound mass.
+    // Without redistribution total mass leaks every step; with it the
+    // only losses are the floors: <= 1 micro per edge (contribution
+    // div), 1 per node (damping div), plus <= |V| micro total for
+    // floor(M/|V|) and 1 more per node for its damping — bound per
+    // step: |E| + 2|V| + |V| micros.
+    val edges = Seq(1L -> 2L, 3L -> 2L)
+    val nV = 3L
+    val full = nV * 1000000L
+    val bound = (edges.size + 3 * nV) * 1L
+    var prevTotal = full
+    (1 to 4).foreach { iters =>
+      val r = LinkRank.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iters, redistributeDangling = true)
+        .collect().map(_.getLong(1)).sum
+      assert(r <= full && r >= prevTotal - bound,
+        s"iters=$iters total $r outside [$prevTotal - $bound, $full]")
+      prevTotal = r
+    }
+    // the default (drop) loses the dangling mass: strictly less total
+    val dropped = LinkRank.pageRank(edges.toDF("src", "dst"), "src",
+      "dst", 2).collect().map(_.getLong(1)).sum
+    assert(dropped < prevTotal)
+  }
+
+  test("dangling redistribution: hand-computed first step") {
+    // 1 -> 2 only. |V| = 2, M_0 = r(2) = 1e6, per-node share
+    // floor(1e6/2) = 500000, damped: 85 * 500000 div 100 = 425000.
+    // r1(2) = 150000 + 850000 (inbound) + 425000 = 1425000
+    // r1(1) = 150000 + 0 + 425000 = 575000
+    val r = LinkRank.pageRank(Seq(1L -> 2L).toDF("src", "dst"), "src",
+        "dst", 1, redistributeDangling = true)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 575000L, 2L -> 1425000L), r)
+  }
+
+  test("convergence-delta stop matches the fixed-point result and " +
+      "fires before the cap") {
+    // 2-cycle is an exact fixed point after 0 steps: with any delta
+    // >= 0 the stop fires on iteration 1 and the result equals the
+    // 50-iteration run bit-for-bit
+    val edges = Seq(1L -> 2L, 2L -> 1L)
+    val capped = LinkRank.pageRank(edges.toDF("src", "dst"), "src",
+        "dst", 50).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val t0 = System.nanoTime()
+    val early = LinkRank.pageRank(edges.toDF("src", "dst"), "src",
+        "dst", 50, convergeDeltaMicro = Some(0L))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val earlyWall = System.nanoTime() - t0
+    assert(early == capped)
+    // the star graph reaches its fixed point by iteration 2; a
+    // delta-stopped 50-cap run must agree with the exact 3-iteration
+    // ranks (the stop can only fire AT the fixed point)
+    val star = (1L to 4L).map(_ -> 10L)
+    val fixed = LinkRank.pageRank(star.toDF("src", "dst"), "src",
+        "dst", 3).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val stopped = LinkRank.pageRank(star.toDF("src", "dst"), "src",
+        "dst", 50, convergeDeltaMicro = Some(0L))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(stopped == fixed)
+    assert(earlyWall > 0) // wall observed; early-exit is the contract
+  }
 }

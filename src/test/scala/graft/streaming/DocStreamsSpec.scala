@@ -727,4 +727,43 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(got == want,
       s"stream/batch mismatch: only-stream=${got -- want} only-batch=${want -- got}")
   }
+
+  test("broadcast-model unigram tokenization is stream-legal and " +
+      "matches batch exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the production-depth route: the model rides a TorrentBroadcast
+    // (distributed once per application, not per micro-batch plan) and
+    // the expression stays a narrow stateless projection — so the
+    // SAME broadcast handle serves batch and streaming frames with
+    // bit-identical output
+    val corpus = (0L until 40L).map(i =>
+      (i, s"the cat c$i sat on mat m${i % 7} it's low lower ${i * 31}"))
+    val docs = corpus.toDF("doc_id", "text")
+    val model = TextOps.unigramTrainScores(docs, "doc_id", "text",
+        vocabSize = 32, maxPieceLen = 6)
+      .select("piece", "score_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val bc = TextOps.unigramBroadcastModel(spark, model, 6)
+    val want = TextOps.unigramTokenizeWithBroadcast(docs, "doc_id",
+        "text", bc)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = TextOps.unigramTokenizeWithBroadcast(
+        in.toDF.toDF("doc_id", "text"), "doc_id", "text", bc)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("unigram_bcast_stream").start()
+    in.addData(corpus)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("unigram_bcast_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want,
+      s"stream/batch mismatch: only-stream=${got -- want} only-batch=${want -- got}")
+    bc.destroy()
+  }
 }
