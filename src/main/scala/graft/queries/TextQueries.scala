@@ -1277,6 +1277,26 @@ object TextQueries {
     // zero-padded member names and exact member byte sizes — the
     // oracle-checkable half of the sharded-tar sink (the tar EMISSION
     // itself is spec-verified by a byte-exact write/read round trip)
+    // JSONL shard manifest (t147): the sink's oracle-checkable half —
+    // t35's md5 shard chain, the writer's own to_json line render,
+    // per-line byte size; what a downstream hash manifest verifies
+    "t147_jsonl_manifest" -> ((s, dir) => {
+      graft.sources.Jsonl.manifest(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", nShards = 8, gzip = false)
+        .orderBy("doc_id")
+    }),
+
+    // TFRecord shard manifest (t148): shard/seq/file plus the FRAMED
+    // record size (16-byte length+crc framing + payload) — per-shard
+    // sums equal committed file lengths exactly (TfRecordSpec)
+    "t148_tfrecord_manifest" -> ((s, dir) => {
+      graft.sources.TfRecord.manifest(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", nShards = 4)
+        .orderBy("doc_id")
+    }),
+
     // PageRank with dangling-mass redistribution (t146): t142's
     // recurrence on a graph where multiples of 3 have NO out-links
     // (link-receiving dead-end pages — every crawl has them), the
@@ -4084,6 +4104,50 @@ object TextQueries {
     "t13_kmeans_ivf" ->
       s"""WITH $KMEANS_TRAINED_ASSIGN_CTES
          SELECT vec_id, cell FROM af ORDER BY vec_id""",
+
+    // JSONL manifest mirror: t144's md5 shard chain + an explicit
+    // reconstruction of Spark's to_json rendering ({"doc_id":N,
+    // "text":"..."} in column order, backslash and quote escaped).
+    // Control/non-ASCII chars would need \\uXXXX escapes the mirror
+    // doesn't model — those rows POISON to NULL so fixture drift fails
+    // loudly instead of silently passing (today's corpus: 0 such rows)
+    "t147_jsonl_manifest" ->
+      """WITH h AS (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
+           FROM documents),
+         s AS (SELECT doc_id, CAST(u % 8 AS INT) AS shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY u % 8 ORDER BY u, doc_id)
+               AS BIGINT) AS seq
+           FROM h),
+         l AS (SELECT doc_id,
+             CASE WHEN regexp_matches(text, '[^ -~]') THEN NULL
+               ELSE '{"doc_id":' || CAST(doc_id AS VARCHAR) ||
+                 ',"text":"' ||
+                 replace(replace(text, '\', '\\'), '"', '\"') || '"}'
+             END AS line
+           FROM documents)
+         SELECT s.doc_id, s.shard, s.seq,
+           'shard-' || lpad(CAST(s.shard AS VARCHAR), 6, '0') || '.jsonl'
+             AS file,
+           CAST(octet_length(encode(l.line)) AS BIGINT) AS line_bytes
+         FROM s JOIN l USING (doc_id) ORDER BY s.doc_id""",
+
+    // TFRecord manifest mirror: same shard chain; record size is the
+    // 16-byte framing constant plus the UTF-8 payload length
+    "t148_tfrecord_manifest" ->
+      """WITH h AS (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS u
+           FROM documents),
+         s AS (SELECT doc_id, CAST(u % 4 AS INT) AS shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY u % 4 ORDER BY u, doc_id)
+               AS BIGINT) AS seq
+           FROM h)
+         SELECT s.doc_id, s.shard, s.seq,
+           'shard-' || lpad(CAST(s.shard AS VARCHAR), 5, '0') ||
+             '-of-00004.tfrecord' AS file,
+           CAST(16 + octet_length(encode(d.text)) AS BIGINT)
+             AS record_bytes
+         FROM s JOIN documents d USING (doc_id) ORDER BY s.doc_id""",
 
     // dangling-redistribution PageRank mirror: t142's unrolled integer
     // recurrence plus the per-step dangling term — scalar subqueries

@@ -40,6 +40,29 @@ object Jsonl {
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
       .write.mode("overwrite").option("compression", compression).text(path)
 
+  /** PURE export manifest for [[writeShards]] — the oracle-checkable
+    * half of the sink ([[graft.multimodal.WebDataset.manifest]]'s
+    * contract split): one row per record with its shard, dense 1-based
+    * per-shard sequence, target file name, and the rendered line's
+    * byte size (excluding the trailing newline the writer adds).
+    * Line rendering is the writer's own `to_json` over the frame's
+    * column order, so the manifest pins exactly what ships.
+    *
+    * Scale shape: [[graft.text.TextOps.shardAssign]]'s one exchange +
+    * per-shard seq window; the line render is a narrow codegen'd
+    * projection and only its LENGTH survives into the manifest. */
+  def manifest(df: DataFrame, idCol: String, nShards: Int,
+      gzip: Boolean = true): DataFrame = {
+    val sfx = if (gzip) ".jsonl.gz" else ".jsonl"
+    val withLine = df.withColumn("__line",
+      to_json(struct(df.columns.map(col): _*)))
+    graft.text.TextOps.shardAssign(withLine, idCol, nShards)
+      .select(col(idCol), col("shard"), col("seq"),
+        concat(lit("shard-"), lpad(col("shard").cast("string"), 6, "0"),
+          lit(sfx)).as("file"),
+        octet_length(col("__line")).cast("long").as("line_bytes"))
+  }
+
   /** Deterministic NAMED-shard JSONL export — the text sibling of
     * [[graft.multimodal.WebDataset.writeShards]], and the artifact
     * convention text-pretraining corpora actually ship

@@ -56,6 +56,28 @@ object TfRecord {
     16L + payload.length
   }
 
+  /** PURE export manifest for [[writeShards]] — the oracle-checkable
+    * half of the sink: one row per record with its shard, dense
+    * 1-based per-shard sequence, target file name, and the FRAMED
+    * record size (16 bytes of length+crc framing plus the payload) —
+    * so `sum(record_bytes)` per shard equals the committed file's
+    * byte length exactly (TfRecordSpec pins that equality). */
+  def manifest(df: DataFrame, idCol: String, valueCol: String,
+      nShards: Int): DataFrame = {
+    val isBinary = df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.BinaryType
+    val valued = df.select(col(idCol),
+      (if (isBinary) col(valueCol)
+       else encode(col(valueCol).cast("string"), "UTF-8")).as("__val"))
+    graft.text.TextOps.shardAssign(valued, idCol, nShards)
+      .select(col(idCol), col("shard"), col("seq"),
+        concat(lit("shard-"), lpad(col("shard").cast("string"), 5, "0"),
+          lit("-of-"), lpad(lit(nShards).cast("string"), 5, "0"),
+          lit(".tfrecord")).as("file"),
+        (octet_length(col("__val")) + lit(16)).cast("long")
+          .as("record_bytes"))
+  }
+
   /** Deterministic named-shard TFRecord export of a BINARY or STRING
     * value column (strings are UTF-8 encoded): `shard-%05d-of-%05d
     * .tfrecord` under `outDir`, records in [[graft.text.TextOps

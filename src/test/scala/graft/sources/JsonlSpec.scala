@@ -79,6 +79,30 @@ class JsonlSpec extends AnyFunSuite {
     assert(report.map(r => r._1 -> r._3).toMap == want)
   }
 
+  test("manifest: per-shard line_bytes (+newlines) sums equal the " +
+      "uncompressed shard file lengths") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 80).select(col("doc_id"), col("text"))
+    val out = java.nio.file.Files.createTempDirectory("jsonl_m").toString
+    val report = Jsonl.writeShards(docs, "doc_id", out, 4, gzip = false)
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val m = Jsonl.manifest(docs, "doc_id", 4, gzip = false).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    assert(m.length == 80)
+    m.groupBy(_._2).foreach { case (shard, rows) =>
+      val (path, nLines, bytes) = report(shard)
+      // each line plus its trailing newline
+      assert(rows.map(_._5).sum + rows.length == bytes,
+        s"shard $shard: manifest ${rows.map(_._5).sum + rows.length} " +
+          s"vs written $bytes")
+      assert(nLines == rows.length)
+      assert(path.endsWith(rows.head._4))
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
   test("writeShards is reproducible: identical bytes across runs and partitionings") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") < 40)

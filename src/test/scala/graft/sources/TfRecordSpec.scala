@@ -69,6 +69,32 @@ class TfRecordSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TfRecord.readRecords(corrupt) }
   }
 
+  test("manifest: per-shard record_bytes sums equal committed file " +
+      "lengths; seq/shard agree with the written order") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 80).select(col("doc_id"), col("text"))
+    val out = java.nio.file.Files.createTempDirectory("tfrm").toString
+    val report = TfRecord.writeShards(docs, "doc_id", "text", out, 4)
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(3)))
+      .toMap
+    val m = TfRecord.manifest(docs, "doc_id", "text", 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    assert(m.length == 80)
+    val bySum = m.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    bySum.foreach { case (shard, bytes) =>
+      assert(report(shard)._2 == bytes,
+        s"shard $shard: manifest $bytes vs written ${report(shard)._2}")
+      assert(java.nio.file.Files.size(
+        java.nio.file.Paths.get(report(shard)._1)) == bytes)
+      assert(report(shard)._1.endsWith(m.find(_._2 == shard).get._4))
+    }
+    // seq is dense 1..n per shard
+    m.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
   test("writeShards is reproducible across runs and partitionings") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") < 40).select(col("doc_id"), col("text"))
