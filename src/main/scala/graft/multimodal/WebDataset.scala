@@ -80,6 +80,7 @@ object WebDataset {
       StructField("bytes_written", LongType)))
     val enc = Encoders.row(schema)
     val hc = graft.sources.ShardIO.conf(media)
+    graft.sources.ShardIO.prepareDir(hc, outDir) // overwrite semantics, driver-side
     rows.mapPartitions { it =>
       // a partition may carry several shards (hash partitioning):
       // consume sequentially, cutting a new tar at each shard change —

@@ -99,6 +99,7 @@ object Jsonl {
         org.apache.spark.sql.types.LongType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val hc = ShardIO.conf(df)
+    ShardIO.prepareDir(hc, outDir) // overwrite semantics, driver-side
     val sfx = if (gzip) ".jsonl.gz" else ".jsonl"
     rows.mapPartitions { it =>
       // group-fold over (possibly several) shards per hash partition —

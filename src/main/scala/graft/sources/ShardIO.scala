@@ -60,14 +60,20 @@ object ShardIO {
   final class ShardStream private[ShardIO] (fs: FileSystem, tmp: Path,
       dst: Path, val raw: OutputStream) {
 
-    /** Close (idempotent on the raw stream — callers that wrapped `raw`
-      * close the wrapper first, which closes `raw` underneath) and
-      * atomically promote the temp file to the final shard name.
-      * Returns the committed file's length in bytes. If a twin attempt
-      * already committed the shard, the temp is discarded — the bytes
+    /** Close the raw stream (idempotent — callers that wrapped `raw`
+      * close the wrapper first, which closes `raw` underneath; a
+      * second close of an FS stream is a no-op) and atomically promote
+      * the temp file to the final shard name. A close failure is NOT
+      * swallowed: a failed flush must fail the task, never promote a
+      * truncated temp. Returns the committed file's length in bytes.
+      *
+      * A rename that fails because `dst` exists means a TWIN ATTEMPT of
+      * this same job already committed the shard — [[prepareDir]]
+      * cleared the directory before the job, so no stale prior-run file
+      * can be squatting there — and the temp is discarded: the bytes
       * are identical by the reproducibility contract. */
     def commit(): Long = {
-      try raw.close() catch { case _: IOException => () }
+      raw.close()
       if (!fs.rename(tmp, dst)) {
         if (!fs.exists(dst)) {
           throw new IOException(
@@ -78,24 +84,55 @@ object ShardIO {
       fs.getFileStatus(dst).getLen
     }
 
-    /** Best-effort cleanup for abandon paths (task failure teardown). */
+    /** Best-effort cleanup for abandon paths — registered as a task
+      * failure listener by [[begin]], so a failed/killed attempt does
+      * not leak its `.tmp` file into the output directory. */
     def abort(): Unit = {
       try raw.close() catch { case _: IOException => () }
       try fs.delete(tmp, false) catch { case _: IOException => () }
     }
   }
 
+  /** DRIVER-side output-directory preparation — overwrite semantics for
+    * the whole export (the `write.mode("overwrite")` contract): delete
+    * any existing files matching the sink's shard naming under
+    * `outDir`, plus stranded `.tmp` files, and create the directory.
+    * Called at plan-build time by every `writeShards`, so an in-task
+    * rename-to-existing can ONLY mean a concurrent twin attempt of
+    * this job (bit-identical bytes), never a stale shard from a
+    * previous run over different data. */
+  def prepareDir(hc: SerializableHadoopConf, outDir: String): Unit = {
+    val dir = new Path(outDir)
+    val fs = dir.getFileSystem(hc.value)
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("shard-") || n.endsWith(".tmp"))
+          fs.delete(st.getPath, false)
+      }
+    } else fs.mkdirs(dir)
+  }
+
   /** Open a shard stream whose commit target is `finalPath`. Creates
-    * the parent directory (executor-side), and names the temp with the
-    * Spark task attempt id so concurrent attempts never collide. */
+    * the parent directory (executor-side), names the temp with the
+    * Spark task attempt id so concurrent attempts never collide, and
+    * registers temp cleanup on task failure. */
   def begin(hc: SerializableHadoopConf, finalPath: String): ShardStream = {
     val dst = new Path(finalPath)
     val fs = dst.getFileSystem(hc.value)
     val parent = dst.getParent
     if (parent != null) fs.mkdirs(parent)
-    val attempt = Option(TaskContext.get()).map(_.taskAttemptId())
-      .getOrElse(0L)
+    val tc = TaskContext.get()
+    val attempt = Option(tc).map(_.taskAttemptId()).getOrElse(0L)
     val tmp = new Path(parent, s".${dst.getName}.$attempt.tmp")
-    new ShardStream(fs, tmp, dst, fs.create(tmp, true))
+    val ss = new ShardStream(fs, tmp, dst, fs.create(tmp, true))
+    if (tc != null) {
+      tc.addTaskFailureListener(
+        new org.apache.spark.util.TaskFailureListener {
+          override def onTaskFailure(context: TaskContext,
+              error: Throwable): Unit = ss.abort()
+        })
+    }
+    ss
   }
 }

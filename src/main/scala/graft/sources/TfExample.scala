@@ -96,8 +96,15 @@ object TfExample {
   /** Serialized Example over pre-serialized Features, SORTED by name —
     * the determinism contract (protobuf map order is unspecified;
     * sorted-key emission pins one canonical byte stream). */
-  def example(features: Seq[(String, Array[Byte])]): Array[Byte] = {
-    val entries = features.sortBy(_._1).map { case (name, feat) =>
+  def example(features: Seq[(String, Array[Byte])]): Array[Byte] =
+    exampleSorted(features.sortBy(_._1))
+
+  /** [[example]] for callers that already hold the features in sorted
+    * name order (the per-row serializer precomputes the permutation —
+    * no re-sort on the hot path). */
+  private[sources] def exampleSorted(
+      features: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val entries = features.map { case (name, feat) =>
       lenDelim(1, cat(Seq(
         lenDelim(1, name.getBytes("UTF-8")), lenDelim(2, feat))))
     }
@@ -210,14 +217,17 @@ case class TfExampleEncode(children: Seq[Expression], names: Seq[String])
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
-  private def kindOf(dt: DataType): Either[String, DataType] = dt match {
+  private def scalarKind(dt: DataType): Either[String, DataType] = dt match {
     case StringType | BinaryType | FloatType => Right(dt)
     case ByteType | ShortType | IntegerType | LongType => Right(LongType)
-    case ArrayType(et, _) => kindOf(et) match {
-      case Right(inner) => Right(ArrayType(inner))
-      case l => l
-    }
     case other => Left(other.catalogString)
+  }
+
+  // one array level only — tf.Example Features are flat lists, so
+  // array<array<...>> must fail at ANALYSIS, not per-row in the task
+  private def kindOf(dt: DataType): Either[String, DataType] = dt match {
+    case ArrayType(et, _) => scalarKind(et).map(ArrayType(_))
+    case other => scalarKind(other)
   }
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -273,15 +283,26 @@ case class TfExampleEncode(children: Seq[Expression], names: Seq[String])
 }
 
 object TfExampleEncode {
-  /** The row serializer: (pre-sorted feature order fixed at plan time)
-    * Catalyst values in, canonical Example bytes out. */
+  /** The row serializer: Catalyst values in, canonical Example bytes
+    * out. The sorted feature order and each entry's key frame are
+    * precomputed ONCE here — the per-row hot path of a 100 TB export
+    * must not re-sort names or re-encode keys per record. */
   final class Serializer(names: Array[String], types: Array[DataType])
       extends Serializable {
+    // permutation into sorted-name order, fixed at construction
+    private val order: Array[Int] =
+      names.indices.sortBy(names(_)).toArray
+    private val sortedNames: Array[String] = order.map(names)
+
     def serialize(vals: Array[AnyRef]): Array[Byte] = {
-      val feats = names.indices.map { i =>
-        names(i) -> featureBytes(types(i), vals(i))
+      val feats = new Array[(String, Array[Byte])](order.length)
+      var i = 0
+      while (i < order.length) {
+        val src = order(i)
+        feats(i) = sortedNames(i) -> featureBytes(types(src), vals(src))
+        i += 1
       }
-      TfExample.example(feats)
+      TfExample.exampleSorted(feats)
     }
 
     private def longsOf(dt: DataType, v: AnyRef): Seq[Long] = dt match {

@@ -106,6 +106,7 @@ object TfRecord {
       StructField("bytes_written", LongType)))
     val enc = Encoders.row(schema)
     val hc = ShardIO.conf(df)
+    ShardIO.prepareDir(hc, outDir) // overwrite semantics, driver-side
     rows.mapPartitions { it =>
       // All file IO rides ShardIO's Hadoop-FS temp+rename commit
       // (cluster-portable, retry-safe — see ShardIO's contract).

@@ -58,9 +58,14 @@ object CacheAudit {
         val hits = imts + fw
         // driver-materialized results (nearDupClusters' bounded
         // union-find fast path, k-row collects) legitimately consume
-        // every barrier in EARLIER jobs: the final plan is a
-        // LocalTableScan with no distributed lineage left to audit
-        val localResult = plan.contains("LocalTableScan")
+        // every barrier in EARLIER jobs — but ONLY when no distributed
+        // lineage remains in the final plan at all. A LocalTableScan
+        // merely appearing SOMEWHERE (a local lookup joined into a
+        // distributed pipeline) must not mask a genuine all-miss, so
+        // the plan must also be free of every distributed leaf kind.
+        val localResult = plan.contains("LocalTableScan") &&
+          rdds == 0 && !plan.contains("Scan parquet") &&
+          !plan.contains("FileScan") && !plan.contains("BatchScan")
         val verdict =
           if (barriers > 0 && hits == 0 && localResult) "LOCAL_RESULT"
           else if (barriers > 0 && hits == 0) "MISS_ALL"

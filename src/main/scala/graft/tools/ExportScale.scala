@@ -44,6 +44,10 @@ object ExportScale {
         gzip = false))
     timed("tfrecord")(out =>
       graft.sources.TfRecord.writeShards(docs, "doc_id", "text", out, nShards))
+    timed("tf_example")(out =>
+      graft.sources.TfRecord.writeExamples(docs, "doc_id",
+        Seq("doc_id" -> col("doc_id"), "source" -> col("source"),
+          "text" -> col("text")), out, nShards))
     val media = graft.multimodal.Media
       .syntheticPatternBmps(docs, "doc_id")
       .select(col("media_id").as("doc_id"), col("payload"))

@@ -66,7 +66,10 @@ object PruneSkew {
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.sql.graftbridge.Bridge
         .drainListenerBus(spark.sparkContext)
-      println(f"PRUNE_SKEW $label%-30s rows=$out%9d wall=$sec%8.2f s " +
+      // "out=", not "rows=": the rank measurements return sum(rank)
+      // (so the rank column is genuinely consumed), prototypePrune a
+      // row count — the label stays honest for both
+      println(f"PRUNE_SKEW $label%-30s out=$out%13d wall=$sec%8.2f s " +
         f"max_task=${metrics.maxTaskMs / 1e3}%7.2f s")
     }
 

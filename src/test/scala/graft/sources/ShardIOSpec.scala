@@ -47,6 +47,24 @@ class ShardIOSpec extends AnyFunSuite {
       s"no temp from the live run may survive commit: ${leftovers.toSeq}")
   }
 
+  test("re-export over a previous run's output replaces stale shards: " +
+      "a shard name the new run does not produce is removed") {
+    val out = Files.createTempDirectory("shardio_ow").toString
+    // previous run: 4 shards
+    TfRecord.writeShards(docs, "doc_id", "text", out, 4).collect()
+    assert(Files.exists(Paths.get(s"$out/shard-00003-of-00004.tfrecord")))
+    // new run over CHANGED data with 2 shards: prepareDir must clear
+    // the old shard files so no stale artifact survives
+    val report = TfRecord.writeShards(
+      docs.filter(col("doc_id") < 20), "doc_id", "text", out, 2).collect()
+    assert(report.length == 2)
+    val files = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.contains("shard-")).sorted
+    assert(files.forall(_.contains("-of-00002")),
+      s"stale shards must be gone: ${files.toSeq}")
+    assert(report.map(_.getLong(2)).sum == 20)
+  }
+
   test("commit race: losing attempt discards its temp, reports the " +
       "committed length, and leaves the winner's bytes intact") {
     val out = Files.createTempDirectory("shardio_race").toString

@@ -66,6 +66,18 @@ class TfExampleSpec extends AnyFunSuite {
       vs.map(java.lang.Float.floatToRawIntBits))
   }
 
+  test("nested arrays are rejected at analysis, not per-row in tasks") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(Seq(1L, 2L)))).toDF("id", "nested")
+    val e = intercept[Exception] {
+      df.select(TfExample.encode(Seq("nested" -> col("nested"))))
+        .collect()
+    }
+    assert(e.getMessage.contains("TfExampleEncode") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"),
+      s"want an analysis-time type error, got: ${e.getMessage.take(200)}")
+  }
+
   test("Column path (codegen): documents (text, token lengths, id) " +
       "round-trip through encode -> parse") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
