@@ -4202,6 +4202,11 @@ object TextQueries {
              lpad(lower(to_hex((($a // 128) % 128) + 128)), 2, '0') ||
              lpad(lower(to_hex((($a // 16384) % 128) + 128)), 2, '0') ||
              lpad(lower(to_hex($a // 2097152)), 2, '0')
+           WHEN $a < 34359738368 THEN lpad(lower(to_hex(($a % 128) + 128)), 2, '0') ||
+             lpad(lower(to_hex((($a // 128) % 128) + 128)), 2, '0') ||
+             lpad(lower(to_hex((($a // 16384) % 128) + 128)), 2, '0') ||
+             lpad(lower(to_hex((($a // 2097152) % 128) + 128)), 2, '0') ||
+             lpad(lower(to_hex($a // 268435456)), 2, '0')
            ELSE NULL END)"""
       s"""WITH base AS (SELECT doc_id, text,
            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
