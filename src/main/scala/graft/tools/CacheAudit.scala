@@ -63,11 +63,19 @@ object CacheAudit {
         // merely appearing SOMEWHERE (a local lookup joined into a
         // distributed pipeline) must not mask a genuine all-miss, so
         // the plan must also be free of every distributed leaf kind.
-        val localResult = plan.contains("LocalTableScan") &&
-          rdds == 0 && !plan.contains("Scan parquet") &&
+        val noDistributedSource = !plan.contains("Scan parquet") &&
           !plan.contains("FileScan") && !plan.contains("BatchScan")
+        val localResult = plan.contains("LocalTableScan") &&
+          rdds == 0 && noDistributedSource
+        // eager localCheckpoint results (pageRank's per-iteration
+        // checkpoints): all work ran during query CONSTRUCTION, the
+        // final plan is just the checkpointed RDD — barriers were
+        // consumed by those earlier jobs, nothing left to audit
+        val checkpointResult = rdds > 0 && noDistributedSource
         val verdict =
           if (barriers > 0 && hits == 0 && localResult) "LOCAL_RESULT"
+          else if (barriers > 0 && hits == 0 && checkpointResult)
+            "CHECKPOINT_RESULT"
           else if (barriers > 0 && hits == 0) "MISS_ALL"
           else if (barriers > 0 && hits < barriers) "CHECK_PARTIAL"
           else "ok"
