@@ -107,10 +107,15 @@ object Pipeline {
         sourceCol, budgetTokens)
       .select(col(sourceCol), col(idCol), col("n_tokens"))
       .barrierCache()
-    val w = Window.partitionBy(sourceCol).orderBy(idCol)
-    val packed = budgeted.withColumn("bin",
-      floor((sum("n_tokens").over(w) - col("n_tokens")) /
-        lit(packBudget.toDouble)).cast("long"))
+    // skew-proof prefix sum, not a per-source window (the r15
+    // packSequences discipline) — budget survivors are id-scale, but
+    // a mega-source would still serialize its window task
+    val packed = graft.util.DistRank.perKeyRunningSum(budgeted,
+        sourceCol, Seq(col(idCol)), "n_tokens", "__cum")
+      .withColumn("bin",
+        floor((col("__cum") - col("n_tokens")) /
+          lit(packBudget.toDouble)).cast("long"))
+      .drop("__cum")
     val splits = TextOps.leakSafeSplit(
       clean.join(budgeted.select(col(idCol)), Seq(idCol), "left_semi"),
       idCol, textCol, testFrac)

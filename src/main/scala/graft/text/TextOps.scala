@@ -489,19 +489,39 @@ object TextOps {
     * the same page over later complete ones.
     *
     * Scale shape: the cluster frame is ∝ CLUSTERED docs (sparse after
-    * LSH + verify), never the corpus; scoring joins and the survivor
-    * window touch only those rows, and unclustered documents never
-    * shuffle — same cost class as [[dropNearDuplicates]] plus one
-    * cluster-partitioned window over the sparse frame. */
+    * LSH + verify), never the corpus, and unclustered documents never
+    * shuffle. The survivor pick is a MIN-STRUCT AGGREGATE on the
+    * cluster key (r15 — previously a cluster-partitioned row_number
+    * window): a template-heavy corpus puts half its documents in ONE
+    * cluster, which is the dedup norm, not an edge case, and a window
+    * would funnel that cluster through a single task; the aggregate
+    * combines map-side, so the hot cluster reduces to one partial row
+    * per map task. The comparator is encoded in the struct: negated
+    * score ascending == score descending, null scores forced to +inf
+    * so they lose (the window's desc_nulls_last), id ascending as the
+    * tie-break. */
   def dropNearDuplicatesBy(df: DataFrame, idCol: String, pairs: DataFrame,
       score: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("cluster")
-      .orderBy(col("__score").desc_nulls_last, col("id").asc)
-    val losers = df.select(col(idCol).as("id"), score.as("__score"))
-      .join(nearDupClusters(pairs), "id")
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") > 1)
+    // clustered is consumed twice (winners aggregate + losers
+    // anti-join) but needs NO barrier: nearDupClusters returns a LEAF
+    // frame (localCheckpoint / LocalRelation), so the recompute is one
+    // source scan + a broadcast join per consumer — measured CHEAPER
+    // than firewalling the payload-scale frame (GroupSkew: the eager
+    // populate added a full materialization pass), and the r14
+    // cache-miss trap needs a lazy cache entry to miss, which a leaf
+    // plan never is
+    val cc = nearDupClusters(pairs)
+    val clustered = df.select(col(idCol).as("id"), score.as("__score"))
+      .join(cc, "id")
+    val winners = clustered
+      .groupBy("cluster")
+      .agg(min(struct(
+        coalesce(-col("__score").cast("double"),
+          lit(Double.PositiveInfinity)).as("ns"),
+        col("id").as("id"))).as("__w"))
+      .select(col("__w.id").as("id"))
+    val losers = clustered.select(col("id"))
+      .join(winners, Seq("id"), "left_anti")
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
@@ -1796,37 +1816,55 @@ object TextOps {
   def weightedSample(df: DataFrame, idCol: String, sourceCol: String,
       weight: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    Seq("weight", "key_micro", "rk", "__u").foreach(c =>
+    Seq("weight", "key_micro", "rk", "__u", "__lrk").foreach(c =>
       require(!df.columns.contains(c),
         s"column $c collides with weightedSample's output columns"))
     val u = md5Hash60(concat(lit("wrs:"), col(idCol).cast("string")))
       .cast("double") / math.pow(16.0, 15)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(sourceCol).orderBy(col("key_micro").desc, col(idCol).asc)
-    df.withColumn("weight", weight.cast("double"))
+    // Bounded-heap exact top-k (r15 — previously one unfiltered
+    // per-source rank window, which single-tasks a source holding most
+    // of the corpus; real corpora are source-skewed): the per-source
+    // k smallest (-key, id) structs via [[graft.util.TopKRows]] — a
+    // map-side-combining k-bounded heap, so max-task is O(input
+    // partition) no matter the source histogram. The winners table is
+    // |sources| x k rows; posexplode recovers the exact global rank
+    // the output contract exposes, and a broadcast join restores the
+    // input columns. Selection and ranks are IDENTICAL to the window
+    // formulation (total order: key desc, id asc).
+    val keyed = df.withColumn("weight", weight.cast("double"))
       .filter(col("weight") > 0)
       .withColumn("key_micro",
         round(pow(u, lit(1.0) / col("weight")) * 1e6, 0).cast("long"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    val top = keyed.groupBy(sourceCol)
+      .agg(graft.util.TopK.topKRows(
+        struct((-col("key_micro")).as("nk"), col(idCol).as("id")), k)
+        .as("__top"))
+      .select(col(sourceCol), posexplode(col("__top")))
+      .select(col(sourceCol), col("col.id").as(idCol),
+        (col("pos") + 1).cast("int").as("rk"))
+    keyed.join(broadcast(top), Seq(sourceCol, idCol))
   }
 
   /** Contiguous-fill sequence packing: assign each document to a fixed
     * token-budget bin by the running token total in (source, id) order —
     * bin k starts where the cumulative count crosses k*budget. This is
     * the deterministic streaming-order packing used when shuffling is
-    * deferred to training time; bins are computed with one window sum
-    * PER SOURCE SHARD (no global sort — each shard sorts independently,
-    * which is the partitioning a 100 TB corpus already has). */
+    * deferred to training time. The per-source cumulative total is
+    * [[graft.util.DistRank.perKeyRunningSum]] (r15 — previously a
+    * source-partitioned window sum, which single-tasks a source
+    * holding most of the corpus; real corpora are source-skewed): the
+    * range-partitioned two-pass prefix sum keeps max-task flat no
+    * matter the source histogram, with identical totals. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, budget: Int = 512): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(sourceCol).orderBy(idCol)
-    df.select(col(sourceCol), col(idCol),
-        size(tokens(col(textCol))).cast("long").as("n_tok"))
+    val sized = df.select(col(sourceCol), col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tok"))
+    graft.util.DistRank.perKeyRunningSum(sized, sourceCol,
+        Seq(col(idCol)), "n_tok", "__cum")
       .withColumn("bin",
-        floor((sum("n_tok").over(w) - col("n_tok")) / lit(budget.toDouble))
+        floor((col("__cum") - col("n_tok")) / lit(budget.toDouble))
           .cast("long"))
+      .drop("__cum")
   }
 
   /** ATOMIC (no-split) sequence packing — the packing regime where

@@ -103,4 +103,68 @@ object DistRank {
       StructField(rankCol, LongType, nullable = false))
     spark.createDataFrame(withRank, schema)
   }
+
+  /** Skew-proof per-key INCLUSIVE running sum of a long column — the
+    * same two-pass construction as [[perKeyRowNumber]] for
+    * `sum(value) over (partition by key order by ... rows unbounded
+    * preceding)` shapes (sequence packing's per-source cumulative
+    * token totals, where one mega-source would single-task a plain
+    * window). Appends `outCol` = the running total INCLUDING the
+    * current row. `orderCols` must totally order rows within a key. */
+  def perKeyRunningSum(df: DataFrame, keyCol: String,
+      orderCols: Seq[Column], valueCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sortExprs = col(keyCol) +: orderCols
+    val sorted = df.repartitionByRange(nPart, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+    val keyIdx = sorted.columns.indexOf(keyCol)
+    val valIdx = sorted.columns.indexOf(valueCol)
+    require(keyIdx >= 0 && valIdx >= 0,
+      s"need $keyCol and $valueCol in ${sorted.columns.toSeq}")
+    val rdd = sorted.rdd
+    val runs: Array[(Int, Any, Long)] = rdd.mapPartitionsWithIndex {
+      (pid, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Long)]
+        var curKey: Any = null
+        var started = false
+        var s = 0L
+        it.foreach { r =>
+          val k = r.get(keyIdx)
+          if (!started || k != curKey) {
+            if (started) buf += ((pid, curKey, s))
+            curKey = k; s = 0L; started = true
+          }
+          s += r.getLong(valIdx)
+        }
+        if (started) buf += ((pid, curKey, s))
+        buf.iterator
+    }.collect()
+    val offsets: Map[(Int, Any), Long] = runs
+      .groupBy(_._2)
+      .iterator.flatMap { case (k, rs) =>
+        val byPid = rs.sortBy(_._1)
+        var acc = 0L
+        byPid.map { case (pid, _, s) =>
+          val o = ((pid, k), acc); acc += s; o
+        }
+      }.toMap
+    val withSum = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var curKey: Any = null
+      var started = false
+      var acc = 0L
+      it.map { r =>
+        val k = r.get(keyIdx)
+        if (!started || k != curKey) {
+          curKey = k; started = true
+          acc = offsets.getOrElse((pid, k), 0L)
+        }
+        acc += r.getLong(valIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    spark.createDataFrame(withSum, schema)
+  }
 }

@@ -73,4 +73,20 @@ object Bridge {
   def cacheManagerIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager.isEmpty
+
+  /** Interpreted total ordering for any orderable Catalyst type
+    * (structs included) — `TypeUtils.getInterpretedOrdering` is
+    * `private[sql]`; [[graft.util.TopKRows]]' bounded heap needs it. */
+  def interpretedOrdering(dt: org.apache.spark.sql.types.DataType)
+      : Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+      .asInstanceOf[Ordering[Any]]
+
+  /** Orderability type check (`TypeUtils.checkForOrderingExpr` is
+    * `private[sql]`) for custom aggregates over generic comparators. */
+  def checkOrderable(dt: org.apache.spark.sql.types.DataType,
+      caller: String)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .checkForOrderingExpr(dt, caller)
 }
