@@ -4187,9 +4187,10 @@ object TextQueries {
 
     // tf.Example wire mirror: rebuilds the protobuf bytes bottom-up as
     // hex strings — varint via the vhx CASE cascade (canonical LEB128,
-    // 1..4 bytes, NULL past 2^28 so overflow fails loudly), lengths
-    // from hex-string halves, features emitted in the sorted key order
-    // the engine pins (doc_id < text < tok_lens)
+    // 1..5 bytes covering sf1's ~1e9 doc_ids, NULL past 2^35 so
+    // overflow fails loudly), lengths from hex-string halves, features
+    // emitted in the sorted key order the engine pins
+    // (doc_id < text < tok_lens)
     "t145_tfexample_bytes" -> {
       def vhx(a: String): String =
         s"""(CASE WHEN $a < 128 THEN lpad(lower(to_hex($a)), 2, '0')

@@ -502,25 +502,30 @@ object TextOps {
     * tie-break. */
   def dropNearDuplicatesBy(df: DataFrame, idCol: String, pairs: DataFrame,
       score: Column): DataFrame = {
-    // clustered is consumed twice (winners aggregate + losers
-    // anti-join) but needs NO barrier: nearDupClusters returns a LEAF
-    // frame (localCheckpoint / LocalRelation), so the recompute is one
+    // clustered is consumed twice (best-score aggregate + winner join)
+    // but needs NO barrier: nearDupClusters returns a LEAF frame
+    // (localCheckpoint / LocalRelation), so the recompute is one
     // source scan + a broadcast join per consumer — measured CHEAPER
     // than firewalling the payload-scale frame (GroupSkew: the eager
     // populate added a full materialization pass), and the r14
     // cache-miss trap needs a lazy cache entry to miss, which a leaf
-    // plan never is
+    // plan never is.
+    //
+    // Winner selection is max-then-min-id, both map-side-combinable
+    // aggregates, and EXACT in the score's own type (no double cast):
+    // max() shares the window's ordering semantics (NaN greatest,
+    // nulls ignored), the null-safe equality keeps an all-null
+    // cluster's members eligible (desc_nulls_last degenerates to
+    // min-id there), min(id) is the id-ascending tie-break.
     val cc = nearDupClusters(pairs)
     val clustered = df.select(col(idCol).as("id"), score.as("__score"))
       .join(cc, "id")
-    val winners = clustered
-      .groupBy("cluster")
-      .agg(min(struct(
-        coalesce(-col("__score").cast("double"),
-          lit(Double.PositiveInfinity)).as("ns"),
-        col("id").as("id"))).as("__w"))
-      .select(col("__w.id").as("id"))
-    val losers = clustered.select(col("id"))
+    val best = clustered.groupBy("cluster").agg(max("__score").as("__smax"))
+    val winners = clustered.join(best, Seq("cluster"))
+      .filter(col("__score") <=> col("__smax"))
+      .groupBy("cluster").agg(min("id").as("id"))
+      .select(col("id"))
+    val losers = cc.select(col("id"))
       .join(winners, Seq("id"), "left_anti")
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -1816,7 +1821,7 @@ object TextOps {
   def weightedSample(df: DataFrame, idCol: String, sourceCol: String,
       weight: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    Seq("weight", "key_micro", "rk", "__u", "__lrk").foreach(c =>
+    Seq("weight", "key_micro", "rk").foreach(c =>
       require(!df.columns.contains(c),
         s"column $c collides with weightedSample's output columns"))
     val u = md5Hash60(concat(lit("wrs:"), col(idCol).cast("string")))
@@ -1839,10 +1844,16 @@ object TextOps {
       .agg(graft.util.TopK.topKRows(
         struct((-col("key_micro")).as("nk"), col(idCol).as("id")), k)
         .as("__top"))
-      .select(col(sourceCol), posexplode(col("__top")))
-      .select(col(sourceCol), col("col.id").as(idCol),
+      .select(col(sourceCol).as("__src"), posexplode(col("__top")))
+      .select(col("__src"), col("col.id").as("__id"),
         (col("pos") + 1).cast("int").as("rk"))
-    keyed.join(broadcast(top), Seq(sourceCol, idCol))
+    // null-safe on the source key (a NULL source is a real group the
+    // window formulation ranked too); no broadcast hint — the winners
+    // table is |sources| x k rows, which a many-source corpus can make
+    // large, so the planner picks the strategy from its stats
+    keyed.join(top,
+        keyed(sourceCol) <=> top("__src") && keyed(idCol) === top("__id"))
+      .drop("__src", "__id")
   }
 
   /** Contiguous-fill sequence packing: assign each document to a fixed

@@ -69,9 +69,14 @@ object CacheAudit {
           rdds == 0 && noDistributedSource
         // eager localCheckpoint results (pageRank's per-iteration
         // checkpoints): all work ran during query CONSTRUCTION, the
-        // final plan is just the checkpointed RDD — barriers were
-        // consumed by those earlier jobs, nothing left to audit
-        val checkpointResult = rdds > 0 && noDistributedSource
+        // final plan is just the checkpointed RDD (plus an output
+        // sort) — barriers were consumed by those earlier jobs,
+        // nothing left to audit. A plan that still JOINS/AGGREGATES
+        // over RDD leaves is NOT this shape: that is a re-derived
+        // pipeline and must stay eligible for MISS_ALL.
+        val checkpointResult = rdds > 0 && noDistributedSource &&
+          !plan.contains("Join") && !plan.contains("Aggregate") &&
+          !plan.contains("Window")
         val verdict =
           if (barriers > 0 && hits == 0 && localResult) "LOCAL_RESULT"
           else if (barriers > 0 && hits == 0 && checkpointResult)

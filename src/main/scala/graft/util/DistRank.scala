@@ -39,7 +39,36 @@ object DistRank {
     * ranked within `keyCol` by `orderCols` (which must totally order
     * rows within a key — include a unique tiebreaker). */
   def perKeyRowNumber(df: DataFrame, keyCol: String, orderCols: Seq[Column],
-      rankCol: String): DataFrame = {
+      rankCol: String): DataFrame =
+    twoPass(df, keyCol, orderCols, rankCol, _ => 1L)
+
+  /** Skew-proof per-key INCLUSIVE running sum of a long column — the
+    * same two-pass construction for `sum(value) over (partition by key
+    * order by ... rows unbounded preceding)` shapes (sequence packing's
+    * per-source cumulative token totals, where one mega-source would
+    * single-task a plain window). Appends `outCol` = the running total
+    * INCLUDING the current row. NULL values contribute 0 (the window
+    * sum's null tolerance); `orderCols` must totally order rows within
+    * a key. */
+  def perKeyRunningSum(df: DataFrame, keyCol: String,
+      orderCols: Seq[Column], valueCol: String, outCol: String): DataFrame = {
+    val valIdx = df.columns.indexOf(valueCol)
+    require(valIdx >= 0, s"value column $valueCol not in ${df.columns.toSeq}")
+    twoPass(df, keyCol, orderCols, outCol,
+      r => if (r.isNullAt(valIdx)) 0L else r.getLong(valIdx))
+  }
+
+  /** The shared two-pass core: range-partition + partition-local sort
+    * on (key, orderCols...), count each partition's per-key increment
+    * totals (bounded by #partitions + #keys rows, collected), turn
+    * them into per-(partition, key) starting offsets, then assign
+    * `offset + running increment` in a second pass over the REUSED
+    * shuffle (Spark skips the completed exchange map stage, so only
+    * the cheap partition-local sort re-runs — no corpus-sized cache).
+    * `inc` reads the per-row increment from the PRE-SHUFFLE column
+    * order, which both passes observe identically. */
+  private def twoPass(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      outCol: String, inc: Row => Long): DataFrame = {
     val spark = df.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sortExprs = col(keyCol) +: orderCols
@@ -47,109 +76,39 @@ object DistRank {
       .sortWithinPartitions(sortExprs: _*)
     val keyIdx = sorted.columns.indexOf(keyCol)
     require(keyIdx >= 0, s"key column $keyCol not in ${sorted.columns.toSeq}")
-
-    // Two jobs over the same lineage: the range-exchange map stage is
-    // computed once and REUSED via its shuffle files on the second job
-    // (Spark skips completed shuffle-map stages), so only the cheap
-    // partition-local sort re-runs — no cache of corpus-sized data.
     val rdd = sorted.rdd
-    // pass 1: per-partition, per-key run lengths (range-sorted ->
+    // pass 1: per-partition, per-key increment totals (range-sorted ->
     // contiguous runs; table size <= #partitions + #keys)
     val runs: Array[(Int, Any, Long)] = rdd.mapPartitionsWithIndex {
       (pid, it) =>
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Long)]
         var curKey: Any = null
         var started = false
-        var n = 0L
+        var acc = 0L
         it.foreach { r =>
           val k = r.get(keyIdx)
           if (!started || k != curKey) {
-            if (started) buf += ((pid, curKey, n))
-            curKey = k; n = 0L; started = true
+            if (started) buf += ((pid, curKey, acc))
+            curKey = k; acc = 0L; started = true
           }
-          n += 1
+          acc += inc(r)
         }
-        if (started) buf += ((pid, curKey, n))
+        if (started) buf += ((pid, curKey, acc))
         buf.iterator
     }.collect()
-    // per-(partition, key) starting offsets: sum of the same key's run
-    // lengths in earlier partitions
+    // per-(partition, key) starting offsets: sum of the same key's
+    // totals in earlier partitions
     val offsets: Map[(Int, Any), Long] = runs
       .groupBy(_._2)
       .iterator.flatMap { case (k, rs) =>
         val byPid = rs.sortBy(_._1)
         var acc = 0L
-        byPid.map { case (pid, _, n) =>
-          val o = ((pid, k), acc); acc += n; o
+        byPid.map { case (pid, _, t) =>
+          val o = ((pid, k), acc); acc += t; o
         }
       }.toMap
-
-    // pass 2: assign rank = offset + local running index
-    val withRank = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var curKey: Any = null
-      var started = false
-      var next = 0L
-      it.map { r =>
-        val k = r.get(keyIdx)
-        if (!started || k != curKey) {
-          curKey = k; started = true
-          next = offsets.getOrElse((pid, k), 0L)
-        }
-        next += 1L
-        Row.fromSeq(r.toSeq :+ next)
-      }
-    }
-    val schema = StructType(sorted.schema.fields :+
-      StructField(rankCol, LongType, nullable = false))
-    spark.createDataFrame(withRank, schema)
-  }
-
-  /** Skew-proof per-key INCLUSIVE running sum of a long column — the
-    * same two-pass construction as [[perKeyRowNumber]] for
-    * `sum(value) over (partition by key order by ... rows unbounded
-    * preceding)` shapes (sequence packing's per-source cumulative
-    * token totals, where one mega-source would single-task a plain
-    * window). Appends `outCol` = the running total INCLUDING the
-    * current row. `orderCols` must totally order rows within a key. */
-  def perKeyRunningSum(df: DataFrame, keyCol: String,
-      orderCols: Seq[Column], valueCol: String, outCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sortExprs = col(keyCol) +: orderCols
-    val sorted = df.repartitionByRange(nPart, sortExprs: _*)
-      .sortWithinPartitions(sortExprs: _*)
-    val keyIdx = sorted.columns.indexOf(keyCol)
-    val valIdx = sorted.columns.indexOf(valueCol)
-    require(keyIdx >= 0 && valIdx >= 0,
-      s"need $keyCol and $valueCol in ${sorted.columns.toSeq}")
-    val rdd = sorted.rdd
-    val runs: Array[(Int, Any, Long)] = rdd.mapPartitionsWithIndex {
-      (pid, it) =>
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Long)]
-        var curKey: Any = null
-        var started = false
-        var s = 0L
-        it.foreach { r =>
-          val k = r.get(keyIdx)
-          if (!started || k != curKey) {
-            if (started) buf += ((pid, curKey, s))
-            curKey = k; s = 0L; started = true
-          }
-          s += r.getLong(valIdx)
-        }
-        if (started) buf += ((pid, curKey, s))
-        buf.iterator
-    }.collect()
-    val offsets: Map[(Int, Any), Long] = runs
-      .groupBy(_._2)
-      .iterator.flatMap { case (k, rs) =>
-        val byPid = rs.sortBy(_._1)
-        var acc = 0L
-        byPid.map { case (pid, _, s) =>
-          val o = ((pid, k), acc); acc += s; o
-        }
-      }.toMap
-    val withSum = rdd.mapPartitionsWithIndex { (pid, it) =>
+    // pass 2: assign out = offset + running increment
+    val withOut = rdd.mapPartitionsWithIndex { (pid, it) =>
       var curKey: Any = null
       var started = false
       var acc = 0L
@@ -159,12 +118,12 @@ object DistRank {
           curKey = k; started = true
           acc = offsets.getOrElse((pid, k), 0L)
         }
-        acc += r.getLong(valIdx)
+        acc += inc(r)
         Row.fromSeq(r.toSeq :+ acc)
       }
     }
     val schema = StructType(sorted.schema.fields :+
       StructField(outCol, LongType, nullable = false))
-    spark.createDataFrame(withSum, schema)
+    spark.createDataFrame(withOut, schema)
   }
 }

@@ -57,12 +57,11 @@ case class TopKRows(child: Expression, k: Int,
       input: InternalRow): scala.collection.mutable.PriorityQueue[Any] = {
     val v = child.eval(input)
     if (v != null) {
-      // COPY: unsafe rows are reused by the iterator
-      val stable = v match {
-        case r: InternalRow => r.copy()
-        case other => other
-      }
-      push(buf, stable)
+      // COPY every buffer-backed value (InternalRow, UTF8String,
+      // ArrayData, MapData) — the aggregate's input rows are REUSED,
+      // so a retained pointer silently mutates; InternalRow.copyValue
+      // is Spark's own deep-copy dispatch for exactly this
+      push(buf, InternalRow.copyValue(v))
     }
     buf
   }

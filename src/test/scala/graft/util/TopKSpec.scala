@@ -66,6 +66,60 @@ class TopKSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("buffer-backed values (strings) are deep-copied, not aliased") {
+    import spark.implicits._
+    // many rows per partition so the reused input row would corrupt
+    // aliased UTF8Strings; verify values survive intact
+    val df = spark.range(2000).selectExpr("id % 4 as g",
+      "concat('v', lpad(cast(id as string), 6, '0')) as s")
+    val got = df.groupBy("g")
+      .agg(TopK.topKRows(col("s"), 3).as("t"))
+      .select(col("g"), col("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    (0L until 4L).foreach { g =>
+      val want = (0L until 2000L).filter(_ % 4 == g)
+        .map(i => f"v$i%06d").sorted.take(3)
+      assert(got(g) == want, s"group $g")
+    }
+  }
+
+  test("weightedSample keeps NULL-source rows as their own stratum") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "x y z"), (2L, "a", "p q"),
+      (3L, null.asInstanceOf[String], "m n o"),
+      (4L, null.asInstanceOf[String], "r s"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.text.TextOps.weightedSample(df, "doc_id", "source",
+        length(col("text")).cast("double"), k = 1)
+      .select("doc_id", "source").collect()
+    assert(out.length == 2, s"one winner per stratum incl. null: " +
+      s"${out.toSeq}")
+    assert(out.count(_.isNullAt(1)) == 1, "the null stratum keeps a row")
+  }
+
+  test("perKeyRunningSum treats NULL values as 0 like the window sum") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, java.lang.Long.valueOf(5L)),
+      (2L, 0L, null.asInstanceOf[java.lang.Long]),
+      (3L, 0L, java.lang.Long.valueOf(7L)))
+      .toDF("id", "g", "v")
+    val got = DistRank.perKeyRunningSum(df, "g", Seq(col("id")), "v", "cum")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 5L, 2L -> 5L, 3L -> 12L))
+  }
+
+  test("dropNearDuplicatesBy: NaN score wins its cluster (window parity)") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0), (2L, Double.NaN), (3L, 9.0))
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val kept = graft.text.TextOps.dropNearDuplicatesBy(df, "doc_id",
+        pairs, col("q"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // Spark orders NaN greater than every double: doc 2 survives
+    assert(kept == Set(2L), kept)
+  }
+
   test("perKeyRunningSum equals the window running sum") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), (col("doc_id") % 3).as("g"),
