@@ -361,13 +361,19 @@ object Relational {
     }),
 
     "q13_rollup_revenue" -> ((s, dir) => {
+      // revenue in exact integer CENTS (micro-unit discipline): a
+      // double sum over sf1's 6M rows diverges from DuckDB in the last
+      // cent (summation order), so each term is micro-rounded to a
+      // long and the rollup sums exactly — bit-identical at any SF
+      val termMicro = round(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * lit(1e6), 0).cast("long")
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"), count(lit(1)).as("n"))
+        .agg(sum(termMicro).as("__m"), count(lit(1)).as("n"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-          col("revenue"), col("n"))
+          expr("(__m + 5000L) div 10000L").as("revenue_cents"),
+          col("n"))
         .orderBy("returnflag", "linestatus")
     })
   )
@@ -447,7 +453,8 @@ object Relational {
     "q13_rollup_revenue" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
          COALESCE(l_linestatus, 'ALL') AS linestatus,
-         ROUND(SUM(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+         CAST((SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*1e6, 0)
+           AS BIGINT)) + 5000) // 10000 AS BIGINT) AS revenue_cents,
          CAST(COUNT(*) AS BIGINT) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY 1, 2""",
