@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal join operators Spark lacks natively.
@@ -15,10 +14,14 @@ import org.apache.spark.sql.functions._
   * (`l.key = r.key AND r.t <= l.t` + argmax), which explodes to
   * |L|x|R| candidate pairs per key before the argmax prunes them — a
   * non-starter at 100 TB. This implementation instead unions the two
-  * sides with a tag, shuffles ONCE by the keys, and carries the latest
-  * right-side values forward with a running `last(ignoreNulls)` window.
-  * Work and shuffle volume are linear in |L|+|R|, skew degrades into a
-  * sort rather than a product, and the plan contains no join at all.
+  * sides with a tag, range-shuffles ONCE by (keys, time), and carries
+  * the latest right-side values forward with a skew-proof two-pass
+  * running `last(ignoreNulls)` ([[graft.util.DistRank
+  * .perKeyRunningLast]]). Work and shuffle volume are linear in
+  * |L|+|R|, the plan contains no join at all, and — unlike the
+  * single-window form this replaced — ONE hot key (a bot user holding
+  * a corpus-scale share of events) spreads over many range partitions
+  * instead of serializing through one task's sort.
   */
 object Temporal {
 
@@ -52,7 +55,7 @@ object Temporal {
     // Fail fast with the exact offending columns — each of these would
     // otherwise surface later as a confusing analysis error (duplicate
     // column in a select) or as silently-wrong running-window input.
-    val reserved = Seq("__t", "__is_l", "__r")
+    val reserved = Seq("__t", "__is_l", "__r", "__rv", "__k")
     val clashPayload = leftPayload.intersect(rightCarry)
     require(clashPayload.isEmpty,
       s"rename right columns ${clashPayload.mkString(", ")} — they clash with left payload columns")
@@ -64,7 +67,7 @@ object Temporal {
     val clashReserved =
       (left.columns ++ right.columns).distinct.filter(reserved.contains)
     require(clashReserved.isEmpty,
-      s"columns ${clashReserved.mkString(", ")} collide with asofJoin's reserved internal names (__t, __is_l, __r)")
+      s"columns ${clashReserved.mkString(", ")} collide with asofJoin's reserved internal names (${reserved.mkString(", ")})")
     val l = left.select(
       on.map(col) ++
         Seq(col(leftTime).as("__t"), lit(true).as("__is_l")) ++
@@ -79,18 +82,22 @@ object Temporal {
     // an equal-time right row is inside the running frame — inclusive
     // as-of. tieBreak columns are NULL on left rows (constant within the
     // left group), so they only order simultaneous right rows.
-    val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__t") +: col("__is_l") +: tieBreak.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // The right values ride in ONE struct: a struct built from a right
     // row is never NULL even when its fields are, so the running last()
     // always carries the fields of the single most recent right row.
     // (Carrying each column with its own last(ignoreNulls) would let a
     // NULL in the newest right row expose a stale value from an older
     // one — a torn row mixing two right rows.)
-    val carried = l.unionByName(r).withColumn("__r",
-      last(when(!col("__is_l"), struct(rightVals.map(col): _*)),
-        ignoreNulls = true).over(w))
+    // The carry-forward itself is DistRank's two-pass running last over
+    // a (keys)-struct key in (__t, __is_l, tieBreak...) order — exactly
+    // the window's nulls-first ascending order, minus the window's
+    // one-task-per-key funnel.
+    val unioned = l.unionByName(r)
+      .withColumn("__rv",
+        when(!col("__is_l"), struct(rightVals.map(col): _*)))
+      .withColumn("__k", struct(on.map(col): _*))
+    val carried = graft.util.DistRank.perKeyRunningLast(unioned, "__k",
+      col("__t") +: col("__is_l") +: tieBreak.map(col), "__rv", "__r")
     carried.filter(col("__is_l"))
       .withColumn(leftTime, col("__t"))
       .select((on ++ Seq(leftTime) ++ leftPayload).map(col) ++

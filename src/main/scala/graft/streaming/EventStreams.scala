@@ -233,20 +233,24 @@ object EventStreams {
       }
   }
 
-  /** Batch-mode sessionization with identical semantics (window-function
-    * formulation) — the oracle-checkable twin of [[sessionize]]. */
+  /** Batch-mode sessionization with identical semantics — the
+    * oracle-checkable twin of [[sessionize]].
+    *
+    * Scale design: the windowed formulation (`lag` + running
+    * `sum(flag)` partitioned by `user_id`) funnels each user through
+    * ONE task — a bot user holding a corpus-scale share of events
+    * serializes the whole job through that task's sort. This routes the
+    * gap scan through [[graft.util.DistRank.perKeySessionIds]] instead:
+    * the same one range shuffle on (user, time), two narrow passes, and
+    * a mega-user spreads over all partitions. Semantics (including the
+    * window form's null-time arithmetic) are bit-identical — pinned by
+    * the DistRankSpec window-agreement test and the q11 oracle hash. */
   def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("event_time")
-    withEventTime(events)
+    val ev = withEventTime(events)
       .select(col("user_id"), col("event_time"), col("value"))
-      .withColumn("prev", lag("event_time", 1).over(w))
-      .withColumn("new_session",
-        when(col("prev").isNull ||
-          unix_micros(col("event_time")) - unix_micros(col("prev")) > gapMs * 1000L, 1)
-          .otherwise(0))
-      .withColumn("session_id", sum("new_session").over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__tus", unix_micros(col("event_time")))
+    graft.util.DistRank
+      .perKeySessionIds(ev, "user_id", "__tus", gapMs * 1000L, "session_id")
       .groupBy("user_id", "session_id")
       .agg(min("event_time").as("session_start"), max("event_time").as("session_end"),
         count(lit(1)).as("n_events"), sum("value").as("total_value"))

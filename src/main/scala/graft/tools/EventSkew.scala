@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Adversarial mega-key evidence for the r16 event-tier de-skews — the
+  * last two per-key window funnels named by the r15 verdict:
+  *
+  *  - `sessionizeBatch`: ONE bot user holding the whole event corpus.
+  *    Was `lag` + running `sum(flag)` partitioned by user (one task);
+  *    now [[graft.util.DistRank.perKeySessionIds]] (range-spread
+  *    two-pass scan).
+  *  - `asofJoin`: ONE hot key on both sides. Was a running
+  *    `last(ignoreNulls)` window partitioned by the keys; now
+  *    [[graft.util.DistRank.perKeyRunningLast]].
+  *
+  * For each: the de-skewed operator vs the inline window straw man at
+  * growing sizes, wall + max single-task time. The growth curves are
+  * the BASELINE.md EventSkew table.
+  *
+  * Usage: runMain graft.tools.EventSkew [sizes...]
+  */
+object EventSkew {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq
+                else Seq(200000, 800000, 3200000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    object metrics extends SparkListener {
+      @volatile var maxTaskMs = 0L
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null && te.taskInfo.duration > maxTaskMs)
+          maxTaskMs = te.taskInfo.duration
+      def reset(): Unit = maxTaskMs = 0L
+    }
+    spark.sparkContext.addSparkListener(metrics)
+
+    def measure(label: String)(f: => Long): Unit = {
+      org.apache.spark.sql.graftbridge.Bridge
+        .drainListenerBus(spark.sparkContext)
+      metrics.reset()
+      val t0 = System.nanoTime()
+      val out = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graftbridge.Bridge
+        .drainListenerBus(spark.sparkContext)
+      println(f"EVENT_SKEW $label%-30s out=$out%13d wall=$sec%8.2f s " +
+        f"max_task=${metrics.maxTaskMs / 1e3}%7.2f s")
+    }
+
+    // one user's event stream: 1 s steps with an hour gap every 1000
+    // events (so sessionization has real work), value ~ id
+    def events(n: Int): DataFrame = spark.range(n).selectExpr(
+      "id as event_id", "0L as user_id",
+      """timestamp_micros(1500000000000000 + id * 1000000
+         + (id div 1000) * 3600000000) as ts""",
+      "if(id % 3 = 0, 'purchase', 'click') as event_type",
+      "cast(id % 1000 as double) / 8 as value").localCheckpoint()
+
+    sizes.foreach { n =>
+      val ev = events(n)
+      ev.count()
+
+      // ---- sessionizeBatch: one bot user
+      measure(s"sessionize_distrank n=$n") {
+        graft.streaming.EventStreams.sessionizeBatch(
+          ev.select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))).count()
+      }
+      measure(s"sessionize_window n=$n") {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        ev.withColumn("prev", lag("ts", 1).over(w))
+          .withColumn("flag", when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) >
+              30L * 60 * 1000 * 1000, 1).otherwise(0))
+          .withColumn("sid", sum("flag").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sid")
+          .agg(min("ts"), max("ts"), count(lit(1)), sum("value"))
+          .count()
+      }
+
+      // ---- asofJoin: every purchase/click shares the one hot user
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("et"),
+          col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("ct"), col("ts").as("click_ts"),
+          col("value").as("click_value"), col("event_id").as("click_id"))
+      measure(s"asof_distrank n=$n") {
+        graft.ops.Temporal.asofJoin(purchases, clicks,
+          on = Seq("user_id"), leftTime = "et", rightTime = "ct",
+          rightVals = Seq("click_ts", "click_value"),
+          tieBreak = Seq("click_id")).count()
+      }
+      measure(s"asof_window n=$n") {
+        val l = purchases.select(col("user_id"), col("et").as("__t"),
+          lit(true).as("__is_l"), col("event_id"), col("value"),
+          lit(null).cast("timestamp").as("click_ts"),
+          lit(null).cast("double").as("click_value"),
+          lit(null).cast("long").as("click_id"))
+        val r = clicks.select(col("user_id"), col("ct").as("__t"),
+          lit(false).as("__is_l"), lit(null).cast("long").as("event_id"),
+          lit(null).cast("double").as("value"), col("click_ts"),
+          col("click_value"), col("click_id"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("__t"), col("__is_l"), col("click_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        l.unionByName(r).withColumn("__r",
+            last(when(!col("__is_l"),
+              struct(col("click_ts"), col("click_value"))),
+              ignoreNulls = true).over(w))
+          .filter(col("__is_l")).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -2,45 +2,77 @@ package graft.util
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types._
 
-/** Skew-proof per-key `row_number`: the drop-in replacement for
-  * `Window.partitionBy(key).orderBy(...)` when one key can hold an
-  * unbounded share of the rows. A bare window funnels each key through
-  * ONE task — the skew trap the r13/r14 rounds removed from the LSH
-  * kernel and stratifiedSample; this removes it from full-ordering
-  * ranks, where a threshold prefilter cannot help because every
-  * surviving row needs its exact rank (e.g. [[graft.sim.Similarity
-  * .prototypePrune]]'s prototypicality order).
+/** Skew-proof per-key `row_number` / running scans: the drop-in
+  * replacement for `Window.partitionBy(key).orderBy(...)` when one key
+  * can hold an unbounded share of the rows. A bare window funnels each
+  * key through ONE task — the skew trap the r13/r14 rounds removed from
+  * the LSH kernel and stratifiedSample; this removes it from
+  * full-ordering ranks, running sums, running `last`s, and gap
+  * sessionization, where a threshold prefilter cannot help because
+  * every surviving row needs its exact scan value.
   *
   * Mechanism (the classic distributed ranking construction):
   *  1. `repartitionByRange` + `sortWithinPartitions` on
   *     (key, orderCols...) — a TOTAL order split across partitions by
   *     sampled range bounds, so a mega-key spreads over MANY
   *     partitions instead of one task.
-  *  2. One pass counts each partition's per-key run lengths. Because
-  *     the data is range-sorted, a partition holds at most
-  *     (#keys-crossing-it) runs and the whole count table is bounded
+  *  2. One pass folds each partition's contiguous per-key runs into a
+  *     small run SUMMARY (a count, a last value, a session sketch).
+  *     Because the data is range-sorted, a partition holds at most
+  *     (#keys-crossing-it) runs and the whole summary table is bounded
   *     by #partitions + #distinct-keys rows — collected to the driver
-  *     (the k-row contract) and turned into per-(partition, key)
-  *     starting offsets.
-  *  3. A second pass assigns rank = offset + local running index.
+  *     (the k-row contract, guarded — see below) and folded, per key in
+  *     partition order, into per-(partition, key) carried-in states.
+  *  3. A second pass scans each run with its carried-in state and
+  *     emits the per-row output.
   *
-  * Rank values are EXACT and deterministic regardless of where the
+  * Scan values are EXACT and deterministic regardless of where the
   * sampled range bounds fall, provided (key, orderCols...) is a total
-  * order (include a unique tiebreaker, as every caller here does) —
+  * order (include a unique tiebreaker where the op needs one) —
   * correctness never depends on the sampler. Two narrow passes over
   * the sorted shuffle output are the price for flat max-task; the
-  * shuffle itself is the same one the window needed.
+  * shuffle itself is the same one the window needed, and Spark reuses
+  * its map stage between the passes.
+  *
+  * == Contracts (hard-checked) ==
+  *  - The KEY column must be an atomic equatable type (integral,
+  *    string, boolean, date, timestamp) or a struct of those: the run
+  *    detector and the driver offset table use universal equality, so
+  *    Float/Double keys (NaN != NaN restarts every row), binary/array
+  *    keys (reference equality), and decimals (scale-sensitive
+  *    `BigDecimal.equals`) are REJECTED at plan build.
+  *  - The collected run table is bounded by #partitions + #distinct
+  *    keys. A partition whose run count exceeds
+  *    [[DistRank.MaxRunsPerPartition]] fails fast EXECUTOR-SIDE with a
+  *    clear too-many-keys message, before the driver collect can OOM —
+  *    these ops are for few-keys/many-rows shapes; a high-cardinality
+  *    key column wants a plain window (each key is small) instead.
   */
 object DistRank {
+
+  /** Executor-side cap on per-partition run-summary count (default;
+    * override with `spark.graft.distrank.maxRunsPerPartition`). With
+    * the default 32 shuffle partitions this bounds the driver table at
+    * ~8.4 M small tuples — far above every in-repo call site
+    * (sources, users, asof keys) and far below driver heap, so a
+    * future high-cardinality caller fails with a message, not an OOM. */
+  val MaxRunsPerPartition: Int = 1 << 18
 
   /** Append `rankCol` (1-based LongType per-key row number) to `df`,
     * ranked within `keyCol` by `orderCols` (which must totally order
     * rows within a key — include a unique tiebreaker). */
   def perKeyRowNumber(df: DataFrame, keyCol: String, orderCols: Seq[Column],
       rankCol: String): DataFrame =
-    twoPass(df, keyCol, orderCols, rankCol, _ => 1L)
+    scanTwoPass[Long, Long](df, keyCol, orderCols,
+      StructField(rankCol, LongType, nullable = false))(
+      summary = (acc, _) => acc + 1L,
+      summary0 = 0L,
+      init = 0L,
+      carry = (s, m) => s + m,
+      step = (s, _) => s + 1L,
+      emit = identity[Long])
 
   /** Skew-proof per-key INCLUSIVE running sum of a long column — the
     * same two-pass construction for `sum(value) over (partition by key
@@ -49,81 +81,218 @@ object DistRank {
     * single-task a plain window). Appends `outCol` = the running total
     * INCLUDING the current row. NULL values contribute 0 (the window
     * sum's null tolerance); `orderCols` must totally order rows within
-    * a key. */
+    * a key. `valueCol` must be LongType (checked — a silent
+    * `getLong` on an int column would ClassCastException mid-job). */
   def perKeyRunningSum(df: DataFrame, keyCol: String,
       orderCols: Seq[Column], valueCol: String, outCol: String): DataFrame = {
     val valIdx = df.columns.indexOf(valueCol)
     require(valIdx >= 0, s"value column $valueCol not in ${df.columns.toSeq}")
-    twoPass(df, keyCol, orderCols, outCol,
-      r => if (r.isNullAt(valIdx)) 0L else r.getLong(valIdx))
+    require(df.schema(valueCol).dataType == LongType,
+      s"perKeyRunningSum needs a LongType value column; `$valueCol` is " +
+        s"${df.schema(valueCol).dataType.simpleString} — cast it first")
+    def inc(r: Row): Long = if (r.isNullAt(valIdx)) 0L else r.getLong(valIdx)
+    scanTwoPass[Long, Long](df, keyCol, orderCols,
+      StructField(outCol, LongType, nullable = false))(
+      summary = (acc, r) => acc + inc(r),
+      summary0 = 0L,
+      init = 0L,
+      carry = (s, m) => s + m,
+      step = (s, r) => s + inc(r),
+      emit = identity[Long])
+  }
+
+  /** Skew-proof per-key INCLUSIVE running `last(value, ignoreNulls)` —
+    * the two-pass twin of
+    * `last(value, true) over (partition by key order by ... rows
+    * unbounded preceding)`, the carry-forward shape behind
+    * [[graft.ops.Temporal.asofJoin]] (most recent right-side row per
+    * key). Appends `outCol` (same type as `valueCol`, nullable): the
+    * latest non-null `valueCol` at or before each row in the
+    * (key, orderCols...) order, NULL until the first non-null. Run
+    * summaries carry one value per (partition, key) — a struct value is
+    * fine (a bounded number of them reach the driver). */
+  def perKeyRunningLast(df: DataFrame, keyCol: String,
+      orderCols: Seq[Column], valueCol: String, outCol: String): DataFrame = {
+    val valIdx = df.columns.indexOf(valueCol)
+    require(valIdx >= 0, s"value column $valueCol not in ${df.columns.toSeq}")
+    def pick(s: Any, r: Row): Any = if (r.isNullAt(valIdx)) s else r.get(valIdx)
+    scanTwoPass[Any, Any](df, keyCol, orderCols,
+      StructField(outCol, df.schema(valueCol).dataType, nullable = true))(
+      summary = pick,
+      summary0 = null,
+      init = null,
+      carry = (s, m) => if (m != null) m else s,
+      step = pick,
+      emit = identity[Any])
+  }
+
+  /** Per-(partition, key) session sketch for [[perKeySessionIds]]:
+    * first/last time of the run (null-boxed — a null event time is
+    * legal and mirrors the window form's null arithmetic) and the
+    * count of gap-starts strictly INSIDE the run (rows 2..n). */
+  private final case class SessRun(first: java.lang.Long,
+      last: java.lang.Long, internalStarts: Long, rows: Long)
+
+  /** Carried scan state for [[perKeySessionIds]]: whether any row of
+    * the key precedes this partition, the previous row's time
+    * (null-boxed), and the session count so far. */
+  private final case class SessState(seen: Boolean, prev: java.lang.Long,
+      count: Long)
+
+  /** Skew-proof gap sessionization ids: appends `outCol` = the 1-based
+    * session number of each row within `keyCol`, ordered by `timeUsCol`
+    * (epoch-microseconds LongType; `extraOrder` breaks ties after it) —
+    * the exact two-pass twin of the window form
+    * {{{
+    *   flag = prev IS NULL OR t - prev > gapUs   // prev = lag(t, 1)
+    *   session_id = sum(flag) over (partition by key order by t
+    *                                rows unbounded preceding)
+    * }}}
+    * including its null arithmetic: the key's first row always starts
+    * session 1; a row whose PREVIOUS time is NULL starts a new session
+    * (the window form's `lag` null is indistinguishable from "no
+    * previous row"); a row whose OWN time is NULL while the previous is
+    * not never starts one (NULL > gap is false there). One mega-key (a
+    * bot user holding a corpus-scale share of events) spreads over all
+    * partitions instead of one task. */
+  def perKeySessionIds(df: DataFrame, keyCol: String, timeUsCol: String,
+      gapUs: Long, outCol: String,
+      extraOrder: Seq[Column] = Nil): DataFrame = {
+    val tIdx = df.columns.indexOf(timeUsCol)
+    require(tIdx >= 0, s"time column $timeUsCol not in ${df.columns.toSeq}")
+    require(df.schema(timeUsCol).dataType == LongType,
+      s"perKeySessionIds needs an epoch-micros LongType time column; " +
+        s"`$timeUsCol` is ${df.schema(timeUsCol).dataType.simpleString}")
+    def timeOf(r: Row): java.lang.Long =
+      if (r.isNullAt(tIdx)) null else java.lang.Long.valueOf(r.getLong(tIdx))
+    // a row starts a session iff it is the key's first row, the
+    // previous time is null (the window form's lag-null), or the gap is
+    // exceeded (null-safe: a null own-time never exceeds the gap)
+    def starts(seen: Boolean, prev: java.lang.Long, t: java.lang.Long): Long =
+      if (!seen || prev == null) 1L
+      else if (t != null && t.longValue - prev.longValue > gapUs) 1L
+      else 0L
+    scanTwoPass[SessState, SessRun](df, keyCol,
+      col(timeUsCol) +: extraOrder,
+      StructField(outCol, LongType, nullable = false))(
+      summary = { (m, r) =>
+        val t = timeOf(r)
+        if (m.rows == 0L) SessRun(t, t, 0L, 1L)
+        else SessRun(m.first, t,
+          m.internalStarts + starts(seen = true, m.last, t), m.rows + 1L)
+      },
+      summary0 = SessRun(null, null, 0L, 0L),
+      init = SessState(seen = false, prev = null, count = 0L),
+      carry = (s, m) =>
+        if (m.rows == 0L) s
+        else SessState(seen = true, m.last,
+          s.count + starts(s.seen, s.prev, m.first) + m.internalStarts),
+      step = { (s, r) =>
+        val t = timeOf(r)
+        SessState(seen = true, t, s.count + starts(s.seen, s.prev, t))
+      },
+      emit = (s: SessState) => s.count)
+  }
+
+  /** Key types the run detector / driver table may use: universal
+    * equality must equal semantic equality. */
+  private def validateKeyType(name: String, dt: DataType): Unit = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         BooleanType | DateType | TimestampType | TimestampNTZType => ()
+    case s: StructType =>
+      s.fields.foreach(f => validateKeyType(s"$name.${f.name}", f.dataType))
+    case other => throw new IllegalArgumentException(
+      s"DistRank key column `$name` has type ${other.simpleString}, whose " +
+        "universal equality is unsafe for run detection (NaN != NaN for " +
+        "float/double, reference equality for binary/array, scale-" +
+        "sensitive equals for decimal). Use an integral/string/boolean/" +
+        "date/timestamp key, or a struct of those.")
   }
 
   /** The shared two-pass core: range-partition + partition-local sort
-    * on (key, orderCols...), count each partition's per-key increment
-    * totals (bounded by #partitions + #keys rows, collected), turn
-    * them into per-(partition, key) starting offsets, then assign
-    * `offset + running increment` in a second pass over the REUSED
-    * shuffle (Spark skips the completed exchange map stage, so only
-    * the cheap partition-local sort re-runs — no corpus-sized cache).
-    * `inc` reads the per-row increment from the PRE-SHUFFLE column
-    * order, which both passes observe identically. */
-  private def twoPass(df: DataFrame, keyCol: String, orderCols: Seq[Column],
-      outCol: String, inc: Row => Long): DataFrame = {
+    * on (key, orderCols...), fold each partition's per-key runs into
+    * summaries `M` (bounded by #partitions + #keys rows, guarded then
+    * collected), fold summaries per key in partition order into
+    * carried-in states `S`, then scan each run in a second pass over
+    * the REUSED shuffle (Spark skips the completed exchange map stage,
+    * so only the cheap partition-local sort re-runs — no corpus-sized
+    * cache).
+    *
+    * `summary` folds pass-1 rows into a run summary (start `summary0`);
+    * `carry(state, summary)` advances a key's carried state over one
+    * earlier partition's run; `init` is the state before any row of a
+    * key; `step` consumes a row in pass 2; `emit` reads the per-row
+    * output from the POST-row state (inclusive-frame semantics). All
+    * closures observe the PRE-SHUFFLE column order in both passes. */
+  private def scanTwoPass[S, M](df: DataFrame, keyCol: String,
+      orderCols: Seq[Column], outField: StructField)(
+      summary: (M, Row) => M, summary0: M,
+      init: S, carry: (S, M) => S,
+      step: (S, Row) => S, emit: S => Any): DataFrame = {
     val spark = df.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    validateKeyType(keyCol, df.schema(keyCol).dataType)
     val sortExprs = col(keyCol) +: orderCols
     val sorted = df.repartitionByRange(nPart, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
     val keyIdx = sorted.columns.indexOf(keyCol)
     require(keyIdx >= 0, s"key column $keyCol not in ${sorted.columns.toSeq}")
     val rdd = sorted.rdd
-    // pass 1: per-partition, per-key increment totals (range-sorted ->
-    // contiguous runs; table size <= #partitions + #keys)
-    val runs: Array[(Int, Any, Long)] = rdd.mapPartitionsWithIndex {
+    val maxRuns = spark.conf
+      .get("spark.graft.distrank.maxRunsPerPartition",
+        MaxRunsPerPartition.toString).toInt
+    // pass 1: per-partition, per-key run summaries (range-sorted ->
+    // contiguous runs; table size <= #partitions + #keys, enforced)
+    val runs: Array[(Int, Any, M)] = rdd.mapPartitionsWithIndex {
       (pid, it) =>
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Long)]
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, M)]
         var curKey: Any = null
         var started = false
-        var acc = 0L
+        var acc: M = summary0
         it.foreach { r =>
           val k = r.get(keyIdx)
           if (!started || k != curKey) {
             if (started) buf += ((pid, curKey, acc))
-            curKey = k; acc = 0L; started = true
+            if (buf.length >= maxRuns) throw new IllegalStateException(
+              s"DistRank: partition $pid holds more than $maxRuns distinct " +
+                s"`$keyCol` runs — the key cardinality is too high for the " +
+                "driver-collected offset table. These scans are for few-" +
+                "keys/many-rows shapes; a high-cardinality key wants a " +
+                "plain window (each key is small there).")
+            curKey = k; acc = summary0; started = true
           }
-          acc += inc(r)
+          acc = summary(acc, r)
         }
         if (started) buf += ((pid, curKey, acc))
         buf.iterator
     }.collect()
-    // per-(partition, key) starting offsets: sum of the same key's
-    // totals in earlier partitions
-    val offsets: Map[(Int, Any), Long] = runs
+    // per-(partition, key) carried-in states: the key's `init` advanced
+    // over the same key's summaries in earlier partitions
+    val offsets: Map[(Int, Any), S] = runs
       .groupBy(_._2)
       .iterator.flatMap { case (k, rs) =>
         val byPid = rs.sortBy(_._1)
-        var acc = 0L
-        byPid.map { case (pid, _, t) =>
-          val o = ((pid, k), acc); acc += t; o
+        var acc: S = init
+        byPid.map { case (pid, _, m) =>
+          val o = ((pid, k), acc); acc = carry(acc, m); o
         }
       }.toMap
-    // pass 2: assign out = offset + running increment
+    // pass 2: scan each run from its carried-in state
     val withOut = rdd.mapPartitionsWithIndex { (pid, it) =>
       var curKey: Any = null
       var started = false
-      var acc = 0L
+      var st: S = init
       it.map { r =>
         val k = r.get(keyIdx)
         if (!started || k != curKey) {
           curKey = k; started = true
-          acc = offsets.getOrElse((pid, k), 0L)
+          st = offsets.getOrElse((pid, k), init)
         }
-        acc += inc(r)
-        Row.fromSeq(r.toSeq :+ acc)
+        st = step(st, r)
+        Row.fromSeq(r.toSeq :+ emit(st))
       }
     }
-    val schema = StructType(sorted.schema.fields :+
-      StructField(outCol, LongType, nullable = false))
+    val schema = StructType(sorted.schema.fields :+ outField)
     spark.createDataFrame(withOut, schema)
   }
 }

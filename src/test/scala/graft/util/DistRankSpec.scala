@@ -60,4 +60,113 @@ class DistRankSpec extends AnyFunSuite {
         "rank").collect().map(r => (r.getLong(0), r.getLong(3))).toSet
     assert(run(docs) == run(docs.repartition(11)))
   }
+
+  test("perKeyRunningLast equals window last(ignoreNulls) incl. nulls " +
+      "and a struct value column") {
+    import spark.implicits._
+    // events per user; only 'click' rows carry a value struct — the
+    // exact asofJoin carry shape (null struct on left rows)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"))
+      .withColumn("v",
+        when(col("event_type") === "click",
+          struct(col("ts").as("cts"), col("value").as("cv"))))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = ev.withColumn("lastv", last("v", ignoreNulls = true).over(w))
+      .select(col("event_id"), col("lastv.cts"), col("lastv.cv"))
+      .collect().map(r => (r.getLong(0), (r.get(1), r.get(2)))).toMap
+    val got = DistRank.perKeyRunningLast(ev, "user_id",
+        Seq(col("ts"), col("event_id")), "v", "lastv")
+      .select(col("event_id"), col("lastv.cts"), col("lastv.cv"))
+      .collect().map(r => (r.getLong(0), (r.get(1), r.get(2)))).toMap
+    assert(got.size == want.size && got == want)
+  }
+
+  test("perKeySessionIds equals the window lag/sum formulation, " +
+      "null times included") {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    // real event times plus injected NULL-time rows to pin the window
+    // form's null arithmetic (null never starts a session)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        when(col("event_id") % 97 =!= 0, unix_micros(col("ts"))).as("tus"))
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    // the exact original sessionizeBatch window formulation: lag-null
+    // (first row OR null previous time) starts a session
+    val want = ev
+      .withColumn("prev", lag("tus", 1).over(w))
+      .withColumn("flag",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("flag").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("event_id"), col("sid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = DistRank.perKeySessionIds(ev, "user_id", "tus", gapUs, "sid",
+        extraOrder = Seq(col("event_id")))
+      .select(col("event_id"), col("sid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == want.size && got == want)
+  }
+
+  test("mega-key session scan spreads across partitions") {
+    val n = 50000
+    val ev = spark.range(n).selectExpr("id as event_id", "0L as user_id",
+      // a gap every 1000 events: ids advance 1s, each 1000th jumps 1h
+      "id * 1000000L + (id div 1000) * 3600000000L as tus")
+    val out = DistRank.perKeySessionIds(ev, "user_id", "tus",
+      30L * 60 * 1000 * 1000, "sid")
+    val partSizes = out.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(partSizes.count(_ > 0) > 1,
+      s"mega-user must spread over several partitions: ${partSizes.toSeq}")
+    // exactness: 50 sessions of 1000 events each
+    val sess = out.groupBy("sid").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sess.keySet == (1L to 50L).toSet)
+    assert(sess.values.forall(_ == 1000L))
+  }
+
+  test("float/double/binary keys are rejected (NaN / reference " +
+      "equality would corrupt run detection)") {
+    val df = spark.range(10).selectExpr("cast(id as double) as k", "id as v")
+    val e = intercept[IllegalArgumentException] {
+      DistRank.perKeyRowNumber(df, "k", Seq(col("v")), "r")
+    }
+    assert(e.getMessage.contains("universal equality is unsafe"))
+    val bin = spark.range(10)
+      .selectExpr("cast(cast(id as string) as binary) as k", "id as v")
+    intercept[IllegalArgumentException] {
+      DistRank.perKeyRowNumber(bin, "k", Seq(col("v")), "r")
+    }
+    // struct keys of atomic types are fine
+    val ok = spark.range(10).selectExpr("named_struct('a', id % 2) as k",
+      "id as v")
+    assert(DistRank.perKeyRowNumber(ok, "k", Seq(col("v")), "r").count() == 10)
+  }
+
+  test("perKeyRunningSum rejects non-long value columns") {
+    val df = spark.range(10).selectExpr("id % 2 as k", "cast(id as int) as v")
+    val e = intercept[IllegalArgumentException] {
+      DistRank.perKeyRunningSum(df, "k", Seq(col("v")), "v", "s")
+    }
+    assert(e.getMessage.contains("LongType"))
+  }
+
+  test("too many distinct keys fails fast with a clear message, not a " +
+      "driver OOM") {
+    spark.conf.set("spark.graft.distrank.maxRunsPerPartition", "50")
+    try {
+      val df = spark.range(100000).selectExpr("id as k", "id as v")
+      val e = intercept[org.apache.spark.SparkException] {
+        DistRank.perKeyRowNumber(df, "k", Seq(col("v")), "r").count()
+      }
+      val msg = Option(e.getCause).fold(e.getMessage)(_.getMessage)
+      assert(msg.contains("key cardinality is too high"),
+        s"wanted the too-many-keys message, got: $msg")
+    } finally spark.conf.unset("spark.graft.distrank.maxRunsPerPartition")
+  }
 }
