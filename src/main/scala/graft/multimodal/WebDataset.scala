@@ -80,8 +80,7 @@ object WebDataset {
       StructField("bytes_written", LongType)))
     val enc = Encoders.row(schema)
     val hc = graft.sources.ShardIO.conf(media)
-    graft.sources.ShardIO.prepareDir(hc, outDir) // overwrite semantics, driver-side
-    rows.mapPartitions { it =>
+    val report = rows.mapPartitions { it =>
       // a partition may carry several shards (hash partitioning):
       // consume sequentially, cutting a new tar at each shard change —
       // packSequencesAtomic's group-fold pattern. All file IO rides
@@ -160,7 +159,21 @@ object WebDataset {
         }
       }
     }(enc)
+    // overwrite semantics at FIRST EXECUTION (not plan build): a plan
+    // that is never acted on touches nothing — see ShardIO's contract
+    graft.sources.ShardIO.withLazyPrepare(report, hc, outDir)
   }
+
+  /** JOB-level atomic export: [[writeShards]] + verification + the
+    * terminal `_MANIFEST.jsonl` commit
+    * ([[graft.sources.ShardIO.commitExport]]). Eager; returns the
+    * per-shard report rows. */
+  def export(media: DataFrame, idCol: String, payloadCol: String,
+      textCol: String, outDir: String, nShards: Int,
+      ext: String = "bmp"): Array[Row] =
+    graft.sources.ShardIO.commitExport(
+      writeShards(media, idCol, payloadCol, textCol, outDir, nShards, ext),
+      outDir)
 
   /** Read a USTAR archive back as (member name, bytes) — the test-side
     * inverse of [[writeShards]]'s emitter (stops at the zero block). */

@@ -83,8 +83,14 @@ object LinkRank {
       .localCheckpoint()
     val out = e.groupBy("src").agg(count(lit(1)).as("od")).barrierFirewall()
     val base = (100 - dampingPct) * 10000L // (1-d) * 1e6
-    // |V| — needed only for the dangling split; one bounded 1-row job
+    // |V| — needed only for the dangling split; one bounded 1-row job.
+    // Guarded: an empty node set would make the `__m div 0` dangling
+    // term NULL and propagate silent NULL ranks instead of an error.
     val nV = if (redistributeDangling) nodes.count() else 0L
+    require(!redistributeDangling || nV > 0,
+      "pageRank(redistributeDangling=true) on an empty edge frame: no " +
+        "vertices to redistribute the dangling mass over (the division " +
+        "by |V|=0 would silently NULL every rank)")
     var r = nodes.withColumn("rank_micro", lit(1000000L))
     var i = 0
     var stopped = false

@@ -103,4 +103,44 @@ object Temporal {
       .select((on ++ Seq(leftTime) ++ leftPayload).map(col) ++
         rightVals.map(c => col("__r").getField(c).as(c)): _*)
   }
+
+  /** FORWARD (inclusive) as-of join: for every left row, attach the
+    * EARLIEST right row with the same keys at or after the left time
+    * (`r.t >= l.t`) — the time-to-next-event enrichment (conversion
+    * lag, next-session lookahead, label leakage checks in feature
+    * back-fill). Left rows with no following right row keep NULL
+    * `rightVals`.
+    *
+    * Implemented as [[asofJoin]] on a NEGATED microsecond time axis:
+    * `r.t >= l.t` is `-r.t <= -l.t`, so the whole de-skewed union +
+    * two-pass running-`last` machinery (and its null/struct-torn-row
+    * guarantees) is reused verbatim — one range shuffle, no join, a hot
+    * key spreads over many partitions. Time columns must be
+    * timestamps or integral epochs (the negation needs an arithmetic
+    * axis). Among simultaneous earliest right rows the LAST in
+    * `tieBreak` order wins, same convention as the backward join. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String, rightVals: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    def negMicros(df: DataFrame, c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          -unix_micros(col(c).cast("timestamp"))
+        case _: org.apache.spark.sql.types.IntegralType =>
+          -col(c).cast("long")
+        case other => throw new IllegalArgumentException(
+          s"asofJoinForward needs a timestamp or integral time column; " +
+            s"`$c` is ${other.simpleString}")
+      }
+    val fwdReserved = Seq("__fwd_lt", "__fwd_rt")
+    val clash = (left.columns ++ right.columns).distinct
+      .filter(fwdReserved.contains)
+    require(clash.isEmpty, s"columns ${clash.mkString(", ")} collide " +
+      "with asofJoinForward's reserved internal names (__fwd_lt, __fwd_rt)")
+    val l2 = left.withColumn("__fwd_lt", negMicros(left, leftTime))
+    val r2 = right.withColumn("__fwd_rt", negMicros(right, rightTime))
+    asofJoin(l2, r2, on, "__fwd_lt", "__fwd_rt", rightVals, tieBreak)
+      .drop("__fwd_lt")
+  }
 }

@@ -99,9 +99,8 @@ object Jsonl {
         org.apache.spark.sql.types.LongType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val hc = ShardIO.conf(df)
-    ShardIO.prepareDir(hc, outDir) // overwrite semantics, driver-side
     val sfx = if (gzip) ".jsonl.gz" else ".jsonl"
-    rows.mapPartitions { it =>
+    val report = rows.mapPartitions { it =>
       // group-fold over (possibly several) shards per hash partition —
       // the WebDataset writer's pattern. All file IO rides ShardIO's
       // Hadoop-FS temp+rename commit (cluster-portable, retry-safe).
@@ -146,5 +145,17 @@ object Jsonl {
         }
       }
     }(enc)
+    // overwrite semantics at FIRST EXECUTION (not plan build): a plan
+    // that is never acted on touches nothing — see ShardIO's contract
+    ShardIO.withLazyPrepare(report, hc, outDir)
   }
+
+  /** JOB-level atomic export: [[writeShards]] + verification +
+    * the terminal `_MANIFEST.jsonl` commit ([[ShardIO.commitExport]]).
+    * Eager; returns the per-shard report rows. Readers gate on
+    * [[ShardIO.readCommitted]] — no manifest means the job died
+    * mid-export. */
+  def export(df: DataFrame, idCol: String, outDir: String, nShards: Int,
+      gzip: Boolean = true): Array[org.apache.spark.sql.Row] =
+    ShardIO.commitExport(writeShards(df, idCol, outDir, nShards, gzip), outDir)
 }

@@ -93,24 +93,140 @@ object ShardIO {
     }
   }
 
-  /** DRIVER-side output-directory preparation — overwrite semantics for
-    * the whole export (the `write.mode("overwrite")` contract): delete
-    * any existing files matching the sink's shard naming under
-    * `outDir`, plus stranded `.tmp` files, and create the directory.
-    * Called at plan-build time by every `writeShards`, so an in-task
-    * rename-to-existing can ONLY mean a concurrent twin attempt of
-    * this job (bit-identical bytes), never a stale shard from a
-    * previous run over different data. */
+  /** The terminal job-commit marker every export directory gates on:
+    * written LAST by [[commitExport]] after all shards commit and
+    * verify, so its presence means "this directory is a COMPLETE
+    * export" — the `_SUCCESS`-equivalent a training run can trust. One
+    * JSON object per line, sorted by file name:
+    * `{"file":"shard-...","records":N,"bytes":N}`. */
+  val ManifestName = "_MANIFEST.jsonl"
+
+  /** Output-directory preparation — overwrite semantics for the whole
+    * export (the `write.mode("overwrite")` contract): delete the job
+    * manifest FIRST (the directory must stop claiming completeness
+    * before any shard is touched), then any existing files matching the
+    * sink's shard naming plus stranded `.tmp` files, and create the
+    * directory. Runs at FIRST EXECUTION of a `writeShards` plan (see
+    * [[withLazyPrepare]]) — building a plan that is never acted on
+    * touches nothing — so an in-task rename-to-existing can ONLY mean a
+    * concurrent twin attempt of this job (bit-identical bytes), never a
+    * stale shard from a previous run over different data. Two exports
+    * writing the SAME directory concurrently remain unsupported (one
+    * job's prepare would interleave deletes into the other's commits —
+    * exports to one directory must be serialized by the caller). */
   def prepareDir(hc: SerializableHadoopConf, outDir: String): Unit = {
     val dir = new Path(outDir)
     val fs = dir.getFileSystem(hc.value)
     if (fs.exists(dir)) {
+      val manifest = new Path(dir, ManifestName)
+      if (fs.exists(manifest)) fs.delete(manifest, false)
       fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith("shard-") || n.endsWith(".tmp"))
           fs.delete(st.getPath, false)
       }
     } else fs.mkdirs(dir)
+  }
+
+  /** Defer [[prepareDir]] from plan-build time to the report frame's
+    * FIRST execution: the preparation rides a one-row broadcast side of
+    * a nested-loop join, and Spark materializes broadcast inputs before
+    * launching the stage that consumes them — so the directory is
+    * cleared exactly once, before any write task runs, and only when
+    * the job actually runs. (The r15 form prepared at plan BUILD, so
+    * merely constructing a never-executed plan destroyed the previous
+    * good artifact.) Re-running the SAME returned frame does not
+    * re-prepare (the broadcast is memoized per plan): the re-run's
+    * commits land on their bit-identical twins and report the same
+    * lengths — the reproducibility contract makes that a no-op. */
+  def withLazyPrepare(report: DataFrame,
+      hc: SerializableHadoopConf, outDir: String): DataFrame = {
+    val spark = report.sparkSession
+    val prep = spark.range(1)
+      .map { _ => prepareDir(hc, outDir); 1L }(
+        org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("__prep")
+    report.crossJoin(org.apache.spark.sql.functions.broadcast(prep))
+      .drop("__prep")
+  }
+
+  /** One line of the committed job manifest. */
+  final case class CommittedShard(file: String, records: Long, bytes: Long)
+
+  /** JOB-level atomic export commit — the r15 gap where a job dying
+    * after 400 of 1,000 shard commits left a directory
+    * indistinguishable from a complete export. Eagerly runs the lazy
+    * `writeShards` report job, verifies every reported shard's
+    * committed length against the filesystem, and only then writes
+    * [[ManifestName]] — the TERMINAL commit. Readers gate on the
+    * manifest via [[readCommitted]]: no manifest == the job died
+    * mid-export and the shards present are not a trustworthy set.
+    * Returns the collected per-shard report rows (schema as the sink's
+    * `writeShards` documents: (shard, path, n_records, bytes)). */
+  def commitExport(report: DataFrame, outDir: String): Array[org.apache.spark.sql.Row] = {
+    val hc = conf(report)
+    val rows = report.collect()
+    val dir = new Path(outDir)
+    val fs = dir.getFileSystem(hc.value)
+    val entries = rows.map { r =>
+      CommittedShard(new Path(r.getString(1)).getName, r.getLong(2),
+        r.getLong(3))
+    }.sortBy(_.file)
+    require(entries.map(_.file).distinct.length == entries.length,
+      "export report lists the same shard file twice — writer bug")
+    entries.foreach { e =>
+      val st = fs.getFileStatus(new Path(dir, e.file)) // throws if missing
+      if (st.getLen != e.bytes) throw new IOException(
+        s"export verification failed: ${e.file} is ${st.getLen} bytes on " +
+          s"the filesystem, the writing task reported ${e.bytes} — not " +
+          "committing the manifest")
+    }
+    val ss = begin(hc, new Path(dir, ManifestName).toString)
+    val w = new java.io.BufferedOutputStream(ss.raw)
+    entries.foreach { e =>
+      w.write((s"""{"file":"${e.file}","records":${e.records},""" +
+        s""""bytes":${e.bytes}}""" + "\n").getBytes("UTF-8"))
+    }
+    w.close()
+    ss.commit()
+    rows
+  }
+
+  /** Reader-side completeness gate: parse [[ManifestName]] and verify
+    * every listed shard exists at its recorded length. Throws with a
+    * precise diagnosis when the export is incomplete (no manifest — the
+    * job died before the terminal commit), a shard is missing, or a
+    * length mismatches (truncation/tampering after commit). Returns the
+    * manifest entries in file order on success. */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): Seq[CommittedShard] = {
+    val dir = new Path(outDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new Path(dir, ManifestName)
+    if (!fs.exists(mp)) throw new IllegalStateException(
+      s"incomplete export at $outDir: no $ManifestName — the job died " +
+        "before the terminal manifest commit; shards present are not a " +
+        "trustworthy complete set")
+    val in = fs.open(mp)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    val R = """\{"file":"([^"]+)","records":(\d+),"bytes":(\d+)\}""".r
+    val entries = lines.map {
+      case R(f, n, b) => CommittedShard(f, n.toLong, b.toLong)
+      case l => throw new IllegalStateException(
+        s"malformed manifest line in $mp: $l")
+    }
+    entries.foreach { e =>
+      val p = new Path(dir, e.file)
+      if (!fs.exists(p)) throw new IllegalStateException(
+        s"export at $outDir lists ${e.file} in the manifest but the " +
+          "shard is missing")
+      val len = fs.getFileStatus(p).getLen
+      if (len != e.bytes) throw new IllegalStateException(
+        s"shard ${e.file} is $len bytes, manifest says ${e.bytes} — " +
+          "truncated or modified after commit")
+    }
+    entries
   }
 
   /** Open a shard stream whose commit target is `finalPath`. Creates

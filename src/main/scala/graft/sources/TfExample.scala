@@ -299,7 +299,8 @@ object TfExampleEncode {
       var i = 0
       while (i < order.length) {
         val src = order(i)
-        feats(i) = sortedNames(i) -> featureBytes(types(src), vals(src))
+        feats(i) =
+          sortedNames(i) -> featureBytes(sortedNames(i), types(src), vals(src))
         i += 1
       }
       TfExample.exampleSorted(feats)
@@ -314,7 +315,8 @@ object TfExampleEncode {
       case _ => throw new IllegalStateException(s"not integral: $dt")
     }
 
-    private def featureBytes(dt: DataType, v: AnyRef): Array[Byte] = dt match {
+    private def featureBytes(name: String, dt: DataType,
+        v: AnyRef): Array[Byte] = dt match {
       case StringType =>
         TfExample.bytesFeature(if (v == null) Nil
           else Seq(v.asInstanceOf[UTF8String].getBytes))
@@ -327,9 +329,24 @@ object TfExampleEncode {
       case ByteType | ShortType | IntegerType | LongType =>
         TfExample.int64Feature(longsOf(dt, v))
       case ArrayType(et, _) =>
-        if (v == null) featureBytes(et, null)
+        if (v == null) featureBytes(name, et, null)
         else {
           val ad = v.asInstanceOf[ArrayData]
+          // the tf.Example proto has NO null-element representation: a
+          // silent default (0 / 0.0f / empty bytes) would corrupt the
+          // payload while still passing reproducibility checks. A flat
+          // NULL scalar means "empty feature" (handled above); a null
+          // INSIDE a list is a data error — fail the task loudly.
+          var j = 0
+          while (j < ad.numElements()) {
+            if (ad.isNullAt(j)) throw new IllegalArgumentException(
+              s"tf.Example feature `$name` has a NULL at list position " +
+                s"$j: the proto has no null representation and a zero " +
+                "stand-in would silently corrupt the payload. " +
+                "filter(x -> x IS NOT NULL) the column first, or make " +
+                "the whole value NULL for an empty feature.")
+            j += 1
+          }
           et match {
             case StringType => TfExample.bytesFeature(
               (0 until ad.numElements()).map(ad.getUTF8String(_).getBytes))

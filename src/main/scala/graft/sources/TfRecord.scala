@@ -106,8 +106,7 @@ object TfRecord {
       StructField("bytes_written", LongType)))
     val enc = Encoders.row(schema)
     val hc = ShardIO.conf(df)
-    ShardIO.prepareDir(hc, outDir) // overwrite semantics, driver-side
-    rows.mapPartitions { it =>
+    val report = rows.mapPartitions { it =>
       // All file IO rides ShardIO's Hadoop-FS temp+rename commit
       // (cluster-portable, retry-safe — see ShardIO's contract).
       var out: java.io.OutputStream = null
@@ -150,7 +149,26 @@ object TfRecord {
         }
       }
     }(enc)
+    // overwrite semantics at FIRST EXECUTION (not plan build): a plan
+    // that is never acted on touches nothing — see ShardIO's contract
+    ShardIO.withLazyPrepare(report, hc, outDir)
   }
+
+  /** JOB-level atomic export: [[writeShards]] + verification + the
+    * terminal `_MANIFEST.jsonl` commit ([[ShardIO.commitExport]]).
+    * Eager; returns the per-shard report rows. */
+  def export(df: DataFrame, idCol: String, valueCol: String,
+      outDir: String, nShards: Int): Array[Row] =
+    ShardIO.commitExport(
+      writeShards(df, idCol, valueCol, outDir, nShards), outDir)
+
+  /** JOB-level atomic [[writeExamples]] — same terminal-manifest
+    * commit as [[export]]. */
+  def exportExamples(df: DataFrame, idCol: String,
+      features: Seq[(String, org.apache.spark.sql.Column)],
+      outDir: String, nShards: Int): Array[Row] =
+    ShardIO.commitExport(
+      writeExamples(df, idCol, features, outDir, nShards), outDir)
 
   /** TFRecord export whose payloads are canonical [[TfExample]]
     * protobufs serialized from the given (name, column) features —

@@ -97,7 +97,8 @@ object EventSkew {
         graft.ops.Temporal.asofJoin(purchases, clicks,
           on = Seq("user_id"), leftTime = "et", rightTime = "ct",
           rightVals = Seq("click_ts", "click_value"),
-          tieBreak = Seq("click_id")).count()
+          tieBreak = Seq("click_id"))
+          .agg(count(col("click_ts"))).head.getLong(0)
       }
       measure(s"asof_window n=$n") {
         val l = purchases.select(col("user_id"), col("et").as("__t"),
@@ -112,11 +113,14 @@ object EventSkew {
         val w = Window.partitionBy("user_id")
           .orderBy(col("__t"), col("__is_l"), col("click_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // consume the carried struct, or column pruning deletes the
+        // whole window and the straw man measures a bare union count
         l.unionByName(r).withColumn("__r",
             last(when(!col("__is_l"),
               struct(col("click_ts"), col("click_value"))),
               ignoreNulls = true).over(w))
-          .filter(col("__is_l")).count()
+          .filter(col("__is_l"))
+          .agg(count(col("__r.click_ts"))).head.getLong(0)
       }
     }
     spark.stop()

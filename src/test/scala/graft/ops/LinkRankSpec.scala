@@ -138,4 +138,17 @@ class LinkRankSpec extends AnyFunSuite {
     assert(stopped == fixed)
     assert(earlyWall > 0) // wall observed; early-exit is the contract
   }
+
+  test("redistributeDangling on an empty edge frame fails loudly " +
+      "instead of silently NULLing every rank (|V|=0 division)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      LinkRank.pageRank(empty, "src", "dst", 3,
+        redistributeDangling = true)
+    }
+    assert(e.getMessage.contains("no vertices"))
+    // without redistribution an empty frame stays legal (empty result)
+    assert(LinkRank.pageRank(empty, "src", "dst", 3).count() == 0)
+  }
 }

@@ -52,12 +52,19 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("sym", "tt", "tid", "px"))
   }
 
-  test("plan contains no join operator — single shuffle by key") {
+  test("plan contains no join operator and no per-key hash shuffle") {
+    // r16: the carry-forward runs through DistRank.perKeyRunningLast,
+    // whose ONE range shuffle (mega-key-spreading, see DistRankSpec)
+    // lives in the two-pass subjob — the output plan itself must hold
+    // neither a join nor a hash exchange on the keys (the old window
+    // form's one-task-per-key funnel).
     val out = Temporal.asofJoin(trades, quotes, Seq("sym"), "tt", "qt", Seq("px"))
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("join"), s"unexpected join in:\n$plan")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected per-key hash shuffle in:\n$plan")
+    assert(!plan.toLowerCase.contains("window"),
+      s"unexpected window (one-task-per-key funnel) in:\n$plan")
   }
 
   test("rightTime itself can be carried as a value column") {

@@ -38,13 +38,14 @@ class ShardIOSpec extends AnyFunSuite {
         Files.readAllBytes(Paths.get(s"$ref/$p"))),
         s"$p must be bit-identical to the clean run")
     }
-    // the writer's own temps are gone (renamed away); only the stale
-    // crashed-attempt squatter remains, invisible to shard readers
-    // (hidden dot-name, .tmp suffix)
+    // NO temps remain: the live run's temps are renamed away and the
+    // crashed-attempt squatter was removed by prepareDir at the job's
+    // first execution (the r15 assertion here was vacuously true — this
+    // pins the intended behavior explicitly)
     val leftovers = Files.list(Paths.get(out)).toArray.map(_.toString)
       .filter(_.endsWith(".tmp"))
-    assert(leftovers.forall(_.contains("99999")),
-      s"no temp from the live run may survive commit: ${leftovers.toSeq}")
+    assert(leftovers.isEmpty,
+      s"no temp (live or stale) may survive the export: ${leftovers.toSeq}")
   }
 
   test("re-export over a previous run's output replaces stale shards: " +
@@ -109,6 +110,120 @@ class ShardIOSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(nested)))
     val report = Jsonl.writeShards(docs, "doc_id", nested, 2).collect()
     assert(report.length == 2 && Files.exists(Paths.get(nested)))
+  }
+
+  test("building a writeShards plan WITHOUT acting on it touches " +
+      "nothing (the r15 plan-build destruction, fixed)") {
+    val out = Files.createTempDirectory("shardio_lazy").toString
+    Jsonl.export(docs, "doc_id", out, 2, gzip = false)
+    val before = Files.list(Paths.get(out)).toArray.map(_.toString).sorted
+    assert(before.exists(_.endsWith(ShardIO.ManifestName)))
+    // build two plans over the same directory; never act on them
+    Jsonl.writeShards(docs, "doc_id", out, 4, gzip = false)
+    TfRecord.writeShards(docs, "doc_id", "text", out, 3)
+    val after = Files.list(Paths.get(out)).toArray.map(_.toString).sorted
+    assert(after.toSeq == before.toSeq,
+      "an unexecuted plan must not delete the previous good export")
+    // and the committed export still verifies end to end
+    assert(ShardIO.readCommitted(spark, out).length == 2)
+  }
+
+  test("mid-job death is detectably incomplete: shards without the " +
+      "terminal manifest fail the reader gate") {
+    val out = Files.createTempDirectory("shardio_dead").toString
+    // simulate a job that committed all its shards but died BEFORE the
+    // terminal manifest commit: plain writeShards action, no export()
+    val rep = Jsonl.writeShards(docs, "doc_id", out, 2, gzip = false).collect()
+    assert(rep.length == 2, "shards themselves commit fine")
+    val e = intercept[IllegalStateException] {
+      ShardIO.readCommitted(spark, out)
+    }
+    assert(e.getMessage.contains("no " + ShardIO.ManifestName),
+      s"reader must name the missing manifest: ${e.getMessage}")
+  }
+
+  test("a completed export's manifest equals the per-shard aggregation " +
+      "of the PURE manifest operator (t147's oracle rows)") {
+    val out = Files.createTempDirectory("shardio_complete").toString
+    val rep = Jsonl.export(docs, "doc_id", out, 3, gzip = false)
+    val committed = ShardIO.readCommitted(spark, out)
+    assert(committed.map(_.file) == committed.map(_.file).sorted)
+    // the pure manifest's per-shard rollup: n records, sum(line_bytes)
+    // + one newline per record == the committed file's exact length
+    val want = Jsonl.manifest(docs, "doc_id", 3, gzip = false)
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("records"),
+        (sum(col("line_bytes")) + count(lit(1))).as("bytes"))
+      .collect()
+      .map(r => ShardIO.CommittedShard(r.getString(0), r.getLong(1),
+        r.getLong(2)))
+      .sortBy(_.file).toSeq
+    assert(committed == want,
+      s"manifest file must equal the pure-operator rollup:\n$committed\nvs\n$want")
+    // and the report rows agree with the manifest
+    assert(rep.map(r => (new java.io.File(r.getString(1)).getName,
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq ==
+      committed.map(c => (c.file, c.records, c.bytes)))
+  }
+
+  test("post-commit truncation is caught by the reader gate") {
+    val out = Files.createTempDirectory("shardio_trunc").toString
+    TfRecord.export(docs, "doc_id", "text", out, 2)
+    assert(ShardIO.readCommitted(spark, out).length == 2)
+    val victim = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.contains("shard-")).head
+    val bytes = Files.readAllBytes(Paths.get(victim))
+    Files.write(Paths.get(victim),
+      java.util.Arrays.copyOf(bytes, bytes.length - 1))
+    val e = intercept[IllegalStateException] {
+      ShardIO.readCommitted(spark, out)
+    }
+    assert(e.getMessage.contains("manifest says"))
+  }
+
+  test("re-export replaces the manifest FIRST: an export over a stale " +
+      "complete directory can never leave the old manifest lying") {
+    val out = Files.createTempDirectory("shardio_remanifest").toString
+    Jsonl.export(docs, "doc_id", out, 4, gzip = false)
+    val old = ShardIO.readCommitted(spark, out)
+    assert(old.length == 4)
+    // re-export with different sharding and different membership
+    Jsonl.export(docs.filter(col("doc_id") < 20), "doc_id", out, 2,
+      gzip = false)
+    val now = ShardIO.readCommitted(spark, out)
+    assert(now.length == 2 && now.map(_.records).sum == 20)
+    val files = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.contains("shard-"))
+    assert(files.length == 2, s"stale shards must be gone: ${files.toSeq}")
+  }
+
+  test("WebDataset manifest-vs-tar byte equality: member bytes + USTAR " +
+      "overhead == committed tar length, per shard") {
+    // the export-tier symmetry: JSONL/TFRecord already pin
+    // manifest-sum == file length; this closes it for the tar sink.
+    // USTAR member cost = 512 header + data padded to 512; archive
+    // tail = two zero blocks (1024).
+    val media = docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      substring(col("text"), 1, 37).as("caption"))
+    val out = Files.createTempDirectory("shardio_tarbytes").toString
+    graft.multimodal.WebDataset.export(
+      media, "doc_id", "payload", "caption", out, 2)
+    val committed = ShardIO.readCommitted(spark, out)
+      .map(c => c.file -> c.bytes).toMap
+    def ceil512(x: Long) = ((x + 511) / 512) * 512
+    val want = graft.multimodal.WebDataset
+      .manifest(media, "doc_id", "payload", "caption", 2)
+      .select(col("shard"), col("img_bytes"), col("txt_bytes"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (sh, rs) =>
+        val members = rs.map(r =>
+          512L + ceil512(r.getLong(1)) + 512L + ceil512(r.getLong(2))).sum
+        f"shard-$sh%06d.tar" -> (members + 1024L)
+      }
+    assert(committed == want,
+      s"tar lengths must equal the manifest arithmetic:\n$committed\nvs\n$want")
   }
 
   test("WebDataset tolerates a null payload row (empty member, not NPE)") {

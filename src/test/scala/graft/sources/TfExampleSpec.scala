@@ -78,6 +78,25 @@ class TfExampleSpec extends AnyFunSuite {
       s"want an analysis-time type error, got: ${e.getMessage.take(200)}")
   }
 
+  test("a NULL array ELEMENT fails the task loudly (no silent zero " +
+      "stand-in) while a NULL whole value stays an empty feature") {
+    import spark.implicits._
+    // transform() can introduce containsNull=true arrays — the shape
+    // the r15 serializer silently encoded as 0/0.0f/empty bytes
+    val df = Seq((1L, Seq(Some(1L), None, Some(3L)))).toDF("id", "xs")
+    val e = intercept[Exception] {
+      df.select(TfExample.encode(Seq("xs" -> col("xs")))).collect()
+    }
+    assert(e.getMessage.contains("NULL at list position") ||
+      Option(e.getCause).exists(_.getMessage.contains("NULL at list position")),
+      s"want the null-element error, got: ${e.getMessage.take(300)}")
+    // flat NULL value: legal, encodes the empty feature
+    val ok = Seq((1L, null.asInstanceOf[Seq[Long]])).toDF("id", "xs")
+      .select(TfExample.encode(Seq("xs" -> col("xs"))).as("pb")).collect()
+    val parsed = TfExample.parse(ok.head.getAs[Array[Byte]](0))
+    assert(parsed("xs").isEmpty)
+  }
+
   test("Column path (codegen): documents (text, token lengths, id) " +
       "round-trip through encode -> parse") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")

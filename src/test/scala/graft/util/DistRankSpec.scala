@@ -93,7 +93,8 @@ class DistRankSpec extends AnyFunSuite {
     // form's null arithmetic (null never starts a session)
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .select(col("event_id"), col("user_id"),
-        when(col("event_id") % 97 =!= 0, unix_micros(col("ts"))).as("tus"))
+        when(col("event_id") % 97 =!= 0,
+          unix_micros(col("ts").cast("timestamp"))).as("tus"))
     val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
     // the exact original sessionizeBatch window formulation: lag-null
     // (first row OR null previous time) starts a session

@@ -47,6 +47,42 @@ def type_canary(con, name, sql):
     return bad
 
 
+def collation_canary(con):
+    """Pin DuckDB's VARCHAR ordering to binary (codepoint) collation.
+
+    The other silent cross-engine hazard besides type promotion (r16):
+    mirrors whose ORDER BY feeds a LIMIT / rank / string_agg depend on
+    the engine's string ordering — a DuckDB default-collation change
+    (e.g. an ICU or nocase default) would reorder case/punctuation
+    while staying value-equal per row, flipping top-k membership and
+    hash order silently. Probe: uppercase < '_' < lowercase is the
+    codepoint signature any case-folding collation destroys; NULLS LAST
+    is DuckDB's ASC default the mirrors were written against. Returns
+    a list of (probe, got, want) mismatches.
+    """
+    bad = []
+    # top-level ORDER BY (aggregate-internal ORDER BY bypasses the
+    # session default collation, so it would mask the drift)
+    got = ",".join(r[0] for r in con.execute(
+        "SELECT s FROM (VALUES ('b'),('A'),('a'),('B'),('_'),('Z')) t(s) "
+        "ORDER BY s").fetchall())
+    want = "A,B,Z,_,a,b"
+    if got != want:
+        bad.append(("varchar ORDER BY (binary/codepoint)", got, want))
+    # case-folding equality is the worse half: it merges GROUP BY keys
+    # and DISTINCT values the Spark side keeps separate
+    got_eq = con.execute("SELECT 'a' = 'A'").fetchone()[0]
+    if got_eq is not False:
+        bad.append(("varchar equality (case-sensitive)", got_eq, False))
+    got_null = con.execute(
+        "SELECT s FROM (VALUES ('b'),(NULL),('A')) t(s) "
+        "ORDER BY s LIMIT 1").fetchone()[0]
+    if got_null != "A":
+        bad.append(("ASC null placement (NULLS LAST default)",
+                    got_null, "A"))
+    return bad
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -62,6 +98,18 @@ def norm(v):
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
+    # self-test hook: ORACLE_COLLATION_SELFTEST=1 flips the session to a
+    # case-folding collation to prove the canary actually trips
+    if os.environ.get("ORACLE_COLLATION_SELFTEST") == "1":
+        con.execute("SET default_collation='nocase'")
+    drift = collation_canary(con)
+    if drift:
+        for probe, got, want in drift:
+            print(f"FAIL collation canary: {probe}: got {got!r}, "
+                  f"mirrors were written against {want!r} — the DuckDB "
+                  f"default collation drifted; every VARCHAR ORDER BY "
+                  f"feeding a LIMIT/rank is now suspect")
+        return 1
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
