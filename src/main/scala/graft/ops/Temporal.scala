@@ -127,7 +127,10 @@ object Temporal {
         case org.apache.spark.sql.types.TimestampType |
              org.apache.spark.sql.types.TimestampNTZType =>
           -unix_micros(col(c).cast("timestamp"))
-        case _: org.apache.spark.sql.types.IntegralType =>
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType =>
           -col(c).cast("long")
         case other => throw new IllegalArgumentException(
           s"asofJoinForward needs a timestamp or integral time column; " +

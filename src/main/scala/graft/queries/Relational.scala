@@ -250,6 +250,33 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // FORWARD as-of join (time-to-next-event): for each purchase, the
+    // EARLIEST click at or after it per user — conversion-lag shape.
+    // Same de-skewed union + two-pass running-last machinery as q14,
+    // reused on a negated time axis (r.t >= l.t == -r.t <= -l.t); the
+    // oracle mirrors with the q14 window formulation ordered DESC.
+    "q25_asof_forward" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("tsx", graft.streaming.EventStreams.eventTime(ev0))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tsx").as("et"),
+          col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsx").as("ct"),
+          col("tsx").as("next_click_ts"),
+          col("value").as("next_click_value"), col("event_id").as("click_id"))
+      graft.ops.Temporal.asofJoinForward(purchases, clicks,
+          on = Seq("user_id"), leftTime = "et", rightTime = "ct",
+          rightVals = Seq("next_click_ts", "next_click_value"),
+          tieBreak = Seq("click_id"))
+        .select(col("event_id"), col("user_id"),
+          col("et").as("purchase_ts"),
+          round(col("value"), 4).as("purchase_value"),
+          col("next_click_ts"),
+          round(col("next_click_value"), 4).as("next_click_value"))
+        .orderBy("event_id")
+    }),
+
     // Range (banding) join: fact rows matched to a value-interval
     // dimension. The band table is tiny and explicitly broadcast, so the
     // non-equi condition runs as a broadcast nested-loop with zero fact
@@ -393,6 +420,21 @@ object Relational {
          SELECT event_id, user_id, et AS purchase_ts,
            ROUND(value,4) AS purchase_value, click_ts,
            ROUND(click_value,4) AS click_value
+         FROM w WHERE is_p ORDER BY event_id""",
+    "q25_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS et, value,
+                (event_type = 'purchase') AS is_p
+         FROM events WHERE event_type IN ('purchase','click')),
+         w AS (SELECT *,
+                 LAST_VALUE(CASE WHEN NOT is_p THEN et END IGNORE NULLS)
+                   OVER win AS next_click_ts,
+                 LAST_VALUE(CASE WHEN NOT is_p THEN value END IGNORE NULLS)
+                   OVER win AS next_click_value
+               FROM e WINDOW win AS (PARTITION BY user_id
+                 ORDER BY et DESC, is_p, event_id ROWS UNBOUNDED PRECEDING))
+         SELECT event_id, user_id, et AS purchase_ts,
+           ROUND(value,4) AS purchase_value, next_click_ts,
+           ROUND(next_click_value,4) AS next_click_value
          FROM w WHERE is_p ORDER BY event_id""",
     "q15_range_band_join" ->
       """WITH bands(band, lo, hi) AS (VALUES

@@ -138,4 +138,45 @@ class TemporalSpec extends AnyFunSuite {
       Temporal.asofJoin(trades, badRight, Seq("sym"), "tt", "qt", Seq("px"))
     }
   }
+
+  private def runFwd() = Temporal.asofJoinForward(
+    trades, quotes, on = Seq("sym"), leftTime = "tt", rightTime = "qt",
+    rightVals = Seq("px"), tieBreak = Seq("qid"))
+    .orderBy("tid")
+    .select("sym", "tt", "tid", "px")
+    .collect()
+    .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+      Option(r.get(3)).map(_.asInstanceOf[Double])))
+
+  test("forward inclusive semantics: earliest right row at or after " +
+      "each left time, NULL when none follows") {
+    val got = runFwd()
+    assert(got(0) == ("A", 0L, 100, Some(10.0)), "next quote is t=1")
+    assert(got(1) == ("A", 1L, 101, Some(10.0)), "equal time is inclusive")
+    assert(got(2) == ("A", 7L, 102, None), "no quote after t=7 -> null")
+    assert(got(3) == ("B", 9L, 103, None), "B's only quote precedes t=9")
+    assert(got(4) == ("C", 2L, 104, None), "unseen key -> null")
+  }
+
+  test("forward: simultaneous earliest rights resolve by tieBreak " +
+      "(last wins), matching the backward convention") {
+    val t2 = Seq(("A", 3L, 200)).toDF("sym", "tt", "tid")
+    val got = Temporal.asofJoinForward(t2, quotes, Seq("sym"), "tt", "qt",
+      rightVals = Seq("px"), tieBreak = Seq("qid")).collect().head
+    assert(got.getAs[Double]("px") == 12.0,
+      "both t=5 quotes follow t=3; qid=3 must win")
+  }
+
+  test("forward: timestamp time columns negate through unix_micros") {
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "lt")
+    val r = Seq(
+      (1L, java.sql.Timestamp.valueOf("2023-12-31 00:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 3.0))
+      .toDF("k", "rt", "v")
+    val got = Temporal.asofJoinForward(l, r, Seq("k"), "lt", "rt", Seq("v"))
+      .collect().head
+    assert(got.getAs[Double]("v") == 2.0, "earliest FOLLOWING row wins")
+  }
 }

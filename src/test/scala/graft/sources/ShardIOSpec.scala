@@ -192,8 +192,11 @@ class ShardIOSpec extends AnyFunSuite {
       gzip = false)
     val now = ShardIO.readCommitted(spark, out)
     assert(now.length == 2 && now.map(_.records).sum == 20)
-    val files = Files.list(Paths.get(out)).toArray.map(_.toString)
-      .filter(_.contains("shard-"))
+    // name-prefix filter: Hadoop's LocalFileSystem leaves hidden
+    // .shard-*.crc checksum sidecars, which are not shards
+    val files = Files.list(Paths.get(out)).toArray
+      .map(p => p.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(_.startsWith("shard-"))
     assert(files.length == 2, s"stale shards must be gone: ${files.toSeq}")
   }
 
