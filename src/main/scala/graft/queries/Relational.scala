@@ -277,6 +277,22 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // Distributed funnel (click -> purchase -> purchase>50): greedy
+    // earliest strictly-ordered step matching per user, ONE range
+    // shuffle through the two-pass scan core (no k-way self-join).
+    // The oracle is the layered-min formulation the semantics are
+    // defined by.
+    "q26_funnel" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("tus",
+        unix_micros(graft.streaming.EventStreams.eventTime(ev0)))
+      graft.ops.Funnel.matchSteps(ev, "user_id", "tus",
+          Seq(col("event_type") === "click",
+            col("event_type") === "purchase",
+            col("event_type") === "purchase" && col("value") > 50))
+        .orderBy("user_id")
+    }),
+
     // Range (banding) join: fact rows matched to a value-interval
     // dimension. The band table is tiny and explicitly broadcast, so the
     // non-equi condition runs as a broadcast nested-loop with zero fact
@@ -436,6 +452,25 @@ object Relational {
            ROUND(value,4) AS purchase_value, next_click_ts,
            ROUND(next_click_value,4) AS next_click_value
          FROM w WHERE is_p ORDER BY event_id""",
+    "q26_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                event_type, value FROM events),
+         s1 AS (SELECT user_id, min(tus) AS t1 FROM e
+                WHERE event_type = 'click' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(tus) AS t2 FROM e JOIN s1 USING(user_id)
+                WHERE event_type = 'purchase' AND tus > t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(tus) AS t3 FROM e JOIN s2 USING(user_id)
+                WHERE event_type = 'purchase' AND value > 50 AND tus > t2
+                GROUP BY 1)
+         SELECT u.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS stages_reached,
+           t1 AS step_1_us, t2 AS step_2_us, t3 AS step_3_us
+         FROM (SELECT DISTINCT user_id FROM e) u
+           LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id)
+           LEFT JOIN s3 USING(user_id)
+         ORDER BY user_id""",
     "q15_range_band_join" ->
       """WITH bands(band, lo, hi) AS (VALUES
            ('A_low', 0.0, 50000.0), ('B_mid', 50000.0, 150000.0),

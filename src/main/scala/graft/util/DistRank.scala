@@ -223,10 +223,19 @@ object DistRank {
     * earlier partition's run; `init` is the state before any row of a
     * key; `step` consumes a row in pass 2; `emit` reads the per-row
     * output from the POST-row state (inclusive-frame semantics). All
-    * closures observe the PRE-SHUFFLE column order in both passes. */
-  private def scanTwoPass[S, M](df: DataFrame, keyCol: String,
+    * closures observe the PRE-SHUFFLE column order in both passes.
+    *
+    * Exposed `private[graft]` for sibling scan operators
+    * ([[graft.ops.Funnel]]); external callers use the named ops above.
+    * NOTE for callers whose orderCols do NOT totally order rows within
+    * a key: rows with EQUAL (key, orderCols...) never split across
+    * partitions (the range partitioner maps equal keys identically),
+    * but their relative order within a partition is arbitrary — the
+    * op's semantics must be invariant to it (the funnel's strict-`>`
+    * advance is; a rank is not, hence its tiebreaker contract). */
+  private[graft] def scanTwoPass[S, M](df: DataFrame, keyCol: String,
       orderCols: Seq[Column], outField: StructField)(
-      summary: (M, Row) => M, summary0: M,
+      summary: (M, Row) => M, summary0: => M,
       init: S, carry: (S, M) => S,
       step: (S, Row) => S, emit: S => Any): DataFrame = {
     val spark = df.sparkSession
