@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT distributed per-group percentiles — the gap between Spark's
+  * built-ins at 100 TB: `percentile_approx` is approximate, and the
+  * exact `percentile` aggregate buffers each group in one task's
+  * memory (the per-key window funnel in aggregate clothing). This
+  * computes exact discrete percentiles with a bounded-memory plan at
+  * any group size: [[graft.util.DistRank.perKeyRowNumber]]'s
+  * range-partitioned two-pass rank (a corpus-sized group spreads over
+  * all partitions), a broadcast per-key count join, and a map-side
+  * combinable pivot of the rank-selected rows.
+  *
+  * Index semantics are pinned in INTEGER arithmetic so any engine can
+  * mirror them bit-exactly: `idx(p) = ceil(p * n / 100) = (p*n + 99)
+  * div 100` — the inverse-CDF discrete quantile (p=50, n=10 -> the
+  * 5th smallest; p=99, n=10 -> the 10th; always >= 1 since p >= 1).
+  * A float formulation (`ceil(0.9 * n)`) is NOT reproducible across
+  * engines: 0.9*10 rounds to 9.000000000000002 in IEEE doubles and
+  * ceils to 10 on one side only.
+  *
+  * NULL values are excluded (the SQL aggregate convention); the value
+  * at a selected rank is deterministic even among duplicate values,
+  * because ranking only permutes equal values. Keys must satisfy
+  * [[graft.util.DistRank]]'s bounded-cardinality contract (percentile
+  * GROUPS are few by nature — the rows per group are what scales).
+  */
+object Quantiles {
+
+  /** Per-`keyCol` exact discrete percentiles of `valueCol`. Returns
+    * one row per key: (keyCol, n, p_<p1>, p_<p2>, ...) with the value
+    * column's own type. `percents` are integer percents in [1, 100].
+    * `tieBreak` column names totally order duplicate values (hygiene:
+    * makes every intermediate rank deterministic, not just the
+    * selected values, which are tie-insensitive either way). */
+  def exactPercentiles(df: DataFrame, keyCol: String, valueCol: String,
+      percents: Seq[Int], tieBreak: Seq[String] = Nil): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be integers in [1, 100], got $percents")
+    require(percents.distinct.size == percents.size,
+      s"duplicate percents: $percents")
+    val sel = df
+      .select((Seq(keyCol, valueCol) ++ tieBreak).map(col): _*)
+      .filter(col(valueCol).isNotNull)
+      .withColumnRenamed(valueCol, "__v")
+    val ranked = graft.util.DistRank.perKeyRowNumber(
+      sel, keyCol, (Seq("__v") ++ tieBreak).map(col), "__rk")
+    val counts = sel.groupBy(keyCol).agg(count(lit(1)).as("__n"))
+    val withN = ranked.join(broadcast(counts), Seq(keyCol))
+    val pivots = percents.map { p =>
+      max(when(col("__rk") === expr(s"(${p}L * __n + 99L) div 100L"),
+        col("__v"))).as(s"p_$p")
+    }
+    withN.groupBy(keyCol)
+      .agg(max(col("__n")).as("n"), pivots: _*)
+  }
+}

@@ -293,6 +293,18 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // EXACT distributed percentiles (not percentile_approx, not a
+    // one-task-per-group exact aggregate): DistRank ranks + broadcast
+    // count join + rank-selected pivot; index semantics pinned in
+    // integer arithmetic ((p*n+99) div 100) so both engines agree
+    // bit-exactly. One corpus-sized group spreads over all partitions.
+    "q27_exact_percentiles" -> ((s, dir) => {
+      graft.ops.Quantiles.exactPercentiles(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", Seq(50, 90, 99),
+          tieBreak = Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_returnflag")
+    }),
+
     // Range (banding) join: fact rows matched to a value-interval
     // dimension. The band table is tiny and explicitly broadcast, so the
     // non-equi condition runs as a broadcast nested-loop with zero fact
@@ -471,6 +483,17 @@ object Relational {
            LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id)
            LEFT JOIN s3 USING(user_id)
          ORDER BY user_id""",
+    "q27_exact_percentiles" ->
+      """WITH r AS (SELECT l_returnflag AS k, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice) AS rk,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT k AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rk = (50*n + 99)//100 THEN v END) AS p_50,
+           max(CASE WHEN rk = (90*n + 99)//100 THEN v END) AS p_90,
+           max(CASE WHEN rk = (99*n + 99)//100 THEN v END) AS p_99
+         FROM r GROUP BY 1 ORDER BY 1""",
     "q15_range_band_join" ->
       """WITH bands(band, lo, hi) AS (VALUES
            ('A_low', 0.0, 50000.0), ('B_mid', 50000.0, 150000.0),

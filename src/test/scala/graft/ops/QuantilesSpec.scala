@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quantiles.exactPercentiles: pinned integer index semantics against
+  * a driver-side sorted reference, null exclusion, duplicate-value
+  * determinism, and the mega-group spread posture. */
+class QuantilesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def refIdx(p: Int, n: Int): Int = ((p.toLong * n + 99) / 100).toInt
+
+  test("agrees with the sorted driver-side reference on real data") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val got = Quantiles.exactPercentiles(li, "l_returnflag",
+        "l_extendedprice", Seq(50, 90, 99),
+        tieBreak = Seq("l_orderkey", "l_linenumber"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val byKey = li.select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    assert(got.keySet == byKey.keySet)
+    byKey.foreach { case (k, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length
+      val want = (n.toLong, sorted(refIdx(50, n) - 1),
+        sorted(refIdx(90, n) - 1), sorted(refIdx(99, n) - 1))
+      assert(got(k) == want, s"key $k: got ${got(k)}, want $want")
+    }
+  }
+
+  test("pinned index arithmetic: p=50/99 over n=10 picks the 5th/10th; " +
+      "nulls are excluded; duplicates are deterministic") {
+    val df = (Seq.tabulate(10)(i => ("a", Some((i + 1).toDouble))) ++
+      Seq(("a", None), ("b", Some(7.0)), ("b", Some(7.0)), ("b", None)))
+      .toDF("k", "v")
+    val got = Quantiles.exactPercentiles(df, "k", "v", Seq(50, 99))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("a") == ((10L, 5.0, 10.0)), "ceil(50*10/100)=5, ceil(99*10/100)=10")
+    assert(got("b") == ((2L, 7.0, 7.0)), "nulls excluded; duplicate-safe")
+  }
+
+  test("one corpus-sized group spreads across partitions and stays exact") {
+    val n = 200000
+    val df = spark.range(n).selectExpr("'one' as k",
+      "cast((id * 7919) % 1000003 as double) as v", "id")
+    val got = Quantiles.exactPercentiles(df, "k", "v", Seq(50, 90),
+      tieBreak = Seq("id")).collect().head
+    val sorted = df.select("v").collect().map(_.getDouble(0)).sorted
+    assert(got.getLong(1) == n)
+    assert(got.getDouble(2) == sorted(refIdx(50, n) - 1))
+    assert(got.getDouble(3) == sorted(refIdx(90, n) - 1))
+  }
+}
