@@ -21,9 +21,11 @@ import org.apache.spark.sql.types._
   *
   * Scale design: the naive formulation is k self-joins (step i joined
   * to step i-1 per key) — k shuffles and a fanout hazard on hot keys.
-  * This runs ONE range shuffle on (key, time) through
-  * [[graft.util.DistRank]]'s two-pass scan core: pass 1 folds each
-  * partition's per-key run into a SIMULATION VECTOR (the funnel state
+  * This runs through [[graft.util.DistRank]]'s HYBRID scan dispatch:
+  * normal keys fold hash-partitioned in a single pass (unbounded key
+  * cardinality, no driver table); keys above the heavy-row threshold
+  * take the two-pass range scan, where pass 1 folds each partition's
+  * per-key run into a SIMULATION VECTOR (the funnel state
   * transformation for every possible entry stage — k+1 small states,
   * k ≤ 8), the driver composes the vectors per key in partition order,
   * and pass 2 replays each run from its carried-in state. A hot key
@@ -87,8 +89,9 @@ object Funnel {
     // run summary: for every entry stage s, the exit stage and the
     // advance times set within this run (indices s until exit)
     final case class Sim(exit: Array[Int], times: Array[Array[Long]])
-    val scanned = graft.util.DistRank.scanTwoPass[(Int, Array[Long]), Sim](
-      flagged, keyCol, Seq(col(timeUsCol)), stField)(
+    val scanned = graft.util.DistRank.scanHybrid[(Int, Array[Long]), Sim](
+      flagged, keyCol, Seq(col(timeUsCol)), stField,
+      graft.util.DistRank.defaultHeavyRowThreshold(events.sparkSession))(
       summary = { (m, r) =>
         var s = 0
         while (s <= k) {

@@ -41,13 +41,20 @@ object Quantiles {
       s"percents must be integers in [1, 100], got $percents")
     require(percents.distinct.size == percents.size,
       s"duplicate percents: $percents")
+    val reserved = Seq("__v", "__rk", "__n")
+    val clash = (keyCol +: tieBreak).filter(reserved.contains)
+    require(clash.isEmpty, s"columns ${clash.mkString(", ")} collide " +
+      "with exactPercentiles' reserved internal names (__v, __rk, __n)")
     val sel = df
       .select((Seq(keyCol, valueCol) ++ tieBreak).map(col): _*)
       .filter(col(valueCol).isNotNull)
       .withColumnRenamed(valueCol, "__v")
     val ranked = graft.util.DistRank.perKeyRowNumber(
       sel, keyCol, (Seq("__v") ++ tieBreak).map(col), "__rk")
-    val counts = sel.groupBy(keyCol).agg(count(lit(1)).as("__n"))
+    // per-key counts from the RANKED frame (max rank == count): reuses
+    // the scan's completed shuffle map stage instead of re-reading the
+    // input relation a second time
+    val counts = ranked.groupBy(keyCol).agg(max(col("__rk")).as("__n"))
     val withN = ranked.join(broadcast(counts), Seq(keyCol))
     val pivots = percents.map { p =>
       max(when(col("__rk") === expr(s"(${p}L * __n + 99L) div 100L"),

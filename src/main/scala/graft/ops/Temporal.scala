@@ -88,16 +88,20 @@ object Temporal {
     // (Carrying each column with its own last(ignoreNulls) would let a
     // NULL in the newest right row expose a stale value from an older
     // one — a torn row mixing two right rows.)
-    // The carry-forward itself is DistRank's two-pass running last over
+    // The carry-forward itself is DistRank's HYBRID running last over
     // a (keys)-struct key in (__t, __is_l, tieBreak...) order — exactly
-    // the window's nulls-first ascending order, minus the window's
-    // one-task-per-key funnel.
+    // the window's nulls-first ascending order. Hot keys above the
+    // heavy-row threshold spread over all partitions (two-pass range
+    // scan); the unbounded tail of normal keys folds hash-partitioned
+    // with no driver table, so key cardinality stays unbounded.
     val unioned = l.unionByName(r)
       .withColumn("__rv",
         when(!col("__is_l"), struct(rightVals.map(col): _*)))
       .withColumn("__k", struct(on.map(col): _*))
     val carried = graft.util.DistRank.perKeyRunningLast(unioned, "__k",
-      col("__t") +: col("__is_l") +: tieBreak.map(col), "__rv", "__r")
+      col("__t") +: col("__is_l") +: tieBreak.map(col), "__rv", "__r",
+      heavyRowThreshold = Some(graft.util.DistRank
+        .defaultHeavyRowThreshold(left.sparkSession)))
     carried.filter(col("__is_l"))
       .withColumn(leftTime, col("__t"))
       .select((on ++ Seq(leftTime) ++ leftPayload).map(col) ++

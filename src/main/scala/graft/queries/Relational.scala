@@ -305,6 +305,17 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Weekly cohort retention matrix: first-touch cohorts x active
+    // weeks — three map-side-combinable hash aggregates + one shuffle
+    // equi-join on the user key; the distinct step collapses bot users
+    // BEFORE the join, so no skew funnel and no countDistinct expand.
+    "q28_retention" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      graft.ops.Retention.weeklyRetention(ev0, "user_id",
+          graft.streaming.EventStreams.eventTime(ev0))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Range (banding) join: fact rows matched to a value-interval
     // dimension. The band table is tiny and explicitly broadcast, so the
     // non-equi condition runs as a broadcast nested-loop with zero fact
@@ -494,6 +505,18 @@ object Relational {
            max(CASE WHEN rk = (90*n + 99)//100 THEN v END) AS p_90,
            max(CASE WHEN rk = (99*n + 99)//100 THEN v END) AS p_99
          FROM r GROUP BY 1 ORDER BY 1""",
+    "q28_retention" ->
+      """WITH ev AS (SELECT user_id,
+                date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+              FROM events),
+         f AS (SELECT user_id, min(week) AS cohort FROM ev GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, week FROM ev)
+         SELECT CAST(cohort AS DATE) AS cohort_week,
+           CAST(date_diff('day', CAST(cohort AS DATE), CAST(week AS DATE))
+             // 7 AS INTEGER) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM a JOIN f USING(user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q15_range_band_join" ->
       """WITH bands(band, lo, hi) AS (VALUES
            ('A_low', 0.0, 50000.0), ('B_mid', 50000.0, 150000.0),

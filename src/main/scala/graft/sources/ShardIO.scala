@@ -101,23 +101,48 @@ object ShardIO {
     * `{"file":"shard-...","records":N,"bytes":N}`. */
   val ManifestName = "_MANIFEST.jsonl"
 
+  /** Hidden marker recording which export PLAN last prepared a
+    * directory — the idempotence token that lets any action derived
+    * from the same `writeShards` frame skip re-preparation (see
+    * [[withLazyPrepare]]). Not a `.tmp` (the temp sweep must not eat
+    * it) and not `shard-*` (not an artifact). */
+  val PrepareMarkerName = ".graft-prepared"
+
   /** Output-directory preparation — overwrite semantics for the whole
     * export (the `write.mode("overwrite")` contract): delete the job
     * manifest FIRST (the directory must stop claiming completeness
     * before any shard is touched), then any existing files matching the
-    * sink's shard naming plus stranded `.tmp` files, and create the
-    * directory. Runs at FIRST EXECUTION of a `writeShards` plan (see
-    * [[withLazyPrepare]]) — building a plan that is never acted on
-    * touches nothing — so an in-task rename-to-existing can ONLY mean a
-    * concurrent twin attempt of this job (bit-identical bytes), never a
-    * stale shard from a previous run over different data. Two exports
-    * writing the SAME directory concurrently remain unsupported (one
-    * job's prepare would interleave deletes into the other's commits —
-    * exports to one directory must be serialized by the caller). */
-  def prepareDir(hc: SerializableHadoopConf, outDir: String): Unit = {
+    * sink's shard naming plus stranded `.tmp` files, create the
+    * directory, and record `planToken` in [[PrepareMarkerName]].
+    * IDEMPOTENT PER PLAN: when the marker already carries this plan's
+    * token, the directory was prepared by an earlier action of the
+    * same frame and nothing is touched — re-actions recommit
+    * bit-identical twins onto the existing shards, and a manifest a
+    * commitExport wrote in between survives. Runs at FIRST EXECUTION
+    * of a `writeShards` plan (see [[withLazyPrepare]]) — building a
+    * plan that is never acted on touches nothing — so an in-task
+    * rename-to-existing can ONLY mean a twin attempt of this plan
+    * (bit-identical bytes), never a stale shard from a previous run
+    * over different data. CONCURRENT exports (or concurrent first
+    * actions of two different frames) against the SAME directory
+    * remain unsupported — one plan's prepare would interleave deletes
+    * into the other's commits; serialize exports per directory. */
+  def prepareDir(hc: SerializableHadoopConf, outDir: String,
+      planToken: String): Unit = {
     val dir = new Path(outDir)
     val fs = dir.getFileSystem(hc.value)
+    val marker = new Path(dir, PrepareMarkerName)
+    def writeMarker(): Unit = {
+      val out = fs.create(marker, true)
+      try out.write(planToken.getBytes("UTF-8")) finally out.close()
+    }
     if (fs.exists(dir)) {
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        val tok = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        if (tok == planToken) return // this plan already prepared it
+      }
       val manifest = new Path(dir, ManifestName)
       if (fs.exists(manifest)) fs.delete(manifest, false)
       fs.listStatus(dir).foreach { st =>
@@ -125,25 +150,32 @@ object ShardIO {
         if (n.startsWith("shard-") || n.endsWith(".tmp"))
           fs.delete(st.getPath, false)
       }
-    } else fs.mkdirs(dir)
+      writeMarker()
+    } else {
+      fs.mkdirs(dir)
+      writeMarker()
+    }
   }
 
   /** Defer [[prepareDir]] from plan-build time to the report frame's
     * FIRST execution: the preparation rides a one-row broadcast side of
     * a nested-loop join, and Spark materializes broadcast inputs before
     * launching the stage that consumes them — so the directory is
-    * cleared exactly once, before any write task runs, and only when
-    * the job actually runs. (The r15 form prepared at plan BUILD, so
-    * merely constructing a never-executed plan destroyed the previous
-    * good artifact.) Re-running the SAME returned frame does not
-    * re-prepare (the broadcast is memoized per plan): the re-run's
-    * commits land on their bit-identical twins and report the same
-    * lengths — the reproducibility contract makes that a no-op. */
+    * cleared before any write task runs, and only when a job actually
+    * runs. (The r15 form prepared at plan BUILD, so merely constructing
+    * a never-executed plan destroyed the previous good artifact.)
+    * Every action on the returned frame — including DERIVED plans like
+    * `rep.count()` or an aggregation, which build fresh broadcast
+    * exchanges — re-runs the closure, but the per-plan token makes
+    * re-preparation a no-op: the directory is cleared once per
+    * writeShards CALL, later actions recommit bit-identical twins, and
+    * a manifest committed in between survives (spec-pinned). */
   def withLazyPrepare(report: DataFrame,
       hc: SerializableHadoopConf, outDir: String): DataFrame = {
     val spark = report.sparkSession
+    val planToken = java.util.UUID.randomUUID().toString
     val prep = spark.range(1)
-      .map { _ => prepareDir(hc, outDir); 1L }(
+      .map { _ => prepareDir(hc, outDir, planToken); 1L }(
         org.apache.spark.sql.Encoders.scalaLong)
       .toDF("__prep")
     report.crossJoin(org.apache.spark.sql.functions.broadcast(prep))
@@ -174,10 +206,16 @@ object ShardIO {
     }.sortBy(_.file)
     require(entries.map(_.file).distinct.length == entries.length,
       "export report lists the same shard file twice — writer bug")
+    // ONE listStatus instead of a getFileStatus RPC per shard: a 100k-
+    // shard export must not pay 100k serial namenode/HEAD round-trips
+    val onDisk = fs.listStatus(dir)
+      .map(st => st.getPath.getName -> st.getLen).toMap
     entries.foreach { e =>
-      val st = fs.getFileStatus(new Path(dir, e.file)) // throws if missing
-      if (st.getLen != e.bytes) throw new IOException(
-        s"export verification failed: ${e.file} is ${st.getLen} bytes on " +
+      val len = onDisk.getOrElse(e.file, throw new IOException(
+        s"export verification failed: ${e.file} is missing from $outDir — " +
+          "not committing the manifest"))
+      if (len != e.bytes) throw new IOException(
+        s"export verification failed: ${e.file} is $len bytes on " +
           s"the filesystem, the writing task reported ${e.bytes} — not " +
           "committing the manifest")
     }
@@ -216,12 +254,14 @@ object ShardIO {
       case l => throw new IllegalStateException(
         s"malformed manifest line in $mp: $l")
     }
+    // ONE listStatus for the whole gate (not exists+getFileStatus per
+    // shard — 2 RPCs/file is minutes of wall on an object store)
+    val onDisk = fs.listStatus(dir)
+      .map(st => st.getPath.getName -> st.getLen).toMap
     entries.foreach { e =>
-      val p = new Path(dir, e.file)
-      if (!fs.exists(p)) throw new IllegalStateException(
+      val len = onDisk.getOrElse(e.file, throw new IllegalStateException(
         s"export at $outDir lists ${e.file} in the manifest but the " +
-          "shard is missing")
-      val len = fs.getFileStatus(p).getLen
+          "shard is missing"))
       if (len != e.bytes) throw new IllegalStateException(
         s"shard ${e.file} is $len bytes, manifest says ${e.bytes} — " +
           "truncated or modified after commit")

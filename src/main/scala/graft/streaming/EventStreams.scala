@@ -240,17 +240,24 @@ object EventStreams {
     * `sum(flag)` partitioned by `user_id`) funnels each user through
     * ONE task — a bot user holding a corpus-scale share of events
     * serializes the whole job through that task's sort. This routes the
-    * gap scan through [[graft.util.DistRank.perKeySessionIds]] instead:
-    * the same one range shuffle on (user, time), two narrow passes, and
-    * a mega-user spreads over all partitions. Semantics (including the
-    * window form's null-time arithmetic) are bit-identical — pinned by
-    * the DistRankSpec window-agreement test and the q11 oracle hash. */
+    * gap scan through [[graft.util.DistRank.perKeySessionIds]]'s HYBRID
+    * dispatch instead: users above the heavy-row threshold (default 2 M
+    * rows, `spark.graft.skew.heavyKeyRows`) take the range-partitioned
+    * two-pass scan and spread over all partitions; the unbounded tail
+    * of normal users takes a hash-partitioned single-pass fold with no
+    * driver table — so user cardinality stays unbounded (the window
+    * form's strength) while the bot user no longer serializes a task
+    * (its weakness). Semantics (including the window form's null-time
+    * arithmetic) are bit-identical — pinned by the DistRankSpec
+    * window-agreement tests and the q11 oracle hash. */
   def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
     val ev = withEventTime(events)
       .select(col("user_id"), col("event_time"), col("value"))
       .withColumn("__tus", unix_micros(col("event_time")))
     graft.util.DistRank
-      .perKeySessionIds(ev, "user_id", "__tus", gapMs * 1000L, "session_id")
+      .perKeySessionIds(ev, "user_id", "__tus", gapMs * 1000L, "session_id",
+        heavyRowThreshold = Some(graft.util.DistRank
+          .defaultHeavyRowThreshold(events.sparkSession)))
       .groupBy("user_id", "session_id")
       .agg(min("event_time").as("session_start"), max("event_time").as("session_end"),
         count(lit(1)).as("n_events"), sum("value").as("total_value"))

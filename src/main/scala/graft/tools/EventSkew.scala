@@ -29,6 +29,9 @@ object EventSkew {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // every A/B size must route through the HEAVY branch — the whole
+      // point is measuring the range scan vs the window on a hot key
+      .config("spark.graft.skew.heavyKeyRows", "1000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

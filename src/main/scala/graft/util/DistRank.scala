@@ -112,18 +112,23 @@ object DistRank {
     * summaries carry one value per (partition, key) — a struct value is
     * fine (a bounded number of them reach the driver). */
   def perKeyRunningLast(df: DataFrame, keyCol: String,
-      orderCols: Seq[Column], valueCol: String, outCol: String): DataFrame = {
+      orderCols: Seq[Column], valueCol: String, outCol: String,
+      heavyRowThreshold: Option[Long] = None): DataFrame = {
     val valIdx = df.columns.indexOf(valueCol)
     require(valIdx >= 0, s"value column $valueCol not in ${df.columns.toSeq}")
     def pick(s: Any, r: Row): Any = if (r.isNullAt(valIdx)) s else r.get(valIdx)
-    scanTwoPass[Any, Any](df, keyCol, orderCols,
-      StructField(outCol, df.schema(valueCol).dataType, nullable = true))(
-      summary = pick,
-      summary0 = null,
-      init = null,
-      carry = (s, m) => if (m != null) m else s,
-      step = pick,
-      emit = identity[Any])
+    val out = StructField(outCol, df.schema(valueCol).dataType,
+      nullable = true)
+    heavyRowThreshold match {
+      case Some(thr) => scanHybrid[Any, Any](df, keyCol, orderCols, out, thr)(
+        summary = pick, summary0 = null, init = null,
+        carry = (s, m) => if (m != null) m else s,
+        step = pick, emit = identity[Any])
+      case None => scanTwoPass[Any, Any](df, keyCol, orderCols, out)(
+        summary = pick, summary0 = null, init = null,
+        carry = (s, m) => if (m != null) m else s,
+        step = pick, emit = identity[Any])
+    }
   }
 
   /** Per-(partition, key) session sketch for [[perKeySessionIds]]:
@@ -157,7 +162,8 @@ object DistRank {
     * partitions instead of one task. */
   def perKeySessionIds(df: DataFrame, keyCol: String, timeUsCol: String,
       gapUs: Long, outCol: String,
-      extraOrder: Seq[Column] = Nil): DataFrame = {
+      extraOrder: Seq[Column] = Nil,
+      heavyRowThreshold: Option[Long] = None): DataFrame = {
     val tIdx = df.columns.indexOf(timeUsCol)
     require(tIdx >= 0, s"time column $timeUsCol not in ${df.columns.toSeq}")
     require(df.schema(timeUsCol).dataType == LongType,
@@ -172,26 +178,32 @@ object DistRank {
       if (!seen || prev == null) 1L
       else if (t != null && t.longValue - prev.longValue > gapUs) 1L
       else 0L
-    scanTwoPass[SessState, SessRun](df, keyCol,
-      col(timeUsCol) +: extraOrder,
-      StructField(outCol, LongType, nullable = false))(
-      summary = { (m, r) =>
-        val t = timeOf(r)
-        if (m.rows == 0L) SessRun(t, t, 0L, 1L)
-        else SessRun(m.first, t,
-          m.internalStarts + starts(seen = true, m.last, t), m.rows + 1L)
-      },
-      summary0 = SessRun(null, null, 0L, 0L),
-      init = SessState(seen = false, prev = null, count = 0L),
-      carry = (s, m) =>
-        if (m.rows == 0L) s
-        else SessState(seen = true, m.last,
-          s.count + starts(s.seen, s.prev, m.first) + m.internalStarts),
-      step = { (s, r) =>
-        val t = timeOf(r)
-        SessState(seen = true, t, s.count + starts(s.seen, s.prev, t))
-      },
-      emit = (s: SessState) => s.count)
+    val out = StructField(outCol, LongType, nullable = false)
+    def summaryF(m: SessRun, r: Row): SessRun = {
+      val t = timeOf(r)
+      if (m.rows == 0L) SessRun(t, t, 0L, 1L)
+      else SessRun(m.first, t,
+        m.internalStarts + starts(seen = true, m.last, t), m.rows + 1L)
+    }
+    def carryF(s: SessState, m: SessRun): SessState =
+      if (m.rows == 0L) s
+      else SessState(seen = true, m.last,
+        s.count + starts(s.seen, s.prev, m.first) + m.internalStarts)
+    def stepF(s: SessState, r: Row): SessState = {
+      val t = timeOf(r)
+      SessState(seen = true, t, s.count + starts(s.seen, s.prev, t))
+    }
+    val init = SessState(seen = false, prev = null, count = 0L)
+    heavyRowThreshold match {
+      case Some(thr) => scanHybrid[SessState, SessRun](df, keyCol,
+        col(timeUsCol) +: extraOrder, out, thr)(
+        summaryF, SessRun(null, null, 0L, 0L), init, carryF, stepF,
+        (s: SessState) => s.count)
+      case None => scanTwoPass[SessState, SessRun](df, keyCol,
+        col(timeUsCol) +: extraOrder, out)(
+        summaryF, SessRun(null, null, 0L, 0L), init, carryF, stepF,
+        (s: SessState) => s.count)
+    }
   }
 
   /** Key types the run detector / driver table may use: universal
@@ -266,8 +278,9 @@ object DistRank {
               s"DistRank: partition $pid holds more than $maxRuns distinct " +
                 s"`$keyCol` runs — the key cardinality is too high for the " +
                 "driver-collected offset table. These scans are for few-" +
-                "keys/many-rows shapes; a high-cardinality key wants a " +
-                "plain window (each key is small there).")
+                "keys/many-rows shapes; a high-cardinality key wants the " +
+                "HYBRID dispatch (scanHybrid / the ops' heavyRowThreshold) " +
+                "or a plain window (each key is small there).")
             curKey = k; acc = summary0; started = true
           }
           acc = summary(acc, r)
@@ -286,8 +299,19 @@ object DistRank {
           val o = ((pid, k), acc); acc = carry(acc, m); o
         }
       }.toMap
-    // pass 2: scan each run from its carried-in state
-    val withOut = rdd.mapPartitionsWithIndex { (pid, it) =>
+    foldSorted(sorted, keyIdx, outField)(init, step, emit,
+      (pid, k) => offsets.getOrElse((pid, k), init))
+  }
+
+  /** Single-pass per-key fold over an already key-clustered, locally
+    * sorted frame: on each key change the state restarts from
+    * `lookup(pid, key)`. The shared tail of both the two-pass scan
+    * (lookup = carried offsets) and the hybrid's light path
+    * (lookup = const init — each key is wholly inside one partition). */
+  private def foldSorted[S](sorted: DataFrame, keyIdx: Int,
+      outField: StructField)(init: S, step: (S, Row) => S, emit: S => Any,
+      lookup: (Int, Any) => S): DataFrame = {
+    val withOut = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var curKey: Any = null
       var started = false
       var st: S = init
@@ -295,13 +319,95 @@ object DistRank {
         val k = r.get(keyIdx)
         if (!started || k != curKey) {
           curKey = k; started = true
-          st = offsets.getOrElse((pid, k), init)
+          st = lookup(pid, k)
         }
         st = step(st, r)
         Row.fromSeq(r.toSeq :+ emit(st))
       }
     }
     val schema = StructType(sorted.schema.fields :+ outField)
-    spark.createDataFrame(withOut, schema)
+    sorted.sparkSession.createDataFrame(withOut, schema)
+  }
+
+  /** Default hybrid heavy-key row threshold (override with
+    * `spark.graft.skew.heavyKeyRows`): keys at or above it take the
+    * two-pass range scan; lighter keys take the hash path. 2 M rows
+    * sort in one task in a couple of seconds — the max-task ceiling
+    * the light path accepts. */
+  def defaultHeavyRowThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.skew.heavyKeyRows", "2000000").toLong
+
+  /** HYBRID per-key scan dispatch — the unbounded-cardinality form of
+    * [[scanTwoPass]] (closes the review finding that routing
+    * user-keyed operators through the pure two-pass scan imposed its
+    * bounded-key driver-table contract on naturally high-cardinality
+    * keys):
+    *
+    *  1. One map-side-combinable count finds the HEAVY keys (rows >=
+    *     `heavyRowThreshold`). By pigeonhole there are at most
+    *     total/threshold of them, so collecting them is bounded by
+    *     construction — no cardinality guard needed.
+    *  2. Heavy keys take [[scanTwoPass]]: flat max-task, a
+    *     corpus-sized key spreads over all partitions; the driver run
+    *     table is bounded by (#heavy keys x #partitions).
+    *  3. The unbounded tail of light keys takes a hash-partitioned
+    *     SINGLE-pass fold ([[foldSorted]] with `init` lookup): each
+    *     key sits wholly inside one task — the window's distribution,
+    *     acceptable because every light key is below the threshold by
+    *     definition — with NO driver table at all.
+    *
+    * Costs one extra aggregate job + two broadcast splits when heavy
+    * keys exist (none: just the count + the light path). Both paths
+    * share `step`/`emit`, so semantics are identical; ops whose
+    * orderCols do not totally order rows must be tie-order invariant
+    * (see [[scanTwoPass]]).
+    *
+    * NOTE (both scan forms): pass 1 / the count run EAGERLY at
+    * operator-call time — building the result frame executes Spark
+    * jobs, unlike a declarative plan — and the input's lineage must be
+    * DETERMINISTIC between those jobs and the output's actions (no
+    * `rand()` upstream, no source overwritten mid-flight;
+    * `localCheckpoint()` the input first if in doubt). */
+  private[graft] def scanHybrid[S, M](df: DataFrame, keyCol: String,
+      orderCols: Seq[Column], outField: StructField,
+      heavyRowThreshold: Long)(
+      summary: (M, Row) => M, summary0: => M,
+      init: S, carry: (S, M) => S,
+      step: (S, Row) => S, emit: S => Any): DataFrame = {
+    require(heavyRowThreshold >= 1,
+      s"heavyRowThreshold must be >= 1, got $heavyRowThreshold")
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    validateKeyType(keyCol, df.schema(keyCol).dataType)
+    val sortExprs = col(keyCol) +: orderCols
+    def lightScan(light: DataFrame): DataFrame = {
+      val clustered = light.repartition(nPart, col(keyCol))
+        .sortWithinPartitions(sortExprs: _*)
+      val keyIdx = clustered.columns.indexOf(keyCol)
+      foldSorted(clustered, keyIdx, outField)(init, step, emit,
+        (_, _) => init)
+    }
+    // bounded by pigeonhole: at most total/threshold heavy keys
+    val heavyKeys = df.groupBy(keyCol)
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= heavyRowThreshold)
+      .select(keyCol)
+    val heavyRows = heavyKeys.collect()
+    if (heavyRows.isEmpty) lightScan(df)
+    else {
+      val heavyDf = spark.createDataFrame(
+        java.util.Arrays.asList(heavyRows: _*),
+        StructType(Seq(df.schema(keyCol))))
+      // re-assert the caller's column order after the splits: the fold
+      // closures read fields BY INDEX of the pre-split frame
+      val cols = df.columns.map(col).toSeq
+      val light = df.join(broadcast(heavyDf), Seq(keyCol), "left_anti")
+        .select(cols: _*)
+      val heavy = df.join(broadcast(heavyDf), Seq(keyCol), "left_semi")
+        .select(cols: _*)
+      lightScan(light).unionByName(
+        scanTwoPass(heavy, keyCol, orderCols, outField)(
+          summary, summary0, init, carry, step, emit))
+    }
   }
 }

@@ -105,7 +105,11 @@ class FunnelSpec extends AnyFunSuite {
     val df = spark.range(n).selectExpr("0L as user_id", "id as tus",
       """CASE WHEN id % 3 = 0 THEN 'click' ELSE 'purchase' END as etype""",
       "cast(id % 100 as double) as value")
-    val out = Funnel.matchSteps(df, "user_id", "tus", steps)
+    // force the single key through the HEAVY branch (default threshold
+    // is 2M rows — this corpus is all one key, the shape under test)
+    spark.conf.set("spark.graft.skew.heavyKeyRows", "1000")
+    val out = try Funnel.matchSteps(df, "user_id", "tus", steps)
+      finally spark.conf.unset("spark.graft.skew.heavyKeyRows")
     assert(out.count() == 1)
     val r = out.collect().head
     assert(r.getInt(1) == 3)

@@ -166,6 +166,21 @@ class ShardIOSpec extends AnyFunSuite {
       committed.map(c => (c.file, c.records, c.bytes)))
   }
 
+  test("a derived action on the report frame AFTER commitExport does " +
+      "not destroy the committed manifest (per-plan prepare token)") {
+    val out = Files.createTempDirectory("shardio_derived").toString
+    val rep = Jsonl.writeShards(docs, "doc_id", out, 2, gzip = false)
+    ShardIO.commitExport(rep, out)
+    assert(ShardIO.readCommitted(spark, out).length == 2)
+    // count() builds a DIFFERENT physical plan over the same frame —
+    // a fresh broadcast exchange re-runs the prepare closure, which
+    // must recognize its own token and touch nothing
+    assert(rep.count() == 2)
+    val after = ShardIO.readCommitted(spark, out)
+    assert(after.length == 2,
+      "the manifest must survive derived actions of the same plan")
+  }
+
   test("post-commit truncation is caught by the reader gate") {
     val out = Files.createTempDirectory("shardio_trunc").toString
     TfRecord.export(docs, "doc_id", "text", out, 2)

@@ -157,6 +157,47 @@ class DistRankSpec extends AnyFunSuite {
     assert(e.getMessage.contains("LongType"))
   }
 
+  test("hybrid dispatch equals the pure two-pass across the light/heavy " +
+      "split (sessions and running last)") {
+    import spark.implicits._
+    // key 0 is heavy (most rows); keys 1..200 are light
+    val ev = spark.range(30000).selectExpr(
+      "if(id % 3 = 0, id % 200 + 1, 0L) as k",
+      "id * 1000000L + (id div 500) * 3600000000L as tus", "id as v")
+    val gap = 30L * 60 * 1000 * 1000
+    def m(df: org.apache.spark.sql.DataFrame) = df.select("k", "tus", "sid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val pure = m(DistRank.perKeySessionIds(ev, "k", "tus", gap, "sid",
+      extraOrder = Seq(col("v"))))
+    val hybrid = m(DistRank.perKeySessionIds(ev, "k", "tus", gap, "sid",
+      extraOrder = Seq(col("v")), heavyRowThreshold = Some(1000L)))
+    assert(hybrid.size == pure.size && hybrid == pure)
+    val lastPure = DistRank.perKeyRunningLast(ev, "k",
+        Seq(col("tus"), col("v")), "v", "lv")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.get(3)).toMap
+    val lastHyb = DistRank.perKeyRunningLast(ev, "k",
+        Seq(col("tus"), col("v")), "v", "lv",
+        heavyRowThreshold = Some(1000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.get(3)).toMap
+    assert(lastHyb.size == lastPure.size && lastHyb == lastPure)
+  }
+
+  test("hybrid dispatch handles key cardinality beyond the two-pass " +
+      "guard (the unbounded-cardinality contract)") {
+    spark.conf.set("spark.graft.distrank.maxRunsPerPartition", "50")
+    try {
+      // 100k distinct light keys: the pure two-pass throws (previous
+      // test); the hybrid's light path has no driver table and works
+      val ev = spark.range(100000).selectExpr("id as k",
+        "id * 1000000L as tus")
+      val out = DistRank.perKeySessionIds(ev, "k", "tus", 1000L, "sid",
+        heavyRowThreshold = Some(1000L))
+      assert(out.count() == 100000)
+      assert(out.filter(col("sid") =!= 1L).count() == 0,
+        "each single-event key is exactly one session")
+    } finally spark.conf.unset("spark.graft.distrank.maxRunsPerPartition")
+  }
+
   test("too many distinct keys fails fast with a clear message, not a " +
       "driver OOM") {
     spark.conf.set("spark.graft.distrank.maxRunsPerPartition", "50")
