@@ -233,6 +233,87 @@ object EventStreams {
       }
   }
 
+  final case class FunnelIn(user_id: Long, event_time: java.time.Instant,
+      flags: Int)
+  final case class FunnelEv(tsUs: Long, flags: Int)
+  /** stage reached so far, the LAST advance time (all the strict-`>`
+    * check needs), and events not yet sealed by the watermark */
+  final case class FunnelSt(stage: Int, lastUs: Long, pending: Seq[FunnelEv])
+  /** One funnel stage transition: `stage` (1-based) was reached at
+    * `reached_at`. Emissions per user are monotone in `stage`. */
+  final case class FunnelAdvance(user_id: Long, stage: Int,
+      reached_at: java.time.Instant)
+
+  /** Streaming twin of [[graft.ops.Funnel.matchSteps]] — per-user
+    * greedy strictly-ordered step matching over an unbounded event
+    * stream, emitting one row per stage TRANSITION as it becomes
+    * final. Events buffer until the watermark passes their event time
+    * (only then is their order complete — the [[asofEnrichStream]]
+    * discipline), so every emission is identical to what the batch
+    * funnel computes over the sealed prefix: stream emissions are
+    * always a subset (prefix per user) of the batch reach, equal once
+    * the watermark passes the last event (parity spec).
+    *
+    * State per user is O(pending-within-horizon) while the funnel is
+    * live and one tiny row once complete or drained (stage + last
+    * advance time) — a completed user's state cannot be dropped, or a
+    * later event would restart the funnel from stage 0 and emit
+    * duplicate transitions. Events matching NO step are dropped before
+    * grouping (they can never advance a stage and the strict check
+    * only reads advance times), so state holds only relevant events. */
+  def funnelStream(events: DataFrame, steps: Seq[org.apache.spark.sql.Column],
+      watermark: String = "2 hours"): Dataset[FunnelAdvance] = {
+    val k = steps.size
+    require(k >= 1 && k <= 8, s"1..8 funnel steps supported, got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val flags = steps.zipWithIndex.map { case (p, i) =>
+      when(coalesce(p.cast("boolean"), lit(false)), lit(1 << i))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+    val typed = withEventTime(events)
+      .select(col("user_id"), col("event_time"), flags.cast("int").as("flags"))
+      .filter(col("flags") =!= 0)
+      .withWatermark("event_time", watermark)
+      .as[FunnelIn]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelSt, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, incoming, state: GroupState[FunnelSt]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val prev = state.getOption.getOrElse(FunnelSt(0, Long.MinValue, Nil))
+          val all = prev.pending ++
+            incoming.map(e => FunnelEv(micros(e.event_time), e.flags))
+          // STRICTLY below the watermark (see asofEnrichStream): an
+          // event AT the watermark may still gain same-time siblings
+          val (sealed_, pending) = all.partition(_.tsUs < wmUs)
+          var stage = prev.stage
+          var lastUs = prev.lastUs
+          val out = Seq.newBuilder[FunnelAdvance]
+          sealed_.sortBy(_.tsUs).foreach { e =>
+            if (stage < k && ((e.flags >> stage) & 1) == 1 &&
+                (stage == 0 || e.tsUs > lastUs)) {
+              stage += 1
+              lastUs = e.tsUs
+              out += FunnelAdvance(uid, stage, instant(e.tsUs))
+            }
+          }
+          val keep = if (stage >= k) Nil else pending
+          if (stage == 0 && keep.isEmpty) {
+            // nothing reached, nothing buffered: dropping the state is
+            // lossless (a later event recreates it identically)
+            if (state.exists) state.remove()
+          } else {
+            state.update(FunnelSt(stage, lastUs, keep))
+            if (keep.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(keep.map(_.tsUs).min / 1000L + 1, wmMs + 1))
+          }
+          out.result().iterator
+      }
+  }
+
   /** Batch-mode sessionization with identical semantics — the
     * oracle-checkable twin of [[sessionize]].
     *

@@ -206,4 +206,40 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(ttl(12L).isEmpty,
       "after idleStateTtlMs of inactivity the sealed right must be dropped")
   }
+
+  test("streaming funnel transitions are exactly a prefix of the batch " +
+      "funnel reach (q26 twin)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val steps = Seq(col("event_type") === "click",
+      col("event_type") === "purchase",
+      col("event_type") === "purchase" && col("value") > 50)
+    val schema = eventsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStreams.funnelStream(stream, steps)
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("funnel")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("funnel")
+      .select(col("user_id"), col("stage"),
+        unix_micros(col("reached_at").cast("timestamp")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "no funnel transitions emitted")
+    // batch reach on the same parquet
+    val ev0 = eventsBatch
+    val evB = ev0.withColumn("tus",
+      unix_micros(EventStreams.eventTime(ev0)))
+    val batch = graft.ops.Funnel.matchSteps(evB, "user_id", "tus", steps)
+      .collect().flatMap { r =>
+        (1 to r.getInt(1)).map(i => (r.getLong(0), i, r.getLong(1 + i)))
+      }.toSet
+    assert(got.subsetOf(batch),
+      s"stream emitted transitions the batch funnel does not have: " +
+        s"${(got -- batch).take(3)}")
+    // per user the emitted stages are a PREFIX (1..m with no holes)
+    got.groupBy(_._1).foreach { case (u, ts) =>
+      val stages = ts.map(_._2).toSeq.sorted
+      assert(stages == (1 to stages.max), s"user $u stages with holes: $stages")
+    }
+  }
 }
