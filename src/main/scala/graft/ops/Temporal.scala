@@ -150,4 +150,51 @@ object Temporal {
     asofJoin(l2, r2, on, "__fwd_lt", "__fwd_rt", rightVals, tieBreak)
       .drop("__fwd_lt")
   }
+
+  /** Per-key fixed-interval resampling with last-observation-carried-
+    * forward (LOCF gap fill) — the time-series regularization step
+    * feature pipelines need before windowed aggregation or model
+    * input: for every key, a dense epoch-micros grid from
+    * `floor(min t / step)*step` to `floor(max t / step)*step`
+    * inclusive, each grid point carrying the latest observation at or
+    * before it (NULL `carry` columns before the first observation).
+    *
+    * Scale design: the grid is generated by a TWO-LEVEL
+    * `sequence`+`explode` (chunks of 65,536 steps, then steps within a
+    * chunk), so per-row array sizes stay bounded no matter how long a
+    * key lives — a single `sequence(min, max)` would buffer a
+    * years-at-seconds key's whole grid in one task row. The carry
+    * itself IS [[asofJoin]] (grid as the left side), so it inherits
+    * the hybrid de-skew: hot keys spread, normal keys hash-fold,
+    * |grid|+|obs| linear work, no inequality-join fanout.
+    *
+    * `timeUsCol` must be LongType epoch micros; observations with NULL
+    * time are ignored; `tieBreak` orders simultaneous observations
+    * (last wins — the asofJoin convention). */
+  def resampleLocf(obs: DataFrame, on: Seq[String], timeUsCol: String,
+      stepUs: Long, carry: Seq[String], tieBreak: Seq[String] = Nil,
+      gridCol: String = "grid_us"): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    val chunk = 65536L
+    require(stepUs <= Long.MaxValue / chunk,
+      s"stepUs too large for the chunked grid generator: $stepUs")
+    require(obs.schema(timeUsCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"resampleLocf needs an epoch-micros LongType time column; " +
+        s"`$timeUsCol` is ${obs.schema(timeUsCol).dataType.simpleString}")
+    require(!obs.columns.contains(gridCol),
+      s"grid column name `$gridCol` already exists on the input")
+    val o = obs.filter(col(timeUsCol).isNotNull)
+    val bounds = o.groupBy(on.map(col): _*).agg(
+      expr(s"(min($timeUsCol) div ${stepUs}L) * ${stepUs}L").as("__gmin"),
+      expr(s"(max($timeUsCol) div ${stepUs}L) * ${stepUs}L").as("__gmax"))
+    val grid = bounds
+      .withColumn("__cstart", explode(sequence(col("__gmin"),
+        col("__gmax"), lit(stepUs * chunk))))
+      .withColumn(gridCol, explode(sequence(col("__cstart"),
+        least(col("__cstart") + lit(stepUs * (chunk - 1)), col("__gmax")),
+        lit(stepUs))))
+      .select((on :+ gridCol).map(col): _*)
+    asofJoin(grid, o, on, gridCol, timeUsCol, carry, tieBreak)
+  }
 }

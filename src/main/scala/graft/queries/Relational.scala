@@ -316,6 +316,25 @@ object Relational {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Time-series resampling with LOCF gap fill: a dense daily grid per
+    // user carrying the latest purchase at or before each grid point —
+    // chunked sequence/explode grid + the hybrid de-skewed as-of carry.
+    "q29_resample_locf" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val obs = ev0.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          unix_micros(graft.streaming.EventStreams.eventTime(ev0)).as("tus"),
+          col("value"), col("event_id"))
+        .withColumn("obs_us", col("tus"))
+        .withColumn("obs_value", col("value"))
+      graft.ops.Temporal.resampleLocf(obs, Seq("user_id"), "tus",
+          86400000000L, carry = Seq("obs_us", "obs_value"),
+          tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("grid_us"), col("obs_us"),
+          round(col("obs_value"), 4).as("obs_value"))
+        .orderBy("user_id", "grid_us")
+    }),
+
     // Range (banding) join: fact rows matched to a value-interval
     // dimension. The band table is tiny and explicitly broadcast, so the
     // non-equi condition runs as a broadcast nested-loop with zero fact
@@ -517,6 +536,22 @@ object Relational {
            CAST(count(*) AS BIGINT) AS n_users
          FROM a JOIN f USING(user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q29_resample_locf" ->
+      """WITH o AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                value, event_id
+              FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT user_id,
+                 (min(tus)//86400000000)*86400000000 AS gmin,
+                 (max(tus)//86400000000)*86400000000 AS gmax
+               FROM o GROUP BY 1),
+         g AS (SELECT user_id,
+                 unnest(generate_series(gmin, gmax, 86400000000)) AS grid_us
+               FROM b)
+         SELECT g.user_id, g.grid_us, o.tus AS obs_us,
+           ROUND(o.value, 4) AS obs_value
+         FROM g ASOF LEFT JOIN o
+           ON g.user_id = o.user_id AND o.tus <= g.grid_us
+         ORDER BY 1, 2""",
     "q15_range_band_join" ->
       """WITH bands(band, lo, hi) AS (VALUES
            ('A_low', 0.0, 50000.0), ('B_mid', 50000.0, 150000.0),

@@ -167,6 +167,40 @@ class TemporalSpec extends AnyFunSuite {
       "both t=5 quotes follow t=3; qid=3 must win")
   }
 
+  test("resampleLocf: dense grid, LOCF carry, null before first obs") {
+    val obs = Seq(
+      // key A: obs at t=15 and t=42, step 10 -> grid 10,20,30,40
+      ("A", 15L, 1.5), ("A", 42L, 4.2),
+      // key B: single obs exactly on a grid point
+      ("B", 20L, 2.0))
+      .toDF("k", "tus", "v").withColumn("ov", col("v"))
+    val got = Temporal.resampleLocf(obs, Seq("k"), "tus", 10L,
+        carry = Seq("ov"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got == Map(
+      ("A", 10L) -> None,        // before the first observation
+      ("A", 20L) -> Some(1.5),   // t=15 carried forward
+      ("A", 30L) -> Some(1.5),   // gap fill
+      ("A", 40L) -> Some(1.5),   // t=42 is AFTER this grid point
+      ("B", 20L) -> Some(2.0)))  // obs exactly at the point: inclusive
+  }
+
+  test("resampleLocf: grids longer than one chunk (65,536 steps) stay " +
+      "dense and exact") {
+    val obs = Seq((1L, 0L, 10.0), (1L, 70000L, 70.0))
+      .toDF("k", "tus", "v").withColumn("ov", col("v"))
+    val out = Temporal.resampleLocf(obs, Seq("k"), "tus", 1L,
+      carry = Seq("ov"))
+    assert(out.count() == 70001L, "one grid point per step, inclusive ends")
+    val byT = out.filter(col("grid_us").isin(0L, 65535L, 65536L, 70000L))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(byT == Map(0L -> 10.0, 65535L -> 10.0, 65536L -> 10.0,
+      70000L -> 70.0), "carry must be seamless across the chunk boundary")
+  }
+
   test("forward: timestamp time columns negate through unix_micros") {
     val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("k", "lt")
