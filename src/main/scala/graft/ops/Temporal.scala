@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Temporal join operators Spark lacks natively.
@@ -44,10 +44,20 @@ object Temporal {
     * (`r.t <= l.t`, matching DuckDB's `ASOF JOIN ... ON l.t >= r.t`).
     * Left rows with no prior right row keep NULL `rightVals` (left
     * outer semantics).
+    *
+    * @param toleranceUs when set, a match older than this many
+    *                    microseconds before the left time is treated
+    *                    as NO match (all `rightVals` NULL) — the
+    *                    market-data staple "nearest quote, but only if
+    *                    fresh". Requires timestamp or integral time
+    *                    columns (the distance needs an arithmetic
+    *                    axis). Tolerance 0 keeps only exact-time
+    *                    matches.
     */
   def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String, rightVals: Seq[String],
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val leftPayload =
       left.columns.toSeq.filterNot(c => on.contains(c) || c == leftTime)
     // tieBreak columns ride along in the union even when not carried out.
@@ -94,18 +104,51 @@ object Temporal {
     // heavy-row threshold spread over all partitions (two-pass range
     // scan); the unbounded tail of normal keys folds hash-partitioned
     // with no driver table, so key cardinality stays unbounded.
+    // With a tolerance, the carried struct additionally records the
+    // matched right row's time in epoch micros (internal field), so
+    // the post-filter can null out matches that are too stale. The
+    // micros axis also works for the FORWARD wrapper's negated longs:
+    // there, __t - __tol_rt equals (r - l) on the original axis — the
+    // lookahead distance — so one formula covers both directions.
+    def micros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(c.cast("timestamp"))
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => c.cast("long")
+        case other => throw new IllegalArgumentException(
+          s"asofJoin tolerance needs timestamp or integral time columns; " +
+            s"got ${other.simpleString}")
+      }
+    require(toleranceUs.isEmpty || !rightVals.contains("__tol_rt"),
+      "right column `__tol_rt` collides with the tolerance carry field")
+    val carryStruct =
+      if (toleranceUs.isEmpty) struct(rightVals.map(col): _*)
+      else struct(rightVals.map(col) :+
+        micros(col("__t"), right.schema(rightTime).dataType)
+          .as("__tol_rt"): _*)
     val unioned = l.unionByName(r)
-      .withColumn("__rv",
-        when(!col("__is_l"), struct(rightVals.map(col): _*)))
+      .withColumn("__rv", when(!col("__is_l"), carryStruct))
       .withColumn("__k", struct(on.map(col): _*))
     val carried = graft.util.DistRank.perKeyRunningLast(unioned, "__k",
       col("__t") +: col("__is_l") +: tieBreak.map(col), "__rv", "__r",
       heavyRowThreshold = Some(graft.util.DistRank
         .defaultHeavyRowThreshold(left.sparkSession)))
-    carried.filter(col("__is_l"))
+    val lefts = carried.filter(col("__is_l"))
       .withColumn(leftTime, col("__t"))
-      .select((on ++ Seq(leftTime) ++ leftPayload).map(col) ++
-        rightVals.map(c => col("__r").getField(c).as(c)): _*)
+    val outVals = toleranceUs match {
+      case None => rightVals.map(c => col("__r").getField(c).as(c))
+      case Some(tol) =>
+        require(tol >= 0, s"toleranceUs must be >= 0, got $tol")
+        val dist = micros(col("__t"), left.schema(leftTime).dataType) -
+          col("__r").getField("__tol_rt")
+        rightVals.map(c =>
+          when(dist <= tol, col("__r").getField(c)).as(c))
+    }
+    lefts.select((on ++ Seq(leftTime) ++ leftPayload).map(col) ++ outVals: _*)
   }
 
   /** FORWARD (inclusive) as-of join: for every left row, attach the
@@ -125,7 +168,8 @@ object Temporal {
     * `tieBreak` order wins, same convention as the backward join. */
   def asofJoinForward(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String, rightVals: Seq[String],
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      toleranceUs: Option[Long] = None): DataFrame = {
     def negMicros(df: DataFrame, c: String): org.apache.spark.sql.Column =
       df.schema(c).dataType match {
         case org.apache.spark.sql.types.TimestampType |
@@ -147,7 +191,8 @@ object Temporal {
       "with asofJoinForward's reserved internal names (__fwd_lt, __fwd_rt)")
     val l2 = left.withColumn("__fwd_lt", negMicros(left, leftTime))
     val r2 = right.withColumn("__fwd_rt", negMicros(right, rightTime))
-    asofJoin(l2, r2, on, "__fwd_lt", "__fwd_rt", rightVals, tieBreak)
+    asofJoin(l2, r2, on, "__fwd_lt", "__fwd_rt", rightVals, tieBreak,
+        toleranceUs)
       .drop("__fwd_lt")
   }
 

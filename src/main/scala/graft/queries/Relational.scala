@@ -335,6 +335,32 @@ object Relational {
         .orderBy("user_id", "grid_us")
     }),
 
+    // Tolerance-bounded as-of join: q14's enrichment but a click older
+    // than 1 hour before the purchase is NO match (freshness budget) —
+    // the staleness filter rides the carried struct's internal match
+    // time, so the plan is still one hybrid scan, no join.
+    "q30_asof_tolerance" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("tsx", graft.streaming.EventStreams.eventTime(ev0))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tsx").as("et"),
+          col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsx").as("ct"),
+          col("tsx").as("click_ts"),
+          col("value").as("click_value"), col("event_id").as("click_id"))
+      graft.ops.Temporal.asofJoin(purchases, clicks,
+          on = Seq("user_id"), leftTime = "et", rightTime = "ct",
+          rightVals = Seq("click_ts", "click_value"),
+          tieBreak = Seq("click_id"),
+          toleranceUs = Some(3600000000L))
+        .select(col("event_id"), col("user_id"),
+          col("et").as("purchase_ts"),
+          round(col("value"), 4).as("purchase_value"),
+          col("click_ts"), round(col("click_value"), 4).as("click_value"))
+        .orderBy("event_id")
+    }),
+
     // Range (banding) join: fact rows matched to a value-interval
     // dimension. The band table is tiny and explicitly broadcast, so the
     // non-equi condition runs as a broadcast nested-loop with zero fact
@@ -552,6 +578,24 @@ object Relational {
          FROM g ASOF LEFT JOIN o
            ON g.user_id = o.user_id AND o.tus <= g.grid_us
          ORDER BY 1, 2""",
+    "q30_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS et, value,
+                (event_type = 'purchase') AS is_p
+         FROM events WHERE event_type IN ('purchase','click')),
+         w AS (SELECT *,
+                 LAST_VALUE(CASE WHEN NOT is_p THEN et END IGNORE NULLS)
+                   OVER win AS click_ts,
+                 LAST_VALUE(CASE WHEN NOT is_p THEN value END IGNORE NULLS)
+                   OVER win AS click_value
+               FROM e WINDOW win AS (PARTITION BY user_id
+                 ORDER BY et, is_p, event_id ROWS UNBOUNDED PRECEDING))
+         SELECT event_id, user_id, et AS purchase_ts,
+           ROUND(value,4) AS purchase_value,
+           CASE WHEN epoch_us(et) - epoch_us(click_ts) <= 3600000000
+                THEN click_ts END AS click_ts,
+           CASE WHEN epoch_us(et) - epoch_us(click_ts) <= 3600000000
+                THEN ROUND(click_value,4) END AS click_value
+         FROM w WHERE is_p ORDER BY event_id""",
     "q15_range_band_join" ->
       """WITH bands(band, lo, hi) AS (VALUES
            ('A_low', 0.0, 50000.0), ('B_mid', 50000.0, 150000.0),

@@ -167,6 +167,34 @@ class TemporalSpec extends AnyFunSuite {
       "both t=5 quotes follow t=3; qid=3 must win")
   }
 
+  test("tolerance: stale matches null out, fresh ones survive, " +
+      "tolerance 0 keeps only exact-time matches — both directions") {
+    val got = Temporal.asofJoin(trades, quotes, Seq("sym"), "tt", "qt",
+        rightVals = Seq("px"), tieBreak = Seq("qid"),
+        toleranceUs = Some(2L))
+      .orderBy("tid").collect()
+      .map(r => r.getInt(2) -> Option(r.get(3))).toMap
+    // trade 102 at t=7: latest quote t=5 is 2 "us" old -> kept;
+    // trade 103 at t=9: quote t=4 is 5 old -> nulled
+    assert(got(102).contains(12.0) && got(103).isEmpty)
+    assert(got(101).contains(10.0), "distance 0 is within any tolerance")
+    val exact = Temporal.asofJoin(trades, quotes, Seq("sym"), "tt", "qt",
+        rightVals = Seq("px"), tieBreak = Seq("qid"),
+        toleranceUs = Some(0L))
+      .orderBy("tid").collect()
+      .map(r => r.getInt(2) -> Option(r.get(3))).toMap
+    assert(exact(101).contains(10.0) && exact(102).isEmpty)
+    // forward: trade 100 at t=0 with tolerance 1 -> quote t=1 kept;
+    // tolerance 0 -> nulled (next quote is 1 ahead)
+    val fwd = Temporal.asofJoinForward(trades, quotes, Seq("sym"), "tt",
+        "qt", rightVals = Seq("px"), tieBreak = Seq("qid"),
+        toleranceUs = Some(1L))
+      .orderBy("tid").collect()
+      .map(r => r.getInt(2) -> Option(r.get(3))).toMap
+    assert(fwd(100).contains(10.0))
+    assert(fwd(102).isEmpty, "no quote within 1 after t=7")
+  }
+
   test("resampleLocf: dense grid, LOCF carry, null before first obs") {
     val obs = Seq(
       // key A: obs at t=15 and t=42, step 10 -> grid 10,20,30,40
