@@ -223,10 +223,11 @@ object Relational {
     // As-of join (time-series point-in-time lookup — the classic operator
     // Spark lacks natively). Implemented the scale-correct way: instead of
     // an inequality join (which explodes to |purchases|x|clicks| per user
-    // before picking the max), union both event streams tagged, shuffle
-    // ONCE by user_id, and carry the most recent click forward with a
-    // running last(ignoreNulls) window. One shuffle, linear work, no
-    // fanout — survives arbitrarily many events per user. Ties at equal
+    // before picking the max), union both event streams tagged and carry
+    // the most recent click forward with DistRank's HYBRID per-key
+    // running last (r16): normal users hash-fold in one pass, a hot user
+    // spreads over the range scan — linear work, no fanout, no one-task
+    // window funnel, unbounded user cardinality. Ties at equal
     // ts order clicks (is_p=false) before purchases, then by event_id,
     // so the result is deterministic in both engines.
     "q14_asof_join" -> ((s, dir) => {
