@@ -91,7 +91,7 @@ object Funnel {
     final case class Sim(exit: Array[Int], times: Array[Array[Long]])
     val scanned = graft.util.DistRank.scanHybrid[(Int, Array[Long]), Sim](
       flagged, keyCol, Seq(col(timeUsCol)), stField,
-      graft.util.DistRank.defaultHeavyRowThreshold(events.sparkSession))(
+      Some(graft.util.DistRank.defaultHeavyRowThreshold(events.sparkSession)))(
       summary = { (m, r) =>
         var s = 0
         while (s <= k) {

@@ -204,14 +204,17 @@ object Temporal {
     * inclusive, each grid point carrying the latest observation at or
     * before it (NULL `carry` columns before the first observation).
     *
-    * Scale design: the grid is generated by a TWO-LEVEL
-    * `sequence`+`explode` (chunks of 65,536 steps, then steps within a
-    * chunk), so per-row array sizes stay bounded no matter how long a
-    * key lives — a single `sequence(min, max)` would buffer a
-    * years-at-seconds key's whole grid in one task row. The carry
-    * itself IS [[asofJoin]] (grid as the left side), so it inherits
-    * the hybrid de-skew: hot keys spread, normal keys hash-fold,
-    * |grid|+|obs| linear work, no inequality-join fanout.
+    * Scale design: the grid is generated by a THREE-LEVEL
+    * `sequence`+`explode` (super-chunks of 65,536 chunks, chunks of
+    * 65,536 steps, then steps), so every per-row array stays at most
+    * 65,536 elements for grids up to 2^48 points per key (a
+    * micros-step grid spanning nine YEARS) — a single
+    * `sequence(min, max)` would buffer a years-at-seconds key's whole
+    * grid in one task row, and a two-level form merely moves that
+    * blow-up to its chunk-start array. The carry itself IS
+    * [[asofJoin]] (grid as the left side), so it inherits the hybrid
+    * de-skew: hot keys spread, normal keys hash-fold, |grid|+|obs|
+    * linear work, no inequality-join fanout.
     *
     * `timeUsCol` must be LongType epoch micros; observations with NULL
     * time are ignored; `tieBreak` orders simultaneous observations
@@ -223,6 +226,13 @@ object Temporal {
     val chunk = 65536L
     require(stepUs <= Long.MaxValue / chunk,
       s"stepUs too large for the chunked grid generator: $stepUs")
+    val stride1 = stepUs * chunk
+    // super-chunk stride, saturated: when stepUs is already huge the
+    // whole range fits one super-chunk and level 1 degenerates to a
+    // single element — still correct, never overflows
+    val stride2 =
+      if (stride1 <= Long.MaxValue / chunk) stride1 * chunk
+      else Long.MaxValue / 2
     require(obs.schema(timeUsCol).dataType ==
       org.apache.spark.sql.types.LongType,
       s"resampleLocf needs an epoch-micros LongType time column; " +
@@ -234,8 +244,11 @@ object Temporal {
       expr(s"(min($timeUsCol) div ${stepUs}L) * ${stepUs}L").as("__gmin"),
       expr(s"(max($timeUsCol) div ${stepUs}L) * ${stepUs}L").as("__gmax"))
     val grid = bounds
-      .withColumn("__cstart", explode(sequence(col("__gmin"),
-        col("__gmax"), lit(stepUs * chunk))))
+      .withColumn("__sstart", explode(sequence(col("__gmin"),
+        col("__gmax"), lit(stride2))))
+      .withColumn("__cstart", explode(sequence(col("__sstart"),
+        least(col("__sstart") + lit(stride2 - stride1), col("__gmax")),
+        lit(stride1))))
       .withColumn(gridCol, explode(sequence(col("__cstart"),
         least(col("__cstart") + lit(stepUs * (chunk - 1)), col("__gmax")),
         lit(stepUs))))

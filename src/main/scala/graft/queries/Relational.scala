@@ -554,7 +554,7 @@ object Relational {
     "q28_retention" ->
       """WITH ev AS (SELECT user_id,
                 date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
-              FROM events),
+              FROM events WHERE ts IS NOT NULL),
          f AS (SELECT user_id, min(week) AS cohort FROM ev GROUP BY 1),
          a AS (SELECT DISTINCT user_id, week FROM ev)
          SELECT CAST(cohort AS DATE) AS cohort_week,
@@ -564,9 +564,14 @@ object Relational {
          FROM a JOIN f USING(user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q29_resample_locf" ->
-      """WITH o AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+      """WITH o0 AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
                 value, event_id
               FROM events WHERE event_type = 'purchase'),
+         -- one row per (user, tus), keeping the max-event_id row: the
+         -- Spark side's tieBreak convention made deterministic here
+         -- too (DuckDB's native ASOF has no tie-break of its own)
+         o AS (SELECT user_id, tus, arg_max(value, event_id) AS value
+               FROM o0 GROUP BY 1, 2),
          b AS (SELECT user_id,
                  (min(tus)//86400000000)*86400000000 AS gmin,
                  (max(tus)//86400000000)*86400000000 AS gmax

@@ -260,9 +260,19 @@ object EventStreams {
     * later event would restart the funnel from stage 0 and emit
     * duplicate transitions. Events matching NO step are dropped before
     * grouping (they can never advance a stage and the strict check
-    * only reads advance times), so state holds only relevant events. */
+    * only reads advance times), so state holds only relevant events.
+    *
+    * That one-tiny-row residue still grows with distinct-user
+    * cardinality on an unbounded stream. For long-running
+    * high-cardinality deployments set `idleStateTtlMs` > 0
+    * (the [[asofEnrichStream]] knob): a user idle for that long past
+    * the watermark has their residue dropped — the standard state-TTL
+    * correctness trade, here meaning an event arriving later than the
+    * TTL after the user's last activity RESTARTS their funnel from
+    * stage 0 and may re-emit early transitions. */
   def funnelStream(events: DataFrame, steps: Seq[org.apache.spark.sql.Column],
-      watermark: String = "2 hours"): Dataset[FunnelAdvance] = {
+      watermark: String = "2 hours",
+      idleStateTtlMs: Long = 0L): Dataset[FunnelAdvance] = {
     val k = steps.size
     require(k >= 1 && k <= 8, s"1..8 funnel steps supported, got $k")
     val spark = events.sparkSession
@@ -283,8 +293,16 @@ object EventStreams {
           val wmMs = state.getCurrentWatermarkMs()
           val wmUs = wmMs * 1000L
           val prev = state.getOption.getOrElse(FunnelSt(0, Long.MinValue, Nil))
+          val in = incoming.toSeq
+          // idle-TTL expiry: a timeout with nothing incoming and
+          // nothing pending can only be the idle timer below — drop
+          // the user's residue (see the Scaladoc trade)
+          if (state.hasTimedOut && in.isEmpty && prev.pending.isEmpty) {
+            state.remove()
+            Iterator.empty
+          } else {
           val all = prev.pending ++
-            incoming.map(e => FunnelEv(micros(e.event_time), e.flags))
+            in.map(e => FunnelEv(micros(e.event_time), e.flags))
           // STRICTLY below the watermark (see asofEnrichStream): an
           // event AT the watermark may still gain same-time siblings
           val (sealed_, pending) = all.partition(_.tsUs < wmUs)
@@ -309,8 +327,13 @@ object EventStreams {
             if (keep.nonEmpty)
               state.setTimeoutTimestamp(
                 math.max(keep.map(_.tsUs).min / 1000L + 1, wmMs + 1))
+            else if (idleStateTtlMs > 0)
+              // residue only (stage reached, nothing pending): arm the
+              // idle timer so a quiet user is eventually reclaimed
+              state.setTimeoutTimestamp(wmMs + idleStateTtlMs)
           }
           out.result().iterator
+          }
       }
   }
 

@@ -119,16 +119,10 @@ object DistRank {
     def pick(s: Any, r: Row): Any = if (r.isNullAt(valIdx)) s else r.get(valIdx)
     val out = StructField(outCol, df.schema(valueCol).dataType,
       nullable = true)
-    heavyRowThreshold match {
-      case Some(thr) => scanHybrid[Any, Any](df, keyCol, orderCols, out, thr)(
-        summary = pick, summary0 = null, init = null,
-        carry = (s, m) => if (m != null) m else s,
-        step = pick, emit = identity[Any])
-      case None => scanTwoPass[Any, Any](df, keyCol, orderCols, out)(
-        summary = pick, summary0 = null, init = null,
-        carry = (s, m) => if (m != null) m else s,
-        step = pick, emit = identity[Any])
-    }
+    scanHybrid[Any, Any](df, keyCol, orderCols, out, heavyRowThreshold)(
+      summary = pick, summary0 = null, init = null,
+      carry = (s, m) => if (m != null) m else s,
+      step = pick, emit = identity[Any])
   }
 
   /** Per-(partition, key) session sketch for [[perKeySessionIds]]:
@@ -194,16 +188,10 @@ object DistRank {
       SessState(seen = true, t, s.count + starts(s.seen, s.prev, t))
     }
     val init = SessState(seen = false, prev = null, count = 0L)
-    heavyRowThreshold match {
-      case Some(thr) => scanHybrid[SessState, SessRun](df, keyCol,
-        col(timeUsCol) +: extraOrder, out, thr)(
-        summaryF, SessRun(null, null, 0L, 0L), init, carryF, stepF,
-        (s: SessState) => s.count)
-      case None => scanTwoPass[SessState, SessRun](df, keyCol,
-        col(timeUsCol) +: extraOrder, out)(
-        summaryF, SessRun(null, null, 0L, 0L), init, carryF, stepF,
-        (s: SessState) => s.count)
-    }
+    scanHybrid[SessState, SessRun](df, keyCol,
+      col(timeUsCol) +: extraOrder, out, heavyRowThreshold)(
+      summaryF, SessRun(null, null, 0L, 0L), init, carryF, stepF,
+      (s: SessState) => s.count)
   }
 
   /** Key types the run detector / driver table may use: universal
@@ -368,14 +356,28 @@ object DistRank {
     * DETERMINISTIC between those jobs and the output's actions (no
     * `rand()` upstream, no source overwritten mid-flight;
     * `localCheckpoint()` the input first if in doubt). */
+  /** Driver-table cap for the collected heavy-key set (override with
+    * `spark.graft.skew.maxHeavyKeys`): the pigeonhole bound
+    * (total/threshold) is only small when the threshold is large
+    * relative to the input — an adversarial distribution at the
+    * 100 TB design point could park millions of keys exactly at the
+    * threshold, so the collect fails fast with guidance instead of
+    * silently OOMing the driver / blowing up the broadcast. */
+  val MaxHeavyKeys: Int = 1000000
+
   private[graft] def scanHybrid[S, M](df: DataFrame, keyCol: String,
       orderCols: Seq[Column], outField: StructField,
-      heavyRowThreshold: Long)(
+      heavyRowThreshold: Option[Long])(
       summary: (M, Row) => M, summary0: => M,
       init: S, carry: (S, M) => S,
-      step: (S, Row) => S, emit: S => Any): DataFrame = {
-    require(heavyRowThreshold >= 1,
-      s"heavyRowThreshold must be >= 1, got $heavyRowThreshold")
+      step: (S, Row) => S, emit: S => Any): DataFrame =
+      heavyRowThreshold match {
+    case None =>
+      scanTwoPass(df, keyCol, orderCols, outField)(
+        summary, summary0, init, carry, step, emit)
+    case Some(threshold) =>
+    require(threshold >= 1,
+      s"heavyRowThreshold must be >= 1, got $threshold")
     val spark = df.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     validateKeyType(keyCol, df.schema(keyCol).dataType)
@@ -387,23 +389,38 @@ object DistRank {
       foldSorted(clustered, keyIdx, outField)(init, step, emit,
         (_, _) => init)
     }
-    // bounded by pigeonhole: at most total/threshold heavy keys
+    // bounded by pigeonhole at total/threshold — which is only "small"
+    // when the threshold is proportionate to the input, so cap it
     val heavyKeys = df.groupBy(keyCol)
       .agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= heavyRowThreshold)
+      .filter(col("__cnt") >= threshold)
       .select(keyCol)
-    val heavyRows = heavyKeys.collect()
+    val maxHeavy = spark.conf
+      .get("spark.graft.skew.maxHeavyKeys", MaxHeavyKeys.toString).toInt
+    val heavyRows = heavyKeys.limit(maxHeavy + 1).collect()
+    if (heavyRows.length > maxHeavy) throw new IllegalStateException(
+      s"DistRank.scanHybrid: more than $maxHeavy keys exceed the " +
+        s"heavy-row threshold $threshold — the heavy-key broadcast " +
+        "would not be small. Raise the threshold " +
+        "(spark.graft.skew.heavyKeyRows) so 'heavy' means a key large " +
+        "enough to matter, or raise spark.graft.skew.maxHeavyKeys if " +
+        "the driver can really hold this set.")
     if (heavyRows.isEmpty) lightScan(df)
     else {
       val heavyDf = spark.createDataFrame(
         java.util.Arrays.asList(heavyRows: _*),
-        StructType(Seq(df.schema(keyCol))))
+        StructType(Seq(df.schema(keyCol).copy(name = "__hk"))))
+      // NULL-SAFE split: a heavy NULL key (or a struct key with a null
+      // field) must route HEAVY — a plain equi-join condition never
+      // matches null, which would silently send the hottest key of all
+      // (the null bucket) through the light path's one-task fold
+      val cond = df(keyCol) <=> heavyDf("__hk")
       // re-assert the caller's column order after the splits: the fold
       // closures read fields BY INDEX of the pre-split frame
       val cols = df.columns.map(col).toSeq
-      val light = df.join(broadcast(heavyDf), Seq(keyCol), "left_anti")
+      val light = df.join(broadcast(heavyDf), cond, "left_anti")
         .select(cols: _*)
-      val heavy = df.join(broadcast(heavyDf), Seq(keyCol), "left_semi")
+      val heavy = df.join(broadcast(heavyDf), cond, "left_semi")
         .select(cols: _*)
       lightScan(light).unionByName(
         scanTwoPass(heavy, keyCol, orderCols, outField)(

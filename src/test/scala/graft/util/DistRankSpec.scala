@@ -198,6 +198,45 @@ class DistRankSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.distrank.maxRunsPerPartition")
   }
 
+  test("a heavy NULL key routes through the HEAVY branch (null-safe " +
+      "split), not the light path's one-task fold") {
+    import spark.implicits._
+    // most rows carry a NULL key — the classic "null bucket" hot key
+    val ev = spark.range(20000).selectExpr(
+      "if(id % 10 = 0, id % 7 + 1, null) as k",
+      "id * 1000000L as tus", "id as v")
+      .selectExpr("cast(k as long) as k", "tus", "v")
+    val out = DistRank.perKeySessionIds(ev, "k", "tus", 500L * 1000000L,
+      "sid", extraOrder = Seq(col("v")), heavyRowThreshold = Some(100L))
+    // correctness: agrees with the pure two-pass on the same data
+    val pure = DistRank.perKeySessionIds(ev, "k", "tus", 500L * 1000000L,
+      "sid", extraOrder = Seq(col("v")))
+    def m(df: org.apache.spark.sql.DataFrame) = df.select("tus", "sid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(out) == m(pure),
+      "hybrid must agree with the pure scan on the null bucket")
+    // posture: the null bucket's 18k rows must NOT sit in one task
+    val nullRows = out.filter(col("k").isNull)
+    val sizes = nullRows.rdd
+      .mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(sizes.count(_ > 0) > 1,
+      s"the heavy null bucket must spread over partitions: ${sizes.toSeq}")
+  }
+
+  test("an adversarial count of heavy keys fails fast with guidance " +
+      "instead of an unbounded driver collect") {
+    spark.conf.set("spark.graft.skew.maxHeavyKeys", "5")
+    try {
+      val ev = spark.range(1000).selectExpr("id % 20 as k",
+        "id * 1000000L as tus")
+      val e = intercept[IllegalStateException] {
+        DistRank.perKeySessionIds(ev, "k", "tus", 1000L, "sid",
+          heavyRowThreshold = Some(10L))
+      }
+      assert(e.getMessage.contains("heavy-row threshold"))
+    } finally spark.conf.unset("spark.graft.skew.maxHeavyKeys")
+  }
+
   test("too many distinct keys fails fast with a clear message, not a " +
       "driver OOM") {
     spark.conf.set("spark.graft.distrank.maxRunsPerPartition", "50")
