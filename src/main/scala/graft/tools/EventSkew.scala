@@ -103,6 +103,52 @@ object EventSkew {
           tieBreak = Seq("click_id"))
           .agg(count(col("click_ts"))).head.getLong(0)
       }
+      // ---- funnel: heavy branch (range scan) vs the one-task light
+      // fold the same key would get without the hybrid's heavy route
+      measure(s"funnel_hybrid n=$n") {
+        graft.ops.Funnel.matchSteps(
+          ev.selectExpr("user_id", "unix_micros(ts) as tus", "event_type",
+            "value"),
+          "user_id", "tus", Seq(col("event_type") === "click",
+            col("event_type") === "purchase",
+            col("event_type") === "purchase" && col("value") > 50)).count()
+      }
+      measure(s"funnel_onetask n=$n") {
+        spark.conf.set("spark.graft.skew.heavyKeyRows", "999999999999")
+        try graft.ops.Funnel.matchSteps(
+          ev.selectExpr("user_id", "unix_micros(ts) as tus", "event_type",
+            "value"),
+          "user_id", "tus", Seq(col("event_type") === "click",
+            col("event_type") === "purchase",
+            col("event_type") === "purchase" && col("value") > 50)).count()
+        finally spark.conf.set("spark.graft.skew.heavyKeyRows", "1000")
+      }
+
+      // ---- exact percentiles: DistRank ranks vs Spark's exact
+      // percentile aggregate (buffers the whole group in one task).
+      // FULL-cardinality values: percentile's internal count-map makes
+      // a low-cardinality domain trivially cheap and would flatter the
+      // straw man — distinct-per-row values are the honest shape.
+      measure(s"pctl_distrank n=$n") {
+        graft.ops.Quantiles.exactPercentiles(
+          ev.selectExpr("'one' as k",
+            "cast((event_id * 7919) % 999999937 as double) as v",
+            "event_id"),
+          "k", "v", Seq(50, 90, 99), tieBreak = Seq("event_id"))
+          .select(expr("cast(p_50 + p_90 + p_99 as long)"))
+          .head().getLong(0)
+      }
+      measure(s"pctl_onetask_agg n=$n") {
+        // consume the percentile values, or pruning deletes the
+        // aggregate and this measures an empty shuffle
+        ev.selectExpr("'one' as k",
+            "cast((event_id * 7919) % 999999937 as double) as v")
+          .groupBy("k")
+          .agg(expr("percentile(v, array(0.5, 0.9, 0.99))").as("p"))
+          .select(expr("cast(p[0] + p[1] + p[2] as long)"))
+          .head().getLong(0)
+      }
+
       measure(s"asof_window n=$n") {
         val l = purchases.select(col("user_id"), col("et").as("__t"),
           lit(true).as("__is_l"), col("event_id"), col("value"),
