@@ -123,9 +123,27 @@ object Funnel {
     // along the scan and times are frozen once set, so lexicographic
     // max is the last row's state — a map-side-combinable aggregate,
     // no second window
-    scanned.groupBy(keyCol)
+    val reach = scanned.groupBy(keyCol)
       .agg(max(col("__funnel")).as("__f"))
       .select(col(keyCol) +: col("__f.stage").as("stages_reached") +:
         (1 to k).map(i => col(s"__f.step_${i}_us")): _*)
+    withKeyUniverse(events, keyCol, timeUsCol, reach, k)
+  }
+
+  /** Re-attach keys whose events ALL have null time (the pre-scan
+    * isNotNull filter drops them) as stage-0 rows, matching the SQL
+    * formulation's distinct-key universe; skipped when the schema
+    * proves the time column non-nullable (no row can drop, so the
+    * scan already saw every key). The join is the PLAIN equi-join
+    * (not null-safe), so a NULL key reports stage 0 — the same
+    * convention a SQL `LEFT JOIN ... USING(key)` mirror yields. */
+  private[ops] def withKeyUniverse(events: DataFrame, keyCol: String,
+      timeUsCol: String, reach: DataFrame, k: Int): DataFrame = {
+    if (!events.schema(timeUsCol).nullable) return reach
+    val universe = events.select(col(keyCol)).distinct()
+    universe.join(reach, Seq(keyCol), "left")
+      .select(col(keyCol) +:
+        coalesce(col("stages_reached"), lit(0)).as("stages_reached") +:
+        (1 to k).map(i => col(s"step_${i}_us")): _*)
   }
 }

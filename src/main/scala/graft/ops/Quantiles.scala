@@ -23,9 +23,16 @@ import org.apache.spark.sql.functions._
   *
   * NULL values are excluded (the SQL aggregate convention); the value
   * at a selected rank is deterministic even among duplicate values,
-  * because ranking only permutes equal values. Keys must satisfy
-  * [[graft.util.DistRank]]'s bounded-cardinality contract (percentile
-  * GROUPS are few by nature — the rows per group are what scales).
+  * because ranking only permutes equal values. Group cardinality is
+  * UNBOUNDED: the rank leg rides [[graft.util.DistRank]]'s HYBRID
+  * dispatch — groups above the heavy-row threshold take the
+  * range-partitioned two-pass scan (a corpus-sized group spreads over
+  * all partitions), the tail of normal groups hash-folds in a single
+  * pass with no driver table (each such group is below the threshold
+  * by definition, so its one-task sort is bounded) — and the count
+  * join is left to AQE, which broadcasts a small count side and
+  * shuffle-joins a large one (a per-source percentile over millions
+  * of sources must not broadcast a millions-row count table).
   */
 object Quantiles {
 
@@ -34,9 +41,13 @@ object Quantiles {
     * column's own type. `percents` are integer percents in [1, 100].
     * `tieBreak` column names totally order duplicate values (hygiene:
     * makes every intermediate rank deterministic, not just the
-    * selected values, which are tie-insensitive either way). */
+    * selected values, which are tie-insensitive either way).
+    * `heavyRowThreshold` overrides the per-group row count at which a
+    * group leaves the hash path for the two-pass range scan (default:
+    * `spark.graft.skew.heavyKeyRows`). */
   def exactPercentiles(df: DataFrame, keyCol: String, valueCol: String,
-      percents: Seq[Int], tieBreak: Seq[String] = Nil): DataFrame = {
+      percents: Seq[Int], tieBreak: Seq[String] = Nil,
+      heavyRowThreshold: Option[Long] = None): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents must be integers in [1, 100], got $percents")
     require(percents.distinct.size == percents.size,
@@ -49,13 +60,19 @@ object Quantiles {
       .select((Seq(keyCol, valueCol) ++ tieBreak).map(col): _*)
       .filter(col(valueCol).isNotNull)
       .withColumnRenamed(valueCol, "__v")
+    val thr = heavyRowThreshold.getOrElse(
+      graft.util.DistRank.defaultHeavyRowThreshold(df.sparkSession))
     val ranked = graft.util.DistRank.perKeyRowNumber(
-      sel, keyCol, (Seq("__v") ++ tieBreak).map(col), "__rk")
+      sel, keyCol, (Seq("__v") ++ tieBreak).map(col), "__rk",
+      heavyRowThreshold = Some(thr))
     // per-key counts from the RANKED frame (max rank == count): reuses
-    // the scan's completed shuffle map stage instead of re-reading the
-    // input relation a second time
+    // the scan's completed work instead of re-reading the input
+    // relation a second time. NOT hint-broadcast: with few groups AQE
+    // broadcasts this tiny side at runtime anyway; with millions of
+    // groups the broadcast would be the scale bug, and AQE correctly
+    // leaves it a shuffle join.
     val counts = ranked.groupBy(keyCol).agg(max(col("__rk")).as("__n"))
-    val withN = ranked.join(broadcast(counts), Seq(keyCol))
+    val withN = ranked.join(counts, Seq(keyCol))
     val pivots = percents.map { p =>
       max(when(col("__rk") === expr(s"(${p}L * __n + 99L) div 100L"),
         col("__v"))).as(s"p_$p")

@@ -240,17 +240,32 @@ object Temporal {
     require(!obs.columns.contains(gridCol),
       s"grid column name `$gridCol` already exists on the input")
     val o = obs.filter(col(timeUsCol).isNotNull)
+    // FLOOR division for the grid bounds (`x - pmod(x, step)`), not
+    // Spark's truncate-toward-zero `div`: for pre-1970 (negative)
+    // epoch micros `div` would shift the bounds up one step and
+    // diverge from the floor-division (`//`) oracle formulation; for
+    // non-negative times the two coincide.
     val bounds = o.groupBy(on.map(col): _*).agg(
-      expr(s"(min($timeUsCol) div ${stepUs}L) * ${stepUs}L").as("__gmin"),
-      expr(s"(max($timeUsCol) div ${stepUs}L) * ${stepUs}L").as("__gmax"))
+      expr(s"min($timeUsCol) - pmod(min($timeUsCol), ${stepUs}L)")
+        .as("__gmin"),
+      expr(s"max($timeUsCol) - pmod(max($timeUsCol), ${stepUs}L)")
+        .as("__gmax"))
+    // Each level's stop is `start + delta` clamped to __gmax — but the
+    // raw sum can overflow Long when the stride sits just below the
+    // saturation branch (stepUs near 2^31 us with modern epochs), so
+    // the addition is guarded: past Long.MaxValue - delta the clamp to
+    // __gmax is already the right answer.
+    def stopAt(start: Column, delta: Long, gmax: Column): Column =
+      when(start > lit(Long.MaxValue - delta), gmax)
+        .otherwise(least(start + lit(delta), gmax))
     val grid = bounds
       .withColumn("__sstart", explode(sequence(col("__gmin"),
         col("__gmax"), lit(stride2))))
       .withColumn("__cstart", explode(sequence(col("__sstart"),
-        least(col("__sstart") + lit(stride2 - stride1), col("__gmax")),
+        stopAt(col("__sstart"), stride2 - stride1, col("__gmax")),
         lit(stride1))))
       .withColumn(gridCol, explode(sequence(col("__cstart"),
-        least(col("__cstart") + lit(stepUs * (chunk - 1)), col("__gmax")),
+        stopAt(col("__cstart"), stepUs * (chunk - 1), col("__gmax")),
         lit(stepUs))))
       .select((on :+ gridCol).map(col): _*)
     asofJoin(grid, o, on, gridCol, timeUsCol, carry, tieBreak)

@@ -62,11 +62,18 @@ object DistRank {
 
   /** Append `rankCol` (1-based LongType per-key row number) to `df`,
     * ranked within `keyCol` by `orderCols` (which must totally order
-    * rows within a key — include a unique tiebreaker). */
+    * rows within a key — include a unique tiebreaker). With a
+    * `heavyRowThreshold` the rank rides the HYBRID dispatch (unbounded
+    * key cardinality: heavy keys two-pass, light tail hash-folded with
+    * no driver table); without one it keeps the pure two-pass scan and
+    * its bounded-key contract. */
   def perKeyRowNumber(df: DataFrame, keyCol: String, orderCols: Seq[Column],
-      rankCol: String): DataFrame =
-    scanTwoPass[Long, Long](df, keyCol, orderCols,
-      StructField(rankCol, LongType, nullable = false))(
+      rankCol: String,
+      heavyRowThreshold: Option[Long] = None,
+      precomputedHeavy: Option[Seq[Any]] = None): DataFrame =
+    scanHybrid[Long, Long](df, keyCol, orderCols,
+      StructField(rankCol, LongType, nullable = false), heavyRowThreshold,
+      precomputedHeavy)(
       summary = (acc, _) => acc + 1L,
       summary0 = 0L,
       init = 0L,
@@ -113,13 +120,15 @@ object DistRank {
     * fine (a bounded number of them reach the driver). */
   def perKeyRunningLast(df: DataFrame, keyCol: String,
       orderCols: Seq[Column], valueCol: String, outCol: String,
-      heavyRowThreshold: Option[Long] = None): DataFrame = {
+      heavyRowThreshold: Option[Long] = None,
+      precomputedHeavy: Option[Seq[Any]] = None): DataFrame = {
     val valIdx = df.columns.indexOf(valueCol)
     require(valIdx >= 0, s"value column $valueCol not in ${df.columns.toSeq}")
     def pick(s: Any, r: Row): Any = if (r.isNullAt(valIdx)) s else r.get(valIdx)
     val out = StructField(outCol, df.schema(valueCol).dataType,
       nullable = true)
-    scanHybrid[Any, Any](df, keyCol, orderCols, out, heavyRowThreshold)(
+    scanHybrid[Any, Any](df, keyCol, orderCols, out, heavyRowThreshold,
+      precomputedHeavy)(
       summary = pick, summary0 = null, init = null,
       carry = (s, m) => if (m != null) m else s,
       step = pick, emit = identity[Any])
@@ -157,7 +166,8 @@ object DistRank {
   def perKeySessionIds(df: DataFrame, keyCol: String, timeUsCol: String,
       gapUs: Long, outCol: String,
       extraOrder: Seq[Column] = Nil,
-      heavyRowThreshold: Option[Long] = None): DataFrame = {
+      heavyRowThreshold: Option[Long] = None,
+      precomputedHeavy: Option[Seq[Any]] = None): DataFrame = {
     val tIdx = df.columns.indexOf(timeUsCol)
     require(tIdx >= 0, s"time column $timeUsCol not in ${df.columns.toSeq}")
     require(df.schema(timeUsCol).dataType == LongType,
@@ -189,9 +199,38 @@ object DistRank {
     }
     val init = SessState(seen = false, prev = null, count = 0L)
     scanHybrid[SessState, SessRun](df, keyCol,
-      col(timeUsCol) +: extraOrder, out, heavyRowThreshold)(
+      col(timeUsCol) +: extraOrder, out, heavyRowThreshold,
+      precomputedHeavy)(
       summaryF, SessRun(null, null, 0L, 0L), init, carryF, stepF,
       (s: SessState) => s.count)
+  }
+
+  /** Both scan forms run Spark jobs EAGERLY at operator-call time
+    * (pass-1 run collect, the hybrid's heavy-key count) and then
+    * re-execute the input lineage for pass 2 / the splits — a
+    * NONDETERMINISTIC upstream (`rand()` sampling, `uuid()`,
+    * `monotonically_increasing_id()`) would silently disagree between
+    * those executions, yielding wrong ranks/sessions/carries. This
+    * guard walks the analyzed plan and fails fast with guidance; set
+    * `spark.graft.distrank.checkpointNondeterministic=true` to instead
+    * pin the input with an eager `localCheckpoint()` (one extra
+    * materialization, after which the lineage IS deterministic). */
+  private def ensureDeterministicLineage(df: DataFrame): DataFrame = {
+    val nd = df.queryExecution.analyzed.exists(p =>
+      p.expressions.exists(_.exists(e => !e.deterministic)))
+    if (!nd) df
+    else if (df.sparkSession.conf
+        .get("spark.graft.distrank.checkpointNondeterministic", "false")
+        .toBoolean)
+      df.localCheckpoint()
+    else throw new IllegalArgumentException(
+      "DistRank: the input plan contains a nondeterministic expression " +
+        "(rand()/uuid()/monotonically_increasing_id()/...). These scans " +
+        "execute the lineage MORE THAN ONCE (pass-1 offsets, the hybrid " +
+        "split, then the output), so a nondeterministic input silently " +
+        "produces wrong scan values. localCheckpoint() the input first, " +
+        "or set spark.graft.distrank.checkpointNondeterministic=true to " +
+        "have the scan do it.")
   }
 
   /** Key types the run detector / driver table may use: universal
@@ -233,11 +272,12 @@ object DistRank {
     * but their relative order within a partition is arbitrary — the
     * op's semantics must be invariant to it (the funnel's strict-`>`
     * advance is; a rank is not, hence its tiebreaker contract). */
-  private[graft] def scanTwoPass[S, M](df: DataFrame, keyCol: String,
+  private[graft] def scanTwoPass[S, M](df0: DataFrame, keyCol: String,
       orderCols: Seq[Column], outField: StructField)(
       summary: (M, Row) => M, summary0: => M,
       init: S, carry: (S, M) => S,
       step: (S, Row) => S, emit: S => Any): DataFrame = {
+    val df = ensureDeterministicLineage(df0)
     val spark = df.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     validateKeyType(keyCol, df.schema(keyCol).dataType)
@@ -365,19 +405,81 @@ object DistRank {
     * silently OOMing the driver / blowing up the broadcast. */
   val MaxHeavyKeys: Int = 1000000
 
-  private[graft] def scanHybrid[S, M](df: DataFrame, keyCol: String,
+  /** Session-scoped heavy-key cache — one count job per distinct
+    * (key-projection plan, threshold) instead of one per operator call
+    * (the r16 verdict's finding 1: six event-tier queries over one
+    * corpus paid six identical full count passes). Keyed on the
+    * OPTIMIZED CANONICAL plan of `df.select(keyCol)`, so two calls hit
+    * only when Catalyst proves the pruned key projection identical
+    * (`sameResult` semantics — different inputs can never collide).
+    * The heavy/light split is a pure EXECUTION-STRATEGY choice (both
+    * paths compute identical outputs, pinned by the hybrid==pure
+    * specs), so even a stale entry — same plan, underlying files
+    * rewritten mid-session, already outside the scans' deterministic-
+    * lineage contract — can only mis-route keys, never corrupt a
+    * result. Disable with `spark.graft.skew.reuseKeyCounts=false`;
+    * [[clearKeyCountCache]] drops all entries. */
+  private val keyCountCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
+    Array[Any]]()
+
+  def clearKeyCountCache(): Unit = keyCountCache.clear()
+
+  private[graft] def keyCountCacheSize: Int = keyCountCache.size
+
+  /** The values of keys holding at least `threshold` rows — one
+    * map-side-combinable count job, cached per session (see
+    * [[keyCountCache]]). Bounded by pigeonhole at total/threshold,
+    * which is only "small" when the threshold is proportionate to the
+    * input, so the collect is capped (`spark.graft.skew.maxHeavyKeys`)
+    * and fails fast with guidance instead of OOMing the driver. */
+  private[graft] def heavyKeyValues(df: DataFrame, keyCol: String,
+      threshold: Long): Array[Any] = {
+    val spark = df.sparkSession
+    val cacheKey =
+      if (!spark.conf.get("spark.graft.skew.reuseKeyCounts", "true").toBoolean)
+        None
+      else Some((df.select(col(keyCol)).queryExecution
+        .optimizedPlan.canonicalized, threshold))
+    cacheKey.flatMap(k => Option(keyCountCache.get(k))).getOrElse {
+      val maxHeavy = spark.conf
+        .get("spark.graft.skew.maxHeavyKeys", MaxHeavyKeys.toString).toInt
+      val heavyRows = df.groupBy(keyCol)
+        .agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") >= threshold)
+        .select(keyCol)
+        .limit(maxHeavy + 1).collect()
+      if (heavyRows.length > maxHeavy) throw new IllegalStateException(
+        s"DistRank: more than $maxHeavy keys exceed the " +
+          s"heavy-row threshold $threshold — the heavy-key broadcast " +
+          "would not be small. Raise the threshold " +
+          "(spark.graft.skew.heavyKeyRows) so 'heavy' means a key large " +
+          "enough to matter, or raise spark.graft.skew.maxHeavyKeys if " +
+          "the driver can really hold this set.")
+      val vals: Array[Any] = heavyRows.map(_.get(0))
+      cacheKey.foreach { k =>
+        if (keyCountCache.size >= 64) keyCountCache.clear()
+        keyCountCache.put(k, vals)
+      }
+      vals
+    }
+  }
+
+  private[graft] def scanHybrid[S, M](df0: DataFrame, keyCol: String,
       orderCols: Seq[Column], outField: StructField,
-      heavyRowThreshold: Option[Long])(
+      heavyRowThreshold: Option[Long],
+      precomputedHeavy: Option[Seq[Any]] = None)(
       summary: (M, Row) => M, summary0: => M,
       init: S, carry: (S, M) => S,
       step: (S, Row) => S, emit: S => Any): DataFrame =
       heavyRowThreshold match {
     case None =>
-      scanTwoPass(df, keyCol, orderCols, outField)(
+      scanTwoPass(df0, keyCol, orderCols, outField)(
         summary, summary0, init, carry, step, emit)
     case Some(threshold) =>
     require(threshold >= 1,
       s"heavyRowThreshold must be >= 1, got $threshold")
+    val df = ensureDeterministicLineage(df0)
     val spark = df.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     validateKeyType(keyCol, df.schema(keyCol).dataType)
@@ -389,26 +491,14 @@ object DistRank {
       foldSorted(clustered, keyIdx, outField)(init, step, emit,
         (_, _) => init)
     }
-    // bounded by pigeonhole at total/threshold — which is only "small"
-    // when the threshold is proportionate to the input, so cap it
-    val heavyKeys = df.groupBy(keyCol)
-      .agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= threshold)
-      .select(keyCol)
-    val maxHeavy = spark.conf
-      .get("spark.graft.skew.maxHeavyKeys", MaxHeavyKeys.toString).toInt
-    val heavyRows = heavyKeys.limit(maxHeavy + 1).collect()
-    if (heavyRows.length > maxHeavy) throw new IllegalStateException(
-      s"DistRank.scanHybrid: more than $maxHeavy keys exceed the " +
-        s"heavy-row threshold $threshold — the heavy-key broadcast " +
-        "would not be small. Raise the threshold " +
-        "(spark.graft.skew.heavyKeyRows) so 'heavy' means a key large " +
-        "enough to matter, or raise spark.graft.skew.maxHeavyKeys if " +
-        "the driver can really hold this set.")
-    if (heavyRows.isEmpty) lightScan(df)
+    val heavyVals: Array[Any] = precomputedHeavy match {
+      case Some(ks) => ks.toArray
+      case None => heavyKeyValues(df, keyCol, threshold)
+    }
+    if (heavyVals.isEmpty) lightScan(df)
     else {
       val heavyDf = spark.createDataFrame(
-        java.util.Arrays.asList(heavyRows: _*),
+        java.util.Arrays.asList(heavyVals.map(v => Row(v)): _*),
         StructType(Seq(df.schema(keyCol).copy(name = "__hk"))))
       // NULL-SAFE split: a heavy NULL key (or a struct key with a null
       // field) must route HEAVY — a plain equi-join condition never

@@ -100,6 +100,23 @@ class FunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("a key whose events ALL have null time still gets a stage-0 row " +
+      "(the SQL distinct-key universe)") {
+    val df = Seq(
+      (1L, Some(10L), "click", 0.0), (1L, Some(20L), "purchase", 99.0),
+      // user 2: only null-time events — must still appear with stage 0
+      (2L, None, "click", 0.0), (2L, None, "purchase", 99.0),
+      // user 3: a null-time click is IGNORED; the timed purchase can't
+      // open the funnel
+      (3L, None, "click", 0.0), (3L, Some(5L), "purchase", 99.0))
+      .toDF("user_id", "tus", "etype", "value")
+    val got = run(df)
+    assert(got(1L) == ((2, Seq(Some(10L), Some(20L), None))))
+    assert(got(2L) == ((0, Seq(None, None, None))),
+      "all-null-time keys must report stage 0, not vanish")
+    assert(got(3L) == ((0, Seq(None, None, None))))
+  }
+
   test("one mega-key spreads over several partitions") {
     val n = 60000
     val df = spark.range(n).selectExpr("0L as user_id", "id as tus",

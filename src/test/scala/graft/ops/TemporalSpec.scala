@@ -216,6 +216,23 @@ class TemporalSpec extends AnyFunSuite {
       ("B", 20L) -> Some(2.0)))  // obs exactly at the point: inclusive
   }
 
+  test("resampleLocf: NEGATIVE (pre-1970) epochs floor the grid bounds " +
+      "downward, matching floor-division (//) semantics") {
+    // min=-7, step 10: floor gives gmin=-10 (truncate-toward-zero would
+    // give 0 and lose the -10 point); max=13 -> gmax=10
+    val obs = Seq((1L, -7L, 1.0), (1L, 13L, 2.0))
+      .toDF("k", "tus", "v").withColumn("ov", col("v"))
+    val got = Temporal.resampleLocf(obs, Seq("k"), "tus", 10L,
+        carry = Seq("ov"))
+      .collect()
+      .map(r => r.getLong(1) -> Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got == Map(
+      -10L -> None,      // grid starts at floor(-7/10)*10 = -10
+      0L -> Some(1.0),   // -7 carried forward
+      10L -> Some(1.0))) // 13 is after this point
+  }
+
   test("resampleLocf: grids longer than one chunk (65,536 steps) stay " +
       "dense and exact") {
     val obs = Seq((1L, 0L, 10.0), (1L, 70000L, 70.0))

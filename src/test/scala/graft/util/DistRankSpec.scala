@@ -237,6 +237,84 @@ class DistRankSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.skew.maxHeavyKeys")
   }
 
+  test("a nondeterministic upstream (rand) fails fast; the checkpoint " +
+      "conf opts into an eager pin instead") {
+    val df = spark.range(100)
+      .selectExpr("id % 4 as k", "id as v")
+      .withColumn("noise", rand(42))
+    val e = intercept[IllegalArgumentException] {
+      DistRank.perKeyRowNumber(df, "k", Seq(col("v")), "r")
+    }
+    assert(e.getMessage.contains("nondeterministic"))
+    // hybrid path guards too (its count job re-executes the lineage)
+    val e2 = intercept[IllegalArgumentException] {
+      DistRank.perKeyRowNumber(df, "k", Seq(col("v")), "r",
+        heavyRowThreshold = Some(10L))
+    }
+    assert(e2.getMessage.contains("nondeterministic"))
+    spark.conf.set("spark.graft.distrank.checkpointNondeterministic", "true")
+    try {
+      val ranked = DistRank.perKeyRowNumber(df, "k", Seq(col("v")), "r")
+      val got = ranked.collect().map(r => (r.getLong(1), r.getLong(3)))
+      assert(got.length == 100)
+      // v is deterministic, so ranks must exactly match v's per-key order
+      assert(got.sortBy(_._1).map(_._2).take(4).toSeq == Seq(1L, 1L, 1L, 1L))
+    } finally
+      spark.conf.unset("spark.graft.distrank.checkpointNondeterministic")
+  }
+
+  test("heavy-key counts are cached per (key plan, threshold) and never " +
+      "collide across different inputs") {
+    DistRank.clearKeyCountCache()
+    // key 1 heavy in df1; key 2 heavy in df2 — same schema, different data
+    val df1 = spark.range(30).selectExpr(
+      "CASE WHEN id < 20 THEN 1L ELSE id END as k", "id as v")
+    val df2 = spark.range(40).selectExpr(
+      "CASE WHEN id < 20 THEN 2L ELSE id END as k", "id as v")
+    val h1 = DistRank.heavyKeyValues(df1, "k", 10L)
+    val h1b = DistRank.heavyKeyValues(df1, "k", 10L)
+    assert(h1.toSeq == Seq(1L))
+    assert(h1 eq h1b, "identical plan+threshold must hit the cache " +
+      "(same array instance)")
+    // a DIFFERENT threshold on the same plan is a different entry
+    val h1hi = DistRank.heavyKeyValues(df1, "k", 25L)
+    assert(h1hi.isEmpty && !(h1hi eq h1))
+    // a different input never sees df1's cached set
+    val h2 = DistRank.heavyKeyValues(df2, "k", 10L)
+    assert(h2.toSeq == Seq(2L))
+    // conf off: recount (fresh instance), same values
+    spark.conf.set("spark.graft.skew.reuseKeyCounts", "false")
+    try {
+      val h1c = DistRank.heavyKeyValues(df1, "k", 10L)
+      assert(h1c.toSeq == Seq(1L) && !(h1c eq h1))
+    } finally spark.conf.unset("spark.graft.skew.reuseKeyCounts")
+    // clearing drops entries: a recount returns a fresh instance
+    DistRank.clearKeyCountCache()
+    val h1d = DistRank.heavyKeyValues(df1, "k", 10L)
+    assert(h1d.toSeq == Seq(1L) && !(h1d eq h1))
+  }
+
+  test("a precomputed heavy set skips the count job and still splits " +
+      "correctly") {
+    val df = spark.range(100).selectExpr(
+      "CASE WHEN id < 60 THEN 7L ELSE id END as k", "id as v")
+    // a precomputed set bypasses heavyKeyValues entirely: with the
+    // count cache cleared and reuse ON, the build must leave it empty
+    DistRank.clearKeyCountCache()
+    val ranked = DistRank.perKeyRowNumber(df, "k", Seq(col("v")), "r",
+      heavyRowThreshold = Some(10L), precomputedHeavy = Some(Seq(7L)))
+    assert(DistRank.keyCountCacheSize == 0,
+      "precomputed heavy keys must skip the count job (cache untouched)")
+    val got = ranked.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(DistRank.keyCountCacheSize == 0)
+    val want = DistRank.perKeyRowNumber(df, "k", Seq(col("v")), "r")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(DistRank.keyCountCacheSize == 0,
+      "the pure two-pass reference takes no count either")
+  }
+
   test("too many distinct keys fails fast with a clear message, not a " +
       "driver OOM") {
     spark.conf.set("spark.graft.distrank.maxRunsPerPartition", "50")
