@@ -294,6 +294,24 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // WINDOWED funnel (click -> purchase -> purchase>50, each chain
+    // within 6 hours of ITS OWN anchor click): the conversion-deadline
+    // funnel with expiry/re-arm — a stale click can't block a fresh
+    // one. Exact max-anchor scan; heavy keys would split into
+    // W-aligned lookback buckets. The oracle is the per-anchor
+    // layered-min formulation the semantics are defined by.
+    "q31_funnel_windowed" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("tus",
+        unix_micros(graft.streaming.EventStreams.eventTime(ev0)))
+      graft.ops.Funnel.matchStepsWindowed(ev, "user_id", "tus",
+          Seq(col("event_type") === "click",
+            col("event_type") === "purchase",
+            col("event_type") === "purchase" && col("value") > 50),
+          windowUs = 6L * 3600L * 1000000L)
+        .orderBy("user_id")
+    }),
+
     // EXACT distributed percentiles (not percentile_approx, not a
     // one-task-per-group exact aggregate): DistRank ranks + broadcast
     // count join + rank-selected pivot; index semantics pinned in
@@ -540,6 +558,31 @@ object Relational {
            LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id)
            LEFT JOIN s3 USING(user_id)
          ORDER BY user_id""",
+    "q31_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                event_type, value FROM events),
+         a AS (SELECT user_id, tus AS t1 FROM e WHERE event_type='click'),
+         s2 AS (SELECT a.user_id, t1, min(e.tus) AS t2
+                FROM a JOIN e USING(user_id)
+                WHERE e.event_type='purchase' AND e.tus > t1
+                  AND e.tus - t1 <= 21600000000 GROUP BY 1,2),
+         s3 AS (SELECT s2.user_id, t1, min(e.tus) AS t3
+                FROM s2 JOIN e USING(user_id)
+                WHERE e.event_type='purchase' AND e.value > 50
+                  AND e.tus > t2 AND e.tus - t1 <= 21600000000
+                GROUP BY 1,2),
+         r AS (SELECT a.user_id, a.t1, s2.t2, s3.t3
+               FROM a LEFT JOIN s2 ON a.user_id=s2.user_id AND a.t1=s2.t1
+                      LEFT JOIN s3 ON a.user_id=s3.user_id AND a.t1=s3.t1)
+         SELECT u.user_id,
+           CAST(coalesce(max(CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 END), 0) AS INTEGER)
+             AS stages_reached,
+           min(t1) AS step_1_us, min(t2) AS step_2_us, min(t3) AS step_3_us
+         FROM (SELECT DISTINCT user_id FROM e) u
+           LEFT JOIN r USING(user_id)
+         GROUP BY 1 ORDER BY 1""",
     "q27_exact_percentiles" ->
       """WITH r AS (SELECT l_returnflag AS k, l_extendedprice AS v,
              row_number() OVER (PARTITION BY l_returnflag

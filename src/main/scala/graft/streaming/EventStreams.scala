@@ -236,17 +236,23 @@ object EventStreams {
   final case class FunnelIn(user_id: Long, event_time: java.time.Instant,
       flags: Int)
   final case class FunnelEv(tsUs: Long, flags: Int)
-  /** stage reached so far, the LAST advance time (all the strict-`>`
-    * check needs), and events not yet sealed by the watermark */
-  final case class FunnelSt(stage: Int, lastUs: Long, pending: Seq[FunnelEv])
+  /** stage emitted so far, the per-level max-anchor slots (the
+    * windowed-funnel DP state — [[graft.ops.Funnel.matchStepsWindowed]]'s
+    * `slotOld`, rolled at each seal boundary because every future event
+    * is strictly later than every sealed one; `Long.MinValue` = unset;
+    * empty = all-unset, the completed-user residue), and events not yet
+    * sealed by the watermark */
+  final case class FunnelSt(stage: Int, anchors: Seq[Long],
+      pending: Seq[FunnelEv])
   /** One funnel stage transition: `stage` (1-based) was reached at
     * `reached_at`. Emissions per user are monotone in `stage`. */
   final case class FunnelAdvance(user_id: Long, stage: Int,
       reached_at: java.time.Instant)
 
-  /** Streaming twin of [[graft.ops.Funnel.matchSteps]] — per-user
-    * greedy strictly-ordered step matching over an unbounded event
-    * stream, emitting one row per stage TRANSITION as it becomes
+  /** Streaming twin of [[graft.ops.Funnel.matchSteps]] (and, with
+    * `windowUs`, of [[graft.ops.Funnel.matchStepsWindowed]]) — per-user
+    * strictly-ordered step matching over an unbounded event stream,
+    * emitting one row per first reach of each stage as it becomes
     * final. Events buffer until the watermark passes their event time
     * (only then is their order complete — the [[asofEnrichStream]]
     * discipline), so every emission is identical to what the batch
@@ -254,13 +260,23 @@ object EventStreams {
     * always a subset (prefix per user) of the batch reach, equal once
     * the watermark passes the last event (parity spec).
     *
+    * With `windowUs` set, a chain must complete within that span of
+    * its own step-1 anchor, and an expired funnel RE-ARMS from a
+    * fresher anchor — the same two-slot max-anchor DP as the batch
+    * operator, whose per-user state is O(k) anchors; `reached_at` is
+    * then the earliest time ANY valid chain reaches the stage (the
+    * batch `step_i_us`). Without it the DP degenerates to the
+    * unwindowed greedy and emissions are the layered-min times, as
+    * before. Anchors older than the watermark minus the window can
+    * never satisfy another advance and are pruned each batch.
+    *
     * State per user is O(pending-within-horizon) while the funnel is
-    * live and one tiny row once complete or drained (stage + last
-    * advance time) — a completed user's state cannot be dropped, or a
-    * later event would restart the funnel from stage 0 and emit
-    * duplicate transitions. Events matching NO step are dropped before
-    * grouping (they can never advance a stage and the strict check
-    * only reads advance times), so state holds only relevant events.
+    * live and one tiny row once complete or drained — a completed
+    * user's state cannot be dropped, or a later event would restart
+    * the funnel from stage 0 and emit duplicate transitions. Events
+    * matching NO step are dropped before grouping (they can never
+    * advance a stage and the checks only read advance anchors), so
+    * state holds only relevant events.
     *
     * That one-tiny-row residue still grows with distinct-user
     * cardinality on an unbounded stream. For long-running
@@ -272,9 +288,11 @@ object EventStreams {
     * stage 0 and may re-emit early transitions. */
   def funnelStream(events: DataFrame, steps: Seq[org.apache.spark.sql.Column],
       watermark: String = "2 hours",
-      idleStateTtlMs: Long = 0L): Dataset[FunnelAdvance] = {
+      idleStateTtlMs: Long = 0L,
+      windowUs: Option[Long] = None): Dataset[FunnelAdvance] = {
     val k = steps.size
     require(k >= 1 && k <= 8, s"1..8 funnel steps supported, got $k")
+    windowUs.foreach(w => require(w >= 1, s"windowUs must be >= 1, got $w"))
     val spark = events.sparkSession
     import spark.implicits._
     val flags = steps.zipWithIndex.map { case (p, i) =>
@@ -286,13 +304,14 @@ object EventStreams {
       .filter(col("flags") =!= 0)
       .withWatermark("event_time", watermark)
       .as[FunnelIn]
+    val UNSET = Long.MinValue
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelSt, FunnelAdvance](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, incoming, state: GroupState[FunnelSt]) =>
           val wmMs = state.getCurrentWatermarkMs()
           val wmUs = wmMs * 1000L
-          val prev = state.getOption.getOrElse(FunnelSt(0, Long.MinValue, Nil))
+          val prev = state.getOption.getOrElse(FunnelSt(0, Nil, Nil))
           val in = incoming.toSeq
           // idle-TTL expiry: a timeout with nothing incoming and
           // nothing pending can only be the idle timer below — drop
@@ -306,24 +325,71 @@ object EventStreams {
           // STRICTLY below the watermark (see asofEnrichStream): an
           // event AT the watermark may still gain same-time siblings
           val (sealed_, pending) = all.partition(_.tsUs < wmUs)
+          // the batch DP over the sealed suffix: `anchors` is slotOld
+          // (every carried chain's last event precedes this batch),
+          // slotCur blocks same-instant chaining within the batch
+          val anchors =
+            if (prev.anchors.isEmpty) Array.fill(k)(UNSET)
+            else prev.anchors.toArray
+          val slotCur = Array.fill(k)(UNSET)
           var stage = prev.stage
-          var lastUs = prev.lastUs
+          var curTime = UNSET
+          var anyRow = false
+          def roll(): Unit = {
+            var i = 0
+            while (i < k) {
+              if (slotCur(i) > anchors(i)) anchors(i) = slotCur(i)
+              slotCur(i) = UNSET
+              i += 1
+            }
+          }
           val out = Seq.newBuilder[FunnelAdvance]
           sealed_.sortBy(_.tsUs).foreach { e =>
-            if (stage < k && ((e.flags >> stage) & 1) == 1 &&
-                (stage == 0 || e.tsUs > lastUs)) {
-              stage += 1
-              lastUs = e.tsUs
-              out += FunnelAdvance(uid, stage, instant(e.tsUs))
+            if (anyRow && e.tsUs != curTime) roll()
+            curTime = e.tsUs; anyRow = true
+            var i = 0
+            while (i < k) {
+              if (((e.flags >> i) & 1) == 1) {
+                val anchor =
+                  if (i == 0) e.tsUs
+                  else {
+                    val a = anchors(i - 1)
+                    if (a != UNSET && windowUs.forall(e.tsUs - a <= _)) a
+                    else UNSET
+                  }
+                if (anchor != UNSET) {
+                  if (anchor > slotCur(i)) slotCur(i) = anchor
+                  if (i + 1 > stage) {
+                    stage = i + 1
+                    out += FunnelAdvance(uid, stage, instant(e.tsUs))
+                  }
+                }
+              }
+              i += 1
+            }
+          }
+          roll() // every future event is strictly later than the sealed
+          // a windowed anchor older than wm - W can never advance again
+          windowUs.foreach { w =>
+            var i = 0
+            while (i < k) {
+              if (anchors(i) != UNSET && wmUs - anchors(i) > w)
+                anchors(i) = UNSET
+              i += 1
             }
           }
           val keep = if (stage >= k) Nil else pending
-          if (stage == 0 && keep.isEmpty) {
-            // nothing reached, nothing buffered: dropping the state is
-            // lossless (a later event recreates it identically)
+          // completed users keep only the tiny (stage, Nil, Nil) residue
+          val keepAnchors =
+            if (stage >= k || anchors.forall(_ == UNSET)) Nil
+            else anchors.toSeq
+          if (stage == 0 && keep.isEmpty && keepAnchors.isEmpty) {
+            // nothing reached, nothing buffered, no live anchors:
+            // dropping the state is lossless (a later event recreates
+            // it identically)
             if (state.exists) state.remove()
           } else {
-            state.update(FunnelSt(stage, lastUs, keep))
+            state.update(FunnelSt(stage, keepAnchors, keep))
             if (keep.nonEmpty)
               state.setTimeoutTimestamp(
                 math.max(keep.map(_.tsUs).min / 1000L + 1, wmMs + 1))

@@ -235,7 +235,7 @@ object DistRank {
 
   /** Key types the run detector / driver table may use: universal
     * equality must equal semantic equality. */
-  private def validateKeyType(name: String, dt: DataType): Unit = dt match {
+  private[graft] def validateKeyType(name: String, dt: DataType): Unit = dt match {
     case ByteType | ShortType | IntegerType | LongType | StringType |
          BooleanType | DateType | TimestampType | TimestampNTZType => ()
     case s: StructType =>

@@ -117,6 +117,160 @@ class FunnelSpec extends AnyFunSuite {
     assert(got(3L) == ((0, Seq(None, None, None))))
   }
 
+  private def runW(df: org.apache.spark.sql.DataFrame, w: Long) =
+    Funnel.matchStepsWindowed(df, "user_id", "tus", steps, w)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1),
+        (2 to 4).map(i => Option(r.get(i)).map(_.asInstanceOf[Long])))))
+      .toMap
+
+  test("windowed: an expired funnel RE-ARMS from a fresher step-1 event") {
+    // W=10: the t=0 click can't convert (purchase at 100 is too late),
+    // but the t=95 click can — the greedy single chain would miss it
+    val got = runW(ev(
+      (1L, 0L, "click", 0.0), (1L, 95L, "click", 0.0),
+      (1L, 100L, "purchase", 99.0),
+      // user 2: the SAME events without the second click: stage 1 only
+      (2L, 0L, "click", 0.0), (2L, 100L, "purchase", 99.0)), 10L)
+    assert(got(1L) == ((2, Seq(Some(0L), Some(100L), None))),
+      "re-arm: earliest step-1 is still t=0, conversion via the t=95 anchor")
+    assert(got(2L) == ((1, Seq(Some(0L), None, None))),
+      "without a fresh anchor the window binds")
+  }
+
+  test("windowed: the deadline anchors at step 1, not the previous step, " +
+      "and a fresher anchor carried at level 2 unlocks level 3") {
+    val got = runW(ev(
+      // user 1: click@0 -> purchase@8 ok, but p50@12 breaches 12-0>10
+      (1L, 0L, "click", 0.0), (1L, 8L, "purchase", 1.0),
+      (1L, 12L, "purchase", 99.0),
+      // user 2: same + a click@5 whose chain (5 -> 8 -> 12) completes
+      (2L, 0L, "click", 0.0), (2L, 5L, "click", 0.0),
+      (2L, 8L, "purchase", 1.0), (2L, 12L, "purchase", 99.0)), 10L)
+    assert(got(1L) == ((2, Seq(Some(0L), Some(8L), None))),
+      "window measured from the anchor must block level 3")
+    assert(got(2L) == ((3, Seq(Some(0L), Some(8L), Some(12L)))),
+      "the max-anchor chain at level 2 (anchor 5) must be retained")
+  }
+
+  test("windowed: strictness survives — same-instant events never chain, " +
+      "window bound is inclusive") {
+    val got = runW(ev(
+      // user 1: click and purchase at the same instant: no chain
+      (1L, 10L, "click", 0.0), (1L, 10L, "purchase", 99.0),
+      // user 2: exactly AT the window bound (20-10 == 10): inclusive
+      (2L, 10L, "click", 0.0), (2L, 20L, "purchase", 99.0),
+      // user 3: one past the bound
+      (3L, 10L, "click", 0.0), (3L, 21L, "purchase", 99.0)), 10L)
+    assert(got(1L)._1 == 1)
+    assert(got(2L) == ((2, Seq(Some(10L), Some(20L), None))))
+    assert(got(3L)._1 == 1)
+  }
+
+  test("windowed: step times are the earliest reach of EACH level, " +
+      "possibly from different chains") {
+    // chain A (anchor 0) reaches level 2 at t=5 but never level 3;
+    // chain B (anchor 50) completes at t=60. er_2 = 5 from chain A.
+    val got = runW(ev(
+      (1L, 0L, "click", 0.0), (1L, 5L, "purchase", 1.0),
+      (1L, 50L, "click", 0.0), (1L, 55L, "purchase", 1.0),
+      (1L, 60L, "purchase", 99.0)), 10L)
+    assert(got(1L) == ((3, Seq(Some(0L), Some(5L), Some(60L)))))
+  }
+
+  /** Independent driver-side reference: per-anchor greedy layered-min
+    * under the window, reach = max over anchors, step times = min per
+    * level over anchors. */
+  private def windowedReference(
+      es: Seq[(Long, Long, String, Double)], w: Long,
+      preds: Seq[(String, Double) => Boolean])
+      : Map[Long, (Int, Seq[Option[Long]])] = {
+    val k = preds.size
+    es.groupBy(_._1).map { case (u, evs) =>
+      val anchors = evs.filter(e => preds(0)(e._3, e._4)).map(_._2)
+      val er = Array.fill(k)(Option.empty[Long])
+      var reach = 0
+      anchors.foreach { a =>
+        var prev = a
+        var stage = 1
+        er(0) = Some(er(0).fold(a)(math.min(_, a)))
+        var advanced = true
+        while (stage < k && advanced) {
+          val nxt = evs.filter(e => preds(stage)(e._3, e._4) &&
+            e._2 > prev && e._2 - a <= w).map(_._2).minOption
+          advanced = nxt.isDefined
+          nxt.foreach { t =>
+            er(stage) = Some(er(stage).fold(t)(math.min(_, t)))
+            prev = t; stage += 1
+          }
+        }
+        reach = math.max(reach, stage)
+      }
+      u -> ((if (anchors.isEmpty) 0 else reach, er.toSeq))
+    }
+  }
+
+  test("windowed: agreement with the per-anchor layered-min reference " +
+      "on real data, light and heavy paths identical") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"),
+        col("event_type").as("etype"), col("value"))
+    val w = 6L * 3600L * 1000000L // 6 hours
+    val light = runW(events, w)
+    // force EVERY key through the bucketed heavy branch
+    spark.conf.set("spark.graft.skew.heavyKeyRows", "1")
+    graft.util.DistRank.clearKeyCountCache()
+    val heavy = try runW(events, w)
+      finally spark.conf.unset("spark.graft.skew.heavyKeyRows")
+    assert(light == heavy,
+      "bucketed lookback replay must equal the single-task fold")
+    val preds = Seq[(String, Double) => Boolean](
+      (e, _) => e == "click", (e, _) => e == "purchase",
+      (e, v) => e == "purchase" && v > 50)
+    val rows = events.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val want = windowedReference(rows.toSeq, w, preds)
+    assert(light.size == want.size)
+    want.foreach { case (u, wv) =>
+      assert(light(u) == wv, s"user $u: got ${light(u)}, want $wv")
+    }
+  }
+
+  test("windowed: tiny window forces many buckets on the heavy path and " +
+      "stays exact across bucket boundaries") {
+    // events every 3 us, window 10 -> buckets of 10 us, chains
+    // regularly straddle the boundary
+    val n = 2000
+    val df = spark.range(n).selectExpr("7L as user_id", "id * 3 as tus",
+      """CASE WHEN id % 5 = 0 THEN 'click'
+         WHEN id % 5 = 2 THEN 'purchase' ELSE 'view' END as etype""",
+      "cast(CASE WHEN id % 10 = 7 THEN 99 ELSE 1 END as double) as value")
+    val light = runW(df, 10L)
+    spark.conf.set("spark.graft.skew.heavyKeyRows", "100")
+    graft.util.DistRank.clearKeyCountCache()
+    val heavy = try runW(df, 10L)
+      finally spark.conf.unset("spark.graft.skew.heavyKeyRows")
+    assert(light == heavy)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val preds = Seq[(String, Double) => Boolean](
+      (e, _) => e == "click", (e, _) => e == "purchase",
+      (e, v) => e == "purchase" && v > 50)
+    val want = windowedReference(rows.toSeq, 10L, preds)
+    assert(light(7L) == want(7L), s"got ${light(7L)}, want ${want(7L)}")
+  }
+
+  test("windowed: all-null-time keys still report stage 0") {
+    val df = Seq(
+      (1L, Some(10L), "click", 0.0), (1L, Some(12L), "purchase", 99.0),
+      (2L, None, "click", 0.0))
+      .toDF("user_id", "tus", "etype", "value")
+    val got = Funnel.matchStepsWindowed(df, "user_id", "tus", steps, 10L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 2, 2L -> 0))
+  }
+
   test("one mega-key spreads over several partitions") {
     val n = 60000
     val df = spark.range(n).selectExpr("0L as user_id", "id as tus",

@@ -242,4 +242,51 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(stages == (1 to stages.max), s"user $u stages with holes: $stages")
     }
   }
+
+  test("WINDOWED streaming funnel transitions are exactly a prefix of " +
+      "the windowed batch reach (q31 twin), incl. re-arm across batches") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val steps = Seq(col("event_type") === "click",
+      col("event_type") === "purchase",
+      col("event_type") === "purchase" && col("value") > 50)
+    val w = 6L * 3600L * 1000000L
+    val schema = eventsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStreams.funnelStream(stream, steps, windowUs = Some(w))
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_w")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("funnel_w")
+      .select(col("user_id"), col("stage"),
+        unix_micros(col("reached_at").cast("timestamp")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "no windowed funnel transitions emitted")
+    val ev0 = eventsBatch
+    val evB = ev0.withColumn("tus",
+      unix_micros(EventStreams.eventTime(ev0)))
+    val batchRows = graft.ops.Funnel
+      .matchStepsWindowed(evB, "user_id", "tus", steps, w)
+      .collect()
+    val batch = batchRows.flatMap { r =>
+      (1 to r.getInt(1)).map(i => (r.getLong(0), i, r.getLong(1 + i)))
+    }.toSet
+    assert(got.subsetOf(batch),
+      s"stream emitted transitions the windowed batch funnel does not " +
+        s"have: ${(got -- batch).take(3)}")
+    got.groupBy(_._1).foreach { case (u, ts) =>
+      val stages = ts.map(_._2).toSeq.sorted
+      assert(stages == (1 to stages.max), s"user $u stages with holes: $stages")
+    }
+    // the window must BIND somewhere: some user's windowed reach is
+    // strictly below their unwindowed reach (otherwise this spec
+    // proves nothing about the deadline)
+    val unwindowed = graft.ops.Funnel
+      .matchSteps(evB, "user_id", "tus", steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val windowedReach = batchRows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(windowedReach.exists { case (u, s) => s < unwindowed(u) },
+      "expected at least one user whose funnel the 6h deadline cuts short")
+  }
 }
