@@ -335,6 +335,20 @@ object Relational {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Generalized retention: SIGNUP-day cohorts (a supplied cohort
+    // table, not first touch) x active days, negative offsets kept
+    // (pre-signup activity) — same declarative three-hash-aggregate
+    // shape as q28, shuffle join on the user key.
+    "q32_retention_signup_day" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val tsx = graft.streaming.EventStreams.eventTime(ev0)
+      val cohorts = ev0.filter(col("event_type") === "signup")
+        .select(col("user_id"), tsx.as("signup_ts"))
+      graft.ops.Retention.retentionMatrix(ev0, "user_id", tsx,
+          granularity = "day", cohorts = Some(cohorts))
+        .orderBy("cohort", "offset")
+    }),
+
     // Time-series resampling with LOCF gap fill: a dense daily grid per
     // user carrying the latest purchase at or before each grid point —
     // chunked sequence/explode grid + the hybrid de-skewed as-of carry.
@@ -605,6 +619,21 @@ object Relational {
              // 7 AS INTEGER) AS week_offset,
            CAST(count(*) AS BIGINT) AS n_users
          FROM a JOIN f USING(user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q32_retention_signup_day" ->
+      """WITH ev AS (SELECT user_id,
+                date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+              FROM events WHERE ts IS NOT NULL),
+         c AS (SELECT user_id,
+                 min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS cohort
+               FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
+               GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, d FROM ev)
+         SELECT CAST(cohort AS DATE) AS cohort,
+           CAST(date_diff('day', CAST(cohort AS DATE), CAST(d AS DATE))
+             AS INTEGER) AS offset,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM a JOIN c USING(user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q29_resample_locf" ->
       """WITH o0 AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,

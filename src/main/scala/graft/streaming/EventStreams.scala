@@ -403,6 +403,110 @@ object EventStreams {
       }
   }
 
+  final case class RetentionIn(user_id: Long,
+      event_time: java.time.Instant)
+  /** cohort bucket (epoch day; Long.MinValue = not yet sealed), the
+    * offsets already emitted, and unsealed event times (micros) */
+  final case class RetentionSt(cohortDay: Long, seen: Seq[Int],
+      pending: Seq[Long])
+  /** One first-activity hit: the user was active in cohort+offset for
+    * the first time. `groupBy(cohort, offset).count` over this stream
+    * (update mode) IS the live retention matrix. */
+  final case class RetentionHit(user_id: Long, cohort: java.sql.Date,
+      offset: Int)
+
+  /** Streaming twin of [[graft.ops.Retention.retentionMatrix]]
+    * (first-touch cohorts): per user, emit each (cohort, offset)
+    * period exactly once, as soon as the watermark seals an event in
+    * it. Events buffer until sealed because the cohort is the MINIMUM
+    * bucket — only the watermark makes it final (a late earlier event
+    * would re-cohort the user). Aggregating the hits is one streaming
+    * hash aggregate in update mode; the parity spec pins
+    * hits-aggregated == the batch matrix.
+    *
+    * Buckets share the batch operator's UTC calendar: day = epoch day,
+    * week = Monday truncation, month = first of month; offsets use the
+    * same integer formulas. State per user is the cohort + one Int per
+    * active period (bounded by the horizon in periods); set
+    * `idleStateTtlMs` > 0 to reclaim users idle that long past the
+    * watermark (the standard TTL trade: a user returning later than
+    * the TTL re-cohorts and may re-emit). */
+  def retentionHitsStream(events: DataFrame, granularity: String = "week",
+      watermark: String = "2 hours",
+      idleStateTtlMs: Long = 0L): Dataset[RetentionHit] = {
+    require(Seq("day", "week", "month").contains(granularity),
+      s"granularity must be day/week/month, got `$granularity`")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val UNSET = Long.MinValue
+    val usPerDay = 86400000000L
+    def bucketDay(tsUs: Long): Long = {
+      val d = Math.floorDiv(tsUs, usPerDay)
+      granularity match {
+        case "day" => d
+        // epoch day 0 = Thursday; Mondays are ≡ 4 (mod 7)
+        case "week" => d - Math.floorMod(d - 4L, 7L)
+        case "month" =>
+          java.time.LocalDate.ofEpochDay(d).withDayOfMonth(1).toEpochDay
+      }
+    }
+    def offsetOf(bkt: Long, cohort: Long): Int = granularity match {
+      case "day" => (bkt - cohort).toInt
+      case "week" => ((bkt - cohort) / 7L).toInt
+      case "month" =>
+        val b = java.time.LocalDate.ofEpochDay(bkt)
+        val c = java.time.LocalDate.ofEpochDay(cohort)
+        (b.getYear - c.getYear) * 12 + (b.getMonthValue - c.getMonthValue)
+    }
+    val typed = withEventTime(events)
+      .select(col("user_id"), col("event_time"))
+      .filter(col("event_time").isNotNull)
+      .withWatermark("event_time", watermark)
+      .as[RetentionIn]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionSt, RetentionHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, incoming, state: GroupState[RetentionSt]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val prev = state.getOption.getOrElse(RetentionSt(UNSET, Nil, Nil))
+          val in = incoming.toSeq
+          if (state.hasTimedOut && in.isEmpty && prev.pending.isEmpty) {
+            state.remove()
+            Iterator.empty
+          } else {
+          val all = prev.pending ++ in.map(e => micros(e.event_time))
+          val (sealed_, pending) = all.partition(_ < wmUs)
+          val seen = scala.collection.mutable.Set[Int](prev.seen: _*)
+          var cohort = prev.cohortDay
+          val out = Seq.newBuilder[RetentionHit]
+          if (sealed_.nonEmpty) {
+            // min-fold: the watermark guarantees no earlier arrivals,
+            // so once set the cohort never decreases in practice
+            val minBkt = bucketDay(sealed_.min)
+            if (cohort == UNSET || minBkt < cohort) cohort = minBkt
+            sealed_.foreach { ts =>
+              val off = offsetOf(bucketDay(ts), cohort)
+              if (seen.add(off))
+                out += RetentionHit(uid, java.sql.Date.valueOf(
+                  java.time.LocalDate.ofEpochDay(cohort)), off)
+            }
+          }
+          if (cohort == UNSET && pending.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(RetentionSt(cohort, seen.toSeq, pending))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(pending.min / 1000L + 1, wmMs + 1))
+            else if (idleStateTtlMs > 0)
+              state.setTimeoutTimestamp(wmMs + idleStateTtlMs)
+          }
+          out.result().iterator
+          }
+      }
+  }
+
   /** Batch-mode sessionization with identical semantics — the
     * oracle-checkable twin of [[sessionize]].
     *

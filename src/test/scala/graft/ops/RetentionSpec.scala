@@ -40,6 +40,60 @@ class RetentionSpec extends AnyFunSuite {
     assert(got.length == 1 && got.head.getLong(2) == 1L)
   }
 
+  test("day granularity + supplied signup cohorts, incl. NEGATIVE " +
+      "offsets for pre-signup activity") {
+    val ev = Seq(
+      // user 1 signs up Jan 3, active Jan 1 (offset -2), 3 (0), 5 (+2)
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-03 09:00:00")),
+      (1L, ts("2024-01-05 23:00:00")),
+      // user 2 signs up Jan 3, active Jan 3 and 5
+      (2L, ts("2024-01-03 12:00:00")), (2L, ts("2024-01-05 01:00:00")),
+      // user 3 has NO signup row: dropped (inner-join semantics)
+      (3L, ts("2024-01-04 10:00:00")))
+      .toDF("user_id", "t")
+    val cohorts = Seq((1L, ts("2024-01-03 17:30:00")),
+      (2L, ts("2024-01-03 01:00:00"))).toDF("user_id", "signup")
+    val got = Retention.retentionMatrix(ev, "user_id", col("t"),
+        granularity = "day", cohorts = Some(cohorts))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-03", -2) -> 1L, // user 1 pre-signup
+      ("2024-01-03", 0) -> 2L,  // both active on signup day
+      ("2024-01-03", 2) -> 2L)) // both return two days later
+  }
+
+  test("month granularity: calendar offsets, not 30-day buckets") {
+    val ev = Seq(
+      // cohort 2024-01; active Jan 31 and Feb 1 (adjacent days, but
+      // DIFFERENT month offsets: 0 and 1) and 2025-03 (offset 14)
+      (1L, ts("2024-01-31 10:00:00")), (1L, ts("2024-02-01 00:30:00")),
+      (1L, ts("2025-03-15 12:00:00")))
+      .toDF("user_id", "t")
+    val got = Retention.retentionMatrix(ev, "user_id", col("t"),
+        granularity = "month")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> 1L,
+      ("2024-01-01", 1) -> 1L,
+      ("2024-01-01", 14) -> 1L))
+  }
+
+  test("an unknown granularity and a malformed cohort frame fail fast") {
+    val ev = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "t")
+    val e = intercept[IllegalArgumentException] {
+      Retention.retentionMatrix(ev, "user_id", col("t"), "fortnight")
+    }
+    assert(e.getMessage.contains("granularity"))
+    val bad = Seq((1L, ts("2024-01-01 00:00:00"), 1)).toDF("user_id", "s", "x")
+    val e2 = intercept[IllegalArgumentException] {
+      Retention.retentionMatrix(ev, "user_id", col("t"),
+        cohorts = Some(bad))
+    }
+    assert(e2.getMessage.contains("cohorts"))
+  }
+
   test("plan shape: no window, no cartesian, aggregates partial") {
     val ev = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "t")
     val plan = Retention.weeklyRetention(ev, "user_id", col("t"))

@@ -243,6 +243,54 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming retention hits aggregate to exactly the batch " +
+      "retention matrix (q28 twin)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = eventsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStreams.retentionHitsStream(stream, granularity = "week")
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ret_hits")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val hits = spark.table("ret_hits")
+    // exactly-once per (user, cohort, offset)
+    assert(hits.count() ==
+      hits.select("user_id", "cohort", "offset").distinct().count())
+    val got = hits.groupBy("cohort", "offset")
+      .agg(count(lit(1)).as("n_users"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    val ev0 = eventsBatch
+    val want = graft.ops.Retention
+      .weeklyRetention(ev0, "user_id", EventStreams.eventTime(ev0))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    // the stream cannot emit hits for events still inside the final
+    // watermark horizon; with AvailableNow the final watermark passes
+    // everything except the trailing horizon, so compare on the sealed
+    // prefix: every streamed cell must match the batch cell exactly,
+    // and the batch total must not be exceeded
+    assert(got.nonEmpty, "no retention hits emitted")
+    got.foreach { case (cell, n) =>
+      assert(want.contains(cell), s"stream invented cell $cell")
+      assert(n <= want(cell), s"cell $cell: stream $n > batch ${want(cell)}")
+    }
+    // cells fully sealed (cohort + offset weeks entirely below the
+    // final watermark horizon) must match exactly; with this data the
+    // horizon (2h) clips at most the last week's cells
+    val lastWeek = want.keys.map(_._1).max
+    got.collect { case ((c, o), n) if c < lastWeek && {
+        // the activity week of the cell
+        val actW = java.time.LocalDate.parse(c).plusDays(7L * o)
+        actW.toString < lastWeek
+      } => ((c, o), n)
+    }.foreach { case (cell, n) =>
+      assert(n == want(cell), s"sealed cell $cell: stream $n != batch ${want(cell)}")
+    }
+  }
+
   test("WINDOWED streaming funnel transitions are exactly a prefix of " +
       "the windowed batch reach (q31 twin), incl. re-arm across batches") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
