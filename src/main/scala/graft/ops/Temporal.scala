@@ -196,6 +196,108 @@ object Temporal {
       .drop("__fwd_lt")
   }
 
+  /** NEAREST as-of join (pandas `merge_asof(direction="nearest")`
+    * parity): for every left row, attach the right row with the same
+    * keys whose time is CLOSEST to the left time, looking both
+    * directions; on an exact distance tie the BACKWARD (earlier) match
+    * wins — the pandas convention. With `toleranceUs`, matches farther
+    * than the tolerance in either direction null out. Time columns
+    * must be timestamps or integral epochs (the distance needs an
+    * arithmetic axis).
+    *
+    * Scale design: both directional matches ride the same de-skewed
+    * union + running-`last` machinery as [[asofJoin]] — the union is
+    * built ONCE on a microsecond axis, the backward carry is one
+    * hybrid scan, and the forward carry is a second hybrid scan of the
+    * already-carried frame on the negated axis (every left row then
+    * holds BOTH candidate structs; no join, no unique-left-id
+    * requirement, work linear in |L|+|R|). The heavy-key set is
+    * counted once and shared by both scans. Tie conventions among
+    * simultaneous right rows match the directional joins (`tieBreak`
+    * last wins). */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String, rightVals: Seq[String],
+      tieBreak: Seq[String] = Nil,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    val leftPayload =
+      left.columns.toSeq.filterNot(c => on.contains(c) || c == leftTime)
+    val rightCarry = rightVals ++ tieBreak.filterNot(rightVals.contains)
+    val reserved =
+      Seq("__t", "__is_l", "__k", "__rv", "__rb", "__rf", "__lt0", "__m_rt")
+    val clashPayload = leftPayload.intersect(rightCarry)
+    require(clashPayload.isEmpty,
+      s"rename right columns ${clashPayload.mkString(", ")} — they clash with left payload columns")
+    val clashOn = rightCarry.filter(on.contains)
+    require(clashOn.isEmpty,
+      s"right columns ${clashOn.mkString(", ")} clash with the `on` keys; rename them before the join")
+    require(!rightCarry.contains(leftTime),
+      s"right column `$leftTime` clashes with the left time column; rename it before the join")
+    val clashReserved =
+      (left.columns ++ right.columns).distinct.filter(reserved.contains)
+    require(clashReserved.isEmpty,
+      s"columns ${clashReserved.mkString(", ")} collide with asofJoinNearest's reserved internal names (${reserved.mkString(", ")})")
+    toleranceUs.foreach(t =>
+      require(t >= 0, s"toleranceUs must be >= 0, got $t"))
+    def micros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(c.cast("timestamp"))
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => c.cast("long")
+        case other => throw new IllegalArgumentException(
+          s"asofJoinNearest needs timestamp or integral time columns; " +
+            s"got ${other.simpleString}")
+      }
+    // the union rides a LONG micros axis (both directions need the
+    // arithmetic); the original left time is carried as payload so the
+    // output keeps its exact type and value
+    val l = left.select(
+      on.map(col) ++
+        Seq(micros(col(leftTime), left.schema(leftTime).dataType).as("__t"),
+          lit(true).as("__is_l"), col(leftTime).as("__lt0")) ++
+        leftPayload.map(col) ++
+        rightCarry.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      on.map(col) ++
+        Seq(micros(col(rightTime), right.schema(rightTime).dataType).as("__t"),
+          lit(false).as("__is_l"),
+          lit(null).cast(left.schema(leftTime).dataType).as("__lt0")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCarry.map(col): _*)
+    // one struct per right row, including its own time for the
+    // distance compare (same torn-row guarantee as asofJoin)
+    val carryStruct = struct(rightVals.map(col) :+ col("__t").as("__m_rt"): _*)
+    val unioned = l.unionByName(r)
+      .withColumn("__rv", when(!col("__is_l"), carryStruct))
+      .withColumn("__k", struct(on.map(col): _*))
+    val spark = left.sparkSession
+    val thr = graft.util.DistRank.defaultHeavyRowThreshold(spark)
+    // one count, both scans: the key population is identical
+    val heavy = graft.util.DistRank.heavyKeyValues(unioned, "__k", thr)
+    val back = graft.util.DistRank.perKeyRunningLast(unioned, "__k",
+      col("__t") +: col("__is_l") +: tieBreak.map(col), "__rv", "__rb",
+      heavyRowThreshold = Some(thr), precomputedHeavy = Some(heavy.toSeq))
+    val both = graft.util.DistRank.perKeyRunningLast(back, "__k",
+      (-col("__t")) +: col("__is_l") +: tieBreak.map(col), "__rv", "__rf",
+      heavyRowThreshold = Some(thr), precomputedHeavy = Some(heavy.toSeq))
+    val lefts = both.filter(col("__is_l"))
+    val distB = col("__t") - col("__rb").getField("__m_rt")
+    val distF = col("__rf").getField("__m_rt") - col("__t")
+    val bOk = col("__rb").isNotNull &&
+      toleranceUs.map(t => distB <= lit(t)).getOrElse(lit(true))
+    val fOk = col("__rf").isNotNull &&
+      toleranceUs.map(t => distF <= lit(t)).getOrElse(lit(true))
+    val pickB = bOk && (!fOk || distB <= distF)
+    val outVals = rightVals.map(c =>
+      when(pickB, col("__rb").getField(c))
+        .otherwise(when(fOk, col("__rf").getField(c))).as(c))
+    lefts.select(on.map(col) ++ Seq(col("__lt0").as(leftTime)) ++
+      leftPayload.map(col) ++ outVals: _*)
+  }
+
   /** Per-key fixed-interval resampling with last-observation-carried-
     * forward (LOCF gap fill) — the time-series regularization step
     * feature pipelines need before windowed aggregation or model

@@ -394,6 +394,33 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // NEAREST as-of join (pandas merge_asof direction="nearest"): each
+    // purchase takes the CLOSEST click either direction, backward
+    // winning exact-distance ties — one union, two hybrid scans (the
+    // forward carry rides the already-carried frame on a negated
+    // axis), one shared heavy-key count, no join.
+    "q33_asof_nearest" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("tsx", graft.streaming.EventStreams.eventTime(ev0))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tsx").as("et"),
+          col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsx").as("ct"),
+          col("tsx").as("near_click_ts"),
+          col("value").as("near_click_value"), col("event_id").as("click_id"))
+      graft.ops.Temporal.asofJoinNearest(purchases, clicks,
+          on = Seq("user_id"), leftTime = "et", rightTime = "ct",
+          rightVals = Seq("near_click_ts", "near_click_value"),
+          tieBreak = Seq("click_id"))
+        .select(col("event_id"), col("user_id"),
+          col("et").as("purchase_ts"),
+          round(col("value"), 4).as("purchase_value"),
+          col("near_click_ts"),
+          round(col("near_click_value"), 4).as("near_click_value"))
+        .orderBy("event_id")
+    }),
+
     // Range (banding) join: fact rows matched to a value-interval
     // dimension. The band table is tiny and explicitly broadcast, so the
     // non-equi condition runs as a broadcast nested-loop with zero fact
@@ -674,6 +701,35 @@ object Relational {
            CASE WHEN epoch_us(et) - epoch_us(click_ts) <= 3600000000
                 THEN ROUND(click_value,4) END AS click_value
          FROM w WHERE is_p ORDER BY event_id""",
+    "q33_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS et, value,
+                (event_type = 'purchase') AS is_p
+         FROM events WHERE event_type IN ('purchase','click')),
+         w AS (SELECT *,
+                 LAST_VALUE(CASE WHEN NOT is_p THEN et END IGNORE NULLS)
+                   OVER winb AS b_ts,
+                 LAST_VALUE(CASE WHEN NOT is_p THEN value END IGNORE NULLS)
+                   OVER winb AS b_v,
+                 LAST_VALUE(CASE WHEN NOT is_p THEN et END IGNORE NULLS)
+                   OVER winf AS f_ts,
+                 LAST_VALUE(CASE WHEN NOT is_p THEN value END IGNORE NULLS)
+                   OVER winf AS f_v
+               FROM e WINDOW
+                 winb AS (PARTITION BY user_id ORDER BY et, is_p, event_id
+                          ROWS UNBOUNDED PRECEDING),
+                 winf AS (PARTITION BY user_id ORDER BY et DESC, is_p, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+         n AS (SELECT *,
+                 (b_ts IS NOT NULL AND (f_ts IS NULL OR
+                    epoch_us(et) - epoch_us(b_ts)
+                      <= epoch_us(f_ts) - epoch_us(et))) AS pick_b
+               FROM w WHERE is_p)
+         SELECT event_id, user_id, et AS purchase_ts,
+           ROUND(value,4) AS purchase_value,
+           CASE WHEN pick_b THEN b_ts ELSE f_ts END AS near_click_ts,
+           CASE WHEN pick_b THEN ROUND(b_v,4) ELSE ROUND(f_v,4) END
+             AS near_click_value
+         FROM n ORDER BY event_id""",
     "q15_range_band_join" ->
       """WITH bands(band, lo, hi) AS (VALUES
            ('A_low', 0.0, 50000.0), ('B_mid', 50000.0, 150000.0),

@@ -216,6 +216,56 @@ class TemporalSpec extends AnyFunSuite {
       ("B", 20L) -> Some(2.0)))  // obs exactly at the point: inclusive
   }
 
+  test("nearest: picks the closer side, backward wins exact ties, " +
+      "single-sided rows fall back") {
+    val l = Seq((1L, 10L, 100), (1L, 19L, 101), (1L, 2L, 102),
+        (1L, 50L, 103))
+      .toDF("k", "lt", "lid")
+    val r = Seq((1L, 6L, 6.0), (1L, 20L, 20.0), (1L, 14L, 14.0))
+      .toDF("k", "rt", "qv")
+    val got = Temporal.asofJoinNearest(l, r, Seq("k"), "lt", "rt",
+        rightVals = Seq("qv"))
+      .collect().map(r => r.getInt(2) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(got(100).contains(6.0),
+      "lt=10: backward wins the exact tie (6 and 14 both at distance 4)")
+    assert(got(101).contains(20.0), "lt=19: 20 (dist 1) beats 14 (dist 5)")
+    assert(got(102).contains(6.0), "lt=2: no backward match, forward 6")
+    assert(got(103).contains(20.0), "lt=50: no forward match, backward 20")
+  }
+
+  test("nearest: a right row exactly AT the left time matches at " +
+      "distance zero; tolerance bounds both directions") {
+    val l = Seq((1L, 10L, 1), (1L, 30L, 2), (1L, 60L, 3))
+      .toDF("k", "lt", "lid")
+    val r = Seq((1L, 10L, 10.0), (1L, 33L, 33.0), (1L, 70L, 70.0))
+      .toDF("k", "rt", "qv")
+    val got = Temporal.asofJoinNearest(l, r, Seq("k"), "lt", "rt",
+        rightVals = Seq("qv"), toleranceUs = Some(5L))
+      .collect().map(r => r.getInt(2) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(got(1).contains(10.0), "distance zero")
+    assert(got(2).contains(33.0), "forward within tolerance")
+    assert(got(3).isEmpty, "nearest (70, dist 10) is beyond tolerance 5")
+  }
+
+  test("nearest: simultaneous right rows resolve by tieBreak on both " +
+      "sides, and reserved-name clashes fail fast") {
+    val l = Seq((1L, 10L, 1)).toDF("k", "lt", "lid")
+    val r = Seq((1L, 8L, 1.0, 1L), (1L, 8L, 2.0, 2L), (1L, 13L, 9.0, 3L))
+      .toDF("k", "rt", "qv", "qid")
+    val got = Temporal.asofJoinNearest(l, r, Seq("k"), "lt", "rt",
+        rightVals = Seq("qv"), tieBreak = Seq("qid"))
+      .collect().map(r => r.getInt(2) -> r.getDouble(3)).toMap
+    assert(got(1) == 2.0,
+      "backward dist 2 beats forward dist 3; qid=2 wins the 8-tie")
+    val bad = l.withColumnRenamed("lid", "__rb")
+    val e = intercept[IllegalArgumentException] {
+      Temporal.asofJoinNearest(bad, r, Seq("k"), "lt", "rt", Seq("qv"))
+    }
+    assert(e.getMessage.contains("__rb"))
+  }
+
   test("resampleLocf: NEGATIVE (pre-1970) epochs floor the grid bounds " +
       "downward, matching floor-division (//) semantics") {
     // min=-7, step 10: floor gives gmin=-10 (truncate-toward-zero would
