@@ -1287,6 +1287,40 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Composed event-analytics pipeline (t149): sessionize (12h gap)
+    // -> WINDOWED funnel (6h deadline) -> exact per-stage session-
+    // duration percentiles, all over one events corpus — the t94-style
+    // showcase for the event tier: two hybrid keyed scans + the rank
+    // percentile, joined on the user key, one tiny output row per
+    // funnel depth
+    "t149_event_pipeline" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("tus",
+        unix_micros(graft.streaming.EventStreams.eventTime(ev0)))
+      val sessions = graft.streaming.EventStreams
+        .sessionizeBatch(ev0, gapMs = 12L * 3600L * 1000L)
+      val funnel = graft.ops.Funnel.matchStepsWindowed(ev, "user_id",
+          "tus",
+          Seq(col("event_type") === "click",
+            col("event_type") === "purchase",
+            col("event_type") === "purchase" && col("value") > 50),
+          windowUs = 6L * 3600L * 1000000L)
+        .select(col("user_id"), col("stages_reached"))
+      val sf = sessions.join(funnel, Seq("user_id"))
+        .withColumn("dur_us", unix_micros(col("session_end")) -
+          unix_micros(col("session_start")))
+      val pct = graft.ops.Quantiles.exactPercentiles(sf, "stages_reached",
+        "dur_us", Seq(50, 90), tieBreak = Seq("user_id", "session_id"))
+      val nu = funnel.groupBy("stages_reached")
+        .agg(count(lit(1)).as("n_users"))
+      pct.join(nu, Seq("stages_reached"))
+        .select(col("stages_reached"), col("n_users"),
+          col("n").as("n_sessions"), col("p_50").as("p50_dur_us"),
+          col("p_90").as("p90_dur_us"))
+        .orderBy("stages_reached")
+    }),
+
     // TFRecord shard manifest (t148): shard/seq/file plus the FRAMED
     // record size (16-byte length+crc framing + payload) — per-shard
     // sums equal committed file lengths exactly (TfRecordSpec)
@@ -4132,6 +4166,61 @@ object TextQueries {
            CAST(octet_length(encode(l.line)) AS BIGINT) AS line_bytes
          FROM s JOIN l USING (doc_id) ORDER BY s.doc_id""",
 
+    // Composed event pipeline mirror: q11-style sessionization (12h
+    // gap) x q31-style per-anchor windowed funnel (6h) x q27-style
+    // integer-rank percentiles of session duration per funnel depth
+    "t149_event_pipeline" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS et,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_type, value
+              FROM events),
+         l AS (SELECT *, LAG(et) OVER (PARTITION BY user_id ORDER BY et)
+                 AS prev FROM e),
+         n AS (SELECT *, CASE WHEN prev IS NULL
+                 OR epoch_us(et) - epoch_us(prev) > 43200000000
+                 THEN 1 ELSE 0 END AS ns FROM l),
+         s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY et
+                 ROWS UNBOUNDED PRECEDING) AS sid FROM n),
+         sess AS (SELECT user_id, sid,
+                 epoch_us(MAX(et)) - epoch_us(MIN(et)) AS dur_us
+               FROM s GROUP BY 1, 2),
+         a AS (SELECT user_id, tus AS t1 FROM e WHERE event_type='click'),
+         s2 AS (SELECT a.user_id, t1, min(e.tus) AS t2
+                FROM a JOIN e USING(user_id)
+                WHERE e.event_type='purchase' AND e.tus > t1
+                  AND e.tus - t1 <= 21600000000 GROUP BY 1,2),
+         s3 AS (SELECT s2.user_id, t1, min(e.tus) AS t3
+                FROM s2 JOIN e USING(user_id)
+                WHERE e.event_type='purchase' AND e.value > 50
+                  AND e.tus > t2 AND e.tus - t1 <= 21600000000
+                GROUP BY 1,2),
+         fr AS (SELECT a.user_id, a.t1, s2.t2, s3.t3
+               FROM a LEFT JOIN s2 ON a.user_id=s2.user_id AND a.t1=s2.t1
+                      LEFT JOIN s3 ON a.user_id=s3.user_id AND a.t1=s3.t1),
+         fun AS (SELECT u.user_id,
+             CAST(coalesce(max(CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1 END), 0) AS INTEGER)
+               AS stages_reached
+           FROM (SELECT DISTINCT user_id FROM e) u
+             LEFT JOIN fr USING(user_id) GROUP BY 1),
+         sf AS (SELECT stages_reached, dur_us, sess.user_id, sid
+                FROM sess JOIN fun USING(user_id)),
+         r AS (SELECT stages_reached, dur_us,
+                 row_number() OVER (PARTITION BY stages_reached
+                   ORDER BY dur_us, user_id, sid) AS rk,
+                 count(*) OVER (PARTITION BY stages_reached) AS cnt
+               FROM sf),
+         pct AS (SELECT stages_reached,
+                 CAST(max(cnt) AS BIGINT) AS n_sessions,
+                 max(CASE WHEN rk = (50*cnt + 99)//100 THEN dur_us END)
+                   AS p50_dur_us,
+                 max(CASE WHEN rk = (90*cnt + 99)//100 THEN dur_us END)
+                   AS p90_dur_us
+               FROM r GROUP BY 1),
+         nu AS (SELECT stages_reached, CAST(count(*) AS BIGINT) AS n_users
+                FROM fun GROUP BY 1)
+         SELECT stages_reached, n_users, n_sessions, p50_dur_us, p90_dur_us
+         FROM pct JOIN nu USING(stages_reached) ORDER BY 1""",
     // TFRecord manifest mirror: same shard chain; record size is the
     // 16-byte framing constant plus the UTF-8 payload length
     "t148_tfrecord_manifest" ->
