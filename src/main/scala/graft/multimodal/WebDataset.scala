@@ -80,6 +80,7 @@ object WebDataset {
       StructField("bytes_written", LongType)))
     val enc = Encoders.row(schema)
     val hc = graft.sources.ShardIO.conf(media)
+    val planToken = graft.sources.ShardIO.newPlanToken()
     val report = rows.mapPartitions { it =>
       // a partition may carry several shards (hash partitioning):
       // consume sequentially, cutting a new tar at each shard change —
@@ -132,6 +133,8 @@ object WebDataset {
         val sh = r.getInt(0)
         val flushed = if (sh != cur) {
           close()
+          if (cur == Int.MinValue) // first write of this task: verify
+            graft.sources.ShardIO.requirePrepared(hc, outDir, planToken)
           cur = sh
           path = s"$outDir/shard-${"%06d".format(sh)}.tar"
           ss = graft.sources.ShardIO.begin(hc, path)
@@ -161,7 +164,7 @@ object WebDataset {
     }(enc)
     // overwrite semantics at FIRST EXECUTION (not plan build): a plan
     // that is never acted on touches nothing — see ShardIO's contract
-    graft.sources.ShardIO.withLazyPrepare(report, hc, outDir)
+    graft.sources.ShardIO.withLazyPrepare(report, hc, outDir, planToken)
   }
 
   /** JOB-level atomic export: [[writeShards]] + verification + the

@@ -421,6 +421,40 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // First-order event-type transition matrix over per-user journeys:
+    // the de-skewed lag carry (heavy users two-pass, light tail hash
+    // fold) + one hash aggregate; p is the MLE Markov estimate,
+    // normalized by a window over the <=|states|^2-row AGGREGATE,
+    // never over the corpus.
+    "q34_transitions" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.select(col("event_id"), col("user_id"),
+        unix_micros(graft.streaming.EventStreams.eventTime(ev0)).as("tus"),
+        col("event_type"))
+      graft.ops.Sequences.transitionCounts(ev, "user_id",
+          Seq(col("tus"), col("event_id")), "event_type")
+        .select(col("from_state"), col("to_state"), col("n"),
+          round(col("p"), 6).as("p"))
+        .orderBy("from_state", "to_state")
+    }),
+
+    // Session-duration distribution by weekday: the de-skewed
+    // sessionizer feeding the exact distributed percentile operator —
+    // a two-tier composition (scan -> rank) with no window over an
+    // unbounded key anywhere in the plan. Durations are integer
+    // micros, so the percentiles are bit-exact cross-engine.
+    "q35_session_percentiles" -> ((s, dir) => {
+      val sess = graft.streaming.EventStreams.sessionizeBatch(
+          t(s, dir, "events"))
+        .select(col("user_id"), col("session_start"),
+          (unix_micros(col("session_end")) -
+            unix_micros(col("session_start"))).as("dur_us"),
+          weekday(col("session_start")).as("dow"))
+      graft.ops.Quantiles.exactPercentiles(sess, "dow", "dur_us",
+          Seq(50, 90, 99), tieBreak = Seq("user_id", "session_start"))
+        .orderBy("dow")
+    }),
+
     // Range (banding) join: fact rows matched to a value-interval
     // dimension. The band table is tiny and explicitly broadcast, so the
     // non-equi condition runs as a broadcast nested-loop with zero fact
@@ -730,6 +764,47 @@ object Relational {
            CASE WHEN pick_b THEN ROUND(b_v,4) ELSE ROUND(f_v,4) END
              AS near_click_value
          FROM n ORDER BY event_id""",
+    "q34_transitions" ->
+      """WITH e AS (SELECT event_id, user_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_type
+              FROM events),
+         l AS (SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY tus NULLS FIRST, event_id) AS prev
+               FROM e),
+         c AS (SELECT prev AS from_state, event_type AS to_state,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM l WHERE prev IS NOT NULL GROUP BY 1, 2)
+         SELECT from_state, to_state, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(sum(n) OVER
+             (PARTITION BY from_state) AS DOUBLE), 6) AS p
+         FROM c ORDER BY from_state, to_state""",
+    "q35_session_percentiles" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS et FROM events),
+         l AS (SELECT *, LAG(et) OVER (PARTITION BY user_id ORDER BY et)
+                 AS prev FROM e),
+         n AS (SELECT *, CASE WHEN prev IS NULL
+                 OR epoch_us(et) - epoch_us(prev) > 1800000000 THEN 1
+                 ELSE 0 END AS ns FROM l),
+         s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY et
+                 ROWS UNBOUNDED PRECEDING) AS sid FROM n),
+         sess AS (SELECT user_id, MIN(et) AS session_start,
+                    MAX(et) AS session_end
+                  FROM s GROUP BY user_id, sid),
+         d AS (SELECT user_id, session_start,
+                 epoch_us(session_end) - epoch_us(session_start) AS dur_us,
+                 CAST(isodow(session_start) - 1 AS INTEGER) AS dow
+               FROM sess),
+         r AS (SELECT dow, dur_us,
+                 row_number() OVER (PARTITION BY dow
+                   ORDER BY dur_us, user_id, session_start) AS rk,
+                 count(*) OVER (PARTITION BY dow) AS n
+               FROM d)
+         SELECT dow, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rk = (50*n + 99)//100 THEN dur_us END) AS p_50,
+           max(CASE WHEN rk = (90*n + 99)//100 THEN dur_us END) AS p_90,
+           max(CASE WHEN rk = (99*n + 99)//100 THEN dur_us END) AS p_99
+         FROM r GROUP BY 1 ORDER BY 1""",
     "q15_range_band_join" ->
       """WITH bands(band, lo, hi) AS (VALUES
            ('A_low', 0.0, 50000.0), ('B_mid', 50000.0, 150000.0),

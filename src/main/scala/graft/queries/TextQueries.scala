@@ -157,6 +157,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // t14's cluster resolution with the DISTRIBUTED label-propagation
+    // loop FORCED (maxLocalEdges = 0 disables the bounded union-find
+    // fast path): the oracle certifies the pointer-jumping iteration
+    // itself — the path a 100 TB candidate graph actually takes — not
+    // just the driver-side shortcut the small-SF default picks.
+    "t150_near_dedup_distributed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
+      val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2)
+        .barrierCache()
+      val pairs = TextOps.lshCandidatePairs(bux, "doc_id")
+      TextOps.nearDupClusters(pairs, maxLocalEdges = 0)
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // IVF centroid training: 2 Lloyd iterations from a deterministic
     // seed, then assign the corpus to the trained cells
     "t13_kmeans_ivf" -> ((s, dir) => {
@@ -4075,6 +4091,26 @@ object TextQueries {
          FROM documents ORDER BY doc_id"""
     },
     "t14_near_dedup" ->
+      s"""WITH RECURSIVE mh AS ($MH_SQL),
+         buckets AS (
+           ${(0 until 4).map(b =>
+             s"SELECT doc_id, md5('b$b:' || h${2*b} || ':' || h${2*b+1}) AS bucket FROM mh")
+             .mkString(" UNION ALL ")}),
+         ${candPairsCtes("buckets", "pairs")},
+         edges AS (SELECT a_id, b_id FROM pairs
+           UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM pairs),
+         nodes AS (SELECT DISTINCT a_id AS id FROM edges),
+         reach(id, r) AS (
+           SELECT id, id AS r FROM nodes
+           UNION
+           SELECT e.a_id AS id, reach.r FROM edges e
+           JOIN reach ON reach.id = e.b_id)
+         SELECT id AS doc_id, MIN(r) AS cluster FROM reach
+         GROUP BY id ORDER BY doc_id""",
+    // the distributed-path twin shares t14's oracle verbatim: connected
+    // components are algorithm-independent (component min id), so the
+    // SAME recursive-CTE mirror certifies both dispatch paths
+    "t150_near_dedup_distributed" ->
       s"""WITH RECURSIVE mh AS ($MH_SQL),
          buckets AS (
            ${(0 until 4).map(b =>

@@ -99,6 +99,7 @@ object Jsonl {
         org.apache.spark.sql.types.LongType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val hc = ShardIO.conf(df)
+    val planToken = ShardIO.newPlanToken()
     val sfx = if (gzip) ".jsonl.gz" else ".jsonl"
     val report = rows.mapPartitions { it =>
       // group-fold over (possibly several) shards per hash partition —
@@ -121,6 +122,8 @@ object Jsonl {
         val sh = r.getInt(0)
         val flushed = if (sh != cur) {
           close()
+          if (cur == Int.MinValue) // first write of this task: verify
+            ShardIO.requirePrepared(hc, outDir, planToken)
           cur = sh
           path = s"$outDir/shard-${"%06d".format(sh)}$sfx"
           ss = ShardIO.begin(hc, path)
@@ -147,7 +150,7 @@ object Jsonl {
     }(enc)
     // overwrite semantics at FIRST EXECUTION (not plan build): a plan
     // that is never acted on touches nothing — see ShardIO's contract
-    ShardIO.withLazyPrepare(report, hc, outDir)
+    ShardIO.withLazyPrepare(report, hc, outDir, planToken)
   }
 
   /** JOB-level atomic export: [[writeShards]] + verification +

@@ -157,6 +157,44 @@ object ShardIO {
     }
   }
 
+  /** Fresh idempotence token for one `writeShards` call — created by
+    * the sink BEFORE it builds the writer closure, so the writing tasks
+    * can verify preparation ran ([[requirePrepared]]) and
+    * [[withLazyPrepare]] can record it in the marker. */
+  def newPlanToken(): String = java.util.UUID.randomUUID().toString
+
+  /** Executor-side defense for [[withLazyPrepare]]'s ordering contract.
+    * The lazy-prepare trick rests on a non-contractual Spark behavior
+    * (broadcast inputs materialize before the stream-side stage
+    * launches); if a future Spark/AQE change ever ran a writer task
+    * before the prepare closure, stale shards from a previous run would
+    * silently mix with new ones. This check closes that hole from the
+    * WRITER side: before a task's first shard write it reads the
+    * directory's [[PrepareMarkerName]] and fails loudly unless it
+    * carries THIS plan's token — i.e. [[prepareDir]] for this exact
+    * `writeShards` call already completed. One open+read RPC per
+    * writing task (not per shard, not per row). */
+  def requirePrepared(hc: SerializableHadoopConf, outDir: String,
+      planToken: String): Unit = {
+    val marker = new Path(new Path(outDir), PrepareMarkerName)
+    val fs = marker.getFileSystem(hc.value)
+    val tok =
+      if (!fs.exists(marker)) null
+      else {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+    if (tok != planToken) throw new IllegalStateException(
+      s"export writer started before the output directory $outDir was " +
+        s"prepared for this plan (marker token ${Option(tok).getOrElse(
+          "<absent>")} != plan token $planToken). The lazy-prepare " +
+        "broadcast must materialize before any writer task runs; this " +
+        "Spark scheduled the stages in an order that breaks that " +
+        "contract, so the directory may still hold a previous export's " +
+        "shards. Failing instead of mixing stale and new artifacts.")
+  }
+
   /** Defer [[prepareDir]] from plan-build time to the report frame's
     * FIRST execution: the preparation rides a one-row broadcast side of
     * a nested-loop join, and Spark materializes broadcast inputs before
@@ -169,11 +207,13 @@ object ShardIO {
     * exchanges — re-runs the closure, but the per-plan token makes
     * re-preparation a no-op: the directory is cleared once per
     * writeShards CALL, later actions recommit bit-identical twins, and
-    * a manifest committed in between survives (spec-pinned). */
+    * a manifest committed in between survives (spec-pinned). Writer
+    * tasks independently verify the ordering held via
+    * [[requirePrepared]] with the same `planToken`. */
   def withLazyPrepare(report: DataFrame,
-      hc: SerializableHadoopConf, outDir: String): DataFrame = {
+      hc: SerializableHadoopConf, outDir: String,
+      planToken: String): DataFrame = {
     val spark = report.sparkSession
-    val planToken = java.util.UUID.randomUUID().toString
     val prep = spark.range(1)
       .map { _ => prepareDir(hc, outDir, planToken); 1L }(
         org.apache.spark.sql.Encoders.scalaLong)

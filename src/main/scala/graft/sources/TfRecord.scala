@@ -106,6 +106,7 @@ object TfRecord {
       StructField("bytes_written", LongType)))
     val enc = Encoders.row(schema)
     val hc = ShardIO.conf(df)
+    val planToken = ShardIO.newPlanToken()
     val report = rows.mapPartitions { it =>
       // All file IO rides ShardIO's Hadoop-FS temp+rename commit
       // (cluster-portable, retry-safe — see ShardIO's contract).
@@ -126,6 +127,8 @@ object TfRecord {
         val sh = r.getInt(0)
         val flushed = if (sh != cur) {
           close()
+          if (cur == Int.MinValue) // first write of this task: verify
+            ShardIO.requirePrepared(hc, outDir, planToken)
           cur = sh
           path = s"$outDir/shard-${"%05d".format(sh)}-of-" +
             s"${"%05d".format(nShards)}.tfrecord"
@@ -151,7 +154,7 @@ object TfRecord {
     }(enc)
     // overwrite semantics at FIRST EXECUTION (not plan build): a plan
     // that is never acted on touches nothing — see ShardIO's contract
-    ShardIO.withLazyPrepare(report, hc, outDir)
+    ShardIO.withLazyPrepare(report, hc, outDir, planToken)
   }
 
   /** JOB-level atomic export: [[writeShards]] + verification + the

@@ -134,6 +134,42 @@ object DistRank {
       step = pick, emit = identity[Any])
   }
 
+  /** Carried scan state for [[perKeyLag]]: the value emitted for the
+    * CURRENT row (the previous row's value) and the value the NEXT row
+    * will emit (this row's). Nulls ride through un-skipped — `lag`
+    * does not ignore nulls. */
+  private final case class LagState(out: Any, cur: Any)
+
+  /** Skew-proof per-key `lag(value, 1)` — the two-pass twin of
+    * `lag(valueCol, 1) over (partition by key order by ...)`, INCLUDING
+    * its null semantics (the first row of a key emits NULL; a null
+    * value propagates to the next row as-is, not skipped). `orderCols`
+    * must totally order rows within a key, the same contract as
+    * [[perKeyRowNumber]]. The building block of sequence analytics
+    * (event-type transition matrices, inter-arrival gaps) where a
+    * plain window would funnel a bot user's corpus-share of rows
+    * through one task. */
+  def perKeyLag(df: DataFrame, keyCol: String,
+      orderCols: Seq[Column], valueCol: String, outCol: String,
+      heavyRowThreshold: Option[Long] = None,
+      precomputedHeavy: Option[Seq[Any]] = None): DataFrame = {
+    val valIdx = df.columns.indexOf(valueCol)
+    require(valIdx >= 0, s"value column $valueCol not in ${df.columns.toSeq}")
+    def valOf(r: Row): Any = if (r.isNullAt(valIdx)) null else r.get(valIdx)
+    val out = StructField(outCol, df.schema(valueCol).dataType,
+      nullable = true)
+    // run summary: (sawAnyRow, lastRowValue) — the only carry a later
+    // partition needs is the run's final row value
+    scanHybrid[LagState, (Boolean, Any)](df, keyCol, orderCols, out,
+      heavyRowThreshold, precomputedHeavy)(
+      summary = (m, r) => (true, valOf(r)),
+      summary0 = (false, null),
+      init = LagState(null, null),
+      carry = (s, m) => if (m._1) LagState(null, m._2) else s,
+      step = (s, r) => LagState(s.cur, valOf(r)),
+      emit = (s: LagState) => s.out)
+  }
+
   /** Per-(partition, key) session sketch for [[perKeySessionIds]]:
     * first/last time of the run (null-boxed — a null event time is
     * legal and mirrors the window form's null arithmetic) and the

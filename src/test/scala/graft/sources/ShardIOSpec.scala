@@ -258,4 +258,68 @@ class ShardIOSpec extends AnyFunSuite {
     assert(byName("000000002.bmp") == 0, "null payload → empty member")
     assert(byName("000000001.bmp") == 2)
   }
+
+  test("lazy prepare rides a broadcast above the report scan: the " +
+      "physical plan carries the nested-loop broadcast join") {
+    // The ordering contract withLazyPrepare rests on (broadcast inputs
+    // materialize before the stream-side stage launches) is only safe
+    // while the prepare closure actually IS on a broadcast side and the
+    // optimizer has not eliminated the 1-row crossJoin. Pin the plan
+    // shape so a Spark upgrade that rewrites it fails here, not by
+    // silently mixing stale shards.
+    val out = Files.createTempDirectory("shardio_plan").toString
+    val rep = TfRecord.writeShards(docs, "doc_id", "text", out, 2)
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the prepare broadcast join in the physical plan:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastQueryStage"),
+      s"expected a broadcast exchange feeding the join:\n$plan")
+  }
+
+  test("executor-side prepare verification: requirePrepared passes " +
+      "only for the directory's own plan token") {
+    val out = Files.createTempDirectory("shardio_marker").toString
+    val hc = ShardIO.conf(docs)
+    val tok = ShardIO.newPlanToken()
+    // unprepared directory (no marker) → fail loudly
+    val e1 = intercept[IllegalStateException] {
+      ShardIO.requirePrepared(hc, out, tok)
+    }
+    assert(e1.getMessage.contains("before the output directory"))
+    // prepared for THIS plan → pass
+    ShardIO.prepareDir(hc, out, tok)
+    ShardIO.requirePrepared(hc, out, tok)
+    // prepared for a DIFFERENT plan (stale shards may be present) → fail
+    val e2 = intercept[IllegalStateException] {
+      ShardIO.requirePrepared(hc, out, ShardIO.newPlanToken())
+    }
+    assert(e2.getMessage.contains("may still hold a previous export"))
+  }
+
+  test("the prepare check runs ON THE EXECUTOR and fails the task when " +
+      "the directory was prepared for a different plan") {
+    // Simulate the feared reorder (a writer task running before this
+    // plan's prepareDir) by invoking the writer-side check from inside
+    // a real Spark task against a directory another plan prepared: the
+    // task must die with the loud diagnosis, proving (a) the Hadoop
+    // conf carrier serializes into the task and (b) the failure
+    // propagates as a job failure instead of stale-shard mixing.
+    val out = Files.createTempDirectory("shardio_defense").toString
+    val hc = ShardIO.conf(docs)
+    ShardIO.prepareDir(hc, out, ShardIO.newPlanToken()) // someone else's
+    val myToken = ShardIO.newPlanToken()
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.range(2).repartition(2)
+        .mapPartitions { it =>
+          ShardIO.requirePrepared(hc, out, myToken)
+          it.map(_.longValue)
+        }(org.apache.spark.sql.Encoders.scalaLong)
+        .collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("may still hold a previous export"),
+      s"unexpected failure: $msgs")
+  }
 }
