@@ -455,6 +455,27 @@ object Relational {
         .orderBy("dow")
     }),
 
+    // Inter-event arrival-gap percentiles per event type ("how long
+    // after the previous user action does a purchase happen"): the
+    // de-skewed lag carry on the TIME axis feeding the exact
+    // percentile operator — integer micro gaps, bit-exact
+    // cross-engine; both tiers are hybrid-dispatched, so neither a
+    // bot user nor a dominant event type funnels one task.
+    "q36_event_gaps" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.select(col("event_id"), col("user_id"),
+        unix_micros(graft.streaming.EventStreams.eventTime(ev0)).as("tus"),
+        col("event_type"))
+      val lagged = graft.util.DistRank.perKeyLag(ev, "user_id",
+          Seq(col("tus"), col("event_id")), "tus", "prev_tus")
+        .filter(col("prev_tus").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          (col("tus") - col("prev_tus")).as("gap_us"))
+      graft.ops.Quantiles.exactPercentiles(lagged, "event_type",
+          "gap_us", Seq(50, 90, 99), tieBreak = Seq("event_id"))
+        .orderBy("event_type")
+    }),
+
     // Range (banding) join: fact rows matched to a value-interval
     // dimension. The band table is tiny and explicitly broadcast, so the
     // non-equi condition runs as a broadcast nested-loop with zero fact
@@ -804,6 +825,25 @@ object Relational {
            max(CASE WHEN rk = (50*n + 99)//100 THEN dur_us END) AS p_50,
            max(CASE WHEN rk = (90*n + 99)//100 THEN dur_us END) AS p_90,
            max(CASE WHEN rk = (99*n + 99)//100 THEN dur_us END) AS p_99
+         FROM r GROUP BY 1 ORDER BY 1""",
+    "q36_event_gaps" ->
+      """WITH e AS (SELECT event_id, user_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_type
+              FROM events),
+         l AS (SELECT event_id, event_type,
+                 tus - lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY tus NULLS FIRST, event_id) AS gap_us
+               FROM e),
+         g AS (SELECT * FROM l WHERE gap_us IS NOT NULL),
+         r AS (SELECT event_type, gap_us,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY gap_us, event_id) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS n
+               FROM g)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rk = (50*n + 99)//100 THEN gap_us END) AS p_50,
+           max(CASE WHEN rk = (90*n + 99)//100 THEN gap_us END) AS p_90,
+           max(CASE WHEN rk = (99*n + 99)//100 THEN gap_us END) AS p_99
          FROM r GROUP BY 1 ORDER BY 1""",
     "q15_range_band_join" ->
       """WITH bands(band, lo, hi) AS (VALUES

@@ -507,6 +507,89 @@ object EventStreams {
       }
   }
 
+  final case class TransIn(user_id: Long, event_time: java.time.Instant,
+      event_id: Long, state_val: String)
+  /** One buffered event awaiting its watermark seal. */
+  final case class TransEv(tsUs: Long, eventId: Long, st: String)
+  /** Whether any sealed event exists, the last sealed event's state
+    * value (null is legal — `lag` does not skip nulls), and the
+    * unsealed buffer. */
+  final case class TransSt(seen: Boolean, last: String,
+      pending: Seq[TransEv])
+  /** One finalized adjacent transition of a user's journey.
+    * `groupBy(from_state, to_state).count` over this stream (update
+    * mode) IS the live transition matrix. */
+  final case class TransitionHit(user_id: Long, from_state: String,
+      to_state: String, at: java.time.Instant)
+
+  /** Streaming twin of [[graft.ops.Sequences.transitionCounts]]: per
+    * user, emit each adjacent (from_state, to_state) pair exactly once,
+    * as soon as the watermark seals the pair's LATER event — only then
+    * is the (event_time, event_id) order around it final (the
+    * [[asofEnrichStream]] sealing discipline). Pairs follow the batch
+    * operator's lag conventions exactly: a user's first event emits
+    * nothing, and a pair whose FROM value is null is dropped (while the
+    * null still propagates as the carried predecessor).
+    *
+    * State per user is the last sealed value plus the unsealed buffer —
+    * O(horizon) while live, one tiny row at rest. That residue grows
+    * with distinct-user cardinality on an unbounded stream; set
+    * `idleStateTtlMs` > 0 to reclaim users idle that long past the
+    * watermark (the standard TTL trade: a user returning later than the
+    * TTL is treated as first-of-key again, so the one transition
+    * spanning the idle gap is not emitted). */
+  def transitionHitsStream(events: DataFrame, stateCol: String,
+      watermark: String = "2 hours",
+      idleStateTtlMs: Long = 0L): Dataset[TransitionHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = withEventTime(events)
+      .select(col("user_id"), col("event_time"), col("event_id"),
+        col(stateCol).cast("string").as("state_val"))
+      .filter(col("event_time").isNotNull)
+      .withWatermark("event_time", watermark)
+      .as[TransIn]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransSt, TransitionHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, incoming, state: GroupState[TransSt]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val prev = state.getOption.getOrElse(TransSt(false, null, Nil))
+          val in = incoming.toSeq
+          if (state.hasTimedOut && in.isEmpty && prev.pending.isEmpty) {
+            state.remove()
+            Iterator.empty
+          } else {
+          val all = prev.pending ++ in.map(e =>
+            TransEv(micros(e.event_time), e.event_id, e.state_val))
+          // STRICTLY below the watermark: an event AT the watermark may
+          // still gain same-time siblings that reorder the pair
+          val (sealed_, pending) = all.partition(_.tsUs < wmUs)
+          var seen = prev.seen
+          var last = prev.last
+          val out = Seq.newBuilder[TransitionHit]
+          sealed_.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+            if (seen && last != null)
+              out += TransitionHit(uid, last, e.st, instant(e.tsUs))
+            seen = true
+            last = e.st
+          }
+          if (!seen && pending.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(TransSt(seen, last, pending))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(pending.map(_.tsUs).min / 1000L + 1, wmMs + 1))
+            else if (idleStateTtlMs > 0)
+              state.setTimeoutTimestamp(wmMs + idleStateTtlMs)
+          }
+          out.result().iterator
+          }
+      }
+  }
+
   /** Batch-mode sessionization with identical semantics — the
     * oracle-checkable twin of [[sessionize]].
     *

@@ -171,6 +171,24 @@ object EventSkew {
           .filter(col("__is_l"))
           .agg(count(col("__r.click_ts"))).head.getLong(0)
       }
+
+      // ---- lag carry (the r17 transition-matrix building block):
+      // perKeyLag's heavy-branch range scan vs the window lag the same
+      // hot key would serialize through one task
+      measure(s"lag_distrank n=$n") {
+        graft.util.DistRank.perKeyLag(
+          ev.selectExpr("event_id", "user_id", "unix_micros(ts) as tus",
+            "event_type"),
+          "user_id", Seq(col("tus"), col("event_id")), "event_type",
+          "prev")
+          .agg(count(col("prev"))).head.getLong(0)
+      }
+      measure(s"lag_window n=$n") {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        ev.withColumn("prev", lag("event_type", 1).over(w))
+          .agg(count(col("prev"))).head.getLong(0)
+      }
     }
     spark.stop()
   }

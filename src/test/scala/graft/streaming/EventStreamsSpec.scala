@@ -337,4 +337,50 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(windowedReach.exists { case (u, s) => s < unwindowed(u) },
       "expected at least one user whose funnel the 6h deadline cuts short")
   }
+
+  test("streaming transition hits are exactly the batch lag pairs on " +
+      "the sealed prefix (q34 twin)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = eventsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStreams.transitionHitsStream(stream, "event_type")
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trans_hits")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val hitRows = spark.table("trans_hits")
+      .select(col("user_id"), col("from_state"), col("to_state"),
+        unix_micros(col("at").cast("timestamp")).as("tus"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(hitRows.nonEmpty, "no transition hits emitted")
+    // exactly-once: the TO event identifies a pair uniquely here
+    // (event times are unique per user in this data)
+    assert(hitRows.distinct.length == hitRows.length,
+      "duplicate transition hits emitted")
+    // batch pairs at event granularity via the same de-skewed lag
+    val ev0 = eventsBatch
+    val ev = ev0.select(col("event_id"), col("user_id"),
+      unix_micros(EventStreams.eventTime(ev0)).as("tus"), col("event_type"))
+    val batch = graft.util.DistRank.perKeyLag(ev, "user_id",
+        Seq(col("tus"), col("event_id")), "event_type", "prev")
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), col("prev"), col("event_type"), col("tus"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val got = hitRows.toSet
+    assert(got.subsetOf(batch),
+      s"stream emitted pairs the batch lag does not have: " +
+        s"${(got -- batch).take(3)}")
+    // everything whose TO event is strictly below the final watermark
+    // (max event time minus the 2h horizon, ms-truncated as the
+    // watermark is) MUST have been emitted — the sealed prefix is exact
+    val maxTus = ev.agg(max("tus")).head.getLong(0)
+    val sealedUs = (maxTus / 1000L - 2L * 3600 * 1000) * 1000L
+    val sealedBatch = batch.filter(_._4 < sealedUs)
+    assert(sealedBatch.subsetOf(got),
+      s"sealed pairs missing from the stream: ${(sealedBatch -- got).take(3)}")
+  }
 }
