@@ -372,4 +372,155 @@ object Temporal {
       .select((on :+ gridCol).map(col): _*)
     asofJoin(grid, o, on, gridCol, timeUsCol, carry, tieBreak)
   }
+
+  /** Floor-align `c` to the bin grid: `floor(c / w) * w`, computed as
+    * `c - pmod(c, w)` so the arithmetic stays exact in Long (Spark's
+    * `/` on longs goes through Double, and `div` truncates toward
+    * zero — wrong for negative values). */
+  private def alignedBin(c: Column, binWidth: Long): Column =
+    c - pmod(c, lit(binWidth))
+
+  /** Explode an interval table to one row per covered bin.
+    *
+    * Covered bins of half-open `[lo, hi)` are the aligned starts
+    * `floor(lo/w)*w .. floor((hi-1)/w)*w` stepping by `w`. Rows with
+    * NULL or empty (`lo >= hi`) intervals are dropped. An interval
+    * spanning more than `maxBins` bins fails the JOB with a message
+    * naming the offending interval — the guard is the `when` branch
+    * feeding the `sequence` start, so the optimizer can never prune
+    * it. (A degenerate interval whose aligned span overflows Long —
+    * bounds within `w` of `Long.MinValue` — also trips the guard: the
+    * wrapped span goes negative.) Per-row array size is bounded by
+    * `maxBins` (default 4096 ≈ 32 KB), so generation never buffers a
+    * giant interval's whole grid in one row. */
+  private def explodeBins(df: DataFrame, loCol: String, hiCol: String,
+      binWidth: Long, maxBins: Int, binCol: String): DataFrame = {
+    val msg = concat(
+      lit(s"graft rangeJoin: interval spans more than maxBinsPerInterval=" +
+        s"$maxBins bins of width $binWidth: ["),
+      col(loCol).cast("string"), lit(","), col(hiCol).cast("string"),
+      lit(")"))
+    val b0 = alignedBin(col(loCol), binWidth)
+    val span = col("__graft_b1") - b0
+    df.filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) < col(hiCol))
+      .withColumn("__graft_b1", alignedBin(col(hiCol) - lit(1L), binWidth))
+      .withColumn("__graft_b0",
+        when(span >= 0 && span <= lit(binWidth * (maxBins - 1L)), b0)
+          .otherwise(raise_error(msg).cast("long")))
+      .withColumn(binCol, explode(sequence(col("__graft_b0"),
+        col("__graft_b1"), lit(binWidth))))
+      .drop("__graft_b0", "__graft_b1")
+  }
+
+  private def requireLong(df: DataFrame, c: String, op: String): Unit = {
+    require(df.columns.contains(c), s"$op: column `$c` not in " +
+      df.columns.toSeq.mkString("[", ", ", "]"))
+    require(df.schema(c).dataType == org.apache.spark.sql.types.LongType,
+      s"$op needs LongType (e.g. epoch-micros) range columns; `$c` is " +
+        df.schema(c).dataType.simpleString)
+  }
+
+  private def requireDisjoint(a: DataFrame, b: DataFrame, on: Seq[String],
+      op: String): Unit = {
+    val clash = a.columns.toSet.intersect(b.columns.toSet) -- on.toSet
+    require(clash.isEmpty, s"$op: column names present on both sides " +
+      s"(rename one): ${clash.toSeq.sorted.mkString(", ")}")
+    Seq(a, b).foreach(d => require(!d.columns.exists(_.startsWith("__graft_")),
+      s"$op: reserved `__graft_` column names on the input"))
+  }
+
+  /** Binned range join: match each fact row (point `factValue`) to
+    * every interval row whose half-open `[loCol, hiCol)` contains it,
+    * optionally under equality keys `on` — the LARGE-interval-table
+    * complement of the broadcast band join (q15): when the interval
+    * side is itself corpus-scale (one window per error event, one
+    * validity range per dimension version), broadcasting is off the
+    * table and the naive non-equi join is a nested loop.
+    *
+    * Scale design: intervals explode to one row per covered bin of
+    * width `binWidth` (cost Σ span/`binWidth`, bounded per interval by
+    * `maxBinsPerInterval` — fail-fast, never a silent blow-up), facts
+    * compute their single containing bin, and the match becomes a
+    * plain shuffle EQUI-join on (`on`, bin) + an exact residual filter
+    * `lo <= v < hi`. The fact side — the big one — shuffles ONCE with
+    * NO replication; plan cost is linear in |facts| + exploded
+    * intervals, never |facts|×|intervals|. A hot (key, bin) cell is a
+    * plain skewed shuffle-join partition, which AQE's skew-join split
+    * handles at runtime (the join is a standard SortMergeJoin, not a
+    * custom scan). Choose `binWidth` near the typical interval span:
+    * wider bins cut interval replication, narrower bins cut the
+    * residual-filter fan-in per fact.
+    *
+    * All fact columns and all interval columns are kept (inner join;
+    * `on` keys merge). Facts with NULL `factValue`, and NULL/empty
+    * intervals, drop. Range columns must be LongType — the bin
+    * arithmetic must be exact. */
+  def rangeJoin(facts: DataFrame, intervals: DataFrame, factValue: String,
+      loCol: String, hiCol: String, binWidth: Long,
+      on: Seq[String] = Nil, maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0, s"rangeJoin: binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0 &&
+      binWidth <= Long.MaxValue / maxBinsPerInterval,
+      s"rangeJoin: binWidth * maxBinsPerInterval overflows Long " +
+        s"($binWidth * $maxBinsPerInterval)")
+    requireLong(facts, factValue, "rangeJoin")
+    requireLong(intervals, loCol, "rangeJoin")
+    requireLong(intervals, hiCol, "rangeJoin")
+    on.foreach { k =>
+      require(facts.columns.contains(k) && intervals.columns.contains(k),
+        s"rangeJoin: equi-key `$k` must be on both sides")
+    }
+    requireDisjoint(facts, intervals, on, "rangeJoin")
+    val bin = "__graft_bin"
+    val iv = explodeBins(intervals, loCol, hiCol, binWidth,
+      maxBinsPerInterval, bin)
+    facts.filter(col(factValue).isNotNull)
+      .withColumn(bin, alignedBin(col(factValue), binWidth))
+      .join(iv, on :+ bin)
+      .filter(col(factValue) >= col(loCol) && col(factValue) < col(hiCol))
+      .drop(bin)
+  }
+
+  /** Binned interval-overlap join: every pair of rows from `a` and `b`
+    * (same `on` keys) whose half-open intervals `[aLo, aHi)` and
+    * `[bLo, bHi)` overlap — sessions × incident windows, ad
+    * flights × user presence. Overlap is `aLo < bHi AND bLo < aHi`;
+    * touching intervals (`aHi == bLo`) do NOT overlap.
+    *
+    * Both sides explode to covered bins ([[explodeBins]] — same
+    * per-interval cap) and equi-join on (`on`, bin). An overlapping
+    * pair shares every bin of its intersection, so the join would
+    * emit it once per shared bin; the max-start-bin filter
+    * `bin == floor(max(aLo, bLo) / w) * w` keeps exactly ONE copy —
+    * `max(aLo, bLo)` is a point inside both intervals whenever they
+    * overlap, so its bin is always among the shared bins, and it is
+    * a single deterministic bin, so no `distinct` re-shuffle is
+    * needed. Cost: Σ spans/`binWidth` exploded rows per side, one
+    * shuffle each, no nested loop, no dedup pass. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+      aLo: String, aHi: String, bLo: String, bHi: String,
+      binWidth: Long, on: Seq[String] = Nil,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0,
+      s"intervalOverlapJoin: binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0 &&
+      binWidth <= Long.MaxValue / maxBinsPerInterval,
+      s"intervalOverlapJoin: binWidth * maxBinsPerInterval overflows Long " +
+        s"($binWidth * $maxBinsPerInterval)")
+    Seq(aLo, aHi).foreach(requireLong(a, _, "intervalOverlapJoin"))
+    Seq(bLo, bHi).foreach(requireLong(b, _, "intervalOverlapJoin"))
+    on.foreach { k =>
+      require(a.columns.contains(k) && b.columns.contains(k),
+        s"intervalOverlapJoin: equi-key `$k` must be on both sides")
+    }
+    requireDisjoint(a, b, on, "intervalOverlapJoin")
+    val bin = "__graft_bin"
+    val ae = explodeBins(a, aLo, aHi, binWidth, maxBinsPerInterval, bin)
+    val be = explodeBins(b, bLo, bHi, binWidth, maxBinsPerInterval, bin)
+    ae.join(be, on :+ bin)
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi) &&
+        col(bin) === alignedBin(greatest(col(aLo), col(bLo)), binWidth))
+      .drop(bin)
+  }
 }

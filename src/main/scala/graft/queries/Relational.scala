@@ -601,10 +601,198 @@ object Relational {
           expr("(__m + 5000L) div 10000L").as("revenue_cents"),
           col("n"))
         .orderBy("returnflag", "linestatus")
+    }),
+
+    // LARGE-interval-table range join (the q15 scaladoc's named
+    // alternative, now real): every event landing inside ANY same-user
+    // 60 s post-error window. The window table is one interval per
+    // error event — corpus-scale, unbroadcastable — so the naive plan
+    // is a per-key nested loop; Temporal.rangeJoin turns it into a
+    // binned shuffle EQUI-join (facts shuffle once, intervals
+    // replicate by span/bin = at most 2 rows here) + exact residual
+    // filter. Pairs are counted (an event in two error windows counts
+    // twice) exactly as the oracle's inequality join does.
+    "q37_error_window_join" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.withColumn("tus",
+        unix_micros(graft.streaming.EventStreams.eventTime(e0)))
+      val facts = e.select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), col("tus"))
+      val wins = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("tus").as("lo"),
+          (col("tus") + lit(60000000L)).as("hi"))
+      graft.ops.Temporal.rangeJoin(facts, wins, "tus", "lo", "hi",
+          binWidth = 60000000L, on = Seq("user_id"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("event_id").as("n_events"),
+          round(sum("value"), 4).as("total_value"))
+        .orderBy("event_type")
+    }),
+
+    // Interval×interval OVERLAP join: user sessions × same-user 60 s
+    // post-error windows ("which sessions brushed an incident").
+    // Both interval tables are data-scale; the max-start-bin trick
+    // emits each overlapping pair EXACTLY once with no distinct
+    // re-shuffle (max(aLo,bLo) lies in both intervals, so its bin is
+    // always shared, and it is one deterministic bin). Sessions are
+    // the de-skewed sessionizer's; null-time events are excluded on
+    // both engines so the session frames agree.
+    "q38_session_error_overlap" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val et = graft.streaming.EventStreams.eventTime(e0)
+      val nn = e0.filter(et.isNotNull)
+      val sess = graft.streaming.EventStreams.sessionizeBatch(nn)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("s_lo"),
+          (unix_micros(col("session_end")) + lit(1L)).as("s_hi"))
+      val wins = nn.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(et).as("e_lo"),
+          (unix_micros(et) + lit(60000000L)).as("e_hi"))
+      graft.ops.Temporal.intervalOverlapJoin(sess, wins,
+          "s_lo", "s_hi", "e_lo", "e_hi",
+          binWidth = 3600000000L, on = Seq("user_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("s_lo").as("n_sessions"))
+        .orderBy("user_id")
+    }),
+
+    // Linear multi-touch attribution: each purchase's value splits
+    // equally across the user's click/view touches in the 7 days
+    // before it (exclusive of the purchase instant). Composed ON the
+    // binned range join — the touch↔purchase pairing is the
+    // "point in [t-7d, t)" range join (1-day bins → ≤8 interval rows
+    // per purchase, touches shuffle once); the per-purchase touch
+    // count is a bounded window (≤ #event-types rows per purchase
+    // after the pre-aggregate), so no unbounded key funnels one task.
+    "q39_linear_attribution" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.withColumn("tus",
+        unix_micros(graft.streaming.EventStreams.eventTime(e0)))
+      val touches = e.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("tus"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("value").as("p_value"),
+          (col("tus") - lit(604800000000L)).as("p_lo"),
+          col("tus").as("p_hi"))
+      val pairs = graft.ops.Temporal.rangeJoin(touches, pur, "tus",
+        "p_lo", "p_hi", binWidth = 86400000000L, on = Seq("user_id"))
+      val per = pairs.groupBy("p_id", "p_value", "event_type")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("p_id")
+      per.withColumn("n", sum("c").over(w))
+        .groupBy("event_type")
+        .agg(sum("c").as("n_touches"),
+          round(sum(col("p_value") * (col("c").cast("double") / col("n"))),
+            4).as("credit"))
+        .orderBy("event_type")
+    }),
+
+    // Session path mining: the 20 most common session-opening
+    // event-type paths (first 5 events per session). Session ids and
+    // in-session ranks both ride the hybrid de-skewed scan (composite
+    // user#session key), so a bot user's mega-session spreads across
+    // range partitions; the per-session collect is bounded at 5 rows
+    // by the rank filter BEFORE the collect, so no unbounded
+    // collect_list exists in the plan.
+    "q40_session_paths" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.select(col("event_id"), col("user_id"),
+          col("event_type"),
+          unix_micros(graft.streaming.EventStreams.eventTime(e0)).as("tus"))
+        .filter(col("tus").isNotNull)
+      val sid = graft.util.DistRank.perKeySessionIds(e, "user_id", "tus",
+        gapUs = 1800000000L, outCol = "sid")
+      val keyed = sid.withColumn("skey",
+        concat_ws("#", col("user_id"), col("sid")))
+      val ranked = graft.util.DistRank.perKeyRowNumber(keyed, "skey",
+        Seq(col("tus"), col("event_id")), "rk")
+      ranked.filter(col("rk") <= 5)
+        .groupBy("skey")
+        .agg(concat_ws(">",
+          transform(array_sort(collect_list(struct(col("rk"),
+            col("event_type")))), x => x.getField("event_type")))
+          .as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path"))
+        .limit(20)
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q37_error_window_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+         w AS (SELECT user_id, tus AS lo, tus + 60000000 AS hi FROM e
+               WHERE event_type = 'error' AND tus IS NOT NULL),
+         j AS (SELECT e.event_type, e.event_id, e.value FROM e JOIN w
+                 ON e.user_id = w.user_id AND e.tus >= w.lo AND e.tus < w.hi)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+         FROM j GROUP BY 1 ORDER BY 1""",
+    "q38_session_error_overlap" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS et FROM events
+               WHERE ts IS NOT NULL),
+         l AS (SELECT *, LAG(et) OVER (PARTITION BY user_id ORDER BY et)
+                 AS prev FROM e),
+         n AS (SELECT *, CASE WHEN prev IS NULL
+                 OR epoch_us(et) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0
+                 END AS ns FROM l),
+         s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY et
+                 ROWS UNBOUNDED PRECEDING) AS sid FROM n),
+         g AS (SELECT user_id, epoch_us(MIN(et)) AS s_lo,
+                 epoch_us(MAX(et)) + 1 AS s_hi
+               FROM s GROUP BY user_id, sid),
+         w AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS e_lo,
+                 epoch_us(CAST(ts AS TIMESTAMP)) + 60000000 AS e_hi
+               FROM events WHERE event_type = 'error' AND ts IS NOT NULL),
+         j AS (SELECT g.user_id, g.s_lo FROM g JOIN w
+                 ON g.user_id = w.user_id
+                 AND g.s_lo < w.e_hi AND w.e_lo < g.s_hi)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT s_lo) AS BIGINT) AS n_sessions
+         FROM j GROUP BY 1 ORDER BY 1""",
+    "q39_linear_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+         t2 AS (SELECT event_id, user_id, event_type, tus FROM e
+                WHERE event_type IN ('click','view') AND tus IS NOT NULL),
+         p AS (SELECT user_id, event_id AS p_id, value AS p_value,
+                 tus - 604800000000 AS p_lo, tus AS p_hi
+               FROM e WHERE event_type = 'purchase' AND tus IS NOT NULL),
+         j AS (SELECT p.p_id, p.p_value, t2.event_type FROM t2 JOIN p
+                 ON t2.user_id = p.user_id
+                 AND t2.tus >= p.p_lo AND t2.tus < p.p_hi),
+         per AS (SELECT p_id, p_value, event_type, COUNT(*) AS c
+                 FROM j GROUP BY 1, 2, 3),
+         w AS (SELECT *, SUM(c) OVER (PARTITION BY p_id) AS n FROM per)
+         SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_touches,
+           ROUND(SUM(p_value * (CAST(c AS DOUBLE) / n)), 4) AS credit
+         FROM w GROUP BY 1 ORDER BY 1""",
+    "q40_session_paths" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
+              WHERE ts IS NOT NULL),
+         l AS (SELECT *, LAG(tus) OVER (PARTITION BY user_id
+                 ORDER BY tus, event_id) AS prev FROM e),
+         n AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                 THEN 1 ELSE 0 END AS ns FROM l),
+         s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+                 ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
+               FROM n),
+         r AS (SELECT user_id, sid, event_type, row_number() OVER (
+                 PARTITION BY user_id, sid ORDER BY tus, event_id) AS rk
+               FROM s),
+         p AS (SELECT user_id, sid,
+                 string_agg(event_type, '>' ORDER BY rk) AS path
+               FROM r WHERE rk <= 5 GROUP BY 1, 2)
+         SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
     "q14_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS et, value,
                 (event_type = 'purchase') AS is_p
