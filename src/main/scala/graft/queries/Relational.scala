@@ -720,10 +720,64 @@ object Relational {
         .agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("path"))
         .limit(20)
+    }),
+
+    // Exact equi-depth (NTILE) bucketing per event type — the
+    // feature-discretization step before histogram features or
+    // calibration bins, bit-identical to SQL ntile but skew-proof:
+    // the rank rides the hybrid scan (a dominant event type spreads
+    // over all partitions where the ntile WINDOW would one-task it)
+    // and the bucket is pure integer (rank, n) arithmetic.
+    "q41_value_ntile" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+      graft.ops.Quantiles.ntileBuckets(e, "event_type", "value", 4,
+          tieBreak = Seq("event_id"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"), round(min("value"), 4).as("lo"),
+          round(max("value"), 4).as("hi"),
+          round(sum("value"), 4).as("total"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // Exact deterministic stratified sample: 100 rows per event type
+    // under a reproducible integer-hash pseudo-random order (Knuth
+    // multiplicative, exact in both engines' BIGINT arithmetic — no
+    // engine RNG, no float). Selection is the map-side-combining
+    // k-bounded heap, so a dominant stratum never funnels one task;
+    // the emitted (stratum, rank, id) rows are compared row-for-row
+    // against the oracle's rank window.
+    "q42_stratified_sample" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"))
+        .withColumn("h", expr("(event_id * 2654435761L) % 4294967296L"))
+      graft.ops.Sampling.stratifiedTakeExact(e, "event_type", "event_id",
+          Seq(col("h")), k = 100)
+        .select(col("event_type"), col("rk"), col("event_id"))
+        .orderBy("event_type", "rk")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q41_value_ntile" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events
+               WHERE value IS NOT NULL),
+         b AS (SELECT event_type, value, ntile(4) OVER (
+                 PARTITION BY event_type ORDER BY value, event_id)
+                 AS bucket FROM e)
+         SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 4) AS lo, ROUND(MAX(value), 4) AS hi,
+           ROUND(SUM(value), 4) AS total
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q42_stratified_sample" ->
+      """WITH e AS (SELECT event_type, event_id,
+                (event_id * 2654435761) % 4294967296 AS h FROM events),
+         r AS (SELECT event_type, event_id, row_number() OVER (
+                 PARTITION BY event_type ORDER BY h, event_id) AS rk
+               FROM e)
+         SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id
+         FROM r WHERE rk <= 100 ORDER BY 1, 2""",
     "q37_error_window_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
                 epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),

@@ -619,4 +619,30 @@ object EventStreams {
       .agg(min("event_time").as("session_start"), max("event_time").as("session_end"),
         count(lit(1)).as("n_events"), sum("value").as("total_value"))
   }
+
+  /** Stream-static binned range enrichment: attach to each live event
+    * every row of a STATIC interval table — a validity-windowed
+    * dimension (SCD-2 record versions, incident windows, ad flights) —
+    * whose half-open `[loCol, hiCol)` epoch-micros interval contains
+    * the event time, under `on` equality keys.
+    *
+    * STATELESS by construction, which is the whole point: the interval
+    * side pre-explodes to covered bins once per micro-batch plan
+    * ([[graft.ops.Temporal.rangeJoin]] — this IS the batch operator
+    * applied to a streaming frame), the stream side computes one bin
+    * per row, and the match is a stream-static equi-join plus the
+    * exact residual filter. No watermark, no state store, no
+    * per-key buffering: a micro-batch costs map + join work only, and
+    * the inner stream-static join is one of the stateless shapes
+    * Structured Streaming supports on unbounded input. Events with
+    * NULL time silently drop (inner-join semantics, matching batch). */
+  def rangeEnrichStream(events: DataFrame, intervals: DataFrame,
+      loCol: String, hiCol: String, on: Seq[String] = Seq("user_id"),
+      binWidth: Long = 3600000000L,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
+    val e = withEventTime(events)
+      .withColumn("tus", unix_micros(col("event_time")))
+    graft.ops.Temporal.rangeJoin(e, intervals, "tus", loCol, hiCol,
+      binWidth, on, maxBinsPerInterval)
+  }
 }

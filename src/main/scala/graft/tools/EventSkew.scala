@@ -189,6 +189,34 @@ object EventSkew {
         ev.withColumn("prev", lag("event_type", 1).over(w))
           .agg(count(col("prev"))).head.getLong(0)
       }
+
+      // ---- range join (r17): hot-user interval enrichment — one 60 s
+      // window per 1000th event, ALL events and ALL windows on the one
+      // user. The binned equi-join's key is (user, bin), and the
+      // windows spread across time bins, so the hot USER never becomes
+      // a hot JOIN CELL; the naive inequality join degenerates to a
+      // per-key nested loop (n × n/1000 pair comparisons here) — the
+      // quadratic growth is the point of the table.
+      val factsR = ev.selectExpr("event_id", "user_id",
+        "unix_micros(ts) as tus")
+      val winsR = ev.filter(col("event_id") % 1000 === 0)
+        .selectExpr("user_id as w_user", "unix_micros(ts) as lo",
+          "unix_micros(ts) + 60000000 as hi")
+      measure(s"range_binned n=$n") {
+        graft.ops.Temporal.rangeJoin(factsR,
+          winsR.withColumnRenamed("w_user", "user_id"), "tus", "lo",
+          "hi", binWidth = 60000000L, on = Seq("user_id")).count()
+      }
+      val pairCmp = n.toLong * (n.toLong / 1000L)
+      if (pairCmp <= 20000000000L)
+        measure(s"range_naive n=$n") {
+          factsR.join(winsR, col("user_id") === col("w_user") &&
+            col("tus") >= col("lo") && col("tus") < col("hi")).count()
+        }
+      else
+        println(f"EVENT_SKEW range_naive n=$n%-10d SKIPPED: " +
+          f"${pairCmp / 1e9}%.0f G nested-loop pair comparisons " +
+          "exceed the harness budget (the quadratic blow-up itself)")
     }
     spark.stop()
   }

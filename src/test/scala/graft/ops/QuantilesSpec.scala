@@ -56,4 +56,40 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got.getDouble(2) == sorted(refIdx(50, n) - 1))
     assert(got.getDouble(3) == sorted(refIdx(90, n) - 1))
   }
+
+  test("ntileBuckets is bit-identical to the ntile window, including " +
+      "uneven and n < k groups") {
+    // group sizes 10 (n % 4 = 2), 7, 3 (n < k), plus nulls
+    val rows = Seq.tabulate(10)(i => ("a", Some((100 - i).toDouble), i)) ++
+      Seq.tabulate(7)(i => ("b", Some(3.0), 100 + i)) ++ // all-tie values
+      Seq.tabulate(3)(i => ("c", Some(i.toDouble), 200 + i)) ++
+      Seq(("a", None, 999), ("c", None, 998))
+    val df = rows.toDF("k", "v", "id")
+    val got = Quantiles.ntileBuckets(df, "k", "v", 4,
+        tieBreak = Seq("id"))
+      .select("k", "id", "bucket").as[(String, Int, Long)]
+      .collect().toSeq.sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("v", "id")
+    val want = df.filter(col("v").isNotNull)
+      .withColumn("bucket", ntile(4).over(w).cast("long"))
+      .select("k", "id", "bucket").as[(String, Int, Long)]
+      .collect().toSeq.sorted
+    assert(got == want)
+    assert(got.size == 20, "null values excluded, all others kept")
+    // explicit shape: 10 rows into 4 buckets = 3,3,2,2
+    val aSizes = got.filter(_._1 == "a").groupBy(_._3).view
+      .mapValues(_.size).toMap
+    assert(aSizes == Map(1L -> 3, 2L -> 3, 3L -> 2, 4L -> 2))
+  }
+
+  test("ntileBuckets: a corpus-sized group matches the window form") {
+    val n = 50000
+    val df = spark.range(n).selectExpr("'one' as k",
+      "cast((id * 7919) % 1000003 as double) as v", "id")
+    val got = Quantiles.ntileBuckets(df, "k", "v", 10,
+        tieBreak = Seq("id"), heavyRowThreshold = Some(1000L))
+      .groupBy("bucket").count().as[(Long, Long)].collect().toMap
+    assert(got == (1L to 10L).map(_ -> 5000L).toMap)
+  }
 }

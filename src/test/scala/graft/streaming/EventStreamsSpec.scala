@@ -383,4 +383,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(sealedBatch.subsetOf(got),
       s"sealed pairs missing from the stream: ${(sealedBatch -- got).take(3)}")
   }
+
+  test("stream-static range enrichment equals the batch rangeJoin " +
+      "exactly (stateless q37 twin)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // static validity-interval dimension: 60s windows after each error
+    val ev0 = eventsBatch
+    val wins = ev0.filter(col("event_type") === "error")
+      .select(col("user_id"),
+        unix_micros(EventStreams.eventTime(ev0)).as("lo"),
+        (unix_micros(EventStreams.eventTime(ev0)) + lit(60000000L)).as("hi"))
+    val schema = eventsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStreams.rangeEnrichStream(stream, wins, "lo", "hi",
+        on = Seq("user_id"), binWidth = 60000000L)
+      .select("event_id", "lo")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("range_enrich")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("range_enrich").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // the batch operator on identical inputs — stateless join, so the
+    // stream must emit EXACTLY the batch pairs (no prefix carve-out)
+    val facts = EventStreams.withEventTime(ev0)
+      .withColumn("tus", unix_micros(col("event_time")))
+    val want = graft.ops.Temporal.rangeJoin(facts, wins, "tus",
+        "lo", "hi", binWidth = 60000000L, on = Seq("user_id"))
+      .select("event_id", "lo").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(want.nonEmpty, "batch twin matched nothing — test data moved")
+    assert(got == want,
+      s"stream/batch mismatch: stream ${got.size} vs batch ${want.size}")
+  }
 }
