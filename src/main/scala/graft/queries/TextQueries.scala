@@ -173,6 +173,33 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact triangle counts + local clustering coefficient over the
+    // deterministic doc-id link graph (ring, skip-ring, and ~1000
+    // modular hub links — the hubs give real degree skew): the
+    // degree-orientation enumeration, where a hub's huge IN-degree
+    // never becomes a wedge blow-up because wedges pair OUT-edges
+    // only. Coefficient = 2T/(d(d-1)) rounded identically in both
+    // engines; the mirror enumerates canonical x<y<z triangles with
+    // no orientation, so agreement certifies the construction, not a
+    // shared shortcut.
+    "t151_triangle_counts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") + 1) % n).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") + 2) % n).as("dst")))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          (col("doc_id") % 1009).as("dst")))
+      graft.ops.LinkRank.triangleCounts(edges, "src", "dst")
+        .withColumn("clustering",
+          when(col("degree") >= 2,
+            round(col("triangles") * lit(2.0) /
+              (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)))
+        .orderBy("node")
+    }),
+
     // IVF centroid training: 2 Lloyd iterations from a deterministic
     // seed, then assign the corpus to the trained cells
     "t13_kmeans_ivf" -> ((s, dir) => {
@@ -4127,6 +4154,41 @@ object TextQueries {
            JOIN reach ON reach.id = e.b_id)
          SELECT id AS doc_id, MIN(r) AS cluster FROM reach
          GROUP BY id ORDER BY doc_id""",
+    // independent triangle formulation: canonical x<y<z enumeration
+    // over the undirected simple graph — no degree orientation, so a
+    // match certifies the Spark construction end to end
+    "t151_triangle_counts" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         nn AS (SELECT COUNT(*) AS n FROM d),
+         raw AS (
+           SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst
+             FROM d
+           UNION ALL
+           SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM d
+           UNION ALL
+           SELECT doc_id, doc_id % 1009 FROM d),
+         und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                   GREATEST(src, dst) AS b
+                 FROM raw WHERE src <> dst),
+         deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                   SELECT a AS v FROM und
+                   UNION ALL SELECT b FROM und)
+                 GROUP BY 1),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 FROM und e1
+                 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                 JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+         pv AS (SELECT v0, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+                  SELECT x AS v0 FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri) GROUP BY 1)
+         SELECT deg.v AS node, deg.degree,
+           COALESCE(pv.triangles, 0) AS triangles,
+           CASE WHEN deg.degree >= 2 THEN
+             ROUND(COALESCE(pv.triangles, 0) * 2.0 /
+               (deg.degree * (deg.degree - 1)), 6)
+           ELSE 0.0 END AS clustering
+         FROM deg LEFT JOIN pv ON pv.v0 = deg.v ORDER BY 1""",
     // head+tail truncation mirror: literal-space tokens, first-25 +
     // last-25 slices rejoined with single spaces; <= 50 tokens passes
     // the ORIGINAL string through untouched

@@ -151,4 +151,57 @@ class LinkRankSpec extends AnyFunSuite {
     // without redistribution an empty frame stays legal (empty result)
     assert(LinkRank.pageRank(empty, "src", "dst", 3).count() == 0)
   }
+
+  private def triMap(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val df = edges.toDF("src", "dst")
+    LinkRank.triangleCounts(df, "src", "dst").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("triangleCounts: K4, a dangling path, an isolated edge; " +
+      "self-loops, multi-edges and reversed duplicates collapse") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val noise = Seq((0L, 0L), (1L, 0L), (2L, 1L)) // self-loop + reversals
+    val path = Seq((4L, 5L), (5L, 6L))            // wedge, no triangle
+    val iso = Seq((7L, 8L))
+    val got = triMap(k4 ++ noise ++ path ++ iso)
+    // K4: every vertex degree 3, sits in C(3,2)=3 triangles
+    (0L to 3L).foreach { v =>
+      val (d, t) = (got(v)._1, got(v)._2)
+      assert((d, t) == ((3L, 3L)), s"K4 vertex $v: degree $d, tri $t")
+    }
+    assert(got(5L) == ((2L, 0L)), "path center: wedge but no triangle")
+    assert(got(7L) == ((1L, 0L)) && got(8L) == ((1L, 0L)))
+    assert(!got.contains(9L) && got.size == 9)
+  }
+
+  test("triangleCounts: star hub + open ring — the hub's in-degree " +
+      "never wedge-explodes, counts are exact") {
+    val m = 100L
+    val star = (1L to m).map(i => (0L, i))
+    val ring = (1L until m).map(i => (i, i + 1))
+    val got = triMap(star ++ ring)
+    assert(got(0L) == ((m, m - 1)), "hub: degree 100, one triangle per ring edge")
+    assert(got(1L) == ((2L, 1L)) && got(m) == ((2L, 1L)))
+    (2L until m).foreach(i => assert(got(i) == ((3L, 2L)), s"spoke $i"))
+  }
+
+  test("triangleCounts agrees with a driver-side brute force on a " +
+      "deterministic pseudo-random graph") {
+    val n = 60L
+    val edges = (0L until 200L).map(i =>
+      ((i * 7919) % n, (i * 104729 + 13) % n))
+    val got = triMap(edges)
+    // brute force: adjacency sets over the normalized simple graph
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = adj.map { case (v, nb) =>
+      val t = nb.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }
+      v -> ((nb.size.toLong, t.toLong))
+    }
+    assert(got == want)
+  }
 }
