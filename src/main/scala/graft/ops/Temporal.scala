@@ -482,6 +482,55 @@ object Temporal {
       .drop(bin)
   }
 
+  /** Per-key interval coalescing (gaps-and-islands): collapse the
+    * half-open `[loCol, hiCol)` intervals of each key into their
+    * union's maximal disjoint islands — validity-range consolidation,
+    * downtime merging, coverage computation. Touching intervals
+    * (`hi == next lo`) merge (contiguous half-open coverage);
+    * NULL-ended and empty (`lo >= hi`) intervals drop. Returns one row
+    * per island: (keyCol, loCol = min lo, hiCol = max hi,
+    * `n_merged` = source-interval count, multiplicities kept).
+    *
+    * Scale design: a row starts a new island iff its `lo` exceeds the
+    * max `hi` of ALL prior rows (in (lo, hi) order) — a long interval
+    * can bridge many short ones far ahead, so the flag needs a running
+    * max, not a `lag`. That island count is NOT composable across
+    * partition runs (a carried max can dissolve a run's internal
+    * breaks), so no single bounded-summary scan exists; instead two
+    * composable de-skewed scans layer:
+    * [[graft.util.DistRank.perKeyRunningMaxExclusive]] (run max
+    * composes by max) then [[graft.util.DistRank.perKeyRunningSum]]
+    * over the island-start flags — both hybrid-dispatched, so one
+    * mega-key spreads and normal-key cardinality stays unbounded, at
+    * the cost of two scan passes. The final islands aggregate is a
+    * plain map-side-combinable groupBy. */
+  def mergeIntervals(df: DataFrame, keyCol: String, loCol: String,
+      hiCol: String): DataFrame = {
+    requireLong(df, loCol, "mergeIntervals")
+    requireLong(df, hiCol, "mergeIntervals")
+    require(df.columns.contains(keyCol),
+      s"mergeIntervals: key column `$keyCol` not in ${df.columns.toSeq}")
+    Seq("__pm", "__new", "__island", "n_merged").foreach(c =>
+      require(!df.columns.contains(c),
+        s"mergeIntervals: input column `$c` collides with an internal/" +
+          "output name"))
+    val ord = Seq(col(loCol), col(hiCol))
+    val clean = df.select(col(keyCol), col(loCol), col(hiCol))
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) < col(hiCol))
+    val pm = graft.util.DistRank.perKeyRunningMaxExclusive(
+      clean, keyCol, ord, hiCol, "__pm")
+    val flagged = pm.withColumn("__new",
+      when(col("__pm").isNull || col(loCol) > col("__pm"), 1L)
+        .otherwise(0L))
+    graft.util.DistRank.perKeyRunningSum(flagged, keyCol, ord,
+        "__new", "__island")
+      .groupBy(col(keyCol), col("__island"))
+      .agg(min(loCol).as(loCol), max(hiCol).as(hiCol),
+        count(lit(1)).as("n_merged"))
+      .drop("__island")
+  }
+
   /** Binned interval-overlap join: every pair of rows from `a` and `b`
     * (same `on` keys) whose half-open intervals `[aLo, aHi)` and
     * `[bLo, bHi)` overlap — sessions × incident windows, ad

@@ -755,10 +755,48 @@ object Relational {
           Seq(col("h")), k = 100)
         .select(col("event_type"), col("rk"), col("event_id"))
         .orderBy("event_type", "rk")
+    }),
+
+    // Interval coalescing (gaps-and-islands): each event opens a
+    // 1–50-minute activity interval (width varies by event id, so
+    // long intervals really BRIDGE later short ones — the case a
+    // lag-based islander gets wrong); mergeIntervals collapses them
+    // per user into disjoint coverage islands via two composable
+    // de-skewed scans (exclusive running max -> island flag running
+    // sum). The mirror is the classic SQL islands formulation with
+    // the running-max window.
+    "q43_interval_coalesce" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.select(col("user_id"), col("event_id"),
+          unix_micros(graft.streaming.EventStreams.eventTime(e0)).as("lo"))
+        .withColumn("hi",
+          col("lo") + (lit(1L) + pmod(col("event_id"), lit(50L))) *
+            lit(60000000L))
+      graft.ops.Temporal.mergeIntervals(e.select("user_id", "lo", "hi"),
+          "user_id", "lo", "hi")
+        .orderBy("user_id", "lo")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q43_interval_coalesce" ->
+      """WITH e AS (SELECT user_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+                epoch_us(CAST(ts AS TIMESTAMP))
+                  + (1 + event_id % 50) * 60000000 AS hi
+              FROM events WHERE ts IS NOT NULL),
+         m AS (SELECT *, MAX(hi) OVER (PARTITION BY user_id
+                 ORDER BY lo, hi
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+               FROM e),
+         f AS (SELECT *, CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0
+                 END AS nf FROM m),
+         i AS (SELECT *, SUM(nf) OVER (PARTITION BY user_id
+                 ORDER BY lo, hi ROWS UNBOUNDED PRECEDING) AS island
+               FROM f)
+         SELECT user_id, MIN(lo) AS lo, MAX(hi) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+         FROM i GROUP BY user_id, island ORDER BY 1, 2""",
     "q41_value_ntile" ->
       """WITH e AS (SELECT event_type, event_id, value FROM events
                WHERE value IS NOT NULL),

@@ -170,6 +170,50 @@ object DistRank {
       emit = (s: LagState) => s.out)
   }
 
+  /** Carried state for [[perKeyRunningMaxExclusive]]: the max over
+    * rows STRICTLY before the current one (`out`, what emit reads) and
+    * the max including it (`cur`). */
+  private final case class MaxState(out: java.lang.Long,
+    cur: java.lang.Long)
+
+  /** Skew-proof EXCLUSIVE per-key running max of a LongType column —
+    * the two-pass twin of
+    * `max(value) over (partition by key order by ... rows between
+    * unbounded preceding and 1 preceding)`: the key's first row emits
+    * NULL, NULL values are skipped (the window max convention), and a
+    * mega-key spreads across partitions. The building block of
+    * gaps-and-islands analytics (interval coalescing: a row starts a
+    * new island iff its start exceeds every prior end), where the
+    * island flag needs the max of ALL prior rows, not just the
+    * previous one — `lag` can't express it, and the run max IS
+    * composable across partitions (unlike the island count itself,
+    * which is why [[graft.ops.Temporal.mergeIntervals]] layers this
+    * scan + [[perKeyRunningSum]] instead of one fused scan). */
+  def perKeyRunningMaxExclusive(df: DataFrame, keyCol: String,
+      orderCols: Seq[Column], valueCol: String, outCol: String,
+      heavyRowThreshold: Option[Long] = None,
+      precomputedHeavy: Option[Seq[Any]] = None): DataFrame = {
+    val vIdx = df.columns.indexOf(valueCol)
+    require(vIdx >= 0, s"value column $valueCol not in ${df.columns.toSeq}")
+    require(df.schema(valueCol).dataType == LongType,
+      s"perKeyRunningMaxExclusive needs a LongType value column; " +
+        s"`$valueCol` is ${df.schema(valueCol).dataType.simpleString}")
+    def valOf(r: Row): java.lang.Long =
+      if (r.isNullAt(vIdx)) null else java.lang.Long.valueOf(r.getLong(vIdx))
+    def mx(a: java.lang.Long, b: java.lang.Long): java.lang.Long =
+      if (a == null) b else if (b == null) a
+      else java.lang.Long.valueOf(math.max(a.longValue, b.longValue))
+    val out = StructField(outCol, LongType, nullable = true)
+    scanHybrid[MaxState, java.lang.Long](df, keyCol, orderCols, out,
+      heavyRowThreshold, precomputedHeavy)(
+      summary = (m, r) => mx(m, valOf(r)),
+      summary0 = null,
+      init = MaxState(null, null),
+      carry = (s, m) => MaxState(null, mx(s.cur, m)),
+      step = (s, r) => MaxState(s.cur, mx(s.cur, valOf(r))),
+      emit = (s: MaxState) => s.out)
+  }
+
   /** Per-(partition, key) session sketch for [[perKeySessionIds]]:
     * first/last time of the run (null-boxed — a null event time is
     * legal and mirrors the window form's null arithmetic) and the

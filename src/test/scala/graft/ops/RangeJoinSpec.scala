@@ -143,4 +143,40 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("aid", "bid").as[(Int, Int)].collect().toSeq.sorted
     assert(got == Seq((1, 2)))
   }
+
+  // ---- mergeIntervals ----
+
+  private def merged(rows: Seq[(String, Long, Long)]) =
+    Temporal.mergeIntervals(rows.toDF("k", "lo", "hi"), "k", "lo", "hi")
+      .select("k", "lo", "hi", "n_merged")
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+
+  test("mergeIntervals: overlap, half-open touch, disjoint gap, and a " +
+      "LONG interval bridging later short ones (the non-lag case)") {
+    val got = merged(Seq(
+      ("u", 0L, 10L), ("u", 5L, 15L),   // overlap -> one island
+      ("u", 15L, 20L),                  // touches: hi==lo merges
+      ("u", 30L, 100L),                 // long interval...
+      ("u", 40L, 45L), ("u", 50L, 55L), // ...bridges these two
+      ("u", 200L, 210L),                // genuinely disjoint
+      ("v", 12L, 14L)))                 // other key: isolated
+    assert(got == Seq(
+      ("u", 0L, 20L, 3L),
+      ("u", 30L, 100L, 3L),
+      ("u", 200L, 210L, 1L),
+      ("v", 12L, 14L, 1L)))
+  }
+
+  test("mergeIntervals: duplicates count in n_merged; null-ended and " +
+      "empty intervals drop; all-dropped key is absent") {
+    val rows = Seq(("u", 1L, 5L), ("u", 1L, 5L), ("w", 9L, 9L))
+    val extra = Seq(("w", Option.empty[Long], Option(4L)))
+      .toDF("k", "lo", "hi")
+      .select(col("k"), col("lo").cast("long"), col("hi").cast("long"))
+    val df = rows.toDF("k", "lo", "hi").union(extra)
+    val got = Temporal.mergeIntervals(df, "k", "lo", "hi")
+      .select("k", "lo", "hi", "n_merged")
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq(("u", 1L, 5L, 2L)))
+  }
 }

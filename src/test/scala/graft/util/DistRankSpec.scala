@@ -182,6 +182,27 @@ class DistRankSpec extends AnyFunSuite {
     assert(lastHyb.size == lastPure.size && lastHyb == lastPure)
   }
 
+  test("perKeyRunningMaxExclusive equals the exclusive window max, " +
+      "incl. nulls, first-row NULL, a mega key, and hybrid==pure") {
+    import spark.implicits._
+    // key 0 heavy; values with nulls sprinkled in
+    val ev = spark.range(30000).selectExpr(
+      "if(id % 3 = 0, id % 200 + 1, 0L) as k", "id as o",
+      "if(id % 7 = 0, null, (id * 7919) % 10007) as v")
+    val w = Window.partitionBy("k").orderBy("o")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = ev.withColumn("pm", max("v").over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) null else r.getLong(3))).toMap
+    def got(thr: Option[Long]) = DistRank.perKeyRunningMaxExclusive(
+        ev, "k", Seq(col("o")), "v", "pm", heavyRowThreshold = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) null else r.getLong(3))).toMap
+    val hybrid = got(Some(1000L))
+    assert(hybrid.size == want.size && hybrid == want)
+    assert(got(None) == want, "default dispatch agrees too")
+  }
+
   test("hybrid dispatch handles key cardinality beyond the two-pass " +
       "guard (the unbounded-cardinality contract)") {
     spark.conf.set("spark.graft.distrank.maxRunsPerPartition", "50")
