@@ -81,6 +81,75 @@ object Quantiles {
       .agg(max(col("__n")).as("n"), pivots: _*)
   }
 
+  /** Per-key exact WEIGHTED percentiles — the importance-weighted
+    * corpus statistic (token-count-weighted doc-length quantiles,
+    * duplicity-weighted score cuts) Spark has no built-in for at any
+    * accuracy. Weights must be positive LongType integers (counts /
+    * duplicities / token totals): integer weights keep the crossing
+    * arithmetic exact and engine-reproducible, where float cumulative
+    * weights drift by summation order. Rows with NULL value, NULL
+    * weight, or weight <= 0 are dropped.
+    *
+    * Semantics: the weighted inverse CDF — for percent p, the value of
+    * the first row (in (value, tieBreak) order) whose inclusive
+    * cumulative weight `cw` reaches `ceil(p * W / 100)`, selected by
+    * the exact integer predicate `cw*100 >= p*W AND (cw - w)*100 <
+    * p*W` (with all weights 1 this degenerates to [[exactPercentiles]]
+    * — rank == (p*n+99) div 100). Output: (keyCol, total_w, p_<p>...).
+    *
+    * Scale: the cumulative weight is
+    * [[graft.util.DistRank.perKeyRunningSum]] (hybrid de-skewed — a
+    * corpus-sized group spreads), totals reuse the scanned frame's max
+    * (the cumsum is monotone: weights are positive), the crossing pick
+    * is one map-side-combinable conditional-max aggregate, and the
+    * count join is AQE's choice — the [[exactPercentiles]] posture
+    * throughout. */
+  def weightedPercentiles(df: DataFrame, keyCol: String, valueCol: String,
+      weightCol: String, percents: Seq[Int], tieBreak: Seq[String] = Nil,
+      heavyRowThreshold: Option[Long] = None): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be integers in [1, 100], got $percents")
+    require(percents.distinct.size == percents.size,
+      s"duplicate percents: $percents")
+    require(df.schema(weightCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"weightedPercentiles needs a LongType weight column; " +
+        s"`$weightCol` is ${df.schema(weightCol).dataType.simpleString}")
+    val reserved = Seq("__cw", "__tw", "__t0")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty, s"input columns ${clash.mkString(", ")} " +
+      "collide with weightedPercentiles' reserved internal names")
+    val sel = df
+      .select((Seq(keyCol, valueCol, weightCol) ++ tieBreak).map(col): _*)
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+    val thr = heavyRowThreshold.getOrElse(
+      graft.util.DistRank.defaultHeavyRowThreshold(df.sparkSession))
+    val ranked = graft.util.DistRank.perKeyRunningSum(
+      sel, keyCol, (valueCol +: tieBreak).map(col), weightCol, "__cw",
+      heavyRowThreshold = Some(thr))
+    // the crossing predicate multiplies cumulative weights by 100 in
+    // Long — guard the bound (ANSI off would wrap silently); the guard
+    // feeds the carried value so the optimizer cannot prune it
+    val totals = ranked.groupBy(keyCol).agg(max(col("__cw")).as("__t0"))
+      .withColumn("__tw",
+        when(col("__t0") <= lit(Long.MaxValue / 100L), col("__t0"))
+          .otherwise(raise_error(concat(
+            lit("weightedPercentiles: total weight overflows the "),
+            lit("exact-integer predicate for key "),
+            col(keyCol).cast("string")))
+            .cast("long")))
+      .drop("__t0")
+    val pivots = percents.map { p =>
+      max(when(col("__cw") * 100L >= col("__tw") * p &&
+          (col("__cw") - col(weightCol)) * 100L < col("__tw") * p,
+        col(valueCol))).as(s"p_$p")
+    }
+    ranked.join(totals, Seq(keyCol))
+      .groupBy(keyCol)
+      .agg(max(col("__tw")).as("total_w"), pivots: _*)
+  }
+
   /** Per-key exact NTILE bucketing (equi-depth binning): every row of
     * `df` gets its 1-based equal-count bucket of `valueCol` within its
     * `keyCol` group — bit-identical to SQL's

@@ -775,10 +775,42 @@ object Relational {
       graft.ops.Temporal.mergeIntervals(e.select("user_id", "lo", "hi"),
           "user_id", "lo", "hi")
         .orderBy("user_id", "lo")
+    }),
+
+    // Weighted exact percentiles: duplicity-style integer weights
+    // (1..10 by event id) over event values — the importance-weighted
+    // corpus statistic; the crossing row is picked by exact integer
+    // cumulative-weight arithmetic on the de-skewed running sum, so
+    // both engines agree bit-for-bit with no float CDF drift.
+    "q44_weighted_percentiles" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("w", lit(1L) + pmod(col("event_id"), lit(10L)))
+      graft.ops.Quantiles.weightedPercentiles(e, "event_type", "value",
+          "w", Seq(50, 90, 99), tieBreak = Seq("event_id"))
+        .orderBy("event_type")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q44_weighted_percentiles" ->
+      """WITH e AS (SELECT event_type, event_id, value,
+                1 + event_id % 10 AS w FROM events
+              WHERE value IS NOT NULL),
+         c AS (SELECT *,
+                 SUM(w) OVER (PARTITION BY event_type
+                   ORDER BY value, event_id
+                   ROWS UNBOUNDED PRECEDING) AS cw,
+                 SUM(w) OVER (PARTITION BY event_type) AS tw
+               FROM e)
+         SELECT event_type, CAST(MAX(tw) AS BIGINT) AS total_w,
+           MAX(CASE WHEN cw*100 >= 50*tw AND (cw-w)*100 < 50*tw
+             THEN value END) AS p_50,
+           MAX(CASE WHEN cw*100 >= 90*tw AND (cw-w)*100 < 90*tw
+             THEN value END) AS p_90,
+           MAX(CASE WHEN cw*100 >= 99*tw AND (cw-w)*100 < 99*tw
+             THEN value END) AS p_99
+         FROM c GROUP BY 1 ORDER BY 1""",
     "q43_interval_coalesce" ->
       """WITH e AS (SELECT user_id,
                 epoch_us(CAST(ts AS TIMESTAMP)) AS lo,

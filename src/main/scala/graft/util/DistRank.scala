@@ -89,17 +89,24 @@ object DistRank {
     * INCLUDING the current row. NULL values contribute 0 (the window
     * sum's null tolerance); `orderCols` must totally order rows within
     * a key. `valueCol` must be LongType (checked — a silent
-    * `getLong` on an int column would ClassCastException mid-job). */
+    * `getLong` on an int column would ClassCastException mid-job).
+    * Hybrid-dispatched since r17 (unbounded key cardinality — interval
+    * coalescing and weighted percentiles run it over user/source keys;
+    * previously the pure two-pass, whose bounded-key run table the
+    * packing call sites satisfied by construction). */
   def perKeyRunningSum(df: DataFrame, keyCol: String,
-      orderCols: Seq[Column], valueCol: String, outCol: String): DataFrame = {
+      orderCols: Seq[Column], valueCol: String, outCol: String,
+      heavyRowThreshold: Option[Long] = None,
+      precomputedHeavy: Option[Seq[Any]] = None): DataFrame = {
     val valIdx = df.columns.indexOf(valueCol)
     require(valIdx >= 0, s"value column $valueCol not in ${df.columns.toSeq}")
     require(df.schema(valueCol).dataType == LongType,
       s"perKeyRunningSum needs a LongType value column; `$valueCol` is " +
         s"${df.schema(valueCol).dataType.simpleString} — cast it first")
     def inc(r: Row): Long = if (r.isNullAt(valIdx)) 0L else r.getLong(valIdx)
-    scanTwoPass[Long, Long](df, keyCol, orderCols,
-      StructField(outCol, LongType, nullable = false))(
+    scanHybrid[Long, Long](df, keyCol, orderCols,
+      StructField(outCol, LongType, nullable = false), heavyRowThreshold,
+      precomputedHeavy)(
       summary = (acc, r) => acc + inc(r),
       summary0 = 0L,
       init = 0L,

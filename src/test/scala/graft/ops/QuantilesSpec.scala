@@ -57,6 +57,52 @@ class QuantilesSpec extends AnyFunSuite {
     assert(got.getDouble(3) == sorted(refIdx(90, n) - 1))
   }
 
+  test("weightedPercentiles: hand-computed crossing rows; non-positive " +
+      "and null weights drop; weight 1 degenerates to exactPercentiles") {
+    // key a: values 1..4, weights 1,5,2,2 -> W=10; noise rows dropped
+    val df = Seq(
+      ("a", Some(1.0), Some(1L)), ("a", Some(2.0), Some(5L)),
+      ("a", Some(3.0), Some(2L)), ("a", Some(4.0), Some(2L)),
+      ("a", Some(9.0), Some(0L)), ("a", Some(9.0), Some(-3L)),
+      ("a", Some(9.0), None), ("a", None, Some(4L)))
+      .toDF("k", "v", "w")
+    val got = Quantiles.weightedPercentiles(df, "k", "v", "w",
+      Seq(50, 90, 99)).collect().head
+    // targets ceil(p*10/100): 5 -> v=2 (cw 6), 9 -> v=4 (cw 10), 10 -> v=4
+    assert((got.getLong(1), got.getDouble(2), got.getDouble(3),
+      got.getDouble(4)) == ((10L, 2.0, 4.0, 4.0)))
+    // all-ones weights == the unweighted discrete percentiles
+    val u = spark.range(1000).selectExpr("'g' as k",
+      "cast((id * 7919) % 997 as double) as v", "1L as w", "id")
+    val wp = Quantiles.weightedPercentiles(u, "k", "v", "w",
+      Seq(50, 90, 99), tieBreak = Seq("id")).collect().head
+    val ep = Quantiles.exactPercentiles(u, "k", "v",
+      Seq(50, 90, 99), tieBreak = Seq("id")).collect().head
+    assert((wp.getDouble(2), wp.getDouble(3), wp.getDouble(4)) ==
+      ((ep.getDouble(2), ep.getDouble(3), ep.getDouble(4))))
+  }
+
+  test("weightedPercentiles: a corpus-sized group on the heavy path " +
+      "matches the driver-side weighted CDF") {
+    val n = 50000
+    val df = spark.range(n).selectExpr("'one' as k",
+      "cast((id * 7919) % 999983 as double) as v",
+      "1L + id % 7 as w", "id")
+    val got = Quantiles.weightedPercentiles(df, "k", "v", "w",
+      Seq(50, 99), tieBreak = Seq("id"),
+      heavyRowThreshold = Some(1000L)).collect().head
+    val rows = df.select("v", "w").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    val tw = rows.map(_._2).sum
+    def pick(p: Int): Double = {
+      val t = (p * tw + 99) / 100
+      var c = 0L
+      rows.find { case (_, w) => c += w; c >= t }.get._1
+    }
+    assert(got.getLong(1) == tw)
+    assert(got.getDouble(2) == pick(50) && got.getDouble(3) == pick(99))
+  }
+
   test("ntileBuckets is bit-identical to the ntile window, including " +
       "uneven and n < k groups") {
     // group sizes 10 (n % 4 = 2), 7, 3 (n < k), plus nulls
