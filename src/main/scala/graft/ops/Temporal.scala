@@ -482,6 +482,64 @@ object Temporal {
       .drop(bin)
   }
 
+  /** Per-key exact TIME-WEIGHTED averages over fixed buckets — the
+    * metrics/sensor staple ("hourly average, where a reading holds
+    * until the next one"): each observation holds its value from its
+    * time until the key's next observation, capped at `maxHoldUs`
+    * (stale readings must not extend forever — the cap also bounds
+    * the per-hold bucket fan-out); the key's LAST observation holds
+    * for the full cap. Hold intervals are split exactly across the
+    * aligned `bucketUs` grid, and each (key, bucket) row carries the
+    * integer covered duration `dur_us`, the duration-weighted value
+    * sum `vsum`, and their ratio `twa`.
+    *
+    * Scale design: the next-observation lookup is the de-skewed
+    * forward lag ([[graft.util.DistRank.perKeyLag]] on the negated
+    * time axis — a bot key spreads, no window), the grid split is the
+    * guarded bin explode (≤ `maxHoldUs / bucketUs` + 1 rows per hold,
+    * fail-fast cap), and the rollup is one map-side-combinable hash
+    * aggregate. No join anywhere. Duplicate (key, time) observations:
+    * order them with `tieBreak` — earlier duplicates get zero-length
+    * holds and drop, the LAST in order holds (the asofJoin
+    * convention). NULL time or value rows drop. */
+  def timeWeightedAverage(df: DataFrame, keyCol: String,
+      timeUsCol: String, valueCol: String, bucketUs: Long,
+      maxHoldUs: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(bucketUs > 0, s"timeWeightedAverage: bucketUs must be " +
+      s"positive, got $bucketUs")
+    require(maxHoldUs > 0, s"timeWeightedAverage: maxHoldUs must be " +
+      s"positive, got $maxHoldUs")
+    require(maxHoldUs <= Long.MaxValue - bucketUs,
+      s"timeWeightedAverage: maxHoldUs + bucketUs overflows Long")
+    requireLong(df, timeUsCol, "timeWeightedAverage")
+    val maxBins = (maxHoldUs / bucketUs + 2).min(Int.MaxValue).toInt
+    val sel = df
+      .select((Seq(keyCol, timeUsCol, valueCol) ++ tieBreak).map(col): _*)
+      .filter(col(timeUsCol).isNotNull && col(valueCol).isNotNull)
+    // forward lag: the previous row on the fully REVERSED axis is the
+    // next observation; reversed tieBreak keeps duplicate-time
+    // semantics (the LAST duplicate in ascending order sees the true
+    // next time, earlier ones see their twin and hold zero length)
+    val nxt = graft.util.DistRank.perKeyLag(sel, keyCol,
+      desc(timeUsCol) +: tieBreak.map(desc), timeUsCol, "__next")
+    val capped = when(col(timeUsCol) > lit(Long.MaxValue - maxHoldUs),
+      lit(Long.MaxValue)).otherwise(col(timeUsCol) + lit(maxHoldUs))
+    val holds = nxt
+      .withColumn("__hi", least(coalesce(col("__next"), capped), capped))
+      .withColumn("__lo", col(timeUsCol))
+      .filter(col("__hi") > col("__lo"))
+    val bin = "__graft_bin"
+    explodeBins(holds, "__lo", "__hi", bucketUs, maxBins, bin)
+      .groupBy(col(keyCol), col(bin).as("bucket_us"))
+      .agg(
+        sum(least(col("__hi"), col(bin) + lit(bucketUs)) -
+          greatest(col("__lo"), col(bin))).as("dur_us"),
+        sum(col(valueCol).cast("double") *
+          (least(col("__hi"), col(bin) + lit(bucketUs)) -
+            greatest(col("__lo"), col(bin)))).as("vsum"))
+      .withColumn("twa", col("vsum") / col("dur_us"))
+  }
+
   /** Per-key interval coalescing (gaps-and-islands): collapse the
     * half-open `[loCol, hiCol)` intervals of each key into their
     * union's maximal disjoint islands — validity-range consolidation,

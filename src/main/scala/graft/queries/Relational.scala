@@ -480,7 +480,8 @@ object Relational {
     // dimension. The band table is tiny and explicitly broadcast, so the
     // non-equi condition runs as a broadcast nested-loop with zero fact
     // shuffle — the 100 TB-safe plan for interval lookup. (Were the band
-    // table large, the alternative is interval bucketing + equi-join.)
+    // table large, the plan is interval bucketing + equi-join —
+    // Temporal.rangeJoin, exercised by q37/q39.)
     "q15_range_band_join" -> ((s, dir) => {
       import s.implicits._
       val bands = Seq(
@@ -789,10 +790,56 @@ object Relational {
       graft.ops.Quantiles.weightedPercentiles(e, "event_type", "value",
           "w", Seq(50, 90, 99), tieBreak = Seq("event_id"))
         .orderBy("event_type")
+    }),
+
+    // Exact time-weighted hourly averages ("a reading holds until the
+    // next one, at most 6 h"): holds come from the de-skewed forward
+    // lag, split exactly across the hour grid by the guarded bin
+    // explode, rolled up map-side — no join, no window. The per-user
+    // TWA keeps float magnitudes bucket-bounded, so the cross-user
+    // rollup rounds stably in both engines.
+    "q45_time_weighted_avg" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(graft.streaming.EventStreams.eventTime(e0)).as("tus"))
+      graft.ops.Temporal.timeWeightedAverage(e, "user_id", "tus",
+          "value", bucketUs = 3600000000L, maxHoldUs = 21600000000L,
+          tieBreak = Seq("event_id"))
+        .groupBy("bucket_us")
+        .agg(count(lit(1)).as("n_users"),
+          sum("dur_us").as("dur_us"),
+          round(sum("twa"), 4).as("twa_sum"))
+        .orderBy("bucket_us")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q45_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
+         h0 AS (SELECT user_id, value, tus, lead(tus) OVER (
+                 PARTITION BY user_id ORDER BY tus, event_id) AS nxt
+               FROM e),
+         h AS (SELECT user_id, value, tus AS lo,
+                 LEAST(COALESCE(nxt, tus + 21600000000),
+                   tus + 21600000000) AS hi
+               FROM h0),
+         b AS (SELECT user_id, value, lo, hi,
+                 unnest(generate_series(lo - lo % 3600000000,
+                   (hi - 1) - ((hi - 1) % 3600000000),
+                   3600000000)) AS bin
+               FROM h WHERE hi > lo),
+         o AS (SELECT user_id, bin,
+                 LEAST(hi, bin + 3600000000) - GREATEST(lo, bin) AS dur,
+                 value FROM b),
+         u AS (SELECT user_id, bin, SUM(dur) AS dur_us,
+                 SUM(value * dur) / SUM(dur) AS twa
+               FROM o GROUP BY 1, 2)
+         SELECT bin AS bucket_us, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(dur_us) AS BIGINT) AS dur_us,
+           ROUND(SUM(twa), 4) AS twa_sum
+         FROM u GROUP BY 1 ORDER BY 1""",
     "q44_weighted_percentiles" ->
       """WITH e AS (SELECT event_type, event_id, value,
                 1 + event_id % 10 AS w FROM events

@@ -167,6 +167,30 @@ class RangeJoinSpec extends AnyFunSuite {
       ("v", 12L, 14L, 1L)))
   }
 
+  test("timeWeightedAverage: hand-computed bucket splits, duplicate " +
+      "times (last wins), hold cap, last-observation horizon") {
+    // key u: v=10 at t=0 (with an earlier zero-length duplicate v=99),
+    // v=20 at t=90; bucket 60, maxHold 120 -> last obs holds [90, 210)
+    val obs = Seq(
+      ("u", 0L, 99.0, 1L), ("u", 0L, 10.0, 2L), // dup: tb=2 wins
+      ("u", 90L, 20.0, 3L),
+      ("g", 0L, 7.0, 4L), ("g", 1000L, 9.0, 5L) // gap > cap: hold capped
+    ).toDF("k", "t", "v", "tb")
+    val got = Temporal.timeWeightedAverage(obs, "k", "t", "v",
+        bucketUs = 60L, maxHoldUs = 120L, tieBreak = Seq("tb"))
+      .select("k", "bucket_us", "dur_us", "twa")
+      .as[(String, Long, Long, Double)].collect().toSeq.sorted
+    assert(got == Seq(
+      ("g", 0L, 60L, 7.0), ("g", 60L, 60L, 7.0),  // capped hold [0,120)
+      // last obs holds [1000, 1120) across aligned bins 960/1020/1080
+      ("g", 960L, 20L, 9.0), ("g", 1020L, 60L, 9.0),
+      ("g", 1080L, 40L, 9.0),
+      ("u", 0L, 60L, 10.0),
+      ("u", 60L, 60L, 15.0), // 30us of 10 + 30us of 20
+      ("u", 120L, 60L, 20.0),
+      ("u", 180L, 30L, 20.0)).sorted)
+  }
+
   test("mergeIntervals: duplicates count in n_merged; null-ended and " +
       "empty intervals drop; all-dropped key is absent") {
     val rows = Seq(("u", 1L, 5L), ("u", 1L, 5L), ("w", 9L, 9L))
