@@ -620,6 +620,92 @@ object EventStreams {
         count(lit(1)).as("n_events"), sum("value").as("total_value"))
   }
 
+  /** Input row for [[mergeIntervalsStream]]. */
+  final case class IvIn(user_id: Long, event_time: java.time.Instant,
+    lo: Long, hi: Long)
+  /** Per-key state: the open (growable) island and the not-yet-sealed
+    * buffer. */
+  final case class IvSt(openLo: Long, openHi: Long, openN: Long,
+    hasOpen: Boolean, pending: Seq[(Long, Long)])
+  /** One finalized merged island. */
+  final case class MergedIsland(user_id: Long, lo: Long, hi: Long,
+    n_merged: Long)
+
+  /** Streaming twin of [[graft.ops.Temporal.mergeIntervals]]: collapse
+    * each key's half-open `[lo, hi)` epoch-micros intervals into
+    * maximal disjoint islands over an unbounded stream, emitting each
+    * island exactly once, as soon as it is FINAL.
+    *
+    * Sealing discipline (the [[asofEnrichStream]] family rule): rows
+    * are buffered until the watermark passes their `lo` (event time =
+    * `timestamp_micros(lo)`), then folded in (lo, hi) order — the
+    * sealed prefix is complete, so the fold is exactly the batch
+    * operator's. An island is final once `hi < watermark`: every
+    * future or still-buffered row has `lo >= watermark > hi`, so
+    * nothing can touch or extend it (touching needs `lo <= hi`).
+    * Islands closed by a gap inside the sealed prefix satisfy this by
+    * construction. State is SELF-RECLAIMING — an open island arms an
+    * event-time timeout just past its own end and every pending row
+    * arms one past its lo, so a quiet key's state drains without an
+    * idle TTL knob. NULL-ended and empty intervals drop (the batch
+    * convention); the key column must be integral (cast to long). */
+  def mergeIntervalsStream(intervals: DataFrame, keyCol: String = "user_id",
+      loUsCol: String = "lo", hiUsCol: String = "hi",
+      watermark: String = "2 hours"): Dataset[MergedIsland] = {
+    val spark = intervals.sparkSession
+    import spark.implicits._
+    val typed = intervals
+      .filter(col(loUsCol).isNotNull && col(hiUsCol).isNotNull &&
+        col(loUsCol) < col(hiUsCol))
+      .select(col(keyCol).cast("long").as("user_id"),
+        timestamp_micros(col(loUsCol)).as("event_time"),
+        col(loUsCol).cast("long").as("lo"),
+        col(hiUsCol).cast("long").as("hi"))
+      .withWatermark("event_time", watermark)
+      .as[IvIn]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[IvSt, MergedIsland](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, incoming, state: GroupState[IvSt]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val prev = state.getOption.getOrElse(IvSt(0L, 0L, 0L,
+            hasOpen = false, Nil))
+          val all = prev.pending ++ incoming.map(e => (e.lo, e.hi))
+          // STRICTLY below: a row AT the watermark may still gain
+          // same-lo siblings whose hi reorders nothing the fold cares
+          // about, but the house sealing rule stays uniform
+          val (sealed_, pending) = all.partition(_._1 < wmUs)
+          var (oLo, oHi, oN) = (prev.openLo, prev.openHi, prev.openN)
+          var hasOpen = prev.hasOpen
+          val out = Seq.newBuilder[MergedIsland]
+          sealed_.sorted.foreach { case (lo, hi) =>
+            if (hasOpen && lo <= oHi) {
+              oHi = math.max(oHi, hi); oN += 1
+            } else {
+              if (hasOpen) out += MergedIsland(uid, oLo, oHi, oN)
+              oLo = lo; oHi = hi; oN = 1; hasOpen = true
+            }
+          }
+          // the open island is final once nothing can reach it —
+          // buffered rows included (their lo >= wm > oHi)
+          if (hasOpen && oHi < wmUs) {
+            out += MergedIsland(uid, oLo, oHi, oN)
+            hasOpen = false
+          }
+          if (!hasOpen && pending.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(IvSt(oLo, oHi, oN, hasOpen, pending))
+            val wakeUs =
+              (if (hasOpen) Seq(oHi) else Nil) ++ pending.map(_._1)
+            state.setTimeoutTimestamp(
+              math.max(wakeUs.min / 1000L + 1, wmMs + 1))
+          }
+          out.result().iterator
+      }
+  }
+
   /** Stream-static binned range enrichment: attach to each live event
     * every row of a STATIC interval table — a validity-windowed
     * dimension (SCD-2 record versions, incident windows, ad flights) —

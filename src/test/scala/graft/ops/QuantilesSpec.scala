@@ -129,6 +129,20 @@ class QuantilesSpec extends AnyFunSuite {
     assert(aSizes == Map(1L -> 3, 2L -> 3, 3L -> 2, 4L -> 2))
   }
 
+  test("no plan contains a Window operator (the one-task-per-key " +
+      "funnel these operators exist to avoid)") {
+    val df = spark.range(100).selectExpr("'a' as k",
+      "cast(id as double) as v", "1L as w", "id")
+    Seq(
+      Quantiles.exactPercentiles(df, "k", "v", Seq(50)),
+      Quantiles.ntileBuckets(df, "k", "v", 4, tieBreak = Seq("id")),
+      Quantiles.weightedPercentiles(df, "k", "v", "w", Seq(50))
+    ).foreach { out =>
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"window funnel in plan:\n$plan")
+    }
+  }
+
   test("ntileBuckets: a corpus-sized group matches the window form") {
     val n = 50000
     val df = spark.range(n).selectExpr("'one' as k",

@@ -50,6 +50,13 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("plan is heap-aggregate shaped: no Window, no global Sort of " +
+      "the stratum") {
+    val plan = Sampling.stratifiedTakeExact(df, "src", "id",
+      Seq(col("h")), 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window funnel in plan:\n$plan")
+  }
+
   test("guards: positive k, existing columns, rank-name collision") {
     intercept[IllegalArgumentException] {
       Sampling.stratifiedTakeExact(df, "src", "id", Seq(col("h")), 0)

@@ -384,6 +384,42 @@ class EventStreamsSpec extends AnyFunSuite {
       s"sealed pairs missing from the stream: ${(sealedBatch -- got).take(3)}")
   }
 
+  test("streaming interval coalescing emits exactly the batch islands " +
+      "sealed below the final watermark, each once (q43 twin)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def ivs(df: org.apache.spark.sql.DataFrame) = {
+      val tus = unix_micros(EventStreams.eventTime(df))
+      df.select(col("user_id"), tus.as("lo"),
+        (tus + (lit(1L) + pmod(col("event_id"), lit(50L))) *
+          lit(60000000L)).as("hi"))
+    }
+    val schema = eventsBatch.schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = EventStreams.mergeIntervalsStream(ivs(stream),
+        "user_id", "lo", "hi").toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("merge_ivs")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("merge_ivs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty, "no islands emitted")
+    assert(got.distinct.length == got.length, "island emitted twice")
+    val batch = graft.ops.Temporal.mergeIntervals(ivs(eventsBatch),
+        "user_id", "lo", "hi")
+      .select("user_id", "lo", "hi", "n_merged").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got.toSet.subsetOf(batch),
+      s"stream islands absent from batch: ${(got.toSet -- batch).take(3)}")
+    // everything final below the run's final watermark MUST be out
+    val maxTus = ivs(eventsBatch).agg(max("lo")).head.getLong(0)
+    val wmUs = (maxTus / 1000L - 2L * 3600 * 1000) * 1000L
+    val sealedBatch = batch.filter(_._3 < wmUs)
+    assert(sealedBatch.subsetOf(got.toSet),
+      s"sealed islands missing: ${(sealedBatch -- got.toSet).take(3)}")
+  }
+
   test("stream-static range enrichment equals the batch rangeJoin " +
       "exactly (stateless q37 twin)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
