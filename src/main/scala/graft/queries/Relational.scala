@@ -810,10 +810,64 @@ object Relational {
           sum("dur_us").as("dur_us"),
           round(sum("twa"), 4).as("twa_sum"))
         .orderBy("bucket_us")
+    }),
+
+    // Robust outlier detection (median absolute deviation): flag
+    // values more than 3 MAD from their group median — the curation
+    // filter that survives heavy-tailed value distributions where
+    // mean/stddev z-scores drown. Two stacked exact-percentile passes
+    // (both de-skewed, both the pinned integer index), medians joined
+    // back broadcast (per-type rows); the selected median/MAD are
+    // actual data values, so the 3-MAD comparison is bit-identical
+    // cross-engine.
+    "q46_mad_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .filter(col("value").isNotNull)
+      val med = graft.ops.Quantiles.exactPercentiles(e, "event_type",
+          "value", Seq(50), tieBreak = Seq("event_id"))
+        .select(col("event_type"), col("p_50").as("m"))
+      val d = e.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("m")))
+      val mad = graft.ops.Quantiles.exactPercentiles(
+          d.select(col("event_type"), col("event_id"), col("dev")),
+          "event_type", "dev", Seq(50), tieBreak = Seq("event_id"))
+        .select(col("event_type"), col("p_50").as("mad"))
+      d.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(max("m"), 4).as("median"),
+          round(max("mad"), 4).as("mad"),
+          count(when(col("dev") > col("mad") * 3, 1)).as("n_outliers"))
+        .orderBy("event_type")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q46_mad_outliers" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events
+               WHERE value IS NOT NULL),
+         r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
+         med AS (SELECT event_type,
+                  MAX(CASE WHEN rk = (50*n + 99)//100 THEN value END) AS m
+                FROM r1 GROUP BY 1),
+         d AS (SELECT e.event_type, e.event_id, e.value, med.m,
+                 ABS(e.value - med.m) AS dev
+               FROM e JOIN med USING (event_type)),
+         r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY dev, event_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n FROM d),
+         mad AS (SELECT event_type,
+                  MAX(CASE WHEN rk = (50*n + 99)//100 THEN dev END) AS mad
+                 FROM r2 GROUP BY 1)
+         SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(d.m), 4) AS median, ROUND(MAX(mad.mad), 4) AS mad,
+           CAST(COUNT(*) FILTER (WHERE d.dev > mad.mad * 3) AS BIGINT)
+             AS n_outliers
+         FROM d JOIN mad USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
     "q45_time_weighted_avg" ->
       """WITH e AS (SELECT user_id, event_id, value,
                 epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
