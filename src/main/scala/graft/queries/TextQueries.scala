@@ -1576,6 +1576,44 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Trailing-7-day distinct users per day from MERGED daily HLL
+    // registers — the 100 TB pattern the sketch tier exists for: one
+    // register table per day (tiny, mergeable), every trailing window
+    // answered by per-bucket max over the 7 daily sketches instead of
+    // re-scanning a week of raw events. Each day's registers spread to
+    // the <= 7 window-end days they serve (bounded explode), the merge
+    // is one map-side-combinable max aggregate, and the estimate is
+    // the exact t73 register arithmetic — so the mirror recomputes it
+    // bit-for-bit. Exact trailing distincts ride along as the
+    // validation column (at scale a caller keeps only the sketch).
+    "t152_hll_trailing_window" -> ((s, dir) => {
+      val D = 86400000000L
+      val e0 = t(s, dir, "events")
+      val tus = unix_micros(graft.streaming.EventStreams.eventTime(e0))
+      val days = e0.select((tus - pmod(tus, lit(D))).as("day"),
+          col("user_id"))
+        .filter(col("day").isNotNull)
+      val regs = TextOps.hllRegisters(days, "day",
+        col("user_id").cast("string"), p = 8)
+      val merged = regs.withColumn("wday",
+          explode(sequence(col("day"), col("day") + lit(6L * D), lit(D))))
+        .groupBy(col("wday").as("day"), col("bucket"))
+        .agg(max("rho").as("rho"))
+      val existing = days.select("day").distinct()
+      val est = TextOps.hllEstimate(merged, "day", p = 8)
+        .join(existing, "day")
+      val exact = days.distinct()
+        .withColumn("wday", explode(sequence(col("day"),
+          col("day") + lit(6L * D), lit(D))))
+        .select(col("wday").as("day"), col("user_id")).distinct()
+        .groupBy("day").agg(count(lit(1)).as("exact_distinct"))
+      est.join(exact, Seq("day"))
+        .select(col("day"), col("hll_est"), col("exact_distinct"),
+          round(abs(col("hll_est") - col("exact_distinct")) /
+            col("exact_distinct"), 6).as("rel_err"))
+        .orderBy("day")
+    }),
+
     // exact embedding second moments: the d x d mean/covariance table
     // behind allButTop — pure integer arithmetic, the oracled
     // foundation of the (driver-side, spec-verified) eigen step
@@ -5917,6 +5955,57 @@ object TextQueries {
            ROUND(ABS(f.hll_est - e.exact_distinct) / e.exact_distinct, 6)
              AS rel_err
          FROM fin f JOIN ex e USING (source) ORDER BY source"""
+    },
+
+    // trailing-window HLL mirror: t73's register arithmetic with
+    // day groups, user-id terms, and the 7-day register spread +
+    // per-bucket max merge recomputed verbatim
+    "t152_hll_trailing_window" -> {
+      val m = 256
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val num = alpha * m.toDouble * m.toDouble * math.pow(2.0, 53)
+      s"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP))
+             - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) AS day,
+             user_id
+           FROM events WHERE ts IS NOT NULL),
+         dt AS (SELECT DISTINCT day, user_id FROM e),
+         h AS (SELECT day, ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+             1, 15))::BIGINT AS h FROM dt),
+         b AS (SELECT day, h % 256 AS bucket, h // 256 AS w FROM h),
+         regs AS (SELECT day, bucket,
+             MAX(CASE WHEN w = 0 THEN 53
+                 ELSE CAST(ROUND(log2(w & -w)) AS INT) + 1 END) AS rho
+           FROM b GROUP BY 1, 2),
+         sp AS (SELECT unnest(generate_series(day,
+             day + 518400000000, 86400000000)) AS wday, bucket, rho
+           FROM regs),
+         mg AS (SELECT wday AS day, bucket, MAX(rho) AS rho
+           FROM sp GROUP BY 1, 2),
+         agg AS (SELECT day, COUNT(*) AS nb,
+             CAST(SUM(CAST(pow(2.0, 53 - rho) AS BIGINT)) AS BIGINT) AS s
+           FROM mg GROUP BY 1),
+         raw AS (SELECT day,
+             $num / CAST(s + (256 - nb) * CAST(pow(2.0, 53) AS BIGINT)
+               AS DOUBLE) AS raw,
+             256 - nb AS v
+           FROM agg),
+         fin AS (SELECT day,
+             ROUND(CASE WHEN raw <= 640.0 AND v > 0
+               THEN 256.0 * ln(CAST(v AS DOUBLE) / 256) * -1.0
+               ELSE raw END, 4) AS hll_est
+           FROM raw),
+         spx AS (SELECT unnest(generate_series(day,
+             day + 518400000000, 86400000000)) AS wday, user_id
+           FROM dt),
+         ex AS (SELECT wday AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+           FROM spx GROUP BY 1),
+         dd AS (SELECT DISTINCT day FROM dt)
+         SELECT f.day, f.hll_est, e2.exact_distinct,
+           ROUND(ABS(f.hll_est - e2.exact_distinct) / e2.exact_distinct,
+             6) AS rel_err
+         FROM fin f JOIN ex e2 USING (day) JOIN dd USING (day)
+         ORDER BY day"""
     },
 
     // moments mirror: same micro-unit components, exact integer sums,
