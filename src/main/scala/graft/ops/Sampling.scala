@@ -49,8 +49,12 @@ object Sampling {
       .select(col(strataCol).as("__strata"), posexplode(col("__top")))
       .select(col("__strata"), col("col.id").as("__id"),
         (col("pos") + 1).cast("long").as(rankCol))
+    // null-safe on the id too: a NULL-id row the heap selected must
+    // join back (an equi-join would silently drop it, leaving a rank
+    // gap); uniqueness-per-stratum then extends to "at most one NULL
+    // id per stratum", same as any other id value
     df.join(top, df(strataCol) <=> top("__strata") &&
-        df(idCol) === top("__id"))
+        df(idCol) <=> top("__id"))
       .drop("__strata", "__id")
   }
 }

@@ -504,7 +504,8 @@ object Temporal {
     * convention). NULL time or value rows drop. */
   def timeWeightedAverage(df: DataFrame, keyCol: String,
       timeUsCol: String, valueCol: String, bucketUs: Long,
-      maxHoldUs: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+      maxHoldUs: Long, tieBreak: Seq[String] = Nil,
+      heavyRowThreshold: Option[Long] = None): DataFrame = {
     require(bucketUs > 0, s"timeWeightedAverage: bucketUs must be " +
       s"positive, got $bucketUs")
     require(maxHoldUs > 0, s"timeWeightedAverage: maxHoldUs must be " +
@@ -521,7 +522,9 @@ object Temporal {
     // semantics (the LAST duplicate in ascending order sees the true
     // next time, earlier ones see their twin and hold zero length)
     val nxt = graft.util.DistRank.perKeyLag(sel, keyCol,
-      desc(timeUsCol) +: tieBreak.map(desc), timeUsCol, "__next")
+      desc(timeUsCol) +: tieBreak.map(desc), timeUsCol, "__next",
+      heavyRowThreshold = Some(heavyRowThreshold.getOrElse(
+        graft.util.DistRank.defaultHeavyRowThreshold(df.sparkSession))))
     val capped = when(col(timeUsCol) > lit(Long.MaxValue - maxHoldUs),
       lit(Long.MaxValue)).otherwise(col(timeUsCol) + lit(maxHoldUs))
     val holds = nxt
@@ -563,7 +566,8 @@ object Temporal {
     * the cost of two scan passes. The final islands aggregate is a
     * plain map-side-combinable groupBy. */
   def mergeIntervals(df: DataFrame, keyCol: String, loCol: String,
-      hiCol: String): DataFrame = {
+      hiCol: String,
+      heavyRowThreshold: Option[Long] = None): DataFrame = {
     requireLong(df, loCol, "mergeIntervals")
     requireLong(df, hiCol, "mergeIntervals")
     require(df.columns.contains(keyCol),
@@ -572,17 +576,27 @@ object Temporal {
       require(!df.columns.contains(c),
         s"mergeIntervals: input column `$c` collides with an internal/" +
           "output name"))
-    val ord = Seq(col(loCol), col(hiCol))
+    val thr = Some(heavyRowThreshold.getOrElse(
+      graft.util.DistRank.defaultHeavyRowThreshold(df.sparkSession)))
     val clean = df.select(col(keyCol), col(loCol), col(hiCol))
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) < col(hiCol))
     val pm = graft.util.DistRank.perKeyRunningMaxExclusive(
-      clean, keyCol, ord, hiCol, "__pm")
+      clean, keyCol, Seq(col(loCol), col(hiCol)), hiCol, "__pm",
+      heavyRowThreshold = thr)
     val flagged = pm.withColumn("__new",
       when(col("__pm").isNull || col(loCol) > col("__pm"), 1L)
         .otherwise(0L))
-    graft.util.DistRank.perKeyRunningSum(flagged, keyCol, ord,
-        "__new", "__island")
+    // the island sum orders by (lo, hi, __new DESC): duplicate
+    // (lo, hi) rows leave scan 1 with DIFFERENT flags (exactly one
+    // carries the island start), so (lo, hi) alone does not totally
+    // order them and a shuffle could fold the flag-0 twin into the
+    // PREVIOUS island across a genuine gap; putting the flag-1 twin
+    // first restores scan-1's fold order (remaining ties are all
+    // flag-0 rows — interchangeable +0 contributions)
+    graft.util.DistRank.perKeyRunningSum(flagged, keyCol,
+        Seq(col(loCol), col(hiCol), desc("__new")), "__new", "__island",
+        heavyRowThreshold = thr)
       .groupBy(col(keyCol), col("__island"))
       .agg(min(loCol).as(loCol), max(hiCol).as(hiCol),
         count(lit(1)).as("n_merged"))

@@ -705,12 +705,13 @@ object Relational {
           col("event_type"),
           unix_micros(graft.streaming.EventStreams.eventTime(e0)).as("tus"))
         .filter(col("tus").isNotNull)
+      val thr = Some(graft.util.DistRank.defaultHeavyRowThreshold(s))
       val sid = graft.util.DistRank.perKeySessionIds(e, "user_id", "tus",
-        gapUs = 1800000000L, outCol = "sid")
+        gapUs = 1800000000L, outCol = "sid", heavyRowThreshold = thr)
       val keyed = sid.withColumn("skey",
         concat_ws("#", col("user_id"), col("sid")))
       val ranked = graft.util.DistRank.perKeyRowNumber(keyed, "skey",
-        Seq(col("tus"), col("event_id")), "rk")
+        Seq(col("tus"), col("event_id")), "rk", heavyRowThreshold = thr)
       ranked.filter(col("rk") <= 5)
         .groupBy("skey")
         .agg(concat_ws(">",
@@ -880,8 +881,10 @@ object Relational {
                    tus + 21600000000) AS hi
                FROM h0),
          b AS (SELECT user_id, value, lo, hi,
-                 unnest(generate_series(lo - lo % 3600000000,
-                   (hi - 1) - ((hi - 1) % 3600000000),
+                 unnest(generate_series(
+                   lo - ((lo % 3600000000) + 3600000000) % 3600000000,
+                   (hi - 1) - (((hi - 1) % 3600000000) + 3600000000)
+                     % 3600000000,
                    3600000000)) AS bin
                FROM h WHERE hi > lo),
          o AS (SELECT user_id, bin,

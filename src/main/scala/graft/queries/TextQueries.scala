@@ -1592,7 +1592,7 @@ object TextQueries {
       val tus = unix_micros(graft.streaming.EventStreams.eventTime(e0))
       val days = e0.select((tus - pmod(tus, lit(D))).as("day"),
           col("user_id"))
-        .filter(col("day").isNotNull)
+        .filter(col("day").isNotNull && col("user_id").isNotNull)
       val regs = TextOps.hllRegisters(days, "day",
         col("user_id").cast("string"), p = 8)
       val merged = regs.withColumn("wday",
@@ -5967,7 +5967,7 @@ object TextQueries {
       s"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP))
              - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) AS day,
              user_id
-           FROM events WHERE ts IS NOT NULL),
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
          dt AS (SELECT DISTINCT day, user_id FROM e),
          h AS (SELECT day, ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
              1, 15))::BIGINT AS h FROM dt),

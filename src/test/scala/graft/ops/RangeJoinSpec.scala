@@ -191,6 +191,23 @@ class RangeJoinSpec extends AnyFunSuite {
       ("u", 180L, 30L, 20.0)).sorted)
   }
 
+  test("mergeIntervals: duplicate intervals after a gap stay in their " +
+      "own island under ANY partitioning (the flag-tie order bug)") {
+    // [0,10) then two copies of [100,110): the duplicates leave the
+    // running-max scan with flags 1 and 0 — if the island sum's order
+    // ever put the flag-0 twin first, it would join the PREVIOUS
+    // island across the 10..100 gap
+    val rows = Seq(("u", 0L, 10L), ("u", 100L, 110L), ("u", 100L, 110L))
+    Seq(1, 3, 7).foreach { parts =>
+      val df = rows.toDF("k", "lo", "hi").repartition(parts)
+      val got = Temporal.mergeIntervals(df, "k", "lo", "hi")
+        .select("k", "lo", "hi", "n_merged")
+        .as[(String, Long, Long, Long)].collect().toSeq.sorted
+      assert(got == Seq(("u", 0L, 10L, 1L), ("u", 100L, 110L, 2L)),
+        s"parts=$parts: $got")
+    }
+  }
+
   test("mergeIntervals: duplicates count in n_merged; null-ended and " +
       "empty intervals drop; all-dropped key is absent") {
     val rows = Seq(("u", 1L, 5L), ("u", 1L, 5L), ("w", 9L, 9L))

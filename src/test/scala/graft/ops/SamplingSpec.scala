@@ -57,6 +57,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"window funnel in plan:\n$plan")
   }
 
+  test("a selected NULL-id row survives the join back with its rank") {
+    val d = Seq((Option("s"), Option(1L)), (Option("s"), Option.empty[Long]),
+      (Option("s"), Option(3L))).toDF("src", "id")
+      .withColumn("h", coalesce(col("id"), lit(-1L)))
+    val got = Sampling.stratifiedTakeExact(d, "src", "id",
+        Seq(col("h")), 2)
+      .select("rk", "id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    // order by h: null id has h=-1 -> rank 1; id=1 -> rank 2
+    assert(got == Set((1L, None), (2L, Some(1L))),
+      s"NULL-id winner must not vanish: $got")
+  }
+
   test("guards: positive k, existing columns, rank-name collision") {
     intercept[IllegalArgumentException] {
       Sampling.stratifiedTakeExact(df, "src", "id", Seq(col("h")), 0)
