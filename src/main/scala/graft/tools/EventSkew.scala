@@ -207,6 +207,29 @@ object EventSkew {
           winsR.withColumnRenamed("w_user", "user_id"), "tus", "lo",
           "hi", binWidth = 60000000L, on = Seq("user_id")).count()
       }
+      // ---- interval coalescing (r17): the two-scan island layering
+      // (exclusive running max -> flag running sum, both hybrid) vs
+      // the window-islands form, which serializes the hot key's whole
+      // corpus share through ONE task twice (running max + running sum)
+      val ivsS = ev.selectExpr("user_id", "unix_micros(ts) as lo",
+        "unix_micros(ts) + (1 + event_id % 50) * 60000000 as hi")
+      measure(s"islands_distrank n=$n") {
+        graft.ops.Temporal.mergeIntervals(ivsS, "user_id", "lo", "hi")
+          .count()
+      }
+      measure(s"islands_window n=$n") {
+        val w = Window.partitionBy("user_id").orderBy("lo", "hi")
+        ivsS.withColumn("pm", max("hi").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("nf", when(col("pm").isNull ||
+            col("lo") > col("pm"), 1L).otherwise(0L))
+          .withColumn("island", sum("nf").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "island")
+          .agg(min("lo"), max("hi"), count(lit(1)))
+          .count()
+      }
+
       val pairCmp = n.toLong * (n.toLong / 1000L)
       if (pairCmp <= 20000000000L)
         measure(s"range_naive n=$n") {
