@@ -576,14 +576,21 @@ object Temporal {
       require(!df.columns.contains(c),
         s"mergeIntervals: input column `$c` collides with an internal/" +
           "output name"))
-    val thr = Some(heavyRowThreshold.getOrElse(
-      graft.util.DistRank.defaultHeavyRowThreshold(df.sparkSession)))
+    val thrVal = heavyRowThreshold.getOrElse(
+      graft.util.DistRank.defaultHeavyRowThreshold(df.sparkSession))
+    val thr = Some(thrVal)
     val clean = df.select(col(keyCol), col(loCol), col(hiCol))
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) < col(hiCol))
+    // ONE heavy-key count serves both scans: scan 2's input is a
+    // projection of scan 1's output with identical per-key row counts,
+    // but its plan canonicalizes differently, so the session count
+    // cache alone would pay the count job twice
+    val heavy = Some(graft.util.DistRank
+      .heavyKeyValues(clean, keyCol, thrVal).toSeq)
     val pm = graft.util.DistRank.perKeyRunningMaxExclusive(
       clean, keyCol, Seq(col(loCol), col(hiCol)), hiCol, "__pm",
-      heavyRowThreshold = thr)
+      heavyRowThreshold = thr, precomputedHeavy = heavy)
     val flagged = pm.withColumn("__new",
       when(col("__pm").isNull || col(loCol) > col("__pm"), 1L)
         .otherwise(0L))
@@ -596,7 +603,7 @@ object Temporal {
     // flag-0 rows — interchangeable +0 contributions)
     graft.util.DistRank.perKeyRunningSum(flagged, keyCol,
         Seq(col(loCol), col(hiCol), desc("__new")), "__new", "__island",
-        heavyRowThreshold = thr)
+        heavyRowThreshold = thr, precomputedHeavy = heavy)
       .groupBy(col(keyCol), col("__island"))
       .agg(min(loCol).as(loCol), max(hiCol).as(hiCol),
         count(lit(1)).as("n_merged"))
