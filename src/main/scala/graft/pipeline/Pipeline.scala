@@ -93,13 +93,20 @@ object Pipeline {
     // already-curated rows — no new shuffle, no new barrier.
     val curated =
       if (!scrubPii) curatedRaw
-      else TextOps.piiScrub(curatedRaw, idCol, textCol)
-        .select(col(idCol), col("clean_text").as(textCol))
-        .join(curatedRaw.select(col(idCol), col(sourceCol)), Seq(idCol))
+      else TextOps.piiScrub(curatedRaw, idCol, textCol,
+          carry = Seq(sourceCol))
+        .select(col(idCol), col("clean_text").as(textCol), col(sourceCol))
     // decontaminate returns the FLAGGED docs; the pipeline drops them
-    // (fail closed: any benchmark shingle overlap removes the doc)
+    // (fail closed: any benchmark shingle overlap removes the doc).
+    // FIREWALLED (id-scale): `clean` below is re-derived by three
+    // consumers (the anti join itself, the budget leg, the split
+    // semi-join), each of which would re-run the 13-gram
+    // decontamination join; the materialized leaf also carries exact
+    // size stats, so the anti join broadcasts instead of shuffling the
+    // corpus by id (r17: SortMergeJoin LeftAnti -> BroadcastHashJoin
+    // in the t94/t106 plans).
     val flagged = TextOps.decontaminate(curated, bench, idCol, textCol,
-      decontamShingle).select(col(idCol))
+      decontamShingle).select(col(idCol)).barrierFirewall()
     val clean = curated.join(flagged, Seq(idCol), "left_anti")
     // id-scale barrier #2: the budget survivors (bounded per source by
     // the budget itself) feed both the packer and the splitter.
@@ -116,10 +123,17 @@ object Pipeline {
         floor((col("__cum") - col("n_tokens")) /
           lit(packBudget.toDouble)).cast("long"))
       .drop("__cum")
+    // FIREWALLED (id-scale, bounded by the budget survivors): the
+    // final join's other side (`packed`) is a stats-less DistRank RDD
+    // scan, so without exact stats on THIS side Spark falls back to a
+    // sort-merge join — three exchanges + two sorts for two id-scale
+    // frames (r17: SortMergeJoin Inner -> BroadcastHashJoin in the
+    // t94/t106 plans).
     val splits = TextOps.leakSafeSplit(
       clean.join(budgeted.select(col(idCol)), Seq(idCol), "left_semi"),
       idCol, textCol, testFrac)
-    packed.join(splits.select(col(idCol), col("split")), Seq(idCol))
+      .select(col(idCol), col("split")).barrierFirewall()
+    packed.join(splits, Seq(idCol))
       .select(col(idCol), col(sourceCol), col("n_tokens"), col("bin"),
         col("split"))
   }

@@ -2029,18 +2029,26 @@ object TextOps {
   /** PII scrubbing: mask emails, IPv4 addresses, and long digit runs
     * (account/phone-number shaped) with typed placeholders, and count
     * each match class. Patterns are RE2-compatible so an external SQL
-    * engine applies them identically; one narrow projection per row. */
-  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * engine applies them identically; one narrow projection per row.
+    * `carry` columns ride through the projection unchanged — callers
+    * that need extra input columns alongside the masked text (the
+    * pipeline's sourceCol) carry them HERE instead of joining the
+    * scrubbed frame back onto its own input, which costs a corpus-
+    * scale self-join (r17 optimization: that join was a duplicated
+    * SortMergeJoin subtree in the t106 plan). */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
     val digits = "\\b[0-9]{9,}\\b"
     val masked = regexp_replace(regexp_replace(regexp_replace(col(textCol),
       email, "<EMAIL>"), ip, "<IP>"), digits, "<NUM>")
-    df.select(col(idCol),
-      size(regexp_extract_all(col(textCol), lit(email), lit(0))).cast("long").as("n_email"),
-      size(regexp_extract_all(col(textCol), lit(ip), lit(0))).cast("long").as("n_ip"),
-      size(regexp_extract_all(col(textCol), lit(digits), lit(0))).cast("long").as("n_num"),
-      masked.as("clean_text"))
+    df.select(col(idCol) +:
+      size(regexp_extract_all(col(textCol), lit(email), lit(0))).cast("long").as("n_email") +:
+      size(regexp_extract_all(col(textCol), lit(ip), lit(0))).cast("long").as("n_ip") +:
+      size(regexp_extract_all(col(textCol), lit(digits), lit(0))).cast("long").as("n_num") +:
+      masked.as("clean_text") +:
+      carry.map(col): _*)
   }
 
   /** Corpus-level top-k n-grams by frequency (deterministic tie-break on
