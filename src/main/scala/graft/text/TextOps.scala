@@ -840,20 +840,57 @@ object TextOps {
       .select("a_id", "b_id")
       .barrierCache() // referenced by clusters across CC iterations
     val deduped = dropNearDuplicates(exact, idCol, verified)
-    // The gate reads only the word-level fractions, so it uses
-    // [[wordFracs]] directly: riding through repetitionStats would also
-    // pay the bigram explode + two aggregate levels + join for columns
-    // the filter never touches (Catalyst cannot prune them through the
-    // inner join). Docs with no tokens have no wordFracs row and are
-    // dropped, exactly as n_word = 0 fails the between() gate.
-    val quality = wordFracs(deduped, idCol, textCol)
-      .join(langId(deduped, idCol, textCol).select(col(idCol), col("lang_pred")),
-        Seq(idCol))
-      .filter(col("lang_pred").isin(keepLangs: _*) &&
-        col("n_word").between(minTokens, maxTokens) &&
-        col("top_word_frac") <= maxTopWordFrac)
-      .select(col(idCol))
-    deduped.join(quality, Seq(idCol), "left_semi")
+    // The gate is a NARROW single-pass filter (r17): every quantity it
+    // reads — token count, top-word fraction, language prediction — is
+    // a per-row function of the document's own token array, so the
+    // previous shape (wordFracs' explode + two shuffle aggregates,
+    // joined to a second langId projection of the corpus, semi-joined
+    // back) paid two token-scale shuffles and two joins for what one
+    // codegen'd projection computes in place. Values are bit-identical:
+    // the multiset top count equals the max over distinct tokens of the
+    // per-token count, n_word equals size(tokens), and the rounding/
+    // division matches termFracs'. The quadratic-looking top-count loop
+    // is GUARDED behind the token-count gate, so its per-row cost is
+    // bounded at maxTokens^2 no matter how large a document gets
+    // (termFracs' explode would have shuffled that document's every
+    // token instead). Docs with no tokens had no wordFracs row and
+    // were dropped; here n_word = 0 fails between() (or, with
+    // minTokens = 0, the null top fraction fails the <= gate) — same
+    // outcome.
+    qualityGate(deduped, textCol, minTokens, maxTokens, maxTopWordFrac,
+      keepLangs)
+  }
+
+  /** [[curateCorpus]]' quality gate as one narrow filter: token-count
+    * bounds, top-word-fraction ceiling, language allowlist — all
+    * computed from the row's own token array, no explode, no shuffle,
+    * no join. The top-word count only evaluates for rows inside the
+    * token-count bounds (CaseWhen branches are lazy in codegen), so
+    * the O(n_tokens * n_distinct) loop is capped at maxTokens^2. */
+  private def qualityGate(df: DataFrame, textCol: String,
+      minTokens: Long, maxTokens: Long, maxTopWordFrac: Double,
+      keepLangs: Seq[String]): DataFrame = {
+    val langs = langProfiles.keys.toSeq.sorted
+    val reserved = "__qg_w" +: "__qg_n" +: "__qg_top" +:
+      langs.map(l => s"__qg_r_$l")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"curateCorpus: input column `$c` collides with an internal name"))
+    val withW = df
+      .withColumn("__qg_w", tokens(col(textCol)))
+      .withColumn("__qg_n", size(col("__qg_w")).cast("long"))
+    val withR = langs.foldLeft(withW) { (d, l) =>
+      d.withColumn(s"__qg_r_$l", langRatioOf(col("__qg_w"), l))
+    }
+    val top = when(col("__qg_n").between(minTokens, maxTokens),
+      round(array_max(transform(array_distinct(col("__qg_w")),
+          t => size(filter(col("__qg_w"), x => x === t))))
+        .cast("double") / col("__qg_n"), 6))
+    withR.withColumn("__qg_top", top)
+      .filter(col("__qg_n").between(minTokens, maxTokens) &&
+        langPredFromRatios(l => col(s"__qg_r_$l"), 0.05)
+          .isin(keepLangs: _*) &&
+        col("__qg_top") <= maxTopWordFrac)
+      .drop(reserved: _*)
   }
 
   /** Exact duplicate groups by content hash: (hash, n, canonical id). */
@@ -1409,23 +1446,35 @@ object TextOps {
   def langId(df: DataFrame, idCol: String, textCol: String,
       minRatio: Double = 0.05): DataFrame = {
     val langs = langProfiles.keys.toSeq.sorted
-    val w = col("__w")
-    val ratios = langs.map { l =>
-      val arr = array(langProfiles(l).map(lit): _*)
-      round(when(size(w) === 0, lit(null)).otherwise(
-        size(filter(w, x => array_contains(arr, x))).cast("double") / size(w)),
-        6).as(s"r_$l")
-    }
     val withRatios = fanOut(df)
       .select(col(idCol), tokens(col(textCol)).as("__w"))
-      .select(col(idCol) +: ratios: _*)
-    val best = langs.map(l => col(s"r_$l")).reduce((a, b) => greatest(a, b))
-    val pred = langs.foldRight(lit("unknown")) { (l, rest) =>
-      when(col(s"r_$l").isNotNull && col(s"r_$l") >= minRatio &&
-        col(s"r_$l") === best, l).otherwise(rest)
-    }
+      .select(col(idCol) +: langs.map(l =>
+        langRatioOf(col("__w"), l).as(s"r_$l")): _*)
     withRatios.select(col(idCol) +: langs.map(l => col(s"r_$l")) :+
-      pred.as("lang_pred"): _*)
+      langPredFromRatios(l => col(s"r_$l"), minRatio).as("lang_pred"): _*)
+  }
+
+  /** One language's profile-token ratio over an already-materialized
+    * token array — [[langId]]'s per-language column, factored out so
+    * [[curateCorpus]] can inline the prediction into a narrow filter
+    * instead of joining a second projection of the corpus. */
+  private def langRatioOf(w: Column, lang: String): Column = {
+    val arr = array(langProfiles(lang).map(lit): _*)
+    round(when(size(w) === 0, lit(null)).otherwise(
+      size(filter(w, x => array_contains(arr, x))).cast("double") / size(w)),
+      6)
+  }
+
+  /** [[langId]]'s argmax-with-floor prediction over per-language ratio
+    * columns (ties break by profile-name order, exactly as langId). */
+  private def langPredFromRatios(ratio: String => Column,
+      minRatio: Double): Column = {
+    val langs = langProfiles.keys.toSeq.sorted
+    val best = langs.map(ratio).reduce((a, b) => greatest(a, b))
+    langs.foldRight(lit("unknown")) { (l, rest) =>
+      when(ratio(l).isNotNull && ratio(l) >= minRatio &&
+        ratio(l) === best, l).otherwise(rest)
+    }
   }
 
   /** Unicode-range script classes for [[scriptDetect]] — literal-char

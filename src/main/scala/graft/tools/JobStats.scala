@@ -30,6 +30,7 @@ object JobStats {
     val taskTimeMs = new AtomicLong(0L)
     val cpuTimeMs = new AtomicLong(0L)
     val deserMs = new AtomicLong(0L)
+    val gcMs = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
@@ -41,6 +42,7 @@ object JobStats {
           taskTimeMs.addAndGet(t.taskMetrics.executorRunTime)
           cpuTimeMs.addAndGet(t.taskMetrics.executorCpuTime / 1000000L)
           deserMs.addAndGet(t.taskMetrics.executorDeserializeTime)
+          gcMs.addAndGet(t.taskMetrics.jvmGCTime)
         }
       }
     })
@@ -54,7 +56,7 @@ object JobStats {
       graft.util.DistRank.clearKeyCountCache()
       Thread.sleep(200)
       jobs.set(0); stages.set(0); tasks.set(0); taskTimeMs.set(0L)
-      cpuTimeMs.set(0L); deserMs.set(0L)
+      cpuTimeMs.set(0L); deserMs.set(0L); gcMs.set(0L)
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -63,7 +65,8 @@ object JobStats {
         f"stages=${stages.get}%3d tasks=${tasks.get}%5d " +
         f"taskTime=${taskTimeMs.get / 1000.0}%8.2f s " +
         f"cpu=${cpuTimeMs.get / 1000.0}%8.2f s " +
-        f"deser=${deserMs.get / 1000.0}%7.2f s rows=$n%7d")
+        f"deser=${deserMs.get / 1000.0}%7.2f s " +
+        f"gc=${gcMs.get / 1000.0}%6.2f s rows=$n%7d")
       spark.catalog.clearCache()
       graft.util.DistRank.clearKeyCountCache()
     }
