@@ -316,16 +316,24 @@ object Pipeline {
       maxTopWordFrac: Double = 0.12,
       keepLangs: Seq[String] = Seq("en")): DataFrame = {
     val m = graft.multimodal.Media
-    val sigs = (kind match {
-      case "image" => m.imageHash(media).filter(col("ahash").isNotNull)
+    // The UNFILTERED fingerprint frame is the barrier (r17): every
+    // fingerprint kernel emits exactly one row per media row (null
+    // signature for undecodable payloads), so stage 0's media count
+    // equals count(sigsAll) — reading it from this cache saves a
+    // second full synth/decode pass over the media payloads that
+    // `stage(0, media)` used to pay. Same posture at scale: one scan
+    // of the media table instead of two.
+    val sigsAll = (kind match {
+      case "image" => m.imageHash(media)
         .select(col("media_id"), col("ahash").as("__sig"))
-      case "audio" => m.audioFingerprint(media).filter(col("afp").isNotNull)
+      case "audio" => m.audioFingerprint(media)
         .select(col("media_id"), col("afp").as("__sig"))
-      case "video" => m.videoFingerprint(media).filter(col("vfp").isNotNull)
+      case "video" => m.videoFingerprint(media)
         .select(col("media_id"), col("vfp").as("__sig"))
       case other => throw new IllegalArgumentException(
         s"kind must be image, audio or video, got $other")
     }).barrierFirewall()
+    val sigs = sigsAll.filter(col("__sig").isNotNull)
     val pairs = m.bandedHammingPairs(sigs, "__sig", maxHamming)
       .select("a_id", "b_id")
     val keep = TextOps.dropNearDuplicates(
@@ -338,7 +346,7 @@ object Pipeline {
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(i).as("stage_idx"), lit(name).as("stage"),
           col("n_docs"))
-    stage(0, "media", media)
+    stage(0, "media", sigsAll)
       .union(stage(1, "decodable", sigs))
       .union(stage(2, s"${kind}_unique", keep))
       .union(stage(3, "curated", curated))
