@@ -495,18 +495,37 @@ object Cipw {
       carry.map(c => inSchema(c)) ++ names.map(n => StructField(n, DoubleType)))
     val nCarry = carry.length
     val nIn = CIPW_INPUTS.length
-    val result = input.map { row =>
+    // INTERNAL-row map (r17): Dataset.map with Encoders.row paid the
+    // generic Row (de)serializer on every row — profiled at ~40% of
+    // these queries' task CPU for a ~45-column output, 6x the norm
+    // math itself. The row function is index-based either way; reading
+    // InternalRows and emitting catalyst values through one
+    // UnsafeProjection removes the whole encoder boundary with
+    // bit-identical outputs (same doubles, same carry values).
+    val carryTypes = carry.indices
+      .map(i => inSchema(i).dataType).toArray
+    val nOut = names.length
+    val result = org.apache.spark.sql.graftbridge.Bridge
+        .mapInternalRows(input, outSchema) { ir =>
       val ox = new Array[Double](nIn)
       var i = 0
       while (i < nIn) {
-        ox(i) = if (row.isNullAt(nCarry + i)) 0.0 else row.getDouble(nCarry + i)
+        ox(i) = if (ir.isNullAt(nCarry + i)) 0.0 else ir.getDouble(nCarry + i)
         i += 1
       }
       val out =
         try rowFn(ox, normsum, cancrinite, spinel)
-        catch { case _: Exception => Array.fill(names.length)(Double.NaN) }
-      Row.fromSeq((0 until nCarry).map(row.get) ++ out)
-    }(Encoders.row(outSchema))
+        catch { case _: Exception => Array.fill(nOut)(Double.NaN) }
+      val vals = new Array[Any](nCarry + nOut)
+      i = 0
+      while (i < nCarry) {
+        vals(i) = if (ir.isNullAt(i)) null else ir.get(i, carryTypes(i))
+        i += 1
+      }
+      i = 0
+      while (i < nOut) { vals(nCarry + i) = out(i); i += 1 }
+      vals
+    }
     if (completeResults) result
     else {
       // G5 zero-column pruning needs one pass to decide the projection and

@@ -66,6 +66,44 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(spark, leaf)
   }
 
+  /** Map a DataFrame at the INTERNAL-row level, skipping the
+    * Row-encoder boundary entirely — for compute-heavy row functions
+    * whose inputs/outputs are primitive-typed. `Dataset.map` with
+    * `Encoders.row` pays deserializetoobject + serializefromobject on
+    * every row: the serializer alone (per-field external-type
+    * validation + boxing over a wide output schema) profiled at ~40%
+    * of the CIPW queries' task CPU — 6x the actual math (r17 JFR).
+    * Here the function reads the input's InternalRows (field order =
+    * the analyzed output order) and returns catalyst values
+    * (primitives, UTF8String, null); each output row is compacted
+    * through one UnsafeProjection and copied, so downstream buffering
+    * (sorts, caches) is safe. The result is a LogicalRDD leaf — the
+    * same plan shape `Dataset.map`'s output feeds consumers, minus the
+    * (de)serializer nodes. */
+  def mapInternalRows(df: org.apache.spark.sql.DataFrame,
+      outSchema: org.apache.spark.sql.types.StructType)(
+      fn: org.apache.spark.sql.catalyst.InternalRow => Array[Any])
+      : org.apache.spark.sql.DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = cdf.sparkSession
+    val rdd = cdf.queryExecution.toRdd.mapPartitions { it =>
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outSchema)
+      val holder = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(outSchema.length)
+      it.map { ir =>
+        val vals = fn(ir)
+        var i = 0
+        while (i < vals.length) { holder.update(i, vals(i)); i += 1 }
+        proj(holder).copy(): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    val leaf = org.apache.spark.sql.execution.LogicalRDD(
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(outSchema),
+      rdd)(spark)
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, leaf)
+  }
+
   /** Whether the session's CacheManager holds no cached plans —
     * `sharedState` is `private[sql]`; the barrier-lifecycle spec
     * asserts this returns to true after
