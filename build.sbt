@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally goes through sbt's logger, which prefixes
+// every line with "[info] " — that prefix is exactly why the driver's
+// bench parser recorded parsed:null from r03 on (the only round that
+// ever parsed, r02, is the only recorded tail whose final JSON line has
+// no prefix). StdoutOutput pipes the forked JVM's stdout straight
+// through, so graft.Bench's one-line JSON reaches the harness verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -505,6 +505,23 @@ object Cipw {
     val carryTypes = carry.indices
       .map(i => inSchema(i).dataType).toArray
     val nOut = names.length
+    // G5 pruning folded into the map pass (r18): when pruning is on,
+    // per-column max-abs stats are gathered by an ACCUMULATOR inside
+    // the same map job that materializes the checkpoint, so the old
+    // separate max(abs(col)) aggregate pass over the checkpointed
+    // blocks disappears (one job less per pruned-norm query; the
+    // max is idempotent under task retry/recompute, so accumulator
+    // double-counting cannot change it).
+    val valIdx = names.zipWithIndex
+      .collect { case (n, i) if !dropCols.contains(n) => i }.toArray
+    val pruneAcc =
+      if (completeResults) None
+      else {
+        val acc = new MaxAbsAccumulator(valIdx)
+        df.sparkSession.sparkContext.register(
+          acc, s"cipw_prune_${names.length}")
+        Some(acc)
+      }
     val result = org.apache.spark.sql.graftbridge.Bridge
         .mapInternalRows(input, outSchema) { ir =>
       val ox = new Array[Double](nIn)
@@ -516,6 +533,7 @@ object Cipw {
       val out =
         try rowFn(ox, normsum, cancrinite, spinel)
         catch { case _: Exception => Array.fill(nOut)(Double.NaN) }
+      pruneAcc.foreach(_.add(out))
       val vals = new Array[Any](nCarry + nOut)
       i = 0
       while (i < nCarry) {
@@ -535,20 +553,77 @@ object Cipw {
       // CacheManager until an explicit unpersist and leaked across
       // repeated pruning calls — the checkpoint blocks are reclaimed by
       // the ContextCleaner as soon as the returned frame is unreferenced.
+      // The max-abs statistics arrive for free from the accumulator the
+      // checkpoint job filled — no second aggregate pass (r18).
       // For fully streaming one-pass behavior at scale, callers should
       // prefer completeResults=true (deterministic schema, no pruning
       // pass, no executor-loss sensitivity).
       val kept = result.drop(dropCols: _*).localCheckpoint()
       val valCols = kept.columns.filterNot(carry.contains)
-      val nonZero = kept.agg(
-        max(abs(col(valCols.head))).as(valCols.head),
-        valCols.tail.map(c => max(abs(col(c))).as(c)): _*).collect()(0)
-      val keepCols = valCols.zipWithIndex.collect {
-        case (c, i) if !nonZero.isNullAt(i) && nonZero.getDouble(i) != 0.0 => c
-      }
+      // Same decision the old `max(abs(col))` aggregate made: a column
+      // survives when some row is non-zero (NaN != 0.0 keeps NaN
+      // columns, exactly as SQL max over NaN did); zero rows -> the
+      // accumulator is empty -> no value column survives (the old agg
+      // row was all-null then).
+      val maxes = pruneAcc.get.value
+      val keepCols =
+        if (maxes == null) Array.empty[String]
+        else valCols.zipWithIndex.collect {
+          case (c, i) if maxes(i) != 0.0 => c
+        }
       kept.select((carry ++ keepCols).map(col): _*)
         .filter(!isnan(col("Total")))
     }
+  }
+
+  /** Per-column max-abs accumulator for [[runNorm]]'s G5 pruning:
+    * `add` sees the full names-order output row and folds `abs` of the
+    * `valIdx` positions (the post-drop value columns); NaN propagates
+    * as SQL max does (NaN compares greater than any double). Max is
+    * idempotent and order-independent, so task retries, speculation or
+    * block recomputation cannot change the result. `value` is null
+    * until at least one row was seen. */
+  private[petro] final class MaxAbsAccumulator(valIdx: Array[Int])
+      extends org.apache.spark.util.AccumulatorV2[Array[Double], Array[Double]] {
+    private var seen = false
+    private var maxes = new Array[Double](valIdx.length)
+    override def isZero: Boolean = !seen
+    override def copy(): MaxAbsAccumulator = {
+      val c = new MaxAbsAccumulator(valIdx)
+      c.seen = seen
+      c.maxes = maxes.clone()
+      c
+    }
+    override def reset(): Unit = {
+      seen = false
+      java.util.Arrays.fill(maxes, 0.0)
+    }
+    private def fold(i: Int, a: Double): Unit =
+      if (maxes(i).isNaN) ()
+      else if (a.isNaN) maxes(i) = Double.NaN
+      else if (a > maxes(i)) maxes(i) = a
+    override def add(out: Array[Double]): Unit = {
+      seen = true
+      var i = 0
+      while (i < valIdx.length) {
+        val v = out(valIdx(i))
+        fold(i, if (v.isNaN) v else math.abs(v))
+        i += 1
+      }
+    }
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[Array[Double], Array[Double]])
+        : Unit = o match {
+      case m: MaxAbsAccumulator =>
+        if (m.seen) {
+          seen = true
+          var i = 0
+          while (i < valIdx.length) { fold(i, m.maxes(i)); i += 1 }
+        }
+      case _ => throw new UnsupportedOperationException(
+        s"cannot merge ${o.getClass.getName} into MaxAbsAccumulator")
+    }
+    override def value: Array[Double] = if (seen) maxes else null
   }
 
   /** C2: standard GCDkit-faithful CIPW norm. */

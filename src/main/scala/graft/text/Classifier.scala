@@ -33,15 +33,30 @@ object Classifier {
     * (doc, bucket) and n the doc's total bigram count. Bucket =
     * "qc:"-salted 60-bit md5 of the bigram mod dim — the hashing-trick
     * feature map, mirrored exactly in SQL. Documents with < 2 tokens
-    * produce no rows (their margin is the bias alone). */
+    * produce no rows (their margin is the bias alone).
+    *
+    * n is computed per row BEFORE the explode (a doc's total bigram
+    * count is just the size of its shingle array — every bigram lands
+    * in some bucket, so `sum(cnt) over (partition by id)` always
+    * equalled it) and carried through the aggregation as a grouping
+    * key, removing the corpus-scale window exchange the old
+    * `sum over Window.partitionBy(idCol)` paid after the (id, bucket)
+    * aggregate: one shuffle for the whole corpus-sized feature pass
+    * instead of two (guide §2.4). Adding the per-id-constant n to the
+    * group key leaves the groups — and every emitted value —
+    * identical. */
   private[text] def features(df: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
-    val sh = TextOps.explodedShingles(df, idCol, textCol, 2)
+    val sh = graft.util.FanOut(df)
+      .select(col(idCol), TextOps.shinglesOf(col(textCol), 2).as("__sh"))
+      .select(col(idCol), size(col("__sh")).cast("long").as("n"),
+        explode(col("__sh")).as("sh"))
     val bucket = pmod(TextOps.md5Hash60(concat(lit("qc:"), col("sh"))),
       lit(dim.toLong)).cast("int")
-    sh.select(col(idCol), bucket.as("bucket"))
-      .groupBy(idCol, "bucket").agg(count(lit(1)).as("cnt"))
-      .withColumn("n", sum("cnt").over(Window.partitionBy(idCol)))
+    sh.select(col(idCol), col("n"), bucket.as("bucket"))
+      .groupBy(col(idCol), col("n"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(idCol), col("bucket"), col("cnt"), col("n"))
   }
 
   /** ROUND(x, 6) with SQL semantics (half away from zero on the
@@ -71,14 +86,19 @@ object Classifier {
       s"need dim/iterations/lr > 0, got $dim/$iterations/$lr")
     val lab = labeled.select(col(idCol), col(labelCol).cast("double").as("y"))
       .barrierCache()
-    val nl = lab.count()
+    // ONE aggregate job for the size + distinct-id checks (was two).
+    // distinct().count() counted a null id as one distinct value;
+    // count_distinct ignores nulls, so add the null bucket back.
+    val cRow = lab.agg(count(lit(1)), count_distinct(col(idCol)),
+      count(col(idCol))).head()
+    val nl = cRow.getLong(0)
     require(nl > 0, "labeled set is empty")
     // Distinct ids are part of the accepted-input contract: with a
     // duplicated id the two loop twins diverge (the local path applies
     // ONE residual per id where the distributed feats-join-res inner
     // join applies one per duplicate row), and the gradient itself is
     // ill-defined when one id carries two labels. Fail loudly instead.
-    val nd = lab.select(idCol).distinct().count()
+    val nd = cRow.getLong(1) + (if (cRow.getLong(2) < nl) 1L else 0L)
     require(nd == nl,
       s"labeled frame must carry distinct $idCol values: $nl rows but " +
         s"$nd distinct ids — dedup (or re-key) the labeled set first")
@@ -115,10 +135,7 @@ object Classifier {
     val spark = feats.sparkSession
     import spark.implicits._
     if (feats.count() <= maxLocalRows) {
-      // ids key only grouping/lookup here, so the string cast is a
-      // safe universal key (feats and lab ids come from the same frame)
-      val fr = feats.select(col(idCol).cast("string"), col("bucket"),
-        col("cnt"), col("n")).as[(String, Int, Long, Long)].collect()
+      val fr = collectFeatures(feats, idCol)
       val ys = lab.select(col(idCol).cast("string"), col("y"))
         .as[(String, Double)].collect()
       return trainLoopLocal(fr, ys, nl, dim, iterations, lr)
@@ -150,6 +167,20 @@ object Classifier {
       }
     }
     TextClassifierModel(w, b, dim)
+  }
+
+  /** One driver collect of a (small, count-checked) feature frame —
+    * ids key only grouping/lookup in the local loop, so the string
+    * cast is a safe universal key (feats and lab ids come from the
+    * same frame). Shared so [[trainMultiClassClassifier]] collects the
+    * features ONCE for all k one-vs-rest problems instead of once per
+    * class. */
+  private def collectFeatures(feats: DataFrame,
+      idCol: String): Array[(String, Int, Long, Long)] = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    feats.select(col(idCol).cast("string"), col("bucket"),
+      col("cnt"), col("n")).as[(String, Int, Long, Long)].collect()
   }
 
   /** Driver-side twin of the distributed loop body: identical
@@ -214,12 +245,17 @@ object Classifier {
     val labAll = labeled
       .select(col(idCol), col(labelCol).cast("string").as("__cls"))
       .barrierCache()
-    val nl = labAll.count()
+    // ONE aggregate job for the size + distinct-id contract checks
+    // (was two separate count jobs); the null-id bucket is added back
+    // below because count_distinct ignores nulls where distinct() did not.
+    val cRow = labAll.agg(count(lit(1)), count_distinct(col(idCol)),
+      count(col(idCol))).head()
+    val nl = cRow.getLong(0)
     require(nl > 0, "labeled set is empty")
     // same distinct-id contract as the binary trainer (and doubly so
     // here: a duplicated id with two DIFFERENT labels would make the
     // one-vs-rest targets contradictory)
-    val ndAll = labAll.select(idCol).distinct().count()
+    val ndAll = cRow.getLong(1) + (if (cRow.getLong(2) < nl) 1L else 0L)
     require(ndAll == nl,
       s"labeled frame must carry distinct $idCol values: $nl rows but " +
         s"$ndAll distinct ids — dedup (or re-key) the labeled set first")
@@ -228,6 +264,28 @@ object Classifier {
     require(classes.size >= 2,
       s"need >= 2 distinct labels, got ${classes.size}")
     val feats = features(labeled, idCol, textCol, dim).barrierCache()
+    // Scale-adaptive shared fast path (same bound and bit-identical
+    // models as [[trainLoop]]'s local branch): below maxLocalRows the
+    // feature table and the labels are collected ONCE and all k
+    // one-vs-rest loops run on the driver over the same arrays — the
+    // old shape paid k * (one feats count + one feats collect + one
+    // label collect) for identical data. Above the bound, the
+    // distributed loops run concurrently exactly as before.
+    if (feats.count() <= (1L << 20)) {
+      val fr = collectFeatures(feats, idCol)
+      val labArr = labAll.select(col(idCol).cast("string"), col("__cls"))
+        .as[(String, String)].collect()
+      // (cls === c).cast("double") on a null label is null, which the
+      // old per-class Dataset collect rejected; keep that contract.
+      labArr.foreach { case (id, cls) => require(cls != null,
+        s"null $labelCol label for id $id") }
+      val models = classes.map { c =>
+        val ys = labArr.map { case (id, cls) =>
+          (id, if (cls == c) 1.0 else 0.0) }
+        c -> trainLoopLocal(fr, ys, nl, dim, iterations, lr)
+      }
+      return MultiClassTextModel(classes, models.toMap)
+    }
     // The k one-vs-rest problems are independent and each is a chain
     // of SMALL jobs (labeled-set-sized aggregates + <= dim-row
     // collects), so their driver loops run concurrently — the cluster

@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Compiled single-pass kernels for the text hot path.
@@ -66,6 +67,97 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** FNV-1a over a byte range — the probe hash of [[ProfileTable]] and
+    * [[gateStats]]' top-count table (an execution detail only: hash
+    * collisions are resolved by byte comparison, so the hash choice can
+    * never change a result). */
+  private[text] def hashBytes(bytes: Array[Byte], s: Int, e: Int): Int = {
+    var h = 0x811c9dc5
+    var i = s
+    while (i < e) { h = (h ^ (bytes(i) & 0xff)) * 0x01000193; i += 1 }
+    h & 0x7fffffff
+  }
+
+  private def spanEq(bytes: Array[Byte], s1: Int, e1: Int, s2: Int,
+      e2: Int): Boolean = {
+    if (e1 - s1 != e2 - s2) return false
+    var i = 0
+    val len = e1 - s1
+    while (i < len) {
+      if (bytes(s1 + i) != bytes(s2 + i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Exact multiset count of the most frequent token — one open-addressed
+    * linear-probing pass over the token spans (counts are exact; the
+    * table is an execution detail). Equals
+    * `array_max(transform(array_distinct(w), t -> size(filter(w, x -> x = t))))`
+    * in O(n) instead of O(n * n_distinct). */
+  private def topCount(bytes: Array[Byte], spans: Array[Int],
+      nTok: Int): Long = {
+    var cap = 8
+    while (cap < nTok * 2) cap <<= 1
+    val mask = cap - 1
+    val slot = new Array[Int](cap) // 1-based token index; 0 = empty
+    val cnt = new Array[Int](cap)
+    var best = 0
+    var t = 0
+    while (t < nTok) {
+      val s = spans(2 * t); val e = spans(2 * t + 1)
+      var i = hashBytes(bytes, s, e) & mask
+      var done = false
+      while (!done) {
+        val o = slot(i)
+        if (o == 0) {
+          slot(i) = t + 1; cnt(i) = 1
+          if (best < 1) best = 1
+          done = true
+        } else if (spanEq(bytes, spans(2 * (o - 1)), spans(2 * (o - 1) + 1),
+            s, e)) {
+          cnt(i) += 1
+          if (cnt(i) > best) best = cnt(i)
+          done = true
+        } else i = (i + 1) & mask
+      }
+      t += 1
+    }
+    best.toLong
+  }
+
+  /** [[GateStats]]' one-pass kernel: tokenize (identical to [[tokens]]),
+    * then per row emit `[n_tokens, top_count, hits_0 .. hits_{k-1}]` as
+    * longs — n_tokens the token count, top_count the exact multiset
+    * count of the most frequent token (computed ONLY when `minTokens <=
+    * n <= maxTokens` and n > 0, else 0 — callers gate on the same
+    * condition, so the value is never read outside it), and hits_i the
+    * multiset count of tokens present in profile i. No token array is
+    * materialized: membership and counting run over byte spans of the
+    * lowercased text. */
+  def gateStats(text: UTF8String, minTokens: Long, maxTokens: Long,
+      table: ProfileTable): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val (spans, nTok) = tokenSpans(bytes)
+    val out = new Array[Long](2 + table.nLangs)
+    out(0) = nTok.toLong
+    var t = 0
+    while (t < nTok) {
+      val m = table.lookupMask(bytes, spans(2 * t), spans(2 * t + 1))
+      if (m != 0) {
+        var l = 0
+        while (l < table.nLangs) {
+          if ((m & (1 << l)) != 0) out(2 + l) += 1
+          l += 1
+        }
+      }
+      t += 1
+    }
+    if (nTok > 0 && nTok >= minTokens && nTok <= maxTokens)
+      out(1) = topCount(bytes, spans, nTok)
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** n-word shingles: space-joined windows of [[tokens]]; empty array for
     * docs with fewer than n tokens. */
   def shingles(text: UTF8String, n: Int): ArrayData = {
@@ -108,6 +200,87 @@ case class Tokens(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.tokens($c)")
   override protected def withNewChildInternal(newChild: Expression): Tokens =
+    copy(child = newChild)
+}
+
+/** Prepared membership table for [[GateStats]]: every profile word in one
+  * open-addressed byte-wise hash set with a per-word language bitmask
+  * (bit i = the word belongs to profile i). Built once on the driver and
+  * shipped to generated code as a codegen reference object; top-level
+  * (not nested in the object) so its name is a plain Java class name in
+  * generated sources. */
+final class ProfileTable(profiles: Array[Array[String]]) extends Serializable {
+  val nLangs: Int = profiles.length
+  require(nLangs <= 30, s"ProfileTable holds masks in an Int: $nLangs langs")
+  private val cap = {
+    val nWords = profiles.map(_.length).sum
+    var c = 8
+    while (c < nWords * 4) c <<= 1
+    c
+  }
+  private val mask = cap - 1
+  private val words = new Array[Array[Byte]](cap)
+  private val masks = new Array[Int](cap)
+  profiles.zipWithIndex.foreach { case (ws, l) =>
+    ws.foreach { w =>
+      val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = TextKernels.hashBytes(b, 0, b.length) & mask
+      var done = false
+      while (!done) {
+        if (words(i) == null) {
+          words(i) = b; masks(i) = 1 << l; done = true
+        } else if (java.util.Arrays.equals(words(i), b)) {
+          masks(i) |= 1 << l; done = true
+        } else i = (i + 1) & mask
+      }
+    }
+  }
+  /** Bitmask of profiles containing bytes[s, e), 0 when none. */
+  def lookupMask(bytes: Array[Byte], s: Int, e: Int): Int = {
+    var i = TextKernels.hashBytes(bytes, s, e) & mask
+    while (words(i) != null) {
+      val w = words(i)
+      if (w.length == e - s) {
+        var j = 0
+        var same = true
+        while (same && j < w.length) {
+          if (w(j) != bytes(s + j)) same = false else j += 1
+        }
+        if (same) return masks(i)
+      }
+      i = (i + 1) & mask
+    }
+    0
+  }
+}
+
+/** Codegen'd one-pass quality-gate statistics over the raw text column:
+  * `[n_tokens, top_count, hits_per_profile...]` — see
+  * [[TextKernels.gateStats]]. Replaces the interpreted
+  * (CodegenFallback) HOF formulation
+  * `array_max(transform(array_distinct(w), t -> size(filter(w, ...))))` +
+  * one `size(filter(w, array_contains(...)))` per language that every
+  * curation-composing row previously paid. */
+case class GateStats(child: Expression, minTokens: Long, maxTokens: Long,
+    profiles: Seq[Seq[String]]) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"GateStats requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val table =
+    new ProfileTable(profiles.map(_.toArray).toArray)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.gateStats(input.asInstanceOf[UTF8String], minTokens,
+      maxTokens, table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("profileTable", table,
+      classOf[ProfileTable].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.text.TextKernels.gateStats($c, ${minTokens}L, ${maxTokens}L, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): GateStats =
     copy(child = newChild)
 }
 

@@ -863,30 +863,49 @@ object TextOps {
 
   /** [[curateCorpus]]' quality gate as one narrow filter: token-count
     * bounds, top-word-fraction ceiling, language allowlist — all
-    * computed from the row's own token array, no explode, no shuffle,
-    * no join. The top-word count only evaluates for rows inside the
-    * token-count bounds (CaseWhen branches are lazy in codegen), so
-    * the O(n_tokens * n_distinct) loop is capped at maxTokens^2. */
+    * computed from the row's own tokens, no explode, no shuffle, no
+    * join. The per-row statistics (token count, exact multiset
+    * top-token count, per-language profile-hit counts) come from ONE
+    * compiled pass over the text bytes ([[GateStats]] — whole-stage
+    * codegen, replacing the interpreted CodegenFallback HOF loop that
+    * was O(n_tokens * n_distinct) per row; the kernel's top count is a
+    * linear hash pass, and it only evaluates for rows inside the
+    * token-count bounds). The ratio/rounding arithmetic stays in
+    * Catalyst expressions so every emitted value is bit-identical to
+    * the HOF formulation: n = size(tokens); top fraction =
+    * `round(top_count / n, 6)` under the same between() guard (null
+    * for n = 0, exactly as array_max over an empty array was); each
+    * language ratio = `round(hits / n, 6)` with the same null-for-
+    * empty contract; [[langPredFromRatios]] unchanged.
+    *
+    * Note on ids (r17 advice): the gate is a per-row filter on the
+    * row's own text. [[curateCorpus]]' id contract (distinct ids —
+    * its dedup stages already assume it) is what made the old
+    * semi-join-by-id shape and this per-row shape equivalent. */
   private def qualityGate(df: DataFrame, textCol: String,
       minTokens: Long, maxTokens: Long, maxTopWordFrac: Double,
       keepLangs: Seq[String]): DataFrame = {
     val langs = langProfiles.keys.toSeq.sorted
-    val reserved = "__qg_w" +: "__qg_n" +: "__qg_top" +:
+    val reserved = "__qg_s" +: "__qg_n" +: "__qg_top" +:
       langs.map(l => s"__qg_r_$l")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"curateCorpus: input column `$c` collides with an internal name"))
-    val withW = df
-      .withColumn("__qg_w", tokens(col(textCol)))
-      .withColumn("__qg_n", size(col("__qg_w")).cast("long"))
-    val withR = langs.foldLeft(withW) { (d, l) =>
-      d.withColumn(s"__qg_r_$l", langRatioOf(col("__qg_w"), l))
+    val stats = Bridge.column(GateStats(
+      Bridge.expression(col(textCol)), minTokens, maxTokens,
+      langs.map(langProfiles)))
+    val n = col("__qg_n")
+    val withN = df
+      .withColumn("__qg_s", stats)
+      .withColumn("__qg_n", element_at(col("__qg_s"), 1))
+    val withR = langs.zipWithIndex.foldLeft(withN) { case (d, (l, i)) =>
+      d.withColumn(s"__qg_r_$l",
+        round(when(n === 0, lit(null)).otherwise(
+          element_at(col("__qg_s"), 3 + i).cast("double") / n), 6))
     }
-    val top = when(col("__qg_n").between(minTokens, maxTokens),
-      round(array_max(transform(array_distinct(col("__qg_w")),
-          t => size(filter(col("__qg_w"), x => x === t))))
-        .cast("double") / col("__qg_n"), 6))
+    val top = when(n.between(minTokens, maxTokens) && n > 0,
+      round(element_at(col("__qg_s"), 2).cast("double") / n, 6))
     withR.withColumn("__qg_top", top)
-      .filter(col("__qg_n").between(minTokens, maxTokens) &&
+      .filter(n.between(minTokens, maxTokens) &&
         langPredFromRatios(l => col(s"__qg_r_$l"), 0.05)
           .isin(keepLangs: _*) &&
         col("__qg_top") <= maxTopWordFrac)
