@@ -1305,10 +1305,93 @@ object Media {
       case _ => None
     }
 
+  /** The javax.sound SPI providers, resolved ONCE per JVM.
+    * `AudioSystem.getAudioInputStream` / `getAudioFileFormat` re-run
+    * `JSSecurityManager.getProviders` on EVERY call — a synchronized
+    * classpath/provider scan (plus `Class.forName` per provider) that
+    * thread dumps showed as the dominant blocked state of the audio
+    * decode stages at 32 concurrent tasks (t129/t134: 147 BLOCKED
+    * samples on its lock, 61 in the scan itself). Calling the same
+    * provider objects directly decodes identical bytes identically;
+    * only the per-call registry scan disappears. Lookup semantics
+    * below replicate AudioSystem's exactly: first reader that does not
+    * throw UnsupportedAudioFileException wins (readers reset the
+    * stream on failure per the SPI contract); a conversion returns the
+    * source stream verbatim when the format already matches, else the
+    * first provider supporting the conversion. */
+  private lazy val audioFileReaders
+      : Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) buf += it.next()
+    buf.toArray
+  }
+
+  private lazy val audioConversionProviders
+      : Array[javax.sound.sampled.spi.FormatConversionProvider] = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.FormatConversionProvider]).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.FormatConversionProvider]
+    while (it.hasNext) buf += it.next()
+    buf.toArray
+  }
+
+  /** `AudioSystem.getAudioInputStream(stream)` minus the per-call
+    * provider scan. */
+  private def audioStreamOf(in: java.io.InputStream)
+      : javax.sound.sampled.AudioInputStream = {
+    var i = 0
+    while (i < audioFileReaders.length) {
+      try return audioFileReaders(i).getAudioInputStream(in)
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+      i += 1
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
+  /** `AudioSystem.getAudioFileFormat(stream)` minus the per-call
+    * provider scan. */
+  private def audioFileFormatOf(in: java.io.InputStream)
+      : javax.sound.sampled.AudioFileFormat = {
+    var i = 0
+    while (i < audioFileReaders.length) {
+      try return audioFileReaders(i).getAudioFileFormat(in)
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+      i += 1
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
+  /** `AudioSystem.getAudioInputStream(target, source)` minus the
+    * per-call provider scan. */
+  private def audioConvert(target: javax.sound.sampled.AudioFormat,
+      source: javax.sound.sampled.AudioInputStream)
+      : javax.sound.sampled.AudioInputStream = {
+    if (source.getFormat.matches(target)) return source
+    var i = 0
+    while (i < audioConversionProviders.length) {
+      val p = audioConversionProviders(i)
+      if (p.isConversionSupported(target, source.getFormat))
+        return p.getAudioInputStream(target, source)
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"Unsupported conversion: $target from ${source.getFormat}")
+  }
+
   /** Real audio probe via javax.sound.sampled: (format, duration_ms). */
   def probeAudio(payload: Array[Byte]): Option[(String, Long)] =
     try {
-      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      val aff = audioFileFormatOf(
         new java.io.ByteArrayInputStream(payload))
       val frames = aff.getFrameLength
       val rate = aff.getFormat.getFrameRate
@@ -1439,13 +1522,12 @@ object Media {
     * channel; converts to signed 16-bit PCM if the source differs). */
   def pcmSamples(payload: Array[Byte]): Option[Array[Short]] =
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val in = audioStreamOf(new java.io.ByteArrayInputStream(payload))
       try {
         val fmt = in.getFormat
         val target = new javax.sound.sampled.AudioFormat(
           fmt.getSampleRate, 16, fmt.getChannels, true, false)
-        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        val pcm = audioConvert(target, in)
         val bytes = pcm.readAllBytes()
         val step = 2 * fmt.getChannels
         val n = bytes.length / step
