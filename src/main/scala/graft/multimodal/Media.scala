@@ -1326,8 +1326,31 @@ object Media {
     val buf = scala.collection.mutable.ArrayBuffer
       .empty[javax.sound.sampled.spi.AudioFileReader]
     while (it.hasNext) buf += it.next()
-    buf.toArray
+    // MIDI-backed readers LAST: SoftMidiAudioFileReader's accept path
+    // re-runs MidiSystem.getProviders — the same synchronized registry
+    // scan this cache exists to avoid — before it even looks at the
+    // bytes. The JDK readers accept DISJOINT magics (RIFF/WAVE,
+    // FORM/AIFF, .snd, MThd), so exactly one reader family can accept
+    // a given payload and try-order cannot change which result is
+    // returned — only how often the MIDI scan runs. Combined with the
+    // magic gate in [[audioStreamOf]]/[[audioFileFormatOf]] the scan
+    // runs only for payloads that really are MIDI-shaped.
+    val (midi, other) = buf.toArray.partition(
+      _.getClass.getName.toLowerCase.contains("midi"))
+    other ++ midi
   }
+
+  /** True when `payload` could possibly be a MIDI container (standard
+    * `MThd` or a `RIFF`-wrapped RMID) — everything a JDK MIDI file
+    * reader can accept starts with one of these magics, so skipping
+    * the MIDI readers for other payloads is behavior-preserving while
+    * avoiding their per-call provider registry scan. */
+  private def maybeMidi(payload: Array[Byte]): Boolean =
+    payload.length >= 4 && {
+      val a = payload(0); val b = payload(1); val c = payload(2); val d = payload(3)
+      (a == 'M' && b == 'T' && c == 'h' && d == 'd') ||
+      (a == 'R' && b == 'I' && c == 'F' && d == 'F')
+    }
 
   private lazy val audioConversionProviders
       : Array[javax.sound.sampled.spi.FormatConversionProvider] = {
@@ -1340,14 +1363,19 @@ object Media {
   }
 
   /** `AudioSystem.getAudioInputStream(stream)` minus the per-call
-    * provider scan. */
-  private def audioStreamOf(in: java.io.InputStream)
+    * provider scan, over a payload we can magic-gate. */
+  private def audioStreamOf(payload: Array[Byte])
       : javax.sound.sampled.AudioInputStream = {
+    val in = new java.io.ByteArrayInputStream(payload)
+    val midiOk = maybeMidi(payload)
     var i = 0
     while (i < audioFileReaders.length) {
-      try return audioFileReaders(i).getAudioInputStream(in)
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      val r = audioFileReaders(i)
+      if (midiOk || !r.getClass.getName.toLowerCase.contains("midi")) {
+        try return r.getAudioInputStream(in)
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
       }
       i += 1
     }
@@ -1356,14 +1384,19 @@ object Media {
   }
 
   /** `AudioSystem.getAudioFileFormat(stream)` minus the per-call
-    * provider scan. */
-  private def audioFileFormatOf(in: java.io.InputStream)
+    * provider scan, over a payload we can magic-gate. */
+  private def audioFileFormatOf(payload: Array[Byte])
       : javax.sound.sampled.AudioFileFormat = {
+    val in = new java.io.ByteArrayInputStream(payload)
+    val midiOk = maybeMidi(payload)
     var i = 0
     while (i < audioFileReaders.length) {
-      try return audioFileReaders(i).getAudioFileFormat(in)
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      val r = audioFileReaders(i)
+      if (midiOk || !r.getClass.getName.toLowerCase.contains("midi")) {
+        try return r.getAudioFileFormat(in)
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
       }
       i += 1
     }
@@ -1391,8 +1424,7 @@ object Media {
   /** Real audio probe via javax.sound.sampled: (format, duration_ms). */
   def probeAudio(payload: Array[Byte]): Option[(String, Long)] =
     try {
-      val aff = audioFileFormatOf(
-        new java.io.ByteArrayInputStream(payload))
+      val aff = audioFileFormatOf(payload)
       val frames = aff.getFrameLength
       val rate = aff.getFormat.getFrameRate
       val dur =
@@ -1522,7 +1554,7 @@ object Media {
     * channel; converts to signed 16-bit PCM if the source differs). */
   def pcmSamples(payload: Array[Byte]): Option[Array[Short]] =
     try {
-      val in = audioStreamOf(new java.io.ByteArrayInputStream(payload))
+      val in = audioStreamOf(payload)
       try {
         val fmt = in.getFormat
         val target = new javax.sound.sampled.AudioFormat(
@@ -1940,13 +1972,25 @@ object Media {
         concat_ws(":", lit(b),
           shiftright(col(sigCol), b * 16).bitwiseAND(0xffffL))
       }: _*)).as("bucket"))
-    val cand = graft.text.TextOps.lshCandidatePairs(bux, "media_id")
+    // The candidate kernel runs UNMATERIALIZED (r18): unlike
+    // curateCorpus's Jaccard leg — which derives ids from the pair
+    // frame and semi-joins the corpus against them, the self-join
+    // shape the kernel's internal firewall exists for — this chain
+    // consumes the candidates exactly once (join signatures on, take
+    // the XOR popcount). The firewall moves to the Hamming-VERIFIED
+    // output below, so the kernel populate and the verify pass fuse
+    // into ONE execution, and every consumer (the CC probe, or the
+    // distributed CC's self-union edge build at scale) reads a
+    // materialized pair-scale leaf instead of re-running the verify.
+    val cand = graft.text.TextOps.lshCandidatePairs(bux, "media_id",
+      materialize = false)
     val sa = sigs.select(col("media_id").as("a_id"), col(sigCol).as("__a"))
     val sb = sigs.select(col("media_id").as("b_id"), col(sigCol).as("__b"))
-    cand.join(sa, "a_id").join(sb, "b_id")
-      .select(col("a_id"), col("b_id"),
-        expr("bit_count(__a ^ __b)").cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    graft.util.Barriers.firewall(
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .select(col("a_id"), col("b_id"),
+          expr("bit_count(__a ^ __b)").cast("int").as("hamming"))
+        .filter(col("hamming") <= maxHamming))
   }
 
   /** Frame-sampling plan for video payloads: one row per sampled frame

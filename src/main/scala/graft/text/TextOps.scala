@@ -173,7 +173,8 @@ object TextOps {
     * skew-robust choice (BASELINE.md kernel A/B + LshSkew max-task
     * rows). */
   def lshCandidatePairs(bux: DataFrame, idCol: String,
-      hotBucketCap: Int = HotBucketCap): DataFrame = {
+      hotBucketCap: Int = HotBucketCap,
+      materialize: Boolean = true): DataFrame = {
     if (hotBucketCap == Int.MaxValue) {
       // exact opt-out: the plain in-bucket self-join — all pairs
       return bux.as("x").join(bux.as("y"),
@@ -212,7 +213,17 @@ object TextOps {
     // miss — while the Barriers ledger still owns the storage
     // (post-release reads recompute through the preserved lineage,
     // the documented safe-but-slow contract).
-    smallPairs.union(starPairs).distinct().barrierFirewall()
+    //
+    // `materialize = false` (r18) is for callers that consume the pair
+    // frame LINEARLY — exactly once, inside a chain that never joins
+    // the pairs back against their own lineage — and materialize a
+    // cheaper frame further downstream themselves
+    // ([[graft.multimodal.Media.bandedHammingPairs]] firewalls the
+    // Hamming-VERIFIED pairs instead, fusing the kernel populate and
+    // the verify pass into one execution). The self-join trap above
+    // does not apply to a frame read once.
+    val out = smallPairs.union(starPairs).distinct()
+    if (materialize) out.barrierFirewall() else out
   }
 
 
