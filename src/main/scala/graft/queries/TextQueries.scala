@@ -89,12 +89,15 @@ object TextQueries {
     "t12_jaccard_verify" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
-      // materialize the small (doc, bucket) frame once: the self-join
-      // below references it twice and jaccardPairs references the
-      // derived pairs three more times — without the checkpoint each
-      // reference recomputes the whole minhash lineage over the corpus
+      // FIREWALLED (r18, was a plain barrierCache): the candidate
+      // kernel joins bux's rows leg against bux's own stats leg — the
+      // self-join shape whose analyzer dedup rewrite misses a plain
+      // cache entry (r14 kernel note), so the minhash chain re-derived
+      // per kernel leg. (The t119 note above applies here too: sharing
+      // one distinct-shingle frame across the two legs was A/B'd r18
+      // and measured slower; the two-pass shape stands.)
       val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2)
-        .barrierCache()
+        .barrierFirewall()
       val pairs = TextOps.lshCandidatePairs(bux, "doc_id")
       TextOps.jaccardPairs(docs, "doc_id", "text", pairs)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
@@ -149,8 +152,11 @@ object TextQueries {
     "t14_near_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
+      // FIREWALLED (r18): the candidate kernel self-joins bux's legs —
+      // a plain cache entry missed there and the minhash chain
+      // re-derived per leg (r14 kernel note, measured by JobStats)
       val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2)
-        .barrierCache()
+        .barrierFirewall()
       val pairs = TextOps.lshCandidatePairs(bux, "doc_id")
       TextOps.nearDupClusters(pairs)
         .select(col("id").as("doc_id"), col("cluster"))
@@ -165,8 +171,9 @@ object TextQueries {
     "t150_near_dedup_distributed" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
+      // FIREWALLED (r18): same kernel self-join shape as t14
       val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2)
-        .barrierCache()
+        .barrierFirewall()
       val pairs = TextOps.lshCandidatePairs(bux, "doc_id")
       TextOps.nearDupClusters(pairs, maxLocalEdges = 0)
         .select(col("id").as("doc_id"), col("cluster"))
@@ -654,10 +661,13 @@ object TextQueries {
     // t103's KMV — k bucket-minima per source, match fraction over
     // shared buckets estimates the shingle-set Jaccard
     "t105_source_overlap_registers" -> ((s, dir) => {
+      // FIREWALLED (r18): minhashRegisterOverlap's a/b legs join EACH
+      // OTHER — the self-join shape a plain cache entry misses (r14
+      // kernel note); the registers are |sources| x k rows, id-scale
       val regs = TextOps.minhashRegisters(
         t(s, dir, "documents").select(col("source"),
           explode(TextOps.shinglesOf(col("text"), 3)).as("sh")),
-        "source", col("sh"), k = 128).barrierCache()
+        "source", col("sh"), k = 128).barrierFirewall()
       TextOps.minhashRegisterOverlap(regs, "source")
         .orderBy("source_a", "source_b")
     }),
@@ -750,8 +760,14 @@ object TextQueries {
     // the k smallest hashes of each pair's sketch union — the
     // "mirrored dump" detector with corpus-size-independent state
     "t103_kmv_overlap" -> ((s, dir) => {
+      // FIREWALLED, not plain-cached (r18): kmvSourceOverlap's a/b
+      // legs join EACH OTHER over frames derived from the sketch — the
+      // self-join shape whose analyzer dedup rewrite misses a plain
+      // cache entry (r14 kernel note; the before-plan re-derived the
+      // corpus-scale sketch lineage per leg, 7 parquet scans in one
+      // plan). The sketch is |sources| x k rows — id-scale.
       val sk = TextOps.kmvSketch(t(s, dir, "documents"), "source", "text",
-        k = 256).barrierCache()
+        k = 256).barrierFirewall()
       TextOps.kmvSourceOverlap(sk, "source", k = 256)
         .orderBy("source_a", "source_b")
     }),
@@ -945,6 +961,13 @@ object TextQueries {
     // the cut = the bands are recalling borderline junk)
     "t119_jaccard_histogram" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // A/B'd r18 and kept AS IS: sharing one distinct-shingle frame
+      // between the minhash and verify legs (curateCorpus's shape) was
+      // MEASURED SLOWER here — the full-corpus distinct shuffle + two
+      // token-scale materializations + fanOut reshuffle cost more than
+      // the one tokenize+shingle pass they save (taskTime 107 -> 127 s,
+      // wall 6.7 -> 8.1 s). The two-pass shape (multiset minhash pass,
+      // candidate-bounded verify pass inside jaccardPairs) stands.
       val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
       val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2).barrierFirewall()
       val pairs = TextOps.lshCandidatePairs(bux, "doc_id")

@@ -730,10 +730,14 @@ object TextOps {
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     // One signature row per document (tiny), but referenced four times
-    // below (band self-join x2, verify joins x2) — materialize once or
-    // the full tokenize+aggregate pipeline re-runs per reference.
+    // below (band self-join x2, verify joins x2) — and those references
+    // JOIN EACH OTHER (the kernel's stats/rows legs, the sa/sb verify
+    // sides), the self-join shape whose analyzer dedup rewrite misses a
+    // plain cache entry (r14 kernel note). FIREWALLED (r18): measured
+    // under barrierCache, the full simhash64 tokenize+aggregate chain
+    // re-derived per reference (t21 taskTime 47 s for one ~13 s chain).
     val sigs = simhash64(df, idCol, textCol).select(col(idCol), col("simhash"))
-      .barrierCache()
+      .barrierFirewall()
     // (band, 16-bit value) flattened to one injective bucket key so the
     // shared [[lshCandidatePairs]] hot-bucket cap applies here too — a
     // SimHash mega-cluster (one signature shared corpus-wide) is the
