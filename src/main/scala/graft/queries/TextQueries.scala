@@ -713,8 +713,12 @@ object TextQueries {
     "t100_near_dedup_best" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sigs = TextOps.minhashSignature(docs, "doc_id", "text", k = 8)
+      // FIREWALLED (r18): the candidate kernel self-joins bux's legs —
+      // the shape a plain cache entry misses (r14 kernel note; the
+      // re-derivation happens in the kernel populate at plan-build
+      // time, measured on t14's identical chain: taskTime 47 -> 26 s)
       val bux = TextOps.lshBuckets(sigs, "doc_id", k = 8, rows = 2)
-        .barrierCache()
+        .barrierFirewall()
       val pairs = TextOps.lshCandidatePairs(bux, "doc_id")
       TextOps.dropNearDuplicatesBy(docs, "doc_id", pairs,
           size(TextOps.tokens(col("text"))).cast("long"))

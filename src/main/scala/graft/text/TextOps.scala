@@ -2681,8 +2681,14 @@ object TextOps {
   def lmScore(reference: DataFrame, target: DataFrame, idCol: String,
       textCol: String, alpha: Double = 0.1): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    // cached: both n-gram count tables read the reference shingles
-    val refSh = explodedShingles(reference, idCol, textCol, 2).barrierCache()
+    // FIREWALLED (r18, was a plain barrierCache): both n-gram count
+    // tables read the reference shingles AND the scoring plan joins
+    // them against each other — the self-join shape whose analyzer
+    // dedup rewrite misses a plain cache entry (t40's before-plan
+    // carried 7 raw parquet scans), re-tokenizing the reference per
+    // count table.
+    val refSh = explodedShingles(reference, idCol, textCol, 2)
+      .barrierFirewall()
     val biCounts = refSh.groupBy(col("sh")).agg(count(lit(1)).as("__cb"))
     val headCounts = refSh
       .select(substring_index(col("sh"), " ", 1).as("__w1"))
@@ -3127,14 +3133,17 @@ object TextOps {
     require(k > 0, s"k must be positive, got $k")
     require(maxDfRatio > 0 && maxDfRatio <= 1.0,
       s"maxDfRatio must be in (0, 1], got $maxDfRatio")
-    // cached: dl, dfreq AND the contrib join all read the term
-    // frequencies — without the barrier the corpus is tokenized and
-    // aggregated three times (plan-audited r12: 12 parquet scans)
+    // FIREWALLED (r18, was a plain barrierCache): dl, dfreq AND the
+    // contrib join all read the term frequencies and JOIN EACH OTHER
+    // in the scoring plan — the self-join shape whose analyzer dedup
+    // rewrite misses a plain cache entry (r14 kernel note; t49's
+    // before-plan carried 9 raw parquet scans), re-tokenizing the
+    // corpus per leg.
     val tf = fanOut(docs)
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .barrierCache()
+      .barrierFirewall()
     val dl = tf.groupBy(idCol).agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).cast("double").as("__n"))
@@ -3243,12 +3252,14 @@ object TextOps {
     val scores = lmScore(reference, target, idCol, textCol, alpha)
       .select(col(idCol), col("n_bigrams"),
         round(col("lm_bits") * lit(1e6), 0).cast("long").as("__micro"))
-    // cached: the percentile cuts and the final bucket join both read
-    // the scored frame — without the barrier the whole lmScore chain
-    // (reference counts + target shingle joins) runs twice
+    // FIREWALLED (r18, was a plain barrierCache): the final plan joins
+    // the percentile cuts BACK against the scored frame they derive
+    // from — the self-join shape a plain cache entry misses (t68's
+    // before-plan carried 14 raw parquet scans), re-running the whole
+    // lmScore chain per leg.
     val withSrc = scores.join(
       target.select(col(idCol), col(sourceCol)), Seq(idCol))
-      .barrierCache()
+      .barrierFirewall()
     val cuts = withSrc.groupBy(sourceCol)
       .agg(percentile(col("__micro"), lit(loFrac)).as("__lo"),
         percentile(col("__micro"), lit(hiFrac)).as("__hi"))
