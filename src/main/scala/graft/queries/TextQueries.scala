@@ -1859,10 +1859,13 @@ object TextQueries {
       val cents = emb.filter(col("vec_id") < 4)
       val qs = emb.filter(col("vec_id") >= 4 && col("vec_id") < 7)
       val indexed = graft.sim.Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
-      // cached: the codebook trainer and the encoder both read the
-      // residual frame (plan-audited r12: 26 embedding scans without)
+      // FIREWALLED (r18, was a plain barrierCache): the encoder, the
+      // ADC search and the rerank legs join frames derived from the
+      // residuals against each other — the self-join shape a plain
+      // cache entry misses (the before-plan still carried 11-14 raw
+      // embedding scans), re-running ivfAssign + residuals per leg
       val res = graft.sim.Similarity.ivfResiduals(indexed, cents,
-        "vec_id", "embedding").barrierCache()
+        "vec_id", "embedding").barrierFirewall()
       val cb = graft.sim.Similarity.pqCodebook(
         res.filter(col("vec_id") < 16).select(col("vec_id"), col("res")),
         "vec_id", "res", m = 4, subDim = 16)
@@ -1882,10 +1885,13 @@ object TextQueries {
       val cents = emb.filter(col("vec_id") < 4)
       val qs = emb.filter(col("vec_id") >= 4 && col("vec_id") < 7)
       val indexed = graft.sim.Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
-      // cached: the codebook trainer and the encoder both read the
-      // residual frame (plan-audited r12: 26 embedding scans without)
+      // FIREWALLED (r18, was a plain barrierCache): the encoder, the
+      // ADC search and the rerank legs join frames derived from the
+      // residuals against each other — the self-join shape a plain
+      // cache entry misses (the before-plan still carried 11-14 raw
+      // embedding scans), re-running ivfAssign + residuals per leg
       val res = graft.sim.Similarity.ivfResiduals(indexed, cents,
-        "vec_id", "embedding").barrierCache()
+        "vec_id", "embedding").barrierFirewall()
       val cb = graft.sim.Similarity.pqCodebook(
         res.filter(col("vec_id") < 16).select(col("vec_id"), col("res")),
         "vec_id", "res", m = 4, subDim = 16)
