@@ -1482,12 +1482,44 @@ object Media {
   @inline private def gray(rgb: Int): Double =
     0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
 
+  /** Per-thread destination cache for [[resample]], keyed by (w, h).
+    * Creating a BufferedImage surface takes the GLOBAL
+    * `sun.java2d.Disposer` lock (`BufImgSurfaceData.initRaster` ->
+    * `Disposer.addRecord`) — at 32 concurrent tasks the image kernels
+    * serialized on it (r18 thread-dump census: 25/69 BLOCKED task
+    * samples on that monitor during the multimodal family). Reusing
+    * one destination per thread and size pays the surface creation
+    * once per (thread, size) instead of once per IMAGE; the raster is
+    * zero-filled before every reuse, which is exactly a fresh
+    * TYPE_INT_RGB image's state (opaque black), so the rendered
+    * pixels — including alpha-source blends — are bit-identical to
+    * the old allocate-per-call path. */
+  private val resampleDst =
+    new ThreadLocal[java.util.HashMap[java.lang.Long, java.awt.image.BufferedImage]] {
+      override def initialValue():
+          java.util.HashMap[java.lang.Long, java.awt.image.BufferedImage] =
+        new java.util.HashMap()
+    }
+
   /** Headless resample to w x h via Graphics2D (BufferedImage targets
-    * never need a display). */
+    * never need a display). The returned image is the calling thread's
+    * REUSED per-size destination ([[resampleDst]]): it is valid only
+    * until the thread's next `resample` call with the same (w, h) —
+    * every caller consumes the pixels (hash/patch/PNG-encode) before
+    * its row function returns, which is the contract. */
   private def resample(img: java.awt.image.BufferedImage, w: Int, h: Int)
       : java.awt.image.BufferedImage = {
-    val out = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val key = java.lang.Long.valueOf((w.toLong << 32) | (h.toLong & 0xffffffffL))
+    val cache = resampleDst.get()
+    var out = cache.get(key)
+    if (out == null) {
+      out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      cache.put(key, out)
+    } else {
+      java.util.Arrays.fill(out.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData, 0)
+    }
     val g = out.createGraphics()
     g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
       java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)

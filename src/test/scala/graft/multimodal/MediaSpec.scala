@@ -412,6 +412,55 @@ class MediaSpec extends AnyFunSuite {
     assert(h(3).isNullAt(1))
   }
 
+  test("resample destination reuse stays invisible (zero-filled per use, per size)") {
+    import spark.implicits._
+    // Semi-transparent PNG: drawImage SrcOver-blends against the
+    // destination raster, so a STALE (non-zeroed) reused destination
+    // would shift the blended pixels — the one way the per-thread
+    // destination cache could leak between rows.
+    val argb = new java.awt.image.BufferedImage(10, 10,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 10; x <- 0 until 10)
+      argb.setRGB(x, y, ((25 * x) << 24) | 0xff0000 | ((25 * y) << 8) | 0x80)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(argb, "png", bos)
+    val alphaPng = bos.toByteArray
+    // Expected aHash computed with a FRESH destination per call — the
+    // pre-cache implementation, inlined as the equivalence baseline.
+    def freshAHash(payload: Array[Byte]): Long = {
+      val img = Media.decodeImage(payload).get
+      val out = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 8, 8, null)
+      g.dispose()
+      val gs = Array.tabulate(64) { i =>
+        val rgb = out.getRGB(i % 8, i / 8)
+        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+      }
+      val mean = gs.sum / 64.0
+      gs.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (v > mean) acc | (1L << i) else acc }
+    }
+    val pattern = 0x5a5a5a5a5a5a5aL
+    val planted = Media.buildBmpPattern(pattern)
+    // ONE partition => one task thread: the bright planted BMPs are
+    // resampled right before each alpha image reuses the same thread's
+    // 8x8 destination, and embed's 4x4 destination interleaves sizes.
+    val df = Seq((0L, planted), (1L, alphaPng), (2L, planted), (3L, alphaPng))
+      .toDF("media_id", "payload").repartition(1)
+    val h = Media.imageHash(df).orderBy("media_id").collect()
+    assert(h(0).getLong(1) == pattern && h(2).getLong(1) == pattern)
+    assert(h(1).getLong(1) == freshAHash(alphaPng))
+    assert(h(3).getLong(1) == freshAHash(alphaPng))
+    val e = Media.embed(df, dim = 16).orderBy("media_id").collect()
+    assert(e(0).getSeq[Float](1) == e(2).getSeq[Float](1))
+    assert(e(1).getSeq[Float](1) == e(3).getSeq[Float](1))
+  }
+
   test("imageNearDups pairs perturbed copies, not distinct images or junk") {
     import spark.implicits._
     val base = Media.decodeImage(Media.buildImage(64, 64, "png")).get
